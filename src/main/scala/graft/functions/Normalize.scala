@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Value normalization / parsing expressions (reference C1, C5, C7, C8).
+  *
+  * All are pure `Column` expression builders — codegen'd, no UDFs — so they
+  * fuse into whole-stage codegen and scale as map-only work.
+  */
+object Normalize {
+
+  /** Multi-format timestamp parse (reference `convert_date_value`,
+    * sync_ALL.py:167-182 / sync_INCREMENTAL.py:150-167): try each format in
+    * order, first success wins, NULL if none match. Spark's `to_timestamp`
+    * returns null on a per-format mismatch, which composes with `coalesce`
+    * to exactly the reference's try/except ladder.
+    */
+  val ReferenceDateFormats: Seq[String] = Seq(
+    "MM/dd/yy HH:mm:ss",
+    "MM/dd/yyyy HH:mm:ss",
+    "yyyy-MM-dd HH:mm:ss",
+    "MM/dd/yy",
+    "MM/dd/yyyy"
+  )
+
+  def parseTimestampMulti(c: Column, formats: Seq[String] = ReferenceDateFormats): Column =
+    coalesce(formats.map(f => try_to_timestamp(c, lit(f))): _*)
+
+  /** Empty string => NULL (reference C7: sync_ALL.py:289). */
+  def emptyToNull(c: Column): Column =
+    when(c === "", lit(null).cast(StringType)).otherwise(c)
+
+  /** Lenient money parse: garbage/NULL => 0.0 (reference C8,
+    * compare_historico_mensual.py:68-74 `float(x or 0)`).
+    */
+  def moneyOrZero(c: Column): Column =
+    coalesce(c.cast(DoubleType), lit(0.0))
+
+  /** Key normalization (reference `normalize_key_value`,
+    * sync_INCREMENTAL.py:211-224): trim; an integral float renders without
+    * the trailing `.0`; non-numeric strings pass through. Only needed when
+    * keys stay string-typed; prefer typed key columns where possible.
+    */
+  def normalizeKey(c: Column): Column = {
+    val t = trim(c.cast(StringType))
+    val asD = t.cast(DoubleType)
+    when(t.isNull, lit("NULL"))
+      .when(asD.isNotNull && asD === asD.cast(LongType).cast(DoubleType),
+        asD.cast(LongType).cast(StringType))
+      .when(asD.isNotNull, asD.cast(StringType))
+      .otherwise(t)
+  }
+
+  /** Cast-with-empty-null: the reference's sink-side string->type coercion
+    * (C6/C7 combined): '' -> NULL -> cast(dt), cast failures -> NULL.
+    */
+  def castClean(c: Column, dt: DataType): Column =
+    emptyToNull(c.cast(StringType)).cast(dt)
+}

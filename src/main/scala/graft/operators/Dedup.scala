@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All variants are shuffle-minimal by construction:
+  *  - exact dedup is one hash-aggregate on a fingerprint (map-side partial
+  *    aggregation collapses duplicates before the shuffle);
+  *  - MinHash/LSH banding turns the O(n²) pair space into a self-join on
+  *    band buckets, i.e. one shuffle keyed by (band, bucket-hash);
+  *  - SimHash groups by a 64-bit signature (near-dups land in equal or
+  *    Hamming-close signatures).
+  *
+  * Everything is built from codegen'd `functions._` array expressions — no
+  * UDFs, no driver-side collections — so each stage survives a 100× scale-up
+  * as plain map + one keyed shuffle.
+  */
+object Dedup {
+
+  /** Exact dedup: fingerprint groups with keep-first semantics.
+    * Returns one row per distinct value of `textCol` with the surviving id
+    * and the duplicate count (the "keep newest/first version per key" shape
+    * the reference's UPDATE-in-place sink becomes in append-only form,
+    * SURVEY.md §2.8).
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup keeping the latest version per natural key (window form —
+    * used when rows carry versions, e.g. merge output compaction).
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles of a text column (lowercased, whitespace-split). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val words = split(lower(textCol), "\\s+")
+    // sliding n-grams via transform over start indices; filter short tails
+    array_distinct(filter(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, n))),
+      s => s =!= ""))
+  }
+
+  /** MinHash signature: for each of k hash functions, the min over shingle
+    * hashes. Hash family: xxhash64(shingle, seed_i) — deterministic,
+    * evaluated per element with zero shuffle.
+    */
+  def minHashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** MinHash + LSH banding candidate pairs.
+    *
+    * signature of k = bands*rowsPerBand hashes; each band's slice is hashed
+    * to a bucket; docs sharing any (band, bucket) become candidates; exact
+    * Jaccard over shingle sets verifies. The band explode costs `bands`× rows
+    * (small constant); the only shuffles are the band-bucket self-join and
+    * the final distinct — the classic scale path for 100 TB near-dedup.
+    */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                        minJaccard: Double = 0.5): DataFrame = {
+    val k = bands * rowsPerBand
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minHashSignature(col("sh"), k))
+    val banded = sh.select(col("id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(42)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** SimHash: 64-bit signature whose bits are the signs of the per-bit vote
+    * over token hashes. Near-duplicate texts yield identical or
+    * Hamming-close signatures; grouping by signature is then a plain
+    * hash-aggregate.
+    */
+  def simHash(textCol: Column): Column = {
+    val tokens = filter(split(lower(textCol), "\\s+"), t => t =!= "")
+    val hashes = transform(tokens, t => xxhash64(t))
+    // For each bit: sum(+1/-1 votes) > 0 => bit set.
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L).cast("long") * lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash dedup groups: docs sharing an identical 64-bit simhash. */
+  def simHashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), simHash(col(textCol)).as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
+
+  /** Exact pairwise n-gram Jaccard over a bounded candidate set (the
+    * verify stage; candidates come from LSH at scale). Token-set join form —
+    * the relational shape DuckDB can oracle-check.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        maxId: Long, minJaccard: Double): DataFrame = {
+    val base = df.filter(col(idCol) < maxId)
+      .select(col(idCol).as("id"), array_distinct(filter(
+        split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("toks"))
+    val words = base.select(col("id"), explode(col("toks")).as("w"))
+    val sizes = base.select(col("id"), size(col("toks")).as("n"))
+    val inter = words.as("a").join(words.as("b"),
+        col("a.w") === col("b.w") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n" -> "n_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n" -> "n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

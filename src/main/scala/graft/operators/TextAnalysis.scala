@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * All pure column expressions (codegen'd, map-only, shuffle-free) — at
+  * 100 TB these run at parquet-scan speed.
+  */
+object TextAnalysis {
+
+  def words(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(words(text)).cast("int")
+
+  /** BPE-ish regex token count: word pieces + digit runs + single
+    * punctuation marks (the usual pre-tokenizer shape).
+    */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("int")
+
+  private val StopwordsEn = Seq("the", "a", "an", "of", "to", "and", "in", "is")
+  private val StopwordsEs = Seq("el", "la", "de", "y", "que", "en", "un", "una")
+  private val StopwordsFr = Seq("le", "la", "de", "et", "un", "une", "du", "des")
+
+  private def countIn(text: Column, set: Seq[String]): Column =
+    size(filter(words(lower(text)), w => w.isInCollection(set))).cast("int")
+
+  /** Quality score features: char length, word count, average word length,
+    * stopword ratio, punctuation ratio. Ratios are single IEEE divisions of
+    * exact ints — deterministic and cross-engine reproducible.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast("int")
+    val nWords = tokenCountWs(text)
+    val nStop = countIn(text, StopwordsEn)
+    val nPunct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9 ]"), lit(0))).cast("int")
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      "avg_word_len" -> (nChars.cast("double") / nWords.cast("double")),
+      "stopword_ratio" -> (nStop.cast("double") / nWords.cast("double")),
+      "punct_ratio" -> (nPunct.cast("double") / nChars.cast("double"))
+    )
+  }
+
+  /** Heuristic language ID by stopword votes (deterministic tie-break:
+    * en >= es >= fr >= unknown). N-gram-free variant suited to a codegen'd
+    * scan; swap the word lists per deployment.
+    */
+  def langId(text: Column): Column = {
+    val en = countIn(text, StopwordsEn)
+    val es = countIn(text, StopwordsEs)
+    val fr = countIn(text, StopwordsFr)
+    when(en === 0 && es === 0 && fr === 0, lit("und"))
+      .when(en >= es && en >= fr, lit("en"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Canonical document fingerprint: sha256 of lowercased,
+    * whitespace-collapsed text. Robust to formatting-only edits.
+    */
+  def fingerprint(text: Column): Column =
+    sha2(trim(lower(regexp_replace(text, "\\s+", " "))), 256)
+
+  /** Rolling polynomial hash (Rabin-Karp style) over characters, mod 2^61-1:
+    * an order-sensitive fingerprint built as an array fold — still pure
+    * codegen. Distinguishes permuted texts that a bag-of-words hash merges.
+    */
+  def rollingHash(text: Column): Column = {
+    val codes = transform(split(text, ""), ch => ascii(ch).cast("long"))
+    aggregate(codes, lit(7L),
+      (acc, c) => pmod(acc * 31L + c, lit(2305843009213693951L)))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import graft.functions.RowHash
+import graft.operators.{Filters, Merge}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** P3: the per-table pipeline loop — scan → filter → (semi-join) → audit
+  * columns → full-refresh or hash-diff merge — with per-table error
+  * isolation and a summary (reference sync_ALL.py:328-368,
+  * sync_INCREMENTAL.py:509-558).
+  *
+  * Pure DataFrame-in/DataFrame-out; the sink is parameterized so tests run
+  * against in-memory targets and production runs write parquet. Tables are
+  * independent, so a production driver may submit them concurrently — Spark's
+  * scheduler interleaves their jobs (the reference is forced sequential).
+  */
+object Runner {
+
+  final case class TableResult(table: String, rows: Long, error: Option[String])
+
+  /** Build the loaded (pre-sink) frame for one table spec. */
+  def loadTable(spark: SparkSession, sfDir: String, spec: TableSpec): DataFrame = {
+    var df = TableSpec.read(spark, sfDir, spec.name)
+    if (spec.filters.nonEmpty) df = df.filter(Filters.all(spec.filters))
+    spec.semiJoin.foreach { case (buildTable, buildKey, probeKey) =>
+      val build = TableSpec.read(spark, sfDir, buildTable)
+      df = Filters.semiJoinIn(df, probeKey, build, buildKey)
+    }
+    RowHash.withAuditColumns(df)
+  }
+
+  /** Run every spec; `sink` persists each frame (e.g. parquet overwrite, or
+    * a Merge.apply against existing state for Incremental mode).
+    */
+  def runAll(spark: SparkSession, sfDir: String, specs: Seq[TableSpec])
+            (sink: (TableSpec, DataFrame) => Long): Seq[TableResult] =
+    specs.map { spec =>
+      try {
+        val rows = sink(spec, loadTable(spark, sfDir, spec))
+        TableResult(spec.name, rows, None)
+      } catch {
+        case e: Exception => TableResult(spec.name, -1, Some(e.toString))
+      }
+    }
+
+  /** Incremental sink helper: merge loaded source into existing target. */
+  def mergeInto(src: DataFrame, tgt: DataFrame, keys: Seq[String]): DataFrame =
+    Merge.apply(src.drop("row_hash", "created_at", "updated_at"),
+      tgt, keys)
+}
