@@ -38,14 +38,17 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingles of a text column (lowercased, whitespace-split). */
+  /** Word n-gram shingles of a text column (lowercased, whitespace-split).
+    * Empty tokens are dropped before shingling; a text shorter than `n`
+    * words yields an empty array (no truncated tail shingles).
+    */
   def shingles(textCol: Column, n: Int): Column = {
-    val words = split(lower(textCol), "\\s+")
-    // sliding n-grams via transform over start indices; filter short tails
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => concat_ws(" ", slice(words, i + 1, n))),
-      s => s =!= ""))
+    val words = filter(split(lower(textCol), "\\s+"), w => w =!= "")
+    // sliding n-grams via transform over start indices
+    when(size(words) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n))))))
   }
 
   /** MinHash signature: for each of k hash functions, the min over shingle
@@ -74,7 +77,7 @@ object Dedup {
       .withColumn("sig", minHashSignature(col("sh"), k))
     val banded = sh.select(col("id"), col("sh"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(42)))))
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), lit(42)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
