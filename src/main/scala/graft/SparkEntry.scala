@@ -1,13 +1,559 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Normalize, RowHash}
+import graft.operators._
+import graft.pipeline.{Runner, TableSpec}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 plus the LLM-data-pipeline extensions, each with equivalent
+  * DuckDB SQL in `oracleSql` (omitted only for operators built on
+  * xxhash64/splitmix64, which DuckDB cannot reproduce — those get the
+  * driver's rows-only check).
+  *
+  * Determinism rules applied throughout (so Spark and DuckDB hash-match):
+  *  - money sums go through DECIMAL(18,4) and are cast to double at the edge
+  *    (exact, partition-order-independent — SURVEY.md §7.4 trap 8);
+  *  - every row-level result has a total ORDER BY;
+  *  - top-k orderings carry a unique tiebreak column;
+  *  - vector scores use quantized integer dot products (Similarity.dotQuantized).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    TableSpec.read(spark, dir, name)
+
+  /** Flagship query (SURVEY.md §3.3 reconciliation): monthly row-count
+    * alignment of lineitem vs orders — scan, null-filter, derived month key,
+    * hash-agg both sides, full-outer align, diff.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Reconcile.monthlyAgg(t(spark, dir, "lineitem"), "l_shipdate", Seq("l_extendedprice"))
+    val or = Reconcile.monthlyAgg(t(spark, dir, "orders"), "o_orderdate", Seq("o_totalprice"))
+    Reconcile.alignDiff(li, or, "month", "n_rows").orderBy("month")
+  }
+
+  /** Exact decimal sum rendered as double — the one money-sum shape both
+    * engines agree on bit-for-bit. */
+  private def moneySum(c: String): Column =
+    sum(col(c).cast("decimal(18,4)")).cast("double").as(s"sum_$c")
+
+  // Deterministic fake mime assignment for the multimodal fixtures.
+  private def mime: Column =
+    when(col("doc_id") % 3 === 0, "image/png")
+      .when(col("doc_id") % 3 === 1, "audio/wav")
+      .otherwise("video/mp4")
+
+  // Perturbed "target" snapshot of orders for the CDC-merge demos: rows with
+  // key % 7 == 0 are missing (-> insert) and rows with key % 5 == 0 carry a
+  // stale o_totalprice (-> hash mismatch -> update).
+  private def ordersTargetData(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderkey") % 7 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")))
+
+  private val mergeNow = to_timestamp(lit("2026-01-01 00:00:00"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- filters / predicates -------------------------------------------
+    "q_f1_eq_filter" -> ((s, d) =>
+      t(s, d, "lineitem").filter(Filters.eq("l_returnflag", "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q_f2_excl_keepnull" -> ((s, d) =>
+      t(s, d, "events").filter(Filters.neqKeepNull("event_type", "click"))
+        .select("event_id", "event_type").orderBy("event_id")),
+    "q_f3_conj_dates" -> ((s, d) =>
+      t(s, d, "lineitem").filter(Filters.all(Seq(
+          Filters.eq("l_returnflag", "A"),
+          year(col("l_shipdate")) >= 1995,
+          col("l_discount") > 0.05)))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q_f4_semijoin" -> ((s, d) =>
+      Filters.semiJoinIn(
+          t(s, d, "lineitem"), "l_orderkey",
+          t(s, d, "orders").filter(Filters.eq("o_orderstatus", "O")), "o_orderkey")
+        .select("l_orderkey", "l_linenumber").orderBy("l_orderkey", "l_linenumber")),
+    "q_f9_nonempty" -> ((s, d) =>
+      t(s, d, "documents").filter(Filters.nonEmpty("text"))
+        .groupBy("source").agg(count(lit(1)).as("n")).orderBy("source")),
+    // ---- joins ----------------------------------------------------------
+    "q_j4_inner_join_agg" -> ((s, d) =>
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), moneySum("o_totalprice"))
+        .orderBy("c_mktsegment")),
+    "q_j5_left_outer_agg" -> ((s, d) =>
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(col("o_totalprice").cast("decimal(18,4)")), lit(0).cast("decimal(18,4)"))
+            .cast("double").as("sum_o_totalprice"))
+        .orderBy("c_custkey")),
+    "q_j6_align_diff" -> ((s, d) => {
+      val li = Reconcile.monthlyAgg(t(s, d, "lineitem"), "l_shipdate", Nil)
+      val or = Reconcile.monthlyAgg(t(s, d, "orders"), "o_orderdate", Nil)
+      Reconcile.alignDiff(li, or, "month", "n_rows").orderBy("month")
+    }),
+    // ---- aggregations ---------------------------------------------------
+    "q_a1_monthly_agg" -> ((s, d) =>
+      Reconcile.monthlyAgg(t(s, d, "lineitem"), "l_shipdate",
+        Seq("l_extendedprice", "l_discount")).orderBy("month")),
+    "q_a2_month_state" -> ((s, d) =>
+      Aggregates.monthStateCounts(t(s, d, "lineitem"), "l_shipdate", "l_returnflag")
+        .orderBy("month", "state")),
+    "q_a2_pivot_wide" -> ((s, d) =>
+      Aggregates.monthStatePivot(t(s, d, "lineitem"), "l_shipdate", "l_returnflag",
+        Seq("A", "N", "R")).orderBy("month")),
+    "q_a3_value_counts" -> ((s, d) =>
+      Aggregates.valueCounts(t(s, d, "events"), col("event_type")).orderBy("value")),
+    "q_a4_global_sums" -> ((s, d) =>
+      Aggregates.globalSums(t(s, d, "lineitem"), "l_extendedprice", "l_tax")
+        .select(col("total_charged").cast("double").as("total_charged"),
+          col("total_paid").cast("double").as("total_paid"),
+          col("n_rows"), col("total_debt").cast("double").as("total_debt"))),
+    "q_a5_a6_date_profile" -> ((s, d) =>
+      Aggregates.dateProfile(t(s, d, "lineitem"), "l_shipdate")),
+    "q_a7_distinct_proj" -> ((s, d) =>
+      t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_a8_global_count" -> ((s, d) =>
+      t(s, d, "lineitem").agg(count(lit(1)).as("n"))),
+    // ---- sorts / limits / top-k -----------------------------------------
+    "q_o1_sort_limit" -> ((s, d) =>
+      t(s, d, "events").select("event_id", "ts")
+        .orderBy(col("ts").asc, col("event_id").asc).limit(100)),
+    "q_o3_topk_days" -> ((s, d) =>
+      Reconcile.topKByCount(
+        t(s, d, "lineitem").filter(col("l_shipdate").isNotNull),
+        to_date(col("l_shipdate")), 5)),
+    "q_o4_last12_months" -> ((s, d) =>
+      Aggregates.lastKMonths(
+        Reconcile.monthlyAgg(t(s, d, "lineitem"), "l_shipdate", Seq("l_extendedprice")),
+        "month", 12)),
+    // ---- set ops --------------------------------------------------------
+    "q_e1_orphan_keys" -> ((s, d) =>
+      Reconcile.orphanKeys(t(s, d, "customer"), "c_custkey",
+        t(s, d, "orders"), "o_custkey").orderBy("c_custkey")),
+    "q_e3_intersect_keys" -> ((s, d) =>
+      Aggregates.intersectKeys(
+        t(s, d, "events").select(col("user_id")),
+        t(s, d, "customer").select(col("c_custkey").as("user_id")),
+        "user_id").orderBy("user_id")),
+    // ---- scalar functions -----------------------------------------------
+    "q_c1_date_parse" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("s", date_format(col("l_shipdate"), "MM/dd/yyyy HH:mm:ss"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Normalize.parseTimestampMulti(col("s"),
+            Seq("yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss")).as("parsed"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q_c4_row_hash" -> ((s, d) =>
+      RowHash.withRowHash(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_linestatus"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day")))
+        .select("l_orderkey", "l_linenumber", "row_hash")
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q_c5_norm_key" -> ((s, d) =>
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          Normalize.normalizeKey(col("l_quantity").cast("string")).as("norm_qty"),
+          Normalize.normalizeKey(col("l_returnflag")).as("norm_flag"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "q_c7_c8_money_parse" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+          Normalize.moneyOrZero(regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+            .as("k_val"))
+        .orderBy("event_id")),
+    // ---- CDC merge (J2/J3/A9/A10) ---------------------------------------
+    "q_merge_classify_rows" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val tgtState = RowHash.withRowHash(ordersTargetData(orders))
+      Merge.classify(orders, tgtState, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col(Merge.ActionCol))
+        .orderBy("o_orderkey")
+    }),
+    "q_merge_classify_tally" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val tgtState = RowHash.withRowHash(ordersTargetData(orders))
+      Merge.outcomeTally(Merge.classify(orders, tgtState, Seq("o_orderkey")))
+        .orderBy(Merge.ActionCol)
+    }),
+    "q_merge_apply_stats" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      val tgt = RowHash.withAuditColumns(ordersTargetData(orders),
+        Seq("o_orderkey"), mergeNow)
+      val merged = Merge.apply(orders, tgt, Seq("o_orderkey"), mergeNow)
+      merged.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        max(col("id")).as("max_id"), moneySum("o_totalprice"))
+    }),
+    "q_a10_dup_null_audit" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      Merge.duplicateKeyAudit(li, Seq("l_orderkey")).orderBy("l_orderkey")
+    }),
+    // ---- window (W1) ----------------------------------------------------
+    "q_w1_latest_per_key" -> ((s, d) =>
+      Dedup.latestPerKeyOrdered(t(s, d, "events"), Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_id", "event_type").orderBy("user_id")),
+    // ---- pipeline end-to-end (S1/F-chain/C12/C13) -----------------------
+    "q_pipeline_full_load" -> ((s, d) =>
+      Runner.loadTable(s, d, TableSpec("lineitem",
+          keys = Seq("l_orderkey", "l_linenumber"),
+          filters = Seq(Filters.neqKeepNull("l_returnflag", "N"))))
+        .select("id", "l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("id")),
+    // ---- dedup family ---------------------------------------------------
+    "q_dedup_exact_groups" -> ((s, d) =>
+      Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text").orderBy("fp")),
+    "q_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        maxId = 120, minJaccard = 0.5).orderBy("id_a", "id_b")),
+    "q_dedup_minhash_candidates" -> ((s, d) =>
+      Dedup.minHashCandidates(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.3)
+        .orderBy("id_a", "id_b")),
+    "q_dedup_simhash_groups" -> ((s, d) =>
+      Dedup.simHashGroups(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("simhash")),
+    "q_dedup_simhash_neardup" -> ((s, d) =>
+      Dedup.simHashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 7).orderBy("id_a", "id_b")),
+    // ---- text analysis --------------------------------------------------
+    "q_text_quality" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val feats = TextAnalysis.qualityFeatures(col("text"))
+      doc.select(col("doc_id") +: TextAnalysis.langId(col("text")).as("lang_id") +:
+          TextAnalysis.tokenCountRegex(col("text")).as("n_tok_regex") +:
+          feats.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+    "q_text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.rollingHash(col("text")).as("rh"))
+        .orderBy("doc_id")),
+    // ---- similarity search ----------------------------------------------
+    "q_sim_bruteforce_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 1, k = 20)),
+    "q_sim_cosine_pairs" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        maxId = 150, minCos = 0.30).orderBy("id_a", "id_b")),
+    "q_sim_ann_lsh" -> ((s, d) =>
+      Similarity.annLsh(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
+        bands = 8, bitsPerBand = 10, minCosine = 0.25).orderBy("id_a", "id_b")),
+    "q_sim_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
+        queryId = 1, k = 20, nCentroids = 16, nProbe = 4)),
+    // ---- multimodal -----------------------------------------------------
+    "q_mm_asset_meta" -> ((s, d) =>
+      Multimodal.withAssetMetadata(
+          t(s, d, "documents")
+            .select(col("doc_id"), Multimodal.fakePayloadFromText(col("text")).as("payload"),
+              mime.as("mime")),
+          "payload", "mime")
+        .select("doc_id", "n_bytes", "content_sha", "media_type")
+        .orderBy("doc_id")),
+    "q_mm_frame_counts" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(Multimodal.frameSample(
+            Multimodal.fakePayloadFromText(col("text")), 16, 8)).as("n_frames"))
+        .orderBy("doc_id")),
+    "q_mm_decode_features" -> ((s, d) =>
+      Multimodal.decodeBatched(
+          t(s, d, "documents")
+            .select(col("doc_id"), Multimodal.fakePayloadFromText(col("text")).as("payload")),
+          "payload", dim = 8)
+        .select(col("doc_id"), element_at(col("features"), 1).as("f0"))
+        .orderBy("doc_id")),
+    // ---- event-time windowed aggregation (streaming shape) --------------
+    "q_events_daily_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 day").getField("start").cast("date").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum("value"))
+        .orderBy("day", "event_type"))
+  )
+
+  /** DuckDB-equivalent SQL per query (same parquet tables, same column
+    * names/aliases). Omitted: minhash/simhash/LSH/IVF/stub-decode queries —
+    * their hash families (xxhash64, splitmix64) aren't reproducible in
+    * DuckDB SQL; the driver records rows-only checks for them.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_f1_eq_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_f2_excl_keepnull" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE event_type <> 'click' OR event_type IS NULL
+        |ORDER BY event_id""".stripMargin,
+    "q_f3_conj_dates" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |WHERE l_returnflag = 'A' AND year(l_shipdate) >= 1995 AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_f4_semijoin" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_f9_nonempty" ->
+      """SELECT source, count(*) AS n FROM documents
+        |WHERE text IS NOT NULL AND CAST(text AS VARCHAR) <> ''
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_j4_inner_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_j5_left_outer_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS DOUBLE) AS sum_o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q_j6_align_diff" ->
+      """WITH a AS (SELECT strftime(l_shipdate, '%Y-%m') AS month, count(*) AS n
+        |           FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1),
+        |     b AS (SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n
+        |           FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1)
+        |SELECT coalesce(a.month, b.month) AS month,
+        |  coalesce(a.n, 0) AS n_rows_a, coalesce(b.n, 0) AS n_rows_b,
+        |  coalesce(a.n, 0) - coalesce(b.n, 0) AS diff
+        |FROM a FULL OUTER JOIN b ON a.month = b.month
+        |ORDER BY month""".stripMargin,
+    "q_a1_monthly_agg" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_extendedprice,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_discount
+        |FROM lineitem WHERE l_shipdate IS NOT NULL
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+    "q_a2_month_state" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag AS state,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_shipdate IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY month, state""".stripMargin,
+    "q_a2_pivot_wide" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |  count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS A,
+        |  count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS N,
+        |  count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS R
+        |FROM lineitem WHERE l_shipdate IS NOT NULL
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+    "q_a3_value_counts" ->
+      """SELECT event_type AS value, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY value""".stripMargin,
+    "q_a4_global_sums" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_charged,
+        |  CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS total_paid,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |     - sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS total_debt
+        |FROM lineitem""".stripMargin,
+    "q_a5_a6_date_profile" ->
+      """SELECT min(CAST(l_shipdate AS DATE)) AS first_day,
+        |  max(CAST(l_shipdate AS DATE)) AS last_day,
+        |  count(DISTINCT CAST(l_shipdate AS DATE)) AS n_days,
+        |  count(*) AS n_rows
+        |FROM lineitem WHERE l_shipdate IS NOT NULL""".stripMargin,
+    "q_a7_distinct_proj" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_a8_global_count" -> "SELECT count(*) AS n FROM lineitem",
+    "q_o1_sort_limit" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |ORDER BY ts ASC, event_id ASC LIMIT 100""".stripMargin,
+    "q_o3_topk_days" ->
+      """SELECT CAST(l_shipdate AS DATE) AS key, count(*) AS n
+        |FROM lineitem WHERE l_shipdate IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, key ASC LIMIT 5""".stripMargin,
+    "q_o4_last12_months" ->
+      """SELECT * FROM (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS month, count(*) AS n_rows,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_extendedprice
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL
+        |  GROUP BY 1 ORDER BY month DESC LIMIT 12)
+        |ORDER BY month ASC""".stripMargin,
+    "q_e1_orphan_keys" ->
+      """SELECT DISTINCT c_custkey FROM customer
+        |WHERE c_custkey IS NOT NULL
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_e3_intersect_keys" ->
+      """SELECT user_id FROM events
+        |INTERSECT SELECT c_custkey FROM customer
+        |ORDER BY user_id""".stripMargin,
+    "q_c1_date_parse" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(
+        |    try_strptime(strftime(l_shipdate, '%m/%d/%Y %H:%M:%S'), '%Y-%m-%d %H:%M:%S'),
+        |    try_strptime(strftime(l_shipdate, '%m/%d/%Y %H:%M:%S'), '%m/%d/%Y %H:%M:%S')
+        |  ) AS parsed
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_c4_row_hash" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  sha256(concat_ws('|',
+        |    coalesce(nullif(CAST(l_linenumber AS VARCHAR), ''), 'NULL'),
+        |    coalesce(nullif(l_linestatus, ''), 'NULL'),
+        |    coalesce(nullif(CAST(l_orderkey AS VARCHAR), ''), 'NULL'),
+        |    coalesce(nullif(l_returnflag, ''), 'NULL'),
+        |    coalesce(nullif(strftime(l_shipdate, '%Y-%m-%d'), ''), 'NULL'))) AS row_hash
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_c5_norm_key" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN trim(CAST(l_quantity AS VARCHAR)) IS NULL THEN 'NULL'
+        |       WHEN try_cast(trim(CAST(l_quantity AS VARCHAR)) AS DOUBLE) IS NOT NULL
+        |            AND try_cast(trim(CAST(l_quantity AS VARCHAR)) AS DOUBLE)
+        |              = CAST(trunc(try_cast(trim(CAST(l_quantity AS VARCHAR)) AS DOUBLE)) AS DOUBLE)
+        |       THEN CAST(CAST(trunc(try_cast(trim(CAST(l_quantity AS VARCHAR)) AS DOUBLE)) AS BIGINT) AS VARCHAR)
+        |       WHEN try_cast(trim(CAST(l_quantity AS VARCHAR)) AS DOUBLE) IS NOT NULL
+        |       THEN CAST(try_cast(trim(CAST(l_quantity AS VARCHAR)) AS DOUBLE) AS VARCHAR)
+        |       ELSE trim(CAST(l_quantity AS VARCHAR)) END AS norm_qty,
+        |  CASE WHEN trim(l_returnflag) IS NULL THEN 'NULL'
+        |       WHEN try_cast(trim(l_returnflag) AS DOUBLE) IS NOT NULL
+        |            AND try_cast(trim(l_returnflag) AS DOUBLE)
+        |              = CAST(trunc(try_cast(trim(l_returnflag) AS DOUBLE)) AS DOUBLE)
+        |       THEN CAST(CAST(trunc(try_cast(trim(l_returnflag) AS DOUBLE)) AS BIGINT) AS VARCHAR)
+        |       WHEN try_cast(trim(l_returnflag) AS DOUBLE) IS NOT NULL
+        |       THEN CAST(try_cast(trim(l_returnflag) AS DOUBLE) AS VARCHAR)
+        |       ELSE trim(l_returnflag) END AS norm_flag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_c7_c8_money_parse" ->
+      """SELECT event_id,
+        |  coalesce(try_cast(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE), 0.0) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_merge_classify_rows" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'insert'
+        |       WHEN o_orderkey % 5 = 0 THEN 'update'
+        |       ELSE 'skip' END AS cdc_action
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_merge_classify_tally" ->
+      """SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'insert'
+        |            WHEN o_orderkey % 5 = 0 THEN 'update'
+        |            ELSE 'skip' END AS cdc_action, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY cdc_action""".stripMargin,
+    "q_merge_apply_stats" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
+        |  count(*) AS max_id,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_o_totalprice
+        |FROM orders""".stripMargin,
+    "q_a10_dup_null_audit" ->
+      """SELECT l_orderkey, count(*) AS n FROM lineitem
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin,
+    "q_w1_latest_per_key" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_pipeline_full_load" ->
+      """SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS id,
+        |  l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_returnflag <> 'N' OR l_returnflag IS NULL
+        |ORDER BY id""".stripMargin,
+    "q_dedup_exact_groups" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "q_dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> ''))) AS w
+        |  FROM documents WHERE doc_id < 120),
+        |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |  FROM toks a JOIN toks b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+        |  FROM inter JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id)
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'
+        |       WHEN en >= es AND en >= fr THEN 'en'
+        |       WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_id,
+        |  n_tok_regex, n_chars, n_words,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |       ELSE CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) END AS avg_word_len,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |       ELSE CAST(en AS DOUBLE) / CAST(n_words AS DOUBLE) END AS stopword_ratio,
+        |  CASE WHEN n_chars = 0 THEN NULL
+        |       ELSE CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS punct_ratio
+        |FROM (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tok_regex,
+        |    length(text) AS n_chars,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('the','a','an','of','to','and','in','is'))) AS en,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('el','la','de','y','que','en','un','una'))) AS es,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('le','la','de','et','un','une','du','des'))) AS fr,
+        |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+        |  FROM documents) base
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  sha256(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ord(text[i]) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sim_bruteforce_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+        |s AS (SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
+        |        generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings),
+        |qs AS (SELECT CAST(round(CAST(unnest(qe) AS DOUBLE) * 1000) AS BIGINT) AS qx,
+        |        generate_subscripts(qe, 1) AS i FROM q)
+        |SELECT s.vec_id, sum(s.x * qs.qx) AS score
+        |FROM s JOIN qs USING (i) WHERE s.vec_id <> 1
+        |GROUP BY s.vec_id ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "q_sim_cosine_pairs" ->
+      """WITH b AS (
+        |  SELECT vec_id AS id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id < 150),
+        |norms AS (SELECT id, sum(x * x) AS nrm FROM b GROUP BY id),
+        |dots AS (
+        |  SELECT a.id AS id_a, c.id AS id_b, sum(a.x * c.x) AS d
+        |  FROM b a JOIN b c ON a.i = c.i AND a.id < c.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, cos FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(d AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos
+        |  FROM dots JOIN norms na ON id_a = na.id JOIN norms nb ON id_b = nb.id)
+        |WHERE cos >= 0.30 ORDER BY id_a, id_b""".stripMargin,
+    "q_mm_asset_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS content_sha,
+        |  string_split(CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END, '/')[1] AS media_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_frame_counts" ->
+      """SELECT doc_id,
+        |  1 + CAST(greatest(octet_length(encode(text)) - 16, 0) // 8 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_events_daily_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+  )
 }

@@ -33,10 +33,13 @@ object Normalize {
     when(c === "", lit(null).cast(StringType)).otherwise(c)
 
   /** Lenient money parse: garbage/NULL => 0.0 (reference C8,
-    * compare_historico_mensual.py:68-74 `float(x or 0)`).
+    * compare_historico_mensual.py:68-74 `float(x or 0)`). `try_cast`, not
+    * `cast`: Spark 4's default ANSI mode makes a plain cast THROW on
+    * malformed input — try_cast restores the null-on-garbage semantics the
+    * reference's try/except had.
     */
   def moneyOrZero(c: Column): Column =
-    coalesce(c.cast(DoubleType), lit(0.0))
+    coalesce(c.try_cast(DoubleType), lit(0.0))
 
   /** Key normalization (reference `normalize_key_value`,
     * sync_INCREMENTAL.py:211-224): trim; an integral float renders without
@@ -45,7 +48,7 @@ object Normalize {
     */
   def normalizeKey(c: Column): Column = {
     val t = trim(c.cast(StringType))
-    val asD = t.cast(DoubleType)
+    val asD = t.try_cast(DoubleType) // ANSI-safe: null, not throw, on non-numeric
     when(t.isNull, lit("NULL"))
       .when(asD.isNotNull && asD === asD.cast(LongType).cast(DoubleType),
         asD.cast(LongType).cast(StringType))
@@ -54,8 +57,9 @@ object Normalize {
   }
 
   /** Cast-with-empty-null: the reference's sink-side string->type coercion
-    * (C6/C7 combined): '' -> NULL -> cast(dt), cast failures -> NULL.
+    * (C6/C7 combined): '' -> NULL -> cast(dt), cast failures -> NULL
+    * (try_cast: ANSI-mode-safe).
     */
   def castClean(c: Column, dt: DataType): Column =
-    emptyToNull(c.cast(StringType)).cast(dt)
+    emptyToNull(c.cast(StringType)).try_cast(dt)
 }

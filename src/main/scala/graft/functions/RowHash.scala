@@ -12,6 +12,16 @@ import org.apache.spark.sql.types.StringType
   * **alphabetically sorted** column names; NULL / empty-string / missing
   * values render as the literal string `"NULL"`.
   *
+  * Parity note: the reference renders `str(val) if val else 'NULL'` — Python
+  * truthiness — but its rows always come from `csv.DictReader`, so every
+  * value is a *string* and the only falsy values are `''` and `None`
+  * (the string `'0'` is truthy and hashes as `'0'`). `cell` reproduces
+  * exactly that: null/empty → "NULL", everything else its string form. For
+  * typed columns we render via `cast(string)`, which means numeric 0 hashes
+  * as "0" — same as the reference's CSV string "0". Byte parity therefore
+  * holds for the reference's real data flow; it would diverge only if the
+  * reference were fed pre-typed numerics, a path it does not have.
+  *
   * Implemented as native codegen'd expressions (`sha2(concat_ws(...))`), no
   * UDF — the whole hash stays inside whole-stage codegen, so at 100 TB this
   * is a pure map-side projection with zero shuffle.
@@ -38,10 +48,23 @@ object RowHash {
     df.withColumn(hashCol, rowHash(df.columns.toSeq))
 
   /** Audit columns the reference appends to every sink table
-    * (sync_ALL.py:242-244): row_hash + created_at/updated_at.
+    * (sync_ALL.py:234,242-244): surrogate `id` + `row_hash` +
+    * `created_at`/`updated_at`. The hash basis is ALL pre-audit columns —
+    * the single hash definition shared with `Merge.classify`. `now` is
+    * injectable so tests/oracles can pin a literal timestamp.
+    *
+    * Ids are dense 1..n in `orderBy` key order via `row_number` — a global
+    * sort. For bulk loads where a single-partition window stage would hurt,
+    * use `graft.pipeline.Sinks.withDenseId` (zipWithIndex) instead.
     */
-  def withAuditColumns(df: DataFrame): DataFrame =
+  def withAuditColumns(df: DataFrame, orderBy: Seq[String],
+                       now: Column = current_timestamp()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     withRowHash(df)
-      .withColumn("created_at", current_timestamp())
-      .withColumn("updated_at", current_timestamp())
+      .withColumn("id", row_number().over(
+        Window.orderBy(orderBy.map(col): _*)).cast("long"))
+      .withColumn("created_at", now)
+      .withColumn("updated_at", now)
+      .select((Seq("id") ++ df.columns ++ Seq("row_hash", "created_at", "updated_at")).map(col): _*)
+  }
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reconciliation-report aggregates the reference computes per run
+  * (compare_noviembre_2025.py:107-190, compare_historico_mensual.py:76-133):
+  * nested month×state counts, global sums with derived debt, min/max dates,
+  * distinct-day counts, and the tail-limit month window.
+  *
+  * All are single hash-aggregates (partial map-side + final) or
+  * agg-then-small-sort shapes — at 100 TB each is one shuffle whose width is
+  * the group-key cardinality (months × states = tiny), never the data.
+  */
+object Aggregates {
+
+  /** A2: nested two-level group — per month per state, count
+    * (compare_historico_mensual.py:76-77, compare_noviembre_2025.py:107-118).
+    */
+  def monthStateCounts(df: DataFrame, dateCol: String, stateCol: String): DataFrame =
+    df.filter(col(dateCol).isNotNull)
+      .groupBy(date_format(col(dateCol), "yyyy-MM").as("month"),
+        col(stateCol).as("state"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A2 (report shape): months × states pivoted wide, one row per month.
+    * `states` must be the closed domain (the reference hard-codes its
+    * ESTLIQUIDA values) — an explicit pivot list avoids the
+    * collect-distinct-first pass Spark would otherwise run.
+    */
+  def monthStatePivot(df: DataFrame, dateCol: String, stateCol: String,
+                      states: Seq[String]): DataFrame =
+    df.filter(col(dateCol).isNotNull)
+      .groupBy(date_format(col(dateCol), "yyyy-MM").as("month"))
+      .pivot(stateCol, states)
+      .agg(count(lit(1)))
+      .na.fill(0)
+
+  /** A4: global money sums + derived debt = charged - paid
+    * (compare_noviembre_2025.py:168-190). DECIMAL end-to-end: exact,
+    * partition-order-independent, oracle-reproducible.
+    */
+  def globalSums(df: DataFrame, chargedCol: String, paidCol: String): DataFrame =
+    df.agg(
+        sum(col(chargedCol).cast("decimal(18,4)")).cast("decimal(18,4)").as("total_charged"),
+        sum(col(paidCol).cast("decimal(18,4)")).cast("decimal(18,4)").as("total_paid"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("total_debt",
+        (col("total_charged") - col("total_paid")).cast("decimal(18,4)"))
+
+  /** A5 + A6 + A8: date-range profile — min/max date, distinct active days,
+    * row count (compare_noviembre_2025.py:138-162). At 100 TB swap
+    * `countDistinct` for `approx_count_distinct` (HLL) — noted, not default,
+    * because the oracle gate needs the exact value.
+    */
+  def dateProfile(df: DataFrame, dateCol: String): DataFrame =
+    df.filter(col(dateCol).isNotNull).agg(
+      min(to_date(col(dateCol))).as("first_day"),
+      max(to_date(col(dateCol))).as("last_day"),
+      countDistinct(to_date(col(dateCol))).as("n_days"),
+      count(lit(1)).as("n_rows"))
+
+  /** O4: last-k months of a monthly aggregate, re-sorted ascending
+    * (`all_months[-12:]`, compare_historico_mensual.py:109-110). The
+    * descending-limit runs on the already-aggregated (tiny) frame.
+    */
+  def lastKMonths(monthly: DataFrame, monthCol: String, k: Int): DataFrame =
+    monthly.orderBy(col(monthCol).desc).limit(k).orderBy(col(monthCol).asc)
+
+  /** E2: distinct union of a derived key from both sides
+    * (compare_historico_mensual.py:103).
+    */
+  def unionDistinct(a: DataFrame, b: DataFrame, colName: String): DataFrame =
+    a.select(col(colName)).union(b.select(col(colName))).distinct()
+
+  /** E3: key intersection (the SKIP/UPDATE key set of the merge,
+    * sync_INCREMENTAL.py:422-433).
+    */
+  def intersectKeys(a: DataFrame, b: DataFrame, colName: String): DataFrame =
+    a.select(col(colName)).intersect(b.select(col(colName)))
+
+  /** A3: value counts (Counter(...) shape, compare_noviembre_2025.py:107-118). */
+  def valueCounts(df: DataFrame, c: Column): DataFrame =
+    df.groupBy(c.as("value")).agg(count(lit(1)).as("n"))
+}

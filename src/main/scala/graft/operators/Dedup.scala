@@ -33,8 +33,15 @@ object Dedup {
   /** Exact dedup keeping the latest version per natural key (window form —
     * used when rows carry versions, e.g. merge output compaction).
     */
-  def latestPerKey(df: DataFrame, keys: Seq[String], versionCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol).desc)
+  def latestPerKey(df: DataFrame, keys: Seq[String], versionCol: String): DataFrame =
+    latestPerKeyOrdered(df, keys, Seq(col(versionCol).desc))
+
+  /** As [[latestPerKey]] but with an explicit ordering (pass a tiebreak
+    * column after the version to make the survivor deterministic when
+    * versions collide).
+    */
+  def latestPerKeyOrdered(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
@@ -74,19 +81,25 @@ object Dedup {
     val k = bands * rowsPerBand
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), k))
-    val banded = sh.select(col("id"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), lit(42)))))
+    // Band-bucket join carries ONLY (band, bucket, id) — shingle arrays would
+    // multiply the shuffle width by bands×; they re-attach to the (tiny)
+    // candidate pair set below instead.
+    val banded = sh
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(minHashSignature(col("sh"), k),
+          b * rowsPerBand + 1, lit(rowsPerBand)), lit(42)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "bucket"))
+    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -112,6 +125,38 @@ object Dedup {
     df.select(col(idCol).as("id"), simHash(col(textCol)).as("simhash"))
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
+
+  /** SimHash near-duplicate candidate pairs within a Hamming radius.
+    *
+    * Banding by pigeonhole: split the 64-bit signature into
+    * `maxHamming + 1` contiguous bands — any pair within `maxHamming` bit
+    * flips agrees exactly on at least one band, so candidates come from a
+    * keyed self-join on (band, band-bits), never an all-pairs scan. The
+    * exact Hamming distance (`bit_count(a XOR b)`) then filters the
+    * candidates. Same 100 TB shape as MinHash banding: explode ×(h+1),
+    * one shuffle keyed by band value.
+    */
+  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sig"))
+    // nBands is a driver constant, so the band array is unrolled literally —
+    // keeps every shift amount a static Int (codegen-friendly).
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until nBands).map(b =>
+          shiftrightunsigned(col("sig"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bits")
+    banded.select(col("band"), col("bits"), col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(banded.select(col("band"), col("bits"), col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** Exact pairwise n-gram Jaccard over a bounded candidate set (the
     * verify stage; candidates come from LSH at scale). Token-set join form —

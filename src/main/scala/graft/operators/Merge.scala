@@ -1,11 +1,13 @@
 package graft.operators
 
 import graft.functions.RowHash
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hash-diff CDC merge — the reference's core operator (J2/J3/A9/A10,
-  * sync_INCREMENTAL.py:226-268 build side, :404-435 probe side).
+  * sync_INCREMENTAL.py:226-268 build side, :404-435 probe side,
+  * :437-502 apply side).
   *
   * The reference loads the whole target's `(key -> id, hash)` map into driver
   * RAM and probes it row by row — a hand-rolled broadcast hash join that
@@ -15,10 +17,20 @@ import org.apache.spark.sql.functions._
   * a 100 TB one, with AQE handling skew. Map-side hashing (RowHash) keeps the
   * classify stage a single shuffle.
   *
+  * Hash basis (one definition everywhere): SHA-256 over ALL data columns of
+  * the pre-audit source frame, alphabetically sorted — exactly
+  * `RowHash.withAuditColumns`' basis and the reference's
+  * `calculate_row_hash(row, all_columns)` (sync_ALL.py:184-191). Key columns
+  * are included (they are equal across a join match, so they never flip a
+  * classification, and bootstrap-then-merge stays hash-compatible).
+  *
   * Invariants preserved (context/context.md:1292-1306): no-delete (target
-  * rows absent from source are untouched) and idempotence (merge of an
-  * already-merged source is all-SKIP — a fixpoint; property-tested in
-  * MergeSpec).
+  * rows absent from source are untouched) and idempotence (merging an
+  * already-merged source is all-SKIP — a fixpoint). Both are property-tested
+  * in MergeSpec. Audit semantics match the reference
+  * (sync_INCREMENTAL.py:479-502): updates keep the target's `id` and
+  * `created_at` and bump only `updated_at`; skips keep the target row
+  * byte-identical; inserts mint fresh ids above the target's max.
   */
 object Merge {
 
@@ -27,17 +39,21 @@ object Merge {
   val Update = "update"
   val Skip = "skip"
 
+  val AuditCols: Seq[String] = Seq("id", "row_hash", "created_at", "updated_at")
+
   /** Classify every source row as insert / update / skip against the target.
     *
-    * @param src      source rows (no hash column needed; computed over all
-    *                 non-key data columns, alphabetically sorted)
-    * @param tgtState target state: key columns + `row_hash`
+    * @param src      pre-audit source rows (hash computed over ALL its
+    *                 columns, alphabetically sorted — same basis as
+    *                 `RowHash.withAuditColumns`)
+    * @param tgtState target state: key columns + `row_hash` (+ optionally
+    *                 `id`); extra columns are ignored
     * @param keys     natural-key column names (1..n, joined as true
     *                 multi-column equality)
     */
   def classify(src: DataFrame, tgtState: DataFrame, keys: Seq[String]): DataFrame = {
-    val dataCols = src.columns.filterNot(keys.contains).toSeq
-    val hashed = src.withColumn("src_hash", RowHash.rowHash(dataCols))
+    val hashCols = src.columns.filterNot(AuditCols.contains).toSeq
+    val hashed = src.withColumn("src_hash", RowHash.rowHash(hashCols))
     val tgt = tgtState.select(keys.map(col) :+ col("row_hash").as("tgt_hash"): _*)
     hashed
       .join(tgt, keys, "left_outer")
@@ -51,19 +67,60 @@ object Merge {
   def outcomeTally(classified: DataFrame): DataFrame =
     classified.groupBy(ActionCol).agg(count(lit(1)).as("n"))
 
-  /** Apply the merge: new target = unchanged target rows + upserted source
-    * rows. Never deletes (rows only in target survive). Target must carry
-    * `row_hash`; output carries refreshed hashes for upserted rows.
+  /** Apply the merge: new target = untouched + skipped target rows (as-is)
+    * + updated rows (source data, target's `id`/`created_at`, bumped
+    * `updated_at`) + inserted rows (fresh ids above the target's max).
+    * Never deletes. `tgt` must carry the audit columns
+    * (`id`,`row_hash`,`created_at`,`updated_at`); `src` must not.
+    *
+    * `now` is injectable so tests and oracle comparisons are deterministic.
+    *
+    * Scale note: insert-id minting uses `row_number` over a global
+    * key-ordered window — a single-partition sort of the *insert subset
+    * only* (steady-state CDC inserts are a sliver of the corpus). For
+    * insert-heavy backfills use `Sinks.withDenseId` (zipWithIndex, two
+    * passes, no single-partition stage) instead.
     */
-  def apply(src: DataFrame, tgt: DataFrame, keys: Seq[String]): DataFrame = {
-    val dataCols = src.columns.filterNot(keys.contains).toSeq
-    val srcH = src.withColumn("row_hash", RowHash.rowHash(dataCols))
-    // Rows of tgt whose key is NOT in src survive untouched (no-delete);
-    // every src row lands with its fresh hash (insert or update);
-    // key-matched tgt rows are replaced (update/skip both yield src's copy,
-    // which for skip is byte-identical => idempotent fixpoint).
-    val tgtKept = tgt.join(srcH.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    tgtKept.select(srcH.columns.map(col): _*).unionByName(srcH)
+  def apply(src: DataFrame, tgt: DataFrame, keys: Seq[String],
+            now: Column = current_timestamp()): DataFrame = {
+    val dataCols = src.columns.filterNot(AuditCols.contains).toSeq
+    val classified = classify(src.select(dataCols.map(col): _*),
+      tgt.select(keys.map(col) :+ col("row_hash"): _*), keys)
+
+    // Target rows whose key is matched AND hash-equal survive byte-identical;
+    // unmatched target rows survive too (no-delete). One anti-join against
+    // the keys that change (insert impossible here; update keys only).
+    val changedKeys = classified.filter(col(ActionCol) === Update)
+      .select(keys.map(col): _*).distinct()
+    val tgtKept = tgt.join(changedKeys, keys, "left_anti")
+
+    val outCols = dataCols ++ AuditCols
+
+    // Updates: source data + target's id/created_at, refreshed hash + now.
+    val tgtIds = tgt.select(keys.map(col) ++ Seq(col("id"), col("created_at")): _*)
+    val updated = classified.filter(col(ActionCol) === Update)
+      .drop("tgt_hash", ActionCol)
+      .withColumnRenamed("src_hash", "row_hash")
+      .join(tgtIds, keys)
+      .withColumn("updated_at", now)
+      .select(outCols.map(col): _*)
+
+    // Inserts: fresh ids above the current max (AUTO_INCREMENT semantics,
+    // sync_ALL.py:234), deterministic by key order.
+    val maxId = coalesce(max(col("id")), lit(0L))
+    val inserted = classified.filter(col(ActionCol) === Insert)
+      .drop("tgt_hash", ActionCol)
+      .withColumnRenamed("src_hash", "row_hash")
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(keys.map(col): _*)).cast("long"))
+      .crossJoin(broadcast(tgt.agg(maxId.as("__max_id"))))
+      .withColumn("id", col("__max_id") + col("__rn"))
+      .withColumn("created_at", now)
+      .withColumn("updated_at", now)
+      .select(outCols.map(col): _*)
+
+    tgtKept.select(outCols.map(col): _*)
+      .unionByName(updated).unionByName(inserted)
   }
 
   /** A10: duplicate-key audit — keys seen more than once in `df`. The

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column operators.
+  *
+  * Model: an asset is an opaque `binary` payload plus typed metadata —
+  * `struct(content BINARY, mime STRING, meta STRUCT(...))`. Everything
+  * relational (schema, filters, grouping, partitioning, batch plumbing) is
+  * real and tested; only the codec itself is a stub, because no image/audio
+  * libraries ship in this container. Stubs are deterministic pure functions
+  * of the bytes (clearly marked STUB below) — swapping in a real decoder
+  * changes one function value, not the pipeline shape.
+  *
+  * Scale notes: payloads never pass through a shuffle in these operators —
+  * metadata extraction and feature derivation are map-side projections;
+  * grouping operates on extracted scalar columns. Batched decode
+  * (`decodeBatched`) mirrors the `mapInPandas` batch shape: partitions are
+  * chunked into fixed-size batches so a vectorized/native decoder amortizes
+  * per-call overhead, with batch size bounding decoder memory.
+  */
+object Multimodal {
+
+  /** Asset struct from a binary payload + mime. */
+  def asset(content: Column, mime: Column): Column =
+    struct(content.as("content"), mime.as("mime"))
+
+  /** Deterministic fake payload from a text column (UTF-8 bytes) — the
+    * fixture generator for tests/oracles (real pipelines read binary files
+    * via `spark.read.format("binaryFile")`).
+    */
+  def fakePayloadFromText(text: Column): Column = encode(text, "UTF-8")
+
+  /** Metadata extraction: byte size + SHA-256 content address + mime. The
+    * content-address is the dedup key for exact multimodal dedup (same
+    * hash-groupBy shape as text `Dedup.exactGroups`).
+    */
+  def withAssetMetadata(df: DataFrame, contentCol: String, mimeCol: String): DataFrame =
+    df.withColumn("n_bytes", length(col(contentCol)).cast("long"))
+      .withColumn("content_sha", sha2(col(contentCol), 256))
+      .withColumn("media_type", split(col(mimeCol), "/").getItem(0))
+
+  /** STUB decode → fixed-dim feature vector. A real implementation decodes
+    * the image/audio and runs a feature extractor; this deterministic stand-in
+    * derives pseudo-features from content hashes so tests exercise the real
+    * schema (`array<double>`), null behavior, and scale shape (map-only,
+    * codegen'd). Feature i = xxhash64(content, i) scaled to [0, 1).
+    */
+  def stubDecodeFeatures(content: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(xxhash64(content, i), lit(1000000L)).cast("double") / 1000000.0)
+
+  /** STUB "resize": real resize re-encodes pixels; the stand-in truncates
+    * the payload to `maxBytes` (deterministic, size-bounded like a thumbnail)
+    * and tags the mime. Byte-slicing binaries is the real plumbing a
+    * thumbnailer needs (substr works on BinaryType).
+    */
+  def stubResize(content: Column, maxBytes: Int): Column =
+    substring(content, 1, maxBytes)
+
+  /** Frame sampling: every `stride`-th fixed-length slice of the payload —
+    * for video this is "every Nth frame", here expressed over raw bytes.
+    * Returns `array<binary>`; exploding it yields one row per frame, the
+    * shape a per-frame feature pass consumes.
+    */
+  def frameSample(content: Column, frameLen: Int, stride: Int): Column =
+    transform(
+      sequence(lit(0),
+        // `/` on Columns is double division; truncate back to int for sequence
+        (greatest((length(content) - frameLen).cast("int"), lit(0)) / stride).cast("int")),
+      i => substring(content, (i * stride + 1).cast("int"), lit(frameLen)))
+
+  private val FeatureSchema = ArrayType(DoubleType, containsNull = false)
+
+  /** Batched decode over partitions — the Scala analogue of `mapInPandas`:
+    * rows are grouped into `batchSize` chunks and handed to a *batch* decoder
+    * (`Seq[payload] => Seq[features]`), the signature a vectorized or
+    * JNI-backed codec wants. The default decoder is the STUB above computed
+    * JVM-side; production swaps `decodeBatch` only.
+    *
+    * Returns the input columns + `features array<double>`. Partitioning is
+    * preserved (mapPartitions, no shuffle); memory is bounded by
+    * `batchSize × payload` per concurrent batch.
+    */
+  def decodeBatched(df: DataFrame, contentCol: String, dim: Int,
+                    batchSize: Int = 64,
+                    decodeBatch: Seq[Array[Byte]] => Seq[Array[Double]] = null): DataFrame = {
+    val decoder: Seq[Array[Byte]] => Seq[Array[Double]] =
+      if (decodeBatch != null) decodeBatch
+      else _.map(bytes => Array.tabulate(dim) { i =>
+        // STUB: same xxhash64-derived pseudo-feature as stubDecodeFeatures
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(bytes, BinaryType, i.toLong)
+        (((h % 1000000L) + 1000000L) % 1000000L).toDouble / 1000000.0
+      })
+    val idx = df.schema.fieldIndex(contentCol)
+    val outSchema = df.schema.add("features", FeatureSchema, nullable = true)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val feats = decoder(batch.map(_.getAs[Array[Byte]](idx)))
+        batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f.toSeq))
+      }
+    }(enc)
+  }
+}

@@ -49,38 +49,111 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH bucket id: `nBits` sign bits, each from the dot
-    * product against a deterministic pseudo-random hyperplane derived from
-    * (bit, dimension) via a hash — no stored model, reproducible on any
-    * cluster.
+  /** Deterministic pseudo-random hyperplane component in [-1, 1), derived
+    * from (band, bit, dim) by a splitmix64 finalizer. Computed once on the
+    * driver and baked into the plan as array literals — the per-row work is
+    * a pure fused multiply-add fold, not a hash per element.
     */
-  def lshBucket(vec: Column, nBits: Int): Column = {
-    val bits = (0 until nBits).map { b =>
-      // hyperplane component for (b, i): hash -> [-0.5, 0.5)
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") *
-            ((pmod(xxhash64(i, lit(b)), lit(1000000L)).cast("double") / 1000000.0) - 0.5)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
-  /** ANN via LSH buckets: candidates share a bucket; exact cosine re-ranks
-    * within bucket. One shuffle keyed by bucket — the 100 TB-safe shape
-    * (bucket sizes bounded by nBits choice; skew handled by AQE).
+  private def hyperplane(band: Int, bit: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      splitmix64(band.toLong * 1000003L + bit.toLong * 97L + i).toDouble / Long.MaxValue
+    }
+
+  /** Sign bit of the projection onto one hyperplane. */
+  private def signBit(vec: Column, plane: Array[Double], bit: Int): Column = {
+    val planeCol = array(plane.map(lit): _*)
+    val proj = aggregate(zip_with(vec, planeCol, (x, h) => x.cast("double") * h),
+      lit(0.0), (acc, v) => acc + v)
+    when(proj > 0, lit(1L << bit)).otherwise(lit(0L))
+  }
+
+  /** One band's signature: `bitsPerBand` hyperplane sign bits packed into a
+    * long. Bucket space per band = 2^bitsPerBand.
     */
-  def annLsh(emb: DataFrame, idCol: String, vecCol: String,
-             nBits: Int = 8, minCosine: Double = 0.9): DataFrame = {
-    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), nBits).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
+  def lshBandSignature(vec: Column, band: Int, bitsPerBand: Int, dim: Int): Column =
+    (0 until bitsPerBand).map(b => signBit(vec, hyperplane(band, b, dim), b))
+      .reduce(_ + _)
+
+  /** ANN candidate pairs via banded random-hyperplane LSH: a pair is a
+    * candidate when it agrees on ALL bits of ANY band; exact cosine re-ranks
+    * the candidates.
+    *
+    * Scale shape: the self-join key is (band, 2^bitsPerBand signature) —
+    * bucket count grows exponentially with `bitsPerBand`, so expected bucket
+    * size is corpusSize × bands / 2^bitsPerBand: size `bitsPerBand` so that
+    * stays bounded (e.g. 20 bits ≈ 1M buckets per band). The join carries
+    * ids only; vectors re-attach to the candidate pairs, so the band explode
+    * never shuffles the embedding payload. Recall rises with `bands` at
+    * linear cost. Skewed buckets (duplicate-heavy corpora) re-split via AQE.
+    */
+  def annLsh(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+             bands: Int = 8, bitsPerBand: Int = 12,
+             minCosine: Double = 0.9): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = base.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          lshBandSignature(col("v"), b, bitsPerBand, dim)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    val pairs = banded.select(col("band"), col("sig"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("sig"), col("id").as("id_b")),
+        Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= minCosine)
+  }
+
+  /** IVF-style ANN top-k: corpus rows are assigned to their nearest of
+    * `nCentroids` pseudo-centroids (deterministic hyperplane-derived unit
+    * directions — at 100 TB swap in k-means centroids, the plumbing is
+    * identical); the query probes only the `nProbe` nearest centroids'
+    * inverted lists. Centroid assignment is a map-side argmax over a small
+    * broadcast array; the probe is a partition-pruning filter, so the scan
+    * touches nProbe/nCentroids of the corpus.
+    */
+  def ivfAssign(vec: Column, dim: Int, nCentroids: Int): Column = {
+    val scores = (0 until nCentroids).map { c =>
+      val plane = array(hyperplane(c, 63, dim).map(lit): _*)
+      aggregate(zip_with(vec, plane, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    // argmax: first index of the max score (0-based)
+    val arr = array(scores: _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
+  /** IVF probe: top-k among the corpus rows assigned to the query's nearest
+    * `nProbe` centroid lists. The centroid-id filter is an IN-list pushed
+    * into the scan when `assigned` is a materialized column (bucketed/
+    * partitioned by it at scale).
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+              queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      ivfAssign(col(vecCol), dim, nCentroids).as("cell"))
+    val qCells = assigned.filter(col("id") === queryId)
+      .select(posexplode(array((0 until nCentroids).map { c =>
+        val plane = array(hyperplane(c, 63, dim).map(lit): _*)
+        aggregate(zip_with(col("v"), plane, (x, h) => x.cast("double") * h),
+          lit(0.0), (acc, v) => acc + v)
+      }: _*))).orderBy(col("col").desc).limit(nProbe).select(col("pos").as("cell"))
+    val q = assigned.filter(col("id") === queryId).select(col("v").as("__qvec"))
+    assigned.join(broadcast(qCells), Seq("cell"), "left_semi")
+      .filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("id"), dotQuantized(col("v"), col("__qvec")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
   }
 
   /** Embedding-cosine near-duplicate pairs over a bounded id range (oracle-

@@ -32,19 +32,24 @@ object TextAnalysis {
 
   /** Quality score features: char length, word count, average word length,
     * stopword ratio, punctuation ratio. Ratios are single IEEE divisions of
-    * exact ints — deterministic and cross-engine reproducible.
+    * exact ints — deterministic and cross-engine reproducible. Empty
+    * text/word sets yield NULL ratios (explicit zero guard) rather than an
+    * engine-dependent divide-by-zero result.
     */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val nChars = length(text).cast("int")
     val nWords = tokenCountWs(text)
     val nStop = countIn(text, StopwordsEn)
     val nPunct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9 ]"), lit(0))).cast("int")
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
     Seq(
       "n_chars" -> nChars,
       "n_words" -> nWords,
-      "avg_word_len" -> (nChars.cast("double") / nWords.cast("double")),
-      "stopword_ratio" -> (nStop.cast("double") / nWords.cast("double")),
-      "punct_ratio" -> (nPunct.cast("double") / nChars.cast("double"))
+      "avg_word_len" -> ratio(nChars, nWords),
+      "stopword_ratio" -> ratio(nStop, nWords),
+      "punct_ratio" -> ratio(nPunct, nChars)
     )
   }
 
@@ -68,13 +73,15 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(trim(lower(regexp_replace(text, "\\s+", " "))), 256)
 
-  /** Rolling polynomial hash (Rabin-Karp style) over characters, mod 2^61-1:
+  /** Rolling polynomial hash (Rabin-Karp style) over characters, mod 1e9+7:
     * an order-sensitive fingerprint built as an array fold — still pure
     * codegen. Distinguishes permuted texts that a bag-of-words hash merges.
+    * Modulus is < 2^30 so `acc*31 + char` stays far below Long overflow
+    * before the mod (a 2^61-1 modulus would overflow mid-expression).
     */
   def rollingHash(text: Column): Column = {
     val codes = transform(split(text, ""), ch => ascii(ch).cast("long"))
     aggregate(codes, lit(7L),
-      (acc, c) => pmod(acc * 31L + c, lit(2305843009213693951L)))
+      (acc, c) => pmod(acc * 31L + c, lit(1000000007L)))
   }
 }

@@ -18,7 +18,12 @@ object Runner {
 
   final case class TableResult(table: String, rows: Long, error: Option[String])
 
-  /** Build the loaded (pre-sink) frame for one table spec. */
+  /** Build the loaded (pre-sink) frame for one table spec: filters +
+    * optional semi-join + audit columns (hash over ALL pre-audit columns —
+    * the one hash basis shared with Merge.classify). Ids come from the
+    * natural key's order when the spec has one; keyless full-refresh tables
+    * get scale-safe zipWithIndex ids instead of a global window sort.
+    */
   def loadTable(spark: SparkSession, sfDir: String, spec: TableSpec): DataFrame = {
     var df = TableSpec.read(spark, sfDir, spec.name)
     if (spec.filters.nonEmpty) df = df.filter(Filters.all(spec.filters))
@@ -26,7 +31,13 @@ object Runner {
       val build = TableSpec.read(spark, sfDir, buildTable)
       df = Filters.semiJoinIn(df, probeKey, build, buildKey)
     }
-    RowHash.withAuditColumns(df)
+    if (spec.keys.nonEmpty) RowHash.withAuditColumns(df, spec.keys)
+    else {
+      import org.apache.spark.sql.functions.current_timestamp
+      Sinks.withDenseId(RowHash.withRowHash(df))
+        .withColumn("created_at", current_timestamp())
+        .withColumn("updated_at", current_timestamp())
+    }
   }
 
   /** Run every spec; `sink` persists each frame (e.g. parquet overwrite, or

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.types.LongType
+import org.apache.hadoop.fs.Path
+
+/** Concrete sources and sinks (reference S3–S12).
+  *
+  * The engine's canonical storage is parquet directories (columnar, splittable,
+  * predicate-pushdown-able — what MySQL is to the reference). Every JDBC
+  * surface the reference has (S3 state scan, S4 analytical scan, S5/S6 JDBC
+  * sinks) is a one-line swap documented on the corresponding method: the
+  * DataFrame lineage is identical either way, so tests exercise the parquet
+  * path and production points the same code at `spark.read.jdbc`.
+  */
+object Sinks {
+
+  /** S5: full-refresh sink — DROP+CREATE+INSERT (sync_ALL.py:197-326)
+    * becomes an atomic overwrite (Spark's file-commit protocol replaces the
+    * reference's FOREIGN_KEY_CHECKS=0 bulk-load dance).
+    * JDBC swap: `df.write.mode(Overwrite).option("truncate", true).jdbc(url, table, props)`.
+    */
+  def fullRefresh(df: DataFrame, path: String): Long = {
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    countVerify(df.sparkSession, path)
+  }
+
+  /** S6: append sink — the reference's batched `executemany` INSERT
+    * (sync_ALL.py:259-320, batch=1000, per-row retry). Spark's task commit +
+    * retry subsumes the per-row fallback; JDBC swap adds
+    * `.option("batchsize", 1000)`.
+    */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** S7: update-in-place is re-modeled — there is no per-row UPDATE in a
+    * columnar store. `Merge.apply` rewrites the target as
+    * unchanged ∪ updated ∪ inserted; callers persist via [[fullRefresh]]
+    * (or partition-scoped overwrite when the target is date-partitioned).
+    */
+
+  /** S9: drop table (clean_all_tables.py:43-48). */
+  def drop(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
+  /** S11: existence probe (`SHOW TABLES LIKE`, sync_INCREMENTAL.py:369-370). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** S12: count-verify readback after a load (sync_ALL.py:322-326). */
+  def countVerify(spark: SparkSession, path: String): Long =
+    spark.read.parquet(path).count()
+
+  /** S3: target-state scan — key columns + id + row_hash, the build side of
+    * the CDC merge (sync_INCREMENTAL.py:226-268). Unlike the reference this
+    * is never collected to the driver; it flows straight into the classify
+    * join. JDBC swap: `spark.read.jdbc(url, table, props)` — Catalyst pushes
+    * the projection down to `SELECT id, <keys>, row_hash FROM table`.
+    */
+  def targetState(spark: SparkSession, path: String, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path).select((Seq("id") ++ keys ++ Seq("row_hash")).map(col): _*)
+  }
+
+  /** S4: analytical scan with projection/predicate/sort pushdown
+    * (compare_historico_mensual.py:161-173). With parquet, Catalyst pushes
+    * filters into the scan (`PushedFilters`) and prunes columns
+    * (`ReadSchema`); with the JDBC swap the same plan compiles the WHERE and
+    * SELECT list into the remote query.
+    */
+  def analyticalScan(spark: SparkSession, path: String,
+                     columns: Seq[String], predicate: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path).where(predicate).select(columns.map(col): _*)
+  }
+
+  /** C13 at bulk-load scale: dense surrogate ids without the global-window
+    * single-partition stage — classic zipWithIndex (one extra count pass per
+    * partition, no shuffle, no driver collection). Ids are assigned in
+    * partition order: deterministic for a deterministic parent plan, dense
+    * from `offset+1`.
+    */
+  def withDenseId(df: DataFrame, idCol: String = "id", offset: Long = 0L): DataFrame = {
+    val schema = df.schema.add(idCol, LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (offset + i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+}

@@ -27,6 +27,18 @@ final case class TableSpec(
 }
 
 object TableSpec {
-  def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$table.parquet")
+  /** Read one fixture table. Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Spark has no native
+    * nanosecond timestamp), so TIMESTAMP(NANOS) columns arrive as Long —
+    * convert them back to micros-precision timestamps here. Integer `div`
+    * (not `/`, which is double division) keeps epoch-nanos exact.
+    */
+  def read(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    val df = spark.read.parquet(s"$sfDir/$table.parquet")
+    if (table == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 }

@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB oracle gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, registers every fixture table of
+<sfDir> as a DuckDB view, runs each oracle SQL, and compares against the
+Spark result parquet in <verifyOutDir>/<name>/ — columns sorted by name,
+rows sorted by all columns, exact value equality (floats compared to 12
+significant digits to surface real divergence while tolerating printing).
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return f"{v:.12e}"
+    return str(v)
+
+def frame(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
+    return [cols[i] for i in idx], out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        spark_dir = f"{out_dir}/{name}"
+        if not glob.glob(f"{spark_dir}/*.parquet"):
+            print(f"MISSING-SPARK {name}")
+            n_fail += 1
+            continue
+        try:
+            o = con.execute(sql)
+            ocols = [d[0] for d in o.description]
+            orows = o.fetchall()
+        except Exception as e:
+            print(f"ORACLE-ERR    {name}: {e}")
+            n_fail += 1
+            continue
+        s = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        scols = [d[0] for d in s.description]
+        srows = s.fetchall()
+        oc, orf = frame(orows, ocols)
+        sc, srf = frame(srows, scols)
+        if oc != sc:
+            print(f"SCHEMA-DIFF   {name}: spark={sc} oracle={oc}")
+            n_fail += 1
+        elif len(orf) != len(srf):
+            print(f"ROWS-DIFF     {name}: spark={len(srf)} oracle={len(orf)}")
+            n_fail += 1
+        elif orf != srf:
+            bad = next(i for i, (a, b) in enumerate(zip(srf, orf)) if a != b)
+            print(f"VALUE-DIFF    {name}: first diff row {bad}:")
+            print(f"   spark : {srf[bad]}")
+            print(f"   oracle: {orf[bad]}")
+            n_fail += 1
+        else:
+            print(f"OK            {name} ({len(srf)} rows)")
+            n_pass += 1
+    # rows-only queries (no oracle): just report row counts
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = d.rstrip("/").split("/")[-1]
+        if name not in oracle:
+            n = con.execute(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            print(f"ROWS-ONLY     {name} ({n} rows)")
+    print(f"\n{n_pass} pass / {n_fail} fail of {len(oracle)} oracle queries")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
