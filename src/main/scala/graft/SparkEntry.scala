@@ -204,11 +204,14 @@ object SparkEntry {
           Seq(col("ts").desc, col("event_id").desc))
         .select("user_id", "event_id", "event_type").orderBy("user_id")),
     // ---- pipeline end-to-end (S1/F-chain/C12/C13) -----------------------
+    // orders, not lineitem: the synthetic lineitem has duplicate
+    // (l_orderkey, l_linenumber) pairs, so it is a full-refresh-only table
+    // (the reference's PlaCobranzas case); orders has a unique natural key.
     "q_pipeline_full_load" -> ((s, d) =>
-      Runner.loadTable(s, d, TableSpec("lineitem",
-          keys = Seq("l_orderkey", "l_linenumber"),
-          filters = Seq(Filters.neqKeepNull("l_returnflag", "N"))))
-        .select("id", "l_orderkey", "l_linenumber", "l_quantity")
+      Runner.loadTable(s, d, TableSpec("orders",
+          keys = Seq("o_orderkey"),
+          filters = Seq(Filters.neqKeepNull("o_orderstatus", "F"))))
+        .select("id", "o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("id")),
     // ---- dedup family ---------------------------------------------------
     "q_dedup_exact_groups" -> ((s, d) =>
@@ -457,9 +460,9 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
     "q_pipeline_full_load" ->
-      """SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS id,
-        |  l_orderkey, l_linenumber, l_quantity
-        |FROM lineitem WHERE l_returnflag <> 'N' OR l_returnflag IS NULL
+      """SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
+        |  o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_orderstatus <> 'F' OR o_orderstatus IS NULL
         |ORDER BY id""".stripMargin,
     "q_dedup_exact_groups" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -60,9 +60,11 @@ object RowHash {
   def withAuditColumns(df: DataFrame, orderBy: Seq[String],
                        now: Column = current_timestamp()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // row_hash appended as a tiebreak: id assignment stays deterministic even
+    // when the declared key has duplicates (the synthetic lineitem does).
     withRowHash(df)
       .withColumn("id", row_number().over(
-        Window.orderBy(orderBy.map(col): _*)).cast("long"))
+        Window.orderBy(orderBy.map(col) :+ col("row_hash"): _*)).cast("long"))
       .withColumn("created_at", now)
       .withColumn("updated_at", now)
       .select((Seq("id") ++ df.columns ++ Seq("row_hash", "created_at", "updated_at")).map(col): _*)

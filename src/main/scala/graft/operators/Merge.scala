@@ -43,6 +43,11 @@ object Merge {
 
   /** Classify every source row as insert / update / skip against the target.
     *
+    * Requires `keys` to be unique on both sides (the reference enforces the
+    * same precondition and falls back to full refresh for tables without a
+    * reliable key, sync_INCREMENTAL.py:46-48); run [[duplicateKeyAudit]]
+    * first — duplicate keys fan out the join.
+    *
     * @param src      pre-audit source rows (hash computed over ALL its
     *                 columns, alphabetically sorted — same basis as
     *                 `RowHash.withAuditColumns`)

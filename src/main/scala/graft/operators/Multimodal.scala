@@ -89,12 +89,17 @@ object Multimodal {
                     decodeBatch: Seq[Array[Byte]] => Seq[Array[Double]] = null): DataFrame = {
     val decoder: Seq[Array[Byte]] => Seq[Array[Double]] =
       if (decodeBatch != null) decodeBatch
-      else _.map(bytes => Array.tabulate(dim) { i =>
-        // STUB: same xxhash64-derived pseudo-feature as stubDecodeFeatures
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(bytes, BinaryType, i.toLong)
-        (((h % 1000000L) + 1000000L) % 1000000L).toDouble / 1000000.0
-      })
+      else _.map { bytes =>
+        // STUB: byte-identical to stubDecodeFeatures' xxhash64(content, i)
+        // expression, which chains hash(i, LongType, hash(bytes, seed=42)).
+        import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        val hBytes = XxHash64Function.hash(bytes, BinaryType, 42L)
+        Array.tabulate(dim) { i =>
+          // the index comes from sequence(), which yields IntegerType elements
+          val h = XxHash64Function.hash(i, IntegerType, hBytes)
+          (((h % 1000000L) + 1000000L) % 1000000L).toDouble / 1000000.0
+        }
+      }
     val idx = df.schema.fieldIndex(contentCol)
     val outSchema = df.schema.add("features", FeatureSchema, nullable = true)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)

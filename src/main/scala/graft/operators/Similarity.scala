@@ -151,8 +151,8 @@ object Similarity {
     assigned.join(broadcast(qCells), Seq("cell"), "left_semi")
       .filter(col("id") =!= queryId)
       .crossJoin(broadcast(q))
-      .select(col("id"), dotQuantized(col("v"), col("__qvec")).as("score"))
-      .orderBy(col("score").desc, col("id").asc)
+      .select(col("id").as(idCol), dotQuantized(col("v"), col("__qvec")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
 

@@ -58,7 +58,8 @@ object TypeInference {
   /** Parse a `CREATE TABLE`-style DDL block into a schema (reference C11,
     * sync_ALL.py:72-96): one backtick-quoted column per line.
     */
-  private val ColLine: Regex = """(?m)^\s*[`"\[]?([A-Za-z_][\w ]*?)[`"\]]?\s+([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*,?\s*$""".r
+  // type group allows multi-word Access types ("Long Integer", "Text (20)")
+  private val ColLine: Regex = """(?m)^\s*[`"\[]?([A-Za-z_][\w ]*?)[`"\]]?\s+([A-Za-z]+(?:\s+[A-Za-z]+)*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*,?\s*$""".r
 
   def parseDdl(ddl: String): StructType = {
     val body = ddl.indexOf('(') match {

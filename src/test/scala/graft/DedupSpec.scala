@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the quick brown fox jumps over the lazy cat", // near-dup of 1
+    3L -> "completely different text about spark engines",
+    4L -> "the quick brown fox jumps over the lazy dog"  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("shingles: n-grams over clean tokens; short text yields empty array") {
+    val sh = Seq("a  b c", "a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("s")).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c")) // double space doesn't produce empty token
+    assert(sh(1) == Nil)          // shorter than n => empty, no truncated tail
+  }
+
+  test("exactGroups collapses exact duplicates") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    val dupGroup = g.filter(col("n_copies") > 1)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(dupGroup.toSeq == Seq((1L, 2L)))
+    assert(g.count() == 3)
+  }
+
+  test("latestPerKeyOrdered keeps the deterministic winner") {
+    val df = Seq((1, 10, "old"), (1, 20, "new"), (2, 5, "only"), (1, 20, "tie"))
+      .toDF("k", "ver", "v")
+    val kept = Dedup.latestPerKeyOrdered(df, Seq("k"), Seq(col("ver").desc, col("v").desc))
+      .select("k", "v").as[(Int, String)].collect().toMap
+    assert(kept == Map(1 -> "tie", 2 -> "only")) // ver 20 tie broken by v desc
+  }
+
+  test("minHashCandidates surfaces the near-duplicate pair with high jaccard") {
+    val pairs = Dedup.minHashCandidates(docs, "doc_id", "text",
+        shingleN = 2, bands = 8, rowsPerBand = 2, minJaccard = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0) // exact dup
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.5)  // near dup
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simHashGroups groups exact duplicates; near-dups are Hamming-close") {
+    val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 12) // near-dup close
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 12)  // unrelated far
+  }
+
+  test("simHashNearDupPairs finds near-dups within the Hamming radius") {
+    val pairs = Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs computes exact token-set jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxId = 100, minJaccard = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    // docs 1,2: tokens {the,quick,brown,fox,jumps,over,lazy,dog} vs {...cat}:
+    // |A|=8 |B|=8 inter=7 union=9
+    assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-12)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.functions.RowHash
+import graft.operators.Merge
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+
+/** J2/J3 invariants (SURVEY.md §5, context/context.md:1292-1306):
+  * idempotence (re-merging an already-merged source is a fixpoint) and
+  * no-delete (target rows absent from the source survive), plus the audit
+  * semantics of sync_INCREMENTAL.py:479-502 — updates keep id/created_at and
+  * bump updated_at; inserts mint ids above the target max.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = to_timestamp(lit("2026-01-01 00:00:00"))
+  private val t1 = to_timestamp(lit("2026-02-02 00:00:00"))
+
+  private def asTarget(rows: Seq[(Int, String)]): DataFrame =
+    RowHash.withAuditColumns(rows.toDF("k", "v"), Seq("k"), t0)
+
+  private def snapshot(df: DataFrame): Set[(Long, Int, String, String, String, String)] =
+    df.select(col("id"), col("k"), col("v"), col("row_hash"),
+        col("created_at").cast("string"), col("updated_at").cast("string"))
+      .as[(Long, Int, String, String, String, String)].collect().toSet
+
+  test("classify splits insert / update / skip correctly") {
+    val tgt = asTarget(Seq(1 -> "a", 2 -> "b", 3 -> "c"))
+    val src = Seq(1 -> "a", 2 -> "B", 4 -> "d").toDF("k", "v")
+    val got = Merge.classify(src, tgt, Seq("k"))
+      .select(col("k"), col(Merge.ActionCol)).as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "skip", 2 -> "update", 4 -> "insert"))
+  }
+
+  test("no-delete: target rows absent from source survive byte-identical") {
+    val tgt = asTarget(Seq(1 -> "a", 2 -> "b"))
+    val merged = Merge.apply(Seq(1 -> "a").toDF("k", "v"), tgt, Seq("k"), t1)
+    assert(snapshot(merged) == snapshot(tgt)) // src row 1 is a skip; row 2 untouched
+  }
+
+  test("update keeps target id/created_at, bumps updated_at, takes source data") {
+    val tgt = asTarget(Seq(1 -> "a", 2 -> "b"))
+    val before = snapshot(tgt).map(r => r._2 -> r).toMap
+    val merged = Merge.apply(Seq(1 -> "a", 2 -> "B2").toDF("k", "v"), tgt, Seq("k"), t1)
+    val after = snapshot(merged).map(r => r._2 -> r).toMap
+    assert(after(1) == before(1))                      // skip: identical
+    assert(after(2)._1 == before(2)._1)                // id preserved
+    assert(after(2)._3 == "B2")                        // source value
+    assert(after(2)._5 == before(2)._5)                // created_at preserved
+    assert(after(2)._6 == "2026-02-02 00:00:00")       // updated_at bumped
+    assert(after(2)._4 != before(2)._4)                // row_hash refreshed
+  }
+
+  test("insert mints ids above the target max, created=updated=now") {
+    val tgt = asTarget(Seq(10 -> "a", 20 -> "b")) // ids 1, 2
+    val merged = Merge.apply(
+      Seq(10 -> "a", 20 -> "b", 5 -> "new1", 30 -> "new2").toDF("k", "v"),
+      tgt, Seq("k"), t1)
+    val byK = snapshot(merged).map(r => r._2 -> r).toMap
+    assert(byK.keySet == Set(5, 10, 20, 30))
+    assert(Set(byK(5)._1, byK(30)._1) == Set(3L, 4L)) // fresh ids above max=2
+    assert(byK(5)._1 == 3L)                           // deterministic by key order
+    assert(byK(5)._5 == "2026-02-02 00:00:00" && byK(5)._6 == "2026-02-02 00:00:00")
+  }
+
+  test("property: merge is idempotent and never deletes (ScalaCheck)") {
+    val kv = Gen.mapOf(Gen.zip(Gen.choose(0, 15), Gen.alphaStr.map(_.take(4))))
+    val prop = Prop.forAll(kv, kv) { (tgtM: Map[Int, String], srcM: Map[Int, String]) =>
+      val tgt = asTarget(tgtM.toSeq)
+      val src = srcM.toSeq.toDF("k", "v")
+      val once = Merge.apply(src, tgt, Seq("k"), t1)
+      val twice = Merge.apply(src, once, Seq("k"), t1)
+      val s1 = snapshot(once)
+      (snapshot(twice) == s1) :| "idempotent fixpoint" &&
+        (tgtM.keySet subsetOf s1.map(_._2)) :| "no-delete" &&
+        (s1.map(_._2) == tgtM.keySet ++ srcM.keySet) :| "exactly union of keys" &&
+        (s1.toSeq.map(_._1).distinct.size == s1.size) :| "ids unique"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("duplicate and null key audits") {
+    val df = Seq(Some(1) -> "a", Some(1) -> "b", Some(2) -> "c", None -> "d")
+      .map { case (k, v) => (k.map(_.toString).orNull, v) }.toDF("k", "v")
+    assert(Merge.duplicateKeyAudit(df, Seq("k")).select("k").as[String].collect().toSeq == Seq("1"))
+    assert(Merge.nullKeyAudit(df, Seq("k")).count() == 1)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val assets = Seq(
+    (1L, "hello world", "image/png"),
+    (2L, "tiny", "audio/wav"),
+    (3L, "hello world", "video/mp4") // same content as 1 -> same content_sha
+  ).toDF("id", "text", "mime")
+    .withColumn("payload", Multimodal.fakePayloadFromText(col("text")))
+
+  test("withAssetMetadata: byte size, content address, media type") {
+    val m = Multimodal.withAssetMetadata(assets, "payload", "mime")
+      .select("id", "n_bytes", "content_sha", "media_type")
+      .as[(Long, Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(m(1L)._2 == 11L && m(2L)._2 == 4L)
+    assert(m(1L)._3 == m(3L)._3)            // content-addressed dedup key
+    assert(m(1L)._4 == "image" && m(2L)._4 == "audio" && m(3L)._4 == "video")
+  }
+
+  test("frameSample: frame count and frame bytes") {
+    // 11 bytes, frameLen 4, stride 3 -> starts at 0,3,6 ( (11-4)/3=2 -> 3 frames )
+    val frames = assets.filter(col("id") === 1)
+      .select(Multimodal.frameSample(col("payload"), 4, 3).as("f"))
+      .as[Seq[Array[Byte]]].head()
+    assert(frames.length == 3)
+    assert(new String(frames.head, "UTF-8") == "hell")
+    assert(new String(frames(1), "UTF-8") == "lo w")
+  }
+
+  test("stubResize truncates to maxBytes") {
+    val r = assets.filter(col("id") === 1)
+      .select(Multimodal.stubResize(col("payload"), 5).as("r")).as[Array[Byte]].head()
+    assert(new String(r, "UTF-8") == "hello")
+  }
+
+  test("decodeBatched matches stubDecodeFeatures and respects batch bounds") {
+    val viaExpr = assets.select(col("id"),
+        Multimodal.stubDecodeFeatures(col("payload"), 4).as("features"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val viaBatch = Multimodal.decodeBatched(assets.select("id", "payload"), "payload",
+        dim = 4, batchSize = 2)
+      .select("id", "features").as[(Long, Seq[Double])].collect().toMap
+    assert(viaBatch.keySet == Set(1L, 2L, 3L))
+    assert(viaBatch == viaExpr) // JVM-side stub == expression-side stub
+    assert(viaBatch(1L) == viaBatch(3L)) // content-deterministic
+  }
+}

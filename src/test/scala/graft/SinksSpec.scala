@@ -1,0 +1,81 @@
+package graft
+
+import graft.pipeline.{RefreshMode, Runner, Sinks, TableSpec}
+import graft.operators.Filters
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sink").resolve("t").toString
+
+  test("fullRefresh writes, count-verifies, exists, drop removes") {
+    val p = tmp()
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    assert(Sinks.fullRefresh(df, p) == 2L)            // S5 + S12
+    assert(Sinks.exists(spark, p))                    // S11
+    assert(Sinks.countVerify(spark, p) == 2L)
+    Sinks.append(Seq((3, "c")).toDF("k", "v"), p)     // S6
+    assert(Sinks.countVerify(spark, p) == 3L)
+    assert(Sinks.drop(spark, p))                      // S9
+    assert(!Sinks.exists(spark, p))
+  }
+
+  test("targetState projects id/keys/row_hash for the merge build side") {
+    val p = tmp()
+    val tgt = graft.functions.RowHash.withAuditColumns(
+      Seq((1, "a")).toDF("k", "v"), Seq("k"))
+    Sinks.fullRefresh(tgt, p)
+    assert(Sinks.targetState(spark, p, Seq("k")).columns.toSeq == Seq("id", "k", "row_hash"))
+  }
+
+  test("analyticalScan pushes predicate + projection") {
+    val p = tmp()
+    Sinks.fullRefresh(Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("k", "v", "amt"), p)
+    val out = Sinks.analyticalScan(spark, p, Seq("k", "amt"), "amt > 15.0")
+    assert(out.columns.toSeq == Seq("k", "amt"))
+    assert(out.as[(Int, Double)].collect().toSeq == Seq((2, 20.0)))
+    // the filter must reach the parquet scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(amt,15.0)"), plan)
+  }
+
+  test("withDenseId: dense 1..n ids, no shuffle, offset respected") {
+    val df = spark.range(100).toDF("x").repartition(7)
+    val ids = Sinks.withDenseId(df).select("id").as[Long].collect().sorted
+    assert(ids.toSeq == (1L to 100L))
+    val off = Sinks.withDenseId(df, offset = 50).select("id").as[Long].collect().sorted
+    assert(off.toSeq == (51L to 150L))
+  }
+
+  test("Runner end-to-end: full refresh then incremental merge is idempotent") {
+    // orders: unique natural key. (The synthetic lineitem has duplicate
+    // (l_orderkey, l_linenumber) pairs — a full-refresh-only table, like the
+    // reference's PlaCobranzas.)
+    val base = tmp()
+    val specs = Seq(
+      TableSpec("orders", keys = Seq("o_orderkey"),
+        filters = Seq(Filters.eq("o_orderstatus", "O")),
+        refreshMode = RefreshMode.Incremental),
+      TableSpec("region"))
+    val results = Runner.runAll(spark, "/root/testdata/sf0.001", specs) { (spec, df) =>
+      Sinks.fullRefresh(df, s"$base/${spec.name}")
+    }
+    assert(results.forall(_.error.isEmpty), results.mkString("; "))
+    assert(results.map(_.rows).forall(_ > 0))
+
+    // second run: merge the same source into the existing target -> all skip
+    val src = Runner.loadTable(spark, "/root/testdata/sf0.001", specs.head)
+    val tgt = spark.read.parquet(s"$base/orders")
+    val merged = Runner.mergeInto(src, tgt, Seq("o_orderkey"))
+    assert(merged.count() == tgt.count())
+    val tally = graft.operators.Merge.outcomeTally(
+      graft.operators.Merge.classify(
+        src.drop("id", "row_hash", "created_at", "updated_at"),
+        tgt, Seq("o_orderkey")))
+      .as[(String, Long)].collect().toMap
+    assert(tally.keySet == Set("skip"), s"expected all-skip, got $tally")
+  }
+}

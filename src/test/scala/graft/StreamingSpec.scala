@@ -1,0 +1,81 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Structured Streaming semantics: windowed aggregation over a memory
+  * stream matches the equivalent batch aggregation, and the foreachBatch-
+  * hosted merge preserves the batch pipeline's invariants across
+  * micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts over a stream matches the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val rows = Seq(
+      (ts("2024-01-01 01:00:00"), "click", 1.0),
+      (ts("2024-01-01 02:00:00"), "click", 2.0),
+      (ts("2024-01-01 03:00:00"), "view", 3.0),
+      (ts("2024-01-02 01:00:00"), "click", 4.0))
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowedCounts(df, "ts", "event_type",
+        windowLen = "1 day", lateness = "1 hour", amountCol = Some("value"))
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("win_counts")
+        .select(col("window_start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      val batch = rows.toDF("ts", "event_type", "value")
+        .groupBy(window(col("ts"), "1 day").getField("start").cast("string").as("ws"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("s"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(got == batch)
+      assert(got.contains(("2024-01-01 00:00:00", "click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops in-horizon duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Int)]
+    val df = mem.toDF().toDF("ts", "k")
+    val q = Streams.dedupWithinWatermark(df, "ts", Seq("k"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 00:00:00"), 1), (ts("2024-01-01 00:00:00"), 1),
+        (ts("2024-01-01 00:00:01"), 2))
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 2)
+    } finally q.stop()
+  }
+
+  test("foreachBatch merge: micro-batches upsert into the parquet target") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = Files.createTempDirectory("graft-stream").resolve("tgt").toString
+    val mem = MemoryStream[(Int, String)]
+    val doMerge = Streams.mergeEachBatch(target, Seq("k"))
+    val q = mem.toDF().toDF("k", "v").writeStream.foreachBatch(doMerge).start()
+    try {
+      mem.addData((1, "a"), (2, "b"))
+      q.processAllAvailable()
+      mem.addData((2, "B2"), (3, "c")) // update + insert in batch 2
+      q.processAllAvailable()
+      val tgt = spark.read.parquet(target)
+      val got = tgt.select("k", "v").as[(Int, String)].collect().toMap
+      assert(got == Map(1 -> "a", 2 -> "B2", 3 -> "c")) // no-delete + upsert
+      assert(tgt.select("id").as[Long].collect().toSet.size == 3)
+    } finally q.stop()
+  }
+}

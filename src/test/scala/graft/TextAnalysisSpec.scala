@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def on(text: String) = Seq(text).toDF("t")
+
+  test("token counts: whitespace and regex pre-tokenizer") {
+    val df = on("Hello, world 42!")
+    assert(df.select(TextAnalysis.tokenCountWs(col("t"))).as[Int].head() == 3)
+    // lower: "hello" "," "world" "42" "!"
+    assert(df.select(TextAnalysis.tokenCountRegex(col("t"))).as[Int].head() == 5)
+  }
+
+  test("qualityFeatures: zero guards on empty text") {
+    val feats = TextAnalysis.qualityFeatures(col("t"))
+    val row = on("").select(feats.map { case (n, c) => c.as(n) }: _*).collect().head
+    assert(row.getAs[Int]("n_chars") == 0 && row.getAs[Int]("n_words") == 0)
+    assert(row.isNullAt(row.fieldIndex("avg_word_len")))
+    assert(row.isNullAt(row.fieldIndex("stopword_ratio")))
+    assert(row.isNullAt(row.fieldIndex("punct_ratio")))
+  }
+
+  test("qualityFeatures: ratios on a known sentence") {
+    val feats = TextAnalysis.qualityFeatures(col("t"))
+    val row = on("the cat sat").select(feats.map { case (n, c) => c.as(n) }: _*).collect().head
+    assert(row.getAs[Int]("n_words") == 3)
+    assert(math.abs(row.getAs[Double]("stopword_ratio") - 1.0 / 3) < 1e-12)
+  }
+
+  test("langId votes by stopword family with deterministic tiebreak") {
+    assert(on("the cat of the hat").select(TextAnalysis.langId(col("t"))).as[String].head() == "en")
+    assert(on("el gato de la casa").select(TextAnalysis.langId(col("t"))).as[String].head() == "es")
+    assert(on("le chat et une souris").select(TextAnalysis.langId(col("t"))).as[String].head() == "fr")
+    assert(on("xyzzy plugh").select(TextAnalysis.langId(col("t"))).as[String].head() == "und")
+  }
+
+  test("fingerprint is whitespace/case robust") {
+    val a = on("Hello   World").select(TextAnalysis.fingerprint(col("t"))).as[String].head()
+    val b = on("hello world ").select(TextAnalysis.fingerprint(col("t"))).as[String].head()
+    assert(a == b)
+  }
+
+  test("rollingHash matches the reference fold and is order-sensitive") {
+    def rh(s: String): Long =
+      s.foldLeft(7L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+    val got = on("spark").select(TextAnalysis.rollingHash(col("t"))).as[Long].head()
+    assert(got == rh("spark"))
+    val ab = on("ab").select(TextAnalysis.rollingHash(col("t"))).as[Long].head()
+    val ba = on("ba").select(TextAnalysis.rollingHash(col("t"))).as[Long].head()
+    assert(ab != ba)
+  }
+}
