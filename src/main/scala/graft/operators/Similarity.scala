@@ -93,13 +93,34 @@ object Similarity {
     * never shuffles the embedding payload. Recall rises with `bands` at
     * linear cost. Skewed buckets (duplicate-heavy corpora) re-split via AQE.
     */
+  /** All bands*bitsPerBand hyperplane projections via a single explode +
+    * codegen'd hash-aggregate: one row per (id, dim), then one
+    * `sum(x * element_at(plane_j, pos))` per projection. The per-row
+    * zip_with/aggregate fold form runs interpreted (HOFs sit outside
+    * whole-stage codegen); this shape keeps every multiply-add codegen'd and
+    * its shuffle is one (bands×bits)-double row per vector per partition.
+    */
+  private def projections(base: DataFrame, dim: Int,
+                          bands: Int, bitsPerBand: Int): DataFrame = {
+    val dims = base.select(col("id"), posexplode(col("v")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
+    val exprs = for (b <- 0 until bands; t <- 0 until bitsPerBand) yield {
+      val plane = array(hyperplane(b, t, dim).map(lit): _*)
+      sum(col("x").cast("double") * element_at(plane, col("i") + 1)).as(s"p_${b}_$t")
+    }
+    dims.groupBy("id").agg(exprs.head, exprs.tail: _*)
+  }
+
   def annLsh(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
              bands: Int = 8, bitsPerBand: Int = 12,
              minCosine: Double = 0.9): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val banded = base.select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          lshBandSignature(col("v"), b, bitsPerBand, dim)): _*)))
+    val proj = projections(base, dim, bands, bitsPerBand)
+    val bandSigs = (0 until bands).map { b =>
+      (0 until bitsPerBand).map(t =>
+        when(col(s"p_${b}_$t") > 0, lit(1L << t)).otherwise(lit(0L))).reduce(_ + _)
+    }
+    val banded = proj.select(col("id"), posexplode(array(bandSigs: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
     val pairs = banded.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("sig"), col("id").as("id_b")),
