@@ -17,21 +17,25 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Element-wise dot product of two array columns (fold in index order —
-    * deterministic). */
+    * deterministic). Expression-composition form; hot paths use the native
+    * codegen'd [[graft.expressions.VectorExpressions]] instead.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   /** Quantized integer dot product: exact, order-independent, reproducible
-    * across engines. */
-  def dotQuantized(a: Column, b: Column, scale: Int = 1000): Column = {
-    def q(c: Column): Column = round(c.cast("double") * scale).cast("long")
-    aggregate(zip_with(a, b, (x, y) => q(x) * q(y)), lit(0L), (acc, v) => acc + v)
-  }
+    * across engines. Native Catalyst expression — a single codegen'd
+    * primitive loop per row (the zip_with/aggregate form runs interpreted).
+    */
+  def dotQuantized(a: Column, b: Column, scale: Int = 1000): Column =
+    graft.expressions.VectorExpressions.quantizedDot(a, b, scale)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** One-pass native cosine (null on zero norm). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosineSim(a, b)
 
   /** Brute-force top-k nearest rows to the vector of `queryId`, scored by
     * quantized dot product (deterministic tiebreak on id). The query row is

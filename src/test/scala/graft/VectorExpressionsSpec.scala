@@ -1,0 +1,67 @@
+package graft
+
+import graft.expressions.VectorExpressions._
+import org.apache.spark.sql.functions._
+
+/** Native codegen'd vector expressions: parity with the composed-builtin
+  * forms, null handling, and rounding semantics.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantizedDot matches the round()-based builtin composition") {
+    val df = Seq((Array(0.0015f, -0.9994f, 0.5f), Array(1.0f, 2.0f, -3.0f))).toDF("a", "b")
+    def builtin = {
+      def q(c: org.apache.spark.sql.Column) = round(c.cast("double") * 1000).cast("long")
+      aggregate(zip_with(col("a"), col("b"), (x, y) => q(x) * q(y)),
+        lit(0L), (acc, v) => acc + v)
+    }
+    val (native, composed) = df.select(
+      quantizedDot(col("a"), col("b")).as("n"), builtin.as("c"))
+      .as[(Long, Long)].head()
+    assert(native == composed)
+  }
+
+  test("quantizedDot rounds ties away from zero (Spark round / DuckDB parity)") {
+    val df = Seq((Array(0.0125, -0.0125), Array(1.0, 1.0))).toDF("a", "b")
+    // 0.0125*1000 = 12.5 -> 13; -12.5 -> -13; dot = 13*1000 - 13*1000 = 0
+    val v = df.select(quantizedDot(col("a"), col("b")).as("d")).as[Long].head()
+    assert(v == 0L)
+    val df2 = Seq((Array(0.0125), Array(1.0))).toDF("a", "b")
+    assert(df2.select(quantizedDot(col("a"), col("b"))).as[Long].head() == 13L * 1000)
+  }
+
+  test("cosineSim: known values, zero-norm null, null input null") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 0.0f))
+    ).toDF("a", "b")
+    val got = df.select(cosineSim(col("a"), col("b")).as("c")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).contains(1.0))
+    assert(got(1).contains(0.0))
+    assert(got(2).isEmpty) // zero norm -> null
+    val withNull = Seq((Option.empty[Array[Float]], Array(1.0f))).toDF("a", "b")
+    assert(withNull.select(cosineSim(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
+  test("expressions run inside whole-stage codegen (no interpreted fallback)") {
+    // non-foldable input (range), else the optimizer folds everything locally
+    val df = spark.range(1, 2)
+      .select(array(col("id").cast("float"), lit(2.0f)).as("a"),
+        array(lit(3.0f), lit(4.0f)).as("b"))
+      .select(quantizedDot(col("a"), col("b")).as("d"), cosineSim(col("a"), col("b")).as("c"))
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [quantized_dot"), plan)
+    val (d, c) = df.as[(Long, Double)].head()
+    assert(d == 1000L * 3000 + 2000L * 4000)
+    assert(math.abs(c - 11.0 / (math.sqrt(5) * math.sqrt(25))) < 1e-12)
+  }
+
+  test("mixed element types (double vs float) are accepted") {
+    val df = Seq((Array(1.0, 2.0), Array(3.0f, 4.0f))).toDF("a", "b")
+    assert(df.select(quantizedDot(col("a"), col("b"))).as[Long].head() == 11000000L)
+  }
+}
