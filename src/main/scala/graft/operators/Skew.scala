@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deliberate skew handling for hot keys.
+  *
+  * AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default) rebalances sort-merge joins at runtime; these operators are for
+  * the cases AQE can't fix:
+  *  - a broadcast-infeasible join whose probe side hammers a few keys
+  *    (salting spreads one key over `salt` reducers);
+  *  - a high-skew aggregation whose single hot group saturates one task
+  *    (two-phase partial/final aggregation).
+  *
+  * Salt is derived from xxhash64 over the probe row's columns — fully
+  * deterministic (no rand()), so plans stay reproducible and retries are
+  * safe.
+  */
+object Skew {
+
+  private def saltCol(df: DataFrame, salt: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(salt)).cast("int")
+
+  /** Salted equi-join: the probe (large, skewed) side gets a deterministic
+    * salt in [0, salt); the build side is exploded `salt`× so every
+    * (key, salt) bucket finds its match. Join result is identical to the
+    * unsalted join; the shuffle spreads each hot key over `salt` partitions.
+    * Build-side cost: `salt`× row duplication — use for moderate build
+    * sides that exceed the broadcast threshold.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 salt: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salt > 0)
+    val p = probe.withColumn("__salt", saltCol(probe, salt))
+    val b = build.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    p.join(b, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Two-phase skew-proof aggregation: count + decimal-exact sums per key.
+    * Phase 1 aggregates by (key, salt) — spreading a hot key over `salt`
+    * tasks — phase 2 combines the partials by key. Result equals the direct
+    * groupBy; shuffle width of phase 2 is keys × salt partial rows.
+    */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], amountCols: Seq[String],
+                     salt: Int = 16): DataFrame = {
+    val partial = df.withColumn("__salt", saltCol(df, salt))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        amountCols.map(c => sum(col(c).cast("decimal(18,4)")).as(s"__s_$c")): _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).as("n_rows"),
+        amountCols.map(c => sum(col(s"__s_$c")).cast("double").as(s"sum_$c")): _*)
+  }
+
+  /** Top-k hot keys with their frequency share — the diagnostic that decides
+    * whether salting is needed at all (run on a sample at 100 TB).
+    */
+  def skewProfile(df: DataFrame, keys: Seq[String], k: Int = 10): DataFrame = {
+    val total = df.count()
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n").cast("double") / lit(total.toDouble))
+      .orderBy(col("n").desc +: keys.map(col(_).asc): _*)
+      .limit(k)
+  }
+}
