@@ -203,6 +203,10 @@ object SparkEntry {
       Dedup.latestPerKeyOrdered(t(s, d, "events"), Seq("user_id"),
           Seq(col("ts").desc, col("event_id").desc))
         .select("user_id", "event_id", "event_type").orderBy("user_id")),
+    "q_w2_sessionize" -> ((s, d) =>
+      Sessionize.sessions(t(s, d, "events"), "user_id", "ts", "event_id",
+          gapSeconds = 86400)
+        .orderBy("user_id", "session_id")),
     // ---- pipeline end-to-end (S1/F-chain/C12/C13) -----------------------
     // orders, not lineitem: the synthetic lineitem has duplicate
     // (l_orderkey, l_linenumber) pairs, so it is a full-refresh-only table
@@ -459,6 +463,24 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+    "q_w2_sessionize" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |tagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |              > 86400000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM base),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM tagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
     "q_pipeline_full_load" ->
       """SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
         |  o_orderkey, o_custkey, o_totalprice

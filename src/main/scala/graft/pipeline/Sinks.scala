@@ -79,6 +79,18 @@ object Sinks {
     spark.read.parquet(path).where(predicate).select(columns.map(col): _*)
   }
 
+  /** Bucketed table write: pre-shuffles once at write time so future joins
+    * and aggregations on `keys` are co-located — no Exchange in the join
+    * plan (see BucketingSpec). The 100 TB recipe for repeatedly-joined fact
+    * tables: pay the shuffle once, reuse it every query.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** C13 at bulk-load scale: dense surrogate ids without the global-window
     * single-partition stage — classic zipWithIndex (one extra count pass per
     * partition, no shuffle, no driver collection). Ids are assigned in

@@ -45,6 +45,62 @@ object Streams {
                            keys: Seq[String], lateness: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, lateness).dropDuplicates(keys :+ tsCol)
 
+  /** Open-session state for [[sessionizeStream]]. */
+  case class SessionState(n: Long, start: java.sql.Timestamp, end: java.sql.Timestamp)
+  /** A closed session emitted by [[sessionizeStream]]. */
+  case class ClosedSession(user_id: Long, n_events: Long,
+                           session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp)
+
+  /** Streaming sessionization with custom state (`flatMapGroupsWithState`):
+    * per user, events accumulate into an open session; a gap beyond
+    * `gapSeconds` (or processing-time timeout when the stream goes quiet)
+    * closes it and emits a [[ClosedSession]]. State per key is one open
+    * session — bounded regardless of stream length.
+    */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+                       gapSeconds: Long,
+                       idleTimeout: Boolean = true): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+    implicit val outEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    // idleTimeout=false: no timeout-check batches — lets tests drain with
+    // processAllAvailable(); production keeps it on so quiet users flush.
+    val timeoutConf =
+      if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), timeoutConf) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => ClosedSession(user, s.n, s.start, s.end)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.map(_._2).toSeq.sortBy(_.getTime)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { ts =>
+              cur match {
+                case Some(SessionState(n, start, end)) if ts.getTime - end.getTime <= gapSeconds * 1000 =>
+                  cur = Some(SessionState(n + 1, start, ts))
+                case Some(SessionState(n, start, end)) =>
+                  closed ::= ClosedSession(user, n, start, end)
+                  cur = Some(SessionState(1L, ts, ts))
+                case None =>
+                  cur = Some(SessionState(1L, ts, ts))
+              }
+            }
+            cur.foreach(state.update)
+            if (idleTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Host the J2 hash-diff merge inside a stream: every micro-batch is
     * merged into the parquet target at `targetPath` (create-on-first-batch),
     * preserving the batch pipeline's no-delete/idempotence invariants.
