@@ -152,7 +152,8 @@ object SparkEntry {
         .withColumn("s", date_format(col("l_shipdate"), "MM/dd/yyyy HH:mm:ss"))
         .select(col("l_orderkey"), col("l_linenumber"),
           Normalize.parseTimestampMulti(col("s"),
-            Seq("yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss")).as("parsed"))
+            Seq("yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy HH:mm:ss"))
+            .cast("timestamp_ntz").as("parsed"))
         .orderBy("l_orderkey", "l_linenumber")),
     "q_c4_row_hash" -> ((s, d) =>
       RowHash.withRowHash(
@@ -282,6 +283,20 @@ object SparkEntry {
           "payload", dim = 8)
         .select(col("doc_id"), element_at(col("features"), 1).as("f0"))
         .orderBy("doc_id")),
+    // ---- SQL API surface (spark.sql over temp views) --------------------
+    "q_sql_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+          |    AS sum_disc_price
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP_NTZ '1997-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    }),
     // ---- event-time windowed aggregation (streaming shape) --------------
     "q_events_daily_window" -> ((s, d) =>
       t(s, d, "events")
@@ -576,6 +591,16 @@ object SparkEntry {
       """SELECT doc_id,
         |  1 + CAST(greatest(octet_length(encode(text)) - 16, 0) // 8 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sql_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_disc_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_events_daily_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

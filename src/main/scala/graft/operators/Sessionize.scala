@@ -20,8 +20,10 @@ object Sessionize {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tiebreakCol))
     val gapUs = gapSeconds * 1000000L
     val prev = lag(col(tsCol), 1).over(w)
-    val isNew = when(prev.isNull ||
-      unix_micros(col(tsCol)) - unix_micros(prev) > gapUs, 1L).otherwise(0L)
+    // cast("timestamp"): unix_micros rejects TIMESTAMP_NTZ; under a pinned
+    // session timezone the NTZ->TS reinterpretation is stable.
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    val isNew = when(prev.isNull || us(col(tsCol)) - us(prev) > gapUs, 1L).otherwise(0L)
     df.withColumn("session_id", sum(isNew).over(
       w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }

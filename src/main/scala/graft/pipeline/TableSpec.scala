@@ -38,7 +38,11 @@ object TableSpec {
     import org.apache.spark.sql.types.LongType
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
     if (table == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // cast to NTZ: every other fixture timestamp reads as TIMESTAMP_NTZ
+      // (parquet without tz), and the DuckDB oracle emits naive timestamps —
+      // keeping the type aligned keeps schema comparisons honest.
+      df.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
     else df
   }
 }
