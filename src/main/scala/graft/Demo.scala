@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Filters, Merge, Reconcile, Sessionize}
+import graft.pipeline._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline demo — the reference's three workloads (SURVEY §0)
+  * on one command:
+  *
+  *   sbt "runMain graft.Demo /root/testdata/sf0.01 /tmp/graft-demo"
+  *
+  * 1. full load (scan -> filter -> semi-join -> audit cols -> overwrite),
+  * 2. incremental hash-diff merge re-run (idempotence: all SKIP),
+  * 3. monthly reconciliation report (align + diff),
+  * plus the streaming-shape daily/session analytics.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // --- 1. full load (the reference's TABLES + filters config surface) ---
+    val specs = Seq(
+      TableSpec("orders", keys = Seq("o_orderkey"),
+        refreshMode = RefreshMode.Incremental),
+      // no reliable unique key (duplicate (orderkey, linenumber) pairs) ->
+      // full refresh, like the reference's PlaCobranzas
+      TableSpec("lineitem",
+        filters = Seq(Filters.neqKeepNull("l_returnflag", "N")),
+        semiJoin = Some(("orders", "o_orderkey", "l_orderkey"))),
+      TableSpec("customer"), TableSpec("supplier"), TableSpec("part"),
+      TableSpec("nation"), TableSpec("region"), TableSpec("events"))
+    println("== Full load ==")
+    val t0 = System.nanoTime()
+    val results = Runner.runAll(spark, sfDir, specs) { (spec, df) =>
+      Sinks.fullRefresh(df, s"$outDir/${spec.name}")
+    }
+    results.foreach { r =>
+      println(f"  ${r.table}%-10s ${if (r.error.isEmpty) r.rows.toString else "ERROR " + r.error.get}")
+    }
+    println(f"  total ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    // --- 2. incremental re-run: hash-diff merge must be a no-op -----------
+    println("== Incremental re-run (idempotence) ==")
+    val src = Runner.loadTable(spark, sfDir, specs.head)
+    val tgt = spark.read.parquet(s"$outDir/orders")
+    val tally = Merge.outcomeTally(Merge.classify(
+        src.drop("id", "row_hash", "created_at", "updated_at"), tgt, Seq("o_orderkey")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"  classify outcome: $tally")
+    require(tally.keySet == Set(Merge.Skip), s"expected all-skip, got $tally")
+
+    // --- 3. reconciliation report (compare_historico_mensual shape) -------
+    println("== Monthly reconciliation (target vs source-of-truth) ==")
+    val liTgt = Reconcile.monthlyAgg(
+      spark.read.parquet(s"$outDir/lineitem"), "l_shipdate", Seq("l_extendedprice"))
+    val liSrc = Reconcile.monthlyAgg(
+      Runner.loadTable(spark, sfDir, specs(1)), "l_shipdate", Seq("l_extendedprice"))
+    val diff = Reconcile.alignDiff(liTgt, liSrc, "month", "n_rows")
+    val nonZero = diff.filter(col("diff") =!= 0).count()
+    println(s"  months compared: ${diff.count()}, months with diff != 0: $nonZero")
+    require(nonZero == 0, "reconciliation must be clean after a full load")
+
+    // --- 4. event analytics (streaming-shape batch) -----------------------
+    val sessions = Sessionize.sessions(
+      TableSpec.read(spark, sfDir, "events"), "user_id", "ts", "event_id", 86400)
+    println(s"== Event sessions == ${sessions.count()} sessions over " +
+      s"${sessions.select("user_id").distinct().count()} users")
+
+    println("DEMO OK")
+    spark.stop()
+  }
+}

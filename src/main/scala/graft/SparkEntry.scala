@@ -270,6 +270,12 @@ object SparkEntry {
           "payload", "mime")
         .select("doc_id", "n_bytes", "content_sha", "media_type")
         .orderBy("doc_id")),
+    "q_mm_resize" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          length(Multimodal.stubResize(
+            Multimodal.fakePayloadFromText(col("text")), 64)).cast("long").as("n_resized"))
+        .orderBy("doc_id")),
     "q_mm_frame_counts" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
@@ -536,12 +542,12 @@ object SparkEntry {
         |  SELECT doc_id,
         |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tok_regex,
         |    length(text) AS n_chars,
-        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
-        |    len(list_filter(string_split(lower(text), ' '),
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_words,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
         |      w -> w IN ('the','a','an','of','to','and','in','is'))) AS en,
-        |    len(list_filter(string_split(lower(text), ' '),
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
         |      w -> w IN ('el','la','de','y','que','en','un','una'))) AS es,
-        |    len(list_filter(string_split(lower(text), ' '),
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
         |      w -> w IN ('le','la','de','et','un','une','du','des'))) AS fr,
         |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
         |  FROM documents) base
@@ -586,6 +592,10 @@ object SparkEntry {
         |  string_split(CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END, '/')[1] AS media_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_resize" ->
+      """SELECT doc_id,
+        |  CAST(least(octet_length(encode(text)), 64) AS BIGINT) AS n_resized
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_frame_counts" ->
       """SELECT doc_id,

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Whitespace tokens (\s+, matching Dedup's tokenization — tabs/newlines
+    * never produce phantom tokens in one operator family but not the other).
+    */
   def words(text: Column): Column =
-    filter(split(text, " "), w => w =!= "")
+    filter(split(text, "\\s+"), w => w =!= "")
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(words(text)).cast("int")
