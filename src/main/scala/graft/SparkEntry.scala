@@ -289,6 +289,12 @@ object SparkEntry {
           "payload", dim = 8)
         .select(col("doc_id"), element_at(col("features"), 1).as("f0"))
         .orderBy("doc_id")),
+    // approx distinct (HLL sketch — the 100 TB form of A6; rows-only check:
+    // sketch estimates are engine-specific by construction)
+    "q_a6_approx_distinct_days" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_shipdate").isNotNull)
+        .agg(approx_count_distinct(to_date(col("l_shipdate"))).as("n_days_approx"),
+          countDistinct(to_date(col("l_shipdate"))).as("n_days_exact"))),
     // ---- SQL API surface (spark.sql over temp views) --------------------
     "q_sql_pricing_summary" -> ((s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem")

@@ -45,6 +45,14 @@ object Streams {
                            keys: Seq[String], lateness: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, lateness).dropDuplicates(keys :+ tsCol)
 
+  /** Stream-static dimension enrichment: join a (possibly unbounded) event
+    * stream against a bounded dimension table. The dim side is broadcast
+    * per micro-batch — no stream-side shuffle, the standard enrich shape.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+                    joinType: String = "left_outer"): DataFrame =
+    stream.join(broadcast(dim), keys, joinType)
+
   /** Open-session state for [[sessionizeStream]]. */
   case class SessionState(n: Long, start: java.sql.Timestamp, end: java.sql.Timestamp)
   /** A closed session emitted by [[sessionizeStream]]. */
