@@ -172,6 +172,10 @@ object SparkEntry {
           Normalize.moneyOrZero(regexp_extract(col("props"), "\"k\": (\\d+)", 1))
             .as("k_val"))
         .orderBy("event_id")),
+    "q_c_json_extract" -> ((s, d) =>
+      t(s, d, "events").select(col("event_id"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+        .orderBy("event_id")),
     // ---- CDC merge (J2/J3/A9/A10) ---------------------------------------
     "q_merge_classify_rows" -> ((s, d) => {
       val orders = t(s, d, "orders")
@@ -464,6 +468,10 @@ object SparkEntry {
     "q_c7_c8_money_parse" ->
       """SELECT event_id,
         |  coalesce(try_cast(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE), 0.0) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_c_json_extract" ->
+      """SELECT event_id,
+        |  try_cast(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
     "q_merge_classify_rows" ->
       """SELECT o_orderkey,

@@ -38,6 +38,18 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(r, "UTF-8") == "hello")
   }
 
+  test("binaryFile source: real asset files flow into the metadata pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-assets")
+    java.nio.file.Files.write(dir.resolve("a.png"), "fake-png-bytes".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.wav"), "fake-wav".getBytes)
+    val files = spark.read.format("binaryFile").load(dir.toString)
+      .withColumn("mime", concat(lit("x/"), regexp_extract(col("path"), "\\.(\\w+)$", 1)))
+    val m = Multimodal.withAssetMetadata(files, "content", "mime")
+      .select("n_bytes", "media_type")
+      .as[(Long, String)].collect().toSet
+    assert(m == Set((14L, "x"), (8L, "x")))
+  }
+
   test("decodeBatched matches stubDecodeFeatures and respects batch bounds") {
     val viaExpr = assets.select(col("id"),
         Multimodal.stubDecodeFeatures(col("payload"), 4).as("features"))
