@@ -293,6 +293,15 @@ object SparkEntry {
           "payload", dim = 8)
         .select(col("doc_id"), element_at(col("features"), 1).as("f0"))
         .orderBy("doc_id")),
+    // per-language quality percentiles: exact + t-digest sketch side by side
+    // (rows-only: interpolation ULPs and sketch internals are engine-specific)
+    "q_text_quality_percentiles" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(expr("percentile(n_chars, 0.5)").as("p50_chars"),
+          expr("percentile(n_chars, 0.95)").as("p95_chars"),
+          expr("percentile_approx(n_chars, 0.5)").as("p50_chars_sketch"))
+        .orderBy("lang")),
     // approx distinct (HLL sketch — the 100 TB form of A6; rows-only check:
     // sketch estimates are engine-specific by construction)
     "q_a6_approx_distinct_days" -> ((s, d) =>

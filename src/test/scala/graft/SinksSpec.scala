@@ -66,16 +66,27 @@ class SinksSpec extends SparkSpec {
     assert(results.forall(_.error.isEmpty), results.mkString("; "))
     assert(results.map(_.rows).forall(_ > 0))
 
-    // second run: merge the same source into the existing target -> all skip
+    // repeated re-runs (the reference verified 7x, context/context.md:1552):
+    // every merge of the same source must be all-skip and leave the target
+    // byte-stable
     val src = Runner.loadTable(spark, "/root/testdata/sf0.001", specs.head)
-    val tgt = spark.read.parquet(s"$base/orders")
-    val merged = Runner.mergeInto(src, tgt, Seq("o_orderkey"))
-    assert(merged.count() == tgt.count())
-    val tally = graft.operators.Merge.outcomeTally(
-      graft.operators.Merge.classify(
-        src.drop("id", "row_hash", "created_at", "updated_at"),
-        tgt, Seq("o_orderkey")))
-      .as[(String, Long)].collect().toMap
-    assert(tally.keySet == Set("skip"), s"expected all-skip, got $tally")
+    val baseline = spark.read.parquet(s"$base/orders")
+      .orderBy("id").collect().map(_.toString).toSeq
+    for (run <- 1 to 3) {
+      val tgt = spark.read.parquet(s"$base/orders")
+      val tally = graft.operators.Merge.outcomeTally(
+        graft.operators.Merge.classify(
+          src.drop("id", "row_hash", "created_at", "updated_at"),
+          tgt, Seq("o_orderkey")))
+        .as[(String, Long)].collect().toMap
+      assert(tally.keySet == Set("skip"), s"run $run: expected all-skip, got $tally")
+      val merged = Runner.mergeInto(src, tgt, Seq("o_orderkey"))
+        .select(tgt.columns.map(col): _*) // Merge.apply reorders; restore layout
+      Sinks.fullRefresh(merged, s"$base/orders_next")
+      spark.read.parquet(s"$base/orders_next").write.mode("overwrite")
+        .parquet(s"$base/orders")
+      assert(spark.read.parquet(s"$base/orders").orderBy("id")
+        .collect().map(_.toString).toSeq == baseline, s"run $run: target drifted")
+    }
   }
 }
