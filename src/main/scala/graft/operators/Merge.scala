@@ -128,6 +128,47 @@ object Merge {
       .unionByName(updated).unionByName(inserted)
   }
 
+  /** As [[apply]] but for insert-heavy backfills: insert ids are minted with
+    * zipWithIndex (`Sinks.withDenseId`) above the target's max — two extra
+    * passes over the insert subset, NO single-partition window stage. Ids are
+    * dense but partition-ordered rather than key-ordered; use [[apply]] when
+    * deterministic key-ordered ids matter (oracle comparisons).
+    */
+  def applyBulk(src: DataFrame, tgt: DataFrame, keys: Seq[String],
+                now: Column = current_timestamp()): DataFrame = {
+    val dataCols = src.columns.filterNot(AuditCols.contains).toSeq
+    val classified = classify(src.select(dataCols.map(col): _*),
+      tgt.select(keys.map(col) :+ col("row_hash"): _*), keys)
+    val changedKeys = classified.filter(col(ActionCol) === Update)
+      .select(keys.map(col): _*).distinct()
+    val tgtKept = tgt.join(changedKeys, keys, "left_anti")
+    val outCols = dataCols ++ AuditCols
+
+    val tgtIds = tgt.select(keys.map(col) ++ Seq(col("id"), col("created_at")): _*)
+    val updated = classified.filter(col(ActionCol) === Update)
+      .drop("tgt_hash", ActionCol)
+      .withColumnRenamed("src_hash", "row_hash")
+      .join(tgtIds, keys)
+      .withColumn("updated_at", now)
+      .select(outCols.map(col): _*)
+
+    // one driver-side scalar (max id) — the only action; then distributed
+    // zipWithIndex minting with no global sort
+    val maxIdVal = tgt.agg(coalesce(max(col("id")), lit(0L)).as("m"))
+      .head().getLong(0)
+    val inserted = graft.pipeline.Sinks.withDenseId(
+        classified.filter(col(ActionCol) === Insert)
+          .drop("tgt_hash", ActionCol)
+          .withColumnRenamed("src_hash", "row_hash")
+          .withColumn("created_at", now)
+          .withColumn("updated_at", now),
+        offset = maxIdVal)
+      .select(outCols.map(col): _*)
+
+    tgtKept.select(outCols.map(col): _*)
+      .unionByName(updated).unionByName(inserted)
+  }
+
   /** A10: duplicate-key audit — keys seen more than once in `df`. The
     * reference logs these as data-quality symptoms
     * (sync_INCREMENTAL.py:250-263); here it is a first-class operator.

@@ -83,6 +83,23 @@ class MergeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("applyBulk: same row set as apply, dense ids above target max, no window") {
+    // parquet roundtrip cuts the fixture's own window lineage out of the plan
+    val p = java.nio.file.Files.createTempDirectory("merge-bulk").resolve("t").toString
+    asTarget(Seq(10 -> "a", 20 -> "b")).write.parquet(p)
+    val tgt = spark.read.parquet(p)
+    val src = Seq(10 -> "a", 20 -> "B2", 5 -> "n1", 30 -> "n2", 40 -> "n3").toDF("k", "v")
+    val viaWindow = Merge.apply(src, tgt, Seq("k"), t1)
+    val viaBulk = Merge.applyBulk(src, tgt, Seq("k"), t1)
+    // identical data; ids may be assigned in different order among inserts
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("k"), col("v"), col("row_hash")).as[(Int, String, String)].collect().toSet
+    assert(rows(viaBulk) == rows(viaWindow))
+    val ids = viaBulk.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (1L to 5L)) // dense: 2 target ids + 3 minted above max
+    assert(!viaBulk.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("duplicate and null key audits") {
     val df = Seq(Some(1) -> "a", Some(1) -> "b", Some(2) -> "c", None -> "d")
       .map { case (k, v) => (k.map(_.toString).orNull, v) }.toDF("k", "v")
