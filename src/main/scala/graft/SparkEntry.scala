@@ -228,6 +228,10 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         maxId = 120, minJaccard = 0.5).orderBy("id_a", "id_b")),
+    "q_dedup_groups" -> ((s, d) =>
+      Dedup.duplicateGroups(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          maxId = 120, minJaccard = 0.5)).orderBy("id")),
     "q_dedup_minhash_candidates" -> ((s, d) =>
       Dedup.minHashCandidates(t(s, d, "documents"), "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.3)
@@ -549,6 +553,33 @@ object SparkEntry {
         |    CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
         |  FROM inter JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id)
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_groups" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> ''))) AS w
+        |  FROM documents WHERE doc_id < 120),
+        |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |  FROM toks a JOIN toks b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+        |    FROM inter JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id)
+        |  WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(id, label) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
+        |  SELECT * FROM r)
+        |SELECT id, min(label) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'

@@ -213,6 +213,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate-group resolution: connected components over a candidate-pair
+    * edge list via iterative min-label propagation. Each doc's group id is
+    * the smallest doc id in its component — the survivor under keep-min
+    * dedup. Near-dup clusters are small and shallow, so propagation
+    * converges in a few rounds; every round is one shuffle keyed by id
+    * (edges × labels join + min-aggregate). `localCheckpoint` truncates the
+    * growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    *
+    * Returns (id, group_id) for every id that appears in `pairs`.
+    */
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("group_id", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("group_id"))
+      val next = labels.unionByName(propagated)
+        .groupBy("id").agg(min(col("group_id")).as("group_id"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("group_id", "old"), Seq("id"))
+        .filter(col("group_id") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact pairwise n-gram Jaccard over a bounded candidate set (the
     * verify stage; candidates come from LSH at scale). Token-set join form —
     * the relational shape DuckDB can oracle-check.

@@ -60,6 +60,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
   }
 
+  test("duplicateGroups: connected components with min-id group labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("duplicateGroups converges on a longer chain than one hop") {
+    // path 10-11-12-13-14: label 10 must travel 4 hops
+    val pairs = (10L to 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs).as[(Long, Long)].collect().toMap
+    assert(groups.values.toSet == Set(10L))
+    assert(groups.keySet == (10L to 14L).toSet)
+  }
+
   test("ngramJaccardPairs computes exact token-set jaccard") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxId = 100, minJaccard = 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
