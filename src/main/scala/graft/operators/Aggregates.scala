@@ -41,12 +41,13 @@ object Aggregates {
     * partition-order-independent, oracle-reproducible.
     */
   def globalSums(df: DataFrame, chargedCol: String, paidCol: String): DataFrame =
+    // keep Spark's widened sum type (decimal(28,4)) — narrowing back to
+    // (18,4) would overflow/throw once totals pass 10^14 at scale
     df.agg(
-        sum(col(chargedCol).cast("decimal(18,4)")).cast("decimal(18,4)").as("total_charged"),
-        sum(col(paidCol).cast("decimal(18,4)")).cast("decimal(18,4)").as("total_paid"),
+        sum(col(chargedCol).cast("decimal(18,4)")).as("total_charged"),
+        sum(col(paidCol).cast("decimal(18,4)")).as("total_paid"),
         count(lit(1)).as("n_rows"))
-      .withColumn("total_debt",
-        (col("total_charged") - col("total_paid")).cast("decimal(18,4)"))
+      .withColumn("total_debt", col("total_charged") - col("total_paid"))
 
   /** A5 + A6 + A8: date-range profile — min/max date, distinct active days,
     * row count (compare_noviembre_2025.py:138-162). At 100 TB swap

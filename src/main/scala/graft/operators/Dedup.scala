@@ -108,7 +108,9 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // pairs is referenced three times below (two re-attach joins + candIds);
     // persisting it (id pairs only — tiny even at 100 TB) stops Spark from
-    // re-running the signature aggregation once per reference.
+    // re-running the signature aggregation once per reference. The cache
+    // entry lives until LRU eviction or session end — long-lived sessions
+    // calling this repeatedly should spark.catalog.clearCache() between runs.
     val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
@@ -223,7 +225,7 @@ object Dedup {
     *
     * Returns (id, group_id) for every id that appears in `pairs`.
     */
-  def duplicateGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -244,6 +246,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // silent truncation would split real components AND diverge from the
+    // oracle's exact recursive closure — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"duplicateGroups did not converge in $maxIter rounds — a component's " +
+        s"diameter exceeds maxIter; re-run with a larger maxIter")
     labels
   }
 

@@ -49,8 +49,11 @@ object Multimodal {
     * codegen'd). Feature i = xxhash64(content, i) scaled to [0, 1).
     */
   def stubDecodeFeatures(content: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => pmod(xxhash64(content, i), lit(1000000L)).cast("double") / 1000000.0)
+    // explicit null guard: xxhash64 SKIPS null children (seed passes
+    // through), which would fabricate a feature vector for a missing asset
+    when(content.isNull, lit(null).cast(ArrayType(DoubleType, containsNull = false)))
+      .otherwise(transform(sequence(lit(0), lit(dim - 1)),
+        i => pmod(xxhash64(content, i), lit(1000000L)).cast("double") / 1000000.0))
 
   /** STUB "resize": real resize re-encodes pixels; the stand-in truncates
     * the payload to `maxBytes` (deterministic, size-bounded like a thumbnail)
@@ -91,13 +94,18 @@ object Multimodal {
       if (decodeBatch != null) decodeBatch
       else _.map { bytes =>
         // STUB: byte-identical to stubDecodeFeatures' xxhash64(content, i)
-        // expression, which chains hash(i, LongType, hash(bytes, seed=42)).
-        import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        val hBytes = XxHash64Function.hash(bytes, BinaryType, 42L)
-        Array.tabulate(dim) { i =>
-          // the index comes from sequence(), which yields IntegerType elements
-          val h = XxHash64Function.hash(i, IntegerType, hBytes)
-          (((h % 1000000L) + 1000000L) % 1000000L).toDouble / 1000000.0
+        // expression, which chains hash(i, LongType, hash(bytes, seed=42))
+        // and is null-propagating — a null payload must yield null features
+        // here too, not a fabricated vector hashed from the bare seed.
+        if (bytes == null) null
+        else {
+          import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          val hBytes = XxHash64Function.hash(bytes, BinaryType, 42L)
+          Array.tabulate(dim) { i =>
+            // the index comes from sequence(), which yields IntegerType elements
+            val h = XxHash64Function.hash(i, IntegerType, hBytes)
+            (((h % 1000000L) + 1000000L) % 1000000L).toDouble / 1000000.0
+          }
         }
       }
     val idx = df.schema.fieldIndex(contentCol)
@@ -106,7 +114,8 @@ object Multimodal {
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         val feats = decoder(batch.map(_.getAs[Array[Byte]](idx)))
-        batch.lazyZip(feats).map((r, f) => Row.fromSeq(r.toSeq :+ f.toSeq))
+        batch.lazyZip(feats).map((r, f) =>
+          Row.fromSeq(r.toSeq :+ (if (f == null) null else f.toSeq)))
       }
     }(enc)
   }

@@ -67,7 +67,11 @@ object Similarity {
 
   private def hyperplane(band: Int, bit: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { i =>
-      splitmix64(band.toLong * 1000003L + bit.toLong * 97L + i).toDouble / Long.MaxValue
+      // chained finalizers: (band, bit, i) hashed jointly, so no seed-space
+      // overlap between adjacent bits at any dim (a linear formula like
+      // bit*97 + i collides for dim > 97 and correlates adjacent planes)
+      splitmix64(splitmix64(splitmix64(band.toLong) ^ bit.toLong) ^ i.toLong)
+        .toDouble / Long.MaxValue
     }
 
   /** Sign bit of the projection onto one hyperplane. */

@@ -32,6 +32,10 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
                  salt: Int = 16, joinType: String = "inner"): DataFrame = {
     require(salt > 0)
+    // outer-on-build joins would emit `salt` copies of unmatched build rows
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports probe-preserving join types only, got $joinType")
     val p = probe.withColumn("__salt", saltCol(probe, salt))
     val b = build.withColumn("__salt",
       explode(array((0 until salt).map(lit): _*)))

@@ -45,12 +45,14 @@ object TypeInference {
     u match {
       case VarcharN(_)                                    => StringType
       case DecimalPS(p, s)                                => DecimalType(p.toInt, s.toInt)
-      case s if s.startsWith("TINYINT(1)") || s == "BOOLEAN" || s == "BOOL" => BooleanType
+      case s if s.startsWith("TINYINT(1)") || s == "BOOLEAN" || s == "BOOL" || s == "YESNO" => BooleanType
+      case s if s.contains("CURRENCY")                    => DecimalType(15, 4) // Access money
       case s if s.contains("BIGINT")                      => LongType
+      case s if s.contains("AUTONUMBER") || s.contains("COUNTER") => IntegerType
       case s if s.contains("INT")                         => IntegerType
-      case s if s.contains("DOUBLE") || s.contains("FLOAT") || s.contains("REAL") => DoubleType
+      case s if s.contains("DOUBLE") || s.contains("FLOAT") || s.contains("REAL") || s.contains("SINGLE") => DoubleType
       case s if s.contains("DATE") || s.contains("TIME")  => TimestampType
-      case s if s.contains("TEXT") || s.contains("CHAR")  => StringType
+      case s if s.contains("TEXT") || s.contains("CHAR") || s.contains("MEMO") => StringType
       case _                                              => StringType // reference default VARCHAR(255)
     }
   }
@@ -58,8 +60,16 @@ object TypeInference {
   /** Parse a `CREATE TABLE`-style DDL block into a schema (reference C11,
     * sync_ALL.py:72-96): one backtick-quoted column per line.
     */
-  // type group allows multi-word Access types ("Long Integer", "Text (20)")
-  private val ColLine: Regex = """(?m)^\s*[`"\[]?([A-Za-z_][\w ]*?)[`"\]]?\s+([A-Za-z]+(?:\s+[A-Za-z]+)*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*,?\s*$""".r
+  // The type group matches only KNOWN type tokens (incl. the two-word Access
+  // forms "Long Integer" / "Double Precision") so a lazy multi-word column
+  // name never loses its tail words to the type group.
+  private val TypeTokens =
+    "(?:Long\\s+Integer|Double\\s+Precision|AutoNumber|Auto_Increment|DateTime|Date|Time(?:stamp)?|" +
+      "Text|Memo|Byte|Integer|Single|Double|Currency|Boolean|Bool|YesNo|" +
+      "VarChar|Char|Decimal|Numeric|BigInt|SmallInt|TinyInt|Int|Float|Real)"
+  private val ColLine: Regex =
+    ("""(?mi)^\s*[`"\[]?([A-Za-z_][\w ]*?)[`"\]]?\s+(""" + TypeTokens +
+      """(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*,?\s*$""").r
 
   def parseDdl(ddl: String): StructType = {
     val body = ddl.indexOf('(') match {

@@ -38,12 +38,15 @@ object Streams {
       .drop("w")
   }
 
-  /** Streaming dedup: drop duplicate keys within the watermark horizon —
+  /** Streaming dedup: drop duplicate KEYS within the watermark horizon —
     * the streaming analogue of exact dedup (state bounded by horizon).
+    * Key-only: two events with the same key and different timestamps
+    * count as duplicates (`dropDuplicatesWithinWatermark`), unlike
+    * `dropDuplicates(keys :+ ts)` which only drops byte-identical replays.
     */
   def dedupWithinWatermark(events: DataFrame, tsCol: String,
                            keys: Seq[String], lateness: String = "1 hour"): DataFrame =
-    events.withWatermark(tsCol, lateness).dropDuplicates(keys :+ tsCol)
+    events.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keys)
 
   /** Stream-static dimension enrichment: join a (possibly unbounded) event
     * stream against a bounded dimension table. The dim side is broadcast
@@ -94,7 +97,10 @@ object Streams {
             sorted.foreach { ts =>
               cur match {
                 case Some(SessionState(n, start, end)) if ts.getTime - end.getTime <= gapSeconds * 1000 =>
-                  cur = Some(SessionState(n + 1, start, ts))
+                  // late out-of-order events must not regress the span
+                  val s = if (ts.before(start)) ts else start
+                  val e = if (ts.after(end)) ts else end
+                  cur = Some(SessionState(n + 1, s, e))
                 case Some(SessionState(n, start, end)) =>
                   closed ::= ClosedSession(user, n, start, end)
                   cur = Some(SessionState(1L, ts, ts))
@@ -115,8 +121,15 @@ object Streams {
     * Returns a function suitable for `writeStream.foreachBatch`.
     */
   def mergeEachBatch(targetPath: String, keys: Seq[String])
-      : (DataFrame, Long) => Unit = { (batch, _) =>
-    val spark = batch.sparkSession
+      : (DataFrame, Long) => Unit = { (batch0, _) =>
+    val spark = batch0.sparkSession
+    // Merge.classify requires unique keys; a micro-batch can legally carry
+    // several versions of one key (retries, rapid updates) — collapse to one
+    // row per key first or the classify/apply joins fan out and corrupt the
+    // target. dropDuplicates keeps an arbitrary version; pass a pre-deduped
+    // batch (e.g. Dedup.latestPerKeyOrdered on a version column) when
+    // "latest wins" matters.
+    val batch = batch0.dropDuplicates(keys)
     val exists = graft.pipeline.Sinks.exists(spark, targetPath)
     val merged =
       if (!exists) graft.functions.RowHash.withAuditColumns(batch, keys)

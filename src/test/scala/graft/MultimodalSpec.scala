@@ -50,6 +50,19 @@ class MultimodalSpec extends SparkSpec {
     assert(m == Set((14L, "x"), (8L, "x")))
   }
 
+  test("decodeBatched and stubDecodeFeatures agree on null payloads (null features)") {
+    val withNull = Seq((1L, Some("x")), (2L, None)).toDF("id", "text")
+      .withColumn("payload", Multimodal.fakePayloadFromText(col("text")))
+      .select("id", "payload")
+    val viaExpr = withNull.select(col("id"),
+        Multimodal.stubDecodeFeatures(col("payload"), 2).as("features"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    val viaBatch = Multimodal.decodeBatched(withNull, "payload", dim = 2)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(viaExpr == Map(1L -> false, 2L -> true))
+    assert(viaBatch == viaExpr)
+  }
+
   test("decodeBatched matches stubDecodeFeatures and respects batch bounds") {
     val viaExpr = assets.select(col("id"),
         Multimodal.stubDecodeFeatures(col("payload"), 4).as("features"))

@@ -44,6 +44,17 @@ class TypeInferenceSpec extends AnyFunSuite {
     assert(st.fields.forall(_.nullable))
   }
 
+  test("parseDdl: unquoted multi-word names keep their tail words") {
+    val st = TypeInference.parseDdl(
+      """CREATE TABLE t (
+        |  fecha alta TIMESTAMP,
+        |  Monto Total Currency
+        |)""".stripMargin)
+    assert(st.fieldNames.toSeq == Seq("fecha alta", "Monto Total"))
+    assert(st("fecha alta").dataType == TimestampType)
+    assert(st("Monto Total").dataType == DecimalType(15, 4)) // Access Currency
+  }
+
   test("unionColumns preserves first-seen order (get_all_columns)") {
     assert(TypeInference.unionColumns(Seq(Seq("a", "b"), Seq("b", "c"), Seq("d")))
       == Seq("a", "b", "c", "d"))
