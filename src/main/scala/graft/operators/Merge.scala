@@ -89,43 +89,42 @@ object Merge {
   def apply(src: DataFrame, tgt: DataFrame, keys: Seq[String],
             now: Column = current_timestamp()): DataFrame = {
     val dataCols = src.columns.filterNot(AuditCols.contains).toSeq
-    val classified = classify(src.select(dataCols.map(col): _*),
-      tgt.select(keys.map(col) :+ col("row_hash"): _*), keys)
-
-    // Target rows whose key is matched AND hash-equal survive byte-identical;
-    // unmatched target rows survive too (no-delete). One anti-join against
-    // the keys that change (insert impossible here; update keys only).
-    val changedKeys = classified.filter(col(ActionCol) === Update)
-      .select(keys.map(col): _*).distinct()
-    val tgtKept = tgt.join(changedKeys, keys, "left_anti")
-
     val outCols = dataCols ++ AuditCols
 
-    // Updates: source data + target's id/created_at, refreshed hash + now.
-    val tgtIds = tgt.select(keys.map(col) ++ Seq(col("id"), col("created_at")): _*)
-    val updated = classified.filter(col(ActionCol) === Update)
-      .drop("tgt_hash", ActionCol)
-      .withColumnRenamed("src_hash", "row_hash")
-      .join(tgtIds, keys)
-      .withColumn("updated_at", now)
-      .select(outCols.map(col): _*)
+    // ONE full-outer join on the typed key carries all three outcomes:
+    //   tgt-only row            -> kept byte-identical (no-delete)
+    //   match, hash equal       -> kept byte-identical (skip)
+    //   match, hash differs     -> update: source data, target id/created_at
+    //   src-only row            -> insert: fresh id above the target's max
+    // (The former classify-then-filter×3 form re-ran the SHA-256 classify
+    // join once per branch plus an anti-join — 4 passes; this is one.)
+    val hashed = src.select(dataCols.map(col): _*)
+      .withColumn("__s_hash", RowHash.rowHash(dataCols))
+      .select(dataCols.map(c => col(c).as(s"__s_$c")) :+ col("__s_hash"): _*)
+    val t = tgt.select(outCols.map(col): _*)
+    val joined = t.join(hashed,
+      keys.map(k => t(k) === hashed(s"__s_$k")).reduce(_ && _), "full_outer")
 
-    // Inserts: fresh ids above the current max (AUTO_INCREMENT semantics,
-    // sync_ALL.py:234), deterministic by key order.
-    val maxId = coalesce(max(col("id")), lit(0L))
-    val inserted = classified.filter(col(ActionCol) === Insert)
-      .drop("tgt_hash", ActionCol)
-      .withColumnRenamed("src_hash", "row_hash")
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(keys.map(col): _*)).cast("long"))
-      .crossJoin(broadcast(tgt.agg(maxId.as("__max_id"))))
-      .withColumn("id", col("__max_id") + col("__rn"))
-      .withColumn("created_at", now)
-      .withColumn("updated_at", now)
-      .select(outCols.map(col): _*)
+    val isInsert = col("id").isNull // tgt side absent (tgt always carries id)
+    val isUpdate = col("id").isNotNull && col("__s_hash").isNotNull &&
+      col("row_hash") =!= col("__s_hash")
+    val changed = isInsert || isUpdate
 
-    tgtKept.select(outCols.map(col): _*)
-      .unionByName(updated).unionByName(inserted)
+    // Insert ids: AUTO_INCREMENT semantics (sync_ALL.py:234), deterministic
+    // by key order — the rank runs in the isInsert partition only, so the
+    // single-partition sort covers the insert sliver, not the corpus. For
+    // insert-heavy backfills use [[applyBulk]].
+    val insRank = row_number().over(
+      Window.partitionBy(isInsert).orderBy(keys.map(k => col(s"__s_$k")): _*))
+    joined
+      .crossJoin(broadcast(tgt.agg(coalesce(max(col("id")), lit(0L)).as("__max_id"))))
+      .withColumn("__rn", insRank.cast("long"))
+      .select(dataCols.map(c =>
+        when(changed, col(s"__s_$c")).otherwise(col(c)).as(c)) ++ Seq(
+        when(isInsert, col("__max_id") + col("__rn")).otherwise(col("id")).as("id"),
+        when(changed, col("__s_hash")).otherwise(col("row_hash")).as("row_hash"),
+        when(isInsert, now).otherwise(col("created_at")).as("created_at"),
+        when(changed, now).otherwise(col("updated_at")).as("updated_at")): _*)
   }
 
   /** As [[apply]] but for insert-heavy backfills: insert ids are minted with
@@ -137,36 +136,40 @@ object Merge {
   def applyBulk(src: DataFrame, tgt: DataFrame, keys: Seq[String],
                 now: Column = current_timestamp()): DataFrame = {
     val dataCols = src.columns.filterNot(AuditCols.contains).toSeq
-    val classified = classify(src.select(dataCols.map(col): _*),
-      tgt.select(keys.map(col) :+ col("row_hash"): _*), keys)
-    val changedKeys = classified.filter(col(ActionCol) === Update)
-      .select(keys.map(col): _*).distinct()
-    val tgtKept = tgt.join(changedKeys, keys, "left_anti")
     val outCols = dataCols ++ AuditCols
 
-    val tgtIds = tgt.select(keys.map(col) ++ Seq(col("id"), col("created_at")): _*)
-    val updated = classified.filter(col(ActionCol) === Update)
-      .drop("tgt_hash", ActionCol)
-      .withColumnRenamed("src_hash", "row_hash")
-      .join(tgtIds, keys)
-      .withColumn("updated_at", now)
-      .select(outCols.map(col): _*)
+    // Same one-full-outer-join shape as [[apply]]; the insert branch splits
+    // off for RDD zipWithIndex minting (no single-partition window).
+    val hashed = src.select(dataCols.map(col): _*)
+      .withColumn("__s_hash", RowHash.rowHash(dataCols))
+      .select(dataCols.map(c => col(c).as(s"__s_$c")) :+ col("__s_hash"): _*)
+    val t = tgt.select(outCols.map(col): _*)
+    val joined = t.join(hashed,
+      keys.map(k => t(k) === hashed(s"__s_$k")).reduce(_ && _), "full_outer")
+    val isUpdate = col("__s_hash").isNotNull && col("row_hash") =!= col("__s_hash")
+
+    val keptOrUpdated = joined.filter(col("id").isNotNull)
+      .select(dataCols.map(c =>
+        when(isUpdate, col(s"__s_$c")).otherwise(col(c)).as(c)) ++ Seq(
+        col("id"),
+        when(isUpdate, col("__s_hash")).otherwise(col("row_hash")).as("row_hash"),
+        col("created_at"),
+        when(isUpdate, now).otherwise(col("updated_at")).as("updated_at")): _*)
 
     // one driver-side scalar (max id) — the only action; then distributed
     // zipWithIndex minting with no global sort
     val maxIdVal = tgt.agg(coalesce(max(col("id")), lit(0L)).as("m"))
       .head().getLong(0)
     val inserted = graft.pipeline.Sinks.withDenseId(
-        classified.filter(col(ActionCol) === Insert)
-          .drop("tgt_hash", ActionCol)
-          .withColumnRenamed("src_hash", "row_hash")
+        joined.filter(col("id").isNull)
+          .select(dataCols.map(c => col(s"__s_$c").as(c)) :+
+            col("__s_hash").as("row_hash"): _*)
           .withColumn("created_at", now)
           .withColumn("updated_at", now),
         offset = maxIdVal)
       .select(outCols.map(col): _*)
 
-    tgtKept.select(outCols.map(col): _*)
-      .unionByName(updated).unionByName(inserted)
+    keptOrUpdated.select(outCols.map(col): _*).unionByName(inserted)
   }
 
   /** A10: duplicate-key audit — keys seen more than once in `df`. The

@@ -128,13 +128,21 @@ object Similarity {
       (0 until bitsPerBand).map(t =>
         when(col(s"p_${b}_$t") > 0, lit(1L << t)).otherwise(lit(0L))).reduce(_ + _)
     }
+    // The self-join references the projection aggregate on both sides and
+    // Spark does not reuse the exchange across them — pin the banded
+    // signatures ((id, band, sig): 24 B × bands per vector, no payload)
+    // so the bands×bits multiply-add aggregation runs once over the corpus.
     val banded = proj.select(col("id"), posexplode(array(bandSigs: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = banded.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("sig"), col("id").as("id_b")),
         Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count() // materialize the candidate ids, then free the signatures
+    banded.unpersist()
     pairs
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
