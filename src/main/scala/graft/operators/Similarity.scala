@@ -193,6 +193,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF index: the corpus written once, hash-partitioned on the
+    * centroid-cell assignment (`cell=<i>/` directories). Probes then read
+    * `nProbe`/`nCentroids` of the files via partition pruning — the scan
+    * never touches the other inverted lists. At 100 TB this is the
+    * difference between a full-corpus scan per query and touching ~1/4 of
+    * one percent of it (nProbe=4, nCentroids=1024).
+    */
+  def ivfWriteIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    nCentroids: Int, path: String): Unit =
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        ivfAssign(col(vecCol), dim, nCentroids).as("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+
+  /** Top-k probe against a persisted IVF index. The query vector is one row
+    * (a scalar from the engine's point of view — collecting it is not a
+    * driver-side loop); its `nProbe` nearest cells are computed driver-side
+    * from the same deterministic centroids, and the `cell IN (...)` filter
+    * prunes the scan to those partition directories (assert via
+    * `PartitionFilters` in the plan).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     dim: Int, queryId: Long, k: Int,
+                     nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val idx = spark.read.parquet(path)
+    val qVec = idx.filter(col("id") === queryId).select("v")
+      .head().getSeq[Float](0).toArray
+    val probeCells = (0 until nCentroids).map { c =>
+      val plane = hyperplane(c, 63, dim)
+      c -> qVec.iterator.zip(plane.iterator).map { case (x, h) => x * h }.sum
+    }.sortBy(-_._2).take(nProbe).map(_._1)
+    val q = idx.filter(col("id") === queryId).select(col("v").as("__qvec")).limit(1)
+    idx.filter(col("cell").isin(probeCells: _*))
+      .filter(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("id"), dotQuantized(col("v"), col("__qvec")).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs over a bounded id range (oracle-
     * checkable verify stage; LSH produces the candidates at scale). Scores
     * from quantized ints so both engines compute identical doubles.

@@ -48,6 +48,25 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head == 4L) // nProbe=all cells => equivalent to brute force top
   }
 
+  test("ivfWriteIndex + ivfTopKIndexed: partition-pruned probe matches ivfTopK") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf")
+      .resolve("idx").toString
+    Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", dim = 3,
+      nCentroids = 4, path = path)
+    val probe = Similarity.ivfTopKIndexed(spark, path, dim = 3,
+      queryId = 0, k = 2, nCentroids = 4, nProbe = 4)
+    // nProbe = all cells => identical ranking to the unindexed form
+    val expected = Similarity.ivfTopK(vecs, "vec_id", "embedding", dim = 3,
+        queryId = 0, k = 2, nCentroids = 4, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probe.select("id").as[Long].collect().toSeq == expected)
+    // a narrow probe must prune the scan to the probed cell directories
+    val narrow = Similarity.ivfTopKIndexed(spark, path, dim = 3,
+      queryId = 0, k = 2, nCentroids = 4, nProbe = 1)
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+  }
+
   test("cosineNearDupPairs finds the identical pair at threshold ~1") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
         maxId = 100, minCos = 0.999)
