@@ -172,6 +172,21 @@ object Merge {
     keptOrUpdated.select(outCols.map(col): _*).unionByName(inserted)
   }
 
+  /** S10 at merge time: align the target to an evolved source before
+    * [[apply]] — any data column the source added is created on the target
+    * as a typed NULL (the reference's `ALTER TABLE ADD COLUMN IF NOT
+    * EXISTS`, server.py:116-119). The first merge after evolution
+    * reclassifies every matched row as an update (the hash basis now
+    * includes the new column) and backfills it — the same full update pass
+    * the reference performs; the merge after that is all-skip again.
+    */
+  def evolveTarget(src: DataFrame, tgt: DataFrame): DataFrame = {
+    val have = tgt.columns.map(_.toLowerCase).toSet
+    src.schema.fields
+      .filterNot(f => have(f.name.toLowerCase) || AuditCols.contains(f.name))
+      .foldLeft(tgt)((t, f) => t.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
   /** A10: duplicate-key audit — keys seen more than once in `df`. The
     * reference logs these as data-quality symptoms
     * (sync_INCREMENTAL.py:250-263); here it is a first-class operator.

@@ -100,6 +100,26 @@ class MergeSpec extends SparkSpec {
     assert(!viaBulk.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("evolveTarget: added source column backfills via one update pass, then fixpoint") {
+    val tgt = asTarget(Seq(1 -> "a", 2 -> "b"))
+    val src = Seq((1, "a", 10), (2, "b", 20)).toDF("k", "v", "w") // new column w
+    val evolved = Merge.evolveTarget(src, tgt)
+    assert(evolved.schema("w").dataType.typeName == "integer")
+    val before = snapshot(tgt).map(r => r._2 -> r).toMap
+    val merged = Merge.apply(src, evolved, Seq("k"), t1)
+    val after = merged.select(col("id"), col("k"), col("v"), col("w"),
+        col("created_at").cast("string"), col("updated_at").cast("string"))
+      .as[(Long, Int, String, Int, String, String)].collect().map(r => r._2 -> r).toMap
+    // hash basis now includes w -> both rows update and backfill w,
+    // keeping id/created_at, bumping updated_at (reference's post-ALTER pass)
+    assert(after(1)._4 == 10 && after(2)._4 == 20)
+    assert(after(1)._1 == before(1)._1 && after(1)._5 == before(1)._5)
+    assert(after(1)._6 == "2026-02-02 00:00:00")
+    // second merge of the same evolved source is all-skip again
+    val again = Merge.apply(src, merged, Seq("k"), t1)
+    assert(again.orderBy("id").collect().toSeq == merged.orderBy("id").collect().toSeq)
+  }
+
   test("duplicate and null key audits") {
     val df = Seq(Some(1) -> "a", Some(1) -> "b", Some(2) -> "c", None -> "d")
       .map { case (k, v) => (k.map(_.toString).orNull, v) }.toDF("k", "v")
