@@ -277,6 +277,13 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("group_id", col("id"))
       .localCheckpoint(true)
+    // Convergence detector: per-id labels only ever decrease and the id set
+    // is fixed, so an unchanged SUM of labels ⟺ no label changed — a scalar
+    // aggregate per round instead of a join-and-compare (decimal sum: 10B
+    // 2^40-sized ids would overflow a long).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("group_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -285,8 +292,9 @@ object Dedup {
       val next = labels.unionByName(propagated)
         .groupBy("id").agg(min(col("group_id")).as("group_id"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("group_id", "old"), Seq("id"))
-        .filter(col("group_id") =!= col("old")).isEmpty
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
