@@ -58,4 +58,36 @@ object Runner {
   def mergeInto(src: DataFrame, tgt: DataFrame, keys: Seq[String]): DataFrame =
     Merge.apply(src.drop("row_hash", "created_at", "updated_at"),
       tgt, keys)
+
+  /** The reference's incremental entry end to end
+    * (sync_INCREMENTAL.py:509-558): per table — full refresh when the spec
+    * says so OR the target doesn't exist yet (bootstrap); hash-diff merge
+    * into the existing parquet state otherwise (schema-evolving the target
+    * first), committed via a staging swap because the merge plan reads the
+    * path it replaces — with per-table error isolation and a count-verified
+    * summary, like the reference's RESUMEN FINAL.
+    */
+  def syncIncremental(spark: SparkSession, sfDir: String, specs: Seq[TableSpec],
+                      basePath: String): Seq[TableResult] =
+    specs.map { spec =>
+      val path = s"$basePath/${spec.name}"
+      try {
+        val src = loadTable(spark, sfDir, spec)
+        val rows =
+          if (spec.refreshMode == RefreshMode.FullRefresh || !Sinks.exists(spark, path))
+            Sinks.fullRefresh(src, path)
+          else {
+            val bare = src.drop("id", "row_hash", "created_at", "updated_at")
+            val tgt = Merge.evolveTarget(bare, spark.read.parquet(path))
+            // Merge.apply emits data-then-audit column order; keep the
+            // stored layout stable across runs (evolved columns append).
+            val merged = Merge.apply(bare, tgt, spec.keys)
+              .select(tgt.columns.map(org.apache.spark.sql.functions.col): _*)
+            Sinks.overwriteViaStaging(merged, path)
+          }
+        TableResult(spec.name, rows, None)
+      } catch {
+        case e: Exception => TableResult(spec.name, -1, Some(e.toString))
+      }
+    }
 }

@@ -39,6 +39,28 @@ object Sinks {
     * (or partition-scoped overwrite when the target is date-partitioned).
     */
 
+  /** Overwrite `path` with a frame whose lineage READS from `path` (the
+    * merge-back-into-target case): Spark's overwrite truncates the target
+    * before the read finishes, so the result is staged next to it and
+    * swapped in with two filesystem renames — the columnar analogue of the
+    * reference's DROP/CREATE+INSERT cutover (sync_ALL.py:197-326), and
+    * O(1) metadata ops regardless of data size.
+    */
+  def overwriteViaStaging(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val staging = new Path(path + "__staging")
+    val target = new Path(path)
+    val old = new Path(path + "__old")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true)
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(staging, target)
+    fs.delete(old, true)
+    countVerify(spark, path)
+  }
+
   /** S9: drop table (clean_all_tables.py:43-48). */
   def drop(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)

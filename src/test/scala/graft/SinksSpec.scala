@@ -80,6 +80,27 @@ class SinksSpec extends SparkSpec {
     assert(out == Set(("2025-01", 1, "jan"), ("2025-02", 9, "feb2")))
   }
 
+  test("syncIncremental: bootstrap, then no-change re-runs are byte-stable") {
+    val base = tmp()
+    val specs = Seq(
+      TableSpec("orders", keys = Seq("o_orderkey"),
+        refreshMode = RefreshMode.Incremental),
+      TableSpec("region"))
+    val r1 = Runner.syncIncremental(spark, "/root/testdata/sf0.001", specs, base)
+    assert(r1.forall(_.error.isEmpty), r1.mkString("; "))
+    assert(r1.forall(_.rows > 0))
+    val snap = spark.read.parquet(s"$base/orders")
+      .orderBy("id").collect().map(_.toString).toSeq
+    for (run <- 1 to 2) {
+      val r = Runner.syncIncremental(spark, "/root/testdata/sf0.001", specs, base)
+      assert(r.forall(_.error.isEmpty), s"run $run: " + r.mkString("; "))
+      assert(r.map(_.rows) == r1.map(_.rows), s"run $run: counts drifted")
+      assert(spark.read.parquet(s"$base/orders")
+        .orderBy("id").collect().map(_.toString).toSeq == snap,
+        s"run $run: target drifted")
+    }
+  }
+
   test("Runner end-to-end: full refresh then incremental merge is idempotent") {
     // orders: unique natural key. (The synthetic lineitem has duplicate
     // (l_orderkey, l_linenumber) pairs — a full-refresh-only table, like the
