@@ -50,7 +50,13 @@ object Demo {
     println(f"  total ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     // --- 2. incremental re-run: hash-diff merge must be a no-op -----------
-    println("== Incremental re-run (idempotence) ==")
+    println("== Incremental re-run (syncIncremental; idempotence) ==")
+    val inc = Runner.syncIncremental(spark, sfDir, specs, outDir)
+    inc.foreach { r =>
+      println(f"  ${r.table}%-10s ${if (r.error.isEmpty) r.rows.toString else "ERROR " + r.error.get}")
+    }
+    require(inc.forall(_.error.isEmpty), "incremental run had errors")
+    require(inc.map(_.rows) == results.map(_.rows), "incremental run changed counts")
     val src = Runner.loadTable(spark, sfDir, specs.head)
     val tgt = spark.read.parquet(s"$outDir/orders")
     val tally = Merge.outcomeTally(Merge.classify(
