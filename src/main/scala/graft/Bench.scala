@@ -14,8 +14,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up once so one-time session costs (Hadoop FS init, codegen
     // compiler, parquet footer cache) aren't billed to whichever query the
-    // Map iterates first.
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    // Map iterates first. Best-effort: a missing warmup table must not
+    // kill the (per-query error-isolated) benchmark.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -117,6 +117,12 @@ object Dedup {
     * costs `bands`× rows (small constant); the only shuffles are the
     * signature aggregation, the band-bucket self-join and the final
     * distinct — the classic scale path for 100 TB near-dedup.
+    *
+    * NOT a lazy plan builder: calling this runs the signature + banding
+    * jobs eagerly and leaves the candidate-pair frame persisted (id pairs
+    * only — tiny) until LRU eviction or `spark.catalog.clearCache()`.
+    * The eager materialization is what lets the (unreused-exchange)
+    * self-join and the verify stage share one signature computation.
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
@@ -226,7 +232,8 @@ object Dedup {
     * keyed self-join on (band, band-bits), never an all-pairs scan. The
     * exact Hamming distance (`bit_count(a XOR b)`) then filters the
     * candidates. Same 100 TB shape as MinHash banding: explode ×(h+1),
-    * one shuffle keyed by band value.
+    * one shuffle keyed by band value. Like [[minHashCandidates]], this
+    * runs eagerly and returns a persisted (tiny) pair frame.
     */
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3): DataFrame = {

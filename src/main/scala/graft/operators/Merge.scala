@@ -90,41 +90,18 @@ object Merge {
             now: Column = current_timestamp()): DataFrame = {
     val dataCols = src.columns.filterNot(AuditCols.contains).toSeq
     val outCols = dataCols ++ AuditCols
-
-    // ONE full-outer join on the typed key carries all three outcomes:
-    //   tgt-only row            -> kept byte-identical (no-delete)
-    //   match, hash equal       -> kept byte-identical (skip)
-    //   match, hash differs     -> update: source data, target id/created_at
-    //   src-only row            -> insert: fresh id above the target's max
-    // (The former classify-then-filter×3 form re-ran the SHA-256 classify
-    // join once per branch plus an anti-join — 4 passes; this is one.)
-    val hashed = src.select(dataCols.map(col): _*)
-      .withColumn("__s_hash", RowHash.rowHash(dataCols))
-      .select(dataCols.map(c => col(c).as(s"__s_$c")) :+ col("__s_hash"): _*)
-    val t = tgt.select(outCols.map(col): _*)
-    val joined = t.join(hashed,
-      keys.map(k => t(k) === hashed(s"__s_$k")).reduce(_ && _), "full_outer")
-
-    val isInsert = col("id").isNull // tgt side absent (tgt always carries id)
-    val isUpdate = col("id").isNotNull && col("__s_hash").isNotNull &&
-      col("row_hash") =!= col("__s_hash")
-    val changed = isInsert || isUpdate
-
-    // Insert ids: AUTO_INCREMENT semantics (sync_ALL.py:234), deterministic
-    // by key order — the rank runs in the isInsert partition only, so the
-    // single-partition sort covers the insert sliver, not the corpus. For
+    // Insert ids: key-ordered rank (AUTO_INCREMENT semantics,
+    // sync_ALL.py:234) — the single-partition sort covers the insert
+    // sliver only (the window input is the anti-join output). For
     // insert-heavy backfills use [[applyBulk]].
-    val insRank = row_number().over(
-      Window.partitionBy(isInsert).orderBy(keys.map(k => col(s"__s_$k")): _*))
-    joined
+    val inserted = insertRows(src, tgt, keys, dataCols, now)
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(keys.map(col): _*)).cast("long"))
       .crossJoin(broadcast(tgt.agg(coalesce(max(col("id")), lit(0L)).as("__max_id"))))
-      .withColumn("__rn", insRank.cast("long"))
-      .select(dataCols.map(c =>
-        when(changed, col(s"__s_$c")).otherwise(col(c)).as(c)) ++ Seq(
-        when(isInsert, col("__max_id") + col("__rn")).otherwise(col("id")).as("id"),
-        when(changed, col("__s_hash")).otherwise(col("row_hash")).as("row_hash"),
-        when(isInsert, now).otherwise(col("created_at")).as("created_at"),
-        when(changed, now).otherwise(col("updated_at")).as("updated_at")): _*)
+      .withColumn("id", col("__max_id") + col("__rn"))
+      .select(outCols.map(col): _*)
+    keptOrUpdated(src, tgt, keys, dataCols, now)
+      .select(outCols.map(col): _*).unionByName(inserted)
   }
 
   /** As [[apply]] but for insert-heavy backfills: insert ids are minted with
@@ -137,40 +114,53 @@ object Merge {
                 now: Column = current_timestamp()): DataFrame = {
     val dataCols = src.columns.filterNot(AuditCols.contains).toSeq
     val outCols = dataCols ++ AuditCols
-
-    // Same one-full-outer-join shape as [[apply]]; the insert branch splits
-    // off for RDD zipWithIndex minting (no single-partition window).
-    val hashed = src.select(dataCols.map(col): _*)
-      .withColumn("__s_hash", RowHash.rowHash(dataCols))
-      .select(dataCols.map(c => col(c).as(s"__s_$c")) :+ col("__s_hash"): _*)
-    val t = tgt.select(outCols.map(col): _*)
-    val joined = t.join(hashed,
-      keys.map(k => t(k) === hashed(s"__s_$k")).reduce(_ && _), "full_outer")
-    val isUpdate = col("__s_hash").isNotNull && col("row_hash") =!= col("__s_hash")
-
-    val keptOrUpdated = joined.filter(col("id").isNotNull)
-      .select(dataCols.map(c =>
-        when(isUpdate, col(s"__s_$c")).otherwise(col(c)).as(c)) ++ Seq(
-        col("id"),
-        when(isUpdate, col("__s_hash")).otherwise(col("row_hash")).as("row_hash"),
-        col("created_at"),
-        when(isUpdate, now).otherwise(col("updated_at")).as("updated_at")): _*)
-
     // one driver-side scalar (max id) — the only action; then distributed
     // zipWithIndex minting with no global sort
     val maxIdVal = tgt.agg(coalesce(max(col("id")), lit(0L)).as("m"))
       .head().getLong(0)
     val inserted = graft.pipeline.Sinks.withDenseId(
-        joined.filter(col("id").isNull)
-          .select(dataCols.map(c => col(s"__s_$c").as(c)) :+
-            col("__s_hash").as("row_hash"): _*)
-          .withColumn("created_at", now)
-          .withColumn("updated_at", now),
-        offset = maxIdVal)
+        insertRows(src, tgt, keys, dataCols, now), offset = maxIdVal)
       .select(outCols.map(col): _*)
-
-    keptOrUpdated.select(outCols.map(col): _*).unionByName(inserted)
+    keptOrUpdated(src, tgt, keys, dataCols, now)
+      .select(outCols.map(col): _*).unionByName(inserted)
   }
+
+  /** Kept + updated rows in ONE left-outer pass over the target:
+    *   tgt-only row        -> kept byte-identical (no-delete)
+    *   match, hash equal   -> kept byte-identical (skip)
+    *   match, hash differs -> update: source data, target id/created_at,
+    *                          refreshed hash, bumped updated_at
+    * (The former classify-then-filter×3 form re-ran the SHA-256 classify
+    * join once per output branch plus an anti-join — 4 passes.)
+    */
+  private def keptOrUpdated(src: DataFrame, tgt: DataFrame, keys: Seq[String],
+                            dataCols: Seq[String], now: Column): DataFrame = {
+    val hashed = src.select(dataCols.map(col): _*)
+      .withColumn("__s_hash", RowHash.rowHash(dataCols))
+      .select(dataCols.map(c => col(c).as(s"__s_$c")) :+ col("__s_hash"): _*)
+    val t = tgt.select((dataCols ++ AuditCols).map(col): _*)
+    val joined = t.join(hashed,
+      keys.map(k => t(k) === hashed(s"__s_$k")).reduce(_ && _), "left_outer")
+    val isUpdate = col("__s_hash").isNotNull && col("row_hash") =!= col("__s_hash")
+    joined.select(dataCols.map(c =>
+        when(isUpdate, col(s"__s_$c")).otherwise(col(c)).as(c)) ++ Seq(
+        col("id"),
+        when(isUpdate, col("__s_hash")).otherwise(col("row_hash")).as("row_hash"),
+        col("created_at"),
+        when(isUpdate, now).otherwise(col("updated_at")).as("updated_at")): _*)
+  }
+
+  /** Insert rows (no id yet) from a key-only anti-join: the target scan is
+    * column-pruned to the keys and the SHA-256 hash runs over the insert
+    * sliver only, not the whole source.
+    */
+  private def insertRows(src: DataFrame, tgt: DataFrame, keys: Seq[String],
+                         dataCols: Seq[String], now: Column): DataFrame =
+    src.select(dataCols.map(col): _*)
+      .join(tgt.select(keys.map(col): _*), keys, "left_anti")
+      .withColumn("row_hash", RowHash.rowHash(dataCols))
+      .withColumn("created_at", now)
+      .withColumn("updated_at", now)
 
   /** S10 at merge time: align the target to an evolved source before
     * [[apply]] — any data column the source added is created on the target

@@ -119,6 +119,10 @@ object Similarity {
     dims.groupBy("id").agg(exprs.head, exprs.tail: _*)
   }
 
+  /** NOT a lazy plan builder: runs the projection/banding jobs eagerly and
+    * leaves the candidate id-pair frame persisted (see
+    * [[graft.operators.Dedup.minHashCandidates]] for the rationale).
+    */
   def annLsh(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
              bands: Int = 8, bitsPerBand: Int = 12,
              minCosine: Double = 0.9): DataFrame = {
@@ -218,17 +222,20 @@ object Similarity {
                      dim: Int, queryId: Long, k: Int,
                      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val idx = spark.read.parquet(path)
-    val qVec = idx.filter(col("id") === queryId).select("v")
-      .head().getSeq[Float](0).toArray
+    // ONE column-pruned lookup of the query row (its cell is unknown before
+    // reading it, so this scan can't partition-prune — everything after
+    // it does); the vector then rides along as a literal.
+    val qRows = idx.filter(col("id") === queryId).select("v").take(1)
+    require(qRows.nonEmpty, s"ivfTopKIndexed: query id $queryId not in index $path")
+    val qVec = qRows(0).getSeq[Float](0).toArray
     val probeCells = (0 until nCentroids).map { c =>
       val plane = hyperplane(c, 63, dim)
       c -> qVec.iterator.zip(plane.iterator).map { case (x, h) => x * h }.sum
     }.sortBy(-_._2).take(nProbe).map(_._1)
-    val q = idx.filter(col("id") === queryId).select(col("v").as("__qvec")).limit(1)
     idx.filter(col("cell").isin(probeCells: _*))
       .filter(col("id") =!= queryId)
-      .crossJoin(broadcast(q))
-      .select(col("id"), dotQuantized(col("v"), col("__qvec")).as("score"))
+      .select(col("id"), dotQuantized(col("v"),
+        typedlit(qVec.toSeq)).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }

@@ -81,9 +81,13 @@ object Runner {
             val tgt = Merge.evolveTarget(bare, spark.read.parquet(path))
             // Merge.apply emits data-then-audit column order; keep the
             // stored layout stable across runs (evolved columns append).
+            // A column the SOURCE dropped is absent from the merge output —
+            // the stored schema follows the source (the source of truth),
+            // intersecting here instead of failing the table forever.
             val merged = Merge.apply(bare, tgt, spec.keys)
-              .select(tgt.columns.map(org.apache.spark.sql.functions.col): _*)
-            Sinks.overwriteViaStaging(merged, path)
+            val keep = tgt.columns.filter(merged.columns.contains)
+            Sinks.overwriteViaStaging(
+              merged.select(keep.map(org.apache.spark.sql.functions.col): _*), path)
           }
         TableResult(spec.name, rows, None)
       } catch {

@@ -55,10 +55,21 @@ object Sinks {
     fs.delete(staging, true)
     df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(staging, target)
+    // HDFS rename returns false instead of throwing (e.g. destination
+    // recreated concurrently) — check every step and keep the previous
+    // table at __old until the swap is verified, so a failed swap never
+    // destroys the only copy.
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(
+        s"overwriteViaStaging: could not move current table $target aside")
+    if (!fs.rename(staging, target)) {
+      if (fs.exists(old)) fs.rename(old, target) // restore previous table
+      throw new java.io.IOException(
+        s"overwriteViaStaging: could not move staged data into place at $target")
+    }
+    val n = countVerify(spark, path)
     fs.delete(old, true)
-    countVerify(spark, path)
+    n
   }
 
   /** S9: drop table (clean_all_tables.py:43-48). */
@@ -85,15 +96,20 @@ object Sinks {
     * `inferSchema` stays off on purpose — name/DDL-based typing
     * (`TypeInference`) is applied downstream exactly like the reference's
     * load path, so a malformed cell degrades to NULL via `try_cast`
-    * instead of poisoning the inferred column type. At 100 TB the scan is
-    * splittable per file (no multiLine), parallel per-line parse.
+    * instead of poisoning the inferred column type.
+    * `multiLine = true` matches `csv.DictReader` byte-for-byte on quoted
+    * fields with embedded newlines (memo columns) but makes each file a
+    * single split; `false` (default) keeps the scan line-splittable — the
+    * 100 TB setting, for sources known to be newline-free.
     * Note Spark's CSV reader yields NULL for unquoted empty fields where
     * DictReader yields "" — equivalent after C7 empty→NULL normalization.
     */
-  def csvScan(spark: SparkSession, path: String): DataFrame =
+  def csvScan(spark: SparkSession, path: String,
+              multiLine: Boolean = false): DataFrame =
     spark.read
       .option("header", "true")
       .option("escape", "\"")
+      .option("multiLine", multiLine.toString)
       .csv(path)
 
   /** S5b: date-partitioned sink with dynamic partition overwrite — the
