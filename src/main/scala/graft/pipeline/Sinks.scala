@@ -72,6 +72,23 @@ object Sinks {
     n
   }
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ceil(bytes / targetFileMB) files and swap it in via
+    * [[overwriteViaStaging]]. Incremental merges and streaming
+    * foreachBatch sinks accrete small files; at 100 TB unbounded file
+    * counts poison scan planning (one task per tiny file) and NameNode /
+    * object-store metadata. Sizing uses the on-disk (compressed) length,
+    * so output files land near `targetFileMB` for a same-codec rewrite.
+    */
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128): Long = {
+    val p = new Path(path)
+    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+    val parts = math.max(1L, (bytes + (targetFileMB.toLong << 20) - 1) /
+      (targetFileMB.toLong << 20)).toInt
+    overwriteViaStaging(spark.read.parquet(path).repartition(parts), path)
+  }
+
   /** S9: drop table (clean_all_tables.py:43-48). */
   def drop(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)

@@ -80,6 +80,17 @@ class SinksSpec extends SparkSpec {
     assert(out == Set(("2025-01", 1, "jan"), ("2025-02", 9, "feb2")))
   }
 
+  test("compact: collapses a many-small-file table, data intact") {
+    val p = tmp()
+    val df = spark.range(1000).toDF("x")
+    df.repartition(40).write.parquet(p) // 40 tiny files
+    def files = new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(files >= 40)
+    assert(Sinks.compact(spark, p) == 1000L)
+    assert(files == 1) // ~10KB of data => one target-size file
+    assert(spark.read.parquet(p).as[Long].collect().sorted.toSeq == (0L until 1000L))
+  }
+
   test("syncIncremental: bootstrap, then no-change re-runs are byte-stable") {
     val base = tmp()
     val specs = Seq(
