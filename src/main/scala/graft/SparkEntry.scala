@@ -111,6 +111,9 @@ object SparkEntry {
     "q_a2_pivot_wide" -> ((s, d) =>
       Aggregates.monthStatePivot(t(s, d, "lineitem"), "l_shipdate", "l_returnflag",
         Seq("A", "N", "R")).orderBy("month")),
+    "q_a2_rollup" -> ((s, d) =>
+      Aggregates.monthStateRollup(t(s, d, "lineitem"), "l_shipdate",
+        "l_returnflag", "l_extendedprice").orderBy("month", "state")),
     "q_a3_value_counts" -> ((s, d) =>
       Aggregates.valueCounts(t(s, d, "events"), col("event_type")).orderBy("value")),
     "q_a4_global_sums" -> ((s, d) =>
@@ -392,6 +395,12 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem WHERE l_shipdate IS NOT NULL
         |GROUP BY 1, 2 ORDER BY month, state""".stripMargin,
+    "q_a2_rollup" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag AS state,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_amt
+        |FROM lineitem WHERE l_shipdate IS NOT NULL
+        |GROUP BY ROLLUP(1, 2) ORDER BY month, state""".stripMargin,
     "q_a2_pivot_wide" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month,
         |  count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS A,

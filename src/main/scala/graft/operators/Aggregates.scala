@@ -36,6 +36,22 @@ object Aggregates {
       .agg(count(lit(1)))
       .na.fill(0)
 
+  /** A1+A2+A8 in ONE pass: `ROLLUP(month, state)` emits the per-
+    * (month, state) cells, the per-month subtotals (state NULL) and the
+    * grand total (both NULL) from a single shuffle. The reference computes
+    * these as three separate dict scans
+    * (compare_historico_mensual.py:76-127); at 100 TB this collapses three
+    * corpus passes into one partial-aggregated exchange whose width is the
+    * rollup-cell count.
+    */
+  def monthStateRollup(df: DataFrame, dateCol: String, stateCol: String,
+                       amountCol: String): DataFrame =
+    df.filter(col(dateCol).isNotNull)
+      .rollup(date_format(col(dateCol), "yyyy-MM").as("month"),
+        col(stateCol).as("state"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(amountCol).cast("decimal(18,4)")).cast("double").as("sum_amt"))
+
   /** A4: global money sums + derived debt = charged - paid
     * (compare_noviembre_2025.py:168-190). DECIMAL end-to-end: exact,
     * partition-order-independent, oracle-reproducible.

@@ -16,7 +16,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Runner {
 
-  final case class TableResult(table: String, rows: Long, error: Option[String])
+  final case class TableResult(table: String, rows: Long, error: Option[String],
+                               mode: String = "")
 
   /** Build the loaded (pre-sink) frame for one table spec: filters +
     * optional semi-join + audit columns (hash over ALL pre-audit columns —
@@ -61,11 +62,13 @@ object Runner {
 
   /** The reference's incremental entry end to end
     * (sync_INCREMENTAL.py:509-558): per table — full refresh when the spec
-    * says so OR the target doesn't exist yet (bootstrap); hash-diff merge
-    * into the existing parquet state otherwise (schema-evolving the target
-    * first), committed via a staging swap because the merge plan reads the
-    * path it replaces — with per-table error isolation and a count-verified
-    * summary, like the reference's RESUMEN FINAL.
+    * says so, when the configured key proves unreliable (duplicate keys →
+    * same fallback as sync_INCREMENTAL.py:46-48), or on bootstrap;
+    * hash-diff merge into the existing parquet state otherwise
+    * (schema-evolving the target first), committed via a staging swap
+    * because the merge plan reads the path it replaces — with per-table
+    * error isolation and a count-verified summary (`TableResult.mode`
+    * records which path ran), like the reference's RESUMEN FINAL.
     */
   def syncIncremental(spark: SparkSession, sfDir: String, specs: Seq[TableSpec],
                       basePath: String): Seq[TableResult] =
@@ -73,9 +76,16 @@ object Runner {
       val path = s"$basePath/${spec.name}"
       try {
         val src = loadTable(spark, sfDir, spec)
-        val rows =
-          if (spec.refreshMode == RefreshMode.FullRefresh || !Sinks.exists(spark, path))
-            Sinks.fullRefresh(src, path)
+        // The reference falls back to full refresh for tables whose
+        // configured key turns out unreliable (sync_INCREMENTAL.py:46-48,
+        // 270-343); duplicate keys would fan out the classify join.
+        val keyUnreliable = spec.refreshMode == RefreshMode.Incremental &&
+          Merge.duplicateKeyAudit(src, spec.keys).limit(1).count() > 0
+        val (rows, mode) =
+          if (spec.refreshMode == RefreshMode.FullRefresh ||
+              keyUnreliable || !Sinks.exists(spark, path))
+            (Sinks.fullRefresh(src, path),
+              if (keyUnreliable) "full_refresh_fallback_dup_keys" else "full_refresh")
           else {
             val bare = src.drop("id", "row_hash", "created_at", "updated_at")
             val tgt = Merge.evolveTarget(bare, spark.read.parquet(path))
@@ -86,10 +96,11 @@ object Runner {
             // intersecting here instead of failing the table forever.
             val merged = Merge.apply(bare, tgt, spec.keys)
             val keep = tgt.columns.filter(merged.columns.contains)
-            Sinks.overwriteViaStaging(
-              merged.select(keep.map(org.apache.spark.sql.functions.col): _*), path)
+            (Sinks.overwriteViaStaging(
+              merged.select(keep.map(org.apache.spark.sql.functions.col): _*), path),
+              "incremental")
           }
-        TableResult(spec.name, rows, None)
+        TableResult(spec.name, rows, None, mode)
       } catch {
         case e: Exception => TableResult(spec.name, -1, Some(e.toString))
       }

@@ -112,6 +112,20 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("syncIncremental falls back to full refresh when the key has duplicates") {
+    val base = tmp()
+    // lineitem's (l_orderkey) is NOT unique — the reference's PlaCobranzas case
+    val specs = Seq(TableSpec("lineitem", keys = Seq("l_orderkey"),
+      refreshMode = RefreshMode.Incremental))
+    val r = Runner.syncIncremental(spark, "/root/testdata/sf0.001", specs, base)
+    assert(r.head.error.isEmpty, r.head.toString)
+    assert(r.head.mode == "full_refresh_fallback_dup_keys")
+    // second run takes the same fallback (target exists, key still dup)
+    val r2 = Runner.syncIncremental(spark, "/root/testdata/sf0.001", specs, base)
+    assert(r2.head.mode == "full_refresh_fallback_dup_keys")
+    assert(r2.head.rows == r.head.rows)
+  }
+
   test("Runner end-to-end: full refresh then incremental merge is idempotent") {
     // orders: unique natural key. (The synthetic lineitem has duplicate
     // (l_orderkey, l_linenumber) pairs — a full-refresh-only table, like the
