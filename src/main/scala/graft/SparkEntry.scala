@@ -259,6 +259,9 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")).as("fp"),
           TextAnalysis.rollingHash(col("text")).as("rh"))
         .orderBy("doc_id")),
+    "q_text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdf(t(s, d, "documents"), "doc_id", "text")
+        .filter(col("id") < 20).orderBy("id", "term")),
     // ---- similarity search ----------------------------------------------
     "q_sim_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -615,6 +618,18 @@ object SparkEntry {
         |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
         |  FROM documents) base
         |ORDER BY doc_id""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, t.term
+        |  FROM documents, unnest(regexp_split_to_array(lower(text), '\s+')) AS t(term)
+        |  WHERE t.term <> ''
+        |), tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT id) AS n_docs FROM tf)
+        |SELECT tf.id, tf.term, tf.tf, dfreq.dfreq,
+        |  tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.dfreq AS DOUBLE)) AS tfidf
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |WHERE tf.id < 20 ORDER BY id, term""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  sha256(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

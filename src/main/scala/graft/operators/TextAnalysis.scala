@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis operators for training-data pipelines: token counting,
@@ -75,6 +75,26 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     sha2(trim(lower(regexp_replace(text, "\\s+", " "))), 256)
+
+  /** TF-IDF per (doc, term) with corpus-wide statistics: one token explode,
+    * two hash-aggregates (term frequency per doc, document frequency per
+    * term) and a term-keyed join — no per-doc vocabulary state, so the
+    * shape survives any corpus size; the doc-count scalar rides along as a
+    * broadcast. `idf = ln(N / df)` in IEEE doubles — cross-engine
+    * reproducible (oracle-checked against DuckDB).
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(words(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val nDocs = tf.select(countDistinct(col("id")).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf") *
+        log(col("n_docs").cast("double") / col("dfreq").cast("double")))
+      .select("id", "term", "tf", "dfreq", "tfidf")
+  }
 
   /** Rolling polynomial hash (Rabin-Karp style) over characters, mod 1e9+7:
     * an order-sensitive fingerprint built as an array fold — still pure

@@ -44,6 +44,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("tfIdf: ubiquitous terms score zero, rare terms ln(N/df)") {
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdf(docs, "doc_id", "text")
+      .select("id", "term", "tf", "tfidf")
+      .as[(Long, String, Long, Double)].collect()
+      .map { case (i, t, f, s) => (i, t) -> ((f, s)) }.toMap
+    assert(got((1L, "a"))._1 == 2L && got((1L, "a"))._2 == 0.0) // df=N => idf 0
+    assert(got((2L, "a")) == ((1L, 0.0)))
+    assert(got((1L, "b")) == ((1L, math.log(2.0))))
+    assert(got((2L, "c")) == ((1L, math.log(2.0))))
+  }
+
   test("rollingHash matches the reference fold and is order-sensitive") {
     def rh(s: String): Long =
       s.foldLeft(7L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
