@@ -275,6 +275,16 @@ object SparkEntry {
     "q_sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         queryId = 1, k = 20, nCentroids = 16, nProbe = 4)),
+    // Persisted-index probe (rows-only check): writes the cell-partitioned
+    // index to a temp dir, then partition-prunes the probe to nProbe cells.
+    "q_sim_ivf_indexed" -> ((s, d) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        s"/graft-ivf-${math.abs(d.hashCode)}"
+      Similarity.ivfWriteIndex(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, nCentroids = 16, path = path)
+      Similarity.ivfTopKIndexed(s, path, dim = 64, queryId = 1, k = 20,
+        nCentroids = 16, nProbe = 4)
+    }),
     // ---- multimodal -----------------------------------------------------
     "q_mm_asset_meta" -> ((s, d) =>
       Multimodal.withAssetMetadata(
