@@ -259,6 +259,8 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")).as("fp"),
           TextAnalysis.rollingHash(col("text")).as("rh"))
         .orderBy("doc_id")),
+    "q_text_top_ngrams" -> ((s, d) =>
+      TextAnalysis.topNgrams(t(s, d, "documents"), "doc_id", "text", n = 3, k = 50)),
     "q_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdf(t(s, d, "documents"), "doc_id", "text")
         .filter(col("id") < 20).orderBy("id", "term")),
@@ -628,6 +630,22 @@ object SparkEntry {
         |    len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
         |  FROM documents) base
         |ORDER BY doc_id""".stripMargin,
+    "q_text_top_ngrams" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS arr
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, r.i AS ord, arr[r.i] AS term
+        |  FROM docs, unnest(range(1, len(arr) + 1)) AS r(i)
+        |), grams AS (
+        |  SELECT term || ' ' || lead(term, 1) OVER w
+        |           || ' ' || lead(term, 2) OVER w AS gram
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+        |)
+        |SELECT gram, count(*) AS n FROM grams WHERE gram IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, gram LIMIT 50""".stripMargin,
     "q_text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, t.term

@@ -96,6 +96,31 @@ object TextAnalysis {
       .select("id", "term", "tf", "dfreq", "tfidf")
   }
 
+  /** Top-k frequent word n-grams across the corpus: posexplode tokens,
+    * window-`lead` the next n-1 tokens (codegen'd — same shape as the
+    * MinHash shingle pipeline), null-propagating concat (a doc shorter than
+    * n words yields no gram), hash-aggregate, top-k with a deterministic
+    * gram tiebreak. One shuffle keyed by doc id + one by gram; the top-k is
+    * a TakeOrdered, never a global sort.
+    */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String,
+                n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(words(lower(col(textCol)))))
+      .withColumnRenamed("col", "t0")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until n).map(j => lead(col("t0"), j).over(w).as(s"t$j"))
+    val parts = (0 until n).flatMap(j =>
+      if (j == 0) Seq(col("t0")) else Seq(lit(" "), col(s"t$j")))
+    toks.select(Seq(col("id"), col("t0")) ++ leads: _*)
+      .select(concat(parts: _*).as("gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram").asc)
+      .limit(k)
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style) over characters, mod 1e9+7:
     * an order-sensitive fingerprint built as an array fold — still pure
     * codegen. Distinguishes permuted texts that a bag-of-words hash merges.

@@ -56,6 +56,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got((2L, "c")) == ((1L, math.log(2.0))))
   }
 
+  test("topNgrams counts cross-doc bigrams; short docs yield no gram") {
+    val docs = Seq((1L, "to be or not to be"), (2L, "to be"), (3L, "be"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(docs, "doc_id", "text", n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    // "to be" appears 3x: twice in doc 1 (positions 1 and 5), once in doc 2
+    assert(got.head == ("to be", 3L))
+    assert(got.map(_._1).contains("be or"))
+  }
+
   test("rollingHash matches the reference fold and is order-sensitive") {
     def rh(s: String): Long =
       s.foldLeft(7L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
