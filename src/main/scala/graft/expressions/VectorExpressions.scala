@@ -165,6 +165,104 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All LSH band signatures of a vector in ONE codegen'd pass: for each band,
+  * `bitsPerBand` hyperplane sign bits packed into a long; returns
+  * `array<bigint>` of length `planes.length / bitsPerBand`. The hyperplane
+  * matrix is a driver-side constant shipped once per task via the codegen
+  * reference table — the per-row work is a pure fused multiply-add nest, no
+  * explode, no aggregate, no shuffle (the former explode + 96-buffer
+  * hash-aggregate shape shuffled a row per vector element).
+  */
+case class LshBandSignatures(child: Expression, planes: Array[Array[Double]],
+                             bitsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.nonEmpty && planes.length % bitsPerBand == 0,
+    s"planes (${planes.length}) must be a multiple of bitsPerBand ($bitsPerBand)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_signatures"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric array argument, got ${other.catalogString}")
+  }
+
+  private def elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  private def nBands: Int = planes.length / bitsPerBand
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sigs = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var sig = 0L
+      var t = 0
+      while (t < bitsPerBand) {
+        val plane = planes(b * bitsPerBand + t)
+        val n = math.min(arr.numElements(), plane.length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i)) dot += (elem match {
+            case FloatType   => arr.getFloat(i).toDouble
+            case DoubleType  => arr.getDouble(i)
+            case IntegerType => arr.getInt(i).toDouble
+            case LongType    => arr.getLong(i).toDouble
+            case ShortType   => arr.getShort(i).toDouble
+            case ByteType    => arr.getByte(i).toDouble
+            case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+            case other => throw new IllegalStateException(s"unsupported element type $other")
+          }) * plane(i)
+          i += 1
+        }
+        if (dot > 0) sig |= 1L << t
+        t += 1
+      }
+      sigs(b) = sig
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val sigs = ctx.freshName("sigs")
+      val b = ctx.freshName("b")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val sig = ctx.freshName("sig")
+      val plane = ctx.freshName("plane")
+      s"""
+         |long[] $sigs = new long[$nBands];
+         |for (int $b = 0; $b < $nBands; $b++) {
+         |  long $sig = 0L;
+         |  for (int $t = 0; $t < $bitsPerBand; $t++) {
+         |    double[] $plane = $planesRef[$b * $bitsPerBand + $t];
+         |    int $n = java.lang.Math.min($v.numElements(), $plane.length);
+         |    double $dot = 0.0d;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if (!$v.isNullAt($i)) {
+         |        $dot += ((double) ${CodeGenerator.getValue(v, elem, i)}) * $plane[$i];
+         |      }
+         |    }
+         |    if ($dot > 0) $sig |= 1L << $t;
+         |  }
+         |  $sigs[$b] = $sig;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrappers (classic API). */
   def quantizedDot(a: Column, b: Column, scale: Int = 1000): Column =
@@ -174,4 +272,9 @@ object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def lshBandSignatures(vec: Column, planes: Array[Array[Double]],
+                        bitsPerBand: Int): Column =
+    GraftBridge.column(LshBandSignatures(
+      GraftBridge.expression(vec), planes, bitsPerBand))
 }

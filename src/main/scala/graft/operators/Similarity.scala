@@ -101,24 +101,6 @@ object Similarity {
     * never shuffles the embedding payload. Recall rises with `bands` at
     * linear cost. Skewed buckets (duplicate-heavy corpora) re-split via AQE.
     */
-  /** All bands*bitsPerBand hyperplane projections via a single explode +
-    * codegen'd hash-aggregate: one row per (id, dim), then one
-    * `sum(x * element_at(plane_j, pos))` per projection. The per-row
-    * zip_with/aggregate fold form runs interpreted (HOFs sit outside
-    * whole-stage codegen); this shape keeps every multiply-add codegen'd and
-    * its shuffle is one (bands×bits)-double row per vector per partition.
-    */
-  private def projections(base: DataFrame, dim: Int,
-                          bands: Int, bitsPerBand: Int): DataFrame = {
-    val dims = base.select(col("id"), posexplode(col("v")))
-      .withColumnRenamed("pos", "i").withColumnRenamed("col", "x")
-    val exprs = for (b <- 0 until bands; t <- 0 until bitsPerBand) yield {
-      val plane = array(hyperplane(b, t, dim).map(lit): _*)
-      sum(col("x").cast("double") * element_at(plane, col("i") + 1)).as(s"p_${b}_$t")
-    }
-    dims.groupBy("id").agg(exprs.head, exprs.tail: _*)
-  }
-
   /** NOT a lazy plan builder: runs the projection/banding jobs eagerly and
     * leaves the candidate id-pair frame persisted (see
     * [[graft.operators.Dedup.minHashCandidates]] for the rationale).
@@ -127,16 +109,18 @@ object Similarity {
              bands: Int = 8, bitsPerBand: Int = 12,
              minCosine: Double = 0.9): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val proj = projections(base, dim, bands, bitsPerBand)
-    val bandSigs = (0 until bands).map { b =>
-      (0 until bitsPerBand).map(t =>
-        when(col(s"p_${b}_$t") > 0, lit(1L << t)).otherwise(lit(0L))).reduce(_ + _)
-    }
-    // The self-join references the projection aggregate on both sides and
-    // Spark does not reuse the exchange across them — pin the banded
-    // signatures ((id, band, sig): 24 B × bands per vector, no payload)
-    // so the bands×bits multiply-add aggregation runs once over the corpus.
-    val banded = proj.select(col("id"), posexplode(array(bandSigs: _*)))
+    // All band signatures per vector from the native codegen'd expression:
+    // a pure map over the scan (the former explode + bands×bits-buffer
+    // hash-aggregate paid a shuffle keyed by id).
+    val planes = Array.tabulate(bands * bitsPerBand)(j =>
+      hyperplane(j / bitsPerBand, j % bitsPerBand, dim))
+    // The self-join references the signature map on both sides and Spark
+    // does not reuse the exchange across them — pin the banded signatures
+    // ((id, band, sig): 24 B × bands per vector, no payload) so the
+    // multiply-add nest runs once over the corpus.
+    val banded = base.select(col("id"), posexplode(
+        graft.expressions.VectorExpressions.lshBandSignatures(
+          col("v"), planes, bitsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = banded.select(col("band"), col("sig"), col("id").as("id_a"))

@@ -46,6 +46,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(withNull.select(cosineSim(col("a"), col("b"))).collect().head.isNullAt(0))
   }
 
+  test("lshBandSignatures: sign semantics, band count, codegen/interpreted parity") {
+    val planes = Array(
+      Array(1.0, 0.0),  // band 0 bit 0: sign of x
+      Array(0.0, 1.0),  // band 0 bit 1: sign of y
+      Array(-1.0, 0.0), // band 1 bit 0: sign of -x
+      Array(1.0, 1.0))  // band 1 bit 1: sign of x+y
+    val df = Seq((1L, Array(2.0f, -3.0f))).toDF("id", "v")
+    val sigs = df.select(lshBandSignatures(col("v"), planes, 2).as("s"))
+      .as[Seq[Long]].head()
+    // band 0: x>0 -> bit0; y<0 -> no bit1 => 1. band 1: -x<0; x+y<0 => 0.
+    assert(sigs == Seq(1L, 0L))
+    // interpreted path (expression eval outside codegen) agrees
+    val interpreted = graft.expressions.LshBandSignatures(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(2.0f, -3.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      planes, 2)
+    val got = interpreted.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeArrayData]
+    assert(got.toLongArray.toSeq == Seq(1L, 0L))
+  }
+
   test("expressions run inside whole-stage codegen (no interpreted fallback)") {
     // non-foldable input (range), else the optimizer folds everything locally
     val df = spark.range(1, 2)
