@@ -128,20 +128,26 @@ object Dedup {
                         shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                         minJaccard: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    // The band-bucket self-join references the signature pipeline on BOTH
-    // sides and Spark does not reuse the exchange across them (verified in
-    // the plan) — persist the signatures (k longs per doc, ~256 B/doc: tiny
-    // next to the corpus; the same trade Spark ML's MinHashLSH makes) so the
-    // expensive token-window aggregation runs once, and free them as soon as
-    // the candidate pairs are materialized below.
-    val sigs = minHashSignatures(df, idCol, textCol, shingleN, k)
+    // Signatures come from the native one-pass-per-row expression (no token
+    // explode, no window, no aggregate — the signature stage shuffles
+    // nothing). The band-bucket self-join references them on BOTH sides and
+    // Spark does not reuse the exchange across them (verified in the plan) —
+    // persist the signatures (k longs per doc, ~256 B/doc: tiny next to the
+    // corpus; the same trade Spark ML's MinHashLSH makes) so the signature
+    // map runs once, and free them as soon as the candidate pairs are
+    // materialized below.
+    val sigs = df.select(col(idCol).as("id"),
+        graft.expressions.TextHashExpressions
+          .minHashSignature(col(textCol), shingleN, k).as("sig"))
+      .filter(col("sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band-bucket join carries ONLY (band, bucket, id) — shingle arrays would
     // multiply the shuffle width by bands×; they re-attach to the (tiny)
     // candidate pair set below instead.
     val banded = sigs
       .select(col("id"), posexplode(array((0 until bands).map(b =>
-        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i")): _*)): _*)))
+        hash((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1)): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // pairs is referenced three times below (two re-attach joins + candIds);
     // persisting it (id pairs only — tiny even at 100 TB) stops Spark from

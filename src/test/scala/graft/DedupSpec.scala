@@ -46,6 +46,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("native minHashSignature: k mins, identical texts agree, short text null") {
+    import graft.expressions.TextHashExpressions.minHashSignature
+    val df = Seq((1L, "the quick brown fox jumps"),
+        (2L, "THE  quick\tbrown fox jumps"), // case/whitespace-insensitive
+        (3L, "too short")).toDF("id", "text")
+    val rows = df.select(col("id"), minHashSignature(col("text"), 3, 8).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(rows(1L) != null && rows(1L).length == 8)
+    assert(rows(1L) == rows(2L)) // same token stream => same signature
+    assert(rows(3L) == null)     // < shingleN tokens => no signature
+  }
+
   test("simHashGroups groups exact duplicates; near-dups are Hamming-close") {
     val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
       .as[(Long, Long)].collect().toMap
