@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object MinHashOps {
   def compute(text: UTF8String, shingleN: Int, k: Int): ArrayData = {
-    val toks = text.toString.toLowerCase.split("\\s+")
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     // count non-empty tokens without allocating a filtered copy
     var nTok = 0
     var i = 0
@@ -54,6 +54,42 @@ object MinHashOps {
   }
 }
 
+/** Native SimHash: tokenize + 64 bit-votes over per-token xxhash64 in one
+  * pass per row. Token hash is `XXH64.hashUTF8String(tok, 42)` — the exact
+  * primitive behind Spark's `xxhash64(col)` — so the values are
+  * bit-identical to the relational explode + 64-conditional-sum aggregate
+  * form (`Dedup.simHashSignatures` history) while shuffling nothing.
+  * Returns null for a text with no tokens.
+  */
+object SimHashOps {
+  def compute(text: UTF8String): java.lang.Long = {
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val votes = new Array[Int](64)
+    var any = false
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        any = true
+        val h = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return null
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
 object TextHashExpressions {
   /** `array<bigint>` of k MinHash values for `text`, or null below
     * `shingleN` tokens. One static call per row inside codegen.
@@ -65,6 +101,17 @@ object TextHashExpressions {
       "compute",
       Seq(GraftBridge.expression(text), Literal(shingleN), Literal(k)),
       inputTypes = Seq(StringType, IntegerType, IntegerType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** 64-bit SimHash of `text`, or null when the text has no tokens. */
+  def simHash(text: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      SimHashOps.getClass,
+      LongType,
+      "compute",
+      Seq(GraftBridge.expression(text)),
+      inputTypes = Seq(StringType),
       propagateNull = true,
       returnNullable = true))
 }

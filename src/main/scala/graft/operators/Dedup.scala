@@ -203,24 +203,18 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** SimHash signatures via explode + codegen'd hash-aggregate: one row per
-    * (doc, token), then 64 conditional-sum bit votes with STATIC shift
-    * amounts (all inside whole-stage codegen), packed back into one long.
-    * Identical values to [[simHash]]; same values, ~10× faster per row, and
-    * the shuffle carries one 64-long partial-agg row per doc per partition.
+  /** SimHash signatures via the native one-pass-per-row expression
+    * ([[graft.expressions.SimHashOps]]): tokenize + 64 bit-votes inside a
+    * single StaticInvoke call from whole-stage codegen — no token explode,
+    * no 64-buffer aggregate, NO shuffle for the signature stage. Values are
+    * bit-identical to both [[simHash]] and the former explode + 64-sum
+    * aggregate form (same per-token xxhash64, same vote rule). Docs with no
+    * tokens are excluded (null signature), as before.
     */
-  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("tok"))
-    val h = xxhash64(col("tok"))
-    val votes = toks.groupBy("id").agg(
-      sum(when(shiftright(h, 0).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("v0"),
-      (1 until 64).map(b =>
-        sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$b")): _*)
-    val sig = (0 until 64).map(b =>
-      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    votes.select(col("id"), sig.as("simhash"))
-  }
+  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.expressions.TextHashExpressions.simHash(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** SimHash dedup groups: docs sharing an identical 64-bit simhash.
     * Docs with no tokens (empty text) have no signature and are excluded.

@@ -59,6 +59,15 @@ class DedupSpec extends SparkSpec {
     assert(rows(3L) == null)     // < shingleN tokens => no signature
   }
 
+  test("native simhash is bit-identical to the expression-fold form") {
+    val df = Seq((1L, "the quick brown fox"), (2L, "  mixed\tCASE text ")).toDF("id", "text")
+    val pairs = df.select(
+        graft.expressions.TextHashExpressions.simHash(col("text")).as("a"),
+        Dedup.simHash(col("text")).as("b"))
+      .as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) => assert(a == b) }
+  }
+
   test("simHashGroups groups exact duplicates; near-dups are Hamming-close") {
     val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
       .as[(Long, Long)].collect().toMap
