@@ -57,6 +57,11 @@ object SparkEntry {
 
   private val mergeNow = to_timestamp(lit("2026-01-01 00:00:00"))
 
+  // Unique per process: concurrent verify/bench runs never race on the
+  // same index directory.
+  private lazy val ivfTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-ivf").toString
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
     "q_f1_eq_filter" -> ((s, d) =>
@@ -278,10 +283,10 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         queryId = 1, k = 20, nCentroids = 16, nProbe = 4)),
     // Persisted-index probe (rows-only check): writes the cell-partitioned
-    // index to a temp dir, then partition-prunes the probe to nProbe cells.
+    // index to a per-process temp dir (no cross-process path races), then
+    // partition-prunes the probe to nProbe cells.
     "q_sim_ivf_indexed" -> ((s, d) => {
-      val path = System.getProperty("java.io.tmpdir") +
-        s"/graft-ivf-${math.abs(d.hashCode)}"
+      val path = s"$ivfTmpDir/${new java.io.File(d).getName}"
       Similarity.ivfWriteIndex(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, nCentroids = 16, path = path)
       Similarity.ivfTopKIndexed(s, path, dim = 64, queryId = 1, k = 20,

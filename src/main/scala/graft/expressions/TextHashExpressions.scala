@@ -14,13 +14,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * dedup shuffles NOTHING (the relational form shuffles one row per token).
   * Hash family: xxhash64 chaining over token hashes (same primitive Spark's
   * `xxhash64` uses); any 64-bit family preserves MinHash semantics.
+  * Lowercasing goes through `UTF8String.toLowerCase` — byte-identical to
+  * Spark's `lower()`, so the native ops tokenize exactly like the
+  * relational forms on every input, ASCII or not.
   *
   * Returns null for a text with fewer than `shingleN` tokens (no complete
   * shingle — such docs cannot be near-dup candidates).
   */
 object MinHashOps {
   def compute(text: UTF8String, shingleN: Int, k: Int): ArrayData = {
-    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val toks = text.toLowerCase.toString.split("\\s+")
     // count non-empty tokens without allocating a filtered copy
     var nTok = 0
     var i = 0
@@ -63,7 +66,7 @@ object MinHashOps {
   */
 object SimHashOps {
   def compute(text: UTF8String): java.lang.Long = {
-    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val toks = text.toLowerCase.toString.split("\\s+")
     val votes = new Array[Int](64)
     var any = false
     var i = 0

@@ -26,7 +26,13 @@ import org.apache.spark.sql.types._
   *  - [[CosineSimilarity]] returns null when either norm is zero.
   */
 private[graft] trait VectorPairExpression extends BinaryExpression {
+  // DecimalType is excluded on purpose: the generated code reads elements
+  // with a primitive (double) cast, which does not compile for Decimal —
+  // callers cast decimal arrays to double first.
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(_: DecimalType, _), _) | (_, ArrayType(_: DecimalType, _)) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName does not support decimal arrays — cast to array<double> first")
     case (ArrayType(l: NumericType, _), ArrayType(r: NumericType, _)) =>
       TypeCheckResult.TypeCheckSuccess
     case _ =>
@@ -184,6 +190,8 @@ case class LshBandSignatures(child: Expression, planes: Array[Array[Double]],
   override def prettyName: String = "lsh_band_signatures"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: DecimalType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName does not support decimal arrays — cast to array<double> first")
     case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires a numeric array argument, got ${other.catalogString}")

@@ -108,7 +108,11 @@ object Similarity {
   def annLsh(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
              bands: Int = 8, bitsPerBand: Int = 12,
              minCosine: Double = 0.9): DataFrame = {
+    // Empty embedding arrays (a common missing-value sentinel) would all
+    // sign to sig=0 in every band and pair quadratically in the self-join —
+    // exclude them up front (the old explode form dropped them implicitly).
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(size(col("v")) > 0)
     // All band signatures per vector from the native codegen'd expression:
     // a pure map over the scan (the former explode + bands×bits-buffer
     // hash-aggregate paid a shuffle keyed by id).

@@ -71,19 +71,23 @@ object Runner {
     * records which path ran), like the reference's RESUMEN FINAL.
     */
   def syncIncremental(spark: SparkSession, sfDir: String, specs: Seq[TableSpec],
-                      basePath: String): Seq[TableResult] =
+                      basePath: String, keyAudit: Boolean = true): Seq[TableResult] =
     specs.map { spec =>
       val path = s"$basePath/${spec.name}"
       try {
         val src = loadTable(spark, sfDir, spec)
+        val bootstrap = spec.refreshMode == RefreshMode.FullRefresh ||
+          !Sinks.exists(spark, path)
         // The reference falls back to full refresh for tables whose
         // configured key turns out unreliable (sync_INCREMENTAL.py:46-48,
-        // 270-343); duplicate keys would fan out the classify join.
-        val keyUnreliable = spec.refreshMode == RefreshMode.Incremental &&
+        // 270-343); duplicate keys would fan out the classify join. The
+        // audit is one extra source scan — only paid when it can change
+        // the outcome (not on bootstrap), and callers who bound key
+        // quality elsewhere can pass keyAudit = false.
+        val keyUnreliable = !bootstrap && keyAudit &&
           Merge.duplicateKeyAudit(src, spec.keys).limit(1).count() > 0
         val (rows, mode) =
-          if (spec.refreshMode == RefreshMode.FullRefresh ||
-              keyUnreliable || !Sinks.exists(spark, path))
+          if (bootstrap || keyUnreliable)
             (Sinks.fullRefresh(src, path),
               if (keyUnreliable) "full_refresh_fallback_dup_keys" else "full_refresh")
           else {

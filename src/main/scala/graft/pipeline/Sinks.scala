@@ -48,24 +48,30 @@ object Sinks {
     */
   def overwriteViaStaging(df: DataFrame, path: String): Long = {
     val spark = df.sparkSession
-    val staging = new Path(path + "__staging")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path + "__staging"), true)
+    df.write.mode(SaveMode.Overwrite).parquet(path + "__staging")
+    commitStaged(spark, path)
+  }
+
+  /** Swap `path + "__staging"` into `path`. HDFS rename returns false
+    * instead of throwing (e.g. destination recreated concurrently) — check
+    * every step and keep the previous table at `__old` until the swap is
+    * verified, so a failed swap never destroys the only copy.
+    */
+  private def commitStaged(spark: SparkSession, path: String): Long = {
     val target = new Path(path)
+    val staging = new Path(path + "__staging")
     val old = new Path(path + "__old")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(staging, true)
-    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     fs.delete(old, true)
-    // HDFS rename returns false instead of throwing (e.g. destination
-    // recreated concurrently) — check every step and keep the previous
-    // table at __old until the swap is verified, so a failed swap never
-    // destroys the only copy.
     if (fs.exists(target) && !fs.rename(target, old))
       throw new java.io.IOException(
-        s"overwriteViaStaging: could not move current table $target aside")
+        s"staged overwrite: could not move current table $target aside")
     if (!fs.rename(staging, target)) {
       if (fs.exists(old)) fs.rename(old, target) // restore previous table
       throw new java.io.IOException(
-        s"overwriteViaStaging: could not move staged data into place at $target")
+        s"staged overwrite: could not move staged data into place at $target")
     }
     val n = countVerify(spark, path)
     fs.delete(old, true)
@@ -82,11 +88,32 @@ object Sinks {
     */
   def compact(spark: SparkSession, path: String, targetFileMB: Int = 128): Long = {
     val p = new Path(path)
-    val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getContentSummary(p).getLength
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
     val parts = math.max(1L, (bytes + (targetFileMB.toLong << 20) - 1) /
       (targetFileMB.toLong << 20)).toInt
-    overwriteViaStaging(spark.read.parquet(path).repartition(parts), path)
+    // Preserve a Hive-style partitioned layout (cell=3/, month=2025-01/…):
+    // walk the name=value directory chain so the rewrite keeps both the
+    // directory structure and downstream partition pruning.
+    var partCols = Seq.empty[String]
+    var cursor = p
+    var descend = true
+    while (descend) {
+      val dirs = fs.listStatus(cursor).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.contains("="))
+      if (dirs.nonEmpty) {
+        partCols :+= dirs.head.takeWhile(_ != '=')
+        cursor = new Path(cursor, dirs.head)
+      } else descend = false
+    }
+    val df = spark.read.parquet(path).repartition(parts)
+    if (partCols.isEmpty) overwriteViaStaging(df, path)
+    else {
+      fs.delete(new Path(path + "__staging"), true)
+      df.write.mode(SaveMode.Overwrite)
+        .partitionBy(partCols: _*).parquet(path + "__staging")
+      commitStaged(spark, path)
+    }
   }
 
   /** S9: drop table (clean_all_tables.py:43-48). */

@@ -112,15 +112,27 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("compact preserves a Hive-partitioned layout (and so partition pruning)") {
+    val p = tmp()
+    Seq(("a", 1), ("a", 2), ("b", 3)).toDF("part", "v")
+      .repartition(10).write.partitionBy("part").parquet(p)
+    assert(Sinks.compact(spark, p) == 3L)
+    assert(new java.io.File(p, "part=a").isDirectory) // layout survived
+    val scan = spark.read.parquet(p).filter(col("part") === "a")
+    assert(scan.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(scan.select("v").as[Int].collect().sorted.toSeq == Seq(1, 2))
+  }
+
   test("syncIncremental falls back to full refresh when the key has duplicates") {
     val base = tmp()
     // lineitem's (l_orderkey) is NOT unique — the reference's PlaCobranzas case
     val specs = Seq(TableSpec("lineitem", keys = Seq("l_orderkey"),
       refreshMode = RefreshMode.Incremental))
+    // bootstrap full-refreshes regardless, so the audit is skipped there
     val r = Runner.syncIncremental(spark, "/root/testdata/sf0.001", specs, base)
     assert(r.head.error.isEmpty, r.head.toString)
-    assert(r.head.mode == "full_refresh_fallback_dup_keys")
-    // second run takes the same fallback (target exists, key still dup)
+    assert(r.head.mode == "full_refresh")
+    // with a target in place, the dup-key audit forces the fallback
     val r2 = Runner.syncIncremental(spark, "/root/testdata/sf0.001", specs, base)
     assert(r2.head.mode == "full_refresh_fallback_dup_keys")
     assert(r2.head.rows == r.head.rows)
