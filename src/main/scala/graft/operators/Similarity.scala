@@ -76,7 +76,7 @@ object Similarity {
 
   /** Sign bit of the projection onto one hyperplane. */
   private def signBit(vec: Column, plane: Array[Double], bit: Int): Column = {
-    val planeCol = array(plane.map(lit): _*)
+    val planeCol = array(plane.toIndexedSeq.map(lit): _*)
     val proj = aggregate(zip_with(vec, planeCol, (x, h) => x.cast("double") * h),
       lit(0.0), (acc, v) => acc + v)
     when(proj > 0, lit(1L << bit)).otherwise(lit(0L))
@@ -152,7 +152,7 @@ object Similarity {
     */
   def ivfAssign(vec: Column, dim: Int, nCentroids: Int): Column = {
     val scores = (0 until nCentroids).map { c =>
-      val plane = array(hyperplane(c, 63, dim).map(lit): _*)
+      val plane = array(hyperplane(c, 63, dim).toIndexedSeq.map(lit): _*)
       aggregate(zip_with(vec, plane, (x, h) => x.cast("double") * h),
         lit(0.0), (acc, v) => acc + v)
     }
@@ -172,7 +172,7 @@ object Similarity {
       ivfAssign(col(vecCol), dim, nCentroids).as("cell"))
     val qCells = assigned.filter(col("id") === queryId)
       .select(posexplode(array((0 until nCentroids).map { c =>
-        val plane = array(hyperplane(c, 63, dim).map(lit): _*)
+        val plane = array(hyperplane(c, 63, dim).toIndexedSeq.map(lit): _*)
         aggregate(zip_with(col("v"), plane, (x, h) => x.cast("double") * h),
           lit(0.0), (acc, v) => acc + v)
       }: _*))).orderBy(col("col").desc).limit(nProbe).select(col("pos").as("cell"))

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   private def saltCol(df: DataFrame, salt: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(salt)).cast("int")
+    pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salt)).cast("int")
 
   /** Salted equi-join: the probe (large, skewed) side gets a deterministic
     * salt in [0, salt); the build side is exploded `salt`× so every

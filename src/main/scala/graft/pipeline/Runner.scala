@@ -101,7 +101,7 @@ object Runner {
             val merged = Merge.apply(bare, tgt, spec.keys)
             val keep = tgt.columns.filter(merged.columns.contains)
             (Sinks.overwriteViaStaging(
-              merged.select(keep.map(org.apache.spark.sql.functions.col): _*), path),
+              merged.select(keep.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*), path),
               "incremental")
           }
         TableResult(spec.name, rows, None, mode)
