@@ -62,4 +62,28 @@ object Normalize {
     */
   def castClean(c: Column, dt: DataType): Column =
     emptyToNull(c.cast(StringType)).try_cast(dt)
+
+  /** The reference's full typed-ingest step in one call: apply a target
+    * schema (from `TypeInference.parseDdl` or `inferByName`) to an
+    * all-string frame (`Sinks.csvScan` output). Per schema column:
+    * '' → NULL → try_cast (malformed cells degrade to NULL, never throw —
+    * sync_ALL.py:271-295 semantics). Schema columns missing from the frame
+    * appear as typed NULLs (union-of-columns, sync_ALL.py:158-165); frame
+    * columns absent from the schema pass through untouched. Name match is
+    * case-insensitive, like MySQL's.
+    */
+  def applySchema(df: org.apache.spark.sql.DataFrame,
+                  schema: StructType): org.apache.spark.sql.DataFrame = {
+    val have = df.columns.map(c => c.toLowerCase -> c).toMap
+    val typed = schema.fields.toIndexedSeq.map { f =>
+      have.get(f.name.toLowerCase) match {
+        case Some(c) => castClean(col(c), f.dataType).as(f.name)
+        case None    => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    val extras = df.columns.toIndexedSeq
+      .filterNot(c => schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .map(col)
+    df.select(typed ++ extras: _*)
+  }
 }

@@ -67,6 +67,31 @@ class SinksSpec extends SparkSpec {
       == Seq(1234.5, 99.0))
   }
 
+  test("csvScan + parseDdl + applySchema: the reference's full typed ingest") {
+    val dir = Files.createTempDirectory("graft-ingest")
+    Files.write(dir.resolve("t.csv"),
+      "ID,FECCOBRO,IMPORTE,NOTAS\n1,2025-03-01 00:00:00,10.5,ok\n2,,bogus,\n".getBytes("UTF-8"))
+    val ddl = """CREATE TABLE [Liquidaciones] (
+      |  [ID] Long Integer,
+      |  [FECCOBRO] DateTime,
+      |  [IMPORTE] Double,
+      |  [EXTRA_COL] Text (50)
+      |);""".stripMargin
+    val schema = graft.schema.TypeInference.parseDdl(ddl)
+    val typed = graft.functions.Normalize.applySchema(
+      Sinks.csvScan(spark, dir.toString), schema)
+    assert(typed.schema("ID").dataType.typeName == "integer") // Access Long Integer = 32-bit
+    assert(typed.schema("FECCOBRO").dataType.typeName.startsWith("timestamp"))
+    assert(typed.columns.toSeq ==
+      Seq("ID", "FECCOBRO", "IMPORTE", "EXTRA_COL", "NOTAS"))
+    val rows = typed.orderBy("ID").collect()
+    assert(rows(0).getDouble(2) == 10.5)
+    assert(rows(1).isNullAt(1)) // empty -> null
+    assert(rows(1).isNullAt(2)) // malformed 'bogus' -> null, not throw (ANSI-safe)
+    assert(rows(0).isNullAt(3)) // schema-only column present as typed null
+    assert(rows(0).getString(4) == "ok") // extra frame column passes through
+  }
+
   test("overwritePartitions rewrites only the partitions present in the frame") {
     val p = tmp()
     Sinks.overwritePartitions(
