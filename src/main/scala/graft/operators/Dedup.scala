@@ -314,6 +314,24 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-duplicate removal — the operation a training-data
+    * pipeline actually runs: MinHash+LSH candidates → exact-Jaccard
+    * verification → connected components → keep the min-id survivor per
+    * duplicate group; returns `df` minus the non-survivors (one left-anti
+    * join against the loser id set, which is small even at 100 TB — it is
+    * bounded by the number of near-duplicate docs). Eager like its stages.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                  minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minHashCandidates(df, idCol, textCol, shingleN, bands,
+      rowsPerBand, minJaccard)
+    val losers = duplicateGroups(pairs)
+      .filter(col("id") =!= col("group_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact pairwise n-gram Jaccard over a bounded candidate set (the
     * verify stage; candidates come from LSH at scale). Token-set join form —
     * the relational shape DuckDB can oracle-check.

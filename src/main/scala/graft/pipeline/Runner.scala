@@ -55,6 +55,13 @@ object Runner {
       }
     }
 
+  /** The reference's `/run/clean` (clean_all_tables.py:43-48): drop every
+    * spec's target table. Returns the names actually removed.
+    */
+  def cleanAll(spark: SparkSession, specs: Seq[TableSpec],
+               basePath: String): Seq[String] =
+    specs.map(_.name).filter(n => Sinks.drop(spark, s"$basePath/$n"))
+
   /** Incremental sink helper: merge loaded source into existing target. */
   def mergeInto(src: DataFrame, tgt: DataFrame, keys: Seq[String]): DataFrame =
     Merge.apply(src.drop("row_hash", "created_at", "updated_at"),

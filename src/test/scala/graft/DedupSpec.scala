@@ -46,6 +46,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("dedupCorpus removes near-dups, keeps min-id survivor and uniques") {
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text",
+        shingleN = 2, bands = 8, rowsPerBand = 2, minJaccard = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    // docs 1 and 4 are exact duplicates (jaccard 1.0): min-id survivor is 1;
+    // doc 2's jaccard to 1 is below 0.8 and doc 3 is unrelated — both stay
+    assert(out == Set(1L, 2L, 3L))
+  }
+
   test("native minHashSignature: k mins, identical texts agree, short text null") {
     import graft.expressions.TextHashExpressions.minHashSignature
     val df = Seq((1L, "the quick brown fox jumps"),
