@@ -119,6 +119,11 @@ object SparkEntry {
     "q_a2_rollup" -> ((s, d) =>
       Aggregates.monthStateRollup(t(s, d, "lineitem"), "l_shipdate",
         "l_returnflag", "l_extendedprice").orderBy("month", "state")),
+    // Salted two-phase aggregate must equal the plain GROUP BY — the skew
+    // control is internal, so DuckDB oracles the same plain aggregation.
+    "q_skew_salted_agg" -> ((s, d) =>
+      Skew.saltedCountSum(t(s, d, "lineitem"), Seq("l_returnflag"),
+        Seq("l_quantity"), salt = 8).orderBy("l_returnflag")),
     "q_a3_value_counts" -> ((s, d) =>
       Aggregates.valueCounts(t(s, d, "events"), col("event_type")).orderBy("value")),
     "q_a4_global_sums" -> ((s, d) =>
@@ -415,6 +420,10 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem WHERE l_shipdate IS NOT NULL
         |GROUP BY 1, 2 ORDER BY month, state""".stripMargin,
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_a2_rollup" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag AS state,
         |  count(*) AS n,
