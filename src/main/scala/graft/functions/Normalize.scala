@@ -74,11 +74,25 @@ object Normalize {
     */
   def applySchema(df: org.apache.spark.sql.DataFrame,
                   schema: StructType): org.apache.spark.sql.DataFrame = {
+    // Case-colliding headers ("ID" and "Id") cannot be resolved by name
+    // under Spark's case-insensitive analysis — fail loudly up front
+    // instead of silently dropping one variant.
+    val collisions = df.columns.groupBy(_.toLowerCase).filter(_._2.length > 1)
+    require(collisions.isEmpty,
+      s"applySchema: case-colliding columns ${collisions.values.flatten.mkString(", ")}")
     val have = df.columns.map(c => c.toLowerCase -> c).toMap
     val typed = schema.fields.toIndexedSeq.map { f =>
       have.get(f.name.toLowerCase) match {
-        case Some(c) => castClean(col(c), f.dataType).as(f.name)
-        case None    => lit(null).cast(f.dataType).as(f.name)
+        case Some(c) => (f.dataType match {
+          // timestamps go through the reference's multi-format parse
+          // (convert_date_value) — a plain try_cast rejects the primary
+          // mdb-export formats like MM/dd/yy HH:mm:ss
+          case TimestampType | TimestampNTZType =>
+            parseTimestampMulti(emptyToNull(col(c).cast(StringType)))
+              .cast(f.dataType)
+          case dt => castClean(col(c), dt)
+        }).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
       }
     }
     val extras = df.columns.toIndexedSeq

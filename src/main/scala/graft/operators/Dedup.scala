@@ -329,6 +329,10 @@ object Dedup {
     val losers = duplicateGroups(pairs)
       .filter(col("id") =!= col("group_id"))
       .select(col("id").as(idCol))
+    // duplicateGroups returns eagerly-checkpointed labels, so the pair
+    // cache minHashCandidates pinned is no longer referenced — free it
+    // (repeated dedupCorpus calls would otherwise accumulate cache blocks).
+    pairs.unpersist()
     df.join(losers, Seq(idCol), "left_anti")
   }
 

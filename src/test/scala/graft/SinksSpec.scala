@@ -70,7 +70,7 @@ class SinksSpec extends SparkSpec {
   test("csvScan + parseDdl + applySchema: the reference's full typed ingest") {
     val dir = Files.createTempDirectory("graft-ingest")
     Files.write(dir.resolve("t.csv"),
-      "ID,FECCOBRO,IMPORTE,NOTAS\n1,2025-03-01 00:00:00,10.5,ok\n2,,bogus,\n".getBytes("UTF-8"))
+      "ID,FECCOBRO,IMPORTE,NOTAS\n1,03/01/25 00:00:00,10.5,ok\n2,,bogus,\n".getBytes("UTF-8"))
     val ddl = """CREATE TABLE [Liquidaciones] (
       |  [ID] Long Integer,
       |  [FECCOBRO] DateTime,
@@ -86,6 +86,8 @@ class SinksSpec extends SparkSpec {
       Seq("ID", "FECCOBRO", "IMPORTE", "EXTRA_COL", "NOTAS"))
     val rows = typed.orderBy("ID").collect()
     assert(rows(0).getDouble(2) == 10.5)
+    // mdb-export's MM/dd/yy form parses via the C1 multi-format chain
+    assert(rows(0).getTimestamp(1).toString.startsWith("2025-03-01 00:00:00"))
     assert(rows(1).isNullAt(1)) // empty -> null
     assert(rows(1).isNullAt(2)) // malformed 'bogus' -> null, not throw (ANSI-safe)
     assert(rows(0).isNullAt(3)) // schema-only column present as typed null
