@@ -18,10 +18,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // auto-accelerate the documented interpreted dot-product fold
+    ext.injectOptimizerRule(_ => NativeVectorRules)
+  }
 }
 
 object GraftExtensions {
@@ -46,8 +49,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
 
   /** Register on an already-built session (tests, notebooks). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(NativeVectorRules))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NativeVectorRules
+  }
 }

@@ -171,6 +171,62 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native double dot product with EXACTLY the semantics of the documented
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, +)` fold it replaces (see
+  * [[NativeVectorRules]]): a null element or a length mismatch (zip_with
+  * pads the shorter array with nulls) yields null — unlike [[QuantizedDot]]
+  * and [[CosineSimilarity]], which skip nulls. One codegen'd primitive loop
+  * per row instead of interpreted lambda dispatch per element.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorPairExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (aa, bb) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = aa.numElements()
+    if (n != bb.numElements()) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
+      sum += getD(aa, i, elemL) * getD(bb, i, elemR)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $sum = 0.0d;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $sum += ((double) ${CodeGenerator.getValue(a, elemL, i)})
+         |            * ((double) ${CodeGenerator.getValue(b, elemR, i)});
+         |    }
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $sum;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All LSH band signatures of a vector in ONE codegen'd pass: for each band,
   * `bitsPerBand` hyperplane sign bits packed into a long; returns
   * `array<bigint>` of length `planes.length / bitsPerBand`. The hyperplane

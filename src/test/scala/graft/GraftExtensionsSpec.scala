@@ -1,6 +1,7 @@
 package graft
 
 import graft.expressions.GraftExtensions
+import org.apache.spark.sql.functions._
 
 /** SQL-surface registration of the native vector expressions. */
 class GraftExtensionsSpec extends SparkSpec {
@@ -22,6 +23,32 @@ class GraftExtensionsSpec extends SparkSpec {
     // same builders the SparkSessionExtensions path injects
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
       Set("quantized_dot", "cosine_similarity"))
+  }
+
+  test("NativeVectorRules rewrites the dot fold; semantics preserved exactly") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (1L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](3.0f, 4.0f)),
+      (2L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](3.0f, 4.0f)),
+      (3L, Array[java.lang.Float](1.0f), Array[java.lang.Float](3.0f, 4.0f))
+    ).toDF("id", "a", "b").repartition(2) // block ConvertToLocalRelation folding
+    val q = df.select(col("id"),
+      graft.operators.Similarity.dot(col("a"), col("b")).as("d"))
+    // the optimizer replaced the interpreted fold with the native expression
+    assert(q.queryExecution.optimizedPlan.toString.contains("dot_product"),
+      q.queryExecution.optimizedPlan.toString)
+    val got = q.orderBy("id").collect().map(r =>
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(got(0).contains(11.0)) // 1*3 + 2*4
+    assert(got(1).isEmpty)        // null element -> null, like the fold
+    assert(got(2).isEmpty)        // length mismatch (zip_with null-pad) -> null
+    // unregistered session semantics agree (ground truth: the raw fold)
+    val plain = df.select(col("id"), aggregate(
+        zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+      .orderBy("id").collect().map(r =>
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    assert(got.toSeq == plain.toSeq)
   }
 
   test("streaming enrichWithDim broadcasts the dimension side") {
