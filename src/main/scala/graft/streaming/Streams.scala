@@ -48,6 +48,22 @@ object Streams {
                            keys: Seq[String], lateness: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, lateness).dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming CONTENT dedup: drop documents whose 64-bit SimHash already
+    * arrived within the watermark horizon — catches byte-identical and
+    * same-token-stream duplicates of streamed-in documents (the streaming
+    * face of the batch dedup family). The signature is the native one-pass
+    * expression, so the only added state is one long per distinct doc in
+    * the horizon. Docs with no tokens share one dedup class (empty content
+    * IS duplicate content): the first passes, later ones drop.
+    */
+  def dedupByContent(docs: DataFrame, tsCol: String, textCol: String,
+                     lateness: String = "1 hour"): DataFrame = {
+    val sig = graft.expressions.TextHashExpressions.simHash(col(textCol))
+    val keyed = docs.withColumn("__sig", coalesce(sig, lit(Long.MinValue)))
+      .withWatermark(tsCol, lateness)
+    keyed.dropDuplicatesWithinWatermark(Seq("__sig")).drop("__sig")
+  }
+
   /** Stream-static dimension enrichment: join a (possibly unbounded) event
     * stream against a bounded dimension table. The dim side is broadcast
     * per micro-batch — no stream-side shuffle, the standard enrich shape.

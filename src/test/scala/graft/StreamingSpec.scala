@@ -46,6 +46,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupByContent drops same-token-stream docs within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.dedupByContent(df, "ts", "text")
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01 01:00:00"), 1L, "the quick brown fox"),
+        (ts("2024-01-01 01:10:00"), 2L, "THE  quick brown\tfox"), // same tokens
+        (ts("2024-01-01 01:20:00"), 3L, "a different document"))
+      q.processAllAvailable()
+      val got = spark.table("content_dedup").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L)) // doc 2 deduplicated against doc 1
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops in-horizon duplicate keys") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Int)]
