@@ -68,6 +68,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(got.toLongArray.toSeq == Seq(1L, 0L))
   }
 
+  test("property: native dot/cosine match scala ground truth on 100 random vectors") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.tabulate(100)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1), Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val got = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        graft.expressions.VectorExpressions.lshBandSignatures(col("a"),
+          Array(Array.fill(16)(0.5)), 1).getItem(0).as("sig"),
+        cosineSim(col("a"), col("b")).as("cos"))
+      .orderBy("id").collect()
+    rows.zip(got).foreach { case ((_, a, b), r) =>
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(y => y.toDouble * y.toDouble).sum)
+      assert(math.abs(r.getDouble(2) - dot / (na * nb)) < 1e-9)
+      val proj = a.map(_.toDouble * 0.5).sum
+      assert(r.getLong(1) == (if (proj > 0) 1L else 0L)) // sign bit ground truth
+    }
+  }
+
   test("expressions run inside whole-stage codegen (no interpreted fallback)") {
     // non-foldable input (range), else the optimizer folds everything locally
     val df = spark.range(1, 2)
