@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *    (exact, partition-order-independent — SURVEY.md §7.4 trap 8);
   *  - every row-level result has a total ORDER BY;
   *  - top-k orderings carry a unique tiebreak column;
-  *  - vector scores use quantized integer dot products (Similarity.dotQuantized).
+  *  - vector scores use quantized integer dot products (Similarity.dotQuantized);
+  *  - every integer `sum()` an oracle outputs is wrapped in CAST(... AS BIGINT):
+  *    DuckDB widens sum(BIGINT) to HUGEINT (plain and windowed), which breaks
+  *    the driver's byte-level hash on values that are actually equal.
   */
 object SparkEntry {
 
@@ -561,8 +564,8 @@ object SparkEntry {
         |  FROM base),
         |sess AS (
         |  SELECT user_id, ts,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM tagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
@@ -688,7 +691,7 @@ object SparkEntry {
         |      FROM embeddings),
         |qs AS (SELECT CAST(round(CAST(unnest(qe) AS DOUBLE) * 1000) AS BIGINT) AS qx,
         |        generate_subscripts(qe, 1) AS i FROM q)
-        |SELECT s.vec_id, sum(s.x * qs.qx) AS score
+        |SELECT s.vec_id, CAST(sum(s.x * qs.qx) AS BIGINT) AS score
         |FROM s JOIN qs USING (i) WHERE s.vec_id <> 1
         |GROUP BY s.vec_id ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin,
     "q_sim_cosine_pairs" ->

@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** Row fingerprinting for CDC / idempotent merge.
   *
@@ -39,6 +39,27 @@ object RowHash {
     when(s.isNull || s === "", lit("NULL")).otherwise(s)
   }
 
+  /** Dense 1..n ids in global `sortCols` order with NO single-partition
+    * stage: range-repartition on the sort key (equal keys land in one
+    * partition; RangePartitioner's reservoir sampling is seeded
+    * per-partition, so bounds are deterministic for a deterministic parent
+    * plan), sort within partitions, zipWithIndex. Output is identical to
+    * `row_number().over(Window.orderBy(sortCols))` — partition order equals
+    * global sort order — but every stage stays distributed, so it holds at
+    * any scale. The one requirement carried by callers: `sortCols` must be
+    * a total order (append a unique tiebreak such as `row_hash`).
+    */
+  def orderedDenseId(df: DataFrame, sortCols: Seq[Column],
+                     idCol: String): DataFrame = {
+    val ordered = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = ordered.schema.add(idCol, LongType, nullable = false)
+    val rdd = ordered.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** SHA-256 hex fingerprint over the given columns, sorted by name. */
   def rowHash(colNames: Seq[String]): Column =
     sha2(concat_ws("|", colNames.sorted.map(n => cell(col(n))): _*), 256)
@@ -53,18 +74,30 @@ object RowHash {
     * the single hash definition shared with `Merge.classify`. `now` is
     * injectable so tests/oracles can pin a literal timestamp.
     *
-    * Ids are dense 1..n in `orderBy` key order via `row_number` — a global
-    * sort. For bulk loads where a single-partition window stage would hurt,
-    * use `graft.pipeline.Sinks.withDenseId` (zipWithIndex) instead.
+    * Ids are dense 1..n in global `(orderBy, row_hash)` order — row_hash as
+    * tiebreak keeps id assignment deterministic even when the declared key
+    * has duplicates (the synthetic lineitem does). The default mints them
+    * WITHOUT a single-partition stage: range-repartition on the sort key
+    * (equal keys land in one partition; RangePartitioner's sampling is
+    * seeded per-partition, so bounds are deterministic for a deterministic
+    * parent plan), sort within partitions, then zipWithIndex — partition
+    * order equals global key order, so the ids match `row_number` over a
+    * global window exactly, at any scale. `globalWindow = true` opts into
+    * the literal single-partition `row_number` form (AUTO_INCREMENT parity
+    * for small frames / plan-shape tests).
     */
   def withAuditColumns(df: DataFrame, orderBy: Seq[String],
-                       now: Column = current_timestamp()): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // row_hash appended as a tiebreak: id assignment stays deterministic even
-    // when the declared key has duplicates (the synthetic lineitem does).
-    withRowHash(df)
-      .withColumn("id", row_number().over(
-        Window.orderBy(orderBy.map(col) :+ col("row_hash"): _*)).cast("long"))
+                       now: Column = current_timestamp(),
+                       globalWindow: Boolean = false): DataFrame = {
+    val sortCols = orderBy.map(col) :+ col("row_hash")
+    val hashed = withRowHash(df)
+    val withId =
+      if (globalWindow) {
+        import org.apache.spark.sql.expressions.Window
+        hashed.withColumn("id",
+          row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
+      } else orderedDenseId(hashed, sortCols, "id")
+    withId
       .withColumn("created_at", now)
       .withColumn("updated_at", now)
       .select((Seq("id") ++ df.columns ++ Seq("row_hash", "created_at", "updated_at")).map(col): _*)

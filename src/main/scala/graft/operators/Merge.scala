@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.RowHash
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hash-diff CDC merge — the reference's core operator (J2/J3/A9/A10,
@@ -80,23 +79,20 @@ object Merge {
     *
     * `now` is injectable so tests and oracle comparisons are deterministic.
     *
-    * Scale note: insert-id minting uses `row_number` over a global
-    * key-ordered window — a single-partition sort of the *insert subset
-    * only* (steady-state CDC inserts are a sliver of the corpus). For
-    * insert-heavy backfills use `Sinks.withDenseId` (zipWithIndex, two
-    * passes, no single-partition stage) instead.
+    * Scale note: insert-id minting is key-ordered (AUTO_INCREMENT
+    * semantics, sync_ALL.py:234) via `RowHash.orderedDenseId` —
+    * range-repartition + zipWithIndex, identical ids to a global
+    * `row_number` window but with no single-partition stage, so it holds
+    * even for insert-heavy backfills.
     */
   def apply(src: DataFrame, tgt: DataFrame, keys: Seq[String],
             now: Column = current_timestamp()): DataFrame = {
     val dataCols = src.columns.filterNot(AuditCols.contains).toSeq
     val outCols = dataCols ++ AuditCols
-    // Insert ids: key-ordered rank (AUTO_INCREMENT semantics,
-    // sync_ALL.py:234) — the single-partition sort covers the insert
-    // sliver only (the window input is the anti-join output). For
-    // insert-heavy backfills use [[applyBulk]].
-    val inserted = insertRows(src, tgt, keys, dataCols, now)
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(keys.map(col): _*)).cast("long"))
+    // keys are unique on the source (classify precondition), so they are a
+    // total order for the rank — no extra tiebreak needed.
+    val inserted = RowHash.orderedDenseId(
+        insertRows(src, tgt, keys, dataCols, now), keys.map(col), "__rn")
       .crossJoin(broadcast(tgt.agg(coalesce(max(col("id")), lit(0L)).as("__max_id"))))
       .withColumn("id", col("__max_id") + col("__rn"))
       .select(outCols.map(col): _*)
@@ -104,11 +100,10 @@ object Merge {
       .select(outCols.map(col): _*).unionByName(inserted)
   }
 
-  /** As [[apply]] but for insert-heavy backfills: insert ids are minted with
-    * zipWithIndex (`Sinks.withDenseId`) above the target's max — two extra
-    * passes over the insert subset, NO single-partition window stage. Ids are
-    * dense but partition-ordered rather than key-ordered; use [[apply]] when
-    * deterministic key-ordered ids matter (oracle comparisons).
+  /** As [[apply]] but minting insert ids in partition order
+    * (`Sinks.withDenseId`) instead of key order — saves the insert
+    * sliver's range shuffle when id order is irrelevant; use [[apply]]
+    * when deterministic key-ordered ids matter (oracle comparisons).
     */
   def applyBulk(src: DataFrame, tgt: DataFrame, keys: Seq[String],
                 now: Column = current_timestamp()): DataFrame = {

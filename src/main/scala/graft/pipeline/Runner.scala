@@ -21,9 +21,10 @@ object Runner {
 
   /** Build the loaded (pre-sink) frame for one table spec: filters +
     * optional semi-join + audit columns (hash over ALL pre-audit columns —
-    * the one hash basis shared with Merge.classify). Ids come from the
-    * natural key's order when the spec has one; keyless full-refresh tables
-    * get scale-safe zipWithIndex ids instead of a global window sort.
+    * the one hash basis shared with Merge.classify). Ids are dense 1..n in
+    * natural-key order when the spec has one, in partition order otherwise —
+    * both minted via zipWithIndex with no single-partition window stage
+    * (RowHash.withAuditColumns' scale-safe default).
     */
   def loadTable(spark: SparkSession, sfDir: String, spec: TableSpec): DataFrame = {
     var df = TableSpec.read(spark, sfDir, spec.name)
