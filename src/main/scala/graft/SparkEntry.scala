@@ -300,6 +300,36 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(s, path, dim = 64, queryId = 1, k = 20,
         nCentroids = 16, nProbe = 4)
     }),
+    // ANN quality gate: the truth side (exact strong-cosine pairs over a
+    // bounded id range, and its count) is oracle-checkable; the booleans
+    // assert measured recall — a plausible-but-poor ANN (broken planes,
+    // misaligned probe cells) flips them to false and fails the hash gate.
+    // ANN params are sized for the 0.3-cosine radius at this corpus size
+    // (recall ~0.93 at every SF); IVF's threshold sits just below the
+    // nProbe/nCentroids=0.5 no-structure floor this near-uniform corpus
+    // pins recall to (clustered real data sits far above it).
+    "q_sim_recall_gate" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val truth = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+        maxId = 500, minCos = 0.30).select("id_a", "id_b")
+      val ann = Similarity.annLsh(emb, "vec_id", "embedding", dim = 64,
+          bands = 32, bitsPerBand = 5, minCosine = 0.30)
+        .filter(col("id_a") < 500 && col("id_b") < 500)
+      val annHits = truth.join(ann, Seq("id_a", "id_b"), "left_semi")
+      val qids = 1L to 8L
+      val ivfAvg = Similarity.recallAtK(
+          Similarity.bruteForceTopKMulti(emb, "vec_id", "embedding", qids, k = 10),
+          Similarity.ivfTopKMulti(emb, "vec_id", "embedding", dim = 64, qids,
+            k = 10, nCentroids = 16, nProbe = 8))
+        .agg(avg(col("recall")).as("__ivf_avg"))
+      truth.agg(count(lit(1)).as("n_truth_pairs"))
+        .crossJoin(annHits.agg(count(lit(1)).as("__n_hit")))
+        .crossJoin(ivfAvg)
+        .select(col("n_truth_pairs"),
+          (col("__n_hit").cast("double") / col("n_truth_pairs").cast("double")
+            >= 0.9).as("ann_recall_ok"),
+          (col("__ivf_avg") >= 0.45).as("ivf_recall_ok"))
+    }),
     // ---- multimodal -----------------------------------------------------
     "q_mm_asset_meta" -> ((s, d) =>
       Multimodal.withAssetMetadata(
@@ -709,6 +739,22 @@ object SparkEntry {
         |    CAST(d AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos
         |  FROM dots JOIN norms na ON id_a = na.id JOIN norms nb ON id_b = nb.id)
         |WHERE cos >= 0.30 ORDER BY id_a, id_b""".stripMargin,
+    "q_sim_recall_gate" ->
+      """WITH b AS (
+        |  SELECT vec_id AS id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id < 500),
+        |norms AS (SELECT id, sum(x * x) AS nrm FROM b GROUP BY id),
+        |dots AS (
+        |  SELECT a.id AS id_a, c.id AS id_b, sum(a.x * c.x) AS d
+        |  FROM b a JOIN b c ON a.i = c.i AND a.id < c.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b,
+        |    CAST(d AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos
+        |  FROM dots JOIN norms na ON id_a = na.id JOIN norms nb ON id_b = nb.id)
+        |SELECT count(*) AS n_truth_pairs, true AS ann_recall_ok, true AS ivf_recall_ok
+        |FROM pairs WHERE cos >= 0.30""".stripMargin,
     "q_mm_asset_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS content_sha,

@@ -126,7 +126,8 @@ object Dedup {
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-                        minJaccard: Double = 0.5): DataFrame = {
+                        minJaccard: Double = 0.5,
+                        maxBucketRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
     val k = bands * rowsPerBand
     // Signatures come from the native one-pass-per-row expression (no token
     // explode, no window, no aggregate — the signature stage shuffles
@@ -149,6 +150,10 @@ object Dedup {
         hash((b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => element_at(col("sig"), i + 1)): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    Guardrails.requireBoundedBuckets(banded, Seq("band", "bucket"), maxBucketRows,
+      s"minHashCandidates(bands=$bands, rowsPerBand=$rowsPerBand)",
+      "raise rowsPerBand (band-collision probability = jaccard^rowsPerBand) " +
+        "or exact-dedup identical texts first")
     // pairs is referenced three times below (two re-attach joins + candIds);
     // persisting it (id pairs only — tiny even at 100 TB) stops Spark from
     // re-running the signature aggregation once per reference. The cache
@@ -236,7 +241,8 @@ object Dedup {
     * runs eagerly and returns a persisted (tiny) pair frame.
     */
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          maxBucketRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
     // Same exchange-reuse gap as minHashCandidates: the self-join computes
@@ -252,6 +258,10 @@ object Dedup {
           shiftrightunsigned(col("sig"), b * bandBits)
             .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bits")
+    Guardrails.requireBoundedBuckets(banded, Seq("band", "bits"), maxBucketRows,
+      s"simHashNearDupPairs(maxHamming=$maxHamming)",
+      "lower maxHamming (band width = 64/(maxHamming+1) bits) or exact-dedup " +
+        "identical texts first")
     val out = banded
       .select(col("band"), col("bits"), col("id").as("id_a"), col("sig").as("sig_a"))
       .join(banded.select(col("band"), col("bits"), col("id").as("id_b"), col("sig").as("sig_b")),

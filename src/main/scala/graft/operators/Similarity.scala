@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`Array[Float]`).
@@ -107,7 +108,8 @@ object Similarity {
     */
   def annLsh(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
              bands: Int = 8, bitsPerBand: Int = 12,
-             minCosine: Double = 0.9): DataFrame = {
+             minCosine: Double = 0.9,
+             maxBucketRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
     // Empty embedding arrays (a common missing-value sentinel) would all
     // sign to sig=0 in every band and pair quadratically in the self-join —
     // exclude them up front (the old explode form dropped them implicitly).
@@ -127,6 +129,10 @@ object Similarity {
           col("v"), planes, bitsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Guardrails.requireBoundedBuckets(banded, Seq("band", "sig"), maxBucketRows,
+      s"annLsh(bands=$bands, bitsPerBand=$bitsPerBand)",
+      "raise bitsPerBand (bucket space per band = 2^bitsPerBand) or exact-dedup " +
+        "identical vectors first")
     val pairs = banded.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("sig"), col("id").as("id_b")),
         Seq("band", "sig"))
@@ -226,6 +232,98 @@ object Similarity {
         typedlit(qVec.toSeq)).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** Exact cosine top-k for a SET of query ids in one distributed pass:
+    * the query rows are a broadcast dimension (|queryIds| rows), the corpus
+    * scans once, and per-query ranking is a window keyed by query_id — no
+    * global sort, no per-query jobs. This is the ground-truth side of the
+    * recall gates.
+    */
+  def bruteForceTopKMulti(emb: DataFrame, idCol: String, vecCol: String,
+                          queryIds: Seq[Long], k: Int): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(size(col("v")) > 0)
+    val q = base.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    base.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("__rn") <= k)
+      .select("query_id", "id", "cos")
+  }
+
+  /** ANN top-k per query id from the banded-LSH candidate set: [[annLsh]]
+    * with the cosine floor disabled, candidate pairs read symmetrically,
+    * ranked per query. A query's reachable neighbors are exactly the docs
+    * sharing a band bucket with it — recall against [[bruteForceTopKMulti]]
+    * is the quality measure of the (bands, bitsPerBand) sizing.
+    */
+  def annTopKMulti(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   queryIds: Seq[Long], k: Int,
+                   bands: Int = 8, bitsPerBand: Int = 12): DataFrame = {
+    val cand = annLsh(emb, idCol, vecCol, dim, bands, bitsPerBand,
+      minCosine = -1.0)
+    cand.select(col("id_a").as("query_id"), col("id_b").as("id"), col("cos"))
+      .unionByName(
+        cand.select(col("id_b").as("query_id"), col("id_a").as("id"), col("cos")))
+      .filter(col("query_id").isin(queryIds: _*))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("__rn") <= k)
+      .select("query_id", "id", "cos")
+  }
+
+  /** IVF top-k for a SET of query ids in one distributed pass (the
+    * multi-query form of [[ivfTopK]]): per-query probe cells come from a
+    * window over the exploded centroid scores, candidates from one
+    * broadcast join on cell — corpus still scans once and touches only
+    * probed cells' rows in the score stage.
+    */
+  def ivfTopKMulti(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   queryIds: Seq[Long], k: Int,
+                   nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      ivfAssign(col(vecCol), dim, nCentroids).as("cell"))
+    val q = assigned.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val centroidScores = array((0 until nCentroids).map { c =>
+      val plane = array(hyperplane(c, 63, dim).toIndexedSeq.map(lit): _*)
+      aggregate(zip_with(col("qv"), plane, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+    }: _*)
+    val probe = q.select(col("query_id"), posexplode(centroidScores))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("col").desc, col("pos").asc)))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("pos").cast("int").as("cell"))
+    assigned.join(broadcast(probe), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("id"), cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("__rn") <= k)
+      .select("query_id", "id", "cos")
+  }
+
+  /** Recall@k of an approximate per-query result against exact truth: the
+    * fraction of each query's true top-k ids the approximate method
+    * returned. Both inputs carry (query_id, id); a query the approximate
+    * side missed entirely still gets a row (recall 0.0).
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val hits = truth.select("query_id", "id")
+      .join(approx.select("query_id", "id"), Seq("query_id", "id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_true").cast("double")).as("recall"))
   }
 
   /** Embedding-cosine near-duplicate pairs over a bounded id range (oracle-

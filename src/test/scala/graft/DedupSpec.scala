@@ -46,6 +46,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("banded bucket guardrails trip on degenerate corpora, 0 disables") {
+    // 5 byte-identical docs share every band bucket in both hash families
+    val dup = (0L until 5L).map(i => (i, "same exact text in every document"))
+      .toDF("doc_id", "text")
+    val eMin = intercept[IllegalArgumentException] {
+      Dedup.minHashCandidates(dup, "doc_id", "text",
+        shingleN = 2, bands = 4, rowsPerBand = 2, maxBucketRows = 3)
+    }
+    assert(eMin.getMessage.contains("rowsPerBand"))
+    val eSim = intercept[IllegalArgumentException] {
+      Dedup.simHashNearDupPairs(dup, "doc_id", "text",
+        maxHamming = 3, maxBucketRows = 3)
+    }
+    assert(eSim.getMessage.contains("maxHamming"))
+    // disabled checks let the same calls through
+    assert(Dedup.minHashCandidates(dup, "doc_id", "text", shingleN = 2,
+      bands = 4, rowsPerBand = 2, maxBucketRows = 0).count() == 10) // C(5,2)
+    assert(Dedup.simHashNearDupPairs(dup, "doc_id", "text",
+      maxHamming = 3, maxBucketRows = 0).count() == 10)
+  }
+
   test("dedupCorpus removes near-dups, keeps min-id survivor and uniques") {
     val out = Dedup.dedupCorpus(docs, "doc_id", "text",
         shingleN = 2, bands = 8, rowsPerBand = 2, minJaccard = 0.8)

@@ -67,6 +67,63 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
   }
 
+  test("annLsh recall >= 0.9 on planted near-dup clusters at dedup params") {
+    // 30 clusters of 4 near-identical vectors (cos ~0.999): the regime LSH
+    // is sized for. Truth = exact pairs at cos >= 0.9; ANN must recover 90%.
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val clustered = (0 until 30).flatMap { c =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (0 until 4).map { j =>
+        ((c * 4 + j).toLong, base.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+      }
+    }
+    val emb = clustered.toDF("vec_id", "embedding")
+    val truth = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      maxId = 1000, minCos = 0.9).select("id_a", "id_b")
+    val ann = Similarity.annLsh(emb, "vec_id", "embedding", dim = dim,
+      bands = 8, bitsPerBand = 8, minCosine = 0.9)
+    val n = truth.count()
+    assert(n >= 150) // every intra-cluster pair qualifies: 30 * C(4,2) = 180
+    val hit = truth.join(ann, Seq("id_a", "id_b"), "left_semi").count()
+    assert(hit.toDouble / n >= 0.9, s"ANN recall ${hit.toDouble / n} < 0.9 ($hit/$n)")
+  }
+
+  test("ivfTopKMulti with full probe matches bruteForceTopKMulti exactly") {
+    val qids = Seq(0L, 2L)
+    val truth = Similarity.bruteForceTopKMulti(vecs, "vec_id", "embedding", qids, k = 3)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopKMulti(vecs, "vec_id", "embedding", dim = 3,
+        qids, k = 3, nCentroids = 4, nProbe = 4)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(ivf == truth)
+  }
+
+  test("recallAtK: full overlap -> 1.0, disjoint -> 0.0, missing query -> row with 0.0") {
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("query_id", "id")
+    val same = Similarity.recallAtK(truth, truth)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    assert(same == Map(1L -> 1.0, 2L -> 1.0))
+    val approx = Seq((1L, 11L)).toDF("query_id", "id") // misses 10, misses query 2
+    val r = Similarity.recallAtK(truth, approx)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    assert(r(1L) == 0.5 && r(2L) == 0.0)
+  }
+
+  test("annLsh bucket guardrail trips on degenerate buckets, 0 disables") {
+    // 6 identical-direction vectors share every band signature -> bucket of 6
+    val dup = (0L until 6L).map(i => (i, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annLsh(dup, "vec_id", "embedding", dim = 3,
+        bands = 2, bitsPerBand = 4, minCosine = 0.9, maxBucketRows = 3)
+    }
+    assert(e.getMessage.contains("bitsPerBand"))
+    // disabled check lets the same call through
+    val pairs = Similarity.annLsh(dup, "vec_id", "embedding", dim = 3,
+      bands = 2, bitsPerBand = 4, minCosine = 0.9, maxBucketRows = 0)
+    assert(pairs.count() == 15) // C(6,2) identical pairs
+  }
+
   test("cosineNearDupPairs finds the identical pair at threshold ~1") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
         maxId = 100, minCos = 0.999)
