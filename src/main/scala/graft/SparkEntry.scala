@@ -65,6 +65,17 @@ object SparkEntry {
   private lazy val ivfTmpDir =
     java.nio.file.Files.createTempDirectory("graft-ivf").toString
 
+  private def ivfIndexPath(sfDir: String): String =
+    s"$ivfTmpDir/${new java.io.File(sfDir).getName}"
+
+  private def ivfEnsureIndex(s: SparkSession, d: String): String = {
+    val path = ivfIndexPath(d)
+    if (!graft.pipeline.Sinks.exists(s, path))
+      Similarity.ivfWriteIndex(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, nCentroids = 16, path = path)
+    path
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
     "q_f1_eq_filter" -> ((s, d) =>
@@ -290,16 +301,21 @@ object SparkEntry {
     "q_sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         queryId = 1, k = 20, nCentroids = 16, nProbe = 4)),
-    // Persisted-index probe (rows-only check): writes the cell-partitioned
-    // index to a per-process temp dir (no cross-process path races), then
-    // partition-prunes the probe to nProbe cells.
-    "q_sim_ivf_indexed" -> ((s, d) => {
-      val path = s"$ivfTmpDir/${new java.io.File(d).getName}"
+    // IVF index write and probe are separate entries so the bench bills the
+    // (one-time) sink cost and the (per-query, partition-pruned) probe cost
+    // apart. The write's readback count is oracle-checkable; the probe is
+    // rows-only (splitmix64 centroids). The probe builds the index when it
+    // runs first (map order is unspecified) — median-of-3 bench timing
+    // absorbs that one-time cost.
+    "q_sim_ivf_index_write" -> ((s, d) => {
+      val path = ivfIndexPath(d)
       Similarity.ivfWriteIndex(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, nCentroids = 16, path = path)
-      Similarity.ivfTopKIndexed(s, path, dim = 64, queryId = 1, k = 20,
-        nCentroids = 16, nProbe = 4)
+      s.read.parquet(path).agg(count(lit(1)).as("n_rows"))
     }),
+    "q_sim_ivf_indexed" -> ((s, d) =>
+      Similarity.ivfTopKIndexed(s, ivfEnsureIndex(s, d), dim = 64,
+        queryId = 1, k = 20, nCentroids = 16, nProbe = 4)),
     // ANN quality gate: the truth side (exact strong-cosine pairs over a
     // bounded id range, and its count) is oracle-checkable; the booleans
     // assert measured recall — a plausible-but-poor ANN (broken planes,
@@ -739,6 +755,7 @@ object SparkEntry {
         |    CAST(d AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos
         |  FROM dots JOIN norms na ON id_a = na.id JOIN norms nb ON id_b = nb.id)
         |WHERE cos >= 0.30 ORDER BY id_a, id_b""".stripMargin,
+    "q_sim_ivf_index_write" -> "SELECT count(*) AS n_rows FROM embeddings",
     "q_sim_recall_gate" ->
       """WITH b AS (
         |  SELECT vec_id AS id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
