@@ -367,6 +367,19 @@ object SparkEntry {
           size(Multimodal.frameSample(
             Multimodal.fakePayloadFromText(col("text")), 16, 8)).as("n_frames"))
         .orderBy("doc_id")),
+    // REAL codec path: synthesized PNGs (size + fill color derived from
+    // doc_id) decoded by javax.imageio — width/height/channel means are
+    // oracle-predictable in plain SQL.
+    "q_mm_png_decode" -> ((s, d) =>
+      Multimodal.decodeBatched(
+          Multimodal.synthPngFromId(t(s, d, "documents").select("doc_id"), "doc_id"),
+          "png", dim = 5, decodeBatch = Multimodal.decodeImageBatch)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).as("mean_r"),
+          element_at(col("features"), 4).as("mean_g"))
+        .orderBy("doc_id")),
     "q_mm_decode_features" -> ((s, d) =>
       Multimodal.decodeBatched(
           t(s, d, "documents")
@@ -778,6 +791,11 @@ object SparkEntry {
         |  string_split(CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END, '/')[1] AS media_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_png_decode" ->
+      """SELECT doc_id, 1 + doc_id % 16 AS width, 1 + doc_id % 8 AS height,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_resize" ->
       """SELECT doc_id,

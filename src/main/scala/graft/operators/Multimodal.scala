@@ -9,10 +9,11 @@ import org.apache.spark.sql.types._
   * Model: an asset is an opaque `binary` payload plus typed metadata —
   * `struct(content BINARY, mime STRING, meta STRUCT(...))`. Everything
   * relational (schema, filters, grouping, partitioning, batch plumbing) is
-  * real and tested; only the codec itself is a stub, because no image/audio
-  * libraries ship in this container. Stubs are deterministic pure functions
-  * of the bytes (clearly marked STUB below) — swapping in a real decoder
-  * changes one function value, not the pipeline shape.
+  * real and tested. The IMAGE codec is real too ([[decodeImageBatch]],
+  * `javax.imageio` — pure JDK); audio/video codecs remain deterministic
+  * stubs (clearly marked STUB below) because no such libraries ship in
+  * this container — swapping in a real decoder changes one function
+  * value, not the pipeline shape.
   *
   * Scale notes: payloads never pass through a shuffle in these operators —
   * metadata extraction and feature derivation are map-side projections;
@@ -76,6 +77,74 @@ object Multimodal {
       i => substring(content, (i * stride + 1).cast("int"), lit(frameLen)))
 
   private val FeatureSchema = ArrayType(DoubleType, containsNull = false)
+
+  /** REAL image codec (no stub): decodes via `javax.imageio` — PNG, BMP,
+    * GIF, JPEG readers ship in the JDK, so one modality is genuinely
+    * decoded with zero native dependencies. Features =
+    * `[width, height, mean_r, mean_g, mean_b]`; null for null or
+    * undecodable payloads (ImageIO returns null on unknown formats — the
+    * lenient-ingest rule C7/C8 applied to binary). Plug into
+    * [[decodeBatched]]; other mimes keep the stub.
+    */
+  val decodeImageBatch: Seq[Array[Byte]] => Seq[Array[Double]] = _.map { bytes =>
+    if (bytes == null) null
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Array(w.toDouble, h.toDouble,
+          sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+      }
+    }
+  }
+
+  /** Fixture generator: a deterministic solid-color PNG per row — size
+    * `(1 + id % 16) × (1 + id % 8)`, fill `rgb(id%256, id*7%256, id*13%256)`
+    * — so an oracle can predict the decoded width/height/channel means in
+    * plain SQL. Encoded executor-side (mapPartitions, no shuffle); real
+    * pipelines read payloads via `spark.read.format("binaryFile")` instead.
+    */
+  def synthPngFromId(df: DataFrame, idCol: String,
+                     outCol: String = "png"): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = false)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (1 + id % 16).toInt
+        val h = (1 + id % 8).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (((id % 256) << 16) | ((id * 7 % 256) << 8) | (id * 13 % 256)).toInt
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Row.fromSeq(r.toSeq :+ baos.toByteArray)
+      }
+    }(enc)
+  }
 
   /** Batched decode over partitions — the Scala analogue of `mapInPandas`:
     * rows are grouped into `batchSize` chunks and handed to a *batch* decoder

@@ -74,4 +74,29 @@ class MultimodalSpec extends SparkSpec {
     assert(viaBatch == viaExpr) // JVM-side stub == expression-side stub
     assert(viaBatch(1L) == viaBatch(3L)) // content-deterministic
   }
+
+  test("decodeImageBatch really decodes PNGs: exact size and channel means") {
+    val ids = Seq(0L, 7L, 300L).toDF("doc_id")
+    val out = Multimodal.decodeBatched(
+        Multimodal.synthPngFromId(ids, "doc_id"),
+        "png", dim = 5, decodeBatch = Multimodal.decodeImageBatch)
+      .select("doc_id", "features").as[(Long, Seq[Double])].collect().toMap
+    for (id <- Seq(0L, 7L, 300L)) {
+      val f = out(id)
+      assert(f(0) == 1 + id % 16, s"width for $id")
+      assert(f(1) == 1 + id % 8, s"height for $id")
+      assert(f(2) == (id % 256).toDouble, s"mean_r for $id") // solid fill => exact mean
+      assert(f(3) == (id * 7 % 256).toDouble, s"mean_g for $id")
+      assert(f(4) == (id * 13 % 256).toDouble, s"mean_b for $id")
+    }
+  }
+
+  test("decodeImageBatch yields null features for undecodable or null bytes") {
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeBatched(junk, "payload", dim = 5,
+        decodeBatch = Multimodal.decodeImageBatch)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(out == Map(1L -> true, 2L -> true))
+  }
 }
