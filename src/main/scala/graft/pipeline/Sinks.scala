@@ -10,8 +10,9 @@ import org.apache.hadoop.fs.Path
   * predicate-pushdown-able — what MySQL is to the reference). Every JDBC
   * surface the reference has (S3 state scan, S4 analytical scan, S5/S6 JDBC
   * sinks) is a one-line swap documented on the corresponding method: the
-  * DataFrame lineage is identical either way, so tests exercise the parquet
-  * path and production points the same code at `spark.read.jdbc`.
+  * DataFrame lineage is identical either way. The swap is exercised for
+  * real in SinksSpec against Derby (embedded, ships with Spark): JDBC
+  * state scan → hash-diff merge → [[overwriteJdbcViaStaging]] round-trip.
   */
 object Sinks {
 
@@ -76,6 +77,36 @@ object Sinks {
     val n = countVerify(spark, path)
     fs.delete(old, true)
     n
+  }
+
+  /** JDBC analogue of [[overwriteViaStaging]]: a merge's plan READS the
+    * table it replaces, and `mode(Overwrite).jdbc` drops the target before
+    * the read runs — the kept/updated rows would silently vanish. Write to
+    * a staging table, then swap with RENAME statements (atomic on MySQL;
+    * two fast metadata ops on Derby/others), keeping the previous table at
+    * `<table>__OLD` until the swap lands. Verified against Derby in
+    * SinksSpec; the SQL is ANSI RENAME TABLE, which MySQL (the reference's
+    * sink) and Derby both speak.
+    */
+  def overwriteJdbcViaStaging(df: DataFrame, url: String, table: String,
+                              props: java.util.Properties): Unit = {
+    val staging = table + "__STAGING"
+    val old = table + "__OLD"
+    df.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      def exists(t: String): Boolean = {
+        val rs = conn.getMetaData.getTables(null, null, t, null)
+        try rs.next() finally rs.close()
+      }
+      val st = conn.createStatement()
+      try {
+        if (exists(old)) st.executeUpdate(s"DROP TABLE $old")
+        if (exists(table)) st.executeUpdate(s"RENAME TABLE $table TO $old")
+        st.executeUpdate(s"RENAME TABLE $staging TO $table")
+        if (exists(old)) st.executeUpdate(s"DROP TABLE $old")
+      } finally st.close()
+    } finally conn.close()
   }
 
   /** Small-files compaction: rewrite a parquet directory into
