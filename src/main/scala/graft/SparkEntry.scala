@@ -76,6 +76,14 @@ object SparkEntry {
     path
   }
 
+  /** Quality-gate queries: full members of the correctness contract (Verify
+    * runs them; the driver oracle-checks them), but excluded from Bench —
+    * a gate re-derives exact ground truth (bounded cartesians, multi-query
+    * brute force) every run, so its wall time measures truth construction,
+    * not the engine.
+    */
+  val verifyOnlyQueries: Set[String] = Set("q_sim_recall_gate", "q_dedup_simhash_gate")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
     "q_f1_eq_filter" -> ((s, d) =>

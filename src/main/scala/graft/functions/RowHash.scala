@@ -43,21 +43,51 @@ object RowHash {
     * stage: range-repartition on the sort key (equal keys land in one
     * partition; RangePartitioner's reservoir sampling is seeded
     * per-partition, so bounds are deterministic for a deterministic parent
-    * plan), sort within partitions, zipWithIndex. Output is identical to
-    * `row_number().over(Window.orderBy(sortCols))` — partition order equals
-    * global sort order — but every stage stays distributed, so it holds at
-    * any scale. The one requirement carried by callers: `sortCols` must be
-    * a total order (append a unique tiebreak such as `row_hash`).
+    * plan), sort within partitions, then [[denseIdByPartitionOffset]].
+    * Output is identical to `row_number().over(Window.orderBy(sortCols))` —
+    * partition order equals global sort order — but every stage stays
+    * distributed AND inside whole-stage codegen (the former RDD
+    * zipWithIndex form dropped the whole downstream stage out of Tungsten),
+    * so it holds at any scale. The one requirement carried by callers:
+    * `sortCols` must be a total order (append a unique tiebreak such as
+    * `row_hash`).
     */
   def orderedDenseId(df: DataFrame, sortCols: Seq[Column],
-                     idCol: String): DataFrame = {
-    val ordered = df.repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val schema = ordered.schema.add(idCol, LongType, nullable = false)
-    val rdd = ordered.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+                     idCol: String): DataFrame =
+    denseIdByPartitionOffset(
+      df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*),
+      idCol, 0L)
+
+  /** Mint dense `offset+1..offset+n` ids in partition-major row order
+    * WITHOUT leaving columnar execution: the same two passes RDD
+    * `zipWithIndex` runs (a count job, then the tagged pass), but expressed
+    * as codegen'd expressions — `spark_partition_id()` keys a per-partition
+    * count aggregate (one row per partition to the driver: metadata-scale),
+    * the cumulative offsets come back as a broadcast map literal, and the
+    * intra-partition row index is `monotonically_increasing_id()`'s low 33
+    * bits (its documented layout: partitionId << 33 | rowIndexInPartition,
+    * assigned in row-production order — here the post-sort order). Both
+    * passes evaluate the same deterministic parent plan, the same
+    * determinism contract zipWithIndex relied on.
+    */
+  private[graft] def denseIdByPartitionOffset(df: DataFrame, idCol: String,
+                                              offset0: Long): DataFrame = {
+    val tagged = df
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rix",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+    val counts = tagged.groupBy("__pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = offset0
+    val offsets = counts.map { case (pid, n) => val o = acc; acc += n; pid -> o }
+    val offsetCol =
+      if (offsets.isEmpty) lit(offset0) // empty input: no rows to look up
+      else element_at(
+        map_from_arrays(array(offsets.map(p => lit(p._1)).toIndexedSeq: _*),
+          array(offsets.map(p => lit(p._2)).toIndexedSeq: _*)),
+        col("__pid"))
+    tagged.withColumn(idCol, (col("__rix") + offsetCol + lit(1L)).cast(LongType))
+      .drop("__pid", "__rix")
   }
 
   /** SHA-256 hex fingerprint over the given columns, sorted by name. */

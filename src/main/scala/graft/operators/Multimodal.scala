@@ -89,9 +89,13 @@ object Multimodal {
   val decodeImageBatch: Seq[Array[Byte]] => Seq[Array[Double]] = _.map { bytes =>
     if (bytes == null) null
     else {
+      // NonFatal, not just IOException: plugin readers throw RuntimeExceptions
+      // (NegativeArraySizeException, IllegalArgumentException) on malformed-
+      // but-recognized headers — the lenient-ingest rule (C7/C8) applies to
+      // every decode failure, not only clean I/O errors.
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) null
       else {
         val w = img.getWidth

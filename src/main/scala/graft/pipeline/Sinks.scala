@@ -82,11 +82,17 @@ object Sinks {
   /** JDBC analogue of [[overwriteViaStaging]]: a merge's plan READS the
     * table it replaces, and `mode(Overwrite).jdbc` drops the target before
     * the read runs — the kept/updated rows would silently vanish. Write to
-    * a staging table, then swap with RENAME statements (atomic on MySQL;
-    * two fast metadata ops on Derby/others), keeping the previous table at
-    * `<table>__OLD` until the swap lands. Verified against Derby in
-    * SinksSpec; the SQL is ANSI RENAME TABLE, which MySQL (the reference's
-    * sink) and Derby both speak.
+    * a staging table, then swap with RENAME statements (`RENAME TABLE` —
+    * MySQL's and Derby's spelling; Postgres et al. use
+    * `ALTER TABLE ... RENAME TO`, a one-line dialect swap), keeping the
+    * previous table at `<table>__OLD` until the swap lands. If the
+    * staging→target rename fails, the previous table is renamed back — like
+    * the parquet [[overwriteViaStaging]], a failed swap never leaves the
+    * target missing. Existence probes go through the metadata catalog with
+    * the identifier normalized to the store's unquoted-identifier case
+    * (Derby/MySQL-on-default fold unquoted names to upper case), so a
+    * lowercase `table` argument still finds its target. Verified against
+    * Derby in SinksSpec.
     */
   def overwriteJdbcViaStaging(df: DataFrame, url: String, table: String,
                               props: java.util.Properties): Unit = {
@@ -95,15 +101,32 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
+      val meta = conn.getMetaData
+      // Unquoted identifiers are case-normalized by the store (Derby/MySQL
+      // upper-case by default, others lower) — probe with the store's own
+      // normalization so `exists` agrees with what the RENAMEs will see.
+      def normalize(t: String): String =
+        if (meta.storesUpperCaseIdentifiers) t.toUpperCase
+        else if (meta.storesLowerCaseIdentifiers) t.toLowerCase
+        else t
       def exists(t: String): Boolean = {
-        val rs = conn.getMetaData.getTables(null, null, t, null)
+        val rs = meta.getTables(null, null, normalize(t), null)
         try rs.next() finally rs.close()
       }
       val st = conn.createStatement()
       try {
         if (exists(old)) st.executeUpdate(s"DROP TABLE $old")
-        if (exists(table)) st.executeUpdate(s"RENAME TABLE $table TO $old")
-        st.executeUpdate(s"RENAME TABLE $staging TO $table")
+        val hadTarget = exists(table)
+        if (hadTarget) st.executeUpdate(s"RENAME TABLE $table TO $old")
+        try st.executeUpdate(s"RENAME TABLE $staging TO $table")
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // restore the previous table so a failed swap never destroys
+            // the only copy (parity with commitStaged's parquet recovery)
+            if (hadTarget && !exists(table))
+              st.executeUpdate(s"RENAME TABLE $old TO $table")
+            throw e
+        }
         if (exists(old)) st.executeUpdate(s"DROP TABLE $old")
       } finally st.close()
     } finally conn.close()
@@ -238,16 +261,12 @@ object Sinks {
       .saveAsTable(table)
 
   /** C13 at bulk-load scale: dense surrogate ids without the global-window
-    * single-partition stage — classic zipWithIndex (one extra count pass per
-    * partition, no shuffle, no driver collection). Ids are assigned in
-    * partition order: deterministic for a deterministic parent plan, dense
-    * from `offset+1`.
+    * single-partition stage — zipWithIndex's two passes (per-partition
+    * count, then tag) expressed columnar (no shuffle, no driver collection
+    * beyond one count per partition), so the mint stays inside whole-stage
+    * codegen. Ids are assigned in partition order: deterministic for a
+    * deterministic parent plan, dense from `offset+1`.
     */
-  def withDenseId(df: DataFrame, idCol: String = "id", offset: Long = 0L): DataFrame = {
-    val schema = df.schema.add(idCol, LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (offset + i + 1L))
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+  def withDenseId(df: DataFrame, idCol: String = "id", offset: Long = 0L): DataFrame =
+    graft.functions.RowHash.denseIdByPartitionOffset(df, idCol, offset)
 }
