@@ -329,9 +329,14 @@ object SparkEntry {
     // assert measured recall — a plausible-but-poor ANN (broken planes,
     // misaligned probe cells) flips them to false and fails the hash gate.
     // ANN params are sized for the 0.3-cosine radius at this corpus size
-    // (recall ~0.93 at every SF); IVF's threshold sits just below the
-    // nProbe/nCentroids=0.5 no-structure floor this near-uniform corpus
-    // pins recall to (clustered real data sits far above it).
+    // (recall ~0.93 at every SF). The IVF leg runs on the deterministic
+    // planted-cluster fixture with TRAINED (Lloyd's k-means) centroids and
+    // a tight probe budget (nProbe 2 of 32 cells). Measured on this
+    // deterministic fixture: trained recall 1.0, untrained pseudo-centroids
+    // 0.85, random/broken probing ~0.06 — the 0.9 threshold therefore
+    // rejects not just a broken probe but also skipping training, unlike
+    // the r3 gate whose 0.45 sat below the uniform-corpus no-structure
+    // floor.
     "q_sim_recall_gate" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val truth = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
@@ -340,11 +345,15 @@ object SparkEntry {
           bands = 32, bitsPerBand = 5, minCosine = 0.30)
         .filter(col("id_a") < 500 && col("id_b") < 500)
       val annHits = truth.join(ann, Seq("id_a", "id_b"), "left_semi")
-      val qids = 1L to 8L
+      val fix = Similarity.clusteredEmbeddings(s, nClusters = 32,
+        perCluster = 32, dim = 64)
+      val trained = Similarity.kMeansCentroids(fix, "embedding", dim = 64,
+        k = 32, maxIter = 5)
+      val qids = (0 until 8).map(c => c.toLong * 4 * 32 + 1) // 8 spread clusters
       val ivfAvg = Similarity.recallAtK(
-          Similarity.bruteForceTopKMulti(emb, "vec_id", "embedding", qids, k = 10),
-          Similarity.ivfTopKMulti(emb, "vec_id", "embedding", dim = 64, qids,
-            k = 10, nCentroids = 16, nProbe = 8))
+          Similarity.bruteForceTopKMulti(fix, "vec_id", "embedding", qids, k = 10),
+          Similarity.ivfTopKMulti(fix, "vec_id", "embedding", dim = 64, qids,
+            k = 10, nCentroids = 32, nProbe = 2, centroids = trained))
         .agg(avg(col("recall")).as("__ivf_avg"))
       truth.agg(count(lit(1)).as("n_truth_pairs"))
         .crossJoin(annHits.agg(count(lit(1)).as("__n_hit")))
@@ -352,7 +361,7 @@ object SparkEntry {
         .select(col("n_truth_pairs"),
           (col("__n_hit").cast("double") / col("n_truth_pairs").cast("double")
             >= 0.9).as("ann_recall_ok"),
-          (col("__ivf_avg") >= 0.45).as("ivf_recall_ok"))
+          (col("__ivf_avg") >= 0.9).as("ivf_recall_ok"))
     }),
     // ---- multimodal -----------------------------------------------------
     "q_mm_asset_meta" -> ((s, d) =>

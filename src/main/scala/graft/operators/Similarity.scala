@@ -148,23 +148,117 @@ object Similarity {
       .filter(col("cos") >= minCosine)
   }
 
+  /** Deterministic pseudo-centroids: hyperplane-derived directions. The
+    * zero-training default for IVF structures; [[kMeansCentroids]] trains
+    * real ones with identical downstream plumbing.
+    */
+  def pseudoCentroids(dim: Int, nCentroids: Int): Array[Array[Double]] =
+    Array.tabulate(nCentroids)(c => hyperplane(c, 63, dim))
+
+  /** Per-centroid dot-product scores of `vec` — the shared expression under
+    * assignment and probe-cell selection (both must rank cells identically
+    * or the probe reads the wrong inverted lists).
+    */
+  private def centroidScores(vec: Column,
+                             centroids: Array[Array[Double]]): Seq[Column] =
+    centroids.toIndexedSeq.map { plane =>
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
+      aggregate(zip_with(vec, planeCol, (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+    }
+
+  /** Nearest-centroid (max dot product) cell id for an explicit centroid
+    * array — broadcast as plan literals, evaluated as a map-side argmax.
+    */
+  def ivfAssignTo(vec: Column, centroids: Array[Array[Double]]): Column = {
+    // argmax: first index of the max score (0-based)
+    val arr = array(centroidScores(vec, centroids): _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
   /** IVF-style ANN top-k: corpus rows are assigned to their nearest of
     * `nCentroids` pseudo-centroids (deterministic hyperplane-derived unit
-    * directions — at 100 TB swap in k-means centroids, the plumbing is
+    * directions — [[kMeansCentroids]] trains real ones, the plumbing is
     * identical); the query probes only the `nProbe` nearest centroids'
     * inverted lists. Centroid assignment is a map-side argmax over a small
     * broadcast array; the probe is a partition-pruning filter, so the scan
     * touches nProbe/nCentroids of the corpus.
     */
-  def ivfAssign(vec: Column, dim: Int, nCentroids: Int): Column = {
-    val scores = (0 until nCentroids).map { c =>
-      val plane = array(hyperplane(c, 63, dim).toIndexedSeq.map(lit): _*)
-      aggregate(zip_with(vec, plane, (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
+  def ivfAssign(vec: Column, dim: Int, nCentroids: Int): Column =
+    ivfAssignTo(vec, pseudoCentroids(dim, nCentroids))
+
+  /** Lloyd's k-means over the embedding column, expressed as DataFrame
+    * aggregations — per iteration: one map-side cell assignment (argmax over
+    * broadcast centroid literals) + one hash-aggregate of per-dimension sums
+    * (partial map-side combine, then k × (dim+1) values to the driver —
+    * metadata-scale regardless of corpus size). Spherical variant: centroids
+    * are unit-normalized each round, matching the dot-product assignment
+    * (argmax dot == argmax cosine for unit centroids). Initialization is the
+    * deterministic [[pseudoCentroids]]; an empty cell keeps its previous
+    * centroid. Early-exits when no centroid moves more than `tol` (squared
+    * L2). At 100 TB: `maxIter` full scans, each a codegen'd projection +
+    * partial agg — the same shape as any groupBy, no driver-side data loops.
+    */
+  def kMeansCentroids(emb: DataFrame, vecCol: String, dim: Int, k: Int,
+                      maxIter: Int = 8, tol: Double = 1e-6): Array[Array[Double]] = {
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
     }
-    // argmax: first index of the max score (0-based)
-    val arr = array(scores: _*)
-    (array_position(arr, array_max(arr)) - 1).cast("int")
+    val base = emb.select(col(vecCol).as("v")).filter(size(col("v")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var centroids = pseudoCentroids(dim, k).map(unit)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dim).map(i =>
+          sum(element_at(col("v"), i + 1).cast("double")).as(s"s$i"))
+      val rows = base.groupBy(ivfAssignTo(col("v"), centroids).as("cell"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val next = centroids.clone()
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1)
+        if (n > 0)
+          next(c) = unit(Array.tabulate(dim)(i => r.getDouble(2 + i) / n))
+      }
+      moved = centroids.iterator.zip(next.iterator).map { case (a, b) =>
+        a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.max
+      centroids = next
+      iter += 1
+    }
+    base.unpersist()
+    centroids
+  }
+
+  /** Deterministic planted-cluster embedding fixture: `nClusters` unit-norm
+    * centers (splitmix64-derived, like [[hyperplane]]), `perCluster` points
+    * each = center + uniform noise in ±`noise` — vec_id of cluster c, point
+    * j is `c * perCluster + j`, so cluster membership is predictable from
+    * the id alone (the embedding analogue of `Multimodal.synthPngFromId`).
+    * Small by construction (fixture/gate scale); generated driver-side.
+    */
+  def clusteredEmbeddings(spark: org.apache.spark.sql.SparkSession,
+                          nClusters: Int, perCluster: Int, dim: Int,
+                          noise: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    def u(seed: Long): Double = // uniform in [-1, 1)
+      splitmix64(seed).toDouble / Long.MaxValue
+    val rows = for {
+      c <- 0 until nClusters
+      j <- 0 until perCluster
+    } yield {
+      val center = Array.tabulate(dim)(i => u(splitmix64(1000L + c) ^ i.toLong))
+      val norm = math.sqrt(center.map(x => x * x).sum)
+      val id = (c.toLong * perCluster) + j
+      val v = Array.tabulate(dim) { i =>
+        (center(i) / norm + noise * u(splitmix64(id) ^ (7777L + i))).toFloat
+      }
+      (id, v)
+    }
+    rows.toDF("vec_id", "embedding")
   }
 
   /** IVF probe: top-k among the corpus rows assigned to the query's nearest
@@ -173,15 +267,15 @@ object Similarity {
     * partitioned by it at scale).
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-              queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+              queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+              centroids: Array[Array[Double]] = null): DataFrame = {
+    val cents = if (centroids != null) centroids else pseudoCentroids(dim, nCentroids)
+    require(cents.length == nCentroids, s"got ${cents.length} centroids, expected $nCentroids")
     val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      ivfAssign(col(vecCol), dim, nCentroids).as("cell"))
+      ivfAssignTo(col(vecCol), cents).as("cell"))
     val qCells = assigned.filter(col("id") === queryId)
-      .select(posexplode(array((0 until nCentroids).map { c =>
-        val plane = array(hyperplane(c, 63, dim).toIndexedSeq.map(lit): _*)
-        aggregate(zip_with(col("v"), plane, (x, h) => x.cast("double") * h),
-          lit(0.0), (acc, v) => acc + v)
-      }: _*))).orderBy(col("col").desc).limit(nProbe).select(col("pos").as("cell"))
+      .select(posexplode(array(centroidScores(col("v"), cents): _*)))
+      .orderBy(col("col").desc).limit(nProbe).select(col("pos").as("cell"))
     val q = assigned.filter(col("id") === queryId).select(col("v").as("__qvec"))
     assigned.join(broadcast(qCells), Seq("cell"), "left_semi")
       .filter(col("id") =!= queryId)
@@ -199,11 +293,14 @@ object Similarity {
     * one percent of it (nProbe=4, nCentroids=1024).
     */
   def ivfWriteIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-                    nCentroids: Int, path: String): Unit =
+                    nCentroids: Int, path: String,
+                    centroids: Array[Array[Double]] = null): Unit = {
+    val cents = if (centroids != null) centroids else pseudoCentroids(dim, nCentroids)
     emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-        ivfAssign(col(vecCol), dim, nCentroids).as("cell"))
+        ivfAssignTo(col(vecCol), cents).as("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(path)
+  }
 
   /** Top-k probe against a persisted IVF index. The query vector is one row
     * (a scalar from the engine's point of view — collecting it is not a
@@ -214,7 +311,9 @@ object Similarity {
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      dim: Int, queryId: Long, k: Int,
-                     nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+                     nCentroids: Int = 16, nProbe: Int = 4,
+                     centroids: Array[Array[Double]] = null): DataFrame = {
+    val cents = if (centroids != null) centroids else pseudoCentroids(dim, nCentroids)
     val idx = spark.read.parquet(path)
     // ONE column-pruned lookup of the query row (its cell is unknown before
     // reading it, so this scan can't partition-prune — everything after
@@ -222,8 +321,7 @@ object Similarity {
     val qRows = idx.filter(col("id") === queryId).select("v").take(1)
     require(qRows.nonEmpty, s"ivfTopKIndexed: query id $queryId not in index $path")
     val qVec = qRows(0).getSeq[Float](0).toArray
-    val probeCells = (0 until nCentroids).map { c =>
-      val plane = hyperplane(c, 63, dim)
+    val probeCells = cents.toIndexedSeq.zipWithIndex.map { case (plane, c) =>
       c -> qVec.iterator.zip(plane.iterator).map { case (x, h) => x * h }.sum
     }.sortBy(-_._2).take(nProbe).map(_._1)
     idx.filter(col("cell").isin(probeCells: _*))
@@ -284,17 +382,16 @@ object Similarity {
     */
   def ivfTopKMulti(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                    queryIds: Seq[Long], k: Int,
-                   nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+                   nCentroids: Int = 16, nProbe: Int = 4,
+                   centroids: Array[Array[Double]] = null): DataFrame = {
+    val cents = if (centroids != null) centroids else pseudoCentroids(dim, nCentroids)
+    require(cents.length == nCentroids, s"got ${cents.length} centroids, expected $nCentroids")
     val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      ivfAssign(col(vecCol), dim, nCentroids).as("cell"))
+      ivfAssignTo(col(vecCol), cents).as("cell"))
     val q = assigned.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"))
-    val centroidScores = array((0 until nCentroids).map { c =>
-      val plane = array(hyperplane(c, 63, dim).toIndexedSeq.map(lit): _*)
-      aggregate(zip_with(col("qv"), plane, (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
-    }: _*)
-    val probe = q.select(col("query_id"), posexplode(centroidScores))
+    val probe = q.select(col("query_id"),
+        posexplode(array(centroidScores(col("qv"), cents): _*)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("col").desc, col("pos").asc)))
       .filter(col("__rn") <= nProbe)
