@@ -397,6 +397,21 @@ object SparkEntry {
           element_at(col("features"), 3).as("mean_r"),
           element_at(col("features"), 4).as("mean_g"))
         .orderBy("doc_id")),
+    // REAL codec path #2: synthesized PCM16 WAVs (frame count + constant
+    // amplitude derived from doc_id) decoded by javax.sound.sampled —
+    // sample rate/frames/duration/RMS are oracle-predictable in plain SQL
+    // (constant-amplitude RMS and /32768 are IEEE-exact on both engines).
+    "q_mm_wav_decode" -> ((s, d) =>
+      Multimodal.decodeBatched(
+          Multimodal.synthWavFromId(t(s, d, "documents").select("doc_id"), "doc_id"),
+          "wav", dim = 5, decodeBatch = Multimodal.decodeAudioBatch)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("sample_rate"),
+          element_at(col("features"), 2).cast("long").as("n_channels"),
+          element_at(col("features"), 3).cast("long").as("n_frames"),
+          element_at(col("features"), 4).as("duration_sec"),
+          element_at(col("features"), 5).as("rms"))
+        .orderBy("doc_id")),
     "q_mm_decode_features" -> ((s, d) =>
       Multimodal.decodeBatched(
           t(s, d, "documents")
@@ -813,6 +828,13 @@ object SparkEntry {
       """SELECT doc_id, 1 + doc_id % 16 AS width, 1 + doc_id % 8 AS height,
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
         |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_wav_decode" ->
+      """SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  8 + doc_id % 64 AS n_frames,
+        |  CAST(8 + doc_id % 64 AS DOUBLE) / 8000.0 AS duration_sec,
+        |  CAST(abs((doc_id * 37) % 20000 - 10000) AS DOUBLE) / 32768.0 AS rms
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_resize" ->
       """SELECT doc_id,

@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * Model: an asset is an opaque `binary` payload plus typed metadata —
   * `struct(content BINARY, mime STRING, meta STRUCT(...))`. Everything
   * relational (schema, filters, grouping, partitioning, batch plumbing) is
-  * real and tested. The IMAGE codec is real too ([[decodeImageBatch]],
-  * `javax.imageio` — pure JDK); audio/video codecs remain deterministic
-  * stubs (clearly marked STUB below) because no such libraries ship in
-  * this container — swapping in a real decoder changes one function
-  * value, not the pipeline shape.
+  * real and tested. The IMAGE codec ([[decodeImageBatch]], `javax.imageio`)
+  * and the AUDIO codec ([[decodeAudioBatch]], `javax.sound.sampled`) are
+  * real — both pure JDK, zero native dependencies. Only the VIDEO codec
+  * remains a deterministic stub (clearly marked STUB below) because no
+  * video library ships in this container — swapping in a real decoder
+  * changes one function value, not the pipeline shape.
   *
   * Scale notes: payloads never pass through a shuffle in these operators —
   * metadata extraction and feature derivation are map-side projections;
@@ -146,6 +147,85 @@ object Multimodal {
         val baos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", baos)
         Row.fromSeq(r.toSeq :+ baos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** REAL audio codec (no stub): decodes RIFF/WAV PCM via
+    * `javax.sound.sampled` (AudioSystem ships in the JDK, like imageio).
+    * Features = `[sample_rate, n_channels, n_frames, duration_sec, rms]`
+    * with RMS normalized to [0, 1] by the 16-bit full scale; null for null,
+    * non-PCM16, or undecodable payloads — the lenient-ingest rule (C7/C8)
+    * applied to binary, matching [[decodeImageBatch]]. Plug into
+    * [[decodeBatched]].
+    */
+  val decodeAudioBatch: Seq[Array[Byte]] => Seq[Array[Double]] = _.map { bytes =>
+    if (bytes == null) null
+    else {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            null
+          else {
+            val data = in.readAllBytes()
+            val n = data.length / 2
+            var sumSq = 0.0
+            var i = 0
+            while (i < n) {
+              val lo = data(2 * i) & 0xff
+              val hi = data(2 * i + 1).toInt
+              val s = if (fmt.isBigEndian) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
+                      else (hi << 8) | lo
+              sumSq += s.toDouble * s
+              i += 1
+            }
+            val channels = fmt.getChannels
+            val frames = n / channels
+            val rate = fmt.getSampleRate.toDouble
+            Array(rate, channels.toDouble, frames.toDouble,
+              frames / rate,
+              if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0)
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+  }
+
+  /** Fixture generator: a deterministic mono PCM16 WAV per row — sample
+    * rate 8000 Hz, `8 + id % 64` frames, every sample the constant
+    * `(id * 37) % 20000 - 10000` — so an oracle can predict the decoded
+    * frame count, duration (`n/8000.0`) and RMS (`|amp|/32768.0`, exact in
+    * IEEE doubles: the mean of identical squares is a representable perfect
+    * square) in plain SQL. The audio twin of [[synthPngFromId]]; encoded
+    * executor-side, canonical 44-byte RIFF header.
+    */
+  def synthWavFromId(df: DataFrame, idCol: String,
+                     outCol: String = "wav"): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = false)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val nFrames = (8 + id % 64).toInt
+        val amp = ((id * 37) % 20000 - 10000).toShort
+        val dataLen = nFrames * 2
+        val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1)          // PCM, mono
+          .putInt(8000).putInt(16000)       // sample rate, byte rate
+          .putShort(2).putShort(16)         // block align, bits/sample
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < nFrames) { buf.putShort(amp); i += 1 }
+        Row.fromSeq(r.toSeq :+ buf.array())
       }
     }(enc)
   }

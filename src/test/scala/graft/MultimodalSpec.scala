@@ -99,4 +99,31 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
     assert(out == Map(1L -> true, 2L -> true))
   }
+
+  test("decodeAudioBatch really decodes WAVs: rate, frames, duration, exact RMS") {
+    val ids = Seq(0L, 7L, 300L).toDF("doc_id")
+    val out = Multimodal.decodeBatched(
+        Multimodal.synthWavFromId(ids, "doc_id"),
+        "wav", dim = 5, decodeBatch = Multimodal.decodeAudioBatch)
+      .select("doc_id", "features").as[(Long, Seq[Double])].collect().toMap
+    for (id <- Seq(0L, 7L, 300L)) {
+      val f = out(id)
+      val nFrames = 8 + id % 64
+      val amp = (id * 37) % 20000 - 10000
+      assert(f(0) == 8000.0, s"sample rate for $id")
+      assert(f(1) == 1.0, s"channels for $id")
+      assert(f(2) == nFrames.toDouble, s"frames for $id")
+      assert(f(3) == nFrames.toDouble / 8000.0, s"duration for $id")
+      assert(f(4) == math.abs(amp).toDouble / 32768.0, s"rms for $id") // constant fill => exact
+    }
+  }
+
+  test("decodeAudioBatch yields null features for undecodable or null bytes") {
+    val junk = Seq((1L, Array[Byte](82, 73, 70, 70)), (2L, null)) // truncated "RIFF"
+      .toDF("id", "payload")
+    val out = Multimodal.decodeBatched(junk, "payload", dim = 5,
+        decodeBatch = Multimodal.decodeAudioBatch)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(out == Map(1L -> true, 2L -> true))
+  }
 }
