@@ -278,16 +278,30 @@ object Dedup {
   }
 
   /** Duplicate-group resolution: connected components over a candidate-pair
-    * edge list via iterative min-label propagation. Each doc's group id is
-    * the smallest doc id in its component — the survivor under keep-min
-    * dedup. Near-dup clusters are small and shallow, so propagation
-    * converges in a few rounds; every round is one shuffle keyed by id
-    * (edges × labels join + min-aggregate). `localCheckpoint` truncates the
-    * growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    * edge list via min-label propagation WITH pointer jumping (the star-
+    * contraction trick): each round first takes the min label over direct
+    * neighbors (one edge hop), then rewrites every label to its label's own
+    * label (`l(v) ← l(l(v))` — valid because labels only decrease and every
+    * label is itself a node id, so the jump stays inside the component).
+    * The hop alone needs diameter rounds on a chain; the jump doubles the
+    * contracted distance per round, so convergence is O(log diameter) —
+    * at 100 TB this is the difference between 3 and 40 shuffle rounds on
+    * stringy components. Each doc's group id is the smallest doc id in its
+    * component — the survivor under keep-min dedup. `localCheckpoint`
+    * truncates the growing lineage so round N's plan doesn't replay rounds
+    * 1..N-1.
     *
     * Returns (id, group_id) for every id that appears in `pairs`.
     */
-  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    duplicateGroupsWithRounds(pairs, maxIter)._1
+
+  /** [[duplicateGroups]] plus the number of rounds it ran — the round count
+    * is the observable the convergence-speed spec pins (⌈log₂ diameter⌉ +
+    * detection overhead, not diameter).
+    */
+  private[graft] def duplicateGroupsWithRounds(pairs: DataFrame,
+                                               maxIter: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -306,8 +320,18 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val propagated = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("group_id"))
-      val next = labels.unionByName(propagated)
+      // checkpoint before the self-join: the jump reads `hop` twice (probe +
+      // lookup side) — materializing once stops the aggregate from running
+      // twice AND sidesteps self-join attribute rewriting over the union
+      val hop = labels.unionByName(propagated)
         .groupBy("id").agg(min(col("group_id")).as("group_id"))
+        .localCheckpoint(true)
+      // pointer jump: follow each label to ITS label (left join is defensive
+      // — every group_id is a node id present in `hop` by construction)
+      val next = hop.as("x").join(
+          hop.select(col("id").as("__gid"), col("group_id").as("__ggid")),
+          col("group_id") === col("__gid"), "left")
+        .select(col("id"), coalesce(col("__ggid"), col("group_id")).as("group_id"))
         .localCheckpoint(true)
       val s = labelSum(next)
       converged = s == prevSum
@@ -320,8 +344,8 @@ object Dedup {
     // oracle's exact recursive closure — fail loudly instead
     if (!converged) throw new IllegalStateException(
       s"duplicateGroups did not converge in $maxIter rounds — a component's " +
-        s"diameter exceeds maxIter; re-run with a larger maxIter")
-    labels
+        s"contracted diameter exceeds maxIter; re-run with a larger maxIter")
+    (labels, iter)
   }
 
   /** End-to-end near-duplicate removal — the operation a training-data

@@ -127,6 +127,19 @@ class DedupSpec extends SparkSpec {
     assert(groups.keySet == (10L to 14L).toSet)
   }
 
+  test("duplicateGroups pointer jumping: 64-chain converges in O(log d) rounds") {
+    // A 65-node path (diameter 64): plain one-hop propagation needs 64
+    // rounds (the old maxIter=20 would have thrown); hop+jump contracts
+    // distance ~(2x+1) per round -> well under 10 rounds incl. the final
+    // no-change detection round.
+    val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.duplicateGroupsWithRounds(pairs, maxIter = 12)
+    val groups = labels.as[(Long, Long)].collect().toMap
+    assert(groups.values.toSet == Set(0L))
+    assert(groups.keySet == (0L to 64L).toSet)
+    assert(rounds <= 9, s"expected <= 9 rounds for diameter 64, took $rounds")
+  }
+
   test("ngramJaccardPairs computes exact token-set jaccard") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxId = 100, minJaccard = 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()

@@ -204,6 +204,20 @@ class SinksSpec extends SparkSpec {
         spark.read.jdbc(url, "TGT", props), Seq("k")))
       .as[(String, Long)].collect().toMap
     assert(tally.keySet == Set("skip"), tally.toString)
+    // S4 over JDBC is not just "it reads": the filter must COMPILE INTO the
+    // remote query (PushedFilters in the scan node), not run Spark-side
+    // after a full-table fetch — the claim Sinks.analyticalScan's doc makes
+    // for the JDBC swap, now checked against a real store.
+    val pushed = spark.read.jdbc(url, "TGT", props)
+      .where("k > 2").select("k", "v")
+    val scanPlan = pushed.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scanPlan.contains("PushedFilters") && scanPlan.contains("k"),
+      s"JDBC scan did not push the predicate:\n$scanPlan")
+    assert(!scanPlan.contains("PushedFilters: []"),
+      s"JDBC scan pushed NO filters:\n$scanPlan")
+    assert(pushed.as[(Long, String)].collect().toSet ==
+      Set(3L -> "c", 4L -> "d"))
   }
 
   test("Runner end-to-end: full refresh then incremental merge is idempotent") {
