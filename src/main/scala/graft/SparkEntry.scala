@@ -277,6 +277,47 @@ object SparkEntry {
     "q_dedup_simhash_neardup" -> ((s, d) =>
       Dedup.simHashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
         maxHamming = 7).orderBy("id_a", "id_b")),
+    // SimHash quality gate (the q_sim_recall_gate pattern applied to text
+    // dedup). Two measured booleans, thresholds from this corpus:
+    //  - exact recall: docs with IDENTICAL normalized token multisets get
+    //    identical simhash signatures, so every such pair MUST surface as a
+    //    candidate (hamming 0 <= 3) — a theorem when banding is correct,
+    //    false the moment the band join or signature is broken.
+    //  - precision: candidates at hamming<=3 average >= 0.9 exact token-set
+    //    Jaccard (measured 0.954; random/broken buckets measure ~0.6 on
+    //    this dupe-heavy corpus, so the threshold separates).
+    // SimHash is NOT gated on moderate-similarity recall: measured recall
+    // of 0.5-Jaccard pairs at hamming<=7 is ~0.004 — an intrinsic simhash
+    // property (it detects near-identical token profiles), so such a gate
+    // would pin a number the algorithm does not promise.
+    "q_dedup_simhash_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tk = docs.filter(col("doc_id") < 120)
+        .select(col("doc_id").as("id"),
+          sort_array(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("tk"))
+        .filter(size(col("tk")) > 0) // empty docs have no signature (by design)
+      val truth = tk.select(col("id").as("id_a"), col("tk").as("tka"))
+        .join(tk.select(col("id").as("id_b"), col("tk").as("tkb")),
+          col("id_a") < col("id_b") && col("tka") === col("tkb"))
+        .select("id_a", "id_b")
+      val cand = Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+        .select("id_a", "id_b")
+      val hits = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      val toks = docs.select(col("doc_id").as("id"),
+        array_distinct(filter(split(lower(col("text")), "\\s+"), t => t =!= "")).as("dtk"))
+      val prec = cand
+        .join(toks.select(col("id").as("id_a"), col("dtk").as("ta")), Seq("id_a"))
+        .join(toks.select(col("id").as("id_b"), col("dtk").as("tb")), Seq("id_b"))
+        .agg(avg(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double")).as("__avg_j"))
+      truth.agg(count(lit(1)).as("n_truth_pairs"))
+        .crossJoin(hits.agg(count(lit(1)).as("__n_hit")))
+        .crossJoin(prec)
+        .select(col("n_truth_pairs"),
+          (col("__n_hit") === col("n_truth_pairs")).as("simhash_exact_recall_ok"),
+          // no candidates at tiny SFs -> vacuously precise
+          coalesce(col("__avg_j") >= 0.9, lit(true)).as("simhash_precision_ok"))
+    }),
     // ---- text analysis --------------------------------------------------
     "q_text_quality" -> ((s, d) => {
       val doc = t(s, d, "documents")
@@ -712,6 +753,16 @@ object SparkEntry {
         |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
         |  SELECT * FROM r)
         |SELECT id, min(label) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_dedup_simhash_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    list_sort(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS tk
+        |  FROM documents WHERE doc_id < 120),
+        |ne AS (SELECT * FROM t WHERE len(tk) > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs,
+        |  true AS simhash_exact_recall_ok, true AS simhash_precision_ok
+        |FROM ne a JOIN ne b ON a.id < b.id AND a.tk = b.tk""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'
