@@ -55,7 +55,18 @@ object RowHash {
   def orderedDenseId(df: DataFrame, sortCols: Seq[Column],
                      idCol: String): DataFrame =
     denseIdByPartitionOffset(
-      df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*),
+      df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+        // Eager checkpoint — load-bearing, NOT an optimization.
+        // RangePartitioner seeds its reservoir sampling from the RDD id,
+        // which is minted fresh every time an action compiles the plan: two
+        // separate actions over this frame can land boundary rows in
+        // DIFFERENT partitions. The mint below runs two actions (counts,
+        // then tag), so the partitioning must be frozen once. RDD
+        // zipWithIndex froze it by sharing one RDD across its jobs;
+        // the columnar equivalent is a local checkpoint, which pins the
+        // rows AS InternalRow blocks (no external-Row round trip) and
+        // keeps everything downstream inside whole-stage codegen.
+        .localCheckpoint(true),
       idCol, 0L)
 
   /** Mint dense `offset+1..offset+n` ids in partition-major row order
@@ -66,12 +77,17 @@ object RowHash {
     * the cumulative offsets come back as a broadcast map literal, and the
     * intra-partition row index is `monotonically_increasing_id()`'s low 33
     * bits (its documented layout: partitionId << 33 | rowIndexInPartition,
-    * assigned in row-production order — here the post-sort order). Both
-    * passes evaluate the same deterministic parent plan, the same
-    * determinism contract zipWithIndex relied on.
+    * assigned in row-production order — here the post-sort order).
+    *
+    * PRECONDITION (why this is private): both passes run as separate
+    * actions, so the input's row->partition assignment must be identical
+    * across plan compilations — the caller must pass a materialized
+    * (checkpointed/cached) frame, as [[orderedDenseId]] arranges. For
+    * arbitrary un-materialized parents use `Sinks.withDenseId`, whose RDD
+    * zipWithIndex freezes ONE physical plan for both of its jobs.
     */
-  private[graft] def denseIdByPartitionOffset(df: DataFrame, idCol: String,
-                                              offset0: Long): DataFrame = {
+  private def denseIdByPartitionOffset(df: DataFrame, idCol: String,
+                                       offset0: Long): DataFrame = {
     val tagged = df
       .withColumn("__pid", spark_partition_id())
       .withColumn("__rix",

@@ -45,6 +45,19 @@ object Reconcile {
     a.select(col(keyA)).filter(col(keyA).isNotNull).distinct()
       .join(b.select(col(keyB).as(keyA)).distinct(), Seq(keyA), "left_anti")
 
+  /** E1 both directions in one report — the reference emits the two orphan
+    * lists together (compare_noviembre_2025.py:193-214: keys only in the
+    * source, then keys only in the target). One row per orphan key with a
+    * `direction` tag (`only_in_a` / `only_in_b`); the key lands in a single
+    * `key` column cast to string so the two sides union cleanly whatever
+    * their original types.
+    */
+  def orphanKeysBoth(a: DataFrame, keyA: String, b: DataFrame, keyB: String): DataFrame =
+    orphanKeys(a, keyA, b, keyB)
+      .select(col(keyA).cast("string").as("key"), lit("only_in_a").as("direction"))
+      .unionByName(orphanKeys(b, keyB, a, keyA)
+        .select(col(keyB).cast("string").as("key"), lit("only_in_b").as("direction")))
+
   /** O3: deterministic top-k by group count (ties broken by key asc). */
   def topKByCount(df: DataFrame, groupCol: Column, k: Int): DataFrame =
     df.groupBy(groupCol.as("key")).agg(count(lit(1)).as("n"))

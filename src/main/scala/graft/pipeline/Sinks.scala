@@ -261,12 +261,22 @@ object Sinks {
       .saveAsTable(table)
 
   /** C13 at bulk-load scale: dense surrogate ids without the global-window
-    * single-partition stage — zipWithIndex's two passes (per-partition
-    * count, then tag) expressed columnar (no shuffle, no driver collection
-    * beyond one count per partition), so the mint stays inside whole-stage
-    * codegen. Ids are assigned in partition order: deterministic for a
-    * deterministic parent plan, dense from `offset+1`.
+    * single-partition stage — classic RDD zipWithIndex (one extra count
+    * pass per partition, no shuffle, no driver collection). Ids are
+    * assigned in partition order, dense from `offset+1`.
+    *
+    * Deliberately NOT the columnar two-pass mint `orderedDenseId` uses:
+    * that form runs its passes as separate actions and so requires an
+    * AQE-exempt exchange directly upstream; this entry point accepts
+    * ARBITRARY parents (join slivers, filtered unions), and `df.rdd`
+    * freezes one physical plan that both of zipWithIndex's jobs share —
+    * the row->partition map cannot drift between the count and the tag.
     */
-  def withDenseId(df: DataFrame, idCol: String = "id", offset: Long = 0L): DataFrame =
-    graft.functions.RowHash.denseIdByPartitionOffset(df, idCol, offset)
+  def withDenseId(df: DataFrame, idCol: String = "id", offset: Long = 0L): DataFrame = {
+    val schema = df.schema.add(idCol, LongType, nullable = false)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (offset + i + 1L))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 }

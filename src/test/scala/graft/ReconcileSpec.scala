@@ -37,6 +37,14 @@ class ReconcileSpec extends SparkSpec {
     assert(Reconcile.orphanKeys(b, "kb", a, "ka").count() == 0)
   }
 
+  test("orphanKeysBoth: one report, direction-tagged, both sides contribute") {
+    val a = Seq(1L, 2L, 3L).toDF("ka")
+    val b = Seq(2L, 9L).toDF("kb")
+    val out = Reconcile.orphanKeysBoth(a, "ka", b, "kb")
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("1", "only_in_a"), ("3", "only_in_a"), ("9", "only_in_b")))
+  }
+
   test("topKByCount deterministic tiebreak") {
     val df = Seq("x", "x", "y", "y", "z").toDF("v")
     val top = Reconcile.topKByCount(df, col("v"), 2).as[(String, Long)].collect().toSeq
