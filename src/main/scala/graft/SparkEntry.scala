@@ -480,6 +480,21 @@ object SparkEntry {
           element_at(col("features"), 4).as("duration_sec"),
           element_at(col("features"), 5).as("rms"))
         .orderBy("doc_id")),
+    // REAL codec path #3: synthesized animated GIFs (frame count, size and
+    // per-frame solid colors derived from doc_id) decoded frame-by-frame by
+    // javax.imageio's GIF reader — the all-frame channel means are short
+    // modular sums both engines round identically in IEEE doubles.
+    "q_mm_gif_decode" -> ((s, d) =>
+      Multimodal.decodeBatched(
+          Multimodal.synthGifFromId(t(s, d, "documents").select("doc_id"), "doc_id"),
+          "gif", dim = 5, decodeBatch = Multimodal.decodeVideoBatch)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("n_frames"),
+          element_at(col("features"), 2).cast("long").as("width"),
+          element_at(col("features"), 3).cast("long").as("height"),
+          element_at(col("features"), 4).as("mean_r"),
+          element_at(col("features"), 5).as("mean_g"))
+        .orderBy("doc_id")),
     "q_mm_decode_features" -> ((s, d) =>
       Multimodal.decodeBatched(
           t(s, d, "documents")
@@ -918,6 +933,16 @@ object SparkEntry {
       """SELECT doc_id, 1 + doc_id % 16 AS width, 1 + doc_id % 8 AS height,
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
         |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_gif_decode" ->
+      """SELECT doc_id, 2 + doc_id % 6 AS n_frames,
+        |  1 + doc_id % 8 AS width, 1 + doc_id % 4 AS height,
+        |  CAST(list_sum(list_transform(range(2 + doc_id % 6),
+        |      f -> (doc_id * 13 + 17 * f) % 256)) AS DOUBLE)
+        |    / (2 + doc_id % 6) AS mean_r,
+        |  CAST(list_sum(list_transform(range(2 + doc_id % 6),
+        |      f -> (doc_id * 29 + 31 * f) % 256)) AS DOUBLE)
+        |    / (2 + doc_id % 6) AS mean_g
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_wav_decode" ->
       """SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,

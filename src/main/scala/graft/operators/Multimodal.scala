@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * Model: an asset is an opaque `binary` payload plus typed metadata —
   * `struct(content BINARY, mime STRING, meta STRUCT(...))`. Everything
   * relational (schema, filters, grouping, partitioning, batch plumbing) is
-  * real and tested. The IMAGE codec ([[decodeImageBatch]], `javax.imageio`)
-  * and the AUDIO codec ([[decodeAudioBatch]], `javax.sound.sampled`) are
-  * real — both pure JDK, zero native dependencies. Only the VIDEO codec
-  * remains a deterministic stub (clearly marked STUB below) because no
-  * video library ships in this container — swapping in a real decoder
-  * changes one function value, not the pipeline shape.
+  * real and tested. All three modalities have REAL pure-JDK codecs:
+  * IMAGE ([[decodeImageBatch]], `javax.imageio`), AUDIO
+  * ([[decodeAudioBatch]], `javax.sound.sampled` WAV/PCM) and MOTION
+  * ([[decodeVideoBatch]], multi-frame animated GIF via `javax.imageio`).
+  * Formats needing native libraries (MP4/H.264, MP3) keep the
+  * deterministic stub feature path (clearly marked STUB below) — swapping
+  * in such a decoder changes one function value, not the pipeline shape.
   *
   * Scale notes: payloads never pass through a shuffle in these operators —
   * metadata extraction and feature derivation are map-side projections;
@@ -226,6 +227,111 @@ object Multimodal {
         var i = 0
         while (i < nFrames) { buf.putShort(amp); i += 1 }
         Row.fromSeq(r.toSeq :+ buf.array())
+      }
+    }(enc)
+  }
+
+  /** REAL motion/video codec (no stub) for the one multi-frame container
+    * the JDK can decode end-to-end: animated GIF via `javax.imageio`'s GIF
+    * reader. Features = `[n_frames, width, height, mean_r, mean_g]` with
+    * the channel means taken over ALL frames' pixels; null for null or
+    * undecodable payloads (lenient-ingest rule C7/C8, like the image and
+    * audio codecs). Frame iteration uses `getNumImages(allowSearch=true)` +
+    * per-frame `read(i)` — the real frame-sample path [[frameSample]] only
+    * models over raw bytes. MP4/H.264 would need native libraries this
+    * container doesn't ship; the GIF path proves the full decode plumbing
+    * with a genuine multi-frame format.
+    */
+  val decodeVideoBatch: Seq[Array[Byte]] => Seq[Array[Double]] = _.map { bytes =>
+    if (bytes == null) null
+    else {
+      try {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(in)
+            val n = reader.getNumImages(true)
+            if (n <= 0) null
+            else {
+              var w = 0; var h = 0
+              var sr = 0L; var sg = 0L; var nPix = 0L
+              var f = 0
+              while (f < n) {
+                val img = reader.read(f)
+                if (f == 0) { w = img.getWidth; h = img.getHeight }
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val p = img.getRGB(x, y)
+                    sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff
+                    nPix += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                f += 1
+              }
+              Array(n.toDouble, w.toDouble, h.toDouble,
+                sr.toDouble / nPix, sg.toDouble / nPix)
+            }
+          } finally { reader.dispose(); in.close() }
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+  }
+
+  /** Fixture generator: a deterministic animated GIF per row — `2 + id % 6`
+    * solid-color frames of size `(1 + id % 8) × (1 + id % 4)`, frame `f`
+    * filled with `rgb((id*13 + 17f) % 256, (id*29 + 31f) % 256, 0)` — so an
+    * oracle can predict frame count, dimensions, and all-frame channel
+    * means in plain SQL (solid fills survive GIF's palette exactly; the
+    * mean over frames is a short modular sum both engines compute
+    * identically in IEEE doubles). The motion twin of [[synthPngFromId]].
+    */
+  def synthGifFromId(df: DataFrame, idCol: String,
+                     outCol: String = "gif"): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = false)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val nFrames = (2 + id % 6).toInt
+        val w = (1 + id % 8).toInt
+        val h = (1 + id % 4).toInt
+        val baos = new java.io.ByteArrayOutputStream()
+        val out = javax.imageio.ImageIO.createImageOutputStream(baos)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        writer.setOutput(out)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          // indexed frame with an explicit palette: the GIF writer emits the
+          // IndexColorModel verbatim as the frame's local color table, so
+          // the decoded color is bit-exact (an RGB frame would go through
+          // the writer's quantizer and could land on a nearby palette entry)
+          val cr = ((id * 13 + 17 * f) % 256).toInt
+          val cg = ((id * 29 + 31 * f) % 256).toInt
+          val icm = new java.awt.image.IndexColorModel(8, 2,
+            Array(cr.toByte, 0.toByte), Array(cg.toByte, 0.toByte),
+            Array(0.toByte, 0.toByte))
+          // fresh BufferedImage rasters are zero-filled: every pixel is
+          // palette index 0 = the frame color
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+        writer.dispose()
+        out.close()
+        Row.fromSeq(r.toSeq :+ baos.toByteArray)
       }
     }(enc)
   }

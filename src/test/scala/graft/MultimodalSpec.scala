@@ -118,6 +118,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeVideoBatch really decodes animated GIFs: frames, size, exact means") {
+    val ids = Seq(0L, 7L, 300L).toDF("doc_id")
+    val out = Multimodal.decodeBatched(
+        Multimodal.synthGifFromId(ids, "doc_id"),
+        "gif", dim = 5, decodeBatch = Multimodal.decodeVideoBatch)
+      .select("doc_id", "features").as[(Long, Seq[Double])].collect().toMap
+    for (id <- Seq(0L, 7L, 300L)) {
+      val f = out(id)
+      val nFrames = (2 + id % 6).toInt
+      assert(f(0) == nFrames.toDouble, s"frames for $id")
+      assert(f(1) == 1 + id % 8, s"width for $id")
+      assert(f(2) == 1 + id % 4, s"height for $id")
+      val meanR = (0 until nFrames).map(fr => (id * 13 + 17 * fr) % 256).sum.toDouble / nFrames
+      val meanG = (0 until nFrames).map(fr => (id * 29 + 31 * fr) % 256).sum.toDouble / nFrames
+      assert(f(3) == meanR, s"mean_r for $id: got ${f(3)}, want $meanR")
+      assert(f(4) == meanG, s"mean_g for $id: got ${f(4)}, want $meanG")
+    }
+  }
+
+  test("decodeVideoBatch yields null features for undecodable or null bytes") {
+    val junk = Seq((1L, Array[Byte](71, 73, 70)), (2L, null)) // truncated "GIF"
+      .toDF("id", "payload")
+    val out = Multimodal.decodeBatched(junk, "payload", dim = 5,
+        decodeBatch = Multimodal.decodeVideoBatch)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(out == Map(1L -> true, 2L -> true))
+  }
+
   test("decodeAudioBatch yields null features for undecodable or null bytes") {
     val junk = Seq((1L, Array[Byte](82, 73, 70, 70)), (2L, null)) // truncated "RIFF"
       .toDF("id", "payload")
