@@ -32,8 +32,11 @@ object Bench {
           Double.NaN
         }
       }.sorted // NaN sorts after every real number (IEEE total order)
-      val med = times(times.size / 2)
-      name -> (if (med.isNaN) -1.0 else med)
+      // Median over SUCCESSFUL runs only: indexing the full (NaN-padded)
+      // vector shifts the reported value toward the max success whenever any
+      // run fails. A query still reports -1 when half or more runs failed.
+      val ok = times.filterNot(_.isNaN)
+      name -> (if (ok.size * 2 <= runs) -1.0 else ok(ok.size / 2))
     }
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

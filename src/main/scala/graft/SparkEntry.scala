@@ -69,9 +69,16 @@ object SparkEntry {
   private val mergeFixtureCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  // A cached DataFrame is bound to the session that built it; keying by the
+  // session's identity makes a same-JVM session restart (tests, future
+  // drivers) rebuild instead of handing back frames tied to a stopped
+  // session.
+  private def fixtureKey(s: SparkSession, tag: String, d: String): String =
+    s"${System.identityHashCode(s)}:$tag:$d"
+
   /** Hashed target state (classify build side), cached + persisted. */
   private def mergeTargetState(s: SparkSession, d: String): DataFrame =
-    mergeFixtureCache.getOrElseUpdate(s"state:$d", {
+    mergeFixtureCache.getOrElseUpdate(fixtureKey(s, "state", d), {
       val df = RowHash.withRowHash(ordersTargetData(t(s, d, "orders")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize once, outside any timed run but the first
@@ -80,7 +87,7 @@ object SparkEntry {
 
   /** Audited target table (apply's base), cached + persisted. */
   private def mergeTargetAudited(s: SparkSession, d: String): DataFrame =
-    mergeFixtureCache.getOrElseUpdate(s"audited:$d", {
+    mergeFixtureCache.getOrElseUpdate(fixtureKey(s, "audited", d), {
       val df = RowHash.withAuditColumns(ordersTargetData(t(s, d, "orders")),
           Seq("o_orderkey"), mergeNow)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -94,6 +94,14 @@ object RowHash {
         monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
     val counts = tagged.groupBy("__pid").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // The low-33-bit mask wraps silently if a single partition holds >= 2^33
+    // rows; fail loudly instead of minting duplicate ids. (At 2^33 rows a
+    // partition is already far past any sane partition sizing.)
+    counts.find(_._2 >= (1L << 33)).foreach { case (pid, n) =>
+      throw new IllegalStateException(
+        s"denseIdByPartitionOffset: partition $pid holds $n rows >= 2^33; " +
+          "repartition the input before minting ids")
+    }
     var acc = offset0
     val offsets = counts.map { case (pid, n) => val o = acc; acc += n; pid -> o }
     val offsetCol =

@@ -276,7 +276,11 @@ object Multimodal {
                 }
                 f += 1
               }
-              Array(n.toDouble, w.toDouble, h.toDouble,
+              // A decodable GIF reporting only zero-area frames has no
+              // pixels to average — null, not NaN, per the lenient-ingest
+              // contract (same as the n <= 0 branch).
+              if (nPix == 0) null
+              else Array(n.toDouble, w.toDouble, h.toDouble,
                 sr.toDouble / nPix, sg.toDouble / nPix)
             }
           } finally { reader.dispose(); in.close() }

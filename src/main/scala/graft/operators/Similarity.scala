@@ -296,11 +296,34 @@ object Similarity {
                     nCentroids: Int, path: String,
                     centroids: Array[Array[Double]] = null): Unit = {
     val cents = if (centroids != null) centroids else pseudoCentroids(dim, nCentroids)
+    require(cents.length == nCentroids,
+      s"ivfWriteIndex: got ${cents.length} centroids, expected $nCentroids")
     emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         ivfAssignTo(col(vecCol), cents).as("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(path)
+    // Persist the centroids WITH the index: a probe must rank cells against
+    // the exact centroids the cells were built from — probing a
+    // trained-centroid index with the pseudo defaults silently returns poor
+    // results. The `_` prefix hides the sidecar from the index scan
+    // (Hadoop/Spark skip `_`/`.`-prefixed paths when listing data files).
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_centroids")
   }
+
+  /** Load the centroid sidecar written by [[ivfWriteIndex]]. */
+  def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/_centroids")
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
 
   /** Top-k probe against a persisted IVF index. The query vector is one row
     * (a scalar from the engine's point of view — collecting it is not a
@@ -313,7 +336,12 @@ object Similarity {
                      dim: Int, queryId: Long, k: Int,
                      nCentroids: Int = 16, nProbe: Int = 4,
                      centroids: Array[Array[Double]] = null): DataFrame = {
-    val cents = if (centroids != null) centroids else pseudoCentroids(dim, nCentroids)
+    // Default to the sidecar persisted at write time — the only centroids
+    // guaranteed to match the cell assignment on disk. An explicit override
+    // must at least agree on the cell count.
+    val cents = if (centroids != null) centroids else ivfReadCentroids(spark, path)
+    require(cents.length == nCentroids,
+      s"ivfTopKIndexed: got ${cents.length} centroids, expected $nCentroids")
     val idx = spark.read.parquet(path)
     // ONE column-pruned lookup of the query row (its cell is unknown before
     // reading it, so this scan can't partition-prune — everything after
