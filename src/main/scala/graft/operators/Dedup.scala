@@ -370,6 +370,68 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Measured MinHash+LSH quality stats over a bounded id range — the
+    * `q_sim_recall_gate` pattern applied to the MinHash family. One row:
+    *
+    *  - `n_exact_pairs` + exact-recall flag: docs with IDENTICAL token
+    *    sequences (>= shingleN tokens — shorter docs have no shingle, hence
+    *    no signature, by design) have identical shingle sets, hence
+    *    identical signatures, hence share every band bucket — candidacy is
+    *    a THEOREM, so recall must be exactly 1.0. False the moment the
+    *    signature expression or band join is broken.
+    *  - high-similarity recall flag: fraction of exact shingle-hash-Jaccard
+    *    >= `highJaccard` pairs surfaced as candidates, measured against the
+    *    banding's analytic expectation (miss probability per pair is
+    *    (1-J^rowsPerBand)^bands, <= 1.5% at J=0.8 with 8x4). Deterministic
+    *    for a fixed corpus (xxhash64 has no runtime seed).
+    *
+    * Truth sides are n²-bounded by maxId (verify-scale, like
+    * [[ngramJaccardPairs]]); the candidate side runs the REAL banded
+    * pipeline over the same bounded frame.
+    */
+  def minHashGateStats(df: DataFrame, idCol: String, textCol: String,
+                       maxId: Long, shingleN: Int = 3, bands: Int = 8,
+                       rowsPerBand: Int = 4, highJaccard: Double = 0.8,
+                       minHighRecall: Double = 0.9): DataFrame = {
+    val bounded = df.filter(col(idCol) < maxId)
+    val tk = bounded.select(col(idCol).as("id"),
+        filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("tk"))
+      .filter(size(col("tk")) >= shingleN)
+    // Token SEQUENCE equality, not multiset: shingling is order-sensitive.
+    val exactTruth = tk.select(col("id").as("id_a"), col("tk").as("tka"))
+      .join(tk.select(col("id").as("id_b"), col("tk").as("tkb")),
+        col("id_a") < col("id_b") && col("tka") === col("tkb"))
+      .select("id_a", "id_b")
+    val sh = shingleHashRows(bounded, idCol, textCol, shingleN)
+      .groupBy("id").agg(collect_set(col("sh")).as("sh"))
+    val highTruth = sh.select(col("id").as("id_a"), col("sh").as("sha"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("shb")),
+        col("id_a") < col("id_b"))
+      .filter(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb"))).cast("double") >= highJaccard)
+      .select("id_a", "id_b")
+    // minJaccard=0 keeps every bucket-sharing pair: the gate measures the
+    // BANDING's recall, not the verify filter's.
+    val cand = minHashCandidates(bounded, idCol, textCol, shingleN, bands,
+        rowsPerBand, minJaccard = 0.0)
+      .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val res = exactTruth.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(exactTruth.join(cand, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("__exact_hit")))
+      .crossJoin(highTruth.agg(count(lit(1)).as("__n_high")))
+      .crossJoin(highTruth.join(cand, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("__high_hit")))
+      .select(col("n_exact_pairs"),
+        (col("__exact_hit") === col("n_exact_pairs")).as("minhash_exact_recall_ok"),
+        // no high-J pairs at tiny SFs -> vacuously recalled
+        coalesce(col("__high_hit").cast("double") / col("__n_high").cast("double")
+          >= minHighRecall, lit(true)).as("minhash_highj_recall_ok"))
+      .localCheckpoint(true)
+    cand.unpersist()
+    res
+  }
+
   /** Exact pairwise n-gram Jaccard over a bounded candidate set (the
     * verify stage; candidates come from LSH at scale). Token-set join form —
     * the relational shape DuckDB can oracle-check.
