@@ -66,19 +66,33 @@ object SparkEntry {
   // construction of their synthetic target (VERDICT r3: ~2/3 of the merge
   // family's bench cost was fixture building). Deterministic, so caching
   // cannot change any result. Tiny (key+hash / audited orders rows).
-  private val mergeFixtureCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // A cached DataFrame is bound to the session that built it, so the cache
+  // holds ONE session's fixtures at a time, compared by reference: a lookup
+  // from a different session unpersists and drops the old entries before
+  // rebuilding. Dead sessions are therefore never retained past the next
+  // lookup, and reference equality cannot collide the way identityHashCode
+  // keys could. (Verify/bench/tests all run one active session at a time;
+  // a second concurrent session would rebuild, never corrupt.)
+  private val mergeFixtureCache = new java.util.concurrent.atomic.AtomicReference[
+    (SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame])](null)
 
-  // A cached DataFrame is bound to the session that built it; keying by the
-  // session's identity makes a same-JVM session restart (tests, future
-  // drivers) rebuild instead of handing back frames tied to a stopped
-  // session.
-  private def fixtureKey(s: SparkSession, tag: String, d: String): String =
-    s"${System.identityHashCode(s)}:$tag:$d"
+  private def fixtureCacheFor(s: SparkSession) = mergeFixtureCache.synchronized {
+    val cur = mergeFixtureCache.get
+    if (cur != null && (cur._1 eq s)) cur._2
+    else {
+      if (cur != null) cur._2.values.foreach { df =>
+        // best-effort: the owning session may already be stopped
+        try df.unpersist() catch { case scala.util.control.NonFatal(_) => () }
+      }
+      val m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+      mergeFixtureCache.set((s, m))
+      m
+    }
+  }
 
   /** Hashed target state (classify build side), cached + persisted. */
   private def mergeTargetState(s: SparkSession, d: String): DataFrame =
-    mergeFixtureCache.getOrElseUpdate(fixtureKey(s, "state", d), {
+    fixtureCacheFor(s).getOrElseUpdate(s"state:$d", {
       val df = RowHash.withRowHash(ordersTargetData(t(s, d, "orders")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize once, outside any timed run but the first
@@ -87,7 +101,7 @@ object SparkEntry {
 
   /** Audited target table (apply's base), cached + persisted. */
   private def mergeTargetAudited(s: SparkSession, d: String): DataFrame =
-    mergeFixtureCache.getOrElseUpdate(fixtureKey(s, "audited", d), {
+    fixtureCacheFor(s).getOrElseUpdate(s"audited:$d", {
       val df = RowHash.withAuditColumns(ordersTargetData(t(s, d, "orders")),
           Seq("o_orderkey"), mergeNow)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -117,7 +131,8 @@ object SparkEntry {
     * brute force) every run, so its wall time measures truth construction,
     * not the engine.
     */
-  val verifyOnlyQueries: Set[String] = Set("q_sim_recall_gate", "q_dedup_simhash_gate")
+  val verifyOnlyQueries: Set[String] =
+    Set("q_sim_recall_gate", "q_dedup_simhash_gate", "q_dedup_minhash_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -352,6 +367,14 @@ object SparkEntry {
           // no candidates at tiny SFs -> vacuously precise
           coalesce(col("__avg_j") >= 0.9, lit(true)).as("simhash_precision_ok"))
     }),
+    // MinHash quality gate: measured exact-recall (identical token
+    // sequences MUST share every band bucket — a theorem when the banded
+    // signature join is correct) and high-Jaccard recall vs the banding's
+    // analytic expectation. Oracle pins both booleans to true and
+    // recomputes n_exact_pairs relationally.
+    "q_dedup_minhash_gate" -> ((s, d) =>
+      Dedup.minHashGateStats(t(s, d, "documents"), "doc_id", "text",
+        maxId = 120)),
     // ---- text analysis --------------------------------------------------
     "q_text_quality" -> ((s, d) => {
       val doc = t(s, d, "documents")
@@ -823,6 +846,18 @@ object SparkEntry {
         |ne AS (SELECT * FROM t WHERE len(tk) > 0)
         |SELECT CAST(count(*) AS BIGINT) AS n_truth_pairs,
         |  true AS simhash_exact_recall_ok, true AS simhash_precision_ok
+        |FROM ne a JOIN ne b ON a.id < b.id AND a.tk = b.tk""".stripMargin,
+    // Token SEQUENCE equality (no list_sort — shingling is order-sensitive)
+    // and len >= 3 (shingleN: shorter docs carry no signature by design).
+    "q_dedup_minhash_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 120),
+        |ne AS (SELECT * FROM t WHERE len(tk) >= 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+        |  true AS minhash_exact_recall_ok, true AS minhash_highj_recall_ok
         |FROM ne a JOIN ne b ON a.id < b.id AND a.tk = b.tk""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,

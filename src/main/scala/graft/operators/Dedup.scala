@@ -424,9 +424,13 @@ object Dedup {
         .agg(count(lit(1)).as("__high_hit")))
       .select(col("n_exact_pairs"),
         (col("__exact_hit") === col("n_exact_pairs")).as("minhash_exact_recall_ok"),
-        // no high-J pairs at tiny SFs -> vacuously recalled
-        coalesce(col("__high_hit").cast("double") / col("__n_high").cast("double")
-          >= minHighRecall, lit(true)).as("minhash_highj_recall_ok"))
+        // no high-J pairs at tiny SFs -> vacuously recalled (explicit zero
+        // guard: ANSI mode makes x/0 throw, not NULL, so coalesce alone
+        // cannot express this)
+        when(col("__n_high") === 0, lit(true))
+          .otherwise(col("__high_hit").cast("double") /
+            col("__n_high").cast("double") >= minHighRecall)
+          .as("minhash_highj_recall_ok"))
       .localCheckpoint(true)
     cand.unpersist()
     res

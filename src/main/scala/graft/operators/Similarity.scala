@@ -317,13 +317,26 @@ object Similarity {
       .parquet(s"$path/_centroids")
   }
 
-  /** Load the centroid sidecar written by [[ivfWriteIndex]]. */
+  /** Load the centroid sidecar written by [[ivfWriteIndex]]. Columns are
+    * selected by name before collecting so the extraction cannot silently
+    * depend on the written file's column order. A missing sidecar (index
+    * written by an older build, or a crash between the data write and the
+    * sidecar write) fails with an actionable message instead of a raw
+    * path-not-found AnalysisException.
+    */
   def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Array[Array[Double]] =
-    spark.read.parquet(s"$path/_centroids")
-      .orderBy("cell")
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
+                       path: String): Array[Array[Double]] = {
+    val side =
+      try spark.read.parquet(s"$path/_centroids").select("cell", "centroid")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"IVF index at $path has no readable centroid sidecar " +
+              "(_centroids); rewrite the index with ivfWriteIndex or pass " +
+              "centroids explicitly", e)
+      }
+    side.orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+  }
 
   /** Top-k probe against a persisted IVF index. The query vector is one row
     * (a scalar from the engine's point of view — collecting it is not a
@@ -337,11 +350,15 @@ object Similarity {
                      nCentroids: Int = 16, nProbe: Int = 4,
                      centroids: Array[Array[Double]] = null): DataFrame = {
     // Default to the sidecar persisted at write time — the only centroids
-    // guaranteed to match the cell assignment on disk. An explicit override
-    // must at least agree on the cell count.
-    val cents = if (centroids != null) centroids else ivfReadCentroids(spark, path)
-    require(cents.length == nCentroids,
-      s"ivfTopKIndexed: got ${cents.length} centroids, expected $nCentroids")
+    // guaranteed to match the cell assignment on disk, and the authority on
+    // the cell count (the nCentroids parameter is ignored in that case: an
+    // index's structure travels with the index). An explicit override must
+    // agree with the cell count it claims.
+    val cents = if (centroids != null) {
+      require(centroids.length == nCentroids,
+        s"ivfTopKIndexed: got ${centroids.length} centroids, expected $nCentroids")
+      centroids
+    } else ivfReadCentroids(spark, path)
     val idx = spark.read.parquet(path)
     // ONE column-pruned lookup of the query row (its cell is unknown before
     // reading it, so this scan can't partition-prune — everything after
