@@ -125,6 +125,23 @@ object SparkEntry {
     path
   }
 
+  // Bucketed-table fixtures for q_j7: written once per (session, sf-dir)
+  // into a temp-dir database (never the working directory's warehouse).
+  private lazy val bktTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-bkt").toString
+
+  private def bktEnsure(s: SparkSession, d: String): (String, String) = {
+    val sfName = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val db = s"graft_bkt_$sfName"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$bktTmpDir/$db'")
+    val (to, tc) = (s"$db.orders_bkt", s"$db.customer_bkt")
+    if (!s.catalog.tableExists(to))
+      graft.pipeline.Sinks.writeBucketed(t(s, d, "orders"), to, 16, Seq("o_custkey"))
+    if (!s.catalog.tableExists(tc))
+      graft.pipeline.Sinks.writeBucketed(t(s, d, "customer"), tc, 16, Seq("c_custkey"))
+    (to, tc)
+  }
+
   /** Quality-gate queries: full members of the correctness contract (Verify
     * runs them; the driver oracle-checks them), but excluded from Bench —
     * a gate re-derives exact ground truth (bounded cartesians, multi-query
@@ -177,6 +194,24 @@ object SparkEntry {
       val li = Reconcile.monthlyAgg(t(s, d, "lineitem"), "l_shipdate", Nil)
       val or = Reconcile.monthlyAgg(t(s, d, "orders"), "o_orderdate", Nil)
       Reconcile.alignDiff(li, or, "month", "n_rows").orderBy("month")
+    }),
+    // Bucketed co-located join, gate-checked: both sides pre-shuffled at
+    // write time (Sinks.writeBucketed), so the sort-merge join itself
+    // plans with NO Exchange — the 100 TB recipe for repeatedly-joined
+    // fact tables. The query MEASURES that property from the executed
+    // plan and emits it as a boolean the oracle pins true; the aggregate
+    // values are matched against a plain relational join.
+    "q_j7_bucketed_join" -> ((s, d) => {
+      val (to, tc) = bktEnsure(s, d)
+      val j = s.table(to).hint("merge")
+        .join(s.table(tc).hint("merge"), col("o_custkey") === col("c_custkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      j.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double").as("sum_price"))
+        .withColumn("bucketed_no_exchange_ok", lit(!plan.contains("Exchange")))
+        .orderBy("c_mktsegment")
     }),
     // ---- aggregations ---------------------------------------------------
     "q_a1_monthly_agg" -> ((s, d) =>
@@ -394,6 +429,9 @@ object SparkEntry {
     "q_text_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdf(t(s, d, "documents"), "doc_id", "text")
         .filter(col("id") < 20).orderBy("id", "term")),
+    "q_text_bm25" -> ((s, d) =>
+      TextAnalysis.bm25(t(s, d, "documents"), "doc_id", "text")
+        .filter(col("id") < 20).orderBy("id", "term")),
     // ---- similarity search ----------------------------------------------
     "q_sim_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -534,12 +572,19 @@ object SparkEntry {
         .orderBy("doc_id")),
     // per-language quality percentiles: exact + t-digest sketch side by side
     // (rows-only: interpolation ULPs and sketch internals are engine-specific)
+    // Exact percentiles are value-matched by the oracle (DuckDB
+    // quantile_cont uses the same linear interpolation); the t-digest
+    // sketch is engine-specific by construction, so its CONTRACT — close
+    // to exact — is what gets checked: a boolean the oracle pins true.
     "q_text_quality_percentiles" -> ((s, d) =>
       t(s, d, "documents")
         .groupBy("lang")
         .agg(expr("percentile(n_chars, 0.5)").as("p50_chars"),
           expr("percentile(n_chars, 0.95)").as("p95_chars"),
-          expr("percentile_approx(n_chars, 0.5)").as("p50_chars_sketch"))
+          expr("percentile_approx(n_chars, 0.5)").cast("double").as("__p50_sk"))
+        .select(col("lang"), col("p50_chars"), col("p95_chars"),
+          (abs(col("__p50_sk") - col("p50_chars")) <=
+            greatest(lit(1.0), col("p50_chars") * 0.05)).as("sketch_close_ok"))
         .orderBy("lang")),
     // approx distinct (HLL sketch — the 100 TB form of A6; rows-only check:
     // sketch estimates are engine-specific by construction)
@@ -616,6 +661,12 @@ object SparkEntry {
         |  coalesce(a.n, 0) - coalesce(b.n, 0) AS diff
         |FROM a FULL OUTER JOIN b ON a.month = b.month
         |ORDER BY month""".stripMargin,
+    "q_j7_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  true AS bucketed_no_exchange_ok
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_a1_monthly_agg" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month, count(*) AS n_rows,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_extendedprice,
@@ -913,6 +964,27 @@ object SparkEntry {
         |  tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.dfreq AS DOUBLE)) AS tfidf
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf.id < 20 ORDER BY id, term""".stripMargin,
+    "q_text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, t.term
+        |  FROM documents, unnest(regexp_split_to_array(lower(text), '\s+')) AS t(term)
+        |  WHERE t.term <> ''
+        |), tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl)
+        |SELECT tf.id, tf.term, tf.tf, dfreq.dfreq,
+        |  ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        |    * (tf.tf * (1.2 + 1)) /
+        |    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS bm25
+        |FROM tf JOIN dl USING (id) JOIN dfreq USING (term) CROSS JOIN stats
+        |WHERE tf.id < 20 ORDER BY id, term""".stripMargin,
+    "q_text_quality_percentiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.5) AS p50_chars,
+        |  quantile_cont(n_chars, 0.95) AS p95_chars,
+        |  true AS sketch_close_ok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  sha256(trim(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

@@ -96,6 +96,32 @@ object TextAnalysis {
       .select("id", "term", "tf", "dfreq", "tfidf")
   }
 
+  /** Okapi BM25 relevance weight per (doc, term) — the retrieval-grade
+    * form of [[tfIdf]] for scoring/filtering training corpora. Same
+    * two-shuffle shape (doc-keyed tf, then term-keyed df); doc length
+    * rides the tf aggregation and the corpus stats (N, avgdl) join back
+    * as a broadcast one-row dimension, so nothing here is a global sort
+    * or a driver loop. IDF is the standard ln((N - df + 0.5)/(df + 0.5)
+    * + 1) form, strictly positive.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(words(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    tf.join(dl, "id")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("dfreq") + 0.5) /
+        (col("dfreq") + 0.5) + 1.0))
+      .withColumn("bm25", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .select("id", "term", "tf", "dfreq", "bm25")
+  }
+
   /** Top-k frequent word n-grams across the corpus: posexplode tokens,
     * window-`lead` the next n-1 tokens (codegen'd — same shape as the
     * MinHash shingle pipeline), null-propagating concat (a doc shorter than
