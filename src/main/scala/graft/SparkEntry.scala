@@ -125,6 +125,19 @@ object SparkEntry {
     path
   }
 
+  // MinHash dedup index for the incremental-probe gate: corpus half
+  // (doc_id >= 120) indexed once per process per sf-dir.
+  private lazy val mhIdxTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+
+  private def mhIdxEnsure(s: SparkSession, d: String): String = {
+    val path = s"$mhIdxTmpDir/${new java.io.File(d).getName}"
+    if (!graft.pipeline.Sinks.exists(s, path))
+      Dedup.minHashWriteIndex(
+        t(s, d, "documents").filter(col("doc_id") >= 120), "doc_id", "text", path)
+    path
+  }
+
   // Bucketed-table fixtures for q_j7: written once per (session, sf-dir)
   // into a temp-dir database (never the working directory's warehouse).
   private lazy val bktTmpDir =
@@ -149,7 +162,8 @@ object SparkEntry {
     * not the engine.
     */
   val verifyOnlyQueries: Set[String] =
-    Set("q_sim_recall_gate", "q_dedup_simhash_gate", "q_dedup_minhash_gate")
+    Set("q_sim_recall_gate", "q_dedup_simhash_gate", "q_dedup_minhash_gate",
+      "q_dedup_minhash_probe_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -401,6 +415,35 @@ object SparkEntry {
           (col("__n_hit") === col("n_truth_pairs")).as("simhash_exact_recall_ok"),
           // no candidates at tiny SFs -> vacuously precise
           coalesce(col("__avg_j") >= 0.9, lit(true)).as("simhash_precision_ok"))
+    }),
+    // Incremental-dedup probe gate: new docs (doc_id < 120) probed against
+    // the PERSISTED signature index of the corpus half (doc_id >= 120) —
+    // corpus text is never touched. Identical cross-split token sequences
+    // must surface (equal shingle sets => equal signatures => every band
+    // bucket shared) with the MinHash estimator exactly 1.0; the oracle
+    // recomputes the cross-split truth count and pins both booleans.
+    "q_dedup_minhash_probe_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val probe = Dedup.minHashProbeIndex(s, mhIdxEnsure(s, d),
+        docs.filter(col("doc_id") < 120), "doc_id", "text", minEstJaccard = 0.0)
+      val tk = docs.filter(col("doc_id") < 240)
+        .select(col("doc_id").as("id"),
+          filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("tk"))
+        .filter(size(col("tk")) >= 3)
+      val truth = tk.filter(col("id") < 120)
+          .select(col("id").as("new_id"), col("tk").as("tka"))
+        .join(tk.filter(col("id") >= 120)
+          .select(col("id").as("corpus_id"), col("tk").as("tkb")),
+          col("tka") === col("tkb"))
+        .select("new_id", "corpus_id")
+      val hits = truth.join(probe, Seq("new_id", "corpus_id"), "left_semi")
+      val ests = truth.join(probe, Seq("new_id", "corpus_id"))
+      truth.agg(count(lit(1)).as("n_cross_exact_pairs"))
+        .crossJoin(hits.agg(count(lit(1)).as("__n_hit")))
+        .crossJoin(ests.agg(min(col("jaccard_est")).as("__min_est")))
+        .select(col("n_cross_exact_pairs"),
+          (col("__n_hit") === col("n_cross_exact_pairs")).as("probe_exact_recall_ok"),
+          coalesce(col("__min_est") === 1.0, lit(true)).as("probe_est_exact_ok"))
     }),
     // MinHash quality gate: measured exact-recall (identical token
     // sequences MUST share every band bucket — a theorem when the banded
@@ -910,6 +953,17 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
         |  true AS minhash_exact_recall_ok, true AS minhash_highj_recall_ok
         |FROM ne a JOIN ne b ON a.id < b.id AND a.tk = b.tk""".stripMargin,
+    "q_dedup_minhash_probe_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 240),
+        |ne AS (SELECT * FROM t WHERE len(tk) >= 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cross_exact_pairs,
+        |  true AS probe_exact_recall_ok, true AS probe_est_exact_ok
+        |FROM ne a JOIN ne b
+        |ON a.id < 120 AND b.id >= 120 AND a.tk = b.tk""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'

@@ -459,4 +459,71 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Persist a MinHash dedup INDEX: one row per corpus doc, `k` signature
+    * longs (~8k B per doc at k=32 — constant, independent of text size).
+    * New batches then probe via [[minHashProbeIndex]] without re-reading or
+    * re-hashing corpus text — the incremental form of
+    * [[minHashCandidates]], which is the 100 TB operating mode: the corpus
+    * signature pass runs ONCE ever, not once per arriving batch.
+    */
+  def minHashWriteIndex(df: DataFrame, idCol: String, textCol: String,
+                        path: String, shingleN: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 4): Unit =
+    df.select(col(idCol).as("id"),
+        graft.expressions.TextHashExpressions
+          .minHashSignature(col(textCol), shingleN, bands * rowsPerBand).as("sig"))
+      .filter(col("sig").isNotNull)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Probe NEW documents against a persisted MinHash index: new-side
+    * signatures come from text, corpus-side banding is re-derived from the
+    * stored signatures (a narrow map over k-long arrays — no text, no
+    * window, no aggregate), candidates share any (band, bucket), and the
+    * pair's similarity is the MinHash estimator itself — the fraction of
+    * agreeing signature positions — so the probe never touches corpus
+    * text at all. Identical token sequences estimate exactly 1.0 (equal
+    * signatures), which [[SparkEntry]]'s probe gate pins.
+    *
+    * Scale shape: the (band, bucket, id) shuffle carries ids and longs
+    * only; signatures re-attach to the (tiny) candidate pair set, never
+    * ride the band explode.
+    */
+  def minHashProbeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        newDocs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                        minEstJaccard: Double = 0.5,
+                        maxBucketRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
+    val k = bands * rowsPerBand
+    def banded(sigs: DataFrame, side: String) = sigs
+      .select(col("id"), posexplode(array((0 until bands).map(b =>
+        hash((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => element_at(col("sig"), i + 1)): _*)): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket", "id" -> side))
+    val idx = spark.read.parquet(path)
+    require(Seq("id", "sig").forall(idx.columns.contains),
+      s"minHashProbeIndex: $path is not a MinHash index (want columns id, sig)")
+    val newSigs = newDocs.select(col(idCol).as("id"),
+        graft.expressions.TextHashExpressions
+          .minHashSignature(col(textCol), shingleN, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBanded = banded(idx, "corpus_id")
+    Guardrails.requireBoundedBuckets(corpusBanded, Seq("band", "bucket"),
+      maxBucketRows, s"minHashProbeIndex(bands=$bands, rowsPerBand=$rowsPerBand)",
+      "raise rowsPerBand or exact-dedup the corpus before indexing")
+    val pairs = banded(newSigs, "new_id")
+      .join(corpusBanded, Seq("band", "bucket"))
+      .select("new_id", "corpus_id").distinct()
+    val est = size(filter(zip_with(col("sig_n"), col("sig_c"),
+      (a, b) => a === b), x => x)).cast("double") / k
+    val res = pairs
+      .join(newSigs.select(col("id").as("new_id"), col("sig").as("sig_n")), Seq("new_id"))
+      .join(idx.select(col("id").as("corpus_id"), col("sig").as("sig_c")), Seq("corpus_id"))
+      .select(col("new_id"), col("corpus_id"), est.as("jaccard_est"))
+      .filter(col("jaccard_est") >= minEstJaccard)
+      .localCheckpoint(true)
+    newSigs.unpersist()
+    res
+  }
 }

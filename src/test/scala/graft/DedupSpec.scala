@@ -149,4 +149,30 @@ class DedupSpec extends SparkSpec {
     // |A|=8 |B|=8 inter=7 union=9
     assert(math.abs(pairs((1L, 2L)) - 7.0 / 9.0) < 1e-12)
   }
+
+  test("minHash index probe: new batch finds corpus dups without corpus text") {
+    val path = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
+    Dedup.minHashWriteIndex(docs, "doc_id", "text", path)
+    val batch = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog", // = corpus 1 and 4
+      11L -> "unrelated words about database partitioning strategies"
+    ).toDF("doc_id", "text")
+    val hits = Dedup.minHashProbeIndex(spark, path, batch, "doc_id", "text",
+        minEstJaccard = 0.5)
+      .select("new_id", "corpus_id", "jaccard_est")
+      .as[(Long, Long, Double)].collect()
+    // identical token sequence => identical signature => estimator exactly 1;
+    // the near-dup (corpus 2) may also surface, with a strictly lower est
+    val m = hits.filter(_._1 == 10L).map(h => h._2 -> h._3).toMap
+    assert(m(1L) == 1.0 && m(4L) == 1.0, hits.mkString(", "))
+    assert(m.get(2L).forall(e => e > 0.0 && e < 1.0), hits.mkString(", "))
+    assert(!hits.exists(_._1 == 11L)) // unrelated doc shares no high-est pair
+    // a parquet dir that is NOT a MinHash index fails the shape check loudly
+    val notIdx = java.nio.file.Files.createTempDirectory("mhbad").toString + "/x"
+    docs.write.parquet(notIdx)
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.minHashProbeIndex(spark, notIdx, batch, "doc_id", "text")
+    }
+    assert(bad.getMessage.contains("MinHash index"), bad.getMessage)
+  }
 }
