@@ -475,6 +475,13 @@ object SparkEntry {
     "q_text_bm25" -> ((s, d) =>
       TextAnalysis.bm25(t(s, d, "documents"), "doc_id", "text")
         .filter(col("id") < 20).orderBy("id", "term")),
+    // ---- curation (splits / packing) ------------------------------------
+    "q_cur_hash_split" -> ((s, d) =>
+      Curation.hashSplit(t(s, d, "documents"), "doc_id", trainPct = 90)
+        .select("doc_id", "split_bucket", "split").orderBy("doc_id")),
+    "q_cur_pack_sequences" -> ((s, d) =>
+      Curation.packSequences(t(s, d, "documents"), "doc_id", "text",
+        budgetTokens = 2048).orderBy("doc_id")),
     // ---- similarity search ----------------------------------------------
     "q_sim_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -1048,6 +1055,30 @@ object SparkEntry {
         |        i -> CAST(ord(text[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_cur_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS INT) AS split_bucket
+        |  FROM documents)
+        |SELECT doc_id, split_bucket,
+        |  CASE WHEN split_bucket < 90 THEN 'train' ELSE 'eval' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_cur_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    coalesce(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')), 0) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+        |  FROM d)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(cum0 // 2048 AS BIGINT) AS pack_id,
+        |  CAST(cum0 % 2048 AS BIGINT) AS pack_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_sim_bruteforce_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
         |s AS (SELECT vec_id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Dataset-curation operators for training pipelines: deterministic
+  * train/eval splits and token-budget sequence packing.
+  *
+  * Both are pure column arithmetic or per-partition windows — nothing here
+  * depends on RNG state, cluster size, or task scheduling, so the same
+  * corpus always curates identically (the property a 100 TB pipeline needs
+  * to make splits reproducible across re-runs and engine versions).
+  */
+object Curation {
+
+  /** Deterministic, portable train/eval split: bucket = (first 8 md5 hex
+    * digits of the id's string form) mod 100, `split` = "train" iff
+    * bucket < trainPct. Row-local codegen'd arithmetic — no shuffle, no
+    * sampling — and stable under corpus growth: adding documents never
+    * moves an existing document across the split, which per-fraction
+    * random sampling cannot promise. md5-hex is bit-identical across
+    * engines (the oracle recomputes it in SQL), unlike engine-private
+    * hashes (xxhash64/murmur).
+    */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int = 90): DataFrame = {
+    require(trainPct > 0 && trainPct < 100,
+      s"hashSplit: trainPct must be in (0,100), got $trainPct")
+    df.withColumn("split_bucket",
+        (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast(LongType) % 100).cast("int"))
+      .withColumn("split",
+        when(col("split_bucket") < trainPct, lit("train")).otherwise(lit("eval")))
+  }
+
+  /** Token-budget sequence packing: documents in `idCol` order are laid
+    * end-to-end and cut into `budgetTokens`-sized context windows; each doc
+    * is assigned the pack where its FIRST token falls (`pack_id`), plus its
+    * offset within that pack — the deterministic contiguous form of
+    * training-batch packing (a doc longer than the budget simply spans
+    * packs, starting at its assigned one).
+    *
+    * The global running token count is the scale hazard — a naive
+    * `Window.orderBy(id)` funnels the corpus through ONE partition. This
+    * runs the [[graft.functions.RowHash.orderedDenseId]] two-pass shape
+    * instead: range-repartition by id (frozen by an eager local checkpoint
+    * — RangePartitioner re-samples per action, see that method's note),
+    * per-partition token sums to the driver (one row per partition:
+    * metadata-scale), cumulative offsets back as a broadcast map literal,
+    * and the intra-partition prefix sum as a PER-PARTITION window — every
+    * stage distributed and codegen'd.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"packSequences: budget must be > 0, got $budgetTokens")
+    val base = df
+      .select(col(idCol),
+        coalesce(TextAnalysis.tokenCountWs(col(textCol)).cast(LongType), lit(0L))
+          .as("n_tok"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .localCheckpoint(true) // freeze row->partition across the two actions
+    val tagged = base.withColumn("__pid", spark_partition_id())
+    val sums = tagged.groupBy("__pid").agg(sum("n_tok").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) => val o = acc; acc += s; pid -> o }
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map_from_arrays(array(offsets.map(p => lit(p._1)).toIndexedSeq: _*),
+          array(offsets.map(p => lit(p._2)).toIndexedSeq: _*)),
+        col("__pid"))
+    val w = Window.partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("__cum0", coalesce(sum(col("n_tok")).over(w), lit(0L)) + offCol)
+      .withColumn("pack_id", expr(s"__cum0 div ${budgetTokens}L"))
+      .withColumn("pack_offset", col("__cum0") % budgetTokens)
+      .drop("__pid", "__cum0")
+  }
+}

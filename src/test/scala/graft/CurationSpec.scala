@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: deterministic, stable under corpus growth, ~trainPct split") {
+    val a = Curation.hashSplit((1L to 500L).toDF("id"), "id", 90)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = Curation.hashSplit((1L to 1000L).toDF("id"), "id", 90)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // growing the corpus never reassigns an existing id
+    assert((1L to 500L).forall(i => a(i) == b(i)))
+    val trainFrac = b.values.count(_ == "train").toDouble / b.size
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+    val bad = intercept[IllegalArgumentException] {
+      Curation.hashSplit((1L to 3L).toDF("id"), "id", 100)
+    }
+    assert(bad.getMessage.contains("trainPct"))
+  }
+
+  test("packSequences: contiguous prefix-sum packing in id order") {
+    // ids 1..10, each with i tokens ("w " * i): cum0 of doc i = sum(1..i-1)
+    val docs = (1L to 10L).map(i => (i, ("w " * i.toInt).trim)).toDF("id", "text")
+    val packed = Curation.packSequences(docs, "id", "text", budgetTokens = 10)
+      .select("id", "n_tok", "pack_id", "pack_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val expected = (1L to 10L).map { i =>
+      val cum0 = (i - 1) * i / 2
+      (i, i, cum0 / 10, cum0 % 10)
+    }
+    assert(packed.toSeq == expected, packed.mkString(", "))
+    // empty/whitespace docs pack with zero width at the current offset
+    val weird = Seq((1L, ""), (2L, "a b"), (3L, "   ")).toDF("id", "text")
+    val w = Curation.packSequences(weird, "id", "text", budgetTokens = 5)
+      .select("id", "n_tok", "pack_offset").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(w.toSeq == Seq((1L, 0L, 0L), (2L, 2L, 0L), (3L, 0L, 2L)), w.mkString(", "))
+  }
+}
