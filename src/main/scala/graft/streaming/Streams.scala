@@ -156,4 +156,57 @@ object Streams {
     spark.read.parquet(tmpPath).write.mode("overwrite").parquet(targetPath)
     graft.pipeline.Sinks.drop(spark, tmpPath)
   }
+
+  /** Dedup-on-ingest: every micro-batch is probed against the PERSISTED
+    * MinHash index ([[graft.operators.Dedup.minHashProbeIndex]]); docs whose
+    * estimator similarity to any already-accepted doc reaches `minEst` are
+    * dropped, survivors append to `acceptedPath` AND their signatures append
+    * to the index — so later batches (and later restarts) dedup against
+    * everything accepted so far without ever re-reading accepted text. The
+    * batch also dedups against itself first (exact signature equality) so
+    * two copies inside one micro-batch cannot both pass the index probe.
+    *
+    * This is the 100 TB ingest shape: per batch, work is proportional to
+    * |batch| signatures + one banded join against the (constant-width)
+    * index — never to the accepted corpus's text.
+    *
+    * Returns a function suitable for `writeStream.foreachBatch`.
+    */
+  def dedupAgainstIndexEachBatch(indexPath: String, acceptedPath: String,
+                                 idCol: String, textCol: String,
+                                 shingleN: Int = 3, bands: Int = 8,
+                                 rowsPerBand: Int = 4, minEst: Double = 0.9)
+      : (DataFrame, Long) => Unit = { (batch0, _) =>
+    val spark = batch0.sparkSession
+    import org.apache.spark.sql.functions._
+    // In-batch exact-content dedup: keep the min-id holder per signature.
+    // (Near-dups WITHIN one batch ride the next batch's probe; exactness
+    // here keeps the step one hash-aggregate, no self-join.)
+    val sigged = batch0.withColumn("__sig",
+        graft.expressions.TextHashExpressions
+          .minHashSignature(col(textCol), shingleN, bands * rowsPerBand))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("__sig").orderBy(col(idCol))))
+      .filter(col("__rk") === 1 || col("__sig").isNull)
+      .drop("__rk")
+    val batch = sigged.drop("__sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    batch.count()
+    val losers =
+      if (!graft.pipeline.Sinks.exists(spark, indexPath)) batch.limit(0).select(col(idCol))
+      else graft.operators.Dedup
+        .minHashProbeIndex(spark, indexPath, batch, idCol, textCol,
+          shingleN, bands, rowsPerBand, minEstJaccard = minEst)
+        .select(col("new_id").as(idCol)).distinct()
+    val accepted = batch.join(losers, Seq(idCol), "left_anti")
+      .localCheckpoint(true) // pin before the two appends below
+    accepted.write.mode("append").parquet(acceptedPath)
+    accepted.select(col(idCol).as("id"),
+        graft.expressions.TextHashExpressions
+          .minHashSignature(col(textCol), shingleN, bands * rowsPerBand).as("sig"))
+      .filter(col("sig").isNotNull)
+      .write.mode("append").parquet(indexPath)
+    batch.unpersist()
+  }
 }

@@ -96,4 +96,29 @@ class StreamingSpec extends SparkSpec {
       assert(tgt.select("id").as[Long].collect().toSet.size == 3)
     } finally q.stop()
   }
+
+  test("dedupAgainstIndexEachBatch drops cross-batch and in-batch dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream-dedup").toString
+    val (idx, acc) = (s"$dir/idx", s"$dir/accepted")
+    val mem = MemoryStream[(Long, String)]
+    val ingest = Streams.dedupAgainstIndexEachBatch(idx, acc, "doc_id", "text")
+    val q = mem.toDF().toDF("doc_id", "text").writeStream.foreachBatch(ingest).start()
+    try {
+      mem.addData(
+        1L -> "the quick brown fox jumps over the lazy dog",
+        2L -> "the quick brown fox jumps over the lazy dog", // in-batch dup of 1
+        3L -> "completely different text about spark engines")
+      q.processAllAvailable()
+      mem.addData(
+        4L -> "the quick brown fox jumps over the lazy dog", // dup of accepted 1
+        5L -> "fresh content that matches nothing accepted so far")
+      q.processAllAvailable()
+      val ids = spark.read.parquet(acc).select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 5L), ids.toSeq.sorted.mkString(", "))
+      // index carries exactly the accepted docs' signatures
+      val idxIds = spark.read.parquet(idx).select("id").as[Long].collect().toSet
+      assert(idxIds == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
 }
