@@ -489,6 +489,9 @@ object SparkEntry {
     "q_sim_cosine_pairs" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         maxId = 150, minCos = 0.30).orderBy("id_a", "id_b")),
+    "q_sim_quantize" -> ((s, d) =>
+      Similarity.quantizeEmbeddings(t(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy("id")),
     "q_sim_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         bands = 8, bitsPerBand = 10, minCosine = 0.25).orderBy("id_a", "id_b")),
@@ -1055,6 +1058,17 @@ object SparkEntry {
         |        i -> CAST(ord(text[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sim_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id AS id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+        |  FROM embeddings WHERE len(embedding) > 0)
+        |SELECT id,
+        |  CASE WHEN ma > 0 THEN list_transform(embedding,
+        |         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS INT))
+        |       ELSE list_transform(embedding, x -> 0) END AS qvec,
+        |  CASE WHEN ma > 0 THEN 127.0 / ma ELSE NULL END AS scale
+        |FROM b ORDER BY id""".stripMargin,
     "q_cur_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -34,6 +34,29 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Max-abs int8 quantization of embeddings at rest: `qvec[i] =
+    * floor(v[i] * 127 / max|v| + 0.5)` (round-half-up, spelled as
+    * floor(+0.5) because engines disagree on `round`'s half-rule but
+    * agree on floor bit-for-bit; the result stays in [-127, 127]),
+    * plus the `scale = 127 / max|v|`
+    * needed to dequantize (`v̂ = q / scale`). Pure row-local codegen'd
+    * arithmetic — at 100 TB this is the 4x storage/IO saver for the vector
+    * column, and [[dotQuantized]] already scores int domains. All-zero
+    * vectors quantize to zeros with a NULL scale (nothing to rescale);
+    * empty vectors are excluded (no signature, by the same convention as
+    * the LSH family).
+    */
+  def quantizeEmbeddings(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.filter(size(col(vecCol)) > 0)
+      .select(col(idCol).as("id"), col(vecCol).as("__v"),
+        array_max(transform(col(vecCol), x => abs(x))).cast("double").as("__ma"))
+      .select(col("id"),
+        when(col("__ma") > 0, transform(col("__v"),
+            x => floor(x.cast("double") * lit(127.0) / col("__ma") + lit(0.5)).cast("int")))
+          .otherwise(transform(col("__v"), _ => lit(0))).as("qvec"),
+        when(col("__ma") > 0, lit(127.0) / col("__ma"))
+          .otherwise(lit(null).cast("double")).as("scale"))
+
   /** One-pass native cosine (null on zero norm). */
   def cosine(a: Column, b: Column): Column =
     graft.expressions.VectorExpressions.cosineSim(a, b)

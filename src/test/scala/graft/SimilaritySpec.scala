@@ -183,4 +183,25 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 4L)))
   }
+
+  test("quantizeEmbeddings: int8 range, max element hits ±127, dequant error bound") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f)),          // all-zero -> zeros, NULL scale
+      (3L, Seq.empty[Float])          // empty -> excluded
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeEmbeddings(df, "vec_id", "embedding")
+      .select("id", "qvec", "scale").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Int](1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(!q.contains(3L))
+    assert(q(2L)._1 == Seq(0, 0) && q(2L)._2.isEmpty)
+    val (qv, Some(scale)) = q(1L)
+    assert(qv == Seq(64, -127, 32), qv) // 0.5*127=63.5 -> floor(+0.5)=64
+    assert(qv.forall(v => v >= -127 && v <= 127))
+    // dequantized error <= half a quantization step
+    Seq(0.5, -1.0, 0.25).zip(qv).foreach { case (x, v) =>
+      assert(math.abs(x - v / scale) <= 0.5 / scale + 1e-12)
+    }
+  }
 }
