@@ -482,6 +482,9 @@ object SparkEntry {
     "q_cur_pack_sequences" -> ((s, d) =>
       Curation.packSequences(t(s, d, "documents"), "doc_id", "text",
         budgetTokens = 2048).orderBy("doc_id")),
+    "q_cur_cap_per_group" -> ((s, d) =>
+      Curation.capPerGroup(t(s, d, "documents"), "lang", "doc_id", cap = 80)
+        .select("doc_id", "lang").orderBy("doc_id")),
     // ---- similarity search ----------------------------------------------
     "q_sim_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -1058,6 +1061,16 @@ object SparkEntry {
         |        i -> CAST(ord(text[i]) AS BIGINT))),
         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_cur_cap_per_group" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS BIGINT) AS pri
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk
+        |      FROM p)
+        |SELECT doc_id, lang FROM r WHERE rk <= 80 ORDER BY doc_id""".stripMargin,
     "q_sim_quantize" ->
       """WITH b AS (
         |  SELECT vec_id AS id, embedding,

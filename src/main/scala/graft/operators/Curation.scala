@@ -80,4 +80,65 @@ object Curation {
       .withColumn("pack_offset", col("__cum0") % budgetTokens)
       .drop("__pid", "__cum0")
   }
+
+  /** Deterministic per-group cap — balanced downsampling ("at most `cap`
+    * docs per language/source"), keeping each group's top-`cap` by the
+    * portable md5 priority of [[hashSplit]] (uniform-random-like but
+    * reproducible), tiebroken by id.
+    *
+    * Semantically identical to `row_number().over(partitionBy(group)
+    * .orderBy(pri, id)) <= cap` — which is exactly what the oracle runs —
+    * but NOT executed that way: a popular group would funnel through one
+    * partition. Instead the histogram-threshold shape: per-(group, priority
+    * bucket) counts to the driver (groups × 1024 rows: metadata-scale,
+    * guarded), the cutoff bucket per group computed there, then everything
+    * strictly below the cutoff passes with a plain broadcast-map filter and
+    * ONLY the boundary bucket (~1/1024 of the group) is ranked exactly.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, cap: Long,
+                  maxGroups: Int = 4096): DataFrame = {
+    require(cap > 0, s"capPerGroup: cap must be > 0, got $cap")
+    val base = df
+      .withColumn("__pri",
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast(LongType))
+      .withColumn("__bkt", shiftright(col("__pri"), 22).cast("int")) // 1024 buckets over 2^32
+    val hist = base.groupBy(groupCol, "__bkt").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0), r.getInt(1), r.getLong(2)))
+    require(hist.forall(_._1 != null),
+      s"capPerGroup: NULL $groupCol values — coalesce them to a sentinel first")
+    val groups = hist.map(_._1).distinct
+    require(groups.length <= maxGroups,
+      s"capPerGroup: ${groups.length} groups exceeds maxGroups=$maxGroups — " +
+        "this operator is for coarse strata (language, source); raise " +
+        "maxGroups only if groups x 1024 driver rows is acceptable")
+    // Per group: cutoff bucket = first bucket where the running count
+    // reaches cap; rows in earlier buckets all pass, the cutoff bucket
+    // gets the remainder, later buckets drop.
+    val cuts = groups.map { g =>
+      val buckets = hist.filter(_._1 == g).sortBy(_._2)
+      var cum = 0L
+      var cut = Int.MaxValue // total <= cap: keep the whole group
+      var rem = 0L
+      buckets.takeWhile { case (_, bkt, n) =>
+        if (cum + n >= cap && cut == Int.MaxValue) { cut = bkt; rem = cap - cum }
+        cum += n
+        cut == Int.MaxValue
+      }
+      g -> (cut, rem)
+    }.toMap
+    val gc = col(groupCol).cast("string")
+    val cutCol = element_at(map_from_arrays(
+      array(cuts.keys.map(g => lit(g.toString)).toSeq: _*),
+      array(cuts.values.map(c => lit(c._1)).toSeq: _*)), gc)
+    val remCol = element_at(map_from_arrays(
+      array(cuts.keys.map(g => lit(g.toString)).toSeq: _*),
+      array(cuts.values.map(c => lit(c._2)).toSeq: _*)), gc)
+    val below = base.filter(col("__bkt") < cutCol)
+    val boundary = base.filter(col("__bkt") === cutCol)
+      .withColumn("__rk", row_number().over(Window
+        .partitionBy(col(groupCol)).orderBy(col("__pri"), col(idCol))))
+      .filter(col("__rk") <= remCol)
+      .drop("__rk")
+    below.unionByName(boundary).drop("__pri", "__bkt")
+  }
 }

@@ -38,4 +38,22 @@ class CurationSpec extends SparkSpec {
       .select("id", "n_tok", "pack_offset").as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(w.toSeq == Seq((1L, 0L, 0L), (2L, 2L, 0L), (3L, 0L, 2L)), w.mkString(", "))
   }
+
+  test("capPerGroup matches the per-group window form exactly") {
+    val df = (1L to 400L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "g")
+    val capped = Curation.capPerGroup(df, "g", "id", cap = 50)
+      .select("id").as[Long].collect().toSet
+    // reference semantics: row_number over (g order by md5-pri, id) <= 50
+    val pri = df.withColumn("pri",
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10).cast("long"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("pri"), col("id"))))
+      .filter(col("rk") <= 50).select("id").as[Long].collect().toSet
+    assert(capped == pri, s"diff: ${(capped diff pri) ++ (pri diff capped)}")
+    assert(capped.size == 100) // both groups have > 50 members -> exactly 50 each
+    // cap larger than the group: everything survives
+    val all = Curation.capPerGroup(df, "g", "id", cap = 1000).count()
+    assert(all == 400)
+  }
 }
