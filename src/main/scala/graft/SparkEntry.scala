@@ -163,7 +163,7 @@ object SparkEntry {
     */
   val verifyOnlyQueries: Set[String] =
     Set("q_sim_recall_gate", "q_dedup_simhash_gate", "q_dedup_minhash_gate",
-      "q_dedup_minhash_probe_gate")
+      "q_dedup_minhash_probe_gate", "q_dedup_embed_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -453,6 +453,47 @@ object SparkEntry {
     "q_dedup_minhash_gate" -> ((s, d) =>
       Dedup.minHashGateStats(t(s, d, "documents"), "doc_id", "text",
         maxId = 120)),
+    // ---- embedding near-dup dedup (end-to-end) --------------------------
+    // Vector-similarity duplicate groups: exact-cosine pairs -> connected
+    // components on the oracle-bounded id range, value-matched against
+    // DuckDB's recursive closure over the same quantized-cosine pairs.
+    "q_dedup_embed_groups" -> ((s, d) =>
+      Dedup.duplicateGroups(
+        Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id",
+          "embedding", maxId = 150, minCos = 0.30)).orderBy("id")),
+    // End-to-end embedding-dedup gate: the REAL scale pipeline (banded
+    // hyperplane LSH candidates -> exact-cosine re-rank -> components ->
+    // keep-min-id survivor) must reproduce EXACTLY the survivor set of the
+    // exact all-pairs form on the bounded range. The oracle recomputes the
+    // exact survivor count relationally and pins the equality boolean.
+    "q_dedup_embed_gate" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 150)
+      val exLosers = Dedup.duplicateGroups(
+          Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+            maxId = 150, minCos = 0.30))
+        .filter(col("id") =!= col("group_id")).select(col("id").as("vec_id"))
+      val exSurv = emb.select("vec_id").join(exLosers, Seq("vec_id"), "left_anti")
+      // 64x4 banding: at the cos=0.30 decision boundary p(bit agrees) is
+      // ~0.60, so a pair misses ALL bands with prob (1-0.6^4)^64 ~ 1.4e-4 —
+      // strong enough that the survivor sets must coincide exactly on this
+      // fixture (deterministic hyperplanes: measured once, stable forever).
+      val lshSurv = Dedup.dedupCorpusByEmbedding(emb, "vec_id", "embedding",
+          dim = 64, bands = 64, bitsPerBand = 4, minCosine = 0.30)
+        .select("vec_id")
+      // Set equality via side-tag sum in ONE aggregation chain. Neither
+      // exceptAll-of-shared-children nor a crossJoin that re-references a
+      // frame already inside the union survives DeduplicateRelations here:
+      // both silently mis-resolve the duplicated subtree (an anti-join
+      // branch degrades to comparing a side against itself) and report a
+      // false mismatch — observed on Spark 4.1.2. Referencing each survivor
+      // frame EXACTLY once sidesteps the rewrite. Sides are id-distinct, so
+      // per-id side-sum: 1 = LSH-only, 2 = exact-only, 3 = both.
+      lshSurv.withColumn("__side", lit(1L))
+        .unionByName(exSurv.withColumn("__side", lit(2L)))
+        .groupBy("vec_id").agg(sum("__side").as("__t"))
+        .agg(count(when(col("__t") >= 2L, 1)).as("n_survivors"),
+          (count(when(col("__t") =!= 3L, 1)) === 0L).as("survivors_match"))
+    }),
     // ---- text analysis --------------------------------------------------
     "q_text_quality" -> ((s, d) => {
       val doc = t(s, d, "documents")
@@ -484,6 +525,10 @@ object SparkEntry {
         budgetTokens = 2048).orderBy("doc_id")),
     "q_cur_cap_per_group" -> ((s, d) =>
       Curation.capPerGroup(t(s, d, "documents"), "lang", "doc_id", cap = 80)
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "q_cur_stratified_sample" -> ((s, d) =>
+      Curation.sampleStratified(t(s, d, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "es" -> 0.25), defaultFraction = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
     // ---- similarity search ----------------------------------------------
     "q_sim_bruteforce_topk" -> ((s, d) =>
@@ -642,12 +687,19 @@ object SparkEntry {
           (abs(col("__p50_sk") - col("p50_chars")) <=
             greatest(lit(1.0), col("p50_chars") * 0.05)).as("sketch_close_ok"))
         .orderBy("lang")),
-    // approx distinct (HLL sketch — the 100 TB form of A6; rows-only check:
-    // sketch estimates are engine-specific by construction)
+    // approx distinct (HLL sketch — the 100 TB form of A6). The estimate
+    // itself is engine-specific by construction, so the oracle pins the
+    // sketch's CONTRACT instead: the exact count value-matches DuckDB and
+    // the HLL estimate must land within its configured error envelope
+    // (rsd=0.05 default; envelope 2x that) — the q_sim_recall_gate pattern
+    // applied to sketch accuracy.
     "q_a6_approx_distinct_days" -> ((s, d) =>
       t(s, d, "lineitem").filter(col("l_shipdate").isNotNull)
-        .agg(approx_count_distinct(to_date(col("l_shipdate"))).as("n_days_approx"),
-          countDistinct(to_date(col("l_shipdate"))).as("n_days_exact"))),
+        .agg(approx_count_distinct(to_date(col("l_shipdate"))).as("__approx"),
+          countDistinct(to_date(col("l_shipdate"))).as("n_days_exact"))
+        .select(col("n_days_exact"),
+          (abs(col("__approx") - col("n_days_exact")).cast("double") <=
+            col("n_days_exact").cast("double") * 0.10).as("approx_within_10pct"))),
     // ---- SQL API surface (spark.sql over temp views) --------------------
     "q_sql_pricing_summary" -> ((s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem")
@@ -767,6 +819,10 @@ object SparkEntry {
         |  max(CAST(l_shipdate AS DATE)) AS last_day,
         |  count(DISTINCT CAST(l_shipdate AS DATE)) AS n_days,
         |  count(*) AS n_rows
+        |FROM lineitem WHERE l_shipdate IS NOT NULL""".stripMargin,
+    "q_a6_approx_distinct_days" ->
+      """SELECT count(DISTINCT CAST(l_shipdate AS DATE)) AS n_days_exact,
+        |  TRUE AS approx_within_10pct
         |FROM lineitem WHERE l_shipdate IS NOT NULL""".stripMargin,
     "q_a7_distinct_proj" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
@@ -944,6 +1000,63 @@ object SparkEntry {
         |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
         |  SELECT * FROM r)
         |SELECT id, min(label) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_dedup_embed_groups" ->
+      """WITH b AS (
+        |  SELECT vec_id AS id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id < 150),
+        |norms AS (SELECT id, sum(x * x) AS nrm FROM b GROUP BY id),
+        |dots AS (
+        |  SELECT a.id AS id_a, c.id AS id_b, sum(a.x * c.x) AS d
+        |  FROM b a JOIN b c ON a.i = c.i AND a.id < c.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      CAST(d AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos
+        |    FROM dots JOIN norms na ON id_a = na.id JOIN norms nb ON id_b = nb.id)
+        |  WHERE cos >= 0.30),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(id, label) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
+        |  SELECT * FROM r)
+        |SELECT id, min(label) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_dedup_embed_gate" ->
+      """WITH b AS (
+        |  SELECT vec_id AS id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE vec_id < 150),
+        |norms AS (SELECT id, sum(x * x) AS nrm FROM b GROUP BY id),
+        |dots AS (
+        |  SELECT a.id AS id_a, c.id AS id_b, sum(a.x * c.x) AS d
+        |  FROM b a JOIN b c ON a.i = c.i AND a.id < c.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      CAST(d AS DOUBLE) / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos
+        |    FROM dots JOIN norms na ON id_a = na.id JOIN norms nb ON id_b = nb.id)
+        |  WHERE cos >= 0.30),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(id, label) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
+        |  SELECT * FROM r),
+        |groups AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id),
+        |losers AS (SELECT id FROM groups WHERE id <> group_id)
+        |SELECT
+        |  (SELECT count(*) FROM embeddings WHERE vec_id < 150)
+        |    - (SELECT count(*) FROM losers) AS n_survivors,
+        |  TRUE AS survivors_match""".stripMargin,
     "q_dedup_simhash_gate" ->
       """WITH t AS (
         |  SELECT doc_id AS id,
@@ -1071,6 +1184,17 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk
         |      FROM p)
         |SELECT doc_id, lang FROM r WHERE rk <= 80 ORDER BY doc_id""".stripMargin,
+    "q_cur_stratified_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS pri
+        |  FROM documents)
+        |SELECT doc_id, lang FROM p
+        |WHERE pri < CASE lang WHEN 'en' THEN 2147483648
+        |                      WHEN 'es' THEN 1073741824
+        |                      ELSE 429496730 END
+        |ORDER BY doc_id""".stripMargin,
     "q_sim_quantize" ->
       """WITH b AS (
         |  SELECT vec_id AS id, embedding,

@@ -141,4 +141,34 @@ object Curation {
       .drop("__rk")
     below.unionByName(boundary).drop("__pri", "__bkt")
   }
+
+  /** Deterministic stratified sampling: keep a row iff its md5 priority
+    * (the [[hashSplit]] arithmetic, uniform over [0, 2^32)) falls below its
+    * group's fraction threshold. A row-local codegen'd filter — no shuffle,
+    * no RNG (`df.stat.sampleBy` re-draws per action) — with two properties
+    * reproducible data ablations need: growth-stable (a row's fate never
+    * changes as the corpus grows) and NESTED (the 10% sample is a strict
+    * subset of the 50% sample, because both are prefix intervals of the
+    * same priority). Groups absent from `fractions` sample at
+    * `defaultFraction`.
+    */
+  def sampleStratified(df: DataFrame, groupCol: String, idCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values.toSeq :+ defaultFraction)
+        .forall(f => f >= 0.0 && f <= 1.0),
+      s"sampleStratified: fractions must be in [0,1], got $fractions / $defaultFraction")
+    def th(f: Double): Long = math.round(f * 4294967296.0) // 2^32
+    val pri = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast(LongType)
+    val thCol =
+      if (fractions.isEmpty) lit(th(defaultFraction))
+      else coalesce(
+        element_at(map_from_arrays(
+            array(fractions.keys.map(lit(_)).toSeq: _*),
+            array(fractions.values.map(f => lit(th(f))).toSeq: _*)),
+          col(groupCol).cast("string")),
+        lit(th(defaultFraction)))
+    df.filter(pri < thCol)
+  }
 }

@@ -370,6 +370,27 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** End-to-end near-duplicate removal over an EMBEDDING column — the
+    * [[dedupCorpus]] shape with the text stages swapped for vector ones:
+    * banded random-hyperplane LSH candidates with exact-cosine re-rank
+    * ([[graft.operators.Similarity.annLsh]] — id-only band self-join,
+    * payloads never shuffle, bucket sizes guardrailed) → connected
+    * components → keep the min-id survivor per duplicate group. Rows whose
+    * vector is empty never pair (annLsh excludes them) and therefore always
+    * survive. The loser set is bounded by the number of near-duplicate
+    * rows, so the final left-anti join stays small even at 100 TB.
+    */
+  def dedupCorpusByEmbedding(df: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, bands: Int = 32, bitsPerBand: Int = 5,
+                             minCosine: Double = 0.9): DataFrame = {
+    val pairs = Similarity.annLsh(df, idCol, vecCol, dim, bands, bitsPerBand,
+      minCosine)
+    val losers = duplicateGroups(pairs.select("id_a", "id_b"))
+      .filter(col("id") =!= col("group_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Measured MinHash+LSH quality stats over a bounded id range — the
     * `q_sim_recall_gate` pattern applied to the MinHash family. One row:
     *

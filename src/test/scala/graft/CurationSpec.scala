@@ -56,4 +56,23 @@ class CurationSpec extends SparkSpec {
     val all = Curation.capPerGroup(df, "g", "id", cap = 1000).count()
     assert(all == 400)
   }
+
+  test("sampleStratified: deterministic, nested, per-group fractions") {
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "g")
+    val half = Curation.sampleStratified(df, "g", "id", Map("a" -> 0.5, "b" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    val quarter = Curation.sampleStratified(df, "g", "id", Map("a" -> 0.25, "b" -> 0.25))
+      .select("id").as[Long].collect().toSet
+    assert(quarter.subsetOf(half))            // nested: prefix intervals of one priority
+    assert(math.abs(half.size - 500) < 100)   // ~fraction of 1000 (md5 is uniform)
+    // unlisted group falls back to defaultFraction: 0 drops it, 1 keeps all
+    val onlyA = Curation.sampleStratified(df, "g", "id", Map("a" -> 1.0))
+      .select("g").as[String].collect()
+    assert(onlyA.nonEmpty && onlyA.forall(_ == "a"))
+    assert(Curation.sampleStratified(df, "g", "id", Map.empty, 1.0).count() == 1000)
+    // deterministic: same call, same rows
+    val again = Curation.sampleStratified(df, "g", "id", Map("a" -> 0.5, "b" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    assert(again == half)
+  }
 }

@@ -76,6 +76,22 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(1L, 2L, 3L))
   }
 
+  test("dedupCorpusByEmbedding: near-dup vectors collapse, empties survive") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Array(0.995f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f)), // cos ~0.995 to 1
+      (3L, Array(0f, 1.0f, 0f, 0f, 0f, 0f, 0f, 0f)),      // orthogonal
+      (4L, Array(1.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),      // exact dup of 1
+      (5L, Array.empty[Float])                             // no signature
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.dedupCorpusByEmbedding(vecs, "vec_id", "embedding",
+        dim = 8, bands = 32, bitsPerBand = 5, minCosine = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    // {1,2,4} form one near-dup component -> min-id survivor 1; 3 is
+    // unrelated; 5 has no vector so it can never pair and must survive
+    assert(out == Set(1L, 3L, 5L))
+  }
+
   test("native minHashSignature: k mins, identical texts agree, short text null") {
     import graft.expressions.TextHashExpressions.minHashSignature
     val df = Seq((1L, "the quick brown fox jumps"),
