@@ -227,6 +227,23 @@ object SparkEntry {
         .withColumn("bucketed_no_exchange_ok", lit(!plan.contains("Exchange")))
         .orderBy("c_mktsegment")
     }),
+    // As-of join (J8): every event labeled with the latest purchase
+    // snapshot at or before its timestamp, per user — union+running-window
+    // shape (one shuffle per side, no theta-join blowup); value-matched
+    // against DuckDB's native ASOF LEFT JOIN. Right side deduped to one
+    // row per (user, ts) first (the operator's uniqueness contract).
+    "q_j8_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val snaps = Dedup.latestPerKeyOrdered(
+          ev.filter(col("event_type") === "purchase"),
+          Seq("user_id", "ts"), Seq(col("event_id").desc))
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("snap_id"), col("value").as("snap_value"))
+      AsofJoin.asofJoin(ev, snaps, Seq("user_id"), "ts", "ts",
+          Seq("snap_id", "snap_value"))
+        .select("event_id", "user_id", "ts", "asof_snap_id", "asof_snap_value")
+        .orderBy("event_id")
+    }),
     // ---- aggregations ---------------------------------------------------
     "q_a1_monthly_agg" -> ((s, d) =>
       Reconcile.monthlyAgg(t(s, d, "lineitem"), "l_shipdate",
@@ -775,6 +792,18 @@ object SparkEntry {
         |  true AS bucketed_no_exchange_ok
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_j8_asof_join" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id AS snap_id, value AS snap_value
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+        |                     ORDER BY event_id DESC) AS rk
+        |        FROM events WHERE event_type = 'purchase')
+        |  WHERE rk = 1)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |  s.snap_id AS asof_snap_id, s.snap_value AS asof_snap_value
+        |FROM events e
+        |ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q_a1_monthly_agg" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month, count(*) AS n_rows,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_extendedprice,
