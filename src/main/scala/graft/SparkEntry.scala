@@ -3,6 +3,7 @@ package graft
 import graft.functions.{Normalize, RowHash}
 import graft.operators._
 import graft.pipeline.{Runner, TableSpec}
+import graft.streaming.Streams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -547,6 +548,10 @@ object SparkEntry {
       Curation.sampleStratified(t(s, d, "documents"), "lang", "doc_id",
           Map("en" -> 0.5, "es" -> 0.25), defaultFraction = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
+    "q_cur_topk_per_group" -> ((s, d) =>
+      Aggregates.topKPerGroup(t(s, d, "documents"), Seq("lang"),
+          Seq(col("n_chars").desc, col("doc_id").asc), k = 10)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
     // ---- similarity search ----------------------------------------------
     "q_sim_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -737,7 +742,28 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 day").getField("start").cast("date").as("day"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), moneySum("value"))
-        .orderBy("day", "event_type"))
+        .orderBy("day", "event_type")),
+    // GENUINE Structured Streaming execution, DuckDB-oracled: file-stream
+    // source over the same events parquet, watermarked windowed agg,
+    // AvailableNow trigger drained into a memory sink — the streaming
+    // engine's answer must value-match the batch oracle exactly. (Complete
+    // output mode + single-batch drain: the watermark cannot drop rows,
+    // because it only advances after the batch that carries them.)
+    "q_stream_daily_window" -> ((s, d) => {
+      val agg = Streams.windowedCounts(Streams.readTableStream(s, d, "events"),
+        "ts", "event_type", windowLen = "1 day", lateness = "1 hour",
+        amountCol = Some("value"))
+      val sink = "q_stream_daily_window_sink"
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(col("window_start").cast("date").as("day"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("day", "event_type")
+    })
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column
@@ -1224,6 +1250,13 @@ object SparkEntry {
         |                      WHEN 'es' THEN 1073741824
         |                      ELSE 429496730 END
         |ORDER BY doc_id""".stripMargin,
+    "q_cur_topk_per_group" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
     "q_sim_quantize" ->
       """WITH b AS (
         |  SELECT vec_id AS id, embedding,
@@ -1349,6 +1382,10 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_events_daily_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q_stream_daily_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin

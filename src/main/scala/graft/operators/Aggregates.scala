@@ -99,4 +99,27 @@ object Aggregates {
   /** A3: value counts (Counter(...) shape, compare_noviembre_2025.py:107-118). */
   def valueCounts(df: DataFrame, c: Column): DataFrame =
     df.groupBy(c.as("value")).agg(count(lit(1)).as("n"))
+
+  /** Per-group top-k by an explicit ordering — "best k documents per
+    * language/source", the balanced selection step of corpus curation.
+    *
+    * Expressed as the rank-filter window so Spark 4 plans it with
+    * `WindowGroupLimit`: each map task keeps only its local top-k PER GROUP
+    * before the exchange, so the shuffle carries at most k×groups×tasks
+    * rows, not the corpus — the difference between shuffling ~everything
+    * and shuffling a bounded candidate set at 100 TB. (The plan-audit spec
+    * pins the WindowGroupLimit node so a regression to a full-window sort
+    * is caught.) Ordering must be total per group for deterministic output —
+    * add the id as the last sort key.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+                   k: Int): DataFrame = {
+    require(groupCols.nonEmpty && order.nonEmpty && k > 0,
+      s"topKPerGroup: need groups, an ordering, and k > 0 (got k=$k)")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
 }

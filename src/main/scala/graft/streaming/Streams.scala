@@ -20,6 +20,29 @@ import org.apache.spark.sql.functions._
   */
 object Streams {
 
+  /** Streaming scan of a fixture table — the file-source form of
+    * [[graft.pipeline.TableSpec.read]], with the same TIMESTAMP(NANOS)→
+    * micros conversion (sessions read nanos as Long; integer `div` keeps
+    * epoch-nanos exact). The file source is the 100 TB ingest shape: new
+    * parquet files land in the directory and each becomes (part of) a
+    * micro-batch, with exactly-once tracking in the source log.
+    *
+    * Unlike the batch reader, `ts` stays TIMESTAMP (with timezone):
+    * `withWatermark` rejects TIMESTAMP_NTZ. The session pins
+    * `spark.sql.session.timeZone=UTC`, so window boundaries and date casts
+    * agree exactly with the batch NTZ form.
+    */
+  def readTableStream(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                      table: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
+    val df = spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
+    if (table == "events" && schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
   /** Event-time tumbling-window aggregation with a watermark: per
     * (window, key) row count + money sum. Late rows beyond `lateness` are
     * dropped deterministically; state is evicted once the watermark passes

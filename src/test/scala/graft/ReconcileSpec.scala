@@ -90,4 +90,16 @@ class ReconcileSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(vc == Map("p" -> 2L, "q" -> 1L))
   }
+
+  test("topKPerGroup keeps k per group and plans with WindowGroupLimit") {
+    val df = Seq(("a", 1L, 30L), ("a", 2L, 20L), ("a", 3L, 10L),
+      ("b", 4L, 5L)).toDF("g", "id", "score")
+    val top = Aggregates.topKPerGroup(df, Seq("g"),
+      Seq(col("score").desc, col("id").asc), k = 2)
+    assert(top.select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // the scale claim: rank<=k is pushed below the shuffle as a map-side
+    // per-group limit — a regression to a full-window sort loses the node
+    assert(top.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      top.queryExecution.executedPlan.toString)
+  }
 }

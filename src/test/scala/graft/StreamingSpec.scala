@@ -121,4 +121,16 @@ class StreamingSpec extends SparkSpec {
       assert(idxIds == Set(1L, 3L, 5L))
     } finally q.stop()
   }
+
+  test("q_stream_daily_window: file-stream execution equals the batch answer") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = SparkEntry.queries("q_stream_daily_window")(spark, d)
+      .select(col("day").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = SparkEntry.queries("q_events_daily_window")(spark, d)
+      .select(col("day").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
