@@ -767,9 +767,11 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (same parquet tables, same column
-    * names/aliases). Omitted: minhash/simhash/LSH/IVF/stub-decode queries —
-    * their hash families (xxhash64, splitmix64) aren't reproducible in
-    * DuckDB SQL; the driver records rows-only checks for them.
+    * names/aliases). Omitted: minhash/simhash/LSH/IVF queries — their hash
+    * families (xxhash64, splitmix64) aren't reproducible in DuckDB SQL; the
+    * driver records rows-only checks for them, and the oracled quality
+    * gates (`q_dedup_*_gate`, `q_sim_recall_gate`, `q_dedup_embed_gate`)
+    * pin their semantics instead.
     */
   def oracleSql: Map[String, String] = Map(
     "q_f1_eq_filter" ->
@@ -1340,6 +1342,11 @@ object SparkEntry {
         |  string_split(CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END, '/')[1] AS media_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_decode_features" ->
+      """SELECT doc_id,
+        |  CAST(CAST(concat('0x', substr(md5(text || ':0'), 1, 8)) AS BIGINT)
+        |    % 1000000 AS DOUBLE) / 1000000.0 AS f0
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_png_decode" ->
       """SELECT doc_id, 1 + doc_id % 16 AS width, 1 + doc_id % 8 AS height,

@@ -49,14 +49,19 @@ object Multimodal {
     * the image/audio and runs a feature extractor; this deterministic stand-in
     * derives pseudo-features from content hashes so tests exercise the real
     * schema (`array<double>`), null behavior, and scale shape (map-only,
-    * codegen'd). Feature i = xxhash64(content, i) scaled to [0, 1).
+    * codegen'd). Feature i = (first 32 bits of md5(content ++ ":i") mod 1e6)
+    * scaled to [0, 1) — md5 rather than xxhash64 so the derivation is
+    * bit-reproducible OUTSIDE Spark and the driver's DuckDB oracle can
+    * value-check the whole decode-plumbing path, not just count rows.
     */
   def stubDecodeFeatures(content: Column, dim: Int): Column =
-    // explicit null guard: xxhash64 SKIPS null children (seed passes
-    // through), which would fabricate a feature vector for a missing asset
+    // explicit null guard: a missing asset must yield null features, not a
+    // vector fabricated from the bare suffix bytes
     when(content.isNull, lit(null).cast(ArrayType(DoubleType, containsNull = false)))
       .otherwise(transform(sequence(lit(0), lit(dim - 1)),
-        i => pmod(xxhash64(content, i), lit(1000000L)).cast("double") / 1000000.0))
+        i => (conv(substring(md5(concat(content,
+                encode(concat(lit(":"), i.cast("string")), "UTF-8"))), 1, 8), 16, 10)
+              .cast("long") % 1000000L).cast("double") / 1000000.0))
 
   /** STUB "resize": real resize re-encodes pixels; the stand-in truncates
     * the payload to `maxBytes` (deterministic, size-bounded like a thumbnail)
@@ -356,19 +361,19 @@ object Multimodal {
     val decoder: Seq[Array[Byte]] => Seq[Array[Double]] =
       if (decodeBatch != null) decodeBatch
       else _.map { bytes =>
-        // STUB: byte-identical to stubDecodeFeatures' xxhash64(content, i)
-        // expression, which chains hash(i, LongType, hash(bytes, seed=42))
-        // and is null-propagating — a null payload must yield null features
-        // here too, not a fabricated vector hashed from the bare seed.
+        // STUB: byte-identical to stubDecodeFeatures' md5(content ++ ":i")
+        // expression (first 4 digest bytes big-endian = its 8-hex-digit
+        // conv), and null-propagating — a null payload must yield null
+        // features here too, not a vector hashed from the bare suffix.
         if (bytes == null) null
-        else {
-          import org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          val hBytes = XxHash64Function.hash(bytes, BinaryType, 42L)
-          Array.tabulate(dim) { i =>
-            // the index comes from sequence(), which yields IntegerType elements
-            val h = XxHash64Function.hash(i, IntegerType, hBytes)
-            (((h % 1000000L) + 1000000L) % 1000000L).toDouble / 1000000.0
-          }
+        else Array.tabulate(dim) { i =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(bytes)
+          md.update(s":$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val d = md.digest()
+          val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          (v % 1000000L).toDouble / 1000000.0
         }
       }
     val idx = df.schema.fieldIndex(contentCol)

@@ -52,4 +52,30 @@ class AsofJoinSpec extends SparkSpec {
         snaps, Seq("k"), "t", "t", Seq("price"))
     }
   }
+
+  test("property: asofJoin equals the brute-force per-row latest (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val keys = Gen.oneOf("a", "b", "c")
+    val evGen = Gen.listOfN(25, Gen.zip(keys, Gen.choose(0L, 40L)))
+    // snapshot times unique per key (the operator's uniqueness contract)
+    val snGen = Gen.mapOf(Gen.zip(Gen.zip(keys, Gen.choose(0L, 40L)),
+      Gen.choose(0.0, 9.0)))
+    val prop = Prop.forAll(evGen, snGen) { (ev, sn) =>
+      val left = ev.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("event_id", "k", "t")
+      val right = sn.toSeq.map { case ((k, t), p) => (k, t, p) }
+        .toDF("k", "t", "price")
+      val got = AsofJoin.asofJoin(left, right, Seq("k"), "t", "t", Seq("price"))
+        .select("event_id", "asof_price")
+        .as[(Long, Option[Double])].collect().toMap
+      val want = ev.zipWithIndex.map { case ((k, t), i) =>
+        val eligible = sn.filter { case ((sk, st), _) => sk == k && st <= t }
+        i.toLong -> eligible.toSeq.sortBy(_._1._2).lastOption.map(_._2)
+      }.toMap
+      (got == want) :| s"got=$got want=$want"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
