@@ -583,6 +583,30 @@ object SparkEntry {
     "q_sim_ivf_indexed" -> ((s, d) =>
       Similarity.ivfTopKIndexed(s, ivfEnsureIndex(s, d), dim = 64,
         queryId = 1, k = 20, nCentroids = 16, nProbe = 4)),
+    // Incremental index maintenance: write a fresh index (own temp dir —
+    // the shared probe index must stay append-free), append the same
+    // corpus under shifted ids via the SIDECAR centroids, and verify from
+    // one readback scan that (a) every vector now appears exactly twice
+    // and (b) both copies landed in the SAME cell — the invariant that
+    // keeps probe recall intact across appends. Oracle recomputes the
+    // doubled row count and pins the consistency boolean.
+    "q_sim_ivf_append" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivf-append").toString + "/idx"
+      Similarity.ivfWriteIndex(emb, "vec_id", "embedding",
+        dim = 64, nCentroids = 16, path = path)
+      Similarity.ivfAppendIndex(
+        emb.withColumn("vec_id", col("vec_id") + 1000000L),
+        "vec_id", "embedding", path)
+      s.read.parquet(path)
+        .select(pmod(col("id"), lit(1000000L)).as("k"), col("cell"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("__n"), countDistinct(col("cell")).as("__nc"))
+        .agg(sum("__n").as("n_rows"),
+          (max(col("__nc")) === 1L && min(col("__n")) === 2L &&
+            max(col("__n")) === 2L).as("cells_consistent"))
+    }),
     // ANN quality gate: the truth side (exact strong-cosine pairs over a
     // bounded id range, and its count) is oracle-checkable; the booleans
     // assert measured recall — a plausible-but-poor ANN (broken planes,
@@ -1320,6 +1344,9 @@ object SparkEntry {
         |  FROM dots JOIN norms na ON id_a = na.id JOIN norms nb ON id_b = nb.id)
         |WHERE cos >= 0.30 ORDER BY id_a, id_b""".stripMargin,
     "q_sim_ivf_index_write" -> "SELECT count(*) AS n_rows FROM embeddings",
+    "q_sim_ivf_append" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+        |  TRUE AS cells_consistent FROM embeddings""".stripMargin,
     "q_sim_recall_gate" ->
       """WITH b AS (
         |  SELECT vec_id AS id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,

@@ -340,6 +340,26 @@ object Similarity {
       .parquet(s"$path/_centroids")
   }
 
+  /** Incremental IVF maintenance: append a new vector batch into an
+    * EXISTING index without rebuilding. Assignments use the persisted
+    * sidecar centroids — the only centroids consistent with the cells
+    * already on disk (assigning with anything else would scatter a vector's
+    * neighbors across cells and silently break probe recall). The append
+    * writes only the new rows into their `cell=<i>/` directories; existing
+    * files and the sidecar are untouched, so probes see old+new rows with
+    * the same partition pruning. This is the index-maintenance story a
+    * daily-ingest corpus needs: O(batch) work per batch, no O(corpus)
+    * rebuild.
+    */
+  def ivfAppendIndex(emb: DataFrame, idCol: String, vecCol: String,
+                     path: String): Unit = {
+    val cents = ivfReadCentroids(emb.sparkSession, path)
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        ivfAssignTo(col(vecCol), cents).as("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(path)
+  }
+
   /** Load the centroid sidecar written by [[ivfWriteIndex]]. Columns are
     * selected by name before collecting so the extraction cannot silently
     * depend on the written file's column order. A missing sidecar (index

@@ -67,6 +67,27 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
   }
 
+  test("ivfAppendIndex: appended vectors join their originals' cells; probe sees both") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app")
+      .resolve("idx").toString
+    Similarity.ivfWriteIndex(vecs, "vec_id", "embedding", dim = 3,
+      nCentroids = 4, path = path)
+    val before = spark.read.parquet(path).count()
+    Similarity.ivfAppendIndex(
+      vecs.withColumn("vec_id", col("vec_id") + 100L), "vec_id", "embedding", path)
+    val idx = spark.read.parquet(path)
+      .select((col("id") % 100L).as("k"), col("cell"))
+      .groupBy("k").agg(countDistinct("cell").as("nc"), count(lit(1)).as("n"))
+      .agg(max("nc").as("mx"), min("n").as("mn"), sum("n").as("tot"))
+      .as[(Long, Long, Long)].head()
+    assert(idx == ((1L, 2L, before * 2))) // same cell, exactly twice each
+    // full-width probe over the appended index returns the appended twin
+    // of the query vector as the top (identical-direction) neighbor
+    val probe = Similarity.ivfTopKIndexed(spark, path, dim = 3,
+      queryId = 0, k = 2, nCentroids = 4, nProbe = 4)
+    assert(probe.select("id").as[Long].collect().contains(100L))
+  }
+
   test("annLsh recall >= 0.9 on planted near-dup clusters at dedup params") {
     // 30 clusters of 4 near-identical vectors (cos ~0.999): the regime LSH
     // is sized for. Truth = exact pairs at cos >= 0.9; ANN must recover 90%.
