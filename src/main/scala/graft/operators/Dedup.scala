@@ -292,21 +292,76 @@ object Dedup {
     * 1..N-1.
     *
     * Returns (id, group_id) for every id that appears in `pairs`.
+    *
+    * Size-gated driver fallback (the broadcast-join decision applied to
+    * components): when the directed edge list is at most `localEdgeLimit`
+    * rows, iterating cluster rounds is all fixed overhead — a driver-side
+    * union-find over the collected edges (≲16 MB at the 1M default, far
+    * below one shuffle round's cost) computes the identical min-label
+    * result in one action. Candidate-pair sets ARE usually this small
+    * relative to the corpus (they're bounded by the near-duplicate count),
+    * but the distributed loop remains the path the moment the bound is
+    * exceeded — pass `localEdgeLimit = 0` to force it.
     */
-  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame =
-    duplicateGroupsWithRounds(pairs, maxIter)._1
+  def duplicateGroups(pairs: DataFrame, maxIter: Int = 20,
+                      localEdgeLimit: Long = 1L << 20): DataFrame =
+    duplicateGroupsWithRounds(pairs, maxIter, localEdgeLimit)._1
+
+  /** Driver-side union-find with min-id roots: union always hangs the
+    * larger root under the smaller, so each tree's root IS the component
+    * minimum and `find` after all unions yields the same (id, group_id)
+    * mapping as converged min-label propagation.
+    */
+  private def localComponents(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.map(k => k -> find(k))
+  }
 
   /** [[duplicateGroups]] plus the number of rounds it ran — the round count
     * is the observable the convergence-speed spec pins (⌈log₂ diameter⌉ +
-    * detection overhead, not diameter).
+    * detection overhead, not diameter). The driver fallback reports 0
+    * rounds.
     */
   private[graft] def duplicateGroupsWithRounds(pairs: DataFrame,
-                                               maxIter: Int = 20): (DataFrame, Int) = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+                                               maxIter: Int = 20,
+                                               localEdgeLimit: Long = 1L << 20): (DataFrame, Int) = {
+    // ids normalized to long so both paths emit one schema (and the
+    // union-find can collect primitively)
+    val edges = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"),
+        col("id_a").cast("long").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("group_id", col("id"))
+    val nDirected = edges.count()
+    if (nDirected <= localEdgeLimit) {
+      val arr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return (localComponents(arr).toDF("id", "group_id"), 0)
+    }
+    // Initialize at min(self, direct neighbors) — the first hop folded into
+    // the init aggregate. One groupBy replaces a whole loop round (its
+    // propagate join, two checkpoints, and sum action); star-shaped dup
+    // groups then converge in a single detection round. Every node appears
+    // as `src` (edges carry both directions), so coverage is identical to
+    // the plain distinct-src init.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("id"), least(col("id"), col("__mn")).as("group_id"))
       .localCheckpoint(true)
     // Convergence detector: per-id labels only ever decrease and the id set
     // is fixed, so an unchanged SUM of labels ⟺ no label changed — a scalar

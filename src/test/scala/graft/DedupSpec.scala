@@ -135,10 +135,21 @@ class DedupSpec extends SparkSpec {
     assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("duplicateGroups: driver and distributed paths agree exactly") {
+    // chain + star + isolated pair: every shape in one graph
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)) ++
+      (20L to 25L).map(i => (19L, i))).toDF("id_a", "id_b")
+    val local = Dedup.duplicateGroups(pairs).as[(Long, Long)].collect().toSet
+    val dist = Dedup.duplicateGroups(pairs, localEdgeLimit = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(local == dist, s"local=$local dist=$dist")
+  }
+
   test("duplicateGroups converges on a longer chain than one hop") {
-    // path 10-11-12-13-14: label 10 must travel 4 hops
+    // path 10-11-12-13-14: label 10 must travel 4 hops (distributed path)
     val pairs = (10L to 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val groups = Dedup.duplicateGroups(pairs).as[(Long, Long)].collect().toMap
+    val groups = Dedup.duplicateGroups(pairs, localEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap
     assert(groups.values.toSet == Set(10L))
     assert(groups.keySet == (10L to 14L).toSet)
   }
@@ -147,9 +158,11 @@ class DedupSpec extends SparkSpec {
     // A 65-node path (diameter 64): plain one-hop propagation needs 64
     // rounds (the old maxIter=20 would have thrown); hop+jump contracts
     // distance ~(2x+1) per round -> well under 10 rounds incl. the final
-    // no-change detection round.
+    // no-change detection round. localEdgeLimit=0 forces the distributed
+    // path (the default would union-find this tiny graph on the driver).
     val pairs = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (labels, rounds) = Dedup.duplicateGroupsWithRounds(pairs, maxIter = 12)
+    val (labels, rounds) = Dedup.duplicateGroupsWithRounds(pairs, maxIter = 12,
+      localEdgeLimit = 0)
     val groups = labels.as[(Long, Long)].collect().toMap
     assert(groups.values.toSet == Set(0L))
     assert(groups.keySet == (0L to 64L).toSet)
