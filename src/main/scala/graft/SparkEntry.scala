@@ -471,6 +471,18 @@ object SparkEntry {
     "q_dedup_minhash_gate" -> ((s, d) =>
       Dedup.minHashGateStats(t(s, d, "documents"), "doc_id", "text",
         maxId = 120)),
+    // Decontamination: per-doc distinct 3-gram overlap against a pretend
+    // benchmark (doc_id < 50) — cross-corpus containment, value-matched
+    // n-gram-for-n-gram against DuckDB. Eval docs themselves surface as
+    // trivially contaminated (they contain their own n-grams): expected,
+    // and the removal form anti-joins them away with everything else hit.
+    "q_dedup_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminationHits(docs, docs.filter(col("doc_id") < 50),
+          "doc_id", "text", "text", ngramN = 3)
+        .withColumn("contaminated", col("n_hits") >= 3L)
+        .orderBy("doc_id")
+    }),
     // ---- embedding near-dup dedup (end-to-end) --------------------------
     // Vector-similarity duplicate groups: exact-cosine pairs -> connected
     // components on the oracle-bounded id range, value-matched against
@@ -654,6 +666,21 @@ object SparkEntry {
               mime.as("mime")),
           "payload", "mime")
         .select("doc_id", "n_bytes", "content_sha", "media_type")
+        .orderBy("doc_id")),
+    // REAL resize path: decode -> 2x nearest-neighbor pixel replication ->
+    // PNG re-encode -> decode again; integral replication preserves channel
+    // means bit-exactly, so the oracle checks the full round trip.
+    "q_mm_resize_real" -> ((s, d) =>
+      Multimodal.decodeBatched(
+          Multimodal.resizeImageBatched(
+            Multimodal.synthPngFromId(t(s, d, "documents").select("doc_id"), "doc_id"),
+            "png", scale = 2),
+          "resized", dim = 5, decodeBatch = Multimodal.decodeImageBatch)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          element_at(col("features"), 3).as("mean_r"),
+          element_at(col("features"), 4).as("mean_g"))
         .orderBy("doc_id")),
     "q_mm_resize" -> ((s, d) =>
       t(s, d, "documents")
@@ -1081,6 +1108,21 @@ object SparkEntry {
         |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
         |  SELECT * FROM r)
         |SELECT id, min(label) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_dedup_decontaminate" ->
+      """WITH ct AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM ct, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+        |eg AS (SELECT DISTINCT g FROM cg WHERE doc_id < 50),
+        |hits AS (SELECT cg.doc_id AS hid, count(*) AS nh
+        |         FROM cg JOIN eg USING (g) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(nh, 0) AS BIGINT) AS n_hits,
+        |  coalesce(nh, 0) >= 3 AS contaminated
+        |FROM documents d LEFT JOIN hits ON d.doc_id = hits.hid
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_embed_groups" ->
       """WITH b AS (
         |  SELECT vec_id AS id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
@@ -1377,6 +1419,12 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_png_decode" ->
       """SELECT doc_id, 1 + doc_id % 16 AS width, 1 + doc_id % 8 AS height,
+        |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+        |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_resize_real" ->
+      """SELECT doc_id, 2 * (1 + doc_id % 16) AS width,
+        |  2 * (1 + doc_id % 8) AS height,
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
         |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -446,6 +446,42 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Train/eval DECONTAMINATION — per-corpus-doc count of distinct word
+    * n-grams shared with a benchmark/eval set. Cross-corpus containment,
+    * not self-dedup: a training doc that embeds an eval answer is
+    * contaminated even when it duplicates nothing else in the corpus (the
+    * GPT-3/Pile-style overlap rule). Every corpus doc appears in the
+    * output, zero-hit and shingle-less docs included.
+    *
+    * Scale shape: the corpus side explodes its (per-doc distinct) shingles
+    * map-side; eval n-gram sets are benchmark-sized, so the join is a
+    * broadcast hash join against the exploded stream — no corpus shuffle —
+    * and the per-doc count is one hash aggregate keyed by id.
+    */
+  def contaminationHits(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+                        textCol: String, evalTextCol: String,
+                        ngramN: Int = 3): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(shingles(col(evalTextCol), ngramN)).as("g")).distinct()
+      .withColumn("__hit", lit(1L))
+    corpus.select(col(idCol), explode_outer(shingles(col(textCol), ngramN)).as("g"))
+      .join(evalGrams, Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+  }
+
+  /** [[contaminationHits]] → removal: drop corpus docs sharing at least
+    * `minHits` distinct n-grams with the eval set. The contaminated id set
+    * is bounded by the corpus×eval overlap, so the anti-join stays small.
+    */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, evalTextCol: String,
+                    ngramN: Int = 3, minHits: Long = 1): DataFrame =
+    corpus.join(
+      contaminationHits(corpus, evalDocs, idCol, textCol, evalTextCol, ngramN)
+        .filter(col("n_hits") >= minHits).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Measured MinHash+LSH quality stats over a bounded id range — the
     * `q_sim_recall_gate` pattern applied to the MinHash family. One row:
     *

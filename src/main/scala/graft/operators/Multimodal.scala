@@ -125,6 +125,55 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize (pure JDK): decode via `javax.imageio`, scale by an
+    * INTEGRAL factor with explicit nearest-neighbor pixel replication, and
+    * re-encode as PNG bytes. Integral replication maps every source pixel
+    * to an exact `scale x scale` block, so per-channel means are preserved
+    * BIT-EXACTLY — the property that lets the DuckDB oracle value-check a
+    * genuine decode→transform→re-encode→decode round trip, not just
+    * metadata arithmetic. Null/undecodable payloads stay null (C7/C8 rule).
+    * Same mapPartitions batch shape as [[decodeBatched]]; payloads never
+    * shuffle.
+    */
+  def resizeImageBatched(df: DataFrame, contentCol: String, scale: Int,
+                         outCol: String = "resized"): DataFrame = {
+    require(scale >= 1, s"resizeImageBatched: scale must be >= 1, got $scale")
+    val idx = df.schema.fieldIndex(contentCol)
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = true)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val out: Array[Byte] =
+          if (bytes == null) null
+          else {
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null) null
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              val big = new java.awt.image.BufferedImage(
+                w * scale, h * scale, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h * scale) {
+                var x = 0
+                while (x < w * scale) {
+                  big.setRGB(x, y, img.getRGB(x / scale, y / scale))
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(big, "png", bos)
+              bos.toByteArray
+            }
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** Fixture generator: a deterministic solid-color PNG per row — size
     * `(1 + id % 16) × (1 + id % 8)`, fill `rgb(id%256, id*7%256, id*13%256)`
     * — so an oracle can predict the decoded width/height/channel means in

@@ -92,6 +92,26 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(1L, 3L, 5L))
   }
 
+  test("decontaminate: eval-overlapping docs flagged and removed; clean docs kept") {
+    val corpus = Seq(
+      1L -> "the capital of france is paris obviously",
+      2L -> "a completely unrelated recipe for sourdough bread",
+      3L -> "quiz answer the capital of france is paris"
+    ).toDF("doc_id", "text")
+    val eval = Seq(100L -> "what is the capital of france is paris")
+      .toDF("doc_id", "text")
+    val hits = Dedup.contaminationHits(corpus, eval, "doc_id", "text", "text",
+        ngramN = 3)
+      .as[(Long, Long)].collect().toMap
+    // docs 1 and 3 share 'the capital of' / 'capital of france' /
+    // 'of france is' / 'france is paris' with the eval set; doc 2 shares none
+    assert(hits(1L) == 4 && hits(3L) == 4 && hits(2L) == 0, hits.toString)
+    val kept = Dedup.decontaminate(corpus, eval, "doc_id", "text", "text",
+        ngramN = 3, minHits = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
   test("native minHashSignature: k mins, identical texts agree, short text null") {
     import graft.expressions.TextHashExpressions.minHashSignature
     val df = Seq((1L, "the quick brown fox jumps"),

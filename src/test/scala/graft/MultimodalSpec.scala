@@ -91,6 +91,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeImageBatched: real 2x replication — dims double, means exact, junk null") {
+    val ids = Seq(0L, 7L, 300L).toDF("doc_id")
+    val out = Multimodal.decodeBatched(
+        Multimodal.resizeImageBatched(
+          Multimodal.synthPngFromId(ids, "doc_id"), "png", scale = 2),
+        "resized", dim = 5, decodeBatch = Multimodal.decodeImageBatch)
+      .select("doc_id", "features").as[(Long, Seq[Double])].collect().toMap
+    for (id <- Seq(0L, 7L, 300L)) {
+      val f = out(id)
+      assert(f(0) == 2 * (1 + id % 16), s"width for $id")
+      assert(f(1) == 2 * (1 + id % 8), s"height for $id")
+      assert(f(2) == (id % 256).toDouble, s"mean_r preserved for $id")
+      assert(f(4) == (id * 13 % 256).toDouble, s"mean_b preserved for $id")
+    }
+    // undecodable and null payloads pass through as null resized bytes
+    val junk = Seq((1L, Array[Byte](9, 9)), (2L, null)).toDF("id", "png")
+    val rz = Multimodal.resizeImageBatched(junk, "png", scale = 2)
+      .select("resized").collect()
+    assert(rz.forall(_.isNullAt(0)))
+  }
+
   test("decodeImageBatch yields null features for undecodable or null bytes") {
     val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null))
       .toDF("id", "payload")
