@@ -127,19 +127,29 @@ object Curation {
       g -> (cut, rem)
     }.toMap
     val gc = col(groupCol).cast("string")
+    // ONE entries traversal for keys and values: `cuts.keys.map(lit(...))`
+    // builds a SET of Column objects whose identity-hash iteration order
+    // silently de-aligns from `cuts.values` — per-group cutoffs then
+    // scramble across groups (bit us at sf0.1 where every group was
+    // capped; at sf0.01 only one group was, and misalignment hid).
+    val entries = cuts.toSeq
     val cutCol = element_at(map_from_arrays(
-      array(cuts.keys.map(g => lit(g.toString)).toSeq: _*),
-      array(cuts.values.map(c => lit(c._1)).toSeq: _*)), gc)
+      array(entries.map(e => lit(e._1.toString)): _*),
+      array(entries.map(e => lit(e._2._1)): _*)), gc)
     val remCol = element_at(map_from_arrays(
-      array(cuts.keys.map(g => lit(g.toString)).toSeq: _*),
-      array(cuts.values.map(c => lit(c._2)).toSeq: _*)), gc)
-    val below = base.filter(col("__bkt") < cutCol)
-    val boundary = base.filter(col("__bkt") === cutCol)
+      array(entries.map(e => lit(e._1.toString)): _*),
+      array(entries.map(e => lit(e._2._2)): _*)), gc)
+    // ONE branch, not below.union(boundary): the kept set is the same, the
+    // plan avoids duplicating the base subtree (the shape Spark 4.1's
+    // DeduplicateRelations rewrites — see q_dedup_embed_gate's note), and
+    // the window partitions by (group, bucket) — each partition ~1/1024 of
+    // a group — with the rank only gating the boundary bucket.
+    base.filter(col("__bkt") <= cutCol)
       .withColumn("__rk", row_number().over(Window
-        .partitionBy(col(groupCol)).orderBy(col("__pri"), col(idCol))))
-      .filter(col("__rk") <= remCol)
-      .drop("__rk")
-    below.unionByName(boundary).drop("__pri", "__bkt")
+        .partitionBy(col(groupCol), col("__bkt"))
+        .orderBy(col("__pri"), col(idCol))))
+      .filter(col("__bkt") < cutCol || col("__rk") <= remCol)
+      .drop("__rk", "__pri", "__bkt")
   }
 
   /** Deterministic stratified sampling: keep a row iff its md5 priority
@@ -161,12 +171,15 @@ object Curation {
     def th(f: Double): Long = math.round(f * 4294967296.0) // 2^32
     val pri = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast(LongType)
+    // entries traversed once — see capPerGroup's note on the keys/values
+    // Set-of-Columns de-alignment footgun
+    val entries = fractions.toSeq
     val thCol =
-      if (fractions.isEmpty) lit(th(defaultFraction))
+      if (entries.isEmpty) lit(th(defaultFraction))
       else coalesce(
         element_at(map_from_arrays(
-            array(fractions.keys.map(lit(_)).toSeq: _*),
-            array(fractions.values.map(f => lit(th(f))).toSeq: _*)),
+            array(entries.map(e => lit(e._1)): _*),
+            array(entries.map(e => lit(th(e._2))): _*)),
           col(groupCol).cast("string")),
         lit(th(defaultFraction)))
     df.filter(pri < thCol)

@@ -57,6 +57,25 @@ class CurationSpec extends SparkSpec {
     assert(all == 400)
   }
 
+  test("capPerGroup: five groups ALL over cap — exactly cap from each") {
+    // the shape that exposed the keys/values map-literal de-alignment: with
+    // every group capped, a scrambled per-group cutoff breaks the counts
+    val df = (1L to 1000L).map(i => (i, "g" + (i % 5))).toDF("id", "g")
+    val byGroup = Curation.capPerGroup(df, "g", "id", cap = 30)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byGroup == (0 to 4).map(i => s"g$i" -> 30L).toMap, byGroup.toString)
+    // and the kept rows are exactly the window form's
+    val win = df.withColumn("pri",
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10).cast("long"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("pri"), col("id"))))
+      .filter(col("rk") <= 30).select("id").as[Long].collect().toSet
+    val got = Curation.capPerGroup(df, "g", "id", cap = 30)
+      .select("id").as[Long].collect().toSet
+    assert(got == win)
+  }
+
   test("sampleStratified: deterministic, nested, per-group fractions") {
     val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "g")
     val half = Curation.sampleStratified(df, "g", "id", Map("a" -> 0.5, "b" -> 0.5))
@@ -74,5 +93,18 @@ class CurationSpec extends SparkSpec {
     val again = Curation.sampleStratified(df, "g", "id", Map("a" -> 0.5, "b" -> 0.5))
       .select("id").as[Long].collect().toSet
     assert(again == half)
+  }
+
+  test("sampleStratified: five distinct fractions land on their own groups") {
+    val df = (1L to 5000L).map(i => (i, "g" + (i % 5))).toDF("id", "g")
+    val fr = Map("g0" -> 0.0, "g1" -> 0.1, "g2" -> 0.5, "g3" -> 0.9, "g4" -> 1.0)
+    val rates = Curation.sampleStratified(df, "g", "id", fr)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+      .map { case (g, n) => g -> n / 1000.0 }
+    assert(!rates.contains("g0"))                   // 0.0 -> dropped entirely
+    assert(rates("g4") == 1.0)                      // 1.0 -> all kept
+    assert(math.abs(rates("g1") - 0.1) < 0.05, rates.toString)
+    assert(math.abs(rates("g2") - 0.5) < 0.08, rates.toString)
+    assert(math.abs(rates("g3") - 0.9) < 0.05, rates.toString)
   }
 }
