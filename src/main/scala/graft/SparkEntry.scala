@@ -565,6 +565,10 @@ object SparkEntry {
       Aggregates.topKPerGroup(t(s, d, "documents"), Seq("lang"),
           Seq(col("n_chars").desc, col("doc_id").asc), k = 10)
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
+    "q_cur_quantile_filter" -> ((s, d) =>
+      Curation.filterByGroupQuantile(t(s, d, "documents"), "lang", "n_chars",
+          quantile = 0.3)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
     // ---- similarity search ----------------------------------------------
     "q_sim_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -1326,6 +1330,13 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id ASC) AS rk
         |  FROM documents)
         |WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+    "q_cur_quantile_filter" ->
+      """WITH c AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.3) AS cut
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars
+        |FROM documents d JOIN c ON d.lang = c.lang
+        |WHERE n_chars >= cut ORDER BY doc_id""".stripMargin,
     "q_sim_quantize" ->
       """WITH b AS (
         |  SELECT vec_id AS id, embedding,

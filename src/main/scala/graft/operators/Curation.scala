@@ -184,4 +184,28 @@ object Curation {
         lit(th(defaultFraction)))
     df.filter(pri < thCol)
   }
+
+  /** Quality-quantile filter: keep each group's rows whose score is at or
+    * above the group's exact interpolated `quantile` — "drop the bottom
+    * 30 % of docs per language by quality score", the relative form of a
+    * fixed-threshold quality filter (robust to per-language score-scale
+    * differences). One hash aggregate computes the per-group cutoffs
+    * (group-cardinality rows, broadcast back), then a row-local filter —
+    * no windows, no per-group single-partition rank, so the shape holds on
+    * 100 TB strata. Spark's exact `percentile` matches DuckDB's
+    * `quantile_cont` bit-for-bit (the parity `q_text_quality_percentiles`
+    * already pins). Rows with a NULL group or NULL score drop (inner join
+    * + null comparison) — coalesce them to sentinels first if they must
+    * survive.
+    */
+  def filterByGroupQuantile(df: DataFrame, groupCol: String, scoreCol: String,
+                            quantile: Double): DataFrame = {
+    require(quantile > 0.0 && quantile < 1.0,
+      s"filterByGroupQuantile: quantile must be in (0,1), got $quantile")
+    val cuts = df.groupBy(groupCol)
+      .agg(expr(s"percentile($scoreCol, ${quantile}d)").as("__cut"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .filter(col(scoreCol) >= col("__cut"))
+      .drop("__cut")
+  }
 }

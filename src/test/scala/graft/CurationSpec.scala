@@ -95,6 +95,16 @@ class CurationSpec extends SparkSpec {
     assert(again == half)
   }
 
+  test("filterByGroupQuantile keeps the top (1-q) of each group exactly") {
+    // group a: scores 1..10 -> q=0.5 cut is 5.5 -> keep 6..10
+    // group b: scores 100..104 -> cut 102 -> keep 102..104 (>= is inclusive)
+    val df = ((1 to 10).map(i => ("a", i.toLong, i.toLong)) ++
+      (100 to 104).map(i => ("b", i.toLong, i.toLong))).toDF("g", "id", "score")
+    val kept = Curation.filterByGroupQuantile(df, "g", "score", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == ((6L to 10L) ++ (102L to 104L)).toSet, kept.toString)
+  }
+
   test("sampleStratified: five distinct fractions land on their own groups") {
     val df = (1L to 5000L).map(i => (i, "g" + (i % 5))).toDF("id", "g")
     val fr = Map("g0" -> 0.0, "g1" -> 0.1, "g2" -> 0.5, "g3" -> 0.9, "g4" -> 1.0)
