@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.expressions.{Literal, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -93,10 +93,56 @@ object SimHashOps {
   }
 }
 
+/** Native word n-grams: tokenize + slide + join + first-occurrence dedup in
+  * one static call per row — semantics identical to the relational
+  * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+  * slice(words, i+1, n))))` form of `Dedup.shingles`, which Spark executes
+  * on the interpreted higher-order-function path (measured ~14 µs/doc —
+  * the whole cost of the decontamination scan). Lowercasing goes through
+  * `UTF8String.toLowerCase`, byte-identical to `lower()`. Fewer than `n`
+  * tokens → EMPTY array (not null — a short doc has no shingles but is
+  * still a row); null text → null via propagateNull.
+  */
+object NgramOps {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val raw = text.toLowerCase.toString.split("\\s+")
+    val toks = new java.util.ArrayList[String](raw.length)
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) toks.add(raw(i)); i += 1 }
+    val m = toks.size
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var s = 0
+    while (s <= m - n) {
+      val sb = new java.lang.StringBuilder
+      var p = 0
+      while (p < n) { if (p > 0) sb.append(' '); sb.append(toks.get(s + p)); p += 1 }
+      seen.add(sb.toString)
+      s += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 object TextHashExpressions {
   /** `array<bigint>` of k MinHash values for `text`, or null below
     * `shingleN` tokens. One static call per row inside codegen.
     */
+  /** `array<string>` of distinct word n-grams (see [[NgramOps]]). */
+  def wordNgrams(text: Column, n: Int): Column =
+    GraftBridge.column(StaticInvoke(
+      NgramOps.getClass,
+      ArrayType(StringType, containsNull = false),
+      "compute",
+      Seq(GraftBridge.expression(text), Literal(n)),
+      inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true,
+      returnNullable = true))
+
   def minHashSignature(text: Column, shingleN: Int, k: Int): Column =
     GraftBridge.column(StaticInvoke(
       MinHashOps.getClass,

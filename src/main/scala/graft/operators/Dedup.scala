@@ -48,15 +48,15 @@ object Dedup {
   /** Word n-gram shingles of a text column (lowercased, whitespace-split).
     * Empty tokens are dropped before shingling; a text shorter than `n`
     * words yields an empty array (no truncated tail shingles).
+    *
+    * Native one-pass form ([[graft.expressions.NgramOps]]): the equivalent
+    * `array_distinct(transform(sequence(...), i => concat_ws(slice(...))))`
+    * HOF chain runs on Spark's interpreted expression path and was the
+    * entire cost of the decontamination scan (~14 µs/doc); the static call
+    * is ~5× faster with byte-identical output.
     */
-  def shingles(textCol: Column, n: Int): Column = {
-    val words = filter(split(lower(textCol), "\\s+"), w => w =!= "")
-    // sliding n-grams via transform over start indices
-    when(size(words) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + 1, lit(n))))))
-  }
+  def shingles(textCol: Column, n: Int): Column =
+    graft.expressions.TextHashExpressions.wordNgrams(textCol, n)
 
   /** MinHash signature: for each of k hash functions, the min over shingle
     * hashes. Hash family: xxhash64(shingle, seed_i) — deterministic.
@@ -464,8 +464,12 @@ object Dedup {
     val evalGrams = evalDocs
       .select(explode(shingles(col(evalTextCol), ngramN)).as("g")).distinct()
       .withColumn("__hit", lit(1L))
+    // explicit broadcast: the eval side is benchmark-sized by definition,
+    // but it reaches the join as an aggregate whose size estimate blocks
+    // auto-broadcast — without the hint the exploded corpus shingle stream
+    // (orders of magnitude larger than the corpus) shuffles for an SMJ
     corpus.select(col(idCol), explode_outer(shingles(col(textCol), ngramN)).as("g"))
-      .join(evalGrams, Seq("g"), "left")
+      .join(broadcast(evalGrams), Seq("g"), "left")
       .groupBy(idCol)
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
   }
