@@ -95,6 +95,31 @@ class CurationSpec extends SparkSpec {
     assert(again == half)
   }
 
+  test("property: capPerGroup == window form on random group shapes (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val gen = for {
+      nGroups <- Gen.choose(1, 6)
+      nRows <- Gen.choose(1, 300)
+      cap <- Gen.choose(1L, 60L)
+      assign <- Gen.listOfN(nRows, Gen.choose(0, nGroups - 1))
+    } yield (assign.zipWithIndex.map { case (g, i) => (i.toLong + 1, s"g$g") }, cap)
+    val prop = Prop.forAll(gen) { case (rows, cap) =>
+      val df = rows.toDF("id", "g")
+      val got = Curation.capPerGroup(df, "g", "id", cap)
+        .select("id").as[Long].collect().toSet
+      val want = df.withColumn("pri",
+          conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10).cast("long"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("g").orderBy(col("pri"), col("id"))))
+        .filter(col("rk") <= cap).select("id").as[Long].collect().toSet
+      (got == want) :| s"cap=$cap diff=${(got diff want) ++ (want diff got)}"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("filterByGroupQuantile keeps the top (1-q) of each group exactly") {
     // group a: scores 1..10 -> q=0.5 cut is 5.5 -> keep 6..10
     // group b: scores 100..104 -> cut 102 -> keep 102..104 (>= is inclusive)
