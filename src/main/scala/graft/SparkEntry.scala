@@ -569,6 +569,10 @@ object SparkEntry {
       Curation.filterByGroupQuantile(t(s, d, "documents"), "lang", "n_chars",
           quantile = 0.3)
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
+    "q_cur_chunk_documents" -> ((s, d) =>
+      Curation.chunkDocuments(t(s, d, "documents"), "doc_id", "text",
+          chunkTokens = 64, strideTokens = 32)
+        .orderBy("doc_id", "chunk_id")),
     // ---- similarity search ----------------------------------------------
     "q_sim_bruteforce_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -1337,6 +1341,18 @@ object SparkEntry {
         |SELECT doc_id, d.lang, n_chars
         |FROM documents d JOIN c ON d.lang = c.lang
         |WHERE n_chars >= cut ORDER BY doc_id""".stripMargin,
+    "q_cur_chunk_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents)
+        |SELECT doc_id, i AS chunk_id,
+        |  array_to_string(tk[i*32+1 : i*32+64], ' ') AS chunk_text,
+        |  CAST(least(64, len(tk) - i*32) AS BIGINT) AS n_chunk_tokens
+        |FROM t, unnest(generate_series(0,
+        |  CAST(floor((len(tk)-1) / 32.0) AS INT))) AS u(i)
+        |WHERE len(tk) > 0
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "q_sim_quantize" ->
       """WITH b AS (
         |  SELECT vec_id AS id, embedding,

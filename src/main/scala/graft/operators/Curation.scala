@@ -185,6 +185,39 @@ object Curation {
     df.filter(pri < thCol)
   }
 
+  /** Overlapping token-window chunking: split each document into windows of
+    * `chunkTokens` whitespace tokens advancing by `strideTokens` — the
+    * context-window preparation step for embedding / retrieval pipelines
+    * (stride < chunk gives overlap so no span falls on a boundary). Pure
+    * row-local array arithmetic followed by one `posexplode` — a map-side
+    * fan-out, no shuffle, output rows ~ corpus_tokens / stride. Tokens keep
+    * their original case (chunking must not alter content). Documents with
+    * no tokens produce no chunks. The final (possibly short) window always
+    * appears, `n_chunk_tokens` telling its true length.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      s"chunkDocuments: need 0 < stride <= chunk, got $strideTokens/$chunkTokens")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    // chunk starts 0, stride, 2*stride, ... while start < nTok
+    // (sequence() DESCENDS when start > stop, so the empty case is guarded)
+    val chunks = when(size(col("__toks")) === 0,
+        array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0),
+          floor((size(col("__toks")) - 1).cast("double") / strideTokens).cast("int")),
+        i => concat_ws(" ",
+          slice(col("__toks"), i * strideTokens + 1, lit(chunkTokens)))))
+    df.withColumn("__toks", toks)
+      .select(col(idCol), size(col("__toks")).as("__n"),
+        posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkTokens),
+          col("__n") - col("chunk_id") * strideTokens).cast("long"))
+      .drop("__n")
+  }
+
   /** Quality-quantile filter: keep each group's rows whose score is at or
     * above the group's exact interpolated `quantile` — "drop the bottom
     * 30 % of docs per language by quality score", the relative form of a

@@ -130,6 +130,24 @@ class CurationSpec extends SparkSpec {
     assert(kept == ((6L to 10L) ++ (102L to 104L)).toSet, kept.toString)
   }
 
+  test("chunkDocuments: overlapping windows, short tail, empty docs vanish") {
+    val df = Seq(
+      (1L, "a b c d e f g"), // 7 tokens
+      (2L, "x"),             // 1 token -> one short chunk
+      (3L, "   ")            // no tokens -> no chunks
+    ).toDF("id", "text")
+    val out = Curation.chunkDocuments(df, "id", "text",
+        chunkTokens = 4, strideTokens = 2)
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 0, "a b c d", 4L),
+      (1L, 1, "c d e f", 4L),
+      (1L, 2, "e f g", 3L),   // final short window kept, true length reported
+      (1L, 3, "g", 1L),
+      (2L, 0, "x", 1L)
+    ), out.mkString(", "))
+  }
+
   test("sampleStratified: five distinct fractions land on their own groups") {
     val df = (1L to 5000L).map(i => (i, "g" + (i % 5))).toDF("id", "g")
     val fr = Map("g0" -> 0.0, "g1" -> 0.1, "g2" -> 0.5, "g3" -> 0.9, "g4" -> 1.0)
