@@ -782,6 +782,11 @@ object SparkEntry {
         .select(col("n_days_exact"),
           (abs(col("__approx") - col("n_days_exact")).cast("double") <=
             col("n_days_exact").cast("double") * 0.10).as("approx_within_10pct"))),
+    // rolling daily trend (A11): corpus-scale hash agg to per-day totals,
+    // then a trailing 7-day RANGE window over day-cardinality rows
+    "q_a11_rolling_daily" -> ((s, d) =>
+      Aggregates.rollingDailyAgg(t(s, d, "lineitem"), "l_shipdate",
+        "l_quantity", days = 7).orderBy("day")),
     // ---- SQL API surface (spark.sql over temp views) --------------------
     "q_sql_pricing_summary" -> ((s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("lineitem")
@@ -941,6 +946,19 @@ object SparkEntry {
       """SELECT count(DISTINCT CAST(l_shipdate AS DATE)) AS n_days_exact,
         |  TRUE AS approx_within_10pct
         |FROM lineitem WHERE l_shipdate IS NOT NULL""".stripMargin,
+    "q_a11_rolling_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4))) AS q
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1)
+        |SELECT day, CAST(q AS DOUBLE) AS day_total,
+        |  CAST(sum(q) OVER w AS DOUBLE) AS total_7d,
+        |  CAST(sum(q) OVER w AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)
+        |    AS avg_7d
+        |FROM daily
+        |WINDOW w AS (ORDER BY day
+        |  RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     "q_a7_distinct_proj" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

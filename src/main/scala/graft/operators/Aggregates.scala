@@ -100,6 +100,33 @@ object Aggregates {
   def valueCounts(df: DataFrame, c: Column): DataFrame =
     df.groupBy(c.as("value")).agg(count(lit(1)).as("n"))
 
+  /** Rolling daily aggregate: per-day totals of `valueCol` plus a trailing
+    * `days`-day moving sum and average (RANGE frame on the day number, so
+    * calendar gaps count as zero-contribution days — the semantics a
+    * monitoring/trend report wants). Two stages with very different scales:
+    * the per-day hash aggregate is the corpus-wide shuffle (group count =
+    * distinct days), while the moving window runs over day-cardinality rows
+    * — bounded by the calendar span, metadata-scale at any corpus size —
+    * so the deliberately unpartitioned ordered window is NOT a scale
+    * hazard here. Sums stay DECIMAL until the final cast; the average is
+    * an explicit double division so both engines compute identical bits.
+    */
+  def rollingDailyAgg(df: DataFrame, dateCol: String, valueCol: String,
+                      days: Int): DataFrame = {
+    require(days > 0, s"rollingDailyAgg: days must be > 0, got $days")
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.filter(col(dateCol).isNotNull)
+      .groupBy(to_date(col(dateCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,4)")).as("__q"))
+    val w = Window.orderBy(unix_date(col("day")))
+      .rangeBetween(-(days - 1), 0)
+    daily.select(col("day"),
+        col("__q").cast("double").as("day_total"),
+        sum(col("__q")).over(w).cast("double").as(s"total_${days}d"),
+        (sum(col("__q")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as(s"avg_${days}d"))
+  }
+
   /** Per-group top-k by an explicit ordering — "best k documents per
     * language/source", the balanced selection step of corpus curation.
     *

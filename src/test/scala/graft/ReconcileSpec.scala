@@ -91,6 +91,22 @@ class ReconcileSpec extends SparkSpec {
     assert(vc == Map("p" -> 2L, "q" -> 1L))
   }
 
+  test("rollingDailyAgg: trailing range window skips calendar gaps correctly") {
+    val df = Seq(
+      ("2024-01-01", 10.0), ("2024-01-02", 20.0),
+      ("2024-01-05", 40.0) // 2-day gap: the 3-day window at Jan 5 sees only Jan 5
+    ).toDF("d", "v").withColumn("d", to_date(col("d")))
+    val out = Aggregates.rollingDailyAgg(df, "d", "v", days = 3)
+      .select(col("day").cast("string"), col("day_total"),
+        col("total_3d"), col("avg_3d"))
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 10.0, 10.0, 10.0),
+      ("2024-01-02", 20.0, 30.0, 15.0),  // Jan 1 within 3 days
+      ("2024-01-05", 40.0, 40.0, 40.0)   // Jan 2 is 3 days back -> outside
+    ), out.mkString(", "))
+  }
+
   test("topKPerGroup keeps k per group and plans with WindowGroupLimit") {
     val df = Seq(("a", 1L, 30L), ("a", 2L, 20L), ("a", 3L, 10L),
       ("b", 4L, 5L)).toDF("g", "id", "score")
