@@ -245,6 +245,21 @@ object SparkEntry {
         .select("event_id", "user_id", "ts", "asof_snap_id", "asof_snap_value")
         .orderBy("event_id")
     }),
+    // Interval join (J9): every event matched to the session whose
+    // [start, end] contains its timestamp — the bucketized containment
+    // join (equi on (user, day-bucket) + exact filter), value-matched
+    // against DuckDB's BETWEEN theta join over the same sessionization.
+    "q_j9_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val sess = Sessionize.sessions(ev, "user_id", "ts", "event_id",
+          gapSeconds = 86400)
+        .select(col("user_id"), col("session_id"),
+          col("session_start"), col("session_end"))
+      RangeJoin.intervalJoin(ev.select("event_id", "user_id", "ts"), sess,
+          Seq("user_id"), "ts", "session_start", "session_end",
+          bucketWidth = 86400, maxBucketsPerInterval = 1 << 16)
+        .select("event_id", "user_id", "session_id").orderBy("event_id")
+    }),
     // ---- aggregations ---------------------------------------------------
     "q_a1_monthly_agg" -> ((s, d) =>
       Reconcile.monthlyAgg(t(s, d, "lineitem"), "l_shipdate",
@@ -1084,6 +1099,30 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "q_j9_interval_join" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |tagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |              > 86400000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM base),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM tagged),
+        |s AS (
+        |  SELECT user_id, session_id,
+        |    min(ts) AS session_start, max(ts) AS session_end
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, s.session_id
+        |FROM base e
+        |JOIN s ON e.user_id = s.user_id
+        |  AND e.ts BETWEEN s.session_start AND s.session_end
+        |ORDER BY e.event_id""".stripMargin,
     "q_pipeline_full_load" ->
       """SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
         |  o_orderkey, o_custkey, o_totalprice

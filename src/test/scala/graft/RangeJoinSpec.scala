@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val points = Seq(
+    (1L, "a", 5L), (2L, "a", 10L), (3L, "a", 99L),  // 99: no interval
+    (4L, "b", 10L), (5L, "b", 25L)
+  ).toDF("pid", "k", "t")
+
+  private val ivs = Seq(
+    ("a", 0L, 9L, "i1"),    // bucket width 10: covers buckets 0..0
+    ("a", 10L, 30L, "i2"),  // boundary: t=10 contained inclusively
+    ("b", 20L, 29L, "i3")
+  ).toDF("k", "s", "e", "name")
+
+  test("intervalJoin: containment matches, boundaries inclusive, no-match drops") {
+    val out = RangeJoin.intervalJoin(points, ivs, Seq("k"), "t", "s", "e",
+        bucketWidth = 10)
+      .select("pid", "name").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "i1"), (2L, "i2"), (5L, "i3")))
+  }
+
+  test("intervalJoin: bucket edges never lose a contained point") {
+    // interval crossing many buckets; points at the exact start/end
+    val p = Seq((1L, "x", 15L), (2L, "x", 44L), (3L, "x", 45L)).toDF("pid", "k", "t")
+    val i = Seq(("x", 15L, 44L, "w")).toDF("k", "s", "e", "name")
+    val out = RangeJoin.intervalJoin(p, i, Seq("k"), "t", "s", "e", bucketWidth = 7)
+      .select("pid").as[Long].collect().toSet
+    assert(out == Set(1L, 2L)) // 45 is one past the inclusive end
+  }
+
+  test("intervalJoin: timestamp columns bucket on epoch seconds") {
+    val p = Seq((1L, "a", "2024-01-01 00:00:30"), (2L, "a", "2024-01-02 12:00:00"))
+      .toDF("pid", "k", "t").withColumn("t", col("t").cast("timestamp"))
+    val i = Seq(("a", "2024-01-01 00:00:00", "2024-01-01 23:59:59", "d1"),
+        ("a", "2024-01-02 00:00:00", "2024-01-02 23:59:59", "d2"))
+      .toDF("k", "s", "e", "name")
+      .withColumn("s", col("s").cast("timestamp"))
+      .withColumn("e", col("e").cast("timestamp"))
+    val out = RangeJoin.intervalJoin(p, i, Seq("k"), "t", "s", "e",
+        bucketWidth = 3600).select("pid", "name").as[(Long, String)]
+      .collect().toSet
+    assert(out == Set((1L, "d1"), (2L, "d2")))
+  }
+
+  test("intervalJoin: fanout guard trips on oversized intervals") {
+    val i = Seq(("x", 0L, 1000000L, "huge")).toDF("k", "s", "e", "name")
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(points.withColumnRenamed("k", "k2")
+          .withColumnRenamed("pid", "pid2").withColumnRenamed("k2", "k"),
+        i, Seq("k"), "t", "s", "e", bucketWidth = 10, maxBucketsPerInterval = 100)
+    }
+    assert(ex.getMessage.contains("buckets"))
+  }
+}
