@@ -47,6 +47,21 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set((1L, "d1"), (2L, "d2")))
   }
 
+  test("intervalJoin: plans as an equi join, never a nested loop") {
+    // The operator's entire reason to exist: a containment predicate alone
+    // gives Spark no equi-key and degenerates to BroadcastNestedLoopJoin /
+    // CartesianProduct — O(points × intervals) at 100 TB. Pin the rewrite.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = RangeJoin.intervalJoin(points, ivs, Seq("k"), "t", "s", "e",
+        bucketWidth = 10).queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("intervalJoin: fanout guard trips on oversized intervals") {
     val i = Seq(("x", 0L, 1000000L, "huge")).toDF("k", "s", "e", "name")
     val ex = intercept[IllegalArgumentException] {
