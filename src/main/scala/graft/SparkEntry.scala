@@ -843,6 +843,34 @@ object SparkEntry {
         .select(col("window_start").cast("date").as("day"), col("event_type"),
           col("n"), col("sum_value"))
         .orderBy("day", "event_type")
+    }),
+    // GENUINE stream-STREAM join execution, DuckDB-oracled: two file-stream
+    // sources over the same events parquet (clicks / views), equi on user
+    // with a 30-minute event-time horizon, drained AvailableNow into a
+    // memory sink and value-matched against the batch theta join. Lateness
+    // exceeds the fixture's time span so watermark eviction cannot race the
+    // source's batch split — inner-join matches don't need the watermark to
+    // EMIT, only to evict, and the gate must be deterministic; the spec
+    // pins the state-cleanup semantics at realistic lateness instead.
+    "q_stream_join_horizon" -> ((s, d) => {
+      val clicks = Streams.readTableStream(s, d, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val views = Streams.readTableStream(s, d, "events")
+        .filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"))
+      val joined = Streams.joinWithinHorizon(clicks, views, Seq("user_id"),
+        "click_ts", "view_ts", maxLag = "30 minutes", lateness = "3650 days")
+      val sink = "q_stream_join_horizon_sink"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).select("click_id", "view_id", "user_id")
+        .orderBy("click_id", "view_id")
     })
   )
 
@@ -1555,6 +1583,12 @@ object SparkEntry {
     "q_stream_daily_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q_stream_join_horizon" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+        |FROM events c JOIN events v ON c.user_id = v.user_id
+        |  AND c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
+        |ORDER BY click_id, view_id""".stripMargin
   )
 }

@@ -95,6 +95,26 @@ object Streams {
                     joinType: String = "left_outer"): DataFrame =
     stream.join(broadcast(dim), keys, joinType)
 
+  /** Stream-STREAM equi-join bounded by an event-time horizon: a left event
+    * matches right events with the same keys whose timestamp lies in
+    * [left.ts - maxLag, left.ts]. Both sides carry watermarks and the join
+    * condition bounds the two event times against each other — exactly what
+    * Spark's state cleanup needs to evict rows once the watermark passes
+    * them, so state stays O(horizon × rate), not O(stream). Without the
+    * time bound the state grows forever; this function makes the bound
+    * unforgettable. Column names must be disjoint apart from `keys`.
+    */
+  def joinWithinHorizon(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftTs: String, rightTs: String, maxLag: String,
+                        lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, lateness)
+    val r = right.withWatermark(rightTs, lateness)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) >= l(leftTs) - expr(s"INTERVAL $maxLag") &&
+      r(rightTs) <= l(leftTs)
+    keys.foldLeft(l.join(r, cond, "inner"))((d, k) => d.drop(r(k)))
+  }
+
   /** Open-session state for [[sessionizeStream]]. */
   case class SessionState(n: Long, start: java.sql.Timestamp, end: java.sql.Timestamp)
   /** A closed session emitted by [[sessionizeStream]]. */

@@ -79,6 +79,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("joinWithinHorizon: stream-stream join matches the batch theta join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Int, Long)]
+    val imps = MemoryStream[(Timestamp, Int, Long)]
+    val cRows = Seq(
+      (ts("2024-01-01 00:05:00"), 1, 101L), // 5 min after imp 11 → match
+      (ts("2024-01-01 01:30:00"), 1, 102L), // >1h after imp 11 → no match
+      (ts("2024-01-01 00:04:00"), 2, 103L), // 1 min BEFORE imp 22 → no match
+      (ts("2024-01-01 00:20:00"), 2, 104L)) // 15 min after imp 22 → match
+    val iRows = Seq(
+      (ts("2024-01-01 00:00:00"), 1, 11L),
+      (ts("2024-01-01 00:05:00"), 2, 22L))
+    val joined = Streams.joinWithinHorizon(
+      clicks.toDF().toDF("click_ts", "k", "click_id"),
+      imps.toDF().toDF("imp_ts", "k", "imp_id"),
+      Seq("k"), "click_ts", "imp_ts", maxLag = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("hjoin")
+      .outputMode("append").start()
+    try {
+      imps.addData(iRows: _*)
+      clicks.addData(cRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("hjoin").select("click_id", "imp_id")
+        .as[(Long, Long)].collect().toSet
+      val batch = cRows.toDF("click_ts", "k", "click_id")
+        .join(iRows.toDF("imp_ts", "k2", "imp_id"),
+          col("k") === col("k2") &&
+            col("imp_ts") >= col("click_ts") - expr("INTERVAL 1 hour") &&
+            col("imp_ts") <= col("click_ts"))
+        .select("click_id", "imp_id").as[(Long, Long)].collect().toSet
+      assert(got == batch)
+      assert(got == Set((101L, 11L), (104L, 22L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch merge: micro-batches upsert into the parquet target") {
     implicit val sqlCtx = spark.sqlContext
     val target = Files.createTempDirectory("graft-stream").resolve("tgt").toString
