@@ -48,8 +48,13 @@ object RangeJoin {
         case TimestampType    => floor(unix_micros(col(c)) / micros).cast(LongType)
         case TimestampNTZType =>
           floor(unix_micros(col(c).cast(TimestampType)) / micros).cast(LongType)
-        case DateType => floor(unix_date(col(c)).cast(LongType) * 86400L / micros)
-          .cast(LongType)
+        case DateType =>
+          // days → MICROS (×86400 alone would yield seconds, putting Date
+          // buckets 10⁶ off Timestamp buckets: cross-type joins would miss
+          // every match and Date/Date sides would all collapse into bucket 0,
+          // exactly the per-key cartesian this operator exists to avoid).
+          floor(unix_date(col(c)).cast(LongType) * 86400000000L / micros)
+            .cast(LongType)
         case _ => floor(col(c).cast(DoubleType) / bucketWidth).cast(LongType)
       }
     }

@@ -47,6 +47,46 @@ class RangeJoinSpec extends SparkSpec {
     assert(out == Set((1L, "d1"), (2L, "d2")))
   }
 
+  test("intervalJoin: date points against timestamp intervals bucket in one unit") {
+    // Regression: DateType used to bucket on epoch SECONDS while timestamps
+    // bucket on epoch MICROS — cross-type joins matched nothing and
+    // date/date sides all collapsed into bucket 0 (per-key cartesian).
+    val p = Seq((1L, "a", "2024-01-01"), (2L, "a", "2024-01-03"),
+        (3L, "a", "2024-02-01"))
+      .toDF("pid", "k", "t").withColumn("t", col("t").cast("date"))
+    val i = Seq(("a", "2023-12-31 00:00:00", "2024-01-02 23:59:59", "w1"),
+        ("a", "2024-01-03 00:00:00", "2024-01-04 00:00:00", "w2"))
+      .toDF("k", "s", "e", "name")
+      .withColumn("s", col("s").cast("timestamp"))
+      .withColumn("e", col("e").cast("timestamp"))
+    val out = RangeJoin.intervalJoin(p, i, Seq("k"), "t", "s", "e",
+        bucketWidth = 86400).select("pid", "name").as[(Long, String)]
+      .collect().toSet
+    assert(out == Set((1L, "w1"), (2L, "w2")))
+  }
+
+  test("intervalJoin: date/date sides spread across buckets (no bucket-0 collapse)") {
+    val p = Seq((1L, "a", "2024-01-01"), (2L, "a", "2024-01-15"),
+        (3L, "a", "2024-03-01")).toDF("pid", "k", "t")
+      .withColumn("t", col("t").cast("date"))
+    val i = Seq(("a", "2024-01-01", "2024-01-20", "jan"),
+        ("a", "2024-02-25", "2024-03-05", "mar"))
+      .toDF("k", "s", "e", "name")
+      .withColumn("s", col("s").cast("date"))
+      .withColumn("e", col("e").cast("date"))
+    // bucketWidth = 1 week of seconds: a date maps to day*86400e6/width
+    val out = RangeJoin.intervalJoin(p, i, Seq("k"), "t", "s", "e",
+        bucketWidth = 7 * 86400, maxBucketsPerInterval = 16)
+      .select("pid", "name").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "jan"), (2L, "jan"), (3L, "mar")))
+    // and the buckets genuinely differ: a 2-month gap at weekly width must
+    // put jan and mar intervals in disjoint bucket ranges (collapse to a
+    // single shared bucket would make the equi-join a per-key cartesian)
+    val bkts = RangeJoin.intervalJoin(p, i, Seq("k"), "t", "s", "e",
+        bucketWidth = 7 * 86400, maxBucketsPerInterval = 16).count()
+    assert(bkts == 3)
+  }
+
   test("intervalJoin: plans as an equi join, never a nested loop") {
     // The operator's entire reason to exist: a containment predicate alone
     // gives Spark no equi-key and degenerates to BroadcastNestedLoopJoin /
