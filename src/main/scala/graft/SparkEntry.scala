@@ -91,24 +91,37 @@ object SparkEntry {
     }
   }
 
+  /** Cache-entry accessor that survives `spark.catalog.clearCache()`: the
+    * bench clears ALL cached plans between queries (leaked operator-internal
+    * persists otherwise accumulate across 80+ queries and the storage churn
+    * taxes unrelated aggregates — r6's q_a2 4× regression), which also
+    * evicts these fixtures. Re-persist + re-materialize when that happened;
+    * the median-of-N bench timing absorbs the one first-run rebuild.
+    */
+  private def cachedFixture(s: SparkSession, key: String)
+                           (build: => DataFrame): DataFrame = {
+    val df = fixtureCacheFor(s).getOrElseUpdate(key, {
+      val d = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count() // materialize once, outside any timed run but the first
+      d
+    })
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+    }
+    df
+  }
+
   /** Hashed target state (classify build side), cached + persisted. */
   private def mergeTargetState(s: SparkSession, d: String): DataFrame =
-    fixtureCacheFor(s).getOrElseUpdate(s"state:$d", {
-      val df = RowHash.withRowHash(ordersTargetData(t(s, d, "orders")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count() // materialize once, outside any timed run but the first
-      df
-    })
+    cachedFixture(s, s"state:$d")(
+      RowHash.withRowHash(ordersTargetData(t(s, d, "orders"))))
 
   /** Audited target table (apply's base), cached + persisted. */
   private def mergeTargetAudited(s: SparkSession, d: String): DataFrame =
-    fixtureCacheFor(s).getOrElseUpdate(s"audited:$d", {
-      val df = RowHash.withAuditColumns(ordersTargetData(t(s, d, "orders")),
-          Seq("o_orderkey"), mergeNow)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    })
+    cachedFixture(s, s"audited:$d")(
+      RowHash.withAuditColumns(ordersTargetData(t(s, d, "orders")),
+        Seq("o_orderkey"), mergeNow))
 
   // Unique per process: concurrent verify/bench runs never race on the
   // same index directory.
@@ -164,7 +177,7 @@ object SparkEntry {
     */
   val verifyOnlyQueries: Set[String] =
     Set("q_sim_recall_gate", "q_dedup_simhash_gate", "q_dedup_minhash_gate",
-      "q_dedup_minhash_probe_gate", "q_dedup_embed_gate")
+      "q_dedup_minhash_probe_gate", "q_dedup_embed_gate", "q_sim_quantize_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -402,6 +415,13 @@ object SparkEntry {
       Dedup.minHashCandidates(t(s, d, "documents"), "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.3)
         .orderBy("id_a", "id_b")),
+    // Portable-hash LSH twin: same pipeline shape as the xxhash production
+    // path above, but an md5-derived hash family the DuckDB oracle replays
+    // bit-for-bit — the banding/bucket-join machinery gets a hash-green
+    // row, not just a rows-only count.
+    "q_dedup_minhash_portable" -> ((s, d) =>
+      Dedup.minHashCandidatesPortable(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 4, rowsPerBand = 2).orderBy("id_a", "id_b")),
     "q_dedup_simhash_groups" -> ((s, d) =>
       Dedup.simHashGroups(t(s, d, "documents"), "doc_id", "text")
         .orderBy("simhash")),
@@ -595,9 +615,31 @@ object SparkEntry {
     "q_sim_cosine_pairs" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         maxId = 150, minCos = 0.30).orderBy("id_a", "id_b")),
+    // qvec is projected as a space-joined string, NOT a raw array: the
+    // driver's comparator lexsorts every output column and dies on
+    // array-typed cells (r6's only red row). Same house pattern as
+    // q_cur_chunk_documents; the DuckDB twin uses array_to_string.
     "q_sim_quantize" -> ((s, d) =>
       Similarity.quantizeEmbeddings(t(s, d, "embeddings"), "vec_id", "embedding")
+        .select(col("id"),
+          array_join(transform(col("qvec"), _.cast("string")), " ").as("qvec"),
+          col("scale"))
         .orderBy("id")),
+    // Semantic round-trip gate for quantization (verify-only): dequantize
+    // q/scale and demand cosine(original, dequantized) ≥ 0.999 for EVERY
+    // vector with a defined scale. A wrong scale, transposed rounding, or
+    // clipped range drops the min cosine far below the bar and flips the
+    // boolean; the truth side (vector count) is oracle-checkable.
+    "q_sim_quantize_gate" -> ((s, d) => {
+      val q = Similarity.quantizeEmbeddings(t(s, d, "embeddings"), "vec_id",
+        "embedding")
+      val cos = Similarity.cosine(col("embedding"),
+        transform(col("qvec"), x => x.cast("double") / col("scale")))
+      t(s, d, "embeddings").select(col("vec_id").as("id"), col("embedding"))
+        .join(q, "id")
+        .agg(count(lit(1)).as("n_vectors"),
+          (min(when(col("scale").isNotNull, cos)) >= 0.999).as("roundtrip_ok"))
+    }),
     "q_sim_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         bands = 8, bitsPerBand = 10, minCosine = 0.25).orderBy("id_a", "id_b")),
@@ -1202,6 +1244,26 @@ object SparkEntry {
         |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
         |  SELECT * FROM r)
         |SELECT id, min(label) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_dedup_minhash_portable" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i+1:i+3], ' ') AS shingle
+        |  FROM tok, unnest(generate_series(0, len(tk) - 3)) u(i)
+        |  WHERE len(tk) >= 3),
+        |h AS (
+        |  SELECT doc_id, j,
+        |    min(CAST(concat('0x', substr(md5(shingle || ':' || j), 1, 8)) AS BIGINT)) AS mh
+        |  FROM sh, unnest(generate_series(0, 7)) v(j)
+        |  GROUP BY doc_id, j),
+        |b AS (
+        |  SELECT doc_id, j // 2 AS band, string_agg(mh, ',' ORDER BY j) AS sig
+        |  FROM h GROUP BY doc_id, j // 2)
+        |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |FROM b a JOIN b c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_decontaminate" ->
       """WITH ct AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
@@ -1444,11 +1506,15 @@ object SparkEntry {
         |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
         |  FROM embeddings WHERE len(embedding) > 0)
         |SELECT id,
-        |  CASE WHEN ma > 0 THEN list_transform(embedding,
-        |         x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS INT))
-        |       ELSE list_transform(embedding, x -> 0) END AS qvec,
+        |  array_to_string(
+        |    CASE WHEN ma > 0 THEN list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS INT))
+        |         ELSE list_transform(embedding, x -> 0) END, ' ') AS qvec,
         |  CASE WHEN ma > 0 THEN 127.0 / ma ELSE NULL END AS scale
         |FROM b ORDER BY id""".stripMargin,
+    "q_sim_quantize_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS roundtrip_ok
+        |FROM embeddings WHERE len(embedding) > 0""".stripMargin,
     "q_cur_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,
