@@ -187,6 +187,50 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Oracle-portable MinHash+LSH candidate pairs: the [[minHashCandidates]]
+    * pipeline shape with the hash family swapped from engine-private
+    * xxhash64 to an md5-prefix family both Spark and DuckDB compute
+    * bit-identically (`CAST('0x'||substr(md5(shingle||':'||j),1,8) AS
+    * BIGINT)` — the proven q_cur_hash_split trick). The ENTIRE candidate
+    * generation — shingling, k-way min-hash, banding, bucket self-join — is
+    * therefore replayable by the SQL oracle, giving the LSH pipeline a
+    * hash-green driver row instead of a rows-only count. Production paths
+    * keep the native xxhash signatures (one pass per row, no shingle-string
+    * materialization); this variant pays string md5s and a shingle explode,
+    * but its SHUFFLE shape is identical: one signature aggregation keyed on
+    * id, a banded id-only self-join, a distinct. Docs shorter than
+    * `shingleN` tokens have no shingles and never pair (house convention).
+    */
+  def minHashCandidatesPortable(df: DataFrame, idCol: String, textCol: String,
+                                shingleN: Int = 3, bands: Int = 4,
+                                rowsPerBand: Int = 2): DataFrame = {
+    val k = bands * rowsPerBand
+    val tk = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
+    // distinct shingle STRINGS (set semantics — min is duplicate-insensitive
+    // but the oracle's DISTINCT keeps row counts aligned for the explode)
+    val shingled = df.select(col(idCol).as("id"), tk.as("__tk"))
+      .filter(size(col("__tk")) >= shingleN)
+      .select(col("id"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("__tk")) - shingleN),
+        i => array_join(slice(col("__tk"), i + 1, lit(shingleN)), " ")))).as("shingle"))
+    def mh(j: Int): Column =
+      min(conv(substring(md5(concat(col("shingle"), lit(s":$j"))), 1, 8), 16, 10)
+        .cast("long"))
+    val sigs = shingled.groupBy("id")
+      .agg(mh(0).as("h0"), (1 until k).map(j => mh(j).as(s"h$j")): _*)
+    val banded = sigs.select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until rowsPerBand)
+            .map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*).as("sig"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
+    banded.select(col("band"), col("sig"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("sig"), col("id").as("id_b")),
+        Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** SimHash: 64-bit signature whose bits are the signs of the per-bit vote
     * over token hashes. Near-duplicate texts yield identical or
     * Hamming-close signatures; grouping by signature is then a plain
@@ -310,11 +354,14 @@ object Dedup {
   /** Driver-side union-find with min-id roots: union always hangs the
     * larger root under the smaller, so each tree's root IS the component
     * minimum and `find` after all unions yields the same (id, group_id)
-    * mapping as converged min-label propagation.
+    * mapping as converged min-label propagation. Generic in the id type;
+    * `ord` must match Spark's `min` ordering for that type (see
+    * [[utf8BinaryOrdering]] for strings).
     */
-  private def localComponents(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = {
+  private def localComponents[T](edges: Array[(T, T)])(
+      implicit ord: Ordering[T]): Seq[(T, T)] = {
+    val parent = scala.collection.mutable.HashMap.empty[T, T]
+    def find(x: T): T = {
       var r = x
       while (parent(r) != r) r = parent(r)
       var c = x // path compression
@@ -325,9 +372,30 @@ object Dedup {
       parent.getOrElseUpdate(a, a)
       parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      if (ra != rb) parent(ord.max(ra, rb)) = ord.min(ra, rb)
     }
     parent.keys.toSeq.map(k => k -> find(k))
+  }
+
+  /** Java String compareTo orders by UTF-16 code unit, which disagrees with
+    * Spark's `min`/`least` on StringType (binary UTF-8 bytes) for
+    * supplementary-plane code points — the driver fallback must pick the
+    * SAME min root the distributed path would, so compare UTF-8 bytes
+    * unsigned.
+    */
+  private val utf8BinaryOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
   }
 
   /** [[duplicateGroups]] plus the number of rounds it ran — the round count
@@ -338,20 +406,37 @@ object Dedup {
   private[graft] def duplicateGroupsWithRounds(pairs: DataFrame,
                                                maxIter: Int = 20,
                                                localEdgeLimit: Long = 1L << 20): (DataFrame, Int) = {
-    // ids normalized to long so both paths emit one schema (and the
-    // union-find can collect primitively)
-    val edges = pairs.select(col("id_a").cast("long").as("src"),
-        col("id_b").cast("long").as("dst"))
-      .union(pairs.select(col("id_b").cast("long").as("src"),
-        col("id_a").cast("long").as("dst")))
+    // Integral ids normalize to long so both paths emit one schema (and the
+    // r≤6 callers keep their bigint output type); string ids stay strings —
+    // an unconditional long cast would THROW under Spark 4 ANSI the moment a
+    // caller feeds hash-string ids. Other id types (binary, struct, …) fail
+    // loudly here rather than as a cast error ten operators deep.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
+    val idType = pairs.schema("id_a").dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"duplicateGroups: id columns must be integral or string, got $other")
+    }
+    def norm(c: Column) = if (integral) c.cast("long") else c
+    val edges = pairs.select(norm(col("id_a")).as("src"), norm(col("id_b")).as("dst"))
+      .union(pairs.select(norm(col("id_b")).as("src"), norm(col("id_a")).as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDirected = edges.count()
     if (nDirected <= localEdgeLimit) {
-      val arr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      edges.unpersist()
       val spark = pairs.sparkSession
       import spark.implicits._
-      return (localComponents(arr).toDF("id", "group_id"), 0)
+      val out =
+        if (integral) {
+          val arr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+          localComponents(arr).toDF("id", "group_id")
+        } else {
+          val arr = edges.collect().map(r => (r.getString(0), r.getString(1)))
+          localComponents(arr)(utf8BinaryOrdering).toDF("id", "group_id")
+        }
+      edges.unpersist()
+      return (out, 0)
     }
     // Initialize at min(self, direct neighbors) — the first hop folded into
     // the init aggregate. One groupBy replaces a whole loop round (its
@@ -363,13 +448,20 @@ object Dedup {
       .agg(min(col("dst")).as("__mn"))
       .select(col("id"), least(col("id"), col("__mn")).as("group_id"))
       .localCheckpoint(true)
-    // Convergence detector: per-id labels only ever decrease and the id set
-    // is fixed, so an unchanged SUM of labels ⟺ no label changed — a scalar
-    // aggregate per round instead of a join-and-compare (decimal sum: 10B
-    // 2^40-sized ids would overflow a long).
+    // Convergence detector, integral ids: per-id labels only ever decrease
+    // and the id set is fixed, so an unchanged SUM of labels ⟺ no label
+    // changed — a scalar aggregate per round instead of a join-and-compare
+    // (decimal sum: 10B 2^40-sized ids would overflow a long). String ids
+    // have no sum, so they pay the honest per-round detector: an equi-join
+    // on id (both sides checkpointed, label-cardinality rows — node-scale,
+    // not edge-scale) probing for any changed label.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("group_id").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    def sameLabels(next: DataFrame, prev: DataFrame): Boolean =
+      next.as("n")
+        .join(prev.select(col("id"), col("group_id").as("__pg")), Seq("id"))
+        .filter(col("group_id") =!= col("__pg")).isEmpty
+    var prevSum = if (integral) labelSum(labels) else null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -388,9 +480,11 @@ object Dedup {
           col("group_id") === col("__gid"), "left")
         .select(col("id"), coalesce(col("__ggid"), col("group_id")).as("group_id"))
         .localCheckpoint(true)
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
+      if (integral) {
+        val s = labelSum(next)
+        converged = s == prevSum
+        prevSum = s
+      } else converged = sameLabels(next, labels)
       labels = next
       iter += 1
     }

@@ -165,6 +165,29 @@ class DedupSpec extends SparkSpec {
     assert(local == dist, s"local=$local dist=$dist")
   }
 
+  test("duplicateGroups: string ids work on both paths (no ANSI long cast)") {
+    // regression: an unconditional .cast("long") threw under Spark 4 ANSI
+    // the moment ids were hash strings
+    val pairs = Seq(("aa", "bb"), ("bb", "cc"), ("xx", "yy"))
+      .toDF("id_a", "id_b")
+    val expected = Map("aa" -> "aa", "bb" -> "aa", "cc" -> "aa",
+      "xx" -> "xx", "yy" -> "xx")
+    val local = Dedup.duplicateGroups(pairs)
+      .as[(String, String)].collect().toMap
+    val dist = Dedup.duplicateGroups(pairs, localEdgeLimit = 0)
+      .as[(String, String)].collect().toMap
+    assert(local == expected, s"local=$local")
+    assert(dist == expected, s"dist=$dist")
+  }
+
+  test("duplicateGroups: unsupported id types fail loudly") {
+    val pairs = Seq((Array[Byte](1), Array[Byte](2))).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.duplicateGroups(pairs)
+    }
+    assert(ex.getMessage.contains("integral or string"))
+  }
+
   test("duplicateGroups converges on a longer chain than one hop") {
     // path 10-11-12-13-14: label 10 must travel 4 hops (distributed path)
     val pairs = (10L to 13L).map(i => (i, i + 1)).toDF("id_a", "id_b")
