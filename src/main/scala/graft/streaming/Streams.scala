@@ -213,43 +213,70 @@ object Streams {
     * |batch| signatures + one banded join against the (constant-width)
     * index — never to the accepted corpus's text.
     *
+    * Restart safety: `foreachBatch` side effects are AT-LEAST-ONCE — after
+    * a crash the engine replays the last batch id — so both sinks write
+    * into per-batch partition directories (`__ingest_batch=<id>`) and a
+    * replayed id whose directory already committed (has _SUCCESS) is
+    * skipped, not re-appended. The two writes are ordered accepted-first;
+    * a crash between them replays into "accepted committed, index missing",
+    * which the replay completes by re-deriving the index rows FROM the
+    * committed accepted partition (not by re-running the probe, whose
+    * answer could differ once the index moved). Partially-written
+    * directories (no _SUCCESS) are overwritten wholesale. Readers are
+    * unaffected: partition discovery surfaces one extra `__ingest_batch`
+    * column, and every consumer (including [[graft.operators.Dedup
+    * .minHashProbeIndex]]) selects its columns by name.
+    *
     * Returns a function suitable for `writeStream.foreachBatch`.
     */
   def dedupAgainstIndexEachBatch(indexPath: String, acceptedPath: String,
                                  idCol: String, textCol: String,
                                  shingleN: Int = 3, bands: Int = 8,
                                  rowsPerBand: Int = 4, minEst: Double = 0.9)
-      : (DataFrame, Long) => Unit = { (batch0, _) =>
+      : (DataFrame, Long) => Unit = { (batch0, batchId) =>
     val spark = batch0.sparkSession
     import org.apache.spark.sql.functions._
-    // In-batch exact-content dedup: keep the min-id holder per signature.
-    // (Near-dups WITHIN one batch ride the next batch's probe; exactness
-    // here keeps the step one hash-aggregate, no self-join.)
-    val sigged = batch0.withColumn("__sig",
-        graft.expressions.TextHashExpressions
-          .minHashSignature(col(textCol), shingleN, bands * rowsPerBand))
-      .withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("__sig").orderBy(col(idCol))))
-      .filter(col("__rk") === 1 || col("__sig").isNull)
-      .drop("__rk")
-    val batch = sigged.drop("__sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    batch.count()
-    val losers =
-      if (!graft.pipeline.Sinks.exists(spark, indexPath)) batch.limit(0).select(col(idCol))
-      else graft.operators.Dedup
-        .minHashProbeIndex(spark, indexPath, batch, idCol, textCol,
-          shingleN, bands, rowsPerBand, minEstJaccard = minEst)
-        .select(col("new_id").as(idCol)).distinct()
-    val accepted = batch.join(losers, Seq(idCol), "left_anti")
-      .localCheckpoint(true) // pin before the two appends below
-    accepted.write.mode("append").parquet(acceptedPath)
-    accepted.select(col(idCol).as("id"),
-        graft.expressions.TextHashExpressions
-          .minHashSignature(col(textCol), shingleN, bands * rowsPerBand).as("sig"))
-      .filter(col("sig").isNotNull)
-      .write.mode("append").parquet(indexPath)
-    batch.unpersist()
+    val acceptedBatchDir = s"$acceptedPath/__ingest_batch=$batchId"
+    val indexBatchDir = s"$indexPath/__ingest_batch=$batchId"
+    def committed(dir: String) =
+      graft.pipeline.Sinks.exists(spark, s"$dir/_SUCCESS")
+    def writeIndexRowsFrom(accepted: DataFrame): Unit =
+      accepted.select(col(idCol).as("id"),
+          graft.expressions.TextHashExpressions
+            .minHashSignature(col(textCol), shingleN, bands * rowsPerBand).as("sig"))
+        .filter(col("sig").isNotNull)
+        .write.mode("overwrite").parquet(indexBatchDir)
+    if (committed(acceptedBatchDir)) {
+      // replayed batch: the accepted set is already decided and durable —
+      // only the index append may still be missing (crash between writes)
+      if (!committed(indexBatchDir))
+        writeIndexRowsFrom(spark.read.parquet(acceptedBatchDir))
+    } else {
+      // In-batch exact-content dedup: keep the min-id holder per signature.
+      // (Near-dups WITHIN one batch ride the next batch's probe; exactness
+      // here keeps the step one hash-aggregate, no self-join.)
+      val sigged = batch0.withColumn("__sig",
+          graft.expressions.TextHashExpressions
+            .minHashSignature(col(textCol), shingleN, bands * rowsPerBand))
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("__sig").orderBy(col(idCol))))
+        .filter(col("__rk") === 1 || col("__sig").isNull)
+        .drop("__rk")
+      val batch = sigged.drop("__sig")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      batch.count()
+      val losers =
+        if (!graft.pipeline.Sinks.exists(spark, indexPath)) batch.limit(0).select(col(idCol))
+        else graft.operators.Dedup
+          .minHashProbeIndex(spark, indexPath, batch, idCol, textCol,
+            shingleN, bands, rowsPerBand, minEstJaccard = minEst)
+          .select(col("new_id").as(idCol)).distinct()
+      val accepted = batch.join(losers, Seq(idCol), "left_anti")
+        .localCheckpoint(true) // pin before the two writes below
+      accepted.write.mode("overwrite").parquet(acceptedBatchDir)
+      writeIndexRowsFrom(accepted)
+      batch.unpersist()
+    }
   }
 }

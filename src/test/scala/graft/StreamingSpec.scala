@@ -157,6 +157,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstIndexEachBatch: replayed batch ids are idempotent (at-least-once safe)") {
+    val dir = Files.createTempDirectory("stream-dedup-replay").toString
+    val (idx, acc) = (s"$dir/idx", s"$dir/accepted")
+    val ingest = Streams.dedupAgainstIndexEachBatch(idx, acc, "doc_id", "text")
+    val b0 = Seq(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "completely different text about spark engines")
+      .toDF("doc_id", "text")
+    ingest(b0, 0L)
+    ingest(b0, 0L) // foreachBatch replay after a crash: same batch id again
+    val ids = spark.read.parquet(acc).select("doc_id").as[Long].collect().toList
+    assert(ids.sorted == List(1L, 2L), s"replay duplicated accepted rows: $ids")
+    val idxRows = spark.read.parquet(idx).select("id").as[Long].collect().toList
+    assert(idxRows.sorted == List(1L, 2L), s"replay duplicated index rows: $idxRows")
+    // crash between the two writes: accepted committed, index partition
+    // missing — the replay must complete the index from the accepted data
+    graft.pipeline.Sinks.drop(spark, s"$idx/__ingest_batch=0")
+    ingest(b0, 0L)
+    val healed = spark.read.parquet(idx).select("id").as[Long].collect().toList
+    assert(healed.sorted == List(1L, 2L), s"index not healed: $healed")
+    // and accepted rows were not touched by the healing replay
+    val ids2 = spark.read.parquet(acc).select("doc_id").as[Long].collect().toList
+    assert(ids2.sorted == List(1L, 2L))
+  }
+
   test("q_stream_daily_window: file-stream execution equals the batch answer") {
     val d = "/root/testdata/sf0.001"
     val streamed = SparkEntry.queries("q_stream_daily_window")(spark, d)
