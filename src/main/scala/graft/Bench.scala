@@ -14,7 +14,20 @@ object Bench {
     // Quality-gate queries run in Verify (the correctness pass), not here:
     // a gate re-derives ground truth every run, so timing it benchmarks the
     // gate's own truth construction, not the engine (VERDICT r3 §wrong-2).
-    val benched = SparkEntry.queries -- SparkEntry.verifyOnlyQueries
+    // Diagnostics: SPARK_GRAFT_BENCH_ONLY=<regex> restricts the query set,
+    // SPARK_GRAFT_BENCH_DEBUG=1 prints every individual run time to stderr
+    // (the JSON line reports medians only — debugging a noisy query needs
+    // the distribution).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.r)
+    val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
+    // Deterministic name order: `queries` is a HashMap, so ADDING a query
+    // used to reshuffle the whole execution order — r6's "q_a2 4× mystery
+    // regression" was partly this (a2 landed after cache-heavy queries).
+    // Round-over-round per-query diffs are only meaningful when each query
+    // runs in the same neighborhood every round.
+    val benched = (SparkEntry.queries -- SparkEntry.verifyOnlyQueries)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .toSeq.sortBy(_._1)
     // Median of N runs per query: run-to-run noise on this box is ±15%,
     // which used to swamp per-query regressions; the median also absorbs
     // one-time costs a query's first run pays (index build, cache fill).
@@ -32,9 +45,16 @@ object Bench {
       // merge fixtures; their accessor re-persists on next touch and the
       // median absorbs that first-run rebuild.
       spark.catalog.clearCache()
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).map { r =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          fn(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (debug) System.err.println(
+            String.format(java.util.Locale.ROOT, "[bench] %s run%d=%.3f", name,
+              Int.box(r), Double.box(dt)))
+          dt
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Double.NaN
@@ -61,7 +81,7 @@ object Bench {
     def ms(v: Double) =
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val budget = 1850
     val bySlow = results.toSeq.sortBy { case (_, v) => -v }
     def render(qs: Seq[(String, Double)], dropped: Int) = {
