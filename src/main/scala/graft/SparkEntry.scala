@@ -425,6 +425,12 @@ object SparkEntry {
     "q_dedup_simhash_groups" -> ((s, d) =>
       Dedup.simHashGroups(t(s, d, "documents"), "doc_id", "text")
         .orderBy("simhash")),
+    // Portable-hash SimHash twin (the q_dedup_minhash_portable pattern):
+    // md5-prefix token hashes the oracle replays bit-for-bit, pinning the
+    // token-hash → bit-vote → signature-assembly pipeline hash-green.
+    "q_dedup_simhash_portable" -> ((s, d) =>
+      Dedup.simHashPortable(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("id")),
     "q_dedup_simhash_neardup" -> ((s, d) =>
       Dedup.simHashNearDupPairs(t(s, d, "documents"), "doc_id", "text",
         maxHamming = 7).orderBy("id_a", "id_b")),
@@ -1244,6 +1250,22 @@ object SparkEntry {
         |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
         |  SELECT * FROM r)
         |SELECT id, min(label) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_dedup_simhash_portable" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS h
+        |  FROM tok),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, unnest(generate_series(0, 31)) u(b)
+        |  GROUP BY doc_id, b)
+        |SELECT doc_id AS id,
+        |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY id""".stripMargin,
     "q_dedup_minhash_portable" ->
       """WITH tok AS (
         |  SELECT doc_id,

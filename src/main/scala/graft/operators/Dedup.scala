@@ -231,6 +231,32 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Oracle-portable SimHash: the per-bit-vote signature with the token
+    * hash family swapped from engine-private xxhash64 to the md5-prefix
+    * family DuckDB computes bit-identically (32-bit signature — the md5
+    * prefix yields 32 usable bits). Same relational shape as the production
+    * path's semantics: explode tokens (duplicates vote with their term
+    * frequency, as in [[simHash]]), one hash per token, 32 vote aggregates
+    * collapsing map-side in a single groupBy, bits assembled from the vote
+    * signs. Ties (vote sum 0) clear the bit in both engines. Exists so the
+    * token-hash → bit-vote → signature-assembly pipeline has a hash-green
+    * driver row ([[minHashCandidatesPortable]]'s role, for SimHash).
+    */
+  def simHashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")).as("w"))
+      .select(col("id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
+    val votes = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
+    }
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** SimHash: 64-bit signature whose bits are the signs of the per-bit vote
     * over token hashes. Near-duplicate texts yield identical or
     * Hamming-close signatures; grouping by signature is then a plain

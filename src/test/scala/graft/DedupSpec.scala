@@ -148,6 +148,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
   }
 
+  test("simHashPortable: identical texts agree; 32-bit range; case-insensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "ALPHA beta GAMMA"), (4L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simHashPortable(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) == sigs(3L)) // lower() before hashing
+    assert(sigs(1L) != sigs(4L))
+    assert(sigs.values.forall(s => s >= 0L && s < (1L << 32)))
+  }
+
   test("duplicateGroups: connected components with min-id group labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val groups = Dedup.duplicateGroups(pairs)
