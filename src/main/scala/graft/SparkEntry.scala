@@ -1277,7 +1277,8 @@ object SparkEntry {
         |  WHERE len(tk) >= 3),
         |h AS (
         |  SELECT doc_id, j,
-        |    min(CAST(concat('0x', substr(md5(shingle || ':' || j), 1, 8)) AS BIGINT)) AS mh
+        |    min(CAST(concat('0x',
+        |      substr(md5(shingle || ':' || (j // 4)), 1 + 8 * (j % 4), 8)) AS BIGINT)) AS mh
         |  FROM sh, unnest(generate_series(0, 7)) v(j)
         |  GROUP BY doc_id, j),
         |b AS (

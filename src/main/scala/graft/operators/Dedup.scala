@@ -205,19 +205,44 @@ object Dedup {
                                 shingleN: Int = 3, bands: Int = 4,
                                 rowsPerBand: Int = 2): DataFrame = {
     val k = bands * rowsPerBand
-    val tk = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
-    // distinct shingle STRINGS (set semantics — min is duplicate-insensitive
-    // but the oracle's DISTINCT keeps row counts aligned for the explode)
-    val shingled = df.select(col(idCol).as("id"), tk.as("__tk"))
-      .filter(size(col("__tk")) >= shingleN)
-      .select(col("id"), explode(array_distinct(transform(
-        sequence(lit(0), size(col("__tk")) - shingleN),
-        i => array_join(slice(col("__tk"), i + 1, lit(shingleN)), " ")))).as("shingle"))
+    // Shingle strings via the codegen'd posexplode + window-lead shape
+    // ([[shingleHashRows]]'s trick with strings): the array-HOF form
+    // (`explode(array_distinct(transform(sequence…)))`) runs interpreted
+    // and dominated this query's profile. Duplicate shingles survive here —
+    // `min` is duplicate-insensitive, so the signatures equal the oracle's
+    // DISTINCT-shingle form. The window and the signature aggregate share
+    // the hash-partitioning on `id`: one shuffle total before banding.
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val parts = col("col") +: (1 until shingleN).map(j => lead(col("col"), j).over(w))
+    val complete = (1 until shingleN).map(j => parts(j).isNotNull)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val shingled = toks
+      .select(col("id"), concat_ws(" ", parts: _*).as("shingle"), complete.as("__ok"))
+      .filter(col("__ok"))
+    // Hash family j = 8-hex-char chunk (j mod 4) of md5(shingle:":"(j div 4))
+    // — one md5 yields FOUR independent 32-bit values, so k functions cost
+    // ceil(k/4) md5 evaluations per shingle, not k (md5 dominates this
+    // query's cost; the chunks of one digest are independent by design of
+    // the hash). The digests are projected once per row; the k min
+    // aggregates read substrings of them.
+    val nDigests = (k + 3) / 4
+    val digested = shingled.select(Seq(col("id")) ++ (0 until nDigests).map(c =>
+      md5(concat(col("shingle"), lit(s":$c"))).as(s"__d$c")): _*)
     def mh(j: Int): Column =
-      min(conv(substring(md5(concat(col("shingle"), lit(s":$j"))), 1, 8), 16, 10)
+      min(conv(substring(col(s"__d${j / 4}"), 1 + 8 * (j % 4), 8), 16, 10)
         .cast("long"))
-    val sigs = shingled.groupBy("id")
+    // Persist + materialize the signatures before the self-join — the same
+    // trade [[minHashCandidates]] makes: the band join references them on
+    // BOTH sides and Spark does not reuse the exchange, so without the pin
+    // the whole tokenize/shingle/md5 upstream runs twice more inside the
+    // join (profiled ~3× the query's cost). k longs per doc — tiny. The
+    // entry lives until LRU eviction or `spark.catalog.clearCache()`.
+    val sigs = digested.groupBy("id")
       .agg(mh(0).as("h0"), (1 until k).map(j => mh(j).as(s"h$j")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // fill the cache once, not racily from both join sides
     val banded = sigs.select(col("id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(",", (0 until rowsPerBand)
