@@ -169,6 +169,24 @@ object SparkEntry {
     (to, tc)
   }
 
+  /** Run a streaming execution with the state-partition count sized to the
+    * STREAM, not the batch shuffle width. A stateful streaming query opens
+    * and commits state stores per partition per micro-batch (a stream-stream
+    * join holds FOUR stores per partition) — that fixed machinery, not data,
+    * dominated the local executions: 32 partitions cost ~5.5 s where 8 cost
+    * ~2.3 s on the identical query. The partition count is pinned at the
+    * query's FIRST run from this conf, so it wraps only `start()` +
+    * `awaitTermination()`; batch queries (and the post-drain readback) keep
+    * the session's width. At production rates this knob goes UP with
+    * key-cardinality × rate — the point is that it is sized to the state,
+    * not inherited.
+    */
+  private def withStreamStatePartitions[T](s: SparkSession, n: Int = 8)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Quality-gate queries: full members of the correctness contract (Verify
     * runs them; the driver oracle-checks them), but excluded from Bench —
     * a gate re-derives exact ground truth (bounded cartesians, multi-query
@@ -882,11 +900,13 @@ object SparkEntry {
         "ts", "event_type", windowLen = "1 day", lateness = "1 hour",
         amountCol = Some("value"))
       val sink = "q_stream_daily_window_sink"
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamStatePartitions(s) {
+        val q = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(sink)
         .select(col("window_start").cast("date").as("day"), col("event_type"),
           col("n"), col("sum_value"))
@@ -912,11 +932,13 @@ object SparkEntry {
       val joined = Streams.joinWithinHorizon(clicks, views, Seq("user_id"),
         "click_ts", "view_ts", maxLag = "30 minutes", lateness = "3650 days")
       val sink = "q_stream_join_horizon_sink"
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamStatePartitions(s) {
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(sink).select("click_id", "view_id", "user_id")
         .orderBy("click_id", "view_id")
     })
