@@ -195,7 +195,8 @@ object SparkEntry {
     */
   val verifyOnlyQueries: Set[String] =
     Set("q_sim_recall_gate", "q_dedup_simhash_gate", "q_dedup_minhash_gate",
-      "q_dedup_minhash_probe_gate", "q_dedup_embed_gate", "q_sim_quantize_gate")
+      "q_dedup_minhash_probe_gate", "q_dedup_embed_gate", "q_sim_quantize_gate",
+      "q_dedup_decontam_bloom_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -542,6 +543,33 @@ object SparkEntry {
           "doc_id", "text", "text", ngramN = 3)
         .withColumn("contaminated", col("n_hits") >= 3L)
         .orderBy("doc_id")
+    }),
+    // Bloom-decontamination gate (verify-only): the scale path folds the
+    // eval n-gram set into a Catalyst BloomFilterAggregate bitmap instead
+    // of a broadcast set. Pinned relations: (a) every exactly-contaminated
+    // doc is bloom-contaminated — the no-false-negative Bloom theorem, so
+    // any miss means broken insert/probe hashing; (b) over-removal stays
+    // under 2% of the corpus (at minHits=3 a clean doc needs THREE phantom
+    // hits at fpp 1e-4 — vanishingly unlikely, and deterministic for a
+    // fixed corpus since both sides hash with seedless xxhash64). The truth
+    // side (exact removal count) is oracle-checkable.
+    "q_dedup_decontam_bloom_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val eval = docs.filter(col("doc_id") < 50)
+      val exact = Dedup.contaminationHits(docs, eval, "doc_id", "text", "text",
+          ngramN = 3).filter(col("n_hits") >= 3L).select(col("doc_id"))
+      val bloom = Dedup.contaminationHitsBloom(docs, eval, "doc_id", "text",
+          "text", ngramN = 3).filter(col("n_hits_bloom") >= 3L).select(col("doc_id"))
+      val missed = exact.join(bloom, Seq("doc_id"), "left_anti")
+      val extra = bloom.join(exact, Seq("doc_id"), "left_anti")
+      exact.agg(count(lit(1)).as("n_removed_exact"))
+        .crossJoin(missed.agg(count(lit(1)).as("__miss")))
+        .crossJoin(extra.agg(count(lit(1)).as("__extra")))
+        .crossJoin(docs.agg(count(lit(1)).as("__n")))
+        .select(col("n_removed_exact"),
+          (col("__miss") === 0L).as("no_false_negatives"),
+          (col("__extra") <= greatest(lit(1L), (col("__n") * lit(0.02)).cast("long")))
+            .as("overremoval_bounded"))
     }),
     // ---- embedding near-dup dedup (end-to-end) --------------------------
     // Vector-similarity duplicate groups: exact-cosine pairs -> connected
@@ -1272,6 +1300,20 @@ object SparkEntry {
         |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
         |  SELECT * FROM r)
         |SELECT id, min(label) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    "q_dedup_decontam_bloom_gate" ->
+      """WITH ct AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM ct, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+        |eg AS (SELECT DISTINCT g FROM cg WHERE doc_id < 50),
+        |hits AS (SELECT cg.doc_id AS hid, count(*) AS nh
+        |         FROM cg JOIN eg USING (g) GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_removed_exact,
+        |  true AS no_false_negatives, true AS overremoval_bounded
+        |FROM hits WHERE nh >= 3""".stripMargin,
     "q_dedup_simhash_portable" ->
       """WITH tok AS (
         |  SELECT doc_id,

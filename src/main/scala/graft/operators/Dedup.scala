@@ -631,6 +631,71 @@ object Dedup {
         .filter(col("n_hits") >= minHits).select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** [[contaminationHits]] when the eval n-gram set OUTGROWS a broadcast
+    * hash set: the benchmark side is folded into a Bloom filter instead of
+    * a set — a 100M-n-gram suite at fpp 1e-4 is ~240 MB as distinct strings
+    * in a broadcast join but ~24 MB of bits here (2.4 bytes/item), and the
+    * probe is a codegen'd long-hash test, not a join. Built with Catalyst's
+    * own `BloomFilterAggregate` (distributed build; only the final bitmap
+    * reaches the driver — the k-means-centroids trade) and probed with its
+    * paired `BloomFilterMightContain` on the SAME xxhash64 the aggregate
+    * inserted, exactly the machinery Spark's runtime bloom join pruning
+    * uses.
+    *
+    * Semantics: NO false negatives (every truly-contaminated n-gram hits —
+    * a Bloom theorem), false positives at most `fpp` per PROBE, so
+    * `n_hits_bloom >= n_hits` always, and over-counting concentrates on
+    * docs with many shingles. Choose `fpp` against the per-doc shingle
+    * count: at 200 shingles/doc and fpp 1e-4 the chance a clean doc gains
+    * even one phantom hit is ~2 %. The exact-vs-bloom relationship is
+    * pinned by the driver gate (`q_dedup_decontam_bloom_gate`).
+    */
+  def contaminationHitsBloom(corpus: DataFrame, evalDocs: DataFrame,
+                             idCol: String, textCol: String, evalTextCol: String,
+                             ngramN: Int = 3, fpp: Double = 1e-4): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.sql.GraftBridge
+    require(fpp > 0 && fpp < 1, s"contaminationHitsBloom: fpp in (0,1), got $fpp")
+    val evalHashes = evalDocs
+      .select(explode(shingles(col(evalTextCol), ngramN)).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size the filter from the true distinct count (one cheap pass over the
+    // benchmark side): bits = -n ln(fpp) / ln²2, the standard optimum.
+    val n = math.max(evalHashes.count(), 1L)
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = evalHashes
+      .agg(GraftBridge.column(new BloomFilterAggregate(
+          GraftBridge.expression(col("h")),
+          Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    evalHashes.unpersist()
+    def mightContain(c: Column): Column = GraftBridge.column(
+      BloomFilterMightContain(Literal(bloomBytes, BinaryType),
+        GraftBridge.expression(xxhash64(c))))
+    corpus.select(col(idCol), explode_outer(shingles(col(textCol), ngramN)).as("g"))
+      .groupBy(idCol)
+      .agg(sum(when(col("g").isNotNull && mightContain(col("g")), 1L)
+        .otherwise(0L)).as("n_hits_bloom"))
+  }
+
+  /** [[decontaminate]]'s scale twin over [[contaminationHitsBloom]]. Bloom
+    * false positives can only OVER-remove (never leak contamination
+    * through) — the conservative direction for train/eval hygiene.
+    */
+  def decontaminateBloom(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+                         textCol: String, evalTextCol: String,
+                         ngramN: Int = 3, minHits: Long = 1,
+                         fpp: Double = 1e-4): DataFrame =
+    corpus.join(
+      contaminationHitsBloom(corpus, evalDocs, idCol, textCol, evalTextCol,
+        ngramN, fpp)
+        .filter(col("n_hits_bloom") >= minHits).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Measured MinHash+LSH quality stats over a bounded id range — the
     * `q_sim_recall_gate` pattern applied to the MinHash family. One row:
     *

@@ -148,6 +148,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)))
   }
 
+  test("contaminationHitsBloom: superset of exact hits, removal agrees here") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different sentence about spark"),
+      (3L, "the quick brown cat sits still all day long"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val exact = Dedup.contaminationHits(corpus, eval, "doc_id", "text", "text")
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.contaminationHitsBloom(corpus, eval, "doc_id", "text", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(exact.keySet == bloom.keySet)
+    // no false negatives: bloom counts each doc at least as contaminated
+    exact.foreach { case (id, n) => assert(bloom(id) >= n, s"doc $id") }
+    // doc 1 shares "the quick brown" + "quick brown fox" (+more); doc 2 none
+    assert(exact(1L) >= 2L && exact(2L) == 0L)
+    val removedExact = Dedup.decontaminate(corpus, eval, "doc_id", "text", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val removedBloom = Dedup.decontaminateBloom(corpus, eval, "doc_id", "text", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // tiny corpus at fpp 1e-4: phantom hits would need a 1-in-10^4 event —
+    // survivor sets must agree exactly here
+    assert(removedBloom == removedExact)
+  }
+
   test("simHashPortable: identical texts agree; 32-bit range; case-insensitive") {
     val df = Seq(
       (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
