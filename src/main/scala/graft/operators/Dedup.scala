@@ -667,11 +667,26 @@ object Dedup {
     val n = math.max(evalHashes.count(), 1L)
     val numBits = math.max(64L,
       math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val bloomBytes = evalHashes
-      .agg(GraftBridge.column(new BloomFilterAggregate(
-          GraftBridge.expression(col("h")),
-          Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    // BloomFilterAggregate validates its arguments against session limits
+    // meant for the OPTIMIZER's runtime join filters (defaults: 4M items /
+    // 8M bytes) — far below a real eval suite. Raise them scope-locally for
+    // the build; the probe side has no limit check.
+    val spark = corpus.sparkSession
+    def withConfFloor[T](key: String, atLeast: Long)(f: => T): T = {
+      val prev = spark.conf.get(key)
+      if (prev.toLong < atLeast) spark.conf.set(key, atLeast.toString)
+      try f finally spark.conf.set(key, prev)
+    }
+    val bloomBytes =
+      withConfFloor("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", n) {
+        withConfFloor("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits) {
+          evalHashes
+            .agg(GraftBridge.column(new BloomFilterAggregate(
+                GraftBridge.expression(col("h")),
+                Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
+            .head().getAs[Array[Byte]](0)
+        }
+      }
     evalHashes.unpersist()
     def mightContain(c: Column): Column = GraftBridge.column(
       BloomFilterMightContain(Literal(bloomBytes, BinaryType),

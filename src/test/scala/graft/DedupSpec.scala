@@ -173,6 +173,23 @@ class DedupSpec extends SparkSpec {
     assert(removedBloom == removedExact)
   }
 
+  test("contaminationHitsBloom builds past the optimizer's bloom size limits") {
+    // the aggregate validates against confs meant for runtime join filters
+    // (4M items default) — a real eval suite exceeds them; the operator must
+    // raise them scope-locally and restore afterwards
+    val key = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1")
+      val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      val eval = Seq((9L, "alpha beta gamma epsilon")).toDF("doc_id", "text")
+      val hits = Dedup.contaminationHitsBloom(corpus, eval, "doc_id", "text", "text")
+        .as[(Long, Long)].collect().toMap
+      assert(hits(1L) >= 1L) // shares "alpha beta gamma"
+      assert(spark.conf.get(key) == "1") // restored
+    } finally spark.conf.set(key, prev)
+  }
+
   test("simHashPortable: identical texts agree; 32-bit range; case-insensitive") {
     val df = Seq(
       (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
