@@ -47,13 +47,17 @@ object Sinks {
     * reference's DROP/CREATE+INSERT cutover (sync_ALL.py:197-326), and
     * O(1) metadata ops regardless of data size.
     */
-  def overwriteViaStaging(df: DataFrame, path: String): Long = {
+  def overwriteViaStaging(df: DataFrame, path: String,
+                          partitionBy: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(path + "__staging"), true)
-    df.write.mode(SaveMode.Overwrite).parquet(path + "__staging")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path + "__staging")
     commitStaged(spark, path)
   }
+
 
   /** Swap `path + "__staging"` into `path`. HDFS rename returns false
     * instead of throwing (e.g. destination recreated concurrently) — check
@@ -139,16 +143,30 @@ object Sinks {
     * counts poison scan planning (one task per tiny file) and NameNode /
     * object-store metadata. Sizing uses the on-disk (compressed) length,
     * so output files land near `targetFileMB` for a same-codec rewrite.
+    *
+    * Partition handling: a Hive-style layout (cell=3/, month=2025-01/…) is
+    * preserved — the rewrite keeps the directory structure and downstream
+    * partition pruning. EXCEPT partition columns named in `collapse`
+    * (default: the streaming ingest's per-micro-batch `__ingest_batch`
+    * bookkeeping, [[graft.streaming.Streams.dedupAgainstIndexEachBatch]]):
+    * those carry no pruning value — after thousands of micro-batches they
+    * ARE the small-file problem — so their data is rewritten into the
+    * single reserved partition `__ingest_batch=-1` (never a real batch id),
+    * keeping the layout partition-style so later micro-batches append
+    * cleanly beside it. NOT safe concurrently with an active ingest — run
+    * at a batch boundary. A crash-replayed batch id whose partition was
+    * compacted away re-appends its rows (duplicates in the sink; probe
+    * correctness is unaffected — candidates are DISTINCT'd) — documented
+    * at-least-once residue.
     */
-  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128): Long = {
+  def compact(spark: SparkSession, path: String, targetFileMB: Int = 128,
+              collapse: Set[String] = Set("__ingest_batch")): Long = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val parts = math.max(1L, (bytes + (targetFileMB.toLong << 20) - 1) /
       (targetFileMB.toLong << 20)).toInt
-    // Preserve a Hive-style partitioned layout (cell=3/, month=2025-01/…):
-    // walk the name=value directory chain so the rewrite keeps both the
-    // directory structure and downstream partition pruning.
+    // Walk the name=value directory chain to discover the partition layout.
     var partCols = Seq.empty[String]
     var cursor = p
     var descend = true
@@ -160,7 +178,12 @@ object Sinks {
         cursor = new Path(cursor, dirs.head)
       } else descend = false
     }
-    val df = spark.read.parquet(path).repartition(parts)
+    val collapsed = partCols.filter(collapse)
+    val df = collapsed
+      .foldLeft(spark.read.parquet(path)) { (d, c) =>
+        d.withColumn(c, org.apache.spark.sql.functions.lit(-1L))
+      }
+      .repartition(parts)
     if (partCols.isEmpty) overwriteViaStaging(df, path)
     else {
       fs.delete(new Path(path + "__staging"), true)

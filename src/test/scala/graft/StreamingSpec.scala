@@ -181,6 +181,34 @@ class StreamingSpec extends SparkSpec {
     assert(ids2.sorted == List(1L, 2L))
   }
 
+  test("compact: per-batch index dirs collapse; probe results unchanged; appends continue") {
+    val dir = Files.createTempDirectory("stream-dedup-compact").toString
+    val (idx, acc) = (s"$dir/idx", s"$dir/accepted")
+    val ingest = Streams.dedupAgainstIndexEachBatch(idx, acc, "doc_id", "text")
+    ingest(Seq(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "completely different text about spark engines").toDF("doc_id", "text"), 0L)
+    ingest(Seq(3L -> "yet another body of text that matches nothing").toDF("doc_id", "text"), 1L)
+    def probeIds() = graft.operators.Dedup.minHashProbeIndex(spark, idx,
+        Seq(10L -> "the quick brown fox jumps over the lazy dog").toDF("doc_id", "text"),
+        "doc_id", "text", minEstJaccard = 0.9)
+      .select("corpus_id").as[Long].collect().toSet
+    val before = spark.read.parquet(idx).select("id", "sig").collect().toSet
+    val probesBefore = probeIds()
+    assert(probesBefore == Set(1L))
+    val n = graft.pipeline.Sinks.compact(spark, idx)
+    assert(n == 3)
+    // layout collapsed into the reserved compaction partition
+    val parts = new java.io.File(idx).listFiles().map(_.getName)
+      .filter(_.startsWith("__ingest_batch=")).toSet
+    assert(parts == Set("__ingest_batch=-1"), parts.mkString(", "))
+    assert(spark.read.parquet(idx).select("id", "sig").collect().toSet == before)
+    assert(probeIds() == probesBefore)
+    // ingest keeps working against the compacted index
+    ingest(Seq(4L -> "the quick brown fox jumps over the lazy dog").toDF("doc_id", "text"), 2L)
+    val ids = spark.read.parquet(idx).select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L)) // 4 is a dup of 1 -> rejected by the probe
+  }
+
   test("q_stream_daily_window: file-stream execution equals the batch answer") {
     val d = "/root/testdata/sf0.001"
     val streamed = SparkEntry.queries("q_stream_daily_window")(spark, d)
