@@ -203,7 +203,8 @@ object Dedup {
     */
   def minHashCandidatesPortable(df: DataFrame, idCol: String, textCol: String,
                                 shingleN: Int = 3, bands: Int = 4,
-                                rowsPerBand: Int = 2): DataFrame = {
+                                rowsPerBand: Int = 2,
+                                maxBucketRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
     val k = bands * rowsPerBand
     // Shingle strings via the codegen'd posexplode + window-lead shape
     // ([[shingleHashRows]]'s trick with strings): the array-HOF form
@@ -249,6 +250,11 @@ object Dedup {
             .map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*).as("sig"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
+    // same degenerate-corpus guard as every sibling LSH self-join: a bucket
+    // of b ids fans out b² rows — fail loudly, never hang quadratically
+    Guardrails.requireBoundedBuckets(banded, Seq("band", "sig"), maxBucketRows,
+      s"minHashCandidatesPortable(bands=$bands, rowsPerBand=$rowsPerBand)",
+      "raise rowsPerBand or exact-dedup identical texts first")
     banded.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("sig"), col("id").as("id_b")),
         Seq("band", "sig"))
@@ -462,14 +468,22 @@ object Dedup {
     // an unconditional long cast would THROW under Spark 4 ANSI the moment a
     // caller feeds hash-string ids. Other id types (binary, struct, …) fail
     // loudly here rather than as a cast error ten operators deep.
-    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
-    val idType = pairs.schema("id_a").dataType
-    val integral = idType match {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType, DataType}
+    def classify(t: DataType): Boolean = t match {
       case ByteType | ShortType | IntegerType | LongType => true
       case StringType => false
       case other => throw new IllegalArgumentException(
         s"duplicateGroups: id columns must be integral or string, got $other")
     }
+    // BOTH sides decide the path: (long, string) pairs would otherwise pick
+    // the integral branch from id_a alone and hit the deep ANSI cast error
+    // this validation exists to front-run.
+    val (ta, tb) = (pairs.schema("id_a").dataType, pairs.schema("id_b").dataType)
+    val (ia, ib) = (classify(ta), classify(tb))
+    require(ia == ib,
+      s"duplicateGroups: id_a ($ta) and id_b ($tb) must be the same kind " +
+        "(both integral or both string) — they label one id space")
+    val integral = ia
     def norm(c: Column) = if (integral) c.cast("long") else c
     val edges = pairs.select(norm(col("id_a")).as("src"), norm(col("id_b")).as("dst"))
       .union(pairs.select(norm(col("id_b")).as("src"), norm(col("id_a")).as("dst")))

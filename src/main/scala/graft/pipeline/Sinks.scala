@@ -184,13 +184,7 @@ object Sinks {
         d.withColumn(c, org.apache.spark.sql.functions.lit(-1L))
       }
       .repartition(parts)
-    if (partCols.isEmpty) overwriteViaStaging(df, path)
-    else {
-      fs.delete(new Path(path + "__staging"), true)
-      df.write.mode(SaveMode.Overwrite)
-        .partitionBy(partCols: _*).parquet(path + "__staging")
-      commitStaged(spark, path)
-    }
+    overwriteViaStaging(df, path, partCols)
   }
 
   /** S9: drop table (clean_all_tables.py:43-48). */

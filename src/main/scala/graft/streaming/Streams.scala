@@ -222,7 +222,12 @@ object Streams {
     * which the replay completes by re-deriving the index rows FROM the
     * committed accepted partition (not by re-running the probe, whose
     * answer could differ once the index moved). Partially-written
-    * directories (no _SUCCESS) are overwritten wholesale. Readers are
+    * directories (no _SUCCESS) are overwritten wholesale. The sink
+    * directories are bound to ONE checkpoint lineage: every committed
+    * batch carries an input-content manifest, and a colliding batch id
+    * with DIFFERENT content — a stream restarted from a lost/reset
+    * checkpoint over old sink dirs, where ids renumber from 0 — fails
+    * loudly instead of being silently skipped as a replay. Readers are
     * unaffected: partition discovery surfaces one extra `__ingest_batch`
     * column, and every consumer (including [[graft.operators.Dedup
     * .minHashProbeIndex]]) selects its columns by name.
@@ -246,9 +251,49 @@ object Streams {
             .minHashSignature(col(textCol), shingleN, bands * rowsPerBand).as("sig"))
         .filter(col("sig").isNotNull)
         .write.mode("overwrite").parquet(indexBatchDir)
+    // Order-independent signature of the batch's INPUT ids. A genuine
+    // foreachBatch replay re-delivers byte-identical content (same source
+    // offsets from the checkpoint), so the signature matches; a stream
+    // RESTARTED WITH A LOST/RESET CHECKPOINT re-numbers batches from 0 with
+    // different content, and without this check a colliding id would be
+    // "skipped as committed" — silently DROPPING the new data. Mismatch
+    // fails loudly instead: the sink dirs are bound to one checkpoint
+    // lineage.
+    def batchSig(): String = {
+      // decimal sum: full-range xxhash64 longs overflow a long sum under ANSI
+      val r = batch0.agg(
+        sum(xxhash64(col(idCol).cast("string")).cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")).head()
+      s"${if (r.isNullAt(0)) "0" else r.getDecimal(0).toBigInteger.toString}_${r.getLong(1)}"
+    }
+    def manifestOf(dir: String): Option[String] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else fs.listStatus(p).map(_.getPath.getName)
+        .collectFirst { case n if n.startsWith("_manifest-") =>
+          n.stripPrefix("_manifest-") }
+    }
+    def writeManifest(dir: String, sig: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_manifest-$sig")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(p, true).close()
+    }
     if (committed(acceptedBatchDir)) {
       // replayed batch: the accepted set is already decided and durable —
-      // only the index append may still be missing (crash between writes)
+      // only the index append may still be missing (crash between writes).
+      // But first prove this IS a replay of the same content, not a fresh
+      // checkpoint lineage re-using the id.
+      manifestOf(acceptedBatchDir).foreach { prev =>
+        val cur = batchSig()
+        if (prev != cur) throw new IllegalStateException(
+          s"dedupAgainstIndexEachBatch: batch $batchId is already committed " +
+            s"at $acceptedBatchDir with DIFFERENT content (manifest $prev != " +
+            s"$cur) — this sink belongs to another checkpoint lineage. " +
+            "Restarting a stream from a fresh checkpoint requires fresh " +
+            "accepted/index directories (or removing the old ones); " +
+            "skipping would silently drop the new batch")
+      }
       if (!committed(indexBatchDir))
         writeIndexRowsFrom(spark.read.parquet(acceptedBatchDir))
     } else {
@@ -275,6 +320,7 @@ object Streams {
       val accepted = batch.join(losers, Seq(idCol), "left_anti")
         .localCheckpoint(true) // pin before the two writes below
       accepted.write.mode("overwrite").parquet(acceptedBatchDir)
+      writeManifest(acceptedBatchDir, batchSig())
       writeIndexRowsFrom(accepted)
       batch.unpersist()
     }

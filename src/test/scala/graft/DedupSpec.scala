@@ -235,6 +235,14 @@ class DedupSpec extends SparkSpec {
     assert(dist == expected, s"dist=$dist")
   }
 
+  test("duplicateGroups: mixed integral/string id columns fail loudly up front") {
+    val pairs = Seq((1L, "aa")).toDF("id_a", "id_b")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.duplicateGroups(pairs)
+    }
+    assert(ex.getMessage.contains("same kind"))
+  }
+
   test("duplicateGroups: unsupported id types fail loudly") {
     val pairs = Seq((Array[Byte](1), Array[Byte](2))).toDF("id_a", "id_b")
     val ex = intercept[IllegalArgumentException] {

@@ -181,6 +181,21 @@ class StreamingSpec extends SparkSpec {
     assert(ids2.sorted == List(1L, 2L))
   }
 
+  test("dedupAgainstIndexEachBatch: a colliding batch id with different content fails loudly") {
+    // a stream restarted from a lost checkpoint renumbers batches from 0 —
+    // re-using old sink dirs must NOT silently skip the new data as a replay
+    val dir = Files.createTempDirectory("stream-dedup-lineage").toString
+    val (idx, acc) = (s"$dir/idx", s"$dir/accepted")
+    val ingest = Streams.dedupAgainstIndexEachBatch(idx, acc, "doc_id", "text")
+    ingest(Seq(1L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text"), 0L)
+    val ex = intercept[IllegalStateException] {
+      ingest(Seq(99L -> "entirely new content from a different stream lineage")
+        .toDF("doc_id", "text"), 0L)
+    }
+    assert(ex.getMessage.contains("checkpoint lineage"), ex.getMessage)
+  }
+
   test("compact: per-batch index dirs collapse; probe results unchanged; appends continue") {
     val dir = Files.createTempDirectory("stream-dedup-compact").toString
     val (idx, acc) = (s"$dir/idx", s"$dir/accepted")
