@@ -544,6 +544,25 @@ object SparkEntry {
         .withColumn("contaminated", col("n_hits") >= 3L)
         .orderBy("doc_id")
     }),
+    // Quality-aware survivor selection: same component construction the
+    // oracle can replay (n-gram Jaccard pairs + recursive closure), winner
+    // per cluster by n_chars (ties: min id) — survivors of the whole corpus.
+    "q_dedup_keepbest" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        maxId = 120, minJaccard = 0.5).select("id_a", "id_b")
+      val losers = Dedup.keepBestLosers(pairs,
+        docs.select(col("doc_id"), col("n_chars")))
+      docs.join(losers.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+    // Deterministic per-row-weighted Bernoulli sample: weight rises with
+    // doc length, capped at 1 — the quality-weighted mix step. md5-derived
+    // uniform, so the oracle replays the exact keep set.
+    "q_cur_weighted_sample" -> ((s, d) =>
+      Curation.sampleWeighted(t(s, d, "documents"), "doc_id",
+          col("n_chars").cast("double") / lit(400.0))
+        .select("doc_id", "n_chars").orderBy("doc_id")),
     // Bloom-decontamination gate (verify-only): the scale path folds the
     // eval n-gram set into a Catalyst BloomFilterAggregate bitmap instead
     // of a broadcast set. Pinned relations: (a) every exactly-contaminated
@@ -1351,6 +1370,47 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
         |FROM b a JOIN b c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_keepbest" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> ''))) AS w
+        |  FROM documents WHERE doc_id < 120),
+        |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |  FROM toks a JOIN toks b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+        |    FROM inter JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id)
+        |  WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(id, label) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
+        |  SELECT * FROM r),
+        |grp AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id),
+        |ranked AS (
+        |  SELECT g.id,
+        |    row_number() OVER (PARTITION BY g.group_id
+        |      ORDER BY d.n_chars DESC, g.id ASC) AS rk
+        |  FROM grp g JOIN documents d ON d.doc_id = g.id)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rk > 1)
+        |ORDER BY doc_id""".stripMargin,
+    "q_cur_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) AS DOUBLE) / 4294967296.0
+        |      < least(greatest(CAST(n_chars AS DOUBLE) / 400.0, 0.0), 1.0)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_decontaminate" ->
       """WITH ct AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),

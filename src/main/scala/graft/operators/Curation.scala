@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Dataset-curation operators for training pipelines: deterministic
   * train/eval splits and token-budget sequence packing.
@@ -183,6 +183,25 @@ object Curation {
           col(groupCol).cast("string")),
         lit(th(defaultFraction)))
     df.filter(pri < thCol)
+  }
+
+  /** Deterministic PER-ROW-WEIGHTED Bernoulli sample: keep a row iff
+    * u(id) < clamp(weight, 0, 1), where u(id) is the md5-derived uniform
+    * [[sampleStratified]] already uses (first 8 hex chars / 2^32). The
+    * quality-weighted downsampling step of a training-data mix: weight can
+    * be any per-row column (quality score, source prior, length penalty) —
+    * where stratified sampling needs a closed group domain, this prices
+    * every row individually. Same scale properties as its sibling:
+    * growth-stable (a row's fate never changes as the corpus grows or
+    * other rows appear), seedless-deterministic, oracle-portable, and a
+    * pure codegen'd filter — no shuffle, no RNG state, no sort.
+    * NULL weights drop the row (no basis to keep it).
+    */
+  def sampleWeighted(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val pri = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast(LongType)
+    df.filter(pri.cast(DoubleType) / lit(4294967296.0) <
+      least(greatest(weight.cast(DoubleType), lit(0.0)), lit(1.0)))
   }
 
   /** Overlapping token-window chunking: split each document into windows of

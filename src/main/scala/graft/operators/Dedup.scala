@@ -584,6 +584,46 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Loser ids of QUALITY-AWARE survivor selection: resolve candidate
+    * pairs into components ([[duplicateGroups]]) and, per component, keep
+    * the row with the highest score (ties: smallest id) — everything else
+    * is a loser. `scores` carries (id, score) for at least every id in
+    * `pairs`; an id missing a score loses to any scored rival (NULLs sort
+    * last) rather than erroring. The window runs over component-labeled
+    * ids joined to scores only — component-cardinality rows (bounded by
+    * the near-duplicate count), never the corpus, and each partition is
+    * one duplicate cluster, so no single-partition trap.
+    */
+  def keepBestLosers(pairs: DataFrame, scores: DataFrame): DataFrame = {
+    val labeled = duplicateGroups(pairs)
+      .join(scores.withColumnRenamed(scores.columns(0), "id")
+        .withColumnRenamed(scores.columns(1), "__score"), Seq("id"), "left")
+    val w = Window.partitionBy("group_id")
+      .orderBy(col("__score").desc_nulls_last, col("id").asc)
+    labeled.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") > 1).select("id")
+  }
+
+  /** [[dedupCorpus]] with the survivor chosen by QUALITY, not id: real
+    * pipelines keep the best copy of a duplicate cluster (longest, highest
+    * quality score, preferred source), not the accidental minimum id. Same
+    * scale stages — MinHash+LSH candidates → exact-Jaccard verify →
+    * connected components — then [[keepBestLosers]] picks each cluster's
+    * winner by `score` and the one small anti-join drops the rest.
+    */
+  def dedupCorpusKeepBest(df: DataFrame, idCol: String, textCol: String,
+                          score: Column, shingleN: Int = 3, bands: Int = 8,
+                          rowsPerBand: Int = 4,
+                          minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minHashCandidates(df, idCol, textCol, shingleN, bands,
+      rowsPerBand, minJaccard)
+    val losers = keepBestLosers(pairs.select("id_a", "id_b"),
+        df.select(col(idCol), score.as("score")))
+      .select(col("id").as(idCol))
+    pairs.unpersist()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** End-to-end near-duplicate removal over an EMBEDDING column — the
     * [[dedupCorpus]] shape with the text stages swapped for vector ones:
     * banded random-hyperplane LSH candidates with exact-cosine re-rank

@@ -95,6 +95,26 @@ class CurationSpec extends SparkSpec {
     assert(again == half)
   }
 
+  test("sampleWeighted: keep rate tracks the weight; deterministic; clamps") {
+    val df = (1L to 2000L).map(i => (i, (i % 4) * 0.25)).toDF("id", "w")
+    val kept = Curation.sampleWeighted(df, "id", col("w"))
+      .select("id", "w").as[(Long, Double)].collect()
+    // weight 0 never survives; per-weight keep rates near the weight
+    assert(!kept.exists(_._2 == 0.0))
+    Seq(0.25, 0.5, 0.75).foreach { w =>
+      val n = kept.count(_._2 == w)
+      assert(math.abs(n - 500 * w) < 120, s"w=$w kept $n of 500")
+    }
+    // deterministic
+    val again = Curation.sampleWeighted(df, "id", col("w"))
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+    // out-of-range weights clamp: >=1 keeps everything, negatives drop, NULL drops
+    assert(Curation.sampleWeighted(df, "id", lit(7.0)).count() == 2000)
+    assert(Curation.sampleWeighted(df, "id", lit(-3.0)).count() == 0)
+    assert(Curation.sampleWeighted(df, "id", lit(null).cast("double")).count() == 0)
+  }
+
   test("property: capPerGroup == window form on random group shapes (ScalaCheck)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.Prop.propBoolean

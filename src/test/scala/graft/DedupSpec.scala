@@ -235,6 +235,27 @@ class DedupSpec extends SparkSpec {
     assert(dist == expected, s"dist=$dist")
   }
 
+  test("keepBestLosers: highest score survives per component, min id on ties") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 10), (2L, 50), (3L, 50), (7L, 5), (9L, 5))
+      .toDF("id", "score")
+    val losers = Dedup.keepBestLosers(pairs, scores).as[Long].collect().toSet
+    // cluster {1,2,3}: 2 and 3 tie at 50 -> 2 wins (min id); cluster {7,9}:
+    // tie at 5 -> 7 wins
+    assert(losers == Set(1L, 3L, 9L))
+  }
+
+  test("dedupCorpusKeepBest keeps the best-scoring near-dup, not the min id") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 1),
+      (2L, "the quick brown fox jumps over the lazy dog", 9), // best copy
+      (3L, "unrelated text that matches nothing else at all", 2))
+      .toDF("doc_id", "text", "quality")
+    val out = Dedup.dedupCorpusKeepBest(df, "doc_id", "text", col("quality"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L))
+  }
+
   test("duplicateGroups: mixed integral/string id columns fail loudly up front") {
     val pairs = Seq((1L, "aa")).toDF("id_a", "id_b")
     val ex = intercept[IllegalArgumentException] {
