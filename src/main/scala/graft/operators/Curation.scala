@@ -24,12 +24,20 @@ object Curation {
     * engines (the oracle recomputes it in SQL), unlike engine-private
     * hashes (xxhash64/murmur).
     */
+  /** The house md5-derived uniform: first 8 hex chars of md5(id) as a long
+    * in [0, 2^32). ONE definition on purpose — [[hashSplit]],
+    * [[sampleStratified]] and [[sampleWeighted]] must stay bit-identical
+    * for the documented nesting guarantees (a row kept at fraction f is
+    * kept at every f' > f, across ALL of them) and for their DuckDB oracle
+    * twins (`CAST('0x'||substr(md5(id),1,8) AS BIGINT)`).
+    */
+  private def md5Priority(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast(LongType)
+
   def hashSplit(df: DataFrame, idCol: String, trainPct: Int = 90): DataFrame = {
     require(trainPct > 0 && trainPct < 100,
       s"hashSplit: trainPct must be in (0,100), got $trainPct")
-    df.withColumn("split_bucket",
-        (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-          .cast(LongType) % 100).cast("int"))
+    df.withColumn("split_bucket", (md5Priority(idCol) % 100).cast("int"))
       .withColumn("split",
         when(col("split_bucket") < trainPct, lit("train")).otherwise(lit("eval")))
   }
@@ -169,8 +177,7 @@ object Curation {
         .forall(f => f >= 0.0 && f <= 1.0),
       s"sampleStratified: fractions must be in [0,1], got $fractions / $defaultFraction")
     def th(f: Double): Long = math.round(f * 4294967296.0) // 2^32
-    val pri = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast(LongType)
+    val pri = md5Priority(idCol)
     // entries traversed once — see capPerGroup's note on the keys/values
     // Set-of-Columns de-alignment footgun
     val entries = fractions.toSeq
@@ -197,12 +204,9 @@ object Curation {
     * pure codegen'd filter — no shuffle, no RNG state, no sort.
     * NULL weights drop the row (no basis to keep it).
     */
-  def sampleWeighted(df: DataFrame, idCol: String, weight: Column): DataFrame = {
-    val pri = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast(LongType)
-    df.filter(pri.cast(DoubleType) / lit(4294967296.0) <
+  def sampleWeighted(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.filter(md5Priority(idCol).cast(DoubleType) / lit(4294967296.0) <
       least(greatest(weight.cast(DoubleType), lit(0.0)), lit(1.0)))
-  }
 
   /** Overlapping token-window chunking: split each document into windows of
     * `chunkTokens` whitespace tokens advancing by `strideTokens` — the

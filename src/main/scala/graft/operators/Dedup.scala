@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Serializes [[contaminationHitsBloom]] builds: they floor-and-restore
+    * session-global optimizer conf around the aggregate.
+    */
+  private val bloomBuildLock = new Object
+
   /** Exact dedup: fingerprint groups with keep-first semantics.
     * Returns one row per distinct value of `textCol` with the surviving id
     * and the duplicate count (the "keep newest/first version per key" shape
@@ -588,16 +593,23 @@ object Dedup {
     * pairs into components ([[duplicateGroups]]) and, per component, keep
     * the row with the highest score (ties: smallest id) — everything else
     * is a loser. `scores` carries (id, score) for at least every id in
-    * `pairs`; an id missing a score loses to any scored rival (NULLs sort
-    * last) rather than erroring. The window runs over component-labeled
+    * `pairs`; duplicate rows per id resolve to their max score, and an id
+    * missing a score loses to any scored rival (NULLs sort last) rather
+    * than erroring. The window runs over component-labeled
     * ids joined to scores only — component-cardinality rows (bounded by
     * the near-duplicate count), never the corpus, and each partition is
     * one duplicate cluster, so no single-partition trap.
     */
   def keepBestLosers(pairs: DataFrame, scores: DataFrame): DataFrame = {
+    // duplicate score rows for one id would fan the label join out and put
+    // BOTH copies (rk 1 and 2) of a cluster's winner into the loser set —
+    // deleting the best row; resolve deterministically to the max score
+    val uniqScores = scores
+      .withColumnRenamed(scores.columns(0), "id")
+      .withColumnRenamed(scores.columns(1), "__score")
+      .groupBy("id").agg(max(col("__score")).as("__score"))
     val labeled = duplicateGroups(pairs)
-      .join(scores.withColumnRenamed(scores.columns(0), "id")
-        .withColumnRenamed(scores.columns(1), "__score"), Seq("id"), "left")
+      .join(uniqScores, Seq("id"), "left")
     val w = Window.partitionBy("group_id")
       .orderBy(col("__score").desc_nulls_last, col("id").asc)
     labeled.withColumn("__rk", row_number().over(w))
@@ -724,14 +736,20 @@ object Dedup {
     // BloomFilterAggregate validates its arguments against session limits
     // meant for the OPTIMIZER's runtime join filters (defaults: 4M items /
     // 8M bytes) — far below a real eval suite. Raise them scope-locally for
-    // the build; the probe side has no limit check.
+    // the build; the probe side has no limit check. The conf is
+    // SESSION-global, so concurrent builds serialize on one lock: without
+    // it, build A's `finally`-restore could land while build B is still
+    // planning and silently cap B's bloom (Math.min against the limit →
+    // inflated false-positive rate, no error). Other queries racing this
+    // window only ever observe RAISED limits — the benign direction for an
+    // upper bound.
     val spark = corpus.sparkSession
     def withConfFloor[T](key: String, atLeast: Long)(f: => T): T = {
       val prev = spark.conf.get(key)
       if (prev.toLong < atLeast) spark.conf.set(key, atLeast.toString)
       try f finally spark.conf.set(key, prev)
     }
-    val bloomBytes =
+    val bloomBytes = Dedup.bloomBuildLock.synchronized {
       withConfFloor("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", n) {
         withConfFloor("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits) {
           evalHashes
@@ -741,6 +759,7 @@ object Dedup {
             .head().getAs[Array[Byte]](0)
         }
       }
+    }
     evalHashes.unpersist()
     def mightContain(c: Column): Column = GraftBridge.column(
       BloomFilterMightContain(Literal(bloomBytes, BinaryType),

@@ -251,18 +251,21 @@ object Streams {
             .minHashSignature(col(textCol), shingleN, bands * rowsPerBand).as("sig"))
         .filter(col("sig").isNotNull)
         .write.mode("overwrite").parquet(indexBatchDir)
-    // Order-independent signature of the batch's INPUT ids. A genuine
-    // foreachBatch replay re-delivers byte-identical content (same source
-    // offsets from the checkpoint), so the signature matches; a stream
-    // RESTARTED WITH A LOST/RESET CHECKPOINT re-numbers batches from 0 with
-    // different content, and without this check a colliding id would be
-    // "skipped as committed" — silently DROPPING the new data. Mismatch
-    // fails loudly instead: the sink dirs are bound to one checkpoint
-    // lineage.
+    // Order-independent signature of the batch's INPUT rows — id AND text,
+    // because a reset-lineage stream typically renumbers doc ids from 0
+    // too, so an id-only signature would collide exactly when the guard is
+    // needed. A genuine foreachBatch replay re-delivers byte-identical
+    // content (same source offsets from the checkpoint), so the signature
+    // matches; a stream RESTARTED WITH A LOST/RESET CHECKPOINT re-numbers
+    // batches from 0 with different content, and without this check a
+    // colliding id would be "skipped as committed" — silently DROPPING the
+    // new data. Mismatch fails loudly instead: the sink dirs are bound to
+    // one checkpoint lineage.
     def batchSig(): String = {
       // decimal sum: full-range xxhash64 longs overflow a long sum under ANSI
       val r = batch0.agg(
-        sum(xxhash64(col(idCol).cast("string")).cast("decimal(38,0)")).as("s"),
+        sum(xxhash64(concat_ws(" ", col(idCol).cast("string"),
+            col(textCol))).cast("decimal(38,0)")).as("s"),
         count(lit(1)).as("n")).head()
       s"${if (r.isNullAt(0)) "0" else r.getDecimal(0).toBigInteger.toString}_${r.getLong(1)}"
     }
@@ -284,15 +287,22 @@ object Streams {
       // only the index append may still be missing (crash between writes).
       // But first prove this IS a replay of the same content, not a fresh
       // checkpoint lineage re-using the id.
-      manifestOf(acceptedBatchDir).foreach { prev =>
-        val cur = batchSig()
-        if (prev != cur) throw new IllegalStateException(
-          s"dedupAgainstIndexEachBatch: batch $batchId is already committed " +
-            s"at $acceptedBatchDir with DIFFERENT content (manifest $prev != " +
-            s"$cur) — this sink belongs to another checkpoint lineage. " +
-            "Restarting a stream from a fresh checkpoint requires fresh " +
-            "accepted/index directories (or removing the old ones); " +
-            "skipping would silently drop the new batch")
+      manifestOf(acceptedBatchDir) match {
+        case Some(prev) =>
+          val cur = batchSig()
+          if (prev != cur) throw new IllegalStateException(
+            s"dedupAgainstIndexEachBatch: batch $batchId is already committed " +
+              s"at $acceptedBatchDir with DIFFERENT content (manifest $prev != " +
+              s"$cur) — this sink belongs to another checkpoint lineage. " +
+              "Restarting a stream from a fresh checkpoint requires fresh " +
+              "accepted/index directories (or removing the old ones); " +
+              "skipping would silently drop the new batch")
+        case None =>
+          // a crash landed between the accepted commit and the manifest
+          // write: this genuine replay delivers the SAME content (checkpoint
+          // offsets), so backfill the manifest now instead of leaving this
+          // batch id unguarded forever
+          writeManifest(acceptedBatchDir, batchSig())
       }
       if (!committed(indexBatchDir))
         writeIndexRowsFrom(spark.read.parquet(acceptedBatchDir))

@@ -103,7 +103,10 @@ class CurationSpec extends SparkSpec {
     assert(!kept.exists(_._2 == 0.0))
     Seq(0.25, 0.5, 0.75).foreach { w =>
       val n = kept.count(_._2 == w)
-      assert(math.abs(n - 500 * w) < 120, s"w=$w kept $n of 500")
+      // ±3σ of Binomial(500, w) ≈ ±30: tight enough that a mis-scaled
+      // threshold (e.g. rate ~ 2w) cannot slip through
+      assert(math.abs(n - 500 * w) < 3 * math.sqrt(500 * w * (1 - w)) + 1,
+        s"w=$w kept $n of 500")
     }
     // deterministic
     val again = Curation.sampleWeighted(df, "id", col("w"))
