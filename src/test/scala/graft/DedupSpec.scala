@@ -245,6 +245,49 @@ class DedupSpec extends SparkSpec {
     assert(losers == Set(1L, 3L, 9L))
   }
 
+  test("property: keepBestLosers == brute-force winners on random graphs (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val gen = for {
+      nIds <- Gen.choose(2, 16)
+      nEdges <- Gen.choose(1, 24)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, nIds - 1); b <- Gen.choose(0, nIds - 1)
+      } yield (a.toLong, b.toLong)).map(_.filter(e => e._1 != e._2))
+      if edges.nonEmpty
+      // scores: some ids unscored, some with DUPLICATE rows
+      scored <- Gen.listOfN(nIds, Gen.option(Gen.choose(0, 5)))
+      dups <- Gen.listOfN(3, Gen.choose(0, nIds - 1))
+    } yield (edges, scored.zipWithIndex.collect {
+      case (Some(s), i) => (i.toLong, s.toLong)
+    } ++ dups.flatMap(i => scored(i).map(s => (i.toLong, s.toLong - 1))))
+    val prop = Prop.forAll(gen) { case (edges, scores) =>
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.keepBestLosers(pairs, scores.toDF("id", "score"))
+        .as[Long].collect().toSet
+      // brute force: union-find components over the edge list, winner =
+      // max resolved score (dups -> max), ties min id; unscored ids rank
+      // below every scored one
+      val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val score = scores.groupBy(_._1).map { case (i, ss) => i -> ss.map(_._2).max }
+      val want = ids.groupBy(find).values.flatMap { comp =>
+        // maxBy, not minBy over a negated score: -Long.MinValue overflows
+        // back to Long.MinValue, which would rank UNSCORED ids best
+        val winner = comp.maxBy(i => (score.getOrElse(i, Long.MinValue), -i))
+        comp.filterNot(_ == winner)
+      }.toSet
+      (got == want) :| s"edges=$edges scores=$scores got=$got want=$want"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("dedupCorpusKeepBest keeps the best-scoring near-dup, not the min id") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog", 1),
