@@ -653,6 +653,24 @@ object SparkEntry {
     "q_text_bm25" -> ((s, d) =>
       TextAnalysis.bm25(t(s, d, "documents"), "doc_id", "text")
         .filter(col("id") < 20).orderBy("id", "term")),
+    "q_text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // ---- semi-structured (JSON property extraction) ---------------------
+    "q_ev_json_extract" -> ((s, d) =>
+      SemiStructured.parseJson(t(s, d, "events"), "props", "k INT")
+        .filter(col("k") >= 90)
+        .select("event_id", "event_type", "k").orderBy("event_id")),
+    "q_ev_json_agg" -> ((s, d) =>
+      SemiStructured.parseJson(t(s, d, "events"), "props", "k INT")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        // derived, not avg(): sum is exact (long), so sum/count is ONE
+        // IEEE division — bit-identical across engines
+        .withColumn("avg_k",
+          col("sum_k").cast("double") / col("n_events").cast("double"))
+        .orderBy("event_type")),
     // ---- curation (splits / packing) ------------------------------------
     "q_cur_hash_split" -> ((s, d) =>
       Curation.hashSplit(t(s, d, "documents"), "doc_id", trainPct = 90)
@@ -1585,6 +1603,42 @@ object SparkEntry {
         |    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS bm25
         |FROM tf JOIN dl USING (id) JOIN dfreq USING (term) CROSS JOIN stats
         |WHERE tf.id < 20 ORDER BY id, term""".stripMargin,
+    "q_text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bigram
+        |  FROM w, unnest(range(1, len(tk))) AS r(i)
+        |  WHERE len(tk) >= 2),
+        |c AS (SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+        |s AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS nd, max(n) AS mx
+        |  FROM c GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(s.nb, 0) AS n_bigrams,
+        |  coalesce(s.nd, 0) AS n_distinct_bigrams,
+        |  1.0 - s.nd / CAST(s.nb AS DOUBLE) AS dup_bigram_frac,
+        |  s.mx / CAST(s.nb AS DOUBLE) AS top_bigram_frac
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_ev_json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 90
+        |ORDER BY event_id""".stripMargin,
+    "q_ev_json_agg" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(k) AS DOUBLE) / count(*) AS avg_k
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_quality_percentiles" ->
       """SELECT lang,
         |  quantile_cont(n_chars, 0.5) AS p50_chars,

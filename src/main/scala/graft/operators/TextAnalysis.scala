@@ -158,4 +158,40 @@ object TextAnalysis {
     aggregate(codes, lit(7L),
       (acc, c) => pmod(acc * 31L + c, lit(1000000007L)))
   }
+
+  /** Intra-document repetition profile (the Gopher/MassiveText repetition
+    * rules): per doc, the fraction of word bigrams that are repeats
+    * (`1 - distinct/total`) and the share claimed by the single most
+    * frequent bigram. Docs dominated by boilerplate or looped generation
+    * score high on both and get filtered before training.
+    *
+    * Scale shape: bigrams are built MAP-SIDE from the token array (no
+    * self-join, no window), then two keyed hash aggregates — (doc_id,
+    * bigram) then doc_id — and one doc_id-keyed left join to re-attach
+    * short/empty docs (< 2 tokens: zero counts, NULL fractions). Per-doc
+    * state never materializes more than the doc's own bigram multiset, so
+    * the operator is insensitive to corpus size — only to doc length.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), words(col(textCol)).as("__tk"))
+    // size >= 2 filter BEFORE sequence(): sequence(1, 0) would count DOWN
+    // and fabricate a reversed bigram for 1-token docs
+    val bigrams = docs.filter(size(col("__tk")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("__tk")) - 1),
+          i => concat_ws(" ", element_at(col("__tk"), i),
+            element_at(col("__tk"), i + 1)))).as("bigram"))
+    val perBigram = bigrams.groupBy("doc_id", "bigram")
+      .agg(count(lit(1)).as("__n"))
+    val stats = perBigram.groupBy("doc_id").agg(
+      sum("__n").as("__nb"), count(lit(1)).as("__nd"), max("__n").as("__mx"))
+    docs.select("doc_id").join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__nd"), lit(0L)).as("n_distinct_bigrams"),
+        (lit(1.0) - col("__nd").cast("double") / col("__nb").cast("double"))
+          .as("dup_bigram_frac"),
+        (col("__mx").cast("double") / col("__nb").cast("double"))
+          .as("top_bigram_frac"))
+  }
 }

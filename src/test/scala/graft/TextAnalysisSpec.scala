@@ -75,4 +75,28 @@ class TextAnalysisSpec extends SparkSpec {
     val ba = on("ba").select(TextAnalysis.rollingHash(col("t"))).as[Long].head()
     assert(ab != ba)
   }
+
+  test("repetitionStats: duplicate-bigram and top-bigram fractions") {
+    val df = Seq(
+      (1L, "a b a b a"),   // bigrams: "a b","b a","a b","b a" -> 4 total, 2 distinct
+      (2L, "w x y z"),     // 3 bigrams, all distinct
+      (3L, "solo"),        // 1 token: no bigrams, NULL fractions
+      (4L, "")             // empty: same
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = rows(0)
+    assert(r1.getAs[Long]("n_bigrams") == 4 && r1.getAs[Long]("n_distinct_bigrams") == 2)
+    assert(math.abs(r1.getAs[Double]("dup_bigram_frac") - 0.5) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("top_bigram_frac") - 0.5) < 1e-12)
+    val r2 = rows(1)
+    assert(r2.getAs[Long]("n_bigrams") == 3 && r2.getAs[Long]("n_distinct_bigrams") == 3)
+    assert(r2.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(math.abs(r2.getAs[Double]("top_bigram_frac") - 1.0 / 3) < 1e-12)
+    Seq(rows(2), rows(3)).foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") == 0)
+      assert(r.isNullAt(r.fieldIndex("dup_bigram_frac")))
+      assert(r.isNullAt(r.fieldIndex("top_bigram_frac")))
+    }
+  }
 }
