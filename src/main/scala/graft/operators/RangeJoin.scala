@@ -14,9 +14,9 @@ import org.apache.spark.sql.types._
   * exact containment filter removes the same-bucket near-misses.
   *
   * Cost model: interval fanout = span / bucketWidth rows per interval
-  * (guarded by `maxBucketsPerInterval` via one scalar aggregate — fail
-  * loudly instead of exploding a year-long interval into 10⁶ rows); point
-  * side grows not at all. Pick bucketWidth ≈ the typical interval span.
+  * (guarded by `maxBucketsPerInterval` via a per-row in-plan check that
+  * fails loudly BEFORE exploding a year-long interval into 10⁶ rows — no
+  * extra pass over the interval side); point side grows not at all. Pick bucketWidth ≈ the typical interval span.
   * Bucketing uses monotone truncation, so containment is never lost across
   * a bucket edge (a contained point's bucket always lies in the interval's
   * bucket range); the exact filter compares the ORIGINAL columns, so
@@ -58,14 +58,24 @@ object RangeJoin {
         case _ => floor(col(c).cast(DoubleType) / bucketWidth).cast(LongType)
       }
     }
-    val fan = intervals
-      .agg(max(bkt(intervals, endCol) - bkt(intervals, startCol))).head()
-    if (!fan.isNullAt(0)) require(fan.getLong(0) <= maxBucketsPerInterval,
-      s"intervalJoin: an interval spans ${fan.getLong(0)} buckets (limit " +
-        s"$maxBucketsPerInterval) — raise bucketWidth toward the typical " +
-        "interval span, or split oversized intervals upstream")
-    val iv = intervals.withColumn("__bkt",
-      explode(sequence(bkt(intervals, startCol), bkt(intervals, endCol))))
+    // Fanout guard, evaluated PER ROW inside the same pass that explodes
+    // the interval (not as a separate eager aggregate: that costs a full
+    // extra scan of the interval side plus a driver sync barrier — real
+    // money when the interval table is itself huge). The when() short-
+    // circuits BEFORE sequence() materializes, so an oversized interval
+    // fails loudly instead of allocating its million-element bucket array.
+    val span = bkt(intervals, endCol) - bkt(intervals, startCol)
+    // NULL-bounded intervals keep their old behavior: sequence(NULL, _) is
+    // NULL and explode drops it — they must route to the sequence branch,
+    // not the error branch.
+    val guarded = when(span.isNull || span <= maxBucketsPerInterval,
+        sequence(bkt(intervals, startCol), bkt(intervals, endCol)))
+      .otherwise(raise_error(concat(
+        lit("intervalJoin: an interval spans "), span.cast(StringType),
+        lit(s" buckets (limit $maxBucketsPerInterval) — raise bucketWidth " +
+          "toward the typical interval span, or split oversized intervals " +
+          "upstream"))).cast(ArrayType(LongType)))
+    val iv = intervals.withColumn("__bkt", explode(guarded))
     points.withColumn("__bkt", bkt(points, pointCol))
       .join(iv, keys :+ "__bkt")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))

@@ -103,12 +103,29 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("intervalJoin: fanout guard trips on oversized intervals") {
+    // The guard is a per-row in-plan check (no extra interval-side pass),
+    // so it surfaces at ACTION time, wrapped in Spark's task failure.
     val i = Seq(("x", 0L, 1000000L, "huge")).toDF("k", "s", "e", "name")
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[Exception] {
       RangeJoin.intervalJoin(points.withColumnRenamed("k", "k2")
           .withColumnRenamed("pid", "pid2").withColumnRenamed("k2", "k"),
-        i, Seq("k"), "t", "s", "e", bucketWidth = 10, maxBucketsPerInterval = 100)
+        i, Seq("k"), "t", "s", "e", bucketWidth = 10,
+        maxBucketsPerInterval = 100).count()
     }
-    assert(ex.getMessage.contains("buckets"))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("buckets") && m.contains("raise bucketWidth")), ex.toString)
+  }
+
+  test("intervalJoin: NULL-bounded intervals are dropped, not errored") {
+    val i = Seq(("a", Some(0L), Some(100L), "ok"),
+        ("a", None, Some(50L), "null-start"))
+      .toDF("k", "s", "e", "name")
+    val p = Seq((1L, "a", 10L)).toDF("pid", "k", "t")
+    val out = RangeJoin.intervalJoin(p, i, Seq("k"), "t", "s", "e",
+        bucketWidth = 10, maxBucketsPerInterval = 100)
+      .select("pid", "name").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "ok")))
   }
 }
