@@ -118,6 +118,41 @@ class RangeJoinSpec extends SparkSpec {
       m.contains("buckets") && m.contains("raise bucketWidth")), ex.toString)
   }
 
+  test("property: intervalJoin == BETWEEN theta join on random data (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    // Negative coordinates included deliberately: floor division must keep
+    // bucketing monotone below zero (a truncating division would not).
+    val gen = for {
+      nP <- Gen.choose(1, 20)
+      nI <- Gen.choose(1, 12)
+      width <- Gen.oneOf(1L, 3L, 10L)
+      pts <- Gen.listOfN(nP, for {
+        k <- Gen.oneOf("a", "b"); t <- Gen.choose(-50L, 100L)
+      } yield (k, t))
+      ivs <- Gen.listOfN(nI, for {
+        k <- Gen.oneOf("a", "b")
+        s <- Gen.choose(-50L, 100L)
+        len <- Gen.choose(0L, 40L)
+      } yield (k, s, s + len))
+    } yield (pts, ivs, width)
+    val prop = Prop.forAll(gen) { case (pts, ivsIn, width) =>
+      val p = pts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("pid", "k", "t")
+      val iv = ivsIn.zipWithIndex.map { case ((k, s, e), i) => (k, s, e, i.toLong) }
+        .toDF("k", "s", "e", "iid")
+      val got = RangeJoin.intervalJoin(p, iv, Seq("k"), "t", "s", "e",
+          bucketWidth = width, maxBucketsPerInterval = 200)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val want = p.join(iv, p("k") === iv("k") &&
+          p("t") >= iv("s") && p("t") <= iv("e"))
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      (got == want) :| s"width=$width got=$got want=$want pts=$pts ivs=$ivsIn"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("intervalJoin: NULL-bounded intervals are dropped, not errored") {
     val i = Seq(("a", Some(0L), Some(100L), "ok"),
         ("a", None, Some(50L), "null-start"))
