@@ -732,6 +732,15 @@ object SparkEntry {
     "q_sim_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         bands = 8, bitsPerBand = 10, minCosine = 0.25).orderBy("id_a", "id_b")),
+    // Portable ANN twin: md5-parity hyperplane signs + integer-exact
+    // verify over int8-quantized vectors — the whole LSH relational shape
+    // (signature -> band -> bucket join -> threshold verify) replayed
+    // bit-for-bit by the DuckDB oracle. cos >= 1/4 matches the production
+    // q_sim_ann_lsh threshold.
+    "q_sim_ann_portable" -> ((s, d) =>
+      Similarity.annLshPortable(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, bands = 4, bitsPerBand = 8, minCosNum = 1, minCosDen = 4)
+        .orderBy("id_a", "id_b")),
     "q_sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         queryId = 1, k = 20, nCentroids = 16, nProbe = 4)),
@@ -1716,6 +1725,45 @@ object SparkEntry {
     "q_sim_quantize_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS roundtrip_ok
         |FROM embeddings WHERE len(embedding) > 0""".stripMargin,
+    "q_sim_ann_portable" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |q AS (
+        |  SELECT id,
+        |    CASE WHEN ma > 0 THEN list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT))
+        |         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+        |  FROM base),
+        |sgn AS (
+        |  SELECT b.b, j.j, i.i,
+        |    CASE WHEN CAST(concat('0x',
+        |        substr(md5(b.b || ':' || j.j || ':' || i.i), 1, 1)) AS INT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 4) b(b), range(0, 8) j(j), range(0, 64) i(i)),
+        |bits AS (
+        |  SELECT q.id, sgn.b, sgn.j,
+        |    CASE WHEN sum(sgn.s * qv[sgn.i + 1]) >= 0
+        |      THEN CAST(1 AS BIGINT) << sgn.j ELSE CAST(0 AS BIGINT) END AS bitv
+        |  FROM q, sgn GROUP BY q.id, sgn.b, sgn.j),
+        |keys AS (SELECT id, b, CAST(sum(bitv) AS BIGINT) AS sig
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT ka.id AS id_a, kb.id AS id_b
+        |  FROM keys ka JOIN keys kb
+        |    ON ka.b = kb.b AND ka.sig = kb.sig AND ka.id < kb.id),
+        |scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |    list_sum(list_transform(range(1, 65), i -> qa.qv[i] * qb.qv[i])) AS dot,
+        |    list_sum(list_transform(qa.qv, x -> x * x)) AS na,
+        |    list_sum(list_transform(qb.qv, x -> x * x)) AS nb
+        |  FROM cand c
+        |  JOIN q qa ON qa.id = c.id_a
+        |  JOIN q qb ON qb.id = c.id_b)
+        |SELECT id_a, id_b FROM scored
+        |WHERE na > 0 AND nb > 0 AND dot > 0 AND 16 * dot * dot >= na * nb
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_cur_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,

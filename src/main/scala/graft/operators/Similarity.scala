@@ -171,6 +171,85 @@ object Similarity {
       .filter(col("cos") >= minCosine)
   }
 
+  /** Oracle-portable ANN twin ([[graft.operators.Dedup
+    * .minHashCandidatesPortable]]'s role, for vector LSH): the full
+    * hyperplane-LSH pipeline — signatures, banding, bucket self-join,
+    * exact-similarity verify — in arithmetic DuckDB replays BIT-FOR-BIT.
+    * Two substitutions make that possible:
+    *
+    *  - hyperplane components are ±1 with the sign drawn from md5 parity
+    *    (first hex nibble of md5("band:bit:dim") — both engines compute
+    *    the same digest of the same string), not engine-private splitmix64
+    *    floats;
+    *  - ALL arithmetic is integer-exact over the int8-quantized vectors
+    *    ([[quantizeEmbeddings]]' rounding, already oracle-proven by
+    *    `q_sim_quantize`): sign bit = (Σ ±q[i] >= 0), and the cosine
+    *    threshold num/den is verified as `den²·dot² >= num²·|a|²·|b|²`
+    *    with `dot > 0` — no float summation-order hazard anywhere, so the
+    *    pair set is deterministic across engines, not just "close".
+    *
+    * Bounds: |q[i]| <= 127 so dot <= 127²·dim ≈ 1e6 (dim 64), dot² ≈
+    * 1e12, ×den² well under 2^63 for den <= 100. Requires `size(vec) ==
+    * dim` (enforced by filter on both engines — ragged vectors would sum
+    * NULLs differently in SQL).
+    *
+    * The production path ([[annLsh]]) keeps the codegen'd native
+    * signatures and float cosine; this twin exists so the driver gate has
+    * a hash-green row over the whole LSH relational shape.
+    */
+  def annLshPortable(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     bands: Int = 4, bitsPerBand: Int = 8,
+                     minCosNum: Int = 1, minCosDen: Int = 4,
+                     maxBucketRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
+    require(minCosNum > 0 && minCosDen >= minCosNum,
+      "annLshPortable: threshold must be a rational in (0, 1]")
+    require(minCosDen <= 100 && dim <= 4096,
+      "annLshPortable: den <= 100 and dim <= 4096 keep den^2*dot^2 in Long range")
+    def sign(b: Int, j: Int, i: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$b:$j:$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 1) == 0) 1 else -1
+    }
+    val q = quantizeEmbeddings(emb, idCol, vecCol)
+      .filter(size(col("qvec")) === dim)
+      .select(col("id"), col("qvec"))
+    def intDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val bandKey = (0 until bands).map { b =>
+      (0 until bitsPerBand).map { j =>
+        val signs = typedLit((0 until dim).map(i => sign(b, j, i)))
+        when(intDot(col("qvec"), signs) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    // id-only band frame, pinned across the self-join (the annLsh trade)
+    val banded = q.select(col("id"), posexplode(array(bandKey: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Guardrails.requireBoundedBuckets(banded, Seq("band", "sig"), maxBucketRows,
+      s"annLshPortable(bands=$bands, bitsPerBand=$bitsPerBand)",
+      "raise bitsPerBand (bucket space per band = 2^bitsPerBand) or " +
+        "exact-dedup identical vectors first")
+    val pairs = banded.select(col("band"), col("sig"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("sig"), col("id").as("id_b")),
+        Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    banded.unpersist()
+    val num2 = minCosNum.toLong * minCosNum
+    val den2 = minCosDen.toLong * minCosDen
+    pairs
+      .join(q.select(col("id").as("id_a"), col("qvec").as("qa")), Seq("id_a"))
+      .join(q.select(col("id").as("id_b"), col("qvec").as("qb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), intDot(col("qa"), col("qb")).as("dot"),
+        intDot(col("qa"), col("qa")).as("na"), intDot(col("qb"), col("qb")).as("nb"))
+      .filter(col("na") > 0 && col("nb") > 0 && col("dot") > 0 &&
+        col("dot") * col("dot") * den2 >= col("na") * col("nb") * num2)
+      .select("id_a", "id_b")
+  }
+
   /** Deterministic pseudo-centroids: hyperplane-derived directions. The
     * zero-training default for IVF structures; [[kMeansCentroids]] trains
     * real ones with identical downstream plumbing.

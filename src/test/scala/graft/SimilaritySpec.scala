@@ -225,4 +225,40 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(x - v / scale) <= 0.5 / scale + 1e-12)
     }
   }
+
+  test("annLshPortable: identical directions pair, orthogonal never pass verify") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)),   // same direction as 0 -> identical qvec
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 0/1: dot = 0 < threshold
+      (3L, Array(1.0f, 0.0f, 0.0f)),         // wrong dim: excluded by contract
+      (4L, Array.empty[Float])               // empty: excluded
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.annLshPortable(df, "vec_id", "embedding", dim = 4,
+        bands = 2, bitsPerBand = 2)
+      .as[(Long, Long)].collect().toSet
+    // identical qvecs share every band key, and cos = 1 >= 1/4
+    assert(pairs.contains((0L, 1L)), pairs)
+    // dot(0,2) = 0 fails the dot > 0 verify even when a bucket collides
+    assert(!pairs.exists(p => p == (0L, 2L) || p == (1L, 2L)), pairs)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L))
+  }
+
+  test("annLshPortable: integer verify matches the rational cosine threshold") {
+    // In the QUANTIZED domain: qa = (95,127,0,0), qb = (127,95,0,0)
+    // (0.3/0.4 scaled by 127/0.4 with round-half-up), so dot = 2·95·127 =
+    // 24130 and na = nb = 95² + 127² = 25154 — cos = 24130/25154 ≈ 0.95929.
+    // The integer verify den²·dot² >= num²·na·nb must pass at 95/100 and
+    // fail at 96/100, with no float anywhere to blur the edge.
+    val df = Seq(
+      (0L, Array(0.3f, 0.4f, 0.0f, 0.0f)),
+      (1L, Array(0.4f, 0.3f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def run(num: Int, den: Int) =
+      Similarity.annLshPortable(df, "vec_id", "embedding", dim = 4,
+        bands = 1, bitsPerBand = 1, minCosNum = num, minCosDen = den)
+        .as[(Long, Long)].collect().toSet
+    assert(run(95, 100) == Set((0L, 1L)))
+    assert(run(96, 100).isEmpty)
+  }
 }
