@@ -744,6 +744,13 @@ object SparkEntry {
     "q_sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         queryId = 1, k = 20, nCentroids = 16, nProbe = 4)),
+    // Portable IVF twin: md5-parity centroids + integer-exact assignment,
+    // probe selection, and ranking with total tie-breaks — the assign ->
+    // probe -> cell-pruned scan -> top-k shape replayed bit-for-bit by
+    // the DuckDB oracle (q_sim_ann_portable's role for IVF).
+    "q_sim_ivf_portable" -> ((s, d) =>
+      Similarity.ivfTopKPortable(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, queryId = 1, k = 20, nCentroids = 16, nProbe = 4)),
     // IVF index write and probe are separate entries so the bench bills the
     // (one-time) sink cost and the (per-query, partition-pruned) probe cost
     // apart. The write's readback count is oracle-checkable; the probe is
@@ -1764,6 +1771,43 @@ object SparkEntry {
         |SELECT id_a, id_b FROM scored
         |WHERE na > 0 AND nb > 0 AND dot > 0 AND 16 * dot * dot >= na * nb
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_sim_ivf_portable" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |q AS (
+        |  SELECT id,
+        |    CASE WHEN ma > 0 THEN list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT))
+        |         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+        |  FROM base),
+        |sgn AS (
+        |  SELECT c.c, i.i,
+        |    CASE WHEN CAST(concat('0x',
+        |        substr(md5('c' || c.c || ':' || i.i), 1, 1)) AS INT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 16) c(c), range(0, 64) i(i)),
+        |cellscore AS (
+        |  SELECT q.id, sgn.c, sum(sgn.s * qv[sgn.i + 1]) AS sc
+        |  FROM q, sgn GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT id, c AS cell FROM cellscore
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY sc DESC, c) = 1),
+        |qcells AS (
+        |  SELECT c AS cell FROM cellscore WHERE id = 1
+        |  ORDER BY sc DESC, c LIMIT 4),
+        |qvec AS (SELECT qv AS qq FROM q WHERE id = 1),
+        |cand AS (
+        |  SELECT q.id, q.qv FROM assign a JOIN q ON q.id = a.id
+        |  WHERE a.cell IN (SELECT cell FROM qcells) AND a.id <> 1),
+        |scored AS (
+        |  SELECT c.id AS vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> c.qv[i] * qvec.qq[i])) AS BIGINT) AS score
+        |  FROM cand c CROSS JOIN qvec)
+        |SELECT vec_id, score FROM scored
+        |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
     "q_cur_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,

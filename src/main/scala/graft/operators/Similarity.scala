@@ -250,6 +250,51 @@ object Similarity {
       .select("id_a", "id_b")
   }
 
+  /** Oracle-portable IVF twin ([[annLshPortable]]'s role for the IVF
+    * shape): assign → probe-cell selection → cell-pruned scan → top-k,
+    * all in integer arithmetic DuckDB replays bit-for-bit. Centroids are
+    * ±1 directions from md5 parity ("c<cell>:<dim>" — a namespace disjoint
+    * from the LSH twin's "band:bit:dim"), assignment is an integer-dot
+    * argmax with first-index (min cell) tie-break — the same rule as
+    * [[ivfAssignTo]]'s array_position — probe cells are the query's top
+    * `nProbe` by (score desc, cell asc), and the final ranking is
+    * (integer dot desc, id asc). Every tie-break is total, so the k-row
+    * result is ONE deterministic answer, not a float-blurred family.
+    */
+  def ivfTopKPortable(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                      queryId: Long, k: Int, nCentroids: Int = 16,
+                      nProbe: Int = 4): DataFrame = {
+    def sign(c: Int, i: Int): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"c$c:$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 1) == 0) 1 else -1
+    }
+    def intDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val q = quantizeEmbeddings(emb, idCol, vecCol)
+      .filter(size(col("qvec")) === dim)
+      .select(col("id"), col("qvec"))
+    val cellScores = (0 until nCentroids).map { c =>
+      intDot(col("qvec"), typedLit((0 until dim).map(i => sign(c, i))))
+    }
+    val scoreArr = array(cellScores: _*)
+    val assigned = q.select(col("id"), col("qvec"),
+      (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int").as("cell"))
+    val qCells = assigned.filter(col("id") === queryId)
+      .select(posexplode(scoreArr))
+      .orderBy(col("col").desc, col("pos").asc)
+      .limit(nProbe).select(col("pos").cast("int").as("cell"))
+    val qVec = assigned.filter(col("id") === queryId)
+      .select(col("qvec").as("__q"))
+    assigned.join(broadcast(qCells), Seq("cell"), "left_semi")
+      .filter(col("id") =!= queryId)
+      .crossJoin(broadcast(qVec))
+      .select(col("id").as("vec_id"), intDot(col("qvec"), col("__q")).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Deterministic pseudo-centroids: hyperplane-derived directions. The
     * zero-training default for IVF structures; [[kMeansCentroids]] trains
     * real ones with identical downstream plumbing.

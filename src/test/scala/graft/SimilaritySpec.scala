@@ -261,4 +261,18 @@ class SimilaritySpec extends SparkSpec {
     assert(run(95, 100) == Set((0L, 1L)))
     assert(run(96, 100).isEmpty)
   }
+
+  test("ivfTopKPortable: integer ranking with total tie-breaks") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),  // query
+      (2L, Array(2.0f, 0.0f, 0.0f, 0.0f)),  // same direction: top score
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal: score 0
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f))   // tie with 3 -> id asc breaks it
+    ).toDF("vec_id", "embedding")
+    // nProbe = nCentroids: every cell probed, so ranking alone is under test
+    val got = Similarity.ivfTopKPortable(df, "vec_id", "embedding", dim = 4,
+        queryId = 1, k = 3, nCentroids = 4, nProbe = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 127L * 127), (3L, 0L), (4L, 0L)), got)
+  }
 }
