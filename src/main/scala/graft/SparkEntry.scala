@@ -963,6 +963,17 @@ object SparkEntry {
           |GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin)
     }),
+    // ---- time-series continuity -----------------------------------------
+    // Daily per-user sums densified onto each user's own date spine with
+    // forward fill — "no row for the day" made explicit for downstream
+    // rolling windows and as-of joins.
+    "q_ts_gapfill" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+        .agg(moneySum("value"))
+      TimeSeries.gapFillDaily(daily, "user_id", "day", "sum_value")
+        .orderBy("user_id", "day")
+    }),
     // ---- event-time windowed aggregation (streaming shape) --------------
     "q_events_daily_window" -> ((s, d) =>
       t(s, d, "events")
@@ -1935,6 +1946,24 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_ts_gapfill" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1),
+        |spine AS (
+        |  SELECT b.user_id, CAST(u.day AS DATE) AS day
+        |  FROM b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS u(day)),
+        |j AS (
+        |  SELECT s.user_id, s.day, d.sum_value
+        |  FROM spine s LEFT JOIN d USING (user_id, day))
+        |SELECT user_id, day,
+        |  last_value(sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value,
+        |  sum_value IS NOT NULL AS is_observed
+        |FROM j ORDER BY user_id, day""".stripMargin,
     "q_events_daily_window" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
