@@ -327,6 +327,184 @@ case class LshBandSignatures(child: Expression, planes: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Integer twin of [[LshBandSignatures]] for the ORACLE-PORTABLE LSH path:
+  * ±1 sign planes over an integer (quantized) vector, bit rule `dot >= 0`
+  * (DuckDB's `sum(...) >= 0` — note [[LshBandSignatures]] uses `> 0`), all
+  * arithmetic exact in Long. Composing this from element_at chains instead
+  * generates code janino refuses to compile (hundreds of terms), and HOF
+  * folds run interpreted — this expression is one tight generated loop.
+  */
+case class IntLshBandSignatures(child: Expression, signs: Array[Array[Int]],
+                                bitsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(signs.nonEmpty && signs.length % bitsPerBand == 0,
+    s"signs (${signs.length}) must be a multiple of bitsPerBand ($bitsPerBand)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "int_lsh_band_signatures"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType | LongType | ShortType | ByteType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an integral array argument, got ${other.catalogString}")
+  }
+
+  private def elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  private def nBands: Int = signs.length / bitsPerBand
+
+  private def getL(arr: ArrayData, i: Int): Long = elem match {
+    case IntegerType => arr.getInt(i).toLong
+    case LongType    => arr.getLong(i)
+    case ShortType   => arr.getShort(i).toLong
+    case ByteType    => arr.getByte(i).toLong
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sigs = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var sig = 0L
+      var t = 0
+      while (t < bitsPerBand) {
+        val s = signs(b * bitsPerBand + t)
+        val n = math.min(arr.numElements(), s.length)
+        var dot = 0L
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i)) dot += getL(arr, i) * s(i)
+          i += 1
+        }
+        if (dot >= 0) sig |= 1L << t
+        t += 1
+      }
+      sigs(b) = sig
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "int[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val sigs = ctx.freshName("sigs")
+      val b = ctx.freshName("b")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val sig = ctx.freshName("sig")
+      val s = ctx.freshName("s")
+      s"""
+         |long[] $sigs = new long[$nBands];
+         |for (int $b = 0; $b < $nBands; $b++) {
+         |  long $sig = 0L;
+         |  for (int $t = 0; $t < $bitsPerBand; $t++) {
+         |    int[] $s = $signsRef[$b * $bitsPerBand + $t];
+         |    int $n = java.lang.Math.min($v.numElements(), $s.length);
+         |    long $dot = 0L;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if (!$v.isNullAt($i)) {
+         |        $dot += ((long) ${CodeGenerator.getValue(v, elem, i)}) * $s[$i];
+         |      }
+         |    }
+         |    if ($dot >= 0) $sig |= 1L << $t;
+         |  }
+         |  $sigs[$b] = $sig;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sigs);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-plane exact integer dots of a quantized vector against ±1 sign
+  * planes — array<long>, one entry per plane. The IVF-portable building
+  * block: centroid assignment is argmax over this array, probe selection
+  * is its top-nProbe. Same janino/HOF rationale as
+  * [[IntLshBandSignatures]].
+  */
+case class SignedIntDots(child: Expression, signs: Array[Array[Int]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(signs.nonEmpty, "SignedIntDots: at least one sign plane")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "signed_int_dots"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType | LongType | ShortType | ByteType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an integral array argument, got ${other.catalogString}")
+  }
+
+  private def elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  private def getL(arr: ArrayData, i: Int): Long = elem match {
+    case IntegerType => arr.getInt(i).toLong
+    case LongType    => arr.getLong(i)
+    case ShortType   => arr.getShort(i).toLong
+    case ByteType    => arr.getByte(i).toLong
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dots = new Array[Long](signs.length)
+    var p = 0
+    while (p < signs.length) {
+      val s = signs(p)
+      val n = math.min(arr.numElements(), s.length)
+      var dot = 0L
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) dot += getL(arr, i) * s(i)
+        i += 1
+      }
+      dots(p) = dot
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(dots)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "int[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val dots = ctx.freshName("dots")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val s = ctx.freshName("s")
+      s"""
+         |long[] $dots = new long[${signs.length}];
+         |for (int $p = 0; $p < ${signs.length}; $p++) {
+         |  int[] $s = $signsRef[$p];
+         |  int $n = java.lang.Math.min($v.numElements(), $s.length);
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$v.isNullAt($i)) {
+         |      $dot += ((long) ${CodeGenerator.getValue(v, elem, i)}) * $s[$i];
+         |    }
+         |  }
+         |  $dots[$p] = $dot;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($dots);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrappers (classic API). */
   def quantizedDot(a: Column, b: Column, scale: Int = 1000): Column =
@@ -341,4 +519,12 @@ object VectorExpressions {
                         bitsPerBand: Int): Column =
     GraftBridge.column(LshBandSignatures(
       GraftBridge.expression(vec), planes, bitsPerBand))
+
+  def intLshBandSignatures(vec: Column, signs: Array[Array[Int]],
+                           bitsPerBand: Int): Column =
+    GraftBridge.column(IntLshBandSignatures(
+      GraftBridge.expression(vec), signs, bitsPerBand))
+
+  def signedIntDots(vec: Column, signs: Array[Array[Int]]): Column =
+    GraftBridge.column(SignedIntDots(GraftBridge.expression(vec), signs))
 }

@@ -210,20 +210,26 @@ object Similarity {
         .digest(s"$b:$j:$i".getBytes("UTF-8"))
       if (((d(0) >> 4) & 1) == 0) 1 else -1
     }
+    // Persisting q is BOTH reuse (the verify joins read it twice) and a
+    // projection barrier: without it CollapseProject would inline the
+    // quantize transform() into the signature expression's child. The
+    // cached frame is (id, 64 ints) — tiny.
     val q = quantizeEmbeddings(emb, idCol, vecCol)
       .filter(size(col("qvec")) === dim)
       .select(col("id"), col("qvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def intDot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
         lit(0L), (acc, v) => acc + v)
-    val bandKey = (0 until bands).map { b =>
-      (0 until bitsPerBand).map { j =>
-        val signs = typedLit((0 until dim).map(i => sign(b, j, i)))
-        when(intDot(col("qvec"), signs) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+    // Native codegen'd integer signatures (one tight loop per row): flat
+    // element_at compositions of this size fail janino outright and HOF
+    // folds run interpreted — both profiled far above the whole query.
+    val signMatrix = Array.tabulate(bands * bitsPerBand)(p =>
+      Array.tabulate(dim)(i => sign(p / bitsPerBand, p % bitsPerBand, i)))
     // id-only band frame, pinned across the self-join (the annLsh trade)
-    val banded = q.select(col("id"), posexplode(array(bandKey: _*)))
+    val banded = q.select(col("id"), posexplode(
+        graft.expressions.VectorExpressions.intLshBandSignatures(
+          col("qvec"), signMatrix, bitsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Guardrails.requireBoundedBuckets(banded, Seq("band", "sig"), maxBucketRows,
@@ -272,20 +278,26 @@ object Similarity {
     def intDot(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
         lit(0L), (acc, v) => acc + v)
+    val signMatrix = Array.tabulate(nCentroids)(c =>
+      Array.tabulate(dim)(i => sign(c, i)))
+    // Native codegen'd per-centroid integer dots (janino/HOF rationale in
+    // annLshPortable); persist = reuse across assign/probe/verify AND the
+    // projection barrier that stops CollapseProject duplicating the dots
+    // expression into the argmax/explode terms below.
     val q = quantizeEmbeddings(emb, idCol, vecCol)
       .filter(size(col("qvec")) === dim)
-      .select(col("id"), col("qvec"))
-    val cellScores = (0 until nCentroids).map { c =>
-      intDot(col("qvec"), typedLit((0 until dim).map(i => sign(c, i))))
-    }
-    val scoreArr = array(cellScores: _*)
+      .select(col("id"), col("qvec"),
+        graft.expressions.VectorExpressions.signedIntDots(
+          col("qvec"), signMatrix).as("__dots"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = q.select(col("id"), col("qvec"),
-      (array_position(scoreArr, array_max(scoreArr)) - 1).cast("int").as("cell"))
-    val qCells = assigned.filter(col("id") === queryId)
-      .select(posexplode(scoreArr))
+      (array_position(col("__dots"), array_max(col("__dots"))) - 1)
+        .cast("int").as("cell"))
+    val qCells = q.filter(col("id") === queryId)
+      .select(posexplode(col("__dots")))
       .orderBy(col("col").desc, col("pos").asc)
       .limit(nProbe).select(col("pos").cast("int").as("cell"))
-    val qVec = assigned.filter(col("id") === queryId)
+    val qVec = q.filter(col("id") === queryId)
       .select(col("qvec").as("__q"))
     assigned.join(broadcast(qCells), Seq("cell"), "left_semi")
       .filter(col("id") =!= queryId)
