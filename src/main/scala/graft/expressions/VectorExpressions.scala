@@ -340,6 +340,8 @@ case class IntLshBandSignatures(child: Expression, signs: Array[Array[Int]],
 
   require(signs.nonEmpty && signs.length % bitsPerBand == 0,
     s"signs (${signs.length}) must be a multiple of bitsPerBand ($bitsPerBand)")
+  require(bitsPerBand >= 1 && bitsPerBand <= 64,
+    s"bitsPerBand ($bitsPerBand) must be in [1, 64] — `1L << t` wraps past 64")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "int_lsh_band_signatures"

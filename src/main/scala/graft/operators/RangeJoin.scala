@@ -67,8 +67,12 @@ object RangeJoin {
     val span = bkt(intervals, endCol) - bkt(intervals, startCol)
     // NULL-bounded intervals keep their old behavior: sequence(NULL, _) is
     // NULL and explode drops it — they must route to the sequence branch,
-    // not the error branch.
-    val guarded = when(span.isNull || span <= maxBucketsPerInterval,
+    // not the error branch. REVERSED intervals (end < start) match nothing
+    // under BETWEEN, but Spark's sequence() would count DOWN and explode a
+    // reversed year into 10⁹ rows the filter then throws away — route them
+    // to NULL (drop) explicitly, matching the theta-join's empty result.
+    val guarded = when(span < 0, lit(null).cast(ArrayType(LongType)))
+      .when(span.isNull || span <= maxBucketsPerInterval,
         sequence(bkt(intervals, startCol), bkt(intervals, endCol)))
       .otherwise(raise_error(concat(
         lit("intervalJoin: an interval spans "), span.cast(StringType),

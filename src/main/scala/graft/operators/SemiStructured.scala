@@ -24,9 +24,14 @@ object SemiStructured {
     */
   def parseJson(df: DataFrame, jsonCol: String, ddl: String): DataFrame = {
     val schema = StructType.fromDDL(ddl)
-    val clash = schema.fieldNames.toSet intersect df.columns.toSet
+    // case-INSENSITIVE clash check: withColumn resolves case-insensitively
+    // under the default spark.sql.caseSensitive=false, so a field "ID"
+    // would silently overwrite an existing "id" past an exact-string guard
+    val existing = df.columns.map(_.toLowerCase).toSet
+    val clash = schema.fieldNames.filter(f => existing.contains(f.toLowerCase))
     require(clash.isEmpty,
-      s"parseJson: extracted fields $clash already exist — rename first")
+      s"parseJson: extracted fields ${clash.toSet} already exist " +
+        "(case-insensitive) — rename first")
     val parsed = df.withColumn("__parsed",
       from_json(col(jsonCol), schema))
     schema.fieldNames

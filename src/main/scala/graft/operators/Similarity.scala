@@ -197,19 +197,37 @@ object Similarity {
     * signatures and float cosine; this twin exists so the driver gate has
     * a hash-green row over the whole LSH relational shape.
     */
+  /** md5-parity ±1 sign shared by the portable twins — MUST stay
+    * bit-identical to the oracle rule
+    * `CAST(concat('0x', substr(md5(key), 1, 1)) AS INT) % 2 = 0 → +1`.
+    */
+  private def md5ParitySign(key: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    if (((d(0) >> 4) & 1) == 0) 1 else -1
+  }
+
+  /** Exact integer dot of two integral array columns (Long accumulator) —
+    * the portable twins' verify/score primitive. Bounded candidate sets
+    * only; signature-stage hot paths use the native expressions.
+    */
+  private def intDotExact(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
   def annLshPortable(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                      bands: Int = 4, bitsPerBand: Int = 8,
                      minCosNum: Int = 1, minCosDen: Int = 4,
                      maxBucketRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
     require(minCosNum > 0 && minCosDen >= minCosNum,
       "annLshPortable: threshold must be a rational in (0, 1]")
-    require(minCosDen <= 100 && dim <= 4096,
-      "annLshPortable: den <= 100 and dim <= 4096 keep den^2*dot^2 in Long range")
-    def sign(b: Int, j: Int, i: Int): Int = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$b:$j:$i".getBytes("UTF-8"))
-      if (((d(0) >> 4) & 1) == 0) 1 else -1
-    }
+    // Exact overflow bound, not a rule of thumb: |dot| <= 127²·dim and the
+    // verify computes den²·dot² and num²·na·nb — both must stay in Long.
+    val maxDot = BigInt(127L * 127 * dim)
+    require(BigInt(minCosDen).pow(2) * maxDot.pow(2) <= BigInt(Long.MaxValue),
+      s"annLshPortable: den=$minCosDen with dim=$dim overflows Long in the " +
+        "verify (den²·(127²·dim)² > 2⁶³-1) — lower den or dim")
+    def sign(b: Int, j: Int, i: Int): Int = md5ParitySign(s"$b:$j:$i")
     // Persisting q is BOTH reuse (the verify joins read it twice) and a
     // projection barrier: without it CollapseProject would inline the
     // quantize transform() into the signature expression's child. The
@@ -218,9 +236,6 @@ object Similarity {
       .filter(size(col("qvec")) === dim)
       .select(col("id"), col("qvec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def intDot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
-        lit(0L), (acc, v) => acc + v)
     // Native codegen'd integer signatures (one tight loop per row): flat
     // element_at compositions of this size fail janino outright and HOF
     // folds run interpreted — both profiled far above the whole query.
@@ -249,8 +264,9 @@ object Similarity {
     pairs
       .join(q.select(col("id").as("id_a"), col("qvec").as("qa")), Seq("id_a"))
       .join(q.select(col("id").as("id_b"), col("qvec").as("qb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), intDot(col("qa"), col("qb")).as("dot"),
-        intDot(col("qa"), col("qa")).as("na"), intDot(col("qb"), col("qb")).as("nb"))
+      .select(col("id_a"), col("id_b"), intDotExact(col("qa"), col("qb")).as("dot"),
+        intDotExact(col("qa"), col("qa")).as("na"),
+        intDotExact(col("qb"), col("qb")).as("nb"))
       .filter(col("na") > 0 && col("nb") > 0 && col("dot") > 0 &&
         col("dot") * col("dot") * den2 >= col("na") * col("nb") * num2)
       .select("id_a", "id_b")
@@ -270,16 +286,8 @@ object Similarity {
   def ivfTopKPortable(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                       queryId: Long, k: Int, nCentroids: Int = 16,
                       nProbe: Int = 4): DataFrame = {
-    def sign(c: Int, i: Int): Int = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"c$c:$i".getBytes("UTF-8"))
-      if (((d(0) >> 4) & 1) == 0) 1 else -1
-    }
-    def intDot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
-        lit(0L), (acc, v) => acc + v)
     val signMatrix = Array.tabulate(nCentroids)(c =>
-      Array.tabulate(dim)(i => sign(c, i)))
+      Array.tabulate(dim)(i => md5ParitySign(s"c$c:$i")))
     // Native codegen'd per-centroid integer dots (janino/HOF rationale in
     // annLshPortable); persist = reuse across assign/probe/verify AND the
     // projection barrier that stops CollapseProject duplicating the dots
@@ -302,7 +310,7 @@ object Similarity {
     assigned.join(broadcast(qCells), Seq("cell"), "left_semi")
       .filter(col("id") =!= queryId)
       .crossJoin(broadcast(qVec))
-      .select(col("id").as("vec_id"), intDot(col("qvec"), col("__q")).as("score"))
+      .select(col("id").as("vec_id"), intDotExact(col("qvec"), col("__q")).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
   }

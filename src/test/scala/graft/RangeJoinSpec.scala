@@ -153,6 +153,19 @@ class RangeJoinSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("intervalJoin: reversed intervals drop like BETWEEN, never explode") {
+    // end < start matches nothing under BETWEEN; Spark's sequence() would
+    // count DOWN through the whole reversed span — a 1e9-element array per
+    // row — unless the guard routes reversed spans to NULL.
+    val i = Seq(("a", 1000000000L, 0L, "reversed"), ("a", 5L, 15L, "ok"))
+      .toDF("k", "s", "e", "name")
+    val p = Seq((1L, "a", 10L)).toDF("pid", "k", "t")
+    val out = RangeJoin.intervalJoin(p, i, Seq("k"), "t", "s", "e",
+        bucketWidth = 10, maxBucketsPerInterval = 100)
+      .select("pid", "name").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "ok")))
+  }
+
   test("intervalJoin: NULL-bounded intervals are dropped, not errored") {
     val i = Seq(("a", Some(0L), Some(100L), "ok"),
         ("a", None, Some(50L), "null-start"))

@@ -31,6 +31,12 @@ class SemiStructuredSpec extends SparkSpec {
       SemiStructured.parseJson(df, "props", "id INT")
     }
     assert(ex.getMessage.contains("already exist"))
+    // case-INSENSITIVE: withColumn resolves case-insensitively by default,
+    // so "ID" would silently overwrite "id" past an exact-string guard
+    val ex2 = intercept[IllegalArgumentException] {
+      SemiStructured.parseJson(df, "props", "ID INT")
+    }
+    assert(ex2.getMessage.contains("already exist"))
   }
 
   test("inferJsonSchema recovers field types from a bounded sample") {
