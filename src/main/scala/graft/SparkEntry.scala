@@ -390,6 +390,20 @@ object SparkEntry {
       Merge.outcomeTally(
           Merge.classify(t(s, d, "orders"), mergeTargetState(s, d), Seq("o_orderkey")))
         .orderBy(Merge.ActionCol)),
+    // SCD2 history merge over the same synthetic target (%7 keys missing →
+    // insert, %5 price drift → update): changed keys get a closed 2025
+    // version + an open 2026 one. row_hash is engine-private, so the
+    // oracle projection carries key/price/validity only.
+    "q_merge_scd2" -> ((s, d) => {
+      val hist = mergeTargetState(s, d)
+        .withColumn("valid_from", to_timestamp(lit("2025-01-01 00:00:00")))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      Merge.scd2Apply(t(s, d, "orders"), hist, Seq("o_orderkey"), mergeNow)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("o_orderkey", "valid_from")
+    }),
     "q_merge_apply_stats" -> ((s, d) => {
       val merged = Merge.apply(t(s, d, "orders"), mergeTargetAudited(s, d),
         Seq("o_orderkey"), mergeNow)
@@ -1257,6 +1271,33 @@ object SparkEntry {
         |            WHEN o_orderkey % 5 = 0 THEN 'update'
         |            ELSE 'skip' END AS cdc_action, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY cdc_action""".stripMargin,
+    "q_merge_scd2" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |rows AS (
+        |  -- unchanged keys: the open 2025 version passes through
+        |  SELECT o_orderkey, o_totalprice,
+        |    TIMESTAMP '2025-01-01 00:00:00' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM tgt WHERE o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  -- updated keys: old version closed at the merge instant
+        |  SELECT o_orderkey, o_totalprice,
+        |    TIMESTAMP '2025-01-01 00:00:00',
+        |    TIMESTAMP '2026-01-01 00:00:00'
+        |  FROM tgt WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  -- new open versions: updates (source price) + inserts (%7 keys)
+        |  SELECT o_orderkey, o_totalprice,
+        |    TIMESTAMP '2026-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+        |  FROM orders
+        |  WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 = 0)
+        |SELECT o_orderkey, o_totalprice, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM rows ORDER BY o_orderkey, valid_from""".stripMargin,
     "q_merge_apply_stats" ->
       """SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
         |  count(*) AS max_id,

@@ -183,4 +183,46 @@ object Merge {
   /** A10b: null-key audit — rows with any null key part. */
   def nullKeyAudit(df: DataFrame, keys: Seq[String]): DataFrame =
     df.filter(keys.map(col(_).isNull).reduce(_ || _))
+
+  /** SCD2 (validity-interval) merge: where [[apply]] updates in place
+    * (SCD1, the reference's semantics), this keeps HISTORY — each change
+    * closes the key's open version (`valid_to = now`) and opens a new one
+    * (`valid_from = now`, `valid_to = NULL`). Unchanged keys and already-
+    * closed history rows pass through untouched, so repeated application
+    * with an unchanged source is a fixpoint ([[apply]]'s idempotence
+    * invariant, lifted to histories). No-delete carries over too: keys
+    * absent from the source keep their open version.
+    *
+    * `hist` must carry the source's data columns plus `row_hash`
+    * (the [[classify]] basis, computed at version creation), `valid_from`,
+    * and `valid_to` (NULL = open). `now` is injectable for deterministic
+    * tests/oracles, like [[apply]].
+    *
+    * Scale shape: one [[classify]] join (broadcast/SMJ per AQE), one
+    * semi/anti-join pair against the bounded changed-key set, and a
+    * unionByName — no window over the whole history, no driver state.
+    */
+  def scd2Apply(src: DataFrame, hist: DataFrame, keys: Seq[String],
+                now: Column): DataFrame = {
+    val have = hist.columns.map(_.toLowerCase).toSet
+    val missing = Seq("row_hash", "valid_from", "valid_to").filterNot(have)
+    require(missing.isEmpty, s"scd2Apply: hist lacks $missing")
+    val history = hist.filter(col("valid_to").isNotNull)
+    val current = hist.filter(col("valid_to").isNull)
+    val classified = classify(src, current, keys)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val updKeys = classified.filter(col(ActionCol) === Update)
+      .select(keys.map(col): _*)
+    val closed = current.join(updKeys, keys, "left_semi")
+      .withColumn("valid_to", now)
+    val stillCurrent = current.join(updKeys, keys, "left_anti")
+    val newVersions = classified.filter(col(ActionCol) =!= Skip)
+      .select(src.columns.map(col) :+ col("src_hash").as("row_hash"): _*)
+      .withColumn("valid_from", now)
+      .withColumn("valid_to", lit(null).cast(current.schema("valid_to").dataType))
+    history
+      .unionByName(closed)
+      .unionByName(stillCurrent)
+      .unionByName(newVersions)
+  }
 }

@@ -126,4 +126,31 @@ class MergeSpec extends SparkSpec {
     assert(Merge.duplicateKeyAudit(df, Seq("k")).select("k").as[String].collect().toSeq == Seq("1"))
     assert(Merge.nullKeyAudit(df, Seq("k")).count() == 1)
   }
+
+  test("scd2Apply: changes close the open version and open a new one") {
+    // history: key 1 has a closed pre-2025 version + an open one; key 2 open
+    val hist0 = RowHash.withRowHash(Seq(1 -> "old", 2 -> "b").toDF("k", "v"))
+      .withColumn("valid_from", to_timestamp(lit("2025-01-01 00:00:00")))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val ancient = RowHash.withRowHash(Seq(1 -> "ancient").toDF("k", "v"))
+      .withColumn("valid_from", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("valid_to", to_timestamp(lit("2025-01-01 00:00:00")))
+    val hist = hist0.unionByName(ancient)
+    // source: key 1 changed, key 2 absent (no-delete), key 3 new
+    val src = Seq(1 -> "new", 3 -> "c").toDF("k", "v")
+    val out = Merge.scd2Apply(src, hist, Seq("k"), t1)
+      .select(col("k"), col("v"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"))
+      .as[(Int, String, String, String)].collect().toSet
+    assert(out == Set(
+      (1, "ancient", "2024-01-01 00:00:00", "2025-01-01 00:00:00"), // history kept
+      (1, "old", "2025-01-01 00:00:00", "2026-02-02 00:00:00"),     // closed now
+      (1, "new", "2026-02-02 00:00:00", null),                      // new open
+      (2, "b", "2025-01-01 00:00:00", null),                        // no-delete
+      (3, "c", "2026-02-02 00:00:00", null)))                       // insert
+    // fixpoint: re-applying the same source only skips
+    val again = Merge.scd2Apply(src, Merge.scd2Apply(src, hist, Seq("k"), t1),
+      Seq("k"), to_timestamp(lit("2026-03-03 00:00:00")))
+    assert(again.count() == 5)
+  }
 }
