@@ -24,6 +24,39 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", "2024-02-10", 9.0, true)))
   }
 
+  test("property: gapFillDaily == in-memory spine+ffill model (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val base = java.time.LocalDate.parse("2024-01-01")
+    val gen = for {
+      n <- Gen.choose(1, 15)
+      obs <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "c")
+        d <- Gen.choose(0, 20)
+        v <- Gen.choose(1, 99)
+      } yield (k, d, v.toDouble))
+    } yield obs.distinctBy(o => (o._1, o._2)) // one observation per key-day
+    val prop = Prop.forAll(gen) { obs =>
+      val df = obs.map { case (k, d, v) => (k, base.plusDays(d).toString, v) }
+        .toDF("k", "day", "v").withColumn("day", col("day").cast("date"))
+      val got = TimeSeries.gapFillDaily(df, "k", "day", "v")
+        .select(col("k"), col("day").cast("string"), col("v"), col("is_observed"))
+        .as[(String, String, Double, Boolean)].collect().toSet
+      val want = obs.groupBy(_._1).flatMap { case (k, os) =>
+        val byDay = os.map(o => o._2 -> o._3).toMap
+        val (lo, hi) = (os.map(_._2).min, os.map(_._2).max)
+        var lastSeen = 0.0
+        (lo to hi).map { d =>
+          byDay.get(d).foreach(lastSeen = _)
+          (k, base.plusDays(d).toString, lastSeen, byDay.contains(d))
+        }
+      }.toSet
+      (got == want) :| s"obs=$obs got=$got want=$want"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("gapFillDaily: spine starts at each key's own first observation") {
     val df = Seq(("a", "2024-01-05", 5.0), ("b", "2024-01-01", 1.0))
       .toDF("k", "day", "v").withColumn("day", col("day").cast("date"))
