@@ -338,10 +338,10 @@ case class IntLshBandSignatures(child: Expression, signs: Array[Array[Int]],
                                 bitsPerBand: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  require(signs.nonEmpty && signs.length % bitsPerBand == 0,
-    s"signs (${signs.length}) must be a multiple of bitsPerBand ($bitsPerBand)")
   require(bitsPerBand >= 1 && bitsPerBand <= 64,
     s"bitsPerBand ($bitsPerBand) must be in [1, 64] — `1L << t` wraps past 64")
+  require(signs.nonEmpty && signs.length % bitsPerBand == 0,
+    s"signs (${signs.length}) must be a multiple of bitsPerBand ($bitsPerBand)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "int_lsh_band_signatures"

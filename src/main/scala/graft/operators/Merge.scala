@@ -209,17 +209,27 @@ object Merge {
     require(missing.isEmpty, s"scd2Apply: hist lacks $missing")
     val history = hist.filter(col("valid_to").isNotNull)
     val current = hist.filter(col("valid_to").isNull)
+    // Materialize the classify join before the union fans it out into
+    // three consumers (closed/stillCurrent/newVersions) — without the
+    // count() the first action could compute the join once per branch
+    // before the cache populates. Pinned until LRU eviction or
+    // `spark.catalog.clearCache()` (the gapFillDaily trade).
     val classified = classify(src, current, keys)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    classified.count()
     val updKeys = classified.filter(col(ActionCol) === Update)
       .select(keys.map(col): _*)
     val closed = current.join(updKeys, keys, "left_semi")
       .withColumn("valid_to", now)
     val stillCurrent = current.join(updKeys, keys, "left_anti")
+    // case-insensitive type lookup: the guard above accepts any casing,
+    // so the schema access must too (StructType.apply is case-SENSITIVE)
+    val validToType = current.schema
+      .find(_.name.equalsIgnoreCase("valid_to")).get.dataType
     val newVersions = classified.filter(col(ActionCol) =!= Skip)
       .select(src.columns.map(col) :+ col("src_hash").as("row_hash"): _*)
       .withColumn("valid_from", now)
-      .withColumn("valid_to", lit(null).cast(current.schema("valid_to").dataType))
+      .withColumn("valid_to", lit(null).cast(validToType))
     history
       .unionByName(closed)
       .unionByName(stillCurrent)
