@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.{Normalize, RowHash}
 import graft.operators._
-import graft.pipeline.{Runner, TableSpec}
+import graft.pipeline.{Runner, Sinks, TableSpec}
 import graft.streaming.Streams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -127,6 +127,9 @@ object SparkEntry {
   // same index directory.
   private lazy val ivfTmpDir =
     java.nio.file.Files.createTempDirectory("graft-ivf").toString
+
+  private lazy val jsonlTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-jsonl").toString
 
   private def ivfIndexPath(sfDir: String): String =
     s"$ivfTmpDir/${new java.io.File(sfDir).getName}"
@@ -434,6 +437,23 @@ object SparkEntry {
           filters = Seq(Filters.neqKeepNull("o_orderstatus", "F"))))
         .select("id", "o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("id")),
+    // JSONL egress -> ingest round trip: write the documents table as
+    // gzip JSON Lines (the LLM-corpus interchange format), scan it back
+    // schema-enforced, and aggregate — values must equal the parquet
+    // truth exactly, with zero corrupt records. Proves the interchange
+    // path preserves every document and character.
+    "q_pipeline_jsonl_roundtrip" -> ((s, d) => {
+      val path = s"$jsonlTmpDir/${new java.io.File(d).getName}/documents"
+      Sinks.writeJsonl(t(s, d, "documents"), path)
+      Sinks.jsonlScan(s, path,
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+          sum(length(col("text")).cast("bigint")).as("sum_text_len"),
+          count(col("_corrupt_record")).as("n_corrupt"))
+        .orderBy("lang")
+    }),
     // ---- dedup family ---------------------------------------------------
     "q_dedup_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text").orderBy("fp")),
@@ -1354,6 +1374,13 @@ object SparkEntry {
         |JOIN s ON e.user_id = s.user_id
         |  AND e.ts BETWEEN s.session_start AND s.session_end
         |ORDER BY e.event_id""".stripMargin,
+    "q_pipeline_jsonl_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  CAST(sum(len(text)) AS BIGINT) AS sum_text_len,
+        |  CAST(0 AS BIGINT) AS n_corrupt
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pipeline_full_load" ->
       """SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
         |  o_orderkey, o_custkey, o_totalprice

@@ -227,6 +227,39 @@ object Sinks {
       .option("multiLine", multiLine.toString)
       .csv(path)
 
+  /** JSON Lines egress — one JSON document per line, the interchange
+    * format LLM corpora ship in. Spark's json writer is already JSONL
+    * (not a JSON array), so this is the blessed path with the options
+    * pinned: gzip by default (JSONL compresses ~10×; splittability at
+    * 100 TB comes from many files, not from splitting one), timestamps
+    * as ISO-8601.
+    */
+  def writeJsonl(df: DataFrame, path: String,
+                 compression: String = "gzip"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
+      .json(path)
+
+  /** JSON Lines ingest with a REQUIRED schema — inference is a full extra
+    * pass over the corpus, so the 100 TB path never infers (use
+    * [[graft.operators.SemiStructured.inferJsonSchema]] on a bounded
+    * sample to bootstrap the DDL). PERMISSIVE by default: malformed lines
+    * land in `_corrupt_record` instead of failing the job — audit that
+    * column, don't lose the batch. (Spark restriction: a plan pruned down
+    * to ONLY `_corrupt_record` is refused — reference a data column
+    * alongside, or cache first.)
+    */
+  def jsonlScan(spark: SparkSession, path: String, ddl: String,
+                mode: String = "PERMISSIVE"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read
+      .schema(schema)
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
   /** S5b: date-partitioned sink with dynamic partition overwrite — the
     * 100 TB form of S7 "update-in-place": rewrite ONLY the partitions
     * present in `df` (e.g. the current month's reconciliation window),
