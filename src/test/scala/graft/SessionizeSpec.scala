@@ -49,4 +49,44 @@ class SessionizeSpec extends SparkSpec {
       assert(rows == Seq((1L, 2L))) // first session emitted; second still open state
     } finally q.stop()
   }
+
+  test("property: sessions == in-memory gap-scan model (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val base = ts("2024-01-01 00:00:00").getTime
+    val gen = for {
+      n <- Gen.choose(1, 18)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.oneOf(1L, 2L)
+        sec <- Gen.choose(0, 600) // duplicate timestamps likely
+      } yield (u, sec))
+      gap <- Gen.oneOf(30L, 60L, 120L)
+    } yield (evs, gap)
+    val prop = Prop.forAll(gen) { case (evs, gap) =>
+      val df = evs.zipWithIndex.map { case ((u, sec), i) =>
+        (u, i.toLong, new Timestamp(base + sec * 1000L))
+      }.toDF("user_id", "event_id", "ts")
+      val got = Sessionize.sessions(df, "user_id", "ts", "event_id", gap)
+        .select("user_id", "session_id", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      // model: per user, sort by (ts, event_id), new session when the gap
+      // to the PREVIOUS event exceeds `gap` seconds
+      val want = evs.zipWithIndex.map { case ((u, sec), i) => (u, sec, i.toLong) }
+        .groupBy(_._1).flatMap { case (u, es) =>
+          val sorted = es.sortBy(e => (e._2, e._3))
+          var sid = 0L
+          var prev = Long.MinValue / 2
+          val counts = scala.collection.mutable.Map[Long, Long]()
+          sorted.foreach { case (_, sec, _) =>
+            if (sec - prev > gap) sid += 1
+            prev = sec
+            counts(sid) = counts.getOrElse(sid, 0L) + 1
+          }
+          counts.map { case (s, n) => (u, s, n) }
+        }.toSet
+      (got == want) :| s"evs=$evs gap=$gap got=$got want=$want"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
