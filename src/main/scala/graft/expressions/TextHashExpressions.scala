@@ -128,6 +128,33 @@ object NgramOps {
   }
 }
 
+/** Native rolling polynomial hash (Rabin-Karp, mod 1e9+7) — the one-pass
+  * static form of `TextAnalysis.rollingHash`'s HOF fold, value-identical
+  * by construction on EVERY input, edge cases included:
+  *  - empty text: `split("", "")` yields `[""]` and `ascii("") = 0`, so
+  *    the fold runs once with code 0 → (7·31 + 0) mod M;
+  *  - per-element code = the CODE POINT, exactly Spark's `ascii()` on the
+  *    codepoint-aware `split(text, "")` pieces (probed: é → 233,
+  *    𝄞 → 119070 — NOT the first UTF-8 byte);
+  *  - `pmod` (never-negative) accumulation.
+  * Parity with the HOF form is spec-pinned across ASCII/multibyte/empty.
+  */
+object RollingHashOps {
+  private final val M = 1000000007L
+  def compute(text: UTF8String): java.lang.Long = {
+    val s = text.toString
+    if (s.isEmpty) return java.lang.Math.floorMod(7L * 31L, M)
+    var acc = 7L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = java.lang.Math.floorMod(acc * 31L + cp, M)
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
 object TextHashExpressions {
   /** `array<bigint>` of k MinHash values for `text`, or null below
     * `shingleN` tokens. One static call per row inside codegen.
@@ -157,6 +184,17 @@ object TextHashExpressions {
   def simHash(text: Column): Column =
     GraftBridge.column(StaticInvoke(
       SimHashOps.getClass,
+      LongType,
+      "compute",
+      Seq(GraftBridge.expression(text)),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Rolling polynomial hash (see [[RollingHashOps]]). */
+  def rollingHash(text: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      RollingHashOps.getClass,
       LongType,
       "compute",
       Seq(GraftBridge.expression(text)),

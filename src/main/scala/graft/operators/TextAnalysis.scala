@@ -153,7 +153,15 @@ object TextAnalysis {
     * Modulus is < 2^30 so `acc*31 + char` stays far below Long overflow
     * before the mod (a 2^61-1 modulus would overflow mid-expression).
     */
-  def rollingHash(text: Column): Column = {
+  def rollingHash(text: Column): Column =
+    graft.expressions.TextHashExpressions.rollingHash(text)
+
+  /** The expression-composition form of [[rollingHash]] — kept as the
+    * executable specification the native `RollingHashOps` is spec-pinned
+    * against (ASCII, multibyte, empty). Interpreted HOF fold; production
+    * uses the native static call.
+    */
+  private[graft] def rollingHashFold(text: Column): Column = {
     val codes = transform(split(text, ""), ch => ascii(ch).cast("long"))
     aggregate(codes, lit(7L),
       (acc, c) => pmod(acc * 31L + c, lit(1000000007L)))

@@ -76,6 +76,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ab != ba)
   }
 
+  test("native rollingHash == HOF fold on ASCII, multibyte, and empty") {
+    val samples = Seq("", "a", "spark", "the quick brown fox", "héllo wörld",
+      "a b  c", "tab\tsep", "números 123 !?")
+    val df = samples.toDF("t")
+    val rows = df.select(
+        TextAnalysis.rollingHash(col("t")).as("native"),
+        TextAnalysis.rollingHashFold(col("t")).as("fold"))
+      .as[(Long, Long)].collect()
+    samples.zip(rows).foreach { case (s, (n, f)) =>
+      assert(n == f, s"mismatch on ${s.take(20).mkString}: native=$n fold=$f")
+    }
+    // and still order-sensitive
+    val Seq(ab, ba) = Seq("ab", "ba").toDF("t")
+      .select(TextAnalysis.rollingHash(col("t"))).as[Long].collect().toSeq
+    assert(ab != ba)
+  }
+
   test("repetitionStats: duplicate-bigram and top-bigram fractions") {
     val df = Seq(
       (1L, "a b a b a"),   // bigrams: "a b","b a","a b","b a" -> 4 total, 2 distinct
