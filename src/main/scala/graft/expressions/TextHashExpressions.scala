@@ -155,6 +155,36 @@ object RollingHashOps {
   }
 }
 
+/** Native token counting — the static form of `size(filter(split(text,
+  * "\\s+"), _ =!= ""))` (ArrayFilter is CodegenFallback, so the HOF form
+  * runs interpreted per row). Tokenization matches `TextAnalysis.words`
+  * exactly: split on `\s+`, drop empties; `countIn` lowercases via
+  * `UTF8String.toLowerCase` — byte-identical to Spark's `lower()`.
+  */
+object TokenOps {
+  def count(text: UTF8String): java.lang.Integer = {
+    val toks = text.toString.split("\\s+")
+    var n = 0
+    var i = 0
+    while (i < toks.length) { if (toks(i).nonEmpty) n += 1; i += 1 }
+    n
+  }
+
+  /** Count tokens of `lower(text)` that belong to the comma-separated
+    * `set` (small — stopword lists). */
+  def countIn(text: UTF8String, set: UTF8String): java.lang.Integer = {
+    val wanted = set.toString.split(",").toSet
+    val toks = text.toLowerCase.toString.split("\\s+")
+    var n = 0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty && wanted.contains(toks(i))) n += 1
+      i += 1
+    }
+    n
+  }
+}
+
 object TextHashExpressions {
   /** `array<bigint>` of k MinHash values for `text`, or null below
     * `shingleN` tokens. One static call per row inside codegen.
@@ -199,6 +229,28 @@ object TextHashExpressions {
       "compute",
       Seq(GraftBridge.expression(text)),
       inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Whitespace token count (see [[TokenOps]]). */
+  def tokenCount(text: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      TokenOps.getClass,
+      IntegerType,
+      "count",
+      Seq(GraftBridge.expression(text)),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Lowercased-token membership count against a comma-separated set. */
+  def tokenCountIn(text: Column, csvSet: String): Column =
+    GraftBridge.column(StaticInvoke(
+      TokenOps.getClass,
+      IntegerType,
+      "countIn",
+      Seq(GraftBridge.expression(text), Literal(UTF8String.fromString(csvSet), StringType)),
+      inputTypes = Seq(StringType, StringType),
       propagateNull = true,
       returnNullable = true))
 }

@@ -17,8 +17,17 @@ object TextAnalysis {
   def words(text: Column): Column =
     filter(split(text, "\\s+"), w => w =!= "")
 
-  /** Whitespace token count. */
-  def tokenCountWs(text: Column): Column = size(words(text)).cast("int")
+  /** Whitespace token count — native static call (the HOF form
+    * `size(filter(split(...)))` runs ArrayFilter interpreted per row).
+    */
+  def tokenCountWs(text: Column): Column =
+    graft.expressions.TextHashExpressions.tokenCount(text)
+
+  /** HOF form of [[tokenCountWs]] — the executable specification the
+    * native `TokenOps.count` is spec-pinned against.
+    */
+  private[graft] def tokenCountWsFold(text: Column): Column =
+    size(words(text)).cast("int")
 
   /** BPE-ish regex token count: word pieces + digit runs + single
     * punctuation marks (the usual pre-tokenizer shape).
@@ -31,7 +40,13 @@ object TextAnalysis {
   private val StopwordsFr = Seq("le", "la", "de", "et", "un", "une", "du", "des")
 
   private def countIn(text: Column, set: Seq[String]): Column =
+    graft.expressions.TextHashExpressions.tokenCountIn(text, set.mkString(","))
+
+  /** HOF form of [[countIn]] — parity specification for `TokenOps.countIn`. */
+  private[graft] def countInFold(text: Column, set: Seq[String]): Column =
     size(filter(words(lower(text)), w => w.isInCollection(set))).cast("int")
+
+  private[graft] val StopwordsEnSet: Seq[String] = StopwordsEn
 
   /** Quality score features: char length, word count, average word length,
     * stopword ratio, punctuation ratio. Ratios are single IEEE divisions of

@@ -93,6 +93,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ab != ba)
   }
 
+  test("native token counts == HOF folds (whitespace edges, stopwords)") {
+    val samples = Seq("", " ", "a", "  leading", "trailing  ", "a  b\t c",
+      "The THE the of and", "héllo the wörld")
+    val df = samples.toDF("t")
+    val rows = df.select(
+        TextAnalysis.tokenCountWs(col("t")).as("n_native"),
+        TextAnalysis.tokenCountWsFold(col("t")).as("n_fold"),
+        graft.expressions.TextHashExpressions
+          .tokenCountIn(col("t"), TextAnalysis.StopwordsEnSet.mkString(","))
+          .as("s_native"),
+        TextAnalysis.countInFold(col("t"), TextAnalysis.StopwordsEnSet)
+          .as("s_fold"))
+      .as[(Int, Int, Int, Int)].collect()
+    samples.zip(rows).foreach { case (s, (nn, nf, sn, sf)) =>
+      assert(nn == nf && sn == sf,
+        s"mismatch on '${s.take(20)}': ws $nn/$nf stop $sn/$sf")
+    }
+  }
+
   test("repetitionStats: duplicate-bigram and top-bigram fractions") {
     val df = Seq(
       (1L, "a b a b a"),   // bigrams: "a b","b a","a b","b a" -> 4 total, 2 distinct
