@@ -74,6 +74,43 @@ object Demo {
     println(s"== Event sessions == ${sessions.count()} sessions over " +
       s"${sessions.select("user_id").distinct().count()} users")
 
+    // --- 5. training-corpus curation (LLM-pipeline shape) -----------------
+    println("== Corpus curation: dedup -> quality filter -> split -> JSONL ==")
+    val docs = TableSpec.read(spark, sfDir, "documents")
+    val deduped = graft.operators.Dedup.dedupCorpus(docs, "doc_id", "text")
+    val kept = deduped.filter(
+      graft.operators.TextAnalysis.tokenCountWs(col("text")) >= 10)
+    val split = graft.operators.Curation.hashSplit(kept, "doc_id", trainPct = 90)
+    Sinks.writeJsonl(split.filter(col("split") === "train"),
+      s"$outDir/corpus_train")
+    val nTrain = Sinks.jsonlScan(spark, s"$outDir/corpus_train",
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+          "n_chars BIGINT, split_bucket INT, split STRING")
+      .filter(col("doc_id").isNotNull).count()
+    println(s"  ${docs.count()} docs -> ${deduped.count()} after near-dup " +
+      s"removal -> ${kept.count()} after quality floor -> " +
+      s"$nTrain train docs round-tripped through gzip JSONL")
+    require(nTrain > 0, "train split must not be empty")
+
+    // --- 6. warehouse continuity: SCD2 history + daily gap-fill -----------
+    println("== SCD2 history + gap-filled daily continuity ==")
+    val histNow = to_timestamp(lit("2026-01-01 00:00:00"))
+    val hist0 = graft.functions.RowHash
+      .withRowHash(src.drop("id", "row_hash", "created_at", "updated_at"))
+      .withColumn("valid_from", to_timestamp(lit("2025-01-01 00:00:00")))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val hist1 = Merge.scd2Apply(
+      src.drop("id", "row_hash", "created_at", "updated_at"), hist0,
+      Seq("o_orderkey"), histNow)
+    println(s"  SCD2 fixpoint on unchanged source: ${hist1.count()} versions " +
+      s"(${hist1.filter(col("valid_to").isNull).count()} open)")
+    val daily = TableSpec.read(spark, sfDir, "events")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val filled = graft.operators.TimeSeries.gapFillDaily(daily, "user_id", "day", "n")
+    println(s"  gap-fill: ${daily.count()} observed days -> ${filled.count()} " +
+      s"continuous days (${filled.filter(!col("is_observed")).count()} filled)")
+
     println("DEMO OK")
     spark.stop()
   }
