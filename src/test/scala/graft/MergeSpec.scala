@@ -127,6 +127,43 @@ class MergeSpec extends SparkSpec {
     assert(Merge.nullKeyAudit(df, Seq("k")).count() == 1)
   }
 
+  test("property: scd2Apply == in-memory version model on random states (ScalaCheck)") {
+    val gen = for {
+      nKeys <- Gen.choose(1, 10)
+      histKeys <- Gen.someOf(0 until nKeys)
+      srcKeys <- Gen.someOf(0 until nKeys)
+      if histKeys.nonEmpty || srcKeys.nonEmpty
+      histVals <- Gen.listOfN(histKeys.size, Gen.oneOf("a", "b"))
+      srcVals <- Gen.listOfN(srcKeys.size, Gen.oneOf("a", "b"))
+    } yield (histKeys.zip(histVals).toMap, srcKeys.zip(srcVals).toMap)
+    val prop = Prop.forAll(gen) { case (histM, srcM) =>
+      (histM.nonEmpty && srcM.nonEmpty) ==> {
+        val hist = RowHash.withRowHash(histM.toSeq.map { case (k, v) => (k, v) }
+            .toDF("k", "v"))
+          .withColumn("valid_from", t0)
+          .withColumn("valid_to", lit(null).cast("timestamp"))
+        val src = srcM.toSeq.map { case (k, v) => (k, v) }.toDF("k", "v")
+        val got = Merge.scd2Apply(src, hist, Seq("k"), t1)
+          .select(col("k"), col("v"), col("valid_to").cast("string"))
+          .as[(Int, String, String)].collect().toSet
+        // model: changed keys -> closed old + open new; src-only -> open
+        // new; hist-only (no-delete) and unchanged -> open old
+        val want = (histM.keySet ++ srcM.keySet).flatMap { k =>
+          (histM.get(k), srcM.get(k)) match {
+            case (Some(h), Some(s)) if h != s =>
+              Set((k, h, "2026-02-02 00:00:00"), (k, s, null: String))
+            case (Some(h), _) => Set((k, h, null: String)) // unchanged / no-delete
+            case (None, Some(s)) => Set((k, s, null: String))
+            case _ => Set.empty[(Int, String, String)]
+          }
+        }
+        (got == want) :| s"hist=$histM src=$srcM got=$got want=$want"
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("scd2Apply: changes close the open version and open a new one") {
     // history: key 1 has a closed pre-2025 version + an open one; key 2 open
     val hist0 = RowHash.withRowHash(Seq(1 -> "old", 2 -> "b").toDF("k", "v"))
