@@ -4,6 +4,36 @@ import graft.operators.Curation
 import org.apache.spark.sql.functions._
 
 class CurationSpec extends SparkSpec {
+
+  test("property: packSequences == sequential prefix-sum model (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 20)
+      lens <- Gen.listOfN(n, Gen.choose(0, 12)) // incl. empty docs
+      budget <- Gen.oneOf(1L, 5L, 16L)
+    } yield (lens, budget)
+    val prop = Prop.forAll(gen) { case (lens, budget) =>
+      val df = lens.zipWithIndex.map { case (len, i) =>
+        (i.toLong, Seq.fill(len)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = graft.operators.Curation.packSequences(df, "doc_id", "text", budget)
+        .select("doc_id", "pack_id", "pack_offset")
+        .as[(Long, Long, Long)].collect().toSet
+      // model: docs laid end-to-end in id order; a doc sits in the pack
+      // where its first token falls, at the cumulative offset mod budget
+      var cum = 0L
+      val want = lens.zipWithIndex.map { case (len, i) =>
+        val row = (i.toLong, cum / budget, cum % budget)
+        cum += len
+        row
+      }.toSet
+      (got == want) :| s"lens=$lens budget=$budget got=$got want=$want"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
   import spark.implicits._
 
   test("hashSplit: deterministic, stable under corpus growth, ~trainPct split") {
