@@ -199,7 +199,16 @@ object SparkEntry {
   val verifyOnlyQueries: Set[String] =
     Set("q_sim_recall_gate", "q_dedup_simhash_gate", "q_dedup_minhash_gate",
       "q_dedup_minhash_probe_gate", "q_dedup_embed_gate", "q_sim_quantize_gate",
-      "q_dedup_decontam_bloom_gate")
+      "q_dedup_decontam_bloom_gate",
+      // Portable-oracle twins (r8): these replay the engine-private hash
+      // pipelines in DuckDB-expressible arithmetic (md5-chunked signatures,
+      // integer-exact dots) so the driver can hash-check the relational
+      // shape. They measure DuckDB-replayability, not engine speed — the
+      // production paths (xxhash64 natives) are benched separately — so they
+      // stay in the correctness contract but out of the bench set, same
+      // ruling as the quality gates above (VERDICT r7 §next-2).
+      "q_dedup_minhash_portable", "q_dedup_simhash_portable",
+      "q_sim_ann_portable", "q_sim_ivf_portable")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -406,6 +415,21 @@ object SparkEntry {
           col("valid_from"), col("valid_to"),
           col("valid_to").isNull.as("is_current"))
         .orderBy("o_orderkey", "valid_from")
+    }),
+    // Point-in-time read of the scd2 history at an instant BEFORE the
+    // merge: every pre-existing key resolves to its (now closed) 2025
+    // version at its pre-merge price; keys first inserted by the merge
+    // (%7) don't exist yet. One row per key by interval disjointness.
+    "q_merge_scd2_asof" -> ((s, d) => {
+      val hist = mergeTargetState(s, d)
+        .withColumn("valid_from", to_timestamp(lit("2025-01-01 00:00:00")))
+        .withColumn("valid_to", lit(null).cast("timestamp"))
+      val merged = Merge.scd2Apply(t(s, d, "orders"), hist,
+        Seq("o_orderkey"), mergeNow)
+      Merge.scd2AsOf(merged, to_timestamp(lit("2025-06-01 00:00:00")))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("valid_from"), col("valid_to"))
+        .orderBy("o_orderkey")
     }),
     "q_merge_apply_stats" -> ((s, d) => {
       val merged = Merge.apply(t(s, d, "orders"), mergeTargetAudited(s, d),
@@ -1318,6 +1342,35 @@ object SparkEntry {
         |SELECT o_orderkey, o_totalprice, valid_from, valid_to,
         |  valid_to IS NULL AS is_current
         |FROM rows ORDER BY o_orderkey, valid_from""".stripMargin,
+    // Same history CTE as q_merge_scd2, filtered to the versions valid at
+    // 2025-06-01 (pre-merge): closed 2025 versions qualify (valid_to =
+    // 2026-01-01 > t), open post-merge versions don't (valid_from > t).
+    "q_merge_scd2_asof" ->
+      """WITH tgt AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |rows AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    TIMESTAMP '2025-01-01 00:00:00' AS valid_from,
+        |    CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM tgt WHERE o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice,
+        |    TIMESTAMP '2025-01-01 00:00:00',
+        |    TIMESTAMP '2026-01-01 00:00:00'
+        |  FROM tgt WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice,
+        |    TIMESTAMP '2026-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+        |  FROM orders
+        |  WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 = 0)
+        |SELECT o_orderkey, o_totalprice, valid_from, valid_to
+        |FROM rows
+        |WHERE valid_from <= TIMESTAMP '2025-06-01 00:00:00'
+        |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2025-06-01 00:00:00')
+        |ORDER BY o_orderkey""".stripMargin,
     "q_merge_apply_stats" ->
       """SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
         |  count(*) AS max_id,

@@ -342,6 +342,15 @@ case class IntLshBandSignatures(child: Expression, signs: Array[Array[Int]],
     s"bitsPerBand ($bitsPerBand) must be in [1, 64] — `1L << t` wraps past 64")
   require(signs.nonEmpty && signs.length % bitsPerBand == 0,
     s"signs (${signs.length}) must be a multiple of bitsPerBand ($bitsPerBand)")
+  require(signs.forall(_.length == signs(0).length),
+    "int_lsh_band_signatures: all sign planes must share one dimension")
+
+  // Fail-loudly on ragged input (ADVICE r7): a vector shorter or longer
+  // than the plane dimension used to silently truncate the dot to the
+  // common prefix, yielding a plausible-but-wrong bucket. Callers filter
+  // size(vec)===dim today, but a future caller that forgets must get an
+  // error, not bad buckets — matching the convention elsewhere.
+  private def dim: Int = signs(0).length
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "int_lsh_band_signatures"
@@ -366,6 +375,8 @@ case class IntLshBandSignatures(child: Expression, signs: Array[Array[Int]],
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) throw new IllegalArgumentException(
+      s"$prettyName: vector length ${arr.numElements()} != plane dimension $dim")
     val sigs = new Array[Long](nBands)
     var b = 0
     while (b < nBands) {
@@ -373,7 +384,7 @@ case class IntLshBandSignatures(child: Expression, signs: Array[Array[Int]],
       var t = 0
       while (t < bitsPerBand) {
         val s = signs(b * bitsPerBand + t)
-        val n = math.min(arr.numElements(), s.length)
+        val n = s.length
         var dot = 0L
         var i = 0
         while (i < n) {
@@ -401,12 +412,17 @@ case class IntLshBandSignatures(child: Expression, signs: Array[Array[Int]],
       val sig = ctx.freshName("sig")
       val s = ctx.freshName("s")
       s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "int_lsh_band_signatures: vector length " + $v.numElements() +
+         |    " != plane dimension " + $dim);
+         |}
          |long[] $sigs = new long[$nBands];
          |for (int $b = 0; $b < $nBands; $b++) {
          |  long $sig = 0L;
          |  for (int $t = 0; $t < $bitsPerBand; $t++) {
          |    int[] $s = $signsRef[$b * $bitsPerBand + $t];
-         |    int $n = java.lang.Math.min($v.numElements(), $s.length);
+         |    int $n = $s.length;
          |    long $dot = 0L;
          |    for (int $i = 0; $i < $n; $i++) {
          |      if (!$v.isNullAt($i)) {
@@ -436,6 +452,12 @@ case class SignedIntDots(child: Expression, signs: Array[Array[Int]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(signs.nonEmpty, "SignedIntDots: at least one sign plane")
+  require(signs.forall(_.length == signs(0).length),
+    "signed_int_dots: all sign planes must share one dimension")
+
+  // Same fail-loudly rule as [[IntLshBandSignatures]]: a ragged vector
+  // must error, not yield a truncated partial dot (ADVICE r7).
+  private def dim: Int = signs(0).length
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "signed_int_dots"
@@ -459,11 +481,13 @@ case class SignedIntDots(child: Expression, signs: Array[Array[Int]])
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) throw new IllegalArgumentException(
+      s"$prettyName: vector length ${arr.numElements()} != plane dimension $dim")
     val dots = new Array[Long](signs.length)
     var p = 0
     while (p < signs.length) {
       val s = signs(p)
-      val n = math.min(arr.numElements(), s.length)
+      val n = s.length
       var dot = 0L
       var i = 0
       while (i < n) {
@@ -486,10 +510,15 @@ case class SignedIntDots(child: Expression, signs: Array[Array[Int]])
       val dot = ctx.freshName("dot")
       val s = ctx.freshName("s")
       s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "signed_int_dots: vector length " + $v.numElements() +
+         |    " != plane dimension " + $dim);
+         |}
          |long[] $dots = new long[${signs.length}];
          |for (int $p = 0; $p < ${signs.length}; $p++) {
          |  int[] $s = $signsRef[$p];
-         |  int $n = java.lang.Math.min($v.numElements(), $s.length);
+         |  int $n = $s.length;
          |  long $dot = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if (!$v.isNullAt($i)) {

@@ -601,6 +601,18 @@ object Dedup {
     * one duplicate cluster, so no single-partition trap.
     */
   def keepBestLosers(pairs: DataFrame, scores: DataFrame): DataFrame = {
+    // Positional (id, score) contract, enforced (ADVICE r7): a 3-column
+    // frame or a numeric-id/numeric-score swap would silently build a
+    // wrong loser set (deleting cluster winners) rather than erroring.
+    // Arity is checkable; column ORDER is not (both legs can be numeric),
+    // so the order stays documented contract + the score leg must at
+    // least be of numeric type for max() to make sense.
+    require(scores.columns.length == 2,
+      s"keepBestLosers: scores must be exactly (id, score); got " +
+        s"${scores.columns.length} columns ${scores.columns.mkString("(", ", ", ")")}")
+    require(scores.schema.fields(1).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"keepBestLosers: scores column 2 (the score) must be numeric; got " +
+        s"${scores.schema.fields(1).dataType.catalogString}")
     // duplicate score rows for one id would fan the label join out and put
     // BOTH copies (rk 1 and 2) of a cluster's winner into the loser set —
     // deleting the best row; resolve deterministically to the max score

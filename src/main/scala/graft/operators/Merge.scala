@@ -235,4 +235,20 @@ object Merge {
       .unionByName(stillCurrent)
       .unionByName(newVersions)
   }
+
+  /** SCD2 point-in-time reader — the natural consumer of [[scd2Apply]]'s
+    * history: select, for each key, the version that was valid at `ts`
+    * (`valid_from <= ts AND (valid_to IS NULL OR valid_to > ts)`). By
+    * scd2 construction validity intervals per key are disjoint, so this
+    * returns at most one row per key with no window or dedup needed; keys
+    * first inserted after `ts` simply don't appear.
+    *
+    * Scale shape: a pure codegen'd filter — both predicates push down to
+    * the history scan (and prune partitions when the history is
+    * partitioned on validity), so a point-in-time read of a 100 TB
+    * history touches only the row groups whose min/max straddle `ts`.
+    */
+  def scd2AsOf(hist: DataFrame, ts: Column): DataFrame =
+    hist.filter(col("valid_from") <= ts &&
+      (col("valid_to").isNull || col("valid_to") > ts))
 }

@@ -33,8 +33,30 @@ object TimeSeries {
     // pin, an expensive upstream (typically a full-corpus daily aggregate)
     // runs twice. Keyed daily rows are small relative to their source;
     // the entry lives until LRU eviction or `spark.catalog.clearCache()`
-    // (the minHashCandidatesPortable trade).
+    // (the minHashCandidatesPortable trade). When the caller controls the
+    // action, prefer [[gapFillDailyScoped]], which releases the pin
+    // deterministically instead of leaving it to LRU — at scale a leaked
+    // daily frame can evict hotter operator caches mid-plan.
     val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    plan(pinned, keyCol, dateCol, valCol)
+  }
+
+  /** [[gapFillDaily]] with deterministic cache release: pins the input,
+    * hands the gap-filled frame to `action`, and unpersists the pin in a
+    * `finally` once the action returns — no retained storage entry
+    * outlives the call (TimeSeriesSpec pins this). Use this form whenever
+    * the consumption is a single action (write, collect, aggregate);
+    * use [[gapFillDaily]] only when the frame must outlive the call site.
+    */
+  def gapFillDailyScoped[T](df: DataFrame, keyCol: String, dateCol: String,
+                            valCol: String)(action: DataFrame => T): T = {
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try action(plan(pinned, keyCol, dateCol, valCol))
+    finally pinned.unpersist()
+  }
+
+  private def plan(pinned: DataFrame, keyCol: String, dateCol: String,
+                   valCol: String): DataFrame = {
     val spine = pinned.groupBy(col(keyCol))
       .agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
       .select(col(keyCol),

@@ -245,6 +245,30 @@ object Streams {
     val indexBatchDir = s"$indexPath/__ingest_batch=$batchId"
     def committed(dir: String) =
       graft.pipeline.Sinks.exists(spark, s"$dir/_SUCCESS")
+    // Legacy-layout guard (ADVICE r7): a sink dir with ROOT-LEVEL part
+    // files (the pre-partition-dir flat append layout, or any foreign
+    // parquet dir) mixed with __ingest_batch=<id> subdirs fails Spark
+    // partition discovery with a conflicting-directory error at read time,
+    // and flat-layout batches have no per-batch _SUCCESS/manifest, so
+    // replay detection would misbehave. Fail at the WRITE with a migration
+    // message instead of corrupting the sink.
+    def requireBatchLayout(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val flat = fs.listStatus(p).filter(s =>
+          s.isFile && s.getPath.getName.startsWith("part-"))
+        if (flat.nonEmpty) throw new IllegalStateException(
+          s"dedupAgainstIndexEachBatch: $dir contains ${flat.length} root-level " +
+            "part files — a flat (non-batch-partitioned) layout this sink " +
+            "cannot append to. Migrate by moving the old files into a " +
+            s"$dir/__ingest_batch=-1/ subdirectory (with an empty _SUCCESS " +
+            "and _manifest-migrated marker), or point the stream at a fresh " +
+            "directory")
+      }
+    }
+    requireBatchLayout(acceptedPath)
+    requireBatchLayout(indexPath)
     def writeIndexRowsFrom(accepted: DataFrame): Unit =
       accepted.select(col(idCol).as("id"),
           graft.expressions.TextHashExpressions
@@ -288,6 +312,10 @@ object Streams {
       // But first prove this IS a replay of the same content, not a fresh
       // checkpoint lineage re-using the id.
       manifestOf(acceptedBatchDir) match {
+        case Some("migrated") =>
+          // operator-blessed pre-manifest dir (see requireBatchLayout's
+          // migration note): content check waived, replay-skip stands
+          ()
         case Some(prev) =>
           val cur = batchSig()
           if (prev != cur) throw new IllegalStateException(
@@ -298,11 +326,18 @@ object Streams {
               "accepted/index directories (or removing the old ones); " +
               "skipping would silently drop the new batch")
         case None =>
-          // a crash landed between the accepted commit and the manifest
-          // write: this genuine replay delivers the SAME content (checkpoint
-          // offsets), so backfill the manifest now instead of leaving this
-          // batch id unguarded forever
-          writeManifest(acceptedBatchDir, batchSig())
+          // The commit protocol below writes the manifest BEFORE _SUCCESS,
+          // so _SUCCESS-without-manifest cannot arise from any crash of
+          // this code (ADVICE r7 — the old backfill here let a reset-
+          // lineage batch id stamp ITS content over the hole and silently
+          // drop its own data). A dir in this state was written by
+          // something else; refuse to guess whose content it holds.
+          throw new IllegalStateException(
+            s"dedupAgainstIndexEachBatch: $acceptedBatchDir has _SUCCESS but " +
+              "no _manifest-* marker — not a state this sink's commit " +
+              "protocol produces. If the dir is a trusted pre-manifest " +
+              "migration, add an empty _manifest-migrated file; otherwise " +
+              "remove the dir and let the stream replay the batch")
       }
       if (!committed(indexBatchDir))
         writeIndexRowsFrom(spark.read.parquet(acceptedBatchDir))
@@ -321,16 +356,40 @@ object Streams {
       val batch = sigged.drop("__sig")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       batch.count()
+      // "index exists" must mean "has at least one committed batch dir" —
+      // a bare/empty directory (pre-created by an operator, or left by a
+      // crash before any batch committed) would fail parquet schema
+      // inference in the probe rather than meaning "nothing to dedup
+      // against yet".
+      val indexHasData = {
+        val p = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(p) && fs.listStatus(p).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("__ingest_batch="))
+      }
       val losers =
-        if (!graft.pipeline.Sinks.exists(spark, indexPath)) batch.limit(0).select(col(idCol))
+        if (!indexHasData) batch.limit(0).select(col(idCol))
         else graft.operators.Dedup
           .minHashProbeIndex(spark, indexPath, batch, idCol, textCol,
             shingleN, bands, rowsPerBand, minEstJaccard = minEst)
           .select(col("new_id").as(idCol)).distinct()
       val accepted = batch.join(losers, Seq(idCol), "left_anti")
         .localCheckpoint(true) // pin before the two writes below
-      accepted.write.mode("overwrite").parquet(acceptedBatchDir)
+      // Atomic commit, manifest included (ADVICE r7): data files first
+      // WITHOUT the _SUCCESS marker, then the manifest, then _SUCCESS by
+      // hand — so `committed` (= _SUCCESS present) implies the manifest
+      // exists and no crash can leave a committed-but-unguarded batch id.
+      // A crash anywhere before the touch leaves a marker-less dir that
+      // the replay overwrites wholesale (probe re-run is safe there: the
+      // index append is ordered after _SUCCESS, so the index cannot have
+      // moved for this batch).
+      accepted.write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .parquet(acceptedBatchDir)
       writeManifest(acceptedBatchDir, batchSig())
+      val successPath = new org.apache.hadoop.fs.Path(s"$acceptedBatchDir/_SUCCESS")
+      successPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(successPath, true).close()
       writeIndexRowsFrom(accepted)
       batch.unpersist()
     }

@@ -245,6 +245,22 @@ class DedupSpec extends SparkSpec {
     assert(losers == Set(1L, 3L, 9L))
   }
 
+  test("keepBestLosers: rejects wrong-arity or non-numeric score frames up front") {
+    // ADVICE r7: positional (id, score) reads meant a 3-column frame or a
+    // non-numeric second column silently built a wrong loser set
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val threeCols = Seq((1L, 10, "x")).toDF("id", "score", "extra")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.keepBestLosers(pairs, threeCols)
+    }
+    assert(e1.getMessage.contains("exactly (id, score)"))
+    val stringScore = Seq((1L, "high")).toDF("id", "score")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.keepBestLosers(pairs, stringScore)
+    }
+    assert(e2.getMessage.contains("must be numeric"))
+  }
+
   test("property: keepBestLosers == brute-force winners on random graphs (ScalaCheck)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.Prop.propBoolean

@@ -189,5 +189,21 @@ class MergeSpec extends SparkSpec {
     val again = Merge.scd2Apply(src, Merge.scd2Apply(src, hist, Seq("k"), t1),
       Seq("k"), to_timestamp(lit("2026-03-03 00:00:00")))
     assert(again.count() == 5)
+
+    // scd2AsOf: point-in-time reads of the same history — at most one row
+    // per key (intervals are disjoint by construction)
+    def asOfMap(at: String) =
+      Merge.scd2AsOf(out.toSeq.toDF("k", "v", "valid_from", "valid_to")
+          .withColumn("valid_from", to_timestamp(col("valid_from")))
+          .withColumn("valid_to", to_timestamp(col("valid_to"))),
+          to_timestamp(lit(at)))
+        .select(col("k"), col("v")).as[(Int, String)].collect().toMap
+    assert(asOfMap("2024-06-01 00:00:00") == Map(1 -> "ancient"))
+    assert(asOfMap("2025-06-01 00:00:00") == Map(1 -> "old", 2 -> "b"))
+    assert(asOfMap("2026-06-01 00:00:00") == Map(1 -> "new", 2 -> "b", 3 -> "c"))
+    // boundary semantics: valid_from inclusive, valid_to exclusive
+    assert(asOfMap("2025-01-01 00:00:00").get(1).contains("old"))
+    // before any version: key absent
+    assert(asOfMap("2023-01-01 00:00:00") == Map.empty[Int, String])
   }
 }

@@ -181,6 +181,64 @@ class StreamingSpec extends SparkSpec {
     assert(ids2.sorted == List(1L, 2L))
   }
 
+  test("dedupAgainstIndexEachBatch: manifest commits BEFORE _SUCCESS; marker-less dirs replay clean") {
+    val dir = Files.createTempDirectory("stream-dedup-atomic").toString
+    val (idx, acc) = (s"$dir/idx", s"$dir/accepted")
+    val ingest = Streams.dedupAgainstIndexEachBatch(idx, acc, "doc_id", "text")
+    val b0 = Seq(1L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    ingest(b0, 0L)
+    val bdir = new java.io.File(s"$acc/__ingest_batch=0")
+    def names() = bdir.listFiles().map(_.getName).toSet
+    // commit protocol invariant: a committed dir carries BOTH markers
+    assert(names().exists(_.startsWith("_manifest-")), names().mkString(", "))
+    assert(names().contains("_SUCCESS"))
+    // simulate a crash just before the _SUCCESS touch: data + manifest
+    // written, marker missing, index partition never written
+    assert(new java.io.File(bdir, "_SUCCESS").delete())
+    graft.pipeline.Sinks.drop(spark, s"$idx/__ingest_batch=0")
+    ingest(b0, 0L) // replay treats the dir as uncommitted and overwrites it
+    assert(names().contains("_SUCCESS"))
+    assert(names().exists(_.startsWith("_manifest-")))
+    assert(spark.read.parquet(acc).select("doc_id").as[Long].collect().toList == List(1L))
+    assert(spark.read.parquet(idx).select("id").as[Long].collect().toList == List(1L))
+  }
+
+  test("dedupAgainstIndexEachBatch: _SUCCESS without a manifest fails loudly (no backfill)") {
+    // ADVICE r7: the old backfill stamped the CURRENT batch's content over
+    // the hole, so a reset-lineage id colliding with such a dir silently
+    // dropped its own data. The commit order now makes the state
+    // unreachable from this code; encountering it means foreign writes.
+    val dir = Files.createTempDirectory("stream-dedup-nomanifest").toString
+    val (idx, acc) = (s"$dir/idx", s"$dir/accepted")
+    val ingest = Streams.dedupAgainstIndexEachBatch(idx, acc, "doc_id", "text")
+    val b0 = Seq(1L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    ingest(b0, 0L)
+    val bdir = new java.io.File(s"$acc/__ingest_batch=0")
+    bdir.listFiles().filter(_.getName.startsWith("_manifest-")).foreach(f => assert(f.delete()))
+    val ex = intercept[IllegalStateException] { ingest(b0, 0L) }
+    assert(ex.getMessage.contains("no _manifest"), ex.getMessage)
+    // operator-blessed migration marker waives the content check instead
+    new java.io.File(bdir, "_manifest-migrated").createNewFile()
+    ingest(b0, 0L) // replay-skip, no exception
+    assert(spark.read.parquet(acc).select("doc_id").as[Long].collect().toList == List(1L))
+  }
+
+  test("dedupAgainstIndexEachBatch: legacy flat sink layout fails with a migration message") {
+    val dir = Files.createTempDirectory("stream-dedup-flat").toString
+    val (idx, acc) = (s"$dir/idx", s"$dir/accepted")
+    // a pre-batch-dir sink: root-level part files, no __ingest_batch dirs
+    Seq(1L -> "old flat layout doc").toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(acc)
+    val ingest = Streams.dedupAgainstIndexEachBatch(idx, acc, "doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      ingest(Seq(2L -> "new doc").toDF("doc_id", "text"), 0L)
+    }
+    assert(ex.getMessage.contains("root-level part files"), ex.getMessage)
+    assert(ex.getMessage.contains("__ingest_batch=-1"), ex.getMessage)
+  }
+
   test("dedupAgainstIndexEachBatch: a colliding batch id with different content fails loudly") {
     // a stream restarted from a lost checkpoint renumbers batches from 0 —
     // re-using old sink dirs must NOT silently skip the new data as a replay

@@ -65,4 +65,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.filter(col("v").isNull).count() == 0)
     assert(out.count() == 2)
   }
+
+  test("gapFillDailyScoped: releases the input pin once the action completes") {
+    val df = Seq(("a", "2024-01-01", 1.0), ("a", "2024-01-03", 3.0))
+      .toDF("k", "day", "v").withColumn("day", col("day").cast("date"))
+    var duringLevel: org.apache.spark.storage.StorageLevel = null
+    val rows = TimeSeries.gapFillDailyScoped(df, "k", "day", "v") { filled =>
+      val n = filled.count()
+      duringLevel = df.storageLevel // pinned while the action runs
+      n
+    }
+    assert(rows == 3)
+    assert(duringLevel.useMemory || duringLevel.useDisk,
+      s"input should be pinned during the action, was $duringLevel")
+    // the pin must NOT outlive the call — same result as the merge
+    // fixtures' deterministic release, no reliance on LRU
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      s"input still cached after scoped call: ${df.storageLevel}")
+  }
+
+  test("gapFillDailyScoped: unpersists even when the action throws") {
+    val df = Seq(("a", "2024-01-01", 1.0))
+      .toDF("k", "day", "v").withColumn("day", col("day").cast("date"))
+    intercept[RuntimeException] {
+      TimeSeries.gapFillDailyScoped(df, "k", "day", "v") { _ =>
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
 }

@@ -106,4 +106,31 @@ class VectorExpressionsSpec extends SparkSpec {
     val df = Seq((Array(1.0, 2.0), Array(3.0f, 4.0f))).toDF("a", "b")
     assert(df.select(quantizedDot(col("a"), col("b"))).as[Long].head() == 11000000L)
   }
+
+  test("integer expressions fail loudly on ragged vectors (no silent truncation)") {
+    // ADVICE r7: a vector shorter/longer than the plane dimension used to
+    // dot over the common prefix — a plausible partial signature instead of
+    // an error. Both the codegen and interpreted paths must throw now.
+    val planes = Array(Array(1, -1, 1, -1)) // dim 4
+    val short = Seq((1L, Array(1, 2, 3))).toDF("id", "v") // dim 3
+    val long2 = Seq((1L, Array(1, 2, 3, 4, 5))).toDF("id", "v") // dim 5
+    for (df <- Seq(short, long2)) {
+      val e1 = intercept[Exception] {
+        df.select(graft.expressions.VectorExpressions
+          .intLshBandSignatures(col("v"), planes, 1)).collect()
+      }
+      assert(e1.toString.contains("plane dimension") ||
+        Option(e1.getCause).exists(_.toString.contains("plane dimension")), e1.toString)
+      val e2 = intercept[Exception] {
+        df.select(graft.expressions.VectorExpressions
+          .signedIntDots(col("v"), planes)).collect()
+      }
+      assert(e2.toString.contains("plane dimension") ||
+        Option(e2.getCause).exists(_.toString.contains("plane dimension")), e2.toString)
+    }
+    // exact-dimension input still works on both
+    val ok = Seq((1L, Array(1, 2, 3, 4))).toDF("id", "v")
+    assert(ok.select(graft.expressions.VectorExpressions
+      .signedIntDots(col("v"), planes).getItem(0)).as[Long].head() == 1 - 2 + 3 - 4)
+  }
 }
