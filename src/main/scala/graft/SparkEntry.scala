@@ -131,6 +131,9 @@ object SparkEntry {
   private lazy val jsonlTmpDir =
     java.nio.file.Files.createTempDirectory("graft-jsonl").toString
 
+  private lazy val compactTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-compact").toString
+
   private def ivfIndexPath(sfDir: String): String =
     s"$ivfTmpDir/${new java.io.File(sfDir).getName}"
 
@@ -476,6 +479,30 @@ object SparkEntry {
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
           sum(length(col("text")).cast("bigint")).as("sum_text_len"),
           count(col("_corrupt_record")).as("n_corrupt"))
+        .orderBy("lang")
+    }),
+    // Small-file compaction round trip: scatter the documents table
+    // across 16 per-batch partition dirs (the streaming ingest's
+    // accretion pattern), run Sinks.compact — which collapses the
+    // bookkeeping partitions into the reserved __ingest_batch=-1 and
+    // rewrites toward the target file size — and aggregate what comes
+    // back. Values must equal the parquet truth exactly: compaction is
+    // pure layout, never data. (Probe-stability across compaction is
+    // additionally pinned in StreamingSpec's compact test.)
+    "q_pipeline_compact_roundtrip" -> ((s, d) => {
+      val path = s"$compactTmpDir/${new java.io.File(d).getName}/docs"
+      Sinks.drop(s, path) // idempotent across verify+bench in one process
+      t(s, d, "documents")
+        .withColumn("__ingest_batch", col("doc_id") % 16)
+        .write.partitionBy("__ingest_batch").parquet(path)
+      Sinks.compact(s, path)
+      s.read.parquet(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_ids"),
+          sum("n_chars").as("sum_chars"),
+          sum(length(col("text")).cast("bigint")).as("sum_text_len"),
+          max(col("__ingest_batch")).as("batch_tag"))
         .orderBy("lang")
     }),
     // ---- dedup family ---------------------------------------------------
@@ -1439,6 +1466,15 @@ object SparkEntry {
         |  o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderstatus <> 'F' OR o_orderstatus IS NULL
         |ORDER BY id""".stripMargin,
+    // batch_tag = -1 proves every row landed in the reserved compaction
+    // partition; the aggregates prove no row or character was lost
+    "q_pipeline_compact_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(text)) AS BIGINT) AS sum_text_len,
+        |  CAST(-1 AS BIGINT) AS batch_tag
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact_groups" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
