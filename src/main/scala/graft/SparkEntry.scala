@@ -641,6 +641,14 @@ object SparkEntry {
       docs.join(losers.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
+    // C4-style cross-doc span removal: 2-token spans (the fixture's word
+    // soup makes short spans collide across docs, exercising real
+    // removal), banned at >= 5 distinct docs, every document rebuilt —
+    // the oracle reconstructs each cleaned text character-for-character.
+    "q_dedup_spans_across" -> ((s, d) =>
+      Dedup.dedupSpansAcross(t(s, d, "documents"), "doc_id", "text",
+          spanTokens = 2, minDocs = 5)
+        .orderBy("doc_id")),
     // Deterministic per-row-weighted Bernoulli sample: weight rises with
     // doc length, capped at 1 — the quality-weighted mix step. md5-derived
     // uniform, so the oracle replays the exact keep set.
@@ -741,6 +749,23 @@ object SparkEntry {
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // PII scrub over fixture-derived text with injected synthetic PII
+    // (email/IP/phone/URL built from doc_id, so both engines construct
+    // the identical input) — the oracle replays the same regex chain in
+    // DuckDB/RE2, pinning cross-engine pattern parity character-for-
+    // character.
+    "q_text_redact_pii" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.redactPii(concat_ws(" ",
+            substring(col("text"), 1, 40),
+            lit("contact"),
+            concat(lit("user"), col("doc_id"), lit("@mail.example.com")),
+            lit("at"),
+            concat(lit("10.0."), col("doc_id") % 256, lit(".7")),
+            lit("tel 555-123-4567 see"),
+            concat(lit("https://ex.example/p/"), col("doc_id"))))
+            .as("redacted"))
+        .orderBy("doc_id")),
     // ---- semi-structured (JSON property extraction) ---------------------
     "q_ev_json_extract" -> ((s, d) =>
       SemiStructured.parseJson(t(s, d, "events"), "props", "k INT")
@@ -770,6 +795,15 @@ object SparkEntry {
       Curation.sampleStratified(t(s, d, "documents"), "lang", "doc_id",
           Map("en" -> 0.5, "es" -> 0.25), defaultFraction = 0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // Source-mixture resample toward 50/30/20 over three sources at a
+    // 60-row target. At sf0.01 (the correctness gate's scale, 25 docs per
+    // source) src0's target share exceeds its population so its fraction
+    // caps at 1.0 (keep-all) while src1/src2 sample fractionally — both
+    // regimes of the operator under oracle check in one query.
+    "q_cur_mixture_sample" -> ((s, d) =>
+      Curation.mixtureSample(t(s, d, "documents"), "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), targetRows = 60)
+        .select("doc_id", "source").orderBy("doc_id")),
     "q_cur_topk_per_group" -> ((s, d) =>
       Aggregates.topKPerGroup(t(s, d, "documents"), Seq("lang"),
           Seq(col("n_chars").desc, col("doc_id").asc), k = 10)
@@ -1613,6 +1647,33 @@ object SparkEntry {
         |        AS BIGINT) AS DOUBLE) / 4294967296.0
         |      < least(greatest(CAST(n_chars AS DOUBLE) / 400.0, 0.0), 1.0)
         |ORDER BY doc_id""".stripMargin,
+    // Replays dedupSpansAcross exactly: same 0-based span starts
+    // (i*2 < n_tokens), same clamped final short span, bans at >= 5
+    // distinct docs, rebuilds in span order; docs with every span banned
+    // survive with empty text.
+    "q_dedup_spans_across" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, i AS span_id,
+        |    array_to_string(tk[i*2+1 : i*2+2], ' ') AS span
+        |  FROM w, unnest(range(0, CAST(ceil(len(tk)/2.0) AS BIGINT))) AS r(i)),
+        |banned AS (
+        |  SELECT span FROM spans GROUP BY span
+        |  HAVING count(DISTINCT doc_id) >= 5),
+        |kept AS (
+        |  SELECT doc_id, span_id, span FROM spans
+        |  WHERE span NOT IN (SELECT span FROM banned)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(span, ' ' ORDER BY span_id) AS text_clean,
+        |    count(*) AS n
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_spans_kept
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_decontaminate" ->
       """WITH ct AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
@@ -1808,6 +1869,22 @@ object SparkEntry {
         |  s.mx / CAST(s.nb AS DOUBLE) AS top_bigram_frac
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Same regex chain, RE2 dialect, 'g' (global) flag = Spark's
+    // replace-all default; input text constructed identically from the
+    // fixture on both sides.
+    "q_text_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    concat_ws(' ', substr(text, 1, 40), 'contact',
+        |      'user' || doc_id || '@mail.example.com', 'at',
+        |      '10.0.' || (doc_id % 256) || '.7',
+        |      'tel 555-123-4567 see',
+        |      'https://ex.example/p/' || doc_id),
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_ev_json_extract" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -1858,6 +1935,26 @@ object SparkEntry {
         |WHERE pri < CASE lang WHEN 'en' THEN 2147483648
         |                      WHEN 'es' THEN 1073741824
         |                      ELSE 429496730 END
+        |ORDER BY doc_id""".stripMargin,
+    // Replays mixtureSample's fraction arithmetic EXACTLY, including the
+    // left-associated double ops (60*w, /wSum, /n) and the half-up round
+    // to the 2^32 threshold — any reordering would drift an ulp and flip
+    // boundary rows.
+    "q_cur_mixture_sample" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS pri
+        |  FROM documents)
+        |SELECT doc_id, p.source FROM p JOIN c USING (source)
+        |WHERE pri < round(least(1.0,
+        |    60.0 * CASE p.source WHEN 'src0' THEN 0.5
+        |                         WHEN 'src1' THEN 0.3
+        |                         ELSE 0.2 END
+        |      / (0.5 + 0.3 + 0.2) / c.n) * 4294967296.0)
         |ORDER BY doc_id""".stripMargin,
     "q_cur_topk_per_group" ->
       """SELECT doc_id, lang, n_chars FROM (

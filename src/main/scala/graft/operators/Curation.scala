@@ -192,6 +192,45 @@ object Curation {
     df.filter(pri < thCol)
   }
 
+  /** Deterministic SOURCE-MIXTURE resampling — "make the training mix 50%
+    * web, 30% books, 20% code": given relative target weights per group
+    * and a target corpus size, derive each group's keep-fraction
+    * `min(1, targetRows·w_g/Σw / n_g)` and apply [[sampleStratified]]'s
+    * md5-priority prefix filter with those fractions. Inherits all of its
+    * guarantees: growth-stable, nested (shrinking `targetRows` keeps a
+    * subset), seedless, oracle-portable. A group whose target share
+    * exceeds its population keeps everything (fraction caps at 1.0) —
+    * upsampling by duplication is deliberately out of scope (epoch
+    * weights belong in the trainer, not the corpus). Groups present in
+    * the data but absent from `weights` drop entirely (share 0 of the
+    * mix).
+    *
+    * Shape: one group-count hash aggregate pulled to the driver —
+    * group-cardinality rows, metadata scale, the same boundedness
+    * argument as capPerGroup's histogram (require-guarded at 4096
+    * groups) — then a row-local codegen'd filter. No shuffle of data
+    * rows at any point.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, idCol: String,
+                    weights: Map[String, Double], targetRows: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0)
+        && weights.values.sum > 0.0,
+      s"mixtureSample: weights must be non-negative with a positive sum, got $weights")
+    require(targetRows >= 0, s"mixtureSample: targetRows must be >= 0, got $targetRows")
+    require(weights.size <= 4096,
+      s"mixtureSample: ${weights.size} groups — the driver-side count pull is " +
+        "bounded at 4096 (same cap as capPerGroup); coarsen the grouping")
+    val wSum = weights.values.sum
+    val counts = df.filter(col(groupCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = weights.flatMap { case (g, w) =>
+      counts.get(g).map(n => g -> math.min(1.0, targetRows * w / wSum / n))
+    }
+    sampleStratified(df, groupCol, idCol, fractions, defaultFraction = 0.0)
+  }
+
   /** Deterministic PER-ROW-WEIGHTED Bernoulli sample: keep a row iff
     * u(id) < clamp(weight, 0, 1), where u(id) is the md5-derived uniform
     * [[sampleStratified]] already uses (first 8 hex chars / 2^32). The

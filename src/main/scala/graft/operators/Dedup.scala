@@ -669,6 +669,54 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** C4-style CROSS-DOCUMENT span removal: chunk every document into
+    * non-overlapping windows of `spanTokens` whitespace tokens
+    * ([[graft.operators.Curation.chunkDocuments]] with stride = span),
+    * count each distinct span's document frequency corpus-wide, and
+    * rebuild every document with the spans that occur in >= `minDocs`
+    * DISTINCT documents removed — the "three-sentence span" rule of the
+    * C4/MassiveText cleanup recipe (boilerplate, licenses, navigation
+    * chrome repeat VERBATIM across pages; intra-doc repetition is
+    * [[graft.operators.TextAnalysis.repetitionStats]]' job). Output: one
+    * row per input document — `text_clean` (kept spans re-joined in
+    * order; empty when everything was boilerplate) and `n_spans_kept`.
+    *
+    * Scale shape: the chunker is a map-side posexplode (no shuffle);
+    * the frequency pass groups on `md5(span)` — a fixed 16-byte key, so
+    * the shuffle width never depends on span length — followed by one
+    * left-anti join of spans against the banned fingerprints and one
+    * per-doc hash aggregate to reassemble (sort_array over that DOC's
+    * spans only, never a corpus window). Rows ∝ corpus tokens / span —
+    * linear, all stages keyed, no all-pairs anywhere.
+    */
+  def dedupSpansAcross(df: DataFrame, idCol: String, textCol: String,
+                       spanTokens: Int, minDocs: Long): DataFrame = {
+    require(spanTokens > 0, s"dedupSpansAcross: spanTokens must be > 0, got $spanTokens")
+    require(minDocs >= 2,
+      s"dedupSpansAcross: minDocs must be >= 2 (1 would ban every span), got $minDocs")
+    val spans = Curation.chunkDocuments(df.select(col(idCol), col(textCol)),
+        idCol, textCol, chunkTokens = spanTokens, strideTokens = spanTokens)
+      .withColumn("__fp", md5(col("chunk_text")))
+    val banned = spans.groupBy(col("__fp"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__fp"))
+    val rebuilt = spans.join(banned, Seq("__fp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text"))).as("text_clean"),
+        count(lit(1)).as("n_spans_kept"))
+    // docs whose every span was banned (or that had no tokens) must
+    // survive with empty text — dedup rewrites content, never drops rows
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"))
+  }
+
   /** Train/eval DECONTAMINATION — per-corpus-doc count of distinct word
     * n-grams shared with a benchmark/eval set. Cross-corpus containment,
     * not self-dedup: a training doc that embeds an eval answer is

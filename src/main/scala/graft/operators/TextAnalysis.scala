@@ -91,6 +91,29 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(trim(lower(regexp_replace(text, "\\s+", " "))), 256)
 
+  /** PII redaction — the scrubbing pass every pre-training corpus runs
+    * before anything else sees the text: URLs, emails, IPv4 addresses,
+    * and US-style phone numbers replaced by typed placeholder tokens
+    * (`<URL>`/`<EMAIL>`/`<IP>`/`<PHONE>`; typed, not blank, so token
+    * statistics and span boundaries survive the scrub). Patterns are
+    * deliberately conservative and restricted to syntax valid in BOTH
+    * Java regex and RE2 (no lookaround, no backreferences) so the same
+    * rules replay on any engine — recall-heavy locale-specific variants
+    * belong in caller-supplied extra patterns, not here. Order matters
+    * and is fixed: URLs first (an email or IP inside a URL is consumed
+    * by `<URL>` wholesale), then emails, then IPs, then phones. A pure
+    * codegen'd `regexp_replace` chain — row-local, no shuffle, safe
+    * inside any scan projection at 100 TB.
+    */
+  def redactPii(text: Column): Column = {
+    val url = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val email = regexp_replace(url,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>")
+  }
+
   /** TF-IDF per (doc, term) with corpus-wide statistics: one token explode,
     * two hash-aggregates (term frequency per doc, document frequency per
     * term) and a term-keyed join — no per-doc vocabulary state, so the

@@ -201,6 +201,33 @@ class CurationSpec extends SparkSpec {
     ), out.mkString(", "))
   }
 
+  test("mixtureSample: caps over-demanded groups, rates the rest, drops unweighted") {
+    // g0: 10 rows, g1: 100 rows, g2: 100 rows (unweighted)
+    val df = ((1L to 10L).map(i => (i, "g0")) ++
+      (11L to 110L).map(i => (i, "g1")) ++
+      (111L to 210L).map(i => (i, "g2"))).toDF("id", "g")
+    val out = Curation.mixtureSample(df, "g", "id",
+        Map("g0" -> 0.5, "g1" -> 0.5), targetRows = 60)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    // g0's target share (30 rows) exceeds its 10-row population: keep all
+    assert(out("g0") == 10L, out.toString)
+    // g1 samples at ~30/100; md5 uniform so allow slack
+    assert(out("g1") >= 15L && out("g1") <= 45L, out.toString)
+    assert(!out.contains("g2"), out.toString) // no weight -> dropped
+    // nested: a smaller target is a strict subset of a larger one
+    val small = Curation.mixtureSample(df, "g", "id",
+      Map("g0" -> 0.5, "g1" -> 0.5), targetRows = 20).select("id").as[Long].collect().toSet
+    val big = Curation.mixtureSample(df, "g", "id",
+      Map("g0" -> 0.5, "g1" -> 0.5), targetRows = 60).select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big), s"${small.size} not nested in ${big.size}")
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSample(df, "g", "id", Map.empty, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSample(df, "g", "id", Map("g0" -> -0.1, "g1" -> 0.5), 10)
+    }
+  }
+
   test("sampleStratified: five distinct fractions land on their own groups") {
     val df = (1L to 5000L).map(i => (i, "g" + (i % 5))).toDF("id", "g")
     val fr = Map("g0" -> 0.0, "g1" -> 0.1, "g2" -> 0.5, "g3" -> 0.9, "g4" -> 1.0)

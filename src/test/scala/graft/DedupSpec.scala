@@ -245,6 +245,37 @@ class DedupSpec extends SparkSpec {
     assert(losers == Set(1L, 3L, 9L))
   }
 
+  test("dedupSpansAcross: removes cross-doc boilerplate spans, rebuilds in order") {
+    // span = 2 tokens; "copy right" appears in 3 docs -> banned at minDocs=3;
+    // "unique text" variants survive. Doc 4 is ALL boilerplate -> empty.
+    val df = Seq(
+      (1L, "copy right alpha beta"),
+      (2L, "copy right gamma delta"),
+      (3L, "copy right epsilon zeta"),
+      (4L, "copy right"),
+      (5L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpansAcross(df, "doc_id", "text", spanTokens = 2,
+        minDocs = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "alpha beta", 1L),
+      (2L, "gamma delta", 1L),
+      (3L, "epsilon zeta", 1L),
+      (4L, "", 0L),                          // row survives, content gone
+      (5L, "totally unrelated words here", 2L)))
+    // final short span: 5 tokens -> spans (2,2,1); the 1-token tail is its
+    // own span and dedups independently
+    val odd = Seq((1L, "a b c d tail"), (2L, "x y tail"), (3L, "p q tail"))
+      .toDF("doc_id", "text")
+    val got2 = Dedup.dedupSpansAcross(odd, "doc_id", "text", 2, 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 == Seq((1L, "a b c d", 2L), (2L, "x y", 1L), (3L, "p q", 1L)))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupSpansAcross(df, "doc_id", "text", 2, minDocs = 1)
+    }
+  }
+
   test("keepBestLosers: rejects wrong-arity or non-numeric score frames up front") {
     // ADVICE r7: positional (id, score) reads meant a 3-column frame or a
     // non-numeric second column silently built a wrong loser set

@@ -135,4 +135,24 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.isNullAt(r.fieldIndex("top_bigram_frac")))
     }
   }
+
+  test("redactPii: typed placeholders, URL consumes embedded email, text survives") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "server at 192.168.001.1 port open"),
+      (3L, "call 555-123-4567 or 555 987 6543 today"),
+      (4L, "see https://ex.example/u?mail=a@b.co&x=1 for info"),
+      (5L, "no pii here just words"),
+      (6L, "version 1.2.3 released")   // 3-part dotted version: NOT an IP
+    ).toDF("id", "text")
+    val got = df.select(col("id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail <EMAIL> now")
+    assert(got(2L) == "server at <IP> port open")
+    assert(got(3L) == "call <PHONE> or <PHONE> today")
+    // the email inside the URL is consumed by <URL> wholesale (order rule)
+    assert(got(4L) == "see <URL> for info")
+    assert(got(5L) == "no pii here just words")
+    assert(got(6L) == "version 1.2.3 released")
+  }
 }
