@@ -766,6 +766,32 @@ object SparkEntry {
             concat(lit("https://ex.example/p/"), col("doc_id"))))
             .as("redacted"))
         .orderBy("doc_id")),
+    // URL canonicalization over messy URLs constructed from doc_id (mixed-
+    // case scheme/host, default and non-default ports, trailing slash,
+    // utm tracking params, fragment — each regime hit by a doc_id
+    // residue). The oracle rebuilds the identical input and replays the
+    // identical regex chain in RE2, pinning the full rule order
+    // character-for-character.
+    "q_text_canon_url" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.canonicalizeUrl(concat(
+            when(col("doc_id") % 4 === 0, lit("http://"))
+              .when(col("doc_id") % 4 === 1, lit("HTTPS://"))
+              .when(col("doc_id") % 4 === 2, lit("https://"))
+              .otherwise(lit("HTTP://")),
+            lit("Site"), col("doc_id") % 7, lit(".Example.COM"),
+            when(col("doc_id") % 4 === 0, lit(":80"))
+              .when(col("doc_id") % 4 === 1, lit(":443"))
+              .when(col("doc_id") % 4 === 2, lit(""))
+              .otherwise(lit(":8080")),
+            lit("/Path/"), col("doc_id"),
+            when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 2 === 0,
+              concat(lit("?utm_source=feed&id="), col("doc_id"),
+                lit("&utm_campaign=x"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit(""))))
+            .as("url_canon"))
+        .orderBy("doc_id")),
     // ---- semi-structured (JSON property extraction) ---------------------
     "q_ev_json_extract" -> ((s, d) =>
       SemiStructured.parseJson(t(s, d, "events"), "props", "k INT")
@@ -1885,6 +1911,41 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same input construction and the same rule chain (fragment, lower
+    // authority, default ports, tracking params, separator repair,
+    // trailing slash) in RE2 with global flags; \1\2 is RE2's spelling
+    // of Java's $1$2 and both substitute "" for an unmatched group.
+    "q_text_canon_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'http://'
+        |      WHEN 1 THEN 'HTTPS://' WHEN 2 THEN 'https://'
+        |      ELSE 'HTTP://' END
+        |    || 'Site' || (doc_id % 7) || '.Example.COM'
+        |    || CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN ':80'
+        |      WHEN 1 THEN ':443' WHEN 2 THEN '' ELSE ':8080' END
+        |    || '/Path/' || doc_id
+        |    || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0
+        |         THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=x'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS u FROM u),
+        |s2 AS (SELECT doc_id,
+        |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+        |    || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')
+        |    AS u FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |  '^(http://[^/?#:]+):80([/?#].*)?$', '\1\2', 'g'),
+        |  '^(https://[^/?#:]+):443([/?#].*)?$', '\1\2', 'g') AS u FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(u,
+        |  '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g') AS u
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
+        |  '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', '', 'g') AS u FROM s4)
+        |SELECT doc_id, regexp_replace(u, '/$', '', 'g') AS url_canon
+        |FROM s5 ORDER BY doc_id""".stripMargin,
     "q_ev_json_extract" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

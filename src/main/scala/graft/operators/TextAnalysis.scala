@@ -114,6 +114,42 @@ object TextAnalysis {
     regexp_replace(ip, "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>")
   }
 
+  /** URL canonicalization — the normalization pass before any URL-keyed
+    * dedup or domain statistics (the same crawl page arrives as
+    * `HTTP://Site.COM:80/p/`, `http://site.com/p?utm_source=x`, and
+    * `http://site.com/p#top`; without canonicalization URL-dedup
+    * under-merges and domain counts fragment). Rules, in fixed order:
+    * strip the `#fragment`; lowercase the `scheme://authority` (path and
+    * query are case-SENSITIVE per RFC 3986 and left alone); drop default
+    * ports (`:80` for http, `:443` for https); remove tracking
+    * parameters (`utm_*`, `fbclid`, `gclid`) with separator repair;
+    * strip a single trailing slash. Non-URL strings pass through
+    * unchanged (every rule anchors on URL syntax). Patterns are
+    * Java∩RE2 syntax (no lookaround) so the chain replays on any
+    * engine; a pure codegen'd `regexp_replace`/`regexp_extract` chain —
+    * row-local, no shuffle, safe inside any scan projection at 100 TB.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val auth = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+    val noFrag = regexp_replace(url, "#.*", "")
+    // lower(authority) + untouched remainder; regexp_extract yields ""
+    // on non-URLs, leaving the input unchanged
+    val lowered = concat(
+      lower(regexp_extract(noFrag, auth, 0)),
+      regexp_replace(noFrag, auth, ""))
+    val p80 = regexp_replace(lowered,
+      "^(http://[^/?#:]+):80([/?#].*)?$", "$1$2")
+    val p443 = regexp_replace(p80,
+      "^(https://[^/?#:]+):443([/?#].*)?$", "$1$2")
+    val noTrack = regexp_replace(p443,
+      "([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*", "$1")
+    // separator repair: each removed param leaves its leading [?&], so
+    // consecutive removals create "&&" runs and "?&"/trailing strays
+    val sepFix = regexp_replace(regexp_replace(regexp_replace(noTrack,
+      "&&+", "&"), "\\?&", "?"), "[?&]+$", "")
+    regexp_replace(sepFix, "/$", "")
+  }
+
   /** TF-IDF per (doc, term) with corpus-wide statistics: one token explode,
     * two hash-aggregates (term frequency per doc, document frequency per
     * term) and a term-keyed join — no per-doc vocabulary state, so the

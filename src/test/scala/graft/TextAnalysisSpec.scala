@@ -155,4 +155,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(5L) == "no pii here just words")
     assert(got(6L) == "version 1.2.3 released")
   }
+
+  test("canonicalizeUrl: fragment, case, ports, tracking params, slashes") {
+    val df = Seq(
+      (1L, "HTTP://WWW.Example.COM:80/Path/To?utm_source=a&id=9&utm_x=b#frag"),
+      (2L, "https://Site.com:443/"),
+      (3L, "http://a.com:8080/x/"),            // non-default port survives
+      (4L, "not a url"),                        // pass-through
+      (5L, "http://b.com/p?fbclid=abc"),
+      (6L, "HTTPS://X.Y/p?a=1&gclid=2&b=3"),   // mid-list removal repairs &
+      (7L, "http://c.com/p?utm_a=1&utm_b=2")   // all params tracked -> none
+    ).toDF("id", "url")
+    val got = df.select(col("id"),
+        TextAnalysis.canonicalizeUrl(col("url")).as("u"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "http://www.example.com/Path/To?id=9")
+    assert(got(2L) == "https://site.com")
+    assert(got(3L) == "http://a.com:8080/x")
+    assert(got(4L) == "not a url")
+    assert(got(5L) == "http://b.com/p")
+    assert(got(6L) == "https://x.y/p?a=1&b=3")
+    assert(got(7L) == "http://c.com/p")
+  }
 }
