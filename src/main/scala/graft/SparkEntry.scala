@@ -649,6 +649,14 @@ object SparkEntry {
       Dedup.dedupSpansAcross(t(s, d, "documents"), "doc_id", "text",
           spanTokens = 2, minDocs = 5)
         .orderBy("doc_id")),
+    // Intra-doc span dedup: first occurrence of each 2-token span kept,
+    // verbatim repeats dropped; the fixture's small vocabulary makes
+    // within-doc repeats common, so real removal is exercised. Oracle
+    // rebuilds every cleaned text character-for-character.
+    "q_dedup_spans_within" -> ((s, d) =>
+      Dedup.dedupSpansWithinDoc(t(s, d, "documents"), "doc_id", "text",
+          spanTokens = 2)
+        .orderBy("doc_id")),
     // Deterministic per-row-weighted Bernoulli sample: weight rises with
     // doc length, capped at 1 — the quality-weighted mix step. md5-derived
     // uniform, so the oracle replays the exact keep set.
@@ -1696,6 +1704,28 @@ object SparkEntry {
         |  SELECT doc_id, string_agg(span, ' ' ORDER BY span_id) AS text_clean,
         |    count(*) AS n
         |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_spans_kept
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Same span construction as q_dedup_spans_across; keeps min(span_id)
+    // per distinct (doc, span) and rebuilds in first-occurrence order.
+    "q_dedup_spans_within" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, i AS span_id,
+        |    array_to_string(tk[i*2+1 : i*2+2], ' ') AS span
+        |  FROM w, unnest(range(0, CAST(ceil(len(tk)/2.0) AS BIGINT))) AS r(i)),
+        |firsts AS (
+        |  SELECT doc_id, span, min(span_id) AS keep_id
+        |  FROM spans GROUP BY doc_id, span),
+        |agg AS (
+        |  SELECT doc_id, string_agg(span, ' ' ORDER BY keep_id) AS text_clean,
+        |    count(*) AS n
+        |  FROM firsts GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
         |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_spans_kept
         |FROM documents d LEFT JOIN agg a USING (doc_id)

@@ -717,6 +717,45 @@ object Dedup {
         coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"))
   }
 
+  /** INTRA-document span dedup — the within-doc counterpart of
+    * [[dedupSpansAcross]] (and the removal counterpart of
+    * [[graft.operators.TextAnalysis.repetitionStats]], which only
+    * measures): chunk each document into non-overlapping `spanTokens`
+    * windows and keep the FIRST occurrence of each distinct span,
+    * dropping verbatim intra-doc repeats (generated boilerplate, copy
+    * loops, scraper echo). Output: one row per input document —
+    * `text_clean` (kept spans in original order) and `n_spans_kept`.
+    * Every document always survives (empty text iff it had no tokens).
+    *
+    * Scale shape: map-side chunker (posexplode, no shuffle), then one
+    * hash aggregate keyed on (doc, md5(span)) taking min(position) —
+    * fixed-width key, per-doc cardinality, never corpus-wide — and one
+    * per-doc rebuild aggregate. Both shuffles are doc-keyed; nothing is
+    * all-pairs and no window spans the corpus.
+    */
+  def dedupSpansWithinDoc(df: DataFrame, idCol: String, textCol: String,
+                          spanTokens: Int): DataFrame = {
+    require(spanTokens > 0,
+      s"dedupSpansWithinDoc: spanTokens must be > 0, got $spanTokens")
+    val spans = Curation.chunkDocuments(df.select(col(idCol), col(textCol)),
+        idCol, textCol, chunkTokens = spanTokens, strideTokens = spanTokens)
+    val firsts = spans
+      .groupBy(col(idCol), md5(col("chunk_text")).as("__fp"))
+      .agg(min(col("chunk_id")).as("__keep_id"),
+        first(col("chunk_text")).as("__span"))
+    val rebuilt = firsts.groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__keep_id"), col("__span")))),
+          s => s.getField("__span"))).as("text_clean"),
+        count(lit(1)).as("n_spans_kept"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"))
+  }
+
   /** Train/eval DECONTAMINATION — per-corpus-doc count of distinct word
     * n-grams shared with a benchmark/eval set. Cross-corpus containment,
     * not self-dedup: a training doc that embeds an eval answer is

@@ -276,6 +276,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedupSpansWithinDoc: keeps first occurrence, preserves order, never drops rows") {
+    val df = Seq(
+      (1L, "a b a b c d"),       // [a b][a b][c d] -> "a b c d"
+      (2L, "x y z"),             // [x y][z] no repeats -> unchanged
+      (3L, ""),                  // no tokens -> survives empty
+      (4L, "k k k k k k")        // [k k]x3 -> "k k"
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpansWithinDoc(df, "doc_id", "text", spanTokens = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a b c d", 2L),
+      (2L, "x y z", 2L),
+      (3L, "", 0L),
+      (4L, "k k", 1L)))
+    // first-occurrence ORDER: a later span that repeats an earlier one
+    // disappears, but distinct later spans keep their position
+    val ord = Seq((1L, "p q r s p q t u")).toDF("doc_id", "text")
+    val got2 = Dedup.dedupSpansWithinDoc(ord, "doc_id", "text", 2)
+      .as[(Long, String, Long)].collect().head
+    assert(got2 == ((1L, "p q r s t u", 3L)))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupSpansWithinDoc(df, "doc_id", "text", 0)
+    }
+  }
+
   test("keepBestLosers: rejects wrong-arity or non-numeric score frames up front") {
     // ADVICE r7: positional (id, score) reads meant a 3-column frame or a
     // non-numeric second column silently built a wrong loser set

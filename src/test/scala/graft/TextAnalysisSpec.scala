@@ -177,4 +177,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(6L) == "https://x.y/p?a=1&b=3")
     assert(got(7L) == "http://c.com/p")
   }
+
+  test("property: canonicalizeUrl is idempotent on messy URLs and non-URLs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val urlGen = for {
+      scheme <- Gen.oneOf("http://", "HTTP://", "https://", "HTTPS://", "")
+      host   <- Gen.oneOf("Example.COM", "a.b.Example.org", "X.Y", "site.com")
+      port   <- Gen.oneOf("", ":80", ":443", ":8080")
+      path   <- Gen.oneOf("", "/Path/To", "/p", "/p/", "/")
+      ps     <- Gen.listOfN(3, Gen.oneOf("utm_source=x", "utm_campaign=Y",
+                  "fbclid=1", "gclid=2", "id=9", "a=1", "b=2", ""))
+      frag   <- Gen.oneOf("", "#frag", "#a#b")
+      junk   <- Gen.alphaStr
+      pick   <- Gen.oneOf(true, true, true, false) // mostly URLs, some junk
+    } yield if (pick) {
+      val q = ps.filter(_.nonEmpty)
+      scheme + host + port + path +
+        (if (q.isEmpty) "" else "?" + q.mkString("&")) + frag
+    } else junk
+    val prop = Prop.forAll(Gen.listOfN(60, urlGen)) { urls =>
+      val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("id", "url")
+      val bad = df.select(col("id"), col("url"),
+          TextAnalysis.canonicalizeUrl(col("url")).as("c1"),
+          TextAnalysis.canonicalizeUrl(
+            TextAnalysis.canonicalizeUrl(col("url"))).as("c2"))
+        .filter(col("c1") =!= col("c2"))
+        .as[(Long, String, String, String)].collect()
+      bad.isEmpty :| s"non-idempotent: ${bad.take(3).mkString("; ")}"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
