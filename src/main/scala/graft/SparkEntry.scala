@@ -1936,7 +1936,7 @@ object SparkEntry {
         |      '10.0.' || (doc_id % 256) || '.7',
         |      'tel 555-123-4567 see',
         |      'https://ex.example/p/' || doc_id),
-        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '(?i:https?)://[^\s]+', '<URL>', 'g'),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted

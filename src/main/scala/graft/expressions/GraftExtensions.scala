@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -46,7 +46,21 @@ object GraftExtensions {
       quantizedDotBuilder _),
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
+    // Text-cleanup chains registered as SQL functions: the builder expands
+    // the same Column composition the Scala API uses, so SQL and DataFrame
+    // callers share one definition (no drift possible between the two).
+    (FunctionIdentifier("redact_pii"),
+      new ExpressionInfo(graft.operators.TextAnalysis.getClass.getName,
+        "redact_pii"),
+      (children: Seq[Expression]) => GraftBridge.expressionEager(
+        graft.operators.TextAnalysis.redactPii(GraftBridge.column(children(0))))),
+    (FunctionIdentifier("canonicalize_url"),
+      new ExpressionInfo(graft.operators.TextAnalysis.getClass.getName,
+        "canonicalize_url"),
+      (children: Seq[Expression]) => GraftBridge.expressionEager(
+        graft.operators.TextAnalysis.canonicalizeUrl(
+          GraftBridge.column(children(0))))))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {

@@ -106,7 +106,9 @@ object TextAnalysis {
     * inside any scan projection at 100 TB.
     */
   def redactPii(text: Column): Column = {
-    val url = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    // (?i:...) — scheme is case-insensitive (HTTP:// is still a URL);
+    // the inline-flag group is valid in both Java regex and RE2
+    val url = regexp_replace(text, "(?i:https?)://[^\\s]+", "<URL>")
     val email = regexp_replace(url,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     val ip = regexp_replace(email,

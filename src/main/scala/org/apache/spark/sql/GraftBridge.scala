@@ -11,4 +11,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER Column -> Expression conversion. [[expression]] wraps the
+    * column's node tree in a lazy `ColumnNodeExpression` that only the
+    * Dataset API's analysis path unwraps; an expression returned from a
+    * FunctionRegistry builder (SQL path) never goes through that unwrap
+    * and reaches codegen unevaluable. This converts the node tree to
+    * catalyst expressions up front (any `UnresolvedFunction` children
+    * resolve in the analyzer's normal fixpoint), so builder-composed
+    * Column chains work from SQL.
+    */
+  def expressionEager(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

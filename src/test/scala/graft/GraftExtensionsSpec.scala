@@ -22,7 +22,25 @@ class GraftExtensionsSpec extends SparkSpec {
   test("extension class injects the same functions at session build time") {
     // same builders the SparkSessionExtensions path injects
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
-      Set("quantized_dot", "cosine_similarity"))
+      Set("quantized_dot", "cosine_similarity", "redact_pii",
+        "canonicalize_url"))
+  }
+
+  test("redact_pii and canonicalize_url callable from SQL after register") {
+    GraftExtensions.register(spark)
+    Seq((1L, "mail a@b.co or visit HTTP://X.COM:80/p/?utm_a=1#f"))
+      .toDF("id", "s").createOrReplaceTempView("txt")
+    val r = spark.sql("SELECT redact_pii(s) AS r FROM txt").as[String].head()
+    assert(r == "mail <EMAIL> or visit <URL>")
+    val c = spark.sql(
+      "SELECT canonicalize_url('HTTP://X.COM:80/p/?utm_a=1#f') AS c FROM txt")
+      .as[String].head()
+    assert(c == "http://x.com/p")
+    // SQL path and Scala Column path are THE SAME definition
+    val viaCol = Seq("HTTP://X.COM:80/p/?utm_a=1#f").toDF("u")
+      .select(graft.operators.TextAnalysis.canonicalizeUrl(col("u")))
+      .as[String].head()
+    assert(c == viaCol)
   }
 
   test("NativeVectorRules rewrites the dot fold; semantics preserved exactly") {

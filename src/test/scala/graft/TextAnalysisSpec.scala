@@ -143,7 +143,8 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "call 555-123-4567 or 555 987 6543 today"),
       (4L, "see https://ex.example/u?mail=a@b.co&x=1 for info"),
       (5L, "no pii here just words"),
-      (6L, "version 1.2.3 released")   // 3-part dotted version: NOT an IP
+      (6L, "version 1.2.3 released"),  // 3-part dotted version: NOT an IP
+      (7L, "go to HTTP://Caps.example/Q now")  // scheme case-insensitive
     ).toDF("id", "text")
     val got = df.select(col("id"), TextAnalysis.redactPii(col("text")).as("r"))
       .as[(Long, String)].collect().toMap
@@ -154,6 +155,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == "see <URL> for info")
     assert(got(5L) == "no pii here just words")
     assert(got(6L) == "version 1.2.3 released")
+    assert(got(7L) == "go to <URL> now")
   }
 
   test("canonicalizeUrl: fragment, case, ports, tracking params, slashes") {
