@@ -75,12 +75,24 @@ object Demo {
       s"${sessions.select("user_id").distinct().count()} users")
 
     // --- 5. training-corpus curation (LLM-pipeline shape) -----------------
-    println("== Corpus curation: dedup -> quality filter -> split -> JSONL ==")
+    println("== Corpus curation: scrub -> dedup -> quality filter -> mix -> split -> JSONL ==")
     val docs = TableSpec.read(spark, sfDir, "documents")
-    val deduped = graft.operators.Dedup.dedupCorpus(docs, "doc_id", "text")
+    // PII scrub FIRST (nothing downstream sees raw addresses), then near-dup
+    val scrubbed = docs.withColumn("text",
+      graft.operators.TextAnalysis.redactPii(col("text")))
+    val deduped = graft.operators.Dedup.dedupCorpus(scrubbed, "doc_id", "text")
     val kept = deduped.filter(
       graft.operators.TextAnalysis.tokenCountWs(col("text")) >= 10)
-    val split = graft.operators.Curation.hashSplit(kept, "doc_id", trainPct = 90)
+    // rebalance the surviving mix toward equal source shares at half size
+    val mixed = graft.operators.Curation.mixtureSample(kept, "source", "doc_id",
+      Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 1.0),
+      targetRows = kept.count() / 2)
+    val mixShares = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"  source mix after rebalance: $mixShares")
+    require(mixShares.keySet == Set("src0", "src1", "src2"),
+      s"every source must survive the mix, got $mixShares")
+    val split = graft.operators.Curation.hashSplit(mixed, "doc_id", trainPct = 90)
     Sinks.writeJsonl(split.filter(col("split") === "train"),
       s"$outDir/corpus_train")
     val nTrain = Sinks.jsonlScan(spark, s"$outDir/corpus_train",
@@ -89,6 +101,7 @@ object Demo {
       .filter(col("doc_id").isNotNull).count()
     println(s"  ${docs.count()} docs -> ${deduped.count()} after near-dup " +
       s"removal -> ${kept.count()} after quality floor -> " +
+      s"${mixed.count()} after source rebalance -> " +
       s"$nTrain train docs round-tripped through gzip JSONL")
     require(nTrain > 0, "train split must not be empty")
 
