@@ -838,6 +838,17 @@ object SparkEntry {
       Curation.mixtureSample(t(s, d, "documents"), "source", "doc_id",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), targetRows = 60)
         .select("doc_id", "source").orderBy("doc_id")),
+    // Deterministic training-order shuffle + shard assignment: global
+    // positions minted over the md5(seed:id) order by the two-pass
+    // columnar mint (no single-partition window), shards of 128. The
+    // oracle replays the order with row_number over the same key.
+    "q_cur_shuffle_shards" -> ((s, d) => {
+      val pos = Curation.shuffleDeterministic(
+        t(s, d, "documents").select("doc_id"), "doc_id", seed = "s8")
+      pos.select(col("doc_id"), col("shuffle_pos"),
+          floor((col("shuffle_pos") - 1) / lit(128.0)).cast("long").as("shard"))
+        .orderBy("doc_id")
+    }),
     "q_cur_topk_per_group" -> ((s, d) =>
       Aggregates.topKPerGroup(t(s, d, "documents"), Seq("lang"),
           Seq(col("n_chars").desc, col("doc_id").asc), k = 10)
@@ -2047,6 +2058,17 @@ object SparkEntry {
         |                         ELSE 0.2 END
         |      / (0.5 + 0.3 + 0.2) / c.n) * 4294967296.0)
         |ORDER BY doc_id""".stripMargin,
+    // row_number over (md5('s8:'||id), id) replays the mint's total
+    // order; positions are 1-based like the operator's.
+    "q_cur_shuffle_shards" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5('s8:' || doc_id), doc_id)
+        |      AS shuffle_pos
+        |  FROM documents)
+        |SELECT doc_id, shuffle_pos,
+        |  CAST(floor((shuffle_pos - 1) / 128.0) AS BIGINT) AS shard
+        |FROM p ORDER BY doc_id""".stripMargin,
     "q_cur_topk_per_group" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,

@@ -231,6 +231,32 @@ object Curation {
     sampleStratified(df, groupCol, idCol, fractions, defaultFraction = 0.0)
   }
 
+  /** Deterministic corpus SHUFFLE — the training-order assignment step:
+    * every row gets a global position `1..n` in the order of
+    * `md5(seed ":" id)` (id as tiebreak, so the order is total even
+    * under a hash collision). Seedable and reproducible: the same
+    * (corpus, seed) always yields the same order, a different seed an
+    * unrelated one — "epoch 2 = reshuffle with seed+1" without RNG
+    * state. Downstream, `floor((pos-1)/rowsPerShard)` is a
+    * bounded-size shard id for sharded export.
+    *
+    * Scale shape: the order is materialized by a range-partitioned
+    * sort on the hash key (uniform by construction — md5 spreads
+    * keys evenly, so range partitions balance regardless of id
+    * distribution) and positions are minted by
+    * [[graft.functions.RowHash.orderedDenseId]]'s two-pass columnar
+    * partition-offset mint — one metadata-scale count pull, no
+    * single-partition window, everything stays in whole-stage codegen.
+    */
+  def shuffleDeterministic(df: DataFrame, idCol: String, seed: String,
+                           posCol: String = "shuffle_pos"): DataFrame = {
+    val keyed = df.withColumn("__shuf_key",
+      md5(concat_ws(":", lit(seed), col(idCol).cast("string"))))
+    graft.functions.RowHash
+      .orderedDenseId(keyed, Seq(col("__shuf_key"), col(idCol)), posCol)
+      .drop("__shuf_key")
+  }
+
   /** Deterministic PER-ROW-WEIGHTED Bernoulli sample: keep a row iff
     * u(id) < clamp(weight, 0, 1), where u(id) is the md5-derived uniform
     * [[sampleStratified]] already uses (first 8 hex chars / 2^32). The

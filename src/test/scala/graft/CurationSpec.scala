@@ -228,6 +228,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("shuffleDeterministic: total permutation, seed-sensitive, matches brute force") {
+    val df = (1L to 300L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val got = Curation.shuffleDeterministic(df, "id", seed = "a")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    // a permutation of 1..n
+    assert(got.values.toSeq.sorted == (1L to 300L))
+    // deterministic: second run identical
+    val again = Curation.shuffleDeterministic(df, "id", seed = "a")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(got == again)
+    // matches the brute-force md5 sort order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(i: Long) = md.digest(s"a:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = (1L to 300L).sortBy(i => (key(i), i)).zipWithIndex
+      .map { case (i, p) => i -> (p + 1L) }.toMap
+    assert(got == want)
+    // a different seed produces a different order
+    val other = Curation.shuffleDeterministic(df, "id", seed = "b")
+      .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    assert(other != got)
+  }
+
   test("sampleStratified: five distinct fractions land on their own groups") {
     val df = (1L to 5000L).map(i => (i, "g" + (i % 5))).toDF("id", "g")
     val fr = Map("g0" -> 0.0, "g1" -> 0.1, "g2" -> 0.5, "g3" -> 0.9, "g4" -> 1.0)
