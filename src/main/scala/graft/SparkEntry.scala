@@ -505,6 +505,24 @@ object SparkEntry {
           max(col("__ingest_batch")).as("batch_tag"))
         .orderBy("lang")
     }),
+    // Sharded training export round trip: write the corpus as bounded
+    // shard=<k>/ dirs in the seeded shuffle order, read BACK from the
+    // filesystem, and emit per-shard stats the oracle re-derives from the
+    // row_number arithmetic alone — pins the full export layout (shard
+    // membership, intra-shard positions, no loss/dup through the writer).
+    "q_pipeline_shard_export" -> ((s, d) => {
+      val path = s"$compactTmpDir/${new java.io.File(d).getName}/shards"
+      Sinks.drop(s, path) // idempotent across verify+bench in one process
+      Sinks.writeSharded(t(s, d, "documents").select("doc_id", "lang"),
+        "doc_id", path, seed = "exp", rowsPerShard = 128)
+      s.read.parquet(path)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("shuffle_pos").as("min_pos"),
+          max("shuffle_pos").as("max_pos"),
+          sum("doc_id").as("sum_ids"))
+        .orderBy("shard")
+    }),
     // ---- dedup family ---------------------------------------------------
     "q_dedup_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text").orderBy("fp")),
@@ -1554,6 +1572,18 @@ object SparkEntry {
         |  CAST(sum(len(text)) AS BIGINT) AS sum_text_len,
         |  CAST(-1 AS BIGINT) AS batch_tag
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Re-derives the export layout from row_number over the md5 order —
+    // matching means the filesystem round trip preserved exactly the
+    // computed shard membership and positions.
+    "q_pipeline_shard_export" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5('exp:' || doc_id), doc_id) AS pos
+        |  FROM documents)
+        |SELECT CAST(floor((pos - 1) / 128.0) AS BIGINT) AS shard,
+        |  count(*) AS n_rows, min(pos) AS min_pos, max(pos) AS max_pos,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact_groups" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,

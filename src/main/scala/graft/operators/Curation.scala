@@ -247,6 +247,13 @@ object Curation {
     * [[graft.functions.RowHash.orderedDenseId]]'s two-pass columnar
     * partition-offset mint — one metadata-scale count pull, no
     * single-partition window, everything stays in whole-stage codegen.
+    *
+    * Contract: `idCol` must be unique (the same requirement every
+    * id-keyed sampler here carries) — duplicate ids share a sort key,
+    * so the order BETWEEN those rows is partition-placement-dependent
+    * and the determinism guarantee degrades to "deterministic up to
+    * duplicate-id ties". Positions land in `posCol`, replacing any
+    * existing column of that name.
     */
   def shuffleDeterministic(df: DataFrame, idCol: String, seed: String,
                            posCol: String = "shuffle_pos"): DataFrame = {

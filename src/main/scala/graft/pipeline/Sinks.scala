@@ -26,6 +26,39 @@ object Sinks {
     countVerify(df.sparkSession, path)
   }
 
+  /** SHARDED training export — the consumable form of
+    * [[graft.operators.Curation.shuffleDeterministic]]: rows are laid
+    * out in the seeded shuffle order and written as `shard=<k>/`
+    * partition directories of at most `rowsPerShard` rows each
+    * (`shard = floor((pos-1)/rowsPerShard)`), rows inside each shard
+    * sorted by position. A training job then consumes shard dirs in
+    * numeric order and sees the exact global shuffle order, with
+    * bounded, near-equal file sizes (the last shard alone may be
+    * short). Deterministic end-to-end: same (corpus, seed, size) →
+    * byte-identical layout.
+    *
+    * Scale shape: the shuffle order costs one range-partitioned sort
+    * (see shuffleDeterministic); the write adds one hash repartition
+    * on the shard id (shards ≫ `spark.sql.shuffle.partitions` is fine
+    * — several shards per task, the writer splits files per dir).
+    * Returns the shard count.
+    */
+  def writeSharded(df: DataFrame, idCol: String, path: String,
+                   seed: String, rowsPerShard: Long): Long = {
+    require(rowsPerShard > 0,
+      s"writeSharded: rowsPerShard must be > 0, got $rowsPerShard")
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    val pos = graft.operators.Curation.shuffleDeterministic(df, idCol, seed)
+    val sharded = pos.withColumn("shard",
+      floor((col("shuffle_pos") - 1) / lit(rowsPerShard.toDouble)).cast("long"))
+    sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_pos"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+    df.sparkSession.read.parquet(path)
+      .select("shard").distinct().count()
+  }
+
   /** S6: append sink — the reference's batched `executemany` INSERT
     * (sync_ALL.py:259-320, batch=1000, per-row retry). Spark's task commit +
     * retry subsumes the per-row fallback; JDBC swap adds

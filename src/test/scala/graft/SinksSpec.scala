@@ -294,4 +294,32 @@ class SinksSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("writeSharded: bounded shards in shuffle order, lossless round trip") {
+    import java.nio.file.Files
+    val df = (1L to 300L).map(i => (i, s"payload$i")).toDF("id", "payload")
+    val p = Files.createTempDirectory("graft-shards").toString + "/out"
+    val nShards = Sinks.writeSharded(df, "id", p, seed = "t", rowsPerShard = 64)
+    assert(nShards == 5) // ceil(300/64)
+    val back = spark.read.parquet(p)
+      .select(col("id"), col("shuffle_pos"), col("shard").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    // lossless: every input row exactly once
+    assert(back.map(_._1).sorted.toSeq == (1L to 300L))
+    // bounded and consistent: shard = floor((pos-1)/64), so each shard
+    // holds <= 64 rows and positions partition into contiguous ranges
+    back.foreach { case (_, pos, sh) => assert(sh == (pos - 1) / 64) }
+    val sizes = back.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.values.forall(_ <= 64) && sizes(4L) == 300 - 4 * 64)
+    // deterministic: rewriting with the same seed yields the same layout
+    val p2 = Files.createTempDirectory("graft-shards2").toString + "/out"
+    Sinks.writeSharded(df, "id", p2, seed = "t", rowsPerShard = 64)
+    val back2 = spark.read.parquet(p2)
+      .select(col("id"), col("shuffle_pos"), col("shard").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    assert(back.sortBy(_._1).toSeq == back2.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException] {
+      Sinks.writeSharded(df, "id", p2, seed = "t", rowsPerShard = 0)
+    }
+  }
 }
