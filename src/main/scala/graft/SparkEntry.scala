@@ -647,6 +647,18 @@ object SparkEntry {
         .withColumn("contaminated", col("n_hits") >= 3L)
         .orderBy("doc_id")
     }),
+    // Per-benchmark contamination attribution: the eval set is split into
+    // two labeled suites; output is (doc, suite, distinct shared 3-grams)
+    // for every overlapping pair — the report a per-suite ban policy reads.
+    "q_dedup_contam_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val evals = docs.filter(col("doc_id") < 50)
+        .withColumn("bench",
+          when(col("doc_id") < 25, lit("benchA")).otherwise(lit("benchB")))
+      Dedup.contaminationReport(docs, evals, "doc_id", "text", "text",
+          "bench", ngramN = 3)
+        .orderBy("doc_id", "bench")
+    }),
     // Quality-aware survivor selection: same component construction the
     // oracle can replay (n-gram Jaccard pairs + recursive closure), winner
     // per cluster by n_chars (ties: min id) — survivors of the whole corpus.
@@ -1786,6 +1798,23 @@ object SparkEntry {
         |  coalesce(nh, 0) >= 3 AS contaminated
         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.hid
         |ORDER BY doc_id""".stripMargin,
+    // Same 3-gram construction as q_dedup_decontaminate; the eval side
+    // carries a suite label and the count is per (doc, suite).
+    "q_dedup_contam_report" ->
+      """WITH ct AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM ct, unnest(generate_series(1, len(t) - 2)) AS u(i)),
+        |eg AS (
+        |  SELECT DISTINCT CASE WHEN doc_id < 25 THEN 'benchA'
+        |    ELSE 'benchB' END AS bench, g
+        |  FROM cg WHERE doc_id < 50)
+        |SELECT cg.doc_id, eg.bench, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM cg JOIN eg USING (g)
+        |GROUP BY 1, 2 ORDER BY doc_id, bench""".stripMargin,
     "q_dedup_embed_groups" ->
       """WITH b AS (
         |  SELECT vec_id AS id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,

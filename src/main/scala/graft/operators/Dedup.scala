@@ -784,6 +784,36 @@ object Dedup {
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
   }
 
+  /** Per-BENCHMARK contamination attribution — [[contaminationHits]]
+    * with the eval side labeled by suite: `evalDocs` carries a
+    * `benchCol` naming each benchmark, and the output is one row per
+    * (corpus doc, benchmark) that SHARE at least one distinct word
+    * n-gram, with the distinct-overlap count. This is the reporting
+    * form: "which eval suites leaked into which documents, how badly" —
+    * the input to a per-benchmark removal policy (a strict suite can
+    * ban at 1 hit while a lenient one bans at 10), where
+    * [[decontaminate]] only answers the aggregate yes/no.
+    *
+    * Same scale shape as contaminationHits: the (benchmark, n-gram)
+    * side is benchmark-sized and broadcast; the corpus explodes
+    * map-side and aggregates on (doc, benchmark) — no corpus-side
+    * shuffle of anything but hit rows (bounded by actual overlap).
+    */
+  def contaminationReport(corpus: DataFrame, evalDocs: DataFrame,
+                          idCol: String, textCol: String, evalTextCol: String,
+                          benchCol: String, ngramN: Int = 3): DataFrame = {
+    val evalGrams = evalDocs
+      .select(col(benchCol).cast("string").as("__bench"),
+        explode(shingles(col(evalTextCol), ngramN)).as("g"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(shingles(col(textCol), ngramN)).as("g"))
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col(idCol), col("__bench"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumnRenamed("__bench", benchCol)
+  }
+
   /** [[contaminationHits]] → removal: drop corpus docs sharing at least
     * `minHits` distinct n-grams with the eval set. The contaminated id set
     * is bounded by the corpus×eval overlap, so the anti-join stays small.

@@ -301,6 +301,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("contaminationReport: per-benchmark attribution, distinct-gram counts") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),    // shares "alpha beta gamma" with A
+      (2L, "one two three four five"),   // shares two 3-grams with B
+      (3L, "nothing in common here ok")
+    ).toDF("doc_id", "text")
+    val evals = Seq(
+      ("benchA", "alpha beta gamma zz"),
+      ("benchB", "one two three four xx"),
+      ("benchB", "one two three yy")     // duplicate gram across B docs: counted once
+    ).toDF("bench", "text")
+    val got = Dedup.contaminationReport(corpus, evals, "doc_id", "text",
+        "text", "bench", ngramN = 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "benchA", 1L),
+      (2L, "benchB", 2L)))  // "one two three" + "two three four", B-deduped
+  }
+
   test("keepBestLosers: rejects wrong-arity or non-numeric score frames up front") {
     // ADVICE r7: positional (id, score) reads meant a 3-column frame or a
     // non-numeric second column silently built a wrong loser set
