@@ -804,6 +804,19 @@ object SparkEntry {
             concat(lit("https://ex.example/p/"), col("doc_id"))))
             .as("redacted"))
         .orderBy("doc_id")),
+    // Unicode dedup normalization over accented text constructed from the
+    // fixture (composed NFC literals, mixed case, double spaces): the
+    // oracle replays with nfc_normalize + strip_accents + lower + collapse
+    // — cross-engine parity of the accent strip pinned character-for-
+    // character on genuinely non-ASCII input.
+    "q_text_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.normalizeText(concat_ws("  ",
+            lit("Café ÜBER naïve señor"),
+            substring(col("text"), 1, 30),
+            concat(lit("Ítem-"), col("doc_id"), lit(" crème brûlée"))))
+            .as("norm"))
+        .orderBy("doc_id")),
     // URL canonicalization over messy URLs constructed from doc_id (mixed-
     // case scheme/host, default and non-default ports, trailing slash,
     // utm tracking params, fragment — each regime hit by a doc_id
@@ -2010,6 +2023,16 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // nfc_normalize recomposes any decomposed input, strip_accents then
+    // matches Java's NFD+mark-removal on composed text; same trim +
+    // whitespace collapse on both sides.
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  regexp_replace(trim(lower(strip_accents(nfc_normalize(
+        |    concat_ws('  ', 'Café ÜBER naïve señor', substr(text, 1, 30),
+        |      'Ítem-' || doc_id || ' crème brûlée'))))),
+        |    '\s+', ' ', 'g') AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Same input construction and the same rule chain (fragment, lower
     // authority, default ports, tracking params, separator repair,

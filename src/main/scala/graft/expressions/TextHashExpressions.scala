@@ -139,6 +139,30 @@ object NgramOps {
   *  - `pmod` (never-negative) accumulation.
   * Parity with the HOF form is spec-pinned across ASCII/multibyte/empty.
   */
+object NormalizeOps {
+  /** Unicode normalization for dedup/fingerprint robustness: NFD
+    * decomposition, combining-mark removal (the accent strip), ROOT-locale
+    * lowercase, trim + whitespace collapse — "Café  ÜBER" and "cafe uber"
+    * fingerprint identically. NFD + mark-removal matches DuckDB's
+    * `strip_accents` on composed text (both leave non-decomposable
+    * letters like 'ø' alone), which is what the oracle replays.
+    */
+  def normalize(text: UTF8String): UTF8String = {
+    val decomposed = java.text.Normalizer.normalize(
+      text.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var i = 0
+    while (i < decomposed.length) {
+      val c = decomposed.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(
+      sb.toString.toLowerCase(java.util.Locale.ROOT)
+        .trim.replaceAll("\\s+", " "))
+  }
+}
+
 object RollingHashOps {
   private final val M = 1000000007L
   def compute(text: UTF8String): java.lang.Long = {
@@ -227,6 +251,17 @@ object TextHashExpressions {
       RollingHashOps.getClass,
       LongType,
       "compute",
+      Seq(GraftBridge.expression(text)),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Unicode dedup normalization (see [[NormalizeOps]]). */
+  def normalizeText(text: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      NormalizeOps.getClass,
+      StringType,
+      "normalize",
       Seq(GraftBridge.expression(text)),
       inputTypes = Seq(StringType),
       propagateNull = true,

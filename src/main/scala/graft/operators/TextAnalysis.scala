@@ -91,6 +91,19 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(trim(lower(regexp_replace(text, "\\s+", " "))), 256)
 
+  /** Unicode normalization for dedup robustness — NFD decomposition +
+    * combining-mark removal (accent strip) + ROOT-locale lowercase +
+    * whitespace collapse, so "Café  ÜBER" and "cafe uber" dedup/
+    * fingerprint identically (scraped corpora mix composed/decomposed
+    * forms and accent variants of the same page). One StaticInvoke
+    * static per row inside codegen — no shuffle, safe in any scan
+    * projection. Feed this into [[fingerprint]] / MinHash / SimHash
+    * when near-dup robustness to diacritics matters; oracle parity:
+    * DuckDB `lower(strip_accents(nfc_normalize(x)))` + collapse.
+    */
+  def normalizeText(text: Column): Column =
+    graft.expressions.TextHashExpressions.normalizeText(text)
+
   /** PII redaction — the scrubbing pass every pre-training corpus runs
     * before anything else sees the text: URLs, emails, IPv4 addresses,
     * and US-style phone numbers replaced by typed placeholder tokens

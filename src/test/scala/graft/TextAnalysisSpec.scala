@@ -180,6 +180,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(7L) == "http://c.com/p")
   }
 
+  test("normalizeText: accents stripped, case folded, whitespace collapsed") {
+    val df = Seq(
+      (1L, "Café  ÜBER naïve"),
+      (2L, "cafe uber naive"),          // already-normal text is a fixpoint
+      (3L, "señor"),         // DECOMPOSED n + combining tilde
+      (4L, "señor"),                    // composed NFC form
+      (5L, "  padded\ttabs\nand lines  "),
+      (6L, "ø Ø keeps non-decomposable")  // no NFD decomposition for ø
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.normalizeText(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "cafe uber naive")
+    assert(got(2L) == "cafe uber naive")
+    assert(got(3L) == "senor")
+    assert(got(4L) == "senor")          // composed == decomposed after NFD
+    assert(got(5L) == "padded tabs and lines")
+    assert(got(6L) == "ø ø keeps non-decomposable")
+    // the point: accent/case/space variants now fingerprint identically
+    val fps = df.filter(col("id").isin(1L, 2L))
+      .select(TextAnalysis.fingerprint(TextAnalysis.normalizeText(col("text"))))
+      .distinct().count()
+    assert(fps == 1L)
+  }
+
   test("property: canonicalizeUrl is idempotent on messy URLs and non-URLs") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.Prop.propBoolean
