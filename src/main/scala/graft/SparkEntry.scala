@@ -804,6 +804,29 @@ object SparkEntry {
             concat(lit("https://ex.example/p/"), col("doc_id"))))
             .as("redacted"))
         .orderBy("doc_id")),
+    // Domain blocklist filter with suffix semantics: five host regimes by
+    // doc_id residue — two blocked via a PARENT domain (subdomain
+    // blocking), one blocked exactly, one clean, one URL-less row (kept:
+    // absence of a domain is not list membership). The oracle replays the
+    // full suffix explosion and membership in DuckDB.
+    "q_text_domain_filter" -> ((s, d) => {
+      val withUrl = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+            concat(lit("https://Ads.Spam.Example/p/"), col("doc_id")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("http://deep.Sub.spam.example/q/"), col("doc_id")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("https://good.example/r/"), col("doc_id")))
+          .when(col("doc_id") % 5 === 3,
+            concat(lit("https://user@Tracker.NET:8443/s/"), col("doc_id")))
+          .otherwise(lit("no url in this row")).as("url"))
+      val blocklist = {
+        import s.implicits._
+        Seq("spam.example", "tracker.net").toDF("domain")
+      }
+      TextAnalysis.filterByBlockedDomains(withUrl, "doc_id", "url", blocklist)
+        .orderBy("doc_id")
+    }),
     // Unicode dedup normalization over accented text constructed from the
     // fixture (composed NFC literals, mixed case, double spaces): the
     // oracle replays with nfc_normalize + strip_accents + lower + collapse
@@ -2024,6 +2047,35 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Replays the suffix semantics in DuckDB: same host extraction regex,
+    // same dot-suffix explosion, membership against the same two-entry
+    // list; URL-less rows survive (their extracted domain is '').
+    "q_text_domain_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN 'https://Ads.Spam.Example/p/' || doc_id
+        |      WHEN 1 THEN 'http://deep.Sub.spam.example/q/' || doc_id
+        |      WHEN 2 THEN 'https://good.example/r/' || doc_id
+        |      WHEN 3 THEN 'https://user@Tracker.NET:8443/s/' || doc_id
+        |      ELSE 'no url in this row' END AS url
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, url,
+        |    string_split(regexp_extract(lower(url),
+        |      '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1), '.') AS parts
+        |  FROM u),
+        |sfx AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(parts)),
+        |      i -> array_to_string(parts[i:], '.'))) AS s
+        |  FROM d),
+        |blocked AS (
+        |  SELECT DISTINCT doc_id FROM sfx
+        |  WHERE s IN ('spam.example', 'tracker.net'))
+        |SELECT doc_id, url FROM d
+        |WHERE doc_id NOT IN (SELECT doc_id FROM blocked)
+        |ORDER BY doc_id""".stripMargin,
     // nfc_normalize recomposes any decomposed input, strip_accents then
     // matches Java's NFD+mark-removal on composed text; same trim +
     // whitespace collapse on both sides.

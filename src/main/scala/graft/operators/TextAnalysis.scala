@@ -165,6 +165,52 @@ object TextAnalysis {
     regexp_replace(sepFix, "/$", "")
   }
 
+  /** Registrable host of a URL: the authority with scheme, userinfo, and
+    * port stripped, lowercased. Empty string for non-URLs (a filter on
+    * `domainOf =!= ""` drops URL-less rows explicitly rather than
+    * silently). Pure regexp_extract — row-local, Java∩RE2.
+    */
+  def domainOf(url: Column): Column =
+    regexp_extract(lower(url),
+      "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)
+
+  /** All dot-suffixes of a domain, most-specific first:
+    * `a.b.example.com` → `[a.b.example.com, b.example.com, example.com,
+    * com]`. The join key set for suffix-semantics blocklists: a list
+    * entry `example.com` must block every subdomain, so membership is
+    * "any suffix of the host appears in the list" — an explode (bounded
+    * by label count, ~4–6 per host) + equi-join, never a per-row scan
+    * of the list or an endsWith cross product.
+    */
+  def domainSuffixes(domain: Column): Column = {
+    val parts = split(domain, "\\.")
+    transform(sequence(lit(0), size(parts) - 1),
+      i => array_join(slice(parts, i + 1, size(parts) - i), "."))
+  }
+
+  /** URL/domain blocklist filter with suffix semantics — the C4-style
+    * crawl hygiene step ("drop every doc whose source domain, or any
+    * parent domain, is on the list"). `blocklist` is a one-column frame
+    * of lowercase domains; list-sized, so Spark broadcasts the
+    * anti-join side. Rows without a parseable URL are KEPT (the list
+    * names bad domains; absence of a domain is not membership).
+    */
+  def filterByBlockedDomains(df: DataFrame, idCol: String, urlCol: String,
+                             blocklist: DataFrame): DataFrame = {
+    require(blocklist.columns.length == 1,
+      s"filterByBlockedDomains: blocklist must have exactly one column, " +
+        s"got ${blocklist.columns.mkString(",")}")
+    val bl = blocklist.select(
+      lower(col(blocklist.columns.head)).as("__blocked_dom"))
+    // ids only through the joins; payloads re-attach via the final anti-join
+    val blockedIds = df
+      .select(col(idCol),
+        explode_outer(domainSuffixes(domainOf(col(urlCol)))).as("__dom_sfx"))
+      .join(bl, col("__dom_sfx") === col("__blocked_dom"), "left_semi")
+      .select(col(idCol)).distinct()
+    df.join(blockedIds, Seq(idCol), "left_anti")
+  }
+
   /** TF-IDF per (doc, term) with corpus-wide statistics: one token explode,
     * two hash-aggregates (term frequency per doc, document frequency per
     * term) and a term-keyed join — no per-doc vocabulary state, so the

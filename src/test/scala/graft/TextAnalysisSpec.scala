@@ -180,6 +180,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(7L) == "http://c.com/p")
   }
 
+  test("filterByBlockedDomains: suffix semantics, ports/userinfo stripped, non-URLs kept") {
+    val df = Seq(
+      (1L, "https://spam.example/x"),          // exact block
+      (2L, "https://a.b.spam.example/y"),      // subdomain of a blocked parent
+      (3L, "http://notspam.example/z"),        // NOT a dot-suffix: kept
+      (4L, "https://u:p@Tracker.NET:443/q"),   // userinfo+port+case stripped
+      (5L, "plain text, no url"),              // kept: no domain
+      (6L, "https://clean.org/ok")
+    ).toDF("doc_id", "url")
+    val bl = Seq("spam.example", "tracker.net").toDF("domain")
+    val kept = TextAnalysis.filterByBlockedDomains(df, "doc_id", "url", bl)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L, 6L))
+    // domainOf details
+    val doms = df.select(col("doc_id"),
+        TextAnalysis.domainOf(col("url")).as("d"))
+      .as[(Long, String)].collect().toMap
+    assert(doms(4L) == "tracker.net")
+    assert(doms(5L) == "")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.filterByBlockedDomains(df, "doc_id", "url",
+        Seq(("a", "b")).toDF("x", "y"))
+    }
+  }
+
   test("normalizeText: accents stripped, case folded, whitespace collapsed") {
     val df = Seq(
       (1L, "Café  ÜBER naïve"),
