@@ -915,6 +915,16 @@ object SparkEntry {
           floor((col("shuffle_pos") - 1) / lit(128.0)).cast("long").as("shard"))
         .orderBy("doc_id")
     }),
+    // Token-budget mixture: 8000 chars at 5/0.5/0.5 weights over three
+    // sources — src0's share exceeds its sf0.01 token mass (cap regime)
+    // while src1/src2 sample fractionally; at sf0.1 all three are
+    // fractional. The oracle replays the sum + fraction arithmetic.
+    "q_cur_mixture_tokens" -> ((s, d) =>
+      Curation.mixtureSampleByTokens(t(s, d, "documents"), "source",
+          "doc_id", "n_chars",
+          Map("src0" -> 5.0, "src1" -> 0.5, "src2" -> 0.5),
+          targetTokens = 8000)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")),
     "q_cur_topk_per_group" -> ((s, d) =>
       Aggregates.topKPerGroup(t(s, d, "documents"), Seq("lang"),
           Seq(col("n_chars").desc, col("doc_id").asc), k = 10)
@@ -2191,6 +2201,25 @@ object SparkEntry {
         |                         WHEN 'src1' THEN 0.3
         |                         ELSE 0.2 END
         |      / (0.5 + 0.3 + 0.2) / c.n) * 4294967296.0)
+        |ORDER BY doc_id""".stripMargin,
+    // Same threshold machinery as q_cur_mixture_sample but fractions
+    // derived from per-group BIGINT token sums; left-associated double
+    // ops replayed exactly.
+    "q_cur_mixture_tokens" ->
+      """WITH c AS (
+        |  SELECT source, sum(n_chars) AS t FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS pri
+        |  FROM documents)
+        |SELECT doc_id, p.source, n_chars FROM p JOIN c USING (source)
+        |WHERE c.t > 0 AND pri < round(least(1.0,
+        |    8000.0 * CASE p.source WHEN 'src0' THEN 5.0
+        |                           WHEN 'src1' THEN 0.5
+        |                           ELSE 0.5 END
+        |      / (5.0 + 0.5 + 0.5) / c.t) * 4294967296.0)
         |ORDER BY doc_id""".stripMargin,
     // row_number over (md5('s8:'||id), id) replays the mint's total
     // order; positions are 1-based like the operator's.

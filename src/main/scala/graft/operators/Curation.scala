@@ -264,6 +264,42 @@ object Curation {
       .drop("__shuf_key")
   }
 
+  /** [[mixtureSample]] with a TOKEN budget instead of a row budget —
+    * how training mixes are actually specified ("30B tokens at
+    * 50/30/20"): each group's keep-fraction is
+    * `min(1, targetTokens·w_g/Σw / tokens_g)` from one per-group token
+    * sum (exact BIGINT aggregate, group-cardinality rows to the
+    * driver, same ≤4096 bound), applied through sampleStratified's
+    * md5-prefix filter. The kept token count per group is
+    * fraction·tokens_g IN EXPECTATION (rows are kept by id-uniform,
+    * not knapsack-packed — the standard practice; exact packing is
+    * [[packSequences]]' job downstream). Groups with a zero token sum
+    * drop (nothing to take). Inherits growth-stability and nesting in
+    * `targetTokens`.
+    */
+  def mixtureSampleByTokens(df: DataFrame, groupCol: String, idCol: String,
+                            tokenCol: String, weights: Map[String, Double],
+                            targetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0)
+        && weights.values.sum > 0.0,
+      s"mixtureSampleByTokens: weights must be non-negative with a positive sum, got $weights")
+    require(targetTokens >= 0,
+      s"mixtureSampleByTokens: targetTokens must be >= 0, got $targetTokens")
+    require(weights.size <= 4096,
+      s"mixtureSampleByTokens: ${weights.size} groups — the driver-side sum pull " +
+        "is bounded at 4096 (same cap as capPerGroup); coarsen the grouping")
+    val wSum = weights.values.sum
+    val sums = df.filter(col(groupCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(sum(col(tokenCol).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = weights.flatMap { case (g, w) =>
+      sums.get(g).filter(_ > 0L)
+        .map(t => g -> math.min(1.0, targetTokens * w / wSum / t))
+    }
+    sampleStratified(df, groupCol, idCol, fractions, defaultFraction = 0.0)
+  }
+
   /** Deterministic PER-ROW-WEIGHTED Bernoulli sample: keep a row iff
     * u(id) < clamp(weight, 0, 1), where u(id) is the md5-derived uniform
     * [[sampleStratified]] already uses (first 8 hex chars / 2^32). The

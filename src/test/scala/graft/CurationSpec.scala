@@ -228,6 +228,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSampleByTokens: token-mass fractions, cap regime, zero-sum drops") {
+    // g0: 10 rows x 100 tokens = 1000; g1: 100 rows x 50 = 5000;
+    // g2: zero tokens; g3: unweighted
+    val df = ((1L to 10L).map(i => (i, "g0", 100L)) ++
+      (11L to 110L).map(i => (i, "g1", 50L)) ++
+      (111L to 115L).map(i => (i, "g2", 0L)) ++
+      (116L to 120L).map(i => (i, "g3", 10L))).toDF("id", "g", "tok")
+    val out = Curation.mixtureSampleByTokens(df, "g", "id", "tok",
+        Map("g0" -> 0.5, "g1" -> 0.5, "g2" -> 0.5), targetTokens = 4000)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    // g0 target 4000*0.5/1.5=1333 tokens > its 1000-token mass: keep all
+    assert(out("g0") == 10L, out.toString)
+    // g1 fraction 1333/5000 ~= 0.27 of 100 rows; md5 uniform, allow slack
+    assert(out("g1") >= 10L && out("g1") <= 45L, out.toString)
+    assert(!out.contains("g2"), out.toString) // zero token mass -> nothing
+    assert(!out.contains("g3"), out.toString) // unweighted -> dropped
+    // nested in targetTokens
+    val small = Curation.mixtureSampleByTokens(df, "g", "id", "tok",
+      Map("g0" -> 0.5, "g1" -> 0.5), 1000).select("id").as[Long].collect().toSet
+    val big = Curation.mixtureSampleByTokens(df, "g", "id", "tok",
+      Map("g0" -> 0.5, "g1" -> 0.5), 4000).select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big), s"${small.size} not nested in ${big.size}")
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSampleByTokens(df, "g", "id", "tok", Map.empty, 10)
+    }
+  }
+
   test("shuffleDeterministic: total permutation, seed-sensitive, matches brute force") {
     val df = (1L to 300L).map(i => (i, s"d$i")).toDF("id", "payload")
     val got = Curation.shuffleDeterministic(df, "id", seed = "a")
