@@ -237,7 +237,8 @@ object Streams {
   def dedupAgainstIndexEachBatch(indexPath: String, acceptedPath: String,
                                  idCol: String, textCol: String,
                                  shingleN: Int = 3, bands: Int = 8,
-                                 rowsPerBand: Int = 4, minEst: Double = 0.9)
+                                 rowsPerBand: Int = 4, minEst: Double = 0.9,
+                                 clean: DataFrame => DataFrame = identity)
       : (DataFrame, Long) => Unit = { (batch0, batchId) =>
     val spark = batch0.sparkSession
     import org.apache.spark.sql.functions._
@@ -342,10 +343,22 @@ object Streams {
       if (!committed(indexBatchDir))
         writeIndexRowsFrom(spark.read.parquet(acceptedBatchDir))
     } else {
+      // Cleanup-on-ingest hook: `clean` (PII scrub, normalization, span
+      // dedup, ...) runs BEFORE signatures, so near-dup detection sees
+      // cleaned text — two copies of a page differing only in scrubbed
+      // content dedup. The replay manifest above is computed on the RAW
+      // batch (source identity): changing `clean` mid-lineage does NOT
+      // rewrite batches that already committed — replays of decided
+      // batches stand, at-least-once semantics unchanged. `clean` must be
+      // deterministic and preserve the id and text columns.
+      val cleaned = clean(batch0)
+      require(cleaned.columns.contains(idCol) && cleaned.columns.contains(textCol),
+        s"dedupAgainstIndexEachBatch: clean() must preserve '$idCol' and " +
+          s"'$textCol', got [${cleaned.columns.mkString(", ")}]")
       // In-batch exact-content dedup: keep the min-id holder per signature.
       // (Near-dups WITHIN one batch ride the next batch's probe; exactness
       // here keeps the step one hash-aggregate, no self-join.)
-      val sigged = batch0.withColumn("__sig",
+      val sigged = cleaned.withColumn("__sig",
           graft.expressions.TextHashExpressions
             .minHashSignature(col(textCol), shingleN, bands * rowsPerBand))
         .withColumn("__rk", row_number().over(

@@ -157,6 +157,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstIndexEachBatch: clean hook scrubs before dedup; PII variants merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("stream-dedup-clean").toString
+    val (idx, acc) = (s"$dir/idx", s"$dir/accepted")
+    val mem = MemoryStream[(Long, String)]
+    val ingest = Streams.dedupAgainstIndexEachBatch(idx, acc, "doc_id", "text",
+      clean = df => df.withColumn("text",
+        graft.operators.TextAnalysis.redactPii(col("text"))))
+    val q = mem.toDF().toDF("doc_id", "text").writeStream.foreachBatch(ingest).start()
+    try {
+      // same page scraped twice with different visitor emails: identical
+      // AFTER the scrub, so the second copy dedups; raw dedup would keep both
+      mem.addData(
+        1L -> "contact alice@a.example for the offer details today",
+        2L -> "contact bob.b@b.example for the offer details today",
+        3L -> "totally unrelated document body with no addresses")
+      q.processAllAvailable()
+      val rows = spark.read.parquet(acc).select("doc_id", "text")
+        .as[(Long, String)].collect().toMap
+      assert(rows.keySet == Set(1L, 3L), rows.keys.toSeq.sorted.mkString(", "))
+      // accepted text is the CLEANED text (scrub happened before the write)
+      assert(rows(1L) == "contact <EMAIL> for the offer details today")
+      // a clean() that drops the text column fails loudly
+      val bad = Streams.dedupAgainstIndexEachBatch(idx, s"$dir/acc2", "doc_id",
+        "text", clean = df => df.drop("text"))
+      val ex = intercept[IllegalArgumentException] {
+        bad(Seq(9L -> "x").toDF("doc_id", "text"), 99L)
+      }
+      assert(ex.getMessage.contains("must preserve"))
+    } finally q.stop()
+  }
+
   test("dedupAgainstIndexEachBatch: replayed batch ids are idempotent (at-least-once safe)") {
     val dir = Files.createTempDirectory("stream-dedup-replay").toString
     val (idx, acc) = (s"$dir/idx", s"$dir/accepted")
