@@ -292,7 +292,8 @@ object Curation {
     val sums = df.filter(col(groupCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(groupCol).cast("string").as("g"))
       .agg(sum(col(tokenCol).cast("long")).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap // all-NULL tokens -> 0
     val fractions = weights.flatMap { case (g, w) =>
       sums.get(g).filter(_ > 0L)
         .map(t => g -> math.min(1.0, targetTokens * w / wSum / t))

@@ -47,6 +47,9 @@ object Sinks {
                    seed: String, rowsPerShard: Long): Long = {
     require(rowsPerShard > 0,
       s"writeSharded: rowsPerShard must be > 0, got $rowsPerShard")
+    require(!df.columns.contains("shard") && !df.columns.contains("shuffle_pos"),
+      "writeSharded: input already has a 'shard' or 'shuffle_pos' column — " +
+        "these are the export's output columns and would be overwritten")
     import org.apache.spark.sql.functions.{col, floor, lit}
     val pos = graft.operators.Curation.shuffleDeterministic(df, idCol, seed)
     val sharded = pos.withColumn("shard",
