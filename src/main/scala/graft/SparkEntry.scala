@@ -505,6 +505,19 @@ object SparkEntry {
           max(col("__ingest_batch")).as("batch_tag"))
         .orderBy("lang")
     }),
+    // The declarative curation pipeline itself under the gate: a 3-step
+    // recipe (scrub -> intra-doc span dedup -> quality floor) whose
+    // oracle composes the same three proven transformations in SQL —
+    // pinning the EXECUTOR (step order, schema preservation through the
+    // text-rewrite rejoin), not just the operators.
+    "q_pipeline_curate_recipe" -> ((s, d) =>
+      graft.pipeline.CorpusPipeline.run(
+          t(s, d, "documents").select("doc_id", "text", "lang"),
+          "doc_id", "text", Seq(
+            graft.pipeline.CorpusPipeline.RedactPii,
+            graft.pipeline.CorpusPipeline.DedupSpansWithin(spanTokens = 2),
+            graft.pipeline.CorpusPipeline.QualityFloor(minTokens = 5)))
+        .select("doc_id", "text", "lang").orderBy("doc_id")),
     // Sharded training export round trip: write the corpus as bounded
     // shard=<k>/ dirs in the seeded shuffle order, read BACK from the
     // filesystem, and emit per-shard stats the oracle re-derives from the
@@ -1630,6 +1643,36 @@ object SparkEntry {
         |  CAST(sum(len(text)) AS BIGINT) AS sum_text_len,
         |  CAST(-1 AS BIGINT) AS batch_tag
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Composes the redact chain, the spans-within dedup, and the token
+    // floor in one SQL pipeline — same step order as the recipe.
+    "q_pipeline_curate_recipe" ->
+      """WITH red AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '(?i:https?)://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |  FROM red),
+        |spans AS (
+        |  SELECT doc_id, i AS span_id,
+        |    array_to_string(tk[i*2+1 : i*2+2], ' ') AS span
+        |  FROM w, unnest(range(0, CAST(ceil(len(tk)/2.0) AS BIGINT))) AS r(i)),
+        |firsts AS (
+        |  SELECT doc_id, span, min(span_id) AS keep_id
+        |  FROM spans GROUP BY doc_id, span),
+        |agg AS (
+        |  SELECT doc_id, string_agg(span, ' ' ORDER BY keep_id) AS text
+        |  FROM firsts GROUP BY doc_id)
+        |SELECT w.doc_id, a.text, w.lang
+        |FROM w JOIN agg a USING (doc_id)
+        |WHERE len(list_filter(regexp_split_to_array(a.text, '\s+'),
+        |  x -> x <> '')) >= 5
+        |ORDER BY doc_id""".stripMargin,
     // Re-derives the export layout from row_number over the md5 order —
     // matching means the filesystem round trip preserved exactly the
     // computed shard membership and positions.

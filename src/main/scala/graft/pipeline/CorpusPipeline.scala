@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative corpus-curation pipeline — the reference's config-driven
+  * design (per-table `TableSpec`s interpreted by `Runner`, see
+  * `sync_ALL.py`'s TABLES/FILTERS config surface) applied to the
+  * training-corpus domain: the standard cleanup/curation recipe is a
+  * VALUE — an ordered `Seq[Step]` — interpreted left-to-right by
+  * [[CorpusPipeline.run]]. A recipe can be inspected, logged, diffed,
+  * and unit-tested as data, and the step order (scrub before dedup,
+  * dedup before mixing, mix before sampling) is explicit instead of
+  * buried in call sites.
+  *
+  * Every step preserves the frame's full schema: text-rewriting steps
+  * (span dedup) rewrite `textCol` in place and re-attach all other
+  * columns by id; row-dropping steps (dedup, filters, mixing) only
+  * remove rows. So steps compose in any order and the output is always
+  * "the input corpus, cleaned" — same columns, subset of rows, possibly
+  * rewritten text.
+  *
+  * Scale: each step is one of this library's operators — the pipeline
+  * adds NO driver-side loops and no materialization between steps; the
+  * whole recipe is one lazy plan unless an operator itself pins
+  * (documented on the operator).
+  */
+object CorpusPipeline {
+
+  /** One curation step. `idCol`/`textCol` come from the run, not the
+    * step, so a recipe is corpus-schema-agnostic.
+    */
+  sealed trait Step
+
+  /** Replace URLs/emails/IPs/phones with typed placeholders
+    * ([[graft.operators.TextAnalysis.redactPii]]). Run FIRST so nothing
+    * downstream sees raw addresses.
+    */
+  case object RedactPii extends Step
+
+  /** Unicode NFD + accent strip + casefold + whitespace collapse
+    * ([[graft.operators.TextAnalysis.normalizeText]]): accent/case
+    * variants fingerprint identically from here on.
+    */
+  case object NormalizeText extends Step
+
+  /** Drop rows whose `urlCol` domain (or any parent domain) is on the
+    * blocklist ([[graft.operators.TextAnalysis.filterByBlockedDomains]]).
+    */
+  final case class DropBlockedDomains(urlCol: String, blocklist: DataFrame)
+      extends Step
+
+  /** Remove intra-document verbatim span repeats
+    * ([[graft.operators.Dedup.dedupSpansWithinDoc]]); text is rewritten,
+    * rows survive.
+    */
+  final case class DedupSpansWithin(spanTokens: Int) extends Step
+
+  /** Remove spans repeated verbatim across >= minDocs documents
+    * ([[graft.operators.Dedup.dedupSpansAcross]]); text is rewritten,
+    * rows survive.
+    */
+  final case class DedupSpansAcross(spanTokens: Int, minDocs: Long)
+      extends Step
+
+  /** Near-duplicate removal, keep min-id survivor per cluster
+    * ([[graft.operators.Dedup.dedupCorpus]]).
+    */
+  case object DedupNear extends Step
+
+  /** Drop docs sharing >= minHits distinct n-grams with an eval set
+    * ([[graft.operators.Dedup.decontaminate]]).
+    */
+  final case class Decontaminate(evalDocs: DataFrame, evalTextCol: String,
+                                 ngramN: Int = 3, minHits: Long = 1)
+      extends Step
+
+  /** Keep docs with at least `minTokens` whitespace tokens. */
+  final case class QualityFloor(minTokens: Int) extends Step
+
+  /** Resample toward per-group weights at a row budget
+    * ([[graft.operators.Curation.mixtureSample]]).
+    */
+  final case class MixRows(groupCol: String, weights: Map[String, Double],
+                           targetRows: Long) extends Step
+
+  /** Resample toward per-group weights at a TOKEN budget
+    * ([[graft.operators.Curation.mixtureSampleByTokens]]).
+    */
+  final case class MixTokens(groupCol: String, tokenCol: String,
+                             weights: Map[String, Double], targetTokens: Long)
+      extends Step
+
+  /** Rewrite `textCol` with `f(id, text)`'s `text_clean` output while
+    * preserving every other column (inner join back on id — both span
+    * dedups emit one row per input doc, so no rows are lost).
+    */
+  private def rewriteText(df: DataFrame, idCol: String, textCol: String)(
+      cleaned: DataFrame): DataFrame = {
+    val keep = df.drop(textCol)
+    keep.join(cleaned.select(col(idCol), col("text_clean").as(textCol)),
+      Seq(idCol))
+  }
+
+  /** Interpret `steps` left-to-right over `df`. */
+  def run(df: DataFrame, idCol: String, textCol: String,
+          steps: Seq[Step]): DataFrame =
+    steps.foldLeft(df) { (d, step) =>
+      step match {
+        case RedactPii =>
+          d.withColumn(textCol,
+            graft.operators.TextAnalysis.redactPii(col(textCol)))
+        case NormalizeText =>
+          d.withColumn(textCol,
+            graft.operators.TextAnalysis.normalizeText(col(textCol)))
+        case DropBlockedDomains(urlCol, blocklist) =>
+          graft.operators.TextAnalysis
+            .filterByBlockedDomains(d, idCol, urlCol, blocklist)
+        case DedupSpansWithin(n) =>
+          rewriteText(d, idCol, textCol)(
+            graft.operators.Dedup.dedupSpansWithinDoc(d, idCol, textCol, n))
+        case DedupSpansAcross(n, minDocs) =>
+          rewriteText(d, idCol, textCol)(
+            graft.operators.Dedup.dedupSpansAcross(d, idCol, textCol, n, minDocs))
+        case DedupNear =>
+          graft.operators.Dedup.dedupCorpus(d, idCol, textCol)
+        case Decontaminate(evalDocs, evalTextCol, n, minHits) =>
+          graft.operators.Dedup.decontaminate(d, evalDocs, idCol, textCol,
+            evalTextCol, n, minHits)
+        case QualityFloor(minTokens) =>
+          d.filter(graft.operators.TextAnalysis.tokenCountWs(col(textCol))
+            >= minTokens)
+        case MixRows(groupCol, weights, targetRows) =>
+          graft.operators.Curation
+            .mixtureSample(d, groupCol, idCol, weights, targetRows)
+        case MixTokens(groupCol, tokenCol, weights, targetTokens) =>
+          graft.operators.Curation.mixtureSampleByTokens(d, groupCol, idCol,
+            tokenCol, weights, targetTokens)
+      }
+    }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.pipeline.CorpusPipeline
+import graft.pipeline.CorpusPipeline._
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("recipe runs left-to-right: scrub -> domain filter -> span dedup -> near-dup -> floor") {
+    val corpus = Seq(
+      (1L, "copy right alpha beta gamma delta epsilon zeta", "https://good.example/1", "src0"),
+      (2L, "copy right alpha beta gamma delta epsilon zeta", "https://good.example/2", "src0"), // exact dup of 1
+      (3L, "copy right words on a blocked domain page here", "https://spam.example/3", "src0"),
+      (4L, "copy right one two three four five six seven", "https://fine.org/4", "src1"),
+      (5L, "mail bob@x.example copy right interesting content persists here", "https://fine.org/5", "src1"),
+      (6L, "tiny", "https://fine.org/6", "src1") // fails the floor
+    ).toDF("doc_id", "text", "url", "source")
+    val bl = Seq("spam.example").toDF("domain")
+    val recipe: Seq[Step] = Seq(
+      RedactPii,
+      DropBlockedDomains("url", bl),
+      DedupSpansAcross(spanTokens = 2, minDocs = 3),
+      DedupNear,
+      QualityFloor(minTokens = 5))
+    val out = CorpusPipeline.run(corpus, "doc_id", "text", recipe)
+      .select("doc_id", "text", "url", "source")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 4L, 5L), out.mkString("; "))
+    val byId = out.map(r => r._1 -> r).toMap
+    // "copy right" (in >= 3 surviving docs) was removed from every text
+    assert(byId(1L)._2 == "alpha beta gamma delta epsilon zeta")
+    assert(byId(4L)._2 == "one two three four five six seven")
+    // the email was scrubbed BEFORE span stats / dedup saw the text
+    assert(byId(5L)._2 == "mail <EMAIL> interesting content persists here")
+    // schema preserved through text-rewriting steps
+    assert(byId(4L)._3 == "https://fine.org/4" && byId(4L)._4 == "src1")
+  }
+
+  test("step order matters and is the caller's to choose") {
+    // floor BEFORE span removal keeps a doc whose tokens drop below the
+    // floor only after boilerplate removal; floor AFTER drops it
+    val corpus = Seq(
+      (1L, "copy right unique tail"),
+      (2L, "copy right more words here"),
+      (3L, "copy right third doc words")
+    ).toDF("doc_id", "text")
+    val before = CorpusPipeline.run(corpus, "doc_id", "text",
+      Seq(QualityFloor(3), DedupSpansAcross(2, 3)))
+      .select("doc_id").as[Long].collect().toSet
+    val after = CorpusPipeline.run(corpus, "doc_id", "text",
+      Seq(DedupSpansAcross(2, 3), QualityFloor(3)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(before == Set(1L, 2L, 3L))
+    // doc 1 drops to 2 tokens ("unique tail") once "copy right" is banned
+    assert(after == Set(2L, 3L))
+  }
+
+  test("token-budget mixing composes as a step") {
+    val corpus = ((1L to 40L).map(i => (i, "w " * 20 + "end", "a")) ++
+      (41L to 80L).map(i => (i, "w " * 20 + "end", "b")))
+      .toDF("doc_id", "text", "src")
+    val out = CorpusPipeline.run(corpus, "doc_id", "text", Seq(
+        MixTokens("src", "doc_id", Map("a" -> 1.0), targetTokens = 100000)))
+      .select("doc_id", "src").as[(Long, String)].collect()
+    // weight 1.0 with a budget above source a's mass: all of a, none of b
+    assert(out.map(_._1).toSet == (1L to 40L).toSet)
+    assert(out.forall(_._2 == "a"))
+  }
+}
