@@ -77,12 +77,13 @@ object Demo {
     // --- 5. training-corpus curation (LLM-pipeline shape) -----------------
     println("== Corpus curation: scrub -> dedup -> quality filter -> mix -> split -> JSONL ==")
     val docs = TableSpec.read(spark, sfDir, "documents")
-    // PII scrub FIRST (nothing downstream sees raw addresses), then near-dup
-    val scrubbed = docs.withColumn("text",
-      graft.operators.TextAnalysis.redactPii(col("text")))
-    val deduped = graft.operators.Dedup.dedupCorpus(scrubbed, "doc_id", "text")
-    val kept = deduped.filter(
-      graft.operators.TextAnalysis.tokenCountWs(col("text")) >= 10)
+    // The whole cleanup is ONE declarative recipe — scrub first (nothing
+    // downstream sees raw addresses), near-dup removal, quality floor
+    import graft.pipeline.CorpusPipeline
+    val kept = CorpusPipeline.run(docs, "doc_id", "text", Seq(
+      CorpusPipeline.RedactPii,
+      CorpusPipeline.DedupNear,
+      CorpusPipeline.QualityFloor(minTokens = 10)))
     // rebalance the surviving mix toward equal source shares at half size
     val mixed = graft.operators.Curation.mixtureSample(kept, "source", "doc_id",
       Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 1.0),
@@ -99,8 +100,8 @@ object Demo {
         "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
           "n_chars BIGINT, split_bucket INT, split STRING")
       .filter(col("doc_id").isNotNull).count()
-    println(s"  ${docs.count()} docs -> ${deduped.count()} after near-dup " +
-      s"removal -> ${kept.count()} after quality floor -> " +
+    println(s"  ${docs.count()} docs -> ${kept.count()} after the " +
+      s"scrub/near-dup/floor recipe -> " +
       s"${mixed.count()} after source rebalance -> " +
       s"$nTrain train docs round-tripped through gzip JSONL")
     require(nTrain > 0, "train split must not be empty")
