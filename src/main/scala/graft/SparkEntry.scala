@@ -917,6 +917,21 @@ object SparkEntry {
       Curation.mixtureSample(t(s, d, "documents"), "source", "doc_id",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), targetRows = 60)
         .select("doc_id", "source").orderBy("doc_id")),
+    // Z-order layout key over (custkey, order day): exact integer min/max
+    // normalization to a 16-bit grid + bit interleave — the multi-column
+    // clustering key writeZOrdered sorts by so parquet min/max stats prune
+    // on BOTH columns. Bit-exact by construction; the oracle replays the
+    // grid division and the 32 shift/mask terms verbatim.
+    "q_layout_zorder" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"),
+            to_date(lit("1970-01-01"))).cast("long").as("o_day"))
+      Layout.withZValue(o, Seq("o_custkey", "o_day"), bits = 16)
+        .select(col("o_orderkey"), col("__z").as("zval"))
+        .orderBy("o_orderkey")
+    }),
     // Deterministic training-order shuffle + shard assignment: global
     // positions minted over the md5(seed:id) order by the two-pass
     // columnar mint (no single-partition window), shards of 128. The
@@ -2264,6 +2279,30 @@ object SparkEntry {
         |                           ELSE 0.5 END
         |      / (5.0 + 0.5 + 0.5) / c.t) * 4294967296.0)
         |ORDER BY doc_id""".stripMargin,
+    // Exact-integer Z-value replay: same grid division (// is floor
+    // division; operands non-negative, so it matches Spark's truncating
+    // `div`) and the same 32 interleave terms.
+    "q_layout_zorder" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS y
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+        |mm AS (SELECT min(x) AS xmin, max(x) AS xmax,
+        |              min(y) AS ymin, max(y) AS ymax FROM b),
+        |g AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN xmax = xmin THEN 0
+        |         ELSE ((x - xmin) * 65535) // (xmax - xmin) END AS gx,
+        |    CASE WHEN ymax = ymin THEN 0
+        |         ELSE ((y - ymin) * 65535) // (ymax - ymin) END AS gy
+        |  FROM b, mm)
+        |SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    (((gx >> i) & 1) << (2 * i)) + (((gy >> i) & 1) << (2 * i + 1))))
+        |    AS BIGINT) AS zval
+        |FROM g ORDER BY o_orderkey""".stripMargin,
     // row_number over (md5('s8:'||id), id) replays the mint's total
     // order; positions are 1-based like the operator's.
     "q_cur_shuffle_shards" ->
