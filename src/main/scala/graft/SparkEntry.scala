@@ -211,7 +211,8 @@ object SparkEntry {
       // stay in the correctness contract but out of the bench set, same
       // ruling as the quality gates above (VERDICT r7 §next-2).
       "q_dedup_minhash_portable", "q_dedup_simhash_portable",
-      "q_sim_ann_portable", "q_sim_ivf_portable")
+      "q_sim_ann_portable", "q_sim_ivf_portable", "q_sim_pq_portable",
+      "q_sim_pq_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -1009,6 +1010,57 @@ object SparkEntry {
       Similarity.annLshPortable(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, bands = 4, bitsPerBand = 8, minCosNum = 1, minCosDen = 4)
         .orderBy("id_a", "id_b")),
+    // ---- product quantization (compressed ANN) --------------------------
+    // PQ-ADC with exact re-rank: the corpus scan reads 8 int codes per row
+    // (not 64 floats), scores are m table lookups, and only the k*refine
+    // shortlist touches full vectors. Trained (k-means, float) codebooks
+    // make these two rows-only for the driver; the gate and the
+    // integer-exact portable twin below pin the semantics.
+    "q_sim_pq_topk" -> ((s, d) =>
+      ProductQuantization.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, queryId = 1, k = 20, m = 8, kCodewords = 16)),
+    // IVF-PQ (the FAISS composition): residual-coded cells, nProbe/16 of
+    // the corpus scanned, global ADC table via the dot decomposition.
+    "q_sim_ivfpq_topk" -> ((s, d) =>
+      ProductQuantization.ivfPqTopK(t(s, d, "embeddings"), "vec_id",
+        "embedding", dim = 64, queryId = 1, k = 20, nCentroids = 16,
+        nProbe = 4, m = 8, kCodewords = 16)),
+    // Integer-exact portable twin (annLshPortable's role for ADC): md5 ±64
+    // codebooks over int8-quantized vectors — encode argmin, lookup table,
+    // and summed scores all replayed bit-for-bit by the oracle.
+    "q_sim_pq_portable" -> ((s, d) =>
+      ProductQuantization.pqTopKPortable(t(s, d, "embeddings"), "vec_id",
+        "embedding", dim = 64, queryId = 1, k = 20, m = 8, kCodewords = 16)),
+    // PQ quality gate (verify-only): (a) decode(encode(v)) cosine over the
+    // whole corpus clears the reconstruction bar; (b) ADC-shortlist +
+    // exact-rerank top-10 on the planted-cluster fixture recovers >= 9 of
+    // the brute-force top-10. Truth side (vector count) is oracled.
+    "q_sim_pq_gate" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val books = ProductQuantization.trainCodebooks(emb, "vec_id",
+        "embedding", dim = 64, m = 8, k = 16)
+      val codes = ProductQuantization.encode(emb, "vec_id", "embedding", books)
+      val recon = emb.select(col("vec_id").as("id"), col("embedding"))
+        .join(codes, "id")
+        .select(Similarity.cosine(col("embedding"),
+          ProductQuantization.decodeColumn(col("codes"), books)).as("cos"))
+        .agg(count(lit(1)).as("n_vectors"), avg("cos").as("__avg"))
+      val fix = Similarity.clusteredEmbeddings(s, nClusters = 32,
+        perCluster = 32, dim = 64)
+      val exact = Similarity.bruteForceTopK(fix, "vec_id", "embedding",
+        queryId = 1, k = 10).select("vec_id")
+      val approx = ProductQuantization.pqTopK(fix, "vec_id", "embedding",
+        dim = 64, queryId = 1, k = 10, m = 8, kCodewords = 16)
+        .select("vec_id")
+      val hits = exact.join(approx, "vec_id")
+      // Thresholds: measured 0.673 avg cosine on the sf0.01 corpus (random
+      // 64-dim floats at 32x compression: m=8 codes from k=16 codebooks)
+      // and 10/10 planted-cluster recall; gate at 0.6 / 9 leaves margin
+      // for double-sum order drift in k-means training.
+      recon.crossJoin(hits.agg(count(lit(1)).as("__hits")))
+        .select(col("n_vectors"), (col("__avg") >= 0.6).as("recon_ok"),
+          (col("__hits") >= 9).as("recall_ok"))
+    }),
     "q_sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         queryId = 1, k = 20, nCentroids = 16, nProbe = 4)),
@@ -2431,6 +2483,51 @@ object SparkEntry {
         |  FROM cand c CROSS JOIN qvec)
         |SELECT vec_id, score FROM scored
         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin,
+    // Replays pqTopKPortable bit-for-bit: int8 quantize, md5-parity ±64
+    // codebooks (key "pq:s:c:i", m=8 subspaces × k=16 codewords × sub=8),
+    // per-subspace squared-L2 argmin with ties to the lowest codeword,
+    // ADC table = query-subvector · codeword, score = sum of m lookups.
+    // All integer-valued, exact in BIGINT and in double.
+    "q_sim_pq_portable" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |q AS (
+        |  SELECT id,
+        |    CASE WHEN ma > 0 THEN list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT))
+        |         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+        |  FROM base),
+        |cw AS (
+        |  SELECT s.s, c.c, i.i,
+        |    CASE WHEN CAST(concat('0x',
+        |        substr(md5('pq:' || s.s || ':' || c.c || ':' || i.i), 1, 1)) AS INT) % 2 = 0
+        |      THEN CAST(64 AS BIGINT) ELSE CAST(-64 AS BIGINT) END AS w
+        |  FROM range(0, 8) s(s), range(0, 16) c(c), range(0, 8) i(i)),
+        |dist AS (
+        |  SELECT q.id, cw.s, cw.c,
+        |    sum((q.qv[cw.s * 8 + cw.i + 1] - cw.w)
+        |      * (q.qv[cw.s * 8 + cw.i + 1] - cw.w)) AS d
+        |  FROM q, cw GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT id, s, c FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY id, s ORDER BY d ASC, c ASC) = 1),
+        |lut AS (
+        |  SELECT cw.s, cw.c, sum(qq.qv[cw.s * 8 + cw.i + 1] * cw.w) AS l
+        |  FROM cw CROSS JOIN (SELECT qv FROM q WHERE id = 1) qq(qv)
+        |  GROUP BY 1, 2)
+        |SELECT codes.id AS vec_id, CAST(sum(lut.l) AS BIGINT) AS score
+        |FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
+        |WHERE codes.id <> 1
+        |GROUP BY 1 ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin,
+    // Truth side of the PQ gate: the vector count is oracled; the
+    // reconstruction-cosine and planted-recall booleans are engine-side
+    // quality assertions (same pattern as q_sim_quantize_gate).
+    "q_sim_pq_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS recon_ok,
+        |  true AS recall_ok
+        |FROM embeddings WHERE len(embedding) = 64""".stripMargin,
     "q_cur_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,

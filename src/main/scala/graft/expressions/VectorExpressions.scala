@@ -536,6 +536,127 @@ case class SignedIntDots(child: Expression, signs: Array[Array[Int]])
     copy(child = newChild)
 }
 
+/** Product-quantization encoder: for each of the `m` contiguous subspaces
+  * of the input vector, the index (0-based) of the nearest codeword by
+  * squared L2 distance, ties broken toward the LOWEST index — the rule an
+  * oracle replays with `ORDER BY dist, c LIMIT 1`. `books` is the flattened
+  * (m·k) × sub codebook matrix, row `s * k + c` = codeword `c` of subspace
+  * `s`. One tight generated loop per row (same janino/HOF rationale as
+  * [[IntLshBandSignatures]]: a flat element_at composition of m·k·sub terms
+  * doesn't compile, HOF folds run interpreted). Double arithmetic is EXACT
+  * when vector and codebook values are integers below 2^26 — the
+  * oracle-portable twin feeds int8-quantized vectors and ±64 codebooks, so
+  * its codes are bit-reproducible in integer SQL. A ragged vector throws
+  * (ADVICE r7 convention); null elements read as 0.
+  */
+case class PqEncode(child: Expression, books: Array[Array[Double]], k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k >= 1 && books.nonEmpty && books.length % k == 0,
+    s"pq_encode: |books| (${books.length}) must be a positive multiple of k ($k)")
+  require(books.forall(_.length == books(0).length),
+    "pq_encode: all codewords must share one subspace dimension")
+
+  private def m: Int = books.length / k
+  private def sub: Int = books(0).length
+  private def dim: Int = m * sub
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+                   ShortType | ByteType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric array argument, got ${other.catalogString}")
+  }
+
+  private def elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  private def getD(arr: ArrayData, i: Int): Double = elem match {
+    case FloatType   => arr.getFloat(i).toDouble
+    case DoubleType  => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType    => arr.getLong(i).toDouble
+    case ShortType   => arr.getShort(i).toDouble
+    case ByteType    => arr.getByte(i).toDouble
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) throw new IllegalArgumentException(
+      s"$prettyName: vector length ${arr.numElements()} != m*sub ($dim)")
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val cw = books(s * k + c)
+        var d = 0.0
+        var i = 0
+        while (i < sub) {
+          val x = if (arr.isNullAt(s * sub + i)) 0.0 else getD(arr, s * sub + i)
+          val t = x - cw(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("books", books, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val cw = ctx.freshName("cw")
+      val d = ctx.freshName("d")
+      val x = ctx.freshName("x")
+      val t = ctx.freshName("t")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: vector length " + $v.numElements() + " != m*sub ($dim)");
+         |}
+         |int[] $codes = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $best = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double[] $cw = $booksRef[$s * $k + $c];
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      double $x = $v.isNullAt($s * $sub + $i)
+         |        ? 0.0 : (double) ${CodeGenerator.getValue(v, elem, s"($s * $sub + $i)")};
+         |      double $t = $x - $cw[$i];
+         |      $d += $t * $t;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $codes[$s] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrappers (classic API). */
   def quantizedDot(a: Column, b: Column, scale: Int = 1000): Column =
@@ -558,4 +679,7 @@ object VectorExpressions {
 
   def signedIntDots(vec: Column, signs: Array[Array[Int]]): Column =
     GraftBridge.column(SignedIntDots(GraftBridge.expression(vec), signs))
+
+  def pqEncode(vec: Column, books: Array[Array[Double]], k: Int): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(vec), books, k))
 }

@@ -1,0 +1,249 @@
+package graft.operators
+
+import graft.expressions.VectorExpressions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Product quantization (PQ) for embedding columns — the compression leg
+  * of large-scale ANN (the FAISS IVF-PQ design, re-expressed as Spark
+  * relational plans). The vector is split into `m` contiguous subspaces;
+  * each subspace gets its own `k`-codeword codebook (per-subspace
+  * k-means); a vector is stored as `m` small codes instead of `dim`
+  * floats — dim 64 × float32 → 8 bytes is a 32× cut in the column ANN
+  * reads. Search uses asymmetric distance computation (ADC): the query
+  * precomputes an m×k lookup table of query-subvector · codeword dots,
+  * and each candidate's score is `m` table lookups — no float vector
+  * math per row at all.
+  *
+  * At 100 TB: training aggregates are metadata-scale (m·k·(sub+1) values
+  * per iteration regardless of corpus size, the [[Similarity
+  * .kMeansCentroids]] argument), encoding is one codegen'd map pass
+  * ([[graft.expressions.PqEncode]]), and ADC scoring is a literal-table
+  * projection + TakeOrdered — the corpus never shuffles. Composes with
+  * IVF ([[ivfPqTopK]]): cell pruning cuts the rows scanned, PQ cuts the
+  * bytes per row scanned; the two savings multiply.
+  *
+  * The reference engine has no vector surface (SURVEY §2 extension
+  * family); semantics follow the published PQ literature.
+  */
+object ProductQuantization {
+
+  /** Codebooks: `m` subspaces × `k` codewords × `dim/m` components. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  private def flat(books: Codebooks): Array[Array[Double]] = books.flatten
+
+  /** Codes column: `m` 0-based nearest-codeword indices (squared L2 per
+    * subspace, ties toward the lowest index) — one generated tight loop.
+    */
+  def encodeColumn(vec: Column, books: Codebooks): Column =
+    VectorExpressions.pqEncode(vec, flat(books), books(0).length)
+
+  /** Reconstructed vector from codes: codeword concatenation. Interpreted
+    * HOF path — used by the round-trip gate, not the search hot path.
+    */
+  def decodeColumn(codes: Column, books: Codebooks): Column = {
+    val m = books.length
+    concat((0 until m).map { s =>
+      val lut = typedlit(books(s).map(_.toSeq).toSeq)
+      element_at(lut, element_at(codes, s + 1) + 1)
+    }: _*)
+  }
+
+  /** Train per-subspace codebooks with Lloyd's k-means, all subspaces in
+    * one scan per iteration: encode with the current books (codegen'd),
+    * explode to (subspace, code, subvector), one hash-aggregate of
+    * per-dimension sums. Initialization is Forgy from `k` corpus vectors
+    * picked by lowest md5("pqseed:" || id) — deterministic, and the hash
+    * scatters seeds across the corpus instead of clumping them in one id
+    * range (the k lowest IDs of a clustered corpus can all share one
+    * cluster, stranding k-means in a local minimum); an empty cell keeps
+    * its codeword. Driver
+    * traffic per iteration: m·k·(sub+1) doubles — metadata-scale.
+    */
+  def trainCodebooks(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     m: Int, k: Int, maxIter: Int = 6,
+                     tol: Double = 1e-9): Codebooks = {
+    require(dim % m == 0, s"trainCodebooks: dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val base = emb.filter(size(col(vecCol)) === dim)
+      .select(col(vecCol).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Forgy init: k md5-scattered vectors, sliced per subspace (bounded
+    // k×dim collect via TakeOrdered). Duplicate rows just mean coincident
+    // codewords that k-means separates (ties broken toward low c).
+    val seedRows = emb.filter(size(col(vecCol)) === dim)
+      .orderBy(md5(concat(lit("pqseed:"), col(idCol).cast("string"))), col(idCol))
+      .limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(seedRows.nonEmpty, s"trainCodebooks: no vectors of length $dim")
+    var books: Codebooks = Array.tabulate(m)(s => Array.tabulate(k)(c =>
+      seedRows(c % seedRows.length).slice(s * sub, (s + 1) * sub)))
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val codes = encodeColumn(col("v"), books)
+      val sliced = base.select(posexplode(array((0 until m).map(s =>
+          struct(element_at(codes, s + 1).as("c"),
+            slice(col("v"), s * sub + 1, sub).as("sv"))): _*)))
+        .select(col("pos").as("s"), col("col.c").as("c"), col("col.sv").as("sv"))
+      val aggs = count(lit(1)).as("n") +:
+        (0 until sub).map(i =>
+          sum(element_at(col("sv"), i + 1).cast("double")).as(s"d$i"))
+      val rows = sliced.groupBy("s", "c").agg(aggs.head, aggs.tail: _*).collect()
+      val next = books.map(_.map(_.clone()))
+      rows.foreach { r =>
+        val (s, c, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
+        if (n > 0) next(s)(c) = Array.tabulate(sub)(i => r.getDouble(3 + i) / n)
+      }
+      moved = books.indices.iterator.flatMap(s => (0 until k).iterator.map(c =>
+        books(s)(c).iterator.zip(next(s)(c).iterator)
+          .map { case (a, b) => (a - b) * (a - b) }.sum)).max
+      books = next
+      iter += 1
+    }
+    base.unpersist()
+    books
+  }
+
+  /** Encode a corpus: (id, codes array<int> of length m). */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             books: Codebooks): DataFrame = {
+    val dim = books.length * books(0)(0).length
+    emb.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"), encodeColumn(col(vecCol), books).as("codes"))
+  }
+
+  /** ADC lookup table for one query vector: lut(s)(c) = query subvector
+    * `s` · codeword `c`. Driver-side, m·k·sub multiplications.
+    */
+  def adcLut(query: Array[Double], books: Codebooks): Array[Array[Double]] = {
+    val m = books.length
+    val sub = books(0)(0).length
+    require(query.length == m * sub,
+      s"adcLut: query length ${query.length} != ${m * sub}")
+    Array.tabulate(m)(s => books(s).map(cw =>
+      (0 until sub).map(i => query(s * sub + i) * cw(i)).sum))
+  }
+
+  /** ADC score of a codes column: m literal-table lookups, summed — the
+    * per-candidate cost is independent of `dim`. Unrolled built-ins (m
+    * element_at terms), fully inside whole-stage codegen.
+    */
+  def adcScore(codes: Column, lut: Array[Array[Double]]): Column =
+    lut.indices.map { s =>
+      element_at(typedlit(lut(s).toSeq), element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
+
+  private def queryVector(emb: DataFrame, idCol: String, vecCol: String,
+                          queryId: Long): Array[Double] = {
+    val rows = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")).limit(1).collect()
+    require(rows.nonEmpty, s"query id $queryId not found")
+    rows(0).getSeq[Double](0).toArray
+  }
+
+  /** PQ-ADC top-k with exact re-rank: train, encode, ADC-score every
+    * candidate by table lookups, shortlist `k * refine`, then re-rank the
+    * shortlist by exact (quantized-integer) dot against the stored
+    * vectors. The shortlist step is where PQ pays off — the corpus scan
+    * touches only codes — and the re-rank touches `k * refine` full
+    * vectors, a bounded semi-join. Without re-rank, candidates inside one
+    * tight cluster share identical codes and tie; this is the standard
+    * ADC-shortlist + exact-refine design. [[ivfPqTopK]] adds cell pruning
+    * on top.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+             queryId: Long, k: Int, m: Int = 8, kCodewords: Int = 16,
+             maxIter: Int = 6, refine: Int = 4): DataFrame = {
+    val books = trainCodebooks(emb, idCol, vecCol, dim, m, kCodewords, maxIter)
+    val lut = adcLut(queryVector(emb, idCol, vecCol, queryId), books)
+    val shortlist = encode(emb, idCol, vecCol, books)
+      .filter(col("id") =!= queryId)
+      .select(col("id"), adcScore(col("codes"), lut).as("adc"))
+      .orderBy(col("adc").desc, col("id").asc)
+      .limit(k * refine)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec")).limit(1)
+    shortlist.join(emb.select(col(idCol).as("id"), col(vecCol)), "id")
+      .crossJoin(broadcast(q))
+      .select(col("id").as("vec_id"),
+        Similarity.dotQuantized(col(vecCol), col("__qvec")).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF-PQ top-k (the FAISS composition): coarse-quantize every vector to
+    * its nearest of `nCentroids` cells, PQ-encode the RESIDUAL (v −
+    * centroid), and at query time probe only the `nProbe` nearest cells.
+    * Scoring uses the dot decomposition `q · v̂ = q · centroid(cell) + q ·
+    * decode(codes)` — the first term is an nCentroids-entry literal lookup
+    * on the cell id, the second the usual ADC table, so one GLOBAL lut
+    * serves every probed cell (no per-cell tables). Residual encoding is
+    * what makes one codebook work across cells: residuals live in a shared
+    * origin-centered ball instead of m far-apart clusters.
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 8, kCodewords: Int = 16, maxIter: Int = 6): DataFrame = {
+    val centroids = Similarity.pseudoCentroids(dim, nCentroids)
+    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
+    def residual(vec: Column, cell: Column): Column =
+      zip_with(vec.cast("array<double>"), element_at(centLit, cell + 1),
+        (x, c) => x - c)
+    val assigned = emb.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"),
+        Similarity.ivfAssignTo(col(vecCol), centroids).as("cell"),
+        col(vecCol).as("v"))
+      .withColumn("res", residual(col("v"), col("cell")))
+    val books = trainCodebooks(assigned, "id", "res", dim, m, kCodewords, maxIter)
+    val query = queryVector(emb, idCol, vecCol, queryId)
+    val lut = adcLut(query, books)
+    // driver-side probe selection + centroid dot terms (nCentroids × dim)
+    val centDots = centroids.map(c =>
+      c.indices.map(i => query(i) * c(i)).sum)
+    val probed = centDots.zipWithIndex.sortBy { case (d, i) => (-d, i) }
+      .take(nProbe).map(_._2)
+    val centDotLit = typedlit(centDots.toSeq)
+    assigned.filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .filter(col("id") =!= queryId)
+      .select(col("id").as("vec_id"),
+        (element_at(centDotLit, col("cell") + 1) +
+          adcScore(encodeColumn(col("res"), books), lut)).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Oracle-portable PQ twin ([[Similarity.annLshPortable]]'s role for
+    * ADC): md5-parity ±64 codebooks over int8-quantized vectors, so
+    * encode distances, the lookup table, and the scores are all
+    * integer-valued and bit-reproducible in SQL. The relational shape is
+    * the production one — quantize → encode → ADC table lookups → top-k
+    * with total tie-break — only the arithmetic domain changes.
+    * Bounds: |q| ≤ 127, |cw| = 64 → per-term (127+64)² ≈ 3.6e4, dist ≤
+    * 3e5, lut entry ≤ 127·64·sub, score ≤ m·that — all exact in double
+    * AND in BIGINT.
+    */
+  def pqTopKPortable(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                     queryId: Long, k: Int, m: Int = 8,
+                     kCodewords: Int = 16): DataFrame = {
+    require(dim % m == 0, s"pqTopKPortable: dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val books: Codebooks = Array.tabulate(m)(s => Array.tabulate(kCodewords)(c =>
+      Array.tabulate(sub)(i =>
+        Similarity.md5ParitySign(s"pq:$s:$c:$i") * 64.0)))
+    val q = Similarity.quantizeEmbeddings(emb, idCol, vecCol)
+      .filter(size(col("qvec")) === dim)
+    val queryRows = q.filter(col("id") === queryId)
+      .select(col("qvec").cast("array<double>")).limit(1).collect()
+    require(queryRows.nonEmpty, s"query id $queryId not found")
+    val lut = adcLut(queryRows(0).getSeq[Double](0).toArray, books)
+    q.filter(col("id") =!= queryId)
+      .select(col("id").as("vec_id"),
+        adcScore(encodeColumn(col("qvec"), books), lut).cast("long").as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

@@ -201,7 +201,7 @@ object Similarity {
     * bit-identical to the oracle rule
     * `CAST(concat('0x', substr(md5(key), 1, 1)) AS INT) % 2 = 0 → +1`.
     */
-  private def md5ParitySign(key: String): Int = {
+  private[operators] def md5ParitySign(key: String): Int = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8"))
     if (((d(0) >> 4) & 1) == 0) 1 else -1
@@ -211,7 +211,7 @@ object Similarity {
     * the portable twins' verify/score primitive. Bounded candidate sets
     * only; signature-stage hot paths use the native expressions.
     */
-  private def intDotExact(a: Column, b: Column): Column =
+  private[operators] def intDotExact(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x * y).cast("long")),
       lit(0L), (acc, v) => acc + v)
 

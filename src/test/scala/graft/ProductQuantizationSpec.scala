@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{ProductQuantization => PQ, Similarity}
+import org.apache.spark.sql.functions._
+
+class ProductQuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("encodeColumn picks the nearest codeword per subspace, ties to lowest") {
+    // dim 4, m 2, k 2: subspace codebooks [(0,0),(10,10)]
+    val books: PQ.Codebooks = Array.fill(2)(Array(
+      Array(0.0, 0.0), Array(10.0, 10.0)))
+    val df = Seq(
+      (1L, Seq(1.0, 1.0, 9.0, 9.0)),   // near (0,0) then (10,10) -> [0,1]
+      (2L, Seq(10.0, 10.0, 0.0, 1.0)), // -> [1,0]
+      (3L, Seq(5.0, 5.0, 5.0, 5.0))    // equidistant -> ties to [0,0]
+    ).toDF("id", "v")
+    val got = df.select(col("id"), PQ.encodeColumn(col("v"), books).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(1L) == Seq(0, 1))
+    assert(got(2L) == Seq(1, 0))
+    assert(got(3L) == Seq(0, 0))
+  }
+
+  test("encodeColumn throws on ragged vectors (fail-loudly convention)") {
+    val books: PQ.Codebooks = Array.fill(2)(Array(Array(0.0, 0.0)))
+    val df = Seq(Seq(1.0, 2.0, 3.0)).toDF("v") // length 3, dim = 4
+    val e = intercept[Exception] {
+      df.select(PQ.encodeColumn(col("v"), books)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("decode(encode(v)) reconstructs planted clusters with high cosine") {
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 20, dim = 32, noise = 0.05)
+    val books = PQ.trainCodebooks(fix, "vec_id", "embedding", dim = 32,
+      m = 4, k = 8, maxIter = 6)
+    val codes = PQ.encode(fix, "vec_id", "embedding", books)
+    val recon = fix.select(col("vec_id").as("id"), col("embedding"))
+      .join(codes, "id")
+      .select(Similarity.cosine(col("embedding"),
+        PQ.decodeColumn(col("codes"), books)).as("cos"))
+    val (minCos, avgCos) = recon.agg(min("cos"), avg("cos"))
+      .as[(Double, Double)].collect().head
+    // 8 planted clusters, 8 codewords per subspace: near-lossless
+    assert(avgCos > 0.95, s"avg reconstruction cosine $avgCos")
+    assert(minCos > 0.8, s"min reconstruction cosine $minCos")
+  }
+
+  test("pqTopK recall vs brute force on planted clusters") {
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 20, dim = 32, noise = 0.05)
+    val exact = Similarity.bruteForceTopK(fix, "vec_id", "embedding",
+      queryId = 5, k = 10).select("vec_id").as[Long].collect().toSet
+    val approx = PQ.pqTopK(fix, "vec_id", "embedding", dim = 32,
+      queryId = 5, k = 10, m = 4, kCodewords = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ ADC+rerank recall@10 $recall")
+    // and the in-cluster sanity: query 5 is in cluster 0 (ids 0..19)
+    assert(approx.count(_ < 20) >= 8, s"cluster hits ${approx.count(_ < 20)}")
+  }
+
+  test("ivfPqTopK prunes to probed cells and keeps cluster recall") {
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 20, dim = 32, noise = 0.05)
+    val got = PQ.ivfPqTopK(fix, "vec_id", "embedding", dim = 32,
+      queryId = 5, k = 10, nCentroids = 8, nProbe = 4, m = 4, kCodewords = 8)
+      .select("vec_id").as[Long].collect()
+    assert(got.length == 10)
+    // the query's own planted cluster dominates the result
+    assert(got.count(_ < 20) >= 7, s"cluster hits ${got.count(_ < 20)} of 10")
+  }
+
+  test("pqTopKPortable is deterministic and integer-scored") {
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 4,
+      perCluster = 10, dim = 16, noise = 0.05)
+    val a = PQ.pqTopKPortable(fix, "vec_id", "embedding", dim = 16,
+      queryId = 1, k = 8, m = 4, kCodewords = 8)
+      .as[(Long, Long)].collect().toSeq
+    val b = PQ.pqTopKPortable(fix, "vec_id", "embedding", dim = 16,
+      queryId = 1, k = 8, m = 4, kCodewords = 8)
+      .as[(Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.length == 8)
+    // scores non-increasing with id tiebreak
+    assert(a.sliding(2).forall(p =>
+      p(0)._2 > p(1)._2 || (p(0)._2 == p(1)._2 && p(0)._1 < p(1)._1)))
+  }
+
+  test("trainCodebooks: empty cells keep codewords; wrong dim rejected") {
+    intercept[IllegalArgumentException] {
+      PQ.trainCodebooks(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v"),
+        "id", "v", dim = 2, m = 3, k = 2)
+    }
+    // k larger than distinct points: some cells stay empty, still valid
+    val tiny = Seq((1L, Seq.fill(4)(1.0f)), (2L, Seq.fill(4)(2.0f)))
+      .toDF("vec_id", "embedding")
+    val books = PQ.trainCodebooks(tiny, "vec_id", "embedding", dim = 4,
+      m = 2, k = 4, maxIter = 3)
+    assert(books.length == 2 && books(0).length == 4 &&
+      books(0)(0).length == 2)
+  }
+}
