@@ -241,6 +241,8 @@ case class LshBandSignatures(child: Expression, planes: Array[Array[Double]],
 
   require(planes.nonEmpty && planes.length % bitsPerBand == 0,
     s"planes (${planes.length}) must be a multiple of bitsPerBand ($bitsPerBand)")
+  require(planes.forall(_.length == planes(0).length),
+    "lsh_band_signatures: all hyperplanes must share one dimension")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_band_signatures"
@@ -255,9 +257,16 @@ case class LshBandSignatures(child: Expression, planes: Array[Array[Double]],
 
   private def elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
   private def nBands: Int = planes.length / bitsPerBand
+  private def dim: Int = planes(0).length
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    // A ragged vector would sign a plausible partial signature and land in a
+    // wrong-but-believable bucket — fail loudly instead (ADVICE r7
+    // convention, same rule as [[SignedIntDots]]/[[PqEncode]]). Callers that
+    // tolerate mixed-dimension corpora filter `size(v) === dim` first.
+    if (arr.numElements() != dim) throw new IllegalArgumentException(
+      s"$prettyName: vector length ${arr.numElements()} != plane dimension $dim")
     val sigs = new Array[Long](nBands)
     var b = 0
     while (b < nBands) {
@@ -265,7 +274,7 @@ case class LshBandSignatures(child: Expression, planes: Array[Array[Double]],
       var t = 0
       while (t < bitsPerBand) {
         val plane = planes(b * bitsPerBand + t)
-        val n = math.min(arr.numElements(), plane.length)
+        val n = dim
         var dot = 0.0
         var i = 0
         while (i < n) {
@@ -302,12 +311,17 @@ case class LshBandSignatures(child: Expression, planes: Array[Array[Double]],
       val sig = ctx.freshName("sig")
       val plane = ctx.freshName("plane")
       s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "lsh_band_signatures: vector length " + $v.numElements()
+         |      + " != plane dimension $dim");
+         |}
          |long[] $sigs = new long[$nBands];
          |for (int $b = 0; $b < $nBands; $b++) {
          |  long $sig = 0L;
          |  for (int $t = 0; $t < $bitsPerBand; $t++) {
          |    double[] $plane = $planesRef[$b * $bitsPerBand + $t];
-         |    int $n = java.lang.Math.min($v.numElements(), $plane.length);
+         |    int $n = $dim;
          |    double $dot = 0.0d;
          |    for (int $i = 0; $i < $n; $i++) {
          |      if (!$v.isNullAt($i)) {

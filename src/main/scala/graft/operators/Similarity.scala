@@ -133,11 +133,13 @@ object Similarity {
              bands: Int = 8, bitsPerBand: Int = 12,
              minCosine: Double = 0.9,
              maxBucketRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
-    // Empty embedding arrays (a common missing-value sentinel) would all
-    // sign to sig=0 in every band and pair quadratically in the self-join —
-    // exclude them up front (the old explode form dropped them implicitly).
+    // Off-dimension vectors are excluded up front: empties (a common
+    // missing-value sentinel) would all sign to sig=0 in every band and pair
+    // quadratically in the self-join, and ragged vectors now THROW in the
+    // signature expression rather than signing a plausible partial bucket
+    // (ADVICE r7 — fail loudly over silently-wrong candidates).
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .filter(size(col("v")) > 0)
+      .filter(size(col("v")) === dim)
     // All band signatures per vector from the native codegen'd expression:
     // a pure map over the scan (the former explode + bands×bits-buffer
     // hash-aggregate paid a shuffle keyed by id).

@@ -133,4 +133,31 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(ok.select(graft.expressions.VectorExpressions
       .signedIntDots(col("v"), planes).getItem(0)).as[Long].head() == 1 - 2 + 3 - 4)
   }
+
+  test("float LSH signatures fail loudly on ragged vectors too") {
+    // Same ADVICE r7 convention as the integer twins above: the float-plane
+    // family used to dot over min(len, dim) — a ragged vector signed a
+    // plausible partial bucket. Now it throws on both execution paths.
+    val planes = Array(Array(1.0, -1.0, 1.0, -1.0)) // dim 4
+    val short = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val e = intercept[Exception] {
+      short.select(graft.expressions.VectorExpressions
+        .lshBandSignatures(col("v"), planes, 1)).collect()
+    }
+    assert(e.toString.contains("plane dimension") ||
+      Option(e.getCause).exists(_.toString.contains("plane dimension")), e.toString)
+    // exact-dimension input: dot = 1-2+3-4 < 0 → sign bit 0
+    val ok = Seq((1L, Array(1.0f, 2.0f, 3.0f, 4.0f))).toDF("id", "v")
+    assert(ok.select(graft.expressions.VectorExpressions
+      .lshBandSignatures(col("v"), planes, 1).getItem(0)).as[Long].head() == 0L)
+    // annLsh keeps only exact-dimension vectors, so a mixed-dimension corpus
+    // still runs (ragged rows are excluded, not fatal).
+    val mixed = Seq(
+      (1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(1.0f)),
+      (3L, Array.fill(5)(1.0f)), (4L, Array.empty[Float])).toDF("id", "vec")
+    val cand = graft.operators.Similarity.annLsh(
+      mixed, "id", "vec", dim = 8, bands = 2, bitsPerBand = 4, minCosine = 0.5)
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
 }
