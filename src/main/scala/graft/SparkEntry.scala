@@ -801,6 +801,22 @@ object SparkEntry {
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Bigram-LM perplexity filter (CCNet/KenLM stage): train on the corpus,
+    // score every doc. The per-doc log sum runs in DECIMAL(38,18) so the
+    // value is summation-order-independent; the only float ops are one
+    // ln per distinct (doc, bigram) and one exp per doc. The driver row
+    // projects both scores rounded to 6 decimals: the raw doubles agree
+    // to ~1e-15 relative but the comparator PRINTS 13 significant digits,
+    // and across 5000 rows one value landed on a 13th-digit rounding
+    // boundary (measured at sf0.1) — rounding makes the boundary
+    // exposure ~1e-8 per row instead of ~1e-3.
+    "q_text_lm_perplexity" -> ((s, d) =>
+      graft.operators.LanguageModel.perplexitySelf(
+        t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("cross_entropy"), 6).as("cross_entropy"),
+          round(col("perplexity"), 6).as("perplexity"))
+        .orderBy("doc_id")),
     // PII scrub over fixture-derived text with injected synthetic PII
     // (email/IP/phone/URL built from doc_id, so both engines construct
     // the identical input) — the oracle replays the same regex chain in
@@ -2150,6 +2166,40 @@ object SparkEntry {
         |  1.0 - s.nd / CAST(s.nb AS DOUBLE) AS dup_bigram_frac,
         |  s.mx / CAST(s.nb AS DOUBLE) AS top_bigram_frac
         |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Replays the add-k bigram LM end-to-end: same lowercased tokenizer
+    // as tfidf, bigrams by list index, smoothed log-prob per distinct
+    // (doc, bigram), exact DECIMAL(38,18) sum, single double division +
+    // exp at the end. coalesce mirrors the engine's left joins (self-
+    // trained scoring can't miss, but the operator contract allows it).
+    "q_text_lm_perplexity" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM tk, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2),
+        |lm AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS vs
+        |      FROM (SELECT w1 AS w FROM lm UNION ALL SELECT w2 FROM lm)),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT db.doc_id, db.n,
+        |    ln((coalesce(lm.cnt, 0) + 0.5)
+        |       / (coalesce(ctx.c1, 0) + 0.5 * v.vs)) AS lp
+        |  FROM db LEFT JOIN lm USING (w1, w2) LEFT JOIN ctx USING (w1)
+        |  CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nb,
+        |    sum(CAST(n * lp AS DECIMAL(38,18))) AS s
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(agg.nb, 0) AS n_bigrams,
+        |  round(-(CAST(agg.s AS DOUBLE) / agg.nb), 6) AS cross_entropy,
+        |  round(exp(-(CAST(agg.s AS DOUBLE) / agg.nb)), 6) AS perplexity
+        |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // Same regex chain, RE2 dialect, 'g' (global) flag = Spark's
     // replace-all default; input text constructed identically from the

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Bigram language-model scoring — the perplexity-filter stage of a
+  * training-data pipeline (the CCNet/KenLM design point: score every
+  * document against an n-gram LM and drop the high-perplexity tail),
+  * re-expressed as relational plans. The reference engine has no LM
+  * surface (SURVEY §2 extension family); semantics follow the published
+  * n-gram smoothing literature (add-k / Lidstone).
+  *
+  * Scale shape: the MODEL IS A TABLE — (w1, w2, cnt) bigram counts from
+  * one map-side bigram construction plus one keyed hash aggregate — so
+  * vocabulary size never touches the driver and training is a single
+  * shuffle regardless of corpus size. Scoring is three joins keyed by the
+  * model's own columns (bigram left-join for counts, context left-join
+  * for denominators, one scalar cross-join for |V|) and one per-doc
+  * aggregate; every join key is also the upstream aggregate's grouping
+  * key, so partial aggregation is map-side everywhere and no stage ever
+  * materializes more than a document's own bigram multiset.
+  *
+  * Oracle parity: the per-bigram log-probability is ONE transcendental on
+  * arguments that are exact in double (integer counts, k·|V| with k a
+  * small rational), and the per-doc sum runs in DECIMAL(38,18) — exact
+  * and summation-order-independent — so the only cross-engine hazards are
+  * the last-ulp of ln/exp, inside the comparator's 12-significant-digit
+  * contract (the q_text_tfidf/bm25 precedent).
+  */
+object LanguageModel {
+
+  /** Lowercased whitespace tokens — `lower` folds case so "The"/"the"
+    * share a vocabulary entry (the tfidf/bm25 convention, not
+    * repetitionStats' case-sensitive one, which measures verbatim repeats).
+    */
+  private def toks(text: org.apache.spark.sql.Column) =
+    TextAnalysis.words(lower(text))
+
+  /** Consecutive-token bigram occurrences, map-side (no self-join, no
+    * window): (doc_id, w1, w2), one row per position. The `size >= 2`
+    * filter runs BEFORE `sequence()` — `sequence(1, 0)` counts DOWN and
+    * would fabricate a reversed bigram for 1-token docs (the
+    * repetitionStats lesson).
+    */
+  private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("__tk")) - 1),
+          i => struct(element_at(col("__tk"), i).as("w1"),
+            element_at(col("__tk"), i + 1).as("w2")))).as("__p"))
+      .select(col("doc_id"), col("__p.w1"), col("__p.w2"))
+
+  /** Train a bigram LM over a corpus: (w1, w2, cnt). Context totals and
+    * vocabulary size are DERIVED from this table at scoring time, so the
+    * model round-trips through a plain parquet write and a model trained
+    * on corpus A scores corpus B without revisiting A's text.
+    */
+  def trainBigramLM(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigrams(docs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+
+  /** Per-document add-k smoothed bigram cross-entropy and perplexity
+    * against a trained model: P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·|V|)
+    * with c(w1·) = Σ_w2 c(w1,w2) and |V| the model's distinct token count.
+    * Unseen bigrams get the k floor; unseen contexts degrade to the
+    * uniform 1/|V| — both via left joins, no driver vocabulary.
+    *
+    * Returns one row per input document: (doc_id, n_bigrams,
+    * cross_entropy, perplexity). Docs with < 2 tokens have n_bigrams = 0
+    * and NULL scores (nothing to score — the caller's policy decides
+    * whether empties pass the filter). perplexity = exp(cross_entropy),
+    * cross_entropy = −(Σ n·ln P)/N summed exactly in DECIMAL(38,18)
+    * (order-independent; |Σ| ≤ docTokens · ln|V| ≈ 1e5 for a 1M-token
+    * doc, far inside the 20 integer digits).
+    */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+                 lm: DataFrame, addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"perplexity: addK must be > 0, got $addK")
+    // Context totals: one hash agg of the model keyed by w1 (the model is
+    // already (w1, w2)-unique so this never re-reads text). |V| is a
+    // scalar aggregate cross-joined onto every row — the repo-wide
+    // broadcast-scalar pattern, not a collect.
+    val ctx = lm.groupBy("w1").agg(sum("cnt").as("__c1"))
+    val vocab = lm.select(explode(array(col("w1"), col("w2"))).as("__w"))
+      .agg(countDistinct(col("__w")).as("__v"))
+    // Per-doc bigram multiset, grouped BEFORE the model join so the join
+    // carries one row per distinct (doc, bigram), not per occurrence.
+    val db = bigrams(docs, idCol, textCol)
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("__n"))
+    val lp = ln((coalesce(col("cnt"), lit(0L)) + lit(addK)) /
+      (coalesce(col("__c1"), lit(0L)) + lit(addK) * col("__v")))
+    val scored = db
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id").agg(
+        sum(col("__n")).as("__nb"),
+        sum((col("__n") * lp).cast(DecimalType(38, 18))).as("__s"))
+    val ce = -(col("__s").cast("double") / col("__nb"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__nb"), lit(0L)).as("n_bigrams"),
+        ce.as("cross_entropy"),
+        exp(ce).as("perplexity"))
+  }
+
+  /** Train-on-self convenience: the corpus scores against its own bigram
+    * statistics — the bootstrap form used before a curated reference LM
+    * exists (high-perplexity docs are the ones even their OWN corpus
+    * finds surprising: mangled encodings, tables, code in a prose crawl).
+    *
+    * The trained model is PINNED (MEMORY_AND_DISK): `perplexity` reads it
+    * from three subtrees (bigram join, context totals, |V|), and without
+    * the pin each one re-tokenizes the corpus — four full text scans
+    * instead of two. The pinned frame is vocabulary-scale, not
+    * corpus-scale; release is LRU (the gapFillDaily convention — callers
+    * that need deterministic release train and persist the model
+    * themselves via [[trainBigramLM]]).
+    */
+  def perplexitySelf(docs: DataFrame, idCol: String, textCol: String,
+                     addK: Double = 0.5): DataFrame = {
+    val lm = trainBigramLM(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perplexity(docs, idCol, textCol, lm, addK)
+  }
+}

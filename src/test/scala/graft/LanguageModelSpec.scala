@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.LanguageModel
+import org.apache.spark.sql.functions._
+
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainBigramLM counts consecutive lowercased bigrams") {
+    val docs = Seq((1L, "The cat sat"), (2L, "the cat ran")).toDF("id", "text")
+    val lm = LanguageModel.trainBigramLM(docs, "id", "text")
+      .orderBy("w1", "w2").as[(String, String, Long)].collect().toSeq
+    assert(lm == Seq(("cat", "ran", 1L), ("cat", "sat", 1L), ("the", "cat", 2L)))
+  }
+
+  test("perplexity matches the hand-computed add-k formula") {
+    // Corpus: "a b a b" -> bigrams (a,b)x2, (b,a)x1. V = {a, b} = 2, k=0.5.
+    // P(b|a) = (2+.5)/(3+.5*2)... careful: c(a.) = c(a,b) = 2; c(b.) = 1.
+    // P(b|a) = (2+0.5)/(2+1.0) = 2.5/3 ; P(a|b) = (1+0.5)/(1+1.0) = 1.5/2
+    val docs = Seq((1L, "a b a b")).toDF("id", "text")
+    val out = LanguageModel.perplexitySelf(docs, "id", "text", addK = 0.5)
+      .as[(Long, Long, Double, Double)].head()
+    val lpSum = 2 * math.log(2.5 / 3.0) + 1 * math.log(1.5 / 2.0)
+    val ce = -lpSum / 3.0
+    assert(out._2 == 3L)
+    assert(math.abs(out._3 - ce) < 1e-12, s"ce ${out._3} vs $ce")
+    assert(math.abs(out._4 - math.exp(ce)) < 1e-12)
+  }
+
+  test("short and empty docs get zero bigrams and NULL scores") {
+    val docs = Seq((1L, "a b c"), (2L, "solo"), (3L, "")).toDF("id", "text")
+    val out = LanguageModel.perplexitySelf(docs, "id", "text")
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("perplexity").isNull)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 2L, false), (2L, 0L, true), (3L, 0L, true)))
+  }
+
+  test("unseen bigrams and contexts score via the smoothing floor") {
+    // Model trained on one corpus, scoring a doc whose bigram (c,d) and
+    // context (z) never occur: counts coalesce to 0, P = k/(0 + k*V).
+    val train = Seq((1L, "a b c")).toDF("id", "text") // V = {a,b,c} = 3
+    val lm = LanguageModel.trainBigramLM(train, "id", "text")
+    val out = LanguageModel.perplexity(
+      Seq((9L, "z z")).toDF("id", "text"), "id", "text", lm, addK = 0.5)
+      .as[(Long, Long, Double, Double)].head()
+    val ce = -math.log(0.5 / (0.5 * 3)) // one bigram, unseen context
+    assert(out._2 == 1L)
+    assert(math.abs(out._3 - ce) < 1e-12, s"ce ${out._3} vs $ce")
+  }
+
+  test("repetitive boilerplate scores lower perplexity than shuffled text") {
+    // The filter direction: under a self-trained LM, a doc that is one
+    // loop of the same bigram is maximally predictable; a doc of the same
+    // tokens in a scrambled order is not.
+    val loop = (1 to 50).map(_ => "click here to subscribe").mkString(" ")
+    val mixed = new scala.util.Random(7)
+      .shuffle(loop.split(" ").toSeq).mkString(" ")
+    val docs = Seq((1L, loop), (2L, mixed)).toDF("id", "text")
+    val ppl = LanguageModel.perplexitySelf(docs, "id", "text")
+      .orderBy("doc_id").select("perplexity").as[Double].collect()
+    assert(ppl(0) < ppl(1), s"loop ${ppl(0)} !< mixed ${ppl(1)}")
+  }
+}
