@@ -326,6 +326,18 @@ object SparkEntry {
     "q_skew_salted_agg" -> ((s, d) =>
       Skew.saltedCountSum(t(s, d, "lineitem"), Seq("l_returnflag"),
         Seq("l_quantity"), salt = 8).orderBy("l_returnflag")),
+    // Hot/cold split join: threshold 600 puts roughly half the suppliers
+    // (median ~599 lines at both SFs) on the broadcast-hot path and half
+    // on the shuffle-cold path, so BOTH branches and the union are
+    // exercised; the oracle is the plain join — result equality IS the
+    // operator's contract.
+    "q_skew_hotcold_join" -> ((s, d) =>
+      Skew.hotColdJoin(t(s, d, "lineitem"),
+          t(s, d, "supplier").withColumnRenamed("s_suppkey", "l_suppkey"),
+          Seq("l_suppkey"), hotThreshold = 600)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_lines"), moneySum("l_quantity"))
+        .orderBy("s_nationkey")),
     "q_a3_value_counts" -> ((s, d) =>
       Aggregates.valueCounts(t(s, d, "events"), col("event_type")).orderBy("value")),
     "q_a4_global_sums" -> ((s, d) =>
@@ -1453,6 +1465,12 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The plain join — hotColdJoin's result must be indistinguishable.
+    "q_skew_hotcold_join" ->
+      """SELECT s_nationkey, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_a2_rollup" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag AS state,
         |  count(*) AS n,

@@ -58,6 +58,50 @@ object Skew {
         amountCols.map(c => sum(col(s"__s_$c")).cast("double").as(s"sum_$c")): _*)
   }
 
+  /** Hot/cold split join — the OTHER classic skew weapon, complementing
+    * [[saltedJoin]]: instead of exploding the build side `salt`×, measure
+    * the probe's key frequencies, peel off the hot keys, and join them
+    * against a BROADCAST of the build rows for just those keys; the cold
+    * remainder does an ordinary shuffle join whose skew is gone because
+    * the hot keys are. Result is identical to the plain join. Prefer this
+    * over salting when the hot-key set is small and its build rows fit a
+    * broadcast (the common "null-ish sentinel key + a few celebrities"
+    * shape); prefer salting when even one key's build rows are too big to
+    * broadcast.
+    *
+    * Scale shape: the frequency scan is one map-side-combined aggregate;
+    * the hot-key list is metadata (≤ `maxHotKeys` rows, guarded) and is
+    * broadcast three times to split both inputs without shuffling either;
+    * the hot path shuffles NOTHING (broadcast hash join); the cold path
+    * is the join you already had, minus its skew.
+    *
+    * NOT a lazy plan builder: materializes the hot-key frequency frame
+    * (bounded: one row per hot key) and leaves it pinned — the split
+    * reads it from three subtrees (the annLsh eager-pin rationale).
+    */
+  def hotColdJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                  hotThreshold: Long, joinType: String = "inner",
+                  maxHotKeys: Long = 100000): DataFrame = {
+    require(hotThreshold > 0, s"hotColdJoin: hotThreshold > 0, got $hotThreshold")
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"hotColdJoin supports probe-preserving join types only, got $joinType")
+    val hot = probe.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= hotThreshold)
+      .select(keys.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nHot = hot.count()
+    require(nHot <= maxHotKeys,
+      s"hotColdJoin: $nHot hot keys exceed maxHotKeys=$maxHotKeys — raise " +
+        "hotThreshold (a 'hot' set this large will not broadcast; use " +
+        "saltedJoin instead)")
+    val probeHot = probe.join(broadcast(hot), keys, "left_semi")
+    val probeCold = probe.join(broadcast(hot), keys, "left_anti")
+    val buildHot = build.join(broadcast(hot), keys, "left_semi")
+    probeHot.join(broadcast(buildHot), keys, joinType)
+      .unionByName(probeCold.join(build, keys, joinType))
+  }
+
   /** Top-k hot keys with their frequency share — the diagnostic that decides
     * whether salting is needed at all (run on a sample at 100 TB).
     */

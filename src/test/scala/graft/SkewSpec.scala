@@ -32,6 +32,35 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("hotColdJoin equals the plain join (inner and left)") {
+    // threshold 100: key 1 (900 rows) is hot, keys 2/3 are cold; build has
+    // a no-match key (4) and probe key 3 has no build row — both paths and
+    // both unmatched directions exercised.
+    for (jt <- Seq("inner", "left")) {
+      val plain = probe.join(build, Seq("k"), jt)
+        .select("k", "pv", "bv").collect().map(_.toString).sorted
+      val split = Skew.hotColdJoin(probe, build, Seq("k"),
+        hotThreshold = 100, joinType = jt)
+        .select("k", "pv", "bv").collect().map(_.toString).sorted
+      assert(split.toSeq == plain.toSeq, s"join type $jt")
+    }
+  }
+
+  test("hotColdJoin with no hot keys degrades to the plain join") {
+    val split = Skew.hotColdJoin(probe, build, Seq("k"), hotThreshold = 10000)
+      .select("k", "pv", "bv").collect().map(_.toString).sorted
+    val plain = probe.join(build, Seq("k"))
+      .select("k", "pv", "bv").collect().map(_.toString).sorted
+    assert(split.toSeq == plain.toSeq)
+  }
+
+  test("hotColdJoin guardrail trips when the hot set will not broadcast") {
+    val e = intercept[IllegalArgumentException] {
+      Skew.hotColdJoin(probe, build, Seq("k"), hotThreshold = 1, maxHotKeys = 2)
+    }
+    assert(e.getMessage.contains("hot keys exceed"), e.getMessage)
+  }
+
   test("skewProfile surfaces the hot key first") {
     val prof = Skew.skewProfile(probe, Seq("k"), 2)
       .as[(Int, Long, Double)].collect()
