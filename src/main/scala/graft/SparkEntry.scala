@@ -128,6 +128,21 @@ object SparkEntry {
   private lazy val ivfTmpDir =
     java.nio.file.Files.createTempDirectory("graft-ivf").toString
 
+  // PQ codes index for the indexed-probe query: built once per process per
+  // sf-dir (the ivfEnsureIndex convention; the append gate uses its OWN
+  // temp dir so this shared index stays append-free).
+  private lazy val pqTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-pq").toString
+
+  private def pqEnsureIndex(s: SparkSession, d: String): String = {
+    val path = s"$pqTmpDir/${new java.io.File(d).getName}"
+    if (!graft.pipeline.Sinks.exists(s, path))
+      graft.operators.ProductQuantization.pqWriteIndex(
+        t(s, d, "embeddings"), "vec_id", "embedding", dim = 64, path,
+        m = 8, kCodewords = 16)
+    path
+  }
+
   private lazy val jsonlTmpDir =
     java.nio.file.Files.createTempDirectory("graft-jsonl").toString
 
@@ -1088,6 +1103,42 @@ object SparkEntry {
       recon.crossJoin(hits.agg(count(lit(1)).as("__hits")))
         .select(col("n_vectors"), (col("__avg") >= 0.6).as("recon_ok"),
           (col("__hits") >= 9).as("recall_ok"))
+    }),
+    // Persisted-PQ probe: codes-only scan (8 ints/row vs 64 floats), ADC
+    // scoring from the sidecar codebooks — the production "train once,
+    // probe many" shape. Trained float codebooks → rows-only (the
+    // integer-exact q_sim_pq_portable pins the ADC semantics).
+    "q_sim_pq_indexed" -> ((s, d) => {
+      val path = pqEnsureIndex(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select(col("embedding").cast("array<double>")).limit(1)
+        .collect()(0).getSeq[Double](0).toArray
+      graft.operators.ProductQuantization.pqTopKIndexed(s, path, q, k = 20,
+        excludeId = 1)
+    }),
+    // Incremental PQ maintenance (the q_sim_ivf_append pattern): fresh
+    // index in its own temp dir, append the same corpus under shifted ids
+    // via the SIDECAR codebooks, verify from one readback that every
+    // vector appears exactly twice with IDENTICAL codes — the invariant
+    // that proves the sidecar round-trips the books exactly (drifted
+    // books would re-encode some vector differently somewhere).
+    "q_sim_pq_append" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-pq-append").toString + "/idx"
+      graft.operators.ProductQuantization.pqWriteIndex(emb, "vec_id",
+        "embedding", dim = 64, path, m = 8, kCodewords = 16)
+      graft.operators.ProductQuantization.pqAppendIndex(
+        emb.withColumn("vec_id", col("vec_id") + 1000000L),
+        "vec_id", "embedding", path)
+      s.read.parquet(path)
+        .select(pmod(col("id"), lit(1000000L)).as("k"),
+          array_join(col("codes").cast("array<string>"), ",").as("cs"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("__n"), countDistinct(col("cs")).as("__nc"))
+        .agg(sum("__n").as("n_rows"),
+          (max(col("__nc")) === 1L && min(col("__n")) === 2L &&
+            max(col("__n")) === 2L).as("codes_consistent"))
     }),
     "q_sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
@@ -2649,6 +2700,12 @@ object SparkEntry {
     "q_sim_ivf_append" ->
       """SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
         |  TRUE AS cells_consistent FROM embeddings""".stripMargin,
+    // Truth side of the PQ append gate: the doubled row count is oracled;
+    // the identical-codes boolean is the engine-side invariant.
+    "q_sim_pq_append" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+        |  TRUE AS codes_consistent
+        |FROM embeddings WHERE len(embedding) = 64""".stripMargin,
     "q_sim_recall_gate" ->
       """WITH b AS (
         |  SELECT vec_id AS id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,

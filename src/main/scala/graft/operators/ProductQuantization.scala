@@ -216,6 +216,84 @@ object ProductQuantization {
       .limit(k)
   }
 
+  /** Persist a PQ-coded corpus: train codebooks, write (id, codes) — 8
+    * ints per row instead of `dim` floats, the 32× compression made
+    * DURABLE — plus a `_books` sidecar (the [[Similarity.ivfWriteIndex]]
+    * convention: probes and appends must use the exact codebooks the
+    * codes were built from, and an index's structure travels with the
+    * index; the `_` prefix hides the sidecar from the data scan). The
+    * source vectors do NOT go into the index — re-ranking reads them from
+    * the source-of-truth table, which exists anyway.
+    */
+  def pqWriteIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   path: String, m: Int = 8, kCodewords: Int = 16,
+                   maxIter: Int = 6): Unit = {
+    val books = trainCodebooks(emb, idCol, vecCol, dim, m, kCodewords, maxIter)
+    encode(emb, idCol, vecCol, books)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    books.toIndexedSeq.zipWithIndex.flatMap { case (cws, s) =>
+      cws.toIndexedSeq.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
+    }.toDF("s", "c", "codeword")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_books")
+  }
+
+  /** Load the codebook sidecar written by [[pqWriteIndex]]. Selected by
+    * name and ordered by (s, c) so the reconstruction cannot depend on
+    * file column or row order; a missing sidecar fails with an actionable
+    * message (the ivfReadCentroids convention).
+    */
+  def pqReadBooks(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Codebooks = {
+    val side =
+      try spark.read.parquet(s"$path/_books").select("s", "c", "codeword")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"PQ index at $path has no readable codebook sidecar (_books); " +
+              "rewrite the index with pqWriteIndex", e)
+      }
+    side.orderBy("s", "c").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(_.getSeq[Double](2).toArray) }
+      .toArray
+  }
+
+  /** Incremental PQ maintenance: encode a new batch with the SIDECAR
+    * codebooks — the only books consistent with the codes already on disk
+    * (re-training on the batch would silently shift every code's meaning)
+    * — and append. O(batch) work per batch, no O(corpus) rebuild; the
+    * daily-ingest story, same as [[Similarity.ivfAppendIndex]].
+    */
+  def pqAppendIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    path: String): Unit = {
+    val books = pqReadBooks(emb.sparkSession, path)
+    encode(emb, idCol, vecCol, books)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+  }
+
+  /** ADC top-k against a persisted PQ index: the scan reads codes only
+    * (8 ints/row), scoring is m literal-table lookups per row, and the
+    * caller supplies the query VECTOR (a codes-only index cannot
+    * reconstruct it exactly; the source table the caller got the query
+    * from exists by construction). `excludeId` drops the query's own row
+    * when probing for neighbors of an indexed vector.
+    */
+  def pqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                    query: Array[Double], k: Int,
+                    excludeId: Long = -1L): DataFrame = {
+    val books = pqReadBooks(spark, path)
+    val lut = adcLut(query, books)
+    spark.read.parquet(path)
+      .filter(col("id") =!= excludeId)
+      .select(col("id").as("vec_id"), adcScore(col("codes"), lut).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Oracle-portable PQ twin ([[Similarity.annLshPortable]]'s role for
     * ADC): md5-parity ±64 codebooks over int8-quantized vectors, so
     * encode distances, the lookup table, and the scores are all

@@ -102,4 +102,60 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(books.length == 2 && books(0).length == 4 &&
       books(0)(0).length == 2)
   }
+
+  test("pq index: write/read round-trips books; append encodes consistently") {
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 4,
+      perCluster = 10, dim = 16, noise = 0.05)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pqidx").toString + "/idx"
+    PQ.pqWriteIndex(fix, "vec_id", "embedding", dim = 16, path,
+      m = 4, kCodewords = 4, maxIter = 3)
+    // sidecar round-trip is EXACT (parquet doubles are lossless), so an
+    // appended copy of the same vectors must produce identical codes
+    PQ.pqAppendIndex(
+      fix.withColumn("vec_id", col("vec_id") + 1000L),
+      "vec_id", "embedding", path)
+    val codesStr = array_join(col("codes").cast("array<string>"), ",")
+    val byKey = spark.read.parquet(path)
+      .select(pmod(col("id"), lit(1000L)).as("k"), codesStr.as("cs"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), countDistinct(col("cs")).as("nc"))
+      .as[(Long, Long, Long)].collect()
+    assert(byKey.length == 40)
+    assert(byKey.forall { case (_, n, nc) => n == 2 && nc == 1 }, byKey.take(3).toSeq)
+  }
+
+  test("pqTopKIndexed matches in-memory ADC ranking for the same query") {
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 4,
+      perCluster = 10, dim = 16, noise = 0.05)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pqidx2").toString + "/idx"
+    PQ.pqWriteIndex(fix, "vec_id", "embedding", dim = 16, path,
+      m = 4, kCodewords = 4, maxIter = 3)
+    val q = fix.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val got = PQ.pqTopKIndexed(spark, path, q, k = 5, excludeId = 7)
+      .as[(Long, Double)].collect().toSeq
+    // recompute the expected ADC ranking from the sidecar books directly
+    val books = PQ.pqReadBooks(spark, path)
+    val lut = PQ.adcLut(q, books)
+    val want = spark.read.parquet(path).filter(col("id") =!= 7)
+      .select(col("id").as("vec_id"), PQ.adcScore(col("codes"), lut).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc).limit(5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want)
+    assert(got.length == 5)
+  }
+
+  test("pqReadBooks fails loudly when the sidecar is missing") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pqnoside").toString
+    // a data-only dir (no _books)
+    Seq((1L, Seq(0, 1))).toDF("id", "codes").write.parquet(s"$dir/idx")
+    val e = intercept[IllegalStateException] {
+      PQ.pqReadBooks(spark, s"$dir/idx")
+    }
+    assert(e.getMessage.contains("_books"), e.getMessage)
+  }
 }
