@@ -355,6 +355,17 @@ object SparkEntry {
         .orderBy("s_nationkey")),
     "q_a3_value_counts" -> ((s, d) =>
       Aggregates.valueCounts(t(s, d, "events"), col("event_type")).orderBy("value")),
+    // One-pass table profile (the count-verify QA step generalized to
+    // per-column stats). The double column is excluded from the ORACLED
+    // set (Java and DuckDB render floats differently); approx_distinct is
+    // engine-private HLL, so the driver row projects the exact columns.
+    "q_profile_orders" -> ((s, d) =>
+      graft.operators.Profile.profileTable(t(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+            "o_orderpriority"))
+        .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_value",
+          "max_value")
+        .orderBy("col_name")),
     "q_a4_global_sums" -> ((s, d) =>
       Aggregates.globalSums(t(s, d, "lineitem"), "l_extendedprice", "l_tax")
         .select(col("total_charged").cast("double").as("total_charged"),
@@ -1373,6 +1384,19 @@ object SparkEntry {
       TimeSeries.gapFillDaily(daily, "user_id", "day", "sum_value")
         .orderBy("user_id", "day")
     }),
+    // Rolling z-score metric monitor: each event type's daily value total
+    // scored against its own trailing 14 observed days. The float tail is
+    // correctly-rounded IEEE, but the squared-sum DECIMAL(38,8) has a
+    // mantissa beyond 2^53 and the engines CONVERT it to double
+    // differently (Spark: one correctly-rounded BigDecimal conversion;
+    // DuckDB: int128→double then /10^scale — double rounding), so z picks
+    // up a last-ulp wobble at sf0.1 — the driver row rounds it to 6
+    // decimals (the q_text_lm_perplexity ruling).
+    "q_ts_anomaly" -> ((s, d) =>
+      TimeSeries.anomaliesZScore(t(s, d, "events"), "event_type", "ts",
+          "value", days = 14, minPoints = 5, threshold = 2.0)
+        .withColumn("z_score", round(col("z_score"), 6))
+        .orderBy("event_type", "day")),
     // ---- event-time windowed aggregation (streaming shape) --------------
     "q_events_daily_window" -> ((s, d) =>
       t(s, d, "events")
@@ -1516,6 +1540,37 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Per-column profile replayed literally: one SELECT per column,
+    // count(DISTINCT) excludes NULLs on both engines, min/max rendered
+    // through VARCHAR casts (bigint/varchar/timestamp render identically;
+    // doubles deliberately not in the set).
+    "q_profile_orders" ->
+      """WITH p AS (
+        |  SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(o_custkey) AS n_nulls,
+        |    count(DISTINCT o_custkey) AS n_distinct,
+        |    CAST(min(o_custkey) AS VARCHAR) AS min_value,
+        |    CAST(max(o_custkey) AS VARCHAR) AS max_value FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |    count(DISTINCT o_orderdate), CAST(min(o_orderdate) AS VARCHAR),
+        |    CAST(max(o_orderdate) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+        |    count(DISTINCT o_orderkey), CAST(min(o_orderkey) AS VARCHAR),
+        |    CAST(max(o_orderkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority), CAST(min(o_orderpriority) AS VARCHAR),
+        |    CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus), CAST(min(o_orderstatus) AS VARCHAR),
+        |    CAST(max(o_orderstatus) AS VARCHAR) FROM orders)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, min_value, max_value
+        |FROM p ORDER BY col_name""".stripMargin,
     // The plain join — hotColdJoin's result must be indistinguishable.
     "q_skew_hotcold_join" ->
       """SELECT s_nationkey, count(*) AS n_lines,
@@ -2780,6 +2835,38 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1997-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // Replays the z-score pipeline with the engine's exact float-op order:
+    // decimal daily sums, decimal trailing sums (current day excluded via
+    // RANGE ... 1 PRECEDING), then mean = s/n, var = s2/n - mean*mean,
+    // std = sqrt(greatest(var, 0)). z is rounded to 6 decimals on both
+    // sides: the s2 decimal's mantissa exceeds 2^53, and decimal→double
+    // conversion of such values is engine-dependent (double rounding in
+    // DuckDB) — one last-ulp z wobble surfaced at sf0.1.
+    "q_ts_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS q
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, q,
+        |    count(*) OVER win AS n,
+        |    CAST(sum(q) OVER win AS DOUBLE) AS s,
+        |    CAST(sum(q * q) OVER win AS DOUBLE) AS s2
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type
+        |    ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |    RANGE BETWEEN 14 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, day, CAST(q AS DOUBLE) AS day_value,
+        |    CAST(n AS BIGINT) AS n_prior,
+        |    CASE WHEN n >= 5 AND sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) > 0
+        |      THEN (CAST(q AS DOUBLE) - s / n)
+        |           / sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)) END AS z_score
+        |  FROM w)
+        |SELECT event_type, day, day_value, n_prior,
+        |  round(z_score, 6) AS z_score,
+        |  CASE WHEN z_score IS NOT NULL THEN abs(z_score) >= 2.0 END AS is_anomaly
+        |FROM z ORDER BY event_type, day""".stripMargin,
     "q_ts_gapfill" ->
       """WITH d AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -55,6 +55,51 @@ object TimeSeries {
     finally pinned.unpersist()
   }
 
+  /** Per-key trailing z-score outliers over a daily series — the metric
+    * monitor an attendance/presence pipeline runs on its own daily totals
+    * ("did today's load look like the last month's?"). Each (key, day)
+    * gets the mean/std of that key's PRIOR `days` observed days (current
+    * day excluded, so a spike cannot mask itself) and the z-score of the
+    * day against them; `|z| >= threshold` flags the anomaly. Days with
+    * fewer than `minPoints` priors, or a degenerate (zero-variance)
+    * baseline, score NULL — "not enough history" is not "normal".
+    *
+    * Scale shape: one keyed daily hash aggregate, then ONE window pass
+    * per key ordered by day — state per key is the trailing frame's
+    * decimal sums, never the whole series; keys parallelize across the
+    * cluster and no unpartitioned window exists. Sums (and squared sums)
+    * stay DECIMAL inside the frame, so mean/variance derive from EXACT
+    * accumulations and the float tail (two divisions, multiply/subtract,
+    * sqrt) is correctly-rounded IEEE. One caveat learned from the oracle:
+    * the squared-sum decimal's mantissa can exceed 2^53, and decimal→
+    * double CONVERSION of such values is engine-dependent (double
+    * rounding) — consumers comparing scores across engines should round
+    * to their decision precision.
+    */
+  def anomaliesZScore(df: DataFrame, keyCol: String, dateCol: String,
+                      valueCol: String, days: Int = 28, minPoints: Int = 7,
+                      threshold: Double = 3.0): DataFrame = {
+    require(days > 0, s"anomaliesZScore: days must be > 0, got $days")
+    require(minPoints > 1, s"anomaliesZScore: minPoints must be > 1, got $minPoints")
+    require(threshold > 0, s"anomaliesZScore: threshold must be > 0, got $threshold")
+    val daily = df.filter(col(dateCol).isNotNull)
+      .groupBy(col(keyCol), to_date(col(dateCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,4)")).as("__q"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(unix_date(col("day")))
+      .rangeBetween(-days, -1)
+    val n = count(lit(1)).over(w)
+    val mean = sum(col("__q")).over(w).cast("double") / n.cast("double")
+    val var_ = sum((col("__q") * col("__q"))).over(w).cast("double") /
+      n.cast("double") - mean * mean
+    val std = sqrt(greatest(var_, lit(0.0)))
+    val z = when(n >= minPoints && std > 0,
+      (col("__q").cast("double") - mean) / std)
+    daily.select(col(keyCol), col("day"),
+        col("__q").cast("double").as("day_value"),
+        n.as("n_prior"), z.as("z_score"),
+        when(z.isNotNull, abs(z) >= threshold).as("is_anomaly"))
+  }
+
   private def plan(pinned: DataFrame, keyCol: String, dateCol: String,
                    valCol: String): DataFrame = {
     val spine = pinned.groupBy(col(keyCol))

@@ -94,4 +94,45 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
+
+  private def series(rows: (String, String, Double)*) =
+    rows.toSeq.toDF("k", "day", "v").withColumn("day", col("day").cast("date"))
+
+  test("anomaliesZScore flags the spike against its prior-day baseline") {
+    val df = series(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 12.0),
+      ("a", "2024-01-03", 8.0), ("a", "2024-01-04", 10.0),
+      ("a", "2024-01-05", 100.0))
+    val out = TimeSeries.anomaliesZScore(df, "k", "day", "v",
+      days = 28, minPoints = 4, threshold = 3.0)
+      .orderBy("day")
+      .select(col("n_prior"), col("z_score"), col("is_anomaly"))
+      .as[(Long, Option[Double], Option[Boolean])].collect()
+    // days 1-4: fewer than 4 priors -> NULL scores
+    assert(out.take(4).map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.take(4).forall(r => r._2.isEmpty && r._3.isEmpty))
+    // day 5: baseline mean 10, var ((0+4+4+0)/4)=2 -> z = 90/sqrt(2)
+    val (n5, z5, a5) = out(4)
+    assert(n5 == 4L)
+    assert(math.abs(z5.get - 90.0 / math.sqrt(2.0)) < 1e-9, z5.toString)
+    assert(a5.contains(true))
+  }
+
+  test("anomaliesZScore: zero-variance baseline scores NULL, not anomaly") {
+    val df = series(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 10.0),
+      ("a", "2024-01-03", 10.0), ("a", "2024-01-04", 100.0))
+    val last = TimeSeries.anomaliesZScore(df, "k", "day", "v",
+      days = 28, minPoints = 3, threshold = 2.0)
+      .orderBy("day").select("z_score").as[Option[Double]].collect().last
+    assert(last.isEmpty, s"degenerate baseline must score NULL, got $last")
+  }
+
+  test("anomaliesZScore: observations beyond the window do not count") {
+    val df = series(("a", "2024-01-01", 10.0), ("a", "2024-01-20", 10.0))
+    val out = TimeSeries.anomaliesZScore(df, "k", "day", "v",
+      days = 7, minPoints = 2, threshold = 2.0)
+      .orderBy("day").select("n_prior").as[Long].collect()
+    assert(out.toSeq == Seq(0L, 0L)) // day 20's only prior is 19 days back
+  }
 }
