@@ -78,6 +78,19 @@ object CorpusPipeline {
   /** Keep docs with at least `minTokens` whitespace tokens. */
   final case class QualityFloor(minTokens: Int) extends Step
 
+  /** Drop the high-perplexity tail under a bigram LM
+    * ([[graft.operators.LanguageModel.perplexity]]) — the CCNet quality
+    * filter. `lm = None` trains on the corpus being filtered (the
+    * bootstrap form); pass a model trained on a curated reference corpus
+    * to filter against external quality instead. Unscorable docs
+    * (< 2 tokens: NULL perplexity) are DROPPED — a doc too short to score
+    * is below any floor; put a [[QualityFloor]] earlier if that policy
+    * should be explicit.
+    */
+  final case class PerplexityFloor(maxPerplexity: Double,
+                                   lm: Option[DataFrame] = None,
+                                   addK: Double = 0.5) extends Step
+
   /** Resample toward per-group weights at a row budget
     * ([[graft.operators.Curation.mixtureSample]]).
     */
@@ -130,6 +143,17 @@ object CorpusPipeline {
         case QualityFloor(minTokens) =>
           d.filter(graft.operators.TextAnalysis.tokenCountWs(col(textCol))
             >= minTokens)
+        case PerplexityFloor(maxPpl, lmOpt, addK) =>
+          val scored = lmOpt match {
+            case Some(lm) => graft.operators.LanguageModel
+              .perplexity(d, idCol, textCol, lm, addK)
+            case None => graft.operators.LanguageModel
+              .perplexitySelf(d, idCol, textCol, addK)
+          }
+          // perplexity() keys its output "doc_id" regardless of idCol;
+          // map back before the id-only semi join.
+          d.join(scored.filter(col("perplexity") <= maxPpl)
+            .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
         case MixRows(groupCol, weights, targetRows) =>
           graft.operators.Curation
             .mixtureSample(d, groupCol, idCol, weights, targetRows)

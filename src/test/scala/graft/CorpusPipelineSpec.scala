@@ -67,4 +67,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.map(_._1).toSet == (1L to 40L).toSet)
     assert(out.forall(_._2 == "a"))
   }
+
+  test("perplexity floor drops the surprising tail and unscorable docs") {
+    // 10 docs of one repeated bigram loop (predictable under the
+    // self-trained LM), one scrambled-vocabulary doc (surprising), one
+    // too short to score.
+    val loop = (1 to 20).map(_ => "click here to subscribe").mkString(" ")
+    val corpus = ((1L to 10L).map(i => (i, loop)) ++
+      Seq((11L, "subscribe click to here subscribe to click here to"),
+        (12L, "solo"))).toDF("doc_id", "text")
+    val ppl = graft.operators.LanguageModel
+      .perplexitySelf(corpus, "doc_id", "text")
+      .filter(col("doc_id").isin(1L, 11L))
+      .orderBy("doc_id").select("perplexity").as[Double].collect()
+    val cut = (ppl(0) + ppl(1)) / 2 // between the loop and the scramble
+    val out = CorpusPipeline.run(corpus, "doc_id", "text",
+        Seq(PerplexityFloor(cut)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == (1L to 10L).toSet, out.toString) // 11 over floor, 12 unscorable
+  }
 }
