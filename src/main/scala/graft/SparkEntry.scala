@@ -1107,13 +1107,28 @@ object SparkEntry {
         dim = 64, queryId = 1, k = 10, m = 8, kCodewords = 16)
         .select("vec_id")
       val hits = exact.join(approx, "vec_id")
+      // The IVF-PQ leg runs TRAINED cells + exact re-rank: measured
+      // 10/10 on this fixture vs 6/10 with pseudo-centroids (probe
+      // misses) and 4/10 without re-rank (ADC blur inside the cluster) —
+      // the gate therefore rejects skipping either ingredient, the
+      // q_sim_recall_gate philosophy.
+      val trained = Similarity.kMeansCentroids(fix, "embedding", dim = 64,
+        k = 16)
+      val approx2 = ProductQuantization.ivfPqTopK(fix, "vec_id",
+        "embedding", dim = 64, queryId = 1, k = 10, nCentroids = 16,
+        nProbe = 4, m = 8, kCodewords = 16, centroids = trained)
+        .select("vec_id")
+      val hits2 = exact.join(approx2, "vec_id")
       // Thresholds: measured 0.673 avg cosine on the sf0.01 corpus (random
       // 64-dim floats at 32x compression: m=8 codes from k=16 codebooks)
-      // and 10/10 planted-cluster recall; gate at 0.6 / 9 leaves margin
-      // for double-sum order drift in k-means training.
+      // and 10/10 planted-cluster recall on both probe paths; gate at
+      // 0.6 / 9 / 9 leaves margin for double-sum order drift in k-means
+      // training.
       recon.crossJoin(hits.agg(count(lit(1)).as("__hits")))
+        .crossJoin(hits2.agg(count(lit(1)).as("__hits2")))
         .select(col("n_vectors"), (col("__avg") >= 0.6).as("recon_ok"),
-          (col("__hits") >= 9).as("recall_ok"))
+          (col("__hits") >= 9).as("recall_ok"),
+          (col("__hits2") >= 9).as("ivfpq_recall_ok"))
     }),
     // Persisted-PQ probe: codes-only scan (8 ints/row vs 64 floats), ADC
     // scoring from the sidecar codebooks — the production "train once,
@@ -2700,7 +2715,7 @@ object SparkEntry {
     // quality assertions (same pattern as q_sim_quantize_gate).
     "q_sim_pq_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS recon_ok,
-        |  true AS recall_ok
+        |  true AS recall_ok, true AS ivfpq_recall_ok
         |FROM embeddings WHERE len(embedding) = 64""".stripMargin,
     "q_cur_hash_split" ->
       """WITH b AS (

@@ -187,31 +187,55 @@ object ProductQuantization {
     */
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                 queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-                m: Int = 8, kCodewords: Int = 16, maxIter: Int = 6): DataFrame = {
-    val centroids = Similarity.pseudoCentroids(dim, nCentroids)
-    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
+                m: Int = 8, kCodewords: Int = 16, maxIter: Int = 6,
+                refine: Int = 4,
+                centroids: Array[Array[Double]] = null): DataFrame = {
+    // Centroids default to the deterministic pseudo family; pass
+    // kMeansCentroids output for trained cells (the ivfWriteIndex
+    // convention) — on clustered corpora trained cells align with the
+    // clusters, so the query's true neighbors land in the first probed
+    // cell instead of scattering across unprobed ones.
+    val cents =
+      if (centroids != null) centroids
+      else Similarity.pseudoCentroids(dim, nCentroids)
+    require(cents.length == nCentroids,
+      s"ivfPqTopK: got ${cents.length} centroids, expected $nCentroids")
+    val centLit = typedlit(cents.map(_.toSeq).toSeq)
     def residual(vec: Column, cell: Column): Column =
       zip_with(vec.cast("array<double>"), element_at(centLit, cell + 1),
         (x, c) => x - c)
     val assigned = emb.filter(size(col(vecCol)) === dim)
       .select(col(idCol).as("id"),
-        Similarity.ivfAssignTo(col(vecCol), centroids).as("cell"),
+        Similarity.ivfAssignTo(col(vecCol), cents).as("cell"),
         col(vecCol).as("v"))
       .withColumn("res", residual(col("v"), col("cell")))
     val books = trainCodebooks(assigned, "id", "res", dim, m, kCodewords, maxIter)
     val query = queryVector(emb, idCol, vecCol, queryId)
     val lut = adcLut(query, books)
     // driver-side probe selection + centroid dot terms (nCentroids × dim)
-    val centDots = centroids.map(c =>
+    val centDots = cents.map(c =>
       c.indices.map(i => query(i) * c(i)).sum)
     val probed = centDots.zipWithIndex.sortBy { case (d, i) => (-d, i) }
       .take(nProbe).map(_._2)
     val centDotLit = typedlit(centDots.toSeq)
-    assigned.filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    // ADC shortlist over the probed cells, then exact re-rank on the
+    // bounded k×refine candidates (the pqTopK tail): ADC on residual
+    // codes blurs ranking inside tight clusters — the re-rank touches
+    // only the shortlist's full vectors, a broadcast-sized join.
+    val shortlist = assigned
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
       .filter(col("id") =!= queryId)
-      .select(col("id").as("vec_id"),
+      .select(col("id"),
         (element_at(centDotLit, col("cell") + 1) +
-          adcScore(encodeColumn(col("res"), books), lut)).as("score"))
+          adcScore(encodeColumn(col("res"), books), lut)).as("adc"))
+      .orderBy(col("adc").desc, col("id").asc)
+      .limit(k * refine)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec")).limit(1)
+    shortlist.join(emb.select(col(idCol).as("id"), col(vecCol)), "id")
+      .crossJoin(broadcast(q))
+      .select(col("id").as("vec_id"),
+        Similarity.dotQuantized(col(vecCol), col("__qvec")).as("score"))
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
   }

