@@ -953,6 +953,28 @@ object SparkEntry {
     "q_cur_hash_split" -> ((s, d) =>
       Curation.hashSplit(t(s, d, "documents"), "doc_id", trainPct = 90)
         .select("doc_id", "split_bucket", "split").orderBy("doc_id")),
+    // Split-leakage control: the report finds near-dup clusters straddling
+    // the id-keyed split (the fixture has exactly one — 113 docs across
+    // both splits), and the cluster-granular split makes it empty by
+    // construction (CurationSpec pins that). Pairs come from the bounded
+    // oracle-replayable Jaccard generator, the same source q_dedup_groups
+    // verifies components against.
+    "q_cur_split_leakage" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.splitLeakage(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          maxId = 120, minJaccard = 0.5),
+        Curation.hashSplit(docs, "doc_id", trainPct = 90),
+        "doc_id", "split").orderBy("group_id")
+    }),
+    "q_cur_split_by_cluster" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.hashSplitByCluster(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          maxId = 120, minJaccard = 0.5), trainPct = 90)
+        .select("doc_id", "split_key", "split_bucket", "split")
+        .orderBy("doc_id")
+    }),
     "q_cur_pack_sequences" -> ((s, d) =>
       Curation.packSequences(t(s, d, "documents"), "doc_id", "text",
         budgetTokens = 2048).orderBy("doc_id")),
@@ -2724,6 +2746,85 @@ object SparkEntry {
         |      AS BIGINT) % 100 AS INT) AS split_bucket
         |  FROM documents)
         |SELECT doc_id, split_bucket,
+        |  CASE WHEN split_bucket < 90 THEN 'train' ELSE 'eval' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // Components replayed exactly as in q_dedup_groups (recursive CTE over
+    // the bounded Jaccard pairs), then the q_cur_hash_split md5 arithmetic
+    // on top — leakage report and cluster-granular split respectively.
+    "q_cur_split_leakage" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> ''))) AS w
+        |  FROM documents WHERE doc_id < 120),
+        |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |  FROM toks a JOIN toks b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+        |    FROM inter JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id)
+        |  WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(id, label) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
+        |  SELECT * FROM r),
+        |comp AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id),
+        |split AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS INT) < 90 THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents)
+        |SELECT c.group_id, count(*) AS n_docs,
+        |  count(DISTINCT s.split) AS n_splits,
+        |  array_to_string(list_sort(list(DISTINCT s.split)), ',') AS splits
+        |FROM comp c JOIN split s ON c.id = s.id
+        |GROUP BY 1 HAVING count(DISTINCT s.split) > 1
+        |ORDER BY group_id""".stripMargin,
+    "q_cur_split_by_cluster" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> ''))) AS w
+        |  FROM documents WHERE doc_id < 120),
+        |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+        |  FROM toks a JOIN toks b ON a.w = b.w AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+        |    FROM inter JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id)
+        |  WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  WITH RECURSIVE r(id, label) AS (
+        |    SELECT DISTINCT src, src FROM edges
+        |    UNION
+        |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
+        |  SELECT * FROM r),
+        |comp AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id),
+        |base AS (
+        |  SELECT d.doc_id, coalesce(c.group_id, d.doc_id) AS split_key
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |b AS (
+        |  SELECT doc_id, split_key,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(split_key AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 100 AS INT) AS split_bucket
+        |  FROM base)
+        |SELECT doc_id, split_key, split_bucket,
         |  CASE WHEN split_bucket < 90 THEN 'train' ELSE 'eval' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
     "q_cur_pack_sequences" ->

@@ -42,6 +42,55 @@ object Curation {
         when(col("split_bucket") < trainPct, lit("train")).otherwise(lit("eval")))
   }
 
+  /** Split-leakage report: near-duplicate clusters straddling a split
+    * boundary — THE eval-contamination bug id-keyed splitting produces
+    * (two near-identical documents hash to different buckets, the model
+    * trains on one and is scored on the other). `pairs` is any duplicate
+    * pair frame (`id_a`, `id_b` — LSH-verified at scale, [[Dedup
+    * .ngramJaccardPairs]] in the oracle-bounded form), `split` carries
+    * (`idCol`, `splitCol`). One row per offending cluster with its size
+    * and the sorted distinct splits it touches; empty means the split is
+    * leakage-free. Scale: component labels are bounded by the
+    * near-duplicate count (never the corpus), the join is id-keyed, and
+    * the agg is one keyed hash aggregate — same budget as the dedup
+    * pipeline that produced `pairs`.
+    */
+  def splitLeakage(pairs: DataFrame, split: DataFrame, idCol: String,
+                   splitCol: String): DataFrame =
+    Dedup.duplicateGroups(pairs)
+      .join(split.select(col(idCol).as("id"), col(splitCol).as("__split")),
+        Seq("id"))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__split")).as("n_splits"),
+        array_join(sort_array(collect_set(col("__split"))), ",").as("splits"))
+      .filter(col("n_splits") > 1)
+
+  /** [[hashSplit]] at CLUSTER granularity — the fix for what
+    * [[splitLeakage]] reports: the split key is the duplicate cluster's
+    * min-id label (`coalesce(group_id, id)`), so every member of a
+    * near-duplicate cluster lands in the same split by construction.
+    * A strict refinement of [[hashSplit]]: documents in no cluster keep
+    * their exact id-keyed assignment (same md5 arithmetic on the same
+    * key), so only the leaking minority moves. Output adds `split_key`
+    * (the audit trail: which label decided the bucket) alongside
+    * hashSplit's `split_bucket`/`split`. One bounded label join + the
+    * same row-local bucket arithmetic — no new shuffle shape.
+    */
+  def hashSplitByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                         trainPct: Int = 90): DataFrame = {
+    require(trainPct > 0 && trainPct < 100,
+      s"hashSplitByCluster: trainPct must be in (0,100), got $trainPct")
+    val labels = Dedup.duplicateGroups(pairs)
+      .select(col("id").as(idCol), col("group_id"))
+    df.join(labels, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("group_id"), col(idCol)))
+      .drop("group_id")
+      .withColumn("split_bucket", (md5Priority("split_key") % 100).cast("int"))
+      .withColumn("split",
+        when(col("split_bucket") < trainPct, lit("train")).otherwise(lit("eval")))
+  }
+
   /** Token-budget sequence packing: documents in `idCol` order are laid
     * end-to-end and cut into `budgetTokens`-sized context windows; each doc
     * is assigned the pack where its FIRST token falls (`pack_id`), plus its

@@ -51,6 +51,40 @@ class CurationSpec extends SparkSpec {
     assert(bad.getMessage.contains("trainPct"))
   }
 
+  test("splitLeakage reports straddling clusters; hashSplitByCluster fixes them") {
+    import spark.implicits._
+    // Two near-dup pairs plus singletons. Plain hashSplit buckets by id,
+    // so some cluster straddles splits at trainPct=50 on this id range
+    // (checked below rather than assumed); the cluster-granular split is
+    // leakage-free by construction and leaves singletons untouched.
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val docs = (1L to 12L).toDF("doc_id")
+    val plain = Curation.hashSplit(docs, "doc_id", trainPct = 50)
+    val leaks = Curation.splitLeakage(pairs, plain, "doc_id", "split")
+      .as[(Long, Long, Long, String)].collect()
+    val plainMap = plain.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val straddling = Seq(Seq(1L, 2L), Seq(3L, 4L))
+      .filter(c => c.map(plainMap).distinct.size > 1)
+    assert(leaks.map(_._1).toSet ==
+      straddling.map(_.min).toSet, s"leaks=${leaks.toSeq}")
+    assert(leaks.forall(r => r._2 == 2 && r._3 == 2 && r._4 == "eval,train"))
+
+    val fixed = Curation.hashSplitByCluster(docs, "doc_id", pairs, trainPct = 50)
+    assert(Curation.splitLeakage(pairs, fixed, "doc_id", "split").isEmpty)
+    val fixedRows = fixed.select("doc_id", "split_key", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    // cluster members inherit the min-id's plain assignment
+    for (c <- Seq(Seq(1L, 2L), Seq(3L, 4L)); id <- c) {
+      val r = fixedRows.find(_._1 == id).get
+      assert(r._2 == c.min && r._3 == plainMap(c.min), s"row $r")
+    }
+    // singletons: identical to plain hashSplit (same key, same arithmetic)
+    for ((id, key, sp) <- fixedRows if id > 4) {
+      assert(key == id && sp == plainMap(id), s"singleton $id moved")
+    }
+  }
+
   test("packSequences: contiguous prefix-sum packing in id order") {
     // ids 1..10, each with i tokens ("w " * i): cum0 of doc i = sum(1..i-1)
     val docs = (1L to 10L).map(i => (i, ("w " * i.toInt).trim)).toDF("id", "text")
