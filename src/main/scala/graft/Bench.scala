@@ -55,10 +55,17 @@ object Bench {
       // clock; the timed runs then measure the engine, not the disk. Its
       // wall time is still recorded in bench_detail.json (`warm` field) so
       // the cold-read share per query stays diagnosable.
+      // Last failure message per query, persisted into bench_detail.json
+      // (VERDICT r8 §missing-1: null runs with the message only on a
+      // vanished stderr made the streaming break undiagnosable from the
+      // committed record).
+      var lastError: Option[String] = None
+      def recordError(e: Throwable): Unit = lastError = Some(
+        s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
       val warmT0 = System.nanoTime()
       val warm =
         try { fn(spark, sfDir).count(); (System.nanoTime() - warmT0) / 1e9 }
-        catch { case _: Throwable => Double.NaN }
+        catch { case e: Throwable => recordError(e); Double.NaN }
       val times = (1 to runs).map { r =>
         val t0 = System.nanoTime()
         try {
@@ -71,6 +78,7 @@ object Bench {
         }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          recordError(e)
           Double.NaN
         }
       }
@@ -80,9 +88,9 @@ object Bench {
       // NaN sorts after every real number (IEEE total order).
       val ok = times.sorted.filterNot(_.isNaN)
       val median = if (ok.size * 2 <= runs) -1.0 else ok(ok.size / 2)
-      (name, median, warm, times)
+      (name, median, warm, times, lastError)
     }
-    val failed = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
+    val failed = results.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }
     // The driver captures only the LAST ~2000 chars of output and parses the
     // JSON line out of that tail; sbt's trailing "[success] Total time" line
     // eats ~80 of those. Full-precision doubles put the line far past the
@@ -99,7 +107,7 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).filter(_ >= 0).sum
     val budget = 1850
-    val bySlow = results.map { case (k, v, _, _) => (k, v) }.sortBy(-_._2)
+    val bySlow = results.map { case (k, v, _, _, _) => (k, v) }.sortBy(-_._2)
     def render(qs: Seq[(String, Double)], dropped: Int) = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
@@ -116,9 +124,21 @@ object Bench {
     // path (overridable via SPARK_GRAFT_BENCH_DETAIL) so the DRIVER's run
     // lands in git at round end instead of vanishing with its sandbox CWD.
     def num(v: Double) = if (v.isNaN) "null" else v.toString
-    val full = results.map { case (k, v, w, ts) =>
+    // JSON string escape for error messages (same contract as Verify.q):
+    // exception text routinely carries quotes, newlines, and tabs.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val full = results.map { case (k, v, w, ts, err) =>
       "\"" + k + "\":{\"median\":" + num(v) + ",\"warm\":" + num(w) +
-        ",\"runs\":" + ts.map(num).mkString("[", ",", "]") + "}"
+        ",\"runs\":" + ts.map(num).mkString("[", ",", "]") +
+        err.map(m => ",\"error\":" + jstr(m)).getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/bench_detail.json")

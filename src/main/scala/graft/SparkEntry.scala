@@ -227,7 +227,14 @@ object SparkEntry {
       // ruling as the quality gates above (VERDICT r7 §next-2).
       "q_dedup_minhash_portable", "q_dedup_simhash_portable",
       "q_sim_ann_portable", "q_sim_ivf_portable", "q_sim_pq_portable",
-      "q_sim_pq_gate")
+      "q_sim_pq_gate",
+      // r9 (VERDICT r8 §next-4): these two feed the O(n²) maxId-bounded
+      // Jaccard pair generator — oracle-replayable truth construction, not
+      // an engine shape — so timing them benched the truth generator (6.85 s,
+      // the most expensive r8 row). They stay oracled here; the BENCHED
+      // split-family row is q_cur_split_noleak_prod, which runs the
+      // production LSH pair source end-to-end.
+      "q_cur_split_leakage", "q_cur_split_by_cluster")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -974,6 +981,23 @@ object SparkEntry {
           maxId = 120, minJaccard = 0.5), trainPct = 90)
         .select("doc_id", "split_key", "split_bucket", "split")
         .orderBy("doc_id")
+    }),
+    // The BENCHED split-family shape (the two above are verify-only —
+    // their Jaccard pair source is oracle truth construction, not the
+    // engine): production LSH candidates → cluster-granular split →
+    // leakage audit over the SAME pairs. hashSplitByCluster guarantees no
+    // cluster straddles the boundary by construction, so the audit count
+    // is exactly 0 — a constructive invariant the oracle can assert —
+    // while every timed operator (minhash banding, components, label
+    // join, leakage agg) is the pipeline a user runs at scale.
+    "q_cur_split_noleak_prod" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minHashCandidates(docs, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.3)
+      Curation.splitLeakage(pairs,
+          Curation.hashSplitByCluster(docs, "doc_id", pairs, trainPct = 90),
+          "doc_id", "split")
+        .agg(count(lit(1)).as("leak_groups"))
     }),
     "q_cur_pack_sequences" -> ((s, d) =>
       Curation.packSequences(t(s, d, "documents"), "doc_id", "text",
@@ -2748,6 +2772,12 @@ object SparkEntry {
         |SELECT doc_id, split_bucket,
         |  CASE WHEN split_bucket < 90 THEN 'train' ELSE 'eval' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // Constructive invariant of hashSplitByCluster: the cluster-granular
+    // split cannot leak, whatever the pair source — the Spark side audits
+    // the production LSH pipeline's own output and must land on exactly 0
+    // (same gate style as q_sim_recall_gate's `true AS recall_ok`).
+    "q_cur_split_noleak_prod" ->
+      "SELECT CAST(0 AS BIGINT) AS leak_groups",
     // Components replayed exactly as in q_dedup_groups (recursive CTE over
     // the bounded Jaccard pairs), then the q_cur_hash_split md5 arithmetic
     // on top — leakage report and cluster-granular split respectively.

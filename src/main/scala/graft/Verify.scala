@@ -12,6 +12,13 @@ object Verify {
     // those queries. The driver never sets it, so the gate sees everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    // A throwing query must leave a committed trace (VERDICT r8 §missing-1:
+    // the r8 streaming break produced NO artifact signal — the queries just
+    // vanished from CORRECTNESS_r08.json and the diagnosis needed a
+    // judge-side sbt test rerun). Collect name→message here and write
+    // verify_errors.json next to oracle_sql.json, always (empty {} when
+    // clean, so its absence means Verify itself died).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -19,6 +26,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -36,6 +44,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // Second copy at a repo path the driver's end-of-round commit sweeps up
+    // (outDir lives in the driver sandbox and vanishes with it).
+    Files.writeString(Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_ERRORS", "/root/repo/verify_errors.json")), errJson)
     spark.stop()
   }
 }

@@ -170,9 +170,13 @@ object Curation {
         "maxGroups only if groups x 1024 driver rows is acceptable")
     // Per group: cutoff bucket = first bucket where the running count
     // reaches cap; rows in earlier buckets all pass, the cutoff bucket
-    // gets the remainder, later buckets drop.
+    // gets the remainder, later buckets drop. Index `hist` by group ONCE —
+    // a per-group `hist.filter` rescan is O(groups² × 1024) at the
+    // maxGroups guard (~17B comparisons); the grouped index keeps the whole
+    // driver pass at O(groups × 1024).
+    val byGroup = hist.groupBy(_._1)
     val cuts = groups.map { g =>
-      val buckets = hist.filter(_._1 == g).sortBy(_._2)
+      val buckets = byGroup(g).sortBy(_._2)
       var cum = 0L
       var cut = Int.MaxValue // total <= cap: keep the whole group
       var rem = 0L

@@ -27,19 +27,24 @@ object Streams {
     * parquet files land in the directory and each becomes (part of) a
     * micro-batch, with exactly-once tracking in the source log.
     *
-    * Unlike the batch reader, `ts` stays TIMESTAMP (with timezone):
-    * `withWatermark` rejects TIMESTAMP_NTZ. The session pins
-    * `spark.sql.session.timeZone=UTC`, so window boundaries and date casts
-    * agree exactly with the batch NTZ form.
+    * Unlike the batch reader, `ts` must surface as TIMESTAMP (with
+    * timezone): `withWatermark` rejects TIMESTAMP_NTZ. Depending on how the
+    * fixture was written, the scan may yield nanos-as-Long or
+    * TIMESTAMP_NTZ — both are normalized here. The session pins
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast preserves
+    * wall-clock values and window boundaries / date casts agree exactly
+    * with the batch NTZ form (and the DuckDB oracle).
     */
   def readTableStream(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                       table: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
     val df = spark.readStream.schema(schema)
       .option("pathGlobFilter", s"$table.parquet").parquet(sfDir)
     if (table == "events" && schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (table == "events" && schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast("timestamp"))
     else df
   }
 

@@ -314,6 +314,77 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 3L)) // 4 is a dup of 1 -> rejected by the probe
   }
 
+  test("readTableStream normalizes NTZ, nanos-Long, and LTZ ts through the watermark path") {
+    // VERDICT r8 §next-3: a fixture regeneration flipped events.ts from
+    // nanos-as-Long to TIMESTAMP_NTZ and `withWatermark` rejected it with
+    // no in-repo signal. Pin all three physical encodings a parquet writer
+    // can produce: each must scan to TIMESTAMP (LTZ) and drain the SAME
+    // windowed answer end-to-end (session TZ is UTC, so wall-clock — and
+    // the window boundaries — are identical across encodings).
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, LongType}
+    val root = Files.createTempDirectory("graft-ts-types")
+    val base = Seq(
+      (1L, 10L, "click", ts("2024-01-01 01:00:00"), 1.5),
+      (2L, 10L, "click", ts("2024-01-01 02:00:00"), 2.5),
+      (3L, 11L, "view", ts("2024-01-01 03:00:00"), 3.0),
+      (4L, 11L, "click", ts("2024-01-02 01:00:00"), 4.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val encodings = Map(
+      "ntz" -> base.withColumn("ts", col("ts").cast("timestamp_ntz")),
+      "ltz" -> base,
+      "nanos" -> base.withColumn("ts",
+        unix_micros(col("ts")) * 1000)) // epoch-nanos as Long
+    val expectedScanTypes =
+      Map("ntz" -> TimestampNTZType, "ltz" -> TimestampType, "nanos" -> LongType)
+    val drained = encodings.map { case (enc, df) =>
+      val dir = s"$root/$enc"
+      // the driver fixture is a single FILE named events.parquet (the
+      // readTableStream glob matches leaf file names) — collapse the
+      // df.write directory to that shape
+      df.coalesce(1).write.parquet(s"$dir/__staging")
+      val part = new java.io.File(s"$dir/__staging").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.createDirectories(java.nio.file.Paths.get(dir))
+      assert(part.renameTo(new java.io.File(s"$dir/events.parquet")))
+      // the raw scan really exercises the encoding under test …
+      assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+        expectedScanTypes(enc), s"fixture encoding drifted for $enc")
+      val stream = Streams.readTableStream(spark, dir, "events")
+      // … and the normalized stream is always watermark-legal TIMESTAMP
+      assert(stream.schema("ts").dataType == TimestampType,
+        s"$enc: ts is ${stream.schema("ts").dataType}, watermark would reject it")
+      val sink = s"ts_types_$enc"
+      val q = Streams.windowedCounts(stream, "ts", "event_type",
+          windowLen = "1 day", lateness = "1 hour", amountCol = Some("value"))
+        .writeStream.format("memory").queryName(sink).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      enc -> spark.table(sink)
+        .select(col("window_start").cast("string"), col("event_type"),
+          col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+    }
+    assert(drained("ntz") == drained("ltz"), "NTZ and LTZ windows disagree")
+    assert(drained("nanos") == drained("ltz"), "nanos-Long and LTZ windows disagree")
+    assert(drained("ltz").contains(("2024-01-01 00:00:00", "click", 2L, 4.0)))
+    // the stream-stream horizon join accepts the normalized NTZ source too
+    val ntzDir = s"$root/ntz"
+    val clicks = Streams.readTableStream(spark, ntzDir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val views = Streams.readTableStream(spark, ntzDir, "events")
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    val jq = Streams.joinWithinHorizon(clicks, views, Seq("user_id"),
+        "click_ts", "view_ts", maxLag = "30 minutes", lateness = "3650 days")
+      .writeStream.format("memory").queryName("ts_types_join").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    jq.awaitTermination()
+    // no view within 30 min before any click in the fixture → 0 matches,
+    // but the query PLANNED and DRAINED over the NTZ-scanned source
+    assert(spark.table("ts_types_join").count() == 0)
+  }
+
   test("q_stream_daily_window: file-stream execution equals the batch answer") {
     val d = "/root/testdata/sf0.001"
     val streamed = SparkEntry.queries("q_stream_daily_window")(spark, d)
