@@ -227,7 +227,7 @@ object SparkEntry {
       // ruling as the quality gates above (VERDICT r7 §next-2).
       "q_dedup_minhash_portable", "q_dedup_simhash_portable",
       "q_sim_ann_portable", "q_sim_ivf_portable", "q_sim_pq_portable",
-      "q_sim_pq_gate",
+      "q_sim_ivfpq_portable", "q_sim_pq_gate",
       // r9 (VERDICT r8 §next-4): these two feed the O(n²) maxId-bounded
       // Jaccard pair generator — oracle-replayable truth construction, not
       // an engine shape — so timing them benched the truth generator (6.85 s,
@@ -1058,6 +1058,21 @@ object SparkEntry {
       Aggregates.topKPerGroup(t(s, d, "documents"), Seq("lang"),
           Seq(col("n_chars").desc, col("doc_id").asc), k = 10)
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
+    // The end-to-end mix a real training pipeline runs ("N tokens at
+    // 50/30/20, packed to 2048-token windows"): token-budget mixture
+    // resample feeding sequence packing — the two operators' INTERACTION
+    // under one oracle (each was only oracled in isolation before r9).
+    // At sf0.01 src0's 10k-token share exceeds its mass (keep-all regime)
+    // while src1/src2 sample fractionally, so both regimes flow into the
+    // packer's prefix sums.
+    "q_cur_mix_pack_pipeline" -> ((s, d) =>
+      Curation.packSequences(
+        Curation.mixtureSampleByTokens(t(s, d, "documents"), "source",
+          "doc_id", "n_chars",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          targetTokens = 20000),
+        "doc_id", "text", budgetTokens = 2048)
+        .orderBy("doc_id")),
     "q_cur_quantile_filter" -> ((s, d) =>
       Curation.filterByGroupQuantile(t(s, d, "documents"), "lang", "n_chars",
           quantile = 0.3)
@@ -1131,6 +1146,15 @@ object SparkEntry {
     "q_sim_pq_portable" -> ((s, d) =>
       ProductQuantization.pqTopKPortable(t(s, d, "embeddings"), "vec_id",
         "embedding", dim = 64, queryId = 1, k = 20, m = 8, kCodewords = 16)),
+    // Portable IVF-PQ twin (r9): the FULL ivfPqTopK composition — coarse
+    // cells, residual codes, probed-cell ADC with the dot decomposition —
+    // integer-exact and DuckDB-replayed, so the trained-codebook trio's
+    // every structural stage has a hash-green pin, not just the PQ and IVF
+    // halves separately.
+    "q_sim_ivfpq_portable" -> ((s, d) =>
+      ProductQuantization.ivfPqTopKPortable(t(s, d, "embeddings"), "vec_id",
+        "embedding", dim = 64, queryId = 1, k = 20, nCentroids = 16,
+        nProbe = 4, m = 8, kCodewords = 16)),
     // PQ quality gate (verify-only): (a) decode(encode(v)) cosine over the
     // whole corpus clears the reconstruction bar; (b) ADC-shortlist +
     // exact-rerank top-10 on the planted-cluster fixture recovers >= 9 of
@@ -2566,6 +2590,35 @@ object SparkEntry {
         |                           ELSE 0.5 END
         |      / (5.0 + 0.5 + 0.5) / c.t) * 4294967296.0)
         |ORDER BY doc_id""".stripMargin,
+    // q_cur_mixture_tokens' keep-set arithmetic composed with
+    // q_cur_pack_sequences' running-sum replay, over the kept rows only.
+    "q_cur_mix_pack_pipeline" ->
+      """WITH c AS (
+        |  SELECT source, sum(n_chars) AS t FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+        |kept AS (
+        |  SELECT doc_id, text FROM documents p JOIN c USING (source)
+        |  WHERE c.t > 0 AND CAST(concat('0x',
+        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    < round(least(1.0,
+        |        20000.0 * CASE p.source WHEN 'src0' THEN 0.5
+        |                                WHEN 'src1' THEN 0.3
+        |                                ELSE 0.2 END
+        |          / (0.5 + 0.3 + 0.2) / c.t) * 4294967296.0)),
+        |d AS (
+        |  SELECT doc_id,
+        |    coalesce(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')), 0) AS n_tok
+        |  FROM kept),
+        |cc AS (
+        |  SELECT doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+        |  FROM d)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(cum0 // 2048 AS BIGINT) AS pack_id,
+        |  CAST(cum0 % 2048 AS BIGINT) AS pack_offset
+        |FROM cc ORDER BY doc_id""".stripMargin,
     // Exact-integer Z-value replay: same grid division (// is floor
     // division; operands non-negative, so it matches Spark's truncating
     // `div`) and the same 32 interleave terms.
@@ -2756,6 +2809,67 @@ object SparkEntry {
         |FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
         |WHERE codes.id <> 1
         |GROUP BY 1 ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin,
+    // Replays ivfPqTopKPortable bit-for-bit: the q_sim_ivf_portable coarse
+    // machinery (±1 md5 "c<cell>:<i>" planes, argmax assign with min-cell
+    // ties, top-4 probe) composed with the q_sim_pq_portable codebooks
+    // ("pq:s:c:i" ±64) over RESIDUALS qv − 64·sign, scored as
+    // 64·(q·sign_cell) + Σ lut — integer throughout.
+    "q_sim_ivfpq_portable" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |q AS (
+        |  SELECT id,
+        |    CASE WHEN ma > 0 THEN list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT))
+        |         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+        |  FROM base),
+        |sgn AS (
+        |  SELECT c.c, i.i,
+        |    CASE WHEN CAST(concat('0x',
+        |        substr(md5('c' || c.c || ':' || i.i), 1, 1)) AS INT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 16) c(c), range(0, 64) i(i)),
+        |cellscore AS (
+        |  SELECT q.id, sgn.c, sum(sgn.s * qv[sgn.i + 1]) AS sc
+        |  FROM q, sgn GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT id, c AS cell FROM cellscore
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY sc DESC, c) = 1),
+        |qcells AS (
+        |  SELECT c AS cell FROM cellscore WHERE id = 1
+        |  ORDER BY sc DESC, c LIMIT 4),
+        |cw AS (
+        |  SELECT s.s, c.c, i.i,
+        |    CASE WHEN CAST(concat('0x',
+        |        substr(md5('pq:' || s.s || ':' || c.c || ':' || i.i), 1, 1)) AS INT) % 2 = 0
+        |      THEN CAST(64 AS BIGINT) ELSE CAST(-64 AS BIGINT) END AS w
+        |  FROM range(0, 8) s(s), range(0, 16) c(c), range(0, 8) i(i)),
+        |cand AS (
+        |  SELECT q.id, q.qv, a.cell FROM assign a JOIN q ON q.id = a.id
+        |  WHERE a.cell IN (SELECT cell FROM qcells) AND a.id <> 1),
+        |res AS (
+        |  SELECT cand.id, sgn.i, cand.qv[sgn.i + 1] - 64 * sgn.s AS r
+        |  FROM cand JOIN sgn ON sgn.c = cand.cell),
+        |dist AS (
+        |  SELECT res.id, cw.s, cw.c, sum((res.r - cw.w) * (res.r - cw.w)) AS d
+        |  FROM res JOIN cw ON cw.s * 8 + cw.i = res.i GROUP BY 1, 2, 3),
+        |codes AS (
+        |  SELECT id, s, c FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY id, s ORDER BY d ASC, c ASC) = 1),
+        |lut AS (
+        |  SELECT cw.s, cw.c, sum(qq.qv[cw.s * 8 + cw.i + 1] * cw.w) AS l
+        |  FROM cw CROSS JOIN (SELECT qv FROM q WHERE id = 1) qq(qv)
+        |  GROUP BY 1, 2),
+        |centdot AS (
+        |  SELECT cand.id, 64 * cs.sc AS cd FROM cand
+        |  JOIN cellscore cs ON cs.id = 1 AND cs.c = cand.cell)
+        |SELECT codes.id AS vec_id, CAST(cd.cd + sum(lut.l) AS BIGINT) AS score
+        |FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
+        |JOIN centdot cd ON cd.id = codes.id
+        |GROUP BY codes.id, cd.cd
+        |ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin,
     // Truth side of the PQ gate: the vector count is oracled; the
     // reconstruction-cosine and planted-recall booleans are engine-side
     // quality assertions (same pattern as q_sim_quantize_gate).

@@ -348,4 +348,68 @@ object ProductQuantization {
       .orderBy(col("score").desc, col("vec_id").asc)
       .limit(k)
   }
+
+  /** Oracle-portable IVF-PQ twin — [[ivfPqTopK]]'s full composition
+    * (coarse cells → residual PQ codes → probed-cell ADC with the dot
+    * decomposition) in integer arithmetic DuckDB replays bit-for-bit.
+    * Coarse cells are [[Similarity.ivfTopKPortable]]'s ±1 md5-parity
+    * planes scaled to ±64 as reconstruction centroids (scaling every
+    * centroid by one factor preserves the assignment argmax, so the twin
+    * shares the IVF twin's cell structure); residuals `qv − 64·sign` stay
+    * integral, the "pq:*" ±64 books encode them, and the score is
+    * `64·(q·sign_cell) + Σ lut[s][code]` — the ivfPqTopK decomposition
+    * with every term exact in BIGINT and in double (|q| ≤ 127, |res| ≤
+    * 191 → per-subspace dist ≤ 8·255², lut entry ≤ 8·127·64, score ≤
+    * ~1.1e6). Tie-breaks are total (assign: min cell; probe: score desc,
+    * cell asc; encode: min codeword; rank: score desc, id asc), so the
+    * k-row answer is ONE deterministic relation.
+    */
+  def ivfPqTopKPortable(emb: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, queryId: Long, k: Int, nCentroids: Int = 16,
+                        nProbe: Int = 4, m: Int = 8,
+                        kCodewords: Int = 16): DataFrame = {
+    require(dim % m == 0, s"ivfPqTopKPortable: dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val signMatrix = Array.tabulate(nCentroids)(c =>
+      Array.tabulate(dim)(i => Similarity.md5ParitySign(s"c$c:$i")))
+    val books: Codebooks = Array.tabulate(m)(s => Array.tabulate(kCodewords)(c =>
+      Array.tabulate(sub)(i =>
+        Similarity.md5ParitySign(s"pq:$s:$c:$i") * 64.0)))
+    // One persisted pass carries qvec + the per-cell signed dots: reused by
+    // assignment, probe selection, AND the query pull (ivfTopKPortable's
+    // projection-barrier rationale).
+    val q = Similarity.quantizeEmbeddings(emb, idCol, vecCol)
+      .filter(size(col("qvec")) === dim)
+      .select(col("id"), col("qvec"),
+        graft.expressions.VectorExpressions.signedIntDots(
+          col("qvec"), signMatrix).as("__dots"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qRows = q.filter(col("id") === queryId)
+      .select(col("qvec").cast("array<double>"), col("__dots"))
+      .limit(1).collect()
+    require(qRows.nonEmpty, s"ivfPqTopKPortable: query id $queryId not found")
+    val qVec = qRows(0).getSeq[Double](0).toArray
+    val qDots = qRows(0).getSeq[Long](1).toArray
+    // Probe the query's top-nProbe cells (score desc, cell asc — the
+    // assignment's own ranking rule); the centroid dot term of the score
+    // decomposition is 64 × the already-computed signed dot per cell.
+    val probed = qDots.zipWithIndex.sortBy { case (dd, i) => (-dd, i) }
+      .take(nProbe).map(_._2)
+    val lut = adcLut(qVec, books)
+    val centDotLit = typedlit(qDots.map(_ * 64L).toSeq)
+    val centLit = typedlit(signMatrix.map(_.map(s => s * 64L).toSeq).toSeq)
+    q.select(col("id"), col("qvec"),
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1)
+          .cast("int").as("cell"))
+      .filter(col("cell").isin(probed.map(Integer.valueOf).toIndexedSeq: _*))
+      .filter(col("id") =!= queryId)
+      .select(col("id").as("vec_id"),
+        (element_at(centDotLit, col("cell") + 1) +
+          adcScore(encodeColumn(
+            zip_with(col("qvec").cast("array<long>"),
+              element_at(centLit, col("cell") + 1), (x, c) => x - c),
+            books), lut).cast("long")).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
 }

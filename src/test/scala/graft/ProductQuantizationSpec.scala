@@ -105,6 +105,28 @@ class ProductQuantizationSpec extends SparkSpec {
       p(0)._2 > p(1)._2 || (p(0)._2 == p(1)._2 && p(0)._1 < p(1)._1)))
   }
 
+  test("ivfPqTopKPortable: deterministic, integer-scored, score decomposition holds") {
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 4,
+      perCluster = 10, dim = 16, noise = 0.05)
+    val a = PQ.ivfPqTopKPortable(fix, "vec_id", "embedding", dim = 16,
+      queryId = 1, k = 8, nCentroids = 8, nProbe = 3, m = 4, kCodewords = 8)
+      .as[(Long, Long)].collect().toSeq
+    val b = PQ.ivfPqTopKPortable(fix, "vec_id", "embedding", dim = 16,
+      queryId = 1, k = 8, nCentroids = 8, nProbe = 3, m = 4, kCodewords = 8)
+      .as[(Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.length == 8)
+    assert(a.sliding(2).forall(p =>
+      p(0)._2 > p(1)._2 || (p(0)._2 == p(1)._2 && p(0)._1 < p(1)._1)))
+    // probing every cell must reproduce each returned row's score exactly
+    // (nProbe only prunes candidates, it never changes a kept row's score)
+    val full = PQ.ivfPqTopKPortable(fix, "vec_id", "embedding", dim = 16,
+      queryId = 1, k = 40, nCentroids = 8, nProbe = 8, m = 4, kCodewords = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(a.forall { case (id, sc) => full(id) == sc },
+      a.filterNot { case (id, sc) => full(id) == sc }.toString)
+  }
+
   test("trainCodebooks: empty cells keep codewords; wrong dim rejected") {
     intercept[IllegalArgumentException] {
       PQ.trainCodebooks(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v"),
