@@ -62,11 +62,19 @@ object Bench {
       var lastError: Option[String] = None
       def recordError(e: Throwable): Unit = lastError = Some(
         s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
+      // Contention-prone families get 2 extra runs (r8 driver artifact:
+      // q_mm_png_decode 1.38→6.45 s, q_sim_ivf_topk 0.76→4.82 s — runs
+      // growing monotonically mid-query on a loaded sandbox, flat locally;
+      // VERDICT r8 §next-6). A median of 5 keeps one contended stretch
+      // from owning the reported value; the CPU-bound codecs and the
+      // index-building ANN probes are the rows that showed it.
+      val nRuns =
+        if ("^q_(mm_|sim_iv)".r.findFirstIn(name).isDefined) runs + 2 else runs
       val warmT0 = System.nanoTime()
       val warm =
         try { fn(spark, sfDir).count(); (System.nanoTime() - warmT0) / 1e9 }
         catch { case e: Throwable => recordError(e); Double.NaN }
-      val times = (1 to runs).map { r =>
+      val times = (1 to nRuns).map { r =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -87,7 +95,7 @@ object Bench {
       // run fails. A query still reports -1 when half or more runs failed.
       // NaN sorts after every real number (IEEE total order).
       val ok = times.sorted.filterNot(_.isNaN)
-      val median = if (ok.size * 2 <= runs) -1.0 else ok(ok.size / 2)
+      val median = if (ok.size * 2 <= nRuns) -1.0 else ok(ok.size / 2)
       (name, median, warm, times, lastError)
     }
     val failed = results.collect { case (k, v, _, _, _) if v < 0 => "\"" + k + "\"" }

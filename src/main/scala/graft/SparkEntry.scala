@@ -992,10 +992,15 @@ object SparkEntry {
     // join, leakage agg) is the pipeline a user runs at scale.
     "q_cur_split_noleak_prod" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val pairs = Dedup.minHashCandidates(docs, "doc_id", "text",
-        shingleN = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.3)
-      Curation.splitLeakage(pairs,
-          Curation.hashSplitByCluster(docs, "doc_id", pairs, trainPct = 90),
+      // ONE candidate run + ONE components pass feed both the split and
+      // the audit (the FromLabels forms): pairs are consumed exactly once,
+      // so the LSH pipeline isn't re-executed per consumer.
+      val labels = Dedup.duplicateGroups(
+        Dedup.minHashCandidates(docs, "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.3))
+      Curation.splitLeakageFromLabels(labels,
+          Curation.hashSplitByClusterFromLabels(docs, "doc_id", labels,
+            trainPct = 90),
           "doc_id", "split")
         .agg(count(lit(1)).as("leak_groups"))
     }),

@@ -57,7 +57,18 @@ object Curation {
     */
   def splitLeakage(pairs: DataFrame, split: DataFrame, idCol: String,
                    splitCol: String): DataFrame =
-    Dedup.duplicateGroups(pairs)
+    splitLeakageFromLabels(Dedup.duplicateGroups(pairs), split, idCol, splitCol)
+
+  /** [[splitLeakage]] over PRECOMPUTED component labels (`id`, `group_id`
+    * — [[Dedup.duplicateGroups]] output). The report and the
+    * [[hashSplitByClusterFromLabels]] fix consume the same labels; sharing
+    * them runs the candidate pipeline and the components ONCE instead of
+    * once per consumer (at 100 TB the candidate generation is the dominant
+    * cost — recomputing it per audit would double the pipeline).
+    */
+  def splitLeakageFromLabels(labels: DataFrame, split: DataFrame,
+                             idCol: String, splitCol: String): DataFrame =
+    labels
       .join(split.select(col(idCol).as("id"), col(splitCol).as("__split")),
         Seq("id"))
       .groupBy("group_id")
@@ -78,10 +89,19 @@ object Curation {
     * same row-local bucket arithmetic — no new shuffle shape.
     */
   def hashSplitByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
-                         trainPct: Int = 90): DataFrame = {
+                         trainPct: Int = 90): DataFrame =
+    hashSplitByClusterFromLabels(df, idCol, Dedup.duplicateGroups(pairs),
+      trainPct)
+
+  /** [[hashSplitByCluster]] over precomputed component labels — see
+    * [[splitLeakageFromLabels]] for why sharing labels matters.
+    */
+  def hashSplitByClusterFromLabels(df: DataFrame, idCol: String,
+                                   clusterLabels: DataFrame,
+                                   trainPct: Int = 90): DataFrame = {
     require(trainPct > 0 && trainPct < 100,
       s"hashSplitByCluster: trainPct must be in (0,100), got $trainPct")
-    val labels = Dedup.duplicateGroups(pairs)
+    val labels = clusterLabels
       .select(col("id").as(idCol), col("group_id"))
     df.join(labels, Seq(idCol), "left")
       .withColumn("split_key", coalesce(col("group_id"), col(idCol)))
