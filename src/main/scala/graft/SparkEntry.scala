@@ -862,6 +862,19 @@ object SparkEntry {
           round(col("cross_entropy"), 6).as("cross_entropy"),
           round(col("perplexity"), 6).as("perplexity"))
         .orderBy("doc_id")),
+    // Naive Bayes classifier (r9) — the GPT-3/CCNet quality-classifier
+    // stage shape, self-trained here on the corpus's own lang labels and
+    // replayed end-to-end in DuckDB (train counts, add-k log-likelihoods
+    // in DECIMAL(38,18), priors, argmax with label-asc ties). The output
+    // row carries integers and strings only; floats decide the argmax but
+    // never reach the comparator.
+    "q_text_nb_classify" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = Classifier.trainNaiveBayes(docs, "lang", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Classifier.classifyNaiveBayes(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
     // PII scrub over fixture-derived text with injected synthetic PII
     // (email/IP/phone/URL built from doc_id, so both engines construct
     // the identical input) — the oracle replays the same regex chain in
@@ -2414,6 +2427,45 @@ object SparkEntry {
         |  round(-(CAST(agg.s AS DOUBLE) / agg.nb), 6) AS cross_entropy,
         |  round(exp(-(CAST(agg.s AS DOUBLE) / agg.nb)), 6) AS perplexity
         |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // NB replay: token counts per label, add-k log-likelihood with the
+    // same one-division arguments (exact in double), DECIMAL(38,18)
+    // evidence sums, prior log-odds, row_number argmax with label-asc
+    // ties — the q_text_lm_perplexity decimal contract applied to
+    // classification.
+    "q_text_nb_classify" ->
+      """WITH tkx AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents),
+        |m AS (SELECT lang AS label, token, count(*) AS cnt FROM tkx GROUP BY 1, 2),
+        |pr AS (SELECT lang AS label, count(*) AS dl FROM documents GROUP BY 1),
+        |ct AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS c FROM m GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS vs FROM m),
+        |d AS (SELECT CAST(sum(dl) AS BIGINT) AS ds FROM pr),
+        |db AS (SELECT doc_id, token, count(*) AS n FROM tkx GROUP BY 1, 2),
+        |dbv AS (SELECT * FROM db WHERE token IN (SELECT token FROM m)),
+        |ev AS (
+        |  SELECT dbv.doc_id, ct.label, CAST(sum(dbv.n) AS BIGINT) AS ns,
+        |    sum(CAST(dbv.n * ln((coalesce(m.cnt, 0) + 0.5) / (ct.c + 0.5 * v.vs))
+        |        AS DECIMAL(38,18))) AS s
+        |  FROM dbv CROSS JOIN ct
+        |  LEFT JOIN m ON m.label = ct.label AND m.token = dbv.token
+        |  CROSS JOIN v
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dd.doc_id, pr.label,
+        |    coalesce(ev.ns, 0) AS ns,
+        |    coalesce(CAST(ev.s AS DOUBLE), 0.0)
+        |      + ln(CAST(pr.dl AS DOUBLE) / CAST(d.ds AS DOUBLE)) AS score
+        |  FROM (SELECT doc_id FROM documents) dd CROSS JOIN pr
+        |  LEFT JOIN ev ON ev.doc_id = dd.doc_id AND ev.label = pr.label
+        |  CROSS JOIN d)
+        |SELECT doc_id, label AS pred_label, CAST(ns AS BIGINT) AS n_scored
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, label ASC) = 1
         |ORDER BY doc_id""".stripMargin,
     // Same regex chain, RE2 dialect, 'g' (global) flag = Spark's
     // replace-all default; input text constructed identically from the

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Classifier
+import org.apache.spark.sql.functions._
+
+/** Multinomial NB semantics: hand-computed posteriors, the priors-only
+  * fallback for out-of-vocabulary docs, parquet model round-trip, and the
+  * quality-filter composition.
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seed = Seq(
+    (1L, "a", "x x y"),
+    (2L, "a", "x z"),
+    (3L, "b", "y y z"))
+    .toDF("doc_id", "label", "text")
+
+  test("trainNaiveBayes: token counts per label + reserved prior rows") {
+    val m = Classifier.trainNaiveBayes(seed, "label", "text")
+      .as[(String, String, Long)].collect().toSet
+    assert(m == Set(
+      ("a", "x", 3L), ("a", "y", 1L), ("a", "z", 1L),
+      ("b", "y", 2L), ("b", "z", 1L),
+      ("a", "", 2L), ("b", "", 1L)))
+  }
+
+  test("classifyNaiveBayes: hand-computed argmax, priors fallback, determinism") {
+    val model = Classifier.trainNaiveBayes(seed, "label", "text")
+    // Hand computation (k=0.5, |V|=3, c(a·)=5, c(b·)=3, priors 2/3 vs 1/3):
+    //   doc "x x":  a: ln(2/3)+2·ln(3.5/6.5) = -1.644  b: ln(1/3)+2·ln(0.5/4.5) = -5.493  -> a
+    //   doc "y y":  a: ln(2/3)+2·ln(1.5/6.5) = -3.337  b: ln(1/3)+2·ln(2.5/4.5) = -2.274  -> b
+    //   doc "q q":  OOV-only -> priors alone: a (2/3 > 1/3), n_scored = 0
+    val docs = Seq((10L, "x x"), (11L, "y y"), (12L, "q q"))
+      .toDF("doc_id", "text")
+    val got = Classifier.classifyNaiveBayes(docs, "doc_id", "text", model)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, "a", 2L), (11L, "b", 2L), (12L, "a", 0L)), got)
+    // deterministic across runs
+    val again = Classifier.classifyNaiveBayes(docs, "doc_id", "text", model)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(again == got)
+  }
+
+  test("model round-trips through parquet (train on A, score B later)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    Classifier.trainNaiveBayes(seed, "label", "text")
+      .write.parquet(s"$dir/model")
+    val reloaded = spark.read.parquet(s"$dir/model")
+    val got = Classifier.classifyNaiveBayes(
+        Seq((10L, "x x")).toDF("doc_id", "text"), "doc_id", "text", reloaded)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((10L, "a", 2L)))
+  }
+
+  test("prior ties break label-ascending (exact decimal equality)") {
+    // two labels, identical priors AND identical token stats -> every
+    // score ties exactly; the argmax must still be ONE deterministic label
+    val sym = Seq((1L, "a", "x"), (2L, "b", "x")).toDF("doc_id", "label", "text")
+    val model = Classifier.trainNaiveBayes(sym, "label", "text")
+    val got = Classifier.classifyNaiveBayes(
+        Seq((10L, "x")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((10L, "a", 1L)))
+  }
+
+  test("filterByClassifier keeps exactly the docs predicted as keepLabel") {
+    val docs = Seq(
+      (1L, "a", "x x x"), (2L, "a", "x x z"),
+      (3L, "b", "y y y"), (4L, "b", "y x y"),
+      (5L, "a", "y y y y")) // labeled a, but reads like b -> dropped
+      .toDF("doc_id", "label", "text")
+    val kept = Classifier.filterByClassifier(docs, "doc_id", "label", "text",
+        keepLabel = "a")
+      .select("doc_id").as[Long].collect().toSet
+    val preds = Classifier.classifyNaiveBayes(docs, "doc_id", "text",
+        Classifier.trainNaiveBayes(docs, "label", "text"))
+      .filter(col("pred_label") === "a").select("doc_id").as[Long].collect().toSet
+    assert(kept == preds)
+    assert(!kept.contains(5L), s"misfiled doc 5 survived: $kept")
+    assert(kept.contains(1L) && kept.contains(2L))
+  }
+
+  test("guards: NULL-safe labels counted, addK and maxLabels enforced") {
+    val model = Classifier.trainNaiveBayes(seed, "label", "text")
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Classifier.classifyNaiveBayes(docs, "doc_id", "text", model, addK = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.classifyNaiveBayes(docs, "doc_id", "text", model,
+        maxLabels = 1)
+    }
+  }
+}
