@@ -228,6 +228,7 @@ object SparkEntry {
       "q_dedup_minhash_portable", "q_dedup_simhash_portable",
       "q_sim_ann_portable", "q_sim_ivf_portable", "q_sim_pq_portable",
       "q_sim_ivfpq_portable", "q_sim_pq_gate",
+      "q_dedup_semdedup_portable", "q_dedup_semdedup_gate",
       // r9 (VERDICT r8 §next-4): these two feed the O(n²) maxId-bounded
       // Jaccard pair generator — oracle-replayable truth construction, not
       // an engine shape — so timing them benched the truth generator (6.85 s,
@@ -596,6 +597,43 @@ object SparkEntry {
       Dedup.minHashCandidates(t(s, d, "documents"), "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.3)
         .orderBy("id_a", "id_b")),
+    // SemDeDup (r9): cluster-sharded semantic dedup — trained k-means
+    // cells, within-cell integer-cosine pairs, min-id survivors. Trained
+    // float centroids → rows-only; the portable twin below pins the
+    // cell-sharded pair machinery hash-green and the gate pins the
+    // planted-cluster collapse.
+    // Threshold 3/10 on this fixture: its vectors are random floats whose
+    // near-dup structure lives at cosine ≥ 0.3 (the q_dedup_embed_groups
+    // convention) — 0.3 here plays the role 0.9 plays on real embeddings;
+    // the arithmetic is identical.
+    "q_dedup_semdedup" -> ((s, d) =>
+      SemDedup.dedupSemantic(t(s, d, "embeddings"), "vec_id", "embedding",
+          dim = 64, nCentroids = 16, minCosNum = 3, minCosDen = 10)
+        .select("vec_id").orderBy("vec_id")),
+    // Portable twin: md5 ±1 cells (the IVF twin's family) + integer-dot
+    // argmax assignment + the rational-cosine pair threshold — the entire
+    // cell-sharded candidate generation replayed bit-for-bit in DuckDB.
+    "q_dedup_semdedup_portable" -> ((s, d) =>
+      SemDedup.candidatesPortable(t(s, d, "embeddings"), "vec_id",
+          "embedding", dim = 64, nCentroids = 16, minCosNum = 3,
+          minCosDen = 10)
+        .orderBy("id_a", "id_b")),
+    // Gate: 32 planted clusters of 8 must collapse toward one survivor
+    // each under trained cells — ≥75% of the corpus removed, no planted
+    // cluster losing ALL members (coverage). Truth side (vector count) is
+    // the deterministic fixture size.
+    "q_dedup_semdedup_gate" -> ((s, d) => {
+      val fixture = Similarity.clusteredEmbeddings(s, nClusters = 32,
+        perCluster = 8, dim = 64, noise = 0.05)
+      val surv = SemDedup.dedupSemantic(fixture, "vec_id", "embedding",
+        dim = 64, nCentroids = 16)
+      fixture.agg(count(lit(1)).as("n_vectors"))
+        .crossJoin(surv.agg(count(lit(1)).as("__n"),
+          countDistinct(expr("vec_id div 8")).as("__c")))
+        .select(col("n_vectors"),
+          (col("__n") >= 32 && col("__n") <= 64).as("collapse_ok"),
+          (col("__c") === 32).as("coverage_ok"))
+    }),
     // Portable-hash LSH twin: same pipeline shape as the xxhash production
     // path above, but an md5-derived hash family the DuckDB oracle replays
     // bit-for-bit — the banding/bucket-join machinery gets a hash-green
@@ -2866,6 +2904,56 @@ object SparkEntry {
         |FROM codes JOIN lut ON codes.s = lut.s AND codes.c = lut.c
         |WHERE codes.id <> 1
         |GROUP BY 1 ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin,
+    // SemDeDup portable twin: the q_sim_ivf_portable cell machinery (±1
+    // md5 "c<cell>:<i>" planes, integer-dot argmax with min-cell ties)
+    // feeding a within-cell self-join with the annLshPortable rational
+    // threshold (100·dot² ≥ 9·‖a‖²·‖b‖² — cosine 3/10, the fixture's
+    // near-dup range — with dot > 0) — integers throughout.
+    "q_dedup_semdedup_portable" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma
+        |  FROM embeddings WHERE len(embedding) = 64),
+        |q AS (
+        |  SELECT id,
+        |    CASE WHEN ma > 0 THEN list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT))
+        |         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+        |  FROM base),
+        |sgn AS (
+        |  SELECT c.c, i.i,
+        |    CASE WHEN CAST(concat('0x',
+        |        substr(md5('c' || c.c || ':' || i.i), 1, 1)) AS INT) % 2 = 0
+        |      THEN 1 ELSE -1 END AS s
+        |  FROM range(0, 16) c(c), range(0, 64) i(i)),
+        |cellscore AS (
+        |  SELECT q.id, sgn.c, sum(sgn.s * qv[sgn.i + 1]) AS sc
+        |  FROM q, sgn GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT id, CAST(c AS INT) AS cell FROM cellscore
+        |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY sc DESC, c) = 1),
+        |norms AS (
+        |  SELECT id, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nn
+        |  FROM q),
+        |cand AS (
+        |  SELECT a1.id AS id_a, a2.id AS id_b, a1.cell
+        |  FROM assign a1 JOIN assign a2 ON a1.cell = a2.cell AND a1.id < a2.id),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b, c.cell,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+        |    na.nn AS na, nb.nn AS nb
+        |  FROM cand c JOIN q a ON a.id = c.id_a JOIN q b ON b.id = c.id_b
+        |  JOIN norms na ON na.id = c.id_a JOIN norms nb ON nb.id = c.id_b)
+        |SELECT id_a, id_b, cell FROM pairs
+        |WHERE na > 0 AND nb > 0 AND dot > 0 AND 100 * dot * dot >= 9 * na * nb
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Truth side of the SemDeDup gate: the fixture size is deterministic
+    // (32 planted clusters × 8); collapse and coverage are engine-side
+    // quality booleans (the q_sim_pq_gate pattern).
+    "q_dedup_semdedup_gate" ->
+      """SELECT CAST(256 AS BIGINT) AS n_vectors, true AS collapse_ok,
+        |  true AS coverage_ok""".stripMargin,
     // Replays ivfPqTopKPortable bit-for-bit: the q_sim_ivf_portable coarse
     // machinery (±1 md5 "c<cell>:<i>" planes, argmax assign with min-cell
     // ties, top-4 probe) composed with the q_sim_pq_portable codebooks

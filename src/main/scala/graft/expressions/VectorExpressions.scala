@@ -550,6 +550,107 @@ case class SignedIntDots(child: Expression, signs: Array[Array[Int]])
     copy(child = newChild)
 }
 
+/** Nearest-centroid assignment: the 0-based index of the plane with the
+  * maximal double-precision dot product against the input vector, FIRST
+  * index on exact ties — the codegen'd replacement for
+  * `array_position(array(dots…), array_max(array(dots…))) - 1` over
+  * per-plane interpreted HOF aggregates (which evaluated nCentroids × dim
+  * boxed lambdas per row, and the plan duplicated the whole dots array
+  * into the argmax terms — 10 s of a 2k-row k-means iteration loop).
+  * Bit-equivalent by construction: elements accumulate in ascending index
+  * order (the zip_with/aggregate fold order, so every partial sum is the
+  * identical double) and the winner is tracked with `Double.compare`
+  * (the same total order `array_max`/`array_position` use).
+  */
+case class DotsArgmax(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.nonEmpty, "DotsArgmax: at least one plane")
+  require(planes.forall(_.length == planes(0).length),
+    "dots_argmax: all planes must share one dimension")
+
+  private def dim: Int = planes(0).length
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "dots_argmax"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: DecimalType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName does not support decimal arrays — cast to array<double> first")
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric array argument, got ${other.catalogString}")
+  }
+
+  private def elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  private def getD(arr: ArrayData, i: Int): Double = elem match {
+    case FloatType   => arr.getFloat(i).toDouble
+    case DoubleType  => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType    => arr.getLong(i).toDouble
+    case ShortType   => arr.getShort(i).toDouble
+    case ByteType    => arr.getByte(i).toDouble
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) throw new IllegalArgumentException(
+      s"$prettyName: vector length ${arr.numElements()} != plane dimension $dim")
+    var best = Double.NegativeInfinity
+    var bestIdx = 0
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        if (!arr.isNullAt(i)) dot += getD(arr, i) * plane(i)
+        i += 1
+      }
+      if (java.lang.Double.compare(dot, best) > 0) { best = dot; bestIdx = p }
+      p += 1
+    }
+    bestIdx
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val plane = ctx.freshName("plane")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "dots_argmax: vector length " + $v.numElements() +
+         |    " != plane dimension " + $dim);
+         |}
+         |double $best = Double.NEGATIVE_INFINITY;
+         |int $bestIdx = 0;
+         |for (int $p = 0; $p < ${planes.length}; $p++) {
+         |  double[] $plane = $planesRef[$p];
+         |  double $dot = 0.0d;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    if (!$v.isNullAt($i)) {
+         |      $dot += ((double) ${CodeGenerator.getValue(v, elem, i)}) * $plane[$i];
+         |    }
+         |  }
+         |  if (java.lang.Double.compare($dot, $best) > 0) { $best = $dot; $bestIdx = $p; }
+         |}
+         |${ev.value} = $bestIdx;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Product-quantization encoder: for each of the `m` contiguous subspaces
   * of the input vector, the index (0-based) of the nearest codeword by
   * squared L2 distance, ties broken toward the LOWEST index — the rule an
@@ -690,6 +791,9 @@ object VectorExpressions {
                            bitsPerBand: Int): Column =
     GraftBridge.column(IntLshBandSignatures(
       GraftBridge.expression(vec), signs, bitsPerBand))
+
+  def dotsArgmax(vec: Column, planes: Array[Array[Double]]): Column =
+    GraftBridge.column(DotsArgmax(GraftBridge.expression(vec), planes))
 
   def signedIntDots(vec: Column, signs: Array[Array[Int]]): Column =
     GraftBridge.column(SignedIntDots(GraftBridge.expression(vec), signs))

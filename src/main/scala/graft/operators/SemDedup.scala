@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — semantic near-duplicate removal by cluster sharding (Abbas
+  * et al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+  * semantic deduplication", arXiv:2303.09540): cluster the embeddings with
+  * k-means, compare pairwise ONLY within a cluster, and drop all but one
+  * member of each semantic-duplicate group. The reference engine has no
+  * embedding surface (SURVEY §2 extension family).
+  *
+  * Complements [[Dedup.dedupCorpusByEmbedding]]: the LSH path prunes by
+  * RANDOM projections (recall tuned by bands — data-independent), SemDeDup
+  * prunes by the corpus's OWN cluster structure (the published trade:
+  * semantic duplicates concentrate inside cells, so within-cell all-pairs
+  * is tractable where corpus-wide all-pairs is not, and the cell count is
+  * the scale knob — the paper grows k with the corpus so cells stay
+  * roughly constant-sized).
+  *
+  * Scale shape: assignment is a map-side argmax over broadcast centroid
+  * literals (one corpus scan, no shuffle); the pair stage self-joins ON
+  * the cell id, so the shuffle is cell-keyed and the quadratic term is
+  * Σ|cell|² — guarded by `maxCellRows` exactly like the LSH bucket joins.
+  * Thresholding is the integer-exact rational-cosine contract of
+  * [[Similarity.annLshPortable]] (keep iff dot > 0 and den²·dot² ≥
+  * num²·‖a‖²·‖b‖² over int8-quantized vectors): no sqrt, no float
+  * comparison at the boundary, bit-reproducible cross-engine.
+  */
+object SemDedup {
+
+  /** Shared pair stage: `assigned` carries (id, qvec, cell). Self-join on
+    * cell, ordered pairs, integer-exact rational cosine threshold.
+    * Quantization is a positive per-row scaling, so the cosine of the
+    * quantized vectors tracks the raw cosine to int8 resolution — the
+    * same approximation every quantized operator in the repo makes.
+    */
+  private def pairsWithinCells(assigned: DataFrame, minCosNum: Int,
+                               minCosDen: Int, maxCellRows: Long,
+                               what: String): DataFrame = {
+    require(minCosDen > 0 && minCosNum >= 0 && minCosNum <= minCosDen,
+      s"$what: threshold must be a rational in [0,1], got $minCosNum/$minCosDen")
+    Guardrails.requireBoundedBuckets(assigned, Seq("cell"), maxCellRows, what,
+      "raise nCentroids (cells shrink as k grows) or exact-dedup identical " +
+        "vectors first")
+    // Bounds: |dot| ≤ 127²·dim, dot²·den² and na·nb·num² ≤ ~1e14 at
+    // dim=64, den ≤ 10 — exact in long with headroom.
+    // Norms are computed ONCE per vector and carried through the join
+    // (per-pair recomputation tripled the pair stage), and every dot is
+    // the codegen'd quantized_dot at scale=1 — exact on integral inputs
+    // (q(x) = x for integers), one tight generated loop per pair instead
+    // of an interpreted HOF.
+    val num2 = minCosNum.toLong * minCosNum
+    val den2 = minCosDen.toLong * minCosDen
+    val withN = assigned.withColumn("__nn",
+      Similarity.dotQuantized(col("qvec"), col("qvec"), scale = 1))
+    val a = withN.select(col("cell"), col("id").as("id_a"),
+      col("qvec").as("__qa"), col("__nn").as("__na"))
+    val b = withN.select(col("cell"), col("id").as("id_b"),
+      col("qvec").as("__qb"), col("__nn").as("__nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cell"),
+        Similarity.dotQuantized(col("__qa"), col("__qb"), scale = 1).as("__dot"),
+        col("__na"), col("__nb"))
+      .filter(col("__na") > 0 && col("__nb") > 0 && col("__dot") > 0 &&
+        col("__dot") * col("__dot") * den2 >= col("__na") * col("__nb") * num2)
+      .select("id_a", "id_b", "cell")
+  }
+
+  /** Within-cell semantic candidate pairs for an explicit centroid family
+    * — trained [[Similarity.kMeansCentroids]] in production (cells align
+    * with the corpus's clusters, the paper's design point), any
+    * deterministic family in tests. Assignment runs on the quantized
+    * vector: per-row positive scaling preserves the argmax, so the cell
+    * equals the raw vector's cell.
+    */
+  def candidates(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                 centroids: Array[Array[Double]],
+                 minCosNum: Int = 9, minCosDen: Int = 10,
+                 maxCellRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
+    val assigned = Similarity.quantizeEmbeddings(emb, idCol, vecCol)
+      .filter(size(col("qvec")) === dim)
+      .select(col("id"), col("qvec"),
+        Similarity.ivfAssignTo(col("qvec"), centroids).as("cell"))
+    pairsWithinCells(assigned, minCosNum, minCosDen, maxCellRows,
+      s"SemDedup.candidates(nCentroids=${centroids.length})")
+  }
+
+  /** End-to-end SemDeDup: train cells on the corpus, pair within cells,
+    * connected components, keep the min-id member of every semantic
+    * group (the [[Dedup.dedupCorpusByEmbedding]] survivor convention).
+    * Returns the surviving rows of `emb` unchanged.
+    */
+  def dedupSemantic(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    nCentroids: Int = 16, minCosNum: Int = 9,
+                    minCosDen: Int = 10, maxIter: Int = 8,
+                    maxCellRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
+    val cents = Similarity.kMeansCentroids(
+      emb.filter(size(col(vecCol)) === dim), vecCol, dim, nCentroids, maxIter)
+    val pairs = candidates(emb, idCol, vecCol, dim, cents, minCosNum,
+      minCosDen, maxCellRows)
+    val losers = Dedup.duplicateGroups(pairs.select("id_a", "id_b"))
+      .filter(col("id") =!= col("group_id"))
+      .select(col("id").as(idCol))
+    emb.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Oracle-portable twin: the md5-parity ±1 cell family of
+    * [[Similarity.ivfTopKPortable]] ("c<cell>:<i>" — SemDeDup shares the
+    * IVF twin's cell structure) with the integer-dot argmax assignment,
+    * then the same integer-exact pair stage — the ENTIRE cell-sharded
+    * candidate generation is DuckDB-replayable bit-for-bit. Production
+    * keeps trained cells; only the sharding family changes.
+    */
+  def candidatesPortable(emb: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, nCentroids: Int = 16,
+                         minCosNum: Int = 9, minCosDen: Int = 10,
+                         maxCellRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
+    val signMatrix = Array.tabulate(nCentroids)(c =>
+      Array.tabulate(dim)(i => Similarity.md5ParitySign(s"c$c:$i")))
+    val assigned = Similarity.quantizeEmbeddings(emb, idCol, vecCol)
+      .filter(size(col("qvec")) === dim)
+      .select(col("id"), col("qvec"),
+        graft.expressions.VectorExpressions.signedIntDots(
+          col("qvec"), signMatrix).as("__dots"))
+      .select(col("id"), col("qvec"),
+        (array_position(col("__dots"), array_max(col("__dots"))) - 1)
+          .cast("int").as("cell"))
+    pairsWithinCells(assigned, minCosNum, minCosDen, maxCellRows,
+      s"SemDedup.candidatesPortable(nCentroids=$nCentroids)")
+  }
+}

@@ -339,11 +339,16 @@ object Similarity {
   /** Nearest-centroid (max dot product) cell id for an explicit centroid
     * array — broadcast as plan literals, evaluated as a map-side argmax.
     */
-  def ivfAssignTo(vec: Column, centroids: Array[Array[Double]]): Column = {
-    // argmax: first index of the max score (0-based)
-    val arr = array(centroidScores(vec, centroids): _*)
-    (array_position(arr, array_max(arr)) - 1).cast("int")
-  }
+  def ivfAssignTo(vec: Column, centroids: Array[Array[Double]]): Column =
+    // Native codegen'd argmax (one tight double loop per row); identical
+    // summation order and Double.compare tie-breaks to the former
+    // `array_position(array(centroidScores…), array_max(…)) - 1` form, so
+    // no assignment can move — but nCentroids × dim interpreted HOF
+    // lambdas per row (× the plan duplicating the array into the argmax
+    // terms) become one generated loop. Probe-cell selection still uses
+    // [[centroidScores]] on the (single) query row, where the HOF cost is
+    // irrelevant and posexplode needs the full dots array.
+    graft.expressions.VectorExpressions.dotsArgmax(vec, centroids)
 
   /** IVF-style ANN top-k: corpus rows are assigned to their nearest of
     * `nCentroids` pseudo-centroids (deterministic hyperplane-derived unit

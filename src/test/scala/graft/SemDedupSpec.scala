@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{SemDedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup semantics: within-cell pairing equals the brute-force
+  * same-cell threshold relation, planted clusters collapse to one
+  * survivor each, and the portable twin is deterministic.
+  */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fix = Similarity.clusteredEmbeddings(spark, nClusters = 8,
+    perCluster = 6, dim = 16, noise = 0.03)
+
+  test("candidatesPortable equals brute-force same-cell rational-cosine pairs") {
+    val got = SemDedup.candidatesPortable(fix, "vec_id", "embedding",
+        dim = 16, nCentroids = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    // independent truth: quantize, assign by the same signed-dot argmax,
+    // then ALL-pairs (48 vectors) with the integer threshold
+    val q = Similarity.quantizeEmbeddings(fix, "vec_id", "embedding")
+      .select(col("id"), col("qvec").cast("array<long>")).as[(Long, Seq[Long])]
+      .collect().toMap
+    // same ±1 family as the operator (md5 first-nibble parity), recomputed
+    // independently here — the spec must not call the code under test
+    def paritySign(key: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      if (((d(0) >> 4) & 1) == 0) 1L else -1L
+    }
+    val signs = Array.tabulate(8)(c => Array.tabulate(16)(i =>
+      paritySign(s"c$c:$i")))
+    def cell(v: Seq[Long]): Int = {
+      val dots = signs.map(p => v.indices.map(i => p(i) * v(i)).sum)
+      dots.indexOf(dots.max)
+    }
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val want = (for {
+      (ia, va) <- q; (ib, vb) <- q
+      if ia < ib && cell(va) == cell(vb)
+      d = dot(va, vb); na = dot(va, va); nb = dot(vb, vb)
+      if na > 0 && nb > 0 && d > 0 && 100L * d * d >= 81L * na * nb
+    } yield (ia, ib, cell(va))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture produced no in-cell near-dup pairs")
+  }
+
+  test("dedupSemantic collapses planted clusters toward one survivor each") {
+    val emb = fix
+    val survivors = SemDedup.dedupSemantic(emb, "vec_id", "embedding",
+        dim = 16, nCentroids = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors.subsetOf(
+      emb.select("vec_id").as[Long].collect().toSet))
+    // 8 planted clusters of 6: most clusters collapse; allow boundary
+    // splits (a member quantized across the 0.9 line, or a cluster split
+    // across cells) but demand REAL dedup: at least half the corpus gone,
+    // at least one survivor per planted cluster
+    assert(survivors.size >= 8, s"over-merged: ${survivors.size} survivors")
+    assert(survivors.size <= 24, s"under-deduped: ${survivors.size} of 48")
+    val clustersLeft = survivors.map(_ / 6).size
+    assert(clustersLeft == 8, s"a whole planted cluster vanished: $survivors")
+  }
+
+  test("guardrail: a degenerate single-cell corpus fails loudly") {
+    // identical vectors all land in one cell; maxCellRows=3 must trip
+    val flat = Seq.tabulate(8)(i => (i.toLong, Seq.fill(16)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.candidatesPortable(flat, "vec_id", "embedding", dim = 16,
+        nCentroids = 4, maxCellRows = 3)
+    }
+    assert(e.getMessage.contains("nCentroids"), e.getMessage)
+  }
+}
