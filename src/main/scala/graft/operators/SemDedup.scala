@@ -95,9 +95,19 @@ object SemDedup {
   def dedupSemantic(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                     nCentroids: Int = 16, minCosNum: Int = 9,
                     minCosDen: Int = 10, maxIter: Int = 8,
-                    maxCellRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
-    val cents = Similarity.kMeansCentroids(
-      emb.filter(size(col(vecCol)) === dim), vecCol, dim, nCentroids, maxIter)
+                    maxCellRows: Long = Guardrails.DefaultMaxBucketRows,
+                    trainFraction: Double = 1.0): DataFrame = {
+    // trainFraction < 1 trains the cells on a deterministic md5-uniform
+    // sample (the FAISS practice — see kMeansCentroidsSampled): at 100 TB
+    // the k-means iterations scan the sample, and only the single
+    // assignment pass touches the full corpus.
+    val onDim = emb.filter(size(col(vecCol)) === dim)
+    val cents =
+      if (trainFraction >= 1.0)
+        Similarity.kMeansCentroids(onDim, vecCol, dim, nCentroids, maxIter)
+      else
+        Similarity.kMeansCentroidsSampled(onDim, idCol, vecCol, dim,
+          nCentroids, trainFraction, maxIter)
     val pairs = candidates(emb, idCol, vecCol, dim, cents, minCosNum,
       minCosDen, maxCellRows)
     val losers = Dedup.duplicateGroups(pairs.select("id_a", "id_b"))

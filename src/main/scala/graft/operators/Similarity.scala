@@ -407,6 +407,29 @@ object Similarity {
     centroids
   }
 
+  /** [[kMeansCentroids]] trained on a deterministic hash-sample of the
+    * corpus — the 100 TB practice (FAISS trains IVF/PQ structures on a
+    * sample; Lloyd's converges on the distribution, not the row count, so
+    * a ~1e5–1e6-row sample yields the same cells while each training
+    * iteration scans sampleFraction of the corpus instead of all of it).
+    * The sample is the md5-uniform prefix filter of
+    * [[graft.operators.Curation.sampleStratified]] (keep iff
+    * u(id) < fraction): deterministic, seed-free, growth-stable — the
+    * trained centroids are reproducible across runs and cluster sizes.
+    * Assignment of the FULL corpus still happens wherever the caller uses
+    * the returned centroids; only training is sampled.
+    */
+  def kMeansCentroidsSampled(emb: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, k: Int, sampleFraction: Double,
+                             maxIter: Int = 8, tol: Double = 1e-6): Array[Array[Double]] = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"kMeansCentroidsSampled: sampleFraction must be in (0,1], got $sampleFraction")
+    val threshold = math.round(sampleFraction * 4294967296.0) // 2^32
+    val pri = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    kMeansCentroids(emb.filter(pri < threshold), vecCol, dim, k, maxIter, tol)
+  }
+
   /** Deterministic planted-cluster embedding fixture: `nClusters` unit-norm
     * centers (splitmix64-derived, like [[hyperplane]]), `perCluster` points
     * each = center + uniform noise in ±`noise` — vec_id of cluster c, point

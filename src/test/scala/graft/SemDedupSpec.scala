@@ -64,6 +64,23 @@ class SemDedupSpec extends SparkSpec {
     assert(clustersLeft == 8, s"a whole planted cluster vanished: $survivors")
   }
 
+  test("sample-trained cells still collapse planted clusters") {
+    val emb = Similarity.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 16, dim = 16, noise = 0.03)
+    // train on ~half the corpus, assign + dedup the whole of it
+    val survivors = SemDedup.dedupSemantic(emb, "vec_id", "embedding",
+        dim = 16, nCentroids = 8, trainFraction = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors.size >= 8 && survivors.size <= 48,
+      s"sampled training broke collapse: ${survivors.size} of 128")
+    assert(survivors.map(_ / 16).size == 8, "a planted cluster vanished")
+    // deterministic: the md5 sample has no RNG
+    val again = SemDedup.dedupSemantic(emb, "vec_id", "embedding",
+        dim = 16, nCentroids = 8, trainFraction = 0.5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == survivors)
+  }
+
   test("guardrail: a degenerate single-cell corpus fails loudly") {
     // identical vectors all land in one cell; maxCellRows=3 must trip
     val flat = Seq.tabulate(8)(i => (i.toLong, Seq.fill(16)(1.0f)))
