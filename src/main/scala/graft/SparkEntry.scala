@@ -229,6 +229,7 @@ object SparkEntry {
       "q_sim_ann_portable", "q_sim_ivf_portable", "q_sim_pq_portable",
       "q_sim_ivfpq_portable", "q_sim_pq_gate",
       "q_dedup_semdedup_portable", "q_dedup_semdedup_gate",
+      "q_text_bpe_gate",
       // r9 (VERDICT r8 §next-4): these two feed the O(n²) maxId-bounded
       // Jaccard pair generator — oracle-replayable truth construction, not
       // an engine shape — so timing them benched the truth generator (6.85 s,
@@ -900,6 +901,31 @@ object SparkEntry {
           round(col("cross_entropy"), 6).as("cross_entropy"),
           round(col("perplexity"), 6).as("perplexity"))
         .orderBy("doc_id")),
+    // BPE tokenizer (r9): one corpus pass to word counts, driver-side
+    // merge loop over the vocab-scale table (guarded), native codegen'd
+    // encode. Per-doc counts are rows-only (the merge table is an
+    // engine-side artifact); the gate below pins the Σ self-consistency
+    // invariant (encode(train corpus) = initial symbols − Σ applied
+    // merges — exact, not approximate) with the initial-symbol total
+    // oracled against DuckDB.
+    "q_text_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = Bpe.trainBpe(docs, "text", numMerges = 20)
+      docs.select(col("doc_id"),
+          Bpe.bpeTokenCount(col("text"), merges).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+    "q_text_bpe_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = Bpe.trainBpe(docs, "text", numMerges = 20)
+      docs.agg(
+          sum(Bpe.initialTokenCount(col("text"))).as("n_init_tokens"),
+          sum(Bpe.bpeTokenCount(col("text"), merges)).as("__after"))
+        .select(col("n_init_tokens"),
+          (col("n_init_tokens") ===
+            col("__after") + lit(merges.map(_.appliedCount).sum)).as("consistency_ok"),
+          lit(merges.length >= 10).as("trained_ok"))
+    }),
     // Naive Bayes classifier (r9) — the GPT-3/CCNet quality-classifier
     // stage shape, self-trained here on the corpus's own lang labels and
     // replayed end-to-end in DuckDB (train counts, add-k log-likelihoods
@@ -2466,6 +2492,19 @@ object SparkEntry {
         |  round(exp(-(CAST(agg.s AS DOUBLE) / agg.nb)), 6) AS perplexity
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // BPE gate truth: the initial symbol total (chars + one </w> marker
+    // per word) is pure tokenization arithmetic DuckDB replays exactly;
+    // the consistency and trained booleans are engine-side (the
+    // q_sim_pq_gate pattern) — but consistency is an EXACT integer
+    // equality, not a threshold.
+    "q_text_bpe_gate" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '')) AS w
+        |  FROM documents)
+        |SELECT CAST(sum(len(w) + 1) AS BIGINT) AS n_init_tokens,
+        |  true AS consistency_ok, true AS trained_ok
+        |FROM tk""".stripMargin,
     // NB replay: token counts per label, add-k log-likelihood with the
     // same one-division arguments (exact in double), DECIMAL(38,18)
     // evidence sums, prior log-odds, row_number argmax with label-asc

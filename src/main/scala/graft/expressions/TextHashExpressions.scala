@@ -209,6 +209,71 @@ object TokenOps {
   }
 }
 
+/** BPE token counting under a trained merge list (see
+  * [[graft.operators.Bpe]]). The merge spec travels as one serialized
+  * string literal ("left\u0000right" pairs joined by \u0001 — symbols are
+  * word characters plus the "</w>" marker, so neither separator can occur
+  * in one); the parsed rank-ordered array is memoized per JVM so the
+  * per-row cost is the encode loop alone.
+  */
+object BpeOps {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[String]]]()
+
+  private def parse(spec: String): Array[Array[String]] =
+    cache.computeIfAbsent(spec, s =>
+      if (s.isEmpty) Array.empty
+      else s.split("\u0001", -1).map { p =>
+        val i = p.indexOf('\u0000')
+        Array(p.substring(0, i), p.substring(i + 1))
+      })
+
+  /** Total BPE token count of the lowercased whitespace words of `text`
+    * (the [[TokenOps.countIn]] tokenization), each encoded by applying
+    * the merges in rank order, leftmost-first within the word — the exact
+    * trainer semantics of [[graft.operators.Bpe.applyMerge]].
+    */
+  def count(text: UTF8String, spec: UTF8String): java.lang.Long = {
+    val ms = parse(spec.toString)
+    val toks = text.toLowerCase.toString.split("\\s+")
+    var total = 0L
+    var w = 0
+    while (w < toks.length) {
+      if (toks(w).nonEmpty) total += encodedLength(toks(w), ms)
+      w += 1
+    }
+    total
+  }
+
+  private def encodedLength(word: String, ms: Array[Array[String]]): Int = {
+    val arr = new Array[String](word.length + 1)
+    var i = 0
+    while (i < word.length) { arr(i) = String.valueOf(word.charAt(i)); i += 1 }
+    arr(word.length) = "</w>"
+    var len = word.length + 1
+    var m = 0
+    while (m < ms.length) {
+      val l = ms(m)(0)
+      val r = ms(m)(1)
+      // greedy leftmost in-place compaction (j <= i always, so reads stay
+      // ahead of writes)
+      var rd = 0
+      var wr = 0
+      while (rd < len) {
+        if (rd + 1 < len && arr(rd) == l && arr(rd + 1) == r) {
+          arr(wr) = l + r; rd += 2
+        } else {
+          arr(wr) = arr(rd); rd += 1
+        }
+        wr += 1
+      }
+      len = wr
+      m += 1
+    }
+    len
+  }
+}
+
 object TextHashExpressions {
   /** `array<bigint>` of k MinHash values for `text`, or null below
     * `shingleN` tokens. One static call per row inside codegen.
@@ -288,4 +353,17 @@ object TextHashExpressions {
       inputTypes = Seq(StringType, StringType),
       propagateNull = true,
       returnNullable = true))
+
+  /** BPE token count under a rank-ordered merge list (see [[BpeOps]]). */
+  def bpeTokenCount(text: Column, merges: Array[Array[String]]): Column = {
+    val spec = merges.map(p => p(0) + "\u0000" + p(1)).mkString("\u0001")
+    GraftBridge.column(StaticInvoke(
+      BpeOps.getClass,
+      LongType,
+      "count",
+      Seq(GraftBridge.expression(text), Literal(UTF8String.fromString(spec), StringType)),
+      inputTypes = Seq(StringType, StringType),
+      propagateNull = true,
+      returnNullable = true))
+  }
 }
