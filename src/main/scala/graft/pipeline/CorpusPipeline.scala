@@ -91,6 +91,23 @@ object CorpusPipeline {
                                    lm: Option[DataFrame] = None,
                                    addK: Double = 0.5) extends Step
 
+  /** Keep docs a self-trained Naive Bayes classifier assigns to
+    * `keepLabel` ([[graft.operators.Classifier.filterByClassifier]]) —
+    * the GPT-3-style quality-classifier filter: `labelCol` carries the
+    * seed labels (quality tier, source class) the filter learns from.
+    */
+  final case class ClassifierKeep(labelCol: String, keepLabel: String,
+                                  addK: Double = 0.5) extends Step
+
+  /** Semantic near-duplicate removal over an embedding column
+    * ([[graft.operators.SemDedup.dedupSemantic]]) — cluster-sharded
+    * SemDeDup; `trainFraction < 1` trains cells on a hash sample.
+    */
+  final case class SemDedupStep(vecCol: String, dim: Int,
+                                nCentroids: Int = 16, minCosNum: Int = 9,
+                                minCosDen: Int = 10,
+                                trainFraction: Double = 1.0) extends Step
+
   /** Resample toward per-group weights at a row budget
     * ([[graft.operators.Curation.mixtureSample]]).
     */
@@ -154,6 +171,12 @@ object CorpusPipeline {
           // map back before the id-only semi join.
           d.join(scored.filter(col("perplexity") <= maxPpl)
             .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+        case ClassifierKeep(labelCol, keepLabel, addK) =>
+          graft.operators.Classifier.filterByClassifier(d, idCol, labelCol,
+            textCol, keepLabel, addK)
+        case SemDedupStep(vecCol, dim, nCentroids, num, den, trainFrac) =>
+          graft.operators.SemDedup.dedupSemantic(d, idCol, vecCol, dim,
+            nCentroids, num, den, trainFraction = trainFrac)
         case MixRows(groupCol, weights, targetRows) =>
           graft.operators.Curation
             .mixtureSample(d, groupCol, idCol, weights, targetRows)

@@ -68,6 +68,30 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.forall(_._2 == "a"))
   }
 
+  test("ClassifierKeep step keeps the NB-predicted class; schema preserved") {
+    val corpus = Seq(
+      (1L, "x x x", "good"), (2L, "x x z", "good"),
+      (3L, "y y y", "bad"), (4L, "y y x", "bad"),
+      (5L, "y y y y", "good")) // labeled good, reads bad -> dropped
+      .toDF("doc_id", "text", "tier")
+    val out = CorpusPipeline.run(corpus, "doc_id", "text", Seq(
+        ClassifierKeep("tier", keepLabel = "good")))
+    assert(out.columns.toSeq == corpus.columns.toSeq)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(1L) && ids.contains(2L) && !ids.contains(5L), ids)
+  }
+
+  test("SemDedupStep collapses embedding near-dups inside a recipe") {
+    val emb = graft.operators.Similarity.clusteredEmbeddings(spark,
+        nClusters = 6, perCluster = 6, dim = 16, noise = 0.03)
+      .withColumn("text", concat(lit("doc "), col("vec_id")))
+    val out = CorpusPipeline.run(emb, "vec_id", "text", Seq(
+        SemDedupStep("embedding", dim = 16, nCentroids = 6)))
+    assert(out.columns.toSeq == emb.columns.toSeq)
+    val n = out.count()
+    assert(n >= 6 && n <= 18, s"$n of 36 survived")
+  }
+
   test("perplexity floor drops the surprising tail and unscorable docs") {
     // 10 docs of one repeated bigram loop (predictable under the
     // self-trained LM), one scrambled-vocabulary doc (surprising), one
