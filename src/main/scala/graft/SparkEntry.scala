@@ -566,6 +566,22 @@ object SparkEntry {
             graft.pipeline.CorpusPipeline.DedupSpansWithin(spanTokens = 2),
             graft.pipeline.CorpusPipeline.QualityFloor(minTokens = 5)))
         .select("doc_id", "text", "lang").orderBy("doc_id")),
+    // Per-step attrition audit (r9): runWithAudit answers "which step ate
+    // my corpus" as data — one row per stage with the surviving count.
+    // The recipe here has REAL attrition (rewrite → token floor dropping
+    // the short half → mixture toward en/es at a row budget), and every
+    // stage is individually-oracled arithmetic, so the oracle replays
+    // each prefix count exactly.
+    "q_pipeline_curate_audit" -> ((s, d) => {
+      val (_, audit) = graft.pipeline.CorpusPipeline.runWithAudit(
+        t(s, d, "documents").select("doc_id", "text", "lang"),
+        "doc_id", "text", Seq(
+          graft.pipeline.CorpusPipeline.RedactPii,
+          graft.pipeline.CorpusPipeline.QualityFloor(minTokens = 60),
+          graft.pipeline.CorpusPipeline.MixRows("lang",
+            Map("en" -> 0.6, "es" -> 0.4), targetRows = 120)))
+      audit.orderBy("step_idx")
+    }),
     // Sharded training export round trip: write the corpus as bounded
     // shard=<k>/ dirs in the seeded shuffle order, read BACK from the
     // filesystem, and emit per-shard stats the oracle re-derives from the
@@ -2019,6 +2035,39 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // Composes the redact chain, the spans-within dedup, and the token
     // floor in one SQL pipeline — same step order as the recipe.
+    // Prefix counts of the audit recipe: redaction is a rewrite (count
+    // unchanged), the floor counts tokens of the REDACTED text, and the
+    // mixture replays the q_cur_mixture_sample fraction arithmetic over
+    // the floor's survivors.
+    "q_pipeline_curate_audit" ->
+      """WITH red AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '(?i:https?)://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text
+        |  FROM documents),
+        |flo AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS pri
+        |  FROM red
+        |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) >= 60),
+        |c AS (SELECT lang, count(*) AS n FROM flo
+        |      WHERE lang IN ('en', 'es') GROUP BY 1),
+        |mix AS (
+        |  SELECT flo.doc_id FROM flo JOIN c USING (lang)
+        |  WHERE pri < round(least(1.0,
+        |      120.0 * CASE flo.lang WHEN 'en' THEN 0.6 ELSE 0.4 END
+        |        / (0.6 + 0.4) / c.n) * 4294967296.0))
+        |SELECT * FROM (VALUES
+        |  (0, 'input', (SELECT count(*) FROM documents)),
+        |  (1, 'RedactPii', (SELECT count(*) FROM red)),
+        |  (2, 'QualityFloor', (SELECT count(*) FROM flo)),
+        |  (3, 'MixRows', (SELECT count(*) FROM mix))) AS a(step_idx, step, n_rows)
+        |ORDER BY step_idx""".stripMargin,
     "q_pipeline_curate_recipe" ->
       """WITH red AS (
         |  SELECT doc_id, lang,

@@ -132,6 +132,32 @@ object CorpusPipeline {
       Seq(idCol))
   }
 
+  /** Human-readable step label for audits: case-class/object name. */
+  private def label(step: Step): String =
+    step.getClass.getSimpleName.stripSuffix("$")
+
+  /** [[run]] plus a per-step ATTRITION AUDIT: one row per stage —
+    * `(step_idx, step, n_rows)`, step 0 being the input — the first
+    * question anyone debugging a curation pipeline asks ("which step ate
+    * my corpus?") answered as data. Each stage's count is an action over
+    * the recomputed prefix plan (the audit is a debugging/reporting tool,
+    * not the hot path — [[run]] stays one lazy plan; persisting every
+    * intermediate at 100 TB would cost more than re-running the
+    * scan-bound prefixes, and the audit is typically run at a sampled
+    * scale anyway). The audit frame itself is driver-built and
+    * steps+1-rows small.
+    */
+  def runWithAudit(df: DataFrame, idCol: String, textCol: String,
+                   steps: Seq[Step]): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stages = steps.scanLeft(df)((d, s) => run(d, idCol, textCol, Seq(s)))
+    val audit = stages.zipWithIndex.map { case (d, i) =>
+      (i, if (i == 0) "input" else label(steps(i - 1)), d.count())
+    }.toDF("step_idx", "step", "n_rows")
+    (stages.last, audit)
+  }
+
   /** Interpret `steps` left-to-right over `df`. */
   def run(df: DataFrame, idCol: String, textCol: String,
           steps: Seq[Step]): DataFrame =

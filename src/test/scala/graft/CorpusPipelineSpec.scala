@@ -68,6 +68,20 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.forall(_._2 == "a"))
   }
 
+  test("runWithAudit reports per-step attrition and matches run()'s output") {
+    val corpus = ((1L to 30L).map(i => (i, "w " * 20 + "end")) ++
+      (31L to 40L).map(i => (i, "short doc"))).toDF("doc_id", "text")
+    val steps = Seq(QualityFloor(minTokens = 10))
+    val (out, audit) = CorpusPipeline.runWithAudit(corpus, "doc_id", "text", steps)
+    val rows = audit.orderBy("step_idx")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(rows == Seq((0, "input", 40L), (1, "QualityFloor", 30L)), rows)
+    // the audited run's final frame IS run()'s result
+    val direct = CorpusPipeline.run(corpus, "doc_id", "text", steps)
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      direct.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("ClassifierKeep step keeps the NB-predicted class; schema preserved") {
     val corpus = Seq(
       (1L, "x x x", "good"), (2L, "x x z", "good"),
