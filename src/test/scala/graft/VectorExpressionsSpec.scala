@@ -88,6 +88,39 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("dotsArgmax is bit-equivalent to the HOF argmax it replaced (200 random vectors)") {
+    // the r9 swap in Similarity.ivfAssignTo rests on this equivalence:
+    // ascending-index double summation + Double.compare ties must equal
+    // array_position(array(HOF dots), array_max(...)) - 1 on every input
+    val rnd = new scala.util.Random(7)
+    val planes = Array.tabulate(8)(p =>
+      Array.tabulate(16)(_ => rnd.nextDouble() * 2 - 1))
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.tabulate(16)(_ => (rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = rows.toDF("id", "v")
+    def hofArgmax = {
+      val dots = planes.toIndexedSeq.map { plane =>
+        val planeCol = array(plane.toIndexedSeq.map(lit): _*)
+        aggregate(zip_with(col("v"), planeCol, (x, h) => x.cast("double") * h),
+          lit(0.0), (acc, d) => acc + d)
+      }
+      val arr = array(dots: _*)
+      (array_position(arr, array_max(arr)) - 1).cast("int")
+    }
+    val mismatches = df.select(col("id"),
+        dotsArgmax(col("v"), planes).as("native"), hofArgmax.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0L)
+    // quantized int input path too (the SemDedup/IVF assignment shape)
+    val qdf = rows.toDF("id", "v")
+      .select(col("id"), transform(col("v"),
+        x => floor(x.cast("double") * 127 + 0.5).cast("int")).as("v"))
+    val qm = qdf.select(col("id"),
+        dotsArgmax(col("v"), planes).as("native"), hofArgmax.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(qm == 0L)
+  }
+
   test("expressions run inside whole-stage codegen (no interpreted fallback)") {
     // non-foldable input (range), else the optimizer folds everything locally
     val df = spark.range(1, 2)
