@@ -67,14 +67,21 @@ object Bench {
       // growing monotonically mid-query on a loaded sandbox, flat locally;
       // VERDICT r8 §next-6). A median of 5 keeps one contended stretch
       // from owning the reported value; the CPU-bound codecs and the
-      // index-building ANN probes are the rows that showed it.
-      val nRuns =
-        if ("^q_(mm_|sim_iv)".r.findFirstIn(name).isDefined) runs + 2 else runs
+      // index-building ANN probes are the rows that showed it. r9 showed
+      // the same signature on ^q_dedup (q_dedup_groups 3.60→5.27→5.11 s
+      // driver, flat 0.86 s locally; VERDICT r9 §next-2), so that family
+      // joins the list — AND the trigger is now also data-driven: any
+      // query whose base runs spread by more than 2× (max/min over
+      // successful runs) earns the 2 extra runs, so a family that first
+      // shows contention in round N+1 doesn't need a round-N+2 regex edit.
+      val familyRuns =
+        if ("^q_(mm_|sim_iv|dedup)".r.findFirstIn(name).isDefined) runs + 2
+        else runs
       val warmT0 = System.nanoTime()
       val warm =
         try { fn(spark, sfDir).count(); (System.nanoTime() - warmT0) / 1e9 }
         catch { case e: Throwable => recordError(e); Double.NaN }
-      val times = (1 to nRuns).map { r =>
+      def timedRun(r: Int): Double = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -90,6 +97,14 @@ object Bench {
           Double.NaN
         }
       }
+      val baseTimes = (1 to familyRuns).map(timedRun)
+      val okBase = baseTimes.filterNot(_.isNaN)
+      val spreadContended = okBase.nonEmpty && okBase.min > 0 &&
+        okBase.max / okBase.min > 2.0
+      val nRuns =
+        if (spreadContended && familyRuns == runs) runs + 2 else familyRuns
+      val times = baseTimes ++
+        ((familyRuns + 1) to nRuns).map(timedRun)
       // Median over SUCCESSFUL runs only: indexing the full (NaN-padded)
       // vector shifts the reported value toward the max success whenever any
       // run fails. A query still reports -1 when half or more runs failed.

@@ -236,7 +236,19 @@ object SparkEntry {
       // the most expensive r8 row). They stay oracled here; the BENCHED
       // split-family row is q_cur_split_noleak_prod, which runs the
       // production LSH pair source end-to-end.
-      "q_cur_split_leakage", "q_cur_split_by_cluster")
+      "q_cur_split_leakage", "q_cur_split_by_cluster",
+      // r10 (VERDICT r9 §next-1): the same ruling's last two violators.
+      // Both feed ngramJaccardPairs(maxId=120) — the bounded cartesian
+      // truth generator — so their wall time was half truth construction
+      // (q_dedup_groups was the top r9 driver row at 5.1 s). They stay
+      // hash-green here; the BENCHED components-on-production-edges shape
+      // is q_cur_split_noleak_prod (LSH candidates → one shared components
+      // pass) and q_dedup_keepbest (LSH candidates → survivor window).
+      "q_dedup_ngram_jaccard", "q_dedup_groups",
+      // r10: gate rows for the BPE id-sequence and pack-by-BPE surfaces —
+      // exact-integer conservation checks (truth re-derivation, not engine
+      // shapes), same ruling as q_text_bpe_gate.
+      "q_text_bpe_ids_gate", "q_cur_pack_bpe_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -942,6 +954,45 @@ object SparkEntry {
             col("__after") + lit(merges.map(_.appliedCount).sum)).as("consistency_ok"),
           lit(merges.length >= 10).as("trained_ok"))
     }),
+    // BPE id sequences (r10, VERDICT r9 §next-3): the tokenizer stage a
+    // trainer actually consumes — vocab-indexed array<int> per document
+    // from the codegen'd native encode. Rows-only (ids are engine-side
+    // model artifacts); the _gate below ties the sequences to the DuckDB
+    // oracle through three EXACT integer invariants.
+    "q_text_bpe_ids" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = Bpe.trainBpeModel(docs, "text", numMerges = 20)
+      docs.select(col("doc_id"),
+          Bpe.bpeEncodeIds(col("text"), vocab).as("ids"))
+        .orderBy("doc_id")
+    }),
+    // Gate (verify-only): (1) per-doc size(ids) == bpeTokenCount — the
+    // sequence and count natives agree on EVERY document; (2) base-length
+    // conservation — each id spans a known number of initial symbols, and
+    // the weighted sum over all emitted ids must rebuild the oracled
+    // initial-symbol total exactly (encoding is a partition of the initial
+    // sequence); (3) every id >= 0 on the training corpus (no token can be
+    // out-of-vocabulary for the corpus that trained it).
+    "q_text_bpe_ids_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = Bpe.trainBpeModel(docs, "text", numMerges = 20)
+      val blLit = typedlit(vocab.baseLengths.toSeq)
+      docs.select(
+          Bpe.bpeEncodeIds(col("text"), vocab).as("ids"),
+          Bpe.bpeTokenCount(col("text"), vocab.merges).as("__cnt"),
+          Bpe.initialTokenCount(col("text")).as("__init"))
+        .agg(
+          sum(col("__init")).as("n_init_tokens"),
+          sum(when(size(col("ids")).cast("long") === col("__cnt"), lit(0))
+            .otherwise(lit(1))).as("__len_mismatch"),
+          sum(aggregate(transform(col("ids"), i => element_at(blLit, i + 1)),
+            lit(0L), (a, v) => a + v)).as("__span"),
+          min(coalesce(array_min(col("ids")), lit(0))).as("__min_id"))
+        .select(col("n_init_tokens"),
+          (col("__len_mismatch") === 0).as("ids_len_ok"),
+          (col("__span") === col("n_init_tokens")).as("conservation_ok"),
+          (col("__min_id") >= 0).as("ids_known_ok"))
+    }),
     // Naive Bayes classifier (r9) — the GPT-3/CCNet quality-classifier
     // stage shape, self-trained here on the corpus's own lang labels and
     // replayed end-to-end in DuckDB (train counts, add-k log-likelihoods
@@ -1100,6 +1151,48 @@ object SparkEntry {
     "q_cur_pack_sequences" -> ((s, d) =>
       Curation.packSequences(t(s, d, "documents"), "doc_id", "text",
         budgetTokens = 2048).orderBy("doc_id")),
+    // Pack by BPE tokens (r10, VERDICT r9 §next-3): the budget a trainer
+    // cares about is denominated in TOKENIZER tokens — train the vocab,
+    // count via the codegen'd native, pack with the same two-pass
+    // distributed prefix sum. Rows-only (counts depend on the engine-side
+    // merge table); the _gate below replays the prefix sum through an
+    // independent implementation and ties the total to the oracle.
+    "q_cur_pack_bpe" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = Bpe.trainBpe(docs, "text", numMerges = 20)
+      Curation.packSequencesByCount(docs, "doc_id",
+          Bpe.bpeTokenCount(col("text"), merges), budgetTokens = 2048)
+        .orderBy("doc_id")
+    }),
+    // Gate (verify-only): (1) the distributed two-pass prefix sum must
+    // equal a plain single-partition Window running sum on every row — a
+    // genuine cross-implementation replay, not self-consistency; (2) the
+    // packed total must equal the ORACLED initial-symbol total minus the
+    // trainer's applied-merge total (exact integers end-to-end).
+    "q_cur_pack_bpe_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = Bpe.trainBpe(docs, "text", numMerges = 20)
+      val cnt = Bpe.bpeTokenCount(col("text"), merges)
+      val packed = Curation.packSequencesByCount(docs, "doc_id", cnt,
+        budgetTokens = 2048)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val replay = docs.select(col("doc_id"), cnt.as("__n"),
+          Bpe.initialTokenCount(col("text")).as("__init"))
+        .withColumn("__cum", coalesce(sum(col("__n")).over(w), lit(0L)))
+      packed.join(replay, Seq("doc_id"))
+        .agg(
+          sum(col("__init")).as("n_init_tokens"),
+          sum(when(col("pack_id") === expr("__cum div 2048L") &&
+              col("pack_offset") === col("__cum") % 2048L, lit(0))
+            .otherwise(lit(1))).as("__mismatch"),
+          sum(col("n_tok")).as("__total"))
+        .select(col("n_init_tokens"),
+          (col("__mismatch") === 0).as("pack_replay_ok"),
+          (col("__total") ===
+            col("n_init_tokens") - lit(merges.map(_.appliedCount).sum))
+            .as("total_ok"))
+    }),
     "q_cur_cap_per_group" -> ((s, d) =>
       Curation.capPerGroup(t(s, d, "documents"), "lang", "doc_id", cap = 80)
         .select("doc_id", "lang").orderBy("doc_id")),
@@ -2553,6 +2646,26 @@ object SparkEntry {
         |  FROM documents)
         |SELECT CAST(sum(len(w) + 1) AS BIGINT) AS n_init_tokens,
         |  true AS consistency_ok, true AS trained_ok
+        |FROM tk""".stripMargin,
+    // Same initial-symbol truth; the three id-sequence invariants are
+    // engine-side exact-integer equalities the oracle pins true.
+    "q_text_bpe_ids_gate" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '')) AS w
+        |  FROM documents)
+        |SELECT CAST(sum(len(w) + 1) AS BIGINT) AS n_init_tokens,
+        |  true AS ids_len_ok, true AS conservation_ok, true AS ids_known_ok
+        |FROM tk""".stripMargin,
+    // Initial-symbol truth again; the window-replay and applied-total
+    // equalities are engine-side exact integers pinned true.
+    "q_cur_pack_bpe_gate" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '')) AS w
+        |  FROM documents)
+        |SELECT CAST(sum(len(w) + 1) AS BIGINT) AS n_init_tokens,
+        |  true AS pack_replay_ok, true AS total_ok
         |FROM tk""".stripMargin,
     // NB replay: token counts per label, add-k log-likelihood with the
     // same one-division arguments (exact in double), DECIMAL(38,18)

@@ -48,9 +48,15 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     // Second copy at a repo path the driver's end-of-round commit sweeps up
-    // (outDir lives in the driver sandbox and vanishes with it).
-    Files.writeString(Paths.get(
+    // (outDir lives in the driver sandbox and vanishes with it). Best-effort:
+    // this copy is purely diagnostic, and on a machine without that
+    // directory an unguarded write would kill Verify AFTER every query ran
+    // (ADVICE r9) — the primary record above already landed in outDir.
+    try Files.writeString(Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_ERRORS", "/root/repo/verify_errors.json")), errJson)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] secondary verify_errors.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -209,24 +209,76 @@ object TokenOps {
   }
 }
 
-/** BPE token counting under a trained merge list (see
-  * [[graft.operators.Bpe]]). The merge spec travels as one serialized
-  * string literal ("left\u0000right" pairs joined by \u0001 — symbols are
-  * word characters plus the "</w>" marker, so neither separator can occur
-  * in one); the parsed rank-ordered array is memoized per JVM so the
-  * per-row cost is the encode loop alone.
+/** BPE token counting and id-sequence encoding under a trained model (see
+  * [[graft.operators.Bpe]]). The model travels as one serialized string
+  * literal in LENGTH-PREFIXED framing — each symbol is written as
+  * "len:chars", each merge pair as "llen,rlen:leftright" — NOT sentinel
+  * separators: trainer symbols come from whitespace-split corpus words,
+  * which can legally contain C0 control characters (they are not \s), so
+  * the old NUL/SOH-delimited spec could mis-parse on such a corpus and
+  * silently change token counts (ADVICE r9). Framing is self-delimiting:
+  * no character of any symbol is ever read as structure. The parsed model
+  * is memoized per JVM so the per-row cost is the encode loop alone.
   */
 object BpeOps {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[String]]]()
+  private val idCache =
+    new java.util.concurrent.ConcurrentHashMap[String, IdModel]()
+
+  /** Parsed encode model: base-symbol → id map plus rank-ordered merges
+    * (left, right); merge rank r mints id baseCount + r at apply time.
+    */
+  final class IdModel(val baseIds: java.util.HashMap[String, Integer],
+                      val merges: Array[Array[String]]) {
+    val baseCount: Int = baseIds.size
+  }
+
+  private[graft] def encodeSymbol(s: String): String = s"${s.length}:$s"
+  private[graft] def encodePair(l: String, r: String): String =
+    s"${l.length},${r.length}:$l$r"
+
+  /** Parse a "ll,rl:leftright" record stream starting at `from`. */
+  private def parsePairs(s: String, from: Int): Array[Array[String]] = {
+    val out = Array.newBuilder[Array[String]]
+    var i = from
+    while (i < s.length) {
+      val comma = s.indexOf(',', i)
+      val colon = s.indexOf(':', comma + 1)
+      val ll = s.substring(i, comma).toInt
+      val rl = s.substring(comma + 1, colon).toInt
+      out += Array(s.substring(colon + 1, colon + 1 + ll),
+        s.substring(colon + 1 + ll, colon + 1 + ll + rl))
+      i = colon + 1 + ll + rl
+    }
+    out.result()
+  }
 
   private def parse(spec: String): Array[Array[String]] =
     cache.computeIfAbsent(spec, s =>
-      if (s.isEmpty) Array.empty
-      else s.split("\u0001", -1).map { p =>
-        val i = p.indexOf('\u0000')
-        Array(p.substring(0, i), p.substring(i + 1))
-      })
+      if (s.isEmpty) Array.empty else parsePairs(s, 0))
+
+  /** Id-spec layout: `<baseCount>;<base syms as "len:sym"><merges as
+    * "ll,rl:leftright">` — base ids are positional (sorted order is the
+    * trainer's contract), duplicate base strings keep the first id.
+    */
+  private def parseIds(spec: String): IdModel =
+    idCache.computeIfAbsent(spec, s => {
+      val semi = s.indexOf(';')
+      val nBase = s.substring(0, semi).toInt
+      val baseIds = new java.util.HashMap[String, Integer]()
+      var i = semi + 1
+      var id = 0
+      while (id < nBase) {
+        val colon = s.indexOf(':', i)
+        val len = s.substring(i, colon).toInt
+        baseIds.putIfAbsent(s.substring(colon + 1, colon + 1 + len),
+          Integer.valueOf(id))
+        i = colon + 1 + len
+        id += 1
+      }
+      new IdModel(baseIds, parsePairs(s, i))
+    })
 
   /** Total BPE token count of the lowercased whitespace words of `text`
     * (the [[TokenOps.countIn]] tokenization), each encoded by applying
@@ -271,6 +323,67 @@ object BpeOps {
       m += 1
     }
     len
+  }
+
+  /** BPE token ID sequence of `text` under an id-spec (see [[parseIds]]):
+    * the [[count]] tokenization and greedy merge walk, but each token
+    * carries its vocab id — base symbols by spec position, merge outputs
+    * by `baseCount + rank` minted AT the merge step (same-string symbols
+    * from different merge routes keep distinct ids). Characters outside
+    * the base vocabulary emit -1 (the unknown sentinel) and, having no
+    * vocab identity, can never match a merge side by construction of the
+    * trainer. `size(result)` equals [[count]] for the same merges — the
+    * exact identity the gate pins.
+    */
+  def encodeIds(text: UTF8String, spec: UTF8String): ArrayData = {
+    val model = parseIds(spec.toString)
+    val ms = model.merges
+    val toks = text.toLowerCase.toString.split("\\s+")
+    val out = Array.newBuilder[Int]
+    var w = 0
+    while (w < toks.length) {
+      val word = toks(w)
+      if (word.nonEmpty) {
+        val syms = new Array[String](word.length + 1)
+        val ids = new Array[Int](word.length + 1)
+        var i = 0
+        while (i < word.length) {
+          syms(i) = String.valueOf(word.charAt(i))
+          val bid = model.baseIds.get(syms(i))
+          ids(i) = if (bid == null) -1 else bid.intValue()
+          i += 1
+        }
+        syms(word.length) = "</w>"
+        val eow = model.baseIds.get("</w>")
+        ids(word.length) = if (eow == null) -1 else eow.intValue()
+        var len = word.length + 1
+        var m = 0
+        while (m < ms.length) {
+          val l = ms(m)(0)
+          val r = ms(m)(1)
+          var rd = 0
+          var wr = 0
+          while (rd < len) {
+            if (rd + 1 < len && syms(rd) == l && syms(rd + 1) == r) {
+              syms(wr) = l + r
+              ids(wr) = model.baseCount + m
+              rd += 2
+            } else {
+              syms(wr) = syms(rd)
+              ids(wr) = ids(rd)
+              rd += 1
+            }
+            wr += 1
+          }
+          len = wr
+          m += 1
+        }
+        var k = 0
+        while (k < len) { out += ids(k); k += 1 }
+      }
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out.result())
   }
 }
 
@@ -356,11 +469,30 @@ object TextHashExpressions {
 
   /** BPE token count under a rank-ordered merge list (see [[BpeOps]]). */
   def bpeTokenCount(text: Column, merges: Array[Array[String]]): Column = {
-    val spec = merges.map(p => p(0) + "\u0000" + p(1)).mkString("\u0001")
+    val spec = merges.map(p => BpeOps.encodePair(p(0), p(1))).mkString
     GraftBridge.column(StaticInvoke(
       BpeOps.getClass,
       LongType,
       "count",
+      Seq(GraftBridge.expression(text), Literal(UTF8String.fromString(spec), StringType)),
+      inputTypes = Seq(StringType, StringType),
+      propagateNull = true,
+      returnNullable = true))
+  }
+
+  /** BPE token id sequence (`array<int>`) under a trained vocabulary:
+    * base symbols in id order plus rank-ordered merges (see
+    * [[BpeOps.encodeIds]]).
+    */
+  def bpeEncodeIds(text: Column, baseSymbols: Array[String],
+                   merges: Array[Array[String]]): Column = {
+    val spec = baseSymbols.length.toString + ";" +
+      baseSymbols.map(BpeOps.encodeSymbol).mkString +
+      merges.map(p => BpeOps.encodePair(p(0), p(1))).mkString
+    GraftBridge.column(StaticInvoke(
+      BpeOps.getClass,
+      ArrayType(IntegerType, containsNull = false),
+      "encodeIds",
       Seq(GraftBridge.expression(text), Literal(UTF8String.fromString(spec), StringType)),
       inputTypes = Seq(StringType, StringType),
       propagateNull = true,

@@ -50,7 +50,18 @@ object Classifier {
     */
   def trainNaiveBayes(docs: DataFrame, labelCol: String,
                       textCol: String): DataFrame = {
-    val labeled = docs.select(col(labelCol).cast("string").as("label"),
+    // NULL-label rejection, enforced (ADVICE r9: the doc promised it but
+    // nothing checked) — as a per-row raise_error INSIDE the label
+    // expression, not an eager isEmpty probe: the check rides the train
+    // scan map-side, costing zero extra passes at corpus scale, and fails
+    // fast with an actionable message instead of minting a silent NULL
+    // class (whose NULLS-first window tiebreak would also desync the
+    // DuckDB oracle's NULLS-last default).
+    val labelExpr = col(labelCol).cast("string")
+    val checked = when(labelExpr.isNull, raise_error(lit(
+      s"trainNaiveBayes: NULL label in '$labelCol' — coalesce labels to a " +
+        "sentinel class first (the capPerGroup convention)"))).otherwise(labelExpr)
+    val labeled = docs.select(checked.as("label"),
       col(textCol).as("__text"))
     val counts = labeled
       .select(col("label"), explode(toks(col("__text"))).as("token"))
@@ -138,6 +149,12 @@ object Classifier {
   def filterByClassifier(docs: DataFrame, idCol: String, labelCol: String,
                          textCol: String, keepLabel: String,
                          addK: Double = 0.5): DataFrame = {
+    // The persist is NOT unpersisted here: scoring reads the model from
+    // several subtrees of the ONE returned lazy plan, so releasing it
+    // before the caller's action would force |subtrees| recomputes of the
+    // train aggregate. The frame is vocabulary-scale (bounded, tiny vs the
+    // corpus) and the bench harness clears the catalog cache between
+    // queries — an accepted, documented residue (ADVICE r9).
     val model = trainNaiveBayes(docs, labelCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val preds = classifyNaiveBayes(docs, idCol, textCol, model, addK)

@@ -387,6 +387,12 @@ object ProductQuantization {
     val qRows = q.filter(col("id") === queryId)
       .select(col("qvec").cast("array<double>"), col("__dots"))
       .limit(1).collect()
+    // The collect above was the persist's last eager consumer; the returned
+    // plan scans the lineage exactly once, so releasing the cache here costs
+    // one recompute of a map-side projection (no shuffle) and stops the
+    // frame accumulating across the harness's repeated query executions
+    // (ADVICE r9 — annLshPortable's own unpersist convention).
+    q.unpersist(blocking = false)
     require(qRows.nonEmpty, s"ivfPqTopKPortable: query id $queryId not found")
     val qVec = qRows(0).getSeq[Double](0).toArray
     val qDots = qRows(0).getSeq[Long](1).toArray

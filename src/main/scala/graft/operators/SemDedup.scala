@@ -35,16 +35,27 @@ object SemDedup {
     * quantized vectors tracks the raw cosine to int8 resolution — the
     * same approximation every quantized operator in the repo makes.
     */
-  private def pairsWithinCells(assigned: DataFrame, minCosNum: Int,
+  private def pairsWithinCells(assigned: DataFrame, dim: Int, minCosNum: Int,
                                minCosDen: Int, maxCellRows: Long,
                                what: String): DataFrame = {
     require(minCosDen > 0 && minCosNum >= 0 && minCosNum <= minCosDen,
       s"$what: threshold must be a rational in [0,1], got $minCosNum/$minCosDen")
+    // Exact long-arithmetic bound (the annLshPortable contract): the filter
+    // computes dot²·den² and na·nb·num² with |dot|,na,nb ≤ 127²·dim, so
+    // (127²·dim)²·den² must fit in a long — checked exactly in BigInt, not
+    // assumed from a comment. dim=64/den=10 leaves ~2600× headroom;
+    // dim=2048/den=100 would silently wrap and emit WRONG pairs without
+    // this guard (ADVICE r9).
+    require(BigInt(minCosDen).pow(2) * BigInt(127L * 127 * dim).pow(2)
+        <= BigInt(Long.MaxValue),
+      s"$what: dim=$dim with denominator $minCosDen overflows the exact " +
+        "long cosine filter ((127^2*dim)^2*den^2 > Long.MaxValue) — reduce " +
+        "the threshold denominator or project to a smaller dim first")
     Guardrails.requireBoundedBuckets(assigned, Seq("cell"), maxCellRows, what,
       "raise nCentroids (cells shrink as k grows) or exact-dedup identical " +
         "vectors first")
     // Bounds: |dot| ≤ 127²·dim, dot²·den² and na·nb·num² ≤ ~1e14 at
-    // dim=64, den ≤ 10 — exact in long with headroom.
+    // dim=64, den ≤ 10 — exact in long with headroom (enforced above).
     // Norms are computed ONCE per vector and carried through the join
     // (per-pair recomputation tripled the pair stage), and every dot is
     // the codegen'd quantized_dot at scale=1 — exact on integral inputs
@@ -83,7 +94,7 @@ object SemDedup {
       .filter(size(col("qvec")) === dim)
       .select(col("id"), col("qvec"),
         Similarity.ivfAssignTo(col("qvec"), centroids).as("cell"))
-    pairsWithinCells(assigned, minCosNum, minCosDen, maxCellRows,
+    pairsWithinCells(assigned, dim, minCosNum, minCosDen, maxCellRows,
       s"SemDedup.candidates(nCentroids=${centroids.length})")
   }
 
@@ -137,7 +148,7 @@ object SemDedup {
       .select(col("id"), col("qvec"),
         (array_position(col("__dots"), array_max(col("__dots"))) - 1)
           .cast("int").as("cell"))
-    pairsWithinCells(assigned, minCosNum, minCosDen, maxCellRows,
+    pairsWithinCells(assigned, dim, minCosNum, minCosDen, maxCellRows,
       s"SemDedup.candidatesPortable(nCentroids=$nCentroids)")
   }
 }

@@ -83,4 +83,136 @@ class BpeSpec extends SparkSpec {
     val (syms, n) = Bpe.applyMerge(Bpe.baseSymbols("aaaa"), "a", "a")
     assert(syms == Vector("aa", "aa", "</w>") && n == 2, s"$syms/$n")
   }
+
+  /** The r9 full-recount trainer, kept verbatim as the reference the
+    * incremental rewrite must match merge-for-merge (VERDICT r9 §next-4).
+    */
+  private def trainBpeReference(docs: org.apache.spark.sql.DataFrame,
+                                textCol: String, numMerges: Int,
+                                minPairCount: Long): Seq[Bpe.Merge] = {
+    val wc = Bpe.wordCounts(docs, textCol)
+    var table: Array[(Vector[String], Long)] = wc.collect()
+      .map(r => (Bpe.baseSymbols(r.getString(0)), r.getLong(1)))
+    val merges = Seq.newBuilder[Bpe.Merge]
+    var rank = 0
+    var continue = true
+    while (rank < numMerges && continue) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      table.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((left, right), best) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (best < minPairCount) continue = false
+        else {
+          var applied = 0L
+          table = table.map { case (syms, cnt) =>
+            val (merged, k) = Bpe.applyMerge(syms, left, right)
+            applied += k * cnt
+            (merged, cnt)
+          }
+          merges += Bpe.Merge(rank, left, right, applied)
+          rank += 1
+        }
+      }
+    }
+    merges.result()
+  }
+
+  test("incremental trainer matches the full-recount reference merge-for-merge") {
+    // Fixture corpus (the real documents table) at 60 merges with
+    // minPairCount=1 — deep enough that a single bookkeeping slip in the
+    // incremental pair-count/index maintenance diverges the argmax order.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val inc = Bpe.trainBpe(docs, "text", numMerges = 60, minPairCount = 1)
+    val ref = trainBpeReference(docs, "text", numMerges = 60, minPairCount = 1)
+    assert(inc == ref,
+      s"diverged at rank ${inc.zip(ref).indexWhere { case (a, b) => a != b }}")
+    // And on the Sennrich vocabulary with early stop in play.
+    val inc2 = Bpe.trainBpe(sennrich, "text", numMerges = 50, minPairCount = 2)
+    val ref2 = trainBpeReference(sennrich, "text", numMerges = 50, minPairCount = 2)
+    assert(inc2 == ref2)
+  }
+
+  test("bpeEncodeIds: ids track merges; size equals bpeTokenCount; conservation") {
+    val vocab = Bpe.trainBpeModel(sennrich, "text", numMerges = 4)
+    // base symbols: sorted distinct initial symbols of the corpus
+    assert(vocab.baseSymbols == vocab.baseSymbols.sorted)
+    assert(vocab.baseSymbols.contains("</w>"))
+    val b = vocab.baseSymbols.length
+    // "lowest": l+o -> merge rank 3 (id b+3), w base, e+s+t+</w> ->
+    // est</w> via ranks 0,1,2 (final id b+2)
+    val ids = Seq((1L, "lowest")).toDF("doc_id", "text")
+      .select(Bpe.bpeEncodeIds(col("text"), vocab).as("ids"))
+      .as[Seq[Int]].head()
+    assert(ids == Seq(b + 3, vocab.baseSymbols.indexOf("w"), b + 2), ids)
+    // corpus-wide: size(ids) == bpeTokenCount on every doc, all ids known,
+    // and base-length conservation rebuilds the initial-symbol total
+    val blLit = typedlit(vocab.baseLengths.toSeq)
+    val row = sennrich.select(
+        Bpe.bpeEncodeIds(col("text"), vocab).as("ids"),
+        Bpe.bpeTokenCount(col("text"), vocab.merges).as("cnt"),
+        Bpe.initialTokenCount(col("text")).as("init"))
+      .agg(
+        sum(when(size(col("ids")).cast("long") === col("cnt"), 0).otherwise(1)),
+        min(array_min(col("ids"))),
+        sum(aggregate(transform(col("ids"), i => element_at(blLit, i + 1)),
+          lit(0L), (a, v) => a + v)),
+        sum(col("init")))
+      .as[(Long, Int, Long, Long)].head()
+    assert(row._1 == 0L, s"size/count mismatch rows: ${row._1}")
+    assert(row._2 >= 0, s"unknown id on training corpus: ${row._2}")
+    assert(row._3 == row._4, s"conservation: span=${row._3} init=${row._4}")
+  }
+
+  test("bpeEncodeIds: out-of-vocabulary characters emit -1") {
+    val vocab = Bpe.trainBpeModel(sennrich, "text", numMerges = 4)
+    val ids = Seq((1L, "loz")).toDF("doc_id", "text")
+      .select(Bpe.bpeEncodeIds(col("text"), vocab).as("ids"))
+      .as[Seq[Int]].head()
+    // l+o merged (rank 3), z unseen -> -1, </w> base id
+    val b = vocab.baseSymbols.length
+    assert(ids == Seq(b + 3, -1, vocab.baseSymbols.indexOf("</w>")), ids)
+  }
+
+  test("length-prefixed spec: control characters in symbols parse correctly") {
+    // A corpus whose words contain C0 control chars (legal: they are not
+    // \s) — the old sentinel-delimited spec mis-parsed these (ADVICE r9).
+    val nul = 0.toChar.toString; val soh = 1.toChar.toString
+    val w1 = s"a${soh}b"; val w2 = s"a${nul}c"
+    val weird = Seq((1L, s"$w1 $w1 $w2 $w2"),
+      (2L, s"$w1 $w2")).toDF("doc_id", "text")
+    val vocab = Bpe.trainBpeModel(weird, "text", numMerges = 6, minPairCount = 1)
+    val init = weird.agg(sum(Bpe.initialTokenCount(col("text"))))
+      .as[Long].head()
+    val after = weird.agg(sum(Bpe.bpeTokenCount(col("text"), vocab.merges)))
+      .as[Long].head()
+    assert(init == after + vocab.merges.map(_.appliedCount).sum,
+      s"init=$init after=$after")
+    val row = weird.select(
+        Bpe.bpeEncodeIds(col("text"), vocab).as("ids"),
+        Bpe.bpeTokenCount(col("text"), vocab.merges).as("cnt"))
+      .agg(sum(when(size(col("ids")).cast("long") === col("cnt"), 0).otherwise(1)),
+        min(array_min(col("ids"))))
+      .as[(Long, Int)].head()
+    assert(row._1 == 0L && row._2 >= 0, row)
+  }
+
+  test("vocabTable exposes (id, symbol, base_len) with exact spans") {
+    val vocab = Bpe.trainBpeModel(sennrich, "text", numMerges = 4)
+    val vt = Bpe.vocabTable(spark, vocab)
+    assert(vt.count() == vocab.vocabSize.toLong)
+    val b = vocab.baseSymbols.length
+    val spans = vt.filter(col("id") >= b).orderBy("id")
+      .select("symbol", "base_len").as[(String, Long)].collect().toSeq
+    // merges: es(2), est(3), est</w>(4), lo(2)
+    assert(spans == Seq(("es", 2L), ("est", 3L), ("est</w>", 4L), ("lo", 2L)),
+      spans)
+  }
 }
