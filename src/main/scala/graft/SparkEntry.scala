@@ -248,7 +248,12 @@ object SparkEntry {
       // r10: gate rows for the BPE id-sequence and pack-by-BPE surfaces —
       // exact-integer conservation checks (truth re-derivation, not engine
       // shapes), same ruling as q_text_bpe_gate.
-      "q_text_bpe_ids_gate", "q_cur_pack_bpe_gate")
+      "q_text_bpe_ids_gate", "q_cur_pack_bpe_gate",
+      // r10: runWithAudit is already benched (q_pipeline_curate_audit);
+      // this variant oracles the margin-classifier and tokenizer steps'
+      // counts, and its per-stage prefix recompute re-trains NB/BPE
+      // repeatedly — audit-tool cost, not a per-batch engine shape.
+      "q_pipeline_tokenize_audit")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -592,6 +597,41 @@ object SparkEntry {
           graft.pipeline.CorpusPipeline.QualityFloor(minTokens = 60),
           graft.pipeline.CorpusPipeline.MixRows("lang",
             Map("en" -> 0.6, "es" -> 0.4), targetRows = 120)))
+      audit.orderBy("step_idx")
+    }),
+    // Trainer-facing recipe (r10): token floor -> margin-thresholded
+    // quality classifier (the GPT-3 score-keep form, minMargin=1.0 —
+    // real attrition on this corpus: 225 floored docs -> 65 confident
+    // 'en') -> terminal BPE tokenization appending the id columns. The
+    // oracle replays floor + NB margin membership end-to-end in DuckDB;
+    // the emitted id/count pair is pinned mutually consistent here and
+    // bit-exactly by the q_text_bpe_ids_gate invariants.
+    "q_pipeline_tokenize_recipe" -> ((s, d) => {
+      val out = graft.pipeline.CorpusPipeline.run(
+        t(s, d, "documents").select("doc_id", "text", "lang"),
+        "doc_id", "text", Seq(
+          graft.pipeline.CorpusPipeline.QualityFloor(minTokens = 60),
+          graft.pipeline.CorpusPipeline.ClassifierKeep("lang", "en",
+            minMargin = 1.0),
+          graft.pipeline.CorpusPipeline.TokenizeBpe(numMerges = 20)))
+      out.select(col("doc_id"), col("lang"),
+          (size(col("token_ids")).cast("long") === col("n_bpe_tokens"))
+            .as("ids_consistent"))
+        .orderBy("doc_id")
+    }),
+    // Attrition audit over the same recipe (verify-only: the runWithAudit
+    // machinery is already BENCHED via q_pipeline_curate_audit; this
+    // variant exists to oracle the two new steps' counts, and its
+    // per-stage prefix recompute re-trains NB and BPE several times —
+    // audit-tool cost, not a per-batch engine shape).
+    "q_pipeline_tokenize_audit" -> ((s, d) => {
+      val (_, audit) = graft.pipeline.CorpusPipeline.runWithAudit(
+        t(s, d, "documents").select("doc_id", "text", "lang"),
+        "doc_id", "text", Seq(
+          graft.pipeline.CorpusPipeline.QualityFloor(minTokens = 60),
+          graft.pipeline.CorpusPipeline.ClassifierKeep("lang", "en",
+            minMargin = 1.0),
+          graft.pipeline.CorpusPipeline.TokenizeBpe(numMerges = 20)))
       audit.orderBy("step_idx")
     }),
     // Sharded training export round trip: write the corpus as bounded
@@ -1004,6 +1044,19 @@ object SparkEntry {
       val model = Classifier.trainNaiveBayes(docs, "lang", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Classifier.classifyNaiveBayes(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+    // NB with the log-odds margin surfaced (r10, VERDICT r9 §next-5): the
+    // best-vs-runner-up score gap as a round(·,6) double — the
+    // q_text_lm_perplexity float-portability contract (DECIMAL evidence
+    // sums, one ln per term, one subtraction) — so the quality filter can
+    // threshold on CONFIDENCE instead of hard argmax. Hash-checked
+    // end-to-end in DuckDB including the margin values.
+    "q_text_nb_margin" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = Classifier.trainNaiveBayes(docs, "lang", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Classifier.classifyNaiveBayesWithMargin(docs, "doc_id", "text", model)
         .orderBy("doc_id")
     }),
     // PII scrub over fixture-derived text with injected synthetic PII
@@ -2161,6 +2214,105 @@ object SparkEntry {
         |  (2, 'QualityFloor', (SELECT count(*) FROM flo)),
         |  (3, 'MixRows', (SELECT count(*) FROM mix))) AS a(step_idx, step, n_rows)
         |ORDER BY step_idx""".stripMargin,
+    // Floor + NB-margin membership replayed end-to-end (the
+    // q_text_nb_margin arithmetic trained on the FLOORED corpus — the
+    // recipe trains on the frame as curated so far), then the kept rows;
+    // the id/count consistency boolean is engine-side, pinned true.
+    "q_pipeline_tokenize_recipe" ->
+      """WITH docs AS (
+        |  SELECT * FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) >= 60),
+        |tkx AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM docs),
+        |m AS (SELECT lang AS label, token, count(*) AS cnt FROM tkx GROUP BY 1, 2),
+        |pr AS (SELECT lang AS label, count(*) AS dl FROM docs GROUP BY 1),
+        |ct AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS c FROM m GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS vs FROM m),
+        |d AS (SELECT CAST(sum(dl) AS BIGINT) AS ds FROM pr),
+        |db AS (SELECT doc_id, token, count(*) AS n FROM tkx GROUP BY 1, 2),
+        |dbv AS (SELECT * FROM db WHERE token IN (SELECT token FROM m)),
+        |ev AS (
+        |  SELECT dbv.doc_id, ct.label, CAST(sum(dbv.n) AS BIGINT) AS ns,
+        |    sum(CAST(dbv.n * ln((coalesce(m.cnt, 0) + 0.5) / (ct.c + 0.5 * v.vs))
+        |        AS DECIMAL(38,18))) AS s
+        |  FROM dbv CROSS JOIN ct
+        |  LEFT JOIN m ON m.label = ct.label AND m.token = dbv.token
+        |  CROSS JOIN v
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dd.doc_id, pr.label,
+        |    coalesce(CAST(ev.s AS DOUBLE), 0.0)
+        |      + ln(CAST(pr.dl AS DOUBLE) / CAST(d.ds AS DOUBLE)) AS score
+        |  FROM (SELECT doc_id FROM docs) dd CROSS JOIN pr
+        |  LEFT JOIN ev ON ev.doc_id = dd.doc_id AND ev.label = pr.label
+        |  CROSS JOIN d),
+        |top AS (
+        |  SELECT doc_id, label AS pred_label,
+        |    round(score - lead(score) OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, label ASC), 6) AS margin
+        |  FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, label ASC) = 1)
+        |SELECT docs.doc_id, docs.lang, true AS ids_consistent
+        |FROM docs JOIN top USING (doc_id)
+        |WHERE top.pred_label = 'en' AND top.margin >= 1.0
+        |ORDER BY doc_id""".stripMargin,
+    // Same membership CTEs; per-stage counts as VALUES (the
+    // q_pipeline_curate_audit pattern). TokenizeBpe appends columns, so
+    // its stage count equals the classifier stage's.
+    "q_pipeline_tokenize_audit" ->
+      """WITH docs AS (
+        |  SELECT * FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) >= 60),
+        |tkx AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM docs),
+        |m AS (SELECT lang AS label, token, count(*) AS cnt FROM tkx GROUP BY 1, 2),
+        |pr AS (SELECT lang AS label, count(*) AS dl FROM docs GROUP BY 1),
+        |ct AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS c FROM m GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS vs FROM m),
+        |d AS (SELECT CAST(sum(dl) AS BIGINT) AS ds FROM pr),
+        |db AS (SELECT doc_id, token, count(*) AS n FROM tkx GROUP BY 1, 2),
+        |dbv AS (SELECT * FROM db WHERE token IN (SELECT token FROM m)),
+        |ev AS (
+        |  SELECT dbv.doc_id, ct.label, CAST(sum(dbv.n) AS BIGINT) AS ns,
+        |    sum(CAST(dbv.n * ln((coalesce(m.cnt, 0) + 0.5) / (ct.c + 0.5 * v.vs))
+        |        AS DECIMAL(38,18))) AS s
+        |  FROM dbv CROSS JOIN ct
+        |  LEFT JOIN m ON m.label = ct.label AND m.token = dbv.token
+        |  CROSS JOIN v
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dd.doc_id, pr.label,
+        |    coalesce(CAST(ev.s AS DOUBLE), 0.0)
+        |      + ln(CAST(pr.dl AS DOUBLE) / CAST(d.ds AS DOUBLE)) AS score
+        |  FROM (SELECT doc_id FROM docs) dd CROSS JOIN pr
+        |  LEFT JOIN ev ON ev.doc_id = dd.doc_id AND ev.label = pr.label
+        |  CROSS JOIN d),
+        |top AS (
+        |  SELECT doc_id, label AS pred_label,
+        |    round(score - lead(score) OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, label ASC), 6) AS margin
+        |  FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, label ASC) = 1),
+        |kept AS (
+        |  SELECT doc_id FROM top
+        |  WHERE pred_label = 'en' AND margin >= 1.0)
+        |SELECT * FROM (VALUES
+        |  (0, 'input', (SELECT count(*) FROM documents)),
+        |  (1, 'QualityFloor', (SELECT count(*) FROM docs)),
+        |  (2, 'ClassifierKeep', (SELECT count(*) FROM kept)),
+        |  (3, 'TokenizeBpe', (SELECT count(*) FROM kept)))
+        |  AS a(step_idx, step, n_rows)
+        |ORDER BY step_idx""".stripMargin,
     "q_pipeline_curate_recipe" ->
       """WITH red AS (
         |  SELECT doc_id, lang,
@@ -2702,6 +2854,45 @@ object SparkEntry {
         |  LEFT JOIN ev ON ev.doc_id = dd.doc_id AND ev.label = pr.label
         |  CROSS JOIN d)
         |SELECT doc_id, label AS pred_label, CAST(ns AS BIGINT) AS n_scored
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, label ASC) = 1
+        |ORDER BY doc_id""".stripMargin,
+    // Same replay plus the margin: lead(score) over the identical
+    // (score desc, label asc) per-doc window, one double subtraction,
+    // round 6 — every term bit-identical to the Spark side.
+    "q_text_nb_margin" ->
+      """WITH tkx AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents),
+        |m AS (SELECT lang AS label, token, count(*) AS cnt FROM tkx GROUP BY 1, 2),
+        |pr AS (SELECT lang AS label, count(*) AS dl FROM documents GROUP BY 1),
+        |ct AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS c FROM m GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS vs FROM m),
+        |d AS (SELECT CAST(sum(dl) AS BIGINT) AS ds FROM pr),
+        |db AS (SELECT doc_id, token, count(*) AS n FROM tkx GROUP BY 1, 2),
+        |dbv AS (SELECT * FROM db WHERE token IN (SELECT token FROM m)),
+        |ev AS (
+        |  SELECT dbv.doc_id, ct.label, CAST(sum(dbv.n) AS BIGINT) AS ns,
+        |    sum(CAST(dbv.n * ln((coalesce(m.cnt, 0) + 0.5) / (ct.c + 0.5 * v.vs))
+        |        AS DECIMAL(38,18))) AS s
+        |  FROM dbv CROSS JOIN ct
+        |  LEFT JOIN m ON m.label = ct.label AND m.token = dbv.token
+        |  CROSS JOIN v
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dd.doc_id, pr.label,
+        |    coalesce(ev.ns, 0) AS ns,
+        |    coalesce(CAST(ev.s AS DOUBLE), 0.0)
+        |      + ln(CAST(pr.dl AS DOUBLE) / CAST(d.ds AS DOUBLE)) AS score
+        |  FROM (SELECT doc_id FROM documents) dd CROSS JOIN pr
+        |  LEFT JOIN ev ON ev.doc_id = dd.doc_id AND ev.label = pr.label
+        |  CROSS JOIN d)
+        |SELECT doc_id, label AS pred_label, CAST(ns AS BIGINT) AS n_scored,
+        |  round(score - lead(score) OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, label ASC), 6) AS margin
         |FROM sc
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |  ORDER BY score DESC, label ASC) = 1

@@ -91,6 +91,44 @@ object Classifier {
   def classifyNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
                          model: DataFrame, addK: Double = 0.5,
                          maxLabels: Int = 256): DataFrame = {
+    val scored = scoreFrame(docs, idCol, textCol, model, addK, maxLabels)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("__score").desc, col("label").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"),
+        col("__ns").as("n_scored"))
+  }
+
+  /** [[classifyNaiveBayes]] plus the decision MARGIN — the log-odds gap
+    * `score(best) − score(runner-up)` — as a portable column (VERDICT r9
+    * §missing-2: the GPT-3-style quality filter thresholds on the
+    * classifier score, not the hard argmax, so the margin must surface).
+    * Rendered `round(·, 6)` double, the [[LanguageModel]] perplexity
+    * portability contract: both terms are a DECIMAL(38,18) evidence sum
+    * cast to double plus one ln on exact-in-double arguments, so the
+    * subtraction replays bit-for-bit in DuckDB. NULL margin when the
+    * model has a single label (no runner-up to compare against).
+    */
+  def classifyNaiveBayesWithMargin(docs: DataFrame, idCol: String,
+                                   textCol: String, model: DataFrame,
+                                   addK: Double = 0.5,
+                                   maxLabels: Int = 256): DataFrame = {
+    val scored = scoreFrame(docs, idCol, textCol, model, addK, maxLabels)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("__score").desc, col("label").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .withColumn("__next", lead(col("__score"), 1).over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"),
+        col("__ns").as("n_scored"),
+        round(col("__score") - col("__next"), 6).as("margin"))
+  }
+
+  /** Per-(doc, label) log-posterior frame — the shared scoring core. */
+  private def scoreFrame(docs: DataFrame, idCol: String, textCol: String,
+                         model: DataFrame, addK: Double,
+                         maxLabels: Int): DataFrame = {
     require(addK > 0, s"classifyNaiveBayes: addK must be > 0, got $addK")
     val tokenRows = model.filter(col("token") =!= PriorKey)
     val priorRows = model.filter(col("token") === PriorKey)
@@ -125,30 +163,29 @@ object Classifier {
     val allPairs = docs.select(col(idCol).as("doc_id"))
       .join(broadcast(priorRows.select(col("label"), col("cnt").as("__dl"))))
       .join(broadcast(totalDocs))
-    val scored = allPairs
+    allPairs
       .join(evidence, Seq("doc_id", "label"), "left")
       .select(col("doc_id"), col("label"),
         coalesce(col("__ns"), lit(0L)).as("__ns"),
         (coalesce(col("__s").cast("double"), lit(0.0)) +
           ln(col("__dl").cast("double") / col("__d").cast("double")))
           .as("__score"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("__score").desc, col("label").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("label").as("pred_label"),
-        col("__ns").as("n_scored"))
   }
 
   /** Train-on-self + filter composition — the quality-filter shape: train
     * on the corpus's own labels (or a labeled seed), keep documents the
-    * classifier assigns to `keepLabel`. The model is pinned for the same
-    * reason as [[LanguageModel.perplexitySelf]]: scoring reads it from
-    * several subtrees, and the pinned frame is vocabulary-scale.
+    * classifier assigns to `keepLabel`. With `minMargin` set, keep only
+    * documents the classifier assigns CONFIDENTLY — log-odds margin ≥ the
+    * threshold — the tunable form the GPT-3-style quality filter needs
+    * (threshold 0 keeps every argmax win; higher is stricter). The model
+    * is pinned for the same reason as [[LanguageModel.perplexitySelf]]:
+    * scoring reads it from several subtrees, and the pinned frame is
+    * vocabulary-scale.
     */
   def filterByClassifier(docs: DataFrame, idCol: String, labelCol: String,
                          textCol: String, keepLabel: String,
-                         addK: Double = 0.5): DataFrame = {
+                         addK: Double = 0.5,
+                         minMargin: Double = Double.NegativeInfinity): DataFrame = {
     // The persist is NOT unpersisted here: scoring reads the model from
     // several subtrees of the ONE returned lazy plan, so releasing it
     // before the caller's action would force |subtrees| recomputes of the
@@ -157,9 +194,15 @@ object Classifier {
     // queries — an accepted, documented residue (ADVICE r9).
     val model = trainNaiveBayes(docs, labelCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val preds = classifyNaiveBayes(docs, idCol, textCol, model, addK)
-      .filter(col("pred_label") === keepLabel)
-      .select(col("doc_id").as(idCol))
+    val preds =
+      (if (minMargin == Double.NegativeInfinity)
+        classifyNaiveBayes(docs, idCol, textCol, model, addK)
+      else
+        classifyNaiveBayesWithMargin(docs, idCol, textCol, model, addK)
+          // NULL margin (single-label model) can't clear a real threshold
+          .filter(col("margin") >= minMargin))
+        .filter(col("pred_label") === keepLabel)
+        .select(col("doc_id").as(idCol))
     docs.join(preds, Seq(idCol), "left_semi")
   }
 }

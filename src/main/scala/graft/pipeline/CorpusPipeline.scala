@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * columns by id; row-dropping steps (dedup, filters, mixing) only
   * remove rows. So steps compose in any order and the output is always
   * "the input corpus, cleaned" — same columns, subset of rows, possibly
-  * rewritten text.
+  * rewritten text. The single exception is [[TokenizeBpe]], the terminal
+  * tokenizer stage, which APPENDS the token-id columns (its output is
+  * the trainer-facing corpus, not a further-curatable one).
   *
   * Scale: each step is one of this library's operators — the pipeline
   * adds NO driver-side loops and no materialization between steps; the
@@ -95,9 +97,27 @@ object CorpusPipeline {
     * `keepLabel` ([[graft.operators.Classifier.filterByClassifier]]) —
     * the GPT-3-style quality-classifier filter: `labelCol` carries the
     * seed labels (quality tier, source class) the filter learns from.
+    * `minMargin` additionally requires the log-odds margin to clear a
+    * confidence threshold (r10: the tunable score-keep form; the default
+    * keeps every argmax win).
     */
   final case class ClassifierKeep(labelCol: String, keepLabel: String,
-                                  addK: Double = 0.5) extends Step
+                                  addK: Double = 0.5,
+                                  minMargin: Double = Double.NegativeInfinity)
+      extends Step
+
+  /** Terminal tokenizer stage (r10): train a BPE vocabulary of
+    * `numMerges` merges ON the corpus as curated so far and APPEND the
+    * vocab-indexed id sequence (`idsCol`, array<int>) and its length
+    * (`nTokCol`) — the one step that WIDENS the schema, which is why it
+    * belongs last: everything downstream of tokenization consumes ids,
+    * not text ([[graft.operators.Bpe.bpeEncodeIds]]). Training runs the
+    * word-frequency aggregate eagerly (two actions over the prefix plan —
+    * the vocabulary count guard and the bounded driver collect), the same
+    * materialization contract as the classifier's model training.
+    */
+  final case class TokenizeBpe(numMerges: Int, idsCol: String = "token_ids",
+                               nTokCol: String = "n_bpe_tokens") extends Step
 
   /** Semantic near-duplicate removal over an embedding column
     * ([[graft.operators.SemDedup.dedupSemantic]]) — cluster-sharded
@@ -197,9 +217,14 @@ object CorpusPipeline {
           // map back before the id-only semi join.
           d.join(scored.filter(col("perplexity") <= maxPpl)
             .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
-        case ClassifierKeep(labelCol, keepLabel, addK) =>
+        case ClassifierKeep(labelCol, keepLabel, addK, minMargin) =>
           graft.operators.Classifier.filterByClassifier(d, idCol, labelCol,
-            textCol, keepLabel, addK)
+            textCol, keepLabel, addK, minMargin)
+        case TokenizeBpe(numMerges, idsCol, nTokCol) =>
+          val vocab = graft.operators.Bpe.trainBpeModel(d, textCol, numMerges)
+          d.withColumn(idsCol,
+              graft.operators.Bpe.bpeEncodeIds(col(textCol), vocab))
+            .withColumn(nTokCol, size(col(idsCol)).cast("long"))
         case SemDedupStep(vecCol, dim, nCentroids, num, den, trainFrac) =>
           graft.operators.SemDedup.dedupSemantic(d, idCol, vecCol, dim,
             nCentroids, num, den, trainFraction = trainFrac)

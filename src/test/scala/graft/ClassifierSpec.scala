@@ -81,6 +81,70 @@ class ClassifierSpec extends SparkSpec {
     assert(kept.contains(1L) && kept.contains(2L))
   }
 
+  test("classifyNaiveBayesWithMargin: hand-computed log-odds gaps") {
+    val model = Classifier.trainNaiveBayes(seed, "label", "text")
+    // Same hand computation as the argmax test; margin = best − runner-up:
+    //   "x x": ln(2) + 2·ln(3.5/6.5 · 4.5/0.5) = ln 2 + 2·ln(63/13)
+    //          = 3.849518
+    //   "q q": priors only, margin = ln(2/3) − ln(1/3) = ln 2 = 0.693147
+    val docs = Seq((10L, "x x"), (12L, "q q")).toDF("doc_id", "text")
+    val got = Classifier
+      .classifyNaiveBayesWithMargin(docs, "doc_id", "text", model)
+      .as[(Long, String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._2) == Seq("a", "a"), got)
+    assert(math.abs(got(0)._4 - 3.849518) < 1e-6, got)
+    assert(math.abs(got(1)._4 - 0.693147) < 1e-6, got)
+    // exact-tie corpus: margin is exactly 0.0
+    val sym = Seq((1L, "a", "x"), (2L, "b", "x")).toDF("doc_id", "label", "text")
+    val tie = Classifier.classifyNaiveBayesWithMargin(
+        Seq((10L, "x")).toDF("doc_id", "text"), "doc_id", "text",
+        Classifier.trainNaiveBayes(sym, "label", "text"))
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(tie == Seq((10L, "a", 1L, 0.0)), tie)
+    // single-label model: no runner-up, margin NULL
+    val solo = Classifier.classifyNaiveBayesWithMargin(
+        Seq((10L, "x")).toDF("doc_id", "text"), "doc_id", "text",
+        Classifier.trainNaiveBayes(
+          Seq((1L, "a", "x")).toDF("doc_id", "label", "text"), "label", "text"))
+      .select("margin").collect()
+    assert(solo.length == 1 && solo(0).isNullAt(0), solo.toSeq)
+  }
+
+  test("filterByClassifier minMargin keeps only confident wins") {
+    val docs = Seq(
+      (1L, "a", "x x x"), (2L, "a", "x x z"),
+      (3L, "b", "y y y"), (4L, "b", "y x y"),
+      (5L, "a", "y y y y"))
+      .toDF("doc_id", "label", "text")
+    val model = Classifier.trainNaiveBayes(docs, "label", "text")
+    val margins = Classifier
+      .classifyNaiveBayesWithMargin(docs, "doc_id", "text", model)
+      .filter(col("pred_label") === "a")
+      .as[(Long, String, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(margins.nonEmpty)
+    val cut = margins.values.max // only the most confident doc survives
+    val kept = Classifier.filterByClassifier(docs, "doc_id", "label", "text",
+        keepLabel = "a", minMargin = cut)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == margins.filter(_._2 >= cut).keySet, s"$kept vs $margins")
+    // threshold 0 keeps every argmax win — equals the unthresholded filter
+    val all0 = Classifier.filterByClassifier(docs, "doc_id", "label", "text",
+        keepLabel = "a", minMargin = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all0 == margins.keySet)
+  }
+
+  test("trainNaiveBayes rejects NULL labels at scan time") {
+    val bad = Seq((1L, Some("a"), "x"), (2L, None, "y"))
+      .toDF("doc_id", "label", "text")
+    val e = intercept[Exception] {
+      Classifier.trainNaiveBayes(bad, "label", "text").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL label")), e.getMessage)
+  }
+
   test("guards: NULL-safe labels counted, addK and maxLabels enforced") {
     val model = Classifier.trainNaiveBayes(seed, "label", "text")
     val docs = Seq((1L, "x")).toDF("doc_id", "text")

@@ -95,6 +95,41 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(ids.contains(1L) && ids.contains(2L) && !ids.contains(5L), ids)
   }
 
+  test("ClassifierKeep minMargin drops low-confidence wins; TokenizeBpe appends ids") {
+    val corpus = Seq(
+      (1L, "x x x x", "good"), (2L, "x x z y", "good"),
+      (3L, "y y y y", "bad"), (4L, "y y x z", "bad"))
+      .toDF("doc_id", "text", "tier")
+    val margins = graft.operators.Classifier
+      .classifyNaiveBayesWithMargin(corpus, "doc_id", "text",
+        graft.operators.Classifier.trainNaiveBayes(corpus, "tier", "text"))
+      .filter(col("pred_label") === "good")
+      .select("doc_id", "margin").as[(Long, Double)].collect().toMap
+    assert(margins.size >= 2, margins)
+    val cut = margins.values.max
+    val confident = CorpusPipeline.run(corpus, "doc_id", "text", Seq(
+        ClassifierKeep("tier", keepLabel = "good", minMargin = cut)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(confident == margins.filter(_._2 >= cut).keySet,
+      s"$confident vs $margins")
+    // TokenizeBpe as the terminal stage: appends (token_ids, n_bpe_tokens)
+    // to the surviving schema, consistent with each other.
+    val (out, audit) = CorpusPipeline.runWithAudit(corpus, "doc_id", "text",
+      Seq(ClassifierKeep("tier", keepLabel = "good"),
+        TokenizeBpe(numMerges = 4)))
+    assert(out.columns.toSeq ==
+      corpus.columns.toSeq ++ Seq("token_ids", "n_bpe_tokens"))
+    val bad = out.filter(size(col("token_ids")).cast("long") =!=
+      col("n_bpe_tokens")).count()
+    assert(bad == 0)
+    // audit covers the new step labels, and TokenizeBpe drops no rows
+    val rows = audit.orderBy("step_idx")
+      .as[(Int, String, Long)].collect().toSeq
+    assert(rows.map(_._2) == Seq("input", "ClassifierKeep", "TokenizeBpe"),
+      rows)
+    assert(rows(1)._3 == rows(2)._3, rows)
+  }
+
   test("SemDedupStep collapses embedding near-dups inside a recipe") {
     val emb = graft.operators.Similarity.clusteredEmbeddings(spark,
         nClusters = 6, perCluster = 6, dim = 16, noise = 0.03)
