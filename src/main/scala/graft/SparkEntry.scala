@@ -253,7 +253,12 @@ object SparkEntry {
       // this variant oracles the margin-classifier and tokenizer steps'
       // counts, and its per-stage prefix recompute re-trains NB/BPE
       // repeatedly — audit-tool cost, not a per-batch engine shape.
-      "q_pipeline_tokenize_audit")
+      "q_pipeline_tokenize_audit",
+      // r10: q_text_nb_margin runs a strict SUPERSET of this query's
+      // machinery (same train+score chain, plus the margin window), so
+      // benching both just double-bills NB training; the argmax form
+      // stays hash-green here (the portable-twin bench ruling).
+      "q_text_nb_classify")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------

@@ -309,6 +309,22 @@ object Bpe {
       .toDF("id", "symbol", "base_len")
   }
 
+  /** Rebuild a [[BpeVocab]] from persisted [[vocabTable]] + [[mergesTable]]
+    * parquet — the load half of the tokenizer-artifact round trip (train on
+    * corpus A, persist, encode corpus B in a later job). Base symbols are
+    * the vocab rows below the first merge id, in id order (the trainer's
+    * sorted-ascending contract rides along in the ids).
+    */
+  def readVocab(spark: org.apache.spark.sql.SparkSession,
+                vocabPath: String, mergesPath: String): BpeVocab = {
+    val merges = readMerges(spark, mergesPath)
+    val nBase = spark.read.parquet(vocabPath).count() - merges.length
+    val base = spark.read.parquet(vocabPath)
+      .filter(col("id") < nBase).orderBy("id")
+      .select("symbol").collect().map(_.getString(0)).toVector
+    BpeVocab(base, merges)
+  }
+
   /** Initial (pre-merge) symbol count of a document: Σ_words (chars + 1
     * end marker) — the left side of the self-consistency invariant
     * `Σ bpe_tokens = Σ initial_tokens − Σ applied_count`.

@@ -208,6 +208,17 @@ class BpeSpec extends SparkSpec {
     val vocab = Bpe.trainBpeModel(sennrich, "text", numMerges = 4)
     val vt = Bpe.vocabTable(spark, vocab)
     assert(vt.count() == vocab.vocabSize.toLong)
+    // full tokenizer-artifact round trip: persist vocab + merges, reload,
+    // and the reloaded model encodes identically
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpev").toString
+    vt.write.parquet(s"$dir/vocab")
+    Bpe.mergesTable(spark, vocab.merges).write.parquet(s"$dir/merges")
+    val reloaded = Bpe.readVocab(spark, s"$dir/vocab", s"$dir/merges")
+    assert(reloaded == vocab)
+    val enc = Seq((1L, "lowest")).toDF("doc_id", "text")
+    val a = enc.select(Bpe.bpeEncodeIds(col("text"), vocab)).as[Seq[Int]].head()
+    val c = enc.select(Bpe.bpeEncodeIds(col("text"), reloaded)).as[Seq[Int]].head()
+    assert(a == c, s"$a vs $c")
     val b = vocab.baseSymbols.length
     val spans = vt.filter(col("id") >= b).orderBy("id")
       .select("symbol", "base_len").as[(String, Long)].collect().toSeq
