@@ -221,8 +221,20 @@ object CorpusPipeline {
           graft.operators.Classifier.filterByClassifier(d, idCol, labelCol,
             textCol, keepLabel, addK, minMargin)
         case TokenizeBpe(numMerges, idsCol, nTokCol) =>
-          val vocab = graft.operators.Bpe.trainBpeModel(d, textCol, numMerges)
-          d.withColumn(idsCol,
+          // Pin the curated corpus before the multi-pass terminal stage:
+          // the trainer executes its input twice (vocab-count guard +
+          // word-table collect) and the encode scans it once more — three
+          // re-executions of EVERYTHING upstream (classifier scoring
+          // joins, dedup) if left lazy. A disk-backed persist of the
+          // curated (already heavily shrunk) corpus is the standard
+          // materialize-before-iterative-stage trade; it stays pinned for
+          // the caller's consumption of the returned plan (the
+          // filterByClassifier accepted-residue note).
+          val pinned = d.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val vocab =
+            graft.operators.Bpe.trainBpeModel(pinned, textCol, numMerges)
+          pinned.withColumn(idsCol,
               graft.operators.Bpe.bpeEncodeIds(col(textCol), vocab))
             .withColumn(nTokCol, size(col(idsCol)).cast("long"))
         case SemDedupStep(vecCol, dim, nCentroids, num, den, trainFrac) =>
