@@ -222,15 +222,47 @@ object TokenOps {
   */
 object BpeOps {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[String]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, MergeModel]()
   private val idCache =
     new java.util.concurrent.ConcurrentHashMap[String, IdModel]()
 
-  /** Parsed encode model: base-symbol → id map plus rank-ordered merges
-    * (left, right); merge rank r mints id baseCount + r at apply time.
+  /** Parsed merge list plus a left→right→rank nested lookup map (nested,
+    * not a concatenated string key: symbols may contain ANY character, so
+    * a joined key could alias two different pairs). The map is what keeps
+    * the per-word encode cost independent of the merge-table size — see
+    * [[applyMerges]].
+    */
+  final class MergeModel(val merges: Array[Array[String]]) {
+    val rankOf = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+    locally {
+      var r = 0
+      while (r < merges.length) {
+        var inner = rankOf.get(merges(r)(0))
+        if (inner == null) {
+          inner = new java.util.HashMap[String, Integer]()
+          rankOf.put(merges(r)(0), inner)
+        }
+        // first (lowest) rank wins on duplicate pairs — a pair can only
+        // be trained once, so duplicates never arise from the trainer
+        inner.putIfAbsent(merges(r)(1), Integer.valueOf(r))
+        r += 1
+      }
+    }
+    def rank(l: String, r: String): Int = {
+      val inner = rankOf.get(l)
+      if (inner == null) -1
+      else {
+        val v = inner.get(r)
+        if (v == null) -1 else v.intValue()
+      }
+    }
+  }
+
+  /** Parsed encode model: base-symbol → id map plus the merge model;
+    * merge rank r mints id baseCount + r at apply time.
     */
   final class IdModel(val baseIds: java.util.HashMap[String, Integer],
-                      val merges: Array[Array[String]]) {
+                      val mergeModel: MergeModel) {
     val baseCount: Int = baseIds.size
   }
 
@@ -254,9 +286,9 @@ object BpeOps {
     out.result()
   }
 
-  private def parse(spec: String): Array[Array[String]] =
+  private def parse(spec: String): MergeModel =
     cache.computeIfAbsent(spec, s =>
-      if (s.isEmpty) Array.empty else parsePairs(s, 0))
+      new MergeModel(if (s.isEmpty) Array.empty else parsePairs(s, 0)))
 
   /** Id-spec layout: `<baseCount>;<base syms as "len:sym"><merges as
     * "ll,rl:leftright">` — base ids are positional (sorted order is the
@@ -277,58 +309,95 @@ object BpeOps {
         i = colon + 1 + len
         id += 1
       }
-      new IdModel(baseIds, parsePairs(s, i))
+      new IdModel(baseIds, new MergeModel(parsePairs(s, i)))
     })
 
+  /** Apply the merge list to one word's symbol array in EXACT sequential
+    * rank order (leftmost-first within the word — the trainer semantics
+    * of [[graft.operators.Bpe.applyMerge]]), but WITHOUT scanning the
+    * full merge table per word: candidate ranks come from looking up the
+    * word's adjacent pairs in the rank map, kept in a sorted set, and a
+    * merge application enqueues only the NEW adjacencies it creates whose
+    * rank is still ahead of the current one (a created pair with an
+    * already-passed rank is skipped, exactly as the sequential scan would
+    * have passed it). Pops are strictly increasing, so this is
+    * operation-for-operation identical to iterating ranks 0..M — at
+    * O(candidates × len) per word instead of O(M × len), the difference
+    * between a 20-merge fixture vocab and a 32k-merge production one
+    * (BpeSpec pins equality against the retained full-scan reference).
+    *
+    * Mutates `syms` (and `ids` when non-null; merged tokens get id
+    * `baseCount + rank`); returns the new length.
+    */
+  private def applyMerges(syms: Array[String], ids: Array[Int], len0: Int,
+                          m: MergeModel, baseCount: Int): Int = {
+    var len = len0
+    if (m.merges.isEmpty || len < 2) return len
+    val cand = new java.util.TreeSet[Integer]()
+    var i = 0
+    while (i + 1 < len) {
+      val r = m.rank(syms(i), syms(i + 1))
+      if (r >= 0) cand.add(Integer.valueOf(r))
+      i += 1
+    }
+    while (!cand.isEmpty) {
+      val rank = cand.pollFirst().intValue()
+      val l = m.merges(rank)(0)
+      val r = m.merges(rank)(1)
+      // greedy leftmost in-place compaction; a no-op pass when an earlier
+      // merge already destroyed the pair (reads stay ahead of writes)
+      var rd = 0
+      var wr = 0
+      while (rd < len) {
+        if (rd + 1 < len && syms(rd) == l && syms(rd + 1) == r) {
+          syms(wr) = l + r
+          if (ids != null) ids(wr) = baseCount + rank
+          rd += 2
+        } else {
+          syms(wr) = syms(rd)
+          if (ids != null) ids(wr) = ids(rd)
+          rd += 1
+        }
+        if (wr > 0) {
+          val r2 = m.rank(syms(wr - 1), syms(wr))
+          if (r2 > rank) cand.add(Integer.valueOf(r2))
+        }
+        wr += 1
+      }
+      len = wr
+    }
+    len
+  }
+
   /** Total BPE token count of the lowercased whitespace words of `text`
-    * (the [[TokenOps.countIn]] tokenization), each encoded by applying
-    * the merges in rank order, leftmost-first within the word — the exact
-    * trainer semantics of [[graft.operators.Bpe.applyMerge]].
+    * (the [[TokenOps.countIn]] tokenization), each word encoded by
+    * [[applyMerges]] — the exact trainer semantics.
     */
   def count(text: UTF8String, spec: UTF8String): java.lang.Long = {
-    val ms = parse(spec.toString)
+    val model = parse(spec.toString)
     val toks = text.toLowerCase.toString.split("\\s+")
     var total = 0L
     var w = 0
     while (w < toks.length) {
-      if (toks(w).nonEmpty) total += encodedLength(toks(w), ms)
+      val word = toks(w)
+      if (word.nonEmpty) {
+        val arr = new Array[String](word.length + 1)
+        var i = 0
+        while (i < word.length) {
+          arr(i) = String.valueOf(word.charAt(i)); i += 1
+        }
+        arr(word.length) = "</w>"
+        total += applyMerges(arr, null, word.length + 1, model, 0)
+      }
       w += 1
     }
     total
   }
 
-  private def encodedLength(word: String, ms: Array[Array[String]]): Int = {
-    val arr = new Array[String](word.length + 1)
-    var i = 0
-    while (i < word.length) { arr(i) = String.valueOf(word.charAt(i)); i += 1 }
-    arr(word.length) = "</w>"
-    var len = word.length + 1
-    var m = 0
-    while (m < ms.length) {
-      val l = ms(m)(0)
-      val r = ms(m)(1)
-      // greedy leftmost in-place compaction (j <= i always, so reads stay
-      // ahead of writes)
-      var rd = 0
-      var wr = 0
-      while (rd < len) {
-        if (rd + 1 < len && arr(rd) == l && arr(rd + 1) == r) {
-          arr(wr) = l + r; rd += 2
-        } else {
-          arr(wr) = arr(rd); rd += 1
-        }
-        wr += 1
-      }
-      len = wr
-      m += 1
-    }
-    len
-  }
-
   /** BPE token ID sequence of `text` under an id-spec (see [[parseIds]]):
-    * the [[count]] tokenization and greedy merge walk, but each token
-    * carries its vocab id — base symbols by spec position, merge outputs
-    * by `baseCount + rank` minted AT the merge step (same-string symbols
+    * the [[count]] tokenization and merge walk, but each token carries
+    * its vocab id — base symbols by spec position, merge outputs by
+    * `baseCount + rank` minted AT the merge step (same-string symbols
     * from different merge routes keep distinct ids). Characters outside
     * the base vocabulary emit -1 (the unknown sentinel) and, having no
     * vocab identity, can never match a merge side by construction of the
@@ -337,7 +406,6 @@ object BpeOps {
     */
   def encodeIds(text: UTF8String, spec: UTF8String): ArrayData = {
     val model = parseIds(spec.toString)
-    val ms = model.merges
     val toks = text.toLowerCase.toString.split("\\s+")
     val out = Array.newBuilder[Int]
     var w = 0
@@ -356,28 +424,8 @@ object BpeOps {
         syms(word.length) = "</w>"
         val eow = model.baseIds.get("</w>")
         ids(word.length) = if (eow == null) -1 else eow.intValue()
-        var len = word.length + 1
-        var m = 0
-        while (m < ms.length) {
-          val l = ms(m)(0)
-          val r = ms(m)(1)
-          var rd = 0
-          var wr = 0
-          while (rd < len) {
-            if (rd + 1 < len && syms(rd) == l && syms(rd + 1) == r) {
-              syms(wr) = l + r
-              ids(wr) = model.baseCount + m
-              rd += 2
-            } else {
-              syms(wr) = syms(rd)
-              ids(wr) = ids(rd)
-              rd += 1
-            }
-            wr += 1
-          }
-          len = wr
-          m += 1
-        }
+        val len = applyMerges(syms, ids, word.length + 1,
+          model.mergeModel, model.baseCount)
         var k = 0
         while (k < len) { out += ids(k); k += 1 }
       }

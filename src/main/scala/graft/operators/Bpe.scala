@@ -25,7 +25,11 @@ import org.apache.spark.sql.functions._
   * would instead pay vocabulary-independent scheduling cost numMerges
   * times. Encoding distributes back out: the merge ranks broadcast into a
   * codegen'd per-word expression, applied map-side — no shuffle, no
-  * driver.
+  * driver — and the per-word walk looks up the word's OWN adjacent pairs
+  * in a rank map instead of scanning the merge table (r10:
+  * O(candidates·len) per word, independent of vocabulary size — a 32k-
+  * merge production vocab costs the same per word as the 20-merge
+  * fixture one; BpeSpec pins token-for-token equality vs the full scan).
   *
   * Determinism: pair argmax ties break (count desc, left asc, right asc);
   * within a word, merges apply leftmost-first; words carry a terminal

@@ -204,6 +204,57 @@ class BpeSpec extends SparkSpec {
     assert(row._1 == 0L && row._2 >= 0, row)
   }
 
+  /** Full-scan reference encoder: iterate ALL ranks 0..M per word (the
+    * r10-replaced O(M·len) shape) — the truth the rank-candidate-set
+    * encode in [[graft.expressions.BpeOps]] must match token-for-token.
+    */
+  private def naiveEncodeIds(text: String, vocab: Bpe.BpeVocab): Seq[Int] = {
+    val b = vocab.baseSymbols.length
+    val baseId = vocab.baseSymbols.zipWithIndex.toMap
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { word =>
+      var syms = Bpe.baseSymbols(word)
+      var ids = syms.map(s => baseId.getOrElse(s, -1))
+      vocab.merges.foreach { m =>
+        val ns = Vector.newBuilder[String]
+        val ni = Vector.newBuilder[Int]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m.left && syms(i + 1) == m.right) {
+            ns += m.left + m.right; ni += b + m.rank; i += 2
+          } else { ns += syms(i); ni += ids(i); i += 1 }
+        }
+        syms = ns.result(); ids = ni.result()
+      }
+      ids
+    }
+  }
+
+  test("rank-candidate-set encode equals the full-scan reference token-for-token") {
+    // Real fixture corpus at 60 merges — deep enough that a wrong skip
+    // rule in the candidate-set walk (created pair with a passed rank,
+    // re-added ranks, destroyed pairs) diverges somewhere in 500 docs.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = Bpe.trainBpeModel(docs, "text", numMerges = 60, minPairCount = 1)
+    val got = docs.select(col("doc_id"), col("text"),
+        Bpe.bpeEncodeIds(col("text"), vocab).as("ids"))
+      .as[(Long, String, Seq[Int])].collect()
+    got.foreach { case (id, text, ids) =>
+      val want = naiveEncodeIds(text, vocab)
+      assert(ids == want, s"doc $id diverged: $ids vs $want")
+    }
+    // and the control-char corpus (framing + walk together)
+    val nul = 0.toChar.toString; val soh = 1.toChar.toString
+    val weird = Seq((1L, s"a${soh}b a${soh}b a${nul}c a${nul}c"),
+      (2L, s"a${soh}b a${nul}c")).toDF("doc_id", "text")
+    val wv = Bpe.trainBpeModel(weird, "text", numMerges = 6, minPairCount = 1)
+    val wg = weird.select(col("doc_id"), col("text"),
+        Bpe.bpeEncodeIds(col("text"), wv).as("ids"))
+      .as[(Long, String, Seq[Int])].collect()
+    wg.foreach { case (id, text, ids) =>
+      assert(ids == naiveEncodeIds(text, wv), s"weird doc $id diverged")
+    }
+  }
+
   test("vocabTable exposes (id, symbol, base_len) with exact spans") {
     val vocab = Bpe.trainBpeModel(sennrich, "text", numMerges = 4)
     val vt = Bpe.vocabTable(spark, vocab)
