@@ -865,6 +865,29 @@ object SparkEntry {
       Curation.sampleWeighted(t(s, d, "documents"), "doc_id",
           col("n_chars").cast("double") / lit(400.0))
         .select("doc_id", "n_chars").orderBy("doc_id")),
+    // DSIR importance resampling (arXiv:2302.03169): hashed-n-gram bag
+    // models over md5 buckets (target = the Spanish slice, raw = the whole
+    // corpus), per-doc Lidstone log-ratio weight summed under the
+    // LM-perplexity DECIMAL(38,18) contract. Replays end-to-end in DuckDB:
+    // bucket ids, counts and totals are integer-exact; only the two lns
+    // per bucket are transcendental, on arguments exact in double.
+    "q_cur_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tm = Dsir.featureModel(docs.filter(col("lang") === "es"),
+        "doc_id", "text", buckets = 512)
+      val rm = Dsir.featureModel(docs, "doc_id", "text", buckets = 512)
+      Dsir.importanceWeights(docs, "doc_id", "text", tm, rm, buckets = 512)
+        .orderBy("doc_id")
+    }),
+    // The resample leg: Gumbel top-k over the same weights, noise from the
+    // house md5 uniform (seedable, engine-independent), TakeOrdered plan —
+    // driver traffic O(k). Oracle replays weight + noise + top-k exactly.
+    "q_cur_dsir_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dsir.selectByImportance(docs, docs.filter(col("lang") === "es"),
+          "doc_id", "text", buckets = 512, k = 100, seed = "42")
+        .orderBy(col("gumbel_key").desc, col("doc_id"))
+    }),
     // Bloom-decontamination gate (verify-only): the scale path folds the
     // eval n-gram set into a Catalyst BloomFilterAggregate bitmap instead
     // of a broadcast set. Pinned relations: (a) every exactly-contaminated
@@ -2496,6 +2519,91 @@ object SparkEntry {
         |        AS BIGINT) AS DOUBLE) / 4294967296.0
         |      < least(greatest(CAST(n_chars AS DOUBLE) / 400.0, 0.0), 1.0)
         |ORDER BY doc_id""".stripMargin,
+    // Replays the DSIR chain end-to-end: same tokenization, same
+    // unigram+bigram feature space, the house md5 bucket (mod 512), both
+    // bag models with Lidstone k=0.5 (k·B = 256), per-doc DECIMAL(38,18)
+    // sum of cnt·(ln p̂_t − ln p̂_r), rounded once at the edge.
+    "q_cur_dsir_weights" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, lang, unnest(t) AS g FROM tk
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1])) AS g
+        |  FROM tk WHERE len(t) >= 2),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 512 AS bucket,
+        |    count(*) AS cnt
+        |  FROM gr GROUP BY 1, 2, 3),
+        |tm AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS tc
+        |       FROM f WHERE lang = 'es' GROUP BY 1),
+        |rm AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc FROM f GROUP BY 1),
+        |tt AS (SELECT CAST(sum(tc) AS BIGINT) AS t FROM tm),
+        |rt AS (SELECT CAST(sum(rc) AS BIGINT) AS t FROM rm),
+        |ev AS (
+        |  SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_features,
+        |    sum(CAST(f.cnt * (ln((coalesce(tm.tc, 0) + 0.5) / (tt.t + 256.0))
+        |                    - ln((coalesce(rm.rc, 0) + 0.5) / (rt.t + 256.0)))
+        |        AS DECIMAL(38,18))) AS s
+        |  FROM f LEFT JOIN tm USING (bucket) LEFT JOIN rm USING (bucket)
+        |  CROSS JOIN tt CROSS JOIN rt
+        |  GROUP BY 1)
+        |SELECT d.doc_id, coalesce(ev.n_features, 0) AS n_features,
+        |  round(coalesce(CAST(ev.s AS DOUBLE), 0.0), 6) AS log_weight
+        |FROM documents d LEFT JOIN ev ON ev.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Same weights, plus the Gumbel leg: noise −ln(−ln u) from the house
+    // md5 uniform u = (first-8-hex('42:'||id) + 0.5)/2^32, key rounded to
+    // 6 decimals, ties on doc_id, top-100.
+    "q_cur_dsir_sample" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, lang, unnest(t) AS g FROM tk
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1])) AS g
+        |  FROM tk WHERE len(t) >= 2),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 512 AS bucket,
+        |    count(*) AS cnt
+        |  FROM gr GROUP BY 1, 2, 3),
+        |tm AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS tc
+        |       FROM f WHERE lang = 'es' GROUP BY 1),
+        |rm AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc FROM f GROUP BY 1),
+        |tt AS (SELECT CAST(sum(tc) AS BIGINT) AS t FROM tm),
+        |rt AS (SELECT CAST(sum(rc) AS BIGINT) AS t FROM rm),
+        |ev AS (
+        |  SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_features,
+        |    sum(CAST(f.cnt * (ln((coalesce(tm.tc, 0) + 0.5) / (tt.t + 256.0))
+        |                    - ln((coalesce(rm.rc, 0) + 0.5) / (rt.t + 256.0)))
+        |        AS DECIMAL(38,18))) AS s
+        |  FROM f LEFT JOIN tm USING (bucket) LEFT JOIN rm USING (bucket)
+        |  CROSS JOIN tt CROSS JOIN rt
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT d.doc_id, coalesce(ev.n_features, 0) AS n_features,
+        |    round(coalesce(CAST(ev.s AS DOUBLE), 0.0), 6) AS log_weight
+        |  FROM documents d LEFT JOIN ev ON ev.doc_id = d.doc_id)
+        |SELECT doc_id, n_features, log_weight,
+        |  round(log_weight + -ln(-ln(
+        |    (CAST(CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+        |       1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)), 6)
+        |    AS gumbel_key
+        |FROM w
+        |ORDER BY gumbel_key DESC, doc_id
+        |LIMIT 100""".stripMargin,
     // Replays dedupSpansAcross exactly: same 0-based span starts
     // (i*2 < n_tokens), same clamped final short span, bans at >= 5
     // distinct docs, rebuilds in span order; docs with every span banned
