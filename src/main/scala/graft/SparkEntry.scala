@@ -611,6 +611,22 @@ object SparkEntry {
     // oracle replays floor + NB margin membership end-to-end in DuckDB;
     // the emitted id/count pair is pinned mutually consistent here and
     // bit-exactly by the q_text_bpe_ids_gate invariants.
+    // Target-domain selection recipe (r10): token floor, then DSIR-select
+    // the 150 docs most resembling the Spanish slice. Replays end-to-end
+    // in DuckDB (floor + bag models + DECIMAL weight sums + Gumbel top-k).
+    // The target model trains on the UNFLOORED Spanish slice; the floored
+    // corpus is its own background model — the paper's raw-vs-target
+    // asymmetry.
+    "q_pipeline_dsir_recipe" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text", "lang",
+        "n_chars")
+      graft.pipeline.CorpusPipeline.run(docs, "doc_id", "text", Seq(
+          graft.pipeline.CorpusPipeline.QualityFloor(minTokens = 30),
+          graft.pipeline.CorpusPipeline.DsirSelect(
+            docs.filter(col("lang") === "es"), "doc_id", "text",
+            buckets = 512, k = 150, seed = "7")))
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
     "q_pipeline_tokenize_recipe" -> ((s, d) => {
       val out = graft.pipeline.CorpusPipeline.run(
         t(s, d, "documents").select("doc_id", "text", "lang"),
@@ -2246,6 +2262,64 @@ object SparkEntry {
     // q_text_nb_margin arithmetic trained on the FLOORED corpus — the
     // recipe trains on the frame as curated so far), then the kept rows;
     // the id/count consistency boolean is engine-side, pinned true.
+    // Floor on RAW-text whitespace tokens (QualityFloor semantics), then
+    // the DSIR chain: features over ALL documents once; the target model
+    // sums the Spanish slice (unfloored), the background model and the
+    // scored set restrict to floored docs; Gumbel top-150, semi-join back.
+    "q_pipeline_dsir_recipe" ->
+      """WITH fl AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) >= 30),
+        |tk AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, lang, unnest(t) AS g FROM tk
+        |  UNION ALL
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1])) AS g
+        |  FROM tk WHERE len(t) >= 2),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 512 AS bucket,
+        |    count(*) AS cnt
+        |  FROM gr GROUP BY 1, 2, 3),
+        |tm AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS tc
+        |       FROM f WHERE lang = 'es' GROUP BY 1),
+        |rm AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc
+        |       FROM f WHERE doc_id IN (SELECT doc_id FROM fl) GROUP BY 1),
+        |tt AS (SELECT CAST(sum(tc) AS BIGINT) AS t FROM tm),
+        |rt AS (SELECT CAST(sum(rc) AS BIGINT) AS t FROM rm),
+        |ev AS (
+        |  SELECT f.doc_id,
+        |    sum(CAST(f.cnt * (ln((coalesce(tm.tc, 0) + 0.5) / (tt.t + 256.0))
+        |                    - ln((coalesce(rm.rc, 0) + 0.5) / (rt.t + 256.0)))
+        |        AS DECIMAL(38,18))) AS s
+        |  FROM f LEFT JOIN tm USING (bucket) LEFT JOIN rm USING (bucket)
+        |  CROSS JOIN tt CROSS JOIN rt
+        |  WHERE f.doc_id IN (SELECT doc_id FROM fl)
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT fl.doc_id,
+        |    round(coalesce(CAST(ev.s AS DOUBLE), 0.0), 6) AS log_weight
+        |  FROM fl LEFT JOIN ev ON ev.doc_id = fl.doc_id),
+        |pick AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      round(log_weight + -ln(-ln(
+        |        (CAST(CAST(concat('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)),
+        |           1, 8)) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0)), 6)
+        |        AS gumbel_key
+        |    FROM w)
+        |  ORDER BY gumbel_key DESC, doc_id
+        |  LIMIT 150)
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d JOIN pick USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_pipeline_tokenize_recipe" ->
       """WITH docs AS (
         |  SELECT * FROM documents

@@ -119,6 +119,17 @@ object CorpusPipeline {
   final case class TokenizeBpe(numMerges: Int, idsCol: String = "token_ids",
                                nTokCol: String = "n_bpe_tokens") extends Step
 
+  /** DSIR target-domain selection (r10,
+    * [[graft.operators.Dsir.selectByImportance]]): keep the `k` docs whose
+    * hashed-n-gram bag most resembles the `target` exemplar corpus —
+    * importance weights under target-vs-corpus bag models, seedable Gumbel
+    * top-k. The corpus as curated so far serves as its own background
+    * model (the paper's setup); a left-semi join keeps full rows.
+    */
+  final case class DsirSelect(target: DataFrame, targetIdCol: String,
+                              targetTextCol: String, buckets: Int, k: Int,
+                              seed: String, addK: Double = 0.5) extends Step
+
   /** Semantic near-duplicate removal over an embedding column
     * ([[graft.operators.SemDedup.dedupSemantic]]) — cluster-sharded
     * SemDeDup; `trainFraction < 1` trains cells on a hash sample.
@@ -237,6 +248,27 @@ object CorpusPipeline {
           pinned.withColumn(idsCol,
               graft.operators.Bpe.bpeEncodeIds(col(textCol), vocab))
             .withColumn(nTokCol, size(col(idsCol)).cast("long"))
+        case DsirSelect(target, tId, tText, buckets, k, seed, addK) =>
+          // Pin the curated prefix: both bag models, the weight pass and
+          // the semi-join all consume it — four lazy re-executions of
+          // everything upstream otherwise (the TokenizeBpe
+          // materialize-before-multi-pass-stage trade).
+          val pinned = d.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val tm = graft.operators.Dsir.featureModel(
+            target.select(col(tId).as("doc_id"), col(tText).as("__t")),
+            "doc_id", "__t", buckets)
+          val rm = graft.operators.Dsir.featureModel(pinned, idCol, textCol,
+            buckets)
+          val picked = graft.operators.Dsir.resampleTopK(
+            graft.operators.Dsir.importanceWeights(pinned, idCol, textCol,
+              tm, rm, buckets, addK),
+            "doc_id", "log_weight", k, seed)
+          // importanceWeights keys its output "doc_id" regardless of
+          // idCol — map back before the id-only semi join (the
+          // PerplexityFloor convention).
+          pinned.join(picked.select(col("doc_id").as(idCol)), Seq(idCol),
+            "left_semi")
         case SemDedupStep(vecCol, dim, nCentroids, num, den, trainFrac) =>
           graft.operators.SemDedup.dedupSemantic(d, idCol, vecCol, dim,
             nCentroids, num, den, trainFraction = trainFrac)

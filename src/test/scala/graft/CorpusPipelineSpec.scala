@@ -159,4 +159,32 @@ class CorpusPipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(out == (1L to 10L).toSet, out.toString) // 11 over floor, 12 unscorable
   }
+
+  test("DsirSelect keeps the docs resembling the target exemplar; schema preserved") {
+    // Target vocabulary {x,y}; half the corpus speaks it, half is noise.
+    val target = Seq((100L, "x y x y"), (101L, "y x")).toDF("id", "body")
+    val corpus = Seq(
+      (1L, "x y x", "a"), (2L, "y x y", "a"), (3L, "x y", "b"),
+      (4L, "p q r", "b"), (5L, "q p q", "c"), (6L, "r r p", "c"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.run(corpus, "doc_id", "text", Seq(
+        DsirSelect(target, "id", "body", buckets = 64, k = 3, seed = "s")))
+    assert(out.columns.toSeq == corpus.columns.toSeq)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 3, kept.toString)
+    // the step must pick exactly what the operator composition picks
+    // (weights + Gumbel top-k at the same seed) — on this tiny corpus the
+    // noise can outweigh the log-ratios, so the pinned contract is
+    // step ≡ operator, not "target docs win" (DsirSpec covers monotony)
+    val tm = graft.operators.Dsir.featureModel(
+      target.select(col("id").as("doc_id"), col("body").as("__t")),
+      "doc_id", "__t", 64)
+    val rm = graft.operators.Dsir.featureModel(corpus, "doc_id", "text", 64)
+    val expect = graft.operators.Dsir.resampleTopK(
+        graft.operators.Dsir.importanceWeights(corpus, "doc_id", "text",
+          tm, rm, 64),
+        "doc_id", "log_weight", 3, "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expect, s"step $kept vs operator $expect")
+  }
 }
