@@ -551,6 +551,21 @@ object SparkEntry {
           count(col("_corrupt_record")).as("n_corrupt"))
         .orderBy("lang")
     }),
+    // ORC round trip (r10): documents → ORC (zstd) → scan → aggregate;
+    // values must equal the parquet truth exactly — the format carries
+    // the data, never changes it. The read side filters on lang so the
+    // scan exercises ORC predicate pushdown (pinned in SinksSpec).
+    "q_pipeline_orc_roundtrip" -> ((s, d) => {
+      val path = s"$jsonlTmpDir/${new java.io.File(d).getName}/documents_orc"
+      Sinks.writeOrc(t(s, d, "documents"), path)
+      Sinks.orcScan(s, path)
+        .filter(col("lang") =!= "zz")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+          sum(length(col("text")).cast("bigint")).as("sum_text_len"))
+        .orderBy("lang")
+    }),
     // Small-file compaction round trip: scatter the documents table
     // across 16 per-batch partition dirs (the streaming ingest's
     // accretion pattern), run Sinks.compact — which collapses the
@@ -2209,6 +2224,12 @@ object SparkEntry {
         |  CAST(sum(len(text)) AS BIGINT) AS sum_text_len,
         |  CAST(0 AS BIGINT) AS n_corrupt
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pipeline_orc_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  CAST(sum(len(text)) AS BIGINT) AS sum_text_len
+        |FROM documents WHERE lang <> 'zz' GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pipeline_full_load" ->
       """SELECT row_number() OVER (ORDER BY o_orderkey) AS id,
         |  o_orderkey, o_custkey, o_totalprice

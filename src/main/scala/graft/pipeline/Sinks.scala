@@ -296,6 +296,26 @@ object Sinks {
       .json(path)
   }
 
+  /** ORC egress — the other columnar interchange format warehouse stacks
+    * standardize on (Hive/Trino ecosystems exchange ORC the way lakehouse
+    * stacks exchange parquet). Spark's ORC path is native and vectorized,
+    * so the engine's parquet scale properties carry over: column pruning,
+    * predicate pushdown into stripe/row-group skipping, splittable files.
+    * zstd pinned (ORC's zlib default trades ~20% size for slower scans).
+    */
+  def writeOrc(df: DataFrame, path: String, compression: String = "zstd"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
+      .orc(path)
+
+  /** ORC ingest. Schema comes from the ORC footer (no inference pass —
+    * unlike JSONL the format is self-describing), and filters/projections
+    * push down exactly as with parquet — SinksSpec pins `PushedFilters`
+    * on this scan so a Spark upgrade can't silently drop the pushdown.
+    */
+  def orcScan(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S5b: date-partitioned sink with dynamic partition overwrite — the
     * 100 TB form of S7 "update-in-place": rewrite ONLY the partitions
     * present in `df` (e.g. the current month's reconciliation window),

@@ -322,4 +322,22 @@ class SinksSpec extends SparkSpec {
       Sinks.writeSharded(df, "id", p2, seed = "t", rowsPerShard = 0)
     }
   }
+
+  test("ORC roundtrip preserves data; filter + projection push into the ORC scan") {
+    val p = tmp()
+    val df = Seq((1L, "alpha", 10.0), (2L, "beta", 20.0), (3L, "gamma", 30.0))
+      .toDF("k", "name", "amt")
+    Sinks.writeOrc(df, p)
+    val back = Sinks.orcScan(spark, p)
+    assert(back.orderBy("k").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "alpha", 10.0), (2L, "beta", 20.0), (3L, "gamma", 30.0)))
+    val pruned = back.filter(col("amt") > 15.0).select("k", "amt")
+    assert(pruned.as[(Long, Double)].collect().sortBy(_._1).toSeq ==
+      Seq((2L, 20.0), (3L, 30.0)))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(amt,15.0)"),
+      plan)
+    // projection pruned to the two referenced columns
+    assert(plan.contains("ReadSchema") && !plan.contains("name"), plan)
+  }
 }
