@@ -258,7 +258,11 @@ object SparkEntry {
       // machinery (same train+score chain, plus the margin window), so
       // benching both just double-bills NB training; the argmax form
       // stays hash-green here (the portable-twin bench ruling).
-      "q_text_nb_classify")
+      "q_text_nb_classify",
+      // r10: q_cur_dsir_sample is the same superset relation over the
+      // weights leg (both models + weights, plus the Gumbel top-k), so
+      // only the sample form is benched; the weights stay hash-green here.
+      "q_cur_dsir_weights")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------

@@ -122,6 +122,28 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("weights are partitioning-invariant (the DECIMAL-sum order-independence claim)") {
+    val tm = Dsir.featureModel(target, "doc_id", "text", B)
+    val rm = Dsir.featureModel(raw, "doc_id", "text", B)
+    val base = Dsir.importanceWeights(raw, "doc_id", "text", tm, rm, B)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    Seq(1, 3, 7).foreach { n =>
+      val shuffled = Dsir.importanceWeights(raw.repartition(n), "doc_id",
+          "text", tm, rm, B)
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(shuffled == base, s"repartition($n) changed weights")
+    }
+  }
+
+  test("bucket-space guard rejects non-broadcastable models") {
+    intercept[IllegalArgumentException] {
+      Dsir.featureModel(raw, "doc_id", "text", buckets = (1 << 26) + 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.featureModel(raw, "doc_id", "text", buckets = 0)
+    }
+  }
+
   test("selectByImportance: end-to-end composition returns k rows") {
     val got = Dsir.selectByImportance(raw, target, "doc_id", "text",
       buckets = B, k = 2, seed = "42")
