@@ -262,7 +262,11 @@ object SparkEntry {
       // r10: q_cur_dsir_sample is the same superset relation over the
       // weights leg (both models + weights, plus the Gumbel top-k), so
       // only the sample form is benched; the weights stay hash-green here.
-      "q_cur_dsir_weights")
+      "q_cur_dsir_weights",
+      // r10: bills the same NB train+score chain as the benched
+      // q_text_nb_margin; the Pareto-keep delta is a filter, not a new
+      // engine shape — membership stays oracled here.
+      "q_text_nb_pareto")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -1115,6 +1119,18 @@ object SparkEntry {
     // sums, one ln per term, one subtraction) — so the quality filter can
     // threshold on CONFIDENCE instead of hard argmax. Hash-checked
     // end-to-end in DuckDB including the margin values.
+    // GPT-3-style Pareto-sampled keep (verify-only: it bills the same NB
+    // train+score chain q_text_nb_margin already benches; the delta — the
+    // signed margin aggregate and the log-domain stochastic-keep filter —
+    // is what membership pins). Oracle replays scoring, the margin toward
+    // 'en', the md5-uniform Pareto draw and the rounded log-domain
+    // comparison exactly.
+    "q_text_nb_pareto" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Classifier.filterByClassifierPareto(docs, "doc_id", "lang", "text",
+          keepLabel = "en", alpha = 9.0, seed = "p")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     "q_text_nb_margin" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val model = Classifier.trainNaiveBayes(docs, "lang", "text")
@@ -3073,6 +3089,50 @@ object SparkEntry {
     // Same replay plus the margin: lead(score) over the identical
     // (score desc, label asc) per-doc window, one double subtraction,
     // round 6 — every term bit-identical to the Spark side.
+    // Same scoring CTE chain as q_text_nb_margin, then the margin TOWARD
+    // 'en' (conditional max aggregate, not the best-vs-runner-up window)
+    // and the Pareto keep: -ln(1-u)/9 > ln(2 - sigmoid(margin)), both
+    // sides rounded to 6 before the strict compare.
+    "q_text_nb_pareto" ->
+      """WITH tkx AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents),
+        |m AS (SELECT lang AS label, token, count(*) AS cnt FROM tkx GROUP BY 1, 2),
+        |pr AS (SELECT lang AS label, count(*) AS dl FROM documents GROUP BY 1),
+        |ct AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS c FROM m GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS vs FROM m),
+        |d AS (SELECT CAST(sum(dl) AS BIGINT) AS ds FROM pr),
+        |db AS (SELECT doc_id, token, count(*) AS n FROM tkx GROUP BY 1, 2),
+        |dbv AS (SELECT * FROM db WHERE token IN (SELECT token FROM m)),
+        |ev AS (
+        |  SELECT dbv.doc_id, ct.label, CAST(sum(dbv.n) AS BIGINT) AS ns,
+        |    sum(CAST(dbv.n * ln((coalesce(m.cnt, 0) + 0.5) / (ct.c + 0.5 * v.vs))
+        |        AS DECIMAL(38,18))) AS s
+        |  FROM dbv CROSS JOIN ct
+        |  LEFT JOIN m ON m.label = ct.label AND m.token = dbv.token
+        |  CROSS JOIN v
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dd.doc_id, pr.label,
+        |    coalesce(CAST(ev.s AS DOUBLE), 0.0)
+        |      + ln(CAST(pr.dl AS DOUBLE) / CAST(d.ds AS DOUBLE)) AS score
+        |  FROM (SELECT doc_id FROM documents) dd CROSS JOIN pr
+        |  LEFT JOIN ev ON ev.doc_id = dd.doc_id AND ev.label = pr.label
+        |  CROSS JOIN d),
+        |mk AS (
+        |  SELECT doc_id,
+        |    round(max(CASE WHEN label = 'en' THEN score END)
+        |        - max(CASE WHEN label <> 'en' THEN score END), 6) AS margin_keep
+        |  FROM sc GROUP BY 1)
+        |SELECT mk.doc_id, dd.lang
+        |FROM mk JOIN documents dd ON dd.doc_id = mk.doc_id
+        |WHERE round(-ln(1 - CAST(CAST(concat('0x',
+        |      substr(md5('p:' || CAST(mk.doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS DOUBLE) / 4294967296.0) / 9.0, 6)
+        |    > round(ln(2 - 1 / (1 + exp(-margin_keep))), 6)
+        |ORDER BY mk.doc_id""".stripMargin,
     "q_text_nb_margin" ->
       """WITH tkx AS (
         |  SELECT doc_id, lang,

@@ -125,6 +125,61 @@ object Classifier {
         round(col("__score") - col("__next"), 6).as("margin"))
   }
 
+  /** Log-odds margin TOWARD one designated label:
+    * `margin_keep = score(keepLabel) − max over the other labels` —
+    * positive iff the classifier would pick `keepLabel`, and the signed
+    * confidence either way (the [[classifyNaiveBayesWithMargin]] margin
+    * is unsigned: best vs runner-up, whoever they are). This is the score
+    * axis the GPT-3-style stochastic keep prices documents on. Same
+    * portability contract: DECIMAL evidence sums, one ln per term,
+    * `round(·, 6)` at the edge. A `keepLabel` absent from the model
+    * yields NULL margins (nothing to compare against) — and an all-NULL
+    * margin column downstream keeps nothing, the conservative default.
+    */
+  def marginToward(docs: DataFrame, idCol: String, textCol: String,
+                   model: DataFrame, keepLabel: String, addK: Double = 0.5,
+                   maxLabels: Int = 256): DataFrame =
+    scoreFrame(docs, idCol, textCol, model, addK, maxLabels)
+      .groupBy("doc_id").agg(
+        max(when(col("label") === keepLabel, col("__ns"))).as("n_scored"),
+        round(max(when(col("label") === keepLabel, col("__score")))
+          - max(when(col("label") =!= keepLabel, col("__score"))), 6)
+          .as("margin_keep"))
+
+  /** GPT-3-style PARETO-SAMPLED keep (Brown et al. 2020 §A: a document
+    * is kept when `Pareto(α) > 1 − score`): unlike a hard margin
+    * threshold, the heavy-tailed draw occasionally keeps low-score
+    * documents — the published recipe's hedge against the classifier's
+    * own bias. Deterministic and engine-portable: score is the two-class
+    * logistic transform of the ROUNDED [[marginToward]] margin
+    * (`s = 1/(1+exp(−m))`), the draw comes from the house md5 uniform
+    * via the inverse CDF, and the comparison runs in the LOG domain —
+    * `−ln(1−u)/α > ln(2−s)` — one ln per side on exact-in-double
+    * arguments (no cross-engine `pow`), both sides rounded to 6 decimals
+    * before the strict compare so a last-ulp wiggle cannot flip
+    * membership. One corpus scoring pass + a codegen'd filter; α=9 is
+    * the paper's value (higher α keeps closer to the hard threshold).
+    */
+  def filterByClassifierPareto(docs: DataFrame, idCol: String,
+                               labelCol: String, textCol: String,
+                               keepLabel: String, alpha: Double = 9.0,
+                               seed: String = "pareto",
+                               addK: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"filterByClassifierPareto: alpha must be > 0, got $alpha")
+    // pinned for the same multi-subtree reason as filterByClassifier
+    val model = trainNaiveBayes(docs, labelCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = marginToward(docs, idCol, textCol, model, keepLabel, addK)
+    val u = conv(substring(md5(concat_ws(":", lit(seed),
+        col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+    val lhs = round(-log(lit(1.0) - u) / alpha, 6)
+    val rhs = round(log(lit(2.0)
+      - lit(1.0) / (lit(1.0) + exp(-col("margin_keep")))), 6)
+    val picked = m.filter(lhs > rhs).select(col("doc_id").as(idCol))
+    docs.join(picked, Seq(idCol), "left_semi")
+  }
+
   /** Per-(doc, label) log-posterior frame — the shared scoring core. */
   private def scoreFrame(docs: DataFrame, idCol: String, textCol: String,
                          model: DataFrame, addK: Double,

@@ -156,4 +156,59 @@ class ClassifierSpec extends SparkSpec {
         maxLabels = 1)
     }
   }
+
+  test("marginToward: signed toward the designated label; two-label symmetry") {
+    val model = Classifier.trainNaiveBayes(seed, "label", "text")
+    val docs = Seq((10L, "x x"), (11L, "y y")).toDF("doc_id", "text")
+    // with exactly two labels, margin toward 'a' is +margin when the
+    // argmax is 'a' and -margin when it is 'b'
+    val mw = Classifier.classifyNaiveBayesWithMargin(docs, "doc_id", "text", model)
+      .select("doc_id", "pred_label", "margin")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val mt = Classifier.marginToward(docs, "doc_id", "text", model, "a")
+      .select("doc_id", "margin_keep")
+      .as[(Long, Double)].collect().toMap
+    assert(mw(10L)._1 == "a" && mt(10L) == mw(10L)._2, (mw, mt).toString)
+    assert(mw(11L)._1 == "b" && mt(11L) == -mw(11L)._2, (mw, mt).toString)
+    // a keepLabel the model never saw -> NULL margins
+    val absent = Classifier.marginToward(docs, "doc_id", "text", model, "zz")
+    assert(absent.filter(col("margin_keep").isNotNull).count() == 0)
+  }
+
+  test("filterByClassifierPareto matches the hand-replayed log-domain condition") {
+    val corpus = Seq(
+      (1L, "a", "x x y"), (2L, "a", "x z"), (3L, "b", "y y z"),
+      (4L, "a", "x x x"), (5L, "b", "y z y"), (6L, "b", "z z y"))
+      .toDF("doc_id", "label", "text")
+    val kept = Classifier.filterByClassifierPareto(corpus, "doc_id", "label",
+        "text", keepLabel = "a", alpha = 9.0, seed = "t")
+      .select("doc_id").as[Long].collect().toSet
+    val again = Classifier.filterByClassifierPareto(corpus, "doc_id", "label",
+        "text", keepLabel = "a", alpha = 9.0, seed = "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == again)
+    // replay: margin toward 'a' per doc, md5 uniform, rounded log-domain compare
+    val model = Classifier.trainNaiveBayes(corpus, "label", "text")
+    val margins = Classifier.marginToward(corpus, "doc_id", "text", model, "a")
+      .select("doc_id", "margin_keep").as[(Long, Double)].collect().toMap
+    def r6(x: Double) = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def uniform(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t:$id".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    val expect = margins.keySet.filter { id =>
+      r6(-math.log(1.0 - uniform(id)) / 9.0) >
+        r6(math.log(2.0 - 1.0 / (1.0 + math.exp(-margins(id)))))
+    }
+    assert(kept == expect, s"got $kept expected $expect")
+    // keepLabel absent from the model -> NULL margins -> nothing kept
+    assert(Classifier.filterByClassifierPareto(corpus, "doc_id", "label",
+      "text", keepLabel = "zz", seed = "t").count() == 0)
+    intercept[IllegalArgumentException] {
+      Classifier.filterByClassifierPareto(corpus, "doc_id", "label", "text",
+        keepLabel = "a", alpha = 0.0)
+    }
+  }
 }
