@@ -1341,6 +1341,15 @@ object SparkEntry {
       Curation.mixtureSample(t(s, d, "documents"), "source", "doc_id",
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), targetRows = 60)
         .select("doc_id", "source").orderBy("doc_id")),
+    // mT5 temperature sampling (α=0.3, the paper's value): weights n^α
+    // derived from the data's own group masses, Σw order-independent via
+    // DECIMAL(38,18), then the same md5-prefix threshold machinery as
+    // q_cur_mixture_sample. Oracle replays pow, the DECIMAL sum and the
+    // left-associated fraction chain verbatim.
+    "q_cur_mixture_temp" -> ((s, d) =>
+      Curation.mixtureSampleTemperature(t(s, d, "documents"), "source",
+          "doc_id", alpha = 0.3, targetRows = 200)
+        .select("doc_id", "source").orderBy("doc_id")),
     // Z-order layout key over (custkey, order day): exact integer min/max
     // normalization to a 16-bit grid + bit interleave — the multi-column
     // clustering key writeZOrdered sorts by so parquet min/max stats prune
@@ -3329,6 +3338,24 @@ object SparkEntry {
         |                         WHEN 'src1' THEN 0.3
         |                         ELSE 0.2 END
         |      / (0.5 + 0.3 + 0.2) / c.n) * 4294967296.0)
+        |ORDER BY doc_id""".stripMargin,
+    // Temperature mixture: pow on exact integer masses, DECIMAL Σw, the
+    // same prefix-threshold machinery.
+    "q_cur_mixture_temp" ->
+      """WITH c AS (
+        |  SELECT source AS g, count(*) AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1),
+        |w AS (SELECT g, n, pow(CAST(n AS DOUBLE), 0.3) AS w FROM c),
+        |s AS (SELECT CAST(sum(CAST(w AS DECIMAL(38,18))) AS DOUBLE) AS ws
+        |      FROM w),
+        |p AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS pri
+        |  FROM documents)
+        |SELECT doc_id, p.source FROM p JOIN w ON w.g = p.source CROSS JOIN s
+        |WHERE pri < round(least(1.0,
+        |    200.0 * w.w / s.ws / CAST(w.n AS DOUBLE)) * 4294967296.0)
         |ORDER BY doc_id""".stripMargin,
     // Same threshold machinery as q_cur_mixture_sample but fractions
     // derived from per-group BIGINT token sums; left-associated double

@@ -277,6 +277,51 @@ object Curation {
     df.filter(pri < thCol)
   }
 
+  /** TEMPERATURE-flattened source mixture (the mT5 recipe, Xue et al.
+    * 2021 §3.1: sample group g with probability ∝ p_g^α, α < 1 boosting
+    * low-resource groups that proportional sampling would starve) —
+    * [[mixtureSample]] with the weights COMPUTED from the group masses,
+    * w_g = n_g^α, instead of supplied. α = 1 degenerates to proportional
+    * (uniform fractions); α → 0 approaches equal shares per group.
+    *
+    * Same scale shape as its sibling: one metadata-scale group-count
+    * pull (guarded at 4096 — here the groups come from the DATA, so the
+    * guard runs after a limit-bounded collect), then a row-local
+    * codegen'd prefix filter; no shuffle of data rows.
+    *
+    * Oracle portability: w_g is one `pow` on an exact-in-double integer
+    * mass (last-ulp class, like the repo's ln/exp terms); Σw runs
+    * through DECIMAL(38,18) so it is summation-ORDER-independent — the
+    * driver's map order and the oracle's aggregation order cannot
+    * diverge — and the fraction keeps [[mixtureSample]]'s left-associated
+    * `target·w/Σw/n` double chain, replayed verbatim in SQL.
+    */
+  def mixtureSampleTemperature(df: DataFrame, groupCol: String, idCol: String,
+                               alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"mixtureSampleTemperature: alpha must be in (0, 1], got $alpha")
+    require(targetRows >= 0,
+      s"mixtureSampleTemperature: targetRows must be >= 0, got $targetRows")
+    val rows = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .limit(4097).collect()
+    require(rows.length <= 4096,
+      "mixtureSampleTemperature: more than 4096 groups — the driver-side " +
+        "count pull is bounded (capPerGroup's cap); coarsen the grouping")
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w = counts.map { case (g, n) => g -> math.pow(n.toDouble, alpha) }
+    val wSum = w.values
+      .map(v => new java.math.BigDecimal(v)
+        .setScale(18, java.math.RoundingMode.HALF_UP))
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      .doubleValue()
+    val fractions = w.map { case (g, wg) =>
+      g -> math.min(1.0, targetRows * wg / wSum / counts(g))
+    }
+    sampleStratified(df, groupCol, idCol, fractions, defaultFraction = 0.0)
+  }
+
   /** Deterministic SOURCE-MIXTURE resampling — "make the training mix 50%
     * web, 30% books, 20% code": given relative target weights per group
     * and a target corpus size, derive each group's keep-fraction

@@ -152,6 +152,13 @@ object CorpusPipeline {
                              weights: Map[String, Double], targetTokens: Long)
       extends Step
 
+  /** Temperature-flattened mixture at a row budget (late r10,
+    * [[graft.operators.Curation.mixtureSampleTemperature]]) — weights
+    * n_g^α derived from the data's own group masses, the mT5 recipe.
+    */
+  final case class MixTemperature(groupCol: String, alpha: Double,
+                                  targetRows: Long) extends Step
+
   /** Rewrite `textCol` with `f(id, text)`'s `text_clean` output while
     * preserving every other column (inner join back on id — both span
     * dedups emit one row per input doc, so no rows are lost).
@@ -278,6 +285,9 @@ object CorpusPipeline {
         case MixTokens(groupCol, tokenCol, weights, targetTokens) =>
           graft.operators.Curation.mixtureSampleByTokens(d, groupCol, idCol,
             tokenCol, weights, targetTokens)
+        case MixTemperature(groupCol, alpha, targetRows) =>
+          graft.operators.Curation.mixtureSampleTemperature(d, groupCol,
+            idCol, alpha, targetRows)
       }
     }
 }

@@ -160,6 +160,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out == (1L to 10L).toSet, out.toString) // 11 over floor, 12 unscorable
   }
 
+  test("MixTemperature step equals the operator; composes after a floor") {
+    val corpus = ((1L to 80L).map(i => (i, "head", "some words here repeated " * 3)) ++
+      (81L to 90L).map(i => (i, "tail", "rare words " * 5)))
+      .toDF("doc_id", "g", "text")
+    val out = CorpusPipeline.run(corpus, "doc_id", "text", Seq(
+        QualityFloor(minTokens = 2),
+        MixTemperature("g", alpha = 0.3, targetRows = 30)))
+      .select("doc_id").as[Long].collect().toSet
+    val expect = graft.operators.Curation.mixtureSampleTemperature(
+        CorpusPipeline.run(corpus, "doc_id", "text", Seq(QualityFloor(2))),
+        "g", "doc_id", alpha = 0.3, targetRows = 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == expect && out.nonEmpty)
+  }
+
   test("DsirSelect keeps the docs resembling the target exemplar; schema preserved") {
     // Target vocabulary {x,y}; half the corpus speaks it, half is noise.
     val target = Seq((100L, "x y x y"), (101L, "y x")).toDF("id", "body")

@@ -262,6 +262,49 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSampleTemperature: alpha=1 is proportional; alpha<1 boosts the tail") {
+    // head: 400 rows, tail: 25 rows
+    val df = ((1L to 400L).map(i => (i, "head")) ++
+      (401L to 425L).map(i => (i, "tail"))).toDF("id", "g")
+    // alpha = 1: w ∝ n, fractions uniform target/N — both groups keep ~the
+    // same FRACTION, and the result equals mixtureSample with w = n
+    val t1 = Curation.mixtureSampleTemperature(df, "g", "id",
+        alpha = 1.0, targetRows = 100)
+      .select("id").as[Long].collect().toSet
+    val prop = Curation.mixtureSample(df, "g", "id",
+        Map("head" -> 400.0, "tail" -> 25.0), targetRows = 100)
+      .select("id").as[Long].collect().toSet
+    assert(t1 == prop, s"alpha=1 diverged from proportional")
+    // alpha = 0.3 flattens: the tail's keep-FRACTION must exceed the
+    // head's (n^0.3/n decreasing in n); exact fractions hand-computed
+    val t3 = Curation.mixtureSampleTemperature(df, "g", "id",
+        alpha = 0.3, targetRows = 100)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    val wh = math.pow(400.0, 0.3); val wt = math.pow(25.0, 0.3)
+    val fh = 100.0 * wh / (wh + wt) / 400.0 // ≈ 0.174
+    val ft = 100.0 * wt / (wh + wt) / 25.0  // ≈ 1.19 -> capped at 1
+    assert(ft > 1.0 && fh < 0.25, s"$fh / $ft")
+    assert(t3("tail") == 25L, t3.toString) // capped group keeps everything
+    assert(t3("head") >= 40L && t3("head") <= 100L, t3.toString)
+    // nested in targetRows, like the sibling
+    val t3small = Curation.mixtureSampleTemperature(df, "g", "id",
+        alpha = 0.3, targetRows = 40)
+      .select("id").as[Long].collect().toSet
+    val t3big = Curation.mixtureSampleTemperature(df, "g", "id",
+        alpha = 0.3, targetRows = 100)
+      .select("id").as[Long].collect().toSet
+    assert(t3small.subsetOf(t3big))
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSampleTemperature(df, "g", "id", alpha = 0.0, targetRows = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSampleTemperature(df, "g", "id", alpha = 1.5, targetRows = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSampleTemperature(df, "g", "id", alpha = 0.5, targetRows = -1)
+    }
+  }
+
   test("mixtureSampleByTokens: token-mass fractions, cap regime, zero-sum drops") {
     // g0: 10 rows x 100 tokens = 1000; g1: 100 rows x 50 = 5000;
     // g2: zero tokens; g3: unweighted
