@@ -266,7 +266,11 @@ object SparkEntry {
       // r10: bills the same NB train+score chain as the benched
       // q_text_nb_margin; the Pareto-keep delta is a filter, not a new
       // engine shape — membership stays oracled here.
-      "q_text_nb_pareto")
+      "q_text_nb_pareto",
+      // late r10: gate with planted-copy truth construction (the quality-
+      // gate ruling); the production cross-corpus LSH probe shape is
+      // already benched via q_dedup_minhash_candidates / the probe gate.
+      "q_dedup_decontam_fuzzy_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -953,6 +957,38 @@ object SparkEntry {
           (col("__miss") === 0L).as("no_false_negatives"),
           (col("__extra") <= greatest(lit(1L), (col("__n") * lit(0.02)).cast("long")))
             .as("overremoval_bounded"))
+    }),
+    // Fuzzy-decontamination gate (verify-only, the bloom-gate pattern):
+    // plant verbatim copies of the eval slice into the corpus under
+    // shifted ids, run the MinHash-similarity decontamination, and pin
+    // (a) every planted copy AND every in-corpus eval original is dropped
+    // — identical text has an identical signature, so est = 1.0 ≥ any
+    // threshold, an engine invariant not a probabilistic hope — and
+    // (b) clean-doc over-removal stays under 2% (deterministic for a
+    // fixed corpus: seedless xxhash both sides). Counts oracle-exact.
+    "q_dedup_decontam_fuzzy_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val eval = docs.filter(col("doc_id") % 25 === 0)
+      val planted = eval.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"))
+      val corpus = docs.unionByName(planted)
+      val kept = Dedup.decontaminateFuzzy(corpus, eval, "doc_id", "text",
+        "text", minEstJaccard = 0.5)
+      val keptEvalish = kept.filter(col("doc_id") >= 1000000L ||
+        col("doc_id") % 25 === 0)
+      val cleanDropped = docs.filter(col("doc_id") % 25 =!= 0)
+        .join(kept, Seq("doc_id"), "left_anti")
+      corpus.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(eval.agg(count(lit(1)).as("n_planted")))
+        .crossJoin(keptEvalish.agg(count(lit(1)).as("__ev")))
+        .crossJoin(cleanDropped.agg(count(lit(1)).as("__cd")))
+        .crossJoin(docs.filter(col("doc_id") % 25 =!= 0)
+          .agg(count(lit(1)).as("__nc")))
+        .select(col("n_corpus"), col("n_planted"),
+          (col("__ev") === 0L).as("evalish_all_dropped"),
+          (col("__cd") <= greatest(lit(1L),
+            (col("__nc") * lit(0.02)).cast("long")))
+            .as("clean_overremoval_bounded"))
     }),
     // ---- embedding near-dup dedup (end-to-end) --------------------------
     // Vector-similarity duplicate groups: exact-cosine pairs -> connected
@@ -2551,6 +2587,18 @@ object SparkEntry {
         |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
         |  SELECT * FROM r)
         |SELECT id, min(label) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // Exact counts + the two pinned booleans (the bloom-gate convention:
+    // the oracle asserts the invariants as constants; a Spark-side false
+    // hash-mismatches the row).
+    "q_dedup_decontam_fuzzy_gate" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents)
+        |    + (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |       WHERE doc_id % 25 = 0) AS n_corpus,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |   WHERE doc_id % 25 = 0) AS n_planted,
+        |  true AS evalish_all_dropped,
+        |  true AS clean_overremoval_bounded""".stripMargin,
     "q_dedup_decontam_bloom_gate" ->
       """WITH ct AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),

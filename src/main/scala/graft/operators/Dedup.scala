@@ -826,6 +826,61 @@ object Dedup {
         .filter(col("n_hits") >= minHits).select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** FUZZY decontamination (late r10): drop corpus docs whose
+    * MinHash-ESTIMATED Jaccard against ANY eval doc reaches
+    * `minEstJaccard` — the near-duplicate leak [[decontaminate]]'s
+    * n-gram-hit rule is the wrong tool for: exact hits fire on ANY
+    * shared n-grams (recall-oriented, over-removes on common phrases at
+    * low `minHits`), while this fires only when a corpus doc is
+    * substantially the SAME document as an eval doc (light paraphrase,
+    * whitespace/punctuation variants) — the fuzzy decontamination recent
+    * open-model pipelines run alongside the exact pass.
+    *
+    * Shape: CROSS-corpus LSH, never corpus×corpus — both sides map to
+    * banded signatures (the one-pass native, no shuffle), buckets join
+    * band-wise with the eval side small (benchmarks are bounded;
+    * broadcast-sized after banding), estimated Jaccard = matching
+    * signature positions / k on collided pairs only, then one anti-join.
+    * Verbatim copies have IDENTICAL signatures (est = 1), so exact
+    * leakage can never slip through the estimator — the gate pins that
+    * invariant.
+    */
+  def decontaminateFuzzy(corpus: DataFrame, evalDocs: DataFrame,
+                         idCol: String, textCol: String, evalTextCol: String,
+                         shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                         minEstJaccard: Double = 0.5,
+                         maxBucketRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
+    require(minEstJaccard > 0.0 && minEstJaccard <= 1.0,
+      s"decontaminateFuzzy: minEstJaccard must be in (0,1], got $minEstJaccard")
+    val k = bands * rowsPerBand
+    // eval docs need no identity — only which corpus docs collide matters
+    def banded(df: DataFrame, text: Column, side: String,
+               keepIn: Seq[Column], keepOut: Seq[Column]) = df
+      .select(keepIn :+ graft.expressions.TextHashExpressions
+        .minHashSignature(text, shingleN, k).as(s"sig_$side"): _*)
+      .filter(col(s"sig_$side").isNotNull)
+      .select(keepOut :+ col(s"sig_$side") :+
+        posexplode(array((0 until bands).map(b =>
+          hash((b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => element_at(col(s"sig_$side"), i + 1)): _*)): _*)): _*)
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val corpusBanded = banded(corpus, col(textCol), "c",
+      Seq(col(idCol).as("c_id")), Seq(col("c_id")))
+    Guardrails.requireBoundedBuckets(corpusBanded, Seq("band", "bucket"),
+      maxBucketRows, s"decontaminateFuzzy(bands=$bands, rowsPerBand=$rowsPerBand)",
+      "raise rowsPerBand or exact-dedup the corpus first")
+    val evalBanded = broadcast(banded(evalDocs, col(evalTextCol), "e",
+      Nil, Nil))
+    val est = size(filter(zip_with(col("sig_c"), col("sig_e"),
+      (a, b) => a === b), x => x)).cast("double") / k
+    val hit = corpusBanded
+      .join(evalBanded, Seq("band", "bucket"))
+      .select(col("c_id"), est.as("est"))
+      .filter(col("est") >= minEstJaccard)
+      .select(col("c_id").as(idCol)).distinct()
+    corpus.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** [[contaminationHits]] when the eval n-gram set OUTGROWS a broadcast
     * hash set: the benchmark side is folded into a Bloom filter instead of
     * a set — a 100M-n-gram suite at fpp 1e-4 is ~240 MB as distinct strings

@@ -82,6 +82,22 @@ object Dsir {
     hashedNgramFeatures(docs, idCol, textCol, buckets)
       .groupBy("bucket").agg(sum("cnt").as("cnt"))
 
+  /** O(batch) model maintenance: fold a new batch's features into an
+    * existing bag model — counts are additive, so
+    * `updateFeatureModel(featureModel(A), B) ≡ featureModel(A ∪ B)`
+    * (spec-pinned) and the persisted-model path ("train once, keep
+    * selecting as the corpus grows") never revisits A. One aggregate
+    * over the batch plus a ≤ 2·buckets-row merge.
+    */
+  def updateFeatureModel(model: DataFrame, newDocs: DataFrame, idCol: String,
+                         textCol: String, buckets: Int): DataFrame = {
+    require(model.columns.toSeq.sorted == Seq("bucket", "cnt"),
+      s"updateFeatureModel: not a feature model (want columns bucket, cnt; " +
+        s"got ${model.columns.mkString(", ")})")
+    model.unionByName(featureModel(newDocs, idCol, textCol, buckets))
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+  }
+
   /** Per-document log importance weight against two trained models:
     * log w(x) = Σ_b c_x(b) · [ln p̂_t(b) − ln p̂_r(b)] with Lidstone
     * smoothing p̂(b) = (cnt_b + k) / (tot + k·B). Returns one row per

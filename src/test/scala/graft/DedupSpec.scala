@@ -112,6 +112,38 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("decontaminateFuzzy: verbatim + near-verbatim leaks drop, shared-phrase docs survive") {
+    val evalText = "the capital of france is paris and the capital of spain is madrid clearly"
+    val corpus = Seq(
+      1L -> evalText, // verbatim copy: identical signature, est = 1.0
+      2L -> evalText.replace("clearly", "obviously"), // near-verbatim variant
+      // shares a phrase (a few shingles) but is mostly its own document —
+      // exact decontamination at minHits=3 would remove it; fuzzy keeps it
+      3L -> ("an essay mentioning the capital of france is paris once then " +
+        "wandering into entirely different material about bread baking for many tokens"),
+      4L -> "a completely unrelated recipe for sourdough bread with rye flour"
+    ).toDF("doc_id", "text")
+    val eval = Seq(100L -> evalText).toDF("doc_id", "text")
+    val kept = Dedup.decontaminateFuzzy(corpus, eval, "doc_id", "text", "text",
+        minEstJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), kept.toString)
+    // the exact pass IS stricter on shared phrases: doc 3 dies there
+    val keptExact = Dedup.decontaminate(corpus, eval, "doc_id", "text", "text",
+        ngramN = 3, minHits = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!keptExact.contains(3L))
+    // threshold guard
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateFuzzy(corpus, eval, "doc_id", "text", "text",
+        minEstJaccard = 0.0)
+    }
+    // unsignable corpus docs (< shingleN tokens) are never dropped
+    val shorty = Seq(9L -> "too short").toDF("doc_id", "text")
+    assert(Dedup.decontaminateFuzzy(shorty, eval, "doc_id", "text", "text")
+      .count() == 1L)
+  }
+
   test("native minHashSignature: k mins, identical texts agree, short text null") {
     import graft.expressions.TextHashExpressions.minHashSignature
     val df = Seq((1L, "the quick brown fox jumps"),

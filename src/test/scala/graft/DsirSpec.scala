@@ -122,6 +122,20 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("updateFeatureModel: incremental fold equals full retrain") {
+    val a = raw.filter(col("doc_id") <= 3L)
+    val b = raw.filter(col("doc_id") > 3L)
+    val incremental = Dsir.updateFeatureModel(
+        Dsir.featureModel(a, "doc_id", "text", B), b, "doc_id", "text", B)
+      .as[(Long, Long)].collect().toSet
+    val full = Dsir.featureModel(raw, "doc_id", "text", B)
+      .as[(Long, Long)].collect().toSet
+    assert(incremental == full)
+    intercept[IllegalArgumentException] {
+      Dsir.updateFeatureModel(raw, b, "doc_id", "text", B) // not a model
+    }
+  }
+
   test("weights are partitioning-invariant (the DECIMAL-sum order-independence claim)") {
     val tm = Dsir.featureModel(target, "doc_id", "text", B)
     val rm = Dsir.featureModel(raw, "doc_id", "text", B)
