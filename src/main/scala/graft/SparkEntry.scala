@@ -1032,6 +1032,19 @@ object SparkEntry {
           (count(when(col("__t") =!= 3L, 1)) === 0L).as("survivors_match"))
     }),
     // ---- text analysis --------------------------------------------------
+    // The full named Gopher §A1.1 document-quality rule set (late r10):
+    // per-rule booleans + the conjunction, all exact integer counting and
+    // single IEEE comparisons — replayed rule-for-rule in DuckDB.
+    "q_text_gopher_rules" -> ((s, d) => {
+      val feats = TextAnalysis.gopherRules(col("text"))
+      val pass = feats.collect {
+        case (n, c) if n.startsWith("r_") => c
+      }.reduce(_ && _)
+      t(s, d, "documents")
+        .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) } :+
+          pass.as("pass"): _*)
+        .orderBy("doc_id")
+    }),
     "q_text_quality" -> ((s, d) => {
       val doc = t(s, d, "documents")
       val feats = TextAnalysis.qualityFeatures(col("text"))
@@ -2947,6 +2960,52 @@ object SparkEntry {
         |  true AS probe_exact_recall_ok, true AS probe_est_exact_ok
         |FROM ne a JOIN ne b
         |ON a.id < 120 AND b.id >= 120 AND a.tk = b.tk""".stripMargin,
+    // Rule-for-rule Gopher replay: same tokenization, same line split,
+    // same regexes (Java∩RE2 char classes), same decimal thresholds.
+    "q_text_gopher_rules" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> '') AS w,
+        |    list_filter(string_split(text, chr(10)), l -> l <> '') AS ls
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(w) AS nw,
+        |    coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS cs,
+        |    len(regexp_extract_all(text, '[#…]')) AS nsym,
+        |    len(ls) AS nl,
+        |    len(list_filter(ls, l -> trim(l) LIKE '•%'
+        |      OR trim(l) LIKE '- %' OR trim(l) LIKE '* %')) AS nb,
+        |    len(list_filter(ls, l -> trim(l) LIKE '%...'
+        |      OR trim(l) LIKE '%…')) AS ne,
+        |    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS na,
+        |    len(list_intersect(list_transform(w, x -> lower(x)),
+        |      ['the','be','to','of','and','that','have','with'])) AS nstop
+        |  FROM t0)
+        |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        |  (nw >= 50 AND nw <= 100000) AS r_word_count,
+        |  (nw > 0 AND CAST(cs AS DOUBLE) / CAST(nw AS DOUBLE) >= 3.0
+        |     AND CAST(cs AS DOUBLE) / CAST(nw AS DOUBLE) <= 10.0)
+        |    AS r_avg_word_len,
+        |  (nw > 0 AND CAST(nsym AS DOUBLE) / CAST(nw AS DOUBLE) <= 0.1)
+        |    AS r_symbol_ratio,
+        |  (nl = 0 OR CAST(nb AS DOUBLE) / CAST(nl AS DOUBLE) < 0.9)
+        |    AS r_bullet_lines,
+        |  (nl = 0 OR CAST(ne AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.3)
+        |    AS r_ellipsis_lines,
+        |  (nw > 0 AND CAST(na AS DOUBLE) / CAST(nw AS DOUBLE) >= 0.8)
+        |    AS r_alpha_words,
+        |  (nstop >= 2) AS r_stopwords,
+        |  ((nw >= 50 AND nw <= 100000)
+        |   AND (nw > 0 AND CAST(cs AS DOUBLE) / CAST(nw AS DOUBLE) >= 3.0
+        |        AND CAST(cs AS DOUBLE) / CAST(nw AS DOUBLE) <= 10.0)
+        |   AND (nw > 0 AND CAST(nsym AS DOUBLE) / CAST(nw AS DOUBLE) <= 0.1)
+        |   AND (nl = 0 OR CAST(nb AS DOUBLE) / CAST(nl AS DOUBLE) < 0.9)
+        |   AND (nl = 0 OR CAST(ne AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.3)
+        |   AND (nw > 0 AND CAST(na AS DOUBLE) / CAST(nw AS DOUBLE) >= 0.8)
+        |   AND (nstop >= 2)) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'

@@ -71,6 +71,73 @@ object TextAnalysis {
     )
   }
 
+  /** The Gopher/MassiveText DOCUMENT-quality rule set (Rae et al. 2021
+    * §A1.1) as named per-rule booleans — the published heuristic filter
+    * most English web pipelines start from, complementing
+    * [[qualityFeatures]] (raw ratios, caller thresholds) with the paper's
+    * own thresholds, and [[repetitionStats]] (the §A1.1 repetition rules,
+    * separate because they need corpus-free but multi-row aggregates):
+    *
+    *   - `r_word_count`: 50 ≤ words ≤ 100,000
+    *   - `r_avg_word_len`: mean word length in [3, 10]
+    *   - `r_symbol_ratio`: (# + …) / words ≤ 0.1
+    *   - `r_bullet_lines`: < 90% of lines start with a bullet
+    *   - `r_ellipsis_lines`: ≤ 30% of lines end with an ellipsis
+    *   - `r_alpha_words`: ≥ 80% of words contain a letter
+    *   - `r_stopwords`: ≥ 2 distinct of the paper's 8 stop words
+    *
+    * plus `pass` = all rules. Everything is exact integer counting plus
+    * single IEEE comparisons against decimal literals — fully
+    * oracle-portable, one codegen'd scan, no shuffle. Degenerate docs
+    * (0 words / 0 lines) fail the word-count rule and pass the
+    * line-shape rules vacuously (no lines to violate), matching the
+    * paper's remove-too-short-first ordering.
+    */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val w = words(text)
+    val nW = size(w)
+    val charSum = aggregate(transform(w, x => length(x)), lit(0),
+      (acc, x) => acc + x)
+    val nSym = size(regexp_extract_all(text, lit("[#…]"), lit(0)))
+    val lines = filter(split(text, "\n"), l => l =!= "")
+    val nL = size(lines)
+    val nBullet = size(filter(lines,
+      l => trim(l).startsWith("•") || trim(l).startsWith("- ") ||
+        trim(l).startsWith("* ")))
+    val nEllipsis = size(filter(lines,
+      l => trim(l).endsWith("...") || trim(l).endsWith("…")))
+    val nAlpha = size(filter(w, x => x.rlike("[A-Za-z]")))
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val nStopDistinct = size(array_intersect(
+      transform(w, x => lower(x)),
+      array(gopherStops.map(lit): _*)))
+    Seq(
+      "n_words" -> nW.cast("long"),
+      "r_word_count" -> (nW >= 50 && nW <= 100000),
+      "r_avg_word_len" -> (nW > 0 &&
+        charSum.cast("double") / nW.cast("double") >= 3.0 &&
+        charSum.cast("double") / nW.cast("double") <= 10.0),
+      "r_symbol_ratio" -> (nW > 0 &&
+        nSym.cast("double") / nW.cast("double") <= 0.1),
+      "r_bullet_lines" -> (nL === 0 ||
+        nBullet.cast("double") / nL.cast("double") < 0.9),
+      "r_ellipsis_lines" -> (nL === 0 ||
+        nEllipsis.cast("double") / nL.cast("double") <= 0.3),
+      "r_alpha_words" -> (nW > 0 &&
+        nAlpha.cast("double") / nW.cast("double") >= 0.8),
+      "r_stopwords" -> (nStopDistinct >= 2))
+  }
+
+  /** [[gopherRules]] as a keep-filter: retain docs passing every rule —
+    * the composable stage form (pair with [[repetitionStats]]-based
+    * filtering for the paper's full §A1.1).
+    */
+  def filterByGopherRules(df: DataFrame, textCol: String): DataFrame =
+    df.filter(gopherRules(col(textCol)).collect {
+      case (name, c) if name.startsWith("r_") => c
+    }.reduce(_ && _))
+
   /** Heuristic language ID by stopword votes (deterministic tie-break:
     * en >= es >= fr >= unknown). N-gram-free variant suited to a codegen'd
     * scan; swap the word lists per deployment.

@@ -80,6 +80,11 @@ object CorpusPipeline {
   /** Keep docs with at least `minTokens` whitespace tokens. */
   final case class QualityFloor(minTokens: Int) extends Step
 
+  /** Keep docs passing the full named Gopher §A1.1 rule set (late r10,
+    * [[graft.operators.TextAnalysis.filterByGopherRules]]).
+    */
+  case object GopherQuality extends Step
+
   /** Drop the high-perplexity tail under a bigram LM
     * ([[graft.operators.LanguageModel.perplexity]]) — the CCNet quality
     * filter. `lm = None` trains on the corpus being filtered (the
@@ -224,6 +229,8 @@ object CorpusPipeline {
         case QualityFloor(minTokens) =>
           d.filter(graft.operators.TextAnalysis.tokenCountWs(col(textCol))
             >= minTokens)
+        case GopherQuality =>
+          graft.operators.TextAnalysis.filterByGopherRules(d, textCol)
         case PerplexityFloor(maxPpl, lmOpt, addK) =>
           val scored = lmOpt match {
             case Some(lm) => graft.operators.LanguageModel

@@ -262,4 +262,39 @@ class TextAnalysisSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("gopherRules: each named rule fires on its own violation; clean doc passes") {
+    import graft.operators.TextAnalysis
+    val clean = ("the quick brown fox jumps over that lazy dog with style " * 6).trim
+    val docs = Seq(
+      1L -> clean,                                    // all rules pass
+      2L -> "the and of",                             // too few words
+      3L -> (Seq.fill(60)("a b") :+ "the of").mkString(" "), // avg word len < 3
+      4L -> (clean + " " + Seq.fill(8)("#").mkString(" ")),  // symbol ratio > 0.1
+      5L -> (Seq.fill(10)("• bullet line of the list")
+        .mkString("\n")),                             // 100% bullet lines
+      6L -> (Seq.fill(10)("the line trails off ...")
+        .mkString("\n")),                             // 100% ellipsis lines
+      7L -> (clean + " " + Seq.fill(20)("12345").mkString(" ")), // alpha < 80%
+      8L -> ("zzz qqq " * 30).trim                    // no gopher stopwords
+    ).toDF("doc_id", "text")
+    val feats = TextAnalysis.gopherRules(col("text"))
+    val got = docs.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        feats.map(_._1).zipWithIndex.collect {
+          case (n, i) if n.startsWith("r_") && !r.getBoolean(i + 1) => n
+        }.toSet).toMap
+    assert(got(1L) == Set.empty, got(1L).toString)
+    assert(got(2L).contains("r_word_count"))
+    assert(got(3L).contains("r_avg_word_len"))
+    assert(got(4L).contains("r_symbol_ratio"))
+    assert(got(5L).contains("r_bullet_lines"))
+    assert(got(6L).contains("r_ellipsis_lines"))
+    assert(got(7L).contains("r_alpha_words"))
+    assert(got(8L).contains("r_stopwords"))
+    // the filter form keeps exactly the all-pass docs
+    val kept = TextAnalysis.filterByGopherRules(docs, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), kept.toString)
+  }
 }
