@@ -1246,6 +1246,26 @@ object SparkEntry {
     // residue). The oracle rebuilds the identical input and replays the
     // identical regex chain in RE2, pinning the full rule order
     // character-for-character.
+    // URL-keyed dedup (late r10): fixture URLs constructed so decoration
+    // varies (scheme case, :443, trailing slash, utm) while ~350 canonical
+    // pages collide across the corpus; keep best by n_chars desc, doc_id
+    // tiebreak. Oracle replays the canon chain + the window exactly.
+    "q_dedup_by_url" -> ((s, d) => {
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://"))
+          .otherwise(lit("HTTPS://")),
+        lit("Site"), col("doc_id") % 7, lit(".Example.COM"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/page/"), col("doc_id") % 50,
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 1, concat(lit("?utm_source=feed&x="),
+          col("doc_id") % 4)).otherwise(lit("")))
+      Dedup.dedupByUrl(
+          t(s, d, "documents").select(col("doc_id"), col("n_chars"),
+            url.as("url")),
+          "url", prefer = Seq(col("n_chars").desc, col("doc_id").asc))
+        .select("doc_id", "n_chars", "url_canon").orderBy("doc_id")
+    }),
     "q_text_canon_url" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
           TextAnalysis.canonicalizeUrl(concat(
@@ -3344,6 +3364,40 @@ object SparkEntry {
     // authority, default ports, tracking params, separator repair,
     // trailing slash) in RE2 with global flags; \1\2 is RE2's spelling
     // of Java's $1$2 and both substitute "" for an unmatched group.
+    // Same canon rule chain as q_text_canon_url (carried n_chars through),
+    // then the keep-best window per canonical URL.
+    "q_dedup_by_url" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END
+        |    || 'Site' || (doc_id % 7) || '.Example.COM'
+        |    || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+        |    || '/page/' || (doc_id % 50)
+        |    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 1
+        |         THEN '?utm_source=feed&x=' || (doc_id % 4) ELSE '' END AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, n_chars,
+        |  regexp_replace(url, '#.*', '', 'g') AS u FROM u),
+        |s2 AS (SELECT doc_id, n_chars,
+        |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+        |    || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')
+        |    AS u FROM s1),
+        |s3 AS (SELECT doc_id, n_chars, regexp_replace(regexp_replace(u,
+        |  '^(http://[^/?#:]+):80([/?#].*)?$', '\1\2', 'g'),
+        |  '^(https://[^/?#:]+):443([/?#].*)?$', '\1\2', 'g') AS u FROM s2),
+        |s4 AS (SELECT doc_id, n_chars, regexp_replace(u,
+        |  '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g') AS u
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, n_chars, regexp_replace(regexp_replace(
+        |  regexp_replace(u, '&&+', '&', 'g'), '\?&', '?', 'g'),
+        |  '[?&]+$', '', 'g') AS u FROM s4),
+        |c AS (SELECT doc_id, n_chars,
+        |  regexp_replace(u, '/$', '', 'g') AS url_canon FROM s5)
+        |SELECT doc_id, n_chars, url_canon FROM c
+        |QUALIFY row_number() OVER (PARTITION BY url_canon
+        |  ORDER BY n_chars DESC, doc_id ASC) = 1
+        |ORDER BY doc_id""".stripMargin,
     "q_text_canon_url" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -45,6 +45,23 @@ object Dedup {
     * column after the version to make the survivor deterministic when
     * versions collide).
     */
+  /** URL-keyed dedup (late r10) — the CommonCrawl-style FIRST pass: many
+    * crawls of one page differ only by URL decoration (scheme case,
+    * default port, tracking params, trailing slash), so canonicalize
+    * ([[TextAnalysis.canonicalizeUrl]], the q_text_canon_url rule chain)
+    * and keep ONE doc per canonical URL by the caller's preference order
+    * (quality, recency — make it total; [[latestPerKeyOrdered]] appends
+    * no tiebreak of its own). Runs BEFORE content dedup: a keyed window,
+    * no signatures, no joins — the cheap 30–50% cut on raw crawl data.
+    * The canonical URL stays on the output (`canonCol`) for downstream
+    * domain stats.
+    */
+  def dedupByUrl(df: DataFrame, urlCol: String, prefer: Seq[Column],
+                 canonCol: String = "url_canon"): DataFrame =
+    latestPerKeyOrdered(
+      df.withColumn(canonCol, TextAnalysis.canonicalizeUrl(col(urlCol))),
+      Seq(canonCol), prefer)
+
   def latestPerKeyOrdered(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")

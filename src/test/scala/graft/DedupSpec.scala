@@ -112,6 +112,20 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("dedupByUrl: decoration variants collapse to one survivor by preference") {
+    val df = Seq(
+      (1L, 10L, "https://a.example/p1?utm_source=x"),
+      (2L, 20L, "HTTPS://A.example:443/p1"), // same canonical page, longer doc
+      (3L, 5L, "https://a.example/p1/"),     // trailing slash variant
+      (4L, 7L, "https://a.example/p2")       // different page
+    ).toDF("doc_id", "n_chars", "url")
+    val out = Dedup.dedupByUrl(df, "url",
+        prefer = Seq(col("n_chars").desc, col("doc_id").asc))
+      .select("doc_id", "url_canon").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(2L, 4L), out.toString)
+    assert(out(2L) == "https://a.example/p1")
+  }
+
   test("decontaminateFuzzy: verbatim + near-verbatim leaks drop, shared-phrase docs survive") {
     val evalText = "the capital of france is paris and the capital of spain is madrid clearly"
     val corpus = Seq(

@@ -20,6 +20,41 @@ class SparkEntrySpec extends SparkSpec {
       s"$covered of ${SparkEntry.queries.size} oracle-checked")
   }
 
+  test("every rows-only query is pinned by an oracled gate or portable twin") {
+    // The repo-wide claim "the meaningfully-unverified surface is zero":
+    // a query without oracle SQL must name at least one ORACLED companion
+    // (quality gate / portable twin / exact invariant) here. Adding a
+    // rows-only query without a pin fails this test by construction.
+    val pins: Map[String, Seq[String]] = Map(
+      "q_cur_pack_bpe" -> Seq("q_cur_pack_bpe_gate"),
+      "q_dedup_minhash_candidates" ->
+        Seq("q_dedup_minhash_gate", "q_dedup_minhash_portable"),
+      "q_dedup_semdedup" ->
+        Seq("q_dedup_semdedup_gate", "q_dedup_semdedup_portable"),
+      "q_dedup_simhash_groups" ->
+        Seq("q_dedup_simhash_gate", "q_dedup_simhash_portable"),
+      "q_dedup_simhash_neardup" ->
+        Seq("q_dedup_simhash_gate", "q_dedup_simhash_portable"),
+      "q_sim_ann_lsh" -> Seq("q_sim_recall_gate", "q_sim_ann_portable"),
+      "q_sim_ivf_indexed" -> Seq("q_sim_recall_gate", "q_sim_ivf_portable"),
+      "q_sim_ivf_topk" -> Seq("q_sim_recall_gate", "q_sim_ivf_portable"),
+      "q_sim_ivfpq_topk" -> Seq("q_sim_pq_gate", "q_sim_ivfpq_portable"),
+      "q_sim_pq_indexed" -> Seq("q_sim_pq_gate", "q_sim_pq_portable"),
+      "q_sim_pq_topk" -> Seq("q_sim_pq_gate", "q_sim_pq_portable"),
+      "q_text_bpe_encode" -> Seq("q_text_bpe_gate"),
+      "q_text_bpe_ids" -> Seq("q_text_bpe_ids_gate"))
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val unpinned = rowsOnly.filter(q => pins.getOrElse(q, Nil).isEmpty)
+    assert(unpinned.isEmpty, s"rows-only queries without a declared pin: $unpinned")
+    val danglingPins = pins.flatMap { case (q, ps) =>
+      ps.filterNot(SparkEntry.oracleSql.contains).map(p => s"$q -> $p")
+    }
+    assert(danglingPins.isEmpty,
+      s"pins that are not oracled queries themselves: $danglingPins")
+    val stale = pins.keySet -- rowsOnly
+    assert(stale.isEmpty, s"pinned queries that are no longer rows-only: $stale")
+  }
+
   test("every registered query executes and yields a non-empty schema at sf0.001") {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
