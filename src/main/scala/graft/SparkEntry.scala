@@ -270,7 +270,11 @@ object SparkEntry {
       // late r10: gate with planted-copy truth construction (the quality-
       // gate ruling); the production cross-corpus LSH probe shape is
       // already benched via q_dedup_minhash_candidates / the probe gate.
-      "q_dedup_decontam_fuzzy_gate")
+      "q_dedup_decontam_fuzzy_gate",
+      // late r10: the hashed-text-vector gate (double-vectorizes the
+      // corpus for the planted-copy invariant) and its md5 portable twin
+      // — the standing quality-gate / portable-twin ruling.
+      "q_text_hashvec_gate", "q_text_hashvec_portable")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -1032,6 +1036,53 @@ object SparkEntry {
           (count(when(col("__t") =!= 3L, 1)) === 0L).as("survivors_match"))
     }),
     // ---- text analysis --------------------------------------------------
+    // Embedding-free ANN (late r10): signed feature-hashing vectors from
+    // raw text composed with the integer-exact cosine pair machinery —
+    // rows-only (xxhash vectors), pinned by the gate + md5 portable twin.
+    "q_sim_text_ann" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(
+        t(s, d, "documents").select(col("doc_id"),
+            TextAnalysis.hashedTextVector(col("text"), 128).as("vec"))
+          .filter(col("vec").isNotNull),
+        "doc_id", "vec", maxId = 150, minCos = 0.7)
+        .orderBy("id_a", "id_b")),
+    // Gate (verify-only): (a) identical text ⇒ identical vector — exact,
+    // an engine invariant; (b) consecutive-id docs (different texts) stay
+    // well below cosine 1 on average — the discrimination side;
+    // (c) unvectorizable docs = docs with zero tokens, count oracled.
+    "q_text_hashvec_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val vec = TextAnalysis.hashedTextVector(col("text"), 64)
+      val v = docs.select(col("doc_id"), vec.as("v"))
+      val copies = docs.select((col("doc_id") + 1000000L).as("cid"),
+        col("text")).select((col("cid") - 1000000L).as("doc_id"),
+        vec.as("v2"))
+      val mism = v.join(copies, Seq("doc_id"))
+        .filter(col("v").isNotNull && not(col("v") === col("v2")))
+      val nb = v.select(col("doc_id").as("ida"), col("v").as("va"))
+        .join(v.select((col("doc_id") - 1L).as("ida"), col("v").as("vb")),
+          Seq("ida"))
+        .filter(col("va").isNotNull && col("vb").isNotNull)
+        .select((Similarity.dotQuantized(col("va"), col("vb")).cast("double") /
+          (sqrt(Similarity.dotQuantized(col("va"), col("va")).cast("double")) *
+           sqrt(Similarity.dotQuantized(col("vb"), col("vb")).cast("double"))))
+          .as("cos"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(mism.agg(count(lit(1)).as("__m")))
+        .crossJoin(nb.agg(avg(col("cos")).as("__c")))
+        .crossJoin(v.filter(col("v").isNull).agg(count(lit(1))
+          .as("n_unvectorizable")))
+        .select(col("n_docs"),
+          (col("__m") === 0L).as("identical_vectors_exact"),
+          (col("__c") < 0.8).as("neighbor_mean_cos_bounded"),
+          col("n_unvectorizable"))
+    }),
+    // md5 portable twin (verify-only): the sparse signed feature rows
+    // replayed bit-for-bit in DuckDB, including exact zero cancellations.
+    "q_text_hashvec_portable" -> ((s, d) =>
+      TextAnalysis.signedHashedFeaturesPortable(
+          t(s, d, "documents"), "doc_id", "text", dim = 64)
+        .orderBy("doc_id", "bucket")),
     // The full named Gopher §A1.1 document-quality rule set (late r10):
     // per-rule booleans + the conjunction, all exact integer counting and
     // single IEEE comparisons — replayed rule-for-rule in DuckDB.
@@ -2980,6 +3031,38 @@ object SparkEntry {
         |  true AS probe_exact_recall_ok, true AS probe_est_exact_ok
         |FROM ne a JOIN ne b
         |ON a.id < 120 AND b.id >= 120 AND a.tk = b.tk""".stripMargin,
+    // Exact doc count + the two pinned booleans + the oracled
+    // zero-token count (the quality-gate convention).
+    "q_text_hashvec_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS identical_vectors_exact,
+        |  true AS neighbor_mean_cos_bounded,
+        |  CAST(sum(CASE WHEN len(list_filter(
+        |      regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_unvectorizable
+        |FROM documents""".stripMargin,
+    // Same gram space, house md5 bucket, sign from md5('s:'||gram) parity,
+    // per-(doc,bucket) BIGINT sums — exact rows.
+    "q_text_hashvec_portable" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, unnest(t) AS g FROM tk
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1])) AS g
+        |  FROM tk WHERE len(t) >= 2)
+        |SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % 64 AS bucket,
+        |  CAST(sum(CASE WHEN CAST(concat('0x',
+        |      substr(md5('s:' || g), 1, 8)) AS BIGINT) % 2 = 0
+        |    THEN 1 ELSE -1 END) AS BIGINT) AS v
+        |FROM gr GROUP BY 1, 2
+        |ORDER BY doc_id, bucket""".stripMargin,
     // Rule-for-rule Gopher replay: same tokenization, same line split,
     // same regexes (Java∩RE2 char classes), same decimal thresholds.
     "q_text_gopher_rules" ->

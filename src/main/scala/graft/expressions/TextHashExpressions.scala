@@ -57,6 +57,54 @@ object MinHashOps {
   }
 }
 
+/** Native signed feature-hashing vector (the hashing trick, Weinberger et
+  * al. 2009, and fastText's input layer): unigrams + bigrams of the
+  * lowercased whitespace tokens, each hashed once — bucket =
+  * floorMod(h, dim), sign from an independent re-hash bit — accumulated
+  * into a dense `array<int>`. The embedding-free bridge from raw text into
+  * the vector stack (cosine near-dup, ANN, SemDeDup) when no model
+  * embeddings exist: identical texts get IDENTICAL vectors (exact, not
+  * probabilistic), near-identical texts nearly-parallel ones, and the
+  * signed accumulation keeps E[v_a·v_b] proportional to the n-gram
+  * overlap (collisions cancel in expectation instead of inflating). One
+  * static call per row inside codegen — tokenize+hash+fold, no explode,
+  * no shuffle; the integer entries compose with the repo's exact-cosine
+  * machinery. Token hash is the same `XXH64(tok, 42)` primitive as
+  * MinHash/SimHash; bigrams chain it (`hashLong(th(i), th(i+1) hash`)
+  * under a distinct seed so unigram and bigram spaces don't alias.
+  * No tokens → null (nothing to vectorize).
+  */
+object HashedVectorOps {
+  def compute(text: UTF8String, dim: Int): ArrayData = {
+    val raw = text.toLowerCase.toString.split("\\s+")
+    var nTok = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) nTok += 1; i += 1 }
+    if (nTok == 0) return null
+    val th = new Array[Long](nTok)
+    var j = 0
+    i = 0
+    while (i < raw.length) {
+      if (raw(i).nonEmpty) {
+        th(j) = XXH64.hashUTF8String(UTF8String.fromString(raw(i)), 42L)
+        j += 1
+      }
+      i += 1
+    }
+    val acc = new Array[Int](dim)
+    def add(h: Long): Unit = {
+      val idx = java.lang.Math.floorMod(h, dim.toLong).toInt
+      val sign = if (XXH64.hashLong(h, 7L) < 0L) -1 else 1
+      acc(idx) += sign
+    }
+    i = 0
+    while (i < nTok) { add(th(i)); i += 1 }
+    i = 0
+    while (i < nTok - 1) { add(XXH64.hashLong(th(i), XXH64.hashLong(th(i + 1), 77L))); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(acc)
+  }
+}
+
 /** Native SimHash: tokenize + 64 bit-votes over per-token xxhash64 in one
   * pass per row. Token hash is `XXH64.hashUTF8String(tok, 42)` — the exact
   * primitive behind Spark's `xxhash64(col)` — so the values are
@@ -459,6 +507,23 @@ object TextHashExpressions {
       inputTypes = Seq(StringType, IntegerType, IntegerType),
       propagateNull = true,
       returnNullable = true))
+
+  /** Dense `array<int>` signed feature-hashing vector (see
+    * [[HashedVectorOps]]); null when the text has no tokens.
+    */
+  def hashedTextVector(text: Column, dim: Int): Column = {
+    require(dim > 0 && dim <= (1 << 16),
+      s"hashedTextVector: dim must be in [1, 65536], got $dim — the dense " +
+        "per-row array is materialized per document")
+    GraftBridge.column(StaticInvoke(
+      HashedVectorOps.getClass,
+      ArrayType(IntegerType, containsNull = false),
+      "compute",
+      Seq(GraftBridge.expression(text), Literal(dim)),
+      inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true,
+      returnNullable = true))
+  }
 
   /** 64-bit SimHash of `text`, or null when the text has no tokens. */
   def simHash(text: Column): Column =

@@ -71,6 +71,45 @@ object TextAnalysis {
     )
   }
 
+  /** Embedding-free text VECTOR via the signed hashing trick (Weinberger
+    * et al. 2009; [[graft.expressions.TextHashExpressions.HashedVectorOps]]):
+    * dense `array<int>`, one codegen'd static call per row — the bridge
+    * from raw text into the vector stack (cosine near-dup, ANN, SemDeDup)
+    * when no model embeddings exist. Identical texts get IDENTICAL
+    * vectors (exact); signed accumulation keeps dot products proportional
+    * to n-gram overlap in expectation. Composes directly with
+    * [[Similarity.cosineNearDupPairs]]-style integer-exact machinery.
+    */
+  def hashedTextVector(text: Column, dim: Int): Column =
+    graft.expressions.TextHashExpressions.hashedTextVector(text, dim)
+
+  /** Sparse PORTABLE twin of [[hashedTextVector]] under the house md5
+    * hash: one (doc_id, bucket, v) ROW per touched bucket (the dense
+    * array is an engine-side shape; rows — including exact zero sums
+    * from sign cancellation — replay bit-for-bit in DuckDB). Same
+    * unigram+bigram feature space; sign = parity of md5("s:"||gram).
+    */
+  def signedHashedFeaturesPortable(docs: DataFrame, idCol: String,
+                                   textCol: String, dim: Int): DataFrame = {
+    require(dim > 0 && dim <= (1 << 16),
+      s"signedHashedFeaturesPortable: dim must be in [1, 65536], got $dim")
+    val tk = docs.select(col(idCol).as("doc_id"),
+      words(lower(col(textCol))).as("__tk"))
+    val uni = tk.select(col("doc_id"), explode(col("__tk")).as("__g"))
+    val bi = tk.filter(size(col("__tk")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("__tk")) - 1),
+          i => concat_ws(" ", element_at(col("__tk"), i),
+            element_at(col("__tk"), i + 1)))).as("__g"))
+    uni.unionAll(bi)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("__g")), 1, 8), 16, 10)
+          .cast("long") % dim).as("bucket"),
+        when(conv(substring(md5(concat(lit("s:"), col("__g"))), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("__s"))
+      .groupBy("doc_id", "bucket").agg(sum(col("__s")).as("v"))
+  }
+
   /** The Gopher/MassiveText DOCUMENT-quality rule set (Rae et al. 2021
     * §A1.1) as named per-rule booleans — the published heuristic filter
     * most English web pipelines start from, complementing

@@ -42,7 +42,9 @@ class SparkEntrySpec extends SparkSpec {
       "q_sim_pq_indexed" -> Seq("q_sim_pq_gate", "q_sim_pq_portable"),
       "q_sim_pq_topk" -> Seq("q_sim_pq_gate", "q_sim_pq_portable"),
       "q_text_bpe_encode" -> Seq("q_text_bpe_gate"),
-      "q_text_bpe_ids" -> Seq("q_text_bpe_ids_gate"))
+      "q_text_bpe_ids" -> Seq("q_text_bpe_ids_gate"),
+      "q_sim_text_ann" ->
+        Seq("q_text_hashvec_gate", "q_text_hashvec_portable"))
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val unpinned = rowsOnly.filter(q => pins.getOrElse(q, Nil).isEmpty)
     assert(unpinned.isEmpty, s"rows-only queries without a declared pin: $unpinned")

@@ -263,6 +263,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("hashedTextVector: identical texts agree exactly; empty text null; guards") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "ALPHA  beta\tgamma delta"), // case/whitespace variants agree
+      (3L, "totally different words appear here now"),
+      (4L, "   ")).toDF("id", "text")
+    val v = df.select(col("id"),
+        TextAnalysis.hashedTextVector(col("text"), 32).as("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    assert(v(1L) != null && v(1L).length == 32)
+    assert(v(1L) == v(2L))       // same token stream => same vector
+    assert(v(1L) != v(3L))
+    assert(v(4L) == null)        // nothing to vectorize
+    // mass bound: 4 unigrams + 3 bigrams = 7 signed increments
+    assert(v(1L).map(math.abs).sum <= 7)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.hashedTextVector(col("text"), 0)
+    }
+    // the sparse portable twin sums the same gram count (signs aside):
+    // per-doc Σ|v| over buckets ≤ grams, and doc 4 contributes no rows
+    val sp = TextAnalysis.signedHashedFeaturesPortable(df, "id", "text", 32)
+    assert(sp.filter(col("doc_id") === 4L).count() == 0)
+    val mass = sp.filter(col("doc_id") === 1L)
+      .agg(sum(abs(col("v")))).as[Long].head()
+    assert(mass <= 7L, mass.toString)
+  }
+
   test("gopherRules: each named rule fires on its own violation; clean doc passes") {
     import graft.operators.TextAnalysis
     val clean = ("the quick brown fox jumps over that lazy dog with style " * 6).trim
