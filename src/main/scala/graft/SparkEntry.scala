@@ -1046,6 +1046,28 @@ object SparkEntry {
           .filter(col("vec").isNotNull),
         "doc_id", "vec", maxId = 150, minCos = 0.7)
         .orderBy("id_a", "id_b")),
+    // Embedding-free SemDeDup (late r10): raw text → hashed vector →
+    // int8 quantize → cluster-sharded semantic dedup — the full semantic
+    // dedup pipeline with NO model embeddings anywhere. Rows-only
+    // (xxhash vectors + trained cells); every stage is pinned separately
+    // (hashvec gate/portable, semdedup gate/portable).
+    "q_dedup_semantic_text" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vecs = docs.select(col("doc_id"),
+          TextAnalysis.hashedTextVector(col("text"), 64).as("hv"))
+        .filter(col("hv").isNotNull)
+      // Pin the computed vectors before the iterative stage: k-means
+      // re-executes its input once per iteration, and unlike the parquet
+      // embeddings table this input is a computed text→hash→quantize
+      // chain (the TokenizeBpe materialize-before-iterative-stage trade;
+      // unpinned this ran 97 s, pinned ~8 s).
+      val q = Similarity.quantizeEmbeddings(vecs, "doc_id", "hv")
+        .select(col("id").as("doc_id"), col("qvec"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      SemDedup.dedupSemantic(q, "doc_id", "qvec", dim = 64,
+          nCentroids = 8, minCosNum = 9, minCosDen = 10)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // Gate (verify-only): (a) identical text ⇒ identical vector — exact,
     // an engine invariant; (b) consecutive-id docs (different texts) stay
     // well below cosine 1 on average — the discrimination side;

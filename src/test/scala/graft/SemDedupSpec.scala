@@ -91,4 +91,26 @@ class SemDedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nCentroids"), e.getMessage)
   }
+
+  test("embedding-free path: hashed text vectors collapse verbatim copies") {
+    // 8 distinct docs + verbatim copies of 3 — identical text means an
+    // identical hashed vector, the same cell, cosine exactly 1, so the
+    // copy ALWAYS collapses onto the min-id original (engine invariant,
+    // not clustering luck)
+    val base = (1L to 8L).map(i =>
+      (i, s"document number $i speaks about topic $i with words w${i}a w${i}b w${i}c w${i}d"))
+    val copies = Seq(101L -> base(0)._2, 102L -> base(3)._2, 103L -> base(6)._2)
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    val vecs = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.hashedTextVector(col("text"), 32).as("hv"))
+      .filter(col("hv").isNotNull)
+    val q = Similarity.quantizeEmbeddings(vecs, "doc_id", "hv")
+      .select(col("id").as("doc_id"), col("qvec"))
+    val kept = SemDedup.dedupSemantic(q, "doc_id", "qvec", dim = 32,
+        nCentroids = 2, minCosNum = 9, minCosDen = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.exists(_ > 100L), kept.toString) // every copy collapsed
+    assert((1L to 8L).toSet.subsetOf(kept) ||
+      kept.size >= 5, kept.toString) // distinct docs mostly survive
+  }
 }

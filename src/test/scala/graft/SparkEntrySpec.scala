@@ -44,7 +44,10 @@ class SparkEntrySpec extends SparkSpec {
       "q_text_bpe_encode" -> Seq("q_text_bpe_gate"),
       "q_text_bpe_ids" -> Seq("q_text_bpe_ids_gate"),
       "q_sim_text_ann" ->
-        Seq("q_text_hashvec_gate", "q_text_hashvec_portable"))
+        Seq("q_text_hashvec_gate", "q_text_hashvec_portable"),
+      "q_dedup_semantic_text" ->
+        Seq("q_text_hashvec_gate", "q_text_hashvec_portable",
+          "q_dedup_semdedup_gate", "q_dedup_semdedup_portable"))
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val unpinned = rowsOnly.filter(q => pins.getOrElse(q, Nil).isEmpty)
     assert(unpinned.isEmpty, s"rows-only queries without a declared pin: $unpinned")
