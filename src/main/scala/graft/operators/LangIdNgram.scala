@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trained character-n-gram language identification — Cavnar & Trenkle
+  * 1994 ("N-Gram-Based Text Categorization"), the rank-profile method
+  * fasttext-era language ID descends from, upgrading the stopword-vote
+  * heuristic [[TextAnalysis.langId]] to a model TRAINED on labeled text
+  * (the reference engine has no language-ID surface; SURVEY §2 extension
+  * family).
+  *
+  * Method: a language's PROFILE is its `topK` most frequent character
+  * n-grams (n = 1..3 over lowercased text with whitespace runs collapsed
+  * to `_`), ranked by frequency; a document is scored against each
+  * profile by the OUT-OF-PLACE distance — Σ over the document's own
+  * top-`topK` grams of |doc rank − profile rank|, with grams absent from
+  * the profile costing the maximum `topK` — and labeled with the nearest
+  * profile.
+  *
+  * Scale shape, the [[Classifier]] contract: the model IS a table —
+  * (label, gram, rank), ≤ labels × topK rows, broadcast everywhere it
+  * joins — so training is one map-side gram explode plus one keyed
+  * aggregate and one label-partitioned window; scoring is a doc-keyed
+  * profile window (topK rows per doc) joined against the broadcast
+  * model, never corpus × vocabulary. Oracle parity is total: ranks are
+  * `row_number` with a deterministic (count desc, gram asc) order,
+  * distances are exact integer sums, ties in the final argmin break
+  * label-ascending — no floats anywhere.
+  */
+object LangIdNgram {
+
+  private val MaxN = 3
+
+  /** Lowercase, trim, collapse whitespace runs to `_` — the classic
+    * word-boundary marker, so "the cat" contributes `e_c` and the
+    * boundary grams carry signal.
+    */
+  private def canon(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", "_")
+
+  /** All character n-grams for n = 1..[[MaxN]] of the canonical text —
+    * one array expression per n (empty when the text is shorter than n),
+    * concatenated. `Column.substr(pos, len)` keeps the whole extraction
+    * inside codegen.
+    */
+  private def allGrams(text: Column): Column = {
+    val txt = canon(text)
+    val perN = (1 to MaxN).map { n =>
+      when(length(txt) >= n,
+        transform(sequence(lit(1), length(txt) - (n - 1)),
+          i => txt.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    }
+    concat(perN: _*)
+  }
+
+  /** Train per-language rank profiles: (label, gram, rank) with rank
+    * 1..`topK` by descending frequency (gram-ascending tiebreak). NULL
+    * labels are rejected per-row (the [[Classifier.trainNaiveBayes]]
+    * convention — a silent NULL class would desync the oracle's NULLS
+    * ordering).
+    */
+  def trainProfiles(docs: DataFrame, labelCol: String, textCol: String,
+                    topK: Int = 64): DataFrame = {
+    require(topK > 0, s"trainProfiles: topK must be > 0, got $topK")
+    val labelExpr = col(labelCol).cast("string")
+    val checked = when(labelExpr.isNull, raise_error(lit(
+      s"trainProfiles: NULL label in '$labelCol' — coalesce labels to a " +
+        "sentinel class first"))).otherwise(labelExpr)
+    val counts = docs
+      .select(checked.as("label"), explode(allGrams(col(textCol))).as("gram"))
+      .groupBy("label", "gram").agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("__cnt").desc, col("gram").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("label"), col("gram"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Classify every document against trained profiles: the document's own
+    * top-`topK` gram ranking (same ordering contract as training) is
+    * compared to each language profile by out-of-place distance; nearest
+    * profile wins, ties label-ascending. Returns one row per input doc:
+    * (doc_id, pred_label, oop_dist) — documents producing no grams
+    * (empty/whitespace text) carry the sentinel `und` and a NULL
+    * distance, there being no evidence to rank.
+    *
+    * `topK` must match the profile's own depth for the distance semantics
+    * to be symmetric — it defaults to the model's observed max rank so a
+    * round-tripped model can't drift from its training parameter.
+    */
+  def classify(docs: DataFrame, idCol: String, textCol: String,
+               model: DataFrame, maxLabels: Int = 256): DataFrame = {
+    val labels = model.select("label").distinct()
+    val nLabels = labels.count()
+    require(nLabels <= maxLabels,
+      s"classify: $nLabels labels exceeds maxLabels=$maxLabels — language " +
+        "profiles are per-language metadata, not per-document state")
+    // topK from the model itself: one scalar aggregate, broadcast into the
+    // penalty term (a model table round-tripped through parquet carries
+    // its depth implicitly).
+    val kFrame = model.agg(max(col("rank")).cast("long").as("__k"))
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"), explode(allGrams(col(textCol))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("__cnt"))
+    val wd = Window.partitionBy("doc_id")
+      .orderBy(col("__cnt").desc, col("gram").asc)
+    val profile = docGrams.withColumn("__dr", row_number().over(wd))
+      .join(broadcast(kFrame))
+      .filter(col("__dr") <= col("__k"))
+    // doc-profile × labels grid (topK × |labels| rows per doc), model
+    // rank attached where the gram is in-profile, topK penalty otherwise.
+    val dist = profile.join(broadcast(labels))
+      .join(broadcast(model), Seq("label", "gram"), "left")
+      .groupBy("doc_id", "label").agg(
+        sum(coalesce(abs(col("__dr") - col("rank")), col("__k")))
+          .as("__dist"))
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("__dist").asc, col("label").asc)
+    val best = dist.withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("label"), col("__dist"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), lit("und")).as("pred_label"),
+        col("__dist").cast("long").as("oop_dist"))
+  }
+}

@@ -421,6 +421,66 @@ object TextAnalysis {
     * state never materializes more than the doc's own bigram multiset, so
     * the operator is insensitive to corpus size — only to doc length.
     */
+  /** The C4 LINE-level cleaning rules (Raffel et al. 2020 §2.2 — the
+    * "Colossal Clean Crawled Corpus" filter), complementing
+    * [[gopherRules]] (document-level ratios) with the paper's
+    * line-granular pass: a line survives only if it
+    *
+    *   - ends in a terminal punctuation mark (`.` `!` `?` `"`),
+    *   - contains at least 5 words,
+    *   - does not contain the word "javascript" (case-insensitive);
+    *
+    * and the PAGE survives only if the cleaned page keeps ≥ 3 lines
+    * (the paper's "at least 3 sentences" proxy at line granularity),
+    * and the raw page contains neither "lorem ipsum" nor a curly brace
+    * (the code-page tell). Named per-rule columns follow the
+    * [[gopherRules]] convention: `n_*` counters, `r_*` booleans,
+    * `pass` = all page rules. Everything is per-row array/string
+    * expressions — one codegen'd scan, no shuffle, oracle-portable.
+    * Blank-after-trim lines are dropped before any rule (they are
+    * formatting, not sentences — and `split` on a trailing newline
+    * would otherwise mint one).
+    */
+  private def c4NonBlankLines(text: Column): Column =
+    filter(split(text, "\n"), l => trim(l) =!= "")
+
+  private def c4LineKept(l: Column): Column = {
+    val t = trim(l)
+    val terminal = t.endsWith(".") || t.endsWith("!") ||
+      t.endsWith("?") || t.endsWith("\"")
+    val enoughWords = size(filter(split(t, "\\s+"), w => w =!= "")) >= 5
+    terminal && enoughWords && !lower(t).contains("javascript")
+  }
+
+  /** Line-cleaned page text: kept lines re-joined with `\n`. */
+  def c4CleanedText(text: Column): Column =
+    array_join(filter(c4NonBlankLines(text), c4LineKept _), "\n")
+
+  def c4Rules(text: Column): Seq[(String, Column)] = {
+    val lines = c4NonBlankLines(text)
+    val kept = filter(lines, c4LineKept _)
+    Seq(
+      "n_lines" -> size(lines).cast("long"),
+      "n_kept_lines" -> size(kept).cast("long"),
+      "cleaned_chars" -> length(array_join(kept, "\n")).cast("long"),
+      "r_min_sentences" -> (size(kept) >= 3),
+      "r_no_lorem" -> !lower(text).contains("lorem ipsum"),
+      "r_no_brace" -> !text.contains("{"))
+  }
+
+  /** [[c4Rules]] as the paper's actual transformation: pages failing any
+    * page rule are DROPPED, surviving pages carry the line-cleaned text
+    * (kept lines re-joined with `\n`) in place of the raw text. Column
+    * set is preserved, so the stage composes with every downstream
+    * operator (dedup/tokenize see the cleaned text, exactly as C4's
+    * pipeline ordering prescribes).
+    */
+  def filterByC4(df: DataFrame, textCol: String): DataFrame = {
+    val pass = c4Rules(col(textCol))
+      .collect { case (n, c) if n.startsWith("r_") => c }.reduce(_ && _)
+    df.filter(pass).withColumn(textCol, c4CleanedText(col(textCol)))
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), words(col(textCol)).as("__tk"))
     // size >= 2 filter BEFORE sequence(): sequence(1, 0) would count DOWN

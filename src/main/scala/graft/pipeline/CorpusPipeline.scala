@@ -85,6 +85,14 @@ object CorpusPipeline {
     */
   case object GopherQuality extends Step
 
+  /** C4 line-level cleaning (late r10,
+    * [[graft.operators.TextAnalysis.filterByC4]]): drops pages failing
+    * the page rules and REWRITES `textCol` to the line-cleaned text —
+    * like the span dedups, a step that mutates text, so it belongs
+    * before fingerprint/near-dup stages (C4's own pipeline ordering).
+    */
+  case object C4Clean extends Step
+
   /** Drop the high-perplexity tail under a bigram LM
     * ([[graft.operators.LanguageModel.perplexity]]) — the CCNet quality
     * filter. `lm = None` trains on the corpus being filtered (the
@@ -231,6 +239,8 @@ object CorpusPipeline {
             >= minTokens)
         case GopherQuality =>
           graft.operators.TextAnalysis.filterByGopherRules(d, textCol)
+        case C4Clean =>
+          graft.operators.TextAnalysis.filterByC4(d, textCol)
         case PerplexityFloor(maxPpl, lmOpt, addK) =>
           val scored = lmOpt match {
             case Some(lm) => graft.operators.LanguageModel

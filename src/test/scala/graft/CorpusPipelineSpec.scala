@@ -37,6 +37,22 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(byId(4L)._3 == "https://fine.org/4" && byId(4L)._4 == "src1")
   }
 
+  test("C4Clean step drops failing pages and rewrites surviving text") {
+    val goodLines = Seq(
+      "this first line carries five words.",
+      "the second line also has words!",
+      "a third sentence closes the page.").mkString("\n")
+    val corpus = Seq(
+      (1L, goodLines + "\nnoise line without terminal punctuation", "s"),
+      (2L, "single line no terminal punctuation", "s")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.run(corpus, "doc_id", "text", Seq(C4Clean))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L), out.keySet.toString)
+    // the no-terminal noise line was cleaned out; schema preserved
+    assert(out(1L) == goodLines)
+  }
+
   test("step order matters and is the caller's to choose") {
     // floor BEFORE span removal keeps a doc whose tokens drop below the
     // floor only after boilerplate removal; floor AFTER drops it

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.LangIdNgram
+import org.apache.spark.sql.functions._
+
+class LangIdNgramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val labeled = Seq(
+    (1L, "aa", "aaa aab baa aaa"),
+    (2L, "aa", "aab aaa baa"),
+    (3L, "zz", "zzz zzy yzz zzz"),
+    (4L, "zz", "zzy zzz yzz")
+  ).toDF("doc_id", "lang", "text")
+
+  test("trainProfiles ranks grams by frequency with gram-asc ties") {
+    val model = LangIdNgram.trainProfiles(labeled, "lang", "text", topK = 16)
+    // 'a' dominates the aa-language character mass
+    val top = model.filter(col("label") === "aa" && col("rank") === 1)
+      .select("gram").as[String].head()
+    assert(top == "a", top)
+    // ranks are dense 1..k per label, no gaps or duplicates
+    val ranks = model.filter(col("label") === "aa")
+      .select("rank").as[Int].collect().sorted
+    assert(ranks.toSeq == (1 to ranks.length), ranks.mkString(","))
+  }
+
+  test("classify recovers the language of held-out same-distribution text") {
+    val model = LangIdNgram.trainProfiles(labeled, "lang", "text", topK = 16)
+    val test = Seq((10L, "aaa baa aab"), (11L, "zzz yzz zzy"), (12L, "   "))
+      .toDF("doc_id", "text")
+    val got = LangIdNgram.classify(test, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).toList
+    val byId = got.map(x => x._1 -> x).toMap
+    assert(byId(10L)._2 == "aa")
+    assert(byId(11L)._2 == "zz")
+    // no grams -> sentinel, NULL distance
+    assert(byId(12L)._2 == "und" && byId(12L)._3)
+  }
+
+  test("NULL labels are rejected at training time") {
+    val bad = Seq((1L, null.asInstanceOf[String], "some text"))
+      .toDF("doc_id", "lang", "text")
+    val e = intercept[Exception] {
+      LangIdNgram.trainProfiles(bad, "lang", "text").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("classify guards the label cardinality") {
+    val model = LangIdNgram.trainProfiles(labeled, "lang", "text", topK = 4)
+    val e = intercept[IllegalArgumentException] {
+      LangIdNgram.classify(labeled, "doc_id", "text", model, maxLabels = 1)
+    }
+    assert(e.getMessage.contains("maxLabels"))
+  }
+}

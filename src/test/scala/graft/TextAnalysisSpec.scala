@@ -326,4 +326,42 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L), kept.toString)
   }
+
+  test("c4Rules: line-level terminal/min-words/javascript rules + page gates") {
+    import graft.operators.TextAnalysis
+    val l1 = "this line has five words."
+    val l2 = "another line with five words!"
+    val l3 = "she said the word \"hello\""
+    val pass = Seq(l1, l2, l3).mkString("\n")
+    val docs = Seq(
+      1L -> pass,
+      2L -> Seq(l1, "no terminal punctuation here", "short.",
+        "you must enable JavaScript to continue.").mkString("\n"),
+      3L -> (pass + "\nlorem ipsum dolor sit amet."),
+      4L -> (pass + "\nif (x) { return y; }"),
+      5L -> ("\n\n  \n" + pass + "\n")
+    ).toDF("doc_id", "text")
+    val feats = TextAnalysis.c4Rules(col("text"))
+    val got = docs.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_kept_lines") == 3)
+    assert(got(1L).getAs[Boolean]("r_min_sentences"))
+    // doc 2: only l1 survives — no-terminal, <5-words, and javascript
+    // lines each die to their own rule (case-insensitive match)
+    assert(got(2L).getAs[Long]("n_lines") == 4)
+    assert(got(2L).getAs[Long]("n_kept_lines") == 1)
+    assert(!got(2L).getAs[Boolean]("r_min_sentences"))
+    assert(!got(3L).getAs[Boolean]("r_no_lorem"))
+    assert(!got(4L).getAs[Boolean]("r_no_brace"))
+    // blank-after-trim lines are formatting, not sentences
+    assert(got(5L).getAs[Long]("n_lines") == 3)
+    assert(got(5L).getAs[Long]("n_kept_lines") == 3)
+    assert(got(1L).getAs[Long]("cleaned_chars") == pass.length)
+    // the transformation form: pages failing any page rule are dropped,
+    // survivors carry the line-cleaned text
+    val kept = TextAnalysis.filterByC4(docs, "text")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(kept.keySet == Set(1L, 5L), kept.keySet.toString)
+    assert(kept(1L) == pass && kept(5L) == pass)
+  }
 }
