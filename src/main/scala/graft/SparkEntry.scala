@@ -274,7 +274,11 @@ object SparkEntry {
       // late r10: the hashed-text-vector gate (double-vectorizes the
       // corpus for the planted-copy invariant) and its md5 portable twin
       // — the standing quality-gate / portable-twin ruling.
-      "q_text_hashvec_gate", "q_text_hashvec_portable")
+      "q_text_hashvec_gate", "q_text_hashvec_portable",
+      // late r10: the unigram gate (exact conservation re-derivation) and
+      // seed twin (the seeding stage is already billed inside the benched
+      // q_text_unigram_ids' own training) — the standing rulings.
+      "q_text_unigram_gate", "q_text_unigram_seed_portable")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -1118,6 +1122,35 @@ object SparkEntry {
           pass.as("pass"): _*)
         .orderBy("doc_id")
     }),
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2): per-line terminal-
+    // punctuation / min-words / javascript rules plus the page-level
+    // lorem-ipsum / brace / min-sentences pass. The fixture's single-line
+    // unpunctuated docs all fail the line rules (n_kept_lines=0) — the
+    // oracle still hash-pins the full per-rule computation, and
+    // TextAnalysisSpec exercises the discriminating multiline cases.
+    "q_text_c4_rules" -> ((s, d) => {
+      val feats = TextAnalysis.c4Rules(col("text"))
+      val pass = feats.collect {
+        case (n, c) if n.startsWith("r_") => c
+      }.reduce(_ && _)
+      t(s, d, "documents")
+        .select(col("doc_id") +: feats.map { case (n, c) => c.as(n) } :+
+          pass.as("pass"): _*)
+        .orderBy("doc_id")
+    }),
+    // Trained Cavnar–Trenkle rank-profile language ID (late r10): profiles
+    // from the labeled fixture, out-of-place scoring of every doc — all
+    // exact-integer (row_number ranks, abs-diff sums, label-asc ties), so
+    // the full train+score chain hash-replays in DuckDB. The fixture's
+    // synthetic text makes the PREDICTIONS noise (labels don't correlate
+    // with text — same caveat as the NB rows); what the oracle pins is the
+    // rank/distance machinery.
+    "q_text_langid_ct" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = LangIdNgram.trainProfiles(docs, "lang", "text", topK = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      LangIdNgram.classify(docs, "doc_id", "text", model).orderBy("doc_id")
+    }),
     "q_text_quality" -> ((s, d) => {
       val doc = t(s, d, "documents")
       val feats = TextAnalysis.qualityFeatures(col("text"))
@@ -1221,6 +1254,43 @@ object SparkEntry {
           (col("__len_mismatch") === 0).as("ids_len_ok"),
           (col("__span") === col("n_init_tokens")).as("conservation_ok"),
           (col("__min_id") >= 0).as("ids_known_ok"))
+    }),
+    // Unigram-LM (SentencePiece) tokenizer (late r10): distributed seed +
+    // driver EM/prune + codegen'd Viterbi encode. The ids are engine-side
+    // model artifacts (rows-only); pinned by the oracled _gate invariants
+    // and the hash-green _seed_portable (the ENTIRE distributed stage —
+    // word counts, substring explode, weighted counts, rank selection —
+    // replayed bit-for-bit in DuckDB).
+    "q_text_unigram_ids" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = Unigram.trainUnigramModel(docs, "text", targetVocab = 300)
+      docs.select(col("doc_id"),
+          Unigram.unigramEncodeIds(col("text"), vocab).as("ids"))
+        .orderBy("doc_id")
+    }),
+    "q_text_unigram_seed_portable" -> ((s, d) =>
+      Unigram.seedCandidates(t(s, d, "documents"), "text",
+        maxPieceLen = 4, seedSize = 512).orderBy("piece")),
+    // Gate (verify-only): (1) character conservation — each emitted piece
+    // spans its own length in word characters (unknowns span 1), and the
+    // weighted sum over all ids must rebuild the oracled corpus word-char
+    // total exactly (Viterbi segmentation is a partition of every word);
+    // (2) zero unknown ids on the training corpus (its alphabet is always
+    // in-vocab); (3) every id inside the vocabulary.
+    "q_text_unigram_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = Unigram.trainUnigramModel(docs, "text", targetVocab = 300)
+      val pieceLens = typedlit(vocab.pieces.map(_.piece.length.toLong))
+      docs.select(Unigram.unigramEncodeIds(col("text"), vocab).as("ids"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(aggregate(transform(col("ids"),
+            i => when(i < 0, lit(1L)).otherwise(element_at(pieceLens, i + 1))),
+            lit(0L), (a, v) => a + v)).as("total_piece_chars"),
+          sum(size(filter(col("ids"), i => i < 0)).cast("long"))
+            .as("n_unknown_ids"),
+          sum(size(filter(col("ids"), i => i >= vocab.vocabSize))
+            .cast("long")).as("n_oversized_ids"))
     }),
     // Naive Bayes classifier (r9) — the GPT-3/CCNet quality-classifier
     // stage shape, self-trained here on the corpus's own lang labels and
@@ -3131,6 +3201,117 @@ object SparkEntry {
         |   AND (nw > 0 AND CAST(na AS DOUBLE) / CAST(nw AS DOUBLE) >= 0.8)
         |   AND (nstop >= 2)) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+    // The unigram tokenizer's distributed stage, replayed exactly: word
+    // counts, substring explode (lengths 1..4; range() end-exclusive
+    // matches the Scala length guards), weighted integer counts, global
+    // (cnt desc, piece asc) rank, keep rank<=512 or single chars.
+    "q_text_unigram_seed_portable" ->
+      """WITH wc AS (
+        |  SELECT x AS word, count(*) AS wcnt FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |      '\s+'), w -> w <> '')) AS x FROM documents) GROUP BY 1),
+        |subs AS (
+        |  SELECT piece, CAST(sum(wcnt) AS BIGINT) AS cnt FROM (
+        |    SELECT wcnt, unnest(list_concat(list_concat(list_concat(
+        |      list_transform(range(1, len(word) + 1),
+        |        i -> substring(word, i, 1)),
+        |      list_transform(range(1, len(word)),
+        |        i -> substring(word, i, 2))),
+        |      list_transform(range(1, len(word) - 1),
+        |        i -> substring(word, i, 3))),
+        |      list_transform(range(1, len(word) - 2),
+        |        i -> substring(word, i, 4)))) AS piece
+        |    FROM wc) GROUP BY 1),
+        |r AS (
+        |  SELECT piece, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rank
+        |  FROM subs)
+        |SELECT piece, cnt, CAST(rank AS INT) AS rank FROM r
+        |WHERE rank <= 512 OR len(piece) = 1
+        |ORDER BY piece""".stripMargin,
+    // Character conservation from the raw corpus: Viterbi output must span
+    // exactly the word characters, know every id, and stay in-vocab.
+    "q_text_unigram_gate" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> x <> '')) AS x
+        |  FROM documents)
+        |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(x)) AS BIGINT) AS total_piece_chars,
+        |  CAST(0 AS BIGINT) AS n_unknown_ids,
+        |  CAST(0 AS BIGINT) AS n_oversized_ids
+        |FROM w""".stripMargin,
+    // Full train+score replay: n-gram explode (range() is end-exclusive and
+    // empty when end <= start, matching the Scala length guards), per-lang
+    // and per-doc row_number rank profiles, out-of-place distance with the
+    // topK=64 penalty (the model's max rank — every fixture lang has ≥64
+    // distinct grams), argmin with label-asc ties.
+    "q_text_langid_ct" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(trim(lower(text)), '\s+', '_', 'g') AS t
+        |  FROM documents),
+        |ga AS (
+        |  SELECT doc_id, lang, unnest(list_concat(list_concat(
+        |    list_transform(range(1, len(t) + 1), i -> substring(t, i, 1)),
+        |    list_transform(range(1, len(t)), i -> substring(t, i, 2))),
+        |    list_transform(range(1, len(t) - 1), i -> substring(t, i, 3))))
+        |    AS gram
+        |  FROM t0),
+        |prof AS (
+        |  SELECT lang AS label, gram,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, gram ASC) AS rank
+        |  FROM ga GROUP BY lang, gram
+        |  QUALIFY rank <= 64),
+        |dg AS (
+        |  SELECT doc_id, gram,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, gram ASC) AS dr
+        |  FROM ga GROUP BY doc_id, gram
+        |  QUALIFY dr <= 64),
+        |labels AS (SELECT DISTINCT label FROM prof),
+        |dist AS (
+        |  SELECT dg.doc_id, l.label,
+        |    sum(coalesce(abs(dg.dr - p.rank), 64)) AS d
+        |  FROM dg CROSS JOIN labels l
+        |  LEFT JOIN prof p ON p.label = l.label AND p.gram = dg.gram
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, label, d,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY d ASC, label ASC) AS rn
+        |  FROM dist QUALIFY rn = 1)
+        |SELECT d0.doc_id, coalesce(b.label, 'und') AS pred_label,
+        |  CAST(b.d AS BIGINT) AS oop_dist
+        |FROM documents d0 LEFT JOIN best b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_c4_rules" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> trim(l) <> '') AS ls
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, text, ls,
+        |    list_filter(ls, l ->
+        |      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+        |        OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+        |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+        |        x -> x <> '')) >= 5
+        |      AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+        |  FROM t0)
+        |SELECT doc_id,
+        |  CAST(len(ls) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  CAST(coalesce(len(array_to_string(kept, chr(10))), 0) AS BIGINT)
+        |    AS cleaned_chars,
+        |  (len(kept) >= 3) AS r_min_sentences,
+        |  (NOT contains(lower(text), 'lorem ipsum')) AS r_no_lorem,
+        |  (NOT contains(text, '{')) AS r_no_brace,
+        |  ((len(kept) >= 3) AND NOT contains(lower(text), 'lorem ipsum')
+        |    AND NOT contains(text, '{')) AS pass
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'
