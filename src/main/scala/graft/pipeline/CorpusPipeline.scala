@@ -132,6 +132,18 @@ object CorpusPipeline {
   final case class TokenizeBpe(numMerges: Int, idsCol: String = "token_ids",
                                nTokCol: String = "n_bpe_tokens") extends Step
 
+  /** Terminal unigram-LM tokenizer stage (late r10) — [[TokenizeBpe]]'s
+    * twin over [[graft.operators.Unigram]]: train a unigram vocabulary of
+    * at most `targetVocab` pieces on the corpus as curated so far and
+    * append the piece-id sequence (`idsCol`) and its length (`nTokCol`).
+    * Same terminal placement and same materialization contract (the
+    * trainer runs several actions over the curated prefix).
+    */
+  final case class TokenizeUnigram(targetVocab: Int,
+                                   idsCol: String = "token_ids",
+                                   nTokCol: String = "n_unigram_tokens")
+      extends Step
+
   /** DSIR target-domain selection (r10,
     * [[graft.operators.Dsir.selectByImportance]]): keep the `k` docs whose
     * hashed-n-gram bag most resembles the `target` exemplar corpus —
@@ -271,6 +283,15 @@ object CorpusPipeline {
             graft.operators.Bpe.trainBpeModel(pinned, textCol, numMerges)
           pinned.withColumn(idsCol,
               graft.operators.Bpe.bpeEncodeIds(col(textCol), vocab))
+            .withColumn(nTokCol, size(col(idsCol)).cast("long"))
+        case TokenizeUnigram(targetVocab, idsCol, nTokCol) =>
+          // same materialize-before-multi-pass-stage trade as TokenizeBpe
+          val pinned = d.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val vocab = graft.operators.Unigram.trainUnigramModel(
+            pinned, textCol, targetVocab)
+          pinned.withColumn(idsCol,
+              graft.operators.Unigram.unigramEncodeIds(col(textCol), vocab))
             .withColumn(nTokCol, size(col(idsCol)).cast("long"))
         case DsirSelect(target, tId, tText, buckets, k, seed, addK) =>
           // Pin the curated prefix: both bag models, the weight pass and

@@ -53,6 +53,22 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out(1L) == goodLines)
   }
 
+  test("TokenizeUnigram step appends consistent id and count columns") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and the hat sat", "s"),
+      (2L, "a cat and a mat and a hat", "s"),
+      (3L, "tiny", "s")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.run(corpus, "doc_id", "text", Seq(
+        QualityFloor(minTokens = 5),
+        TokenizeUnigram(targetVocab = 60)))
+      .select(col("doc_id"), (size(col("token_ids")).cast("long") ===
+        col("n_unigram_tokens")).as("ok"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out.keySet == Set(1L, 2L), out.keySet.toString)
+    assert(out.values.forall(identity))
+  }
+
   test("step order matters and is the caller's to choose") {
     // floor BEFORE span removal keeps a doc whose tokens drop below the
     // floor only after boilerplate removal; floor AFTER drops it
