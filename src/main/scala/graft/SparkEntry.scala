@@ -1347,6 +1347,27 @@ object SparkEntry {
             concat(lit("https://ex.example/p/"), col("doc_id"))))
             .as("redacted"))
         .orderBy("doc_id")),
+    // Aho-Corasick blocked-TERM stats (late r10): the C4 bad-word content
+    // filter's matching core over deterministic constructed text (the
+    // redact_pii convention). The term set pins the tricky semantics:
+    // overlapping occurrences ("aa" in "aaa" counts twice) and nested
+    // patterns ("spam phrase" hits both "spam" and itself via the dict
+    // chain). The oracle replays all-occurrence counting by scanning
+    // every position.
+    "q_text_blockterms" -> ((s, d) => {
+      val terms = Seq("aa", "spam", "spam phrase", "casino")
+      val txt = concat_ws(" ",
+        substring(col("text"), 1, 30),
+        when(col("doc_id") % 4 === 0, lit("aaa and more aaa"))
+          .when(col("doc_id") % 4 === 1, lit("a Spam Phrase here"))
+          .when(col("doc_id") % 4 === 2, lit("clean content"))
+          .otherwise(lit("CASINO casino night")))
+      val feats = TextAnalysis.blockedTermStats(txt, terms)
+      t(s, d, "documents").select(col("doc_id"),
+          feats.head._2.as("n_blocked_hits"),
+          array_join(feats(1)._2, ",").as("blocked_ids"))
+        .orderBy("doc_id")
+    }),
     // Domain blocklist filter with suffix semantics: five host regimes by
     // doc_id residue — two blocked via a PARENT domain (subdomain
     // blocking), one blocked exactly, one clean, one URL-less row (kept:
@@ -3610,6 +3631,30 @@ object SparkEntry {
     // Replays the suffix semantics in DuckDB: same host extraction regex,
     // same dot-suffix explosion, membership against the same two-entry
     // list; URL-less rows survive (their extracted domain is '').
+    // All-occurrence counting replayed positionally: for each (doc, term),
+    // count the positions where the term appears in the lowercased
+    // constructed text; matched ids aggregate ascending.
+    "q_text_blockterms" ->
+      """WITH t0 AS (
+        |  SELECT doc_id,
+        |    lower(concat_ws(' ', substring(text, 1, 30),
+        |      CASE WHEN doc_id % 4 = 0 THEN 'aaa and more aaa'
+        |           WHEN doc_id % 4 = 1 THEN 'a Spam Phrase here'
+        |           WHEN doc_id % 4 = 2 THEN 'clean content'
+        |           ELSE 'CASINO casino night' END)) AS t
+        |  FROM documents),
+        |hits AS (
+        |  SELECT doc_id, p.pid,
+        |    len(list_filter(range(1, len(t) - len(p.pat) + 2),
+        |      i -> substring(t, i, len(p.pat)) = p.pat)) AS cnt
+        |  FROM t0 CROSS JOIN (VALUES (0, 'aa'), (1, 'spam'),
+        |    (2, 'spam phrase'), (3, 'casino')) AS p(pid, pat))
+        |SELECT doc_id,
+        |  CAST(sum(cnt) AS BIGINT) AS n_blocked_hits,
+        |  coalesce(string_agg(CASE WHEN cnt > 0
+        |      THEN CAST(pid AS VARCHAR) END, ',' ORDER BY pid), '')
+        |    AS blocked_ids
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_domain_filter" ->
       """WITH u AS (
         |  SELECT doc_id,

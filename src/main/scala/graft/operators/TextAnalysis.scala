@@ -481,6 +481,36 @@ object TextAnalysis {
     df.filter(pass).withColumn(textCol, c4CleanedText(col(textCol)))
   }
 
+  /** Blocked-TERM content stats under an Aho–Corasick automaton
+    * ([[graft.expressions.BlocklistOps]]): the C4 bad-word page filter's
+    * matching core — thousands of terms and multi-word phrases matched as
+    * SUBSTRINGS (lowercase, all occurrences) in ONE text pass per row,
+    * where a per-pattern regex chain costs |patterns| passes. Returns
+    * named columns: `n_blocked_hits` (total occurrences) and
+    * `blocked_ids` (ascending distinct pattern indices). Complements
+    * [[filterByBlockedDomains]] (URL-level) with content-level blocking.
+    * Patterns must be non-empty; the automaton broadcasts as one memoized
+    * spec literal — map-only, no shuffle.
+    */
+  def blockedTermStats(text: Column, terms: Seq[String]): Seq[(String, Column)] = {
+    require(terms.nonEmpty && terms.forall(_.nonEmpty),
+      "blockedTermStats: terms must be non-empty strings")
+    val pats = terms.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
+    Seq(
+      "n_blocked_hits" ->
+        graft.expressions.BlocklistExpressions.blockedTermCount(text, pats),
+      "blocked_ids" ->
+        graft.expressions.BlocklistExpressions.blockedTermIds(text, pats))
+  }
+
+  /** The C4 page rule the term list exists for: drop every page containing
+    * ANY blocked term (Raffel et al. 2020 §2.2 — "any word on the
+    * banned-word list").
+    */
+  def filterByBlockedTerms(df: DataFrame, textCol: String,
+                           terms: Seq[String]): DataFrame =
+    df.filter(blockedTermStats(col(textCol), terms).head._2 === 0L)
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docs = df.select(col(idCol).as("doc_id"), words(col(textCol)).as("__tk"))
     // size >= 2 filter BEFORE sequence(): sequence(1, 0) would count DOWN

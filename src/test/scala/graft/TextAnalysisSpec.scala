@@ -327,6 +327,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept == Set(1L), kept.toString)
   }
 
+  test("blockedTermStats: Aho-Corasick all-occurrence substring semantics") {
+    import graft.operators.TextAnalysis
+    val terms = Seq("aa", "spam", "spam phrase", "casino")
+    def statsOf(text: String): (Long, Seq[Int]) = {
+      val feats = TextAnalysis.blockedTermStats(col("t"), terms)
+      val row = on(text)
+        .select(feats.head._2.as("n"), feats(1)._2.as("ids")).collect().head
+      (row.getLong(0), row.getSeq[Int](1))
+    }
+    // overlapping occurrences both count: "aa" at offsets 0 and 1
+    assert(statsOf("aaa") == ((2L, Seq(0))))
+    // nested patterns both fire via the dict chain; matching is
+    // case-insensitive on both sides
+    assert(statsOf("a SPAM phrase here") == ((2L, Seq(1, 2))))
+    // disjoint hits accumulate; ids are distinct ascending
+    assert(statsOf("casino aa casino") == ((3L, Seq(0, 3))))
+    assert(statsOf("clean text") == ((0L, Seq())))
+    // phrase terms match across word boundaries as substrings
+    assert(statsOf("xcasinoy")._1 == 1L)
+    // the C4 page filter keeps exactly the hit-free docs
+    val docs = Seq(1L -> "all clean here", 2L -> "late night casino run")
+      .toDF("doc_id", "text")
+    val kept = TextAnalysis.filterByBlockedTerms(docs, "text", terms)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), kept.toString)
+    // degenerate inputs are rejected loudly
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blockedTermStats(col("t"), Seq("ok", ""))
+    }
+  }
+
   test("c4Rules: line-level terminal/min-words/javascript rules + page gates") {
     import graft.operators.TextAnalysis
     val l1 = "this line has five words."
