@@ -93,6 +93,12 @@ object CorpusPipeline {
     */
   case object C4Clean extends Step
 
+  /** Drop pages containing ANY blocked term (late r10,
+    * [[graft.operators.TextAnalysis.filterByBlockedTerms]]) — C4's
+    * bad-word page rule, one Aho–Corasick pass per page.
+    */
+  final case class DropBlockedTerms(terms: Seq[String]) extends Step
+
   /** Drop the high-perplexity tail under a bigram LM
     * ([[graft.operators.LanguageModel.perplexity]]) — the CCNet quality
     * filter. `lm = None` trains on the corpus being filtered (the
@@ -253,6 +259,8 @@ object CorpusPipeline {
           graft.operators.TextAnalysis.filterByGopherRules(d, textCol)
         case C4Clean =>
           graft.operators.TextAnalysis.filterByC4(d, textCol)
+        case DropBlockedTerms(terms) =>
+          graft.operators.TextAnalysis.filterByBlockedTerms(d, textCol, terms)
         case PerplexityFloor(maxPpl, lmOpt, addK) =>
           val scored = lmOpt match {
             case Some(lm) => graft.operators.LanguageModel

@@ -53,6 +53,18 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out(1L) == goodLines)
   }
 
+  test("DropBlockedTerms step drops pages containing any blocked term") {
+    val corpus = Seq(
+      (1L, "a perfectly clean page", "s"),
+      (2L, "visit our CASINO tonight", "s"),
+      (3L, "embedded spam phrase inside", "s")
+    ).toDF("doc_id", "text", "source")
+    val kept = CorpusPipeline.run(corpus, "doc_id", "text",
+        Seq(DropBlockedTerms(Seq("casino", "spam phrase"))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), kept.toString)
+  }
+
   test("TokenizeUnigram step appends consistent id and count columns") {
     val corpus = Seq(
       (1L, "the cat sat on the mat and the hat sat", "s"),
