@@ -278,7 +278,12 @@ object SparkEntry {
       // late r10: the unigram gate (exact conservation re-derivation) and
       // seed twin (the seeding stage is already billed inside the benched
       // q_text_unigram_ids' own training) — the standing rulings.
-      "q_text_unigram_gate", "q_text_unigram_seed_portable")
+      "q_text_unigram_gate", "q_text_unigram_seed_portable",
+      // late r10: q_text_ppl_buckets runs a strict superset of this
+      // query's machinery (same LM train+score chain, plus cutoffs and
+      // assignment) — the NB classify->margin bench-dedup ruling; the
+      // perplexity values stay hash-green here.
+      "q_text_lm_perplexity")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -1190,6 +1195,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("cross_entropy"), 6).as("cross_entropy"),
           round(col("perplexity"), 6).as("perplexity"))
+        .orderBy("doc_id")),
+    // CCNet head/middle/tail perplexity bucketing (late r10): exact
+    // interpolated third-percentile cutoffs over the rounded perplexity
+    // (percentile == quantile_cont bit-for-bit, the quantile_filter
+    // precedent), broadcast threshold assignment. Replays end-to-end in
+    // DuckDB including the cutoff interpolation.
+    "q_text_ppl_buckets" -> ((s, d) =>
+      graft.operators.LanguageModel.perplexityBucketsSelf(
+        t(s, d, "documents"), "doc_id", "text")
+        .select("doc_id", "n_bigrams", "perplexity", "bucket")
         .orderBy("doc_id")),
     // BPE tokenizer (r9): one corpus pass to word counts, driver-side
     // merge loop over the vocab-scale table (guarded), native codegen'd
@@ -3457,6 +3472,46 @@ object SparkEntry {
         |  round(exp(-(CAST(agg.s AS DOUBLE) / agg.nb)), 6) AS perplexity
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // The perplexity pipeline plus quantile_cont cutoffs and threshold
+    // CASE — the whole CCNet bucketing chain replayed.
+    "q_text_ppl_buckets" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM tk, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2),
+        |lm AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1 FROM lm GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS vs
+        |      FROM (SELECT w1 AS w FROM lm UNION ALL SELECT w2 FROM lm)),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT db.doc_id, db.n,
+        |    ln((coalesce(lm.cnt, 0) + 0.5)
+        |       / (coalesce(ctx.c1, 0) + 0.5 * v.vs)) AS lp
+        |  FROM db LEFT JOIN lm USING (w1, w2) LEFT JOIN ctx USING (w1)
+        |  CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nb,
+        |    sum(CAST(n * lp AS DECIMAL(38,18))) AS s
+        |  FROM sc GROUP BY 1),
+        |p AS (
+        |  SELECT d.doc_id, coalesce(agg.nb, 0) AS n_bigrams,
+        |    round(exp(-(CAST(agg.s AS DOUBLE) / agg.nb)), 6) AS r
+        |  FROM documents d LEFT JOIN agg USING (doc_id)),
+        |cuts AS (
+        |  SELECT quantile_cont(r, 0.3333333333333333) AS ca,
+        |         quantile_cont(r, 0.6666666666666666) AS cb
+        |  FROM p WHERE r IS NOT NULL)
+        |SELECT doc_id, n_bigrams, r AS perplexity,
+        |  CASE WHEN r IS NULL THEN 'unscored'
+        |       WHEN r <= ca THEN 'head'
+        |       WHEN r <= cb THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM p CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
     // BPE gate truth: the initial symbol total (chars + one </w> marker
     // per word) is pure tokenization arithmetic DuckDB replays exactly;
     // the consistency and trained booleans are engine-side (the

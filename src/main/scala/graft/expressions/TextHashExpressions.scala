@@ -152,6 +152,36 @@ object SimHashOps {
   * still a row); null text → null via propagateNull.
   */
 object NgramOps {
+
+  /** Every CHARACTER n-gram for n = 1..maxN of an already-canonicalized
+    * text, in one static call (the language-ID gram explode): the
+    * higher-order `transform(sequence(...), substr)` form this replaces
+    * evaluates its lambda INTERPRETED per element — measured ~9 s per
+    * corpus pass at sf0.1 vs well under a second for this tight loop.
+    * Emission order is by n then position; the consumers aggregate a
+    * bag, so order is not part of the contract.
+    */
+  def charNgrams(text: UTF8String, maxN: Int): ArrayData = {
+    val t = text.toString
+    val n = t.length
+    var total = 0
+    var k = 1
+    while (k <= maxN) { if (n >= k) total += n - k + 1; k += 1 }
+    val out = new Array[Any](total)
+    var idx = 0
+    k = 1
+    while (k <= maxN) {
+      var i = 0
+      while (i + k <= n) {
+        out(idx) = UTF8String.fromString(t.substring(i, i + k))
+        idx += 1
+        i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def compute(text: UTF8String, n: Int): ArrayData = {
     val raw = text.toLowerCase.toString.split("\\s+")
     val toks = new java.util.ArrayList[String](raw.length)
@@ -494,6 +524,19 @@ object TextHashExpressions {
       ArrayType(StringType, containsNull = false),
       "compute",
       Seq(GraftBridge.expression(text), Literal(n)),
+      inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Character n-grams for n = 1..maxN of an already-canonical text (see
+    * [[NgramOps.charNgrams]]).
+    */
+  def charNgrams(text: Column, maxN: Int): Column =
+    GraftBridge.column(StaticInvoke(
+      NgramOps.getClass,
+      ArrayType(StringType, containsNull = false),
+      "charNgrams",
+      Seq(GraftBridge.expression(text), Literal(maxN)),
       inputTypes = Seq(StringType, IntegerType),
       propagateNull = true,
       returnNullable = true))

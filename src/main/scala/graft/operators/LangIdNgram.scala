@@ -40,13 +40,24 @@ object LangIdNgram {
   private def canon(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", "_")
 
-  /** All character n-grams for n = 1..[[MaxN]] of the canonical text —
-    * one array expression per n (empty when the text is shorter than n),
-    * concatenated. `Column.substr(pos, len)` keeps the whole extraction
-    * inside codegen.
+  /** All character n-grams for n = 1..[[MaxN]] of an ALREADY-CANONICAL
+    * text column — one native static call per row
+    * ([[graft.expressions.TextHashExpressions.charNgrams]]). Two
+    * measured traps live here: the higher-order
+    * `transform(sequence, substr)` form evaluates its lambda interpreted
+    * per element (~9 s per corpus pass at sf0.1 vs sub-second native),
+    * and passing the [[canon]] EXPRESSION instead of a projected column
+    * re-runs the regexp per element (no CSE across a lambda boundary) —
+    * callers project `canon` into a plain column first.
     */
-  private def allGrams(text: Column): Column = {
-    val txt = canon(text)
+  private def allGrams(txt: Column): Column =
+    graft.expressions.TextHashExpressions.charNgrams(txt, MaxN)
+
+  /** The HOF form [[allGrams]] replaced — retained as the executable
+    * specification the native is spec-pinned against (the
+    * `tokenCountWsFold` convention).
+    */
+  private[graft] def allGramsFold(txt: Column): Column = {
     val perN = (1 to MaxN).map { n =>
       when(length(txt) >= n,
         transform(sequence(lit(1), length(txt) - (n - 1)),
@@ -70,7 +81,8 @@ object LangIdNgram {
       s"trainProfiles: NULL label in '$labelCol' — coalesce labels to a " +
         "sentinel class first"))).otherwise(labelExpr)
     val counts = docs
-      .select(checked.as("label"), explode(allGrams(col(textCol))).as("gram"))
+      .select(checked.as("label"), canon(col(textCol)).as("__t"))
+      .select(col("label"), explode(allGrams(col("__t"))).as("gram"))
       .groupBy("label", "gram").agg(count(lit(1)).as("__cnt"))
     val w = Window.partitionBy("label")
       .orderBy(col("__cnt").desc, col("gram").asc)
@@ -103,7 +115,8 @@ object LangIdNgram {
     // its depth implicitly).
     val kFrame = model.agg(max(col("rank")).cast("long").as("__k"))
     val docGrams = docs
-      .select(col(idCol).as("doc_id"), explode(allGrams(col(textCol))).as("gram"))
+      .select(col(idCol).as("doc_id"), canon(col(textCol)).as("__t"))
+      .select(col("doc_id"), explode(allGrams(col("__t"))).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("__cnt"))
     val wd = Window.partitionBy("doc_id")
       .orderBy(col("__cnt").desc, col("gram").asc)

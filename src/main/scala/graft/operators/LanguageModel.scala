@@ -125,4 +125,63 @@ object LanguageModel {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     perplexity(docs, idCol, textCol, lm, addK)
   }
+
+  /** CCNet's perplexity bucketing (Wenzek et al. 2020 §4.3): split the
+    * corpus into `head` / `middle` / `tail` thirds by LM perplexity —
+    * the published shape downstream mixing recipes consume ("train on
+    * head+middle, sample tail"). Cutoffs are the exact interpolated 1/3
+    * and 2/3 percentiles of the ROUNDED perplexity (the
+    * [[Curation.filterByGroupQuantile]] portability precedent: Spark's
+    * exact `percentile` matches `quantile_cont` bit-for-bit, and
+    * rounding first makes the comparison boundary-stable); assignment is
+    * then one map-side comparison against the broadcast cutoffs.
+    * Unscoreable docs (< 2 tokens, NULL perplexity) bucket as
+    * `unscored`.
+    *
+    * Scale: the exact percentile gathers its input values on one
+    * reducer — fine for cutoffs computed over a SAMPLE, which is what
+    * `cutoffSample < 1` does (CCNet's own setup: thresholds from a
+    * held-out sample, not the full corpus): the cutoff aggregate then
+    * sees `cutoffSample × N` docs, chosen by the house md5 uniform
+    * (deterministic, engine-portable), while every doc still gets a
+    * bucket. At 100 TB run with `cutoffSample ≈ 1e-3`; the default 1.0
+    * is the small-corpus exact form.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        lm: DataFrame, addK: Double = 0.5,
+                        cutoffSample: Double = 1.0,
+                        seed: String = "ppl"): DataFrame = {
+    require(cutoffSample > 0 && cutoffSample <= 1.0,
+      s"perplexityBuckets: cutoffSample must be in (0,1], got $cutoffSample")
+    val p = perplexity(docs, idCol, textCol, lm, addK)
+      .withColumn("__r", round(col("perplexity"), 6))
+    val base = p.filter(col("__r").isNotNull)
+    val forCuts =
+      if (cutoffSample >= 1.0) base
+      else base.filter(
+        conv(substring(md5(concat_ws(":", lit(seed),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").cast("double") / 4294967296.0 < cutoffSample)
+    val cuts = forCuts.agg(
+      expr("percentile(__r, 0.3333333333333333d)").as("__c1"),
+      expr("percentile(__r, 0.6666666666666666d)").as("__c2"))
+    p.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_bigrams"),
+        col("__r").as("perplexity"),
+        when(col("__r").isNull, lit("unscored"))
+          .when(col("__r") <= col("__c1"), lit("head"))
+          .when(col("__r") <= col("__c2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Train-on-self form of [[perplexityBuckets]] (the
+    * [[perplexitySelf]] convention and pin).
+    */
+  def perplexityBucketsSelf(docs: DataFrame, idCol: String, textCol: String,
+                            addK: Double = 0.5, cutoffSample: Double = 1.0,
+                            seed: String = "ppl"): DataFrame = {
+    val lm = trainBigramLM(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perplexityBuckets(docs, idCol, textCol, lm, addK, cutoffSample, seed)
+  }
 }

@@ -495,6 +495,12 @@ object TextAnalysis {
   def blockedTermStats(text: Column, terms: Seq[String]): Seq[(String, Column)] = {
     require(terms.nonEmpty && terms.forall(_.nonEmpty),
       "blockedTermStats: terms must be non-empty strings")
+    // the automaton spec travels as a plan literal — metadata-scale by
+    // design (real block lists are thousands of terms); bounded so a
+    // mis-wired corpus column can't become a gigabyte plan
+    require(terms.length <= 65536 && terms.map(_.length).sum <= (1 << 21),
+      s"blockedTermStats: ${terms.length} terms / ${terms.map(_.length).sum} " +
+        "chars exceed the plan-literal budget (65536 terms / 2M chars)")
     val pats = terms.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
     Seq(
       "n_blocked_hits" ->

@@ -38,6 +38,18 @@ class LangIdNgramSpec extends SparkSpec {
     assert(byId(12L)._2 == "und" && byId(12L)._3)
   }
 
+  test("native charNgrams equals the HOF specification element-for-element") {
+    val texts = Seq("", "a", "ab", "abc_def", "café_über",
+      "x" * 40)
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    val rows = df.select(
+        graft.expressions.TextHashExpressions.charNgrams(col("t"), 3).as("a"),
+        graft.operators.LangIdNgram.allGramsFold(col("t")).as("b"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+      r.toString))
+  }
+
   test("NULL labels are rejected at training time") {
     val bad = Seq((1L, null.asInstanceOf[String], "some text"))
       .toDF("doc_id", "lang", "text")

@@ -49,6 +49,37 @@ class LanguageModelSpec extends SparkSpec {
     assert(math.abs(out._3 - ce) < 1e-12, s"ce ${out._3} vs $ce")
   }
 
+  test("perplexityBuckets: thirds partition by score; short docs unscored") {
+    // 6 scoreable docs with distinct perplexities -> exactly 2 per bucket;
+    // plus one 1-token doc that cannot score.
+    val loop = (1 to 30).map(_ => "click here to subscribe").mkString(" ")
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 6).map { i =>
+      val words = loop.split(" ").toSeq
+      (i.toLong, rnd.shuffle(words.take(20 + i * 12)).mkString(" "))
+    } :+ (7L -> "solo")
+    val out = LanguageModel.perplexityBucketsSelf(
+        docs.toDF("id", "text"), "id", "text")
+      .orderBy("doc_id").select("doc_id", "perplexity", "bucket")
+      .as[(Long, Option[Double], String)].collect()
+    val byBucket = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byBucket.getOrElse("unscored", 0) == 1, byBucket.toString)
+    assert(byBucket("head") == 2 && byBucket("middle") == 2
+      && byBucket("tail") == 2, byBucket.toString)
+    // bucket order tracks the score order
+    val scored = out.filter(_._2.isDefined).sortBy(_._2.get)
+    assert(scored.map(_._3).toSeq ==
+      Seq("head", "head", "middle", "middle", "tail", "tail"))
+    // sampled cutoffs stay deterministic (same seed -> same buckets)
+    val a = LanguageModel.perplexityBucketsSelf(
+        docs.toDF("id", "text"), "id", "text", cutoffSample = 0.6)
+      .orderBy("doc_id").select("bucket").as[String].collect().toSeq
+    val b = LanguageModel.perplexityBucketsSelf(
+        docs.toDF("id", "text"), "id", "text", cutoffSample = 0.6)
+      .orderBy("doc_id").select("bucket").as[String].collect().toSeq
+    assert(a == b)
+  }
+
   test("repetitive boilerplate scores lower perplexity than shuffled text") {
     // The filter direction: under a self-trained LM, a doc that is one
     // loop of the same bigram is maximally predictable; a doc of the same
