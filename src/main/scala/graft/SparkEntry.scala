@@ -1953,6 +1953,21 @@ object SparkEntry {
           element_at(col("features"), 3).as("mean_r"),
           element_at(col("features"), 4).as("mean_g"))
         .orderBy("doc_id")),
+    // Perceptual-hash image near-dup dedup (late r10): two-tone patterned
+    // PNGs (pattern class = doc_id % 5, odd ids carry one bit of noise)
+    // run the FULL encode -> imageio decode -> 8x8 aHash -> banded
+    // Hamming LSH -> connected components pipeline; the oracle predicts
+    // the resulting groups from id arithmetic alone (group = min id of
+    // the class = doc_id % 5 on the 0-based fixture ids).
+    "q_mm_phash_groups" -> ((s, d) =>
+      Multimodal.imageNearDupGroups(
+          Multimodal.withImageAHash(
+            Multimodal.synthPng2ToneFromId(
+              t(s, d, "documents").select("doc_id"), "doc_id", classes = 5),
+            "png", "phash"),
+          "doc_id", "phash", maxHamming = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // REAL codec path #2: synthesized PCM16 WAVs (frame count + constant
     // amplitude derived from doc_id) decoded by javax.sound.sampled —
     // sample rate/frames/duration/RMS are oracle-predictable in plain SQL
@@ -4436,6 +4451,9 @@ object SparkEntry {
       """SELECT doc_id, 1 + doc_id % 16 AS width, 1 + doc_id % 8 AS height,
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
         |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_phash_groups" ->
+      """SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS group_id
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_resize_real" ->
       """SELECT doc_id, 2 * (1 + doc_id % 16) AS width,

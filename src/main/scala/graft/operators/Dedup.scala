@@ -366,13 +366,32 @@ object Dedup {
   def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3,
                           maxBucketRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
-    val nBands = maxHamming + 1
-    val bandBits = 64 / nBands
     // Same exchange-reuse gap as minHashCandidates: the self-join computes
     // the 64-vote signature aggregation twice unless the (id, sig) frame —
     // 16 B/doc — is pinned. Freed once the pair set is materialized.
     val sigs = simHashSignatures(df, idCol, textCol)
       .select(col("id"), col("simhash").as("sig"))
+    hammingNearDupPairs(sigs, maxHamming,
+      s"simHashNearDupPairs(maxHamming=$maxHamming)", maxBucketRows)
+  }
+
+  /** Banded Hamming near-dup pairs over ANY 64-bit signature frame
+    * `(id, sig)` — the [[simHashNearDupPairs]] core, shared with the
+    * perceptual image-hash dedup ([[Multimodal.imageNearDupGroups]]):
+    * by the pigeonhole principle two signatures within Hamming distance
+    * h agree on at least one of h+1 disjoint bit bands, so candidates
+    * come from a keyed self-join on (band, band-bits) — never all-pairs
+    * — and exact `bit_count(a XOR b)` filters. Input is re-executed by
+    * the self-join, so this pins it, materializes the (tiny) pair set,
+    * and frees the pin (eager, the [[minHashCandidates]] contract).
+    */
+  def hammingNearDupPairs(sigFrame: DataFrame, maxHamming: Int, what: String,
+                          maxBucketRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"$what: maxHamming must be in [0,31], got $maxHamming")
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val sigs = sigFrame.select(col("id"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // nBands is a driver constant, so the band array is unrolled literally —
     // keeps every shift amount a static Int (codegen-friendly).
@@ -382,9 +401,9 @@ object Dedup {
             .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bits")
     Guardrails.requireBoundedBuckets(banded, Seq("band", "bits"), maxBucketRows,
-      s"simHashNearDupPairs(maxHamming=$maxHamming)",
+      what,
       "lower maxHamming (band width = 64/(maxHamming+1) bits) or exact-dedup " +
-        "identical texts first")
+        "identical items first")
     val out = banded
       .select(col("band"), col("bits"), col("id").as("id_a"), col("sig").as("sig_a"))
       .join(banded.select(col("band"), col("bits"), col("id").as("id_b"), col("sig").as("sig_b")),

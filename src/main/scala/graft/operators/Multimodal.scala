@@ -174,6 +174,135 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual AVERAGE-HASH (aHash) of one decoded image: sample an 8×8
+    * grid by nearest neighbor (`x·w/8`, `y·h/8` — integer floor, the
+    * resize family's replication arithmetic), integer luma per cell
+    * (`(299r + 587g + 114b) / 1000`), bit `8y+x` set iff the cell's luma
+    * exceeds the integer mean of all 64 — the classic image near-dup
+    * fingerprint (two encodings/resolutions of the same picture land
+    * within a few bits; distinct pictures differ in many). All-integer
+    * arithmetic on exactly-decoded pixels, so the hash is deterministic
+    * across JVMs. Null/undecodable payloads hash to null (C7/C8 rule).
+    */
+  val imageAHashBatch: Seq[Array[Byte]] => Seq[java.lang.Long] = _.map { bytes =>
+    if (bytes == null) null
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) null
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val luma = new Array[Int](64)
+        var sum = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val p = img.getRGB(x * w / 8, y * h / 8)
+            val l = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+              114 * (p & 0xff)) / 1000
+            luma(8 * y + x) = l
+            sum += l
+            x += 1
+          }
+          y += 1
+        }
+        val mean = sum / 64
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          if (luma(i) > mean) hash |= (1L << i)
+          i += 1
+        }
+        java.lang.Long.valueOf(hash)
+      }
+    }
+  }
+
+  /** Append the perceptual hash column (`outCol: bigint`, null for
+    * undecodable payloads) — the [[decodeBatched]] batch shape; payloads
+    * never shuffle, only the 8-byte hash does.
+    */
+  def withImageAHash(df: DataFrame, contentCol: String,
+                     outCol: String = "phash", batchSize: Int = 64): DataFrame = {
+    val idx = df.schema.fieldIndex(contentCol)
+    val outSchema = df.schema.add(outCol, LongType, nullable = true)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val hashes = imageAHashBatch(batch.map(_.getAs[Array[Byte]](idx)))
+        batch.lazyZip(hashes).map((r, v) => Row.fromSeq(r.toSeq :+ v))
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate groups over a perceptual-hash column: banded
+    * Hamming candidate pairs ([[Dedup.hammingNearDupPairs]] — the SimHash
+    * LSH core over any 64-bit signature, never all-pairs) + connected
+    * components with min-id group labels. Rows with a null hash
+    * (undecodable) are excluded — nothing to compare. Returns
+    * (id, group_id) for every hashed image, singletons included.
+    */
+  def imageNearDupGroups(df: DataFrame, idCol: String, hashCol: String,
+                         maxHamming: Int = 2): DataFrame = {
+    val sigs = df.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("id"), col(hashCol).as("sig"))
+    val pairs = Dedup.hammingNearDupPairs(sigs, maxHamming,
+      s"imageNearDupGroups(maxHamming=$maxHamming)")
+    val groups = Dedup.duplicateGroups(pairs)
+    sigs.select(col("id")).join(groups, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("group_id"), col("id")).as("group_id"))
+  }
+
+  /** Fixture generator: a deterministic TWO-TONE patterned PNG per row —
+    * fixed 16×8 canvas, pattern class `id % classes`: cell column x is
+    * BRIGHT (gray 200) when `(x + class·5) % 8 < 3`, dark (gray 20)
+    * otherwise, so the aHash of every image in a class is the identical
+    * 24-bit-set signature and distinct classes differ in many bits (the
+    * patterns are distinct 3-of-8 column shifts); odd ids additionally
+    * brighten the top-left cell — one aHash bit of noise, keeping them
+    * within Hamming 1 of their class. An oracle can therefore predict the
+    * near-dup GROUPS from id arithmetic alone, while the engine earns
+    * them through the full encode→decode→hash→band→components pipeline.
+    */
+  def synthPng2ToneFromId(df: DataFrame, idCol: String,
+                          outCol: String = "png",
+                          classes: Int = 5): DataFrame = {
+    require(classes >= 1 && classes <= 8,
+      s"synthPng2ToneFromId: classes must be in [1,8], got $classes")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = false)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val cls = (id % classes).toInt
+        val img = new java.awt.image.BufferedImage(
+          16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 16) {
+            // aHash samples x*16/8 = even columns; keep odd columns equal
+            // to their even neighbor so sampling sees the intended pattern
+            val cell = x / 2
+            val bright = (cell + cls * 5) % 8 < 3
+            val noisy = id % 2 == 1 && cell == 0 && y == 0
+            val g = if (bright || noisy) 200 else 20
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Row.fromSeq(r.toSeq :+ baos.toByteArray)
+      }
+    }(enc)
+  }
+
   /** Fixture generator: a deterministic solid-color PNG per row — size
     * `(1 + id % 16) × (1 + id % 8)`, fill `rgb(id%256, id*7%256, id*13%256)`
     * — so an oracle can predict the decoded width/height/channel means in

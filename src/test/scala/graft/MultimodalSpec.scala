@@ -167,6 +167,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> true))
   }
 
+  test("imageAHash: hand-computed bits, noise distance, class separation") {
+    val ids = Seq(0L, 1L, 2L, 6L).toDF("doc_id")
+    val hashed = Multimodal.withImageAHash(
+        Multimodal.synthPng2ToneFromId(ids, "doc_id", classes = 5),
+        "png", "phash")
+      .select("doc_id", "phash").as[(Long, Long)].collect().toMap
+    // hand-computed aHash of class 0 (id 0, even -> no noise): bright
+    // cells are columns where (x + 0) % 8 < 3, identical in every row
+    val expected0 = {
+      var h = 0L
+      for (y <- 0 until 8; x <- 0 until 8 if x % 8 < 3) h |= 1L << (8 * y + x)
+      h
+    }
+    assert(hashed(0L) == expected0,
+      s"${hashed(0L).toBinaryString} vs ${expected0.toBinaryString}")
+    // id 1 is class 1 with the noise bit (odd, and class 1's cell 0 is
+    // dark, so the noise flips a real bit): Hamming 1 from clean id 6
+    assert(java.lang.Long.bitCount(hashed(6L) ^ hashed(1L)) == 1)
+    // different classes differ in many bits (distinct 3-of-8 shifts)
+    assert(java.lang.Long.bitCount(hashed(0L) ^ hashed(2L)) > 8)
+    // undecodable payloads hash to null
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null))
+      .toDF("id", "payload")
+    val nulls = Multimodal.withImageAHash(junk, "payload")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(nulls == Map(1L -> true, 2L -> true))
+  }
+
+  test("imageNearDupGroups recovers the planted pattern classes") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val groups = Multimodal.imageNearDupGroups(
+        Multimodal.withImageAHash(
+          Multimodal.synthPng2ToneFromId(ids, "doc_id", classes = 5),
+          "png", "phash"),
+        "doc_id", "phash", maxHamming = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(groups.size == 40)
+    (0L until 40L).foreach(id => assert(groups(id) == id % 5,
+      s"id $id -> ${groups(id)}"))
+  }
+
   test("decodeAudioBatch yields null features for undecodable or null bytes") {
     val junk = Seq((1L, Array[Byte](82, 73, 70, 70)), (2L, null)) // truncated "RIFF"
       .toDF("id", "payload")
