@@ -667,6 +667,38 @@ object SparkEntry {
             buckets = 512, k = 150, seed = "7")))
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
+    // Web-cleaning recipe (late r10): constructed multi-line pages (the
+    // redact_pii convention — both engines build identical input, and
+    // unlike the single-line fixture docs these exercise the LINE rules
+    // non-degenerately) -> C4Clean (drops the no-terminal boilerplate
+    // line and javascript lines, rewrites text) -> DropBlockedTerms
+    // (casino pages) -> QualityFloor. The oracle replays construction,
+    // line filter, page gates, term containment, and the floor.
+    "q_pipeline_web_recipe" -> ((s, d) => {
+      val pages = t(s, d, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(substring(col("text"), 1, 60), lit(" end of line one.")),
+          lit("the second line has plenty of words and that makes it clean!"),
+          when(col("doc_id") % 3 === 0,
+              lit("please enable javascript to view this page."))
+            .otherwise(lit("a third ordinary sentence with the usual words of text.")),
+          lit("trailing boilerplate without punctuation"),
+          when(col("doc_id") % 5 === 0,
+              lit("casino night special offer now."))
+            .otherwise(lit("a clean bonus sentence appears right here.")),
+          when(col("doc_id") % 7 === 0,
+              lit("lorem ipsum dolor sit amet."))
+            .otherwise(lit("closing sentence with a full stop here.")))
+          .as("text"))
+      graft.pipeline.CorpusPipeline.run(pages, "doc_id", "text", Seq(
+          graft.pipeline.CorpusPipeline.C4Clean,
+          graft.pipeline.CorpusPipeline.DropBlockedTerms(
+            Seq("casino", "spam phrase")),
+          graft.pipeline.CorpusPipeline.QualityFloor(minTokens = 10)))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_words"))
+        .orderBy("doc_id")
+    }),
     "q_pipeline_tokenize_recipe" -> ((s, d) => {
       val out = graft.pipeline.CorpusPipeline.run(
         t(s, d, "documents").select("doc_id", "text", "lang"),
@@ -2633,6 +2665,50 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.n_chars
         |FROM documents d JOIN pick USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // Construction + C4 line filter + page gates (on the RAW page) +
+    // blocked-term containment (on the CLEANED text) + word floor.
+    "q_pipeline_web_recipe" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      substring(text, 1, 60) || ' end of line one.',
+        |      'the second line has plenty of words and that makes it clean!',
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN 'please enable javascript to view this page.'
+        |        ELSE 'a third ordinary sentence with the usual words of text.'
+        |      END,
+        |      'trailing boilerplate without punctuation',
+        |      CASE WHEN doc_id % 5 = 0
+        |        THEN 'casino night special offer now.'
+        |        ELSE 'a clean bonus sentence appears right here.' END,
+        |      CASE WHEN doc_id % 7 = 0
+        |        THEN 'lorem ipsum dolor sit amet.'
+        |        ELSE 'closing sentence with a full stop here.' END) AS page
+        |  FROM documents),
+        |cleaned AS (
+        |  SELECT doc_id, page,
+        |    array_to_string(list_filter(
+        |      list_filter(string_split(page, chr(10)), l -> trim(l) <> ''),
+        |      l -> (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+        |          OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+        |        AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+        |          x -> x <> '')) >= 5
+        |        AND NOT contains(lower(trim(l)), 'javascript')),
+        |      chr(10)) AS ct
+        |  FROM pages)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(ct, '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_words
+        |FROM cleaned
+        |WHERE len(list_filter(string_split(ct, chr(10)),
+        |        l -> trim(l) <> '')) >= 3
+        |  AND NOT contains(lower(page), 'lorem ipsum')
+        |  AND NOT contains(page, '{')
+        |  AND NOT contains(lower(ct), 'casino')
+        |  AND NOT contains(lower(ct), 'spam phrase')
+        |  AND len(list_filter(regexp_split_to_array(ct, '\s+'),
+        |        x -> x <> '')) >= 10
+        |ORDER BY doc_id""".stripMargin,
     "q_pipeline_tokenize_recipe" ->
       """WITH docs AS (
         |  SELECT * FROM documents
