@@ -2000,6 +2000,19 @@ object SparkEntry {
           "doc_id", "phash", maxHamming = 2)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Audio twin of the perceptual-hash pipeline (late r10): two-tone
+    // WAVs (loud/quiet window pattern = doc_id % 4, odd ids one window
+    // of noise) through decode -> 64-window energy hash -> banded
+    // Hamming -> components; groups again predicted by id arithmetic.
+    "q_mm_audiohash_groups" -> ((s, d) =>
+      Multimodal.audioNearDupGroups(
+          Multimodal.withAudioEnergyHash(
+            Multimodal.synthWav2ToneFromId(
+              t(s, d, "documents").select("doc_id"), "doc_id", classes = 4),
+            "wav", "ahash"),
+          "doc_id", "ahash", maxHamming = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // REAL codec path #2: synthesized PCM16 WAVs (frame count + constant
     // amplitude derived from doc_id) decoded by javax.sound.sampled —
     // sample rate/frames/duration/RMS are oracle-predictable in plain SQL
@@ -4530,6 +4543,9 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_phash_groups" ->
       """SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS group_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_audiohash_groups" ->
+      """SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS group_id
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_resize_real" ->
       """SELECT doc_id, 2 * (1 + doc_id % 16) AS width,

@@ -419,6 +419,22 @@ object Dedup {
     out
   }
 
+  /** Near-duplicate GROUPS over any 64-bit signature column: null-signed
+    * rows excluded (nothing to compare), banded Hamming candidates
+    * ([[hammingNearDupPairs]]) + [[duplicateGroups]] components, singletons
+    * re-attached as their own group — the shared grouping tail of the
+    * SimHash text path and the perceptual image/audio hash paths.
+    */
+  def signatureNearDupGroups(df: DataFrame, idCol: String, hashCol: String,
+                             maxHamming: Int, what: String): DataFrame = {
+    val sigs = df.filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("id"), col(hashCol).as("sig"))
+    val pairs = hammingNearDupPairs(sigs, maxHamming, what)
+    val groups = duplicateGroups(pairs)
+    sigs.select(col("id")).join(groups, Seq("id"), "left")
+      .select(col("id"), coalesce(col("group_id"), col("id")).as("group_id"))
+  }
+
   /** Duplicate-group resolution: connected components over a candidate-pair
     * edge list via min-label propagation WITH pointer jumping (the star-
     * contraction trick): each round first takes the min label over direct

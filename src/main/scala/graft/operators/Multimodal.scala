@@ -245,15 +245,141 @@ object Multimodal {
     * (id, group_id) for every hashed image, singletons included.
     */
   def imageNearDupGroups(df: DataFrame, idCol: String, hashCol: String,
-                         maxHamming: Int = 2): DataFrame = {
-    val sigs = df.filter(col(hashCol).isNotNull)
-      .select(col(idCol).as("id"), col(hashCol).as("sig"))
-    val pairs = Dedup.hammingNearDupPairs(sigs, maxHamming,
+                         maxHamming: Int = 2): DataFrame =
+    Dedup.signatureNearDupGroups(df, idCol, hashCol, maxHamming,
       s"imageNearDupGroups(maxHamming=$maxHamming)")
-    val groups = Dedup.duplicateGroups(pairs)
-    sigs.select(col("id")).join(groups, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("group_id"), col("id")).as("group_id"))
+
+  /** Perceptual ENERGY-HASH of one decoded WAV (PCM16, the
+    * [[decodeAudioBatch]] decode contract): frames split into 64 equal
+    * windows (nearest-boundary `w·n/64`), integer mean |sample| per
+    * window, bit w set iff the window's energy exceeds the integer mean
+    * of all 64 — [[imageAHashBatch]]'s temporal twin, the audio near-dup
+    * fingerprint (re-encodes and small edits of the same clip land
+    * within a few bits). Null for null/non-PCM16/undecodable payloads
+    * and for clips shorter than 64 frames (no full window grid).
+    */
+  val audioEnergyHashBatch: Seq[Array[Byte]] => Seq[java.lang.Long] = _.map { bytes =>
+    if (bytes == null) null
+    else {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            null
+          else {
+            val data = in.readAllBytes()
+            val n = data.length / 2
+            if (n < 64) null
+            else {
+              val abs = new Array[Long](n)
+              var i = 0
+              while (i < n) {
+                val s =
+                  if (fmt.isBigEndian)
+                    (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
+                  else
+                    (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+                abs(i) = math.abs(s.toLong)
+                i += 1
+              }
+              val energy = new Array[Long](64)
+              var sum = 0L
+              var w = 0
+              while (w < 64) {
+                val from = w * n / 64
+                val until = (w + 1) * n / 64
+                var e = 0L
+                var j = from
+                while (j < until) { e += abs(j); j += 1 }
+                energy(w) = if (until > from) e / (until - from) else 0L
+                sum += energy(w)
+                w += 1
+              }
+              val mean = sum / 64
+              var hash = 0L
+              w = 0
+              while (w < 64) {
+                if (energy(w) > mean) hash |= (1L << w)
+                w += 1
+              }
+              java.lang.Long.valueOf(hash)
+            }
+          }
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => null }
+    }
+  }
+
+  /** Append the audio energy-hash column — the [[withImageAHash]] batch
+    * shape for WAV payloads.
+    */
+  def withAudioEnergyHash(df: DataFrame, contentCol: String,
+                          outCol: String = "ahash",
+                          batchSize: Int = 64): DataFrame = {
+    val idx = df.schema.fieldIndex(contentCol)
+    val outSchema = df.schema.add(outCol, LongType, nullable = true)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val hashes = audioEnergyHashBatch(batch.map(_.getAs[Array[Byte]](idx)))
+        batch.lazyZip(hashes).map((r, v) => Row.fromSeq(r.toSeq :+ v))
+      }
+    }(enc)
+  }
+
+  /** Audio near-duplicate groups over an energy-hash column — the
+    * [[imageNearDupGroups]] twin, same banded-Hamming + components core.
+    */
+  def audioNearDupGroups(df: DataFrame, idCol: String, hashCol: String,
+                         maxHamming: Int = 2): DataFrame =
+    Dedup.signatureNearDupGroups(df, idCol, hashCol, maxHamming,
+      s"audioNearDupGroups(maxHamming=$maxHamming)")
+
+  /** Fixture generator: a deterministic TWO-TONE WAV per row — 256 mono
+    * PCM16 frames at 8000 Hz in 64 four-frame windows, pattern class
+    * `id % classes`: window w is LOUD (amplitude 12000) when
+    * `(w + class) % 8 < 3`, quiet (500) otherwise; odd ids additionally
+    * make window 0 loud (≤1 energy-hash bit of noise). The
+    * [[synthPng2ToneFromId]] contract for audio: the oracle predicts the
+    * near-dup groups from id arithmetic while the engine earns them
+    * through encode→decode→hash→band→components.
+    */
+  def synthWav2ToneFromId(df: DataFrame, idCol: String,
+                          outCol: String = "wav",
+                          classes: Int = 4): DataFrame = {
+    require(classes >= 1 && classes <= 8,
+      s"synthWav2ToneFromId: classes must be in [1,8], got $classes")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = false)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val cls = (id % classes).toInt
+        val nFrames = 256
+        val dataLen = nFrames * 2
+        val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1)
+          .putInt(8000).putInt(16000)
+          .putShort(2).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < nFrames) {
+          val w = i / 4
+          val loud = (w + cls) % 8 < 3 || (id % 2 == 1 && w == 0)
+          buf.putShort(if (loud) 12000.toShort else 500.toShort)
+          i += 1
+        }
+        Row.fromSeq(r.toSeq :+ buf.array())
+      }
+    }(enc)
   }
 
   /** Fixture generator: a deterministic TWO-TONE patterned PNG per row —

@@ -208,6 +208,49 @@ class MultimodalSpec extends SparkSpec {
       s"id $id -> ${groups(id)}"))
   }
 
+  test("audioEnergyHash: hand-computed bits, noise distance, groups") {
+    val ids = Seq(0L, 2L, 3L, 7L).toDF("doc_id")
+    val hashed = Multimodal.withAudioEnergyHash(
+        Multimodal.synthWav2ToneFromId(ids, "doc_id", classes = 4),
+        "wav", "ahash")
+      .select("doc_id", "ahash").as[(Long, Long)].collect().toMap
+    // class 0 (id 0, even): loud windows are w % 8 < 3
+    val expected0 = {
+      var h = 0L
+      for (w <- 0 until 64 if w % 8 < 3) h |= 1L << w
+      h
+    }
+    assert(hashed(0L) == expected0,
+      s"${hashed(0L).toBinaryString} vs ${expected0.toBinaryString}")
+    // id 3 is class 3 with the noise window (odd, and class 3's window 0
+    // is quiet): Hamming 1 from clean class-3 id 7... both odd; compare
+    // against the constructed clean hash instead
+    val clean3 = {
+      var h = 0L
+      for (w <- 0 until 64 if (w + 3) % 8 < 3) h |= 1L << w
+      h
+    }
+    assert(java.lang.Long.bitCount(hashed(3L) ^ clean3) == 1)
+    assert(hashed(3L) == hashed(7L)) // same class + same noise
+    // classes far apart
+    assert(java.lang.Long.bitCount(hashed(0L) ^ hashed(2L)) > 8)
+    // null/short payloads hash to null
+    val junk = Seq((1L, Array[Byte](82, 73, 70, 70)), (2L, null))
+      .toDF("id", "payload")
+    val nulls = Multimodal.withAudioEnergyHash(junk, "payload")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(nulls == Map(1L -> true, 2L -> true))
+    // end-to-end groups recover the planted classes
+    val many = (0L until 24L).toDF("doc_id")
+    val groups = Multimodal.audioNearDupGroups(
+        Multimodal.withAudioEnergyHash(
+          Multimodal.synthWav2ToneFromId(many, "doc_id", classes = 4),
+          "wav", "ahash"),
+        "doc_id", "ahash", maxHamming = 2)
+      .as[(Long, Long)].collect().toMap
+    (0L until 24L).foreach(id => assert(groups(id) == id % 4))
+  }
+
   test("decodeAudioBatch yields null features for undecodable or null bytes") {
     val junk = Seq((1L, Array[Byte](82, 73, 70, 70)), (2L, null)) // truncated "RIFF"
       .toDF("id", "payload")
