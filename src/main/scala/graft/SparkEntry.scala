@@ -283,7 +283,15 @@ object SparkEntry {
       // query's machinery (same LM train+score chain, plus cutoffs and
       // assignment) — the NB classify->margin bench-dedup ruling; the
       // perplexity values stay hash-green here.
-      "q_text_lm_perplexity")
+      "q_text_lm_perplexity",
+      // late r10: planted-copy truth-construction degeneracy (the
+      // decontam-fuzzy-gate ruling): every fixture image/clip in a
+      // pattern class shares one hash, so the banded self-join emits
+      // ~(class size)^2 pairs — 13.3/8.7 s at sf0.1 timing the planted
+      // density, not an engine shape. The banding core stays benched via
+      // q_dedup_simhash_neardup, the codecs via the other q_mm rows;
+      // both stay hash-green here.
+      "q_mm_phash_groups", "q_mm_audiohash_groups")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
