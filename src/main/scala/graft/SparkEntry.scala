@@ -1335,7 +1335,10 @@ object SparkEntry {
     "q_text_unigram_gate" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val vocab = Unigram.trainUnigramModel(docs, "text", targetVocab = 300)
-      val pieceLens = typedlit(vocab.pieces.map(_.piece.length.toLong))
+      // piece span in CODE POINTS — the oracle's len() unit (a UTF-16
+      // .length would over-count astral characters; code-review r10)
+      val pieceLens = typedlit(vocab.pieces.map(p =>
+        p.piece.codePointCount(0, p.piece.length).toLong))
       docs.select(Unigram.unigramEncodeIds(col("text"), vocab).as("ids"))
         .agg(
           count(lit(1)).cast("long").as("n_docs"),

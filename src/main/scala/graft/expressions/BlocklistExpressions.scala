@@ -21,8 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Match semantics: ALL occurrences, including overlapping ones and
   * patterns nested inside other patterns' matches (the automaton's
-  * dict-suffix chain) — text and patterns are matched lowercase
-  * (`UTF8String.toLowerCase`, byte-identical to Spark's `lower()`).
+  * dict-suffix chain) — text and patterns are matched lowercase under
+  * `Locale.ROOT` (locale-INDEPENDENT, matching the ROOT-lowercased
+  * pattern side and the oracle's `lower()`; a default-locale fold
+  * would silently unmatch under e.g. tr_TR's dotless-ı mapping).
   */
 object BlocklistOps {
 
@@ -125,7 +127,11 @@ object BlocklistOps {
     */
   def countMatches(text: UTF8String, spec: UTF8String): java.lang.Long = {
     val ac = parse(spec.toString)
-    val t = text.toLowerCase.toString
+    // Locale.ROOT, matching the ROOT-lowercased patterns and the oracle's
+    // locale-independent lower(): UTF8String.toLowerCase falls back to
+    // the JVM DEFAULT locale on non-ASCII rows, where tr_TR would map
+    // 'I' to dotless-ı and silently unmatch "casino" (code-review r10)
+    val t = text.toString.toLowerCase(java.util.Locale.ROOT)
     var node = 0
     var total = 0L
     var i = 0
@@ -144,7 +150,7 @@ object BlocklistOps {
   /** Ascending distinct ids of the patterns occurring in `text`. */
   def matchedIds(text: UTF8String, spec: UTF8String): ArrayData = {
     val ac = parse(spec.toString)
-    val t = text.toLowerCase.toString
+    val t = text.toString.toLowerCase(java.util.Locale.ROOT)
     val seen = new java.util.TreeSet[Integer]()
     var node = 0
     var i = 0

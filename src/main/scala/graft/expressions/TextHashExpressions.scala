@@ -160,10 +160,26 @@ object NgramOps {
     * corpus pass at sf0.1 vs well under a second for this tight loop.
     * Emission order is by n then position; the consumers aggregate a
     * bag, so order is not part of the contract.
+    *
+    * "Character" means CODE POINT, exactly like `Column.substr` in the
+    * retained HOF specification and `substring` in the DuckDB oracle —
+    * iterating UTF-16 units would split surrogate pairs on astral text
+    * (emoji are ubiquitous in web corpora) and desync all three. The
+    * offs table maps code-point index → UTF-16 offset so each gram is
+    * one O(gram) substring, not an O(n) codePointAt walk.
     */
   def charNgrams(text: UTF8String, maxN: Int): ArrayData = {
     val t = text.toString
-    val n = t.length
+    // code-point boundaries: offs(i) = UTF-16 offset of code point i
+    val offs = new Array[Int](t.length + 1)
+    var n = 0
+    var u = 0
+    while (u < t.length) {
+      offs(n) = u
+      u += Character.charCount(t.codePointAt(u))
+      n += 1
+    }
+    offs(n) = t.length
     var total = 0
     var k = 1
     while (k <= maxN) { if (n >= k) total += n - k + 1; k += 1 }
@@ -173,7 +189,7 @@ object NgramOps {
     while (k <= maxN) {
       var i = 0
       while (i + k <= n) {
-        out(idx) = UTF8String.fromString(t.substring(i, i + k))
+        out(idx) = UTF8String.fromString(t.substring(offs(i), offs(i + k)))
         idx += 1
         i += 1
       }

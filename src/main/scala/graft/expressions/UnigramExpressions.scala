@@ -36,11 +36,16 @@ object UnigramOps {
         i += 1
       }
     }
+    /** Longest piece in CODE POINTS — the Viterbi window bound; pieces
+      * come from code-point substrings (`Column.substr`), so the
+      * segmenter's index space must match.
+      */
     val maxLen: Int = {
       var m = 1
       var i = 0
       while (i < pieces.length) {
-        if (pieces(i).length > m) m = pieces(i).length
+        val l = pieces(i).codePointCount(0, pieces(i).length)
+        if (l > m) m = l
         i += 1
       }
       m
@@ -93,7 +98,19 @@ object UnigramOps {
     */
   def segmentWord(word: String, m: Model,
                   out: scala.collection.mutable.ArrayBuilder[Int]): Int = {
-    val n = word.length
+    // positions are CODE POINTS (the trainer's pieces come from
+    // code-point substrings, and the conservation gate's oracle counts
+    // code points) — offs maps code-point index → UTF-16 offset so an
+    // astral character is one position, never a split surrogate pair
+    val offs = new Array[Int](word.length + 1)
+    var n = 0
+    var u = 0
+    while (u < word.length) {
+      offs(n) = u
+      u += Character.charCount(word.codePointAt(u))
+      n += 1
+    }
+    offs(n) = word.length
     if (n == 0) return 0
     val NegInf = Double.NegativeInfinity
     val dp = new Array[Double](n + 1)
@@ -108,7 +125,7 @@ object UnigramOps {
       var i = if (j - m.maxLen > 0) j - m.maxLen else 0
       while (i < j) {
         if (dp(i) != NegInf || i == 0) {
-          val pid = m.idOf.get(word.substring(i, j))
+          val pid = m.idOf.get(word.substring(offs(i), offs(j)))
           if (pid != null) {
             val cand = dp(i) + m.logProbs(pid.intValue())
             if (cand > best) { best = cand; bi = i; bid = pid.intValue() }

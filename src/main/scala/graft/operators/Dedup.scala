@@ -391,6 +391,10 @@ object Dedup {
       s"$what: maxHamming must be in [0,31], got $maxHamming")
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
+    // maxHamming=0 → one 64-bit band; (1L << 64) is a JVM shift-mod-64
+    // no-op, so the mask must special-case the full width or every band
+    // value collapses to 0 (one global bucket — code-review r10)
+    val bandMask = if (bandBits >= 64) -1L else (1L << bandBits) - 1
     val sigs = sigFrame.select(col("id"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // nBands is a driver constant, so the band array is unrolled literally —
@@ -398,7 +402,7 @@ object Dedup {
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(array((0 until nBands).map(b =>
           shiftrightunsigned(col("sig"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+            .bitwiseAND(lit(bandMask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bits")
     Guardrails.requireBoundedBuckets(banded, Seq("band", "bits"), maxBucketRows,
       what,
@@ -427,8 +431,16 @@ object Dedup {
     */
   def signatureNearDupGroups(df: DataFrame, idCol: String, hashCol: String,
                              maxHamming: Int, what: String): DataFrame = {
+    // Pinned HERE, not just inside hammingNearDupPairs: the singleton
+    // reattach below consumes the signature frame again AFTER the pair
+    // stage freed its internal pin, and for the perceptual-hash callers
+    // that frame embeds a full decode+hash pass over every payload —
+    // re-execution doubles the codec work (code-review r10). The pin is
+    // 16 B/row; release is LRU, the filterByClassifier accepted-residue
+    // convention (the returned plan still reads it lazily).
     val sigs = df.filter(col(hashCol).isNotNull)
       .select(col(idCol).as("id"), col(hashCol).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = hammingNearDupPairs(sigs, maxHamming, what)
     val groups = duplicateGroups(pairs)
     sigs.select(col("id")).join(groups, Seq("id"), "left")

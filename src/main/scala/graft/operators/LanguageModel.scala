@@ -153,8 +153,13 @@ object LanguageModel {
                         seed: String = "ppl"): DataFrame = {
     require(cutoffSample > 0 && cutoffSample <= 1.0,
       s"perplexityBuckets: cutoffSample must be in (0,1], got $cutoffSample")
+    // Pinned: the cutoff aggregate AND the final projection both consume
+    // this frame — unpinned, the whole LM score chain (bigram explode +
+    // three model joins) executes twice per call (code-review r10).
+    // Release is LRU, the perplexitySelf model-pin convention.
     val p = perplexity(docs, idCol, textCol, lm, addK)
       .withColumn("__r", round(col("perplexity"), 6))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = p.filter(col("__r").isNotNull)
     val forCuts =
       if (cutoffSample >= 1.0) base

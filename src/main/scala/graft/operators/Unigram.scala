@@ -142,26 +142,31 @@ object Unigram {
         }
         w += 1
       }
-      // single chars floor at 1 (never dropped); unused multi-char
-      // pieces drop out
-      counts.keysIterator.filter(_.length == 1).foreach { p =>
-        if (!newCounts.contains(p)) newCounts.update(p, 1L)
-      }
+      // single CODE-POINT chars floor at 1 (never dropped; the seed's
+      // segmentability alphabet is code-point substrings, so an astral
+      // character is one "char" here despite its UTF-16 length of 2);
+      // unused multi-char pieces drop out
+      counts.keysIterator
+        .filter(p => p.codePointCount(0, p.length) == 1).foreach { p =>
+          if (!newCounts.contains(p)) newCounts.update(p, 1L)
+        }
       counts = newCounts
     }
 
     (1 to emIters).foreach(_ => emIteration())
     // prune loop: remove lowest-count multi-char pieces until the target
     while (counts.size > targetVocab) {
-      val multi = counts.iterator.filter(_._1.length > 1).toArray
-      if (multi.isEmpty) {
-        // nothing prunable left: alphabet alone exceeds the target —
-        // fail loudly rather than emit an unsegmentable vocabulary
-        require(counts.size <= targetVocab,
+      val multi = counts.iterator
+        .filter(p => p._1.codePointCount(0, p._1.length) > 1).toArray
+      if (multi.isEmpty)
+        // nothing prunable left: the alphabet alone exceeds the target —
+        // fail loudly rather than loop forever or emit an unsegmentable
+        // vocabulary (an unconditional throw, stated directly:
+        // code-review r10 flagged the vacuous-require form)
+        throw new IllegalArgumentException(
           s"trainUnigramModel: alphabet size ${counts.size} exceeds " +
             s"targetVocab=$targetVocab — raise targetVocab above the " +
             "corpus alphabet")
-      }
       val excess = counts.size - targetVocab
       val k = math.max(1, math.min(excess,
         math.ceil(pruneFrac * multi.length).toInt))

@@ -40,6 +40,7 @@ class LangIdNgramSpec extends SparkSpec {
 
   test("native charNgrams equals the HOF specification element-for-element") {
     val texts = Seq("", "a", "ab", "abc_def", "café_über",
+      "x😀y_z😀", // astral chars: one code point each
       "x" * 40)
     val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
     val rows = df.select(

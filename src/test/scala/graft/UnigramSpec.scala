@@ -62,6 +62,29 @@ class UnigramSpec extends SparkSpec {
     assert(e.getMessage.contains("alphabet"))
   }
 
+  test("astral characters are single pieces; conservation holds in code points") {
+    val emoji = "😀" // one code point, two UTF-16 units
+    val docs = corpus(s"a${emoji}b a${emoji}b ${emoji}${emoji} ab")
+    val vocab = Unigram.trainUnigramModel(docs, "text", targetVocab = 40)
+    // the emoji is a vocab piece in its own right (the seed's code-point
+    // alphabet), never a split surrogate pair
+    assert(vocab.pieces.exists(_.piece == emoji))
+    assert(!vocab.pieces.exists(p => p.piece.length == 1 &&
+      Character.isSurrogate(p.piece.charAt(0))))
+    val ids = docs.limit(1)
+      .select(Unigram.unigramEncodeIds(lit(s"a${emoji}b"), vocab))
+      .as[Seq[Int]].collect().head
+    assert(ids.forall(_ >= 0), ids.toString)
+    val decoded = ids.map(i => vocab.pieces(i).piece).mkString
+    assert(decoded == s"a${emoji}b", decoded)
+    // span in CODE POINTS = 3 (the oracle's len() unit)
+    val span = ids.map { i =>
+      val p = vocab.pieces(i).piece
+      p.codePointCount(0, p.length)
+    }.sum
+    assert(span == 3, s"span $span != 3")
+  }
+
   test("characters outside the vocabulary emit -1 and still span 1 char") {
     val docs = corpus("abc abc cab")
     val vocab = Unigram.trainUnigramModel(docs, "text", targetVocab = 30)
