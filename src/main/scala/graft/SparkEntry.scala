@@ -1236,6 +1236,19 @@ object SparkEntry {
           round(col("cross_entropy"), 6).as("cross_entropy"),
           round(col("perplexity"), 6).as("perplexity"))
         .orderBy("doc_id")),
+    // Interpolated Kneser-Ney perplexity (late r10): the smoothing KenLM
+    // actually uses — absolute discount + continuation-probability
+    // interpolation, every input an exact integer aggregate of the model
+    // table, the probability a fixed IEEE expression replayed with
+    // identical association, logs summed in DECIMAL(38,18), rounded-6
+    // edges (the q_text_lm_perplexity contract). Hash-checked end-to-end.
+    "q_text_lm_kn" -> ((s, d) =>
+      graft.operators.LanguageModel.perplexityKneserNeySelf(
+        t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("cross_entropy"), 6).as("cross_entropy"),
+          round(col("perplexity"), 6).as("perplexity"))
+        .orderBy("doc_id")),
     // CCNet head/middle/tail perplexity bucketing (late r10): exact
     // interpolated third-percentile cutoffs over the rounded perplexity
     // (percentile == quantile_cont bit-for-bit, the quantile_filter
@@ -3585,6 +3598,49 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(agg.nb, 0) AS n_bigrams,
         |  round(-(CAST(agg.s AS DOUBLE) / agg.nb), 6) AS cross_entropy,
         |  round(exp(-(CAST(agg.s AS DOUBLE) / agg.nb)), 6) AS perplexity
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Interpolated KN replay: counts, forward/backward continuation
+    // tables, the discount/interpolation formula with matched literal
+    // typing and association, DECIMAL sums, rounded-6 edges.
+    "q_text_lm_kn" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM tk, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2),
+        |lm AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1,
+        |        count(*) AS n1f FROM lm GROUP BY 1),
+        |bwd AS (SELECT w2, count(*) AS n1b FROM lm GROUP BY 1),
+        |tot AS (SELECT count(*) AS nb FROM lm),
+        |v AS (SELECT count(DISTINCT w) AS vs
+        |      FROM (SELECT w1 AS w FROM lm UNION ALL SELECT w2 FROM lm)),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS n FROM bg GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT db.doc_id, db.n,
+        |    ln(CAST(0.999999 AS DOUBLE) * (
+        |      (CASE WHEN ctx.c1 IS NOT NULL
+        |        THEN greatest(CAST(coalesce(lm.cnt, 0) AS DOUBLE) - 0.75, 0.0)
+        |             / CAST(ctx.c1 AS DOUBLE) ELSE 0.0 END)
+        |      + (CASE WHEN ctx.c1 IS NOT NULL
+        |          THEN 0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.c1 AS DOUBLE)
+        |          ELSE 1.0 END)
+        |        * (CAST(coalesce(bwd.n1b, 0) AS DOUBLE)
+        |           / CAST(tot.nb AS DOUBLE)))
+        |      + CAST(0.000001 AS DOUBLE) / CAST(v.vs AS DOUBLE)) AS lp
+        |  FROM db LEFT JOIN lm USING (w1, w2) LEFT JOIN ctx USING (w1)
+        |  LEFT JOIN bwd USING (w2) CROSS JOIN tot CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nb2,
+        |    sum(CAST(n * lp AS DECIMAL(38,18))) AS s
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(agg.nb2, 0) AS n_bigrams,
+        |  round(-(CAST(agg.s AS DOUBLE) / agg.nb2), 6) AS cross_entropy,
+        |  round(exp(-(CAST(agg.s AS DOUBLE) / agg.nb2)), 6) AS perplexity
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // The perplexity pipeline plus quantile_cont cutoffs and threshold

@@ -106,6 +106,82 @@ object LanguageModel {
         exp(ce).as("perplexity"))
   }
 
+  /** Per-document perplexity under INTERPOLATED KNESER–NEY smoothing
+    * (Kneser & Ney 1995; the smoothing KenLM — and therefore the CCNet
+    * filter the add-k form approximates — actually uses): absolute
+    * discount `d` on seen bigrams, the freed mass interpolated with the
+    * CONTINUATION probability (how many distinct contexts a word follows
+    * — "Francisco" is frequent but predictable, "glasses" follows
+    * anything):
+    *
+    *   P(w2|w1) = max(c(w1,w2) − d, 0)/c(w1·)
+    *              + d·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * with an unseen CONTEXT giving all its mass to the continuation term
+    * and a final `(1−ε)·P + ε/|V|` uniform floor (ε = 1e-6, the <unk>
+    * analog) keeping every log finite. Every input is an exact integer
+    * aggregate of the model table (row counts and sums — no new corpus
+    * pass), the formula is a fixed small IEEE expression tree replayed
+    * with identical association in the oracle, and the per-doc log sum
+    * runs in DECIMAL(38,18) — the [[perplexity]] portability contract.
+    * Same output shape and same model-keyed join plan as [[perplexity]];
+    * only the probability expression differs.
+    */
+  def perplexityKneserNey(docs: DataFrame, idCol: String, textCol: String,
+                          lm: DataFrame, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"perplexityKneserNey: discount must be in (0,1), got $discount")
+    val ctx = lm.groupBy("w1").agg(sum("cnt").as("__c1"),
+      count(lit(1)).as("__n1f"))
+    val bwd = lm.groupBy("w2").agg(count(lit(1)).as("__n1b"))
+    val totals = lm.agg(count(lit(1)).as("__nb"))
+    val vocab = lm.select(explode(array(col("w1"), col("w2"))).as("__w"))
+      .agg(countDistinct(col("__w")).as("__v"))
+    val db = bigrams(docs, idCol, textCol)
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("__n"))
+    val d = lit(discount)
+    val pcont = coalesce(col("__n1b"), lit(0L)).cast("double") /
+      col("__nb").cast("double")
+    val seenCtx = col("__c1").isNotNull
+    val base = when(seenCtx,
+      greatest(coalesce(col("cnt"), lit(0L)).cast("double") - d, lit(0.0)) /
+        col("__c1").cast("double")).otherwise(lit(0.0))
+    val lam = when(seenCtx,
+      d * col("__n1f").cast("double") / col("__c1").cast("double"))
+      .otherwise(lit(1.0))
+    // 0.999999 as ONE literal, not 1.0 − 1e-6: both engines then take the
+    // nearest double of the same decimal, where a subtraction could land
+    // an ulp apart depending on the engine's literal typing
+    val p = lit(0.999999) * (base + lam * pcont) +
+      lit(1e-6) / col("__v").cast("double")
+    val scored = db
+      .join(lm, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(bwd, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id").agg(
+        sum(col("__n")).as("__nb2"),
+        sum((col("__n") * ln(p)).cast(DecimalType(38, 18))).as("__s"))
+    val ce = -(col("__s").cast("double") / col("__nb2"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__nb2"), lit(0L)).as("n_bigrams"),
+        ce.as("cross_entropy"),
+        exp(ce).as("perplexity"))
+  }
+
+  /** Train-on-self form of [[perplexityKneserNey]] (the [[perplexitySelf]]
+    * convention and pin).
+    */
+  def perplexityKneserNeySelf(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              discount: Double = 0.75): DataFrame = {
+    val lm = trainBigramLM(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perplexityKneserNey(docs, idCol, textCol, lm, discount)
+  }
+
   /** Train-on-self convenience: the corpus scores against its own bigram
     * statistics — the bootstrap form used before a curated reference LM
     * exists (high-perplexity docs are the ones even their OWN corpus

@@ -80,6 +80,39 @@ class LanguageModelSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("Kneser-Ney: hand-computed interpolation, unseen context and continuation") {
+    // train "a b a b a c": bigrams ab:2 ba:2 ac:1; c1(a)=3 n1f(a)=2,
+    // c1(b)=2 n1f(b)=1; n1b: a<-1, b<-1, c<-1; 3 distinct bigrams; V=3
+    val train = Seq((1L, "a b a b a c")).toDF("id", "text")
+    val lm = LanguageModel.trainBigramLM(train, "id", "text")
+    def score(text: String): (Long, Double) = {
+      val r = LanguageModel.perplexityKneserNey(
+          Seq((9L, text)).toDF("id", "text"), "id", "text", lm)
+        .select("n_bigrams", "cross_entropy").collect().head
+      (r.getLong(0), r.getDouble(1))
+    }
+    def floor(p0: Double) = 0.999999 * p0 + 1e-6 / 3.0
+    // seen bigram (a,b): discounted base + lambda * continuation
+    val pAB = floor((2.0 - 0.75) / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 3.0))
+    val (n1, ce1) = score("a b")
+    assert(n1 == 1L && math.abs(ce1 - (-math.log(pAB))) < 1e-12,
+      s"$ce1 vs ${-math.log(pAB)}")
+    // seen context, unseen bigram (a,a): base 0, lambda * pcont(a)
+    val pAA = floor((0.75 * 2.0 / 3.0) * (1.0 / 3.0))
+    assert(math.abs(score("a a")._2 - (-math.log(pAA))) < 1e-12)
+    // unseen context (z): all mass to continuation, pcont(z)=0 -> floor
+    val pZZ = floor(0.0)
+    assert(math.abs(score("z z")._2 - (-math.log(pZZ))) < 1e-12)
+    // filter direction preserved under KN
+    val loop = (1 to 50).map(_ => "click here to subscribe").mkString(" ")
+    val mixed = new scala.util.Random(7)
+      .shuffle(loop.split(" ").toSeq).mkString(" ")
+    val docs = Seq((1L, loop), (2L, mixed)).toDF("id", "text")
+    val ppl = LanguageModel.perplexityKneserNeySelf(docs, "id", "text")
+      .orderBy("doc_id").select("perplexity").as[Double].collect()
+    assert(ppl(0) < ppl(1), s"loop ${ppl(0)} !< mixed ${ppl(1)}")
+  }
+
   test("repetitive boilerplate scores lower perplexity than shuffled text") {
     // The filter direction: under a self-trained LM, a doc that is one
     // loop of the same bigram is maximally predictable; a doc of the same
