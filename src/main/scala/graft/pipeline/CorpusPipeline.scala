@@ -112,6 +112,14 @@ object CorpusPipeline {
                                    lm: Option[DataFrame] = None,
                                    addK: Double = 0.5) extends Step
 
+  /** [[PerplexityFloor]] under interpolated Kneser–Ney smoothing (late
+    * r10, [[graft.operators.LanguageModel.perplexityKneserNey]]) — the
+    * smoothing the CCNet stage's KenLM actually uses; same drop policy.
+    */
+  final case class PerplexityFloorKN(maxPerplexity: Double,
+                                     lm: Option[DataFrame] = None,
+                                     discount: Double = 0.75) extends Step
+
   /** Keep docs a self-trained Naive Bayes classifier assigns to
     * `keepLabel` ([[graft.operators.Classifier.filterByClassifier]]) —
     * the GPT-3-style quality-classifier filter: `labelCol` carries the
@@ -270,6 +278,15 @@ object CorpusPipeline {
           }
           // perplexity() keys its output "doc_id" regardless of idCol;
           // map back before the id-only semi join.
+          d.join(scored.filter(col("perplexity") <= maxPpl)
+            .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+        case PerplexityFloorKN(maxPpl, lmOpt, discount) =>
+          val scored = lmOpt match {
+            case Some(lm) => graft.operators.LanguageModel
+              .perplexityKneserNey(d, idCol, textCol, lm, discount)
+            case None => graft.operators.LanguageModel
+              .perplexityKneserNeySelf(d, idCol, textCol, discount)
+          }
           d.join(scored.filter(col("perplexity") <= maxPpl)
             .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
         case ClassifierKeep(labelCol, keepLabel, addK, minMargin) =>

@@ -53,6 +53,22 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out(1L) == goodLines)
   }
 
+  test("PerplexityFloorKN step drops the high-perplexity tail under KN") {
+    val loop = (1 to 40).map(_ => "click here to subscribe").mkString(" ")
+    val mixed = new scala.util.Random(3)
+      .shuffle(loop.split(" ").toSeq).mkString(" ")
+    val corpus = Seq((1L, loop, "s"), (2L, mixed, "s"))
+      .toDF("doc_id", "text", "source")
+    val cut = graft.operators.LanguageModel
+      .perplexityKneserNeySelf(corpus, "doc_id", "text")
+      .orderBy("doc_id").select("perplexity").as[Double].collect()
+    val threshold = (cut(0) + cut(1)) / 2
+    val kept = CorpusPipeline.run(corpus, "doc_id", "text",
+        Seq(PerplexityFloorKN(threshold)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), kept.toString)
+  }
+
   test("DropBlockedTerms step drops pages containing any blocked term") {
     val corpus = Seq(
       (1L, "a perfectly clean page", "s"),
