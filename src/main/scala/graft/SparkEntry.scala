@@ -1249,6 +1249,17 @@ object SparkEntry {
           round(col("cross_entropy"), 6).as("cross_entropy"),
           round(col("perplexity"), 6).as("perplexity"))
         .orderBy("doc_id")),
+    // Order-3 interpolated KN (late r10): the KenLM recursion one order
+    // up — trigram discounting backed by the bigram-KN estimate, five
+    // model-keyed joins, both model tables integer aggregates. Same
+    // portability contract; hash-checked end-to-end.
+    "q_text_lm_kn3" -> ((s, d) =>
+      graft.operators.LanguageModel.perplexityKneserNey3Self(
+        t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("cross_entropy"), 6).as("cross_entropy"),
+          round(col("perplexity"), 6).as("perplexity"))
+        .orderBy("doc_id")),
     // CCNet head/middle/tail perplexity bucketing (late r10): exact
     // interpolated third-percentile cutoffs over the rounded perplexity
     // (percentile == quantile_cont bit-for-bit, the quantile_filter
@@ -3641,6 +3652,75 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(agg.nb2, 0) AS n_bigrams,
         |  round(-(CAST(agg.s AS DOUBLE) / agg.nb2), 6) AS cross_entropy,
         |  round(exp(-(CAST(agg.s AS DOUBLE) / agg.nb2)), 6) AS perplexity
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Order-3 KN replay: trigram + bigram tables, both context tables,
+    // continuation counts, the two-level recursion with matched literal
+    // typing and association.
+    "q_text_lm_kn3" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        |  FROM tk, unnest(range(1, len(t) - 1)) AS r(i)
+        |  WHERE len(t) >= 3),
+        |bgr AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM tk, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2),
+        |lm3 AS (SELECT w1, w2, w3, count(*) AS cnt FROM tg GROUP BY 1, 2, 3),
+        |lm2 AS (SELECT w1, w2, count(*) AS cnt FROM bgr GROUP BY 1, 2),
+        |ctx3 AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c3,
+        |         count(*) AS n3f FROM lm3 GROUP BY 1, 2),
+        |ctx2 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c2,
+        |         count(*) AS n2f FROM lm2 GROUP BY 1),
+        |bwd AS (SELECT w2, count(*) AS n1b FROM lm2 GROUP BY 1),
+        |tot AS (SELECT count(*) AS nb FROM lm2),
+        |v AS (SELECT count(DISTINCT w) AS vs
+        |      FROM (SELECT w1 AS w FROM lm2 UNION ALL SELECT w2 FROM lm2)),
+        |db AS (SELECT doc_id, w1, w2, w3, count(*) AS n
+        |       FROM tg GROUP BY 1, 2, 3, 4),
+        |sc AS (
+        |  SELECT db.doc_id, db.n,
+        |    ln(CAST(0.999999 AS DOUBLE) * (
+        |      CASE WHEN ctx3.c3 IS NOT NULL
+        |        THEN greatest(CAST(coalesce(lm3.cnt, 0) AS DOUBLE) - 0.75, 0.0)
+        |             / CAST(ctx3.c3 AS DOUBLE)
+        |           + 0.75 * CAST(ctx3.n3f AS DOUBLE) / CAST(ctx3.c3 AS DOUBLE)
+        |             * (CASE WHEN ctx2.c2 IS NOT NULL
+        |                THEN greatest(CAST(coalesce(bg.cnt, 0) AS DOUBLE)
+        |                       - 0.75, 0.0) / CAST(ctx2.c2 AS DOUBLE)
+        |                   + 0.75 * CAST(ctx2.n2f AS DOUBLE)
+        |                     / CAST(ctx2.c2 AS DOUBLE)
+        |                     * (CAST(coalesce(bwd.n1b, 0) AS DOUBLE)
+        |                        / CAST(tot.nb AS DOUBLE))
+        |                ELSE CAST(coalesce(bwd.n1b, 0) AS DOUBLE)
+        |                     / CAST(tot.nb AS DOUBLE) END)
+        |        ELSE (CASE WHEN ctx2.c2 IS NOT NULL
+        |              THEN greatest(CAST(coalesce(bg.cnt, 0) AS DOUBLE)
+        |                     - 0.75, 0.0) / CAST(ctx2.c2 AS DOUBLE)
+        |                 + 0.75 * CAST(ctx2.n2f AS DOUBLE)
+        |                   / CAST(ctx2.c2 AS DOUBLE)
+        |                   * (CAST(coalesce(bwd.n1b, 0) AS DOUBLE)
+        |                      / CAST(tot.nb AS DOUBLE))
+        |              ELSE CAST(coalesce(bwd.n1b, 0) AS DOUBLE)
+        |                   / CAST(tot.nb AS DOUBLE) END) END)
+        |      + CAST(0.000001 AS DOUBLE) / CAST(v.vs AS DOUBLE)) AS lp
+        |  FROM db LEFT JOIN lm3 USING (w1, w2, w3)
+        |  LEFT JOIN ctx3 USING (w1, w2)
+        |  LEFT JOIN lm2 bg ON bg.w1 = db.w2 AND bg.w2 = db.w3
+        |  LEFT JOIN ctx2 ON ctx2.w1 = db.w2
+        |  LEFT JOIN bwd ON bwd.w2 = db.w3
+        |  CROSS JOIN tot CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS ntri,
+        |    sum(CAST(n * lp AS DECIMAL(38,18))) AS s
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(agg.ntri, 0) AS n_trigrams,
+        |  round(-(CAST(agg.s AS DOUBLE) / agg.ntri), 6) AS cross_entropy,
+        |  round(exp(-(CAST(agg.s AS DOUBLE) / agg.ntri)), 6) AS perplexity
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // The perplexity pipeline plus quantile_cont cutoffs and threshold

@@ -113,6 +113,35 @@ class LanguageModelSpec extends SparkSpec {
     assert(ppl(0) < ppl(1), s"loop ${ppl(0)} !< mixed ${ppl(1)}")
   }
 
+  test("order-3 KN: hand-computed recursion through the bigram level") {
+    // train "a b c a b c a b d": trigrams abc:2 bca:2 cab:2 abd:1;
+    // bigrams ab:3 bc:2 ca:2 bd:1 (nb=4 distinct); V=4
+    val train = Seq((1L, "a b c a b c a b d")).toDF("id", "text")
+    val lm3 = LanguageModel.trainTrigramLM(train, "id", "text")
+    val lm2 = LanguageModel.trainBigramLM(train, "id", "text")
+    def score(text: String): (Long, Double) = {
+      val r = LanguageModel.perplexityKneserNey3(
+          Seq((9L, text)).toDF("id", "text"), "id", "text", lm3, lm2)
+        .select("n_trigrams", "cross_entropy").collect().head
+      (r.getLong(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
+    }
+    def floor(p: Double) = 0.999999 * p + 1e-6 / 4.0
+    // (a,b,c): c3(ab,c)=2, ctx3(a,b): C=3, N=2; bigram (b,c)=2,
+    // ctx2(b): C=3, N=2; pcont(c)=1/4
+    val p2 = (2.0 - 0.75) / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 4.0)
+    val p3 = (2.0 - 0.75) / 3.0 + (0.75 * 2.0 / 3.0) * p2
+    val (n1, ce1) = score("a b c")
+    assert(n1 == 1L && math.abs(ce1 - (-math.log(floor(p3)))) < 1e-12,
+      s"$ce1 vs ${-math.log(floor(p3))}")
+    // unseen trigram with seen trigram context falls to the bigram level
+    // (a,b,z): base3 0, lambda3 = .75*2/3, p2 of unseen (b,z) = lambda2 *
+    // pcont(z) = 0 -> p = floor(0)
+    assert(math.abs(score("a b z")._2 - (-math.log(floor(0.0)))) < 1e-12)
+    // docs under 3 tokens cannot score
+    val (n0, ce0) = score("a b")
+    assert(n0 == 0L && ce0.isNaN)
+  }
+
   test("repetitive boilerplate scores lower perplexity than shuffled text") {
     // The filter direction: under a self-trained LM, a doc that is one
     // loop of the same bigram is maximally predictable; a doc of the same
