@@ -1260,6 +1260,16 @@ object SparkEntry {
           round(col("cross_entropy"), 6).as("cross_entropy"),
           round(col("perplexity"), 6).as("perplexity"))
         .orderBy("doc_id")),
+    // Stupid backoff (late r10): the web-scale smoothing — trigram count
+    // ratios with fixed 0.4 backoff penalties, no continuation
+    // statistics, deliberately unnormalized (Brants et al. 2007). Same
+    // portability contract; hash-checked end-to-end.
+    "q_text_lm_sb" -> ((s, d) =>
+      graft.operators.LanguageModel.stupidBackoffScoreSelf(
+        t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"),
+          round(col("neg_log_score"), 6).as("neg_log_score"))
+        .orderBy("doc_id")),
     // CCNet head/middle/tail perplexity bucketing (late r10): exact
     // interpolated third-percentile cutoffs over the rounded perplexity
     // (percentile == quantile_cont bit-for-bit, the quantile_filter
@@ -3652,6 +3662,57 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(agg.nb2, 0) AS n_bigrams,
         |  round(-(CAST(agg.s AS DOUBLE) / agg.nb2), 6) AS cross_entropy,
         |  round(exp(-(CAST(agg.s AS DOUBLE) / agg.nb2)), 6) AS perplexity
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // Stupid-backoff replay: three count tables, nested 0.4 penalties,
+    // matched literal typing and association.
+    "q_text_lm_sb" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+        |  FROM tk, unnest(range(1, len(t) - 1)) AS r(i)
+        |  WHERE len(t) >= 3),
+        |bgr AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM tk, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2),
+        |un AS (SELECT doc_id, unnest(t) AS w FROM tk),
+        |lm3 AS (SELECT w1, w2, w3, count(*) AS cnt FROM tg GROUP BY 1, 2, 3),
+        |lm2 AS (SELECT w1, w2, count(*) AS cnt FROM bgr GROUP BY 1, 2),
+        |lm1 AS (SELECT w, count(*) AS cnt FROM un GROUP BY 1),
+        |ctx3 AS (SELECT w1, w2, CAST(sum(cnt) AS BIGINT) AS c3
+        |         FROM lm3 GROUP BY 1, 2),
+        |ctx2 AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c2
+        |         FROM lm2 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n1 FROM lm1),
+        |v AS (SELECT count(*) AS vs FROM lm1),
+        |db AS (SELECT doc_id, w1, w2, w3, count(*) AS n
+        |       FROM tg GROUP BY 1, 2, 3, 4),
+        |sc AS (
+        |  SELECT db.doc_id, db.n,
+        |    ln(CAST(0.999999 AS DOUBLE) * (
+        |      CASE WHEN lm3.cnt IS NOT NULL
+        |        THEN CAST(lm3.cnt AS DOUBLE) / CAST(ctx3.c3 AS DOUBLE)
+        |        ELSE 0.4 * (CASE WHEN bg.cnt IS NOT NULL
+        |          THEN CAST(bg.cnt AS DOUBLE) / CAST(ctx2.c2 AS DOUBLE)
+        |          ELSE 0.4 * (CAST(coalesce(lm1.cnt, 0) AS DOUBLE)
+        |                      / CAST(tot.n1 AS DOUBLE)) END) END)
+        |      + CAST(0.000001 AS DOUBLE) / CAST(v.vs AS DOUBLE)) AS lp
+        |  FROM db LEFT JOIN lm3 USING (w1, w2, w3)
+        |  LEFT JOIN ctx3 USING (w1, w2)
+        |  LEFT JOIN lm2 bg ON bg.w1 = db.w2 AND bg.w2 = db.w3
+        |  LEFT JOIN ctx2 ON ctx2.w1 = db.w2
+        |  LEFT JOIN lm1 ON lm1.w = db.w3
+        |  CROSS JOIN tot CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS ntri,
+        |    sum(CAST(n * lp AS DECIMAL(38,18))) AS s
+        |  FROM sc GROUP BY 1)
+        |SELECT d.doc_id, coalesce(agg.ntri, 0) AS n_trigrams,
+        |  round(-(CAST(agg.s AS DOUBLE) / agg.ntri), 6) AS neg_log_score
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // Order-3 KN replay: trigram + bigram tables, both context tables,

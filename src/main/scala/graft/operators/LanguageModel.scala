@@ -279,6 +279,92 @@ object LanguageModel {
         exp(ce).as("perplexity"))
   }
 
+  /** Unigram token counts: (w, cnt) — the order-1 table STUPID BACKOFF
+    * backs off into (token occurrences, one corpus pass).
+    */
+  def trainUnigramLM(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** STUPID BACKOFF scoring (Brants et al. 2007, "Large Language Models
+    * in Machine Translation" §4) — the WEB-SCALE smoothing: no
+    * discounts, no continuation statistics, just count ratios with a
+    * fixed 0.4 backoff penalty per order:
+    *
+    *   S(w3|w1w2) = c3/c(w1w2·)        if the trigram was seen
+    *              = 0.4 · S(w3|w2)     otherwise
+    *   S(w3|w2)   = c2/c(w2·), else 0.4 · S(w3)
+    *   S(w3)      = c1(w3)/N
+    *
+    * S is deliberately UNNORMALIZED (the paper's "stupid"): at corpus
+    * sizes where KN's continuation counts stop paying for themselves,
+    * count ratios alone match its quality — which is exactly the 100 TB
+    * regime this engine targets, so both smoothings ship:
+    * [[perplexityKneserNey3]] when the model table is modest, this when
+    * it is the corpus. Returns (doc_id, n_trigrams, neg_log_score) —
+    * the mean negative log SCORE, perplexity-shaped but not a true
+    * perplexity, summed in DECIMAL(38,18); the same 1e-6/|V| floor
+    * keeps logs finite for fully-unseen tokens. Three model tables, all
+    * one-pass integer aggregates; the scoring joins and plan shape are
+    * [[perplexityKneserNey3]]'s minus the continuation tables.
+    */
+  def stupidBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+                         lm3: DataFrame, lm2: DataFrame, lm1: DataFrame,
+                         alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1,
+      s"stupidBackoffScore: alpha must be in (0,1), got $alpha")
+    val a = lit(alpha)
+    val ctx3 = lm3.groupBy("w1", "w2").agg(sum("cnt").as("__c3"))
+    val bg = lm2.select(col("w1").as("w2"), col("w2").as("w3"),
+      col("cnt").as("__cbg"))
+    val ctx2 = lm2.groupBy("w1").agg(sum("cnt").as("__c2"))
+      .withColumnRenamed("w1", "w2k")
+    val uni = lm1.select(col("w").as("w3"), col("cnt").as("__c1"))
+    val totals = lm1.agg(sum("cnt").as("__n1"))
+    val vocab = lm1.agg(count(lit(1)).as("__v"))
+    val db = trigrams(docs, idCol, textCol)
+      .groupBy("doc_id", "w1", "w2", "w3").agg(count(lit(1)).as("__n"))
+    val s1 = coalesce(col("__c1"), lit(0L)).cast("double") /
+      col("__n1").cast("double")
+    val s2 = when(col("__cbg").isNotNull,
+      col("__cbg").cast("double") / col("__c2").cast("double"))
+      .otherwise(a * s1)
+    val s3 = when(col("cnt").isNotNull,
+      col("cnt").cast("double") / col("__c3").cast("double"))
+      .otherwise(a * s2)
+    val s = lit(0.999999) * s3 + lit(1e-6) / col("__v").cast("double")
+    val scored = db
+      .join(lm3, Seq("w1", "w2", "w3"), "left")
+      .join(ctx3, Seq("w1", "w2"), "left")
+      .join(bg, Seq("w2", "w3"), "left")
+      .join(ctx2, col("w2k") === col("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id").agg(
+        sum(col("__n")).as("__ntri"),
+        sum((col("__n") * ln(s)).cast(DecimalType(38, 18))).as("__s"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__ntri"), lit(0L)).as("n_trigrams"),
+        (-(col("__s").cast("double") / col("__ntri"))).as("neg_log_score"))
+  }
+
+  /** Train-on-self form of [[stupidBackoffScore]] (all three tables
+    * pinned, the [[perplexitySelf]] convention).
+    */
+  def stupidBackoffScoreSelf(docs: DataFrame, idCol: String,
+                             textCol: String,
+                             alpha: Double = 0.4): DataFrame = {
+    val lm3 = trainTrigramLM(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lm2 = trainBigramLM(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lm1 = trainUnigramLM(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stupidBackoffScore(docs, idCol, textCol, lm3, lm2, lm1, alpha)
+  }
+
   /** Train-on-self form of [[perplexityKneserNey3]]: both model tables
     * trained on the corpus and pinned (scoring reads each from several
     * subtrees — the [[perplexitySelf]] convention).

@@ -142,6 +142,27 @@ class LanguageModelSpec extends SparkSpec {
     assert(n0 == 0L && ce0.isNaN)
   }
 
+  test("stupid backoff: count ratios with 0.4 penalties per backed-off order") {
+    // corpus "a b c a b c a b d": trigram abc:2/ctx(a,b)=3; bigrams
+    // ab:3 bc:2 ca:2 bd:1; unigrams a:3 b:3 c:2 d:1 (N=9, V=4)
+    val train = Seq((1L, "a b c a b c a b d")).toDF("id", "text")
+    val lm3 = LanguageModel.trainTrigramLM(train, "id", "text")
+    val lm2 = LanguageModel.trainBigramLM(train, "id", "text")
+    val lm1 = LanguageModel.trainUnigramLM(train, "id", "text")
+    def score(text: String): Double =
+      LanguageModel.stupidBackoffScore(
+          Seq((9L, text)).toDF("id", "text"), "id", "text", lm3, lm2, lm1)
+        .select("neg_log_score").collect().head.getDouble(0)
+    def floor(s: Double) = 0.999999 * s + 1e-6 / 4.0
+    // seen trigram: plain ratio, no discounting
+    assert(math.abs(score("a b c") - (-math.log(floor(2.0 / 3.0)))) < 1e-12)
+    // unseen trigram, unseen bigram (y,a): 0.4 * (0.4 * c1(a)/N)
+    assert(math.abs(score("x y a")
+      - (-math.log(floor(0.4 * (0.4 * (3.0 / 9.0)))))) < 1e-12)
+    // fully unseen token: only the floor keeps the log finite
+    assert(math.abs(score("a b z") - (-math.log(floor(0.0)))) < 1e-10)
+  }
+
   test("repetitive boilerplate scores lower perplexity than shuffled text") {
     // The filter direction: under a self-trained LM, a doc that is one
     // loop of the same bigram is maximally predictable; a doc of the same
