@@ -141,4 +141,24 @@ object LangIdNgram {
         coalesce(col("label"), lit("und")).as("pred_label"),
         col("__dist").cast("long").as("oop_dist"))
   }
+
+  /** Train-on-seed → keep-predicted composition — the language filter
+    * every multilingual crawl pipeline runs (keep `en`, or a set): train
+    * profiles on the labeled seed, keep docs whose nearest profile is in
+    * `keepLangs`. The `und` sentinel (no grams) is kept only when
+    * explicitly listed. The model is pinned for the [[Classifier]]
+    * reason: classification reads it from several subtrees.
+    */
+  def filterByLanguage(docs: DataFrame, idCol: String, textCol: String,
+                       seed: DataFrame, seedLabelCol: String,
+                       seedTextCol: String, keepLangs: Set[String],
+                       topK: Int = 64): DataFrame = {
+    require(keepLangs.nonEmpty, "filterByLanguage: keepLangs must be non-empty")
+    val model = trainProfiles(seed, seedLabelCol, seedTextCol, topK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val picked = classify(docs, idCol, textCol, model)
+      .filter(col("pred_label").isInCollection(keepLangs))
+      .select(col("doc_id").as(idCol))
+    docs.join(picked, Seq(idCol), "left_semi")
+  }
 }

@@ -120,6 +120,16 @@ object CorpusPipeline {
                                      lm: Option[DataFrame] = None,
                                      discount: Double = 0.75) extends Step
 
+  /** Keep docs whose trained-profile language ID lands in `keepLangs`
+    * (late r10, [[graft.operators.LangIdNgram.filterByLanguage]]) — the
+    * multilingual crawl's language gate; `seed` carries the labeled
+    * training corpus ([[ClassifierKeep]]'s seed convention).
+    */
+  final case class KeepLanguages(seed: DataFrame, seedLabelCol: String,
+                                 seedTextCol: String,
+                                 keepLangs: Set[String],
+                                 topK: Int = 64) extends Step
+
   /** Keep docs a self-trained Naive Bayes classifier assigns to
     * `keepLabel` ([[graft.operators.Classifier.filterByClassifier]]) —
     * the GPT-3-style quality-classifier filter: `labelCol` carries the
@@ -280,6 +290,9 @@ object CorpusPipeline {
           // map back before the id-only semi join.
           d.join(scored.filter(col("perplexity") <= maxPpl)
             .select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+        case KeepLanguages(seed, seedLabel, seedText, keepLangs, topK) =>
+          graft.operators.LangIdNgram.filterByLanguage(d, idCol, textCol,
+            seed, seedLabel, seedText, keepLangs, topK)
         case PerplexityFloorKN(maxPpl, lmOpt, discount) =>
           val scored = lmOpt match {
             case Some(lm) => graft.operators.LanguageModel

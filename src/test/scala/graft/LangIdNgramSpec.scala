@@ -60,6 +60,26 @@ class LangIdNgramSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("filterByLanguage keeps only docs predicted in the allowed set") {
+    val docs = Seq((10L, "aaa baa aab", "x"), (11L, "zzz yzz zzy", "x"),
+      (12L, "   ", "x")).toDF("doc_id", "text", "source")
+    val kept = LangIdNgram.filterByLanguage(docs, "doc_id", "text",
+        labeled, "lang", "text", keepLangs = Set("aa"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L), kept.toString)
+    // the und sentinel is kept only when listed
+    val keptUnd = LangIdNgram.filterByLanguage(docs, "doc_id", "text",
+        labeled, "lang", "text", keepLangs = Set("aa", "und"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptUnd == Set(10L, 12L), keptUnd.toString)
+    // the recipe step is the same filter with schema preserved
+    val viaStep = graft.pipeline.CorpusPipeline.run(docs, "doc_id", "text",
+        Seq(graft.pipeline.CorpusPipeline.KeepLanguages(
+          labeled, "lang", "text", Set("zz"))))
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    assert(viaStep == Set((11L, "x")), viaStep.toString)
+  }
+
   test("classify guards the label cardinality") {
     val model = LangIdNgram.trainProfiles(labeled, "lang", "text", topK = 4)
     val e = intercept[IllegalArgumentException] {
