@@ -1306,15 +1306,19 @@ object SparkEntry {
           lit(merges.length >= 10).as("trained_ok"))
     }),
     // BPE id sequences (r10, VERDICT r9 §next-3): the tokenizer stage a
-    // trainer actually consumes — vocab-indexed array<int> per document
+    // trainer actually consumes — vocab-indexed id sequence per document
     // from the codegen'd native encode. Rows-only (ids are engine-side
     // model artifacts); the _gate below ties the sequences to the DuckDB
-    // oracle through three EXACT integer invariants.
+    // oracle through three EXACT integer invariants. The sequence is
+    // projected through array_join (r7 q_sim_quantize ruling, re-affirmed
+    // VERDICT r10 §wrong-1): the driver's comparator lexsorts every output
+    // column with pandas and crashes on raw array cells.
     "q_text_bpe_ids" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val vocab = Bpe.trainBpeModel(docs, "text", numMerges = 20)
       docs.select(col("doc_id"),
-          Bpe.bpeEncodeIds(col("text"), vocab).as("ids"))
+          array_join(Bpe.bpeEncodeIds(col("text"), vocab)
+            .cast("array<string>"), " ").as("ids"))
         .orderBy("doc_id")
     }),
     // Gate (verify-only): (1) per-doc size(ids) == bpeTokenCount — the
@@ -1350,11 +1354,14 @@ object SparkEntry {
     // and the hash-green _seed_portable (the ENTIRE distributed stage —
     // word counts, substring explode, weighted counts, rank selection —
     // replayed bit-for-bit in DuckDB).
+    // ids projected through array_join — same comparator-stability ruling
+    // as q_text_bpe_ids above (raw array cells crash the driver lexsort).
     "q_text_unigram_ids" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val vocab = Unigram.trainUnigramModel(docs, "text", targetVocab = 300)
       docs.select(col("doc_id"),
-          Unigram.unigramEncodeIds(col("text"), vocab).as("ids"))
+          array_join(Unigram.unigramEncodeIds(col("text"), vocab)
+            .cast("array<string>"), " ").as("ids"))
         .orderBy("doc_id")
     }),
     "q_text_unigram_seed_portable" -> ((s, d) =>

@@ -63,10 +63,24 @@ class SparkEntrySpec extends SparkSpec {
   }
 
   test("every registered query executes and yields a non-empty schema at sf0.001") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
       try {
         val df = fn(spark, "/root/testdata/sf0.001")
-        if (df.schema.isEmpty) Some(s"$name: empty schema") else None
+        // Complex-typed output columns crash the DRIVER's pandas lexsort
+        // (r10: q_text_bpe_ids / q_text_unigram_ids shipped as comparator
+        // errors) — every registered query, oracled or rows-only, must
+        // emit scalar columns only (r7 q_sim_quantize ruling).
+        val complexCols = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => f.name
+        }
+        if (df.schema.isEmpty) Some(s"$name: empty schema")
+        else if (complexCols.nonEmpty)
+          Some(s"$name: complex-typed output cols ${complexCols.mkString(",")}" +
+            " (driver lexsort crashes; project through array_join)")
+        else None
       } catch { case e: Exception => Some(s"$name: ${e.getMessage.take(100)}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))

@@ -85,12 +85,26 @@ def main():
         else:
             print(f"OK            {name} ({len(srf)} rows)")
             n_pass += 1
-    # rows-only queries (no oracle): just report row counts
+    # rows-only queries (no oracle): report row counts, but STILL reject
+    # array-typed cells — the driver sorts rows-only output with the same
+    # pandas lexsort, so an array column crashes its record too (r10:
+    # q_text_bpe_ids / q_text_unigram_ids shipped as comparator errors
+    # because this loop only counted rows).
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = d.rstrip("/").split("/")[-1]
         if name not in oracle:
-            n = con.execute(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
-            print(f"ROWS-ONLY     {name} ({n} rows)")
+            rows = con.execute(
+                f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchall()
+            try:
+                for r in rows:
+                    for v in r:
+                        norm_cell(v)
+            except ArrayCellError as e:
+                print(f"ARRAY-COL     {name}: {e} — rows-only output is "
+                      f"still driver-sorted; emit scalars only")
+                n_fail += 1
+                continue
+            print(f"ROWS-ONLY     {name} ({len(rows)} rows)")
     print(f"\n{n_pass} pass / {n_fail} fail of {len(oracle)} oracle queries")
     sys.exit(1 if n_fail else 0)
 
