@@ -105,6 +105,14 @@ object LangIdNgram {
     */
   def classify(docs: DataFrame, idCol: String, textCol: String,
                model: DataFrame, maxLabels: Int = 256): DataFrame = {
+    // Self-pin (ADVICE r10): the model is consumed from three subtrees
+    // (label count, depth aggregate, per-gram broadcast join) — an
+    // unpinned lazily-built trainProfiles output would re-run its
+    // training window three times. Pin only when the caller hasn't (no
+    // double-pin warning); release is LRU, the model-as-metadata
+    // convention — the frame is ≤ maxLabels × topK rows.
+    if (model.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labels = model.select("label").distinct()
     val nLabels = labels.count()
     require(nLabels <= maxLabels,

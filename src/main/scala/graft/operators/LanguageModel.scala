@@ -442,11 +442,23 @@ object LanguageModel {
           .cast("long").cast("double") / 4294967296.0 < cutoffSample)
     val cuts = forCuts.agg(
       expr("percentile(__r, 0.3333333333333333d)").as("__c1"),
-      expr("percentile(__r, 0.6666666666666666d)").as("__c2"))
+      expr("percentile(__r, 0.6666666666666666d)").as("__c2"),
+      count(lit(1)).as("__cn"))
+    // Empty-sample guard (ADVICE r10): with cutoffSample < 1 the md5
+    // sample can select zero rows; the percentiles are then NULL and the
+    // when-chain would silently bucket every scoreable doc as 'tail'.
+    // Fail loudly instead — an empty threshold sample is a configuration
+    // error (cutoffSample too small for the corpus), not a bucketing.
+    // The guard sits AFTER the 'unscored' branch, so an all-unscored
+    // corpus (where __cn = 0 is legitimate) still buckets cleanly.
     p.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("n_bigrams"),
         col("__r").as("perplexity"),
         when(col("__r").isNull, lit("unscored"))
+          .when(col("__cn") === 0, raise_error(concat(
+            lit("perplexityBuckets: cutoffSample="), lit(cutoffSample),
+            lit(" selected 0 scoreable docs; raise cutoffSample")))
+            .cast("string"))
           .when(col("__r") <= col("__c1"), lit("head"))
           .when(col("__r") <= col("__c2"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))

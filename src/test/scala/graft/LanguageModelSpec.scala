@@ -78,6 +78,16 @@ class LanguageModelSpec extends SparkSpec {
         docs.toDF("id", "text"), "id", "text", cutoffSample = 0.6)
       .orderBy("doc_id").select("bucket").as[String].collect().toSeq
     assert(a == b)
+    // empty-sample guard (ADVICE r10): a cutoffSample so small the md5
+    // sample selects zero docs must FAIL LOUDLY, not bucket everything
+    // 'tail'
+    val e = intercept[Exception] {
+      LanguageModel.perplexityBucketsSelf(
+          docs.toDF("id", "text"), "id", "text", cutoffSample = 1e-12)
+        .collect()
+    }
+    assert(e.getMessage.contains("selected 0 scoreable docs"),
+      e.getMessage.take(200))
   }
 
   test("Kneser-Ney: hand-computed interpolation, unseen context and continuation") {
