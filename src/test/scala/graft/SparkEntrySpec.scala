@@ -43,7 +43,11 @@ class SparkEntrySpec extends SparkSpec {
       "q_sim_pq_topk" -> Seq("q_sim_pq_gate", "q_sim_pq_portable"),
       "q_text_bpe_encode" -> Seq("q_text_bpe_gate"),
       "q_text_bpe_ids" -> Seq("q_text_bpe_ids_gate"),
+      "q_text_bpe_ids_scored" -> Seq("q_text_bpe_ids_gate"),
+      "q_cur_pack_bpe_scored" -> Seq("q_cur_pack_bpe_gate"),
       "q_text_unigram_ids" ->
+        Seq("q_text_unigram_gate", "q_text_unigram_seed_portable"),
+      "q_text_unigram_ids_scored" ->
         Seq("q_text_unigram_gate", "q_text_unigram_seed_portable"),
       "q_sim_text_ann" ->
         Seq("q_text_hashvec_gate", "q_text_hashvec_portable"),
