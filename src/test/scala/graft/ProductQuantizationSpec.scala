@@ -127,6 +127,22 @@ class ProductQuantizationSpec extends SparkSpec {
       a.filterNot { case (id, sc) => full(id) == sc }.toString)
   }
 
+  test("ivfPqTopKPortable releases its internal pin (no storage entry outlives the call)") {
+    // r11 (VERDICT r10 §next-5, the gapFillDailyScoped contract applied
+    // to the portable twin): the one MEMORY_AND_DISK pin inside the
+    // operator is released before return, so repeated harness executions
+    // cannot accumulate storage entries.
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 4,
+      perCluster = 10, dim = 16, noise = 0.05)
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    PQ.ivfPqTopKPortable(fix, "vec_id", "embedding", dim = 16,
+      queryId = 1, k = 8, nCentroids = 8, nProbe = 3, m = 4, kCodewords = 8)
+      .collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"persistent RDDs leaked by the call: $leaked")
+  }
+
   test("trainCodebooks: empty cells keep codewords; wrong dim rejected") {
     intercept[IllegalArgumentException] {
       PQ.trainCodebooks(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v"),

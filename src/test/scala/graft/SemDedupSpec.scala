@@ -81,6 +81,25 @@ class SemDedupSpec extends SparkSpec {
     assert(again == survivors)
   }
 
+  test("sampled-by-default training yields the same survivor set as full training") {
+    // r11 (VERDICT r10 §next-4): the production default is SAMPLED
+    // k-means; this pins that the centroid family does not decide the
+    // outcome at fixture scale — duplicates are near-identical vectors,
+    // so they share an argmax cell under either family and the threshold
+    // filter (centroid-independent) decides membership.
+    val emb = Similarity.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 16, dim = 16, noise = 0.03)
+    def survivors(frac: Double) = SemDedup.dedupSemantic(emb, "vec_id",
+        "embedding", dim = 16, nCentroids = 8, trainFraction = frac)
+      .select("vec_id").as[Long].collect().toSet
+    val sampledDefault = SemDedup.dedupSemantic(emb, "vec_id", "embedding",
+        dim = 16, nCentroids = 8) // default trainFraction
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors(1.0) == sampledDefault,
+      s"full ${survivors(1.0).size} vs sampled-default ${sampledDefault.size}")
+    assert(survivors(0.25) == sampledDefault, "default is not the 0.25 sample")
+  }
+
   test("guardrail: a degenerate single-cell corpus fails loudly") {
     // identical vectors all land in one cell; maxCellRows=3 must trip
     val flat = Seq.tabulate(8)(i => (i.toLong, Seq.fill(16)(1.0f)))
