@@ -990,6 +990,17 @@ object SparkEntry {
     // soup makes short spans collide across docs, exercising real
     // removal), banned at >= 5 distinct docs, every document rebuilt —
     // the oracle reconstructs each cleaned text character-for-character.
+    // Exact substring dedup (r11, VERDICT r10 §next-6 — Lee et al. 2022
+    // ExactSubstr): duplicate >= 4-token substrings at ARBITRARY
+    // alignment removed from every occurrence; seeded on md5 window
+    // fingerprints, extended by per-doc interval merge. The oracle
+    // replays the full chain — stride-1 windows, duplicate counting,
+    // interval merge via the same running-max rule, rebuild — on the
+    // window STRINGS (the engine's md5 is an internal 128-bit key for
+    // the same relation, the dedupSpansAcross precedent).
+    "q_dedup_substring" -> ((s, d) =>
+      Dedup.dedupSubstrings(t(s, d, "documents"), "doc_id", "text",
+        minTokens = 4).orderBy("doc_id")),
     "q_dedup_spans_across" -> ((s, d) =>
       Dedup.dedupSpansAcross(t(s, d, "documents"), "doc_id", "text",
           spanTokens = 2, minDocs = 5)
@@ -1178,8 +1189,13 @@ object SparkEntry {
       val q = Similarity.quantizeEmbeddings(vecs, "doc_id", "hv")
         .select(col("id").as("doc_id"), col("qvec"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // nCentroids 8 → 32 (r11): the paper's own scale knob — k grows
+      // with the corpus so cells stay constant-sized. At 8 cells the
+      // within-cell pair join had 8 busy tasks on 32 cores and Σ|cell|²
+      // ≈ 3.3M row-pairs; 32 cells cut the quadratic term ~4× and give
+      // the join full parallelism (~156 rows/cell at sf0.1).
       SemDedup.dedupSemantic(q, "doc_id", "qvec", dim = 64,
-          nCentroids = 8, minCosNum = 9, minCosDen = 10)
+          nCentroids = 32, minCosNum = 9, minCosDen = 10)
         .select("doc_id").orderBy("doc_id")
     }),
     // Gate (verify-only): (a) identical text ⇒ identical vector — exact,
@@ -3267,6 +3283,55 @@ object SparkEntry {
         |FROM w
         |ORDER BY gumbel_key DESC, doc_id
         |LIMIT 100""".stripMargin,
+    // Replays dedupSubstrings exactly: stride-1 4-token windows, >= 2
+    // occurrences anywhere (across or within docs), per-doc interval
+    // merge with the identical running-max new-interval rule, rebuild of
+    // uncovered tokens in position order. Docs shorter than 4 tokens
+    // produce no windows and survive untouched.
+    "q_dedup_substring" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS s, array_to_string(tk[i+1 : i+4], ' ') AS win
+        |  FROM w, unnest(range(0, len(tk) - 3)) AS r(i)
+        |  WHERE len(tk) >= 4),
+        |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+        |ds AS (SELECT doc_id, s FROM wins WHERE win IN (SELECT win FROM dup)),
+        |iv AS (
+        |  SELECT doc_id, s, CASE WHEN s > coalesce(max(s + 4) OVER (
+        |      PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS ng
+        |  FROM ds),
+        |grp AS (
+        |  SELECT doc_id, s,
+        |    sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g
+        |  FROM iv),
+        |merged AS (
+        |  SELECT doc_id, g, min(s) AS lo, max(s) + 3 AS hi
+        |  FROM grp GROUP BY doc_id, g),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p AS pos
+        |  FROM merged, unnest(range(lo, hi + 1)) AS u(p)),
+        |tokrows AS (
+        |  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+        |  FROM w, unnest(generate_series(1, len(tk))) AS u(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM tokrows t
+        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+        |    count(*) AS nk
+        |  FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, len(tk) AS nt FROM w)
+        |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_tokens_kept,
+        |  CAST(n.nt - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_removed
+        |FROM documents d JOIN n USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // Replays dedupSpansAcross exactly: same 0-based span starts
     // (i*2 < n_tokens), same clamped final short span, bans at >= 5
     // distinct docs, rebuilds in span order; docs with every span banned

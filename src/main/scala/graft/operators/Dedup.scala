@@ -820,6 +820,93 @@ object Dedup {
         coalesce(col("n_spans_kept"), lit(0L)).as("n_spans_kept"))
   }
 
+  /** EXACT SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 §4.1 ExactSubstr):
+    * remove every occurrence of any token substring of >= `minTokens`
+    * tokens that appears at least twice in the corpus — at ARBITRARY
+    * alignment, across documents or within one. The published method
+    * builds a suffix array over the concatenated corpus; this Spark-first
+    * re-expression seeds on fingerprints of ALL overlapping
+    * `minTokens`-token windows: a duplicate substring of length L >=
+    * minTokens is exactly a run of L − minTokens + 1 duplicated seed
+    * windows, so marking every duplicated seed's token coverage removes
+    * the full substring — the suffix-array extension step becomes a
+    * per-doc interval merge. Bucketed by content hash, never all-pairs,
+    * no suffix array materialized.
+    *
+    * Differs from [[dedupSpansAcross]] (the C4 fixed-window rule) in
+    * alignment: spans are non-overlapping windows, so a duplicate shifted
+    * by one token is invisible to them; this operator catches duplicates
+    * at every offset — the property the paper shows matters for
+    * memorization. Both occurrences are removed (the paper's default);
+    * whole-doc duplicates should be handled by exact/MinHash dedup first.
+    *
+    * Output: one row per input document — `text_clean` (tokens not
+    * covered by any duplicated window, original order and case),
+    * `n_tokens_kept`, `n_tokens_removed`. Every document survives.
+    *
+    * Scale shape: the seed pass is a map-side posexplode of (doc, start,
+    * md5(window)) — one row per corpus token (stride 1), the same stream
+    * width as the MinHash shingle pass; md5's 128 bits keep the
+    * fingerprint birthday-safe at 100 TB window counts where a 64-bit
+    * hash would collide. Then ONE fingerprint-keyed count (fixed 16-byte
+    * key), a semi-join back, a DOC-keyed lag/cummax window merging
+    * overlapping seeds into intervals (per-doc ordering, no corpus
+    * window), an interval explode bounded by ACTUAL coverage (never
+    * ×minTokens), and one per-doc rebuild aggregate. All shuffles are
+    * fingerprint- or doc-keyed.
+    */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+                      minTokens: Int): DataFrame = {
+    require(minTokens >= 2,
+      s"dedupSubstrings: minTokens must be >= 2, got $minTokens")
+    val k = minTokens
+    val toks = df.select(col(idCol),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("__tk"))
+      .withColumn("__n", size(col("__tk")))
+    // seed windows: one fingerprint per start position 0 .. n-k
+    val wins = toks.filter(col("__n") >= k)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("__n") - k),
+        i => md5(concat_ws(" ", slice(col("__tk"), i + 1, lit(k)))))))
+      .select(col(idCol), col("pos").cast("long").as("__s"),
+        col("col").as("__fp"))
+    val dupFp = wins.groupBy("__fp").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("__fp")
+    val dupStarts = wins.join(dupFp, Seq("__fp"), "left_semi")
+    // merge overlapping/adjacent duplicated seeds into coverage intervals:
+    // a seed at start s covers [s, s+k); a new interval begins only when
+    // the start clears every previous seed's end (running max via the
+    // doc-keyed window)
+    val w = Window.partitionBy(idCol).orderBy("__s")
+    val prevEnd = max(col("__s") + k)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val intervals = dupStarts
+      .withColumn("__ng",
+        when(col("__s") > coalesce(prevEnd, lit(-1L)), 1).otherwise(0))
+      .withColumn("__g",
+        sum(col("__ng")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min("__s").as("__lo"), (max("__s") + k - 1).as("__hi"))
+    val covered = intervals.select(col(idCol),
+      explode(sequence(col("__lo"), col("__hi"))).as("pos"))
+    val tokRows = toks.select(col(idCol), posexplode(col("__tk")))
+    val rebuilt = tokRows.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("col")))),
+          s => s.getField("col"))).as("text_clean"),
+        count(lit(1)).as("n_tokens_kept"))
+    toks.select(col(idCol), col("__n"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("__n") - coalesce(col("n_tokens_kept"), lit(0L)))
+          .as("n_tokens_removed"))
+  }
+
   /** Train/eval DECONTAMINATION — per-corpus-doc count of distinct word
     * n-grams shared with a benchmark/eval set. Cross-corpus containment,
     * not self-dedup: a training doc that embeds an eval answer is

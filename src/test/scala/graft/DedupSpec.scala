@@ -511,4 +511,50 @@ class DedupSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("MinHash index"), bad.getMessage)
   }
+
+  test("dedupSubstrings removes >=k-token duplicates at arbitrary alignment") {
+    // "quick brown fox jumps over" (5 tokens) is shared between docs 1 and
+    // 2 at DIFFERENT offsets (1 vs 2) — invisible to fixed-window span
+    // dedup, the exact case Lee et al.'s ExactSubstr exists for. With
+    // k = 4 the 5-token duplicate is two overlapping seed windows that
+    // must merge into ONE removed interval in each doc.
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over a sleeping dog today",
+      2L -> "so suddenly quick brown fox jumps over the fence",
+      3L -> "completely unrelated text with enough tokens to window",
+      4L -> "tiny doc" // < k tokens: no windows, survives untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(docs, "doc_id", "text", minTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got(0) == ((1L, "the a sleeping dog today", 5L, 5L)), got(0))
+    assert(got(1) == ((2L, "so suddenly the fence", 4L, 5L)), got(1))
+    assert(got(2)._2 == "completely unrelated text with enough tokens to window")
+    assert(got(2)._4 == 0L)
+    assert(got(3) == ((4L, "tiny doc", 2L, 0L)), got(3))
+  }
+
+  test("dedupSubstrings catches WITHIN-doc repeats and removes every occurrence") {
+    val docs = Seq(
+      1L -> "alpha beta gamma delta filler one alpha beta gamma delta filler two",
+      2L -> "no repeats here at all just words"
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(docs, "doc_id", "text", minTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    // "alpha beta gamma delta filler" (5 tokens) repeats within doc 1:
+    // both occurrences go — the paper's default removal semantics
+    assert(got(0) == ((1L, "one two", 2L, 10L)), got(0))
+    assert(got(1)._4 == 0L)
+  }
+
+  test("dedupSubstrings: periodic text collapses to nothing; k guard trips") {
+    val docs = Seq(1L -> Seq.fill(12)("spam").mkString(" ")).toDF("doc_id", "text")
+    val got = Dedup.dedupSubstrings(docs, "doc_id", "text", minTokens = 4)
+      .as[(Long, String, Long, Long)].head()
+    assert(got == ((1L, "", 0L, 12L)), got.toString)
+    intercept[IllegalArgumentException] {
+      Dedup.dedupSubstrings(docs, "doc_id", "text", minTokens = 1)
+    }
+  }
 }
