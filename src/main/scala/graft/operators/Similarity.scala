@@ -410,24 +410,89 @@ object Similarity {
   /** [[kMeansCentroids]] trained on a deterministic hash-sample of the
     * corpus — the 100 TB practice (FAISS trains IVF/PQ structures on a
     * sample; Lloyd's converges on the distribution, not the row count, so
-    * a ~1e5–1e6-row sample yields the same cells while each training
-    * iteration scans sampleFraction of the corpus instead of all of it).
-    * The sample is the md5-uniform prefix filter of
+    * a ~1e5–1e6-row sample yields the same cells while training never
+    * scans the corpus). The sample is the md5-uniform prefix filter of
     * [[graft.operators.Curation.sampleStratified]] (keep iff
     * u(id) < fraction): deterministic, seed-free, growth-stable — the
     * trained centroids are reproducible across runs and cluster sizes.
     * Assignment of the FULL corpus still happens wherever the caller uses
     * the returned centroids; only training is sampled.
+    *
+    * The sample is COLLECTED and Lloyd's runs on the driver (r11): the
+    * distributed loop re-plans each iteration with fresh centroid
+    * literals, so every iteration paid whole-stage-codegen COMPILATION
+    * (~0.6 s) regardless of data size — 8 iterations over a 1,250-row
+    * sample cost 4.7 s of pure compiler. A training sample is
+    * driver-bounded by design (FAISS trains in memory; `maxSampleRows`
+    * fails loudly when the fraction is mis-sized — rows × dim × 8 B, the
+    * size-gated union-find precedent), the per-iteration work becomes
+    * two tight array loops, and sorting the sample by id makes the
+    * float summation order DETERMINISTIC — which the distributed
+    * partial-agg never was. Semantics mirror [[kMeansCentroids]]
+    * exactly: pseudoCentroid init, first-max-dot assignment, spherical
+    * (unit-normalized) mean update, empty cells keep their centroid,
+    * early exit when no centroid moves more than `tol` squared-L2. Only
+    * exactly-`dim` vectors train (callers filter to one width anyway —
+    * the distributed form's element_at NULL handling made mixed widths
+    * accidental, not supported).
     */
   def kMeansCentroidsSampled(emb: DataFrame, idCol: String, vecCol: String,
                              dim: Int, k: Int, sampleFraction: Double,
-                             maxIter: Int = 8, tol: Double = 1e-6): Array[Array[Double]] = {
+                             maxIter: Int = 8, tol: Double = 1e-6,
+                             maxSampleRows: Int = 2000000): Array[Array[Double]] = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"kMeansCentroidsSampled: sampleFraction must be in (0,1], got $sampleFraction")
     val threshold = math.round(sampleFraction * 4294967296.0) // 2^32
     val pri = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
-    kMeansCentroids(emb.filter(pri < threshold), vecCol, dim, k, maxIter, tol)
+    val collected = emb.filter(pri < threshold)
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("string").as("__i"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .limit(maxSampleRows + 1)
+      .collect()
+    require(collected.length <= maxSampleRows,
+      s"kMeansCentroidsSampled: sampleFraction=$sampleFraction selects more " +
+        s"than maxSampleRows=$maxSampleRows training vectors — lower the " +
+        "fraction (training needs a bounded sample, not the corpus)")
+    val vs: Array[Array[Double]] = collected.sortBy(_.getString(0))
+      .map(_.getSeq[Double](1).toArray)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    def assign(v: Array[Double], cents: Array[Array[Double]]): Int = {
+      var best = 0; var bestDot = Double.NegativeInfinity; var c = 0
+      while (c < cents.length) {
+        val p = cents(c); var s = 0.0; var i = 0
+        while (i < dim) { s += v(i) * p(i); i += 1 }
+        if (s > bestDot) { bestDot = s; best = c } // first max wins, the
+        c += 1                                     // dotsArgmax tie rule
+      }
+      best
+    }
+    var centroids = pseudoCentroids(dim, k).map(unit)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val sums = Array.ofDim[Double](k, dim)
+      val cnt = new Array[Long](k)
+      vs.foreach { v =>
+        val c = assign(v, centroids)
+        cnt(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      val next = centroids.clone()
+      for (c <- 0 until k if cnt(c) > 0)
+        next(c) = unit(Array.tabulate(dim)(i => sums(c)(i) / cnt(c)))
+      moved = centroids.iterator.zip(next.iterator).map { case (a, b) =>
+        a.iterator.zip(b.iterator).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.max
+      centroids = next
+      iter += 1
+    }
+    centroids
   }
 
   /** Deterministic planted-cluster embedding fixture: `nClusters` unit-norm
