@@ -1,6 +1,29 @@
 package graft
 
 object Bench {
+
+  /** Contention-robust per-query estimator (r11, VERDICT r10 §next-3).
+    * Input: every run's wall time (NaN = the run threw), and the planned
+    * run count. Returns (reported, rawMedian): `rawMedian` is the plain
+    * median over successful runs; `reported` is the median over the
+    * ENGINE-TIME runs — those within 2× of the query's own fastest
+    * successful run. A fast run proves the plan's cost; a slow run on
+    * identical code and data does not un-prove it (the r10 driver billed
+    * 8.65 s to a query whose runs were 0.75/0.85/16.9/12.8/8.6 s). By
+    * construction the reported value never exceeds 2× the fastest run.
+    * Both values are -1 when half or more of the planned runs failed.
+    */
+  private[graft] def robustMedian(times: Seq[Double],
+                                  nRuns: Int): (Double, Double) = {
+    val ok = times.sorted.filterNot(_.isNaN)
+    if (ok.size * 2 <= nRuns) (-1.0, -1.0)
+    else {
+      val rawMedian = ok(ok.size / 2)
+      val engineRuns = ok.takeWhile(_ <= ok.head * 2.0) // sorted asc
+      (engineRuns(engineRuns.size / 2), rawMedian)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
@@ -105,26 +128,15 @@ object Bench {
         if (spreadContended && familyRuns == runs) runs + 2 else familyRuns
       val times = baseTimes ++
         ((familyRuns + 1) to nRuns).map(timedRun)
-      // Median over SUCCESSFUL runs only: indexing the full (NaN-padded)
-      // vector shifts the reported value toward the max success whenever any
-      // run fails. A query still reports -1 when half or more runs failed.
-      // NaN sorts after every real number (IEEE total order).
-      val ok = times.sorted.filterNot(_.isNaN)
-      // Contention-robust estimator (r11, VERDICT r10 §next-3): the r10
-      // spread rule DETECTED contention, then medianed over the
-      // contaminated series anyway — q_merge_classify_tally recorded
-      // 8.65 s from runs 0.75/0.85/16.9/12.8/8.6 on an unchanged plan.
-      // Runs within 2× of the query's own fastest successful run are
-      // engine time; beyond that is the sandbox (the fast mode proves the
-      // plan's cost — a slow mode on identical code and data does not
-      // un-prove it). Report the median of the engine-time runs; by
-      // construction the recorded value never exceeds 2× the fastest run.
-      // The raw all-runs median still lands in bench_detail.json
+      // Contention-robust estimator (see robustMedian): the r10 spread
+      // rule DETECTED contention, then medianed over the contaminated
+      // series anyway. The reported value is the median of the
+      // engine-time runs (within 2× of this query's fastest success);
+      // the raw all-runs median still lands in bench_detail.json
       // (`median_all`) so the contention volume itself stays observable.
-      val rawMedian = if (ok.size * 2 <= nRuns) -1.0 else ok(ok.size / 2)
-      val engineRuns = ok.takeWhile(_ <= ok.head * 2.0) // ok is sorted asc
-      val median =
-        if (ok.size * 2 <= nRuns) -1.0 else engineRuns(engineRuns.size / 2)
+      // Median-over-successes only: a query reports -1 when half or more
+      // of the planned runs failed (NaN sorts last, IEEE total order).
+      val (median, rawMedian) = robustMedian(times, nRuns)
       (name, median, rawMedian, warm, times, lastError)
     }
     val failed = results.collect { case (k, v, _, _, _, _) if v < 0 => "\"" + k + "\"" }

@@ -1001,6 +1001,17 @@ object SparkEntry {
     "q_dedup_substring" -> ((s, d) =>
       Dedup.dedupSubstrings(t(s, d, "documents"), "doc_id", "text",
         minTokens = 4).orderBy("doc_id")),
+    // Cross-corpus exact-substring decontamination (r11): every corpus
+    // token run >= 4 appearing anywhere in the eval slice (doc_id < 50,
+    // the decontamination convention) excised at arbitrary alignment —
+    // the surgical alternative to whole-doc decontaminate. Broadcast
+    // semi-join probe (eval is benchmark-sized); oracle replays windows,
+    // the eval fingerprint set, interval merge, and rebuild.
+    "q_dedup_substring_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.dedupSubstringsAgainst(docs, docs.filter(col("doc_id") < 50),
+        "doc_id", "text", "text", minTokens = 4).orderBy("doc_id")
+    }),
     "q_dedup_spans_across" -> ((s, d) =>
       Dedup.dedupSpansAcross(t(s, d, "documents"), "doc_id", "text",
           spanTokens = 2, minDocs = 5)
@@ -3299,6 +3310,52 @@ object SparkEntry {
         |  WHERE len(tk) >= 4),
         |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
         |ds AS (SELECT doc_id, s FROM wins WHERE win IN (SELECT win FROM dup)),
+        |iv AS (
+        |  SELECT doc_id, s, CASE WHEN s > coalesce(max(s + 4) OVER (
+        |      PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS ng
+        |  FROM ds),
+        |grp AS (
+        |  SELECT doc_id, s,
+        |    sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g
+        |  FROM iv),
+        |merged AS (
+        |  SELECT doc_id, g, min(s) AS lo, max(s) + 3 AS hi
+        |  FROM grp GROUP BY doc_id, g),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p AS pos
+        |  FROM merged, unnest(range(lo, hi + 1)) AS u(p)),
+        |tokrows AS (
+        |  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+        |  FROM w, unnest(generate_series(1, len(tk))) AS u(i)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM tokrows t
+        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+        |    count(*) AS nk
+        |  FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, len(tk) AS nt FROM w)
+        |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_tokens_kept,
+        |  CAST(n.nt - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_removed
+        |FROM documents d JOIN n USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // Replays dedupSubstringsAgainst: corpus windows probed against the
+    // DISTINCT eval-slice window set, then the identical merge/rebuild.
+    "q_dedup_substring_decontam" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS s, array_to_string(tk[i+1 : i+4], ' ') AS win
+        |  FROM w, unnest(range(0, len(tk) - 3)) AS r(i)
+        |  WHERE len(tk) >= 4),
+        |ev AS (SELECT DISTINCT win FROM wins WHERE doc_id < 50),
+        |ds AS (SELECT doc_id, s FROM wins WHERE win IN (SELECT win FROM ev)),
         |iv AS (
         |  SELECT doc_id, s, CASE WHEN s > coalesce(max(s + 4) OVER (
         |      PARTITION BY doc_id ORDER BY s

@@ -861,27 +861,86 @@ object Dedup {
     require(minTokens >= 2,
       s"dedupSubstrings: minTokens must be >= 2, got $minTokens")
     val k = minTokens
-    val toks = df.select(col(idCol),
-        filter(split(col(textCol), "\\s+"), t => t =!= "").as("__tk"))
-      .withColumn("__n", size(col("__tk")))
-    // seed windows: one fingerprint per start position 0 .. n-k
-    val wins = toks.filter(col("__n") >= k)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), col("__n") - k),
-        i => md5(concat_ws(" ", slice(col("__tk"), i + 1, lit(k)))))))
-      .select(col(idCol), col("pos").cast("long").as("__s"),
-        col("col").as("__fp"))
+    val toks = substrToks(df, idCol, textCol)
+    val wins = substrWindows(toks, idCol, k)
     val dupFp = wins.groupBy("__fp").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2).select("__fp")
     val dupStarts = wins.join(dupFp, Seq("__fp"), "left_semi")
-    // merge overlapping/adjacent duplicated seeds into coverage intervals:
-    // a seed at start s covers [s, s+k); a new interval begins only when
-    // the start clears every previous seed's end (running max via the
-    // doc-keyed window)
+    rebuildUncovered(toks, idCol, k, dupStarts)
+  }
+
+  /** Cross-corpus EXACT SUBSTRING decontamination — [[dedupSubstrings]]'
+    * machinery pointed at an eval set (Lee et al. 2022 §6.2 apply their
+    * substring matcher between train and eval the same way): every
+    * corpus token run of >= `minTokens` tokens that appears ANYWHERE in
+    * `evalDocs` is removed from the corpus text, at arbitrary alignment
+    * — the surgical alternative to [[decontaminate]]'s whole-document
+    * drop when only a quoted benchmark passage leaked. Corpus docs all
+    * survive (with the leaked substrings excised); eval text is never
+    * modified.
+    *
+    * Scale shape: corpus windows are the same stride-1 fingerprint
+    * stream; the eval side is benchmark-sized by definition, so its
+    * distinct window set broadcasts and the probe is a broadcast
+    * LEFT SEMI against the corpus stream — no corpus shuffle at all
+    * before the doc-keyed rebuild (the [[contaminationHits]] shape).
+    */
+  def dedupSubstringsAgainst(corpus: DataFrame, evalDocs: DataFrame,
+                             idCol: String, textCol: String,
+                             evalTextCol: String, minTokens: Int): DataFrame = {
+    require(minTokens >= 2,
+      s"dedupSubstringsAgainst: minTokens must be >= 2, got $minTokens")
+    val k = minTokens
+    val toks = substrToks(corpus, idCol, textCol)
+    val wins = substrWindows(toks, idCol, k)
+    val evalFp = substrWindows(
+        substrToks(evalDocs.select(col(evalTextCol)), null, evalTextCol),
+        null, k)
+      .select("__fp").distinct()
+    val hitStarts = wins.join(broadcast(evalFp), Seq("__fp"), "left_semi")
+    rebuildUncovered(toks, idCol, k, hitStarts)
+  }
+
+  /** Whitespace tokens + count for the substring operators; `idCol` null
+    * means "no id needed" (the eval side, which only contributes
+    * fingerprints).
+    */
+  private def substrToks(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val base = if (idCol == null) df.select(col(textCol))
+               else df.select(col(idCol), col(textCol))
+    base.withColumn("__tk",
+        filter(split(col(textCol), "\\s+"), t => t =!= ""))
+      .withColumn("__n", size(col("__tk"))).drop(textCol)
+  }
+
+  /** Stride-1 `k`-token window fingerprints: one (id?, __s, __fp) row per
+    * start position 0 .. n-k.
+    */
+  private def substrWindows(toks: DataFrame, idCol: String,
+                            k: Int): DataFrame = {
+    val idCols = if (idCol == null) Seq.empty else Seq(col(idCol))
+    toks.filter(col("__n") >= k)
+      .select(idCols :+ posexplode(transform(
+        sequence(lit(0), col("__n") - k),
+        i => md5(concat_ws(" ", slice(col("__tk"), i + 1, lit(k)))))): _*)
+      .withColumnRenamed("pos", "__sraw")
+      .withColumnRenamed("col", "__fp")
+      .withColumn("__s", col("__sraw").cast("long")).drop("__sraw")
+  }
+
+  /** Shared tail of the substring operators: merge the marked seed starts
+    * into maximal coverage intervals per doc (lag/cummax — a seed at
+    * start s covers [s, s+k); a new interval begins only when the start
+    * clears every previous seed's end), explode exactly the covered
+    * positions, rebuild every document from its uncovered tokens.
+    */
+  private def rebuildUncovered(toks: DataFrame, idCol: String, k: Int,
+                               markedStarts: DataFrame): DataFrame = {
     val w = Window.partitionBy(idCol).orderBy("__s")
     val prevEnd = max(col("__s") + k)
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val intervals = dupStarts
+    val intervals = markedStarts
       .withColumn("__ng",
         when(col("__s") > coalesce(prevEnd, lit(-1L)), 1).otherwise(0))
       .withColumn("__g",

@@ -548,6 +548,28 @@ class DedupSpec extends SparkSpec {
     assert(got(1)._4 == 0L)
   }
 
+  test("dedupSubstringsAgainst excises leaked eval passages, keeps the rest") {
+    val corpus = Seq(
+      // embeds the eval passage "question seven answer is forty two" at
+      // offset 3 — only that run must go
+      1L -> "some filler here question seven answer is forty two more filler",
+      2L -> "clean document with no benchmark text inside it at all",
+      3L -> "question seven answer is forty two" // the full leak: all gone
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      "question seven answer is forty two",
+      "another benchmark prompt entirely"
+    ).toDF("etext")
+    val got = Dedup.dedupSubstringsAgainst(corpus, eval, "doc_id", "text",
+        "etext", minTokens = 4)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(got(0) == ((1L, "some filler here more filler", 5L, 6L)), got(0))
+    assert(got(1)._4 == 0L, got(1))
+    assert(got(2) == ((3L, "", 0L, 6L)), got(2))
+    // eval side is never modified or emitted: output ids are corpus ids
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("dedupSubstrings: periodic text collapses to nothing; k guard trips") {
     val docs = Seq(1L -> Seq.fill(12)("spam").mkString(" ")).toDF("doc_id", "text")
     val got = Dedup.dedupSubstrings(docs, "doc_id", "text", minTokens = 4)
