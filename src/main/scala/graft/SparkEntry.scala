@@ -173,6 +173,21 @@ object SparkEntry {
     path
   }
 
+  // Substring-fingerprint index for the incremental ExactSubstr probe:
+  // corpus half (doc_id >= 120) indexed once per process per sf-dir (the
+  // mhIdxEnsure convention).
+  private lazy val subIdxTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-subidx").toString
+
+  private def subIdxEnsure(s: SparkSession, d: String): String = {
+    val path = s"$subIdxTmpDir/${new java.io.File(d).getName}"
+    if (!graft.pipeline.Sinks.exists(s, s"$path/meta"))
+      Dedup.substringWriteIndex(
+        t(s, d, "documents").filter(col("doc_id") >= 120), "doc_id", "text",
+        minTokens = 4, path)
+    path
+  }
+
   // Persisted text-model artifacts (r11, VERDICT r10 §next-2): train once
   // per (process, sf-dir) and write the model TABLE to parquet; the
   // benched `*_scored` rows then LOAD + score — the production steady
@@ -1012,6 +1027,16 @@ object SparkEntry {
       Dedup.dedupSubstringsAgainst(docs, docs.filter(col("doc_id") < 50),
         "doc_id", "text", "text", minTokens = 4).orderBy("doc_id")
     }),
+    // Incremental ExactSubstr (r11): a NEW batch (doc_id < 120) probed
+    // against the persisted window-fingerprint index of the corpus half
+    // (doc_id >= 120) — runs known to the indexed corpus are excised
+    // without touching its text (the minHashProbeIndex convention). The
+    // oracle rebuilds the index side's distinct window set from the same
+    // slice and replays probe + merge + rebuild.
+    "q_dedup_substring_probe" -> ((s, d) =>
+      Dedup.substringProbeIndex(s, subIdxEnsure(s, d),
+          t(s, d, "documents").filter(col("doc_id") < 120), "doc_id", "text")
+        .orderBy("doc_id")),
     "q_dedup_spans_across" -> ((s, d) =>
       Dedup.dedupSpansAcross(t(s, d, "documents"), "doc_id", "text",
           spanTokens = 2, minDocs = 5)
@@ -3342,6 +3367,58 @@ object SparkEntry {
         |  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_tokens_kept,
         |  CAST(n.nt - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_removed
         |FROM documents d JOIN n USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // Replays substringProbeIndex: the batch slice's windows probed
+    // against the DISTINCT window set of the indexed slice (doc_id >=
+    // 120 — rebuilt by the oracle from the same rows the index was
+    // written from), then the identical merge/rebuild over batch docs.
+    "q_dedup_substring_probe" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS s, array_to_string(tk[i+1 : i+4], ' ') AS win
+        |  FROM w, unnest(range(0, len(tk) - 3)) AS r(i)
+        |  WHERE len(tk) >= 4),
+        |idx AS (SELECT DISTINCT win FROM wins WHERE doc_id >= 120),
+        |ds AS (
+        |  SELECT doc_id, s FROM wins
+        |  WHERE doc_id < 120 AND win IN (SELECT win FROM idx)),
+        |iv AS (
+        |  SELECT doc_id, s, CASE WHEN s > coalesce(max(s + 4) OVER (
+        |      PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS ng
+        |  FROM ds),
+        |grp AS (
+        |  SELECT doc_id, s,
+        |    sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g
+        |  FROM iv),
+        |merged AS (
+        |  SELECT doc_id, g, min(s) AS lo, max(s) + 3 AS hi
+        |  FROM grp GROUP BY doc_id, g),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p AS pos
+        |  FROM merged, unnest(range(lo, hi + 1)) AS u(p)),
+        |tokrows AS (
+        |  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+        |  FROM w, unnest(generate_series(1, len(tk))) AS u(i)
+        |  WHERE doc_id < 120),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM tokrows t
+        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+        |    count(*) AS nk
+        |  FROM kept GROUP BY doc_id),
+        |n AS (SELECT doc_id, len(tk) AS nt FROM w WHERE doc_id < 120)
+        |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_tokens_kept,
+        |  CAST(n.nt - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_removed
+        |FROM documents d JOIN n USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id < 120
         |ORDER BY d.doc_id""".stripMargin,
     // Replays dedupSubstringsAgainst: corpus windows probed against the
     // DISTINCT eval-slice window set, then the identical merge/rebuild.

@@ -901,6 +901,86 @@ object Dedup {
     rebuildUncovered(toks, idCol, k, hitStarts)
   }
 
+  /** Persist the corpus's substring-window fingerprint index: one
+    * (fp, cnt) row per distinct `minTokens`-token window plus a one-row
+    * `meta` sidecar carrying the window width (a probe with a different
+    * k would silently match nothing — the MinHash index shape-check
+    * lesson, made structural). With [[substringProbeIndex]] /
+    * [[substringAppendIndex]] this is the INCREMENTAL path of the
+    * ExactSubstr family: the corpus is fingerprinted once, and each new
+    * batch probes/extends in O(batch) without revisiting corpus text —
+    * the minHashWriteIndex / ivfWriteIndex convention.
+    */
+  def substringWriteIndex(df: DataFrame, idCol: String, textCol: String,
+                          minTokens: Int, path: String): Unit = {
+    require(minTokens >= 2,
+      s"substringWriteIndex: minTokens must be >= 2, got $minTokens")
+    val spark = df.sparkSession
+    substrWindows(substrToks(df, idCol, textCol), idCol, minTokens)
+      .groupBy("__fp").agg(count(lit(1)).as("cnt"))
+      .select(col("__fp").as("fp"), col("cnt"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/fps")
+    import spark.implicits._
+    Seq(minTokens).toDF("min_tokens")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/meta")
+  }
+
+  private def substringIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, what: String): Int = {
+    val meta = try spark.read.parquet(s"$path/meta") catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"$what: $path is not a substring index (missing meta sidecar): " +
+          e.getMessage)
+    }
+    require(meta.columns.contains("min_tokens"),
+      s"$what: $path is not a substring index (meta lacks min_tokens)")
+    meta.select("min_tokens").head().getInt(0)
+  }
+
+  /** Fold a new batch's window fingerprints into a persisted substring
+    * index — O(batch): the batch's per-fp counts APPEND as partial-count
+    * rows (probe semantics need presence only, and counts stay additive
+    * across appends — Σ partial rows per fp is the true count), so the
+    * existing index is never rewritten. The window width comes from the
+    * index's own meta, so an appended batch cannot drift from the
+    * training parameter.
+    */
+  def substringAppendIndex(newDocs: DataFrame, idCol: String,
+                           textCol: String, path: String): Unit = {
+    val k = substringIndexMeta(newDocs.sparkSession, path,
+      "substringAppendIndex")
+    substrWindows(substrToks(newDocs, idCol, textCol), idCol, k)
+      .groupBy("__fp").agg(count(lit(1)).as("cnt"))
+      .select(col("__fp").as("fp"), col("cnt"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/fps")
+  }
+
+  /** Excise from NEW documents every token run of >= the index's
+    * `minTokens` tokens that appears anywhere in the INDEXED corpus —
+    * [[dedupSubstringsAgainst]] with the eval side replaced by the
+    * persisted fingerprint set, so the probe never touches corpus text.
+    * Output: the [[dedupSubstrings]] rebuild shape, one row per batch
+    * doc. The fp semi-join is fingerprint-keyed (fixed 16-byte key);
+    * Spark broadcasts the index side only when it is small — at corpus
+    * scale it shuffles the batch's window stream instead, still O(batch
+    * tokens + index probe).
+    */
+  def substringProbeIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, newDocs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val k = substringIndexMeta(spark, path, "substringProbeIndex")
+    val idx = spark.read.parquet(s"$path/fps")
+    require(idx.columns.contains("fp"),
+      s"substringProbeIndex: $path is not a substring index (want fp column)")
+    val toks = substrToks(newDocs, idCol, textCol)
+    val hitStarts = substrWindows(toks, idCol, k)
+      .join(idx.select(col("fp").as("__fp")), Seq("__fp"), "left_semi")
+    rebuildUncovered(toks, idCol, k, hitStarts)
+  }
+
   /** Whitespace tokens + count for the substring operators; `idCol` null
     * means "no id needed" (the eval side, which only contributes
     * fingerprints).

@@ -570,6 +570,41 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("substring index: probe excises corpus-known runs; append extends O(batch)") {
+    val path = java.nio.file.Files.createTempDirectory("subidx").toString + "/idx"
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon words trail here",
+      2L -> "other corpus content entirely different tokens"
+    ).toDF("doc_id", "text")
+    Dedup.substringWriteIndex(corpus, "doc_id", "text", minTokens = 4, path)
+    val batch = Seq(
+      10L -> "prefix alpha beta gamma delta epsilon suffix", // 5-run leak
+      11L -> "totally novel sentence with fresh words only"
+    ).toDF("doc_id", "text")
+    val probed = Dedup.substringProbeIndex(spark, path, batch, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(probed(0) == ((10L, "prefix suffix", 2L, 5L)), probed(0))
+    assert(probed(1)._4 == 0L, probed(1))
+    // probe equals the direct cross-corpus form on the same inputs
+    val direct = Dedup.dedupSubstringsAgainst(batch, corpus, "doc_id",
+        "text", "text", minTokens = 4)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(probed.toSeq == direct.toSeq)
+    // append folds the new batch in WITHOUT rewriting: doc 11's phrasing
+    // becomes corpus-known, so re-probing it now excises it
+    Dedup.substringAppendIndex(batch, "doc_id", "text", path)
+    val again = Dedup.substringProbeIndex(spark, path, batch, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(again(1)._3 == 0L, again(1)) // fully self-matched post-append
+    // a parquet dir that is NOT a substring index fails loudly
+    val notIdx = java.nio.file.Files.createTempDirectory("subbad").toString + "/x"
+    corpus.write.parquet(notIdx)
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.substringProbeIndex(spark, notIdx, batch, "doc_id", "text")
+    }
+    assert(bad.getMessage.contains("substring index"), bad.getMessage)
+  }
+
   test("dedupSubstrings: periodic text collapses to nothing; k guard trips") {
     val docs = Seq(1L -> Seq.fill(12)("spam").mkString(" ")).toDF("doc_id", "text")
     val got = Dedup.dedupSubstrings(docs, "doc_id", "text", minTokens = 4)
