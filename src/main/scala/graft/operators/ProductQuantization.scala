@@ -108,6 +108,105 @@ object ProductQuantization {
     books
   }
 
+  /** Shared trainer dispatch: SAMPLED driver-side training is the
+    * production default (`trainFraction` < 1, the SemDeDup/FAISS
+    * convention); `trainFraction = 1.0` keeps the full distributed
+    * [[trainCodebooks]] loop.
+    */
+  private def trainBooks(emb: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, m: Int, k: Int, maxIter: Int,
+                         trainFraction: Double): Codebooks =
+    if (trainFraction >= 1.0)
+      trainCodebooks(emb, idCol, vecCol, dim, m, k, maxIter)
+    else
+      trainCodebooksSampled(emb, idCol, vecCol, dim, m, k, trainFraction,
+        maxIter)
+
+  /** [[trainCodebooks]] on a deterministic md5-uniform hash-sample, run
+    * DRIVER-SIDE (r11, the kMeansCentroidsSampled treatment): the
+    * distributed loop re-plans each iteration with fresh codeword
+    * literals, paying whole-stage-codegen COMPILATION per iteration
+    * regardless of data size — pure compiler tax on fixture-scale
+    * corpora, and at 100 TB FAISS trains PQ books on an in-memory sample
+    * anyway. Same metric and tie rules as the codegen'd encoder (per
+    * subspace: argmin squared-L2, first-min wins), same Forgy init
+    * family (k lowest md5("pqseed:"||id), id-string ties — drawn from
+    * the SAMPLE, which is the sampled variant's own documented rule),
+    * mean update, empty cells keep their codeword, `tol` early exit;
+    * accumulation order is id-sorted, so sums are DETERMINISTIC where
+    * the distributed partial-agg never was. `maxSampleRows` fails loudly
+    * when the fraction is mis-sized (rows × dim × 8 B on the driver).
+    */
+  def trainCodebooksSampled(emb: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, m: Int, k: Int, sampleFraction: Double,
+                            maxIter: Int = 6, tol: Double = 1e-9,
+                            maxSampleRows: Int = 2000000): Codebooks = {
+    require(dim % m == 0, s"trainCodebooksSampled: dim=$dim not divisible by m=$m")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"trainCodebooksSampled: sampleFraction must be in (0,1], got $sampleFraction")
+    val sub = dim / m
+    val threshold = math.round(sampleFraction * 4294967296.0) // 2^32
+    val pri = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val rows = emb.filter(pri < threshold)
+      .filter(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("string").as("__i"),
+        md5(concat(lit("pqseed:"), col(idCol).cast("string"))).as("__sk"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .limit(maxSampleRows + 1)
+      .collect()
+    require(rows.length <= maxSampleRows,
+      s"trainCodebooksSampled: sampleFraction=$sampleFraction selects more " +
+        s"than maxSampleRows=$maxSampleRows training vectors — lower the " +
+        "fraction (training needs a bounded sample, not the corpus)")
+    require(rows.nonEmpty,
+      s"trainCodebooksSampled: no vectors of length $dim in the sample — " +
+        "raise sampleFraction")
+    val data = rows.sortBy(_.getString(0)).map(_.getSeq[Double](2).toArray)
+    val seeds = rows.sortBy(r => (r.getString(1), r.getString(0)))
+      .take(k).map(_.getSeq[Double](2).toArray)
+    var books: Codebooks = Array.tabulate(m)(s => Array.tabulate(k)(c =>
+      seeds(c % seeds.length).slice(s * sub, (s + 1) * sub)))
+    def assign(v: Array[Double], s: Int, bks: Codebooks): Int = {
+      val off = s * sub
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < k) {
+        val cw = bks(s)(c); var d = 0.0; var i = 0
+        while (i < sub) {
+          val diff = v(off + i) - cw(i); d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // first min wins (PqEncode)
+        c += 1
+      }
+      best
+    }
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val sums = Array.ofDim[Double](m, k, sub)
+      val cnt = Array.ofDim[Long](m, k)
+      data.foreach { v =>
+        var s = 0
+        while (s < m) {
+          val c = assign(v, s, books)
+          cnt(s)(c) += 1
+          val off = s * sub; var i = 0
+          while (i < sub) { sums(s)(c)(i) += v(off + i); i += 1 }
+          s += 1
+        }
+      }
+      val next = books.map(_.map(_.clone()))
+      for (s <- 0 until m; c <- 0 until k if cnt(s)(c) > 0)
+        next(s)(c) = Array.tabulate(sub)(i => sums(s)(c)(i) / cnt(s)(c))
+      moved = books.indices.iterator.flatMap(s => (0 until k).iterator.map(c =>
+        books(s)(c).iterator.zip(next(s)(c).iterator)
+          .map { case (a, b) => (a - b) * (a - b) }.sum)).max
+      books = next
+      iter += 1
+    }
+    books
+  }
+
   /** Encode a corpus: (id, codes array<int> of length m). */
   def encode(emb: DataFrame, idCol: String, vecCol: String,
              books: Codebooks): DataFrame = {
@@ -157,8 +256,10 @@ object ProductQuantization {
     */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
              queryId: Long, k: Int, m: Int = 8, kCodewords: Int = 16,
-             maxIter: Int = 6, refine: Int = 4): DataFrame = {
-    val books = trainCodebooks(emb, idCol, vecCol, dim, m, kCodewords, maxIter)
+             maxIter: Int = 6, refine: Int = 4,
+             trainFraction: Double = 0.25): DataFrame = {
+    val books = trainBooks(emb, idCol, vecCol, dim, m, kCodewords, maxIter,
+      trainFraction)
     val lut = adcLut(queryVector(emb, idCol, vecCol, queryId), books)
     val shortlist = encode(emb, idCol, vecCol, books)
       .filter(col("id") =!= queryId)
@@ -189,7 +290,8 @@ object ProductQuantization {
                 queryId: Long, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
                 m: Int = 8, kCodewords: Int = 16, maxIter: Int = 6,
                 refine: Int = 4,
-                centroids: Array[Array[Double]] = null): DataFrame = {
+                centroids: Array[Array[Double]] = null,
+                trainFraction: Double = 0.25): DataFrame = {
     // Centroids default to the deterministic pseudo family; pass
     // kMeansCentroids output for trained cells (the ivfWriteIndex
     // convention) — on clustered corpora trained cells align with the
@@ -209,7 +311,8 @@ object ProductQuantization {
         Similarity.ivfAssignTo(col(vecCol), cents).as("cell"),
         col(vecCol).as("v"))
       .withColumn("res", residual(col("v"), col("cell")))
-    val books = trainCodebooks(assigned, "id", "res", dim, m, kCodewords, maxIter)
+    val books = trainBooks(assigned, "id", "res", dim, m, kCodewords, maxIter,
+      trainFraction)
     val query = queryVector(emb, idCol, vecCol, queryId)
     val lut = adcLut(query, books)
     // driver-side probe selection + centroid dot terms (nCentroids × dim)
@@ -251,8 +354,9 @@ object ProductQuantization {
     */
   def pqWriteIndex(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                    path: String, m: Int = 8, kCodewords: Int = 16,
-                   maxIter: Int = 6): Unit = {
-    val books = trainCodebooks(emb, idCol, vecCol, dim, m, kCodewords, maxIter)
+                   maxIter: Int = 6, trainFraction: Double = 0.25): Unit = {
+    val books = trainBooks(emb, idCol, vecCol, dim, m, kCodewords, maxIter,
+      trainFraction)
     encode(emb, idCol, vecCol, books)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
     val spark = emb.sparkSession

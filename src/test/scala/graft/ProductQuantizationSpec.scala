@@ -143,6 +143,39 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(leaked.isEmpty, s"persistent RDDs leaked by the call: $leaked")
   }
 
+  test("trainCodebooksSampled: deterministic, guarded, quality holds vs full") {
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 16, dim = 16, noise = 0.05)
+    val a = PQ.trainCodebooksSampled(fix, "vec_id", "embedding", dim = 16,
+      m = 4, k = 8, sampleFraction = 0.5)
+    val b = PQ.trainCodebooksSampled(fix, "vec_id", "embedding", dim = 16,
+      m = 4, k = 8, sampleFraction = 0.5)
+    assert(a.length == 4 && a(0).length == 8 && a(0)(0).length == 4)
+    assert(a.flatten.flatten.toSeq == b.flatten.flatten.toSeq) // no RNG
+    // sampled books reconstruct about as well as full-trained ones: mean
+    // squared reconstruction error within 2x on the fixture
+    val full = PQ.trainCodebooks(fix, "vec_id", "embedding", dim = 16,
+      m = 4, k = 8)
+    def mse(books: PQ.Codebooks): Double = {
+      val vs = fix.select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      vs.map { v =>
+        (0 until 4).map { s =>
+          val cands = books(s)
+          cands.map(cw => (0 until 4).map(i =>
+            math.pow(v(s * 4 + i) - cw(i), 2)).sum).min
+        }.sum
+      }.sum / vs.length
+    }
+    assert(mse(a) <= mse(full) * 2.0, s"sampled mse ${mse(a)} vs ${mse(full)}")
+    // mis-sized fraction fails loudly instead of collecting the corpus
+    val e = intercept[IllegalArgumentException] {
+      PQ.trainCodebooksSampled(fix, "vec_id", "embedding", dim = 16,
+        m = 4, k = 8, sampleFraction = 1.0, maxSampleRows = 10)
+    }
+    assert(e.getMessage.contains("maxSampleRows"), e.getMessage)
+  }
+
   test("trainCodebooks: empty cells keep codewords; wrong dim rejected") {
     intercept[IllegalArgumentException] {
       PQ.trainCodebooks(Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v"),

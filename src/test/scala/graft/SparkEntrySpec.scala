@@ -66,6 +66,27 @@ class SparkEntrySpec extends SparkSpec {
     assert(stale.isEmpty, s"pinned queries that are no longer rows-only: $stale")
   }
 
+  test("verify-only names are live queries; *_scored probes share their train-form oracle") {
+    val stale = SparkEntry.verifyOnlyQueries -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"verifyOnlyQueries naming nothing registered: $stale")
+    // The amortized-probe contract (r11): a probe row loads a model the
+    // oracle re-derives by replaying training, so the SQL must be the
+    // train form's VERBATIM — a drifted copy would silently weaken the
+    // shared-oracle claim.
+    val twins = Map(
+      "q_text_nb_margin_scored" -> "q_text_nb_margin",
+      "q_text_langid_scored" -> "q_text_langid_ct",
+      "q_cur_dsir_scored" -> "q_cur_dsir_sample")
+    twins.foreach { case (probe, train) =>
+      assert(SparkEntry.oracleSql(probe) == SparkEntry.oracleSql(train),
+        s"$probe oracle drifted from $train")
+      assert(SparkEntry.verifyOnlyQueries.contains(train),
+        s"$train should be verify-only (its probe form $probe is benched)")
+      assert(!SparkEntry.verifyOnlyQueries.contains(probe),
+        s"$probe is the benched form and must not be verify-only")
+    }
+  }
+
   test("every registered query executes and yields a non-empty schema at sf0.001") {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
