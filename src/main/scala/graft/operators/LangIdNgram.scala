@@ -118,10 +118,17 @@ object LangIdNgram {
     require(nLabels <= maxLabels,
       s"classify: $nLabels labels exceeds maxLabels=$maxLabels — language " +
         "profiles are per-language metadata, not per-document state")
-    // topK from the model itself: one scalar aggregate, broadcast into the
-    // penalty term (a model table round-tripped through parquet carries
-    // its depth implicitly).
-    val kFrame = model.agg(max(col("rank")).cast("long").as("__k"))
+    // topK from the model itself, pulled to the DRIVER as a literal (a
+    // model table round-tripped through parquet carries its depth
+    // implicitly; one scalar pull over the pinned metadata-scale frame).
+    // A LITERAL here matters to the plan: `row_number <= <const>` lets
+    // Catalyst insert WindowGroupLimit — per-doc top-k BEFORE the rank
+    // sort materializes the whole gram stream — where the previous
+    // joined-scalar comparison (`__dr <= col("__k")`) blocked the rewrite
+    // and sorted every (doc, gram) row at full width (r11; the widest
+    // stage of the scoring plan).
+    val kVal = model.agg(max(col("rank")).cast("long").as("__k"))
+      .head().getLong(0)
     val docGrams = docs
       .select(col(idCol).as("doc_id"), canon(col(textCol)).as("__t"))
       .select(col("doc_id"), explode(allGrams(col("__t"))).as("gram"))
@@ -129,14 +136,13 @@ object LangIdNgram {
     val wd = Window.partitionBy("doc_id")
       .orderBy(col("__cnt").desc, col("gram").asc)
     val profile = docGrams.withColumn("__dr", row_number().over(wd))
-      .join(broadcast(kFrame))
-      .filter(col("__dr") <= col("__k"))
+      .filter(col("__dr") <= lit(kVal))
     // doc-profile × labels grid (topK × |labels| rows per doc), model
     // rank attached where the gram is in-profile, topK penalty otherwise.
     val dist = profile.join(broadcast(labels))
       .join(broadcast(model), Seq("label", "gram"), "left")
       .groupBy("doc_id", "label").agg(
-        sum(coalesce(abs(col("__dr") - col("rank")), col("__k")))
+        sum(coalesce(abs(col("__dr") - col("rank")), lit(kVal)))
           .as("__dist"))
     val wBest = Window.partitionBy("doc_id")
       .orderBy(col("__dist").asc, col("label").asc)
