@@ -354,7 +354,11 @@ object SparkEntry {
       // untimed warm-up.
       "q_text_nb_margin", "q_text_langid_ct", "q_text_bpe_ids",
       "q_text_bpe_encode", "q_text_unigram_ids", "q_cur_pack_bpe",
-      "q_cur_dsir_sample")
+      "q_cur_dsir_sample",
+      // r11: the WordPiece family follows the same policy from day one —
+      // the benched row is the loaded-vocab probe; the train form and
+      // the exact-invariant gate stay in the correctness contract only.
+      "q_text_wordpiece_ids", "q_text_wordpiece_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -1544,6 +1548,62 @@ object SparkEntry {
             .as("n_unknown_ids"),
           sum(size(filter(col("ids"), i => i >= vocab.vocabSize))
             .cast("long")).as("n_oversized_ids"))
+    }),
+    // WordPiece tokenizer (r11) — the third tokenizer family: BPE-like
+    // training RANKED BY the likelihood score cnt(pair)/(cnt(l)·cnt(r))
+    // (exact cross-multiplied integers), greedy longest-match-first
+    // encode with whole-word UNK (BERT semantics). Rows-only (ids are
+    // engine-side model artifacts), array_join-projected per the
+    // standing comparator ruling; the _gate pins exact invariants with
+    // the corpus word-char total oracled.
+    "q_text_wordpiece_ids" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = WordPiece.trainWordPiece(docs, "text", numMerges = 20)
+      docs.select(col("doc_id"),
+          array_join(WordPiece.wordPieceEncodeIds(col("text"), vocab)
+            .cast("array<string>"), " ").as("ids"))
+        .orderBy("doc_id")
+    }),
+    // Amortized probe form — the BENCHED wordpiece row (the r11 policy):
+    // vocab from its persisted (id, piece, is_cont) table, encode only.
+    "q_text_wordpiece_ids_scored" -> ((s, d) => {
+      val vocab = WordPiece.readVocab(s, ensureModel(s, d, "wordpiece")(
+        WordPiece.vocabTable(s, WordPiece.trainWordPiece(
+          t(s, d, "documents"), "text", numMerges = 20))))
+      t(s, d, "documents").select(col("doc_id"),
+          array_join(WordPiece.wordPieceEncodeIds(col("text"), vocab)
+            .cast("array<string>"), " ").as("ids"))
+        .orderBy("doc_id")
+    }),
+    // Gate (verify-only): (1) per-doc size(ids) == wordPieceTokenCount —
+    // the sequence and count natives agree on EVERY document; (2) char
+    // conservation — each id spans its piece's code points and the sum
+    // rebuilds the ORACLED corpus word-char total exactly (greedy
+    // segmentation partitions every word; possible only because the
+    // training alphabet covers both forms, so nothing UNKs); (3) zero
+    // unknown ids on the training corpus; (4) every id in-vocab.
+    "q_text_wordpiece_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = WordPiece.trainWordPiece(docs, "text", numMerges = 20)
+      val spanLit = typedlit(vocab.spans)
+      docs.select(
+          WordPiece.wordPieceEncodeIds(col("text"), vocab).as("ids"),
+          WordPiece.wordPieceTokenCount(col("text"), vocab).as("__cnt"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(when(size(col("ids")).cast("long") === col("__cnt"), lit(0))
+            .otherwise(lit(1))).as("__len_mismatch"),
+          sum(aggregate(transform(col("ids"),
+            i => when(i < 0, lit(0L)).otherwise(element_at(spanLit, i + 1))),
+            lit(0L), (a, v) => a + v)).as("total_piece_chars"),
+          sum(size(filter(col("ids"), i => i < 0)).cast("long"))
+            .as("n_unknown_ids"),
+          sum(size(filter(col("ids"), i => i >= vocab.vocabSize))
+            .cast("long")).as("n_oversized_ids"))
+        .select(col("n_docs"),
+          (col("__len_mismatch") === 0).as("ids_len_ok"),
+          col("total_piece_chars"), col("n_unknown_ids"),
+          col("n_oversized_ids"))
     }),
     // Naive Bayes classifier (r9) — the GPT-3/CCNet quality-classifier
     // stage shape, self-trained here on the corpus's own lang labels and
@@ -3751,6 +3811,20 @@ object SparkEntry {
         |    '\s+'), x -> x <> '')) AS x
         |  FROM documents)
         |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(x)) AS BIGINT) AS total_piece_chars,
+        |  CAST(0 AS BIGINT) AS n_unknown_ids,
+        |  CAST(0 AS BIGINT) AS n_oversized_ids
+        |FROM w""".stripMargin,
+    // The wordpiece conservation gate's truth side: corpus word-char
+    // total (code points of lowercased whitespace tokens) + the engine
+    // booleans/zero-counts pinned to their exact expected values.
+    "q_text_wordpiece_gate" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> x <> '')) AS x
+        |  FROM documents)
+        |SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+        |  TRUE AS ids_len_ok,
         |  CAST(sum(len(x)) AS BIGINT) AS total_piece_chars,
         |  CAST(0 AS BIGINT) AS n_unknown_ids,
         |  CAST(0 AS BIGINT) AS n_oversized_ids
