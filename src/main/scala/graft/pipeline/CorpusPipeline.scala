@@ -168,6 +168,16 @@ object CorpusPipeline {
                                    nTokCol: String = "n_unigram_tokens")
       extends Step
 
+  /** Terminal WordPiece tokenizer stage (r11) — the third tokenizer
+    * twin ([[graft.operators.WordPiece]]): likelihood-ranked merge
+    * training on the corpus as curated so far, greedy longest-match
+    * encode. Same terminal placement and materialization contract.
+    */
+  final case class TokenizeWordPiece(numMerges: Int,
+                                     idsCol: String = "token_ids",
+                                     nTokCol: String = "n_wordpiece_tokens")
+      extends Step
+
   /** DSIR target-domain selection (r10,
     * [[graft.operators.Dsir.selectByImportance]]): keep the `k` docs whose
     * hashed-n-gram bag most resembles the `target` exemplar corpus —
@@ -330,6 +340,15 @@ object CorpusPipeline {
             pinned, textCol, targetVocab)
           pinned.withColumn(idsCol,
               graft.operators.Unigram.unigramEncodeIds(col(textCol), vocab))
+            .withColumn(nTokCol, size(col(idsCol)).cast("long"))
+        case TokenizeWordPiece(numMerges, idsCol, nTokCol) =>
+          // same materialize-before-multi-pass-stage trade as TokenizeBpe
+          val pinned = d.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val vocab = graft.operators.WordPiece.trainWordPiece(
+            pinned, textCol, numMerges)
+          pinned.withColumn(idsCol,
+              graft.operators.WordPiece.wordPieceEncodeIds(col(textCol), vocab))
             .withColumn(nTokCol, size(col(idsCol)).cast("long"))
         case DsirSelect(target, tId, tText, buckets, k, seed, addK) =>
           // Pin the curated prefix: both bag models, the weight pass and

@@ -97,6 +97,24 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.values.forall(identity))
   }
 
+  test("TokenizeWordPiece step appends consistent id and count columns") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and the hat sat", "s"),
+      (2L, "a cat and a mat and a hat", "s"),
+      (3L, "tiny", "s")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.run(corpus, "doc_id", "text", Seq(
+        QualityFloor(minTokens = 5),
+        TokenizeWordPiece(numMerges = 8)))
+      .select(col("doc_id"), (size(col("token_ids")).cast("long") ===
+        col("n_wordpiece_tokens")).as("ok"),
+        size(filter(col("token_ids"), i => i < 0)).as("unk"))
+      .as[(Long, Boolean, Int)].collect()
+    assert(out.map(_._1).toSet == Set(1L, 2L))
+    assert(out.forall(_._2))
+    assert(out.forall(_._3 == 0)) // trained on itself: never UNKs
+  }
+
   test("step order matters and is the caller's to choose") {
     // floor BEFORE span removal keeps a doc whose tokens drop below the
     // floor only after boilerplate removal; floor AFTER drops it
