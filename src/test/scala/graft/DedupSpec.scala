@@ -570,6 +570,44 @@ class DedupSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("property: dedupSubstrings equals a brute-force reference on random corpora (ScalaCheck)") {
+    // independent truth: no intervals, no fingerprints — mark every
+    // position covered by a duplicated window directly from the window
+    // STRINGS and rebuild. The operator's md5/interval-merge machinery
+    // must land on the identical relation.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val k = 3
+    val docGen = Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    val corpusGen = Gen.chooseNum(1, 6).flatMap(m => Gen.listOfN(m, docGen))
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val docs = corpus.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" "))}.toDF("doc_id", "text")
+      val winCount = scala.collection.mutable.HashMap[String, Int]()
+      corpus.foreach { ts =>
+        ts.sliding(k).filter(_.size == k)
+          .foreach(w => winCount.updateWith(w.mkString(" "))(v =>
+            Some(v.getOrElse(0) + 1)))
+      }
+      val want = corpus.zipWithIndex.map { case (ts, i) =>
+        val covered = (0 to ts.length - k).filter(s =>
+          winCount.getOrElse(ts.slice(s, s + k).mkString(" "), 0) >= 2)
+          .flatMap(s => s until s + k).toSet
+        val kept = ts.zipWithIndex.collect {
+          case (t, p) if !covered.contains(p) => t
+        }
+        (i.toLong, kept.mkString(" "), kept.size.toLong,
+          (ts.length - kept.size).toLong)
+      }
+      val got = Dedup.dedupSubstrings(docs, "doc_id", "text", minTokens = k)
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("substring index: probe excises corpus-known runs; append extends O(batch)") {
     val path = java.nio.file.Files.createTempDirectory("subidx").toString + "/idx"
     val corpus = Seq(
