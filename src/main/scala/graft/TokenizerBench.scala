@@ -39,6 +39,8 @@ object TokenizerBench {
     val bpe = graft.operators.Bpe.trainBpeModel(docs, "text", numMerges = 64)
     val uni = graft.operators.Unigram.trainUnigramModel(docs, "text",
       targetVocab = 300)
+    val wp = graft.operators.WordPiece.trainWordPiece(docs, "text",
+      numMerges = 64)
 
     def encodeBpe(): Long = corpus.select(
         sum(size(graft.operators.Bpe.bpeEncodeIds(col("text"), bpe)))
@@ -48,16 +50,22 @@ object TokenizerBench {
         sum(size(graft.operators.Unigram.unigramEncodeIds(col("text"), uni)))
           .cast("long"))
       .head().getLong(0)
+    def encodeWp(): Long = corpus.select(
+        sum(size(graft.operators.WordPiece.wordPieceEncodeIds(col("text"), wp)))
+          .cast("long"))
+      .head().getLong(0)
     def encodeWs(): Long = corpus.select(
         sum(graft.operators.TextAnalysis.tokenCountWs(col("text")))
           .cast("long"))
       .head().getLong(0)
 
     // one warm pass each (codegen compile + cache fill off the clock)
-    val tokBpe = encodeBpe(); val tokUni = encodeUni(); val tokWs = encodeWs()
+    val tokBpe = encodeBpe(); val tokUni = encodeUni()
+    val tokWp = encodeWp(); val tokWs = encodeWs()
     val results = Seq(
       ("bpe_encode", tokBpe, () => encodeBpe()),
       ("unigram_encode", tokUni, () => encodeUni()),
+      ("wordpiece_encode", tokWp, () => encodeWp()),
       ("whitespace_count", tokWs, () => encodeWs())
     ).map { case (name, toks, f) =>
       val med = median((1 to runs).map(_ => time(f())))
@@ -71,6 +79,7 @@ object TokenizerBench {
     }
     println(s"""{"metric":"tokenizer_bench","docs":$nDocs,"dup":$dup,""" +
       s""""bpe_vocab":${bpe.vocabSize},"unigram_vocab":${uni.vocabSize},""" +
+      s""""wordpiece_vocab":${wp.vocabSize},""" +
       cells.mkString(",") + "}")
     spark.stop()
   }
