@@ -85,6 +85,57 @@ class WordPieceSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("property: native encode equals a plain-Scala greedy reference (ScalaCheck)") {
+    // independent reference: greedy longest-match over scala Maps, no
+    // UTF8String, no spec serialization, no codegen — the native static
+    // call must land on the identical id sequence for random vocabs and
+    // random texts over a small alphabet.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val alpha = Seq("a", "b", "c")
+    val pieceGen = for {
+      n <- Gen.chooseNum(1, 3)
+      cs <- Gen.listOfN(n, Gen.oneOf(alpha))
+      cont <- Gen.oneOf(true, false)
+    } yield (cs.mkString, cont)
+    val vocabGen = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, pieceGen))
+    val wordGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha)).map(_.mkString))
+    val textGen = Gen.chooseNum(0, 5).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    def refSegment(word: String, v: WpVocab): Seq[Int] = {
+      val init = v.pieces.filter(!_.isCont)
+        .groupBy(_.piece).view.mapValues(_.head.id).toMap
+      val cont = v.pieces.filter(_.isCont)
+        .groupBy(_.piece).view.mapValues(_.head.id).toMap
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      var start = 0
+      while (start < word.length) {
+        val m = if (start == 0) init else cont
+        val hit = (word.length to (start + 1) by -1)
+          .find(e => m.contains(word.substring(start, e)))
+        hit match {
+          case None => return Seq(-1)
+          case Some(e) => out += m(word.substring(start, e)); start = e
+        }
+      }
+      out.toSeq
+    }
+    val prop = Prop.forAll(vocabGen, Gen.listOfN(3, textGen)) { (ps, texts) =>
+      val v = WpVocab(ps.zipWithIndex
+        .map { case ((p, c), i) => WpPiece(i, p, c) }.toVector)
+      val want = texts.map(_.split("\\s+").filter(_.nonEmpty).toSeq
+        .flatMap(w => refSegment(w, v)))
+      val got = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+        .select(col("id"), WordPiece.wordPieceEncodeIds(col("text"), v).as("ids"))
+        .orderBy("id").as[(Long, Seq[Int])].collect().map(_._2).toSeq
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("trainer determinism and guards") {
     val docs = Seq((1L, "aa ab aa ab ba")).toDF("id", "text")
     val a = WordPiece.trainWordPiece(docs, "text", numMerges = 3)
