@@ -1020,6 +1020,16 @@ object SparkEntry {
     "q_dedup_substring" -> ((s, d) =>
       Dedup.dedupSubstrings(t(s, d, "documents"), "doc_id", "text",
         minTokens = 4).orderBy("doc_id")),
+    // Rolling-fingerprint production twin (r11): identical semantics,
+    // Rabin-Karp O(1)-per-position window fingerprints (the md5 form
+    // re-hashes the corpus ~k times at the published k = 50). Rows-only
+    // (xxhash-derived); pinned by output equality with the oracled md5
+    // form — spec-pinned on fixtures AND on random corpora, and both
+    // queries run the same parameters here so the driver rows must agree
+    // row-for-row.
+    "q_dedup_substring_fast" -> ((s, d) =>
+      Dedup.dedupSubstringsFast(t(s, d, "documents"), "doc_id", "text",
+        minTokens = 4).orderBy("doc_id")),
     // Cross-corpus exact-substring decontamination (r11): every corpus
     // token run >= 4 appearing anywhere in the eval slice (doc_id < 50,
     // the decontamination convention) excised at arbitrary alignment —

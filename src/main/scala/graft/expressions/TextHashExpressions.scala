@@ -529,6 +529,86 @@ object BpeOps {
   }
 }
 
+/** Rolling polynomial window fingerprints for the exact-substring dedup
+  * production path ([[graft.operators.Dedup.dedupSubstringsFast]]): ALL
+  * stride-1 `k`-token window fingerprints of a document in O(tokens)
+  * total — the md5-of-concatenated-window form hashes O(k) bytes PER
+  * POSITION, which at the published k = 50 means hashing the corpus
+  * ~50× over; Rabin–Karp prefix arithmetic makes each window O(1) after
+  * one Horner pass. Fingerprint: fp(s) = Σ th[s+i]·B^(k−1−i) mod M over
+  * per-token `XXH64(tok, seed)` hashes, M = 2^61 − 1 (Mersenne — exact
+  * 128-bit products via `Math.multiplyHigh`, reduction by base-2^61
+  * digit folding, no BigInt). One 61-bit fingerprint collides at
+  * web-scale window counts, so the operator keys on TWO independent
+  * (base, seed) fingerprints — 122 bits, the md5 family's
+  * birthday-safety argument. Tokenization is the operator's own:
+  * whitespace split, empty tokens dropped, ORIGINAL case (the rebuilt
+  * text preserves case, so windows must too — unlike the lowercasing
+  * MinHash natives).
+  */
+object SubstrRollingOps {
+  private val M = (1L << 61) - 1
+
+  /** (a·b) mod 2^61−1 for a, b in [0, M). */
+  private def mulmod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // p = hi·2^64 + lo in base-2^61 digits; 2^61 ≡ 1 (mod M)
+    val p0 = lo & M
+    val p1 = ((hi << 3) | (lo >>> 61)) & M
+    val p2 = hi >>> 58
+    var r = p0 + p1 + p2
+    if (r >= M) r -= M
+    if (r >= M) r -= M
+    r
+  }
+
+  /** fp(s) for every start s = 0 .. nTok−k, as `array<long>`; empty when
+    * the text has fewer than `k` tokens.
+    */
+  def windowFingerprints(text: UTF8String, k: Int, base: Long,
+                         seed: Long): ArrayData = {
+    val toks = text.toString.split("\\s+")
+    var nTok = 0
+    var i = 0
+    while (i < toks.length) { if (toks(i).nonEmpty) nTok += 1; i += 1 }
+    if (nTok < k) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val th = new Array[Long](nTok)
+    var j = 0
+    i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        var t = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), seed) & M
+        if (t == M) t = 0
+        th(j) = t
+        j += 1
+      }
+      i += 1
+    }
+    // Horner prefixes P[j] = P[j−1]·B + th[j−1]; fp(s) = P[s+k] − P[s]·B^k
+    val pref = new Array[Long](nTok + 1)
+    i = 1
+    while (i <= nTok) {
+      pref(i) = {
+        val v = mulmod(pref(i - 1), base) + th(i - 1)
+        if (v >= M) v - M else v
+      }
+      i += 1
+    }
+    var bk = 1L
+    i = 0
+    while (i < k) { bk = mulmod(bk, base); i += 1 }
+    val out = new Array[Long](nTok - k + 1)
+    var s = 0
+    while (s <= nTok - k) {
+      val v = pref(s + k) - mulmod(pref(s), bk)
+      out(s) = if (v < 0) v + M else v
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 object TextHashExpressions {
   /** `array<bigint>` of k MinHash values for `text`, or null below
     * `shingleN` tokens. One static call per row inside codegen.
@@ -554,6 +634,21 @@ object TextHashExpressions {
       "charNgrams",
       Seq(GraftBridge.expression(text), Literal(maxN)),
       inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** All stride-1 `k`-token rolling window fingerprints of `text` (see
+    * [[SubstrRollingOps]]); empty array below `k` tokens.
+    */
+  def rollingWindowFingerprints(text: Column, k: Int, base: Long,
+                                seed: Long): Column =
+    GraftBridge.column(StaticInvoke(
+      SubstrRollingOps.getClass,
+      ArrayType(LongType, containsNull = false),
+      "windowFingerprints",
+      Seq(GraftBridge.expression(text), Literal(k), Literal(base),
+        Literal(seed)),
+      inputTypes = Seq(StringType, IntegerType, LongType, LongType),
       propagateNull = true,
       returnNullable = true))
 

@@ -869,6 +869,37 @@ object Dedup {
     rebuildUncovered(toks, idCol, k, dupStarts)
   }
 
+  /** PRODUCTION twin of [[dedupSubstrings]] for large `minTokens`: same
+    * semantics, window fingerprints computed by Rabin–Karp ROLLING
+    * polynomial hashing ([[graft.expressions.SubstrRollingOps]]) — the
+    * md5 form hashes O(minTokens) bytes per position, which at the
+    * published k = 50 re-hashes the corpus ~50×; the rolling form is
+    * O(1) per position after one Horner pass per document, so the seed
+    * stage costs the same at k = 4 and k = 50. Keys on TWO independent
+    * 61-bit fingerprints (122 bits — the md5 family's birthday-safety
+    * argument at web-scale window counts). xxhash-based, so rows-only
+    * at the driver; output equality with the oracled md5 form is
+    * spec-pinned (DedupSpec, including the random-corpus property).
+    */
+  def dedupSubstringsFast(df: DataFrame, idCol: String, textCol: String,
+                          minTokens: Int): DataFrame = {
+    require(minTokens >= 2,
+      s"dedupSubstringsFast: minTokens must be >= 2, got $minTokens")
+    val k = minTokens
+    val fps = graft.expressions.TextHashExpressions
+      .rollingWindowFingerprints(col(textCol), k, base = 1000003L, seed = 42L)
+    val fps2 = graft.expressions.TextHashExpressions
+      .rollingWindowFingerprints(col(textCol), k, base = 998244353L, seed = 7L)
+    val wins = df.select(col(idCol),
+        posexplode(arrays_zip(fps.as("f1"), fps2.as("f2"))))
+      .select(col(idCol), col("pos").cast("long").as("__s"),
+        col("col").as("__fp"))
+    val dupFp = wins.groupBy("__fp").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("__fp")
+    val dupStarts = wins.join(dupFp, Seq("__fp"), "left_semi")
+    rebuildUncovered(substrToks(df, idCol, textCol), idCol, k, dupStarts)
+  }
+
   /** Cross-corpus EXACT SUBSTRING decontamination — [[dedupSubstrings]]'
     * machinery pointed at an eval set (Lee et al. 2022 §6.2 apply their
     * substring matcher between train and eval the same way): every

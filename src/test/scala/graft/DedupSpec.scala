@@ -601,11 +601,31 @@ class DedupSpec extends SparkSpec {
       }
       val got = Dedup.dedupSubstrings(docs, "doc_id", "text", minTokens = k)
         .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
-      got == want
+      // the rolling-fingerprint production twin must land on the SAME
+      // relation as both the md5 form and the reference
+      val fast = Dedup.dedupSubstringsFast(docs, "doc_id", "text",
+          minTokens = k)
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+      got == want && fast == want
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("dedupSubstringsFast equals the md5 form on the hand-built corpora") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over a sleeping dog today",
+      2L -> "so suddenly quick brown fox jumps over the fence",
+      3L -> "alpha beta gamma delta filler one alpha beta gamma delta filler two",
+      4L -> "tiny doc"
+    ).toDF("doc_id", "text")
+    val a = Dedup.dedupSubstrings(docs, "doc_id", "text", minTokens = 4)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    val b = Dedup.dedupSubstringsFast(docs, "doc_id", "text", minTokens = 4)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(b.exists(_._4 > 0)) // the equality is not vacuous
   }
 
   test("substring index: probe excises corpus-known runs; append extends O(batch)") {
