@@ -5285,5 +5285,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
     "q_text_nb_margin_scored" -> baseOracleSql("q_text_nb_margin"),
     "q_text_langid_scored" -> baseOracleSql("q_text_langid_ct"),
-    "q_cur_dsir_scored" -> baseOracleSql("q_cur_dsir_sample"))
+    "q_cur_dsir_scored" -> baseOracleSql("q_cur_dsir_sample"),
+    // The rolling-fingerprint twin's fingerprints are engine-internal —
+    // its OUTPUT is the md5 form's exactly (122-bit keys: collision
+    // probability ~1e-28 at sf0.01 window counts), so it shares the
+    // replayed-chain oracle outright instead of settling for rows-only.
+    "q_dedup_substring_fast" -> baseOracleSql("q_dedup_substring"))
 }

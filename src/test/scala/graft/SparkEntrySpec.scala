@@ -51,7 +51,6 @@ class SparkEntrySpec extends SparkSpec {
         Seq("q_text_unigram_gate", "q_text_unigram_seed_portable"),
       "q_text_wordpiece_ids" -> Seq("q_text_wordpiece_gate"),
       "q_text_wordpiece_ids_scored" -> Seq("q_text_wordpiece_gate"),
-      "q_dedup_substring_fast" -> Seq("q_dedup_substring"),
       "q_sim_text_ann" ->
         Seq("q_text_hashvec_gate", "q_text_hashvec_portable"),
       "q_dedup_semantic_text" ->
