@@ -358,7 +358,10 @@ object SparkEntry {
       // r11: the WordPiece family follows the same policy from day one —
       // the benched row is the loaded-vocab probe; the train form and
       // the exact-invariant gate stay in the correctness contract only.
-      "q_text_wordpiece_ids", "q_text_wordpiece_gate")
+      "q_text_wordpiece_ids", "q_text_wordpiece_gate",
+      // r11: measured gate for the (JDK-side, non-replayable) deflate
+      // compression-ratio signal — the standing quality-gate ruling.
+      "q_text_compress_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -1361,6 +1364,33 @@ object SparkEntry {
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Deflate compression ratio (r11) — the cheap repetition/noise
+    // signal complementing repetitionStats (compression catches longer-
+    // period and near-repeats bigram counting can't). Rows-only: deflate
+    // output is JDK-side, not DuckDB-replayable; pinned by the measured
+    // gate below.
+    "q_text_compress_ratio" -> ((s, d) => {
+      val r = TextAnalysis.compressionRatio(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+          round(r, 6).as("compress_ratio"),
+          (r.isNotNull && r >= 0.2 && r <= 0.9).as("keep"))
+        .orderBy("doc_id")
+    }),
+    // Gate (verify-only): (a) a looping page built from each doc's own
+    // prefix must compress strictly harder on average than the doc's
+    // natural text — the signal's reason to exist, measured; (b) ratios
+    // stay in (0, 1.1] corpus-wide (deflate overhead can exceed 1 only
+    // slightly on tiny inputs). Truth side: the doc count.
+    "q_text_compress_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val loop = TextAnalysis.compressionRatio(
+        concat_ws(" ", Seq.fill(30)(substring(col("text"), 1, 12)): _*))
+      val nat = TextAnalysis.compressionRatio(col("text"))
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        (avg(loop) < avg(nat)).as("loop_compresses_harder"),
+        (min(nat) > 0.0 && max(nat) <= 1.1).as("ratio_bounded"))
+    }),
     // Bigram-LM perplexity filter (CCNet/KenLM stage): train on the corpus,
     // score every doc. The per-doc log sum runs in DECIMAL(38,18) so the
     // value is summation-order-independent; the only float ops are one
@@ -3825,6 +3855,13 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_unknown_ids,
         |  CAST(0 AS BIGINT) AS n_oversized_ids
         |FROM w""".stripMargin,
+    // Truth side of the compression gate: doc count; the booleans are
+    // the engine-measured signal (deflate is JDK-side).
+    "q_text_compress_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  TRUE AS loop_compresses_harder,
+        |  TRUE AS ratio_bounded
+        |FROM documents""".stripMargin,
     // The wordpiece conservation gate's truth side: corpus word-char
     // total (code points of lowercased whitespace tokens) + the engine
     // booleans/zero-counts pinned to their exact expected values.

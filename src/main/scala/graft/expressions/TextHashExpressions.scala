@@ -609,6 +609,38 @@ object SubstrRollingOps {
   }
 }
 
+/** Deflate compression ratio of a document — the classic cheap
+  * repetition/noise signal web-curation stacks threshold on (highly
+  * compressible ⇒ looping boilerplate; incompressible ⇒ binary junk or
+  * noise): `deflate(bytes).length / bytes.length` at a fixed level with
+  * raw (headerless) streams. One static call per row; the Deflater is
+  * thread-local and reset per call (native zlib handles are expensive
+  * to allocate, and executor task threads are pooled). Deterministic
+  * for a given JDK; NOT replayable in DuckDB — consumers are rows-only
+  * with a measured gate, the repetitionStats convention.
+  */
+object CompressOps {
+  private val deflaters =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(6, true))
+  private val bufs =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
+
+  /** Ratio in (0, ~1.05]; null for an empty text (no bytes to judge). */
+  def ratio(text: UTF8String): java.lang.Double = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) return null
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = bufs.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    java.lang.Double.valueOf(total.toDouble / bytes.length)
+  }
+}
+
 object TextHashExpressions {
   /** `array<bigint>` of k MinHash values for `text`, or null below
     * `shingleN` tokens. One static call per row inside codegen.
@@ -634,6 +666,19 @@ object TextHashExpressions {
       "charNgrams",
       Seq(GraftBridge.expression(text), Literal(maxN)),
       inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Deflate compression ratio of `text` (see [[CompressOps]]); null
+    * for empty text.
+    */
+  def compressionRatio(text: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      CompressOps.getClass,
+      DoubleType,
+      "ratio",
+      Seq(GraftBridge.expression(text)),
+      inputTypes = Seq(StringType),
       propagateNull = true,
       returnNullable = true))
 

@@ -539,4 +539,33 @@ object TextAnalysis {
         (col("__mx").cast("double") / col("__nb").cast("double"))
           .as("top_bigram_frac"))
   }
+
+  /** Deflate compression ratio of the text — the classic cheap
+    * repetition/noise signal ([[graft.expressions.CompressOps]]): looping
+    * boilerplate compresses far below natural prose, binary junk and
+    * noise barely compress at all. Complements [[repetitionStats]]
+    * (which only sees exact bigram repeats — compression also catches
+    * longer-period and near-repeats) at one codegen'd static call per
+    * row, no tokenization. NULL for empty text. Deterministic for a
+    * given JDK; not DuckDB-replayable, so consumers are rows-only with
+    * a measured gate.
+    */
+  def compressionRatio(text: Column): Column =
+    graft.expressions.TextHashExpressions.compressionRatio(text)
+
+  /** Keep documents whose compression ratio sits in the NATURAL-TEXT
+    * band [minRatio, maxRatio] — drop the too-compressible (looping
+    * boilerplate) below and the incompressible (noise, embedded binary)
+    * above. Documents with NULL ratio (empty text) are dropped: no bytes
+    * is no evidence of natural text. One codegen'd filter scan.
+    */
+  def filterByCompressionRatio(df: DataFrame, textCol: String,
+                               minRatio: Double = 0.2,
+                               maxRatio: Double = 0.9): DataFrame = {
+    require(minRatio >= 0 && minRatio < maxRatio,
+      s"filterByCompressionRatio: need 0 <= minRatio < maxRatio, got " +
+        s"[$minRatio, $maxRatio]")
+    val r = compressionRatio(col(textCol))
+    df.filter(r.isNotNull && r >= minRatio && r <= maxRatio)
+  }
 }

@@ -51,6 +51,7 @@ class SparkEntrySpec extends SparkSpec {
         Seq("q_text_unigram_gate", "q_text_unigram_seed_portable"),
       "q_text_wordpiece_ids" -> Seq("q_text_wordpiece_gate"),
       "q_text_wordpiece_ids_scored" -> Seq("q_text_wordpiece_gate"),
+      "q_text_compress_ratio" -> Seq("q_text_compress_gate"),
       "q_sim_text_ann" ->
         Seq("q_text_hashvec_gate", "q_text_hashvec_portable"),
       "q_dedup_semantic_text" ->

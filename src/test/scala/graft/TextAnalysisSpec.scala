@@ -395,4 +395,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept.keySet == Set(1L, 5L), kept.keySet.toString)
     assert(kept(1L) == pass && kept(5L) == pass)
   }
+
+  test("compressionRatio: loops compress hard, noise barely, empty is null") {
+    val rng = new scala.util.Random(7)
+    val noise = (1 to 400).map(_ => rng.nextPrintableChar()).mkString
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders into a meadow where several unrelated sentences follow " +
+      "each describing different events in moderately varied vocabulary " +
+      "to resemble ordinary natural language paragraphs of web text"
+    val loop = Seq.fill(40)("click here to subscribe now").mkString(" ")
+    val rows = Seq((1L, loop), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.compressionRatio(col("text")).as("r"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows(4L).isEmpty) // empty text: no evidence
+    val (rl, rp, rn) = (rows(1L).get, rows(2L).get, rows(3L).get)
+    assert(rl < rp && rp < rn, s"loop=$rl prose=$rp noise=$rn")
+    assert(rl < 0.2 && rn > 0.8, s"loop=$rl noise=$rn")
+    assert(rows.values.flatten.forall(r => r > 0 && r <= 1.1))
+    // determinism (thread-local deflater reset per call)
+    val again = Seq((1L, loop)).toDF("doc_id", "text")
+      .select(TextAnalysis.compressionRatio(col("text"))).as[Double].head()
+    assert(again == rl)
+    // the band filter drops both pathologies, keeps prose (printable-
+    // ASCII noise only reaches ~0.87 — ~6.6 of 8 bits/char entropy —
+    // so the test band tightens maxRatio; true binary junk sits ~1.0
+    // and the 0.9 default catches it)
+    val kept = TextAnalysis.filterByCompressionRatio(
+        Seq((1L, loop), (2L, prose), (3L, noise), (4L, ""))
+          .toDF("doc_id", "text"), "text", maxRatio = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), kept.toString)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.filterByCompressionRatio(
+        Seq((1L, "x")).toDF("doc_id", "text"), "text",
+        minRatio = 0.5, maxRatio = 0.4)
+    }
+  }
 }
