@@ -85,6 +85,13 @@ object CorpusPipeline {
     */
   case object GopherQuality extends Step
 
+  /** Keep docs whose deflate compression ratio sits in the natural-text
+    * band (r11, [[graft.operators.TextAnalysis.filterByCompressionRatio]])
+    * — looping boilerplate drops below, binary junk/noise above.
+    */
+  final case class KeepCompressionBand(minRatio: Double = 0.2,
+                                       maxRatio: Double = 0.9) extends Step
+
   /** C4 line-level cleaning (late r10,
     * [[graft.operators.TextAnalysis.filterByC4]]): drops pages failing
     * the page rules and REWRITES `textCol` to the line-cleaned text —
@@ -285,6 +292,9 @@ object CorpusPipeline {
             >= minTokens)
         case GopherQuality =>
           graft.operators.TextAnalysis.filterByGopherRules(d, textCol)
+        case KeepCompressionBand(minRatio, maxRatio) =>
+          graft.operators.TextAnalysis.filterByCompressionRatio(d, textCol,
+            minRatio, maxRatio)
         case C4Clean =>
           graft.operators.TextAnalysis.filterByC4(d, textCol)
         case DropBlockedTerms(terms) =>

@@ -115,6 +115,18 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.forall(_._3 == 0)) // trained on itself: never UNKs
   }
 
+  test("KeepCompressionBand drops looping boilerplate, keeps varied text") {
+    val corpus = Seq(
+      (1L, Seq.fill(40)("subscribe now").mkString(" "), "s"),
+      (2L, "a moderately varied sentence describing several different " +
+        "unrelated events with ordinary vocabulary and no repetition", "s")
+    ).toDF("doc_id", "text", "source")
+    val kept = CorpusPipeline.run(corpus, "doc_id", "text",
+        Seq(KeepCompressionBand()))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), kept.toString)
+  }
+
   test("step order matters and is the caller's to choose") {
     // floor BEFORE span removal keeps a doc whose tokens drop below the
     // floor only after boilerplate removal; floor AFTER drops it
