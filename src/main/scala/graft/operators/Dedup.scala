@@ -1020,8 +1020,11 @@ object Dedup {
                          textCol: String): DataFrame = {
     val base = if (idCol == null) df.select(col(textCol))
                else df.select(col(idCol), col(textCol))
+    // NULL text behaves as empty (code-review r11: split(NULL) → NULL →
+    // size = -1 under legacy sizeOfNull made n_tokens_removed NEGATIVE
+    // for null-text docs): zero tokens, zero removed, empty rebuild.
     base.withColumn("__tk",
-        filter(split(col(textCol), "\\s+"), t => t =!= ""))
+        filter(split(coalesce(col(textCol), lit("")), "\\s+"), t => t =!= ""))
       .withColumn("__n", size(col("__tk"))).drop(textCol)
   }
 

@@ -127,8 +127,11 @@ object LangIdNgram {
     // joined-scalar comparison (`__dr <= col("__k")`) blocked the rewrite
     // and sorted every (doc, gram) row at full width (r11; the widest
     // stage of the scoring plan).
-    val kVal = model.agg(max(col("rank")).cast("long").as("__k"))
-      .head().getLong(0)
+    val kRow = model.agg(max(col("rank")).cast("long").as("__k")).head()
+    require(!kRow.isNullAt(0),
+      "classify: empty model (no profile rows) — train profiles on a " +
+        "non-empty labeled corpus first")
+    val kVal = kRow.getLong(0)
     val docGrams = docs
       .select(col(idCol).as("doc_id"), canon(col(textCol)).as("__t"))
       .select(col("doc_id"), explode(allGrams(col("__t"))).as("gram"))

@@ -148,20 +148,25 @@ object ProductQuantization {
     val threshold = math.round(sampleFraction * 4294967296.0) // 2^32
     val pri = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
-    val rows = emb.filter(pri < threshold)
+    def pull(filtered: DataFrame) = filtered
       .filter(size(col(vecCol)) === dim)
       .select(col(idCol).cast("string").as("__i"),
         md5(concat(lit("pqseed:"), col(idCol).cast("string"))).as("__sk"),
         col(vecCol).cast("array<double>").as("__v"))
       .limit(maxSampleRows + 1)
       .collect()
+    var rows = pull(emb.filter(pri < threshold))
+    // Empty-sample fallback (code-review r11, the kMeansCentroidsSampled
+    // contract): a corpus so small its md5 prefix selects nothing is
+    // driver-collectable by definition — train on all of it rather than
+    // throwing where the full-training default used to succeed.
+    if (rows.isEmpty) rows = pull(emb)
     require(rows.length <= maxSampleRows,
       s"trainCodebooksSampled: sampleFraction=$sampleFraction selects more " +
         s"than maxSampleRows=$maxSampleRows training vectors — lower the " +
         "fraction (training needs a bounded sample, not the corpus)")
     require(rows.nonEmpty,
-      s"trainCodebooksSampled: no vectors of length $dim in the sample — " +
-        "raise sampleFraction")
+      s"trainCodebooksSampled: no vectors of length $dim to train on")
     val data = rows.sortBy(_.getString(0)).map(_.getSeq[Double](2).toArray)
     val seeds = rows.sortBy(r => (r.getString(1), r.getString(0)))
       .take(k).map(_.getSeq[Double](2).toArray)

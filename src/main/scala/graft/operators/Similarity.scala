@@ -445,12 +445,21 @@ object Similarity {
     val threshold = math.round(sampleFraction * 4294967296.0) // 2^32
     val pri = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
-    val collected = emb.filter(pri < threshold)
+    def pull(filtered: DataFrame) = filtered
       .filter(size(col(vecCol)) === dim)
       .select(col(idCol).cast("string").as("__i"),
         col(vecCol).cast("array<double>").as("__v"))
       .limit(maxSampleRows + 1)
       .collect()
+    var collected = pull(emb.filter(pri < threshold))
+    // Empty-sample fallback (code-review r11): on a corpus so small the
+    // md5 prefix selects nothing, silently returning the untrained
+    // pseudo-centroids would hand callers arbitrary data-independent
+    // cells with zero signal. A corpus that small is driver-collectable
+    // by definition — train on all of it; only a genuinely empty (or
+    // wrong-dim) corpus keeps the pseudo family, which then labels
+    // nothing anyway.
+    if (collected.isEmpty) collected = pull(emb)
     require(collected.length <= maxSampleRows,
       s"kMeansCentroidsSampled: sampleFraction=$sampleFraction selects more " +
         s"than maxSampleRows=$maxSampleRows training vectors — lower the " +

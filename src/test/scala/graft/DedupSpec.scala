@@ -663,6 +663,21 @@ class DedupSpec extends SparkSpec {
     assert(bad.getMessage.contains("substring index"), bad.getMessage)
   }
 
+  test("dedupSubstrings: NULL text behaves as empty, never a negative removal") {
+    val docs = Seq((1L, "alpha beta gamma delta alpha beta gamma delta x"),
+        (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    for (out <- Seq(
+        Dedup.dedupSubstrings(docs, "doc_id", "text", minTokens = 4),
+        Dedup.dedupSubstringsFast(docs, "doc_id", "text", minTokens = 4))) {
+      val got = out.orderBy("doc_id")
+        .as[(Long, String, Long, Long)].collect()
+      assert(got(1) == ((2L, "", 0L, 0L)), got(1))
+      assert(got(2) == ((3L, "", 0L, 0L)), got(2))
+      assert(got.forall(_._4 >= 0L))
+    }
+  }
+
   test("dedupSubstrings: periodic text collapses to nothing; k guard trips") {
     val docs = Seq(1L -> Seq.fill(12)("spam").mkString(" ")).toDF("doc_id", "text")
     val got = Dedup.dedupSubstrings(docs, "doc_id", "text", minTokens = 4)

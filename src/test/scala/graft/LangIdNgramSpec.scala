@@ -13,6 +13,16 @@ class LangIdNgramSpec extends SparkSpec {
     (4L, "zz", "zzy zzz yzz")
   ).toDF("doc_id", "lang", "text")
 
+  test("classify fails loudly on an empty model instead of NPEing") {
+    val e = intercept[IllegalArgumentException] {
+      LangIdNgram.classify(
+        Seq((1L, "some text")).toDF("doc_id", "text"), "doc_id", "text",
+        LangIdNgram.trainProfiles(
+          Seq.empty[(String, String)].toDF("lang", "text"), "lang", "text"))
+    }
+    assert(e.getMessage.contains("empty model"), e.getMessage)
+  }
+
   test("trainProfiles ranks grams by frequency with gram-asc ties") {
     val model = LangIdNgram.trainProfiles(labeled, "lang", "text", topK = 16)
     // 'a' dominates the aa-language character mass

@@ -174,6 +174,17 @@ class ProductQuantizationSpec extends SparkSpec {
         m = 4, k = 8, sampleFraction = 1.0, maxSampleRows = 10)
     }
     assert(e.getMessage.contains("maxSampleRows"), e.getMessage)
+    // tiny corpora where the md5 sample selects nothing fall back to
+    // full driver training instead of throwing (code-review r11) — the
+    // default-parameter pqTopK call keeps working on a 5-row corpus
+    val tiny = Seq.tabulate(5)(i =>
+      (i.toLong, Seq.tabulate(16)(j => (i + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val books = PQ.trainCodebooksSampled(tiny, "vec_id", "embedding",
+      dim = 16, m = 4, k = 4, sampleFraction = 1e-9)
+    assert(books.length == 4)
+    assert(PQ.pqTopK(tiny, "vec_id", "embedding", dim = 16, queryId = 1,
+      k = 2, m = 4, kCodewords = 4).count() == 2)
   }
 
   test("trainCodebooks: empty cells keep codewords; wrong dim rejected") {

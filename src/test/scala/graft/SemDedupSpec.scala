@@ -100,6 +100,21 @@ class SemDedupSpec extends SparkSpec {
     assert(survivors(0.25) == sampledDefault, "default is not the 0.25 sample")
   }
 
+  test("kMeansCentroidsSampled: empty md5 sample falls back to full training") {
+    // a fraction too small for the corpus must not silently hand back
+    // untrained pseudo-centroids (code-review r11)
+    val emb = Similarity.clusteredEmbeddings(spark, nClusters = 4,
+      perCluster = 8, dim = 16, noise = 0.03)
+    val sampled = Similarity.kMeansCentroidsSampled(emb, "vec_id",
+      "embedding", dim = 16, k = 4, sampleFraction = 1e-9)
+    val full = Similarity.kMeansCentroidsSampled(emb, "vec_id",
+      "embedding", dim = 16, k = 4, sampleFraction = 1.0)
+    assert(sampled.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq)
+    val pseudo = Similarity.pseudoCentroids(16, 4)
+    assert(sampled.map(_.toSeq).toSeq != pseudo.map(_.toSeq).toSeq,
+      "fallback did not train")
+  }
+
   test("guardrail: a degenerate single-cell corpus fails loudly") {
     // identical vectors all land in one cell; maxCellRows=3 must trip
     val flat = Seq.tabulate(8)(i => (i.toLong, Seq.fill(16)(1.0f)))

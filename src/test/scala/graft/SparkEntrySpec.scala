@@ -88,6 +88,11 @@ class SparkEntrySpec extends SparkSpec {
       assert(!SparkEntry.verifyOnlyQueries.contains(probe),
         s"$probe is the benched form and must not be verify-only")
     }
+    // the rolling-fingerprint twin shares the md5 form's oracle verbatim
+    // (both rows stay benched, so only the equality applies)
+    assert(SparkEntry.oracleSql("q_dedup_substring_fast") ==
+      SparkEntry.oracleSql("q_dedup_substring"),
+      "q_dedup_substring_fast oracle drifted from q_dedup_substring")
   }
 
   test("every registered query executes and yields a non-empty schema at sf0.001") {
