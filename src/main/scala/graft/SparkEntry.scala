@@ -2518,6 +2518,67 @@ object SparkEntry {
     * gates (`q_dedup_*_gate`, `q_sim_recall_gate`, `q_dedup_embed_gate`)
     * pin their semantics instead.
     */
+  /** Shared tail of the three substring-dedup oracles (code-review r11:
+    * three verbatim copies of the interval-merge/rebuild SQL could
+    * silently de-synchronize): takes the marked-starts CTE chain (must
+    * end in `ds(doc_id, s)`) and an optional doc-slice condition
+    * restricting which documents rebuild, and replays
+    * `Dedup.rebuildUncovered` — the lag/cummax new-interval rule, the
+    * coverage explode, and the position-ordered rebuild — identically
+    * for every family.
+    */
+  private def substrRebuildSql(headCtes: String, docCond: String): String = {
+    val w = if (docCond.isEmpty) "" else s"\n  WHERE $docCond"
+    val wOuter = if (docCond.isEmpty) "" else s"\nWHERE d.$docCond"
+    s"""$headCtes,
+       |iv AS (
+       |  SELECT doc_id, s, CASE WHEN s > coalesce(max(s + 4) OVER (
+       |      PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |    THEN 1 ELSE 0 END AS ng
+       |  FROM ds),
+       |grp AS (
+       |  SELECT doc_id, s,
+       |    sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g
+       |  FROM iv),
+       |merged AS (
+       |  SELECT doc_id, g, min(s) AS lo, max(s) + 3 AS hi
+       |  FROM grp GROUP BY doc_id, g),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, p AS pos
+       |  FROM merged, unnest(range(lo, hi + 1)) AS u(p)),
+       |tokrows AS (
+       |  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+       |  FROM w, unnest(generate_series(1, len(tk))) AS u(i)$w),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok FROM tokrows t
+       |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  WHERE c.doc_id IS NULL),
+       |agg AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+       |    count(*) AS nk
+       |  FROM kept GROUP BY doc_id),
+       |n AS (SELECT doc_id, len(tk) AS nt FROM w$w)
+       |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+       |  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_tokens_kept,
+       |  CAST(n.nt - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_removed
+       |FROM documents d JOIN n USING (doc_id) LEFT JOIN agg a USING (doc_id)$wOuter
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The shared windows head of the substring oracles (tokenize +
+    * stride-1 4-token windows).
+    */
+  private val substrWindowsCte: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i AS s, array_to_string(tk[i+1 : i+4], ' ') AS win
+      |  FROM w, unnest(range(0, len(tk) - 3)) AS r(i)
+      |  WHERE len(tk) >= 4)""".stripMargin
+
   private lazy val baseOracleSql: Map[String, String] = Map(
     "q_f1_eq_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
@@ -3424,148 +3485,32 @@ object SparkEntry {
     // merge with the identical running-max new-interval rule, rebuild of
     // uncovered tokens in position order. Docs shorter than 4 tokens
     // produce no windows and survive untouched.
-    "q_dedup_substring" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
-        |  FROM documents),
-        |wins AS (
-        |  SELECT doc_id, i AS s, array_to_string(tk[i+1 : i+4], ' ') AS win
-        |  FROM w, unnest(range(0, len(tk) - 3)) AS r(i)
-        |  WHERE len(tk) >= 4),
-        |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
-        |ds AS (SELECT doc_id, s FROM wins WHERE win IN (SELECT win FROM dup)),
-        |iv AS (
-        |  SELECT doc_id, s, CASE WHEN s > coalesce(max(s + 4) OVER (
-        |      PARTITION BY doc_id ORDER BY s
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |    THEN 1 ELSE 0 END AS ng
-        |  FROM ds),
-        |grp AS (
-        |  SELECT doc_id, s,
-        |    sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g
-        |  FROM iv),
-        |merged AS (
-        |  SELECT doc_id, g, min(s) AS lo, max(s) + 3 AS hi
-        |  FROM grp GROUP BY doc_id, g),
-        |cov AS (
-        |  SELECT DISTINCT doc_id, p AS pos
-        |  FROM merged, unnest(range(lo, hi + 1)) AS u(p)),
-        |tokrows AS (
-        |  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
-        |  FROM w, unnest(generate_series(1, len(tk))) AS u(i)),
-        |kept AS (
-        |  SELECT t.doc_id, t.pos, t.tok FROM tokrows t
-        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
-        |  WHERE c.doc_id IS NULL),
-        |agg AS (
-        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
-        |    count(*) AS nk
-        |  FROM kept GROUP BY doc_id),
-        |n AS (SELECT doc_id, len(tk) AS nt FROM w)
-        |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
-        |  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_tokens_kept,
-        |  CAST(n.nt - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_removed
-        |FROM documents d JOIN n USING (doc_id) LEFT JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_substring" -> substrRebuildSql(
+      substrWindowsCte +
+        """,
+          |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+          |ds AS (SELECT doc_id, s FROM wins WHERE win IN (SELECT win FROM dup))""".stripMargin,
+      docCond = ""),
     // Replays substringProbeIndex: the batch slice's windows probed
     // against the DISTINCT window set of the indexed slice (doc_id >=
     // 120 — rebuilt by the oracle from the same rows the index was
     // written from), then the identical merge/rebuild over batch docs.
-    "q_dedup_substring_probe" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
-        |  FROM documents),
-        |wins AS (
-        |  SELECT doc_id, i AS s, array_to_string(tk[i+1 : i+4], ' ') AS win
-        |  FROM w, unnest(range(0, len(tk) - 3)) AS r(i)
-        |  WHERE len(tk) >= 4),
-        |idx AS (SELECT DISTINCT win FROM wins WHERE doc_id >= 120),
-        |ds AS (
-        |  SELECT doc_id, s FROM wins
-        |  WHERE doc_id < 120 AND win IN (SELECT win FROM idx)),
-        |iv AS (
-        |  SELECT doc_id, s, CASE WHEN s > coalesce(max(s + 4) OVER (
-        |      PARTITION BY doc_id ORDER BY s
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |    THEN 1 ELSE 0 END AS ng
-        |  FROM ds),
-        |grp AS (
-        |  SELECT doc_id, s,
-        |    sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g
-        |  FROM iv),
-        |merged AS (
-        |  SELECT doc_id, g, min(s) AS lo, max(s) + 3 AS hi
-        |  FROM grp GROUP BY doc_id, g),
-        |cov AS (
-        |  SELECT DISTINCT doc_id, p AS pos
-        |  FROM merged, unnest(range(lo, hi + 1)) AS u(p)),
-        |tokrows AS (
-        |  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
-        |  FROM w, unnest(generate_series(1, len(tk))) AS u(i)
-        |  WHERE doc_id < 120),
-        |kept AS (
-        |  SELECT t.doc_id, t.pos, t.tok FROM tokrows t
-        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
-        |  WHERE c.doc_id IS NULL),
-        |agg AS (
-        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
-        |    count(*) AS nk
-        |  FROM kept GROUP BY doc_id),
-        |n AS (SELECT doc_id, len(tk) AS nt FROM w WHERE doc_id < 120)
-        |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
-        |  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_tokens_kept,
-        |  CAST(n.nt - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_removed
-        |FROM documents d JOIN n USING (doc_id) LEFT JOIN agg a USING (doc_id)
-        |WHERE d.doc_id < 120
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_substring_probe" -> substrRebuildSql(
+      substrWindowsCte +
+        """,
+          |idx AS (SELECT DISTINCT win FROM wins WHERE doc_id >= 120),
+          |ds AS (
+          |  SELECT doc_id, s FROM wins
+          |  WHERE doc_id < 120 AND win IN (SELECT win FROM idx))""".stripMargin,
+      docCond = "doc_id < 120"),
     // Replays dedupSubstringsAgainst: corpus windows probed against the
     // DISTINCT eval-slice window set, then the identical merge/rebuild.
-    "q_dedup_substring_decontam" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
-        |  FROM documents),
-        |wins AS (
-        |  SELECT doc_id, i AS s, array_to_string(tk[i+1 : i+4], ' ') AS win
-        |  FROM w, unnest(range(0, len(tk) - 3)) AS r(i)
-        |  WHERE len(tk) >= 4),
-        |ev AS (SELECT DISTINCT win FROM wins WHERE doc_id < 50),
-        |ds AS (SELECT doc_id, s FROM wins WHERE win IN (SELECT win FROM ev)),
-        |iv AS (
-        |  SELECT doc_id, s, CASE WHEN s > coalesce(max(s + 4) OVER (
-        |      PARTITION BY doc_id ORDER BY s
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |    THEN 1 ELSE 0 END AS ng
-        |  FROM ds),
-        |grp AS (
-        |  SELECT doc_id, s,
-        |    sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g
-        |  FROM iv),
-        |merged AS (
-        |  SELECT doc_id, g, min(s) AS lo, max(s) + 3 AS hi
-        |  FROM grp GROUP BY doc_id, g),
-        |cov AS (
-        |  SELECT DISTINCT doc_id, p AS pos
-        |  FROM merged, unnest(range(lo, hi + 1)) AS u(p)),
-        |tokrows AS (
-        |  SELECT doc_id, i - 1 AS pos, tk[i] AS tok
-        |  FROM w, unnest(generate_series(1, len(tk))) AS u(i)),
-        |kept AS (
-        |  SELECT t.doc_id, t.pos, t.tok FROM tokrows t
-        |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
-        |  WHERE c.doc_id IS NULL),
-        |agg AS (
-        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
-        |    count(*) AS nk
-        |  FROM kept GROUP BY doc_id),
-        |n AS (SELECT doc_id, len(tk) AS nt FROM w)
-        |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
-        |  CAST(coalesce(a.nk, 0) AS BIGINT) AS n_tokens_kept,
-        |  CAST(n.nt - coalesce(a.nk, 0) AS BIGINT) AS n_tokens_removed
-        |FROM documents d JOIN n USING (doc_id) LEFT JOIN agg a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_substring_decontam" -> substrRebuildSql(
+      substrWindowsCte +
+        """,
+          |ev AS (SELECT DISTINCT win FROM wins WHERE doc_id < 50),
+          |ds AS (SELECT doc_id, s FROM wins WHERE win IN (SELECT win FROM ev))""".stripMargin,
+      docCond = ""),
     // Replays dedupSpansAcross exactly: same 0-based span starts
     // (i*2 < n_tokens), same clamped final short span, bans at >= 5
     // distinct docs, rebuilds in span order; docs with every span banned

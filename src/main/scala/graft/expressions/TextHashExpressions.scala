@@ -563,31 +563,13 @@ object SubstrRollingOps {
     r
   }
 
-  /** fp(s) for every start s = 0 .. nTok−k, as `array<long>`; empty when
-    * the text has fewer than `k` tokens.
+  /** One fingerprint family's windows from already-reduced token hashes:
+    * Horner prefixes P[j] = P[j−1]·B + th[j−1]; fp(s) = P[s+k] − P[s]·B^k.
     */
-  def windowFingerprints(text: UTF8String, k: Int, base: Long,
-                         seed: Long): ArrayData = {
-    val toks = text.toString.split("\\s+")
-    var nTok = 0
-    var i = 0
-    while (i < toks.length) { if (toks(i).nonEmpty) nTok += 1; i += 1 }
-    if (nTok < k) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
-    val th = new Array[Long](nTok)
-    var j = 0
-    i = 0
-    while (i < toks.length) {
-      if (toks(i).nonEmpty) {
-        var t = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), seed) & M
-        if (t == M) t = 0
-        th(j) = t
-        j += 1
-      }
-      i += 1
-    }
-    // Horner prefixes P[j] = P[j−1]·B + th[j−1]; fp(s) = P[s+k] − P[s]·B^k
+  private def roll(th: Array[Long], k: Int, base: Long): Array[Long] = {
+    val nTok = th.length
     val pref = new Array[Long](nTok + 1)
-    i = 1
+    var i = 1
     while (i <= nTok) {
       pref(i) = {
         val v = mulmod(pref(i - 1), base) + th(i - 1)
@@ -605,7 +587,79 @@ object SubstrRollingOps {
       out(s) = if (v < 0) v + M else v
       s += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    out
+  }
+
+  private def tokenHashes(text: UTF8String, seed: Long): Array[Long] = {
+    val toks = text.toString.split("\\s+")
+    var nTok = 0
+    var i = 0
+    while (i < toks.length) { if (toks(i).nonEmpty) nTok += 1; i += 1 }
+    val th = new Array[Long](nTok)
+    var j = 0
+    i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        var t = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), seed) & M
+        if (t == M) t = 0
+        th(j) = t
+        j += 1
+      }
+      i += 1
+    }
+    th
+  }
+
+  /** fp(s) for every start s = 0 .. nTok−k, as `array<long>`; empty when
+    * the text has fewer than `k` tokens.
+    */
+  def windowFingerprints(text: UTF8String, k: Int, base: Long,
+                         seed: Long): ArrayData = {
+    val th = tokenHashes(text, seed)
+    if (th.length < k)
+      return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    UnsafeArrayData.fromPrimitiveArray(roll(th, k, base))
+  }
+
+  /** BOTH independent fingerprints per window in one pass — one
+    * tokenize, two seed hashes per token, two Horner rolls — as
+    * `array<struct<f1,f2>>` (the operator's 122-bit group key without
+    * tokenizing the corpus twice; code-review r11).
+    */
+  def windowFingerprintPairs(text: UTF8String, k: Int, base1: Long,
+                             seed1: Long, base2: Long,
+                             seed2: Long): ArrayData = {
+    val toks = text.toString.split("\\s+")
+    var nTok = 0
+    var i = 0
+    while (i < toks.length) { if (toks(i).nonEmpty) nTok += 1; i += 1 }
+    if (nTok < k) return new GenericArrayData(new Array[Any](0))
+    val th1 = new Array[Long](nTok)
+    val th2 = new Array[Long](nTok)
+    var j = 0
+    i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val u = UTF8String.fromString(toks(i))
+        var a = XXH64.hashUTF8String(u, seed1) & M
+        if (a == M) a = 0
+        var b = XXH64.hashUTF8String(u, seed2) & M
+        if (b == M) b = 0
+        th1(j) = a
+        th2(j) = b
+        j += 1
+      }
+      i += 1
+    }
+    val f1 = roll(th1, k, base1)
+    val f2 = roll(th2, k, base2)
+    val out = new Array[Any](f1.length)
+    i = 0
+    while (i < f1.length) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(f1(i), f2(i))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }
 
@@ -694,6 +748,26 @@ object TextHashExpressions {
       Seq(GraftBridge.expression(text), Literal(k), Literal(base),
         Literal(seed)),
       inputTypes = Seq(StringType, IntegerType, LongType, LongType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Both rolling window fingerprints per position in one pass, as
+    * `array<struct<f1,f2>>` (see [[SubstrRollingOps.windowFingerprintPairs]]).
+    */
+  def rollingWindowFingerprintPairs(text: Column, k: Int,
+                                    base1: Long, seed1: Long,
+                                    base2: Long, seed2: Long): Column =
+    GraftBridge.column(StaticInvoke(
+      SubstrRollingOps.getClass,
+      ArrayType(StructType(Seq(
+        StructField("f1", LongType, nullable = false),
+        StructField("f2", LongType, nullable = false))),
+        containsNull = false),
+      "windowFingerprintPairs",
+      Seq(GraftBridge.expression(text), Literal(k), Literal(base1),
+        Literal(seed1), Literal(base2), Literal(seed2)),
+      inputTypes = Seq(StringType, IntegerType, LongType, LongType,
+        LongType, LongType),
       propagateNull = true,
       returnNullable = true))
 

@@ -886,12 +886,14 @@ object Dedup {
     require(minTokens >= 2,
       s"dedupSubstringsFast: minTokens must be >= 2, got $minTokens")
     val k = minTokens
-    val fps = graft.expressions.TextHashExpressions
-      .rollingWindowFingerprints(col(textCol), k, base = 1000003L, seed = 42L)
-    val fps2 = graft.expressions.TextHashExpressions
-      .rollingWindowFingerprints(col(textCol), k, base = 998244353L, seed = 7L)
-    val wins = df.select(col(idCol),
-        posexplode(arrays_zip(fps.as("f1"), fps2.as("f2"))))
+    // one native call: one tokenize, two seed hashes per token, two
+    // Horner rolls — the whole point is not re-hashing the corpus
+    // (code-review r11: the two-single-family-calls form tokenized and
+    // XXH64'd every document twice)
+    val pairsCol = graft.expressions.TextHashExpressions
+      .rollingWindowFingerprintPairs(col(textCol), k,
+        base1 = 1000003L, seed1 = 42L, base2 = 998244353L, seed2 = 7L)
+    val wins = df.select(col(idCol), posexplode(pairsCol))
       .select(col(idCol), col("pos").cast("long").as("__s"),
         col("col").as("__fp"))
     val dupFp = wins.groupBy("__fp").agg(count(lit(1)).as("__c"))

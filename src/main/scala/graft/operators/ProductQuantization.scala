@@ -142,34 +142,23 @@ object ProductQuantization {
                             maxIter: Int = 6, tol: Double = 1e-9,
                             maxSampleRows: Int = 2000000): Codebooks = {
     require(dim % m == 0, s"trainCodebooksSampled: dim=$dim not divisible by m=$m")
-    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
-      s"trainCodebooksSampled: sampleFraction must be in (0,1], got $sampleFraction")
     val sub = dim / m
-    val threshold = math.round(sampleFraction * 4294967296.0) // 2^32
-    val pri = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    def pull(filtered: DataFrame) = filtered
-      .filter(size(col(vecCol)) === dim)
-      .select(col(idCol).cast("string").as("__i"),
-        md5(concat(lit("pqseed:"), col(idCol).cast("string"))).as("__sk"),
-        col(vecCol).cast("array<double>").as("__v"))
-      .limit(maxSampleRows + 1)
-      .collect()
-    var rows = pull(emb.filter(pri < threshold))
-    // Empty-sample fallback (code-review r11, the kMeansCentroidsSampled
-    // contract): a corpus so small its md5 prefix selects nothing is
-    // driver-collectable by definition — train on all of it rather than
-    // throwing where the full-training default used to succeed.
-    if (rows.isEmpty) rows = pull(emb)
-    require(rows.length <= maxSampleRows,
-      s"trainCodebooksSampled: sampleFraction=$sampleFraction selects more " +
-        s"than maxSampleRows=$maxSampleRows training vectors — lower the " +
-        "fraction (training needs a bounded sample, not the corpus)")
+    // shared sampling contract (incl. empty-sample fallback):
+    // Similarity.collectVectorSample
+    val rows = Similarity.collectVectorSample(emb, idCol, vecCol, dim,
+      sampleFraction, maxSampleRows, "trainCodebooksSampled")
     require(rows.nonEmpty,
       s"trainCodebooksSampled: no vectors of length $dim to train on")
-    val data = rows.sortBy(_.getString(0)).map(_.getSeq[Double](2).toArray)
-    val seeds = rows.sortBy(r => (r.getString(1), r.getString(0)))
-      .take(k).map(_.getSeq[Double](2).toArray)
+    val data = rows.sortBy(_._1).map(_._2)
+    // Forgy seed order: the same md5("pqseed:" || id) key the distributed
+    // trainer sorts by, computed driver-side (identical lowercase hex of
+    // the UTF-8 bytes, so the ordering cannot diverge)
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    val seeds = rows.sortBy { case (id, _) => (md5Hex("pqseed:" + id), id) }
+      .take(k).map(_._2)
     var books: Codebooks = Array.tabulate(m)(s => Array.tabulate(k)(c =>
       seeds(c % seeds.length).slice(s * sub, (s + 1) * sub)))
     def assign(v: Array[Double], s: Int, bks: Codebooks): Int = {

@@ -436,12 +436,24 @@ object Similarity {
     * the distributed form's element_at NULL handling made mixed widths
     * accidental, not supported).
     */
-  def kMeansCentroidsSampled(emb: DataFrame, idCol: String, vecCol: String,
-                             dim: Int, k: Int, sampleFraction: Double,
-                             maxIter: Int = 8, tol: Double = 1e-6,
-                             maxSampleRows: Int = 2000000): Array[Array[Double]] = {
+  /** Driver-bounded md5-uniform training sample: exactly-`dim` vectors
+    * whose id hashes below `sampleFraction` of the 32-bit space, as
+    * (id-string, vector) pairs — the shared sampling contract of every
+    * driver-side sampled trainer ([[kMeansCentroidsSampled]],
+    * [[ProductQuantization.trainCodebooksSampled]]; code-review r11
+    * extracted the formerly-duplicated block). When the sample is EMPTY
+    * (the corpus is smaller than the fraction resolves), the FULL corpus
+    * collects instead — a corpus that small is driver-collectable by
+    * definition, and silently training on nothing would hand back
+    * untrained structures with zero signal. `maxRows` fails loudly when
+    * the fraction is mis-sized for the corpus.
+    */
+  private[operators] def collectVectorSample(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      sampleFraction: Double, maxRows: Int,
+      what: String): Array[(String, Array[Double])] = {
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
-      s"kMeansCentroidsSampled: sampleFraction must be in (0,1], got $sampleFraction")
+      s"$what: sampleFraction must be in (0,1], got $sampleFraction")
     val threshold = math.round(sampleFraction * 4294967296.0) // 2^32
     val pri = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
@@ -449,23 +461,24 @@ object Similarity {
       .filter(size(col(vecCol)) === dim)
       .select(col(idCol).cast("string").as("__i"),
         col(vecCol).cast("array<double>").as("__v"))
-      .limit(maxSampleRows + 1)
+      .limit(maxRows + 1)
       .collect()
     var collected = pull(emb.filter(pri < threshold))
-    // Empty-sample fallback (code-review r11): on a corpus so small the
-    // md5 prefix selects nothing, silently returning the untrained
-    // pseudo-centroids would hand callers arbitrary data-independent
-    // cells with zero signal. A corpus that small is driver-collectable
-    // by definition — train on all of it; only a genuinely empty (or
-    // wrong-dim) corpus keeps the pseudo family, which then labels
-    // nothing anyway.
     if (collected.isEmpty) collected = pull(emb)
-    require(collected.length <= maxSampleRows,
-      s"kMeansCentroidsSampled: sampleFraction=$sampleFraction selects more " +
-        s"than maxSampleRows=$maxSampleRows training vectors — lower the " +
-        "fraction (training needs a bounded sample, not the corpus)")
-    val vs: Array[Array[Double]] = collected.sortBy(_.getString(0))
-      .map(_.getSeq[Double](1).toArray)
+    require(collected.length <= maxRows,
+      s"$what: sampleFraction=$sampleFraction selects more than " +
+        s"maxSampleRows=$maxRows training vectors — lower the fraction " +
+        "(training needs a bounded sample, not the corpus)")
+    collected.map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+  }
+
+  def kMeansCentroidsSampled(emb: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, k: Int, sampleFraction: Double,
+                             maxIter: Int = 8, tol: Double = 1e-6,
+                             maxSampleRows: Int = 2000000): Array[Array[Double]] = {
+    val vs: Array[Array[Double]] = collectVectorSample(emb, idCol, vecCol,
+      dim, sampleFraction, maxSampleRows, "kMeansCentroidsSampled")
+      .sortBy(_._1).map(_._2)
     def unit(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) v else v.map(_ / n)
