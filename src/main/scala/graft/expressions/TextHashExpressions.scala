@@ -198,6 +198,53 @@ object NgramOps {
     new GenericArrayData(out)
   }
 
+  /** The top-`k` char n-grams of an already-canonical text, IN RANK
+    * ORDER (count desc, gram UTF-8-binary asc — exactly the row_number
+    * ordering the relational rank profile used), as `array<string>`.
+    * A document's rank profile is a PER-ROW computation — counting and
+    * ranking its own grams needs no other row — so this native replaces
+    * a (doc, gram) hash aggregate plus a per-doc rank window over the
+    * full ~n·maxN gram stream with one static call emitting only k rows
+    * per doc to the downstream explode (r11: the langid scoring plan's
+    * widest shuffle shrank ~14×).
+    */
+  def charNgramTopK(text: UTF8String, maxN: Int, k: Int): ArrayData = {
+    val t = text.toString
+    val offs = new Array[Int](t.length + 1)
+    var n = 0
+    var u = 0
+    while (u < t.length) {
+      offs(n) = u
+      u += Character.charCount(t.codePointAt(u))
+      n += 1
+    }
+    offs(n) = t.length
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    var g = 1
+    while (g <= maxN) {
+      var i = 0
+      while (i + g <= n) {
+        counts.merge(t.substring(offs(i), offs(i + g)),
+          java.lang.Long.valueOf(1L),
+          (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+        i += 1
+      }
+      g += 1
+    }
+    val entries = new java.util.ArrayList[(UTF8String, Long)](counts.size())
+    counts.forEach((gram, c) =>
+      entries.add((UTF8String.fromString(gram), c.longValue())))
+    entries.sort { (a, b) =>
+      if (a._2 != b._2) java.lang.Long.compare(b._2, a._2) // count desc
+      else a._1.compareTo(b._1) // UTF-8 binary asc, Spark's string order
+    }
+    val m = math.min(k, entries.size())
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) { out(i) = entries.get(i)._1; i += 1 }
+    new GenericArrayData(out)
+  }
+
   def compute(text: UTF8String, n: Int): ArrayData = {
     val raw = text.toLowerCase.toString.split("\\s+")
     val toks = new java.util.ArrayList[String](raw.length)
@@ -707,6 +754,19 @@ object TextHashExpressions {
       "compute",
       Seq(GraftBridge.expression(text), Literal(n)),
       inputTypes = Seq(StringType, IntegerType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Top-`k` char n-grams of an already-canonical text in rank order
+    * (see [[NgramOps.charNgramTopK]]).
+    */
+  def charNgramTopK(text: Column, maxN: Int, k: Int): Column =
+    GraftBridge.column(StaticInvoke(
+      NgramOps.getClass,
+      ArrayType(StringType, containsNull = false),
+      "charNgramTopK",
+      Seq(GraftBridge.expression(text), Literal(maxN), Literal(k)),
+      inputTypes = Seq(StringType, IntegerType, IntegerType),
       propagateNull = true,
       returnNullable = true))
 

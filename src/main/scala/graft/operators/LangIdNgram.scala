@@ -132,14 +132,20 @@ object LangIdNgram {
       "classify: empty model (no profile rows) — train profiles on a " +
         "non-empty labeled corpus first")
     val kVal = kRow.getLong(0)
-    val docGrams = docs
+    // A doc's rank profile is a PER-ROW computation, so it runs as one
+    // native call emitting the top-k grams in rank order (r11) — the
+    // former gram explode + (doc, gram) hash aggregate + per-doc rank
+    // window shuffled the full ~3·chars gram stream twice to keep 64
+    // rows per doc; this explodes only those 64. Count/tie semantics
+    // are the window form's exactly (count desc, gram binary-asc — the
+    // spec pins parity against the retained relational form).
+    val profile = docs
       .select(col(idCol).as("doc_id"), canon(col(textCol)).as("__t"))
-      .select(col("doc_id"), explode(allGrams(col("__t"))).as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("__cnt"))
-    val wd = Window.partitionBy("doc_id")
-      .orderBy(col("__cnt").desc, col("gram").asc)
-    val profile = docGrams.withColumn("__dr", row_number().over(wd))
-      .filter(col("__dr") <= lit(kVal))
+      .select(col("doc_id"), posexplode(
+        graft.expressions.TextHashExpressions.charNgramTopK(
+          col("__t"), MaxN, kVal.toInt)))
+      .select(col("doc_id"), col("col").as("gram"),
+        (col("pos") + 1).cast("long").as("__dr"))
     // doc-profile × labels grid (topK × |labels| rows per doc), model
     // rank attached where the gram is in-profile, topK penalty otherwise.
     val dist = profile.join(broadcast(labels))

@@ -13,6 +13,29 @@ class LangIdNgramSpec extends SparkSpec {
     (4L, "zz", "zzy zzz yzz")
   ).toDF("doc_id", "lang", "text")
 
+  test("charNgramTopK native equals the relational count/rank profile") {
+    // the executable specification the per-row native replaced: gram
+    // explode -> count -> row_number(count desc, gram asc) -> top-k
+    import org.apache.spark.sql.expressions.Window
+    val texts = Seq("the_cat_sat_on_the_mat", "ααβ_ünïcode_ααβ", "aaaa",
+      "x", "the_the_the")
+    texts.zipWithIndex.foreach { case (t, id) =>
+      val df = Seq((id.toLong, t)).toDF("id", "t")
+      val rel = df.select(col("id"), explode(
+          graft.expressions.TextHashExpressions.charNgrams(col("t"), 3))
+          .as("gram"))
+        .groupBy("id", "gram").agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("id").orderBy(col("c").desc, col("gram").asc)))
+        .filter(col("r") <= 7).orderBy("r")
+        .select("gram").as[String].collect().toSeq
+      val native = df.select(
+          graft.expressions.TextHashExpressions.charNgramTopK(col("t"), 3, 7))
+        .as[Seq[String]].head()
+      assert(native == rel, s"text '$t': native $native vs relational $rel")
+    }
+  }
+
   test("classify fails loudly on an empty model instead of NPEing") {
     val e = intercept[IllegalArgumentException] {
       LangIdNgram.classify(
