@@ -198,18 +198,11 @@ object NgramOps {
     new GenericArrayData(out)
   }
 
-  /** The top-`k` char n-grams of an already-canonical text, IN RANK
-    * ORDER (count desc, gram UTF-8-binary asc — exactly the row_number
-    * ordering the relational rank profile used), as `array<string>`.
-    * A document's rank profile is a PER-ROW computation — counting and
-    * ranking its own grams needs no other row — so this native replaces
-    * a (doc, gram) hash aggregate plus a per-doc rank window over the
-    * full ~n·maxN gram stream with one static call emitting only k rows
-    * per doc to the downstream explode (r11: the langid scoring plan's
-    * widest shuffle shrank ~14×).
+  /** Top-`k` grams in rank order as a raw array — the shared core of
+    * [[charNgramTopK]] and [[LangIdOps.classify]].
     */
-  def charNgramTopK(text: UTF8String, maxN: Int, k: Int): ArrayData = {
-    val t = text.toString
+  private[expressions] def topGramsRanked(t: String, maxN: Int,
+                                          k: Int): Array[UTF8String] = {
     val offs = new Array[Int](t.length + 1)
     var n = 0
     var u = 0
@@ -239,10 +232,25 @@ object NgramOps {
       else a._1.compareTo(b._1) // UTF-8 binary asc, Spark's string order
     }
     val m = math.min(k, entries.size())
-    val out = new Array[Any](m)
+    val out = new Array[UTF8String](m)
     var i = 0
     while (i < m) { out(i) = entries.get(i)._1; i += 1 }
-    new GenericArrayData(out)
+    out
+  }
+
+  /** The top-`k` char n-grams of an already-canonical text, IN RANK
+    * ORDER (count desc, gram UTF-8-binary asc — exactly the row_number
+    * ordering the relational rank profile used), as `array<string>`.
+    * A document's rank profile is a PER-ROW computation — counting and
+    * ranking its own grams needs no other row — so this native replaces
+    * a (doc, gram) hash aggregate plus a per-doc rank window over the
+    * full ~n·maxN gram stream with one static call emitting only k rows
+    * per doc to the downstream explode (r11: the langid scoring plan's
+    * widest shuffle shrank ~14×).
+    */
+  def charNgramTopK(text: UTF8String, maxN: Int, k: Int): ArrayData = {
+    val ranked = topGramsRanked(text.toString, maxN, k)
+    new GenericArrayData(ranked.asInstanceOf[Array[Any]])
   }
 
   def compute(text: UTF8String, n: Int): ArrayData = {
@@ -710,6 +718,98 @@ object SubstrRollingOps {
   }
 }
 
+/** Whole-document Cavnar–Trenkle out-of-place classification as ONE
+  * static call per row ([[graft.operators.LangIdNgram.classify]]): the
+  * model is per-language METADATA (≤ maxLabels × topK rows), so it
+  * rides into codegen as a memoized serialized literal and scoring
+  * needs no grid join, no model join, no doc-keyed aggregate and no
+  * argmin window — the entire former four-stage shuffle chain is one
+  * map pass. Semantics replicate the relational form exactly: the doc's
+  * top-`k` gram profile (count desc, gram UTF-8-binary asc), per-label
+  * distance Σ |docRank − modelRank| with a `k` penalty for misses, and
+  * argmin with LABEL-ASCENDING ties (labels are iterated in sorted
+  * order with a strict comparison). A doc with no grams returns a null
+  * row — the caller's `und` sentinel.
+  *
+  * Spec framing, the length-prefixed house rule: per model row
+  * `<lblLen>:<label><gramLen>:<gram><rank digits>;` — rank digits run
+  * to the `;` terminator, so labels and grams may contain ANY character.
+  */
+object LangIdOps {
+  final class Model(val labels: Array[String],
+                    val rankOf: Array[java.util.HashMap[String, Integer]],
+                    val k: Int)
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Model]()
+
+  private[graft] def encodeRow(label: String, gram: String,
+                               rank: Int): String =
+    s"${label.length}:$label${gram.length}:$gram$rank;"
+
+  private def parse(spec: String): Model =
+    cache.computeIfAbsent(spec, s => {
+      val byLabel =
+        new java.util.TreeMap[String, java.util.HashMap[String, Integer]]()
+      var maxRank = 1
+      var i = 0
+      while (i < s.length) {
+        val c1 = s.indexOf(':', i)
+        val ll = s.substring(i, c1).toInt
+        val label = s.substring(c1 + 1, c1 + 1 + ll)
+        val gs = c1 + 1 + ll
+        val c2 = s.indexOf(':', gs)
+        val gl = s.substring(gs, c2).toInt
+        val gram = s.substring(c2 + 1, c2 + 1 + gl)
+        val semi = s.indexOf(';', c2 + 1 + gl)
+        val rank = s.substring(c2 + 1 + gl, semi).toInt
+        if (rank > maxRank) maxRank = rank
+        byLabel.computeIfAbsent(label,
+          _ => new java.util.HashMap[String, Integer]())
+          .put(gram, Integer.valueOf(rank))
+        i = semi + 1
+      }
+      // TreeMap iteration is key-ascending on java String — for the
+      // ASCII label alphabet this matches UTF-8 binary order; the
+      // operator guards non-ASCII labels loudly (compareTo on UTF-16
+      // units diverges from binary order only past the BMP).
+      val labels = new Array[String](byLabel.size())
+      val maps =
+        new Array[java.util.HashMap[String, Integer]](byLabel.size())
+      var j = 0
+      byLabel.forEach { (l, m) => labels(j) = l; maps(j) = m; j += 1 }
+      new Model(labels, maps, maxRank)
+    })
+
+  /** (pred_label, oop_dist) for one canonical text, or null when the
+    * text yields no grams.
+    */
+  def classify(canonText: UTF8String, spec: UTF8String,
+               maxN: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = parse(spec.toString)
+    val profile = NgramOps.topGramsRanked(canonText.toString, maxN, m.k)
+    if (profile.isEmpty) return null
+    var bestLabel: String = null
+    var bestDist = Long.MaxValue
+    var li = 0
+    while (li < m.labels.length) {
+      val ranks = m.rankOf(li)
+      var dist = 0L
+      var dr = 0
+      while (dr < profile.length) {
+        val mr = ranks.get(profile(dr).toString)
+        dist += (if (mr == null) m.k.toLong
+                 else math.abs((dr + 1).toLong - mr.longValue()))
+        dr += 1
+      }
+      if (dist < bestDist) { bestDist = dist; bestLabel = m.labels(li) }
+      li += 1 // labels ascend, strict < keeps the first = label-asc ties
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(bestLabel), bestDist)
+  }
+}
+
 /** Deflate compression ratio of a document — the classic cheap
   * repetition/noise signal web-curation stacks threshold on (highly
   * compressible ⇒ looping boilerplate; incompressible ⇒ binary junk or
@@ -756,6 +856,31 @@ object TextHashExpressions {
       inputTypes = Seq(StringType, IntegerType),
       propagateNull = true,
       returnNullable = true))
+
+  /** Whole-document out-of-place classification against a serialized
+    * rank-profile model (see [[LangIdOps.classify]]): returns
+    * `struct<pred_label:string, oop_dist:bigint>`, null when the text
+    * yields no grams.
+    */
+  def langIdClassify(canonText: Column, modelRows: Seq[(String, String, Int)],
+                     maxN: Int): Column = {
+    val sb = new StringBuilder
+    modelRows.foreach { case (l, g, r) =>
+      sb.append(LangIdOps.encodeRow(l, g, r))
+    }
+    GraftBridge.column(StaticInvoke(
+      LangIdOps.getClass,
+      StructType(Seq(
+        StructField("pred_label", StringType, nullable = false),
+        StructField("oop_dist", LongType, nullable = false))),
+      "classify",
+      Seq(GraftBridge.expression(canonText),
+        Literal(UTF8String.fromString(sb.toString), StringType),
+        Literal(maxN)),
+      inputTypes = Seq(StringType, StringType, IntegerType),
+      propagateNull = true,
+      returnNullable = true))
+  }
 
   /** Top-`k` char n-grams of an already-canonical text in rank order
     * (see [[NgramOps.charNgramTopK]]).

@@ -105,40 +105,61 @@ object LangIdNgram {
     */
   def classify(docs: DataFrame, idCol: String, textCol: String,
                model: DataFrame, maxLabels: Int = 256): DataFrame = {
-    // Self-pin (ADVICE r10): the model is consumed from three subtrees
-    // (label count, depth aggregate, per-gram broadcast join) — an
-    // unpinned lazily-built trainProfiles output would re-run its
-    // training window three times. Pin only when the caller hasn't (no
-    // double-pin warning); release is LRU, the model-as-metadata
-    // convention — the frame is ≤ maxLabels × topK rows.
+    // The model is per-language METADATA (≤ maxLabels × topK rows), so
+    // it collects ONCE and rides into codegen as a memoized literal
+    // ([[graft.expressions.LangIdOps]]) — scoring is a single map pass:
+    // no grid join, no model join, no doc-keyed aggregate, no argmin
+    // window (r11; the relational four-stage chain is retained below as
+    // [[classifyRelational]], the executable specification this form is
+    // spec-pinned against, and the DuckDB oracle replays it unchanged).
+    // One collect also replaces the former three-subtree consumption, so
+    // the ADVICE-r10 self-pin became unnecessary.
+    val rows = model
+      .select(col("label").cast("string"), col("gram").cast("string"),
+        col("rank").cast("int"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    require(rows.nonEmpty,
+      "classify: empty model (no profile rows) — train profiles on a " +
+        "non-empty labeled corpus first")
+    val nLabels = rows.map(_._1).distinct.length
+    require(nLabels <= maxLabels,
+      s"classify: $nLabels labels exceeds maxLabels=$maxLabels — language " +
+        "profiles are per-language metadata, not per-document state")
+    // the native's TreeMap label ordering is Java-String ascending; it
+    // matches Spark's UTF-8-binary label-asc tie rule only when labels
+    // avoid supplementary-plane characters — language codes always do,
+    // and anything else fails loudly rather than silently re-tying
+    require(rows.forall(r => r._1.codePointCount(0, r._1.length) == r._1.length),
+      "classify: supplementary-plane characters in labels would desync " +
+        "the tie order — use plain language codes")
+    val out = graft.expressions.TextHashExpressions.langIdClassify(
+      canon(col(textCol)), rows.toSeq, MaxN)
+    docs.select(col(idCol).as("doc_id"), out.as("__r"))
+      .select(col("doc_id"),
+        coalesce(col("__r.pred_label"), lit("und")).as("pred_label"),
+        col("__r.oop_dist").cast("long").as("oop_dist"))
+  }
+
+  /** The relational four-stage form [[classify]] replaced — retained as
+    * the executable specification (native parity is spec-pinned; the
+    * DuckDB oracle replays THIS shape): per-doc top-k profile, doc × label
+    * grid with broadcast model join, doc-keyed distance aggregate, argmin
+    * window with label-asc ties.
+    */
+  private[graft] def classifyRelational(docs: DataFrame, idCol: String,
+                                        textCol: String, model: DataFrame,
+                                        maxLabels: Int = 256): DataFrame = {
     if (model.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labels = model.select("label").distinct()
     val nLabels = labels.count()
     require(nLabels <= maxLabels,
-      s"classify: $nLabels labels exceeds maxLabels=$maxLabels — language " +
-        "profiles are per-language metadata, not per-document state")
-    // topK from the model itself, pulled to the DRIVER as a literal (a
-    // model table round-tripped through parquet carries its depth
-    // implicitly; one scalar pull over the pinned metadata-scale frame).
-    // A LITERAL here matters to the plan: `row_number <= <const>` lets
-    // Catalyst insert WindowGroupLimit — per-doc top-k BEFORE the rank
-    // sort materializes the whole gram stream — where the previous
-    // joined-scalar comparison (`__dr <= col("__k")`) blocked the rewrite
-    // and sorted every (doc, gram) row at full width (r11; the widest
-    // stage of the scoring plan).
+      s"classify: $nLabels labels exceeds maxLabels=$maxLabels")
     val kRow = model.agg(max(col("rank")).cast("long").as("__k")).head()
     require(!kRow.isNullAt(0),
       "classify: empty model (no profile rows) — train profiles on a " +
         "non-empty labeled corpus first")
     val kVal = kRow.getLong(0)
-    // A doc's rank profile is a PER-ROW computation, so it runs as one
-    // native call emitting the top-k grams in rank order (r11) — the
-    // former gram explode + (doc, gram) hash aggregate + per-doc rank
-    // window shuffled the full ~3·chars gram stream twice to keep 64
-    // rows per doc; this explodes only those 64. Count/tie semantics
-    // are the window form's exactly (count desc, gram binary-asc — the
-    // spec pins parity against the retained relational form).
     val profile = docs
       .select(col(idCol).as("doc_id"), canon(col(textCol)).as("__t"))
       .select(col("doc_id"), posexplode(
@@ -146,8 +167,6 @@ object LangIdNgram {
           col("__t"), MaxN, kVal.toInt)))
       .select(col("doc_id"), col("col").as("gram"),
         (col("pos") + 1).cast("long").as("__dr"))
-    // doc-profile × labels grid (topK × |labels| rows per doc), model
-    // rank attached where the gram is in-profile, topK penalty otherwise.
     val dist = profile.join(broadcast(labels))
       .join(broadcast(model), Seq("label", "gram"), "left")
       .groupBy("doc_id", "label").agg(

@@ -36,6 +36,23 @@ class LangIdNgramSpec extends SparkSpec {
     }
   }
 
+  test("native classify equals the relational four-stage form row-for-row") {
+    val model = LangIdNgram.trainProfiles(labeled, "lang", "text", topK = 16)
+    val test = Seq(
+      (1L, "the cat and the hat went to the market"),
+      (2L, "el gato y la casa en la calle"),
+      (3L, ""), // no grams -> und + NULL dist
+      (4L, "   "), // whitespace-only canon -> single '_'? trim first: empty
+      (5L, "zzzz qqqq xxxx"), // grams all out-of-model: every label ties
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val native = LangIdNgram.classify(test, "doc_id", "text", model)
+      .orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    val rel = LangIdNgram.classifyRelational(test, "doc_id", "text", model)
+      .orderBy("doc_id").as[(Long, String, Option[Long])].collect().toSeq
+    assert(native == rel, s"\nnative: $native\nrel   : $rel")
+  }
+
   test("classify fails loudly on an empty model instead of NPEing") {
     val e = intercept[IllegalArgumentException] {
       LangIdNgram.classify(
