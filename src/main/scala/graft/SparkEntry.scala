@@ -1326,8 +1326,8 @@ object SparkEntry {
     // rank/distance machinery.
     "q_text_langid_ct" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // classify scope-pins the lazily-built model itself (r11)
       val model = LangIdNgram.trainProfiles(docs, "lang", "text", topK = 64)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       LangIdNgram.classify(docs, "doc_id", "text", model).orderBy("doc_id")
     }),
     // Amortized probe form (r11) — the BENCHED langid row: load persisted

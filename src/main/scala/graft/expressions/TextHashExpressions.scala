@@ -645,37 +645,6 @@ object SubstrRollingOps {
     out
   }
 
-  private def tokenHashes(text: UTF8String, seed: Long): Array[Long] = {
-    val toks = text.toString.split("\\s+")
-    var nTok = 0
-    var i = 0
-    while (i < toks.length) { if (toks(i).nonEmpty) nTok += 1; i += 1 }
-    val th = new Array[Long](nTok)
-    var j = 0
-    i = 0
-    while (i < toks.length) {
-      if (toks(i).nonEmpty) {
-        var t = XXH64.hashUTF8String(UTF8String.fromString(toks(i)), seed) & M
-        if (t == M) t = 0
-        th(j) = t
-        j += 1
-      }
-      i += 1
-    }
-    th
-  }
-
-  /** fp(s) for every start s = 0 .. nTok−k, as `array<long>`; empty when
-    * the text has fewer than `k` tokens.
-    */
-  def windowFingerprints(text: UTF8String, k: Int, base: Long,
-                         seed: Long): ArrayData = {
-    val th = tokenHashes(text, seed)
-    if (th.length < k)
-      return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
-    UnsafeArrayData.fromPrimitiveArray(roll(th, k, base))
-  }
-
   /** BOTH independent fingerprints per window in one pass — one
     * tokenize, two seed hashes per token, two Horner rolls — as
     * `array<struct<f1,f2>>` (the operator's 122-bit group key without
@@ -740,6 +709,11 @@ object LangIdOps {
                     val rankOf: Array[java.util.HashMap[String, Integer]],
                     val k: Int)
 
+  // BOUNDED memo (code-review r11): an application retraining profiles
+  // per batch would otherwise grow an executor-lifetime map of
+  // megabyte-scale spec keys without eviction. Models are cheap to
+  // re-parse, so the cache simply resets when it exceeds the cap.
+  private val MaxCached = 32
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Model]()
 
@@ -747,7 +721,8 @@ object LangIdOps {
                                rank: Int): String =
     s"${label.length}:$label${gram.length}:$gram$rank;"
 
-  private def parse(spec: String): Model =
+  private def parse(spec: String): Model = {
+    if (cache.size > MaxCached) cache.clear()
     cache.computeIfAbsent(spec, s => {
       val byLabel =
         new java.util.TreeMap[String, java.util.HashMap[String, Integer]]()
@@ -780,6 +755,7 @@ object LangIdOps {
       byLabel.forEach { (l, m) => labels(j) = l; maps(j) = m; j += 1 }
       new Model(labels, maps, maxRank)
     })
+  }
 
   /** (pred_label, oop_dist) for one canonical text, or null when the
     * text yields no grams.
@@ -789,6 +765,11 @@ object LangIdOps {
     val m = parse(spec.toString)
     val profile = NgramOps.topGramsRanked(canonText.toString, maxN, m.k)
     if (profile.isEmpty) return null
+    // gram strings hoisted OUT of the label loop (code-review r11: the
+    // per-label toString re-converted every profile gram |labels| times)
+    val grams = new Array[String](profile.length)
+    var gi = 0
+    while (gi < profile.length) { grams(gi) = profile(gi).toString; gi += 1 }
     var bestLabel: String = null
     var bestDist = Long.MaxValue
     var li = 0
@@ -796,8 +777,8 @@ object LangIdOps {
       val ranks = m.rankOf(li)
       var dist = 0L
       var dr = 0
-      while (dr < profile.length) {
-        val mr = ranks.get(profile(dr).toString)
+      while (dr < grams.length) {
+        val mr = ranks.get(grams(dr))
         dist += (if (mr == null) m.k.toLong
                  else math.abs((dr + 1).toLong - mr.longValue()))
         dr += 1
@@ -918,21 +899,6 @@ object TextHashExpressions {
       "ratio",
       Seq(GraftBridge.expression(text)),
       inputTypes = Seq(StringType),
-      propagateNull = true,
-      returnNullable = true))
-
-  /** All stride-1 `k`-token rolling window fingerprints of `text` (see
-    * [[SubstrRollingOps]]); empty array below `k` tokens.
-    */
-  def rollingWindowFingerprints(text: Column, k: Int, base: Long,
-                                seed: Long): Column =
-    GraftBridge.column(StaticInvoke(
-      SubstrRollingOps.getClass,
-      ArrayType(LongType, containsNull = false),
-      "windowFingerprints",
-      Seq(GraftBridge.expression(text), Literal(k), Literal(base),
-        Literal(seed)),
-      inputTypes = Seq(StringType, IntegerType, LongType, LongType),
       propagateNull = true,
       returnNullable = true))
 

@@ -457,18 +457,31 @@ object Similarity {
     val threshold = math.round(sampleFraction * 4294967296.0) // 2^32
     val pri = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
-    def pull(filtered: DataFrame) = filtered
+    def pull(filtered: DataFrame, limit: Int) = filtered
       .filter(size(col(vecCol)) === dim)
       .select(col(idCol).cast("string").as("__i"),
         col(vecCol).cast("array<double>").as("__v"))
-      .limit(maxRows + 1)
+      .limit(limit + 1)
       .collect()
-    var collected = pull(emb.filter(pri < threshold))
-    if (collected.isEmpty) collected = pull(emb)
+    var collected = pull(emb.filter(pri < threshold), maxRows)
     require(collected.length <= maxRows,
       s"$what: sampleFraction=$sampleFraction selects more than " +
         s"maxSampleRows=$maxRows training vectors — lower the fraction " +
         "(training needs a bounded sample, not the corpus)")
+    if (collected.isEmpty) {
+      // The fallback justification ("that small is driver-collectable")
+      // only holds when the corpus really is tiny — an empty md5 sample
+      // on a LARGE corpus (absurdly small fraction) must not pull
+      // maxRows full vectors to the driver (code-review r11), so the
+      // fallback is bounded far lower and overflowing it is ITS OWN
+      // error, not the misleading lower-the-fraction one.
+      val fallbackLimit = math.min(maxRows, 16384)
+      collected = pull(emb, fallbackLimit)
+      require(collected.length <= fallbackLimit,
+        s"$what: the md5 sample at sampleFraction=$sampleFraction is " +
+          s"EMPTY but the corpus exceeds $fallbackLimit vectors — raise " +
+          "the fraction so training sees a real sample")
+    }
     collected.map(r => (r.getString(0), r.getSeq[Double](1).toArray))
   }
 
