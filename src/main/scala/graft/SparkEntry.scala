@@ -1326,7 +1326,7 @@ object SparkEntry {
     // rank/distance machinery.
     "q_text_langid_ct" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      // classify scope-pins the lazily-built model itself (r11)
+      // classify consumes the model in one bounded collect (r11)
       val model = LangIdNgram.trainProfiles(docs, "lang", "text", topK = 64)
       LangIdNgram.classify(docs, "doc_id", "text", model).orderBy("doc_id")
     }),

@@ -112,39 +112,28 @@ object LangIdNgram {
     // window (r11; the relational four-stage chain is retained below as
     // [[classifyRelational]], the executable specification this form is
     // spec-pinned against, and the DuckDB oracle replays it unchanged).
-    // The guards run DISTRIBUTED and BEFORE the collect (code-review
-    // r11): they exist to catch a per-document-scale frame passed as
-    // `model`, and an unbounded collect-then-check would OOM the driver
-    // on exactly that misuse before the check could fire. The guards +
-    // collect are three actions, so an unpinned lazily-built model is
-    // pinned for their duration and RELEASED after the collect — the
-    // deterministic-scope form of the ADVICE-r10 self-pin (no entry
-    // outlives the call).
-    val selfPinned =
-      model.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    if (selfPinned)
-      model.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows =
-      try {
-        val nLabels = model.select("label").distinct().count()
-        require(nLabels <= maxLabels,
-          s"classify: $nLabels labels exceeds maxLabels=$maxLabels — " +
-            "language profiles are per-language metadata, not " +
-            "per-document state")
-        val nRows = model.count()
-        require(nRows <= maxLabels.toLong * 65536L,
-          s"classify: $nRows model rows is not a rank-profile model " +
-            "(expected <= labels x topK metadata rows)")
-        model
-          .select(col("label").cast("string"), col("gram").cast("string"),
-            col("rank").cast("int"))
-          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
-      } finally {
-        if (selfPinned) model.unpersist(blocking = false)
-      }
+    // The collect is LIMIT-bounded (code-review r11): a
+    // per-document-scale frame passed as `model` trips the
+    // not-a-rank-profile require at ~maxLabels × 4096 rows instead of
+    // OOMing the driver, and one bounded action replaces the former
+    // guard-count + count + collect triple — which also means a lazily
+    // built model's training plan executes exactly ONCE, no pin needed.
+    val maxModelRows = maxLabels * 4096
+    val rows = model
+      .select(col("label").cast("string"), col("gram").cast("string"),
+        col("rank").cast("int"))
+      .limit(maxModelRows + 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    require(rows.length <= maxModelRows,
+      s"classify: more than $maxModelRows model rows is not a " +
+        "rank-profile model (expected labels x topK metadata rows)")
     require(rows.nonEmpty,
       "classify: empty model (no profile rows) — train profiles on a " +
         "non-empty labeled corpus first")
+    val nLabels = rows.map(_._1).distinct.length
+    require(nLabels <= maxLabels,
+      s"classify: $nLabels labels exceeds maxLabels=$maxLabels — language " +
+        "profiles are per-language metadata, not per-document state")
     // the native's TreeMap label ordering is Java-String ascending; it
     // matches Spark's UTF-8-binary label-asc tie rule only when labels
     // avoid supplementary-plane characters — language codes always do,
@@ -208,16 +197,16 @@ object LangIdNgram {
     * every multilingual crawl pipeline runs (keep `en`, or a set): train
     * profiles on the labeled seed, keep docs whose nearest profile is in
     * `keepLangs`. The `und` sentinel (no grams) is kept only when
-    * explicitly listed. [[classify]] scope-pins the lazily-built model
-    * for its own guards + collect and releases it deterministically.
+    * explicitly listed. [[classify]] consumes the lazily-built model in
+    * one bounded collect — training executes exactly once, no pin.
     */
   def filterByLanguage(docs: DataFrame, idCol: String, textCol: String,
                        seed: DataFrame, seedLabelCol: String,
                        seedTextCol: String, keepLangs: Set[String],
                        topK: Int = 64): DataFrame = {
     require(keepLangs.nonEmpty, "filterByLanguage: keepLangs must be non-empty")
-    // no caller pin needed: classify scope-pins unpinned models itself
-    // for its guards + collect and releases deterministically
+    // no caller pin needed: classify consumes the model in one bounded
+    // collect, so training executes exactly once
     val model = trainProfiles(seed, seedLabelCol, seedTextCol, topK)
     val picked = classify(docs, idCol, textCol, model)
       .filter(col("pred_label").isInCollection(keepLangs))
