@@ -739,9 +739,18 @@ object LangIdOps {
         val semi = s.indexOf(';', c2 + 1 + gl)
         val rank = s.substring(c2 + 1 + gl, semi).toInt
         if (rank > maxRank) maxRank = rank
-        byLabel.computeIfAbsent(label,
+        // Fail-loud on duplicate (label, gram) model rows (ADVICE r11):
+        // put() kept only the LAST rank while the retained executable
+        // spec (classifyRelational) sums one distance term per matching
+        // row — a malformed or hand-built model diverged silently
+        // between the native and the spec form. Malformed models fail
+        // here, matching the operator's fail-loud convention.
+        val prev = byLabel.computeIfAbsent(label,
           _ => new java.util.HashMap[String, Integer]())
           .put(gram, Integer.valueOf(rank))
+        if (prev != null) throw new IllegalArgumentException(
+          s"LangIdOps: duplicate model row for (label=$label, gram=$gram): " +
+            s"ranks $prev and $rank — a rank profile must list each gram once")
         i = semi + 1
       }
       // TreeMap iteration is key-ascending on java String — for the
@@ -820,6 +829,22 @@ object CompressOps {
     var total = 0L
     while (!d.finished()) total += d.deflate(buf)
     java.lang.Double.valueOf(total.toDouble / bytes.length)
+  }
+
+  /** True when [[ratio]] lands in `[minRatio, maxRatio]`; false for an
+    * empty text (null ratio — no bytes is no evidence of natural text).
+    * Exists so a band FILTER costs exactly one deflate pass per row:
+    * the three-conjunct form (isNotNull AND >= AND <=) is split into
+    * separate predicates by FilterExec without subexpression
+    * elimination, running the costliest native in this file up to 3×
+    * per row (ADVICE r11), and a projected-column rewrite gets undone
+    * by PushPredicateThroughNonJoin substituting the deterministic
+    * expression back through the Project.
+    */
+  def ratioInBand(text: UTF8String, minRatio: Double,
+                  maxRatio: Double): Boolean = {
+    val r = ratio(text)
+    r != null && r.doubleValue() >= minRatio && r.doubleValue() <= maxRatio
   }
 }
 
@@ -900,6 +925,22 @@ object TextHashExpressions {
       Seq(GraftBridge.expression(text)),
       inputTypes = Seq(StringType),
       propagateNull = true,
+      returnNullable = true))
+
+  /** Single-deflate band predicate (see [[CompressOps.ratioInBand]]);
+    * false (not null) for empty text, so it is directly filterable.
+    */
+  def compressionInBand(text: Column, minRatio: Double,
+                        maxRatio: Double): Column =
+    GraftBridge.column(StaticInvoke(
+      CompressOps.getClass,
+      BooleanType,
+      "ratioInBand",
+      Seq(GraftBridge.expression(text), Literal(minRatio), Literal(maxRatio)),
+      inputTypes = Seq(StringType, DoubleType, DoubleType),
+      propagateNull = true,
+      // propagateNull makes a null text yield null (row dropped by the
+      // filter — the intended semantics), so the result IS nullable.
       returnNullable = true))
 
   /** Both rolling window fingerprints per position in one pass, as

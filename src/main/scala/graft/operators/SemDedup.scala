@@ -113,11 +113,14 @@ object SemDedup {
     // iterations must scan a deterministic md5-uniform sample, with only
     // the single assignment pass touching the full corpus — maxIter
     // full-corpus scans contradicted the operator's own scale story.
-    // Correctness does not ride on the centroid family: duplicates are
-    // near-identical vectors, so they share an argmax cell under ANY
-    // centroids, and the threshold filter decides membership —
-    // SemDedupSpec pins sampled-vs-full survivor-set equality. Pass
-    // trainFraction = 1.0 for the exact small-corpus form.
+    // BEHAVIOR NOTE (default changed 1.0 → 0.25 in r11): the survivor
+    // set is approximately — not exactly — centroid-family-independent.
+    // Near-identical vectors share an argmax cell under any centroids,
+    // but a pair sitting NEAR the cosine threshold can straddle a
+    // Voronoi boundary under one centroid family and not another, so
+    // sampled-vs-full equality is a high-recall approximation (exact at
+    // fixture scale, where SemDedupSpec pins it). Callers needing the
+    // deterministic full-scan form pass trainFraction = 1.0.
     val onDim = emb.filter(size(col(vecCol)) === dim)
     val cents =
       if (trainFraction >= 1.0)
@@ -131,6 +134,34 @@ object SemDedup {
       .filter(col("id") =!= col("group_id"))
       .select(col("id").as(idCol))
     emb.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupSemantic]] with deterministic cache release — the
+    * [[TimeSeries.gapFillDailyScoped]] pattern. The input frame is
+    * referenced several times across the chain (sample-train, the
+    * within-cell self-join's two sides, the final survivor anti-join),
+    * so when `emb` is a COMPUTED frame — e.g. a text→hashed-vector→
+    * quantize chain rather than a parquet scan — it must be pinned or
+    * each reference re-runs the chain. This form owns the pin: it
+    * persists `emb`, hands the survivor frame to `action`, and
+    * unpersists in a `finally` once the action returns, so no storage
+    * entry outlives the call (SemDedupSpec pins this). Use it whenever
+    * the consumption is a single action (write, collect, aggregate,
+    * eager checkpoint); use [[dedupSemantic]] with a caller-managed
+    * pin only when the frame must outlive the call site.
+    */
+  def dedupSemanticScoped[T](emb: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, nCentroids: Int = 16,
+                             minCosNum: Int = 9, minCosDen: Int = 10,
+                             maxIter: Int = 8,
+                             maxCellRows: Long = Guardrails.DefaultMaxBucketRows,
+                             trainFraction: Double = 0.25)
+                            (action: DataFrame => T): T = {
+    val pinned =
+      emb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try action(dedupSemantic(pinned, idCol, vecCol, dim, nCentroids,
+      minCosNum, minCosDen, maxIter, maxCellRows, trainFraction))
+    finally pinned.unpersist()
   }
 
   /** Oracle-portable twin: the md5-parity ±1 cell family of

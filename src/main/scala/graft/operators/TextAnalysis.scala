@@ -565,7 +565,12 @@ object TextAnalysis {
     require(minRatio >= 0 && minRatio < maxRatio,
       s"filterByCompressionRatio: need 0 <= minRatio < maxRatio, got " +
         s"[$minRatio, $maxRatio]")
-    val r = compressionRatio(col(textCol))
-    df.filter(r.isNotNull && r >= minRatio && r <= maxRatio)
+    // One deflate pass per row: the old three-conjunct filter referenced
+    // the deflate static call three times, and FilterExec splits
+    // conjuncts without subexpression elimination, so the costliest
+    // native in this file ran up to 3× per row (ADVICE r11). The banded
+    // predicate computes the ratio once inside a single static call.
+    df.filter(graft.expressions.TextHashExpressions
+      .compressionInBand(col(textCol), minRatio, maxRatio))
   }
 }

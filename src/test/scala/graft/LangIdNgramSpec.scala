@@ -63,6 +63,26 @@ class LangIdNgramSpec extends SparkSpec {
     assert(e.getMessage.contains("empty model"), e.getMessage)
   }
 
+  test("a model with duplicate (label, gram) rows fails loudly") {
+    // ADVICE r11: parse kept only the LAST rank for a duplicated gram
+    // while the relational spec sums one distance term per matching row
+    // — a malformed hand-built model diverged silently between forms.
+    import graft.expressions.LangIdOps
+    val spec = LangIdOps.encodeRow("en", "th", 1) +
+      LangIdOps.encodeRow("en", "th", 2)
+    val e = intercept[Exception] {
+      Seq((1L, "the text")).toDF("doc_id", "text")
+        .select(graft.expressions.TextHashExpressions.langIdClassify(
+          col("text"), Seq(("en", "th", 1), ("en", "th", 2)), 2))
+        .collect()
+    }
+    def rootMessage(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).mkString(" | "))
+    assert(rootMessage(e).contains("duplicate model row"), rootMessage(e))
+    assert(spec.nonEmpty)
+  }
+
   test("trainProfiles ranks grams by frequency with gram-asc ties") {
     val model = LangIdNgram.trainProfiles(labeled, "lang", "text", topK = 16)
     // 'a' dominates the aa-language character mass

@@ -115,6 +115,32 @@ class SemDedupSpec extends SparkSpec {
       "fallback did not train")
   }
 
+  test("dedupSemanticScoped releases the pin: no cache entry outlives the call") {
+    // VERDICT r11 §wrong-2: the q_dedup_semantic_text body persisted its
+    // quantized frame with no scoped release, so a composing caller saw
+    // a retained MEMORY_AND_DISK entry outlive the query. The scoped
+    // form must leave the CacheManager exactly as it found it.
+    spark.catalog.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty, "precondition: cache dirty")
+    val emb = Similarity.clusteredEmbeddings(spark, nClusters = 4,
+      perCluster = 6, dim = 16, noise = 0.03)
+    // a computed (non-scan) input, the case the pin exists for
+    val computed = emb.withColumn("embedding",
+      transform(col("embedding"), x => x * 1.0f))
+    val n = SemDedup.dedupSemanticScoped(computed, "vec_id", "embedding",
+      dim = 16, nCentroids = 4)(_.count())
+    assert(n >= 4 && n <= 24, s"scoped dedup returned $n survivors")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a storage entry outlived dedupSemanticScoped")
+    // the action's result may be an eagerly-checkpointed frame that
+    // outlives the pin — the q_dedup_semantic_text shape
+    val surv = SemDedup.dedupSemanticScoped(computed, "vec_id", "embedding",
+      dim = 16, nCentroids = 4)(_.select("vec_id").localCheckpoint(true))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a cache entry outlived the checkpointing action")
+    assert(surv.count() >= 4) // checkpointed frame stays usable after release
+  }
+
   test("guardrail: a degenerate single-cell corpus fails loudly") {
     // identical vectors all land in one cell; maxCellRows=3 must trip
     val flat = Seq.tabulate(8)(i => (i.toLong, Seq.fill(16)(1.0f)))

@@ -422,8 +422,12 @@ class TextAnalysisSpec extends SparkSpec {
     // ASCII noise only reaches ~0.87 — ~6.6 of 8 bits/char entropy —
     // so the test band tightens maxRatio; true binary junk sits ~1.0
     // and the 0.9 default catches it)
+    // r12: the filter is a single-deflate banded predicate (the old
+    // three-conjunct form ran deflate up to 3× per row, ADVICE r11);
+    // NULL text must drop like empty text does
     val kept = TextAnalysis.filterByCompressionRatio(
-        Seq((1L, loop), (2L, prose), (3L, noise), (4L, ""))
+        Seq((1L, loop), (2L, prose), (3L, noise), (4L, ""),
+          (5L, null.asInstanceOf[String]))
           .toDF("doc_id", "text"), "text", maxRatio = 0.8)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(2L), kept.toString)
