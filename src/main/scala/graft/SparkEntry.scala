@@ -44,6 +44,123 @@ object SparkEntry {
   private def moneySum(c: String): Column =
     sum(col(c).cast("decimal(18,4)")).cast("double").as(s"sum_$c")
 
+  // ---- constructed HTML fixture pages (r12) -------------------------
+  // Both engines build the IDENTICAL page string from the documents
+  // fixture (the redact_pii/web_recipe convention), exercising every
+  // extractor surface: title/nav/heading/content/footer blocks,
+  // script+style+comment invisibility, nested inline tags, and the
+  // entity-decode edges (&amp; in a DROPPED nav block, &amp;/&lt;/&gt;
+  // in a KEPT content block so decoding lands in the hash comparison).
+  // No single quotes anywhere — the constants interpolate into SQL
+  // string literals verbatim.
+  private val HtmlPagePrefix =
+    "<html><head><title>Doc page</title>" +
+      "<style>body { margin: 0; }</style>" +
+      "<script>var n = 1; if (n &lt; 2) track();</script></head><body>" +
+      "<!-- header boilerplate <p>not text</p> -->" +
+      "<div class=\"nav\"><ul><li><a href=\"/home\">Home</a></li>" +
+      "<li><a href=\"/about\">About the company</a></li>" +
+      "<li><a href=\"/contact\">Contact &amp; help</a></li></ul></div>" +
+      "<h1>A heading of the page</h1><p>"
+  private val HtmlPara1Pad =
+    " and it was the case that all of the people in the story would " +
+      "have been there with some of those words to read.</p>"
+  private val HtmlPara2 =
+    "<p>It was a second paragraph of the page and it had the usual " +
+      "amount of the words that a block of this kind would have in it, " +
+      "so that the rules of the extractor would see it as the content " +
+      "of the page.</p>"
+  private val HtmlPara3A = // doc_id % 3 == 0: entities inside KEPT text
+    "<p>Fish &amp; chips &lt;for&gt; dinner it was, and all of them " +
+      "were there to have <b>some of it</b> that day.</p>"
+  private val HtmlPara3B =
+    "<p>A third block of the text appears in some of the pages and it " +
+      "is also one of the blocks that the rules would keep for the " +
+      "corpus.</p>"
+  private val HtmlPageSuffix =
+    "<div class=\"footer\"><a href=\"/privacy\">The privacy policy</a>" +
+      " | <a href=\"/terms\">All of the terms of use</a></div>" +
+      "</body></html>"
+
+  private def htmlPages(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit(HtmlPagePrefix),
+      substring(coalesce(col("text"), lit("")), 1, 120),
+      lit(HtmlPara1Pad), lit(HtmlPara2),
+      when(col("doc_id") % 3 === 0, lit(HtmlPara3A))
+        .otherwise(lit(HtmlPara3B)),
+      lit(HtmlPageSuffix)).as("html"))
+
+  // SQL generators for the html oracle (shared by both html queries so
+  // the replayed chain cannot drift between them). Single quotes in
+  // replacements are SQL-doubled.
+  private def sqlDecodeEntities(expr: String): String =
+    Seq(("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "''"),
+      ("&apos;", "''"), ("&nbsp;", " "), ("&amp;", "&"))
+      .foldLeft(expr) { case (acc, (e, r)) => s"replace($acc, '$e', '$r')" }
+
+  private def sqlHtmlRaw(b: String): String =
+    sqlDecodeEntities(s"regexp_replace($b, '<[^>]*>', '', 'g')")
+
+  private def sqlHtmlText(raw: String): String =
+    s"trim(regexp_replace($raw, '\\s+', ' ', 'g'))"
+
+  /** Shared CTE prefix: constructed pages → raw block segments → one row
+    * per block with every feature the keep rule needs.
+    */
+  private def htmlOracleCtes: String =
+    s"""WITH pages AS (
+       |  SELECT doc_id,
+       |    '$HtmlPagePrefix' || substring(coalesce(text, ''), 1, 120) ||
+       |    '$HtmlPara1Pad' || '$HtmlPara2' ||
+       |    CASE WHEN doc_id % 3 = 0 THEN '$HtmlPara3A'
+       |         ELSE '$HtmlPara3B' END ||
+       |    '$HtmlPageSuffix' AS html
+       |  FROM documents),
+       |seg AS (
+       |  SELECT doc_id, list_filter(
+       |    string_split(regexp_replace(regexp_replace(html,
+       |      '${TextAnalysis.HtmlInvisibleRe}', '', 'g'),
+       |      '${TextAnalysis.HtmlBlockBoundaryRe}', chr(10), 'g'), chr(10)),
+       |    b -> ${sqlHtmlText(sqlHtmlRaw("b"))} <> '') AS blocks
+       |  FROM pages),
+       |ex AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(blocks) + 1),
+       |    i -> {'i': i, 'b': blocks[i]})) AS u
+       |  FROM seg),
+       |fr AS (
+       |  SELECT doc_id, u.i - 1 AS block_idx, u.b AS b,
+       |    ${sqlHtmlRaw("u.b")} AS raw
+       |  FROM ex),
+       |ft AS (
+       |  SELECT doc_id, block_idx, ${sqlHtmlText("raw")} AS txt,
+       |    len(raw) AS n_raw,
+       |    coalesce(list_sum(list_transform(
+       |      regexp_extract_all(b, '${TextAnalysis.HtmlAnchorRe}'),
+       |      s -> len(${sqlHtmlRaw("s")}))), 0) AS link_chars
+       |  FROM fr),
+       |fw AS (
+       |  SELECT doc_id, block_idx, txt, n_raw, link_chars,
+       |    len(txt) AS n_chars,
+       |    regexp_extract_all(lower(txt), '[a-z]+') AS aw
+       |  FROM ft),
+       |blk AS (
+       |  SELECT doc_id, block_idx, txt, n_raw, link_chars, n_chars,
+       |    len(aw) AS n_words,
+       |    len(list_filter(aw, w -> w IN (${
+            TextAnalysis.StopwordsWebEn.map(w => s"'$w'").mkString(", ")})))
+       |      AS n_stop
+       |  FROM fw),
+       |kept AS (
+       |  SELECT doc_id, block_idx, txt, n_raw, link_chars, n_chars,
+       |    n_words, n_stop,
+       |    (n_chars >= 70
+       |     AND CAST(link_chars AS DOUBLE) / CAST(n_raw AS DOUBLE) <= 0.2
+       |     AND n_words > 0
+       |     AND CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2)
+       |      AS keep
+       |  FROM blk)""".stripMargin
+
   // Deterministic fake mime assignment for the multimodal fixtures.
   private def mime: Column =
     when(col("doc_id") % 3 === 0, "image/png")
@@ -224,6 +341,21 @@ object SparkEntry {
     (vp, mp)
   }
 
+  /** Byte-level BPE artifact (r12) — same layout, byte-trained. */
+  private def byteBpeEnsureModel(s: SparkSession, d: String): (String, String) = {
+    val base = s"$modelTmpDir/${new java.io.File(d).getName}"
+    val vp = s"$base/bpe_bytes_vocab"
+    val mp = s"$base/bpe_bytes_merges"
+    if (!graft.pipeline.Sinks.exists(s, vp) ||
+        !graft.pipeline.Sinks.exists(s, mp)) {
+      val vocab = Bpe.trainByteBpeModel(t(s, d, "documents"), "text",
+        numMerges = 20)
+      Bpe.vocabTable(s, vocab).write.mode("overwrite").parquet(vp)
+      Bpe.mergesTable(s, vocab.merges).write.mode("overwrite").parquet(mp)
+    }
+    (vp, mp)
+  }
+
   // Bucketed-table fixtures for q_j7: written once per (session, sf-dir)
   // into a temp-dir database (never the working directory's warehouse).
   private lazy val bktTmpDir =
@@ -367,7 +499,11 @@ object SparkEntry {
       // persisted-books probes (q_sim_pq_indexed / q_sim_ivf_indexed) are
       // already benched and cover the steady state. No benched row trains
       // a codebook; both stay hash-green (portable twins + recall gates).
-      "q_sim_pq_topk", "q_sim_ivfpq_topk")
+      "q_sim_pq_topk", "q_sim_ivfpq_topk",
+      // r12: the byte-BPE conservation gate trains per run (quality-gate
+      // ruling); the benched row is the loaded-vocab probe
+      // q_text_bpe_bytes_scored.
+      "q_text_bpe_bytes_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -1327,6 +1463,34 @@ object SparkEntry {
           pass.as("pass"): _*)
         .orderBy("doc_id")
     }),
+    // HTML main-content extraction (r12, VERDICT r11 §next-1): the
+    // raw-web pipeline's FIRST stage. Constructed multi-block pages
+    // (title/nav/heading/3 content paras/footer + script/style/comment
+    // + entities), then the full jusText-shaped chain — invisible drop,
+    // block segmentation, per-block link/stopword-density features,
+    // keep rule — replayed feature-for-feature in DuckDB. Per-block
+    // rows here; the page rewrite (extracted text itself, hash-compared
+    // including decoded entities) in q_text_html_extract.
+    "q_text_html_blocks" -> ((s, d) =>
+      htmlPages(t(s, d, "documents"))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.htmlBlockFeatures(col("html"))))
+        .select(col("doc_id"), col("pos").cast("long").as("block_idx"),
+          col("col.block_text"), col("col.n_chars"), col("col.n_words"),
+          col("col.n_stop"), col("col.link_chars"), col("col.n_raw_chars"),
+          col("col.keep"))
+        .orderBy("doc_id", "block_idx")),
+    "q_text_html_extract" -> ((s, d) => {
+      val feats = TextAnalysis.htmlBlockFeatures(col("html"))
+      htmlPages(t(s, d, "documents"))
+        .select(col("doc_id"),
+          size(feats).cast("long").as("n_blocks"),
+          size(filter(feats, f => f.getField("keep"))).cast("long")
+            .as("n_kept_blocks"),
+          TextAnalysis.extractMainContent(col("html")).as("content"))
+        .withColumn("n_content_chars", length(col("content")).cast("long"))
+        .orderBy("doc_id")
+    }),
     // Trained Cavnar–Trenkle rank-profile language ID (late r10): profiles
     // from the labeled fixture, out-of-place scoring of every doc — all
     // exact-integer (row_number ranks, abs-diff sums, label-asc ties), so
@@ -1542,6 +1706,54 @@ object SparkEntry {
           (col("__len_mismatch") === 0).as("ids_len_ok"),
           (col("__span") === col("n_init_tokens")).as("conservation_ok"),
           (col("__min_id") >= 0).as("ids_known_ok"))
+    }),
+    // Byte-level BPE (r12, VERDICT r11 §next-2): the byte-fallback form
+    // production trainers ship — train over UTF-8 bytes with the full
+    // 256-symbol base alphabet, so NO input ever UNKs; unseen characters
+    // (emoji/CJK/accents, injected below as out-of-training-distribution
+    // rows both engines construct identically) degrade to their bytes.
+    // The gate pins the family's cleanest conservation invariant: Σ base
+    // spans of the emitted ids == Σ UTF-8 byte length of the whitespace
+    // words (DuckDB octet_length — replayed exactly), zero unknown ids,
+    // all ids in-vocab. Train-per-run, so verify-only (quality-gate
+    // ruling); the benched row is the loaded-vocab probe below.
+    "q_text_bpe_bytes_gate" -> ((s, d) => {
+      import s.implicits._
+      val fixture = t(s, d, "documents").select("doc_id", "text")
+      val docs = fixture.unionByName(Seq(
+        (9000001L, "naïve café déjà-vu 你好世界 🌍🚀 emoji"),
+        (9000002L, "ひらがな καλημέρα здравствуйте"),
+        (9000003L, "MiXeD AsCiI and 漢字 with ümlaut")).toDF("doc_id", "text"))
+      // trained on the FIXTURE ONLY: the injected rows are exactly the
+      // never-seen-a-character case byte fallback exists for
+      val vocab = Bpe.trainByteBpeModel(fixture, "text", numMerges = 20)
+      val blLit = typedlit(vocab.baseLengths.toSeq)
+      docs.select(
+          Bpe.byteBpeEncodeIds(col("text"), vocab).as("ids"),
+          Bpe.wordByteLength(col("text")).as("__bytes"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__bytes")).as("n_word_bytes"),
+          sum(aggregate(transform(col("ids"), i => element_at(blLit, i + 1)),
+            lit(0L), (a, v) => a + v)).as("__span"),
+          sum(size(filter(col("ids"), i => i < 0)).cast("long"))
+            .as("n_unknown_ids"),
+          max(coalesce(array_max(col("ids")), lit(0))).as("__max_id"))
+        .select(col("n_docs"), col("n_word_bytes"),
+          (col("__span") === col("n_word_bytes")).as("conservation_ok"),
+          col("n_unknown_ids"),
+          (col("__max_id") < vocab.vocabSize).as("ids_in_vocab"))
+    }),
+    // Amortized probe form — the BENCHED byte-BPE row: rebuild the vocab
+    // from its persisted tables, run only the codegen'd byte encode.
+    // Ids projected through array_join (the comparator-stability ruling).
+    "q_text_bpe_bytes_scored" -> ((s, d) => {
+      val (vp, mp) = byteBpeEnsureModel(s, d)
+      val vocab = Bpe.readVocab(s, vp, mp)
+      t(s, d, "documents").select(col("doc_id"),
+          array_join(Bpe.byteBpeEncodeIds(col("text"), vocab)
+            .cast("array<string>"), " ").as("ids"))
+        .orderBy("doc_id")
     }),
     // Unigram-LM (SentencePiece) tokenizer (late r10): distributed seed +
     // driver EM/prune + codegen'd Viterbi encode. The ids are engine-side
@@ -3817,6 +4029,30 @@ object SparkEntry {
         |  TRUE AS loop_compresses_harder,
         |  TRUE AS ratio_bounded
         |FROM documents""".stripMargin,
+    // The byte-BPE conservation gate's truth side (r12): corpus word
+    // BYTE total over the fixture plus the injected non-ASCII rows
+    // (both engines construct the identical union — the redact_pii
+    // convention; octet_length == Java UTF-8 byte length on every
+    // input), with the engine booleans/zero-counts pinned to their
+    // exact expected values — byte fallback means zero unknowns BY
+    // CONSTRUCTION, so the pinned constants are the whole claim.
+    "q_text_bpe_bytes_gate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT 9000001, 'naïve café déjà-vu 你好世界 🌍🚀 emoji'
+        |  UNION ALL SELECT 9000002, 'ひらがな καλημέρα здравствуйте'
+        |  UNION ALL SELECT 9000003, 'MiXeD AsCiI and 漢字 with ümlaut'),
+        |w AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS x
+        |  FROM docs)
+        |SELECT CAST((SELECT count(*) FROM docs) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(octet_length(encode(x))), 0) AS BIGINT)
+        |    AS n_word_bytes,
+        |  TRUE AS conservation_ok,
+        |  CAST(0 AS BIGINT) AS n_unknown_ids,
+        |  TRUE AS ids_in_vocab
+        |FROM w""".stripMargin,
     // The wordpiece conservation gate's truth side: corpus word-char
     // total (code points of lowercased whitespace tokens) + the engine
     // booleans/zero-counts pinned to their exact expected values.
@@ -3902,6 +4138,32 @@ object SparkEntry {
         |  ((len(kept) >= 3) AND NOT contains(lower(text), 'lorem ipsum')
         |    AND NOT contains(text, '{')) AS pass
         |FROM k ORDER BY doc_id""".stripMargin,
+    // The full HTML extraction chain replayed block-for-block: page
+    // construction, invisible-content drop, block segmentation, tag
+    // strip + fixed-order entity decode, link/stopword densities, keep
+    // rule (r12). The CTE prefix is GENERATED from the same Scala
+    // constants the Spark side uses, so the two engines cannot drift.
+    "q_text_html_blocks" ->
+      s"""$htmlOracleCtes
+        |SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx,
+        |  txt AS block_text,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_stop AS BIGINT) AS n_stop,
+        |  CAST(link_chars AS BIGINT) AS link_chars,
+        |  CAST(n_raw AS BIGINT) AS n_raw_chars,
+        |  keep
+        |FROM kept ORDER BY doc_id, block_idx""".stripMargin,
+    "q_text_html_extract" ->
+      s"""$htmlOracleCtes
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept_blocks,
+        |  coalesce(string_agg(txt, chr(10) ORDER BY block_idx)
+        |    FILTER (WHERE keep), '') AS content,
+        |  CAST(coalesce(len(string_agg(txt, chr(10) ORDER BY block_idx)
+        |    FILTER (WHERE keep)), 0) AS BIGINT) AS n_content_chars
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'

@@ -582,6 +582,41 @@ object BpeOps {
     }
     UnsafeArrayData.fromPrimitiveArray(out.result())
   }
+
+  /** Byte-level variant of [[encodeIds]] (r12): CASE-PRESERVING
+    * whitespace words, each symbolized as its UTF-8 BYTES (byte value b
+    * rides as the char U+00{b}), no end-of-word marker — the GPT-2 /
+    * SentencePiece byte-fallback shape. Same [[applyMerges]] walk. With
+    * the full 256-symbol base alphabet the unknown branch is dead code
+    * (kept defensively): every byte has an id, so no input ever UNKs.
+    */
+  def encodeBytesIds(text: UTF8String, spec: UTF8String): ArrayData = {
+    val model = parseIds(spec.toString)
+    val toks = text.toString.split("\\s+")
+    val out = Array.newBuilder[Int]
+    var w = 0
+    while (w < toks.length) {
+      val word = toks(w)
+      if (word.nonEmpty) {
+        val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val syms = new Array[String](bytes.length)
+        val ids = new Array[Int](bytes.length)
+        var i = 0
+        while (i < bytes.length) {
+          syms(i) = String.valueOf((bytes(i) & 0xFF).toChar)
+          val bid = model.baseIds.get(syms(i))
+          ids(i) = if (bid == null) -1 else bid.intValue()
+          i += 1
+        }
+        val len = applyMerges(syms, ids, bytes.length,
+          model.mergeModel, model.baseCount)
+        var k = 0
+        while (k < len) { out += ids(k); k += 1 }
+      }
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out.result())
+  }
 }
 
 /** Rolling polynomial window fingerprints for the exact-substring dedup
@@ -1071,6 +1106,24 @@ object TextHashExpressions {
       BpeOps.getClass,
       ArrayType(IntegerType, containsNull = false),
       "encodeIds",
+      Seq(GraftBridge.expression(text), Literal(UTF8String.fromString(spec), StringType)),
+      inputTypes = Seq(StringType, StringType),
+      propagateNull = true,
+      returnNullable = true))
+  }
+
+  /** Byte-level BPE id sequence (`array<int>`, r12): the 256-symbol byte
+    * base plus rank-ordered merges (see [[BpeOps.encodeBytesIds]]).
+    */
+  def byteBpeEncodeIds(text: Column, baseSymbols: Array[String],
+                       merges: Array[Array[String]]): Column = {
+    val spec = baseSymbols.length.toString + ";" +
+      baseSymbols.map(BpeOps.encodeSymbol).mkString +
+      merges.map(p => BpeOps.encodePair(p(0), p(1))).mkString
+    GraftBridge.column(StaticInvoke(
+      BpeOps.getClass,
+      ArrayType(IntegerType, containsNull = false),
+      "encodeBytesIds",
       Seq(GraftBridge.expression(text), Literal(UTF8String.fromString(spec), StringType)),
       inputTypes = Seq(StringType, StringType),
       propagateNull = true,

@@ -192,6 +192,18 @@ object Bpe {
     // deterministic ids 0..B-1; merge rank r then mints id B+r.
     val baseSet = scala.collection.mutable.TreeSet.empty[String]
     words.foreach(_.foreach(baseSet += _))
+    trainLoop(words, cnts, baseSet.toVector, numMerges, minPairCount)
+  }
+
+  /** The incremental Sennrich merge loop over a collected word table —
+    * shared VERBATIM by the character-alphabet trainer ([[trainBpeModel]])
+    * and the byte-level trainer ([[trainByteBpeModel]]): the algorithm is
+    * alphabet-agnostic; only the symbolization of a word and the base
+    * vocabulary differ.
+    */
+  private def trainLoop(words: Array[Vector[String]], cnts: Array[Long],
+                        base: Vector[String], numMerges: Int,
+                        minPairCount: Long): BpeVocab = {
     // Global pair counts + inverted index pair -> word indices, built once.
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val index = scala.collection.mutable.HashMap
@@ -249,8 +261,91 @@ object Bpe {
         }
       }
     }
-    BpeVocab(baseSet.toVector, merges.result())
+    BpeVocab(base, merges.result())
   }
+
+  // -------------------------------------------------------------------
+  // Byte-level BPE (r12, VERDICT r11 §next-2) — the byte-fallback form
+  // production trainers actually ship (GPT-2's byte-level BPE, Radford
+  // et al. 2019 §2.2; SentencePiece --byte_fallback): train over the
+  // UTF-8 BYTES of each word with the full 256-symbol byte alphabet as
+  // the base vocabulary, so NO input can ever be out-of-vocabulary —
+  // unseen characters (emoji, CJK, control bytes) degrade to their
+  // bytes instead of UNK/-1. Each byte value b is represented by the
+  // single char U+00{b} inside the existing string-symbol machinery
+  // (strings of such chars round-trip through the model literal and
+  // parquet exactly), sorted ascending so id b IS byte value b. No
+  // end-of-word marker: byte-level practice keeps word boundaries in
+  // the pre-tokenization (encoding is per whitespace word here, so
+  // merges never cross words), and conservation becomes the cleanest
+  // gate in the family — Σ base spans of the emitted ids = Σ UTF-8
+  // byte length of the words, exactly, with zero unknowns by
+  // construction. Case is PRESERVED (byte-level vocabularies are
+  // case-sensitive — lowercasing first would destroy the bytes the
+  // model is supposed to see).
+  // -------------------------------------------------------------------
+
+  /** The fixed 256-symbol base alphabet, id = byte value. */
+  val ByteAlphabet: Vector[String] =
+    (0 until 256).map(b => b.toChar.toString).toVector
+
+  /** UTF-8 byte symbol sequence of one word (no end marker). */
+  private[graft] def byteSymbols(word: String): Vector[String] =
+    word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => (b & 0xFF).toChar.toString).toVector
+
+  /** One corpus pass, CASE-PRESERVING (the byte-level convention):
+    * (word, cnt).
+    */
+  def wordCountsCased(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Train a byte-level BPE model: the [[trainBpeModel]] driver loop
+    * verbatim, over byte symbol sequences with the fixed [[ByteAlphabet]]
+    * base — ids 0..255 are the byte values, merge rank r mints 256+r.
+    */
+  def trainByteBpeModel(docs: DataFrame, textCol: String, numMerges: Int,
+                        minPairCount: Long = 2L,
+                        maxVocab: Int = 1000000): BpeVocab = {
+    require(numMerges > 0,
+      s"trainByteBpe: numMerges must be > 0, got $numMerges")
+    require(minPairCount >= 1, s"trainByteBpe: minPairCount must be >= 1")
+    val wc = wordCountsCased(docs, textCol)
+    val n = wc.count()
+    require(n <= maxVocab,
+      s"trainByteBpe: $n distinct words exceeds maxVocab=$maxVocab — the " +
+        "driver-side merge loop is bounded; cap the corpus vocabulary " +
+        "(length-filter garbage tokens) or raise maxVocab deliberately")
+    val rows = wc.collect()
+    trainLoop(rows.map(r => byteSymbols(r.getString(0))),
+      rows.map(_.getLong(1)), ByteAlphabet, numMerges, minPairCount)
+  }
+
+  /** Per-document byte-level token ID SEQUENCE (`array<int>`) — the
+    * [[bpeEncodeIds]] codegen'd native walk over UTF-8 bytes,
+    * case-preserving, no end marker. With the full byte alphabet no id
+    * is ever -1: any input, including text the training corpus never
+    * saw a single character of, encodes losslessly.
+    */
+  def byteBpeEncodeIds(text: Column, vocab: BpeVocab): Column = {
+    require(vocab.baseSymbols == ByteAlphabet,
+      "byteBpeEncodeIds: vocab was not trained by trainByteBpeModel " +
+        "(base alphabet is not the 256 byte symbols)")
+    graft.expressions.TextHashExpressions.byteBpeEncodeIds(
+      text, vocab.baseSymbols.toArray,
+      vocab.merges.map(m => Array(m.left, m.right)).toArray)
+  }
+
+  /** Total UTF-8 byte length of the whitespace words of a document —
+    * the exact left side of the byte-conservation invariant
+    * `Σ_ids baseLen(id) = Σ_words utf8_bytes(word)` (DuckDB:
+    * `octet_length`). Uses the same case-preserving tokenization as
+    * the byte encoder.
+    */
+  def wordByteLength(text: Column): Column =
+    aggregate(transform(TextAnalysis.words(text),
+      w => octet_length(w).cast("long")), lit(0L), (acc, v) => acc + v)
 
   /** The merge table as a DataFrame (rank, left, right, applied_count) —
     * the persistable tokenizer artifact (parquet round-trip; a model

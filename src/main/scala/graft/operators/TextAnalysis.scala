@@ -573,4 +573,178 @@ object TextAnalysis {
     df.filter(graft.expressions.TextHashExpressions
       .compressionInBand(col(textCol), minRatio, maxRatio))
   }
+
+  // -------------------------------------------------------------------
+  // HTML main-content extraction (r12) — the stage every raw-web corpus
+  // runs FIRST: markup → text. Tag-aware block segmentation plus the
+  // jusText-shaped context-free block classification (Pomikálek 2011,
+  // "Removing boilerplate and duplicate content from web corpora":
+  // blocks with high link density or low stopword density are
+  // boilerplate; long low-link stopword-dense blocks are content).
+  // Everything is Java∩RE2-safe string ops (no lookaround, no
+  // backreferences) so the whole chain replays in DuckDB — the
+  // q_text_c4_rules oracle convention. Pure per-row column expressions:
+  // map-only, shuffle-free, safe in any scan projection at 100 TB.
+  //
+  // Deliberate regex-model limits (a parser concern, not a rules
+  // concern — documented, spec-pinned where they matter): attribute
+  // values containing a literal '>' break the tag model; an unclosed
+  // <script>/<style> leaves its code visible (C4Clean's javascript
+  // line rule downstream is the net); only the named character
+  // entities below are decoded (numeric entities other than &#39;
+  // pass through).
+  // -------------------------------------------------------------------
+
+  /** Tags that end a text block — the HTML block-level elements plus
+    * structural/sectioning tags. An open OR close occurrence is a block
+    * boundary (jusText segments on the same set).
+    */
+  private val HtmlBlockTagNames: String =
+    "p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|" +
+      "caption|br|hr|section|article|aside|header|footer|nav|main|" +
+      "figure|figcaption|blockquote|pre|form|fieldset|legend|select|" +
+      "option|textarea|title|head|body|html"
+
+  /** Invisible content: script/style/noscript WITH their bodies, and
+    * comments. No backreferences (RE2-safe): each pair is spelled out.
+    */
+  private[graft] val HtmlInvisibleRe: String =
+    "(?is)<script(\\s[^>]*)?>.*?</script>" +
+      "|<style(\\s[^>]*)?>.*?</style>" +
+      "|<noscript(\\s[^>]*)?>.*?</noscript>" +
+      "|<!--.*?-->"
+
+  /** One block-level open/close/self-closing tag, attributes allowed. */
+  private[graft] val HtmlBlockBoundaryRe: String =
+    s"(?i)</?(?:$HtmlBlockTagNames)(\\s[^>]*)?\\s*/?>"
+
+  /** One full anchor element (the link-density numerator's span). */
+  private[graft] val HtmlAnchorRe: String = "(?is)<a(\\s[^>]*)?>.*?</a>"
+
+  /** Entity-decode order is FIXED and `&amp;` is LAST: `&amp;lt;` is
+    * the literal four characters `&lt;`, not `<` — decoding `&amp;`
+    * first would double-decode it (the classic entity bug; spec-pinned).
+    */
+  private val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Decode the named HTML entities (plus `&#39;`), `&amp;` last. */
+  private[graft] def decodeHtmlEntities(c: Column): Column =
+    HtmlEntities.foldLeft(c) { case (acc, (e, r)) =>
+      replace(acc, lit(e), lit(r))
+    }
+
+  /** Strip every remaining (inline) tag — run AFTER block boundaries
+    * are marked, so `<b>`/`<i>`/`<a>`/`<span>` vanish without
+    * splitting text.
+    */
+  private def stripHtmlTags(c: Column): Column =
+    regexp_replace(c, "<[^>]*>", "")
+
+  /** Visible text of one raw block segment: tags stripped, entities
+    * decoded, whitespace collapsed, trimmed.
+    */
+  private def htmlBlockText(b: Column): Column =
+    trim(regexp_replace(decodeHtmlEntities(stripHtmlTags(b)), "\\s+", " "))
+
+  /** Tag-aware block segmentation: drop invisible content, turn every
+    * block-level tag into a boundary, split, and keep segments with
+    * non-empty visible text. Returns `array<string>` of RAW html
+    * segments (inline tags intact — the link-density rule still needs
+    * them). One codegen'd projection, no shuffle, no explode.
+    */
+  def htmlToBlocks(html: Column): Column = {
+    val boundaried = regexp_replace(
+      regexp_replace(html, HtmlInvisibleRe, ""), HtmlBlockBoundaryRe, "\n")
+    filter(split(boundaried, "\n"), b => htmlBlockText(b) =!= "")
+  }
+
+  /** The stopword list the block classifier scores density against —
+    * ~50 core English function words (jusText ships ~600 per language;
+    * a denser list raises natural-prose density toward the paper's 0.30
+    * threshold, so [[htmlBlockFeatures]]'s default `minStopDensity` is
+    * proportionally lower — swap the list and threshold per deployment).
+    */
+  private[graft] val StopwordsWebEn: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on", "at",
+    "by", "for", "with", "from", "as", "is", "are", "was", "were", "be",
+    "been", "it", "its", "this", "that", "these", "those", "he", "she",
+    "they", "we", "you", "i", "his", "her", "their", "our", "your",
+    "not", "no", "have", "has", "had", "do", "does", "did", "will",
+    "would", "there", "which", "what", "who", "all", "some")
+
+  /** Per-block features + the context-free jusText keep decision, as
+    * `array<struct>` aligned with [[htmlToBlocks]]:
+    *
+    *   - `block_text`: visible text (stripped, decoded, collapsed)
+    *   - `n_chars` / `n_words` / `n_stop`: exact integer counts
+    *     (words = ASCII letter runs of the lowercased text — the
+    *     density denominators; punctuation never dilutes density)
+    *   - `link_chars` / `n_raw_chars`: visible chars inside `<a>`
+    *     elements vs the block's total visible chars (uncollapsed on
+    *     both sides, so the ratio is internally consistent)
+    *   - `keep` = `n_chars >= minChars` AND
+    *     `link_chars/n_raw_chars <= maxLinkDensity` AND
+    *     `n_stop/n_words >= minStopDensity`
+    *
+    * All decisions are exact integer counts plus single IEEE divisions
+    * compared against decimal literals — bit-reproducible cross-engine
+    * (the gopherRules contract).
+    */
+  def htmlBlockFeatures(html: Column, minChars: Int = 70,
+                        maxLinkDensity: Double = 0.2,
+                        minStopDensity: Double = 0.2): Column = {
+    require(minChars >= 0, s"htmlBlockFeatures: minChars >= 0, got $minChars")
+    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      s"htmlBlockFeatures: maxLinkDensity in [0,1], got $maxLinkDensity")
+    require(minStopDensity >= 0 && minStopDensity <= 1,
+      s"htmlBlockFeatures: minStopDensity in [0,1], got $minStopDensity")
+    transform(htmlToBlocks(html), b => {
+      val rawText = decodeHtmlEntities(stripHtmlTags(b))
+      val text = trim(regexp_replace(rawText, "\\s+", " "))
+      val linkChars = aggregate(
+        transform(regexp_extract_all(b, lit(HtmlAnchorRe), lit(0)),
+          s => length(decodeHtmlEntities(stripHtmlTags(s)))),
+        lit(0), (acc, x) => acc + x)
+      val alphaWords = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+      val nWords = size(alphaWords)
+      val nStop = size(filter(alphaWords,
+        w => w.isInCollection(StopwordsWebEn)))
+      val nChars = length(text)
+      val nRaw = length(rawText)
+      val keep = nChars >= minChars &&
+        linkChars.cast("double") / nRaw.cast("double") <= maxLinkDensity &&
+        nWords > 0 &&
+        nStop.cast("double") / nWords.cast("double") >= minStopDensity
+      struct(text.as("block_text"), nChars.cast("long").as("n_chars"),
+        nWords.cast("long").as("n_words"), nStop.cast("long").as("n_stop"),
+        linkChars.cast("long").as("link_chars"),
+        nRaw.cast("long").as("n_raw_chars"), keep.as("keep"))
+    })
+  }
+
+  /** The page rewrite: kept blocks' text joined with `\n` — the
+    * extracted main content ('' when no block survives).
+    */
+  def extractMainContent(html: Column, minChars: Int = 70,
+                         maxLinkDensity: Double = 0.2,
+                         minStopDensity: Double = 0.2): Column =
+    array_join(transform(
+      filter(htmlBlockFeatures(html, minChars, maxLinkDensity,
+        minStopDensity), f => f.getField("keep")),
+      f => f.getField("block_text")), "\n")
+
+  /** [[extractMainContent]] as the composable stage: `textCol` (raw
+    * HTML in, extracted text out) is rewritten IN PLACE and pages with
+    * no surviving block are DROPPED (nothing remained to curate — the
+    * filterByC4 drop convention). Run FIRST in a raw-web recipe, before
+    * C4Clean/Gopher (both assume extracted text).
+    */
+  def extractHtmlDf(df: DataFrame, textCol: String, minChars: Int = 70,
+                    maxLinkDensity: Double = 0.2,
+                    minStopDensity: Double = 0.2): DataFrame =
+    df.withColumn(textCol, extractMainContent(col(textCol), minChars,
+        maxLinkDensity, minStopDensity))
+      .filter(col(textCol) =!= "")
 }

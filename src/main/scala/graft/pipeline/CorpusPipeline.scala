@@ -92,6 +92,18 @@ object CorpusPipeline {
   final case class KeepCompressionBand(minRatio: Double = 0.2,
                                        maxRatio: Double = 0.9) extends Step
 
+  /** HTML → main content (r12,
+    * [[graft.operators.TextAnalysis.extractHtmlDf]]): tag-aware block
+    * segmentation + jusText-style link/stopword-density block rules;
+    * `textCol` (raw HTML) is REWRITTEN to the kept blocks' text and
+    * pages with no surviving block are dropped. The FIRST step of a
+    * raw-web recipe — everything downstream (C4Clean, Gopher, dedup,
+    * tokenizers) assumes extracted text.
+    */
+  final case class ExtractHtml(minChars: Int = 70,
+                               maxLinkDensity: Double = 0.2,
+                               minStopDensity: Double = 0.2) extends Step
+
   /** C4 line-level cleaning (late r10,
     * [[graft.operators.TextAnalysis.filterByC4]]): drops pages failing
     * the page rules and REWRITES `textCol` to the line-cleaned text —
@@ -295,6 +307,9 @@ object CorpusPipeline {
         case KeepCompressionBand(minRatio, maxRatio) =>
           graft.operators.TextAnalysis.filterByCompressionRatio(d, textCol,
             minRatio, maxRatio)
+        case ExtractHtml(minChars, maxLink, minStop) =>
+          graft.operators.TextAnalysis.extractHtmlDf(d, textCol, minChars,
+            maxLink, minStop)
         case C4Clean =>
           graft.operators.TextAnalysis.filterByC4(d, textCol)
         case DropBlockedTerms(terms) =>

@@ -229,6 +229,79 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("byte BPE: Sennrich merges over bytes, ids offset by the 256 alphabet") {
+    // no </w> marker at the byte level, so the hand computation differs
+    // from the char trainer: (e,s) 9, (es,t) 9, then (l,o) 7 — there is
+    // no (est,</w>) round. Case is preserved.
+    val vocab = Bpe.trainByteBpeModel(sennrich, "text", numMerges = 3)
+    val got = vocab.merges.map(m => (m.rank, m.left, m.right, m.appliedCount))
+    assert(got == Seq(
+      (0, "e", "s", 9L),
+      (1, "es", "t", 9L),
+      (2, "l", "o", 7L)), got)
+    assert(vocab.baseSymbols == Bpe.ByteAlphabet)
+    // merge rank r mints id 256 + r; base ids ARE byte values
+    val ids = Seq((1L, "newest")).toDF("doc_id", "text")
+      .select(Bpe.byteBpeEncodeIds(col("text"), vocab)).as[Seq[Int]].head()
+    assert(ids == Seq('n'.toInt, 'e'.toInt, 'w'.toInt, 256 + 1), ids)
+  }
+
+  test("byte BPE: zero unknowns and exact byte conservation on ANY input") {
+    // model trained on plain ASCII; inputs the training corpus never saw
+    // a single character of — emoji, CJK, combining accents, control
+    // chars — must encode with NO -1 and spans summing to byte length
+    val vocab = Bpe.trainByteBpeModel(sennrich, "text", numMerges = 5)
+    val alien = Seq(
+      (1L, "你好世界"), (2L, "🌍🚀"), (3L, "naïve café"),
+      (4L, "καλημέρα здравствуйте"), (5L, "MiXeD CaSe lower"),
+      (6L, "ab"), (7L, ""))
+      .toDF("doc_id", "text")
+    val bl = vocab.baseLengths
+    val rows = alien.select(col("doc_id"),
+        Bpe.byteBpeEncodeIds(col("text"), vocab).as("ids"),
+        Bpe.wordByteLength(col("text")).as("nb"))
+      .as[(Long, Seq[Int], Long)].collect()
+    rows.foreach { case (id, ids, nb) =>
+      assert(!ids.exists(_ < 0), s"doc $id emitted an unknown id: $ids")
+      assert(ids.forall(_ < vocab.vocabSize), s"doc $id out of vocab")
+      val span = ids.map(i => bl(i)).sum
+      assert(span == nb, s"doc $id: span $span != bytes $nb")
+    }
+    // case preserved: "lower" (trained, lowercase) merges; "MiXeD" stays
+    // single bytes — its uppercase bytes never trained a merge
+    val mixed = rows.find(_._1 == 5L).get._2
+    assert(mixed.contains(256 + 3) || mixed.contains(256 + 0),
+      s"trained merges absent from the lowercase word: $mixed")
+  }
+
+  test("byte BPE: ids decode back to the exact original bytes (lossless)") {
+    val vocab = Bpe.trainByteBpeModel(sennrich, "text", numMerges = 4)
+    val syms = vocab.symbols
+    val words = Seq("newest", "Grüße", "日本語", "🌍x")
+    words.foreach { w =>
+      val ids = Seq((1L, w)).toDF("doc_id", "text")
+        .select(Bpe.byteBpeEncodeIds(col("text"), vocab)).as[Seq[Int]].head()
+      val bytes = ids.flatMap(i => syms(i).map(c => c.toInt.toByte)).toArray
+      assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8) == w,
+        s"'$w' did not round-trip through ids $ids")
+    }
+  }
+
+  test("byte BPE: vocab round-trips through parquet; char vocab rejected") {
+    val vocab = Bpe.trainByteBpeModel(sennrich, "text", numMerges = 4)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-bytes").toString
+    Bpe.vocabTable(spark, vocab).write.mode("overwrite").parquet(s"$dir/v")
+    Bpe.mergesTable(spark, vocab.merges).write.mode("overwrite")
+      .parquet(s"$dir/m")
+    val loaded = Bpe.readVocab(spark, s"$dir/v", s"$dir/m")
+    assert(loaded.baseSymbols == Bpe.ByteAlphabet, "byte alphabet mangled")
+    assert(loaded.merges == vocab.merges)
+    val charVocab = Bpe.trainBpeModel(sennrich, "text", numMerges = 2)
+    intercept[IllegalArgumentException] {
+      Bpe.byteBpeEncodeIds(col("text"), charVocab)
+    }
+  }
+
   test("rank-candidate-set encode equals the full-scan reference token-for-token") {
     // Real fixture corpus at 60 merges — deep enough that a wrong skip
     // rule in the candidate-set walk (created pair with a passed rank,

@@ -53,6 +53,32 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out(1L) == goodLines)
   }
 
+  test("ExtractHtml step rewrites raw pages to main content, then C4 composes") {
+    // the raw-web ordering the step exists for: markup -> text FIRST,
+    // line-level C4 afterwards on the extracted text
+    // three content paragraphs: C4's page gate wants >= 3 kept lines
+    val paras = Seq(
+      "It was a calm day and the people of the town were out in the " +
+        "streets, and all of them had something they would do there.",
+      "The second of the paragraphs was also made of the usual words " +
+        "that the rules of the extractor would see as the content here.",
+      "A third paragraph closed the page with some of the same words " +
+        "that all of the others had carried before it was done.")
+    val pages = Seq(
+      (1L, "<body><nav><a href=\"/\">Home</a> <a href=\"/x\">About</a></nav>" +
+        paras.map(p => s"<p>$p</p>").mkString +
+        "<footer><a href=\"/t\">Terms</a></footer></body>", "w"),
+      (2L, "<body><div><a href=\"/\">Home</a></div></body>", "w") // nav-only
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.run(pages, "doc_id", "text",
+        Seq(CorpusPipeline.ExtractHtml(minChars = 40), C4Clean))
+      .select("doc_id", "text", "source").as[(Long, String, String)]
+      .collect()
+    assert(out.map(_._1).toSeq == Seq(1L), out.mkString("|"))
+    assert(out.head._2 == paras.mkString("\n"), out.head._2) // tags gone
+    assert(out.head._3 == "w") // schema preserved through the rewrite
+  }
+
   test("PerplexityFloorKN step drops the high-perplexity tail under KN") {
     val loop = (1 to 40).map(_ => "click here to subscribe").mkString(" ")
     val mixed = new scala.util.Random(3)

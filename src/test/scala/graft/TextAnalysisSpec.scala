@@ -437,4 +437,96 @@ class TextAnalysisSpec extends SparkSpec {
         minRatio = 0.5, maxRatio = 0.4)
     }
   }
+
+  test("htmlToBlocks: segmentation, invisible content, nested inline tags") {
+    val html =
+      "<html><head><title>My Page</title>" +
+        "<style>body { color: red; }</style>" +
+        "<script type=\"text/javascript\">var x = 1; if (x < 2) go();</script>" +
+        "</head><body>" +
+        "<!-- a comment with <p>fake tags</p> inside -->" +
+        "<h1>The Heading</h1>" +
+        "<p>First paragraph with <b>bold</b> and <i>nested <u>deep</u></i> text.</p>" +
+        "<ul><li>item one</li><li>item two</li></ul>" +
+        "<div>Line a<br/>Line b</div>" +
+        "</body></html>"
+    val blocks = Seq(Tuple1(html)).toDF("h")
+      .select(transform(TextAnalysis.htmlToBlocks(col("h")),
+        b => trim(regexp_replace(
+          TextAnalysis.decodeHtmlEntities(regexp_replace(b, "<[^>]*>", "")),
+          "\\s+", " "))).as("t"))
+      .as[Seq[String]].head()
+    assert(blocks == Seq("My Page", "The Heading",
+      "First paragraph with bold and nested deep text.",
+      "item one", "item two", "Line a", "Line b"),
+      blocks.mkString("|"))
+  }
+
+  test("decodeHtmlEntities: amp-last ordering and the &amp;lt; edge") {
+    val got = Seq(Tuple1(
+      "Fish &amp; chips, 1 &lt; 2 &gt; 0, &quot;q&quot; &#39;a&#39; " +
+        "&apos;b&apos;, x&nbsp;y, literal &amp;lt; stays")).toDF("t")
+      .select(TextAnalysis.decodeHtmlEntities(col("t"))).as[String].head()
+    // &amp;lt; is the literal text "&lt;" — decoding &amp; first would
+    // double-decode it into "<"
+    assert(got == "Fish & chips, 1 < 2 > 0, \"q\" 'a' 'b', x y, " +
+      "literal &lt; stays", got)
+  }
+
+  test("htmlBlockFeatures: link density kills nav/footer, stopword density kills salad") {
+    val html =
+      "<body>" +
+        "<nav><ul><li><a href=\"/\">Home</a></li>" +
+        "<li><a href=\"/about\">About our whole company here</a></li></ul></nav>" +
+        "<p>It was a calm day and the people of the town were out in the " +
+        "streets, and all of them had something they would do before the " +
+        "evening came to the houses.</p>" +
+        "<p>keyword keyword keyword keyword keyword keyword keyword " +
+        "keyword keyword keyword keyword keyword keyword keyword keyword " +
+        "keyword keyword keyword keyword keyword</p>" +
+        "<footer><a href=\"/privacy\">Privacy policy</a> | " +
+        "<a href=\"/terms\">All the terms that we have of use</a></footer>" +
+        "</body>"
+    val feats = Seq(Tuple1(html)).toDF("h")
+      .select(explode(TextAnalysis.htmlBlockFeatures(col("h"),
+        minChars = 40)).as("f"))
+      .select("f.block_text", "f.keep", "f.link_chars", "f.n_raw_chars")
+      .as[(String, Boolean, Long, Long)].collect()
+    val kept = feats.filter(_._2).map(_._1)
+    assert(kept.length == 1 && kept.head.startsWith("It was a calm day"),
+      feats.mkString("\n"))
+    // the all-link footer block: every visible char inside <a> except
+    // the separator
+    val footer = feats.find(_._1.contains("Privacy policy")).get
+    assert(footer._3 > 0 && footer._3 <= footer._4 && !footer._2, footer)
+    // the keyword-salad block fails stopword density despite length
+    val salad = feats.find(_._1.startsWith("keyword")).get
+    assert(!salad._2, salad)
+  }
+
+  test("extractHtmlDf: rewrites to kept text, drops pages with no content") {
+    val good = "<body><p>It was a calm day and the people of the town " +
+      "were out in the streets, and all of them had something they " +
+      "would do before the evening came.</p></body>"
+    val navOnly = "<body><nav><a href=\"/\">Home</a></nav></body>"
+    val out = TextAnalysis.extractHtmlDf(
+        Seq((1L, good), (2L, navOnly)).toDF("doc_id", "text"), "text",
+        minChars = 40)
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L), out.toString)
+    assert(out(1L).startsWith("It was a calm day") &&
+      !out(1L).contains("<"), out(1L))
+  }
+
+  test("html regex-model limits: unclosed script leaks code (documented)") {
+    // an UNCLOSED <script> has no </script> for the non-greedy span to
+    // stop at — the code text survives as a block (the documented
+    // limit; C4Clean's javascript line rule is the downstream net)
+    val html = "<body><script>var leaked = 1;<p>after</p></body>"
+    val blocks = Seq(Tuple1(html)).toDF("h")
+      .select(transform(TextAnalysis.htmlToBlocks(col("h")),
+        b => trim(regexp_replace(b, "<[^>]*>", ""))).as("t"))
+      .as[Seq[String]].head()
+    assert(blocks.exists(_.contains("var leaked")), blocks.mkString("|"))
+  }
 }
