@@ -161,6 +161,264 @@ object SparkEntry {
        |      AS keep
        |  FROM blk)""".stripMargin
 
+  // ---- FineWeb recipe fixture pages (r12) ---------------------------
+  // Multi-line crawl pages constructed from the documents fixture, with
+  // a decorated URL per page and planted pathologies per doc_id residue
+  // (see the q_pipeline_fineweb_recipe comment). DESIGN RULES the
+  // construction must keep (the oracle replays bit-for-bit, but the
+  // SEMANTICS ride on these):
+  //  - no 4 consecutive constant tokens in any line that can survive to
+  //    the MinHash stage (so unrelated docs share zero 4-shingles and
+  //    banding pairs only the planted copies);
+  //  - no 8 consecutive constant tokens anywhere surviving (so
+  //    ExactSubstr excises only the planted intra-doc echo);
+  //  - C4-surviving lines end in '.', carry >= 5 words, avoid
+  //    'javascript'; Spanish variants outvote English stopwords.
+  private def fineWebPages(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val idS = id.cast("string")
+    val salad1 = substring(coalesce(col("text"), lit("")), 1, 100)
+    val salad2 = substring(coalesce(col("text"), lit("")), 101, 80)
+    val es = id % 13 === 0
+    val url = concat(
+      when(id % 2 === 0, lit("https://")).otherwise(lit("HTTPS://")),
+      lit("Site"), (id % 7).cast("string"), lit(".Example.COM"),
+      when(id % 3 === 0, lit(":443")).otherwise(lit("")),
+      lit("/page/"), (id % 50).cast("string"),
+      when(id % 5 === 0, lit("/")).otherwise(lit("")),
+      when(id % 2 === 1,
+        concat(lit("?utm_source=feed&x="), (id % 4).cast("string")))
+        .otherwise(lit("")))
+    val l1 = concat(salad1,
+      when(es, lit(" la gente de la casa y la calle."))
+        .otherwise(concat(lit(" told page "), idS, lit(" the story."))))
+    val l2 = when(es, concat(lit("pagina "), idS, lit(" dice que "), salad2,
+        lit(" y la casa es una linea.")))
+      .otherwise(concat(lit("page "), idS, lit(" says that "), salad2,
+        lit(" and the "), idS, lit(" ended there.")))
+    val l3 = when(id % 3 === 0,
+        lit("please enable javascript to view this page."))
+      .when(es, concat(lit("nota "), idS,
+        lit(" de esas palabras en la casa.")))
+      .otherwise(concat(lit("note "), idS, lit(" of those "), idS,
+        lit(" words here.")))
+    val l4 = when(id % 17 === 0, lit("### ### ### ### ### ### ### ###"))
+      .otherwise(lit("trailing boilerplate without punctuation"))
+    val l5 = when(id % 7 === 0, lit("lorem ipsum dolor sit amet."))
+      .otherwise(concat(lit("mail user"), idS,
+        lit("@example.com about page "), idS,
+        when(es, lit(" y el fin de la casa.")).otherwise(lit(" is fine."))))
+    val l6 = when(id % 9 === 0,
+      concat(salad1, lit(" and "), idS, lit(" said so.")))
+    val base = docs.select(id,
+      url.as("url"),
+      concat_ws("\n", l1, l2, l3, l4, l5, l6).as("text"))
+    base.unionByName(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("https://copies.example.com/copy/"),
+          col("doc_id").cast("string")).as("url"),
+        concat(col("text"), lit("\ncopy "), col("doc_id").cast("string"),
+          lit(" appears here of course.")).as("text")))
+  }
+
+  /** The FineWeb recipe replayed stage-for-stage in DuckDB: page/url
+    * construction (mirrors [[fineWebPages]] literal-for-literal), the
+    * q_dedup_by_url canon chain, the q_text_quality language votes, the
+    * q_text_gopher_rules predicate, the q_text_c4_rules line filter +
+    * page gates + rewrite, the q_dedup_minhash_portable md5 banding (at
+    * shingle 4) + the recursive-CTE components, the q_dedup_substring
+    * interval-merge rebuild (at k = 8), the q_text_redact_pii chain, and
+    * the token floor. `s1`..`s8` are the post-step corpora the audit
+    * counts.
+    */
+  private lazy val fineWebOracleCtes: String =
+    """WITH fwbase AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END
+      |    || 'Site' || (doc_id % 7) || '.Example.COM'
+      |    || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+      |    || '/page/' || (doc_id % 50)
+      |    || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+      |    || CASE WHEN doc_id % 2 = 1
+      |         THEN '?utm_source=feed&x=' || (doc_id % 4) ELSE '' END AS url,
+      |    concat_ws(chr(10),
+      |      substr(coalesce(text, ''), 1, 100) ||
+      |        CASE WHEN doc_id % 13 = 0
+      |          THEN ' la gente de la casa y la calle.'
+      |          ELSE ' told page ' || doc_id || ' the story.' END,
+      |      CASE WHEN doc_id % 13 = 0
+      |        THEN 'pagina ' || doc_id || ' dice que '
+      |          || substr(coalesce(text, ''), 101, 80)
+      |          || ' y la casa es una linea.'
+      |        ELSE 'page ' || doc_id || ' says that '
+      |          || substr(coalesce(text, ''), 101, 80)
+      |          || ' and the ' || doc_id || ' ended there.' END,
+      |      CASE WHEN doc_id % 3 = 0
+      |        THEN 'please enable javascript to view this page.'
+      |        WHEN doc_id % 13 = 0
+      |        THEN 'nota ' || doc_id || ' de esas palabras en la casa.'
+      |        ELSE 'note ' || doc_id || ' of those ' || doc_id
+      |          || ' words here.' END,
+      |      CASE WHEN doc_id % 17 = 0 THEN '### ### ### ### ### ### ### ###'
+      |        ELSE 'trailing boilerplate without punctuation' END,
+      |      CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
+      |        ELSE 'mail user' || doc_id || '@example.com about page '
+      |          || doc_id
+      |          || CASE WHEN doc_id % 13 = 0 THEN ' y el fin de la casa.'
+      |               ELSE ' is fine.' END END,
+      |      CASE WHEN doc_id % 9 = 0
+      |        THEN substr(coalesce(text, ''), 1, 100) || ' and ' || doc_id
+      |          || ' said so.' END) AS text
+      |  FROM documents),
+      |fwpages AS (
+      |  SELECT doc_id, url, text FROM fwbase
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    'https://copies.example.com/copy/' || doc_id,
+      |    text || chr(10) || 'copy ' || doc_id || ' appears here of course.'
+      |  FROM fwbase WHERE doc_id % 10 = 0),
+      |fwcu1 AS (SELECT doc_id, text,
+      |  regexp_replace(url, '#.*', '', 'g') AS cu FROM fwpages),
+      |fwcu2 AS (SELECT doc_id, text,
+      |  lower(regexp_extract(cu, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+      |  || regexp_replace(cu, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')
+      |  AS cu FROM fwcu1),
+      |fwcu3 AS (SELECT doc_id, text, regexp_replace(regexp_replace(cu,
+      |  '^(http://[^/?#:]+):80([/?#].*)?$', '\1\2', 'g'),
+      |  '^(https://[^/?#:]+):443([/?#].*)?$', '\1\2', 'g') AS cu FROM fwcu2),
+      |fwcu4 AS (SELECT doc_id, text, regexp_replace(cu,
+      |  '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\1', 'g') AS cu
+      |  FROM fwcu3),
+      |fwcu5 AS (SELECT doc_id, text, regexp_replace(regexp_replace(
+      |  regexp_replace(cu, '&&+', '&', 'g'), '\?&', '?', 'g'),
+      |  '[?&]+$', '', 'g') AS cu FROM fwcu4),
+      |s1 AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      regexp_replace(cu, '/$', '', 'g') AS url_canon FROM fwcu5)
+      |  QUALIFY row_number() OVER (PARTITION BY url_canon
+      |    ORDER BY doc_id ASC) = 1),
+      |fwlv AS (SELECT doc_id, text,
+      |  len(list_filter(string_split_regex(lower(text), '\s+'),
+      |    w -> w IN ('the','a','an','of','to','and','in','is'))) AS en,
+      |  len(list_filter(string_split_regex(lower(text), '\s+'),
+      |    w -> w IN ('el','la','de','y','que','en','un','una'))) AS es,
+      |  len(list_filter(string_split_regex(lower(text), '\s+'),
+      |    w -> w IN ('le','la','de','et','un','une','du','des'))) AS fr
+      |  FROM s1),
+      |s2 AS (SELECT doc_id, text FROM fwlv
+      |  WHERE NOT (en = 0 AND es = 0 AND fr = 0)
+      |    AND en >= es AND en >= fr),
+      |fwg0 AS (SELECT doc_id, text,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w,
+      |  list_filter(string_split(text, chr(10)), l -> l <> '') AS ls
+      |  FROM s2),
+      |fwg1 AS (SELECT doc_id, text,
+      |  len(w) AS nw,
+      |  coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS cs,
+      |  len(regexp_extract_all(text, '[#…]')) AS nsym,
+      |  len(ls) AS nl,
+      |  len(list_filter(ls, l -> trim(l) LIKE '•%'
+      |    OR trim(l) LIKE '- %' OR trim(l) LIKE '* %')) AS nb,
+      |  len(list_filter(ls, l -> trim(l) LIKE '%...'
+      |    OR trim(l) LIKE '%…')) AS ne,
+      |  len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS na,
+      |  len(list_intersect(list_transform(w, x -> lower(x)),
+      |    ['the','be','to','of','and','that','have','with'])) AS nstop
+      |  FROM fwg0),
+      |s3 AS (SELECT doc_id, text FROM fwg1
+      |  WHERE (nw >= 50 AND nw <= 100000)
+      |   AND (nw > 0 AND CAST(cs AS DOUBLE) / CAST(nw AS DOUBLE) >= 3.0
+      |        AND CAST(cs AS DOUBLE) / CAST(nw AS DOUBLE) <= 10.0)
+      |   AND (nw > 0 AND CAST(nsym AS DOUBLE) / CAST(nw AS DOUBLE) <= 0.1)
+      |   AND (nl = 0 OR CAST(nb AS DOUBLE) / CAST(nl AS DOUBLE) < 0.9)
+      |   AND (nl = 0 OR CAST(ne AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.3)
+      |   AND (nw > 0 AND CAST(na AS DOUBLE) / CAST(nw AS DOUBLE) >= 0.8)
+      |   AND (nstop >= 2)),
+      |fwc40 AS (SELECT doc_id, text,
+      |  list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS ls
+      |  FROM s3),
+      |fwc41 AS (SELECT doc_id, text,
+      |  list_filter(ls, l ->
+      |    (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+      |      OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+      |    AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+      |      x -> x <> '')) >= 5
+      |    AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+      |  FROM fwc40),
+      |s4 AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text
+      |  FROM fwc41
+      |  WHERE len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+      |    AND NOT contains(text, '{')),
+      |fwmt AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+      |    AS tk FROM s4),
+      |fwmsh AS (SELECT DISTINCT doc_id,
+      |  array_to_string(tk[i+1:i+4], ' ') AS shingle
+      |  FROM fwmt, unnest(generate_series(0, len(tk) - 4)) u(i)
+      |  WHERE len(tk) >= 4),
+      |fwmmh AS (SELECT doc_id, j,
+      |  min(CAST(concat('0x', substr(md5(shingle || ':' || (j // 4)),
+      |    1 + 8 * (j % 4), 8)) AS BIGINT)) AS mh
+      |  FROM fwmsh, unnest(generate_series(0, 7)) v(j)
+      |  GROUP BY doc_id, j),
+      |fwmb AS (SELECT doc_id, j // 2 AS band,
+      |  string_agg(mh, ',' ORDER BY j) AS sig
+      |  FROM fwmmh GROUP BY doc_id, j // 2),
+      |fwmp AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      |  FROM fwmb a JOIN fwmb c
+      |  ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id),
+      |fwme AS (SELECT id_a AS src, id_b AS dst FROM fwmp
+      |  UNION ALL SELECT id_b, id_a FROM fwmp),
+      |fwmr AS (
+      |  WITH RECURSIVE r(id, label) AS (
+      |    SELECT DISTINCT src, src FROM fwme
+      |    UNION
+      |    SELECT e.dst, r.label FROM r JOIN fwme e ON e.src = r.id)
+      |  SELECT * FROM r),
+      |fwmc AS (SELECT id, min(label) AS group_id FROM fwmr GROUP BY id),
+      |s5 AS (SELECT doc_id, text FROM s4
+      |  WHERE doc_id NOT IN (SELECT id FROM fwmc WHERE id <> group_id)),
+      |fwst AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+      |  FROM s5),
+      |fwsw AS (SELECT doc_id, i AS s,
+      |  array_to_string(tk[i+1:i+8], ' ') AS win
+      |  FROM fwst, unnest(range(0, len(tk) - 7)) r(i)
+      |  WHERE len(tk) >= 8),
+      |fwsdup AS (SELECT win FROM fwsw GROUP BY win HAVING count(*) >= 2),
+      |fwsds AS (SELECT doc_id, s FROM fwsw
+      |  WHERE win IN (SELECT win FROM fwsdup)),
+      |fwsiv AS (SELECT doc_id, s, CASE WHEN s > coalesce(max(s + 8) OVER (
+      |    PARTITION BY doc_id ORDER BY s
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |  THEN 1 ELSE 0 END AS ng FROM fwsds),
+      |fwsgr AS (SELECT doc_id, s,
+      |  sum(ng) OVER (PARTITION BY doc_id ORDER BY s) AS g FROM fwsiv),
+      |fwsmg AS (SELECT doc_id, g, min(s) AS lo, max(s) + 7 AS hi
+      |  FROM fwsgr GROUP BY doc_id, g),
+      |fwscov AS (SELECT DISTINCT doc_id, p AS pos
+      |  FROM fwsmg, unnest(range(lo, hi + 1)) u(p)),
+      |fwstokr AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok
+      |  FROM fwst, unnest(generate_series(1, len(tk))) u(i)),
+      |fwskept AS (SELECT t.doc_id, t.pos, t.tok FROM fwstokr t
+      |  LEFT JOIN fwscov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      |  WHERE c.doc_id IS NULL),
+      |s6 AS (SELECT s5.doc_id, coalesce(a.text_clean, '') AS text
+      |  FROM s5 LEFT JOIN (
+      |    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+      |    FROM fwskept GROUP BY doc_id) a USING (doc_id)),
+      |s7 AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '(?i:https?)://[^\s]+', '<URL>', 'g'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text
+      |  FROM s6),
+      |s8 AS (SELECT doc_id, text FROM s7
+      |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> x <> '')) >= 10)""".stripMargin
+
   // Deterministic fake mime assignment for the multimodal fixtures.
   private def mime: Column =
     when(col("doc_id") % 3 === 0, "image/png")
@@ -503,7 +761,11 @@ object SparkEntry {
       // r12: the byte-BPE conservation gate trains per run (quality-gate
       // ruling); the benched row is the loaded-vocab probe
       // q_text_bpe_bytes_scored.
-      "q_text_bpe_bytes_gate")
+      "q_text_bpe_bytes_gate",
+      // r12: the fineweb audit's per-stage prefix recompute re-runs the
+      // eager MinHash/components stages repeatedly (the tokenize_audit
+      // ruling); the recipe row itself stays benched.
+      "q_pipeline_fineweb_audit")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -918,6 +1180,44 @@ object SparkEntry {
         .select(col("doc_id"),
           TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_words"))
         .orderBy("doc_id")
+    }),
+    // FineWeb-shaped END-TO-END recipe (r12, VERDICT r11 §next-6): the
+    // whole raw-web chain — URL canon+dedup → language gate → Gopher →
+    // C4 → MinHash near-dup (portable) → exact substring dedup → PII
+    // redact → quality floor — as ONE CorpusPipeline.run, every step
+    // DuckDB-replayable, so the oracle replays the ENTIRE chain and
+    // hash-checks the final corpus (md5 of each surviving text).
+    //
+    // Constructed fixture (both engines build the identical pages):
+    //  - urls with decoration (the q_dedup_by_url regimes) → ~30% URL cut
+    //  - %13 docs get Spanish affixes → dropped by the en gate
+    //  - %17 docs get a '###' line → Gopher symbol-ratio drop
+    //  - %7 docs get a lorem line → C4 page drop; boilerplate/js lines
+    //    are C4 line-dropped everywhere
+    //  - %10 docs get a planted near-copy (id+1e6, unique url, one extra
+    //    line) → caught by MinHash banding, min-id original survives
+    //  - %9 docs repeat their own salad (scraper echo) → ExactSubstr
+    //    excises both occurrences (visible in n_words)
+    //  - every surviving line embeds doc_id so unrelated docs share NO
+    //    4-token shingle (banding stays quiet) and no 8-token run
+    //    (ExactSubstr stays surgical); doc-unique emails survive to the
+    //    redact stage and leave as <EMAIL>.
+    "q_pipeline_fineweb_recipe" -> ((s, d) =>
+      graft.pipeline.CorpusPipeline.run(fineWebPages(t(s, d, "documents")),
+          "doc_id", "text", graft.pipeline.CorpusPipeline.fineWebRecipe())
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_words"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")),
+    // Attrition audit over the same recipe (verify-only: the per-stage
+    // prefix recompute re-runs the eager MinHash/components stages
+    // repeatedly — audit-tool cost, the q_pipeline_tokenize_audit
+    // ruling). One row per stage, every count replayed.
+    "q_pipeline_fineweb_audit" -> ((s, d) => {
+      val (_, audit) = graft.pipeline.CorpusPipeline.runWithAudit(
+        fineWebPages(t(s, d, "documents")), "doc_id", "text",
+        graft.pipeline.CorpusPipeline.fineWebRecipe())
+      audit.orderBy("step_idx")
     }),
     "q_pipeline_tokenize_recipe" -> ((s, d) => {
       val out = graft.pipeline.CorpusPipeline.run(
@@ -4029,6 +4329,33 @@ object SparkEntry {
         |  TRUE AS loop_compresses_harder,
         |  TRUE AS ratio_bounded
         |FROM documents""".stripMargin,
+    // The FineWeb end-to-end recipe replayed stage-for-stage (r12): the
+    // final curated corpus, hash-checked per doc via md5(text) — the
+    // strongest claim the engine makes about a composed chain.
+    // NOTE: the CTE block is concatenated AFTER its own stripMargin —
+    // interpolating it inside another stripMargin string would re-strip
+    // the `||` concatenation lines down to a single `|` (binary OR).
+    "q_pipeline_fineweb_recipe" ->
+      (fineWebOracleCtes + "\n" +
+        """SELECT doc_id,
+          |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+          |    x -> x <> '')) AS BIGINT) AS n_words,
+          |  md5(text) AS text_md5
+          |FROM s8 ORDER BY doc_id""".stripMargin),
+    "q_pipeline_fineweb_audit" ->
+      (fineWebOracleCtes + "\n" +
+        """SELECT * FROM (VALUES
+          |  (0, 'input', (SELECT count(*) FROM fwpages)),
+          |  (1, 'DedupByUrl', (SELECT count(*) FROM s1)),
+          |  (2, 'KeepLangHeuristic', (SELECT count(*) FROM s2)),
+          |  (3, 'GopherQuality', (SELECT count(*) FROM s3)),
+          |  (4, 'C4Clean', (SELECT count(*) FROM s4)),
+          |  (5, 'DedupNearPortable', (SELECT count(*) FROM s5)),
+          |  (6, 'DedupSubstringsStep', (SELECT count(*) FROM s6)),
+          |  (7, 'RedactPii', (SELECT count(*) FROM s7)),
+          |  (8, 'QualityFloor', (SELECT count(*) FROM s8)))
+          |  AS a(step_idx, step, n_rows)
+          |ORDER BY step_idx""".stripMargin),
     // The byte-BPE conservation gate's truth side (r12): corpus word
     // BYTE total over the fixture plus the injected non-ASCII rows
     // (both engines construct the identical union — the redact_pii

@@ -692,6 +692,27 @@ object Dedup {
       .filter(col("__rk") > 1).select("id")
   }
 
+  /** [[dedupCorpus]] under the PORTABLE md5 hash family
+    * ([[minHashCandidatesPortable]]) — identical shuffle shape to the
+    * production xxhash path (one signature aggregation, a banded id-only
+    * self-join, components, one small anti-join), but every hash is
+    * DuckDB-replayable, so a recipe containing this step can be oracled
+    * END-TO-END (the q_pipeline_fineweb_recipe integration row). Use
+    * [[dedupCorpus]] in production (xxhash signatures are ~an order
+    * cheaper than string md5s); use this form when the chain around it
+    * must hash-replay cross-engine.
+    */
+  def dedupCorpusPortable(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, bands: Int = 4,
+                          rowsPerBand: Int = 2): DataFrame = {
+    val pairs = minHashCandidatesPortable(df, idCol, textCol, shingleN,
+      bands, rowsPerBand)
+    val losers = duplicateGroups(pairs.select("id_a", "id_b"))
+      .filter(col("id") =!= col("group_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** [[dedupCorpus]] with the survivor chosen by QUALITY, not id: real
     * pipelines keep the best copy of a duplicate cluster (longest, highest
     * quality score, preferred source), not the accidental minimum id. Same

@@ -70,6 +70,42 @@ object CorpusPipeline {
     */
   case object DedupNear extends Step
 
+  /** URL-keyed dedup (r12, [[graft.operators.Dedup.dedupByUrl]]) — the
+    * CommonCrawl-style FIRST pass: canonicalize `urlCol` and keep the
+    * min-id doc per canonical URL (deterministic; for quality-aware
+    * survivor choice call the operator directly with a preference
+    * order). The transient canon column is dropped, so the step
+    * preserves the frame's schema.
+    */
+  final case class DedupByUrl(urlCol: String) extends Step
+
+  /** Keep docs whose stopword-vote language ID
+    * ([[graft.operators.TextAnalysis.langId]]) lands in `keepLangs` —
+    * the ORACLE-REPLAYABLE language gate (exact integer votes, fixed
+    * tie order). [[KeepLanguages]] is the trained-profile production
+    * form; this heuristic form exists so a recipe containing a language
+    * gate can still hash-replay end-to-end in DuckDB.
+    */
+  final case class KeepLangHeuristic(keepLangs: Set[String]) extends Step
+
+  /** Near-duplicate removal under the PORTABLE md5 MinHash family
+    * (r12, [[graft.operators.Dedup.dedupCorpusPortable]]): same shuffle
+    * shape as [[DedupNear]], every hash DuckDB-replayable — the choice
+    * for end-to-end-oracled recipes; prefer [[DedupNear]] (xxhash) in
+    * production.
+    */
+  final case class DedupNearPortable(shingleN: Int = 3, bands: Int = 4,
+                                     rowsPerBand: Int = 2) extends Step
+
+  /** Exact substring dedup (r12,
+    * [[graft.operators.Dedup.dedupSubstrings]] — Lee et al. 2022
+    * ExactSubstr): remove every token run of >= `minTokens` tokens
+    * appearing at least twice in the corpus, at arbitrary alignment;
+    * text is rewritten (whitespace normalized to single spaces by the
+    * token rebuild), rows survive.
+    */
+  final case class DedupSubstringsStep(minTokens: Int) extends Step
+
   /** Drop docs sharing >= minHits distinct n-grams with an eval set
     * ([[graft.operators.Dedup.decontaminate]]).
     */
@@ -237,6 +273,47 @@ object CorpusPipeline {
   final case class MixTemperature(groupCol: String, alpha: Double,
                                   targetRows: Long) extends Step
 
+  /** The FineWeb-shaped END-TO-END reference recipe (r12, VERDICT r11
+    * §next-6) — the standard raw-web curation chain (Penedo et al. 2024,
+    * "The FineWeb Datasets", arXiv:2406.17557) as ONE recipe value, the
+    * integration showcase the 20 steps exist for:
+    *
+    *   1. URL canon + dedup (the cheap crawl-level cut)
+    *   2. language gate (replayable heuristic form)
+    *   3. Gopher document-quality rules
+    *   4. C4 line-level cleaning (page drop + line rewrite)
+    *   5. MinHash near-dup removal (portable family)
+    *   6. exact substring dedup (Lee et al. 2022 ExactSubstr)
+    *   7. PII redaction
+    *   8. token-count quality floor
+    *
+    * Ordering notes: document-level near-dup (5) runs BEFORE substring
+    * excision (6) — ExactSubstr removes BOTH occurrences of every
+    * duplicated run, so running it first would erase exactly the
+    * whole-document duplicate evidence MinHash needs (the Lee et al.
+    * setup also exact-dedups whole docs before ExactSubstr). PII
+    * redaction (7) runs after the rewrites so placeholders cannot be
+    * split by them; the floor (8) judges the text a trainer would
+    * actually see. Every step is DuckDB-replayable, so the WHOLE chain
+    * is oracled end-to-end (q_pipeline_fineweb_recipe + _audit).
+    */
+  def fineWebRecipe(urlCol: String = "url",
+                    keepLangs: Set[String] = Set("en"),
+                    substrMinTokens: Int = 8,
+                    minTokens: Int = 10): Seq[Step] = Seq(
+    DedupByUrl(urlCol),
+    KeepLangHeuristic(keepLangs),
+    GopherQuality,
+    C4Clean,
+    // shingle 4, not 3: the fixture's constructed pages embed doc_id so
+    // no two unrelated docs share a 4-token run — banding then pairs
+    // ONLY genuine near-copies; real crawl text wants 4-5-gram shingles
+    // for the same precision reason (FineWeb uses 5-grams).
+    DedupNearPortable(shingleN = 4),
+    DedupSubstringsStep(substrMinTokens),
+    RedactPii,
+    QualityFloor(minTokens))
+
   /** Rewrite `textCol` with `f(id, text)`'s `text_clean` output while
     * preserving every other column (inner join back on id — both span
     * dedups emit one row per input doc, so no rows are lost).
@@ -296,6 +373,20 @@ object CorpusPipeline {
             graft.operators.Dedup.dedupSpansAcross(d, idCol, textCol, n, minDocs))
         case DedupNear =>
           graft.operators.Dedup.dedupCorpus(d, idCol, textCol)
+        case DedupByUrl(urlCol) =>
+          graft.operators.Dedup.dedupByUrl(d, urlCol,
+            prefer = Seq(col(idCol).asc), canonCol = "__url_canon")
+            .drop("__url_canon")
+        case KeepLangHeuristic(keepLangs) =>
+          d.filter(graft.operators.TextAnalysis.langId(col(textCol))
+            .isInCollection(keepLangs))
+        case DedupNearPortable(shingleN, bands, rowsPerBand) =>
+          graft.operators.Dedup.dedupCorpusPortable(d, idCol, textCol,
+            shingleN, bands, rowsPerBand)
+        case DedupSubstringsStep(minTokens) =>
+          rewriteText(d, idCol, textCol)(
+            graft.operators.Dedup.dedupSubstrings(d, idCol, textCol,
+              minTokens))
         case Decontaminate(evalDocs, evalTextCol, n, minHits) =>
           graft.operators.Dedup.decontaminate(d, evalDocs, idCol, textCol,
             evalTextCol, n, minHits)

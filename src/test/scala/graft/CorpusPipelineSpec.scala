@@ -79,6 +79,50 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.head._3 == "w") // schema preserved through the rewrite
   }
 
+  test("fineWebRecipe: url dup, language, near-copy and echoed spans all handled") {
+    def salad(doc: Int, a: Int, b: Int) =
+      (a to b).map(i => s"w${doc}x$i").mkString(" ")
+    // every constructed line embeds its doc id so unrelated docs share
+    // no 4-token shingle and no 8-token run (the fixture discipline the
+    // driver query documents)
+    def enPage(id: Int) = Seq(
+      salad(id, 1, 30) + s" and page $id story was told here fine.",
+      s"the page $id full text goes " + salad(id, 31, 55) +
+        " and it ended there.",
+      s"note $id of those $id words here it is $id done fine.")
+      .mkString("\n")
+    val docs = Seq(
+      (1L, "https://ex.com/a", enPage(1)),
+      // same canonical URL as doc 1 (case + trailing slash decoration)
+      (2L, "HTTPS://EX.com/a/", enPage(2)),
+      // Spanish page -> language gate
+      (3L, "https://ex.com/c", Seq(
+        "el texto de la casa y la calle es una linea que se ve bien.",
+        "la casa y el texto de la calle es una linea que se ve bien.",
+        "una linea de la casa y el texto que se ve bien en la calle.")
+        .mkString("\n")),
+      // near-copy of doc 1 (one extra line), unique url -> MinHash
+      (4L, "https://ex.com/d",
+        enPage(1) + "\ncopy 4 extra line is here of course fine."),
+      // doc that echoes its own opening tokens -> ExactSubstr excision
+      (5L, "https://ex.com/e", Seq(
+        salad(5, 1, 30) + " and page 5 story was told here fine.",
+        "the page 5 full text goes " + salad(5, 31, 55) +
+          " and it ended there.",
+        salad(5, 1, 10) + " and 5 said so again here done fine.")
+        .mkString("\n"))
+    ).toDF("doc_id", "url", "text")
+    val out = CorpusPipeline.run(docs, "doc_id", "text",
+        CorpusPipeline.fineWebRecipe())
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 5L), out.keySet.toString)
+    // doc 5's echoed opening run was excised from BOTH occurrences
+    assert(!out(5L).contains("w5x1 "), out(5L))
+    assert(out(5L).contains("w5x31"), out(5L)) // untouched middle survives
+    // doc 1 (no duplicate anywhere after the copy died) keeps its salad
+    assert(out(1L).contains("w1x1 ") && out(1L).contains("w1x30"), out(1L))
+  }
+
   test("PerplexityFloorKN step drops the high-perplexity tail under KN") {
     val loop = (1 to 40).map(_ => "click here to subscribe").mkString(" ")
     val mixed = new scala.util.Random(3)
