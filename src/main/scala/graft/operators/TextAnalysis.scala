@@ -654,11 +654,17 @@ object TextAnalysis {
     * segments (inline tags intact — the link-density rule still needs
     * them). One codegen'd projection, no shuffle, no explode.
     */
-  def htmlToBlocks(html: Column): Column = {
-    val boundaried = regexp_replace(
-      regexp_replace(html, HtmlInvisibleRe, ""), HtmlBlockBoundaryRe, "\n")
-    filter(split(boundaried, "\n"), b => htmlBlockText(b) =!= "")
-  }
+  /** Raw segments before the visibility filter: invisible content
+    * dropped, every block-level tag a boundary, split on the boundary.
+    * The shared front half of [[htmlToBlocks]] and [[htmlBlockFeatures]].
+    */
+  private def htmlRawSegments(html: Column): Column =
+    split(regexp_replace(
+      regexp_replace(html, HtmlInvisibleRe, ""), HtmlBlockBoundaryRe, "\n"),
+      "\n")
+
+  def htmlToBlocks(html: Column): Column =
+    filter(htmlRawSegments(html), b => htmlBlockText(b) =!= "")
 
   /** The stopword list the block classifier scores density against —
     * ~50 core English function words (jusText ships ~600 per language;
@@ -700,27 +706,55 @@ object TextAnalysis {
       s"htmlBlockFeatures: maxLinkDensity in [0,1], got $maxLinkDensity")
     require(minStopDensity >= 0 && minStopDensity <= 1,
       s"htmlBlockFeatures: minStopDensity in [0,1], got $minStopDensity")
-    transform(htmlToBlocks(html), b => {
-      val rawText = decodeHtmlEntities(stripHtmlTags(b))
-      val text = trim(regexp_replace(rawText, "\\s+", " "))
+    // Catalyst higher-order-function lambdas evaluate INTERPRETED with
+    // no subexpression elimination, so a single lambda that names
+    // `text` / `rawText` / `alphaWords` once but references them from
+    // several derived expressions re-runs the strip+decode chain once
+    // per REFERENCE — the filterByCompressionRatio triple-eval lesson
+    // (ADVICE r11) one level down, at ~10 evaluations per block in the
+    // naive form. Staged transforms bind each heavy intermediate as a
+    // struct field exactly once; the extra array passes are cheap
+    // struct copies. Semantically identical to the single-lambda form
+    // (the DuckDB oracle replays the same chain either way).
+    val withRaw = transform(htmlRawSegments(html),
+      b => struct(b.as("b"),
+        decodeHtmlEntities(stripHtmlTags(b)).as("raw")))
+    val withText = transform(withRaw, s => struct(
+      s.getField("b").as("b"), s.getField("raw").as("raw"),
+      trim(regexp_replace(s.getField("raw"), "\\s+", " ")).as("txt")))
+    val visible = filter(withText, s => s.getField("txt") =!= "")
+    val withWords = transform(visible, s => struct(
+      s.getField("b").as("b"), s.getField("raw").as("raw"),
+      s.getField("txt").as("txt"),
+      regexp_extract_all(lower(s.getField("txt")), lit("[a-z]+"), lit(0))
+        .as("aw")))
+    val counted = transform(withWords, s => {
       val linkChars = aggregate(
-        transform(regexp_extract_all(b, lit(HtmlAnchorRe), lit(0)),
-          s => length(decodeHtmlEntities(stripHtmlTags(s)))),
+        transform(regexp_extract_all(s.getField("b"), lit(HtmlAnchorRe),
+            lit(0)),
+          a => length(decodeHtmlEntities(stripHtmlTags(a)))),
         lit(0), (acc, x) => acc + x)
-      val alphaWords = regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
-      val nWords = size(alphaWords)
-      val nStop = size(filter(alphaWords,
-        w => w.isInCollection(StopwordsWebEn)))
-      val nChars = length(text)
-      val nRaw = length(rawText)
-      val keep = nChars >= minChars &&
-        linkChars.cast("double") / nRaw.cast("double") <= maxLinkDensity &&
-        nWords > 0 &&
-        nStop.cast("double") / nWords.cast("double") >= minStopDensity
-      struct(text.as("block_text"), nChars.cast("long").as("n_chars"),
-        nWords.cast("long").as("n_words"), nStop.cast("long").as("n_stop"),
+      struct(s.getField("txt").as("block_text"),
+        length(s.getField("txt")).cast("long").as("n_chars"),
+        size(s.getField("aw")).cast("long").as("n_words"),
+        size(filter(s.getField("aw"),
+          w => w.isInCollection(StopwordsWebEn))).cast("long").as("n_stop"),
         linkChars.cast("long").as("link_chars"),
-        nRaw.cast("long").as("n_raw_chars"), keep.as("keep"))
+        length(s.getField("raw")).cast("long").as("n_raw_chars"))
+    })
+    transform(counted, s => {
+      val keep = s.getField("n_chars") >= minChars &&
+        s.getField("link_chars").cast("double") /
+          s.getField("n_raw_chars").cast("double") <= maxLinkDensity &&
+        s.getField("n_words") > 0L &&
+        s.getField("n_stop").cast("double") /
+          s.getField("n_words").cast("double") >= minStopDensity
+      struct(s.getField("block_text").as("block_text"),
+        s.getField("n_chars").as("n_chars"),
+        s.getField("n_words").as("n_words"),
+        s.getField("n_stop").as("n_stop"),
+        s.getField("link_chars").as("link_chars"),
+        s.getField("n_raw_chars").as("n_raw_chars"), keep.as("keep"))
     })
   }
 
