@@ -28,6 +28,13 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     TableSpec.read(spark, dir, name)
 
+  /** Test/diagnostic hook: the constructed FineWeb crawl-page fixture
+    * over the documents table (see [[fineWebPages]]).
+    */
+  private[graft] def fineWebPagesForProfile(spark: SparkSession,
+                                            dir: String): DataFrame =
+    fineWebPages(t(spark, dir, "documents"))
+
   /** Flagship query (SURVEY.md §3.3 reconciliation): monthly row-count
     * alignment of lineitem vs orders — scan, null-filter, derived month key,
     * hash-agg both sides, full-outer align, diff.
@@ -548,6 +555,28 @@ object SparkEntry {
     path
   }
 
+  // SemDeDup assignment index for the amortized semantic-dedup probe:
+  // the q_dedup_semantic_text chain (text → hashed vector → quantize →
+  // sampled k-means train → cell assign) paid once per process per
+  // sf-dir at write time; the benched probe then runs only the
+  // within-cell pair stage + components over the stored assignments.
+  private lazy val semIdxTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-semidx").toString
+
+  private def semIdxEnsure(s: SparkSession, d: String): String = {
+    val path = s"$semIdxTmpDir/${new java.io.File(d).getName}"
+    if (!graft.pipeline.Sinks.exists(s, path)) {
+      val vecs = t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.hashedTextVector(col("text"), 64).as("hv"))
+        .filter(col("hv").isNotNull)
+      val q = Similarity.quantizeEmbeddings(vecs, "doc_id", "hv")
+        .select(col("id").as("doc_id"), col("qvec"))
+      SemDedup.semDedupWriteIndex(q, "doc_id", "qvec", dim = 64,
+        nCentroids = 32, path = path)
+    }
+    path
+  }
+
   // Substring-fingerprint index for the incremental ExactSubstr probe:
   // corpus half (doc_id >= 120) indexed once per process per sf-dir (the
   // mhIdxEnsure convention).
@@ -765,7 +794,16 @@ object SparkEntry {
       // r12: the fineweb audit's per-stage prefix recompute re-runs the
       // eager MinHash/components stages repeatedly (the tokenize_audit
       // ruling); the recipe row itself stays benched.
-      "q_pipeline_fineweb_audit")
+      "q_pipeline_fineweb_audit",
+      // r12 (VERDICT r11 §next-8): the amortized-probe ruling applied to
+      // the last train-per-run bench row — q_dedup_semantic_text
+      // re-vectorizes the corpus and re-trains cells every run (4.9 s
+      // local, the top bench row); the benched steady state is now
+      // q_dedup_semantic_indexed (persisted assignments → pair stage +
+      // components only), whose survivor set the oracled idx gate pins
+      // equal to this form's. The gate itself runs both sides, so it is
+      // verify-only too (the quality-gate ruling).
+      "q_dedup_semantic_text", "q_dedup_semantic_idx_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -1696,6 +1734,47 @@ object SparkEntry {
       SemDedup.dedupSemanticScoped(q, "doc_id", "qvec", dim = 64,
           nCentroids = 32, minCosNum = 9, minCosDen = 10)(
         _.select("doc_id").orderBy("doc_id").localCheckpoint(true))
+    }),
+    // Amortized probe (r12, VERDICT r11 §next-8) — the BENCHED semantic-
+    // dedup row: the text→vector→quantize→train chain is paid once at
+    // index-write time (semIdxEnsure, in this row's untimed warm-up);
+    // each timed run reads the stored (id, qvec, cell) assignments and
+    // runs ONLY the within-cell pair stage + components — the production
+    // steady state where a corpus index serves many dedup/append cycles.
+    // Same survivor set as q_dedup_semantic_text (deterministic sampled
+    // train), pinned by the oracled idx gate below plus the family's
+    // hashvec/semdedup gates and portable twins.
+    "q_dedup_semantic_indexed" -> ((s, d) =>
+      SemDedup.dedupSemanticIndexed(s, semIdxEnsure(s, d),
+          minCosNum = 9, minCosDen = 10)
+        .select(col("id").as("doc_id")).orderBy("doc_id")),
+    // Oracled equality gate (verify-only): the indexed probe's survivor
+    // set must EQUAL the train-per-run form's — set equality via the
+    // side-tag sum (the q_dedup_embed_gate convention; each frame
+    // referenced exactly once, see that query's DeduplicateRelations
+    // note). n_docs anchors the row to the corpus; the booleans replay
+    // as constants.
+    "q_dedup_semantic_idx_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val vecs = docs.select(col("doc_id"),
+          TextAnalysis.hashedTextVector(col("text"), 64).as("hv"))
+        .filter(col("hv").isNotNull)
+      val q = Similarity.quantizeEmbeddings(vecs, "doc_id", "hv")
+        .select(col("id").as("doc_id"), col("qvec"))
+      val trainSurv = SemDedup.dedupSemanticScoped(q, "doc_id", "qvec",
+          dim = 64, nCentroids = 32, minCosNum = 9, minCosDen = 10)(
+        _.select("doc_id").localCheckpoint(true))
+      val probeSurv = SemDedup.dedupSemanticIndexed(s, semIdxEnsure(s, d),
+          minCosNum = 9, minCosDen = 10)
+        .select(col("id").as("doc_id"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(probeSurv.withColumn("__side", lit(1L))
+          .unionByName(trainSurv.withColumn("__side", lit(2L)))
+          .groupBy("doc_id").agg(sum("__side").as("__t"))
+          .agg(count(lit(1)).as("__n"),
+            count(when(col("__t") =!= 3L, 1)).as("__m")))
+        .select(col("n_docs"), (col("__n") > 0L).as("nonempty"),
+          (col("__m") === 0L).as("probe_equals_train"))
     }),
     // Gate (verify-only): (a) identical text ⇒ identical vector — exact,
     // an engine invariant; (b) consecutive-id docs (different texts) stay
@@ -5498,6 +5577,13 @@ object SparkEntry {
     "q_dedup_semdedup_gate" ->
       """SELECT CAST(256 AS BIGINT) AS n_vectors, true AS collapse_ok,
         |  true AS coverage_ok""".stripMargin,
+    // The indexed-probe equality gate: survivor-set identity is an
+    // engine-internal fact (xxhash vectors, trained cells) asserted
+    // Spark-side; the oracle pins the expected constants plus the
+    // replayable corpus anchor (the q_dedup_semdedup_gate convention).
+    "q_dedup_semantic_idx_gate" ->
+      """SELECT count(*) AS n_docs, true AS nonempty,
+        |  true AS probe_equals_train FROM documents""".stripMargin,
     // Replays ivfPqTopKPortable bit-for-bit: the q_sim_ivf_portable coarse
     // machinery (±1 md5 "c<cell>:<i>" planes, argmax assign with min-cell
     // ties, top-4 probe) composed with the q_sim_pq_portable codebooks

@@ -164,6 +164,107 @@ object SemDedup {
     finally pinned.unpersist()
   }
 
+  /** Persist a SemDeDup index: the quantized vectors with their trained
+    * cell assignments, hash-partitioned on `cell=<i>/` directories, plus
+    * the centroid sidecar (`_centroids`, the [[Similarity.ivfWriteIndex]]
+    * format — dim and cell count travel with the index as the sidecar's
+    * row shape). This is the amortized steady state the `*_scored` /
+    * `*_indexed` bench rows measure everywhere else in the repo: the
+    * vectorize→quantize→k-means-train cost is paid ONCE at write time
+    * (training samples a deterministic md5-uniform fraction, the FAISS
+    * practice — see [[dedupSemantic]]), and every later dedup pass runs
+    * only the within-cell pair stage + components over the stored
+    * assignments. Rows whose vector is not `dim`-long are NOT indexed
+    * (nothing to cluster); callers route off-dim rows separately, as
+    * [[dedupSemantic]]'s anti-join convention does implicitly.
+    */
+  def semDedupWriteIndex(emb: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, nCentroids: Int, path: String,
+                         maxIter: Int = 8,
+                         trainFraction: Double = 0.25): Unit = {
+    val onDim = emb.filter(size(col(vecCol)) === dim)
+    val cents =
+      if (trainFraction >= 1.0)
+        Similarity.kMeansCentroids(onDim, vecCol, dim, nCentroids, maxIter)
+      else
+        Similarity.kMeansCentroidsSampled(onDim, idCol, vecCol, dim,
+          nCentroids, trainFraction, maxIter)
+    Similarity.quantizeEmbeddings(onDim, idCol, vecCol)
+      .select(col("id"), col("qvec"),
+        Similarity.ivfAssignTo(col("qvec"), cents).as("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_centroids")
+  }
+
+  /** O(batch) incremental maintenance: assign a new vector batch with the
+    * SIDECAR centroids — the only family consistent with the cells already
+    * on disk — and append only the new rows into their `cell=<i>/`
+    * directories (the [[Similarity.ivfAppendIndex]] shape). The next
+    * [[dedupSemanticIndexed]] pass sees old+new rows under one partition
+    * layout; no retrain, no rewrite, no re-vectorizing the corpus.
+    */
+  def semDedupAppendIndex(emb: DataFrame, idCol: String, vecCol: String,
+                          path: String): Unit = {
+    val cents = readIndexCentroids(emb.sparkSession, path)
+    val dim = cents.head.length
+    Similarity.quantizeEmbeddings(
+        emb.filter(size(col(vecCol)) === dim), idCol, vecCol)
+      .select(col("id"), col("qvec"),
+        Similarity.ivfAssignTo(col("qvec"), cents).as("cell"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(path)
+  }
+
+  /** Load the centroid sidecar of a SemDeDup index, failing with an
+    * actionable message when it is missing (an index written by something
+    * else, or a crash between the data and sidecar writes).
+    */
+  private def readIndexCentroids(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Array[Array[Double]] = {
+    val side =
+      try spark.read.parquet(s"$path/_centroids").select("cell", "centroid")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"SemDeDup index at $path has no readable centroid sidecar " +
+              "(_centroids); rewrite it with semDedupWriteIndex", e)
+      }
+    side.orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Dedup FROM a persisted index — the amortized probe: read the stored
+    * (id, qvec, cell) assignments, run the integer-exact within-cell pair
+    * stage + connected components, and return the SURVIVING index rows
+    * (min-id member of each semantic group, the [[dedupSemantic]]
+    * convention). Identical parameters and corpus give the identical
+    * survivor set as [[dedupSemantic]] run from scratch (the sampled
+    * k-means train is deterministic), which the oracled idx gate pins —
+    * but here the per-pass cost is the pair stage only; vectorization and
+    * training were paid at write time.
+    */
+  def dedupSemanticIndexed(spark: org.apache.spark.sql.SparkSession,
+                           path: String, minCosNum: Int = 9,
+                           minCosDen: Int = 10,
+                           maxCellRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
+    val cents = readIndexCentroids(spark, path)
+    val dim = cents.head.length
+    val assigned = spark.read.parquet(path).select("id", "qvec", "cell")
+    val pairs = pairsWithinCells(assigned, dim, minCosNum, minCosDen,
+      maxCellRows, s"SemDedup.dedupSemanticIndexed($path)")
+    val losers = Dedup.duplicateGroups(pairs.select("id_a", "id_b"))
+      .filter(col("id") =!= col("group_id"))
+      .select("id")
+    assigned.join(losers, Seq("id"), "left_anti")
+  }
+
   /** Oracle-portable twin: the md5-parity ±1 cell family of
     * [[Similarity.ivfTopKPortable]] ("c<cell>:<i>" — SemDeDup shares the
     * IVF twin's cell structure) with the integer-dot argmax assignment,

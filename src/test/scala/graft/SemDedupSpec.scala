@@ -152,6 +152,73 @@ class SemDedupSpec extends SparkSpec {
     assert(e.getMessage.contains("nCentroids"), e.getMessage)
   }
 
+  test("persisted index: probe survivors equal dedupSemantic from scratch") {
+    // r12 (VERDICT r11 §next-8): the amortized form — writeIndex pays
+    // the train+assign once; dedupSemanticIndexed must return EXACTLY
+    // the scratch form's survivor set (same deterministic sampled train,
+    // same integer-exact pair stage), not an approximation of it.
+    val emb = Similarity.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 6, dim = 16, noise = 0.03)
+    val dir = java.nio.file.Files.createTempDirectory("semidx-spec").toString
+    SemDedup.semDedupWriteIndex(emb, "vec_id", "embedding", dim = 16,
+      nCentroids = 8, path = s"$dir/idx")
+    val probe = SemDedup.dedupSemanticIndexed(spark, s"$dir/idx")
+      .select("id").as[Long].collect().toSet
+    val scratch = SemDedup.dedupSemantic(emb, "vec_id", "embedding",
+        dim = 16, nCentroids = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(probe == scratch, s"probe ${probe.size} vs scratch ${scratch.size}")
+    // the index schema carries the assignment: every cell within range
+    val cells = spark.read.parquet(s"$dir/idx").select("cell")
+      .as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8))
+  }
+
+  test("persisted index: O(batch) append joins the next dedup pass") {
+    // half the corpus indexed, the other half appended under the SIDECAR
+    // centroids — the post-append probe must collapse a planted copy that
+    // straddles the write/append boundary.
+    val base = (1L to 8L).map(i =>
+      (i, s"indexed doc $i about subject $i with words a$i b$i c$i d$i"))
+    val docs = base.toDF("doc_id", "text")
+    val vecs = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.hashedTextVector(col("text"), 32).as("hv"))
+      .filter(col("hv").isNotNull)
+    val q = Similarity.quantizeEmbeddings(vecs, "doc_id", "hv")
+      .select(col("id").as("doc_id"), col("qvec"))
+    val dir = java.nio.file.Files.createTempDirectory("semidx-app").toString
+    SemDedup.semDedupWriteIndex(q, "doc_id", "qvec", dim = 32,
+      nCentroids = 2, path = s"$dir/idx")
+    // the appended batch: verbatim copies of docs 1 and 4 under new ids
+    val copies = Seq(101L -> base(0)._2, 104L -> base(3)._2)
+      .toDF("doc_id", "text")
+    val cvecs = copies.select(col("doc_id"),
+        graft.operators.TextAnalysis.hashedTextVector(col("text"), 32).as("hv"))
+      .filter(col("hv").isNotNull)
+    val cq = Similarity.quantizeEmbeddings(cvecs, "doc_id", "hv")
+      .select(col("id").as("doc_id"), col("qvec"))
+    SemDedup.semDedupAppendIndex(cq, "doc_id", "qvec", s"$dir/idx")
+    val kept = SemDedup.dedupSemanticIndexed(spark, s"$dir/idx")
+      .select("id").as[Long].collect().toSet
+    assert(!kept.contains(101L) && !kept.contains(104L),
+      s"appended verbatim copies survived: $kept") // identical vector, same cell
+    assert(kept.contains(1L) && kept.contains(4L), kept.toString)
+  }
+
+  test("persisted index: a missing centroid sidecar fails loudly") {
+    val emb = Similarity.clusteredEmbeddings(spark, nClusters = 4,
+      perCluster = 4, dim = 16, noise = 0.03)
+    val dir = java.nio.file.Files.createTempDirectory("semidx-bad").toString
+    // data without the sidecar — e.g. a crash between the two writes
+    Similarity.quantizeEmbeddings(emb, "vec_id", "embedding")
+      .withColumn("cell", lit(0)).write.partitionBy("cell")
+      .parquet(s"$dir/idx")
+    val e = intercept[IllegalStateException] {
+      SemDedup.dedupSemanticIndexed(spark, s"$dir/idx").count()
+    }
+    assert(e.getMessage.contains("semDedupWriteIndex"), e.getMessage)
+  }
+
   test("embedding-free path: hashed text vectors collapse verbatim copies") {
     // 8 distinct docs + verbatim copies of 3 — identical text means an
     // identical hashed vector, the same cell, cosine exactly 1, so the

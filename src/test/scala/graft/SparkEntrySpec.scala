@@ -57,7 +57,14 @@ class SparkEntrySpec extends SparkSpec {
         Seq("q_text_hashvec_gate", "q_text_hashvec_portable"),
       "q_dedup_semantic_text" ->
         Seq("q_text_hashvec_gate", "q_text_hashvec_portable",
-          "q_dedup_semdedup_gate", "q_dedup_semdedup_portable"))
+          "q_dedup_semdedup_gate", "q_dedup_semdedup_portable"),
+      // r12: the amortized probe is pinned by the oracled equality gate
+      // (probe survivors == train-form survivors) on top of the family's
+      // own gates/twins.
+      "q_dedup_semantic_indexed" ->
+        Seq("q_dedup_semantic_idx_gate", "q_text_hashvec_gate",
+          "q_text_hashvec_portable", "q_dedup_semdedup_gate",
+          "q_dedup_semdedup_portable"))
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val unpinned = rowsOnly.filter(q => pins.getOrElse(q, Nil).isEmpty)
     assert(unpinned.isEmpty, s"rows-only queries without a declared pin: $unpinned")
