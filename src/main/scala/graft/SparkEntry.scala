@@ -115,51 +115,60 @@ object SparkEntry {
   /** Shared CTE prefix: constructed pages → raw block segments → one row
     * per block with every feature the keep rule needs.
     */
-  private def htmlOracleCtes: String =
-    s"""WITH pages AS (
+  private def htmlPagesCte: String =
+    s"""pages AS (
        |  SELECT doc_id,
        |    '$HtmlPagePrefix' || substring(coalesce(text, ''), 1, 120) ||
        |    '$HtmlPara1Pad' || '$HtmlPara2' ||
        |    CASE WHEN doc_id % 3 = 0 THEN '$HtmlPara3A'
        |         ELSE '$HtmlPara3B' END ||
        |    '$HtmlPageSuffix' AS html
-       |  FROM documents),
-       |seg AS (
-       |  SELECT doc_id, list_filter(
-       |    string_split(regexp_replace(regexp_replace(html,
+       |  FROM documents)""".stripMargin
+
+  /** The block-segmentation + feature + keep-rule CTE chain over ANY
+    * source of html strings, parameterized by source CTE name, key
+    * column list, and html column — so the same replay (byte-identical
+    * when instantiated at `("pages", "doc_id", "html")`) also runs over
+    * WARC response payloads keyed by (chunk_id, record_idx).
+    */
+  private def htmlKeptCtes(src: String, keys: String,
+                           htmlCol: String): String =
+    s"""seg AS (
+       |  SELECT $keys, list_filter(
+       |    string_split(regexp_replace(regexp_replace($htmlCol,
        |      '${TextAnalysis.HtmlInvisibleRe}', '', 'g'),
        |      '${TextAnalysis.HtmlBlockBoundaryRe}', chr(10), 'g'), chr(10)),
        |    b -> ${sqlHtmlText(sqlHtmlRaw("b"))} <> '') AS blocks
-       |  FROM pages),
+       |  FROM $src),
        |ex AS (
-       |  SELECT doc_id, unnest(list_transform(range(1, len(blocks) + 1),
+       |  SELECT $keys, unnest(list_transform(range(1, len(blocks) + 1),
        |    i -> {'i': i, 'b': blocks[i]})) AS u
        |  FROM seg),
        |fr AS (
-       |  SELECT doc_id, u.i - 1 AS block_idx, u.b AS b,
+       |  SELECT $keys, u.i - 1 AS block_idx, u.b AS b,
        |    ${sqlHtmlRaw("u.b")} AS raw
        |  FROM ex),
        |ft AS (
-       |  SELECT doc_id, block_idx, ${sqlHtmlText("raw")} AS txt,
+       |  SELECT $keys, block_idx, ${sqlHtmlText("raw")} AS txt,
        |    len(raw) AS n_raw,
        |    coalesce(list_sum(list_transform(
        |      regexp_extract_all(b, '${TextAnalysis.HtmlAnchorRe}'),
        |      s -> len(${sqlHtmlRaw("s")}))), 0) AS link_chars
        |  FROM fr),
        |fw AS (
-       |  SELECT doc_id, block_idx, txt, n_raw, link_chars,
+       |  SELECT $keys, block_idx, txt, n_raw, link_chars,
        |    len(txt) AS n_chars,
        |    regexp_extract_all(lower(txt), '[a-z]+') AS aw
        |  FROM ft),
        |blk AS (
-       |  SELECT doc_id, block_idx, txt, n_raw, link_chars, n_chars,
+       |  SELECT $keys, block_idx, txt, n_raw, link_chars, n_chars,
        |    len(aw) AS n_words,
        |    len(list_filter(aw, w -> w IN (${
             TextAnalysis.StopwordsWebEn.map(w => s"'$w'").mkString(", ")})))
        |      AS n_stop
        |  FROM fw),
        |kept AS (
-       |  SELECT doc_id, block_idx, txt, n_raw, link_chars, n_chars,
+       |  SELECT $keys, block_idx, txt, n_raw, link_chars, n_chars,
        |    n_words, n_stop,
        |    (n_chars >= 70
        |     AND CAST(link_chars AS DOUBLE) / CAST(n_raw AS DOUBLE) <= 0.2
@@ -167,6 +176,168 @@ object SparkEntry {
        |     AND CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2)
        |      AS keep
        |  FROM blk)""".stripMargin
+
+  private def htmlOracleCtes: String =
+    s"""WITH $htmlPagesCte,
+       |${htmlKeptCtes("pages", "doc_id", "html")}""".stripMargin
+
+  // ---- WARC fixture chunks (r12) ------------------------------------
+  // Constructed WARC chunks over the html fixture pages: per doc a
+  // request + a 200 text/html response record (the html payload IS
+  // pages.html), five docs per chunk behind a warcinfo record — every
+  // record carrying true Content-Length, ISO date, decorated URI. Both
+  // engines build the IDENTICAL chunk string from the shared constants
+  // below (the htmlPages convention: no single quotes anywhere), and
+  // the oracle replays the parse chain CTE-for-CTE.
+  private val WarcRespH1 = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "
+  private val WarcH2Date = "\r\nWARC-Date: "
+  private val WarcRespH3 = "\r\nWARC-Record-ID: <urn:uuid:rec-"
+  private val WarcRespH4 =
+    ">\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "
+  private val WarcHttpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+    "charset=UTF-8\r\nServer: graft-demo\r\n\r\n"
+  private val WarcReqH1 = "WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: "
+  private val WarcReqH3 = "\r\nWARC-Record-ID: <urn:uuid:req-"
+  private val WarcReqH4 =
+    ">\r\nContent-Type: application/http; msgtype=request\r\nContent-Length: "
+  private val WarcInfoH1 = "WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: " +
+    "2024-01-01T00:00:00Z\r\nWARC-Record-ID: <urn:uuid:info-"
+  private val WarcInfoH2 =
+    ">\r\nContent-Type: application/warc-fields\r\nContent-Length: "
+  private val WarcInfoBody1 = "software: graft-fixture\r\nisPartOf: chunk-"
+  private val WarcGet1 = "GET /page/"
+  private val WarcGet2 = " HTTP/1.1\r\nHost: site"
+  private val WarcGet3 = ".example\r\nUser-Agent: graft\r\n\r\n"
+  private val WarcUri1 = "http://site"
+  private val WarcUri2 = ".example/page/"
+
+  private def warcChunks(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val idS = id.cast("string")
+    val uri = concat(lit(WarcUri1), (id % 7).cast("string"), lit(WarcUri2), idS)
+    val date = concat(lit("2024-01-"),
+      lpad((id % 28 + 1).cast("string"), 2, "0"), lit("T00:00:00Z"))
+    val reqBlock = concat(lit(WarcGet1), idS, lit(WarcGet2),
+      (id % 7).cast("string"), lit(WarcGet3))
+    val httpBlock = concat(lit(WarcHttpHead), col("html"))
+    val rec = concat(
+      lit(WarcReqH1), uri, lit(WarcH2Date), date, lit(WarcReqH3), idS,
+      lit(WarcReqH4), length(reqBlock).cast("string"), lit(Warc.Sep),
+      reqBlock, lit(Warc.Sep),
+      lit(WarcRespH1), uri, lit(WarcH2Date), date, lit(WarcRespH3), idS,
+      lit(WarcRespH4), length(httpBlock).cast("string"), lit(Warc.Sep),
+      httpBlock, lit(Warc.Sep))
+    val cIdS = col("chunk_id").cast("string")
+    val infoBody = concat(lit(WarcInfoBody1), cIdS, lit("\r\n"))
+    htmlPages(docs)
+      .select(expr("doc_id div 5").as("chunk_id"), col("doc_id"), rec.as("rec"))
+      .groupBy("chunk_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+        s => s.getField("rec")), "").as("__recs"))
+      .select(col("chunk_id"), concat(
+        lit(WarcInfoH1), cIdS, lit(WarcInfoH2),
+        length(infoBody).cast("string"), lit(Warc.Sep), infoBody,
+        lit(Warc.Sep), col("__recs")).as("warc"))
+  }
+
+  /** A Scala string constant as a DuckDB concat expression, CRLFs
+    * spliced as `chr(13) || chr(10)` (DuckDB string literals do not
+    * process backslash escapes). Constants are single-quote-free.
+    */
+  private def wq(s: String): String =
+    "'" + s.replace("\r\n", "' || chr(13) || chr(10) || '") + "'"
+
+  /** The WARC oracle CTE prefix: chunk construction (mirroring
+    * [[warcChunks]] from the same constants) + the parse chain replayed
+    * stage-for-stage (split on the marker, head/block at the first empty
+    * line, header extraction with the shared `(?im)` patterns, the HTTP
+    * envelope, the single terminator strip).
+    */
+  private def warcOracleCtes: String = {
+    val infoSql = s"${wq(WarcInfoBody1)} || CAST(chunk_id AS VARCHAR) || " +
+      s"${wq("\r\n")}"
+    s"""WITH $htmlPagesCte,
+       |rb AS (
+       |  SELECT doc_id, doc_id // 5 AS chunk_id,
+       |    ${wq(WarcUri1)} || CAST(doc_id % 7 AS VARCHAR) || ${wq(WarcUri2)} ||
+       |      CAST(doc_id AS VARCHAR) AS uri,
+       |    '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+       |      'T00:00:00Z' AS dt,
+       |    ${wq(WarcGet1)} || CAST(doc_id AS VARCHAR) || ${wq(WarcGet2)} ||
+       |      CAST(doc_id % 7 AS VARCHAR) || ${wq(WarcGet3)} AS req_block,
+       |    ${wq(WarcHttpHead)} || html AS http_block
+       |  FROM pages),
+       |recs AS (
+       |  SELECT doc_id, chunk_id,
+       |    ${wq(WarcReqH1)} || uri || ${wq(WarcH2Date)} || dt ||
+       |    ${wq(WarcReqH3)} || CAST(doc_id AS VARCHAR) || ${wq(WarcReqH4)} ||
+       |    CAST(length(req_block) AS VARCHAR) || ${wq(Warc.Sep)} ||
+       |    req_block || ${wq(Warc.Sep)} ||
+       |    ${wq(WarcRespH1)} || uri || ${wq(WarcH2Date)} || dt ||
+       |    ${wq(WarcRespH3)} || CAST(doc_id AS VARCHAR) || ${wq(WarcRespH4)} ||
+       |    CAST(length(http_block) AS VARCHAR) || ${wq(Warc.Sep)} ||
+       |    http_block || ${wq(Warc.Sep)} AS rec
+       |  FROM rb),
+       |chunks AS (
+       |  SELECT chunk_id,
+       |    ${wq(WarcInfoH1)} || CAST(chunk_id AS VARCHAR) || ${wq(WarcInfoH2)} ||
+       |    CAST(length($infoSql) AS VARCHAR) || ${wq(Warc.Sep)} ||
+       |    $infoSql || ${wq(Warc.Sep)} ||
+       |    string_agg(rec, '' ORDER BY doc_id) AS warc
+       |  FROM recs GROUP BY chunk_id),
+       |rl AS (
+       |  SELECT chunk_id, u.i - 1 AS record_idx, u.r AS r FROM (
+       |    SELECT chunk_id, unnest(list_transform(range(1, len(rs) + 1),
+       |      i -> {'i': i, 'r': rs[i]})) AS u FROM (
+       |      SELECT chunk_id, list_filter(
+       |        string_split(warc, ${wq(Warc.RecordMarker)}), x -> x <> '') AS rs
+       |      FROM chunks))),
+       |hb AS (
+       |  SELECT chunk_id, record_idx, r,
+       |    strpos(r, ${wq(Warc.Sep)}) AS p
+       |  FROM rl),
+       |hb2 AS (
+       |  SELECT chunk_id, record_idx,
+       |    CASE WHEN p > 0 THEN substring(r, 1, p - 1) ELSE r END AS head,
+       |    CASE WHEN p > 0 THEN substring(r, p + 4) ELSE '' END AS block
+       |  FROM hb),
+       |wf AS (
+       |  SELECT chunk_id, record_idx, block,
+       |    regexp_extract(head, '${Warc.WarcTypeRe}', 1) AS warc_type,
+       |    regexp_extract(head, '${Warc.TargetUriRe}', 1) AS target_uri,
+       |    regexp_extract(head, '${Warc.WarcDateRe}', 1) AS warc_date,
+       |    regexp_extract(head, '${Warc.RecordIdRe}', 1) AS record_id,
+       |    regexp_extract(head, '${Warc.ContentTypeRe}', 1) AS content_type,
+       |    regexp_extract(head, '${Warc.ContentLengthRe}', 1) AS cl_raw
+       |  FROM hb2),
+       |hf AS (
+       |  SELECT chunk_id, record_idx, warc_type, target_uri, warc_date,
+       |    record_id, content_type, cl_raw,
+       |    (block LIKE 'HTTP/1.%') AS is_http,
+       |    strpos(block, ${wq(Warc.Sep)}) AS hp, block
+       |  FROM wf),
+       |pf AS (
+       |  SELECT chunk_id, record_idx, warc_type, target_uri, warc_date,
+       |    record_id, content_type, cl_raw,
+       |    CASE WHEN is_http
+       |         THEN regexp_extract(block, '${Warc.HttpStatusRe}', 1)
+       |         ELSE '' END AS st_raw,
+       |    CASE WHEN is_http AND hp > 0 THEN substring(block, 1, hp - 1)
+       |         ELSE '' END AS http_head,
+       |    CASE WHEN is_http AND hp > 0 THEN substring(block, hp + 4)
+       |         ELSE block END AS body_raw
+       |  FROM hf),
+       |parsed AS (
+       |  SELECT chunk_id, record_idx, warc_type, target_uri, warc_date,
+       |    record_id, content_type,
+       |    try_cast(cl_raw AS BIGINT) AS content_length,
+       |    try_cast(st_raw AS BIGINT) AS http_status,
+       |    regexp_extract(http_head, '${Warc.ContentTypeRe}', 1)
+       |      AS http_content_type,
+       |    regexp_replace(body_raw, '\\r\\n\\r\\n$$', '') AS payload
+       |  FROM pf)""".stripMargin
+  }
 
   // ---- FineWeb recipe fixture pages (r12) ---------------------------
   // Multi-line crawl pages constructed from the documents fixture, with
@@ -803,7 +974,12 @@ object SparkEntry {
       // components only), whose survivor set the oracled idx gate pins
       // equal to this form's. The gate itself runs both sides, so it is
       // verify-only too (the quality-gate ruling).
-      "q_dedup_semantic_text", "q_dedup_semantic_idx_gate")
+      "q_dedup_semantic_text", "q_dedup_semantic_idx_gate",
+      // r12: the composed WARC→text chain re-bills q_warc_records'
+      // parse under the bench's count action while its extraction
+      // projection prunes away — the superset ruling; both stay
+      // hash-green.
+      "q_warc_to_text")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -1870,6 +2046,32 @@ object SparkEntry {
         .withColumn("n_content_chars", length(col("content")).cast("long"))
         .orderBy("doc_id")
     }),
+    // WARC ingest (r12) — the crawl FRONT DOOR, one stage before
+    // ExtractHtml: constructed chunks (warcinfo + per-doc request/
+    // response records with true Content-Lengths, the response payloads
+    // being the html fixture pages) parsed into per-record rows. The
+    // ENTIRE chain — chunk construction, marker split, head/block
+    // separation, header extraction, HTTP envelope, terminator strip —
+    // replays CTE-for-CTE in DuckDB from the same shared constants,
+    // and the payload strings land in the hash comparison verbatim.
+    "q_warc_records" -> ((s, d) =>
+      Warc.parseRecords(warcChunks(t(s, d, "documents")), "chunk_id", "warc")
+        .orderBy("chunk_id", "record_idx")),
+    // The composed front door (verify-only: its benched time would
+    // re-bill q_warc_records' parse while the extraction projection is
+    // pruned under the bench's count action — the superset ruling):
+    // WARC chunks → 200 text/html responses → main-content extraction,
+    // i.e. raw crawl bytes to training text in ONE lazy plan. The
+    // oracle re-derives content over the REPLAYED response payloads via
+    // the parameterized html CTE chain.
+    "q_warc_to_text" -> ((s, d) =>
+      Warc.responseDocuments(warcChunks(t(s, d, "documents")), "chunk_id",
+          "warc")
+        .select(col("chunk_id"), col("record_idx"), col("url"),
+          col("fetched_at"),
+          TextAnalysis.extractMainContent(col("html")).as("content"))
+        .withColumn("n_content_chars", length(col("content")).cast("long"))
+        .orderBy("chunk_id", "record_idx")),
     // Trained Cavnar–Trenkle rank-profile language ID (late r10): profiles
     // from the labeled fixture, out-of-place scoring of every doc — all
     // exact-integer (row_number ranks, abs-diff sums, label-asc ties), so
@@ -4570,6 +4772,39 @@ object SparkEntry {
         |  CAST(coalesce(len(string_agg(txt, chr(10) ORDER BY block_idx)
         |    FILTER (WHERE keep)), 0) AS BIGINT) AS n_content_chars
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // The WARC parse chain replayed record-for-record; the payload
+    // strings themselves land in the hash (r12).
+    "q_warc_records" ->
+      s"""$warcOracleCtes
+        |SELECT chunk_id, CAST(record_idx AS BIGINT) AS record_idx,
+        |  warc_type, target_uri, warc_date, record_id, content_type,
+        |  content_length, http_status, http_content_type, payload,
+        |  CAST(len(payload) AS BIGINT) AS n_payload_chars
+        |FROM parsed ORDER BY chunk_id, record_idx""".stripMargin,
+    // Raw crawl bytes → training text: the replayed response payloads
+    // fed through the SAME parameterized block/keep CTE chain the html
+    // queries replay, re-keyed by (chunk_id, record_idx).
+    "q_warc_to_text" ->
+      s"""$warcOracleCtes,
+        |resp AS (
+        |  SELECT chunk_id, record_idx, target_uri, warc_date,
+        |    payload AS html
+        |  FROM parsed
+        |  WHERE warc_type = 'response' AND http_status = 200
+        |    AND http_content_type LIKE 'text/html%'),
+        |${htmlKeptCtes("resp", "chunk_id, record_idx", "html")},
+        |agg AS (
+        |  SELECT chunk_id, record_idx,
+        |    coalesce(string_agg(txt, chr(10) ORDER BY block_idx)
+        |      FILTER (WHERE keep), '') AS content
+        |  FROM kept GROUP BY chunk_id, record_idx)
+        |SELECT r.chunk_id, CAST(r.record_idx AS BIGINT) AS record_idx,
+        |  r.target_uri AS url, r.warc_date AS fetched_at,
+        |  coalesce(a.content, '') AS content,
+        |  CAST(len(coalesce(a.content, '')) AS BIGINT) AS n_content_chars
+        |FROM resp r LEFT JOIN agg a
+        |  ON a.chunk_id = r.chunk_id AND a.record_idx = r.record_idx
+        |ORDER BY r.chunk_id, r.record_idx""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'

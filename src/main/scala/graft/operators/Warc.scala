@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** WARC (Web ARChive, ISO 28500) record extraction — the stage BEFORE
+  * everything else in a raw-crawl corpus: CommonCrawl ships WARC files,
+  * and the first thing a pipeline does is turn records into
+  * (url, fetch date, HTML payload) rows for [[TextAnalysis.extractHtmlDf]]
+  * and the FineWeb-shaped chain after it. The reference engine has no
+  * crawl surface (SURVEY §2 extension family, the htmlToBlocks
+  * precedent).
+  *
+  * Parse model — marker-delimited, like the HTML tag model, with its
+  * limits documented and spec-pinned rather than hidden: a chunk is one
+  * or more CONCATENATED records, each `WARC/1.0\r\n` + header lines +
+  * `\r\n\r\n` + content block + `\r\n\r\n`. Records are split on the
+  * version marker, not on `Content-Length` byte offsets, so a payload
+  * that contains the literal marker sequence splits early (real HTTP
+  * payloads do not start lines with it; the spec test pins the
+  * behavior). Header names match case-insensitively (`(?i)` —
+  * ASCII-only in both Java and RE2); a header whose value embeds a
+  * newline is outside the model (header folding was removed in
+  * WARC/1.1). Everything is Java∩RE2-safe string ops (no lookaround,
+  * no backreferences), so the WHOLE chain replays in DuckDB — the
+  * q_text_html_blocks oracle convention.
+  *
+  * Scale shape: pure per-row column expressions over chunk strings —
+  * map-only, shuffle-free; one input chunk explodes to its records and
+  * nothing else. At 100 TB the chunks arrive one-per-row from a
+  * WARC-aware reader (CommonCrawl's ~1 GiB files split at record
+  * boundaries); the parse itself never needs cross-row state. The
+  * per-record gzip members of `.warc.gz` files are a DECOMPRESSION
+  * concern (a codec, not a parser): feed decompressed text here.
+  *
+  * Per-record intermediates are staged across chained `transform`s so
+  * each heavy substring/regex evaluates exactly once — Catalyst HOF
+  * lambdas run interpreted with no subexpression elimination (the
+  * htmlBlockFeatures lesson, BENCH_NOTES_r12).
+  */
+object Warc {
+
+  /** The record-start marker (version line). Shared with the oracle SQL
+    * generator so the two engines split on the same delimiter.
+    */
+  private[graft] val RecordMarker = "WARC/1.0\r\n"
+  private val RecordMarkerRe = "WARC/1\\.0\\r\\n"
+
+  /** Header/block and block-terminator separator: one empty line. */
+  private[graft] val Sep = "\r\n\r\n"
+
+  // Shared header-extraction patterns (Java∩RE2; the SQL generator
+  // interpolates these same constants, so the engines cannot drift).
+  private[graft] val WarcTypeRe = "(?im)^warc-type: *([^\\r\\n]*)"
+  private[graft] val TargetUriRe = "(?im)^warc-target-uri: *([^\\r\\n]*)"
+  private[graft] val WarcDateRe = "(?im)^warc-date: *([^\\r\\n]*)"
+  private[graft] val RecordIdRe = "(?im)^warc-record-id: *([^\\r\\n]*)"
+  private[graft] val ContentTypeRe = "(?im)^content-type: *([^\\r\\n]*)"
+  private[graft] val ContentLengthRe = "(?im)^content-length: *([0-9]+)"
+  private[graft] val HttpStatusRe = "^HTTP/1\\.[01] ([0-9]{3})"
+
+  /** Raw per-record strings of a chunk (version markers consumed by the
+    * split; a non-record preamble before the first marker would surface
+    * as a record whose fields parse empty — observable, not swallowed).
+    */
+  def warcRecords(chunk: Column): Column =
+    filter(split(chunk, RecordMarkerRe), r => r =!= "")
+
+  /** Parse every record of a chunk into its standard fields, as
+    * `array<struct>` aligned with [[warcRecords]]:
+    *
+    *   - `warc_type` / `target_uri` / `warc_date` / `record_id` /
+    *     `content_type`: the WARC header values ('' when absent — the
+    *     regexp_extract no-match convention, identical in DuckDB)
+    *   - `content_length`: the declared length, NULL when absent or
+    *     malformed (`try_cast`)
+    *   - `http_status` / `http_content_type`: parsed from the content
+    *     block when it is an HTTP response message (NULL / '' otherwise)
+    *   - `payload`: the content past the HTTP headers for HTTP blocks,
+    *     the raw block otherwise, with the record's closing `\r\n\r\n`
+    *     terminator stripped — exactly once, so a payload genuinely
+    *     ending in one CRLF keeps it
+    */
+  def warcRecordFields(chunk: Column): Column = {
+    // stage 1: head/block at the FIRST empty line
+    val st1 = transform(warcRecords(chunk), r => {
+      val p = instr(r, Sep)
+      struct(
+        when(p > 0, r.substr(lit(1), p - 1)).otherwise(r).as("head"),
+        when(p > 0, r.substr(p + 4, length(r))).otherwise(lit(""))
+          .as("block"))
+    })
+    // stage 2: WARC headers from the head
+    val st2 = transform(st1, s => {
+      val h = s.getField("head")
+      struct(
+        s.getField("block").as("block"),
+        regexp_extract(h, WarcTypeRe, 1).as("warc_type"),
+        regexp_extract(h, TargetUriRe, 1).as("target_uri"),
+        regexp_extract(h, WarcDateRe, 1).as("warc_date"),
+        regexp_extract(h, RecordIdRe, 1).as("record_id"),
+        regexp_extract(h, ContentTypeRe, 1).as("content_type"),
+        regexp_extract(h, ContentLengthRe, 1).as("cl_raw"))
+    })
+    // stage 3: HTTP envelope of the block (when present)
+    val st3 = transform(st2, s => {
+      val b = s.getField("block")
+      val isHttp = b.startsWith("HTTP/1.")
+      val hp = instr(b, Sep)
+      struct(
+        s.getField("warc_type").as("warc_type"),
+        s.getField("target_uri").as("target_uri"),
+        s.getField("warc_date").as("warc_date"),
+        s.getField("record_id").as("record_id"),
+        s.getField("content_type").as("content_type"),
+        s.getField("cl_raw").as("cl_raw"),
+        when(isHttp, regexp_extract(b, HttpStatusRe, 1)).otherwise(lit(""))
+          .as("st_raw"),
+        when(isHttp && hp > 0, b.substr(lit(1), hp - 1)).otherwise(lit(""))
+          .as("http_head"),
+        when(isHttp && hp > 0, b.substr(hp + 4, length(b))).otherwise(b)
+          .as("body_raw"))
+    })
+    // stage 4: final fields (typed casts, the terminator strip)
+    transform(st3, s => struct(
+      s.getField("warc_type").as("warc_type"),
+      s.getField("target_uri").as("target_uri"),
+      s.getField("warc_date").as("warc_date"),
+      s.getField("record_id").as("record_id"),
+      s.getField("content_type").as("content_type"),
+      s.getField("cl_raw").try_cast(LongType).as("content_length"),
+      s.getField("st_raw").try_cast(LongType).as("http_status"),
+      regexp_extract(s.getField("http_head"), ContentTypeRe, 1)
+        .as("http_content_type"),
+      regexp_replace(s.getField("body_raw"), "\\r\\n\\r\\n$", "")
+        .as("payload")))
+  }
+
+  /** One row per record: `(idCol, record_idx, <fields>, n_payload_chars)`.
+    * The posexplode keeps record order within each chunk.
+    */
+  def parseRecords(df: DataFrame, idCol: String, warcCol: String): DataFrame =
+    df.select(col(idCol), posexplode(warcRecordFields(col(warcCol))))
+      .select(col(idCol), col("pos").cast("long").as("record_idx"),
+        col("col.warc_type"), col("col.target_uri"), col("col.warc_date"),
+        col("col.record_id"), col("col.content_type"),
+        col("col.content_length"), col("col.http_status"),
+        col("col.http_content_type"), col("col.payload"))
+      .withColumn("n_payload_chars", length(col("payload")).cast("long"))
+
+  /** The crawl front door: successful (200) HTML response records as
+    * `(idCol, record_idx, url, fetched_at, html)` — the exact input
+    * shape of [[TextAnalysis.extractHtmlDf]] and the FineWeb chain
+    * behind it. Requests, warcinfo/metadata records, non-200 fetches,
+    * and non-HTML content types drop here.
+    */
+  def responseDocuments(df: DataFrame, idCol: String,
+                        warcCol: String): DataFrame =
+    parseRecords(df, idCol, warcCol)
+      .filter(col("warc_type") === "response" &&
+        col("http_status") === 200L &&
+        col("http_content_type").startsWith("text/html"))
+      .select(col(idCol), col("record_idx"),
+        col("target_uri").as("url"), col("warc_date").as("fetched_at"),
+        col("payload").as("html"))
+}

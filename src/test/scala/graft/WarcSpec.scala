@@ -1,0 +1,111 @@
+package graft
+
+import graft.operators.Warc
+import org.apache.spark.sql.functions._
+
+/** WARC record extraction: splitting, header parsing, the HTTP
+  * envelope, the terminator strip, response filtering — plus the parse
+  * model's documented limits pinned as behavior, not hidden.
+  */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = "\r\n\r\n"
+
+  private def respRec(uri: String, status: String, ctype: String,
+                      body: String): String =
+    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: 2024-02-03T04:05:06Z\r\nWARC-Record-ID: <urn:uuid:r1>\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${body.length}$S" +
+      s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\nServer: t$S$body$S"
+
+  private val reqRec: String =
+    s"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: http://a/\r\n" +
+      s"WARC-Date: 2024-02-03T04:05:06Z\r\nContent-Type: " +
+      s"application/http; msgtype=request\r\nContent-Length: 20$S" +
+      s"GET / HTTP/1.1\r\nHost: a$S"
+
+  private val infoRec: String =
+    s"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: " +
+      s"application/warc-fields\r\nContent-Length: 18$S" +
+      s"software: graft\r\n$S"
+
+  private def parse(chunks: (Long, String)*) =
+    Warc.parseRecords(chunks.toSeq.toDF("cid", "warc"), "cid", "warc")
+
+  test("multi-record chunk: types, headers, indices, payloads") {
+    val html = "<html><p>Body text here.</p></html>"
+    val rows = parse(1L -> (infoRec + reqRec +
+        respRec("http://a/x", "200 OK", "text/html; charset=UTF-8", html)))
+      .orderBy("record_idx")
+      .select("record_idx", "warc_type", "target_uri", "content_length",
+        "http_status", "http_content_type", "payload")
+      .as[(Long, String, String, Option[Long], Option[Long], String, String)]
+      .collect()
+    assert(rows.map(_._2).toSeq == Seq("warcinfo", "request", "response"))
+    assert(rows(0)._4.contains(18L) && rows(0)._5.isEmpty)
+    assert(rows(0)._7 == "software: graft\r\n") // non-HTTP block verbatim
+    assert(rows(1)._3 == "http://a/" && rows(1)._5.isEmpty)
+    assert(rows(1)._7 == "GET / HTTP/1.1\r\nHost: a") // request block raw
+    assert(rows(2)._5.contains(200L))
+    assert(rows(2)._6 == "text/html; charset=UTF-8")
+    assert(rows(2)._7 == html) // HTTP headers stripped, terminator gone
+  }
+
+  test("terminator strip is exact: a payload ending in one CRLF keeps it") {
+    val rows = parse(1L -> respRec("http://a/", "200 OK", "text/html",
+        "line one\r\n"))
+      .select("payload").as[String].collect()
+    assert(rows.head == "line one\r\n")
+  }
+
+  test("missing headers parse empty/null, not as errors") {
+    val bare = s"WARC/1.0\r\nWARC-Type: metadata$S" + s"k: v$S"
+    val r = parse(9L -> bare)
+      .select("warc_type", "target_uri", "content_length", "http_status")
+      .as[(String, String, Option[Long], Option[Long])].collect().head
+    assert(r == (("metadata", "", None, None)))
+  }
+
+  test("header names match case-insensitively") {
+    val odd = s"WARC/1.0\r\nwarc-type: RESPONSE\r\nwarc-target-uri: U$S" +
+      s"x$S"
+    val r = parse(2L -> odd).select("warc_type", "target_uri")
+      .as[(String, String)].collect().head
+    assert(r == (("RESPONSE", "U"))) // names fold, values do not
+  }
+
+  test("responseDocuments keeps only 200 text/html responses") {
+    val chunk = reqRec +
+      respRec("http://ok/", "200 OK", "text/html", "<p>yes</p>") +
+      respRec("http://gone/", "404 Not Found", "text/html", "<p>no</p>") +
+      respRec("http://img/", "200 OK", "image/png", "PNGBYTES") +
+      infoRec
+    val docs = Warc.responseDocuments(Seq(5L -> chunk).toDF("cid", "warc"),
+        "cid", "warc")
+      .select("url", "html").as[(String, String)].collect().toSeq
+    assert(docs == Seq("http://ok/" -> "<p>yes</p>"))
+  }
+
+  test("parse-model limit (pinned): a marker inside a payload splits early") {
+    // The marker-delimited model cannot see Content-Length, so a payload
+    // containing the record marker at a line start truncates the record
+    // there — documented in the Scaladoc, pinned here so a change is
+    // deliberate.
+    val evil = respRec("http://e/", "200 OK", "text/html",
+      "before\r\nWARC/1.0\r\nafter")
+    val rows = parse(3L -> evil).orderBy("record_idx")
+      .select("warc_type", "payload").as[(String, String)].collect()
+    assert(rows.length == 2)
+    assert(rows(0)._1 == "response" && rows(0)._2.startsWith("before"))
+    assert(rows(1)._1 == "") // the orphan tail parses as an empty-typed row
+  }
+
+  test("a chunk not starting at a record boundary surfaces the preamble") {
+    val rows = parse(4L -> ("garbage preamble\r\n" +
+        respRec("http://p/", "200 OK", "text/html", "<p>t</p>")))
+      .orderBy("record_idx").select("warc_type").as[String].collect()
+    assert(rows.toSeq == Seq("", "response")) // observable, not swallowed
+  }
+}
