@@ -978,8 +978,9 @@ object SparkEntry {
       // r12: the composed WARC→text chain re-bills q_warc_records'
       // parse under the bench's count action while its extraction
       // projection prunes away — the superset ruling; both stay
-      // hash-green.
-      "q_warc_to_text")
+      // hash-green. The gz gate is a codec round trip (quality-gate
+      // ruling).
+      "q_warc_to_text", "q_warc_gz_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -2072,6 +2073,27 @@ object SparkEntry {
           TextAnalysis.extractMainContent(col("html")).as("content"))
         .withColumn("n_content_chars", length(col("content")).cast("long"))
         .orderBy("chunk_id", "record_idx")),
+    // The .warc.gz codec gate (verify-only, the quality-gate ruling):
+    // gunzip(gzip(chunk)) must round-trip every chunk EXACTLY (JDK-side
+    // codec — not DuckDB-replayable, so the oracle pins constants), and
+    // the record count parsed FROM THE GUNZIPPED side replays as
+    // arithmetic over documents (1 warcinfo per chunk + request +
+    // response per doc) — the gunzip output carries real load in the
+    // comparison, not just a boolean.
+    "q_warc_gz_gate" -> ((s, d) => {
+      val chunks = warcChunks(t(s, d, "documents"))
+      val rt = chunks.select(col("chunk_id"), col("warc").as("orig"),
+        Warc.gunzipChunk(Warc.gzipChunk(col("warc"))).as("warc"))
+      chunks.agg(count(lit(1)).as("n_chunks"))
+        .crossJoin(rt.filter(col("warc").isNull ||
+            col("warc") =!= col("orig"))
+          .agg(count(lit(1)).as("__m")))
+        .crossJoin(Warc.parseRecords(rt.select("chunk_id", "warc"),
+            "chunk_id", "warc")
+          .agg(count(lit(1)).as("n_records")))
+        .select(col("n_chunks"), (col("__m") === 0L).as("roundtrip_exact"),
+          col("n_records"))
+    }),
     // Trained Cavnar–Trenkle rank-profile language ID (late r10): profiles
     // from the labeled fixture, out-of-place scoring of every doc — all
     // exact-integer (row_number ranks, abs-diff sums, label-asc ties), so
@@ -4805,6 +4827,15 @@ object SparkEntry {
         |FROM resp r LEFT JOIN agg a
         |  ON a.chunk_id = r.chunk_id AND a.record_idx = r.record_idx
         |ORDER BY r.chunk_id, r.record_idx""".stripMargin,
+    // Codec gate: the round trip is a JDK-side engine invariant; the
+    // record count replays as arithmetic over documents (one warcinfo
+    // per chunk, a request + a response per doc).
+    "q_warc_gz_gate" ->
+      """SELECT count(DISTINCT doc_id // 5) AS n_chunks,
+        |  true AS roundtrip_exact,
+        |  CAST(count(DISTINCT doc_id // 5) + 2 * count(*) AS BIGINT)
+        |    AS n_records
+        |FROM documents""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  CASE WHEN en = 0 AND es = 0 AND fr = 0 THEN 'und'

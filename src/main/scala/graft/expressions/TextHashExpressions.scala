@@ -883,6 +883,216 @@ object CompressOps {
   }
 }
 
+/** Native one-pass Gopher §A1.1 document counting + page predicate
+  * (Rae et al. 2021 — the rule set `TextAnalysis.gopherRules` defines
+  * as named columns). The COLUMN form stays the executable, oracled
+  * specification; this static exists for the FILTER path: a rule-set
+  * conjunction in a Filter is split into per-rule conjuncts by
+  * FilterExec with no subexpression elimination, and the HOF subtrees
+  * (`filter`/`transform`/`aggregate` over the word and line arrays) are
+  * additionally excluded from codegen subexpression elimination because
+  * their lambdas contain `LambdaVariable`s — so the column-form filter
+  * re-split the text ~8× per row (BENCH_NOTES_r12; the
+  * compressionInBand precedent, ADVICE r11). Here: one word pass + one
+  * symbol pass + one line pass per document, one static call per row.
+  * Tokenization, trimming, and lowercasing mirror the column form
+  * operation-for-operation (split `\s+` drop empties; trim = ASCII
+  * 0x20 only, the UTF8String.trim contract; `UTF8String.toLowerCase`
+  * for stopword membership); parity is spec-pinned on crafted edges
+  * AND random corpora (TextAnalysisSpec).
+  */
+object GopherOps {
+  private val Stops: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def trimSpaces(l: String): String = {
+    var a = 0
+    var b = l.length
+    while (a < b && l.charAt(a) == ' ') a += 1
+    while (b > a && l.charAt(b - 1) == ' ') b -= 1
+    l.substring(a, b)
+  }
+
+  /** [n_words, char_sum, n_sym, n_lines, n_bullet, n_ellipsis, n_alpha,
+    * n_stop_distinct] — the exact integers every rule thresholds.
+    */
+  private def rawCounts(text: UTF8String): Array[Long] = {
+    val s = text.toString
+    val out = new Array[Long](8)
+    val toks = s.split("\\s+")
+    var stopMask = 0
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      if (w.nonEmpty) {
+        out(0) += 1
+        out(1) += w.codePointCount(0, w.length)
+        var j = 0
+        var alpha = false
+        while (j < w.length && !alpha) {
+          val c = w.charAt(j)
+          alpha = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+          j += 1
+        }
+        if (alpha) out(6) += 1
+        val lw = UTF8String.fromString(w).toLowerCase.toString
+        var k = 0
+        while (k < Stops.length) {
+          if (Stops(k) == lw) stopMask |= 1 << k
+          k += 1
+        }
+      }
+      i += 1
+    }
+    out(7) = java.lang.Integer.bitCount(stopMask).toLong
+    var p = 0
+    while (p < s.length) {
+      val c = s.charAt(p)
+      if (c == '#' || c == '…') out(2) += 1
+      p += 1
+    }
+    val lines = s.split("\n", -1)
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (l.nonEmpty) {
+        out(3) += 1
+        val t = trimSpaces(l)
+        if (t.startsWith("•") || t.startsWith("- ") ||
+          t.startsWith("* ")) out(4) += 1
+        if (t.endsWith("...") || t.endsWith("…")) out(5) += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  def counts(text: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(rawCounts(text))
+
+  /** The full conjunction as ONE call — thresholds mirror
+    * `TextAnalysis.gopherRules` (spec-pinned equal, so a threshold edit
+    * there fails loudly here).
+    */
+  def pass(text: UTF8String): Boolean = {
+    val c = rawCounts(text)
+    val nW = c(0)
+    val nL = c(3)
+    nW >= 50 && nW <= 100000 &&
+      c(1).toDouble / nW.toDouble >= 3.0 &&
+      c(1).toDouble / nW.toDouble <= 10.0 &&
+      c(2).toDouble / nW.toDouble <= 0.1 &&
+      (nL == 0 || c(4).toDouble / nL.toDouble < 0.9) &&
+      (nL == 0 || c(5).toDouble / nL.toDouble <= 0.3) &&
+      c(6).toDouble / nW.toDouble >= 0.8 &&
+      c(7) >= 2
+  }
+}
+
+/** Native C4 line-level cleaning (Raffel et al. 2020 §2.2 — the rule
+  * set `TextAnalysis.c4Rules` defines as named columns): the
+  * line-cleaned page text when every page rule passes, NULL when the
+  * page drops — page predicate and rewrite in ONE static call per row,
+  * replacing an interpreted per-line HOF chain evaluated once in the
+  * filter and again in the rewrite. Line membership mirrors
+  * `c4LineKept` operation-for-operation (non-blank after space-trim,
+  * terminal punctuation, >= 5 whitespace words, no 'javascript'
+  * case-folded); kept lines re-join UNTRIMMED in original order, the
+  * `c4CleanedText` contract. Parity spec-pinned (TextAnalysisSpec).
+  */
+object C4Ops {
+  private def trimSpaces(l: String): String = {
+    var a = 0
+    var b = l.length
+    while (a < b && l.charAt(a) == ' ') a += 1
+    while (b > a && l.charAt(b - 1) == ' ') b -= 1
+    l.substring(a, b)
+  }
+
+  private def wordCount(t: String): Int = {
+    val toks = t.split("\\s+")
+    var n = 0
+    var i = 0
+    while (i < toks.length) { if (toks(i).nonEmpty) n += 1; i += 1 }
+    n
+  }
+
+  def clean(text: UTF8String): UTF8String = {
+    if (text.toLowerCase.toString.contains("lorem ipsum")) return null
+    val s = text.toString
+    if (s.indexOf('{') >= 0) return null
+    val lines = s.split("\n", -1)
+    val sb = new java.lang.StringBuilder
+    var kept = 0
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      val t = trimSpaces(l)
+      if (t.nonEmpty) {
+        val terminal = t.endsWith(".") || t.endsWith("!") ||
+          t.endsWith("?") || t.endsWith("\"")
+        if (terminal && wordCount(t) >= 5 &&
+          !UTF8String.fromString(t).toLowerCase.toString
+            .contains("javascript")) {
+          if (kept > 0) sb.append('\n')
+          sb.append(l)
+          kept += 1
+        }
+      }
+      i += 1
+    }
+    if (kept < 3) return null
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** GZIP member codec — the decompression in front of
+  * [[graft.operators.Warc]]: real `.warc.gz` files are per-record gzip
+  * MEMBERS concatenated into one stream, and `GZIPInputStream` reads
+  * concatenated members natively, so ONE call turns a crawl file's
+  * bytes into the concatenated WARC text the parser splits. A corrupt
+  * stream returns NULL rather than killing the job (the try_cast
+  * degrade-to-null convention — at 100 TB a single damaged member must
+  * be countable, not fatal); the compress side exists for fixtures and
+  * the round-trip gate. Thread-local buffers, the [[CompressOps]]
+  * pattern. JDK-side, so consumers are rows-only with an exact
+  * round-trip gate.
+  */
+object GzipOps {
+  private val bufs =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
+
+  /** UTF-8 text of ALL gzip members in `bytes`; null on corrupt input
+    * or on empty input (no members is not a gzip stream).
+    */
+  def gunzipText(bytes: Array[Byte]): UTF8String = {
+    if (bytes == null || bytes.length == 0) return null
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = bufs.get()
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      UTF8String.fromBytes(out.toByteArray)
+    } catch {
+      case _: java.io.IOException => null
+    }
+  }
+
+  /** One gzip member holding `text`'s UTF-8 bytes (fixture / gate side;
+    * members concatenate with plain `concat` on binary).
+    */
+  def gzipMember(text: UTF8String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(256)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(text.getBytes)
+    gz.close()
+    out.toByteArray
+  }
+}
+
 object TextHashExpressions {
   /** `array<bigint>` of k MinHash values for `text`, or null below
     * `shingleN` tokens. One static call per row inside codegen.
@@ -977,6 +1187,70 @@ object TextHashExpressions {
       // propagateNull makes a null text yield null (row dropped by the
       // filter — the intended semantics), so the result IS nullable.
       returnNullable = true))
+
+  /** The eight Gopher rule counts in one pass (see [[GopherOps]]). */
+  def gopherCounts(text: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      GopherOps.getClass,
+      ArrayType(LongType, containsNull = false),
+      "counts",
+      Seq(GraftBridge.expression(text)),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** The full Gopher page predicate as ONE static call (see
+    * [[GopherOps.pass]]); null text yields null (row dropped by a
+    * filter — the column-form conjunction's own null semantics).
+    */
+  def gopherPass(text: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      GopherOps.getClass,
+      BooleanType,
+      "pass",
+      Seq(GraftBridge.expression(text)),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** C4 page predicate + line rewrite in one call (see [[C4Ops]]):
+    * cleaned text, or null when the page drops.
+    */
+  def c4Clean(text: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      C4Ops.getClass,
+      StringType,
+      "clean",
+      Seq(GraftBridge.expression(text)),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Concatenated-member gunzip to UTF-8 text (see [[GzipOps]]); null
+    * on corrupt or empty input.
+    */
+  def gunzipText(bytes: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      GzipOps.getClass,
+      StringType,
+      "gunzipText",
+      Seq(GraftBridge.expression(bytes)),
+      inputTypes = Seq(BinaryType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** One gzip member of `text` (see [[GzipOps.gzipMember]]) — the
+    * fixture/round-trip side.
+    */
+  def gzipMember(text: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      GzipOps.getClass,
+      BinaryType,
+      "gzipMember",
+      Seq(GraftBridge.expression(text)),
+      inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = false))
 
   /** Both rolling window fingerprints per position in one pass, as
     * `array<struct<f1,f2>>` (see [[SubstrRollingOps.windowFingerprintPairs]]).

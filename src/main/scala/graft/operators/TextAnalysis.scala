@@ -170,12 +170,23 @@ object TextAnalysis {
 
   /** [[gopherRules]] as a keep-filter: retain docs passing every rule —
     * the composable stage form (pair with [[repetitionStats]]-based
-    * filtering for the paper's full §A1.1).
+    * filtering for the paper's full §A1.1). Runs the one-pass NATIVE
+    * predicate ([[graft.expressions.GopherOps.pass]], spec-pinned equal
+    * to the column-form conjunction): the column form in a Filter was
+    * split into per-rule conjuncts that each re-split the text — ~8
+    * text scans per row where one suffices (BENCH_NOTES_r12, the
+    * filterByCompressionRatio precedent).
     */
   def filterByGopherRules(df: DataFrame, textCol: String): DataFrame =
-    df.filter(gopherRules(col(textCol)).collect {
+    df.filter(graft.expressions.TextHashExpressions.gopherPass(col(textCol)))
+
+  /** The column-form conjunction [[filterByGopherRules]] is spec-pinned
+    * against — the executable specification of the native predicate.
+    */
+  private[graft] def gopherPassColumns(text: Column): Column =
+    gopherRules(text).collect {
       case (name, c) if name.startsWith("r_") => c
-    }.reduce(_ && _))
+    }.reduce(_ && _)
 
   /** Heuristic language ID by stopword votes (deterministic tie-break:
     * en >= es >= fr >= unknown). N-gram-free variant suited to a codegen'd
@@ -475,11 +486,18 @@ object TextAnalysis {
     * operator (dedup/tokenize see the cleaned text, exactly as C4's
     * pipeline ordering prescribes).
     */
-  def filterByC4(df: DataFrame, textCol: String): DataFrame = {
-    val pass = c4Rules(col(textCol))
-      .collect { case (n, c) if n.startsWith("r_") => c }.reduce(_ && _)
-    df.filter(pass).withColumn(textCol, c4CleanedText(col(textCol)))
-  }
+  def filterByC4(df: DataFrame, textCol: String): DataFrame =
+    // Predicate + rewrite in one NATIVE call returning cleaned-or-null
+    // ([[graft.expressions.C4Ops.clean]], spec-pinned equal to the
+    // column forms): the column version evaluated the interpreted
+    // per-line HOF chain once in the filter and again in the rewrite.
+    // Predicate pushdown substitutes the alias into the isNotNull
+    // filter, so the native runs (at most) twice per row — each call
+    // one tight loop instead of an ArrayFilter that re-splits every
+    // line.
+    df.withColumn(textCol,
+        graft.expressions.TextHashExpressions.c4Clean(col(textCol)))
+      .filter(col(textCol).isNotNull)
 
   /** Blocked-TERM content stats under an Aho–Corasick automaton
     * ([[graft.expressions.BlocklistOps]]): the C4 bad-word page filter's

@@ -149,6 +149,22 @@ object Warc {
         col("col.http_content_type"), col("col.payload"))
       .withColumn("n_payload_chars", length(col("payload")).cast("long"))
 
+  /** Concatenated-member gunzip of a `.warc.gz` byte column to the WARC
+    * text [[parseRecords]] splits — real crawl archives are per-record
+    * gzip members back to back, and the JDK stream reads them all in
+    * one pass ([[graft.expressions.GzipOps]]). NULL (countable, not
+    * fatal) on a corrupt stream. JDK-side, so consuming queries are
+    * rows-only; the exact round trip is gate-pinned.
+    */
+  def gunzipChunk(bytes: Column): Column =
+    graft.expressions.TextHashExpressions.gunzipText(bytes)
+
+  /** One gzip member of `text` — the fixture / round-trip-gate side;
+    * members concatenate with binary `concat`.
+    */
+  def gzipChunk(text: Column): Column =
+    graft.expressions.TextHashExpressions.gzipMember(text)
+
   /** The crawl front door: successful (200) HTML response records as
     * `(idCol, record_idx, url, fetched_at, html)` — the exact input
     * shape of [[TextAnalysis.extractHtmlDf]] and the FineWeb chain

@@ -396,6 +396,73 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept(1L) == pass && kept(5L) == pass)
   }
 
+  test("native gopher/c4 forms equal the column-form specification") {
+    // The one-pass natives behind filterByGopherRules / filterByC4
+    // (BENCH_NOTES_r12) must match the oracled column forms EXACTLY —
+    // crafted boundary docs plus seeded-random corpora over an alphabet
+    // rich in rule-relevant characters (whitespace variants, newlines,
+    // bullets, ellipses, #, braces, quotes, mixed case, non-ASCII).
+    val clean = ("the quick brown fox jumps over that lazy dog with style " * 6).trim
+    val crafted = Seq(
+      clean,
+      "", "   ", "\n\n\n",
+      "the and of",
+      ("abc " * 50).trim,                   // avg word len exactly 3.0
+      ("abcdefghij " * 50).trim,            // exactly 10.0
+      (clean + " " + Seq.fill(8)("#").mkString(" ")),
+      "\t• tab-padded bullet of the line\n  • spaced bullet of it",
+      Seq.fill(10)("the line trails off…").mkString("\n"),
+      Seq.fill(10)(" - spaced bullet line of the list ").mkString("\n"),
+      "THE BE TO OF AND THAT HAVE WITH " * 10, // case-folded stopwords
+      ("été café 中文 " * 30).trim, // non-ASCII words
+      "this line has five words.\nanother line with five words!\n" +
+        "she said the word \"hello\"",
+      "lorem IPSUM dolor.", "code { brace }",
+      "\tplease Enable JAVASCRIPT now ok.\nreal line with five words." +
+        "\nmore real words in a line.\nthird real line of words here.",
+      "one two three four five\n" + ("six words in this line here. " * 3) +
+        "\nend of the line here."
+    )
+    val rng = new scala.util.Random(42)
+    val alphabet = "abcdef THE the of and that with…#•{}\"!?.-* \t\né"
+    val random = (1 to 60).map(_ =>
+      (1 to (1 + rng.nextInt(120))).map(_ =>
+        alphabet(rng.nextInt(alphabet.length))).mkString)
+    val docs = (crafted ++ random).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // gopher: native pass == column conjunction, row for row
+    val g = docs.select(col("doc_id"),
+        graft.expressions.TextHashExpressions.gopherPass(col("text")).as("nat"),
+        TextAnalysis.gopherPassColumns(col("text")).as("spec"))
+      .collect()
+    g.foreach { r =>
+      assert(r.getBoolean(1) == r.getBoolean(2),
+        s"gopher parity broke on doc ${r.getLong(0)}")
+    }
+    // gopher: native counts == the column-form count expressions
+    val feats = TextAnalysis.gopherRules(col("text"))
+    val nWordsSpec = feats.collect { case ("n_words", c) => c }.head
+    val cmp = docs.select(
+        graft.expressions.TextHashExpressions.gopherCounts(col("text"))
+          .getItem(0).as("nat"), nWordsSpec.as("spec"))
+      .filter(col("nat") =!= col("spec")).count()
+    assert(cmp == 0L, "native n_words diverged from the column form")
+    // c4: native cleaned-or-null == column pass + rewrite, value for value
+    val passCol = TextAnalysis.c4Rules(col("text")).collect {
+      case (n, c) if n.startsWith("r_") => c
+    }.reduce(_ && _)
+    val c = docs.select(col("doc_id"),
+        graft.expressions.TextHashExpressions.c4Clean(col("text")).as("nat"),
+        when(passCol, TextAnalysis.c4CleanedText(col("text"))).as("spec"))
+      .collect()
+    c.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2) &&
+        (r.isNullAt(1) || r.getString(1) == r.getString(2)),
+        s"c4 parity broke on doc ${r.getLong(0)}: " +
+          s"${Option(r.getString(1))} vs ${Option(r.getString(2))}")
+    }
+  }
+
   test("compressionRatio: loops compress hard, noise barely, empty is null") {
     val rng = new scala.util.Random(7)
     val noise = (1 to 400).map(_ => rng.nextPrintableChar()).mkString

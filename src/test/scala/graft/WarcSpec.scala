@@ -102,6 +102,39 @@ class WarcSpec extends SparkSpec {
     assert(rows(1)._1 == "") // the orphan tail parses as an empty-typed row
   }
 
+  test("gunzip reads concatenated gzip members in one pass; corrupt is null") {
+    // real .warc.gz files are per-record members back to back — one
+    // decode call must yield the full concatenated text
+    val two = Seq(("a", "first member\r\n"), ("b", "second member"))
+      .toDF("k", "t")
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("k"), col("t")))).as("ps"))
+      .select(concat(
+        Warc.gzipChunk(element_at(col("ps"), 1).getField("t")),
+        Warc.gzipChunk(element_at(col("ps"), 2).getField("t"))).as("gz"))
+      .select(Warc.gunzipChunk(col("gz")).as("txt"))
+      .as[String].collect().head
+    assert(two == "first member\r\nsecond member")
+    val bad = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("gz")
+      .select(Warc.gunzipChunk(col("gz")).as("t"))
+      .select(col("t").isNull).as[Boolean].collect().head
+    assert(bad, "corrupt stream must degrade to null, not throw")
+    val empty = Seq(Tuple1(Array.empty[Byte])).toDF("gz")
+      .select(Warc.gunzipChunk(col("gz")).isNull).as[Boolean].collect().head
+    assert(empty, "empty bytes are not a gzip stream")
+  }
+
+  test("gz round trip feeds the parser unchanged") {
+    val rec = respRec("http://z/", "200 OK", "text/html", "<p>Round trip.</p>")
+    val rows = Warc.parseRecords(
+        Seq(7L -> rec).toDF("cid", "warc")
+          .select(col("cid"),
+            Warc.gunzipChunk(Warc.gzipChunk(col("warc"))).as("warc")),
+        "cid", "warc")
+      .select("warc_type", "payload").as[(String, String)].collect()
+    assert(rows.toSeq == Seq("response" -> "<p>Round trip.</p>"))
+  }
+
   test("a chunk not starting at a record boundary surfaces the preamble") {
     val rows = parse(4L -> ("garbage preamble\r\n" +
         respRec("http://p/", "200 OK", "text/html", "<p>t</p>")))
