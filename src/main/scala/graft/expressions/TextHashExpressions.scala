@@ -356,6 +356,51 @@ object TokenOps {
     }
     n
   }
+
+  private val voteSpecs = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(String, java.util.HashSet[String])]]()
+
+  /** First-max-wins stopword vote across labeled word sets in ONE
+    * tokenize pass — the native behind `TextAnalysis.langId`, whose
+    * when-chain form referenced each per-language [[countIn]] up to
+    * three times inside a Filter predicate (~9 text scans per row; the
+    * GopherOps rationale). Spec format `label:w1,w2,...|label2:...` —
+    * label ORDER is the tie-break (the chain's `en >= es && en >= fr`
+    * cascade IS first-max-wins over the label sequence); "und" when
+    * every count is zero. The parsed spec memoizes per JVM so the
+    * per-row cost is the token scan alone.
+    */
+  def vote(text: UTF8String, spec: UTF8String): UTF8String = {
+    val parsed = voteSpecs.computeIfAbsent(spec.toString, s =>
+      s.split("\\|").map { part =>
+        val i = part.indexOf(':')
+        val set = new java.util.HashSet[String]()
+        part.substring(i + 1).split(",").foreach(set.add)
+        (part.substring(0, i), set)
+      })
+    val counts = new Array[Int](parsed.length)
+    val toks = text.toLowerCase.toString.split("\\s+")
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        var k = 0
+        while (k < parsed.length) {
+          if (parsed(k)._2.contains(t)) counts(k) += 1
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var best = -1
+    var bestN = 0
+    var k = 0
+    while (k < counts.length) {
+      if (counts(k) > bestN) { best = k; bestN = counts(k) }
+      k += 1
+    }
+    UTF8String.fromString(if (best < 0) "und" else parsed(best)._1)
+  }
 }
 
 /** BPE token counting and id-sequence encoding under a trained model (see
@@ -1340,6 +1385,20 @@ object TextHashExpressions {
       "count",
       Seq(GraftBridge.expression(text)),
       inputTypes = Seq(StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** One-pass first-max-wins stopword vote (see [[TokenOps.vote]]);
+    * `spec` is `label:w1,w2|label2:...` with label order as tie-break.
+    */
+  def langVote(text: Column, spec: String): Column =
+    GraftBridge.column(StaticInvoke(
+      TokenOps.getClass,
+      StringType,
+      "vote",
+      Seq(GraftBridge.expression(text),
+        Literal(UTF8String.fromString(spec), StringType)),
+      inputTypes = Seq(StringType, StringType),
       propagateNull = true,
       returnNullable = true))
 

@@ -190,9 +190,21 @@ object TextAnalysis {
 
   /** Heuristic language ID by stopword votes (deterministic tie-break:
     * en >= es >= fr >= unknown). N-gram-free variant suited to a codegen'd
-    * scan; swap the word lists per deployment.
+    * scan; swap the word lists per deployment. One native pass (r12,
+    * `TokenOps.vote` — the when-chain form referenced each per-language
+    * count up to three times inside a Filter predicate, ~9 text scans
+    * per row; parity with [[langIdColumns]] spec-pinned).
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.expressions.TextHashExpressions.langVote(text,
+      s"en:${StopwordsEn.mkString(",")}|es:${StopwordsEs.mkString(",")}" +
+        s"|fr:${StopwordsFr.mkString(",")}")
+
+  /** The when-chain form — the executable specification [[langId]]'s
+    * native vote is spec-pinned against (the cascade IS first-max-wins
+    * over the label order).
+    */
+  private[graft] def langIdColumns(text: Column): Column = {
     val en = countIn(text, StopwordsEn)
     val es = countIn(text, StopwordsEs)
     val fr = countIn(text, StopwordsFr)

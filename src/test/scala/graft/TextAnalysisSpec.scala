@@ -447,6 +447,27 @@ class TextAnalysisSpec extends SparkSpec {
           .getItem(0).as("nat"), nWordsSpec.as("spec"))
       .filter(col("nat") =!= col("spec")).count()
     assert(cmp == 0L, "native n_words diverged from the column form")
+    // langId: native one-pass vote == the when-chain cascade (ties and
+    // und included — the crafted set has all-zero, en==es, and es==fr
+    // tie docs via the shared 'de'/'la'/'un' Spanish-French stopwords)
+    val l = docs.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("nat"),
+        TextAnalysis.langIdColumns(col("text")).as("spec"))
+      .collect()
+    l.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"langId parity broke on doc ${r.getLong(0)}")
+    }
+    val ties = Seq(700L -> "la de un y", 701L -> "le la de phrase",
+        702L -> "xyz qqq", 703L -> "the el le")
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("nat"),
+        TextAnalysis.langIdColumns(col("text")).as("spec"))
+      .collect()
+    ties.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"langId tie parity broke on doc ${r.getLong(0)}")
+    }
     // c4: native cleaned-or-null == column pass + rewrite, value for value
     val passCol = TextAnalysis.c4Rules(col("text")).collect {
       case (n, c) if n.startsWith("r_") => c
