@@ -208,13 +208,23 @@ object SparkEntry {
   private val WarcGet1 = "GET /page/"
   private val WarcGet2 = " HTTP/1.1\r\nHost: site"
   private val WarcGet3 = ".example\r\nUser-Agent: graft\r\n\r\n"
-  private val WarcUri1 = "http://site"
-  private val WarcUri2 = ".example/page/"
 
   private def warcChunks(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val idS = id.cast("string")
-    val uri = concat(lit(WarcUri1), (id % 7).cast("string"), lit(WarcUri2), idS)
+    // Decorated crawl URIs — the q_dedup_by_url fixture shape (mixed
+    // scheme case, default ports, trailing slashes, utm junk), so the
+    // crawl-to-corpus recipe's canonical-URL dedup genuinely bites
+    // (even ids collide mod 350 after canonicalization).
+    val uri = concat(
+      when(id % 2 === 0, lit("https://")).otherwise(lit("HTTPS://")),
+      lit("Site"), (id % 7).cast("string"), lit(".Example.COM"),
+      when(id % 3 === 0, lit(":443")).otherwise(lit("")),
+      lit("/page/"), (id % 50).cast("string"),
+      when(id % 5 === 0, lit("/")).otherwise(lit("")),
+      when(id % 2 === 1,
+        concat(lit("?utm_source=feed&x="), (id % 4).cast("string")))
+        .otherwise(lit("")))
     val date = concat(lit("2024-01-"),
       lpad((id % 28 + 1).cast("string"), 2, "0"), lit("T00:00:00Z"))
     val reqBlock = concat(lit(WarcGet1), idS, lit(WarcGet2),
@@ -260,8 +270,14 @@ object SparkEntry {
     s"""WITH $htmlPagesCte,
        |rb AS (
        |  SELECT doc_id, doc_id // 5 AS chunk_id,
-       |    ${wq(WarcUri1)} || CAST(doc_id % 7 AS VARCHAR) || ${wq(WarcUri2)} ||
-       |      CAST(doc_id AS VARCHAR) AS uri,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END ||
+       |      'Site' || (doc_id % 7) || '.Example.COM' ||
+       |      CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END ||
+       |      '/page/' || (doc_id % 50) ||
+       |      CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+       |      CASE WHEN doc_id % 2 = 1
+       |           THEN '?utm_source=feed&x=' || (doc_id % 4)
+       |           ELSE '' END AS uri,
        |    '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
        |      'T00:00:00Z' AS dt,
        |    ${wq(WarcGet1)} || CAST(doc_id AS VARCHAR) || ${wq(WarcGet2)} ||
@@ -2073,6 +2089,29 @@ object SparkEntry {
           TextAnalysis.extractMainContent(col("html")).as("content"))
         .withColumn("n_content_chars", length(col("content")).cast("long"))
         .orderBy("chunk_id", "record_idx")),
+    // The END-TO-END crawl showcase (r12): raw WARC bytes → 200
+    // text/html responses → jusText main-content extraction →
+    // canonical-URL dedup (the decorated fixture URIs collide after
+    // canonicalization) → word-count floor — the CommonCrawl front half
+    // of a corpus build as ONE lazy plan, every stage replayed in
+    // DuckDB (the parse CTEs + the parameterized html chain + the
+    // canon chain + the floor). doc_id derives from the WARC record's
+    // own identity (record_id "rec-<n>"), the natural key a crawl
+    // pipeline carries forward.
+    "q_pipeline_crawl_recipe" -> ((s, d) => {
+      val resp = Warc.responseDocuments(warcChunks(t(s, d, "documents")),
+        "chunk_id", "warc")
+      val extracted = TextAnalysis.extractHtmlDf(
+        resp.select(col("record_id"), col("url"), col("html")), "html")
+      val withId = extracted.withColumn("doc_id",
+        regexp_extract(col("record_id"), "rec-([0-9]+)", 1).cast("long"))
+      Dedup.dedupByUrl(withId, "url", prefer = Seq(col("doc_id").asc))
+        .select(col("doc_id"), col("url_canon"),
+          col("html").as("content"),
+          TextAnalysis.tokenCountWs(col("html")).cast("long").as("n_words"))
+        .filter(col("n_words") >= 105L)
+        .orderBy("doc_id")
+    }),
     // The .warc.gz codec gate (verify-only, the quality-gate ruling):
     // gunzip(gzip(chunk)) must round-trip every chunk EXACTLY (JDK-side
     // codec — not DuckDB-replayable, so the oracle pins constants), and
@@ -4827,6 +4866,58 @@ object SparkEntry {
         |FROM resp r LEFT JOIN agg a
         |  ON a.chunk_id = r.chunk_id AND a.record_idx = r.record_idx
         |ORDER BY r.chunk_id, r.record_idx""".stripMargin,
+    // The crawl showcase: parse chain + parameterized html chain +
+    // canon chain + floor, replayed end-to-end.
+    "q_pipeline_crawl_recipe" ->
+      s"""$warcOracleCtes,
+        |resp AS (
+        |  SELECT chunk_id, record_idx, record_id, target_uri,
+        |    payload AS html
+        |  FROM parsed
+        |  WHERE warc_type = 'response' AND http_status = 200
+        |    AND http_content_type LIKE 'text/html%'),
+        |${htmlKeptCtes("resp", "chunk_id, record_idx", "html")},
+        |cagg AS (
+        |  SELECT chunk_id, record_idx,
+        |    coalesce(string_agg(txt, chr(10) ORDER BY block_idx)
+        |      FILTER (WHERE keep), '') AS content
+        |  FROM kept GROUP BY chunk_id, record_idx),
+        |cdoc AS (
+        |  SELECT CAST(regexp_extract(r.record_id, 'rec-([0-9]+)', 1)
+        |      AS BIGINT) AS doc_id,
+        |    r.target_uri AS url, a.content
+        |  FROM resp r JOIN cagg a
+        |    ON a.chunk_id = r.chunk_id AND a.record_idx = r.record_idx
+        |  WHERE a.content <> ''),
+        |cu1 AS (SELECT doc_id, content,
+        |  regexp_replace(url, '#.*', '', 'g') AS cu FROM cdoc),
+        |cu2 AS (SELECT doc_id, content,
+        |  lower(regexp_extract(cu, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+        |  || regexp_replace(cu, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')
+        |  AS cu FROM cu1),
+        |cu3 AS (SELECT doc_id, content, regexp_replace(regexp_replace(cu,
+        |  '^(http://[^/?#:]+):80([/?#].*)?$$', '\\1\\2', 'g'),
+        |  '^(https://[^/?#:]+):443([/?#].*)?$$', '\\1\\2', 'g') AS cu
+        |  FROM cu2),
+        |cu4 AS (SELECT doc_id, content, regexp_replace(cu,
+        |  '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '\\1', 'g') AS cu
+        |  FROM cu3),
+        |cu5 AS (SELECT doc_id, content, regexp_replace(regexp_replace(
+        |  regexp_replace(cu, '&&+', '&', 'g'), '\\?&', '?', 'g'),
+        |  '[?&]+$$', '', 'g') AS cu FROM cu4),
+        |cdd AS (
+        |  SELECT doc_id, url_canon, content FROM (
+        |    SELECT doc_id, content,
+        |      regexp_replace(cu, '/$$', '', 'g') AS url_canon FROM cu5)
+        |  QUALIFY row_number() OVER (PARTITION BY url_canon
+        |    ORDER BY doc_id ASC) = 1)
+        |SELECT doc_id, url_canon, content,
+        |  CAST(len(list_filter(string_split_regex(content, '\\s+'),
+        |    w -> w <> '')) AS BIGINT) AS n_words
+        |FROM cdd
+        |WHERE len(list_filter(string_split_regex(content, '\\s+'),
+        |  w -> w <> '')) >= 105
+        |ORDER BY doc_id""".stripMargin,
     // Codec gate: the round trip is a JDK-side engine invariant; the
     // record count replays as arithmetic over documents (one warcinfo
     // per chunk, a request + a response per doc).

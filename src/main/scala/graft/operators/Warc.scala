@@ -166,10 +166,12 @@ object Warc {
     graft.expressions.TextHashExpressions.gzipMember(text)
 
   /** The crawl front door: successful (200) HTML response records as
-    * `(idCol, record_idx, url, fetched_at, html)` — the exact input
-    * shape of [[TextAnalysis.extractHtmlDf]] and the FineWeb chain
-    * behind it. Requests, warcinfo/metadata records, non-200 fetches,
-    * and non-HTML content types drop here.
+    * `(idCol, record_idx, record_id, url, fetched_at, html)` — the
+    * exact input shape of [[TextAnalysis.extractHtmlDf]] and the
+    * FineWeb chain behind it (`record_id` is the WARC record's own
+    * identity, the natural document key downstream). Requests,
+    * warcinfo/metadata records, non-200 fetches, and non-HTML content
+    * types drop here.
     */
   def responseDocuments(df: DataFrame, idCol: String,
                         warcCol: String): DataFrame =
@@ -177,7 +179,7 @@ object Warc {
       .filter(col("warc_type") === "response" &&
         col("http_status") === 200L &&
         col("http_content_type").startsWith("text/html"))
-      .select(col(idCol), col("record_idx"),
+      .select(col(idCol), col("record_idx"), col("record_id"),
         col("target_uri").as("url"), col("warc_date").as("fetched_at"),
         col("payload").as("html"))
 }
