@@ -764,6 +764,18 @@ object SparkEntry {
     path
   }
 
+  // Materialized WARC chunks for the streaming-ingest query (a file
+  // stream needs files on disk); written once per process per sf-dir.
+  private lazy val warcStreamTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-warcstream").toString
+
+  private def warcStreamEnsure(s: SparkSession, d: String): String = {
+    val path = s"$warcStreamTmpDir/${new java.io.File(d).getName}"
+    if (!graft.pipeline.Sinks.exists(s, path))
+      warcChunks(t(s, d, "documents")).write.parquet(path)
+    path
+  }
+
   // Substring-fingerprint index for the incremental ExactSubstr probe:
   // corpus half (doc_id >= 120) indexed once per process per sf-dir (the
   // mhIdxEnsure convention).
@@ -996,7 +1008,10 @@ object SparkEntry {
       // projection prunes away — the superset ruling; both stay
       // hash-green. The gz gate is a codec round trip (quality-gate
       // ruling).
-      "q_warc_to_text", "q_warc_gz_gate")
+      "q_warc_to_text", "q_warc_gz_gate",
+      // r12: stateless streaming twin of the benched parse — see its
+      // registration comment.
+      "q_stream_warc_ingest")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -2111,6 +2126,32 @@ object SparkEntry {
           TextAnalysis.tokenCountWs(col("html")).cast("long").as("n_words"))
         .filter(col("n_words") >= 105L)
         .orderBy("doc_id")
+    }),
+    // GENUINE STREAMING crawl ingest (r12): the same responseDocuments
+    // transform, unchanged, over a file-stream source drained
+    // AvailableNow into a memory sink — the front door is map-only, so
+    // it runs in Structured Streaming micro-batches with no state; the
+    // oracle replays the batch derivation (the q_stream_daily_window
+    // convention). Verify-only: stateless map work over the already-
+    // benched parse (q_warc_records) plus the micro-batch floor the
+    // three stateful streaming rows already price.
+    "q_stream_warc_ingest" -> ((s, d) => {
+      val src = warcStreamEnsure(s, d)
+      val schema = s.read.parquet(src).schema
+      val docs = Warc.responseDocuments(
+        s.readStream.schema(schema).parquet(src), "chunk_id", "warc")
+      val out = docs.select(col("chunk_id"), col("record_idx"), col("url"),
+        md5(col("html")).as("html_md5"),
+        length(col("html")).cast("long").as("n_html_chars"))
+      val sink = "q_stream_warc_ingest_sink"
+      withStreamStatePartitions(s) {
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(sink).orderBy("chunk_id", "record_idx")
     }),
     // The .warc.gz codec gate (verify-only, the quality-gate ruling):
     // gunzip(gzip(chunk)) must round-trip every chunk EXACTLY (JDK-side
@@ -4918,6 +4959,19 @@ object SparkEntry {
         |WHERE len(list_filter(string_split_regex(content, '\\s+'),
         |  w -> w <> '')) >= 105
         |ORDER BY doc_id""".stripMargin,
+    // Streaming crawl ingest: the batch derivation replayed — the
+    // stream must deliver exactly the batch parse's responses.
+    "q_stream_warc_ingest" ->
+      s"""$warcOracleCtes,
+        |resp AS (
+        |  SELECT chunk_id, record_idx, target_uri, payload AS html
+        |  FROM parsed
+        |  WHERE warc_type = 'response' AND http_status = 200
+        |    AND http_content_type LIKE 'text/html%')
+        |SELECT chunk_id, CAST(record_idx AS BIGINT) AS record_idx,
+        |  target_uri AS url, md5(html) AS html_md5,
+        |  CAST(len(html) AS BIGINT) AS n_html_chars
+        |FROM resp ORDER BY chunk_id, record_idx""".stripMargin,
     // Codec gate: the round trip is a JDK-side engine invariant; the
     // record count replays as arithmetic over documents (one warcinfo
     // per chunk, a request + a response per doc).
