@@ -1091,6 +1091,266 @@ object C4Ops {
   }
 }
 
+/** Native one-pass HTML main-content extraction — the hot loop of the
+  * crawl path (`TextAnalysis.extractHtmlDf`, the FIRST stage of every
+  * raw-web recipe). The COLUMN form (`extractMainContent`, five staged
+  * regex transforms) stays the oracled executable specification; this
+  * static replicates it operation-for-operation as hand-rolled scans —
+  * the staged HOF chain still runs interpreted with multiple regex
+  * passes per block, and on the crawl path the extraction dominates
+  * the map work. Every scanning rule below is derived from the exact
+  * Java-regex semantics of the column form's patterns (leftmost match,
+  * `[^>]*` bounded by the FIRST `>`, shortest `.*?` close-tag match,
+  * unmatched opens left in place, `\s` = the ASCII regex class) and
+  * parity is spec-pinned on crafted edges AND ScalaCheck random tag
+  * soup (TextAnalysisSpec).
+  */
+object HtmlOps {
+  private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
+  private def isAsciiAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9')
+
+  /** The block-boundary tag set, expanded from the SAME alternation
+    * string the column form's regex is built from (`h[1-6]` → h1..h6),
+    * so the two cannot drift; any other bracket form fails loudly.
+    */
+  private val BlockTags: java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    graft.operators.TextAnalysis.HtmlBlockTagNames.split("\\|").foreach {
+      case "h[1-6]" => (1 to 6).foreach(i => set.add(s"h$i"))
+      case n if n.contains("[") =>
+        throw new IllegalStateException(
+          s"HtmlOps: unhandled tag alternation form '$n'")
+      case n => set.add(n)
+    }
+    set
+  }
+
+  private val Stops: java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    graft.operators.TextAnalysis.StopwordsWebEn.foreach(set.add)
+    set
+  }
+
+  private val Entities: Array[(String, String)] =
+    graft.operators.TextAnalysis.HtmlEntities.toArray
+
+  private def indexOfIgnoreCase(s: String, target: String,
+                                from: Int): Int = {
+    val n = target.length
+    var i = math.max(from, 0)
+    val last = s.length - n
+    while (i <= last) {
+      if (s.regionMatches(true, i, target, 0, n)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** End index (exclusive) of a tag head `(\s[^>]*)?>` starting at `p`
+    * (just past the tag name), or -1 when the head cannot close.
+    */
+  private def headEnd(s: String, p: Int): Int = {
+    if (p >= s.length) return -1
+    val c = s.charAt(p)
+    if (c == '>') p + 1
+    else if (isRegexSpace(c)) {
+      val g = s.indexOf('>', p + 1)
+      if (g < 0) -1 else g + 1
+    } else -1
+  }
+
+  /** Like [[headEnd]] but also admitting the boundary regex's trailing
+    * slash-close forms (a `/>` directly after the name).
+    */
+  private def boundaryHeadEnd(s: String, p: Int): Int = {
+    if (p >= s.length) return -1
+    val c = s.charAt(p)
+    if (c == '/' && p + 1 < s.length && s.charAt(p + 1) == '>') p + 2
+    else headEnd(s, p)
+  }
+
+  /** `HtmlInvisibleRe` as a scan: drop script/style/noscript elements
+    * (open head must close, the literal close tag must exist — else the
+    * regex leaves the text in place) and comments.
+    */
+  private def stripInvisible(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      var consumed = false
+      if (c == '<') {
+        var name: String = null
+        if (s.regionMatches(true, i + 1, "script", 0, 6)) name = "script"
+        else if (s.regionMatches(true, i + 1, "style", 0, 5)) name = "style"
+        else if (s.regionMatches(true, i + 1, "noscript", 0, 8))
+          name = "noscript"
+        if (name != null) {
+          val he = headEnd(s, i + 1 + name.length)
+          if (he > 0) {
+            val close = indexOfIgnoreCase(s, s"</$name>", he)
+            if (close >= 0) { i = close + name.length + 3; consumed = true }
+          }
+        } else if (s.regionMatches(false, i, "<!--", 0, 4)) {
+          val close = s.indexOf("-->", i + 4)
+          if (close >= 0) { i = close + 3; consumed = true }
+        }
+      }
+      if (!consumed) { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `<[^>]*>` removal: every `<` with a later `>` drops with its span
+    * (bounded by the FIRST `>`); a `<` with no `>` anywhere after it
+    * keeps the rest verbatim — the regex's no-match tail.
+    */
+  private def stripTags(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        val g = s.indexOf('>', i)
+        if (g < 0) { sb.append(s, i, n); i = n }
+        else i = g + 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def decodeEntities(s: String): String = {
+    var out = s
+    var k = 0
+    while (k < Entities.length) {
+      out = out.replace(Entities(k)._1, Entities(k)._2)
+      k += 1
+    }
+    out
+  }
+
+  /** `trim(regexp_replace(raw, "\s+", " "))` — ASCII regex \s class. */
+  private def collapseTrim(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    var pendingSpace = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isRegexSpace(c)) pendingSpace = true
+      else {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Visible chars inside `<a(\s[^>]*)?>.*?</a>` matches of the raw
+    * block — non-overlapping, shortest close, scan continuing after
+    * each match (the `regexp_extract_all` contract).
+    */
+  private def linkChars(b: String): Long = {
+    var total = 0L
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      if (b.charAt(i) == '<' && i + 1 < n &&
+        (b.charAt(i + 1) == 'a' || b.charAt(i + 1) == 'A')) {
+        val he = headEnd(b, i + 2)
+        if (he > 0) {
+          val close = indexOfIgnoreCase(b, "</a>", he)
+          if (close >= 0) {
+            val visible = decodeEntities(stripTags(b.substring(i, close + 4)))
+            total += visible.codePointCount(0, visible.length)
+            i = close + 4
+          } else i += 1
+        } else i += 1
+      } else i += 1
+    }
+    total
+  }
+
+  /** The full column-form pipeline in one native call: extracted main
+    * content ('' when no block survives — directly filterable).
+    */
+  def extractMainContent(text: UTF8String, minChars: Int,
+                         maxLinkDensity: Double,
+                         minStopDensity: Double): UTF8String = {
+    val noInv = stripInvisible(text.toString)
+    val out = new java.lang.StringBuilder
+    val cur = new java.lang.StringBuilder
+    var kept = 0
+
+    def flushBlock(): Unit = {
+      if (cur.length > 0) {
+        val b = cur.toString
+        cur.setLength(0)
+        val raw = decodeEntities(stripTags(b))
+        val txt = collapseTrim(raw)
+        if (txt.nonEmpty) {
+          val nChars = txt.codePointCount(0, txt.length).toLong
+          val nRaw = raw.codePointCount(0, raw.length).toLong
+          val link = linkChars(b)
+          val lowered = UTF8String.fromString(txt).toLowerCase.toString
+          var nWords = 0L
+          var nStop = 0L
+          var p = 0
+          val m = lowered.length
+          while (p < m) {
+            if (lowered.charAt(p) >= 'a' && lowered.charAt(p) <= 'z') {
+              val st = p
+              while (p < m && lowered.charAt(p) >= 'a' &&
+                lowered.charAt(p) <= 'z') p += 1
+              nWords += 1
+              if (Stops.contains(lowered.substring(st, p))) nStop += 1
+            } else p += 1
+          }
+          val keep = nChars >= minChars &&
+            link.toDouble / nRaw.toDouble <= maxLinkDensity &&
+            nWords > 0L &&
+            nStop.toDouble / nWords.toDouble >= minStopDensity
+          if (keep) {
+            if (kept > 0) out.append('\n')
+            out.append(txt)
+            kept += 1
+          }
+        }
+      }
+    }
+
+    var i = 0
+    val n = noInv.length
+    while (i < n) {
+      val c = noInv.charAt(i)
+      if (c == '\n') { flushBlock(); i += 1 }
+      else if (c == '<') {
+        var p = i + 1
+        if (p < n && noInv.charAt(p) == '/') p += 1
+        val t0 = p
+        while (p < n && isAsciiAlnum(noInv.charAt(p))) p += 1
+        var end = -1
+        if (p > t0 && BlockTags.contains(
+          noInv.substring(t0, p).toLowerCase(java.util.Locale.ROOT)))
+          end = boundaryHeadEnd(noInv, p)
+        if (end > 0) { flushBlock(); i = end }
+        else { cur.append(c); i += 1 }
+      } else { cur.append(c); i += 1 }
+    }
+    flushBlock()
+    UTF8String.fromString(out.toString)
+  }
+}
+
 /** GZIP member codec — the decompression in front of
   * [[graft.operators.Warc]]: real `.warc.gz` files are per-record gzip
   * MEMBERS concatenated into one stream, and `GZIPInputStream` reads
@@ -1231,6 +1491,21 @@ object TextHashExpressions {
       propagateNull = true,
       // propagateNull makes a null text yield null (row dropped by the
       // filter — the intended semantics), so the result IS nullable.
+      returnNullable = true))
+
+  /** One-pass HTML main-content extraction (see [[HtmlOps]]); '' when
+    * no block survives, null text propagates.
+    */
+  def htmlExtractNative(text: Column, minChars: Int, maxLinkDensity: Double,
+                        minStopDensity: Double): Column =
+    GraftBridge.column(StaticInvoke(
+      HtmlOps.getClass,
+      StringType,
+      "extractMainContent",
+      Seq(GraftBridge.expression(text), Literal(minChars),
+        Literal(maxLinkDensity), Literal(minStopDensity)),
+      inputTypes = Seq(StringType, IntegerType, DoubleType, DoubleType),
+      propagateNull = true,
       returnNullable = true))
 
   /** The eight Gopher rule counts in one pass (see [[GopherOps]]). */

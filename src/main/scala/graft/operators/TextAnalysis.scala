@@ -629,7 +629,7 @@ object TextAnalysis {
     * structural/sectioning tags. An open OR close occurrence is a block
     * boundary (jusText segments on the same set).
     */
-  private val HtmlBlockTagNames: String =
+  private[graft] val HtmlBlockTagNames: String =
     "p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tfoot|tr|td|th|" +
       "caption|br|hr|section|article|aside|header|footer|nav|main|" +
       "figure|figcaption|blockquote|pre|form|fieldset|legend|select|" +
@@ -655,7 +655,7 @@ object TextAnalysis {
     * the literal four characters `&lt;`, not `<` — decoding `&amp;`
     * first would double-decode it (the classic entity bug; spec-pinned).
     */
-  private val HtmlEntities: Seq[(String, String)] = Seq(
+  private[graft] val HtmlEntities: Seq[(String, String)] = Seq(
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
     "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
@@ -803,12 +803,17 @@ object TextAnalysis {
     * HTML in, extracted text out) is rewritten IN PLACE and pages with
     * no surviving block are DROPPED (nothing remained to curate — the
     * filterByC4 drop convention). Run FIRST in a raw-web recipe, before
-    * C4Clean/Gopher (both assume extracted text).
+    * C4Clean/Gopher (both assume extracted text). Runs the ONE-PASS
+    * native ([[graft.expressions.HtmlOps]], spec-pinned equal to the
+    * column form on crafted edges and random tag soup): the staged
+    * regex chain is the crawl path's dominant map cost, and the HOF
+    * stages evaluate interpreted.
     */
   def extractHtmlDf(df: DataFrame, textCol: String, minChars: Int = 70,
                     maxLinkDensity: Double = 0.2,
                     minStopDensity: Double = 0.2): DataFrame =
-    df.withColumn(textCol, extractMainContent(col(textCol), minChars,
-        maxLinkDensity, minStopDensity))
+    df.withColumn(textCol,
+        graft.expressions.TextHashExpressions.htmlExtractNative(
+          col(textCol), minChars, maxLinkDensity, minStopDensity))
       .filter(col(textCol) =!= "")
 }

@@ -484,6 +484,93 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("native html extraction equals the column form on crafted edges") {
+    val crafted = Seq(
+      "", "plain text with no markup at all but the words of a block " +
+        "that is long enough to clear all of the rules and the floor.",
+      // invisible content, incl. the unclosed-script leak
+      "<script>var x;</script><p>" + ("the words of the page here " * 6) +
+        "and it was done.</p>",
+      "<script src=\"x\">junk</script><style>a{}</style><p>" +
+        ("some of the text " * 8) + "ended.</p>",
+      "<script>leaks <p>because unclosed " + ("the of and to " * 10),
+      "<!-- a comment <p>gone</p> --><div>" + ("all of the words " * 8) +
+        "stop.</div>",
+      "<!-- unterminated comment <p>" + ("the of and " * 10),
+      // nested inline + anchors + entities
+      "<div><b>Bold</b> and <a href=\"/x\">a link</a> inside " +
+        ("the usual words of the block " * 6) + "&amp; more &lt;here&gt;." +
+        "</div>",
+      "<div class=\"nav\"><a href=\"/a\">Home</a> <a href=\"/b\">About" +
+        "</a></div>",
+      // unmatched '<', tag-soup, self-closing boundaries, case
+      "odd < dangling and été café " +
+        ("with all of those words there " * 6) + "done.",
+      "<P>" + ("upper case tag with the words " * 6) + "end.</P>",
+      "<br/><hr />text after breaks " + ("of the and that " * 8) + "fin.",
+      "<pre>" + ("preformatted words of the thing " * 6) + "x.</pre>",
+      "<px>not a boundary " + ("but all of the words count " * 6) +
+        "done.</px>",
+      "<a<b> weird <a href=\"u\">anchor &amp; text</a> " +
+        ("the rest of the words of it " * 6) + "end.",
+      "<a href=\"unclosed\">no close anchor " + ("the of and with " * 8),
+      "line one\nline two with " + ("the words of the line " * 6) + "end.",
+      "&amp;lt; double decode edge " + ("the of and that have " * 7) + "x.")
+    val docs = crafted.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "t")
+    val rows = docs.select(col("doc_id"),
+        graft.expressions.TextHashExpressions.htmlExtractNative(
+          col("t"), 70, 0.2, 0.2).as("nat"),
+        TextAnalysis.extractMainContent(col("t")).as("spec"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"html native parity broke on doc ${r.getLong(0)}:\n" +
+          s"nat=${r.getString(1)}\nspec=${r.getString(2)}")
+    }
+  }
+
+  test("property: native html extraction == column form on random tag soup (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    // random fragments: text runs (with stopwords + entities), open and
+    // close tags (block, inline, anchor, invisible), comments, strays —
+    // concatenated into pages the two implementations must agree on
+    val word = Gen.oneOf("the", "of", "and", "words", "page", "café",
+      "x1", "B", "&amp;", "&lt;", "&nbsp;")
+    val textRun = Gen.choose(1, 12).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ") + " "))
+    val frag = Gen.frequency(
+      6 -> textRun,
+      2 -> Gen.oneOf("<p>", "</p>", "<div class=\"c\">", "</div>", "<h2>",
+        "</h2>", "<li>", "<br/>", "<hr />", "<P >"),
+      2 -> Gen.oneOf("<b>", "</b>", "<span x=\"y\">", "</span>", "<px>",
+        "</px>"),
+      2 -> Gen.oneOf("<a href=\"/u\">", "</a>", "<A>", "<a>"),
+      1 -> Gen.oneOf("<script>", "</script>", "<style>", "</style>",
+        "<!--", "-->", "<noscript>", "</noscript>"),
+      1 -> Gen.oneOf("<", ">", "\n", "\t", "  ", "< ", "<1>"))
+    val page = Gen.choose(1, 40).flatMap(k =>
+      Gen.listOfN(k, frag).map(_.mkString))
+    val prop = Prop.forAll(Gen.listOfN(12, page)) { pages =>
+      val docs = pages.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "t")
+      val rows = docs.select(col("doc_id"),
+          graft.expressions.TextHashExpressions.htmlExtractNative(
+            col("t"), 30, 0.3, 0.1).as("nat"),
+          TextAnalysis.extractMainContent(col("t"), 30, 0.3, 0.1)
+            .as("spec"))
+        .collect()
+      val bad = rows.find(r => r.getString(1) != r.getString(2))
+      bad.isEmpty :| bad.map(r =>
+        s"doc=${r.getLong(0)} page=${pages(r.getLong(0).toInt)}\n" +
+          s"nat=${r.getString(1)}\nspec=${r.getString(2)}").getOrElse("")
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("compressionRatio: loops compress hard, noise barely, empty is null") {
     val rng = new scala.util.Random(7)
     val noise = (1 to 400).map(_ => rng.nextPrintableChar()).mkString
