@@ -1122,10 +1122,14 @@ object HtmlOps {
     val set = new java.util.HashSet[String]()
     graft.operators.TextAnalysis.HtmlBlockTagNames.split("\\|").foreach {
       case "h[1-6]" => (1 to 6).foreach(i => set.add(s"h$i"))
-      case n if n.contains("[") =>
+      case n if n.forall(c => (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9')) => set.add(n)
+      case n =>
+        // ANY regex syntax beyond a literal lowercase-alnum name would
+        // silently diverge this set from the column form's alternation
+        // (code-review r12) — fail at class-init, not at parse time
         throw new IllegalStateException(
           s"HtmlOps: unhandled tag alternation form '$n'")
-      case n => set.add(n)
     }
     set
   }
@@ -1375,7 +1379,11 @@ object GzipOps {
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      // initial-capacity hint only — clamped so a near-GiB chunk cannot
+      // overflow the int multiply into a throwing negative capacity
+      // (code-review r12; the contract is degrade-to-null, never fatal)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(bytes.length.toLong * 4L, 1L << 26).toInt)
       val buf = bufs.get()
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }

@@ -194,14 +194,7 @@ object SemDedup {
         Similarity.ivfAssignTo(col("qvec"), cents).as("cell"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("cell").parquet(path)
-    val spark = emb.sparkSession
-    import spark.implicits._
-    cents.toIndexedSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/_centroids")
+    Similarity.writeCentroidSidecar(emb.sparkSession, cents, path)
   }
 
   /** O(batch) incremental maintenance: assign a new vector batch with the
@@ -223,22 +216,15 @@ object SemDedup {
       .partitionBy("cell").parquet(path)
   }
 
-  /** Load the centroid sidecar of a SemDeDup index, failing with an
-    * actionable message when it is missing (an index written by something
-    * else, or a crash between the data and sidecar writes).
+  /** Load the centroid sidecar of a SemDeDup index — the shared
+    * sidecar-format contract of [[Similarity.ivfReadCentroids]], with
+    * this family's own fail-loud hint (code-review r12: the format must
+    * live in ONE place).
     */
   private def readIndexCentroids(spark: org.apache.spark.sql.SparkSession,
-                                 path: String): Array[Array[Double]] = {
-    val side =
-      try spark.read.parquet(s"$path/_centroids").select("cell", "centroid")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalStateException(
-            s"SemDeDup index at $path has no readable centroid sidecar " +
-              "(_centroids); rewrite it with semDedupWriteIndex", e)
-      }
-    side.orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
-  }
+                                 path: String): Array[Array[Double]] =
+    Similarity.ivfReadCentroids(spark, path, kind = "SemDeDup",
+      writer = "semDedupWriteIndex")
 
   /** Dedup FROM a persisted index — the amortized probe: read the stored
     * (id, qvec, cell) assignments, run the integer-exact within-cell pair

@@ -604,14 +604,7 @@ object Similarity {
     // trained-centroid index with the pseudo defaults silently returns poor
     // results. The `_` prefix hides the sidecar from the index scan
     // (Hadoop/Spark skip `_`/`.`-prefixed paths when listing data files).
-    val spark = emb.sparkSession
-    import spark.implicits._
-    cents.toIndexedSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/_centroids")
+    writeCentroidSidecar(emb.sparkSession, cents, path)
   }
 
   /** Incremental IVF maintenance: append a new vector batch into an
@@ -642,17 +635,38 @@ object Similarity {
     * path-not-found AnalysisException.
     */
   def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Array[Array[Double]] = {
+                       path: String,
+                       kind: String = "IVF",
+                       writer: String = "ivfWriteIndex"): Array[Array[Double]] = {
+    // `kind`/`writer` only change the error hint — the sidecar FORMAT
+    // contract lives here once, shared by every centroid-sidecar index
+    // (IVF, SemDeDup); see writeCentroidSidecar.
     val side =
       try spark.read.parquet(s"$path/_centroids").select("cell", "centroid")
       catch {
         case e: org.apache.spark.sql.AnalysisException =>
           throw new IllegalStateException(
-            s"IVF index at $path has no readable centroid sidecar " +
-              "(_centroids); rewrite the index with ivfWriteIndex or pass " +
+            s"$kind index at $path has no readable centroid sidecar " +
+              s"(_centroids); rewrite the index with $writer or pass " +
               "centroids explicitly", e)
       }
     side.orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+  }
+
+  /** The centroid sidecar write — the single home of the `_centroids`
+    * format ([[ivfReadCentroids]]'s counterpart), shared by
+    * [[ivfWriteIndex]] and [[SemDedup.semDedupWriteIndex]].
+    */
+  private[graft] def writeCentroidSidecar(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    cents.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_centroids")
   }
 
   /** Top-k probe against a persisted IVF index. The query vector is one row

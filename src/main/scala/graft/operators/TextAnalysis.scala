@@ -196,9 +196,18 @@ object TextAnalysis {
     * per row; parity with [[langIdColumns]] spec-pinned).
     */
   def langId(text: Column): Column =
-    graft.expressions.TextHashExpressions.langVote(text,
-      s"en:${StopwordsEn.mkString(",")}|es:${StopwordsEs.mkString(",")}" +
-        s"|fr:${StopwordsFr.mkString(",")}")
+    // NULL text: the when-chain specification's conditions all evaluate
+    // NULL → false, so the cascade falls through to its final otherwise
+    // ('fr') — an artifact, but the SPECIFIED one (and what the
+    // q_text_quality oracle's CASE replays). The native propagates null,
+    // so coalesce restores exact parity; vote never returns null for
+    // non-null text (it returns 'und'), so the fallback fires only on
+    // null input (code-review r12, pinned with a null-text parity row).
+    coalesce(
+      graft.expressions.TextHashExpressions.langVote(text,
+        s"en:${StopwordsEn.mkString(",")}|es:${StopwordsEs.mkString(",")}" +
+          s"|fr:${StopwordsFr.mkString(",")}"),
+      lit("fr"))
 
   /** The when-chain form — the executable specification [[langId]]'s
     * native vote is spec-pinned against (the cascade IS first-max-wins

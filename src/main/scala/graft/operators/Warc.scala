@@ -133,7 +133,12 @@ object Warc {
       s.getField("st_raw").try_cast(LongType).as("http_status"),
       regexp_extract(s.getField("http_head"), ContentTypeRe, 1)
         .as("http_content_type"),
-      regexp_replace(s.getField("body_raw"), "\\r\\n\\r\\n$", "")
+      // \z, not $: Java's non-multiline $ ALSO matches before a final
+      // line terminator, so a malformed record tail like "…\r\n\r\n\n"
+      // would strip a Sep that is not at the true end — where RE2's $
+      // (the oracle side) is end-of-text only. \z pins Java to the same
+      // end-of-text semantics (code-review r12, spec-pinned).
+      regexp_replace(s.getField("body_raw"), "\\r\\n\\r\\n\\z", "")
         .as("payload")))
   }
 

@@ -458,8 +458,12 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getString(1) == r.getString(2),
         s"langId parity broke on doc ${r.getLong(0)}")
     }
+    // incl. the NULL-text row: the cascade's conditions all evaluate
+    // NULL -> false and fall through to otherwise('fr') — the native's
+    // coalesce fallback must replicate it (code-review r12)
     val ties = Seq(700L -> "la de un y", 701L -> "le la de phrase",
-        702L -> "xyz qqq", 703L -> "the el le")
+        702L -> "xyz qqq", 703L -> "the el le",
+        704L -> (null: String))
       .toDF("doc_id", "text")
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("nat"),
         TextAnalysis.langIdColumns(col("text")).as("spec"))

@@ -60,6 +60,16 @@ class WarcSpec extends SparkSpec {
     assert(rows.head == "line one\r\n")
   }
 
+  test("terminator strip is end-of-text only (\\z), not before a final newline") {
+    // A truncated/malformed tail "…\r\n\r\n\n": Java's $ would ALSO
+    // match before the final \n and strip a Sep that is not at the true
+    // end — RE2 (the oracle engine) would not. \z pins both to
+    // end-of-text (code-review r12).
+    val rec = "WARC/1.0\r\nWARC-Type: metadata" + S + "x\r\n\r\n\n"
+    val p = parse(8L -> rec).select("payload").as[String].collect().head
+    assert(p == "x\r\n\r\n\n", p.replace("\r", "\\r").replace("\n", "\\n"))
+  }
+
   test("missing headers parse empty/null, not as errors") {
     val bare = s"WARC/1.0\r\nWARC-Type: metadata$S" + s"k: v$S"
     val r = parse(9L -> bare)
