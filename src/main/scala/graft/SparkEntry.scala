@@ -101,10 +101,13 @@ object SparkEntry {
   // SQL generators for the html oracle (shared by both html queries so
   // the replayed chain cannot drift between them). Single quotes in
   // replacements are SQL-doubled.
+  // GENERATED from TextAnalysis.HtmlEntities (order included) so the
+  // decode chain genuinely cannot drift between the engines — the hand
+  // copy this replaced was the one unshared piece (code-review r12).
   private def sqlDecodeEntities(expr: String): String =
-    Seq(("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "''"),
-      ("&apos;", "''"), ("&nbsp;", " "), ("&amp;", "&"))
-      .foldLeft(expr) { case (acc, (e, r)) => s"replace($acc, '$e', '$r')" }
+    TextAnalysis.HtmlEntities.foldLeft(expr) { case (acc, (e, r)) =>
+      s"replace($acc, '${e.replace("'", "''")}', '${r.replace("'", "''")}')"
+    }
 
   private def sqlHtmlRaw(b: String): String =
     sqlDecodeEntities(s"regexp_replace($b, '<[^>]*>', '', 'g')")
@@ -411,8 +414,15 @@ object SparkEntry {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(lit("https://copies.example.com/copy/"),
           col("doc_id").cast("string")).as("url"),
+        // the id interleaves every <=2 constant tokens: the old tail
+        // "appears here of course." was 4 consecutive constants —
+        // violating the fixture's own no-4-constant-run rule, so every
+        // planted copy shared a 4-shingle and UNRELATED copies could
+        // band-pair through it (code-review r12)
         concat(col("text"), lit("\ncopy "), col("doc_id").cast("string"),
-          lit(" appears here of course.")).as("text")))
+          lit(" appears here "), col("doc_id").cast("string"),
+          lit(" of course "), col("doc_id").cast("string"), lit("."))
+          .as("text")))
   }
 
   /** The FineWeb recipe replayed stage-for-stage in DuckDB: page/url
@@ -469,7 +479,8 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 1000000,
       |    'https://copies.example.com/copy/' || doc_id,
-      |    text || chr(10) || 'copy ' || doc_id || ' appears here of course.'
+      |    text || chr(10) || 'copy ' || doc_id || ' appears here ' ||
+      |      doc_id || ' of course ' || doc_id || '.'
       |  FROM fwbase WHERE doc_id % 10 = 0),
       |fwcu1 AS (SELECT doc_id, text,
       |  regexp_replace(url, '#.*', '', 'g') AS cu FROM fwpages),

@@ -277,11 +277,20 @@ object Dedup {
     Guardrails.requireBoundedBuckets(banded, Seq("band", "sig"), maxBucketRows,
       s"minHashCandidatesPortable(bands=$bands, rowsPerBand=$rowsPerBand)",
       "raise rowsPerBand or exact-dedup identical texts first")
-    banded.select(col("band"), col("sig"), col("id").as("id_a"))
+    val pairs = banded.select(col("band"), col("sig"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("sig"), col("id").as("id_b")),
         Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The minHashCandidates pin swap (code-review r12 — the portable twin
+    // was missing it, so the sigs entry outlived every call): materialize
+    // the tiny pair set, release the signature cache, return the pinned
+    // pairs for the CALLER to unpersist once consumed (the dedupCorpus
+    // convention).
+    pairs.count()
+    sigs.unpersist()
+    pairs
   }
 
   /** Oracle-portable SimHash: the per-bit-vote signature with the token
@@ -710,6 +719,10 @@ object Dedup {
     val losers = duplicateGroups(pairs.select("id_a", "id_b"))
       .filter(col("id") =!= col("group_id"))
       .select(col("id").as(idCol))
+    // duplicateGroups returns eagerly-checkpointed labels — release the
+    // pair pin so no cache entry outlives the call (the dedupCorpus
+    // convention; code-review r12).
+    pairs.unpersist()
     df.join(losers, Seq(idCol), "left_anti")
   }
 
