@@ -802,6 +802,30 @@ object SparkEntry {
     path
   }
 
+  // BM25 inverted index for the retrieval probe: full corpus indexed once
+  // per process per sf-dir (the ivfEnsureIndex convention); the append
+  // gate uses its OWN temp dir so this shared index stays append-free.
+  private lazy val bm25TmpDir =
+    java.nio.file.Files.createTempDirectory("graft-bm25").toString
+
+  private def bm25EnsureIndex(s: SparkSession, d: String): String = {
+    val path = s"$bm25TmpDir/${new java.io.File(d).getName}"
+    if (!graft.pipeline.Sinks.exists(s, s"$path/stats"))
+      TextAnalysis.bm25WriteIndex(t(s, d, "documents"), "doc_id", "text",
+        path, nBuckets = 16)
+    path
+  }
+
+  /** Literal retrieval query batch — mirrored verbatim by the oracle's
+    * VALUES list. Query 3's terms are absent from the corpus vocabulary,
+    * pinning the no-match path (absent from the output, both engines).
+    */
+  private def bm25Queries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((1L, "hash join table"), (2L, "window merge stream"),
+      (3L, "zebra quantum")).toDF("query_id", "qtext")
+  }
+
   // Persisted text-model artifacts (r11, VERDICT r10 §next-2): train once
   // per (process, sf-dir) and write the model TABLE to parquet; the
   // benched `*_scored` rows then LOAD + score — the production steady
@@ -1022,7 +1046,11 @@ object SparkEntry {
       "q_warc_to_text", "q_warc_gz_gate",
       // r12: stateless streaming twin of the benched parse — see its
       // registration comment.
-      "q_stream_warc_ingest")
+      "q_stream_warc_ingest",
+      // r12: BM25 index-maintenance gate builds its index per run (the
+      // q_sim_pq_append ruling); the benched retrieval rows are the
+      // scratch search and the persisted-index probe.
+      "q_text_bm25_append_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -2229,6 +2257,38 @@ object SparkEntry {
     "q_text_bm25" -> ((s, d) =>
       TextAnalysis.bm25(t(s, d, "documents"), "doc_id", "text")
         .filter(col("id") < 20).orderBy("id", "term")),
+    // BM25 retrieval (r12): query-batch top-k search. The scratch form
+    // derives postings/df/stats from the corpus per run (the engine
+    // shape: two hash-aggs + term-keyed join + per-query top-k window);
+    // the probe form runs against the persisted term-bucketed inverted
+    // index — partition-pruned to the query terms' buckets, O(query
+    // terms) not O(corpus) — and must match the scratch form bit-for-bit
+    // (both replay the SAME oracle SQL; DECIMAL(38,18) score sums make
+    // the addition order-free across engines).
+    "q_text_bm25_search" -> ((s, d) =>
+      TextAnalysis.bm25Search(t(s, d, "documents"), "doc_id", "text",
+        bm25Queries(s), "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")),
+    "q_text_bm25_probe" -> ((s, d) =>
+      TextAnalysis.bm25Probe(s, bm25EnsureIndex(s, d),
+        bm25Queries(s), "query_id", "qtext", k = 10)
+        .orderBy("query_id", "rank")),
+    // Index-maintenance gate: index the first corpus half, APPEND the
+    // second, probe — the result must equal full-corpus search exactly
+    // (stale df/avgdl partials or bucket drift would surface here). Same
+    // oracle SQL as the pair above; verify-only (builds its index per
+    // run — the append-gate ruling, q_sim_pq_append precedent).
+    "q_text_bm25_append_gate" -> ((s, d) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-bm25-append").toString + "/idx"
+      val docs = t(s, d, "documents")
+      TextAnalysis.bm25WriteIndex(docs.filter(col("doc_id") < 120),
+        "doc_id", "text", path, nBuckets = 16)
+      TextAnalysis.bm25AppendIndex(docs.filter(col("doc_id") >= 120),
+        "doc_id", "text", path)
+      TextAnalysis.bm25Probe(s, path, bm25Queries(s), "query_id", "qtext",
+        k = 10).orderBy("query_id", "rank")
+    }),
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -6371,7 +6431,58 @@ object SparkEntry {
     * two hash-checked rows (trained chain verify-only, loaded chain
     * benched).
     */
+  /** One oracle body for the BM25 retrieval family: the scratch search,
+    * the persisted-index probe, and the append gate are all contracted to
+    * produce THIS result exactly (probe == scratch is the index-layout
+    * invariant; the SQL replays the scratch derivation). Float contract:
+    * the per-(doc,term) weight is one IEEE-double expression replayed
+    * symbolically (the q_text_bm25 precedent — `(1.2 + 1)` etc. evaluate
+    * to the identical doubles in both engines), and the per-(query,doc)
+    * sum runs in DECIMAL(38,18) (the perplexity precedent), so addition
+    * order cannot drift the hash.
+    */
+  private val bm25SearchOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS id, t.term
+      |  FROM documents, unnest(regexp_split_to_array(lower(text), '\s+')) AS t(term)
+      |  WHERE t.term <> ''
+      |), tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs,
+      |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+      |queries(query_id, qtext) AS (VALUES
+      |  (CAST(1 AS BIGINT), 'hash join table'),
+      |  (CAST(2 AS BIGINT), 'window merge stream'),
+      |  (CAST(3 AS BIGINT), 'zebra quantum')),
+      |qterms AS (
+      |  SELECT DISTINCT query_id, t.term
+      |  FROM queries, unnest(regexp_split_to_array(lower(qtext), '\s+')) AS t(term)
+      |  WHERE t.term <> ''),
+      |scored AS (
+      |  SELECT q.query_id, tf.id,
+      |    CAST(ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+      |      * (tf.tf * (1.2 + 1))
+      |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+      |      AS DECIMAL(38, 18)) AS w
+      |  FROM qterms q JOIN tf USING (term) JOIN dl USING (id)
+      |    JOIN dfreq USING (term) CROSS JOIN stats),
+      |agg AS (
+      |  SELECT query_id, id AS doc_id,
+      |    round(CAST(sum(w) AS DOUBLE), 6) AS score
+      |  FROM scored GROUP BY 1, 2)
+      |SELECT * FROM (
+      |  SELECT query_id, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY score DESC, doc_id) AS INT) AS rank,
+      |    score
+      |  FROM agg)
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "q_text_bm25_search" -> bm25SearchOracleSql,
+    "q_text_bm25_probe" -> bm25SearchOracleSql,
+    "q_text_bm25_append_gate" -> bm25SearchOracleSql,
     "q_text_nb_margin_scored" -> baseOracleSql("q_text_nb_margin"),
     "q_text_langid_scored" -> baseOracleSql("q_text_langid_ct"),
     "q_cur_dsir_scored" -> baseOracleSql("q_cur_dsir_sample"),

@@ -395,6 +395,236 @@ object TextAnalysis {
       .select("id", "term", "tf", "dfreq", "bm25")
   }
 
+  // ---------------------------------------------------------------------
+  // BM25 retrieval: query-batch top-k search over the corpus, with a
+  // persisted term-bucketed inverted index for the production "index once,
+  // probe many" steady state (r12). The per-(doc,term) weight is exactly
+  // [[bm25]]'s; what this family adds is the QUERY side — score a batch of
+  // queries and return the top-k documents per query — and the index
+  // layout that makes a probe O(query terms), not O(corpus):
+  //
+  //   path/postings/bucket=B/  (term, id, tf, dl)     corpus-scale
+  //   path/terms/bucket=B/     (term, dfreq) PARTIALS vocab-scale
+  //   path/stats/              (n_docs, total_dl, n_buckets) PARTIALS
+  //
+  // `bucket = pmod(xxhash64(term), nBuckets)` is a partition column, so a
+  // probe's `bucket IN (...)` literal filter prunes at file-listing time
+  // and only the query terms' buckets are ever read. The terms and stats
+  // tables hold per-batch PARTIAL counts that the probe sums — which is
+  // what makes [[bm25AppendIndex]] a pure O(batch) append: no read-modify-
+  // write of corpus-wide statistics, no rebuild (the ivfAppendIndex /
+  // substringAppendIndex maintenance story).
+  //
+  // Determinism contract: the per-term weight is an IEEE-double expression
+  // (cross-engine reproducible, the [[bm25]] oracle precedent) and the
+  // per-(query,doc) score SUM runs in DECIMAL(38,18) — exact, order-free
+  // addition (the LanguageModel perplexity contract), so scratch search,
+  // index probe, and the DuckDB oracle agree bit-for-bit, and ties break
+  // totally on (score DESC, doc id ASC).
+  // ---------------------------------------------------------------------
+
+  /** Per-(doc,term) posting rows (id, term, tf, dl): one token explode,
+    * one doc×term hash-aggregate, doc length joined back doc-keyed.
+    */
+  private def bm25PostingRows(df: DataFrame, idCol: String,
+                              textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(words(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    tf.join(dl, "id").select("id", "term", "tf", "dl")
+  }
+
+  /** Distinct (query_id, term) pairs — BM25's usual bag-of-distinct-terms
+    * query model (a repeated query word scores once; tf saturation lives
+    * on the document side).
+    */
+  private def bm25QueryTerms(queries: DataFrame, qIdCol: String,
+                             qTextCol: String): DataFrame =
+    queries.select(col(qIdCol).cast("long").as("query_id"),
+        explode(words(lower(col(qTextCol)))).as("term"))
+      .distinct()
+
+  /** Shared scorer: postings restricted to query terms (broadcast — a
+    * query batch is human-scale), per-term df and corpus stats joined in,
+    * the double BM25 weight summed per (query, doc) in DECIMAL(38,18),
+    * and a per-query top-k window with a total (score DESC, id ASC)
+    * tie-break. The window partitions by query_id — each query's
+    * candidate set is the union of its terms' postings, so the sort is
+    * per-query, never global; a pathological single-term stopword query
+    * ("the") makes one big partition, which is the query author's skew,
+    * not the plan's (same stance as topNgrams' TakeOrdered note).
+    */
+  private def bm25TopKFrom(postings: DataFrame, dfreq: DataFrame,
+                           stats: DataFrame, qterms: DataFrame,
+                           k: Int, k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val scored = postings
+      .join(broadcast(qterms), "term")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("w",
+        log((col("n_docs") - col("dfreq") + 0.5) / (col("dfreq") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    // DECIMAL(38,18) makes the per-(query,doc) addition order-free; the
+    // decimal→double→round(6) edge is the q_text_lm_perplexity float-
+    // portability contract (the raw doubles agree cross-engine to ~1e-15;
+    // double→decimal CAST semantics differ at the last printed digit —
+    // Spark casts via the shortest double repr, DuckDB via the exact
+    // binary expansion — so the raw decimal must never reach the output).
+    // Ranking orders by the ROUNDED score, so rank is deterministic in
+    // both engines whenever the rounded values agree, with (id ASC) as
+    // the total tie-break — exact duplicates (equal tf/dl rows) tie
+    // exactly and break by id.
+    scored.groupBy("query_id", "id")
+      .agg(sum(col("w").cast(DecimalType(38, 18))).as("score_exact"))
+      .withColumn("score", round(col("score_exact").cast("double"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("doc_id"), col("rank"),
+        col("score"))
+  }
+
+  /** BM25 top-k search, scratch form: derive postings, per-term df and
+    * corpus stats from the corpus, then score the query batch. Columns
+    * (query_id, doc_id, rank, score). All corpus legs are term- or
+    * doc-keyed shuffles (never all-pairs); a query term absent from the
+    * corpus contributes nothing, and a query matching nothing is absent
+    * from the output (standard retrieval semantics). For repeated query
+    * batches against a stable corpus use [[bm25WriteIndex]] +
+    * [[bm25Probe]], which skips every corpus-scale stage.
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 queries: DataFrame, qIdCol: String, qTextCol: String,
+                 k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val p = bm25PostingRows(docs, idCol, textCol)
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("dfreq"))
+    val stats = p.agg(countDistinct(col("id")).as("n_docs"),
+      sum("tf").as("total_dl"))
+    bm25TopKFrom(p, dfreq, stats, bm25QueryTerms(queries, qIdCol, qTextCol),
+      k, k1, b)
+  }
+
+  /** Write (or rebuild) the persisted BM25 inverted index. The posting
+    * rows are computed once (operator-internal persist, released before
+    * return) and land three ways: term-bucket-partitioned postings,
+    * per-batch partial df counts (same bucketing), and a one-row partial
+    * stats batch carrying `n_buckets` so appends and probes can recover
+    * the bucketing modulus from the index itself.
+    */
+  def bm25WriteIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"bm25WriteIndex: nBuckets must be > 0, got $nBuckets")
+    bm25IndexBatch(docs, idCol, textCol, path, nBuckets,
+      org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** Incremental maintenance: append a new document batch into an existing
+    * index — O(batch) work, no O(corpus) rebuild. New postings append into
+    * their bucket directories; df and corpus stats append as PARTIALS that
+    * every probe sums, so nothing corpus-wide is read back or rewritten.
+    * Caller contract (shared with every dedup/ANN index here): batch doc
+    * ids must not collide with ids already indexed.
+    */
+  def bm25AppendIndex(docs: DataFrame, idCol: String, textCol: String,
+                      path: String): Unit = {
+    val spark = docs.sparkSession
+    val nBuckets = bm25ReadNBuckets(spark, path)
+    bm25IndexBatch(docs, idCol, textCol, path, nBuckets,
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  private def bm25IndexBatch(docs: DataFrame, idCol: String, textCol: String,
+                             path: String, nBuckets: Int,
+                             mode: org.apache.spark.sql.SaveMode): Unit = {
+    val spark = docs.sparkSession
+    val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
+    val p = bm25PostingRows(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      p.withColumn("bucket", bucket)
+        .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
+      p.groupBy("term").agg(count(lit(1)).as("dfreq"))
+        .withColumn("bucket", bucket)
+        .write.mode(mode).partitionBy("bucket").parquet(s"$path/terms")
+      p.agg(countDistinct(col("id")).as("n_docs"),
+          sum("tf").as("total_dl"))
+        .withColumn("n_buckets", lit(nBuckets))
+        .coalesce(1)
+        .write.mode(mode).parquet(s"$path/stats")
+    } finally p.unpersist()
+  }
+
+  /** Bucketing modulus from the stats partials — every batch must agree
+    * (a mixed-modulus index would silently split a term across buckets
+    * and drop its postings from probes, so this fails loudly instead).
+    */
+  private def bm25ReadNBuckets(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Int = {
+    val r = spark.read.parquet(s"$path/stats")
+      .agg(min("n_buckets").as("lo"), max("n_buckets").as("hi"))
+      .collect()(0)
+    require(r.getInt(0) == r.getInt(1),
+      s"bm25 index at $path has inconsistent n_buckets " +
+        s"(${r.getInt(0)} vs ${r.getInt(1)})")
+    r.getInt(0)
+  }
+
+  /** BM25 top-k probe against a persisted index: the amortized production
+    * form. ONE bounded driver collect materializes the query batch's
+    * (query_id, term, bucket) triples (loud fail above `maxQueryTerms` —
+    * a query batch is human-scale by contract; corpus-scale scoring is
+    * [[bm25Search]]'s job), then the postings and terms scans carry a
+    * `bucket IN (...)` literal filter — partition pruning at file-listing
+    * time — and a broadcast term join, so the work is proportional to the
+    * query terms' posting lists, never the corpus. Statistics are the
+    * summed partials, identical math to the scratch form: probe results
+    * equal [[bm25Search]] bit-for-bit on the same corpus.
+    */
+  def bm25Probe(spark: org.apache.spark.sql.SparkSession, path: String,
+                queries: DataFrame, qIdCol: String, qTextCol: String,
+                k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                maxQueryTerms: Int = 10000): DataFrame = {
+    val nBuckets = bm25ReadNBuckets(spark, path)
+    val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
+    val qt = bm25QueryTerms(queries, qIdCol, qTextCol)
+      .withColumn("bucket", bucket)
+      .limit(maxQueryTerms + 1).collect()
+    require(qt.length <= maxQueryTerms,
+      s"bm25Probe: query batch has > $maxQueryTerms distinct (query, term) " +
+        "pairs; probe batches are bounded by contract — split the batch " +
+        "or use bm25Search for corpus-scale scoring")
+    import spark.implicits._
+    val qlocal = qt.toIndexedSeq
+      .map(r => (r.getLong(0), r.getString(1))).toDF("query_id", "term")
+    val buckets = qt.map(_.getInt(2)).distinct.toIndexedSeq.map(lit(_))
+    if (buckets.isEmpty) return bm25EmptyResult(spark)
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .select("id", "term", "tf", "dl")
+    val dfreq = spark.read.parquet(s"$path/terms")
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(qlocal.select("term").distinct()), "term")
+      .groupBy("term").agg(sum("dfreq").as("dfreq"))
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum("n_docs").as("n_docs"), sum("total_dl").as("total_dl"))
+    bm25TopKFrom(postings, dfreq, stats, qlocal, k, k1, b)
+  }
+
+  private def bm25EmptyResult(
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Int, Double)]
+      .toDF("query_id", "doc_id", "rank", "score")
+  }
+
   /** Top-k frequent word n-grams across the corpus: posexplode tokens,
     * window-`lead` the next n-1 tokens (codegen'd — same shape as the
     * MinHash shingle pipeline), null-propagating concat (a doc shorter than
