@@ -772,6 +772,107 @@ case class PqEncode(child: Expression, books: Array[Array[Double]], k: Int)
     copy(child = newChild)
 }
 
+/** Affine matrix-vector transform with the matrix as a plan literal:
+  * `out[j] = Σ_i mat(j)(i) · (x(i) − shift(i)) + offset(j)` — the one
+  * primitive behind PCA projection (mat = components, shift = mean,
+  * offset = 0) and PCA reconstruction (mat = componentsᵀ, shift = 0,
+  * offset = mean). Same design as [[LshBandSignatures]]: the model rides
+  * as a codegen reference object and the transform is one tight generated
+  * loop per row (a `transform`/`aggregate` HOF composition would run
+  * interpreted per element). Ragged vectors fail loudly (the
+  * [[LshBandSignatures]] rule — a silently-partial projection would land
+  * in plausible but wrong coordinates); null elements contribute nothing.
+  */
+case class AffineMatVec(child: Expression, mat: Array[Array[Double]],
+                        shift: Array[Double], offset: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(mat.nonEmpty && mat.forall(_.length == mat(0).length),
+    "affine_mat_vec: matrix rows must share one dimension")
+  require(shift.length == mat(0).length,
+    s"affine_mat_vec: shift length ${shift.length} != input dim ${mat(0).length}")
+  require(offset.length == mat.length,
+    s"affine_mat_vec: offset length ${offset.length} != output dim ${mat.length}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "affine_mat_vec"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: DecimalType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName does not support decimal arrays — cast to array<double> first")
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric array argument, got ${other.catalogString}")
+  }
+
+  private def elem: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+  private def dimIn: Int = mat(0).length
+  private def dimOut: Int = mat.length
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != dimIn) throw new IllegalArgumentException(
+      s"$prettyName: vector length ${arr.numElements()} != input dimension $dimIn")
+    val out = new Array[Double](dimOut)
+    var j = 0
+    while (j < dimOut) {
+      val row = mat(j)
+      var acc = offset(j)
+      var i = 0
+      while (i < dimIn) {
+        if (!arr.isNullAt(i)) acc += ((elem match {
+          case FloatType   => arr.getFloat(i).toDouble
+          case DoubleType  => arr.getDouble(i)
+          case IntegerType => arr.getInt(i).toDouble
+          case LongType    => arr.getLong(i).toDouble
+          case ShortType   => arr.getShort(i).toDouble
+          case ByteType    => arr.getByte(i).toDouble
+          case other => throw new IllegalStateException(s"unsupported element type $other")
+        }) - shift(i)) * row(i)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("mat", mat, "double[][]")
+    val shiftRef = ctx.addReferenceObj("shift", shift, "double[]")
+    val offsetRef = ctx.addReferenceObj("offset", offset, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val row = ctx.freshName("row")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |if ($v.numElements() != $dimIn) {
+         |  throw new IllegalArgumentException(
+         |    "affine_mat_vec: vector length " + $v.numElements()
+         |      + " != input dimension $dimIn");
+         |}
+         |double[] $out = new double[$dimOut];
+         |for (int $j = 0; $j < $dimOut; $j++) {
+         |  double[] $row = $matRef[$j];
+         |  double $acc = $offsetRef[$j];
+         |  for (int $i = 0; $i < $dimIn; $i++) {
+         |    if (!$v.isNullAt($i)) {
+         |      $acc += (((double) ${CodeGenerator.getValue(v, elem, i)}) - $shiftRef[$i]) * $row[$i];
+         |    }
+         |  }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column wrappers (classic API). */
   def quantizedDot(a: Column, b: Column, scale: Int = 1000): Column =
@@ -800,4 +901,13 @@ object VectorExpressions {
 
   def pqEncode(vec: Column, books: Array[Array[Double]], k: Int): Column =
     GraftBridge.column(PqEncode(GraftBridge.expression(vec), books, k))
+
+  def affineMatVec(vec: Column, mat: Array[Array[Double]],
+                   shift: Array[Double], offset: Array[Double]): Column =
+    GraftBridge.column(AffineMatVec(
+      GraftBridge.expression(vec), mat, shift, offset))
+
+  def dotProduct(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }

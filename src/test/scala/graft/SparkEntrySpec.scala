@@ -64,7 +64,11 @@ class SparkEntrySpec extends SparkSpec {
       "q_dedup_semantic_indexed" ->
         Seq("q_dedup_semantic_idx_gate", "q_text_hashvec_gate",
           "q_text_hashvec_portable", "q_dedup_semdedup_gate",
-          "q_dedup_semdedup_portable"))
+          "q_dedup_semdedup_portable"),
+      // r12: the PCA probe's model (eigenvectors) is not SQL-derivable;
+      // the full-rank gate pins orthonormality, the distributed-variance
+      // cross-check, and exact reconstruction through the same natives.
+      "q_emb_pca_scored" -> Seq("q_emb_pca_gate"))
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val unpinned = rowsOnly.filter(q => pins.getOrElse(q, Nil).isEmpty)
     assert(unpinned.isEmpty, s"rows-only queries without a declared pin: $unpinned")
