@@ -424,15 +424,28 @@ object TextAnalysis {
   // ---------------------------------------------------------------------
 
   /** Per-(doc,term) posting rows (id, term, tf, dl): one token explode,
-    * one doc×term hash-aggregate, doc length joined back doc-keyed.
+    * one doc×term hash-aggregate, doc length joined back doc-keyed. With
+    * `withPositions` the posting also carries the sorted 0-based token
+    * positions (`array<int>`) — the POSITIONAL index [[phraseProbe]]
+    * consumes; BM25 probes never read the column (parquet prunes it).
     */
-  private def bm25PostingRows(df: DataFrame, idCol: String,
-                              textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(words(lower(col(textCol)))).as("term"))
-    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
-    tf.join(dl, "id").select("id", "term", "tf", "dl")
+  private def bm25PostingRows(df: DataFrame, idCol: String, textCol: String,
+                              withPositions: Boolean = false): DataFrame = {
+    if (!withPositions) {
+      val toks = df.select(col(idCol).as("id"),
+        explode(words(lower(col(textCol)))).as("term"))
+      val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+      tf.join(dl, "id").select("id", "term", "tf", "dl")
+    } else {
+      val toks = df.select(col(idCol).as("id"),
+        posexplode(words(lower(col(textCol)))).as(Seq("pos", "term")))
+      val tf = toks.groupBy("id", "term")
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+        .withColumn("tf", size(col("positions")).cast("long"))
+      val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+      tf.join(dl, "id").select("id", "term", "tf", "dl", "positions")
+    }
   }
 
   /** Distinct (query_id, term) pairs — BM25's usual bag-of-distinct-terms
@@ -546,7 +559,7 @@ object TextAnalysis {
                              mode: org.apache.spark.sql.SaveMode): Unit = {
     val spark = docs.sparkSession
     val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
-    val p = bm25PostingRows(docs, idCol, textCol)
+    val p = bm25PostingRows(docs, idCol, textCol, withPositions = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       p.withColumn("bucket", bucket)
@@ -623,6 +636,92 @@ object TextAnalysis {
     import spark.implicits._
     Seq.empty[(Long, Long, Int, Double)]
       .toDF("query_id", "doc_id", "rank", "score")
+  }
+
+  // ---------------------------------------------------------------------
+  // Phrase search over the positional index: exact consecutive-token
+  // match — "where does this benchmark sentence appear in the corpus" is
+  // the decontamination-investigation query, and exact phrase lookup is
+  // what substring-level audits reach for first. The match is pure
+  // integer relational algebra (the anchor trick): a phrase t₀..t_{n−1}
+  // matches doc d at anchor a iff token tᵢ appears at position a+i for
+  // every i — so join corpus (id, pos, term) to phrase (qi, term) on
+  // term, group by (query, id, pos − qi), and an anchor with n
+  // contributing rows is an occurrence. Repeated phrase terms are
+  // handled for free (each qi contributes at most one row per anchor —
+  // positions are unique within a doc). Everything is exact integers;
+  // the DuckDB oracle replays the whole shape.
+  // ---------------------------------------------------------------------
+
+  /** ORDERED phrase tokens (query_id, qi, term) — not distinct: a phrase
+    * is a sequence (contrast [[bm25QueryTerms]]'s bag-of-terms model).
+    */
+  private def phraseTerms(queries: DataFrame, qIdCol: String,
+                          qTextCol: String): DataFrame =
+    queries.select(col(qIdCol).cast("long").as("query_id"),
+      posexplode(words(lower(col(qTextCol)))).as(Seq("qi", "term")))
+
+  /** Shared matcher over (id, pos, term) token rows: anchor grouping +
+    * the count == phrase-length filter, then occurrences per (query,
+    * doc). Output (query_id, doc_id, n_matches), every column an exact
+    * integer.
+    */
+  private def phraseMatchFrom(toks: DataFrame, qterms: DataFrame): DataFrame = {
+    val qn = qterms.groupBy("query_id").agg(count(lit(1)).as("qn"))
+    toks.join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("id"),
+        (col("pos") - col("qi")).as("anchor"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(qn), "query_id")
+      .filter(col("c") === col("qn"))
+      .groupBy("query_id", "id").agg(count(lit(1)).as("n_matches"))
+      .select(col("query_id"), col("id").as("doc_id"), col("n_matches"))
+  }
+
+  /** Phrase search, scratch form: posexplode the corpus once and match.
+    * One doc-keyed explode + term-broadcast join + two keyed aggregates —
+    * no corpus self-join, no window. A query term absent from the corpus
+    * makes its phrase unmatchable (absent from the output).
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame, qIdCol: String,
+                   qTextCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(words(lower(col(textCol)))).as(Seq("pos", "term")))
+    phraseMatchFrom(toks, phraseTerms(queries, qIdCol, qTextCol))
+  }
+
+  /** Phrase probe against the persisted [[bm25WriteIndex]] index (its
+    * postings carry sorted token positions): bucket-pruned postings for
+    * the phrase's terms only, positions exploded back to token rows, the
+    * same anchor match. Work is proportional to the phrase terms' posting
+    * lists — the corpus is never re-tokenized. Equal to [[phraseSearch]]
+    * on the indexed corpus by construction (same oracle SQL).
+    */
+  def phraseProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, qIdCol: String, qTextCol: String,
+                  maxQueryTerms: Int = 10000): DataFrame = {
+    val nBuckets = bm25ReadNBuckets(spark, path)
+    val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
+    val qt = phraseTerms(queries, qIdCol, qTextCol)
+      .withColumn("bucket", bucket)
+      .limit(maxQueryTerms + 1).collect()
+    require(qt.length <= maxQueryTerms,
+      s"phraseProbe: query batch has > $maxQueryTerms (query, position) " +
+        "pairs; probe batches are bounded by contract")
+    import spark.implicits._
+    val qlocal = qt.toIndexedSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toDF("query_id", "qi", "term")
+    val buckets = qt.map(_.getInt(3)).distinct.toIndexedSeq.map(lit(_))
+    if (buckets.isEmpty) {
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("query_id", "doc_id", "n_matches")
+    }
+    val toks = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("id"), col("term"), explode(col("positions")).as("pos"))
+    phraseMatchFrom(toks, qlocal)
   }
 
   /** Top-k frequent word n-grams across the corpus: posexplode tokens,

@@ -109,6 +109,43 @@ class Bm25Spec extends SparkSpec {
       e.getMessage.contains("bounded"), e.getMessage)
   }
 
+  test("phraseSearch: anchor semantics — overlaps count, order matters, repeats work") {
+    val d = Seq(
+      (1L, "a b a b a"),
+      (2L, "b a"),
+      (3L, "a a a")
+    ).toDF("doc_id", "text")
+    def m(phrase: String): Map[Long, Long] =
+      TextAnalysis.phraseSearch(d, "doc_id", "text",
+        q(1L -> phrase), "query_id", "qtext")
+        .select("doc_id", "n_matches").as[(Long, Long)].collect().toMap
+    assert(m("a b") == Map(1L -> 2L))            // positions 0,2
+    assert(m("b a") == Map(1L -> 2L, 2L -> 1L))  // order-sensitive
+    assert(m("b a b") == Map(1L -> 1L))
+    assert(m("a a") == Map(3L -> 2L))            // overlapping repeats
+    assert(m("a c") == Map.empty[Long, Long])    // absent term
+  }
+
+  test("phraseProbe == phraseSearch on the indexed corpus; empty phrase batch is empty") {
+    val path = java.nio.file.Files.createTempDirectory("graft-phrase-spec")
+      .resolve("idx").toString
+    TextAnalysis.bm25WriteIndex(docs, "doc_id", "text", path, nBuckets = 4)
+    val queries = q(1L -> "hash join", 2L -> "hash hash", 3L -> "quick brown fox")
+    val scratch = TextAnalysis.phraseSearch(docs, "doc_id", "text",
+      queries, "query_id", "qtext")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val probe = TextAnalysis.phraseProbe(spark, path,
+      queries, "query_id", "qtext")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(probe == scratch && scratch.nonEmpty)
+    // doc 5 = five "hash" repeats: "hash hash" overlaps 4 times
+    assert(scratch.contains((2L, 5L, 4L)), scratch)
+    val empty = TextAnalysis.phraseProbe(spark, path,
+      q(1L -> "  "), "query_id", "qtext")
+    assert(empty.columns.toSeq == Seq("query_id", "doc_id", "n_matches"))
+    assert(empty.count() == 0L)
+  }
+
   test("bm25AppendIndex: mixed bucketing modulus fails loudly") {
     val path = java.nio.file.Files.createTempDirectory("graft-bm25-mix")
       .resolve("idx").toString
