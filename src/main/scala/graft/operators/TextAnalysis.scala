@@ -575,20 +575,27 @@ object TextAnalysis {
     } finally p.unpersist()
   }
 
-  /** Bucketing modulus from the stats partials — every batch must agree
-    * (a mixed-modulus index would silently split a term across buckets
-    * and drop its postings from probes, so this fails loudly instead).
+  /** Summed stats partials + the bucketing modulus in ONE bounded collect
+    * (the stats table is one row per indexed batch). Every batch must
+    * agree on `n_buckets` — a mixed-modulus index would silently split a
+    * term across buckets and drop its postings from probes, so this
+    * fails loudly instead.
     */
-  private def bm25ReadNBuckets(spark: org.apache.spark.sql.SparkSession,
-                               path: String): Int = {
+  private def bm25ReadStats(spark: org.apache.spark.sql.SparkSession,
+                            path: String): (Int, Long, Long) = {
     val r = spark.read.parquet(s"$path/stats")
-      .agg(min("n_buckets").as("lo"), max("n_buckets").as("hi"))
+      .agg(min("n_buckets").as("lo"), max("n_buckets").as("hi"),
+        sum("n_docs").as("n_docs"), sum("total_dl").as("total_dl"))
       .collect()(0)
     require(r.getInt(0) == r.getInt(1),
       s"bm25 index at $path has inconsistent n_buckets " +
         s"(${r.getInt(0)} vs ${r.getInt(1)})")
-    r.getInt(0)
+    (r.getInt(0), r.getLong(2), r.getLong(3))
   }
+
+  private def bm25ReadNBuckets(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Int =
+    bm25ReadStats(spark, path)._1
 
   /** BM25 top-k probe against a persisted index: the amortized production
     * form. ONE bounded driver collect materializes the query batch's
@@ -605,7 +612,11 @@ object TextAnalysis {
                 queries: DataFrame, qIdCol: String, qTextCol: String,
                 k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
                 maxQueryTerms: Int = 10000): DataFrame = {
-    val nBuckets = bm25ReadNBuckets(spark, path)
+    // one bounded collect for modulus + corpus stats (both metadata-
+    // scale); the summed partials ride back into the plan as a literal
+    // one-row frame — identical values, one fewer scan than re-reading
+    // the stats table inside the scoring plan
+    val (nBuckets, nDocs, totalDl) = bm25ReadStats(spark, path)
     val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
     val qt = bm25QueryTerms(queries, qIdCol, qTextCol)
       .withColumn("bucket", bucket)
@@ -626,8 +637,7 @@ object TextAnalysis {
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(qlocal.select("term").distinct()), "term")
       .groupBy("term").agg(sum("dfreq").as("dfreq"))
-    val stats = spark.read.parquet(s"$path/stats")
-      .agg(sum("n_docs").as("n_docs"), sum("total_dl").as("total_dl"))
+    val stats = Seq((nDocs, totalDl)).toDF("n_docs", "total_dl")
     bm25TopKFrom(postings, dfreq, stats, qlocal, k, k1, b)
   }
 
