@@ -2658,6 +2658,49 @@ object SparkEntry {
           col("total_piece_chars"), col("n_unknown_ids"),
           col("n_oversized_ids"))
     }),
+    // Tokenizer DECODE (r12) — the detokenization half every tokenizer
+    // ships, closed for all four families in ONE directly-oracled query:
+    // each family encodes then decodes every document with its persisted
+    // model (the amortized loaded-vocab convention — benched), and the
+    // decoded STRINGS are hash-compared against DuckDB computing each
+    // family's documented roundtrip expectation from the raw text:
+    //   char BPE   — `</w>` markers close words → lowercased words
+    //                joined by single spaces;
+    //   WordPiece  — continuation flags are the boundaries → same
+    //                space-joined form (nothing UNKs on the corpus the
+    //                model was trained on — the conservation gates'
+    //                argument);
+    //   Unigram    — no boundary marker in the id stream → lowercased
+    //                words joined WITHOUT spaces;
+    //   byte BPE   — byte reassembly, case-preserved, boundaries dropped
+    //                by pre-tokenization → words joined WITHOUT spaces.
+    // A decode bug of ANY kind (wrong symbol table, marker mishandling,
+    // byte-order, boundary logic) lands as a VALUE-DIFF here — a far
+    // stronger pin than the integer conservation gates alone.
+    "q_text_decode_roundtrip" -> ((s, d) => {
+      val (bvp, bmp) = bpeEnsureModel(s, d)
+      val bpeV = Bpe.readVocab(s, bvp, bmp)
+      val (yvp, ymp) = byteBpeEnsureModel(s, d)
+      val byteV = Bpe.readVocab(s, yvp, ymp)
+      val uniV = Unigram.readVocab(s, ensureModel(s, d, "unigram")(
+        Unigram.vocabTable(s, Unigram.trainUnigramModel(
+          t(s, d, "documents"), "text", targetVocab = 300))))
+      val wpV = WordPiece.readVocab(s, ensureModel(s, d, "wordpiece")(
+        WordPiece.vocabTable(s, WordPiece.trainWordPiece(
+          t(s, d, "documents"), "text", numMerges = 20))))
+      t(s, d, "documents").select(col("doc_id"),
+          Bpe.bpeDecodeIds(Bpe.bpeEncodeIds(col("text"), bpeV), bpeV)
+            .as("bpe_text"),
+          WordPiece.wordPieceDecodeIds(
+            WordPiece.wordPieceEncodeIds(col("text"), wpV), wpV)
+            .as("wp_text"),
+          Unigram.unigramDecodeIds(
+            Unigram.unigramEncodeIds(col("text"), uniV), uniV)
+            .as("unigram_text"),
+          Bpe.byteBpeDecodeIds(Bpe.byteBpeEncodeIds(col("text"), byteV),
+            byteV).as("byte_text"))
+        .orderBy("doc_id")
+    }),
     // Naive Bayes classifier (r9) — the GPT-3/CCNet quality-classifier
     // stage shape, self-trained here on the corpus's own lang labels and
     // replayed end-to-end in DuckDB (train counts, add-k log-likelihoods
@@ -4981,6 +5024,21 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_unknown_ids,
         |  TRUE AS ids_in_vocab
         |FROM w""".stripMargin,
+    // Tokenizer decode roundtrip: DuckDB computes each family's
+    // documented expectation DIRECTLY from the raw text (normalized
+    // word joins — no engine model involved), so the hash compare pins
+    // the decoded strings themselves, not just integer invariants.
+    "q_text_decode_roundtrip" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> x <> ''), ' ') AS bpe_text,
+        |  array_to_string(list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> x <> ''), ' ') AS wp_text,
+        |  array_to_string(list_filter(regexp_split_to_array(lower(text),
+        |    '\s+'), x -> x <> ''), '') AS unigram_text,
+        |  array_to_string(list_filter(regexp_split_to_array(text,
+        |    '\s+'), x -> x <> ''), '') AS byte_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // The wordpiece conservation gate's truth side: corpus word-char
     // total (code points of lowercased whitespace tokens) + the engine
     // booleans/zero-counts pinned to their exact expected values.

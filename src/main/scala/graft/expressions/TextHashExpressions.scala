@@ -453,11 +453,30 @@ object BpeOps {
   }
 
   /** Parsed encode model: base-symbol → id map plus the merge model;
-    * merge rank r mints id baseCount + r at apply time.
+    * merge rank r mints id baseCount + r at apply time. `baseSyms` keeps
+    * the POSITIONAL base list (duplicates included — the map dedups
+    * first-wins, so `baseIds.size` may undercount) for the decode
+    * direction, which needs id → symbol.
     */
-  final class IdModel(val baseIds: java.util.HashMap[String, Integer],
+  final class IdModel(val baseSyms: Array[String],
+                      val baseIds: java.util.HashMap[String, Integer],
                       val mergeModel: MergeModel) {
-    val baseCount: Int = baseIds.size
+    val baseCount: Int = baseSyms.length
+    /** id → symbol string over the whole vocabulary (base positional,
+      * then merge rank r at baseCount + r) — the decode lookup table,
+      * built once per cached model.
+      */
+    lazy val symbols: Array[String] = {
+      val out = new Array[String](baseCount + mergeModel.merges.length)
+      System.arraycopy(baseSyms, 0, out, 0, baseCount)
+      var r = 0
+      while (r < mergeModel.merges.length) {
+        out(baseCount + r) =
+          mergeModel.merges(r)(0) + mergeModel.merges(r)(1)
+        r += 1
+      }
+      out
+    }
   }
 
   private[graft] def encodeSymbol(s: String): String = s"${s.length}:$s"
@@ -492,18 +511,19 @@ object BpeOps {
     idCache.computeIfAbsent(spec, s => {
       val semi = s.indexOf(';')
       val nBase = s.substring(0, semi).toInt
+      val baseSyms = new Array[String](nBase)
       val baseIds = new java.util.HashMap[String, Integer]()
       var i = semi + 1
       var id = 0
       while (id < nBase) {
         val colon = s.indexOf(':', i)
         val len = s.substring(i, colon).toInt
-        baseIds.putIfAbsent(s.substring(colon + 1, colon + 1 + len),
-          Integer.valueOf(id))
+        baseSyms(id) = s.substring(colon + 1, colon + 1 + len)
+        baseIds.putIfAbsent(baseSyms(id), Integer.valueOf(id))
         i = colon + 1 + len
         id += 1
       }
-      new IdModel(baseIds, new MergeModel(parsePairs(s, i)))
+      new IdModel(baseSyms, baseIds, new MergeModel(parsePairs(s, i)))
     })
 
   /** Apply the merge list to one word's symbol array in EXACT sequential
@@ -661,6 +681,75 @@ object BpeOps {
       w += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out.result())
+  }
+
+  /** Inverse of [[encodeIds]] under the SAME id-spec (shared parse
+    * cache): each id maps to its vocabulary symbol; a symbol carrying
+    * the terminal `</w>` marker closes the current word, so the output
+    * is the whitespace-normalized word sequence the encoder consumed —
+    * `decode(encode(t))` equals the lowercased words of `t` joined by
+    * single spaces, exactly (the oracled roundtrip identity). The
+    * unknown sentinel −1 decodes to U+FFFD: the character identity was
+    * discarded at encode time and cannot be recovered (the byte-level
+    * family exists precisely so this branch is unreachable). Shares the
+    * documented string-level conflation caveat of
+    * [[graft.operators.Bpe.BpeVocab.baseLengths]]: corpus text
+    * containing the literal marker decodes as a word break.
+    */
+  def decodeIds(ids: ArrayData, spec: UTF8String): UTF8String = {
+    val model = parseIds(spec.toString)
+    val syms = model.symbols
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id < 0 || id >= syms.length) sb.append('\uFFFD')
+      else {
+        val s = syms(id)
+        if (s.endsWith(graft.operators.Bpe.EndOfWord)) {
+          sb.append(s, 0, s.length - graft.operators.Bpe.EndOfWord.length)
+          sb.append(' ')
+        } else sb.append(s)
+      }
+      i += 1
+    }
+    // the last word's marker leaves one trailing space
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == ' ')
+      sb.setLength(sb.length - 1)
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Inverse of [[encodeBytesIds]]: symbols are byte-char strings, so the
+    * decode reassembles the raw UTF-8 byte stream and emits it directly
+    * — lossless for ANY input by construction (every byte has an id;
+    * multi-byte characters split across tokens rejoin here). Byte-level
+    * pre-tokenization drops the inter-word separators (no end-of-word
+    * marker — the documented contract), so `decode(encode(t))` equals
+    * the case-preserved words of `t` concatenated WITHOUT spaces; word
+    * boundaries must ride outside the id stream if a caller needs them.
+    */
+  def decodeBytesIds(ids: ArrayData, spec: UTF8String): UTF8String = {
+    val model = parseIds(spec.toString)
+    val syms = model.symbols
+    val out = new java.io.ByteArrayOutputStream
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      val id = ids.getInt(i)
+      // ids are always in-vocab for a byte model (the family's point);
+      // guard anyway so a foreign id stream fails visibly, not by OOB
+      require(id >= 0 && id < syms.length,
+        s"decodeBytesIds: id $id outside vocabulary of ${syms.length}")
+      val s = syms(id)
+      var k = 0
+      while (k < s.length) {
+        out.write(s.charAt(k).toInt & 0xFF)
+        k += 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
   }
 }
 
@@ -1715,9 +1804,7 @@ object TextHashExpressions {
     */
   def bpeEncodeIds(text: Column, baseSymbols: Array[String],
                    merges: Array[Array[String]]): Column = {
-    val spec = baseSymbols.length.toString + ";" +
-      baseSymbols.map(BpeOps.encodeSymbol).mkString +
-      merges.map(p => BpeOps.encodePair(p(0), p(1))).mkString
+    val spec = bpeIdSpec(baseSymbols, merges)
     GraftBridge.column(StaticInvoke(
       BpeOps.getClass,
       ArrayType(IntegerType, containsNull = false),
@@ -1733,9 +1820,7 @@ object TextHashExpressions {
     */
   def byteBpeEncodeIds(text: Column, baseSymbols: Array[String],
                        merges: Array[Array[String]]): Column = {
-    val spec = baseSymbols.length.toString + ";" +
-      baseSymbols.map(BpeOps.encodeSymbol).mkString +
-      merges.map(p => BpeOps.encodePair(p(0), p(1))).mkString
+    val spec = bpeIdSpec(baseSymbols, merges)
     GraftBridge.column(StaticInvoke(
       BpeOps.getClass,
       ArrayType(IntegerType, containsNull = false),
@@ -1745,4 +1830,45 @@ object TextHashExpressions {
       propagateNull = true,
       returnNullable = true))
   }
+
+  private def bpeIdSpec(baseSymbols: Array[String],
+                        merges: Array[Array[String]]): String =
+    baseSymbols.length.toString + ";" +
+      baseSymbols.map(BpeOps.encodeSymbol).mkString +
+      merges.map(p => BpeOps.encodePair(p(0), p(1))).mkString
+
+  /** Decode a char-level BPE id sequence back to its normalized word
+    * text (see [[BpeOps.decodeIds]]); same id-spec literal as the
+    * encoder, so the parsed model is shared through the memo cache.
+    */
+  def bpeDecodeIds(ids: Column, baseSymbols: Array[String],
+                   merges: Array[Array[String]]): Column =
+    GraftBridge.column(StaticInvoke(
+      BpeOps.getClass,
+      StringType,
+      "decodeIds",
+      Seq(GraftBridge.expression(ids),
+        Literal(UTF8String.fromString(bpeIdSpec(baseSymbols, merges)),
+          StringType)),
+      inputTypes = Seq(ArrayType(IntegerType, containsNull = false),
+        StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Decode a byte-level BPE id sequence back to its UTF-8 text (see
+    * [[BpeOps.decodeBytesIds]]).
+    */
+  def byteBpeDecodeIds(ids: Column, baseSymbols: Array[String],
+                       merges: Array[Array[String]]): Column =
+    GraftBridge.column(StaticInvoke(
+      BpeOps.getClass,
+      StringType,
+      "decodeBytesIds",
+      Seq(GraftBridge.expression(ids),
+        Literal(UTF8String.fromString(bpeIdSpec(baseSymbols, merges)),
+          StringType)),
+      inputTypes = Seq(ArrayType(IntegerType, containsNull = false),
+        StringType),
+      propagateNull = true,
+      returnNullable = true))
 }

@@ -175,6 +175,30 @@ object UnigramOps {
     UnsafeArrayData.fromPrimitiveArray(out.result())
   }
 
+  /** Inverse of [[encodeIds]] under the SAME spec (shared parse cache):
+    * each id appends its piece text. Unigram segmentation is per word
+    * but the id stream carries no word-boundary marker (unlike BPE's
+    * `</w>` or WordPiece's continuation flags), so the roundtrip
+    * identity is against the lowercased words joined WITHOUT spaces:
+    * `decode(encode(t)) === concat(words(lower(t)))` whenever no id is
+    * unknown (always true on the training corpus — its alphabet is
+    * in-vocab). The unknown sentinel −1 decodes to U+FFFD: the
+    * character was discarded at encode time.
+    */
+  def decodeIds(ids: ArrayData, spec: UTF8String): UTF8String = {
+    val model = parse(spec.toString)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id < 0 || id >= model.pieces.length) sb.append('\uFFFD')
+      else sb.append(model.pieces(id))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Total piece count of `text` — [[encodeIds]] without materializing
     * the array.
     */
@@ -231,6 +255,22 @@ object UnigramExpressions {
       Seq(GraftBridge.expression(text),
         Literal(UTF8String.fromString(spec(pieces, logProbs)), StringType)),
       inputTypes = Seq(StringType, StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Decoded text (`string`) of a Unigram id sequence (see
+    * [[UnigramOps.decodeIds]]).
+    */
+  def unigramDecodeIds(ids: Column, pieces: Array[String],
+                       logProbs: Array[Double]): Column =
+    GraftBridge.column(StaticInvoke(
+      UnigramOps.getClass,
+      StringType,
+      "decodeIds",
+      Seq(GraftBridge.expression(ids),
+        Literal(UTF8String.fromString(spec(pieces, logProbs)), StringType)),
+      inputTypes = Seq(ArrayType(IntegerType, containsNull = false),
+        StringType),
       propagateNull = true,
       returnNullable = true))
 }

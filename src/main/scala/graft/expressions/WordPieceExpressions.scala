@@ -138,6 +138,39 @@ object WordPieceOps {
     UnsafeArrayData.fromPrimitiveArray(out.result())
   }
 
+  /** Inverse of [[encodeIds]] under the SAME spec (shared parse cache):
+    * a word-initial piece opens a new word (space-separated from the
+    * previous one), a continuation piece appends to the current word —
+    * the is_cont flags ARE the word boundaries, so WordPiece decode
+    * restores the full normalized word sequence:
+    * `decode(encode(t)) === lowercased words of t joined by spaces`
+    * whenever no word UNK'd (the oracled roundtrip identity; on the
+    * training corpus nothing can UNK — the conservation gate's
+    * argument). The whole-word unknown id −1 decodes to the literal
+    * `[UNK]` word (BERT's display convention): the word's characters
+    * were discarded at encode time.
+    */
+  def decodeIds(ids: ArrayData, spec: UTF8String): UTF8String = {
+    val model = parse(spec.toString)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = ids.numElements()
+    while (i < n) {
+      val id = ids.getInt(i)
+      if (id < 0 || id >= model.pieces.length) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append("[UNK]")
+      } else {
+        // a leading continuation piece cannot arise from the encoder;
+        // for a foreign stream it just appends to the current word
+        if (!model.isCont(id) && sb.length > 0) sb.append(' ')
+        sb.append(model.pieces(id))
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Total piece count of `text` — [[encodeIds]] without the array. */
   def count(text: UTF8String, spec: UTF8String): java.lang.Long = {
     val model = parse(spec.toString)
@@ -192,6 +225,22 @@ object WordPieceExpressions {
       Seq(GraftBridge.expression(text),
         Literal(UTF8String.fromString(spec(pieces, isCont)), StringType)),
       inputTypes = Seq(StringType, StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Decoded word text (`string`) of a WordPiece id sequence (see
+    * [[WordPieceOps.decodeIds]]).
+    */
+  def wordPieceDecodeIds(ids: Column, pieces: Array[String],
+                         isCont: Array[Boolean]): Column =
+    GraftBridge.column(StaticInvoke(
+      WordPieceOps.getClass,
+      StringType,
+      "decodeIds",
+      Seq(GraftBridge.expression(ids),
+        Literal(UTF8String.fromString(spec(pieces, isCont)), StringType)),
+      inputTypes = Seq(ArrayType(IntegerType, containsNull = false),
+        StringType),
       propagateNull = true,
       returnNullable = true))
 }

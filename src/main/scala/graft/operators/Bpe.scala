@@ -347,6 +347,40 @@ object Bpe {
     aggregate(transform(TextAnalysis.words(text),
       w => octet_length(w).cast("long")), lit(0L), (acc, v) => acc + v)
 
+  /** Decode a [[bpeEncodeIds]] sequence back to text — the inspection /
+    * detokenization half every tokenizer ships. Tokens carrying the
+    * terminal [[EndOfWord]] marker close a word, so the result is the
+    * whitespace-normalized word sequence the encoder consumed:
+    * `bpeDecodeIds(bpeEncodeIds(t, v), v) === concat_ws(" ",
+    * words(lower(t)))` exactly — the oracled roundtrip identity
+    * (`q_text_decode_roundtrip`). The unknown sentinel −1 decodes to
+    * U+FFFD (the character was discarded at encode time; byte-level BPE
+    * exists so that branch never fires).
+    */
+  def bpeDecodeIds(ids: Column, vocab: BpeVocab): Column =
+    graft.expressions.TextHashExpressions.bpeDecodeIds(
+      ids, vocab.baseSymbols.toArray,
+      vocab.merges.map(m => Array(m.left, m.right)).toArray)
+
+  /** Decode a [[byteBpeEncodeIds]] sequence back to UTF-8 text: byte
+    * symbols reassemble into the raw byte stream (multi-byte characters
+    * split across tokens rejoin), lossless for ANY input by
+    * construction. Byte-level pre-tokenization drops inter-word
+    * separators (no end marker — the documented contract), so the
+    * roundtrip identity is against the case-preserved words JOINED
+    * WITHOUT spaces: `byteBpeDecodeIds(byteBpeEncodeIds(t, v), v) ===
+    * concat(words(t))`; callers needing word boundaries must carry them
+    * outside the id stream.
+    */
+  def byteBpeDecodeIds(ids: Column, vocab: BpeVocab): Column = {
+    require(vocab.baseSymbols == ByteAlphabet,
+      "byteBpeDecodeIds: vocab was not trained by trainByteBpeModel " +
+        "(base alphabet is not the 256 byte symbols)")
+    graft.expressions.TextHashExpressions.byteBpeDecodeIds(
+      ids, vocab.baseSymbols.toArray,
+      vocab.merges.map(m => Array(m.left, m.right)).toArray)
+  }
+
   /** The merge table as a DataFrame (rank, left, right, applied_count) —
     * the persistable tokenizer artifact (parquet round-trip; a model
     * trained on corpus A tokenizes corpus B).

@@ -191,6 +191,19 @@ object Unigram {
     graft.expressions.UnigramExpressions.unigramEncodeIds(
       text, vocab.pieceArr, vocab.lpArr)
 
+  /** Decode a [[unigramEncodeIds]] sequence back to text by appending
+    * each id's piece. The id stream carries no word-boundary marker
+    * (unlike BPE's `</w>` / WordPiece's continuation flags), so the
+    * roundtrip identity is against the lowercased words joined WITHOUT
+    * spaces: `unigramDecodeIds(unigramEncodeIds(t, v), v) ===
+    * concat(words(lower(t)))` whenever no id is unknown — always true
+    * on the training corpus; the oracled roundtrip identity
+    * (`q_text_decode_roundtrip`). Unknown ids (−1) decode to U+FFFD.
+    */
+  def unigramDecodeIds(ids: Column, vocab: UnigramVocab): Column =
+    graft.expressions.UnigramExpressions.unigramDecodeIds(
+      ids, vocab.pieceArr, vocab.lpArr)
+
   /** Piece count of `text` — `size(unigramEncodeIds)` without the array. */
   def unigramTokenCount(text: Column, vocab: UnigramVocab): Column =
     graft.expressions.UnigramExpressions.unigramTokenCount(

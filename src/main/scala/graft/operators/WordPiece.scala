@@ -162,6 +162,20 @@ object WordPiece {
     graft.expressions.WordPieceExpressions.wordPieceEncodeIds(
       text, vocab.pieceArr, vocab.contArr)
 
+  /** Decode a [[wordPieceEncodeIds]] sequence back to text: the
+    * continuation flags ARE word boundaries (a word-initial piece opens
+    * a new space-separated word, a continuation piece appends), so
+    * `wordPieceDecodeIds(wordPieceEncodeIds(t, v), v) ===
+    * concat_ws(" ", words(lower(t)))` exactly whenever no word UNK'd —
+    * always true on the training corpus (its alphabet is fully
+    * segmentable by construction); the oracled roundtrip identity
+    * (`q_text_decode_roundtrip`). An unknown id (−1, the whole-word
+    * sentinel) decodes to the literal `[UNK]` word.
+    */
+  def wordPieceDecodeIds(ids: Column, vocab: WpVocab): Column =
+    graft.expressions.WordPieceExpressions.wordPieceDecodeIds(
+      ids, vocab.pieceArr, vocab.contArr)
+
   /** Per-document WordPiece token count (`long`). */
   def wordPieceTokenCount(text: Column, vocab: WpVocab): Column =
     graft.expressions.WordPieceExpressions.wordPieceTokenCount(

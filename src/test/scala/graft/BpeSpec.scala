@@ -350,4 +350,50 @@ class BpeSpec extends SparkSpec {
     assert(spans == Seq(("es", 2L), ("est", 3L), ("est</w>", 4L), ("lo", 2L)),
       spans)
   }
+
+  test("bpeDecodeIds: decode(encode) rebuilds the normalized word join") {
+    val vocab = Bpe.trainBpeModel(sennrich, "text", numMerges = 4)
+    val docs = Seq(
+      (1L, "newest  lower\tLOW"), // multi-space + tab + case fold
+      (2L, "low"),
+      (3L, "   "),                // whitespace-only -> empty decode
+      (4L, "")).toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"),
+        Bpe.bpeDecodeIds(Bpe.bpeEncodeIds(col("text"), vocab), vocab)
+          .as("d"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "newest lower low"), (2L, "low"), (3L, ""),
+      (4L, "")), got)
+  }
+
+  test("bpeDecodeIds: unknown ids (-1) decode to U+FFFD, one per char") {
+    val vocab = Bpe.trainBpeModel(sennrich, "text", numMerges = 4)
+    // 'z' never appears in the Sennrich corpus -> encodes as -1 twice;
+    // the in-vocab tail of the word still decodes
+    val got = Seq((1L, "zz low")).toDF("doc_id", "text")
+      .select(Bpe.bpeDecodeIds(Bpe.bpeEncodeIds(col("text"), vocab), vocab))
+      .as[String].head()
+    assert(got == "�� low", s"got '$got'")
+  }
+
+  test("byteBpeDecodeIds: lossless roundtrip incl. emoji/CJK, no spaces") {
+    val vocab = Bpe.trainByteBpeModel(sennrich, "text", numMerges = 4)
+    val docs = Seq(
+      (1L, "newest LOWER"),        // case PRESERVED, boundary dropped
+      (2L, "Grüße 日本語 🌍ok"),   // multi-byte chars split across tokens
+      (3L, "")).toDF("doc_id", "text")
+    val got = docs
+      .select(col("doc_id"),
+        Bpe.byteBpeDecodeIds(Bpe.byteBpeEncodeIds(col("text"), vocab),
+          vocab).as("d"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "newestLOWER"), (2L, "Grüße日本語🌍ok"),
+      (3L, "")), got)
+    // char-alphabet vocab rejected on the decode side too
+    val charVocab = Bpe.trainBpeModel(sennrich, "text", numMerges = 2)
+    intercept[IllegalArgumentException] {
+      Bpe.byteBpeDecodeIds(col("ids"), charVocab)
+    }
+  }
 }

@@ -109,4 +109,20 @@ class UnigramSpec extends SparkSpec {
       .as[Seq[Int]].collect().toSeq
     assert(a == b)
   }
+
+  test("unigramDecodeIds: decode(encode) == no-space word join; -1 -> U+FFFD") {
+    val docs = corpus("the cat sat", "CAT  the\tmat", "  ", "")
+    val vocab = Unigram.trainUnigramModel(docs, "text", targetVocab = 60)
+    val got = docs.select(col("doc_id"), Unigram.unigramDecodeIds(
+        Unigram.unigramEncodeIds(col("text"), vocab), vocab).as("d"))
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // no boundary marker in the id stream: words concatenate directly
+    assert(got == Seq((0L, "thecatsat"), (1L, "catthemat"), (2L, ""),
+      (3L, "")), got)
+    // 'z' is outside the training alphabet -> -1 -> replacement char
+    val unk = corpus("zcat").select(Unigram.unigramDecodeIds(
+        Unigram.unigramEncodeIds(col("text"), vocab), vocab))
+      .as[String].head()
+    assert(unk == "�cat", s"got '$unk'")
+  }
 }

@@ -149,4 +149,42 @@ class WordPieceSpec extends SparkSpec {
         maxWordTableRows = 2)
     }
   }
+
+  test("wordPieceDecodeIds: continuation flags rebuild word boundaries") {
+    val v = vocabOf("un" -> false, "aff" -> true, "able" -> true,
+      "a" -> false, "b" -> true)
+    // "unaffable ab" -> [un ##aff ##able] [a ##b]; decode must restore
+    // the space between the two words from the is_cont flags alone
+    val got = Seq((1L, "Unaffable  AB")).toDF("id", "text")
+      .select(WordPiece.wordPieceDecodeIds(
+        WordPiece.wordPieceEncodeIds(col("text"), v), v))
+      .as[String].head()
+    assert(got == "unaffable ab", s"got '$got'")
+  }
+
+  test("wordPieceDecodeIds: UNK words decode to the literal [UNK]") {
+    val v = vocabOf("ab" -> false, "a" -> false, "b" -> true)
+    val got = Seq((1L, "ab zzz ab")).toDF("id", "text")
+      .select(WordPiece.wordPieceDecodeIds(
+        WordPiece.wordPieceEncodeIds(col("text"), v), v))
+      .as[String].head()
+    assert(got == "ab [UNK] ab", s"got '$got'")
+    // empty / whitespace-only decode to the empty string
+    val empty = Seq((1L, "  ")).toDF("id", "text")
+      .select(WordPiece.wordPieceDecodeIds(
+        WordPiece.wordPieceEncodeIds(col("text"), v), v))
+      .as[String].head()
+    assert(empty == "", s"got '$empty'")
+  }
+
+  test("decode(encode) == normalized join on a trained corpus (no UNKs)") {
+    val docs = Seq((1L, "the Quick fox"), (2L, "fox  THE\tquick"),
+      (3L, "quick")).toDF("id", "text")
+    val v = WordPiece.trainWordPiece(docs, "text", numMerges = 5)
+    val got = docs.select(col("id"), WordPiece.wordPieceDecodeIds(
+        WordPiece.wordPieceEncodeIds(col("text"), v), v).as("d"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "the quick fox"), (2L, "fox the quick"),
+      (3L, "quick")), got)
+  }
 }
