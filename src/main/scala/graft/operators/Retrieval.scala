@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval — fusing a lexical (BM25) ranking with a dense
+  * (embedding) ranking per query, the standard two-arm search stack
+  * (every production RAG/retrieval pipeline runs exactly this shape).
+  * The fusion rule is reciprocal rank fusion (Cormack, Clarke &
+  * Büttcher, SIGIR 2009): `score(d) = Σ_lists 1/(k + rank_list(d))`
+  * with k = 60 — rank-based, so the two arms' incomparable score
+  * scales (BM25 log-weights vs cosine) never need calibration, which
+  * is why RRF beats score interpolation without tuning.
+  *
+  * Scale shape: each arm produces its top-k per query (BM25 rides the
+  * persisted term-bucketed inverted index — O(query terms); the dense
+  * arm is whatever ANN tier fits — IVF/PQ probes at corpus scale,
+  * exact brute force as the small-N/truth path). Fusion itself then
+  * touches only |queries| × k × |arms| rows — metadata-scale keyed
+  * aggregation, never the corpus. No stage here scans anything a
+  * single arm didn't already rank.
+  *
+  * Exactness: the published 1/(k+rank) is irrational in binary, and a
+  * float SUM's partial-aggregation order is engine-dependent — so the
+  * fused score is computed as Σ round(1e12/(k+rank)) in BIGINT: each
+  * term is one IEEE division + one round (bit-identical across
+  * engines), and the sum is integer, hence order-free. Ordering is
+  * preserved except for true-score gaps below 1e-12 — far beyond rank
+  * granularity (adjacent ranks differ by ≥ 1/(k+r)(k+r+1) ≈ 2e-4 at
+  * k = 60, r ≤ 100). Ties (e.g. two docs each appearing in one list
+  * at the same rank) break id-ascending, deterministically.
+  */
+object Retrieval {
+
+  /** Fixed-point scale for the RRF reciprocal (see object doc). */
+  val RrfScale = 1000000000000L // 1e12
+
+  /** Per-list contribution of a rank under the fixed-point contract. */
+  private[graft] def rrfContribution(kRrf: Int) =
+    round(lit(RrfScale.toDouble) / (lit(kRrf) + col("rank"))).cast("long")
+
+  /** Fuse ranked lists by reciprocal rank fusion. Each input carries
+    * `(query_id, id, rank)` — rank 1-based within its own list (extra
+    * columns are dropped; a doc absent from a list simply contributes
+    * nothing). Returns the fused per-query top-`topK`:
+    * `(query_id, rank, id, rrf_scaled, n_lists)` — `rrf_scaled` is the
+    * fixed-point fused score (Σ round(1e12/(kRrf+rank))), `n_lists`
+    * how many arms returned the doc (the agreement signal a reranker
+    * thresholds on). All-integer output: hash-stable cross-engine.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], topK: Int,
+              kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no ranked lists given")
+    require(topK >= 1, s"rrfFuse: topK must be >= 1, got $topK")
+    require(kRrf >= 1, s"rrfFuse: kRrf must be >= 1, got $kRrf")
+    val contrib = rankings.map(_.select(col("query_id"), col("id"),
+      rrfContribution(kRrf).as("__c")))
+    contrib.reduce(_ unionByName _)
+      .groupBy("query_id", "id")
+      .agg(sum("__c").as("rrf_scaled"),
+        count(lit(1)).cast("int").as("n_lists"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rrf_scaled").desc, col("id").asc)).cast("int"))
+      .filter(col("rank") <= topK)
+      .select("query_id", "rank", "id", "rrf_scaled", "n_lists")
+  }
+
+  /** nDCG rank discounts as fixed-point literals: rank r → round(1e12 /
+    * log2(r+1)). Generated ONCE in Scala and injected as integer
+    * literals into BOTH the Spark plan and the DuckDB oracle (the
+    * htmlKeptCtes convention) — log2 never evaluates inside either
+    * engine, so last-ulp transcendental divergence between the two
+    * libms cannot reach the hash.
+    */
+  def ndcgDiscounts(k: Int): Seq[(Int, Long)] =
+    (1 to k).map(r =>
+      r -> math.round(RrfScale.toDouble / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** Ranking-quality evaluation at cutoff `k` — the metrics every
+    * retrieval change is judged by (recall@k, MRR@k, nDCG@k per query;
+    * see [[macroAverages]] for the corpus-level mean). `ranking` carries
+    * `(query_id, id, rank)` (rank 1-based); `qrels` carries
+    * `(query_id, id, rel)` with integer relevance grades — `rel > 0` is
+    * relevant, graded rels feed nDCG (Järvelin & Kekäläinen, TOIS 2002).
+    *
+    * All metrics are fixed-point BIGINT at scale 1e12 (the [[rrfFuse]]
+    * contract): each is at most integer arithmetic plus ONE IEEE
+    * division + one multiply + one round — bit-identical cross-engine,
+    * and every SUM is over integers, hence aggregation-order-free.
+    * Queries with no relevant docs yield NULL recall/ndcg (0/0 is
+    * undefined, not zero — averaging in zeros would penalize queries
+    * the qrels simply never covered); absent-from-qrels metrics
+    * otherwise coalesce to 0.
+    *
+    * Scale shape: one inner join of the top-k slice against the
+    * relevant qrels (both query-keyed; the top-k side is
+    * |queries|×k rows — metadata-scale), one per-query window over
+    * qrels for the ideal ordering, three query-keyed hash aggs. The
+    * corpus itself is never touched — evaluation cost is a function of
+    * the qrels size, not the collection.
+    */
+  def evaluateRanking(ranking: DataFrame, qrels: DataFrame,
+                      k: Int): DataFrame = {
+    require(k >= 1, s"evaluateRanking: k must be >= 1, got $k")
+    val disc = typedLit(ndcgDiscounts(k).toMap)
+    val rel = qrels.filter(col("rel") > 0)
+      .select(col("query_id"), col("id"), col("rel").cast("long").as("rel"))
+    val nRel = rel.groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_rel"))
+    val hits = ranking.filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("rank"))
+      .join(rel, Seq("query_id", "id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("hits"),
+        // MRR = 1/min(relevant rank); 1/r is monotone so max(contrib)
+        // IS the min-rank reciprocal — one agg, no second pass
+        max(round(lit(RrfScale.toDouble) / col("rank")).cast("long"))
+          .as("mrr_scaled"),
+        sum(col("rel") * element_at(disc, col("rank"))).as("dcg_scaled"))
+    val ideal = rel
+      .withColumn("irank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("id").asc)))
+      .filter(col("irank") <= k)
+      .groupBy("query_id")
+      .agg(sum(col("rel") * element_at(disc, col("irank"))).as("idcg_scaled"))
+    ranking.select("query_id").distinct()
+      .join(nRel, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .join(ideal, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits_at_k"),
+        when(col("n_rel").isNotNull,
+          round(lit(RrfScale.toDouble) *
+            (coalesce(col("hits"), lit(0L)).cast("double") /
+              col("n_rel").cast("double"))).cast("long"))
+          .as("recall_scaled"),
+        coalesce(col("mrr_scaled"), lit(0L)).as("mrr_scaled"),
+        coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"),
+        coalesce(col("idcg_scaled"), lit(0L)).as("idcg_scaled"),
+        when(col("idcg_scaled").isNotNull,
+          round(lit(RrfScale.toDouble) *
+            (coalesce(col("dcg_scaled"), lit(0L)).cast("double") /
+              col("idcg_scaled").cast("double"))).cast("long"))
+          .as("ndcg_scaled"))
+  }
+
+  /** Corpus-level macro average of [[evaluateRanking]] output: the mean
+    * of each scaled metric over the queries where it is DEFINED (NULL
+    * recall/ndcg rows — no relevant docs — are skipped by count/sum,
+    * the standard macro convention). One global agg over |queries|
+    * rows; each mean is one division + one round on exact-in-double
+    * integer sums.
+    */
+  def macroAverages(metrics: DataFrame): DataFrame = {
+    def mean(c: String) =
+      round(sum(col(c)).cast("double") / count(col(c))).cast("long")
+        .as(s"mean_$c")
+    metrics.agg(count(lit(1)).cast("long").as("n_queries"),
+      mean("recall_scaled"), mean("mrr_scaled"), mean("ndcg_scaled"))
+  }
+
+  /** The dense arm as integer-exact multi-query brute force: ×1000
+    * quantized dot products ([[Similarity.dotQuantized]] — the
+    * `q_sim_bruteforce_topk` contract, so the ranking replays in the
+    * DuckDB oracle), query rows broadcast, one corpus scan, per-query
+    * top-k window. Self-matches (`id == query_id`) are excluded, the
+    * [[Similarity.bruteForceTopK]] convention. This is the truth/small-
+    * batch tier; at corpus scale swap in an IVF/PQ probe — [[rrfFuse]]
+    * only sees `(query_id, id, rank)` and does not care which tier
+    * ranked it.
+    */
+  def denseTopKQuantized(emb: DataFrame, idCol: String, vecCol: String,
+                         queryIds: Seq[Long], k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "denseTopKQuantized: no query ids")
+    require(k >= 1, s"denseTopKQuantized: k must be >= 1, got $k")
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(size(col("v")) > 0)
+    val q = base.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    base.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        Similarity.dotQuantized(col("v"), col("qv")).as("score"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("id").asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .select("query_id", "id", "rank", "score")
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+
+/** RRF fusion semantics: hand-computed fixed-point scores, agreement
+  * counting, deterministic ties, and the integer-exact dense arm.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranked(rows: (Long, Long, Int)*) =
+    rows.toDF("query_id", "id", "rank")
+
+  private def c(rank: Int, k: Int = 60): Long =
+    math.round(1e12 / (k + rank))
+
+  test("rrfFuse: hand-computed fixed-point scores and agreement counts") {
+    // query 1: doc 10 is rank 1 lexically and rank 2 densely; doc 20
+    // only lexical (rank 2); doc 30 only dense (rank 1)
+    val lex = ranked((1L, 10L, 1), (1L, 20L, 2))
+    val den = ranked((1L, 30L, 1), (1L, 10L, 2))
+    val got = Retrieval.rrfFuse(Seq(lex, den), topK = 10)
+      .orderBy("rank").as[(Long, Int, Long, Long, Int)].collect().toSeq
+    val both = c(1) + c(2)   // doc 10: 1/61 + 1/62 scaled
+    val one1 = c(1)          // doc 30
+    val one2 = c(2)          // doc 20
+    assert(both > one1 && one1 > one2) // two-list doc wins
+    assert(got == Seq(
+      (1L, 1, 10L, both, 2),
+      (1L, 2, 30L, one1, 1),
+      (1L, 3, 20L, one2, 1)), got)
+  }
+
+  test("rrfFuse: equal single-list scores tie-break id ascending") {
+    val lex = ranked((1L, 50L, 1))
+    val den = ranked((1L, 7L, 1))
+    val got = Retrieval.rrfFuse(Seq(lex, den), topK = 10)
+      .orderBy("rank").as[(Long, Int, Long, Long, Int)].collect().toSeq
+    // identical contribution c(1) for both docs -> lower id first
+    assert(got.map(r => (r._2, r._3)) == Seq((1, 7L), (2, 50L)), got)
+    assert(got.forall(_._4 == c(1)))
+  }
+
+  test("rrfFuse: topK truncation, per-query isolation, custom kRrf") {
+    val lex = ranked((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3), (2L, 9L, 1))
+    val got = Retrieval.rrfFuse(Seq(lex), topK = 2, kRrf = 10)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Long, Int)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq((1L, 1, 1L), (1L, 2, 2L), (2L, 1, 9L)), got)
+    assert(got.head._4 == math.round(1e12 / 11))
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Nil, 5) }
+    intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(lex), 0) }
+  }
+
+  test("ndcgDiscounts: exact fixed-point anchors") {
+    val d = Retrieval.ndcgDiscounts(3).toMap
+    assert(d(1) == 1000000000000L)      // 1/log2(2) = 1
+    assert(d(3) == 500000000000L)       // 1/log2(4) = 1/2 exactly
+    assert(d(2) == math.round(1e12 / (math.log(3.0) / math.log(2.0))))
+  }
+
+  test("evaluateRanking: hand-computed metrics and the 0/0 NULL branch") {
+    val d = Retrieval.ndcgDiscounts(3).toMap
+    // query 1: judged docs 10(rel 3) / 30(rel 2) / 20(rel 1) / 40(rel 0);
+    // ranking 10, 99 (unjudged), 30. query 2: ranked but judgment-free.
+    val qrels = Seq((1L, 10L, 3), (1L, 20L, 1), (1L, 30L, 2), (1L, 40L, 0))
+      .toDF("query_id", "id", "rel")
+    val ranking = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 30L, 3),
+      (2L, 10L, 1)).toDF("query_id", "id", "rank")
+    val got = Retrieval.evaluateRanking(ranking, qrels, k = 3)
+      .orderBy("query_id").collect()
+    val dcg = 3 * d(1) + 2 * d(3)
+    val idcg = 3 * d(1) + 2 * d(2) + 1 * d(3)
+    val r1 = got(0)
+    assert(r1.getLong(1) == 3L && r1.getLong(2) == 2L) // n_rel, hits
+    assert(r1.getLong(3) == math.round(1e12 * (2.0 / 3.0)))
+    assert(r1.getLong(4) == 1000000000000L) // MRR: relevant at rank 1
+    assert(r1.getLong(5) == dcg && r1.getLong(6) == idcg)
+    assert(r1.getLong(7) == math.round(1e12 * (dcg.toDouble / idcg.toDouble)))
+    val r2 = got(1)
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 0L)
+    assert(r2.isNullAt(3) && r2.isNullAt(7)) // 0/0 undefined, not zero
+    assert(r2.getLong(4) == 0L && r2.getLong(5) == 0L && r2.getLong(6) == 0L)
+    intercept[IllegalArgumentException] {
+      Retrieval.evaluateRanking(ranking, qrels, 0)
+    }
+  }
+
+  test("evaluateRanking: MRR takes the FIRST relevant rank; cutoff bites") {
+    val qrels = Seq((1L, 30L, 1), (1L, 50L, 2)).toDF("query_id", "id", "rel")
+    val ranking = Seq((1L, 10L, 1), (1L, 30L, 2), (1L, 50L, 3))
+      .toDF("query_id", "id", "rank")
+    val got = Retrieval.evaluateRanking(ranking, qrels, k = 2)
+      .collect().head
+    assert(got.getLong(2) == 1L)                       // only rank 2 ≤ k
+    assert(got.getLong(4) == math.round(1e12 / 2.0))   // first hit at 2
+  }
+
+  test("macroAverages: NULL metrics are skipped, zeros are not") {
+    val qrels = Seq((1L, 10L, 2)).toDF("query_id", "id", "rel")
+    val ranking = Seq((1L, 10L, 1), (2L, 10L, 1))
+      .toDF("query_id", "id", "rank")
+    val m = Retrieval.evaluateRanking(ranking, qrels, k = 3)
+    val got = Retrieval.macroAverages(m).collect().head
+    assert(got.getLong(0) == 2L)
+    assert(got.getLong(1) == 1000000000000L) // recall mean over 1 defined
+    assert(got.getLong(2) == 500000000000L)  // mrr mean over BOTH (1.0, 0)
+    assert(got.getLong(3) == 1000000000000L) // ndcg mean over 1 defined
+  }
+
+  test("denseTopKQuantized: exact quantized ranking, self excluded") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val got = Retrieval.denseTopKQuantized(emb, "vec_id", "embedding",
+        Seq(0L), k = 3)
+      .orderBy("rank").as[(Long, Long, Int, Long)].collect().toSeq
+    // dots vs [1000, 0]: id1 = 900*1000 = 900000, id3 = 500000, id2 = 0
+    assert(got == Seq((0L, 1L, 1, 900000L), (0L, 3L, 2, 500000L),
+      (0L, 2L, 3, 0L)), got)
+  }
+}
