@@ -358,6 +358,148 @@ object SparkEntry {
        |  FROM pf)""".stripMargin
   }
 
+  // ---- Link-graph fixture pages (r12) --------------------------------
+  // Per doc a page on host site{doc_id%7} carrying four anchor shapes —
+  // absolute (decorated case/port/entity-encoded query), protocol-
+  // relative, root-relative (a host-level self-loop by construction),
+  // and residue-gated mailto / no-href anchors — so extraction,
+  // resolution, self-loop drop, and the NULL fallthrough all land in
+  // the oracle hash. No single quotes anywhere (the htmlPages
+  // convention); both engines build the identical string.
+  private def linkPages(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val idS = id.cast("string")
+    val url = concat(lit("https://site"), (id % 7).cast("string"),
+      lit(".example.com/page/"), idS)
+    val html = concat(
+      lit("<html><body><p>Intro text of the page.</p>"),
+      lit("<a href=\"https://Site"), ((id * 3 + 1) % 7).cast("string"),
+      lit(".Example.COM:443/art/"), (id % 20).cast("string"),
+      lit("?utm_source=x&amp;ref=1\">Read <b>article</b> "), idS,
+      lit(" now</a>"),
+      lit("<a href=\"//site"), ((id * 5 + 2) % 7).cast("string"),
+      lit(".example.com/p/"), (id % 9).cast("string"),
+      lit("\">Mirror &amp; more</a>"),
+      lit("<a href=\"/local/"), (id % 5).cast("string"),
+      lit("\">Local page</a>"),
+      when(id % 4 === 0,
+        lit("<a href=\"mailto:me@example.com\">mail us</a>"))
+        .otherwise(lit("")),
+      when(id % 5 === 0, lit("<a name=\"top\">no href</a>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    docs.select(col("doc_id"), url.as("url"), html.as("html"))
+  }
+
+  /** Link-extraction + resolution oracle CTEs over the [[linkPages]]
+    * construction: anchors → href (double- then single-quoted, entity-
+    * decoded) + visible anchor text → the resolveUrl rule chain. Every
+    * regex interpolates the SAME constant the Spark plan compiles.
+    */
+  private def linkChainCtes: String = {
+    val hostRe = "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+    s"""lp AS (
+       |  SELECT doc_id,
+       |    'https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+       |      '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url,
+       |    '<html><body><p>Intro text of the page.</p>' ||
+       |    '<a href="https://Site' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) ||
+       |      '.Example.COM:443/art/' || CAST(doc_id % 20 AS VARCHAR) ||
+       |      '?utm_source=x&amp;ref=1">Read <b>article</b> ' ||
+       |      CAST(doc_id AS VARCHAR) || ' now</a>' ||
+       |    '<a href="//site' || CAST((doc_id * 5 + 2) % 7 AS VARCHAR) ||
+       |      '.example.com/p/' || CAST(doc_id % 9 AS VARCHAR) ||
+       |      '">Mirror &amp; more</a>' ||
+       |    '<a href="/local/' || CAST(doc_id % 5 AS VARCHAR) ||
+       |      '">Local page</a>' ||
+       |    CASE WHEN doc_id % 4 = 0
+       |      THEN '<a href="mailto:me@example.com">mail us</a>'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN '<a name="top">no href</a>'
+       |      ELSE '' END ||
+       |    '</body></html>' AS html
+       |  FROM documents),
+       |an AS (
+       |  SELECT doc_id, url, unnest(list_transform(range(1, len(a) + 1),
+       |    i -> {'i': i, 'a': a[i]})) AS u
+       |  FROM (SELECT doc_id, url,
+       |      regexp_extract_all(regexp_replace(html,
+       |        '${TextAnalysis.HtmlInvisibleRe}', '', 'g'),
+       |        '${TextAnalysis.HtmlAnchorRe}') AS a
+       |    FROM lp)),
+       |lk AS (
+       |  SELECT doc_id, url, CAST(u.i - 1 AS INT) AS link_idx,
+       |    ${sqlDecodeEntities(
+             "CASE WHEN dq <> '' THEN dq ELSE sq END")} AS href,
+       |    ${sqlHtmlText(sqlHtmlRaw("u.a"))} AS anchor_text
+       |  FROM (SELECT doc_id, url, u,
+       |      regexp_extract(u.a, '${WebGraph.HrefDoubleQuotedRe}', 1) AS dq,
+       |      regexp_extract(u.a,
+       |        '${WebGraph.HrefSingleQuotedRe.replace("'", "''")}', 1) AS sq
+       |    FROM an)),
+       |rl AS (
+       |  SELECT doc_id, url, link_idx, href, anchor_text,
+       |    CASE WHEN regexp_matches(href, '${WebGraph.AbsoluteWebUrlRe}')
+       |           THEN href
+       |         WHEN regexp_matches(href, '${WebGraph.ProtocolRelativeRe}')
+       |           AND scheme <> '' THEN scheme || ':' || href
+       |         WHEN regexp_matches(href, '${WebGraph.RootRelativeRe}')
+       |           AND origin <> '' THEN origin || href
+       |         END AS resolved
+       |  FROM (SELECT *,
+       |      lower(regexp_extract(url, '${WebGraph.UrlOriginRe}', 0)) AS origin,
+       |      lower(regexp_extract(url, '${WebGraph.UrlSchemeRe}', 1)) AS scheme
+       |    FROM lk)),
+       |hosts AS (
+       |  SELECT doc_id, link_idx, anchor_text,
+       |    regexp_extract(lower(url), '$hostRe', 1) AS src_host,
+       |    regexp_extract(lower(resolved), '$hostRe', 1) AS dst_host
+       |  FROM rl),
+       |edges AS (
+       |  SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS weight
+       |  FROM hosts
+       |  WHERE src_host <> '' AND dst_host <> '' AND src_host <> dst_host
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The integer fixed-point PageRank oracle: nodes + base, then the
+    * iteration unrolled as one CTE per round — the identical
+    * `(15·base + 85·Σ (rank·w // ow)) // 100` update both [[WebGraph
+    * .pageRank]] paths compute (DuckDB `//` floors, Spark `div`
+    * truncates: equal on the non-negative values here).
+    */
+  private def pageRankOracleSql(iterations: Int): String = {
+    val rounds = (0 until iterations).map { i =>
+      s"""pr${i + 1} AS (
+         |  SELECT n.host,
+         |    CAST((15 * p.base + 85 * coalesce(s.m, 0)) // 100 AS BIGINT)
+         |      AS rank
+         |  FROM nodes n CROSS JOIN params p LEFT JOIN (
+         |    SELECT e.dst_host AS host,
+         |      CAST(sum((r.rank * e.weight) // o.ow) AS BIGINT) AS m
+         |    FROM edges e
+         |    JOIN outw o ON o.src_host = e.src_host
+         |    JOIN pr$i r ON r.host = e.src_host
+         |    GROUP BY 1) s ON s.host = n.host)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkChainCtes,
+       |outw AS (
+       |  SELECT src_host, CAST(sum(weight) AS BIGINT) AS ow
+       |  FROM edges GROUP BY 1),
+       |nodes AS (
+       |  SELECT DISTINCT host FROM (
+       |    SELECT src_host AS host FROM edges
+       |    UNION ALL SELECT dst_host FROM edges)),
+       |params AS (
+       |  SELECT CAST(${WebGraph.RankScale} // count(*) AS BIGINT) AS base
+       |  FROM nodes),
+       |pr0 AS (
+       |  SELECT host, base AS rank FROM nodes CROSS JOIN params),
+       |$rounds
+       |SELECT host, CAST(rank AS BIGINT) AS rank_scaled
+       |FROM pr$iterations ORDER BY host""".stripMargin
+  }
+
   // ---- FineWeb recipe fixture pages (r12) ---------------------------
   // Multi-line crawl pages constructed from the documents fixture, with
   // a decorated URL per page and planted pathologies per doc_id residue
@@ -1074,6 +1216,10 @@ object SparkEntry {
       // r12: the macro mean re-runs the benched q_ret_eval_metrics chain
       // and adds one metadata-scale agg — superset ruling.
       "q_ret_eval_macro",
+      // r12: re-runs the benched q_web_links chain + one host agg —
+      // superset ruling (pagerank is NOT a superset row: its cost is
+      // the edge agg + 10 iterations, benched).
+      "q_web_anchor_text",
       // r10: runWithAudit is already benched (q_pipeline_curate_audit);
       // this variant oracles the margin-classifier and tokenizer steps'
       // counts, and its per-stage prefix recompute re-trains NB/BPE
@@ -2466,6 +2612,36 @@ object SparkEntry {
         Retrieval.denseTopKQuantized(t(s, d, "embeddings"),
           "vec_id", "embedding", Seq(1L, 2L, 3L), k = 10),
         evalQrels(s, d), k = 10))),
+    // Web link graph (r12): outlink extraction from the constructed
+    // link pages (href quoting + entity decode + visible anchor text),
+    // the resolveUrl rule chain (absolute / protocol-relative /
+    // root-relative / NULL), host-graph construction, and integer
+    // fixed-point PageRank — every stage replayed in DuckDB. The
+    // anchor-text aggregation re-runs the links chain + one agg —
+    // verify-only per the superset ruling; pagerank's graph stages are
+    // its own (edges + 10 iterations), so both stay benched.
+    "q_web_links" -> ((s, d) => {
+      val links = WebGraph.extractLinks(
+        linkPages(t(s, d, "documents")), Seq("doc_id", "url"), "html")
+      links.withColumn("resolved",
+          WebGraph.resolveUrl(col("url"), col("href")))
+        .orderBy("doc_id", "link_idx")
+    }),
+    "q_web_pagerank" -> ((s, d) => {
+      val links = WebGraph.extractLinks(
+          linkPages(t(s, d, "documents")), Seq("doc_id", "url"), "html")
+        .withColumn("resolved", WebGraph.resolveUrl(col("url"), col("href")))
+      WebGraph.pageRank(WebGraph.hostLinkGraph(links, "url", "resolved"),
+          iterations = 10)
+        .orderBy("host")
+    }),
+    "q_web_anchor_text" -> ((s, d) => {
+      val links = WebGraph.extractLinks(
+          linkPages(t(s, d, "documents")), Seq("doc_id", "url"), "html")
+        .withColumn("resolved", WebGraph.resolveUrl(col("url"), col("href")))
+      WebGraph.anchorTextByHost(links, "url", "resolved", "anchor_text")
+        .orderBy("dst_host")
+    }),
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -6947,6 +7123,20 @@ object SparkEntry {
         |  CAST(round(CAST(sum(ndcg_scaled) AS DOUBLE)
         |    / count(ndcg_scaled)) AS BIGINT) AS mean_ndcg_scaled
         |FROM ($evalMetricsOracleSql) m""".stripMargin,
+    "q_web_links" ->
+      (s"WITH $linkChainCtes\n" +
+        """SELECT doc_id, url, link_idx, href, anchor_text, resolved
+          |FROM rl ORDER BY doc_id, link_idx""".stripMargin),
+    "q_web_pagerank" -> pageRankOracleSql(10),
+    "q_web_anchor_text" ->
+      (s"WITH $linkChainCtes\n" +
+        """SELECT dst_host, CAST(count(*) AS BIGINT) AS n_inbound,
+          |  string_agg(anchor_text, ' | ' ORDER BY anchor_text)
+          |    AS anchor_texts
+          |FROM hosts
+          |WHERE src_host <> '' AND dst_host <> ''
+          |  AND src_host <> dst_host AND anchor_text <> ''
+          |GROUP BY 1 ORDER BY dst_host""".stripMargin),
     "q_text_nb_margin_scored" -> baseOracleSql("q_text_nb_margin"),
     "q_text_langid_scored" -> baseOracleSql("q_text_langid_ct"),
     "q_cur_dsir_scored" -> baseOracleSql("q_cur_dsir_sample"),

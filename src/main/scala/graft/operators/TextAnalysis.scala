@@ -1017,13 +1017,13 @@ object TextAnalysis {
     * are marked, so `<b>`/`<i>`/`<a>`/`<span>` vanish without
     * splitting text.
     */
-  private def stripHtmlTags(c: Column): Column =
+  private[graft] def stripHtmlTags(c: Column): Column =
     regexp_replace(c, "<[^>]*>", "")
 
   /** Visible text of one raw block segment: tags stripped, entities
     * decoded, whitespace collapsed, trimmed.
     */
-  private def htmlBlockText(b: Column): Column =
+  private[graft] def htmlBlockText(b: Column): Column =
     trim(regexp_replace(decodeHtmlEntities(stripHtmlTags(b)), "\\s+", " "))
 
   /** Tag-aware block segmentation: drop invisible content, turn every

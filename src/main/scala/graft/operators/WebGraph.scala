@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web link-graph operators — the curation signals that come from page
+  * STRUCTURE rather than page text: outlink extraction from raw HTML,
+  * host-level link-graph construction, PageRank over it (the classic
+  * graph quality prior every crawl-derived corpus weighs domains by),
+  * and anchor-text aggregation (the inbound link texts of a host — the
+  * retrieval-training signal anchor corpora are built from).
+  *
+  * All HTML handling reuses the [[TextAnalysis]] regex model verbatim
+  * (same anchor/invisible patterns, same fixed-order entity decode, all
+  * Java∩RE2-safe) so every chain replays in the DuckDB oracle. Link
+  * extraction is a pure per-row projection + bounded posexplode —
+  * map-only, shuffle-free, scan-projection-safe at 100 TB. The graph
+  * stages shuffle only on host keys: |hosts| and |host-pair edges| are
+  * orders of magnitude below |pages|, so everything after extraction is
+  * metadata-scale relative to the corpus.
+  */
+object WebGraph {
+
+  /** PageRank fixed-point scale: ranks are BIGINTs summing to ≤ 1e12
+    * (probability mass ×1e12). All iteration arithmetic is integer
+    * (multiply, integer divide, sum), hence aggregation-order-free and
+    * bit-identical cross-engine — the float-PageRank reproducibility
+    * hazard (partial-sum order changing low bits per run) designed out.
+    */
+  val RankScale = 1000000000000L // 1e12
+
+  /** Damping factor 0.85 as the exact rational 85/100 (Page et al.
+    * 1999's published constant; kept rational so the update rule is one
+    * integer expression).
+    */
+  val DampingNum = 85L
+
+  // Named so the oracle SQL interpolates the SAME pattern strings the
+  // plan compiles (the HtmlEntities generated-constants convention).
+  private[graft] val HrefDoubleQuotedRe = "(?i)href\\s*=\\s*\"([^\"]*)\""
+  private[graft] val HrefSingleQuotedRe = "(?i)href\\s*=\\s*'([^']*)'"
+  private[graft] val AbsoluteWebUrlRe = "^(?i)https?://"
+  private[graft] val ProtocolRelativeRe = "^//"
+  private[graft] val RootRelativeRe = "^/([^/].*)?$"
+  private[graft] val UrlOriginRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+  private[graft] val UrlSchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Outlink extraction: one row per `<a>` element of each page —
+    * `(keys…, link_idx, href, anchor_text)`. The href is taken from a
+    * double- or single-quoted attribute (double wins when both parse —
+    * fixed order, so the rule replays; unquoted `href=x` is outside the
+    * regex model, documented like the other [[TextAnalysis]] HTML
+    * limits) and entity-decoded (`&amp;` in query strings is the normal
+    * HTML spelling of `&`); anchors with no href yield `''`. The anchor
+    * text is the element's visible text under the block-text rule (tags
+    * stripped, entities decoded, whitespace collapsed). Anchors inside
+    * script/style/comments are dropped with the invisible pass first.
+    * Per-page work is one regex scan + per-anchor bounded extracts; the
+    * posexplode is bounded by the page's anchor count.
+    */
+  def extractLinks(pages: DataFrame, keyCols: Seq[String],
+                   htmlCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "extractLinks: at least one key column")
+    val anchors = regexp_extract_all(
+      regexp_replace(col(htmlCol), TextAnalysis.HtmlInvisibleRe, ""),
+      lit(TextAnalysis.HtmlAnchorRe), lit(0))
+    val dq = regexp_extract(col("__a"), HrefDoubleQuotedRe, 1)
+    val sq = regexp_extract(col("__a"), HrefSingleQuotedRe, 1)
+    pages
+      .select(keyCols.map(col) :+ posexplode(anchors).as(Seq("link_idx", "__a")): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("link_idx").cast("int").as("link_idx"),
+        TextAnalysis.decodeHtmlEntities(
+          when(dq =!= "", dq).otherwise(sq)).as("href"),
+        TextAnalysis.htmlBlockText(col("__a")).as("anchor_text")): _*)
+  }
+
+  /** Resolve an href against its page URL to an absolute web URL, or
+    * NULL. Rules, in fixed order: absolute `http(s)://…` passes as-is;
+    * protocol-relative `//host/…` takes the page's scheme;
+    * root-relative `/path` takes the page's `scheme://authority`.
+    * Everything else — relative paths (dot-segment resolution is
+    * outside this rule set, documented), `mailto:`, `javascript:`,
+    * bare fragments, empty — is NULL: not a crawlable web edge. Pure
+    * codegen'd conditional chain, Java∩RE2 patterns only.
+    */
+  def resolveUrl(pageUrl: Column, href: Column): Column = {
+    val origin = lower(regexp_extract(pageUrl, UrlOriginRe, 0))
+    val scheme = lower(regexp_extract(pageUrl, UrlSchemeRe, 1))
+    when(href.rlike(AbsoluteWebUrlRe), href)
+      .when(href.rlike(ProtocolRelativeRe) && scheme =!= "",
+        concat(scheme, lit(":"), href))
+      .when(href.rlike(RootRelativeRe) && origin =!= "",
+        concat(origin, href))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** Host-level link graph from resolved links: `(src_host, dst_host,
+    * weight)` with hosts per [[TextAnalysis.domainOf]] (lowercased,
+    * port/userinfo stripped), unresolvable rows and intra-host
+    * self-loops dropped (self-citation is not a quality signal — the
+    * PageRank convention). One hash agg keyed on the host pair.
+    */
+  def hostLinkGraph(links: DataFrame, srcUrlCol: String,
+                    resolvedCol: String): DataFrame =
+    links
+      .select(TextAnalysis.domainOf(col(srcUrlCol)).as("src_host"),
+        TextAnalysis.domainOf(col(resolvedCol)).as("dst_host"))
+      .filter(col("src_host") =!= "" && col("dst_host") =!= "" &&
+        col("src_host") =!= col("dst_host"))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("weight"))
+
+  /** Weighted PageRank over `(src_host, dst_host, weight)` — exact
+    * integer fixed-point at [[RankScale]]: every node starts at
+    * `1e12 div n`, each iteration sends `rank · w div out_weight` along
+    * each edge and updates to `(15·base + 85·Σ inbound) div 100`.
+    * Dangling mass (hosts with no outlinks) is dropped rather than
+    * redistributed — the "weak PageRank" simplification, documented;
+    * ranks then sum to ≤ 1e12 and individual ranks stay ≤ 1e12, which
+    * bounds the per-edge product: `max(weight)` must stay ≤
+    * `Long.MaxValue / 1e12` ≈ 9.2e6 (checked loudly up front; pre-scale
+    * pathological edge weights down before calling — rank is invariant
+    * under uniform per-src weight scaling up to integer-division
+    * rounding).
+    *
+    * Size-gated like [[Dedup.duplicateGroups]]: at or below
+    * `localEdgeLimit` edges the graph collects to the driver and
+    * iterates as tight integer loops (iteration count × edges is all
+    * fixed overhead distributed — a shuffle round per iteration); above
+    * it, the distributed loop runs one edge-keyed join + one dst-keyed
+    * agg per iteration with `localCheckpoint` truncating the growing
+    * lineage (the connected-components precedent). Both paths compute
+    * the IDENTICAL integer result (addition commutes — no
+    * summation-order hazard), spec-pinned.
+    *
+    * Returns `(host, rank_scaled)`.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+               localEdgeLimit: Long = 1L << 20): DataFrame = {
+    require(iterations >= 1, s"pageRank: iterations must be >= 1")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src_host").cast("string").as("src"),
+      col("dst_host").cast("string").as("dst"),
+      col("weight").cast("long").as("w"))
+    val stats = e.agg(count(lit(1)).as("n_edges"), max(col("w")).as("max_w"))
+      .collect().head
+    val (nEdges, maxW) = (stats.getLong(0), if (stats.isNullAt(1)) 0L else stats.getLong(1))
+    require(nEdges > 0, "pageRank: empty edge list")
+    require(maxW >= 1, s"pageRank: weights must be >= 1, got $maxW")
+    require(maxW <= Long.MaxValue / RankScale,
+      s"pageRank: max edge weight $maxW overflows the fixed-point bound " +
+        s"(${Long.MaxValue / RankScale}); pre-scale weights down")
+
+    if (nEdges <= localEdgeLimit) {
+      val rows = e.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val outW = scala.collection.mutable.HashMap.empty[String, Long]
+      rows.foreach { case (s, _, w) => outW(s) = outW.getOrElse(s, 0L) + w }
+      val hosts = (rows.map(_._1) ++ rows.map(_._2)).distinct
+      val base = RankScale / hosts.length
+      var rank = hosts.map(_ -> base).toMap
+      for (_ <- 1 to iterations) {
+        val in = scala.collection.mutable.HashMap.empty[String, Long]
+        rows.foreach { case (s, d, w) =>
+          in(d) = in.getOrElse(d, 0L) + rank(s) * w / outW(s)
+        }
+        rank = hosts.map(h =>
+          h -> (15L * base + DampingNum * in.getOrElse(h, 0L)) / 100L).toMap
+      }
+      import spark.implicits._
+      rank.toSeq.toDF("host", "rank_scaled")
+    } else {
+      val outW = e.groupBy("src").agg(sum("w").as("ow"))
+      val nodes = e.select(col("src").as("host"))
+        .union(e.select(col("dst").as("host"))).distinct()
+        .persist()
+      val base = RankScale / nodes.count()
+      var ranks = nodes.withColumn("rank", lit(base)).localCheckpoint()
+      for (_ <- 1 to iterations) {
+        val contrib = e.join(outW, Seq("src"))
+          .join(ranks.select(col("host").as("src"), col("rank")), Seq("src"))
+          .select(col("dst").as("host"), expr("rank * w div ow").as("c"))
+          .groupBy("host").agg(sum("c").as("in_mass"))
+        ranks = nodes.join(contrib, Seq("host"), "left")
+          .select(col("host"),
+            expr(s"(15 * ${base}L + $DampingNum * coalesce(in_mass, 0L)) div 100")
+              .as("rank"))
+          .localCheckpoint()
+      }
+      nodes.unpersist()
+      ranks.select(col("host"), col("rank").as("rank_scaled"))
+    }
+  }
+
+  /** Anchor-text aggregation per destination host — "what the web calls
+    * this site": inbound anchor texts sorted and joined (deterministic
+    * order — binary string sort, the array_sort contract), with the
+    * inbound link count. The classic anchor-corpus construction
+    * (retrieval training mines exactly these (anchor, dst) pairs). One
+    * host-keyed agg over the links output; empty anchors and
+    * unresolved/self-loop edges are excluded under the same rules as
+    * [[hostLinkGraph]].
+    */
+  def anchorTextByHost(links: DataFrame, srcUrlCol: String,
+                       resolvedCol: String, anchorCol: String): DataFrame =
+    links
+      .select(TextAnalysis.domainOf(col(srcUrlCol)).as("src_host"),
+        TextAnalysis.domainOf(col(resolvedCol)).as("dst_host"),
+        col(anchorCol).as("anchor_text"))
+      .filter(col("src_host") =!= "" && col("dst_host") =!= "" &&
+        col("src_host") =!= col("dst_host") && col("anchor_text") =!= "")
+      .groupBy("dst_host")
+      .agg(count(lit(1)).as("n_inbound"),
+        array_join(array_sort(collect_list(col("anchor_text"))), " | ")
+          .as("anchor_texts"))
+}

@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.WebGraph
+import org.apache.spark.sql.functions._
+
+/** Link extraction, URL resolution, host-graph construction, and the
+  * integer fixed-point PageRank (hand-computed; driver == distributed).
+  */
+class WebGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractLinks: quoting styles, entities, invisible, no-href") {
+    val html =
+      "<html><body>" +
+        "<script>var a = '<a href=\"http://ghost.example/\">x</a>';</script>" +
+        "<a href=\"http://a.example/p?x=1&amp;y=2\">Read <b>more</b> now</a>" +
+        "<a href='http://b.example/q'>Single &amp; quoted</a>" +
+        "<a name=\"anchor\">No href here</a>" +
+        "<a href=\"/rel\" class=\"x\">Rel&nbsp;link</a>" +
+        "</body></html>"
+    val got = WebGraph.extractLinks(
+        Seq((7L, html)).toDF("id", "html"), Seq("id"), "html")
+      .orderBy("link_idx")
+      .as[(Long, Int, String, String)].collect().toSeq
+    assert(got == Seq(
+      (7L, 0, "http://a.example/p?x=1&y=2", "Read more now"),
+      (7L, 1, "http://b.example/q", "Single & quoted"),
+      (7L, 2, "", "No href here"),
+      (7L, 3, "/rel", "Rel link")), got)
+  }
+
+  test("extractLinks: double-quoted href wins over single when both parse") {
+    val html = "<a href=\"http://dq.example/\" title='href=\"zzz\"'>t</a>"
+    val got = WebGraph.extractLinks(
+        Seq((1L, html)).toDF("id", "html"), Seq("id"), "html")
+      .select("href").as[String].collect().toSeq
+    assert(got == Seq("http://dq.example/"))
+  }
+
+  test("resolveUrl: the fixed rule order and the NULL fallthrough") {
+    val base = "https://Www.Site.EXAMPLE:8443/dir/page?x=1"
+    val cases = Seq(
+      "https://other.example/p" -> Some("https://other.example/p"),
+      "HTTP://UPPER.example/p" -> Some("HTTP://UPPER.example/p"),
+      "//cdn.example/lib.js" -> Some("https://cdn.example/lib.js"),
+      "/root/path" -> Some("https://www.site.example:8443/root/path"),
+      "/" -> Some("https://www.site.example:8443/"),
+      "relative/path" -> None,
+      "../up" -> None,
+      "mailto:a@b.example" -> None,
+      "javascript:void(0)" -> None,
+      "#frag" -> None,
+      "" -> None)
+    val got = cases.map(_._1).toDF("href")
+      .select(WebGraph.resolveUrl(lit(base), col("href")))
+      .as[Option[String]].collect().toSeq
+    assert(got == cases.map(_._2), got)
+    // non-URL base: root-relative and protocol-relative cannot resolve
+    val bad = Seq("/p", "//h.example/p").toDF("href")
+      .select(WebGraph.resolveUrl(lit("not a url"), col("href")))
+      .as[Option[String]].collect().toSeq
+    assert(bad == Seq(None, None))
+  }
+
+  test("hostLinkGraph: self-loops and unresolved drop; weights count") {
+    val links = Seq(
+      ("https://a.example/1", "https://b.example/x"),
+      ("https://a.example/2", "https://B.EXAMPLE:443/y"),
+      ("https://a.example/3", "https://a.example/self"),
+      ("https://a.example/4", null),
+      ("https://b.example/5", "https://a.example/z"))
+      .toDF("src_url", "resolved")
+    val got = WebGraph.hostLinkGraph(links, "src_url", "resolved")
+      .orderBy("src_host", "dst_host")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a.example", "b.example", 2L),
+      ("b.example", "a.example", 1L)), got)
+  }
+
+  test("pageRank: hand-computed one iteration, integer exact") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("a", "c", 1L))
+      .toDF("src_host", "dst_host", "weight")
+    val base = 333333333333L // 1e12 div 3
+    val got = WebGraph.pageRank(edges, iterations = 1)
+      .orderBy("host").as[(String, Long)].collect().toSeq
+    // a receives b's full rank; b and c each receive half of a's
+    val ra = (15L * base + 85L * base) / 100L
+    val rb = (15L * base + 85L * (base / 2)) / 100L
+    assert(got == Seq(("a", ra), ("b", rb), ("c", rb)), got)
+    assert(ra == 333333333333L && rb == 191666666666L) // the literal values
+  }
+
+  test("pageRank: driver and distributed paths agree; guards fail loud") {
+    val edges = Seq(("a", "b", 3L), ("b", "c", 1L), ("c", "a", 2L),
+      ("a", "c", 1L), ("d", "a", 5L)).toDF("src_host", "dst_host", "weight")
+    val drv = WebGraph.pageRank(edges, iterations = 5)
+      .orderBy("host").as[(String, Long)].collect().toSeq
+    val dist = WebGraph.pageRank(edges, iterations = 5, localEdgeLimit = 0)
+      .orderBy("host").as[(String, Long)].collect().toSeq
+    assert(drv == dist, s"driver $drv vs distributed $dist")
+    assert(drv.map(_._2).sum <= WebGraph.RankScale) // mass bound
+    intercept[IllegalArgumentException] {
+      WebGraph.pageRank(edges.limit(0))
+    }
+    intercept[IllegalArgumentException] {
+      WebGraph.pageRank(Seq(("a", "b", Long.MaxValue / 1000L))
+        .toDF("src_host", "dst_host", "weight"))
+    }
+  }
+
+  test("anchorTextByHost: sorted join, self/empty excluded") {
+    val links = Seq(
+      ("https://a.example/1", "https://b.example/x", "zeta page"),
+      ("https://c.example/2", "https://b.example/y", "alpha doc"),
+      ("https://b.example/3", "https://b.example/self", "self link"),
+      ("https://a.example/4", "https://b.example/z", ""))
+      .toDF("src_url", "resolved", "anchor_text")
+    val got = WebGraph.anchorTextByHost(links, "src_url", "resolved",
+        "anchor_text")
+      .as[(String, Long, String)].collect().toSeq
+    assert(got == Seq(("b.example", 2L, "alpha doc | zeta page")), got)
+  }
+}
