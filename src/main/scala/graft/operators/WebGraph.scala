@@ -139,21 +139,33 @@ object WebGraph {
   def pageRank(edges: DataFrame, iterations: Int = 10,
                localEdgeLimit: Long = 1L << 20): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations must be >= 1")
+    require(localEdgeLimit >= 0 && localEdgeLimit < Int.MaxValue,
+      s"pageRank: localEdgeLimit out of range: $localEdgeLimit")
     val spark = edges.sparkSession
     val e = edges.select(col("src_host").cast("string").as("src"),
       col("dst_host").cast("string").as("dst"),
       col("weight").cast("long").as("w"))
-    val stats = e.agg(count(lit(1)).as("n_edges"), max(col("w")).as("max_w"))
-      .collect().head
-    val (nEdges, maxW) = (stats.getLong(0), if (stats.isNullAt(1)) 0L else stats.getLong(1))
-    require(nEdges > 0, "pageRank: empty edge list")
-    require(maxW >= 1, s"pageRank: weights must be >= 1, got $maxW")
-    require(maxW <= Long.MaxValue / RankScale,
-      s"pageRank: max edge weight $maxW overflows the fixed-point bound " +
-        s"(${Long.MaxValue / RankScale}); pre-scale weights down")
+    // ONE gating action: take(limit+1) both decides the path and, when
+    // the gate holds, IS the collected edge list — the stats-then-
+    // collect form re-ran the upstream extraction chain per action.
+    // At limit+1 rows the result is discarded and the distributed path
+    // re-derives its stats (paying the extra pass only when the graph
+    // is genuinely large, where one scan is noise against the
+    // per-iteration shuffles).
+    val gate = e.take(localEdgeLimit.toInt + 1)
+    def checkMaxW(maxW: Long): Unit = {
+      require(maxW >= 1, s"pageRank: weights must be >= 1, got $maxW")
+      require(maxW <= Long.MaxValue / RankScale,
+        s"pageRank: max edge weight $maxW overflows the fixed-point bound " +
+          s"(${Long.MaxValue / RankScale}); pre-scale weights down")
+    }
+    require(gate.nonEmpty, "pageRank: empty edge list")
 
-    if (nEdges <= localEdgeLimit) {
-      val rows = e.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    if (gate.length <= localEdgeLimit) {
+      val rows = gate.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(rows.iterator.map(_._3).min >= 1,
+        "pageRank: weights must be >= 1")
+      checkMaxW(rows.iterator.map(_._3).max)
       val outW = scala.collection.mutable.HashMap.empty[String, Long]
       rows.foreach { case (s, _, w) => outW(s) = outW.getOrElse(s, 0L) + w }
       val hosts = (rows.map(_._1) ++ rows.map(_._2)).distinct
@@ -170,6 +182,9 @@ object WebGraph {
       import spark.implicits._
       rank.toSeq.toDF("host", "rank_scaled")
     } else {
+      val stats = e.agg(min(col("w")), max(col("w"))).collect().head
+      require(stats.getLong(0) >= 1, "pageRank: weights must be >= 1")
+      checkMaxW(stats.getLong(1))
       val outW = e.groupBy("src").agg(sum("w").as("ow"))
       val nodes = e.select(col("src").as("host"))
         .union(e.select(col("dst").as("host"))).distinct()
