@@ -1068,6 +1068,69 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin
   }
 
+  /** Candidate/reference pairs for the generation metrics, constructed
+    * from the documents fixture by token slicing: candidate = first 12
+    * raw tokens (with ` extra` appended every 3rd doc — genuine
+    * mismatch) or empty every 11th doc (the NULL-denominator branch in
+    * the hash); reference = first 15 tokens. Both engines slice the
+    * identical token lists.
+    */
+  private def metricPairs(s: SparkSession, d: String): DataFrame = {
+    val tk = TextAnalysis.words(coalesce(col("text"), lit("")))
+    t(s, d, "documents").select(col("doc_id"),
+      when(col("doc_id") % 11 === 0, lit(""))
+        .when(col("doc_id") % 3 === 0,
+          concat(array_join(slice(tk, 1, 12), " "), lit(" extra")))
+        .otherwise(array_join(slice(tk, 1, 12), " ")).as("cand"),
+      array_join(slice(tk, 1, 15), " ").as("ref"))
+  }
+
+  /** The [[metricPairs]] construction + per-n clipped-overlap counting
+    * as oracle CTEs: explode grams of both sides, count per (doc, gram),
+    * join and take `least` — the relational form of the one-pass
+    * native kernel. Emits `p` (pairs), `tok`, and per n in `ns`:
+    * `m{n}` (doc_id, m) clipped matches and the totals are computed
+    * from token lengths in the consumer.
+    */
+  private def metricPairCtes(ns: Seq[Int]): String = {
+    val perN = ns.map { n =>
+      s"""cg$n AS (
+         |  SELECT doc_id, g, count(*) AS cc FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(1, greatest(len(ct) - ${n - 1}, 0) + 1),
+         |      i -> array_to_string(ct[i:i+${n - 1}], ' '))) AS g
+         |    FROM tok) GROUP BY 1, 2),
+         |rg$n AS (
+         |  SELECT doc_id, g, count(*) AS rc FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      range(1, greatest(len(rt) - ${n - 1}, 0) + 1),
+         |      i -> array_to_string(rt[i:i+${n - 1}], ' '))) AS g
+         |    FROM tok) GROUP BY 1, 2),
+         |m$n AS (
+         |  SELECT doc_id, CAST(sum(least(cc, rc)) AS BIGINT) AS m
+         |  FROM cg$n JOIN rg$n USING (doc_id, g) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    """p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0 THEN ''
+      |         WHEN doc_id % 3 = 0
+      |           THEN array_to_string(tk[1:12], ' ') || ' extra'
+      |         ELSE array_to_string(tk[1:12], ' ') END AS cand,
+      |    array_to_string(tk[1:15], ' ') AS ref
+      |  FROM (SELECT doc_id, list_filter(
+      |      regexp_split_to_array(coalesce(text, ''), '\s+'),
+      |      x -> x <> '') AS tk
+      |    FROM documents)),
+      |tok AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(cand), '\s+'),
+      |      x -> x <> '') AS ct,
+      |    list_filter(regexp_split_to_array(lower(ref), '\s+'),
+      |      x -> x <> '') AS rt
+      |  FROM p),
+      |""".stripMargin + perN
+  }
+
   /** Literal phrase batch (ORDERED sequences): a frequent fixture bigram,
     * a rarer trigram, and an impossible phrase for the no-match path.
     */
@@ -2642,6 +2705,16 @@ object SparkEntry {
       WebGraph.anchorTextByHost(links, "url", "resolved", "anchor_text")
         .orderBy("dst_host")
     }),
+    // Generation-eval metrics (r12): ROUGE-2 per pair and corpus
+    // BLEU-4 over token-sliced candidate/reference pairs — the clipped
+    // n-gram counts come from ONE codegen'd per-row pass; the oracle
+    // replays them as explode + count + least. The every-11th empty
+    // candidate puts the NULL-denominator branch in the hash.
+    "q_text_rouge2" -> ((s, d) =>
+      TextMetrics.rougeN(metricPairs(s, d), Seq("doc_id"),
+        "cand", "ref", n = 2).orderBy("doc_id")),
+    "q_text_bleu" -> ((s, d) =>
+      TextMetrics.bleuCorpus(metricPairs(s, d), "cand", "ref", maxN = 4)),
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -7137,6 +7210,59 @@ object SparkEntry {
           |WHERE src_host <> '' AND dst_host <> ''
           |  AND src_host <> dst_host AND anchor_text <> ''
           |GROUP BY 1 ORDER BY dst_host""".stripMargin),
+    "q_text_rouge2" ->
+      (s"WITH ${metricPairCtes(Seq(2))},\n" +
+        """tots AS (
+          |  SELECT doc_id,
+          |    CAST(greatest(len(ct) - 1, 0) AS BIGINT) AS nc,
+          |    CAST(greatest(len(rt) - 1, 0) AS BIGINT) AS nr
+          |  FROM tok)
+          |SELECT t.doc_id,
+          |  coalesce(m2.m, 0) AS match_ngrams,
+          |  nc AS cand_ngrams, nr AS ref_ngrams,
+          |  CASE WHEN nc > 0 THEN CAST(round(1000000000000.0 *
+          |    (CAST(coalesce(m2.m, 0) AS DOUBLE) / CAST(nc AS DOUBLE)))
+          |    AS BIGINT) END AS rouge_p_scaled,
+          |  CASE WHEN nr > 0 THEN CAST(round(1000000000000.0 *
+          |    (CAST(coalesce(m2.m, 0) AS DOUBLE) / CAST(nr AS DOUBLE)))
+          |    AS BIGINT) END AS rouge_r_scaled,
+          |  CASE WHEN nc + nr > 0 THEN CAST(round(1000000000000.0 *
+          |    (CAST(coalesce(m2.m, 0) * 2 AS DOUBLE)
+          |      / CAST(nc + nr AS DOUBLE))) AS BIGINT) END AS rouge_f1_scaled
+          |FROM tots t LEFT JOIN m2 ON m2.doc_id = t.doc_id
+          |ORDER BY t.doc_id""".stripMargin),
+    "q_text_bleu" -> {
+      val lens = (1 to 4).map(n =>
+        s"""    CAST(sum(coalesce(m$n.m, 0)) AS BIGINT) AS mm$n,
+           |    CAST(sum(greatest(len(ct) - ${n - 1}, 0)) AS BIGINT) AS cc$n""".stripMargin)
+        .mkString(",\n")
+      val joins = (1 to 4).map(n =>
+        s"LEFT JOIN m$n ON m$n.doc_id = tok.doc_id").mkString(" ")
+      val pns = (1 to 4).map(n =>
+        s"""  CASE WHEN cc$n > 0 THEN CAST(round(1000000000000.0 *
+           |    (CAST(mm$n AS DOUBLE) / CAST(cc$n AS DOUBLE))) AS BIGINT)
+           |    END AS p${n}_scaled""".stripMargin).mkString(",\n")
+      val logSum = (1 to 4).map(n =>
+        s"ln(CAST(mm$n AS DOUBLE) / CAST(cc$n AS DOUBLE))").mkString(" + ")
+      val allPos = (1 to 4).map(n => s"mm$n > 0 AND cc$n > 0")
+        .mkString(" AND ")
+      s"WITH ${metricPairCtes(1 to 4)},\n" +
+        s"""s AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(sum(len(ct)) AS BIGINT) AS cand_len,
+           |    CAST(sum(len(rt)) AS BIGINT) AS ref_len,
+           |$lens
+           |  FROM tok $joins)
+           |SELECT n_pairs, cand_len, ref_len,
+           |$pns,
+           |  CASE WHEN cand_len > 0 AND $allPos THEN
+           |    round((CASE WHEN cand_len >= ref_len THEN 1.0
+           |        ELSE exp(1.0 - CAST(ref_len AS DOUBLE)
+           |          / CAST(cand_len AS DOUBLE)) END)
+           |      * exp(($logSum) / 4), 6)
+           |    ELSE 0.0 END AS bleu_r6
+           |FROM s""".stripMargin
+    },
     "q_text_nb_margin_scored" -> baseOracleSql("q_text_nb_margin"),
     "q_text_langid_scored" -> baseOracleSql("q_text_langid_ct"),
     "q_cur_dsir_scored" -> baseOracleSql("q_cur_dsir_sample"),

@@ -1871,4 +1871,81 @@ object TextHashExpressions {
         StringType),
       propagateNull = true,
       returnNullable = true))
+
+  /** Clipped n-gram overlap counts for 1..maxN in ONE pass over both
+    * texts (see [[OverlapOps.overlaps]]) — the shared kernel of ROUGE-N
+    * and BLEU. Returns `array<bigint>` of length 3·maxN laid out
+    * `[match_1, cand_1, ref_1, match_2, …]`.
+    */
+  def ngramOverlaps(cand: Column, ref: Column, maxN: Int): Column =
+    GraftBridge.column(StaticInvoke(
+      OverlapOps.getClass,
+      ArrayType(LongType, containsNull = false),
+      "overlaps",
+      Seq(GraftBridge.expression(cand), GraftBridge.expression(ref),
+        Literal(maxN, IntegerType)),
+      inputTypes = Seq(StringType, StringType, IntegerType),
+      propagateNull = true,
+      returnNullable = true))
+}
+
+/** Clipped n-gram overlap — the counting kernel every n-gram generation
+  * metric reduces to (ROUGE-N precision/recall, BLEU's modified n-gram
+  * precision): per n, `match_n = Σ_g min(count_cand(g), count_ref(g))`
+  * over lowercased whitespace tokens (the BM25/Dedup tokenization).
+  * One tokenize pass per text, then per n one hash-count of the
+  * reference grams and one clipped walk of the candidate grams —
+  * O(maxN · tokens) per row, no explode, no shuffle: the relational
+  * form shuffles one row per (pair, gram).
+  */
+object OverlapOps {
+  def overlaps(cand: UTF8String, ref: UTF8String,
+               maxN: Int): ArrayData = {
+    def toks(s: UTF8String): Array[String] =
+      s.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val c = toks(cand)
+    val r = toks(ref)
+    val out = new Array[Long](3 * maxN)
+    var n = 1
+    while (n <= maxN) {
+      val nc = math.max(c.length - n + 1, 0)
+      val nr = math.max(r.length - n + 1, 0)
+      val refCnt = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i < nr) {
+        val g = gram(r, i, n)
+        refCnt.merge(g, 1, (a, b) => a + b)
+        i += 1
+      }
+      var m = 0L
+      i = 0
+      while (i < nc) {
+        val g = gram(c, i, n)
+        val left = refCnt.get(g)
+        if (left != null && left > 0) {
+          m += 1
+          refCnt.put(g, left - 1)
+        }
+        i += 1
+      }
+      out(3 * (n - 1)) = m
+      out(3 * (n - 1) + 1) = nc
+      out(3 * (n - 1) + 2) = nr
+      n += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** N tokens from `i`, space-joined (tokens are whitespace-split so
+    * they cannot contain the separator — no collision possible).
+    */
+  private def gram(t: Array[String], i: Int, n: Int): String = {
+    if (n == 1) t(i)
+    else {
+      val sb = new java.lang.StringBuilder(t(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(t(i + j)); j += 1 }
+      sb.toString
+    }
+  }
 }
