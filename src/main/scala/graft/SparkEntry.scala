@@ -1068,6 +1068,30 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin
   }
 
+  // Web link-graph index: built ONCE per process per sf-dir as TWO
+  // batches (even doc_ids written, odd appended — the additive-partials
+  // append is part of what the probe gate proves; batches partition the
+  // pages, so summed partials equal the all-at-once graph).
+  private lazy val webIdxTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-webidx").toString
+
+  private def webIdxEnsure(s: SparkSession, d: String): String = {
+    val path = s"$webIdxTmpDir/${new java.io.File(d).getName}"
+    if (!graft.pipeline.Sinks.exists(s, s"$path/edges")) {
+      def edgesOf(cond: Column): DataFrame = {
+        val links = WebGraph.extractLinks(
+            linkPages(t(s, d, "documents").filter(cond)),
+            Seq("doc_id", "url"), "html")
+          .withColumn("resolved",
+            WebGraph.resolveUrl(col("url"), col("href")))
+        WebGraph.hostLinkGraph(links, "url", "resolved")
+      }
+      WebGraph.writeIndex(edgesOf(col("doc_id") % 2 === 0), path)
+      WebGraph.appendIndex(edgesOf(col("doc_id") % 2 =!= 0), path)
+    }
+    path
+  }
+
   /** Candidate/reference pairs for the generation metrics, constructed
     * from the documents fixture by token slicing: candidate = first 12
     * raw tokens (with ` extra` appended every 3rd doc — genuine
@@ -2705,6 +2729,14 @@ object SparkEntry {
       WebGraph.anchorTextByHost(links, "url", "resolved", "anchor_text")
         .orderBy("dst_host")
     }),
+    // The amortized probe: PageRank over the PERSISTED graph (built
+    // once as write + additive append across an even/odd page split) —
+    // shares the scratch query's oracle outright, which IS the
+    // probe==scratch gate: summed partials must equal the all-at-once
+    // graph for the hash to match.
+    "q_web_pagerank_indexed" -> ((s, d) =>
+      WebGraph.pageRankIndexed(s, webIdxEnsure(s, d), iterations = 10)
+        .orderBy("host")),
     // Generation-eval metrics (r12): ROUGE-2 per pair and corpus
     // BLEU-4 over token-sliced candidate/reference pairs — the clipped
     // n-gram counts come from ONE codegen'd per-row pass; the oracle
@@ -7201,6 +7233,7 @@ object SparkEntry {
         """SELECT doc_id, url, link_idx, href, anchor_text, resolved
           |FROM rl ORDER BY doc_id, link_idx""".stripMargin),
     "q_web_pagerank" -> pageRankOracleSql(10),
+    "q_web_pagerank_indexed" -> pageRankOracleSql(10),
     "q_web_anchor_text" ->
       (s"WITH $linkChainCtes\n" +
         """SELECT dst_host, CAST(count(*) AS BIGINT) AS n_inbound,

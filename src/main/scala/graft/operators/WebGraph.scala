@@ -207,6 +207,43 @@ object WebGraph {
     }
   }
 
+  /** Persist a host link graph for "extract once, rank many" — the
+    * bm25WriteIndex per-batch-partials story applied to the graph:
+    * edge rows are ADDITIVE partial counts, so [[appendIndex]] is a
+    * pure O(batch) append (a new crawl batch's host-pair counts land
+    * as extra rows; no read-modify-write of existing edges) and every
+    * reader sums partials per pair. The expensive side (HTML parse →
+    * link extraction → resolution) runs once per batch; PageRank
+    * probes then pay only the iteration cost.
+    */
+  def writeIndex(edges: DataFrame, path: String): Unit =
+    edges.select(col("src_host"), col("dst_host"),
+        col("weight").cast("long").as("weight"))
+      .write.mode("overwrite").parquet(s"$path/edges")
+
+  /** Append a batch's host-pair counts as additive partial rows. */
+  def appendIndex(edges: DataFrame, path: String): Unit =
+    edges.select(col("src_host"), col("dst_host"),
+        col("weight").cast("long").as("weight"))
+      .write.mode("append").parquet(s"$path/edges")
+
+  /** The persisted graph with partials summed — equal to the edge list
+    * [[hostLinkGraph]] computes over all indexed batches at once
+    * (integer sums commute; spec-pinned). A missing index path fails
+    * loudly at read.
+    */
+  def readIndexEdges(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    spark.read.parquet(s"$path/edges")
+      .groupBy("src_host", "dst_host")
+      .agg(sum("weight").as("weight"))
+
+  /** PageRank over the persisted graph — the amortized probe form. */
+  def pageRankIndexed(spark: org.apache.spark.sql.SparkSession,
+                      path: String, iterations: Int = 10,
+                      localEdgeLimit: Long = 1L << 20): DataFrame =
+    pageRank(readIndexEdges(spark, path), iterations, localEdgeLimit)
+
   /** Anchor-text aggregation per destination host — "what the web calls
     * this site": inbound anchor texts sorted and joined (deterministic
     * order — binary string sort, the array_sort contract), with the

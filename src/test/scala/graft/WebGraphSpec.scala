@@ -109,6 +109,32 @@ class WebGraphSpec extends SparkSpec {
     }
   }
 
+  test("index: write + additive append == the all-at-once graph") {
+    val dir = java.nio.file.Files.createTempDirectory("webidx").toString
+    val b1 = Seq(("a", "b", 2L), ("b", "c", 1L))
+      .toDF("src_host", "dst_host", "weight")
+    val b2 = Seq(("a", "b", 3L), ("c", "a", 4L))
+      .toDF("src_host", "dst_host", "weight")
+    WebGraph.writeIndex(b1, dir)
+    WebGraph.appendIndex(b2, dir)
+    val got = WebGraph.readIndexEdges(spark, dir)
+      .orderBy("src_host", "dst_host")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", 5L), ("b", "c", 1L), ("c", "a", 4L)), got)
+    // probe == scratch over the union
+    val all = b1.unionByName(b2)
+      .groupBy("src_host", "dst_host").agg(sum("weight").as("weight"))
+    val scratch = WebGraph.pageRank(all, iterations = 4)
+      .orderBy("host").as[(String, Long)].collect().toSeq
+    val probe = WebGraph.pageRankIndexed(spark, dir, iterations = 4)
+      .orderBy("host").as[(String, Long)].collect().toSeq
+    assert(probe == scratch, s"probe $probe vs scratch $scratch")
+    // a missing index fails loudly at read
+    intercept[Exception] {
+      WebGraph.readIndexEdges(spark, s"$dir-missing").collect()
+    }
+  }
+
   test("anchorTextByHost: sorted join, self/empty excluded") {
     val links = Seq(
       ("https://a.example/1", "https://b.example/x", "zeta page"),
