@@ -1068,6 +1068,19 @@ object SparkEntry {
         |ORDER BY query_id""".stripMargin
   }
 
+  // Staged link pages for the streaming-ingest twin (the
+  // warcStreamEnsure convention): the file-stream source needs a
+  // directory of files, written once per process per sf-dir.
+  private lazy val webStreamTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-webstream").toString
+
+  private def webStreamEnsure(s: SparkSession, d: String): String = {
+    val path = s"$webStreamTmpDir/${new java.io.File(d).getName}"
+    if (!graft.pipeline.Sinks.exists(s, path))
+      linkPages(t(s, d, "documents")).write.parquet(path)
+    path
+  }
+
   // Web link-graph index: built ONCE per process per sf-dir as TWO
   // batches (even doc_ids written, odd appended — the additive-partials
   // append is part of what the probe gate proves; batches partition the
@@ -1401,6 +1414,9 @@ object SparkEntry {
       // r12: stateless streaming twin of the benched parse — see its
       // registration comment.
       "q_stream_warc_ingest",
+      // r12: same ruling, link-side — stateless streaming map work over
+      // the already-benched extraction chain.
+      "q_stream_web_links",
       // r12: BM25 index-maintenance gate builds its index per run (the
       // q_sim_pq_append ruling); the benched retrieval rows are the
       // scratch search and the persisted-index probe.
@@ -2737,6 +2753,30 @@ object SparkEntry {
     "q_web_pagerank_indexed" -> ((s, d) =>
       WebGraph.pageRankIndexed(s, webIdxEnsure(s, d), iterations = 10)
         .orderBy("host")),
+    // Streaming link extraction: the SAME extractLinks + resolveUrl
+    // transform over a file-stream source drained AvailableNow into a
+    // memory sink — a genuine streaming execution oracled against the
+    // batch chain (shares q_web_links' oracle outright). The front door
+    // is map-only, so streaming crawl-link ingest needs no new code:
+    // the q_stream_warc_ingest argument, link-side. Verify-only
+    // (stateless map work over the already-benched extraction).
+    "q_stream_web_links" -> ((s, d) => {
+      val src = webStreamEnsure(s, d)
+      val schema = s.read.parquet(src).schema
+      val links = WebGraph.extractLinks(
+          s.readStream.schema(schema).parquet(src),
+          Seq("doc_id", "url"), "html")
+        .withColumn("resolved", WebGraph.resolveUrl(col("url"), col("href")))
+      val sink = "q_stream_web_links_sink"
+      withStreamStatePartitions(s) {
+        val q = links.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(sink).orderBy("doc_id", "link_idx")
+    }),
     // Generation-eval metrics (r12): ROUGE-2 per pair and corpus
     // BLEU-4 over token-sliced candidate/reference pairs — the clipped
     // n-gram counts come from ONE codegen'd per-row pass; the oracle
@@ -7234,6 +7274,10 @@ object SparkEntry {
           |FROM rl ORDER BY doc_id, link_idx""".stripMargin),
     "q_web_pagerank" -> pageRankOracleSql(10),
     "q_web_pagerank_indexed" -> pageRankOracleSql(10),
+    "q_stream_web_links" ->
+      (s"WITH $linkChainCtes\n" +
+        """SELECT doc_id, url, link_idx, href, anchor_text, resolved
+          |FROM rl ORDER BY doc_id, link_idx""".stripMargin),
     "q_web_anchor_text" ->
       (s"WITH $linkChainCtes\n" +
         """SELECT dst_host, CAST(count(*) AS BIGINT) AS n_inbound,
