@@ -2777,6 +2777,26 @@ object SparkEntry {
       }
       s.table(sink).orderBy("doc_id", "link_idx")
     }),
+    // Sentence segmentation (r12): the line-below-document granularity
+    // every chunker/quality rule ultimately wants — constructed text
+    // planting abbreviations, a quoted terminator, a question boundary,
+    // and the raw fixture tail; one row per (doc, sentence) with its
+    // word count. The whole protect/mark/split chain replays in DuckDB
+    // from the same constants.
+    "q_text_sentences" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), concat(
+          lit("Dr. Smith read doc "), col("doc_id").cast("string"),
+          lit(". It was e.g. quite long! Case "),
+          (col("doc_id") % 5).cast("string"),
+          lit(" came up? Yes. "),
+          substring(coalesce(col("text"), lit("")), 1, 60)).as("txt"))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.splitSentences(col("txt")))
+            .as(Seq("sent_idx", "sentence")))
+        .select(col("doc_id"), col("sent_idx").cast("int").as("sent_idx"),
+          col("sentence"),
+          size(TextAnalysis.words(col("sentence"))).as("n_words"))
+        .orderBy("doc_id", "sent_idx")),
     // Generation-eval metrics (r12): ROUGE-2 per pair and corpus
     // BLEU-4 over token-sliced candidate/reference pairs — the clipped
     // n-gram counts come from ONE codegen'd per-row pass; the oracle
@@ -7278,6 +7298,41 @@ object SparkEntry {
       (s"WITH $linkChainCtes\n" +
         """SELECT doc_id, url, link_idx, href, anchor_text, resolved
           |FROM rl ORDER BY doc_id, link_idx""".stripMargin),
+    // Sentence chain replayed from the SAME Scala constants: abbrev
+    // protect (dots -> chr(1)), boundary mark (chr(2), \1\2 is RE2's
+    // $1$2), split, restore, trim, drop empties.
+    "q_text_sentences" -> {
+      val protect = TextAnalysis.SentenceAbbrevs.foldLeft("txt") {
+        (acc, a) =>
+          val repl = a.split("\\.", -1).map(p => s"'$p'")
+            .mkString(" || chr(1) || ")
+          s"replace($acc, '$a', $repl)"
+      }
+      val bre = TextAnalysis.SentenceBoundaryRe.replace("'", "''")
+      s"""WITH t0 AS (
+         |  SELECT doc_id,
+         |    'Dr. Smith read doc ' || CAST(doc_id AS VARCHAR) ||
+         |    '. It was e.g. quite long! Case ' ||
+         |    CAST(doc_id % 5 AS VARCHAR) || ' came up? Yes. ' ||
+         |    substring(coalesce(text, ''), 1, 60) AS txt
+         |  FROM documents),
+         |mk AS (
+         |  SELECT doc_id, string_split(regexp_replace($protect,
+         |    '$bre', '\\1' || chr(2) || '\\2', 'g'), chr(2)) AS segs
+         |  FROM t0),
+         |ss AS (
+         |  SELECT doc_id, list_filter(list_transform(segs,
+         |    s -> trim(replace(s, chr(1), '.'))), s -> s <> '') AS sents
+         |  FROM mk),
+         |ex AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(sents) + 1),
+         |    i -> {'i': i, 's': sents[i]})) AS u
+         |  FROM ss)
+         |SELECT doc_id, CAST(u.i - 1 AS INT) AS sent_idx, u.s AS sentence,
+         |  CAST(len(list_filter(regexp_split_to_array(u.s, '\\s+'),
+         |    x -> x <> '')) AS INT) AS n_words
+         |FROM ex ORDER BY doc_id, sent_idx""".stripMargin
+    },
     "q_web_anchor_text" ->
       (s"WITH $linkChainCtes\n" +
         """SELECT dst_host, CAST(count(*) AS BIGINT) AS n_inbound,

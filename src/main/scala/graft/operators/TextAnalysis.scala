@@ -303,6 +303,45 @@ object TextAnalysis {
     regexp_replace(sepFix, "/$", "")
   }
 
+  /** Abbreviations whose trailing dots must NOT end a sentence —
+    * protected by a fixed-order literal replace chain before boundary
+    * marking (the HtmlEntities convention: the oracle generates its
+    * replace chain from this same list, so the rule set cannot drift).
+    * Case-sensitive literals; an unlisted abbreviation followed by a
+    * capital splits — the documented limit of the regex model (full
+    * disambiguation needs a learned segmenter).
+    */
+  private[graft] val SentenceAbbrevs: Seq[String] = Seq(
+    "Mr.", "Mrs.", "Ms.", "Dr.", "Prof.", "St.", "No.", "vs.",
+    "e.g.", "i.e.", "etc.", "Jr.", "Sr.", "Inc.", "Fig.")
+
+  /** Sentence boundary: a terminator (with optional closing quotes /
+    * brackets) + whitespace + an upper/digit/quote opener. The opener
+    * is CONSUMED into the replacement (`$1<marker>$2`) — RE2 has no
+    * lookahead, and consuming one char is equivalent here because a
+    * boundary match never overlaps the next boundary's terminator.
+    */
+  private[graft] val SentenceBoundaryRe =
+    "([.!?][\"')\\]]*)\\s+([A-Z0-9\"'(])"
+
+  /** Split text into sentences: protect known abbreviations (dots →
+    * U+0001), mark boundaries with U+0002 (not newline — real text
+    * contains mid-sentence line wraps, which stay inside their
+    * sentence; a wrap AFTER a terminator is a boundary because the
+    * marker regex crosses any whitespace run), split, restore dots,
+    * trim, drop empties. Pure codegen'd replace/split chain — row-local,
+    * Java∩RE2-safe, oracle-replayable.
+    */
+  def splitSentences(text: Column): Column = {
+    val protectedTxt = SentenceAbbrevs.foldLeft(text) { (acc, a) =>
+      replace(acc, lit(a), lit(a.replace(".", "\u0001")))
+    }
+    val marked = regexp_replace(protectedTxt, SentenceBoundaryRe,
+      "$1\u0002$2")
+    filter(transform(split(marked, "\u0002"),
+      s => trim(replace(s, lit("\u0001"), lit(".")))), s => s =!= "")
+  }
+
   /** Registrable host of a URL: the authority with scheme, userinfo, and
     * port stripped, lowercased. Empty string for non-URLs (a filter on
     * `domainOf =!= ""` drops URL-less rows explicitly rather than

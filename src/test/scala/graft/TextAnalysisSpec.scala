@@ -8,6 +8,30 @@ class TextAnalysisSpec extends SparkSpec {
 
   private def on(text: String) = Seq(text).toDF("t")
 
+  test("splitSentences: boundaries, abbreviations, quotes, wraps") {
+    def sents(t: String): Seq[String] =
+      on(t).select(TextAnalysis.splitSentences(col("t")))
+        .as[Seq[String]].head()
+    assert(sents("First one. Second two! And third? Yes.") ==
+      Seq("First one.", "Second two!", "And third?", "Yes."))
+    // protected abbreviations do not split; their dots survive
+    assert(sents("Dr. Smith met Mrs. Jones. They left.") ==
+      Seq("Dr. Smith met Mrs. Jones.", "They left."))
+    assert(sents("It was e.g. a test. Done.") ==
+      Seq("It was e.g. a test.", "Done."))
+    // closing quote after the terminator still bounds
+    assert(sents("He said \"Stop.\" Then ran.") ==
+      Seq("He said \"Stop.\"", "Then ran."))
+    // lowercase continuation never splits (unlisted abbrev, safe side)
+    assert(sents("the fig. was small and b. stayed whole") ==
+      Seq("the fig. was small and b. stayed whole"))
+    // a mid-sentence wrap stays inside; a wrap after a terminator bounds
+    assert(sents("One part\nsame sentence. Next\nline. End") ==
+      Seq("One part\nsame sentence.", "Next\nline.", "End"))
+    assert(sents("") == Seq.empty)
+    assert(sents("   ") == Seq.empty)
+  }
+
   test("token counts: whitespace and regex pre-tokenizer") {
     val df = on("Hello, world 42!")
     assert(df.select(TextAnalysis.tokenCountWs(col("t"))).as[Int].head() == 3)
