@@ -1105,6 +1105,147 @@ object SparkEntry {
     path
   }
 
+  // ---- robots.txt fixture (r12) --------------------------------------
+  // One robots document per fixture host: a `*` group with a wildcard
+  // disallow + anchored allow, an even-host exact-agent group opened by
+  // TWO consecutive User-agent lines (grouping semantics in the hash),
+  // an every-third-host empty Disallow (the RFC no-op), a comment line,
+  // and a Sitemap directive. No single quotes (the htmlPages
+  // convention); both engines build the identical text.
+  private def robotsDocs(s: SparkSession, d: String): DataFrame = {
+    val h = col("h")
+    val hS = h.cast("string")
+    val txt = concat(
+      lit("# robots for the host\nUser-agent: *\n"),
+      lit("Disallow: /private/*\nAllow: /private/open$\n"),
+      when(h % 2 === 0, concat(
+        lit("User-agent: graftbot\nUser-agent: altbot\n"),
+        lit("Disallow: /page/"), hS, lit("*\n"),
+        lit("Allow: /page/"), hS, lit("0\n"))).otherwise(lit("")),
+      when(h % 3 === 0, lit("Disallow:\n")).otherwise(lit("")),
+      lit("Sitemap: https://site"), hS, lit(".example.com/sitemap.xml"))
+    t(s, d, "documents").select((col("doc_id") % 7).as("h")).distinct()
+      .select(concat(lit("site"), hS, lit(".example.com")).as("host"),
+        txt.as("txt"))
+  }
+
+  /** Frontier URLs per doc: host from the doc residue, path shapes that
+    * exercise the wildcard disallow, the anchored allow (exact and
+    * near-miss), the exact-agent page rules, and the no-match default.
+    */
+  private def robotsUrls(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    t(s, d, "documents").select(id.as("doc_id"),
+      concat(lit("site"), (id % 7).cast("string"), lit(".example.com"))
+        .as("host"),
+      when(id % 4 === 0, concat(lit("/page/"), (id % 40).cast("string")))
+        .when(id % 4 === 1, concat(lit("/private/"), (id % 9).cast("string")))
+        .when(id % 4 === 2, lit("/private/open"))
+        .otherwise(concat(lit("/other/"), (id % 5).cast("string")))
+        .as("url_path"))
+  }
+
+  /** robots parse chain as oracle CTEs (construction + line explode +
+    * directive extraction + the two window passes), ending in `gr`
+    * (host, line_idx, directive, value, group_id).
+    */
+  private val robotsParseCtes: String =
+    """rb AS (
+      |  SELECT 'site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+      |    '# robots for the host' || chr(10) || 'User-agent: *' || chr(10) ||
+      |    'Disallow: /private/*' || chr(10) ||
+      |    'Allow: /private/open$' || chr(10) ||
+      |    CASE WHEN h % 2 = 0 THEN
+      |      'User-agent: graftbot' || chr(10) || 'User-agent: altbot' || chr(10) ||
+      |      'Disallow: /page/' || CAST(h AS VARCHAR) || '*' || chr(10) ||
+      |      'Allow: /page/' || CAST(h AS VARCHAR) || '0' || chr(10)
+      |      ELSE '' END ||
+      |    CASE WHEN h % 3 = 0 THEN 'Disallow:' || chr(10) ELSE '' END ||
+      |    'Sitemap: https://site' || CAST(h AS VARCHAR) ||
+      |      '.example.com/sitemap.xml' AS txt
+      |  FROM (SELECT DISTINCT doc_id % 7 AS h FROM documents)),
+      |ln AS (
+      |  SELECT host, u.i - 1 AS line_idx, u.l AS raw FROM (
+      |    SELECT host, unnest(list_transform(range(1, len(ls) + 1),
+      |      i -> {'i': i, 'l': ls[i]})) AS u
+      |    FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM rb))),
+      |dr AS (
+      |  SELECT host, line_idx,
+      |    lower(regexp_extract(clean, '^([A-Za-z-]+)\s*:', 1)) AS directive,
+      |    trim(regexp_replace(clean, '^[A-Za-z-]+\s*:', '')) AS value
+      |  FROM (SELECT host, line_idx,
+      |      trim(regexp_replace(raw, '#.*', '')) AS clean FROM ln)),
+      |kp AS (SELECT * FROM dr WHERE directive <> ''),
+      |st AS (
+      |  SELECT host, line_idx, directive, value,
+      |    CASE WHEN directive = 'user-agent' AND coalesce(
+      |        lag(CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END)
+      |          OVER (PARTITION BY host ORDER BY line_idx), 0) = 0
+      |      THEN 1 ELSE 0 END AS gs
+      |  FROM kp),
+      |gr AS (
+      |  SELECT host, line_idx, directive, value,
+      |    CAST(sum(gs) OVER (PARTITION BY host ORDER BY line_idx) AS INT)
+      |      AS group_id
+      |  FROM st)""".stripMargin
+
+  /** The evaluation oracle tail: agent/group selection, rule regex
+    * translation GENERATED from [[Robots.RegexEscapes]], frontier URLs,
+    * longest-match/allow-wins pick, default allow.
+    */
+  private def robotsAllowedOracleSql: String = {
+    val esc = Robots.RegexEscapes.foldLeft("body") { (acc, c) =>
+      val lit = if (c == "\\") "\\" else c
+      s"replace($acc, '$lit', '\\$lit')"
+    }
+    s"""WITH $robotsParseCtes,
+       |ag AS (
+       |  SELECT host, group_id, lower(value) AS agent FROM gr
+       |  WHERE directive = 'user-agent' AND group_id > 0),
+       |ex AS (SELECT DISTINCT host FROM ag WHERE agent = 'graftbot'),
+       |cg AS (
+       |  SELECT DISTINCT ag.host, ag.group_id
+       |  FROM ag LEFT JOIN (SELECT host, 1 AS he FROM ex) e
+       |    ON e.host = ag.host
+       |  WHERE CASE WHEN e.he IS NOT NULL THEN ag.agent = 'graftbot'
+       |        ELSE ag.agent = '*' END),
+       |rl0 AS (
+       |  SELECT gr.host, gr.directive AS rule_type, gr.value,
+       |    CASE WHEN gr.value LIKE '%$$' THEN 1 ELSE 0 END AS anch,
+       |    CASE WHEN gr.value LIKE '%$$'
+       |      THEN substring(gr.value, 1, length(gr.value) - 1)
+       |      ELSE gr.value END AS body
+       |  FROM gr JOIN cg ON cg.host = gr.host AND cg.group_id = gr.group_id
+       |  WHERE gr.directive IN ('allow', 'disallow') AND gr.value <> ''),
+       |rl AS (
+       |  SELECT host, rule_type, value,
+       |    '^' || replace($esc, '*', '.*') ||
+       |      CASE WHEN anch = 1 THEN '$$' ELSE '' END AS re,
+       |    length(value) AS rlen
+       |  FROM rl0),
+       |uu AS (
+       |  SELECT doc_id,
+       |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+       |    CASE CAST(doc_id % 4 AS INT)
+       |      WHEN 0 THEN '/page/' || CAST(doc_id % 40 AS VARCHAR)
+       |      WHEN 1 THEN '/private/' || CAST(doc_id % 9 AS VARCHAR)
+       |      WHEN 2 THEN '/private/open'
+       |      ELSE '/other/' || CAST(doc_id % 5 AS VARCHAR) END AS url_path
+       |  FROM documents),
+       |bm AS (
+       |  SELECT doc_id, rule_type, value FROM (
+       |    SELECT u.doc_id, r.rule_type, r.value,
+       |      row_number() OVER (PARTITION BY u.doc_id
+       |        ORDER BY r.rlen DESC, r.rule_type ASC, r.value ASC) AS rk
+       |    FROM uu u JOIN rl r ON r.host = u.host
+       |    WHERE regexp_matches(u.url_path, r.re)) WHERE rk = 1)
+       |SELECT u.doc_id, u.host, u.url_path,
+       |  coalesce(b.rule_type = 'allow', TRUE) AS allowed,
+       |  b.rule_type, b.value AS rule_path
+       |FROM uu u LEFT JOIN bm b ON b.doc_id = u.doc_id
+       |ORDER BY u.doc_id""".stripMargin
+  }
+
   /** Candidate/reference pairs for the generation metrics, constructed
     * from the documents fixture by token slicing: candidate = first 12
     * raw tokens (with ` extra` appended every 3rd doc — genuine
@@ -2777,6 +2918,20 @@ object SparkEntry {
       }
       s.table(sink).orderBy("doc_id", "link_idx")
     }),
+    // robots.txt (r12): crawl politeness — the stage BEFORE fetching.
+    // Parse: line explode + two host-keyed window passes (grouping per
+    // RFC 9309, consecutive User-agent lines share a group). Evaluate:
+    // exact-agent-else-star group selection, longest-match with allow
+    // winning ties, default allow — the rule regexes generated by the
+    // SAME fixed-order escape chain in both engines.
+    "q_web_robots_rules" -> ((s, d) =>
+      Robots.parseRobots(robotsDocs(s, d), Seq("host"), "txt")
+        .orderBy("host", "line_idx")),
+    "q_web_robots_allowed" -> ((s, d) =>
+      Robots.evaluateRobots(
+          Robots.parseRobots(robotsDocs(s, d), Seq("host"), "txt"),
+          "host", robotsUrls(s, d), Seq("doc_id"), "graftbot")
+        .orderBy("doc_id")),
     // Sentence segmentation (r12): the line-below-document granularity
     // every chunker/quality rule ultimately wants — constructed text
     // planting abbreviations, a quoted terminator, a question boundary,
@@ -7298,6 +7453,12 @@ object SparkEntry {
       (s"WITH $linkChainCtes\n" +
         """SELECT doc_id, url, link_idx, href, anchor_text, resolved
           |FROM rl ORDER BY doc_id, link_idx""".stripMargin),
+    "q_web_robots_rules" ->
+      (s"WITH $robotsParseCtes\n" +
+        """SELECT host, CAST(line_idx AS INT) AS line_idx, group_id,
+          |  directive, value
+          |FROM gr ORDER BY host, line_idx""".stripMargin),
+    "q_web_robots_allowed" -> robotsAllowedOracleSql,
     // Sentence chain replayed from the SAME Scala constants: abbrev
     // protect (dots -> chr(1)), boundary mark (chr(2), \1\2 is RE2's
     // $1$2), split, restore, trim, drop empties.

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and allow/deny evaluation — crawl politeness, the
+  * stage BEFORE fetching in any crawl pipeline (REP, RFC 9309): which
+  * of a frontier's URLs may be fetched at all. The parse is fully
+  * relational (line explode + two key-partitioned window passes), the
+  * evaluation is the standard longest-match rule with allow winning
+  * ties, and every string rule is a fixed-order literal replace /
+  * Java∩RE2 regex — the whole family replays in the DuckDB oracle.
+  *
+  * Scale shape: robots documents are per-HOST (bounded kilobytes each;
+  * the RFC caps parseable size at 500 KiB), so everything here is
+  * metadata-scale next to the corpus: the parse shuffles once on the
+  * host key, and evaluation joins frontier URLs to per-host rules —
+  * rules-side small, host-keyed, broadcastable when the host set fits.
+  *
+  * Documented simplifications (each spec-pinned): agent selection is
+  * exact-match-else-`*` (RFC longest-prefix agent matching reduces to
+  * this for single-token product names); `Crawl-delay` and unknown
+  * directives parse but carry no evaluation semantics; an empty
+  * `Allow:`/`Disallow:` value is a no-op per the RFC.
+  */
+object Robots {
+
+  /** Parse robots.txt documents into directive rows: `(keys…,
+    * line_idx, group_id, directive, value)`. Lines lose `#` comments
+    * and trim; directives fold to lowercase; values keep case (paths
+    * are case-sensitive). Group semantics per the RFC: a run of
+    * consecutive `User-agent` lines opens ONE group (all those agents
+    * share the group's rules); rules attach to the most recent group.
+    * `group_id` is 1-based per document; rules before any User-agent
+    * line get group_id 0 (ignored by evaluation — no agent can select
+    * them).
+    */
+  def parseRobots(docs: DataFrame, keyCols: Seq[String],
+                  txtCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "parseRobots: at least one key column")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("line_idx"))
+    docs
+      .select(keys :+
+        posexplode(split(coalesce(col(txtCol), lit("")), "\n"))
+          .as(Seq("line_idx", "__raw")): _*)
+      .withColumn("__clean", trim(regexp_replace(col("__raw"), "#.*", "")))
+      .withColumn("directive",
+        lower(regexp_extract(col("__clean"), "^([A-Za-z-]+)\\s*:", 1)))
+      .withColumn("value",
+        trim(regexp_replace(col("__clean"), "^[A-Za-z-]+\\s*:", "")))
+      .filter(col("directive") =!= "")
+      .withColumn("__ua", (col("directive") === "user-agent").cast("int"))
+      .withColumn("__start",
+        (col("__ua") === 1 &&
+          coalesce(lag(col("__ua"), 1).over(w), lit(0)) === 0).cast("int"))
+      .withColumn("group_id",
+        sum(col("__start")).over(w).cast("int"))
+      .select(keys ++ Seq(col("line_idx").cast("int").as("line_idx"),
+        col("group_id"), col("directive"), col("value")): _*)
+  }
+
+  /** Escape-and-translate a robots path pattern to a regex: `*` → `.*`,
+    * a TRAILING `$` anchors (elsewhere `$` is literal), every other
+    * regex metacharacter escaped by a FIXED-ORDER literal replace chain
+    * (backslash first — the HtmlEntities convention; literal replaces
+    * sidestep replacement-string escape dialects entirely). Shared
+    * between both engines via [[RegexEscapes]].
+    */
+  private[graft] val RegexEscapes: Seq[String] =
+    Seq("\\", ".", "[", "]", "{", "}", "(", ")", "+", "?", "^", "$", "|")
+
+  private[graft] def patternToRegex(path: Column): Column = {
+    val anchored = path.endsWith("$")
+    val body = when(anchored, path.substr(lit(1), length(path) - 1))
+      .otherwise(path)
+    val escaped = RegexEscapes.foldLeft(body) { (acc, c) =>
+      replace(acc, lit(c), lit("\\" + c))
+    }
+    val wild = replace(escaped, lit("*"), lit(".*"))
+    concat(lit("^"), wild, when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Allow/deny evaluation: which of `urls` may `userAgent` fetch.
+    * `parsed` is [[parseRobots]] output keyed by host; `urls` carries
+    * `(urlKeyCols…, host, url_path)` (path+query, `/` for empty — see
+    * [[TextAnalysis.domainOf]] for the host). Per host the applicable
+    * group set is the exact-agent groups when any exist, else the `*`
+    * groups; within them the LONGEST matching pattern wins and `allow`
+    * beats `disallow` on equal length (RFC 9309 §2.2.2); no matching
+    * rule → allowed. Returns `(urlKeyCols…, host, url_path, allowed,
+    * rule_type, rule_path)` with NULL rule columns on the
+    * no-matching-rule default.
+    */
+  def evaluateRobots(parsed: DataFrame, hostCol: String,
+                     urls: DataFrame, urlKeyCols: Seq[String],
+                     userAgent: String): DataFrame = {
+    val agent = userAgent.toLowerCase(java.util.Locale.ROOT)
+    val agents = parsed.filter(col("directive") === "user-agent" &&
+        col("group_id") > 0)
+      .select(col(hostCol), col("group_id"), lower(col("value")).as("agent"))
+    val exactHosts = agents.filter(col("agent") === agent)
+      .select(col(hostCol)).distinct()
+      .withColumn("__has_exact", lit(true))
+    val chosenGroups = agents
+      .join(exactHosts, Seq(hostCol), "left")
+      .filter(when(col("__has_exact"), col("agent") === agent)
+        .otherwise(col("agent") === "*"))
+      .select(col(hostCol), col("group_id")).distinct()
+    val rules = parsed
+      .filter(col("directive").isin("allow", "disallow") &&
+        col("value") =!= "")
+      .join(chosenGroups, Seq(hostCol, "group_id"))
+      .select(col(hostCol), col("directive").as("rule_type"),
+        col("value"), patternToRegex(col("value")).as("__re"),
+        length(col("value")).as("__len"))
+    val u = urls.select(urlKeyCols.map(col) :+ col(hostCol) :+
+      col("url_path"): _*)
+    // best MATCHING rule per URL; URLs with no matching rule (or no
+    // rules at all) fall out of `best` and take the default-allow row
+    // in the final left join — they must not vanish. `urlKeyCols` must
+    // uniquely key the url rows (the window partitions on them).
+    val best = u.join(rules, Seq(hostCol))
+      .filter(regexp_like(col("url_path"), col("__re")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(urlKeyCols.map(col): _*)
+          .orderBy(col("__len").desc,
+            col("rule_type").asc, col("value").asc)))
+      .filter(col("__rk") === 1)
+      .select(urlKeyCols.map(col) ++
+        Seq(col("rule_type"), col("value").as("rule_path")): _*)
+    u.join(best, urlKeyCols, "left")
+      .select(urlKeyCols.map(col) ++ Seq(col(hostCol), col("url_path"),
+        coalesce(col("rule_type") === "allow", lit(true)).as("allowed"),
+        col("rule_type"), col("rule_path")): _*)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Robots
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing (grouping, comments, case), pattern-to-regex
+  * translation, and RFC 9309 longest-match / allow-wins evaluation.
+  */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val robots =
+    """# site robots
+      |User-agent: *
+      |Disallow: /private/*
+      |Allow: /private/open$
+      |Crawl-delay: 10
+      |
+      |User-agent: GraftBot
+      |User-agent: altbot
+      |Disallow: /page/3*
+      |Allow: /page/30
+      |Disallow:
+      |Sitemap: https://h.example/sitemap.xml
+      |stray line without a colon directive
+      |""".stripMargin
+
+  private def parsed =
+    Robots.parseRobots(Seq(("h.example", robots)).toDF("host", "txt"),
+      Seq("host"), "txt")
+
+  test("parseRobots: comments, grouping, consecutive UA lines, case") {
+    val rows = parsed.orderBy("line_idx")
+      .select("group_id", "directive", "value")
+      .as[(Int, String, String)].collect().toSeq
+    assert(rows == Seq(
+      (1, "user-agent", "*"),
+      (1, "disallow", "/private/*"),
+      (1, "allow", "/private/open$"),
+      (1, "crawl-delay", "10"),
+      (2, "user-agent", "GraftBot"),
+      (2, "user-agent", "altbot"),
+      (2, "disallow", "/page/3*"),
+      (2, "allow", "/page/30"),
+      (2, "disallow", ""),
+      (2, "sitemap", "https://h.example/sitemap.xml")), rows)
+  }
+
+  test("patternToRegex: wildcards, trailing anchor, metachar escapes") {
+    val got = Seq("/private/*", "/a.b$", "/x(1)+[y]|z^", "*.pdf$")
+      .toDF("value")
+      .select(Robots.patternToRegex(col("value"))).as[String]
+      .collect().toSeq
+    assert(got == Seq(
+      "^/private/.*",
+      "^/a\\.b$",
+      "^/x\\(1\\)\\+\\[y\\]\\|z\\^",
+      "^.*\\.pdf$"), got)
+  }
+
+  private def urls(rows: (Long, String)*) =
+    rows.toDF("uid", "url_path").withColumn("host", lit("h.example"))
+
+  test("evaluateRobots: exact agent group, longest match, allow ties") {
+    val u = urls((1L, "/page/31"), (2L, "/page/30"), (3L, "/other"),
+      (4L, "/private/x"))
+    val got = Robots.evaluateRobots(parsed, "host", u, Seq("uid"), "graftbot")
+      .orderBy("uid")
+      .select("uid", "allowed", "rule_type", "rule_path")
+      .as[(Long, Boolean, Option[String], Option[String])].collect().toSeq
+    assert(got == Seq(
+      // /page/31: only Disallow /page/3* matches
+      (1L, false, Some("disallow"), Some("/page/3*")),
+      // /page/30: Allow /page/30 (len 8) beats Disallow /page/3* (len 8
+      // — equal length, allow wins the tie)
+      (2L, true, Some("allow"), Some("/page/30")),
+      // no rule in the graftbot group matches -> default allow; the *
+      // group's /private rules do NOT apply when an exact group exists
+      (3L, true, None, None),
+      (4L, true, None, None)), got)
+  }
+
+  test("evaluateRobots: star fallback and the anchored allow") {
+    val u = urls((1L, "/private/x"), (2L, "/private/open"),
+      (3L, "/private/open2"), (4L, "/public"))
+    val got = Robots.evaluateRobots(parsed, "host", u, Seq("uid"), "otherbot")
+      .orderBy("uid").select("uid", "allowed")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, false),  // Disallow /private/*
+      (2L, true),   // Allow /private/open$ (len 14) beats /private/* (10)
+      (3L, false),  // the $ anchor rejects /private/open2 -> disallow wins
+      (4L, true)))  // no matching rule
+  }
+
+  test("evaluateRobots: hosts with no robots rows default to allow") {
+    val u = Seq((1L, "/anything", "bare.example"))
+      .toDF("uid", "url_path", "host")
+    val got = Robots.evaluateRobots(parsed, "host", u, Seq("uid"), "graftbot")
+      .select("allowed").as[Boolean].collect().toSeq
+    assert(got == Seq(true))
+  }
+}
