@@ -433,10 +433,12 @@ object SparkEntry {
              "CASE WHEN dq <> '' THEN dq ELSE sq END")} AS href,
        |    ${sqlHtmlText(sqlHtmlRaw("u.a"))} AS anchor_text
        |  FROM (SELECT doc_id, url, u,
-       |      regexp_extract(u.a, '${WebGraph.HrefDoubleQuotedRe}', 1) AS dq,
-       |      regexp_extract(u.a,
+       |      regexp_extract(ot, '${WebGraph.HrefDoubleQuotedRe}', 1) AS dq,
+       |      regexp_extract(ot,
        |        '${WebGraph.HrefSingleQuotedRe.replace("'", "''")}', 1) AS sq
-       |    FROM an)),
+       |    FROM (SELECT doc_id, url, u,
+       |        regexp_extract(u.a, '${WebGraph.AnchorOpenTagRe}', 0) AS ot
+       |      FROM an))),
        |rl AS (
        |  SELECT doc_id, url, link_idx, href, anchor_text,
        |    CASE WHEN regexp_matches(href, '${WebGraph.AbsoluteWebUrlRe}')
@@ -1055,13 +1057,14 @@ object SparkEntry {
         |  CASE WHEN n_rel IS NOT NULL THEN
         |    CAST(round(1000000000000.0 * (CAST(coalesce(hits, 0) AS DOUBLE)
         |      / CAST(n_rel AS DOUBLE))) AS BIGINT) END AS recall_scaled,
-        |  coalesce(mrr_scaled, 0) AS mrr_scaled,
+        |  CASE WHEN n_rel IS NOT NULL
+        |    THEN coalesce(mrr_scaled, 0) END AS mrr_scaled,
         |  coalesce(dcg_scaled, 0) AS dcg_scaled,
         |  coalesce(idcg_scaled, 0) AS idcg_scaled,
         |  CASE WHEN idcg_scaled IS NOT NULL THEN
         |    CAST(round(1000000000000.0 * (CAST(coalesce(dcg_scaled, 0) AS DOUBLE)
         |      / CAST(idcg_scaled AS DOUBLE))) AS BIGINT) END AS ndcg_scaled
-        |FROM (SELECT DISTINCT query_id FROM den) q
+        |FROM (SELECT query_id FROM den UNION SELECT query_id FROM rel) q
         |LEFT JOIN nrel USING (query_id)
         |LEFT JOIN hit USING (query_id)
         |LEFT JOIN ideal USING (query_id)
@@ -1117,16 +1120,21 @@ object SparkEntry {
     val hS = h.cast("string")
     val txt = concat(
       lit("# robots for the host\nUser-agent: *\n"),
-      lit("Disallow: /private/*\nAllow: /private/open$\n"),
+      lit("Disallow: /private/*\nAllow:\t/private/open$\n"),
       when(h % 2 === 0, concat(
         lit("User-agent: graftbot\nUser-agent: altbot\n"),
         lit("Disallow: /page/"), hS, lit("*\n"),
         lit("Allow: /page/"), hS, lit("0\n"))).otherwise(lit("")),
       when(h % 3 === 0, lit("Disallow:\n")).otherwise(lit("")),
       lit("Sitemap: https://site"), hS, lit(".example.com/sitemap.xml"))
+    // odd hosts serve CRLF line endings (common in the wild; the parse
+    // must be EOL-agnostic — RFC 9309 §2.1; the tab-padded Allow above
+    // exercises the tab-aware value trim in the hash too)
+    val eolTxt = when(h % 2 === 1,
+      replace(txt, lit("\n"), lit("\r\n"))).otherwise(txt)
     t(s, d, "documents").select((col("doc_id") % 7).as("h")).distinct()
       .select(concat(lit("site"), hS, lit(".example.com")).as("host"),
-        txt.as("txt"))
+        eolTxt.as("txt"))
   }
 
   /** Frontier URLs per doc: host from the doc residue, path shapes that
@@ -1150,11 +1158,11 @@ object SparkEntry {
     * (host, line_idx, directive, value, group_id).
     */
   private val robotsParseCtes: String =
-    """rb AS (
-      |  SELECT 'site' || CAST(h AS VARCHAR) || '.example.com' AS host,
+    """rb0 AS (
+      |  SELECT h, 'site' || CAST(h AS VARCHAR) || '.example.com' AS host,
       |    '# robots for the host' || chr(10) || 'User-agent: *' || chr(10) ||
       |    'Disallow: /private/*' || chr(10) ||
-      |    'Allow: /private/open$' || chr(10) ||
+      |    'Allow:' || chr(9) || '/private/open$' || chr(10) ||
       |    CASE WHEN h % 2 = 0 THEN
       |      'User-agent: graftbot' || chr(10) || 'User-agent: altbot' || chr(10) ||
       |      'Disallow: /page/' || CAST(h AS VARCHAR) || '*' || chr(10) ||
@@ -1164,15 +1172,21 @@ object SparkEntry {
       |    'Sitemap: https://site' || CAST(h AS VARCHAR) ||
       |      '.example.com/sitemap.xml' AS txt
       |  FROM (SELECT DISTINCT doc_id % 7 AS h FROM documents)),
+      |rb AS (
+      |  SELECT host, CASE WHEN h % 2 = 1
+      |    THEN replace(txt, chr(10), chr(13) || chr(10)) ELSE txt END AS txt
+      |  FROM rb0),
       |ln AS (
       |  SELECT host, u.i - 1 AS line_idx, u.l AS raw FROM (
       |    SELECT host, unnest(list_transform(range(1, len(ls) + 1),
       |      i -> {'i': i, 'l': ls[i]})) AS u
-      |    FROM (SELECT host, string_split(txt, chr(10)) AS ls FROM rb))),
+      |    FROM (SELECT host,
+      |        regexp_split_to_array(txt, '\r\n|\r|\n') AS ls FROM rb))),
       |dr AS (
       |  SELECT host, line_idx,
       |    lower(regexp_extract(clean, '^([A-Za-z-]+)\s*:', 1)) AS directive,
-      |    trim(regexp_replace(clean, '^[A-Za-z-]+\s*:', '')) AS value
+      |    regexp_replace(regexp_replace(clean,
+      |      '^[A-Za-z-]+\s*:[ \t]*', ''), '[ \t]+$', '') AS value
       |  FROM (SELECT host, line_idx,
       |      trim(regexp_replace(raw, '#.*', '')) AS clean FROM ln)),
       |kp AS (SELECT * FROM dr WHERE directive <> ''),
@@ -7495,14 +7509,26 @@ object SparkEntry {
          |FROM ex ORDER BY doc_id, sent_idx""".stripMargin
     },
     "q_web_anchor_text" ->
-      (s"WITH $linkChainCtes\n" +
-        """SELECT dst_host, CAST(count(*) AS BIGINT) AS n_inbound,
-          |  string_agg(anchor_text, ' | ' ORDER BY anchor_text)
-          |    AS anchor_texts
-          |FROM hosts
-          |WHERE src_host <> '' AND dst_host <> ''
-          |  AND src_host <> dst_host AND anchor_text <> ''
-          |GROUP BY 1 ORDER BY dst_host""".stripMargin),
+      (s"WITH $linkChainCtes,\n" +
+        """pa AS (
+          |  SELECT dst_host, anchor_text, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM hosts
+          |  WHERE src_host <> '' AND dst_host <> ''
+          |    AND src_host <> dst_host AND anchor_text <> ''
+          |  GROUP BY 1, 2),
+          |tp AS (
+          |  SELECT dst_host, anchor_text, cnt FROM (
+          |    SELECT dst_host, anchor_text, cnt,
+          |      row_number() OVER (PARTITION BY dst_host
+          |        ORDER BY cnt DESC, anchor_text) AS rk
+          |    FROM pa) WHERE rk <= 64)
+          |SELECT t.dst_host, tot.n_inbound,
+          |  string_agg(t.anchor_text, ' | '
+          |    ORDER BY t.cnt DESC, t.anchor_text) AS anchor_texts
+          |FROM tp t JOIN (
+          |  SELECT dst_host, CAST(sum(cnt) AS BIGINT) AS n_inbound
+          |  FROM pa GROUP BY 1) tot USING (dst_host)
+          |GROUP BY 1, 2 ORDER BY t.dst_host""".stripMargin),
     "q_text_rouge2" ->
       (s"WITH ${metricPairCtes(Seq(2))},\n" +
         """tots AS (

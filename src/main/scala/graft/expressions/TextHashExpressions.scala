@@ -1872,19 +1872,23 @@ object TextHashExpressions {
       propagateNull = true,
       returnNullable = true))
 
-  /** Clipped n-gram overlap counts for 1..maxN in ONE pass over both
+  /** Clipped n-gram overlap counts for minN..maxN in ONE pass over both
     * texts (see [[OverlapOps.overlaps]]) — the shared kernel of ROUGE-N
-    * and BLEU. Returns `array<bigint>` of length 3·maxN laid out
-    * `[match_1, cand_1, ref_1, match_2, …]`.
+    * and BLEU. Returns `array<bigint>` of length 3·(maxN−minN+1) laid
+    * out `[match_minN, cand_minN, ref_minN, match_minN+1, …]`. ROUGE-N
+    * passes minN = maxN = n so the lower orders are never computed
+    * (code-review r12: the 1..n form paid the full unigram hash-count
+    * pass per row and discarded it); BLEU needs all of 1..maxN.
     */
-  def ngramOverlaps(cand: Column, ref: Column, maxN: Int): Column =
+  def ngramOverlaps(cand: Column, ref: Column, minN: Int,
+                    maxN: Int): Column =
     GraftBridge.column(StaticInvoke(
       OverlapOps.getClass,
       ArrayType(LongType, containsNull = false),
       "overlaps",
       Seq(GraftBridge.expression(cand), GraftBridge.expression(ref),
-        Literal(maxN, IntegerType)),
-      inputTypes = Seq(StringType, StringType, IntegerType),
+        Literal(minN, IntegerType), Literal(maxN, IntegerType)),
+      inputTypes = Seq(StringType, StringType, IntegerType, IntegerType),
       propagateNull = true,
       returnNullable = true))
 }
@@ -1900,13 +1904,13 @@ object TextHashExpressions {
   */
 object OverlapOps {
   def overlaps(cand: UTF8String, ref: UTF8String,
-               maxN: Int): ArrayData = {
+               minN: Int, maxN: Int): ArrayData = {
     def toks(s: UTF8String): Array[String] =
       s.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
     val c = toks(cand)
     val r = toks(ref)
-    val out = new Array[Long](3 * maxN)
-    var n = 1
+    val out = new Array[Long](3 * (maxN - minN + 1))
+    var n = minN
     while (n <= maxN) {
       val nc = math.max(c.length - n + 1, 0)
       val nr = math.max(r.length - n + 1, 0)
@@ -1928,9 +1932,9 @@ object OverlapOps {
         }
         i += 1
       }
-      out(3 * (n - 1)) = m
-      out(3 * (n - 1) + 1) = nc
-      out(3 * (n - 1) + 2) = nr
+      out(3 * (n - minN)) = m
+      out(3 * (n - minN) + 1) = nc
+      out(3 * (n - minN) + 2) = nr
       n += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)

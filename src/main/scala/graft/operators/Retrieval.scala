@@ -33,8 +33,10 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Fixed-point scale for the RRF reciprocal (see object doc). */
-  val RrfScale = 1000000000000L // 1e12
+  /** Fixed-point scale for the RRF reciprocal (see object doc; the
+    * shared [[FixedPoint.Scale]] — one literal across every family).
+    */
+  val RrfScale: Long = FixedPoint.Scale
 
   /** Per-list contribution of a rank under the fixed-point contract. */
   private[graft] def rrfContribution(kRrf: Int) =
@@ -88,10 +90,14 @@ object Retrieval {
     * contract): each is at most integer arithmetic plus ONE IEEE
     * division + one multiply + one round — bit-identical cross-engine,
     * and every SUM is over integers, hence aggregation-order-free.
-    * Queries with no relevant docs yield NULL recall/ndcg (0/0 is
+    * Queries with no relevant docs yield NULL recall/MRR/ndcg (0/0 is
     * undefined, not zero — averaging in zeros would penalize queries
-    * the qrels simply never covered); absent-from-qrels metrics
-    * otherwise coalesce to 0.
+    * the qrels simply never covered); judged queries with no hits get
+    * real zeros. The output covers the UNION of ranked and judged
+    * query ids (trec_eval behavior): a judged query the ranking
+    * returned nothing for scores 0, it does not vanish — otherwise a
+    * system returning empty results on hard queries would outscore one
+    * answering them poorly.
     *
     * Scale shape: one inner join of the top-k slice against the
     * relevant qrels (both query-keyed; the top-k side is
@@ -124,7 +130,8 @@ object Retrieval {
       .filter(col("irank") <= k)
       .groupBy("query_id")
       .agg(sum(col("rel") * element_at(disc, col("irank"))).as("idcg_scaled"))
-    ranking.select("query_id").distinct()
+    ranking.select("query_id")
+      .union(rel.select("query_id")).distinct()
       .join(nRel, Seq("query_id"), "left")
       .join(hits, Seq("query_id"), "left")
       .join(ideal, Seq("query_id"), "left")
@@ -136,7 +143,8 @@ object Retrieval {
             (coalesce(col("hits"), lit(0L)).cast("double") /
               col("n_rel").cast("double"))).cast("long"))
           .as("recall_scaled"),
-        coalesce(col("mrr_scaled"), lit(0L)).as("mrr_scaled"),
+        when(col("n_rel").isNotNull,
+          coalesce(col("mrr_scaled"), lit(0L))).as("mrr_scaled"),
         coalesce(col("dcg_scaled"), lit(0L)).as("dcg_scaled"),
         coalesce(col("idcg_scaled"), lit(0L)).as("idcg_scaled"),
         when(col("idcg_scaled").isNotNull,
@@ -148,8 +156,8 @@ object Retrieval {
 
   /** Corpus-level macro average of [[evaluateRanking]] output: the mean
     * of each scaled metric over the queries where it is DEFINED (NULL
-    * recall/ndcg rows — no relevant docs — are skipped by count/sum,
-    * the standard macro convention). One global agg over |queries|
+    * recall/MRR/ndcg rows — no relevant docs — are skipped by
+    * count/sum, the standard macro convention). One global agg over |queries|
     * rows; each mean is one division + one round on exact-in-double
     * integer sums.
     */

@@ -43,13 +43,18 @@ object Robots {
     val w = Window.partitionBy(keys: _*).orderBy(col("line_idx"))
     docs
       .select(keys :+
-        posexplode(split(coalesce(col(txtCol), lit("")), "\n"))
+        // CR / LF / CRLF all end lines (RFC 9309 §2.1 — CRLF robots.txt
+        // files are common; splitting on \n alone left a trailing \r on
+        // every value, silently killing all rules; code-review r12)
+        posexplode(split(coalesce(col(txtCol), lit("")), "\r\n|\r|\n"))
           .as(Seq("line_idx", "__raw")): _*)
       .withColumn("__clean", trim(regexp_replace(col("__raw"), "#.*", "")))
       .withColumn("directive",
         lower(regexp_extract(col("__clean"), "^([A-Za-z-]+)\\s*:", 1)))
+      // value WS-trims with tabs included (trim strips spaces only)
       .withColumn("value",
-        trim(regexp_replace(col("__clean"), "^[A-Za-z-]+\\s*:", "")))
+        regexp_replace(regexp_replace(col("__clean"),
+          "^[A-Za-z-]+\\s*:[ \t]*", ""), "[ \t]+$", ""))
       .filter(col("directive") =!= "")
       .withColumn("__ua", (col("directive") === "user-agent").cast("int"))
       .withColumn("__start",

@@ -30,8 +30,8 @@ import org.apache.spark.sql.functions._
   */
 object TextMetrics {
 
-  /** Fixed-point metric scale (shared with Retrieval). */
-  val Scale = 1000000000000L // 1e12
+  /** Fixed-point metric scale (the shared [[FixedPoint.Scale]]). */
+  val Scale: Long = FixedPoint.Scale
 
   /** ROUGE-N per pair: `(keys…, match_ngrams, cand_ngrams, ref_ngrams,
     * rouge_p_scaled, rouge_r_scaled, rouge_f1_scaled)`. Sides with no
@@ -48,11 +48,11 @@ object TextMetrics {
     val r = col("ref_ngrams")
     pairs
       .withColumn("__o",
-        TextHashExpressions.ngramOverlaps(col(candCol), col(refCol), n))
+        TextHashExpressions.ngramOverlaps(col(candCol), col(refCol), n, n))
       .select(keyCols.map(col) ++ Seq(
-        element_at(col("__o"), 3 * n - 2).as("match_ngrams"),
-        element_at(col("__o"), 3 * n - 1).as("cand_ngrams"),
-        element_at(col("__o"), 3 * n).as("ref_ngrams")): _*)
+        element_at(col("__o"), 1).as("match_ngrams"),
+        element_at(col("__o"), 2).as("cand_ngrams"),
+        element_at(col("__o"), 3).as("ref_ngrams")): _*)
       .select(keyCols.map(col) ++ Seq(col("match_ngrams"),
         col("cand_ngrams"), col("ref_ngrams"),
         when(c > 0, round(lit(Scale.toDouble) * (m / c.cast("double")))
@@ -78,7 +78,7 @@ object TextMetrics {
                  maxN: Int = 4): DataFrame = {
     require(maxN >= 1, s"bleuCorpus: maxN must be >= 1, got $maxN")
     val staged = pairs.withColumn("__o",
-      TextHashExpressions.ngramOverlaps(col(candCol), col(refCol), maxN))
+      TextHashExpressions.ngramOverlaps(col(candCol), col(refCol), 1, maxN))
     val sums =
       count(lit(1)).cast("long").as("n_pairs") +:
         sum(element_at(col("__o"), 2)).as("cand_len") +:

@@ -27,7 +27,7 @@ object WebGraph {
     * bit-identical cross-engine — the float-PageRank reproducibility
     * hazard (partial-sum order changing low bits per run) designed out.
     */
-  val RankScale = 1000000000000L // 1e12
+  val RankScale: Long = FixedPoint.Scale
 
   /** Damping factor 0.85 as the exact rational 85/100 (Page et al.
     * 1999's published constant; kept rational so the update rule is one
@@ -39,6 +39,12 @@ object WebGraph {
   // plan compiles (the HtmlEntities generated-constants convention).
   private[graft] val HrefDoubleQuotedRe = "(?i)href\\s*=\\s*\"([^\"]*)\""
   private[graft] val HrefSingleQuotedRe = "(?i)href\\s*=\\s*'([^']*)'"
+
+  /** The anchor's OPENING tag — href extraction scans only this span,
+    * not the element's inner text (code-review r12: a page whose
+    * visible text mentions `href="…"` must not mint a phantom edge).
+    */
+  private[graft] val AnchorOpenTagRe = "(?is)^<a(\\s[^>]*)?>"
   private[graft] val AbsoluteWebUrlRe = "^(?i)https?://"
   private[graft] val ProtocolRelativeRe = "^//"
   private[graft] val RootRelativeRe = "^/([^/].*)?$"
@@ -64,10 +70,12 @@ object WebGraph {
     val anchors = regexp_extract_all(
       regexp_replace(col(htmlCol), TextAnalysis.HtmlInvisibleRe, ""),
       lit(TextAnalysis.HtmlAnchorRe), lit(0))
-    val dq = regexp_extract(col("__a"), HrefDoubleQuotedRe, 1)
-    val sq = regexp_extract(col("__a"), HrefSingleQuotedRe, 1)
+    val otag = regexp_extract(col("__a"), AnchorOpenTagRe, 0)
+    val dq = regexp_extract(col("__ot"), HrefDoubleQuotedRe, 1)
+    val sq = regexp_extract(col("__ot"), HrefSingleQuotedRe, 1)
     pages
       .select(keyCols.map(col) :+ posexplode(anchors).as(Seq("link_idx", "__a")): _*)
+      .withColumn("__ot", otag)
       .select(keyCols.map(col) ++ Seq(
         col("link_idx").cast("int").as("link_idx"),
         TextAnalysis.decodeHtmlEntities(
@@ -245,24 +253,42 @@ object WebGraph {
     pageRank(readIndexEdges(spark, path), iterations, localEdgeLimit)
 
   /** Anchor-text aggregation per destination host — "what the web calls
-    * this site": inbound anchor texts sorted and joined (deterministic
-    * order — binary string sort, the array_sort contract), with the
-    * inbound link count. The classic anchor-corpus construction
-    * (retrieval training mines exactly these (anchor, dst) pairs). One
-    * host-keyed agg over the links output; empty anchors and
+    * this site": the top-`maxAnchors` DISTINCT inbound anchor texts by
+    * frequency (count desc, text asc — total, deterministic), joined
+    * in that order, with the total inbound link count. The classic
+    * anchor-corpus construction (retrieval training mines exactly
+    * these (anchor, dst) pairs). BOUNDED by construction (code-review
+    * r12: a raw `collect_list` of every inbound anchor of a popular
+    * host is page-scale, not host-scale — wikipedia.org would OOM one
+    * agg buffer): one (host, anchor)-keyed count, a WindowGroupLimit
+    * top-k (map-side limit before the shuffle — the topKPerGroup
+    * plan), then the bounded join agg. Empty anchors and
     * unresolved/self-loop edges are excluded under the same rules as
     * [[hostLinkGraph]].
     */
   def anchorTextByHost(links: DataFrame, srcUrlCol: String,
-                       resolvedCol: String, anchorCol: String): DataFrame =
-    links
+                       resolvedCol: String, anchorCol: String,
+                       maxAnchors: Int = 64): DataFrame = {
+    require(maxAnchors >= 1, s"anchorTextByHost: maxAnchors >= 1 required")
+    val perAnchor = links
       .select(TextAnalysis.domainOf(col(srcUrlCol)).as("src_host"),
         TextAnalysis.domainOf(col(resolvedCol)).as("dst_host"),
         col(anchorCol).as("anchor_text"))
       .filter(col("src_host") =!= "" && col("dst_host") =!= "" &&
         col("src_host") =!= col("dst_host") && col("anchor_text") =!= "")
+      .groupBy("dst_host", "anchor_text")
+      .agg(count(lit(1)).as("__cnt"))
+    val top = Aggregates.topKPerGroup(perAnchor, Seq("dst_host"),
+      Seq(col("__cnt").desc, col("anchor_text").asc), maxAnchors)
+    val totals = perAnchor.groupBy("dst_host")
+      .agg(sum("__cnt").as("n_inbound"))
+    top
       .groupBy("dst_host")
-      .agg(count(lit(1)).as("n_inbound"),
-        array_join(array_sort(collect_list(col("anchor_text"))), " | ")
-          .as("anchor_texts"))
+      .agg(array_join(transform(array_sort(collect_list(
+          struct((lit(Long.MaxValue) - col("__cnt")).as("nk"),
+            col("anchor_text").as("t")))),
+          s => s.getField("t")), " | ").as("anchor_texts"))
+      .join(totals, Seq("dst_host"))
+      .select(col("dst_host"), col("n_inbound"), col("anchor_texts"))
+  }
 }

@@ -81,11 +81,30 @@ class RetrievalSpec extends SparkSpec {
     assert(r1.getLong(7) == math.round(1e12 * (dcg.toDouble / idcg.toDouble)))
     val r2 = got(1)
     assert(r2.getLong(1) == 0L && r2.getLong(2) == 0L)
-    assert(r2.isNullAt(3) && r2.isNullAt(7)) // 0/0 undefined, not zero
-    assert(r2.getLong(4) == 0L && r2.getLong(5) == 0L && r2.getLong(6) == 0L)
+    // 0/0 undefined, not zero — for MRR too (judgment-free queries must
+    // not deflate the macro mean; code-review r12)
+    assert(r2.isNullAt(3) && r2.isNullAt(4) && r2.isNullAt(7))
+    assert(r2.getLong(5) == 0L && r2.getLong(6) == 0L)
     intercept[IllegalArgumentException] {
       Retrieval.evaluateRanking(ranking, qrels, 0)
     }
+  }
+
+  test("evaluateRanking: a judged query with no ranking rows scores 0") {
+    // trec_eval behavior: query 9 has qrels but retrieval returned
+    // nothing — it must appear with zeros, not vanish (a system
+    // answering nothing on hard queries must not outscore one
+    // answering them poorly; code-review r12)
+    val qrels = Seq((1L, 10L, 1), (9L, 20L, 2)).toDF("query_id", "id", "rel")
+    val ranking = Seq((1L, 10L, 1)).toDF("query_id", "id", "rank")
+    val got = Retrieval.evaluateRanking(ranking, qrels, k = 3)
+      .orderBy("query_id").collect()
+    assert(got.length == 2)
+    val r9 = got(1)
+    assert(r9.getLong(0) == 9L && r9.getLong(1) == 1L)
+    assert(r9.getLong(2) == 0L && r9.getLong(3) == 0L) // hits, recall 0
+    assert(r9.getLong(4) == 0L)                        // judged: mrr 0
+    assert(r9.getLong(7) == 0L)                        // ndcg 0
   }
 
   test("evaluateRanking: MRR takes the FIRST relevant rank; cutoff bites") {
@@ -98,7 +117,7 @@ class RetrievalSpec extends SparkSpec {
     assert(got.getLong(4) == math.round(1e12 / 2.0))   // first hit at 2
   }
 
-  test("macroAverages: NULL metrics are skipped, zeros are not") {
+  test("macroAverages: NULL metrics of unjudged queries are skipped") {
     val qrels = Seq((1L, 10L, 2)).toDF("query_id", "id", "rel")
     val ranking = Seq((1L, 10L, 1), (2L, 10L, 1))
       .toDF("query_id", "id", "rank")
@@ -106,8 +125,8 @@ class RetrievalSpec extends SparkSpec {
     val got = Retrieval.macroAverages(m).collect().head
     assert(got.getLong(0) == 2L)
     assert(got.getLong(1) == 1000000000000L) // recall mean over 1 defined
-    assert(got.getLong(2) == 500000000000L)  // mrr mean over BOTH (1.0, 0)
-    assert(got.getLong(3) == 1000000000000L) // ndcg mean over 1 defined
+    assert(got.getLong(2) == 1000000000000L) // mrr: the unjudged query's
+    assert(got.getLong(3) == 1000000000000L) // NULL is skipped, like ndcg
   }
 
   test("denseTopKQuantized: exact quantized ranking, self excluded") {

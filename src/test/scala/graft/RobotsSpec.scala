@@ -46,6 +46,28 @@ class RobotsSpec extends SparkSpec {
       (2, "sitemap", "https://h.example/sitemap.xml")), rows)
   }
 
+  test("parseRobots: CRLF and CR line endings, tab-padded values") {
+    val crlf = "User-agent: *\r\nDisallow:\t/private/ \r\nAllow: /a$\rSitemap: x"
+    val rows = Robots.parseRobots(
+        Seq(("h.example", crlf)).toDF("host", "txt"), Seq("host"), "txt")
+      .orderBy("line_idx").select("directive", "value")
+      .as[(String, String)].collect().toSeq
+    assert(rows == Seq(
+      ("user-agent", "*"),
+      ("disallow", "/private/"), // no trailing \r, tab/space trimmed
+      ("allow", "/a$"),
+      ("sitemap", "x")), rows)
+    // and the rules actually bite (the failure mode was silent allow)
+    val u = Seq((1L, "/private/x", "h.example"))
+      .toDF("uid", "url_path", "host")
+    val got = Robots.evaluateRobots(
+        Robots.parseRobots(Seq(("h.example", crlf)).toDF("host", "txt"),
+          Seq("host"), "txt"),
+        "host", u, Seq("uid"), "anybot")
+      .select("allowed").as[Boolean].collect().toSeq
+    assert(got == Seq(false))
+  }
+
   test("patternToRegex: wildcards, trailing anchor, metachar escapes") {
     val got = Seq("/private/*", "/a.b$", "/x(1)+[y]|z^", "*.pdf$")
       .toDF("value")

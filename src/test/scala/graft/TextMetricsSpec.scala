@@ -12,17 +12,27 @@ class TextMetricsSpec extends SparkSpec {
 
   test("ngramOverlaps: hand-counted clipped overlaps, one row per n") {
     val got = Seq(("a b a b c", "a b a d")).toDF("cand", "ref")
-      .select(TextHashExpressions.ngramOverlaps(col("cand"), col("ref"), 2))
+      .select(TextHashExpressions.ngramOverlaps(col("cand"), col("ref"),
+        1, 2))
       .as[Seq[Long]].collect().head
     // n=1: clip(a:2,2)+clip(b:2,1)=3 of cand 5 vs ref 4
     // n=2: "a b" clips to 1, "b a" to 1 -> 2 of cand 4 vs ref 3
     assert(got == Seq(3L, 5L, 4L, 2L, 4L, 3L), got)
   }
 
+  test("ngramOverlaps: minN offsets the layout (ROUGE-N computes only n)") {
+    val got = Seq(("a b a b c", "a b a d")).toDF("cand", "ref")
+      .select(TextHashExpressions.ngramOverlaps(col("cand"), col("ref"),
+        2, 2))
+      .as[Seq[Long]].collect().head
+    assert(got == Seq(2L, 4L, 3L), got)
+  }
+
   test("ngramOverlaps: case-insensitive, whitespace runs, empty sides") {
     val got = Seq(("A  B", "a b"), ("", "x"), ("x", ""))
       .toDF("cand", "ref")
-      .select(TextHashExpressions.ngramOverlaps(col("cand"), col("ref"), 1))
+      .select(TextHashExpressions.ngramOverlaps(col("cand"), col("ref"),
+        1, 1))
       .as[Seq[Long]].collect().toSeq
     assert(got == Seq(Seq(2L, 2L, 2L), Seq(0L, 0L, 1L), Seq(0L, 1L, 0L)))
   }

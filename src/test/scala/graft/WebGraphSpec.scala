@@ -29,6 +29,16 @@ class WebGraphSpec extends SparkSpec {
       (7L, 3, "/rel", "Rel link")), got)
   }
 
+  test("extractLinks: href in the anchor's TEXT mints no phantom link") {
+    // the opening tag has no href; the inner text mentions one
+    val html = "<a name=\"x\">set href=\"http://evil.example/\" here</a>" +
+      "<a href=\"http://ok.example/\">fine</a>"
+    val got = WebGraph.extractLinks(
+        Seq((1L, html)).toDF("id", "html"), Seq("id"), "html")
+      .orderBy("link_idx").select("href").as[String].collect().toSeq
+    assert(got == Seq("", "http://ok.example/"), got)
+  }
+
   test("extractLinks: double-quoted href wins over single when both parse") {
     val html = "<a href=\"http://dq.example/\" title='href=\"zzz\"'>t</a>"
     val got = WebGraph.extractLinks(
@@ -146,5 +156,22 @@ class WebGraphSpec extends SparkSpec {
         "anchor_text")
       .as[(String, Long, String)].collect().toSeq
     assert(got == Seq(("b.example", 2L, "alpha doc | zeta page")), got)
+  }
+
+  test("anchorTextByHost: frequency order, distinct texts, bounded top-k") {
+    val links = (Seq.fill(3)("common link") ++ Seq("rare one", "also rare"))
+      .zipWithIndex.map { case (a, i) =>
+        (s"https://s$i.example/p", "https://b.example/x", a) }
+      .toDF("src_url", "resolved", "anchor_text")
+    val all = WebGraph.anchorTextByHost(links, "src_url", "resolved",
+        "anchor_text")
+      .as[(String, Long, String)].collect().toSeq
+    // counts: total inbound 5; texts by (cnt desc, text asc), distinct
+    assert(all == Seq(("b.example", 5L,
+      "common link | also rare | rare one")), all)
+    val capped = WebGraph.anchorTextByHost(links, "src_url", "resolved",
+        "anchor_text", maxAnchors = 1)
+      .as[(String, Long, String)].collect().toSeq
+    assert(capped == Seq(("b.example", 5L, "common link")), capped)
   }
 }
