@@ -470,7 +470,11 @@ object SparkEntry {
     * .pageRank]] paths compute (DuckDB `//` floors, Spark `div`
     * truncates: equal on the non-negative values here).
     */
-  private def pageRankOracleSql(iterations: Int): String = {
+  /** The PageRank CTE body (composable after [[linkChainCtes]], which
+    * provides `edges`): outw/nodes/base, then the iteration unrolled as
+    * one CTE per round, ending in `pr{iterations}`.
+    */
+  private def pageRankCtes(iterations: Int): String = {
     val rounds = (0 until iterations).map { i =>
       s"""pr${i + 1} AS (
          |  SELECT n.host,
@@ -484,8 +488,7 @@ object SparkEntry {
          |    JOIN pr$i r ON r.host = e.src_host
          |    GROUP BY 1) s ON s.host = n.host)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $linkChainCtes,
-       |outw AS (
+    s"""outw AS (
        |  SELECT src_host, CAST(sum(weight) AS BIGINT) AS ow
        |  FROM edges GROUP BY 1),
        |nodes AS (
@@ -497,10 +500,14 @@ object SparkEntry {
        |  FROM nodes),
        |pr0 AS (
        |  SELECT host, base AS rank FROM nodes CROSS JOIN params),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def pageRankOracleSql(iterations: Int): String =
+    s"""WITH $linkChainCtes,
+       |${pageRankCtes(iterations)}
        |SELECT host, CAST(rank AS BIGINT) AS rank_scaled
        |FROM pr$iterations ORDER BY host""".stripMargin
-  }
 
   // ---- FineWeb recipe fixture pages (r12) ---------------------------
   // Multi-line crawl pages constructed from the documents fixture, with
@@ -1203,17 +1210,19 @@ object SparkEntry {
       |      AS group_id
       |  FROM st)""".stripMargin
 
-  /** The evaluation oracle tail: agent/group selection, rule regex
-    * translation GENERATED from [[Robots.RegexEscapes]], frontier URLs,
-    * longest-match/allow-wins pick, default allow.
+  /** The evaluation CTE body (composable after [[robotsParseCtes]]):
+    * agent/group selection, rule regex translation GENERATED from
+    * [[Robots.RegexEscapes]], frontier URLs, longest-match/allow-wins
+    * pick into `bm` and the frontier into `uu` — rule CTEs prefixed
+    * `rb_` so the body composes with [[linkChainCtes]] (which owns
+    * `rl`) in the crawl-frontier showcase.
     */
-  private def robotsAllowedOracleSql: String = {
+  private def robotsEvalCtes: String = {
     val esc = Robots.RegexEscapes.foldLeft("body") { (acc, c) =>
       val lit = if (c == "\\") "\\" else c
       s"replace($acc, '$lit', '\\$lit')"
     }
-    s"""WITH $robotsParseCtes,
-       |ag AS (
+    s"""ag AS (
        |  SELECT host, group_id, lower(value) AS agent FROM gr
        |  WHERE directive = 'user-agent' AND group_id > 0),
        |ex AS (SELECT DISTINCT host FROM ag WHERE agent = 'graftbot'),
@@ -1223,7 +1232,7 @@ object SparkEntry {
        |    ON e.host = ag.host
        |  WHERE CASE WHEN e.he IS NOT NULL THEN ag.agent = 'graftbot'
        |        ELSE ag.agent = '*' END),
-       |rl0 AS (
+       |rb_rl0 AS (
        |  SELECT gr.host, gr.directive AS rule_type, gr.value,
        |    CASE WHEN gr.value LIKE '%$$' THEN 1 ELSE 0 END AS anch,
        |    CASE WHEN gr.value LIKE '%$$'
@@ -1231,12 +1240,12 @@ object SparkEntry {
        |      ELSE gr.value END AS body
        |  FROM gr JOIN cg ON cg.host = gr.host AND cg.group_id = gr.group_id
        |  WHERE gr.directive IN ('allow', 'disallow') AND gr.value <> ''),
-       |rl AS (
+       |rb_rl AS (
        |  SELECT host, rule_type, value,
        |    '^' || replace($esc, '*', '.*') ||
        |      CASE WHEN anch = 1 THEN '$$' ELSE '' END AS re,
        |    length(value) AS rlen
-       |  FROM rl0),
+       |  FROM rb_rl0),
        |uu AS (
        |  SELECT doc_id,
        |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
@@ -1251,14 +1260,18 @@ object SparkEntry {
        |    SELECT u.doc_id, r.rule_type, r.value,
        |      row_number() OVER (PARTITION BY u.doc_id
        |        ORDER BY r.rlen DESC, r.rule_type ASC, r.value ASC) AS rk
-       |    FROM uu u JOIN rl r ON r.host = u.host
-       |    WHERE regexp_matches(u.url_path, r.re)) WHERE rk = 1)
+       |    FROM uu u JOIN rb_rl r ON r.host = u.host
+       |    WHERE regexp_matches(u.url_path, r.re)) WHERE rk = 1)""".stripMargin
+  }
+
+  private def robotsAllowedOracleSql: String =
+    s"""WITH $robotsParseCtes,
+       |$robotsEvalCtes
        |SELECT u.doc_id, u.host, u.url_path,
        |  coalesce(b.rule_type = 'allow', TRUE) AS allowed,
        |  b.rule_type, b.value AS rule_path
        |FROM uu u LEFT JOIN bm b ON b.doc_id = u.doc_id
        |ORDER BY u.doc_id""".stripMargin
-  }
 
   /** Candidate/reference pairs for the generation metrics, constructed
     * from the documents fixture by token slicing: candidate = first 12
@@ -1572,6 +1585,9 @@ object SparkEntry {
       // r12: same ruling, link-side — stateless streaming map work over
       // the already-benched extraction chain.
       "q_stream_web_links",
+      // r12: the crawl-frontier showcase recomputes the benched robots
+      // evaluation AND the benched PageRank chain — superset ruling.
+      "q_web_frontier",
       // r12: BM25 index-maintenance gate builds its index per run (the
       // q_sim_pq_append ruling); the benched retrieval rows are the
       // scratch search and the persisted-index probe.
@@ -2946,6 +2962,28 @@ object SparkEntry {
           Robots.parseRobots(robotsDocs(s, d), Seq("host"), "txt"),
           "host", robotsUrls(s, d), Seq("doc_id"), "graftbot")
         .orderBy("doc_id")),
+    // The crawl-frontier showcase: politeness × quality in ONE plan —
+    // robots-allowed frontier URLs ordered by their host's PageRank
+    // (fetch the best-ranked permitted pages first, the crawl-scheduler
+    // query). Verify-only: it recomputes the benched robots evaluation
+    // and the benched PageRank chain (superset ruling); its value is
+    // the composed END-TO-END replay.
+    "q_web_frontier" -> ((s, d) => {
+      val allowed = Robots.evaluateRobots(
+          Robots.parseRobots(robotsDocs(s, d), Seq("host"), "txt"),
+          "host", robotsUrls(s, d), Seq("doc_id"), "graftbot")
+        .filter(col("allowed"))
+        .select("doc_id", "host", "url_path")
+      val links = WebGraph.extractLinks(
+          linkPages(t(s, d, "documents")), Seq("doc_id", "url"), "html")
+        .withColumn("resolved", WebGraph.resolveUrl(col("url"), col("href")))
+      val ranks = WebGraph.pageRank(
+        WebGraph.hostLinkGraph(links, "url", "resolved"), iterations = 10)
+      allowed.join(ranks, Seq("host"), "left")
+        .select(col("doc_id"), col("host"), col("url_path"),
+          coalesce(col("rank_scaled"), lit(0L)).as("rank_scaled"))
+        .orderBy(col("rank_scaled").desc, col("doc_id")).limit(100)
+    }),
     // Sentence segmentation (r12): the line-below-document granularity
     // every chunker/quality rule ultimately wants — constructed text
     // planting abbreviations, a quoted terminator, a question boundary,
@@ -7473,6 +7511,20 @@ object SparkEntry {
           |  directive, value
           |FROM gr ORDER BY host, line_idx""".stripMargin),
     "q_web_robots_allowed" -> robotsAllowedOracleSql,
+    // The composed frontier: robots parse+eval, link chain, PageRank
+    // rounds — four CTE bodies spliced into ONE replay (hosts absent
+    // from the graph — the isolated residue — rank 0).
+    "q_web_frontier" ->
+      (s"WITH $robotsParseCtes,\n$robotsEvalCtes,\n$linkChainCtes,\n" +
+        s"${pageRankCtes(10)}\n" +
+        """SELECT doc_id, host, url_path, rank_scaled FROM (
+          |  SELECT u.doc_id, u.host, u.url_path,
+          |    coalesce(p.rank, 0) AS rank_scaled
+          |  FROM uu u
+          |  LEFT JOIN bm b ON b.doc_id = u.doc_id
+          |  LEFT JOIN pr10 p ON p.host = u.host
+          |  WHERE coalesce(b.rule_type = 'allow', TRUE))
+          |ORDER BY rank_scaled DESC, doc_id LIMIT 100""".stripMargin),
     // Sentence chain replayed from the SAME Scala constants: abbrev
     // protect (dots -> chr(1)), boundary mark (chr(2), \1\2 is RE2's
     // $1$2), split, restore, trim, drop empties.
