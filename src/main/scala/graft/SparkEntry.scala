@@ -1273,6 +1273,37 @@ object SparkEntry {
        |FROM uu u LEFT JOIN bm b ON b.doc_id = u.doc_id
        |ORDER BY u.doc_id""".stripMargin
 
+  /** One sitemap per fixture host listing its pages (entries ordered by
+    * doc_id — the warcChunks grouping), with residue-gated lastmod /
+    * priority elements, an `&amp;`-escaped query string per the
+    * protocol, and one `<sitemap>` index entry per host.
+    */
+  private def sitemapDocs(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val idS = id.cast("string")
+    val host = concat(lit("site"), (id % 7).cast("string"),
+      lit(".example.com"))
+    val entry = concat(
+      lit("<url><loc>https://"), host, lit("/page/"), idS,
+      lit("?s=1&amp;v="), (id % 4).cast("string"), lit("</loc>"),
+      when(id % 3 === 0, concat(lit("<lastmod>2024-01-"),
+        lpad((id % 28 + 1).cast("string"), 2, "0"),
+        lit("</lastmod>"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit("<priority>0."),
+        (id % 10).cast("string"), lit("</priority>"))).otherwise(lit("")),
+      lit("</url>"))
+    t(s, d, "documents")
+      .select(host.as("host"), id.as("doc_id"), entry.as("e"))
+      .groupBy("host")
+      .agg(concat(lit("<urlset>"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("e")))),
+          s0 => s0.getField("e")), ""),
+        lit("</urlset><sitemap><loc>https://"), col("host"),
+        lit("/more.xml</loc><lastmod>2024-01-15</lastmod></sitemap>"))
+        .as("xml"))
+  }
+
   /** Candidate/reference pairs for the generation metrics, constructed
     * from the documents fixture by token slicing: candidate = first 12
     * raw tokens (with ` extra` appended every 3rd doc — genuine
@@ -2962,6 +2993,13 @@ object SparkEntry {
           Robots.parseRobots(robotsDocs(s, d), Seq("host"), "txt"),
           "host", robotsUrls(s, d), Seq("doc_id"), "graftbot")
         .orderBy("doc_id")),
+    // Sitemap parsing (r12): the other half of crawl discovery —
+    // per-host sitemaps (entries + one index entry) to (kind, loc,
+    // lastmod, changefreq, priority) rows, loc entity-decoded per the
+    // protocol, dates via try_cast.
+    "q_web_sitemap" -> ((s, d) =>
+      Robots.parseSitemap(sitemapDocs(s, d), Seq("host"), "xml")
+        .orderBy("host", "entry_idx")),
     // The crawl-frontier showcase: politeness × quality in ONE plan —
     // robots-allowed frontier URLs ordered by their host's PageRank
     // (fetch the best-ranked permitted pages first, the crawl-scheduler
@@ -7511,6 +7549,47 @@ object SparkEntry {
           |  directive, value
           |FROM gr ORDER BY host, line_idx""".stripMargin),
     "q_web_robots_allowed" -> robotsAllowedOracleSql,
+    "q_web_sitemap" -> {
+      val loc = "regexp_extract(e, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1)"
+      val lm = "regexp_extract(e, '(?is)<lastmod>\\s*(.*?)\\s*</lastmod>', 1)"
+      s"""WITH sm0 AS (
+         |  SELECT doc_id,
+         |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         |    '<url><loc>https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+         |    '.example.com/page/' || CAST(doc_id AS VARCHAR) ||
+         |    '?s=1&amp;v=' || CAST(doc_id % 4 AS VARCHAR) || '</loc>' ||
+         |    CASE WHEN doc_id % 3 = 0 THEN '<lastmod>2024-01-' ||
+         |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod>'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN '<priority>0.' ||
+         |      CAST(doc_id % 10 AS VARCHAR) || '</priority>' ELSE '' END ||
+         |    '</url>' AS entry
+         |  FROM documents),
+         |sm AS (
+         |  SELECT host,
+         |    '<urlset>' || string_agg(entry, '' ORDER BY doc_id) ||
+         |    '</urlset><sitemap><loc>https://' || host ||
+         |    '/more.xml</loc><lastmod>2024-01-15</lastmod></sitemap>' AS xml
+         |  FROM sm0 GROUP BY host),
+         |en AS (
+         |  SELECT host, u.i - 1 AS entry_idx, u.e AS e FROM (
+         |    SELECT host, unnest(list_transform(range(1, len(es) + 1),
+         |      i -> {'i': i, 'e': es[i]})) AS u
+         |    FROM (SELECT host, regexp_extract_all(xml,
+         |      '${Robots.SitemapEntryRe}') AS es FROM sm)))
+         |SELECT host, CAST(entry_idx AS INT) AS entry_idx,
+         |  CASE WHEN lower(e) LIKE '<url>%' THEN 'url' ELSE 'sitemap' END
+         |    AS kind,
+         |  ${sqlDecodeEntities(loc)} AS loc,
+         |  $lm AS lastmod_raw,
+         |  try_cast(substring($lm, 1, 10) AS DATE) AS lastmod_date,
+         |  regexp_extract(e,
+         |    '(?is)<changefreq>\\s*(.*?)\\s*</changefreq>', 1) AS changefreq,
+         |  try_cast(regexp_extract(e,
+         |    '(?is)<priority>\\s*(.*?)\\s*</priority>', 1) AS DOUBLE)
+         |    AS priority
+         |FROM en ORDER BY host, entry_idx""".stripMargin
+    },
     // The composed frontier: robots parse+eval, link chain, PageRank
     // rounds — four CTE bodies spliced into ONE replay (hosts absent
     // from the graph — the isolated residue — rank 0).

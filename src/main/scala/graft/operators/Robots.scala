@@ -66,6 +66,49 @@ object Robots {
         col("group_id"), col("directive"), col("value")): _*)
   }
 
+  /** Sitemap XML parsing — the other half of crawl discovery (robots
+    * names the sitemaps; sitemaps name the URLs, sitemaps.org protocol):
+    * one row per `<url>` or `<sitemap>` entry — `(keys…, entry_idx,
+    * kind, loc, lastmod_raw, lastmod_date, changefreq, priority)`.
+    * `loc` is entity-decoded (the protocol REQUIRES `&` escaped as
+    * `&amp;` in URLs); `lastmod_date` is the date prefix of the W3C
+    * datetime (`try_cast` — malformed dates null, never throw);
+    * `priority` is a nullable double. Regex-model parse (non-greedy
+    * tag spans, no nesting — sitemap entries cannot nest per the
+    * schema), Java∩RE2-safe and oracle-replayable; map-only, the
+    * extractLinks scale shape.
+    */
+  private[graft] val SitemapEntryRe =
+    "(?is)<url>.*?</url>|<sitemap>.*?</sitemap>"
+  private[graft] val SitemapLocRe = "(?is)<loc>\\s*(.*?)\\s*</loc>"
+  private[graft] val SitemapLastmodRe = "(?is)<lastmod>\\s*(.*?)\\s*</lastmod>"
+  private[graft] val SitemapChangefreqRe =
+    "(?is)<changefreq>\\s*(.*?)\\s*</changefreq>"
+  private[graft] val SitemapPriorityRe =
+    "(?is)<priority>\\s*(.*?)\\s*</priority>"
+
+  def parseSitemap(docs: DataFrame, keyCols: Seq[String],
+                   xmlCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "parseSitemap: at least one key column")
+    val keys = keyCols.map(col)
+    val entries = regexp_extract_all(coalesce(col(xmlCol), lit("")),
+      lit(SitemapEntryRe), lit(0))
+    docs
+      .select(keys :+ posexplode(entries).as(Seq("entry_idx", "__e")): _*)
+      .select(keys ++ Seq(
+        col("entry_idx").cast("int").as("entry_idx"),
+        when(lower(col("__e")).startsWith("<url>"), lit("url"))
+          .otherwise(lit("sitemap")).as("kind"),
+        TextAnalysis.decodeHtmlEntities(
+          regexp_extract(col("__e"), SitemapLocRe, 1)).as("loc"),
+        regexp_extract(col("__e"), SitemapLastmodRe, 1).as("lastmod_raw"),
+        regexp_extract(col("__e"), SitemapLastmodRe, 1).substr(1, 10)
+          .try_cast("date").as("lastmod_date"),
+        regexp_extract(col("__e"), SitemapChangefreqRe, 1).as("changefreq"),
+        regexp_extract(col("__e"), SitemapPriorityRe, 1)
+          .try_cast("double").as("priority")): _*)
+  }
+
   /** Escape-and-translate a robots path pattern to a regex: `*` → `.*`,
     * a TRAILING `$` anchors (elsewhere `$` is literal), every other
     * regex metacharacter escaped by a FIXED-ORDER literal replace chain

@@ -115,6 +115,33 @@ class RobotsSpec extends SparkSpec {
       (4L, true)))  // no matching rule
   }
 
+  test("parseSitemap: url/sitemap entries, entity decode, date prefix") {
+    val xml =
+      "<?xml version=\"1.0\"?><urlset>" +
+        "<url><loc> https://h.example/p?a=1&amp;b=2 </loc>" +
+        "<lastmod>2024-02-03T04:05:06+00:00</lastmod>" +
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>" +
+        "<url><loc>https://h.example/q</loc></url>" +
+        "<URL><loc>https://h.example/upper</loc>" +
+        "<lastmod>not a date</lastmod></URL>" +
+        "</urlset><sitemapindex>" +
+        "<sitemap><loc>https://h.example/more.xml</loc>" +
+        "<lastmod>2024-01-15</lastmod></sitemap></sitemapindex>"
+    val got = Robots.parseSitemap(Seq((1L, xml)).toDF("id", "xml"),
+        Seq("id"), "xml")
+      .orderBy("entry_idx")
+      .select("kind", "loc", "lastmod_date", "changefreq", "priority")
+      .as[(String, String, Option[java.sql.Date], String, Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("url", "https://h.example/p?a=1&b=2",
+        Some(java.sql.Date.valueOf("2024-02-03")), "daily", Some(0.8)),
+      ("url", "https://h.example/q", None, "", None),
+      ("url", "https://h.example/upper", None, "", None),
+      ("sitemap", "https://h.example/more.xml",
+        Some(java.sql.Date.valueOf("2024-01-15")), "", None)), got)
+  }
+
   test("evaluateRobots: hosts with no robots rows default to allow") {
     val u = Seq((1L, "/anything", "bare.example"))
       .toDF("uid", "url_path", "host")
