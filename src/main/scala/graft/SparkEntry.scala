@@ -2917,6 +2917,19 @@ object SparkEntry {
         Retrieval.denseTopKQuantized(t(s, d, "embeddings"),
           "vec_id", "embedding", Seq(1L, 2L, 3L), k = 10),
         evalQrels(s, d), k = 10))),
+    // MMR diversification (r12): rerank each query's dense-arm top-8 by
+    // λ·rel − (1−λ)·max-sim-to-selected (λ=0.70), all quantized-dot
+    // units — the greedy selection replayed step-for-step in DuckDB.
+    "q_ret_mmr_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cand = Retrieval.denseTopKQuantized(emb, "vec_id", "embedding",
+          Seq(1L, 2L, 3L), k = 8)
+        .select(col("query_id"), col("id"), col("score").as("rel"))
+        .join(emb.select(col("vec_id").as("id"),
+          col("embedding").as("vec")), Seq("id"))
+      Retrieval.mmrRerank(cand, k = 4, lambdaPct = 70)
+        .orderBy("query_id", "pos")
+    }),
     // Web link graph (r12): outlink extraction from the constructed
     // link pages (href quoting + entity decode + visible anchor text),
     // the resolveUrl rule chain (absolute / protocol-relative /
@@ -7520,6 +7533,59 @@ object SparkEntry {
         |  FROM f)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
     "q_ret_eval_metrics" -> evalMetricsOracleSql,
+    // MMR: the greedy selection unrolled as one CTE trio per step over
+    // the dense-arm top-8 (candidate pairwise dots in pd; maxsim via a
+    // join to the previous step's selected set; argmax by (score desc,
+    // id)) — all integer arithmetic, k = 4 steps, λ = 70/100.
+    "q_ret_mmr_rerank" -> {
+      val steps = (1 to 4).map { n =>
+        s"""ms$n AS (
+           |  SELECT c.query_id, c.id, max(p.s) AS ms
+           |  FROM cands c
+           |  JOIN sel${n - 1} t ON t.query_id = c.query_id
+           |  JOIN pd p ON p.query_id = c.query_id AND p.ia = c.id
+           |    AND p.ib = t.id
+           |  GROUP BY 1, 2),
+           |sc$n AS (
+           |  SELECT c.query_id, c.id,
+           |    70 * c.rel - 30 * coalesce(m.ms, 0) AS score
+           |  FROM cands c LEFT JOIN ms$n m
+           |    ON m.query_id = c.query_id AND m.id = c.id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${n - 1} t
+           |    WHERE t.query_id = c.query_id AND t.id = c.id)),
+           |pk$n AS (
+           |  SELECT query_id, id, CAST(score AS BIGINT) AS mmr_scaled,
+           |    $n AS pos FROM (
+           |    SELECT query_id, id, score,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score DESC, id) AS rk
+           |    FROM sc$n) WHERE rk = 1),
+           |sel$n AS (SELECT query_id, id FROM sel${n - 1}
+           |  UNION ALL SELECT query_id, id FROM pk$n)""".stripMargin
+      }.mkString(",\n")
+      "WITH " + denseArmCtes + ",\n" +
+        """cands AS (
+          |  SELECT query_id, id, score AS rel FROM (
+          |    SELECT query_id, id, score,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY score DESC, id) AS rk
+          |    FROM dd) WHERE rk <= 8),
+          |pd AS (
+          |  SELECT ca.query_id, ca.id AS ia, cb.id AS ib,
+          |    CAST(sum(ea.x * eb.x) AS BIGINT) AS s
+          |  FROM cands ca
+          |  JOIN cands cb ON cb.query_id = ca.query_id AND cb.id <> ca.id
+          |  JOIN emb_s ea ON ea.vec_id = ca.id
+          |  JOIN emb_s eb ON eb.vec_id = cb.id AND eb.i = ea.i
+          |  GROUP BY 1, 2, 3),
+          |sel0 AS (SELECT CAST(NULL AS BIGINT) AS query_id,
+          |  CAST(NULL AS BIGINT) AS id WHERE 1 = 0),
+          |""".stripMargin + steps + "\n" +
+        """SELECT query_id, CAST(pos AS INT) AS pos, id, mmr_scaled
+          |FROM (SELECT * FROM pk1 UNION ALL SELECT * FROM pk2
+          |  UNION ALL SELECT * FROM pk3 UNION ALL SELECT * FROM pk4)
+          |ORDER BY query_id, pos""".stripMargin
+    },
     // Macro mean over the defined queries — count/sum skip the NULL
     // recall/ndcg of the judgment-free query, matching Spark agg
     // null-skipping; one division + round per mean on exact-in-double

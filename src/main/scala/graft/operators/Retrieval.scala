@@ -169,6 +169,79 @@ object Retrieval {
       mean("recall_scaled"), mean("mrr_scaled"), mean("ndcg_scaled"))
   }
 
+  /** MMR result diversification (Carbonell & Goldstein, SIGIR 1998) —
+    * the classic reranker balancing relevance against redundancy:
+    * greedily select `k` of each query's candidates maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)`, λ as the integer
+    * percentage `lambdaPct` so the score stays exact:
+    * `lambdaPct·rel − (100−lambdaPct)·maxsim` in BIGINT, ties
+    * id-ascending, the first pick reducing to max relevance (maxsim
+    * over the empty set is 0). `rel` and the pairwise similarity must
+    * be in the SAME units — with rel the quantized query·candidate dot
+    * and sim the quantized candidate·candidate dot (the
+    * [[denseTopKQuantized]] contract) they are by construction.
+    *
+    * Scale shape: MMR runs AFTER retrieval, on each query's top-k
+    * candidate set — human-scale by contract (loud `maxCandidates`
+    * fail, the bm25Probe convention). Pairwise similarities compute
+    * DISTRIBUTED (one self-join per query's candidates through the
+    * same codegen'd quantized dot the rankings used — no driver
+    * re-implementation of the quantization to drift), then the bounded
+    * `(query, rel, sims)` batch collects once and the greedy loop runs
+    * as exact Long arithmetic on the driver — k sequential argmax
+    * steps over ≤ maxCandidates rows are fixed overhead distributed.
+    *
+    * `candidates` carries `(query_id, id, rel, vec)`; returns
+    * `(query_id, pos, id, mmr_scaled)` — pos 1-based selection order.
+    */
+  def mmrRerank(candidates: DataFrame, idCol: String = "id",
+                vecCol: String = "vec", relCol: String = "rel",
+                k: Int = 10, lambdaPct: Int = 50,
+                maxCandidates: Int = 10000): DataFrame = {
+    require(k >= 1, s"mmrRerank: k must be >= 1, got $k")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"mmrRerank: lambdaPct must be in [0, 100], got $lambdaPct")
+    val spark = candidates.sparkSession
+    val c = candidates.select(col("query_id"), col(idCol).as("id"),
+      col(relCol).cast("long").as("rel"), col(vecCol).as("v"))
+    val rels = c.select("query_id", "id", "rel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(rels.length <= maxCandidates,
+      s"mmrRerank: ${rels.length} candidates exceed maxCandidates=" +
+        s"$maxCandidates — rerank runs on post-retrieval top-k batches")
+    val sims = c.alias("a")
+      .join(c.alias("b"), col("a.query_id") === col("b.query_id") &&
+        col("a.id") =!= col("b.id"))
+      .select(col("a.query_id"), col("a.id").as("ia"), col("b.id").as("ib"),
+        Similarity.dotQuantized(col("a.v"), col("b.v")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val out = rels.groupBy(_._1).toSeq.flatMap { case (qid, cs) =>
+      val remaining = scala.collection.mutable.LinkedHashMap(
+        cs.sortBy(_._2).map(t => t._2 -> t._3): _*)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+      var pos = 1
+      while (pos <= k && remaining.nonEmpty) {
+        val scored = remaining.iterator.map { case (id, rel) =>
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.iterator.map(s => sims((qid, id, s))).max
+          (id, lambdaPct * rel - (100L - lambdaPct) * maxSim)
+        }.toSeq
+        val (bestId, bestScore) = scored.minBy { case (id, sc) => (-sc, id) }
+        picks += ((qid, pos, bestId, bestScore))
+        selected += bestId
+        remaining.remove(bestId)
+        pos += 1
+      }
+      picks
+    }
+    import spark.implicits._
+    out.toDF("query_id", "pos", "id", "mmr_scaled")
+  }
+
   /** The dense arm as integer-exact multi-query brute force: ×1000
     * quantized dot products ([[Similarity.dotQuantized]] — the
     * `q_sim_bruteforce_topk` contract, so the ranking replays in the

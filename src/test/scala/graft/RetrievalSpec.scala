@@ -129,6 +129,44 @@ class RetrievalSpec extends SparkSpec {
     assert(got.getLong(3) == 1000000000000L) // NULL is skipped, like ndcg
   }
 
+  test("mmrRerank: redundancy penalized, hand-computed greedy picks") {
+    // id 2 duplicates id 1's vector; id 3 is orthogonal — MMR must
+    // pick the diverse id 3 second despite its lower relevance
+    val cands = Seq(
+      (1L, 1L, 100L, Array(1.0f, 0.0f)),
+      (1L, 2L, 90L, Array(1.0f, 0.0f)),
+      (1L, 3L, 80L, Array(0.0f, 1.0f)))
+      .toDF("query_id", "id", "rel", "vec")
+    val got = Retrieval.mmrRerank(cands, k = 3)
+      .orderBy("pos").as[(Long, Int, Long, Long)].collect().toSeq
+    // sim(1,2) = 1000*1000 = 1e6; sim(*,3) = 0; lambda 50
+    assert(got == Seq(
+      (1L, 1, 1L, 50L * 100),                 // max rel, maxsim 0
+      (1L, 2, 3L, 50L * 80),                  // diverse beats redundant
+      (1L, 3, 2L, 50L * 90 - 50L * 1000000)), // the near-dup, penalized
+      got)
+  }
+
+  test("mmrRerank: pure-relevance at lambda 100, ties id asc, guards") {
+    val cands = Seq(
+      (1L, 5L, 10L, Array(1.0f, 0.0f)),
+      (1L, 4L, 10L, Array(0.0f, 1.0f)),
+      (2L, 9L, 7L, Array(1.0f, 0.0f)))
+      .toDF("query_id", "id", "rel", "vec")
+    val got = Retrieval.mmrRerank(cands, k = 1, lambdaPct = 100)
+      .orderBy("query_id").as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1, 4L, 1000L), (2L, 1, 9L, 700L)), got)
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(cands, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(cands, lambdaPct = 101)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(cands, maxCandidates = 2)
+    }
+  }
+
   test("denseTopKQuantized: exact quantized ranking, self excluded") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)),
