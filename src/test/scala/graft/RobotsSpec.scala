@@ -142,6 +142,42 @@ class RobotsSpec extends SparkSpec {
         Some(java.sql.Date.valueOf("2024-01-15")), "", None)), got)
   }
 
+  test("patternToRegex: seeded-random paths agree with an NFA reference") {
+    // Reference wildcard matcher: NFA position set — after consuming
+    // the pattern, the set of path indices reachable; '*' fans out to
+    // every later index. Non-anchored robots semantics = match at the
+    // START of the path (any reachable end); '$' = must reach the end.
+    def reachable(s: String, body: String): Set[Int] =
+      body.foldLeft(Set(0)) { (cur, c) =>
+        if (c == '*') cur.flatMap(i => (i to s.length).toSet)
+        else cur.collect { case i if i < s.length && s.charAt(i) == c => i + 1 }
+      }
+    def ref(path: String, pattern: String): Boolean = {
+      val anchored = pattern.endsWith("$")
+      val body = if (anchored) pattern.dropRight(1) else pattern
+      val r = reachable(path, body)
+      if (anchored) r.contains(path.length) else r.nonEmpty
+    }
+    val rnd = new scala.util.Random(1207L)
+    val pathChars = "ab/.x?=1"
+    val patChars = "ab/.x*"
+    val cases = Seq.tabulate(300) { i =>
+      val path = "/" + Seq.fill(rnd.nextInt(10))(
+        pathChars(rnd.nextInt(pathChars.length))).mkString
+      val pat = "/" + Seq.fill(rnd.nextInt(8))(
+        patChars(rnd.nextInt(patChars.length))).mkString +
+        (if (rnd.nextBoolean()) "$" else "")
+      (i.toLong, path, pat)
+    }
+    val got = cases.toDF("i", "path", "pat")
+      .select(col("i"), regexp_like(col("path"),
+        Robots.patternToRegex(col("pat"))).as("m"))
+      .orderBy("i").as[(Long, Boolean)].collect().toSeq
+    val want = cases.map { case (i, p, q) => (i, ref(p, q)) }
+    assert(got == want,
+      got.zip(want).zip(cases).filter(t => t._1._1 != t._1._2).take(3))
+  }
+
   test("evaluateRobots: hosts with no robots rows default to allow") {
     val u = Seq((1L, "/anything", "bare.example"))
       .toDF("uid", "url_path", "host")

@@ -37,6 +37,37 @@ class TextMetricsSpec extends SparkSpec {
     assert(got == Seq(Seq(2L, 2L, 2L), Seq(0L, 0L, 1L), Seq(0L, 1L, 0L)))
   }
 
+  test("ngramOverlaps: seeded-random texts agree with a naive reference") {
+    def naive(cand: String, ref: String, n: Int): (Long, Long, Long) = {
+      def grams(s: String) = {
+        val t = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" "))
+      }
+      val (cg, rg) = (grams(cand), grams(ref))
+      val rc = rg.groupBy(identity).view.mapValues(_.size).toMap
+      val m = cg.groupBy(identity).toSeq.map { case (g, occ) =>
+        math.min(occ.size, rc.getOrElse(g, 0))
+      }.sum
+      (m.toLong, cg.length.toLong, rg.length.toLong)
+    }
+    val rnd = new scala.util.Random(1212L)
+    val vocab = Seq("a", "b", "cc", "Dd", "e")
+    def text() = Seq.fill(rnd.nextInt(12))(
+      vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val cases = Seq.tabulate(200)(i => (i.toLong, text(), text()))
+    val got = cases.toDF("i", "c", "r")
+      .select(col("i"), TextHashExpressions.ngramOverlaps(
+        col("c"), col("r"), 1, 3).as("o"))
+      .orderBy("i").as[(Long, Seq[Long])].collect().toSeq
+    val want = cases.map { case (i, c, r) =>
+      (i, (1 to 3).flatMap { n =>
+        val (m, nc, nr) = naive(c, r, n); Seq(m, nc, nr)
+      })
+    }
+    assert(got.map(t => (t._1, t._2.toSeq)) == want,
+      got.zip(want).filter(t => t._1._2 != t._2._2).take(2))
+  }
+
   test("rougeN: hand-computed P/R/F1 and the NULL denominators") {
     val pairs = Seq(
       (1L, "a b a b c", "a b a d"),

@@ -119,6 +119,25 @@ class WebGraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRank: seeded-random graphs — driver == distributed") {
+    val rnd = new scala.util.Random(1209L)
+    for (g <- 1 to 3) {
+      val hosts = (0 until (3 + rnd.nextInt(5))).map(i => s"h$i")
+      val edges = (0 until (4 + rnd.nextInt(8))).map { _ =>
+        (hosts(rnd.nextInt(hosts.length)), hosts(rnd.nextInt(hosts.length)),
+          1L + rnd.nextInt(5))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src_host", "dst_host", "weight")
+        val drv = WebGraph.pageRank(df, iterations = 3)
+          .orderBy("host").as[(String, Long)].collect().toSeq
+        val dist = WebGraph.pageRank(df, iterations = 3, localEdgeLimit = 0)
+          .orderBy("host").as[(String, Long)].collect().toSeq
+        assert(drv == dist, s"graph $g: $edges\ndrv  $drv\ndist $dist")
+      }
+    }
+  }
+
   test("index: write + additive append == the all-at-once graph") {
     val dir = java.nio.file.Files.createTempDirectory("webidx").toString
     val b1 = Seq(("a", "b", 2L), ("b", "c", 1L))
