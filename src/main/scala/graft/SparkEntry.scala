@@ -437,7 +437,8 @@ object SparkEntry {
        |      regexp_extract(ot,
        |        '${WebGraph.HrefSingleQuotedRe.replace("'", "''")}', 1) AS sq
        |    FROM (SELECT doc_id, url, u,
-       |        regexp_extract(u.a, '${WebGraph.AnchorOpenTagRe}', 0) AS ot
+       |        regexp_extract(u.a,
+       |          '${WebGraph.AnchorOpenTagRe.replace("'", "''")}', 0) AS ot
        |      FROM an))),
        |rl AS (
        |  SELECT doc_id, url, link_idx, href, anchor_text,

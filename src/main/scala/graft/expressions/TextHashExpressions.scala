@@ -1881,7 +1881,9 @@ object TextHashExpressions {
     * pass per row and discarded it); BLEU needs all of 1..maxN.
     */
   def ngramOverlaps(cand: Column, ref: Column, minN: Int,
-                    maxN: Int): Column =
+                    maxN: Int): Column = {
+    require(minN >= 1 && maxN >= minN,
+      s"ngramOverlaps: need 1 <= minN <= maxN, got [$minN, $maxN]")
     GraftBridge.column(StaticInvoke(
       OverlapOps.getClass,
       ArrayType(LongType, containsNull = false),
@@ -1891,6 +1893,7 @@ object TextHashExpressions {
       inputTypes = Seq(StringType, StringType, IntegerType, IntegerType),
       propagateNull = true,
       returnNullable = true))
+  }
 }
 
 /** Clipped n-gram overlap — the counting kernel every n-gram generation

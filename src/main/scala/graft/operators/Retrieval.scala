@@ -197,18 +197,35 @@ object Retrieval {
   def mmrRerank(candidates: DataFrame, idCol: String = "id",
                 vecCol: String = "vec", relCol: String = "rel",
                 k: Int = 10, lambdaPct: Int = 50,
-                maxCandidates: Int = 10000): DataFrame = {
+                maxCandidates: Int = 1024): DataFrame = {
     require(k >= 1, s"mmrRerank: k must be >= 1, got $k")
     require(lambdaPct >= 0 && lambdaPct <= 100,
       s"mmrRerank: lambdaPct must be in [0, 100], got $lambdaPct")
     val spark = candidates.sparkSession
+    // scoped persist (the dedupSemanticScoped convention): the rels and
+    // sims collects are two actions over the same — possibly expensive
+    // retrieval — lineage, and the sims self-join reads it twice more
     val c = candidates.select(col("query_id"), col(idCol).as("id"),
       col(relCol).cast("long").as("rel"), col(vecCol).as("v"))
+      .persist()
+    try {
     val rels = c.select("query_id", "id", "rel").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    require(rels.length <= maxCandidates,
-      s"mmrRerank: ${rels.length} candidates exceed maxCandidates=" +
-        s"$maxCandidates — rerank runs on post-retrieval top-k batches")
+    // maxCandidates bounds each QUERY's candidate set — what actually
+    // sizes the driver work: the pairwise-sims collect is Σ n_q·(n_q−1)
+    // rows, so the guard must bound the square, not just the row count
+    // (code-review r12: one 10k-candidate query passed a flat bound and
+    // collected ~1e8 pair rows)
+    val perQuery = rels.groupBy(_._1).map { case (q, cs) => q -> cs.length }
+    perQuery.find(_._2 > maxCandidates).foreach { case (q, n) =>
+      throw new IllegalArgumentException(
+        s"mmrRerank: query $q has $n candidates (> maxCandidates=" +
+          s"$maxCandidates) — rerank runs on post-retrieval top-k batches")
+    }
+    val totalPairs = perQuery.values.map(n => n.toLong * (n - 1)).sum
+    require(totalPairs <= MaxSimPairs,
+      s"mmrRerank: $totalPairs pairwise sims exceed $MaxSimPairs — " +
+        s"shrink the candidate sets or the query batch")
     val sims = c.alias("a")
       .join(c.alias("b"), col("a.query_id") === col("b.query_id") &&
         col("a.id") =!= col("b.id"))
@@ -240,7 +257,13 @@ object Retrieval {
     }
     import spark.implicits._
     out.toDF("query_id", "pos", "id", "mmr_scaled")
+    } finally c.unpersist()
   }
+
+  /** Bound on the total pairwise-similarity rows [[mmrRerank]] collects
+    * (Σ over queries of n·(n−1)) — ~128 MB of driver tuples at the cap.
+    */
+  val MaxSimPairs: Long = 4L << 20
 
   /** The dense arm as integer-exact multi-query brute force: ×1000
     * quantized dot products ([[Similarity.dotQuantized]] — the

@@ -43,8 +43,15 @@ object WebGraph {
   /** The anchor's OPENING tag — href extraction scans only this span,
     * not the element's inner text (code-review r12: a page whose
     * visible text mentions `href="…"` must not mint a phantom edge).
+    * Attribute-aware: quoted attribute values may legally contain `>`
+    * (`href="/p?q=a>b"`), so the attribute span is an alternation of
+    * quoted runs and non-`>` chars rather than a bare `[^>]*` (which
+    * ended the tag inside the value and lost the href — second-pass
+    * code-review r12). An UNquoted attribute value containing `>`
+    * remains outside the regex model, like unquoted href generally.
     */
-  private[graft] val AnchorOpenTagRe = "(?is)^<a(\\s[^>]*)?>"
+  private[graft] val AnchorOpenTagRe =
+    "(?is)^<a(\\s(\"[^\"]*\"|'[^']*'|[^>\"'])*)?>"
   private[graft] val AbsoluteWebUrlRe = "^(?i)https?://"
   private[graft] val ProtocolRelativeRe = "^//"
   private[graft] val RootRelativeRe = "^/([^/].*)?$"

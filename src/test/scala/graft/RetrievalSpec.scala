@@ -163,8 +163,11 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.mmrRerank(cands, lambdaPct = 101)
     }
     intercept[IllegalArgumentException] {
-      Retrieval.mmrRerank(cands, maxCandidates = 2)
+      Retrieval.mmrRerank(cands, maxCandidates = 1) // per-QUERY bound
     }
+    // the per-query bound, not the total: 2 per query passes at 2
+    assert(Retrieval.mmrRerank(cands, k = 2, maxCandidates = 2)
+      .count() == 3)
   }
 
   test("denseTopKQuantized: exact quantized ranking, self excluded") {

@@ -39,6 +39,17 @@ class WebGraphSpec extends SparkSpec {
     assert(got == Seq("", "http://ok.example/"), got)
   }
 
+  test("extractLinks: '>' inside a quoted attribute stays in the tag") {
+    // legal HTML: '>' may appear in a quoted attribute value — the
+    // open-tag scan must not end there and lose the href
+    val html = "<a href=\"/p?q=a>b\" title=\"x>y\">t</a>" +
+      "<a class='c>d' href='/e'>u</a>"
+    val got = WebGraph.extractLinks(
+        Seq((1L, html)).toDF("id", "html"), Seq("id"), "html")
+      .orderBy("link_idx").select("href").as[String].collect().toSeq
+    assert(got == Seq("/p?q=a>b", "/e"), got)
+  }
+
   test("extractLinks: double-quoted href wins over single when both parse") {
     val html = "<a href=\"http://dq.example/\" title='href=\"zzz\"'>t</a>"
     val got = WebGraph.extractLinks(
