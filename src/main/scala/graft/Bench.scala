@@ -97,8 +97,15 @@ object Bench {
       // query whose base runs spread by more than 2× (max/min over
       // successful runs) earns the 2 extra runs, so a family that first
       // shows contention in round N+1 doesn't need a round-N+2 regex edit.
+      // r13 additions (VERDICT r12 §next-5): the LSH-banded split row and
+      // the two composed recipe rows are the heaviest plans in the suite
+      // and showed the same contention signature on the driver sandbox
+      // (q_cur_split_noleak_prod 3.40–11.85 s driver vs flat 2.6–2.9 s
+      // local) — median-of-5 keeps one contended stretch from owning the
+      // headline's top row.
       val familyRuns =
-        if ("^q_(mm_|sim_iv|dedup)".r.findFirstIn(name).isDefined) runs + 2
+        if ("^q_(mm_|sim_iv|dedup|cur_split_noleak|pipeline_(fineweb|crawl)_recipe)"
+          .r.findFirstIn(name).isDefined) runs + 2
         else runs
       val warmT0 = System.nanoTime()
       val warm =

@@ -855,6 +855,31 @@ object SparkEntry {
       RowHash.withAuditColumns(ordersTargetData(t(s, d, "orders")),
         Seq("o_orderkey"), mergeNow))
 
+  /** Cache key of an sf-dir for the process-lifetime index/model temp
+    * dirs: the FULL canonical path, sanitized — keying on the basename
+    * alone silently reused one dataset's index for another whose path
+    * shared a final component (code-review r12 / ADVICE r12).
+    */
+  private def sfKey(d: String): String =
+    new java.io.File(d).getCanonicalPath.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** A per-invocation temp dir registered for recursive delete at JVM
+    * exit — the append-gate queries build a fresh throwaway index per
+    * run, and those dirs used to accumulate for the process lifetime
+    * (ADVICE r12).
+    */
+  private def tempDirCleaned(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   // Unique per process: concurrent verify/bench runs never race on the
   // same index directory.
   private lazy val ivfTmpDir =
@@ -867,7 +892,7 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory("graft-pq").toString
 
   private def pqEnsureIndex(s: SparkSession, d: String): String = {
-    val path = s"$pqTmpDir/${new java.io.File(d).getName}"
+    val path = s"$pqTmpDir/${sfKey(d)}"
     if (!graft.pipeline.Sinks.exists(s, path))
       graft.operators.ProductQuantization.pqWriteIndex(
         t(s, d, "embeddings"), "vec_id", "embedding", dim = 64, path,
@@ -882,7 +907,7 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory("graft-compact").toString
 
   private def ivfIndexPath(sfDir: String): String =
-    s"$ivfTmpDir/${new java.io.File(sfDir).getName}"
+    s"$ivfTmpDir/${sfKey(sfDir)}"
 
   private def ivfEnsureIndex(s: SparkSession, d: String): String = {
     val path = ivfIndexPath(d)
@@ -898,7 +923,7 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory("graft-mhidx").toString
 
   private def mhIdxEnsure(s: SparkSession, d: String): String = {
-    val path = s"$mhIdxTmpDir/${new java.io.File(d).getName}"
+    val path = s"$mhIdxTmpDir/${sfKey(d)}"
     if (!graft.pipeline.Sinks.exists(s, path))
       Dedup.minHashWriteIndex(
         t(s, d, "documents").filter(col("doc_id") >= 120), "doc_id", "text", path)
@@ -914,7 +939,7 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory("graft-semidx").toString
 
   private def semIdxEnsure(s: SparkSession, d: String): String = {
-    val path = s"$semIdxTmpDir/${new java.io.File(d).getName}"
+    val path = s"$semIdxTmpDir/${sfKey(d)}"
     if (!graft.pipeline.Sinks.exists(s, path)) {
       val vecs = t(s, d, "documents").select(col("doc_id"),
           TextAnalysis.hashedTextVector(col("text"), 64).as("hv"))
@@ -933,7 +958,7 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory("graft-warcstream").toString
 
   private def warcStreamEnsure(s: SparkSession, d: String): String = {
-    val path = s"$warcStreamTmpDir/${new java.io.File(d).getName}"
+    val path = s"$warcStreamTmpDir/${sfKey(d)}"
     if (!graft.pipeline.Sinks.exists(s, path))
       warcChunks(t(s, d, "documents")).write.parquet(path)
     path
@@ -946,7 +971,7 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory("graft-subidx").toString
 
   private def subIdxEnsure(s: SparkSession, d: String): String = {
-    val path = s"$subIdxTmpDir/${new java.io.File(d).getName}"
+    val path = s"$subIdxTmpDir/${sfKey(d)}"
     if (!graft.pipeline.Sinks.exists(s, s"$path/meta"))
       Dedup.substringWriteIndex(
         t(s, d, "documents").filter(col("doc_id") >= 120), "doc_id", "text",
@@ -961,7 +986,7 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory("graft-bm25").toString
 
   private def bm25EnsureIndex(s: SparkSession, d: String): String = {
-    val path = s"$bm25TmpDir/${new java.io.File(d).getName}"
+    val path = s"$bm25TmpDir/${sfKey(d)}"
     if (!graft.pipeline.Sinks.exists(s, s"$path/stats"))
       TextAnalysis.bm25WriteIndex(t(s, d, "documents"), "doc_id", "text",
         path, nBuckets = 16)
@@ -1086,7 +1111,7 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory("graft-webstream").toString
 
   private def webStreamEnsure(s: SparkSession, d: String): String = {
-    val path = s"$webStreamTmpDir/${new java.io.File(d).getName}"
+    val path = s"$webStreamTmpDir/${sfKey(d)}"
     if (!graft.pipeline.Sinks.exists(s, path))
       linkPages(t(s, d, "documents")).write.parquet(path)
     path
@@ -1100,7 +1125,7 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory("graft-webidx").toString
 
   private def webIdxEnsure(s: SparkSession, d: String): String = {
-    val path = s"$webIdxTmpDir/${new java.io.File(d).getName}"
+    val path = s"$webIdxTmpDir/${sfKey(d)}"
     if (!graft.pipeline.Sinks.exists(s, s"$path/edges")) {
       def edgesOf(cond: Column): DataFrame = {
         val links = WebGraph.extractLinks(
@@ -1392,7 +1417,7 @@ object SparkEntry {
 
   private def ensureModel(s: SparkSession, d: String, name: String)
                          (train: => DataFrame): String = {
-    val path = s"$modelTmpDir/${new java.io.File(d).getName}/$name"
+    val path = s"$modelTmpDir/${sfKey(d)}/$name"
     if (!graft.pipeline.Sinks.exists(s, path)) train.write.parquet(path)
     path
   }
@@ -1410,7 +1435,7 @@ object SparkEntry {
     * train): [[graft.operators.Bpe.readVocab]]'s own layout.
     */
   private def bpeEnsureModel(s: SparkSession, d: String): (String, String) = {
-    val base = s"$modelTmpDir/${new java.io.File(d).getName}"
+    val base = s"$modelTmpDir/${sfKey(d)}"
     val vp = s"$base/bpe_vocab"
     val mp = s"$base/bpe_merges"
     if (!graft.pipeline.Sinks.exists(s, vp) ||
@@ -1424,7 +1449,7 @@ object SparkEntry {
 
   /** Byte-level BPE artifact (r12) — same layout, byte-trained. */
   private def byteBpeEnsureModel(s: SparkSession, d: String): (String, String) = {
-    val base = s"$modelTmpDir/${new java.io.File(d).getName}"
+    val base = s"$modelTmpDir/${sfKey(d)}"
     val vp = s"$base/bpe_bytes_vocab"
     val mp = s"$base/bpe_bytes_merges"
     if (!graft.pipeline.Sinks.exists(s, vp) ||
@@ -1443,7 +1468,7 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory("graft-bkt").toString
 
   private def bktEnsure(s: SparkSession, d: String): (String, String) = {
-    val sfName = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val sfName = sfKey(d).replaceAll("[^A-Za-z0-9_]", "_")
     val db = s"graft_bkt_$sfName"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$bktTmpDir/$db'")
     val (to, tc) = (s"$db.orders_bkt", s"$db.customer_bkt")
@@ -1910,7 +1935,7 @@ object SparkEntry {
     // truth exactly, with zero corrupt records. Proves the interchange
     // path preserves every document and character.
     "q_pipeline_jsonl_roundtrip" -> ((s, d) => {
-      val path = s"$jsonlTmpDir/${new java.io.File(d).getName}/documents"
+      val path = s"$jsonlTmpDir/${sfKey(d)}/documents"
       Sinks.writeJsonl(t(s, d, "documents"), path)
       Sinks.jsonlScan(s, path,
           "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
@@ -1926,7 +1951,7 @@ object SparkEntry {
     // the data, never changes it. The read side filters on lang so the
     // scan exercises ORC predicate pushdown (pinned in SinksSpec).
     "q_pipeline_orc_roundtrip" -> ((s, d) => {
-      val path = s"$jsonlTmpDir/${new java.io.File(d).getName}/documents_orc"
+      val path = s"$jsonlTmpDir/${sfKey(d)}/documents_orc"
       Sinks.writeOrc(t(s, d, "documents"), path)
       Sinks.orcScan(s, path)
         .filter(col("lang") =!= "zz")
@@ -1945,7 +1970,7 @@ object SparkEntry {
     // pure layout, never data. (Probe-stability across compaction is
     // additionally pinned in StreamingSpec's compact test.)
     "q_pipeline_compact_roundtrip" -> ((s, d) => {
-      val path = s"$compactTmpDir/${new java.io.File(d).getName}/docs"
+      val path = s"$compactTmpDir/${sfKey(d)}/docs"
       Sinks.drop(s, path) // idempotent across verify+bench in one process
       t(s, d, "documents")
         .withColumn("__ingest_batch", col("doc_id") % 16)
@@ -2116,7 +2141,7 @@ object SparkEntry {
     // row_number arithmetic alone — pins the full export layout (shard
     // membership, intra-shard positions, no loss/dup through the writer).
     "q_pipeline_shard_export" -> ((s, d) => {
-      val path = s"$compactTmpDir/${new java.io.File(d).getName}/shards"
+      val path = s"$compactTmpDir/${sfKey(d)}/shards"
       Sinks.drop(s, path) // idempotent across verify+bench in one process
       Sinks.writeSharded(t(s, d, "documents").select("doc_id", "lang"),
         "doc_id", path, seed = "exp", rowsPerShard = 128)
@@ -2857,8 +2882,7 @@ object SparkEntry {
     // oracle SQL as the pair above; verify-only (builds its index per
     // run — the append-gate ruling, q_sim_pq_append precedent).
     "q_text_bm25_append_gate" -> ((s, d) => {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-bm25-append").toString + "/idx"
+      val path = tempDirCleaned("graft-bm25-append") + "/idx"
       val docs = t(s, d, "documents")
       TextAnalysis.bm25WriteIndex(docs.filter(col("doc_id") < 120),
         "doc_id", "text", path, nBuckets = 16)
@@ -3955,8 +3979,7 @@ object SparkEntry {
     // books would re-encode some vector differently somewhere).
     "q_sim_pq_append" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-pq-append").toString + "/idx"
+      val path = tempDirCleaned("graft-pq-append") + "/idx"
       graft.operators.ProductQuantization.pqWriteIndex(emb, "vec_id",
         "embedding", dim = 64, path, m = 8, kCodewords = 16)
       graft.operators.ProductQuantization.pqAppendIndex(
@@ -4115,8 +4138,7 @@ object SparkEntry {
     // doubled row count and pins the consistency boolean.
     "q_sim_ivf_append" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft-ivf-append").toString + "/idx"
+      val path = tempDirCleaned("graft-ivf-append") + "/idx"
       Similarity.ivfWriteIndex(emb, "vec_id", "embedding",
         dim = 64, nCentroids = 16, path = path)
       Similarity.ivfAppendIndex(

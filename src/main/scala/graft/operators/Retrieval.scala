@@ -209,6 +209,25 @@ object Retrieval {
       col(relCol).cast("long").as("rel"), col(vecCol).as("v"))
       .persist()
     try {
+    // Fail-loud input validation (ADVICE r12): a null/empty vector makes
+    // the quantized dot NULL (an opaque NPE at the sims collect), a null
+    // rel NPEs the rels collect, and duplicate (query_id, id) rows
+    // collapse in the sims map while still appearing in rels (a
+    // NoSuchElementException at selection time). One bounded agg over
+    // the persisted candidates checks all three up front.
+    val bad = c.agg(
+      sum(when(col("v").isNull || size(col("v")) === 0, 1L).otherwise(0L))
+        .as("n_badvec"),
+      sum(when(col("rel").isNull, 1L).otherwise(0L)).as("n_nullrel"),
+      (count(lit(1)) - countDistinct(col("query_id"), col("id"))).as("n_dup"))
+      .collect()(0)
+    require(bad.getLong(0) == 0, s"mmrRerank: ${bad.getLong(0)} candidate " +
+      "rows have a NULL or empty vector — every candidate needs a vector " +
+      "in the rel column's quantized units")
+    require(bad.getLong(1) == 0, s"mmrRerank: ${bad.getLong(1)} candidate " +
+      "rows have a NULL relevance score")
+    require(bad.getLong(2) == 0, s"mmrRerank: ${bad.getLong(2)} duplicate " +
+      "(query_id, id) candidate rows — candidates must be unique per query")
     val rels = c.select("query_id", "id", "rel").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // maxCandidates bounds each QUERY's candidate set — what actually

@@ -35,6 +35,13 @@ object Robots {
     * `group_id` is 1-based per document; rules before any User-agent
     * line get group_id 0 (ignored by evaluation — no agent can select
     * them).
+    *
+    * `keyCols` must uniquely identify ONE robots.txt document (the
+    * urlKeyCols uniqueness contract of [[evaluateRobots]]): the group-id
+    * window partitions on the keys and orders by line index, so two
+    * input rows sharing a key would interleave their directive lines
+    * into nonsense groups. One document per host is also what the
+    * protocol itself guarantees (robots.txt is a fixed per-host path).
     */
   def parseRobots(docs: DataFrame, keyCols: Seq[String],
                   txtCol: String): DataFrame = {

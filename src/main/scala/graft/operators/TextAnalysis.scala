@@ -606,8 +606,11 @@ object TextAnalysis {
       p.groupBy("term").agg(count(lit(1)).as("dfreq"))
         .withColumn("bucket", bucket)
         .write.mode(mode).partitionBy("bucket").parquet(s"$path/terms")
+      // coalesce: a batch whose docs all tokenize to nothing has zero
+      // posting rows, and a bare sum would write total_dl = NULL into the
+      // stats partials (ADVICE r12)
       p.agg(countDistinct(col("id")).as("n_docs"),
-          sum("tf").as("total_dl"))
+          coalesce(sum("tf"), lit(0L)).as("total_dl"))
         .withColumn("n_buckets", lit(nBuckets))
         .coalesce(1)
         .write.mode(mode).parquet(s"$path/stats")
@@ -629,7 +632,12 @@ object TextAnalysis {
     require(r.getInt(0) == r.getInt(1),
       s"bm25 index at $path has inconsistent n_buckets " +
         s"(${r.getInt(0)} vs ${r.getInt(1)})")
-    (r.getInt(0), r.getLong(2), r.getLong(3))
+    // Empty index fails loudly here instead of as a 0/0 avgdl downstream
+    // or an NPE on a NULL legacy total_dl partial (ADVICE r12).
+    require(!r.isNullAt(2) && r.getLong(2) > 0,
+      s"bm25 index at $path is empty (n_docs = 0) — index a non-empty " +
+        "corpus before probing")
+    (r.getInt(0), r.getLong(2), if (r.isNullAt(3)) 0L else r.getLong(3))
   }
 
   private def bm25ReadNBuckets(spark: org.apache.spark.sql.SparkSession,
