@@ -964,6 +964,22 @@ object SparkEntry {
     path
   }
 
+  // Real .warc.gz ARCHIVE FILES on disk for the file-ingest query (r13,
+  // VERDICT r12 §next-1): each fixture chunk written as its own
+  // multi-member chunk-<id>.warc.gz, once per process per sf-dir.
+  private lazy val warcGzTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-warcgz").toString
+
+  private def warcGzEnsure(s: SparkSession, d: String): String = {
+    val path = s"$warcGzTmpDir/${sfKey(d)}"
+    if (!new java.io.File(path).isDirectory) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      Warc.writeWarcGzFiles(warcChunks(t(s, d, "documents")),
+        "chunk_id", "warc", path)
+    }
+    path
+  }
+
   // Substring-fingerprint index for the incremental ExactSubstr probe:
   // corpus half (doc_id >= 120) indexed once per process per sf-dir (the
   // mhIdxEnsure convention).
@@ -2730,6 +2746,24 @@ object SparkEntry {
     // and the payload strings land in the hash comparison verbatim.
     "q_warc_records" -> ((s, d) =>
       Warc.parseRecords(warcChunks(t(s, d, "documents")), "chunk_id", "warc")
+        .orderBy("chunk_id", "record_idx")),
+    // Real .warc.gz FILE ingestion (r13, VERDICT r12 §next-1) — the one
+    // missing hop between a CommonCrawl dump on disk and the crawl
+    // recipe: multi-member archives (one gzip member per record, the
+    // real layout) written once per process, read back through Spark's
+    // binaryFile source, member-split by the concatenated-member gunzip,
+    // and parsed by the SAME warcRecords chain. chunk_id recovers from
+    // the archive file name. Shares q_warc_records' oracle outright —
+    // which IS the gate: the disk round trip (gzip encode → file write →
+    // binaryFile read → gunzip) must reproduce every parsed field and
+    // payload hash-exactly. BENCHED: the gunzip + file IO is this row's
+    // own cost, the real front-door price of a crawl dump.
+    "q_warc_file_ingest" -> ((s, d) =>
+      Warc.parseRecords(
+        Warc.readWarcGzFiles(s, warcGzEnsure(s, d) + "/*.warc.gz")
+          .select(regexp_extract(col("path"), "chunk-([0-9]+)\\.warc\\.gz$", 1)
+            .cast("long").as("chunk_id"), col("warc")),
+        "chunk_id", "warc")
         .orderBy("chunk_id", "record_idx")),
     // The composed front door (verify-only: its benched time would
     // re-bill q_warc_records' parse while the extraction projection is
@@ -5915,6 +5949,15 @@ object SparkEntry {
     // The WARC parse chain replayed record-for-record; the payload
     // strings themselves land in the hash (r12).
     "q_warc_records" ->
+      s"""$warcOracleCtes
+        |SELECT chunk_id, CAST(record_idx AS BIGINT) AS record_idx,
+        |  warc_type, target_uri, warc_date, record_id, content_type,
+        |  content_length, http_status, http_content_type, payload,
+        |  CAST(len(payload) AS BIGINT) AS n_payload_chars
+        |FROM parsed ORDER BY chunk_id, record_idx""".stripMargin,
+    // The .warc.gz file-ingest row shares the records oracle outright:
+    // the archive round trip must reproduce every parsed field exactly.
+    "q_warc_file_ingest" ->
       s"""$warcOracleCtes
         |SELECT chunk_id, CAST(record_idx AS BIGINT) AS record_idx,
         |  warc_type, target_uri, warc_date, record_id, content_type,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -169,6 +169,66 @@ object Warc {
     */
   def gzipChunk(text: Column): Column =
     graft.expressions.TextHashExpressions.gzipMember(text)
+
+  /** A chunk's `.warc.gz` FILE BYTES in the real CommonCrawl layout: one
+    * gzip member PER RECORD, back to back (the per-record members are
+    * what make WARC archives splittable — a reader can cut at any member
+    * boundary without decompressing its neighbors). Built per row from
+    * the parse model's own record split, each record re-prefixed with
+    * the version marker it lost to the split, so
+    * `gunzipChunk(warcGzBytes(chunk)) === chunk` exactly for any chunk
+    * that starts at a record marker (the [[warcRecords]] contract).
+    */
+  def warcGzBytes(chunk: Column): Column =
+    aggregate(
+      transform(warcRecords(chunk),
+        r => gzipChunk(concat(lit(RecordMarker), r))),
+      lit(Array.emptyByteArray),
+      (acc, m) => concat(acc, m))
+
+  /** Write each chunk as its own `<dir>/chunk-<id>.warc.gz` file — real
+    * multi-member WARC archives on disk, the interchange format a crawl
+    * dump arrives in. Distributed: the gzip encode is the per-row
+    * [[warcGzBytes]] expression and each partition writes its own files
+    * through the Hadoop FileSystem API (resolved per path, so `file://`,
+    * HDFS, and object stores all work with the executors' own Hadoop
+    * configuration). File count = chunk count by contract — callers
+    * size chunks like CommonCrawl does (~1 GiB), not one per page.
+    */
+  def writeWarcGzFiles(chunks: DataFrame, idCol: String, warcCol: String,
+                       dir: String): Unit = {
+    val bytes = chunks.select(col(idCol).cast("string").as("__id"),
+      warcGzBytes(col(warcCol)).as("__bytes"))
+    bytes.foreachPartition { it: Iterator[Row] =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.foreach { row =>
+        val p = new org.apache.hadoop.fs.Path(
+          s"$dir/chunk-${row.getString(0)}.warc.gz")
+        val out = p.getFileSystem(conf).create(p, true)
+        try out.write(row.getAs[Array[Byte]](1)) finally out.close()
+      }
+    }
+  }
+
+  /** Read `.warc.gz` files from disk into `(path, file_length, warc)` —
+    * the missing hop between a crawl dump on disk and [[parseRecords]]:
+    * Spark's `binaryFile` source lists + reads each archive as one
+    * binary row (distributed by file, like CommonCrawl's one-task-per-
+    * archive convention), and the concatenated-member gunzip restores
+    * the full WARC text. `warc` is NULL on a corrupt stream — countable
+    * downstream, never fatal (the [[gunzipChunk]] contract).
+    *
+    * Scale shape: one row per archive file, so parallelism = file count
+    * — exactly how CommonCrawl shards (tens of thousands of ~1 GiB
+    * segment files). A single giant archive would serialize; the
+    * per-record gzip members make record-boundary FILE SPLITTING
+    * possible (cut at any member boundary), which is the custom-
+    * FileFormat upgrade path if archives ever arrive unsharded.
+    */
+  def readWarcGzFiles(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("length").as("file_length"),
+        gunzipChunk(col("content")).as("warc"))
 
   /** The crawl front door: successful (200) HTML response records as
     * `(idCol, record_idx, record_id, url, fetched_at, html)` — the

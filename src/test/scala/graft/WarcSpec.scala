@@ -201,6 +201,36 @@ class WarcSpec extends SparkSpec {
     assert(rows.toSeq == Seq("response" -> "<p>Round trip.</p>"))
   }
 
+  test(".warc.gz files on disk round-trip through the binaryFile source") {
+    val dir = java.nio.file.Files.createTempDirectory("warcspec-gz").toString
+    val chunks = Seq(
+      3L -> (infoRec + reqRec +
+        respRec("http://a/x", "200 OK", "text/html", "<p>First page.</p>")),
+      14L -> respRec("http://b/y", "404 Not Found", "text/html", "<p>no</p>"))
+    Warc.writeWarcGzFiles(chunks.toDF("cid", "warc"), "cid", "warc", dir)
+    // real layout: one gzip member per record, so each file has as many
+    // members as its chunk has records (member count = gzip magic count)
+    val f3 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/chunk-3.warc.gz"))
+    val members = f3.sliding(3).count(w =>
+      (w(0) & 0xFF) == 0x1f && (w(1) & 0xFF) == 0x8b && w(2) == 8)
+    assert(members == 3, s"expected 3 gzip members, saw $members")
+    val back = Warc.readWarcGzFiles(spark, s"$dir/*.warc.gz")
+      .select(regexp_extract(col("path"), "chunk-([0-9]+)\\.warc\\.gz$", 1)
+        .cast("long").as("cid"), col("warc"))
+      .as[(Long, String)].collect().toMap
+    assert(back == chunks.toMap, "file round trip must be byte-exact")
+    // and the parse over the read-back text equals the direct parse
+    val direct = parse(chunks: _*).orderBy("cid", "record_idx").collect()
+    val viaDisk = Warc.parseRecords(
+        Warc.readWarcGzFiles(spark, s"$dir/*.warc.gz")
+          .select(regexp_extract(col("path"),
+            "chunk-([0-9]+)\\.warc\\.gz$", 1).cast("long").as("cid"),
+            col("warc")),
+        "cid", "warc").orderBy("cid", "record_idx").collect()
+    assert(viaDisk.toSeq == direct.toSeq)
+  }
+
   test("a chunk not starting at a record boundary surfaces the preamble") {
     val rows = parse(4L -> ("garbage preamble\r\n" +
         respRec("http://p/", "200 OK", "text/html", "<p>t</p>")))
