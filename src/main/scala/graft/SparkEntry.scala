@@ -1170,10 +1170,16 @@ object SparkEntry {
     val txt = concat(
       lit("# robots for the host\nUser-agent: *\n"),
       lit("Disallow: /private/*\nAllow:\t/private/open$\n"),
+      // star-group crawl delay on most hosts (h%3==1 hosts have NONE —
+      // the default-delay branch of the scheduler lands in the hash)
+      when(h % 3 =!= 1, lit("Crawl-delay: 9\n")).otherwise(lit("")),
       when(h % 2 === 0, concat(
         lit("User-agent: graftbot\nUser-agent: altbot\n"),
         lit("Disallow: /page/"), hS, lit("*\n"),
-        lit("Allow: /page/"), hS, lit("0\n"))).otherwise(lit("")),
+        lit("Allow: /page/"), hS, lit("0\n"),
+        // exact-group delay OVERRIDES the star group's for graftbot —
+        // delay extraction must share the eval's group selection
+        lit("Crawl-delay: 0.5\n"))).otherwise(lit("")),
       when(h % 3 === 0, lit("Disallow:\n")).otherwise(lit("")),
       lit("Sitemap: https://site"), hS, lit(".example.com/sitemap.xml"))
     // odd hosts serve CRLF line endings (common in the wild; the parse
@@ -1212,10 +1218,13 @@ object SparkEntry {
       |    '# robots for the host' || chr(10) || 'User-agent: *' || chr(10) ||
       |    'Disallow: /private/*' || chr(10) ||
       |    'Allow:' || chr(9) || '/private/open$' || chr(10) ||
+      |    CASE WHEN h % 3 <> 1 THEN 'Crawl-delay: 9' || chr(10)
+      |      ELSE '' END ||
       |    CASE WHEN h % 2 = 0 THEN
       |      'User-agent: graftbot' || chr(10) || 'User-agent: altbot' || chr(10) ||
       |      'Disallow: /page/' || CAST(h AS VARCHAR) || '*' || chr(10) ||
-      |      'Allow: /page/' || CAST(h AS VARCHAR) || '0' || chr(10)
+      |      'Allow: /page/' || CAST(h AS VARCHAR) || '0' || chr(10) ||
+      |      'Crawl-delay: 0.5' || chr(10)
       |      ELSE '' END ||
       |    CASE WHEN h % 3 = 0 THEN 'Disallow:' || chr(10) ELSE '' END ||
       |    'Sitemap: https://site' || CAST(h AS VARCHAR) ||
@@ -1303,7 +1312,15 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY u.doc_id
        |        ORDER BY r.rlen DESC, r.rule_type ASC, r.value ASC) AS rk
        |    FROM uu u JOIN rb_rl r ON r.host = u.host
-       |    WHERE regexp_matches(u.url_path, r.re)) WHERE rk = 1)""".stripMargin
+       |    WHERE regexp_matches(u.url_path, r.re)) WHERE rk = 1),
+       |rb_cd AS (
+       |  SELECT gr.host,
+       |    CAST(round(max(try_cast(gr.value AS DOUBLE)) * 1000) AS BIGINT)
+       |      AS crawl_delay_ms
+       |  FROM gr JOIN cg ON cg.host = gr.host AND cg.group_id = gr.group_id
+       |  WHERE gr.directive = 'crawl-delay'
+       |    AND try_cast(gr.value AS DOUBLE) IS NOT NULL
+       |  GROUP BY 1)""".stripMargin
   }
 
   private def robotsAllowedOracleSql: String =
@@ -1660,7 +1677,9 @@ object SparkEntry {
       "q_stream_web_links",
       // r12: the crawl-frontier showcase recomputes the benched robots
       // evaluation AND the benched PageRank chain — superset ruling.
-      "q_web_frontier",
+      // r13: the delay-aware scheduler row recomputes the benched robots
+      // evaluation too (same ruling); its novelty is window arithmetic.
+      "q_web_frontier", "q_web_frontier_sched",
       // r12: BM25 index-maintenance gate builds its index per run (the
       // q_sim_pq_append ruling); the benched retrieval rows are the
       // scratch search and the persisted-index probe.
@@ -3078,10 +3097,29 @@ object SparkEntry {
     // query). Verify-only: it recomputes the benched robots evaluation
     // and the benched PageRank chain (superset ruling); its value is
     // the composed END-TO-END replay.
+    // Crawl-delay-aware frontier scheduling (r13, VERDICT r12 §next-2):
+    // per-host delays from the agent's SELECTED groups (the eval's own
+    // group-selection rule — exact beats star, pinned by the fixture's
+    // conflicting star/exact delays), each host's allowed URLs spaced
+    // into fetch slots `(rank−1) × delay_ms` by pure window arithmetic.
+    // Verify-only: it recomputes the benched robots evaluation (the
+    // superset ruling); the scheduling window is its own hash-green
+    // novelty, including the no-delay default branch (h%3==1 hosts).
+    "q_web_frontier_sched" -> ((s, d) => {
+      val parsed = Robots.parseRobots(robotsDocs(s, d), Seq("host"), "txt")
+      val allowed = Robots.evaluateRobots(parsed, "host", robotsUrls(s, d),
+          Seq("doc_id"), "graftbot")
+        .filter(col("allowed"))
+        .select("doc_id", "host", "url_path")
+      Robots.scheduleFrontier(allowed, "host",
+          Robots.crawlDelays(parsed, "host", "graftbot"),
+          orderCols = Seq(col("doc_id").asc))
+        .orderBy("doc_id")
+    }),
     "q_web_frontier" -> ((s, d) => {
-      val allowed = Robots.evaluateRobots(
-          Robots.parseRobots(robotsDocs(s, d), Seq("host"), "txt"),
-          "host", robotsUrls(s, d), Seq("doc_id"), "graftbot")
+      val parsed = Robots.parseRobots(robotsDocs(s, d), Seq("host"), "txt")
+      val allowed = Robots.evaluateRobots(parsed, "host", robotsUrls(s, d),
+          Seq("doc_id"), "graftbot")
         .filter(col("allowed"))
         .select("doc_id", "host", "url_path")
       val links = WebGraph.extractLinks(
@@ -3089,9 +3127,14 @@ object SparkEntry {
         .withColumn("resolved", WebGraph.resolveUrl(col("url"), col("href")))
       val ranks = WebGraph.pageRank(
         WebGraph.hostLinkGraph(links, "url", "resolved"), iterations = 10)
-      allowed.join(ranks, Seq("host"), "left")
+      val ranked = allowed.join(ranks, Seq("host"), "left")
         .select(col("doc_id"), col("host"), col("url_path"),
           coalesce(col("rank_scaled"), lit(0L)).as("rank_scaled"))
+      // politeness × quality: within each host fetch best-ranked pages
+      // first; the slot spacing rides the host's crawl delay (r13)
+      Robots.scheduleFrontier(ranked, "host",
+          Robots.crawlDelays(parsed, "host", "graftbot"),
+          orderCols = Seq(col("rank_scaled").desc, col("doc_id").asc))
         .orderBy(col("rank_scaled").desc, col("doc_id")).limit(100)
     }),
     // Sentence segmentation (r12): the line-below-document granularity
@@ -7725,15 +7768,42 @@ object SparkEntry {
     // The composed frontier: robots parse+eval, link chain, PageRank
     // rounds — four CTE bodies spliced into ONE replay (hosts absent
     // from the graph — the isolated residue — rank 0).
+    // Delay-aware fetch slots over the allowed frontier (r13): the
+    // schedule arithmetic replayed — per-host row_number, (rank−1)×delay,
+    // the exact-beats-star delay pick via rb_cd, default 0 where absent.
+    "q_web_frontier_sched" ->
+      (s"WITH $robotsParseCtes,\n$robotsEvalCtes,\n" +
+        """sched AS (
+          |  SELECT u.doc_id, u.host, u.url_path,
+          |    coalesce(cd.crawl_delay_ms, 0) AS crawl_delay_ms,
+          |    CAST(row_number() OVER (PARTITION BY u.host
+          |      ORDER BY u.doc_id) AS INT) AS fetch_rank
+          |  FROM uu u
+          |  LEFT JOIN bm b ON b.doc_id = u.doc_id
+          |  LEFT JOIN rb_cd cd ON cd.host = u.host
+          |  WHERE coalesce(b.rule_type = 'allow', TRUE))
+          |SELECT doc_id, host, url_path, crawl_delay_ms, fetch_rank,
+          |  CAST((fetch_rank - 1) * crawl_delay_ms AS BIGINT)
+          |    AS fetch_slot_ms
+          |FROM sched ORDER BY doc_id""".stripMargin),
     "q_web_frontier" ->
       (s"WITH $robotsParseCtes,\n$robotsEvalCtes,\n$linkChainCtes,\n" +
         s"${pageRankCtes(10)}\n" +
-        """SELECT doc_id, host, url_path, rank_scaled FROM (
+        """SELECT doc_id, host, url_path, rank_scaled, crawl_delay_ms,
+          |  fetch_rank,
+          |  CAST((fetch_rank - 1) * crawl_delay_ms AS BIGINT)
+          |    AS fetch_slot_ms
+          |FROM (
           |  SELECT u.doc_id, u.host, u.url_path,
-          |    coalesce(p.rank, 0) AS rank_scaled
+          |    coalesce(p.rank, 0) AS rank_scaled,
+          |    coalesce(cd.crawl_delay_ms, 0) AS crawl_delay_ms,
+          |    CAST(row_number() OVER (PARTITION BY u.host
+          |      ORDER BY coalesce(p.rank, 0) DESC, u.doc_id) AS INT)
+          |      AS fetch_rank
           |  FROM uu u
           |  LEFT JOIN bm b ON b.doc_id = u.doc_id
           |  LEFT JOIN pr10 p ON p.host = u.host
+          |  LEFT JOIN rb_cd cd ON cd.host = u.host
           |  WHERE coalesce(b.rule_type = 'allow', TRUE))
           |ORDER BY rank_scaled DESC, doc_id LIMIT 100""".stripMargin),
     // Sentence chain replayed from the SAME Scala constants: abbrev

@@ -148,9 +148,14 @@ object Robots {
     * rule_type, rule_path)` with NULL rule columns on the
     * no-matching-rule default.
     */
-  def evaluateRobots(parsed: DataFrame, hostCol: String,
-                     urls: DataFrame, urlKeyCols: Seq[String],
-                     userAgent: String): DataFrame = {
+  /** The groups `userAgent` selects per host: the exact-agent groups
+    * when any exist for the host, else the `*` groups — the agent-
+    * selection rule shared by allow/deny evaluation and crawl-delay
+    * extraction (they must agree, or a bot could obey one group's rules
+    * and another group's delay).
+    */
+  private def selectGroups(parsed: DataFrame, hostCol: String,
+                           userAgent: String): DataFrame = {
     val agent = userAgent.toLowerCase(java.util.Locale.ROOT)
     val agents = parsed.filter(col("directive") === "user-agent" &&
         col("group_id") > 0)
@@ -158,11 +163,68 @@ object Robots {
     val exactHosts = agents.filter(col("agent") === agent)
       .select(col(hostCol)).distinct()
       .withColumn("__has_exact", lit(true))
-    val chosenGroups = agents
+    agents
       .join(exactHosts, Seq(hostCol), "left")
       .filter(when(col("__has_exact"), col("agent") === agent)
         .otherwise(col("agent") === "*"))
       .select(col(hostCol), col("group_id")).distinct()
+  }
+
+  /** Per-host crawl delay for `userAgent`, in integer MILLISECONDS:
+    * the `Crawl-delay` directives of the agent's selected groups (the
+    * [[selectGroups]] rule — same selection the allow/deny evaluation
+    * uses), fractional seconds parsed with `try_cast` (malformed values
+    * null out, never throw), the MAX over a host's selected groups when
+    * several carry one (the conservative pick, deterministic). Hosts
+    * with no parseable delay are absent — callers coalesce to their
+    * default. Crawl-delay is de-facto (Google ignores it, Bing/Yandex
+    * honor it; it is not in RFC 9309) but frontier schedulers need it
+    * wherever it exists. Returns `(hostCol, crawl_delay_ms)`.
+    */
+  def crawlDelays(parsed: DataFrame, hostCol: String,
+                  userAgent: String): DataFrame =
+    parsed
+      .filter(col("directive") === "crawl-delay")
+      .join(selectGroups(parsed, hostCol, userAgent),
+        Seq(hostCol, "group_id"))
+      .select(col(hostCol), col("value").try_cast("double").as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy(hostCol)
+      .agg(round(max(col("__d")) * 1000).cast("long").as("crawl_delay_ms"))
+
+  /** Space each host's frontier URLs into politeness fetch slots:
+    * `fetch_rank` ranks the host's URLs by `orderCols` (1-based,
+    * deterministic — pass a total order), and `fetch_slot_ms =
+    * (fetch_rank − 1) × crawl_delay_ms` is the earliest offset (ms from
+    * the host's first fetch) at which the URL may be fetched under the
+    * host's delay ([[crawlDelays]] output joined on `hostCol`; hosts
+    * without one take `defaultDelayMs`). Pure window arithmetic over
+    * host-keyed partitions — one shuffle on the host key, no state; a
+    * fetcher turns slots into wall-clock by adding its per-host start
+    * time. Returns the url rows + `(crawl_delay_ms, fetch_rank,
+    * fetch_slot_ms)`.
+    */
+  def scheduleFrontier(urls: DataFrame, hostCol: String,
+                       delays: DataFrame, orderCols: Seq[Column],
+                       defaultDelayMs: Long = 0L): DataFrame = {
+    require(orderCols.nonEmpty, "scheduleFrontier: orderCols required")
+    require(defaultDelayMs >= 0,
+      s"scheduleFrontier: defaultDelayMs must be >= 0, got $defaultDelayMs")
+    urls
+      .join(delays, Seq(hostCol), "left")
+      .withColumn("crawl_delay_ms",
+        coalesce(col("crawl_delay_ms"), lit(defaultDelayMs)))
+      .withColumn("fetch_rank", row_number()
+        .over(Window.partitionBy(col(hostCol)).orderBy(orderCols: _*))
+        .cast("int"))
+      .withColumn("fetch_slot_ms",
+        (col("fetch_rank") - 1).cast("long") * col("crawl_delay_ms"))
+  }
+
+  def evaluateRobots(parsed: DataFrame, hostCol: String,
+                     urls: DataFrame, urlKeyCols: Seq[String],
+                     userAgent: String): DataFrame = {
+    val chosenGroups = selectGroups(parsed, hostCol, userAgent)
     val rules = parsed
       .filter(col("directive").isin("allow", "disallow") &&
         col("value") =!= "")

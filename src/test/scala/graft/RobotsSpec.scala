@@ -185,4 +185,37 @@ class RobotsSpec extends SparkSpec {
       .select("allowed").as[Boolean].collect().toSeq
     assert(got == Seq(true))
   }
+
+  test("crawlDelays: group selection, fractional seconds, max, garbage") {
+    val docs = Seq(
+      ("h.example", robots), // exact graftbot group exists, NO delay in it
+      ("s.example", "User-agent: *\nCrawl-delay: 0.5\nCrawl-delay: 2\n" +
+        "Disallow: /x"),     // two in one group -> max
+      ("g.example", "User-agent: *\nCrawl-delay: soon\nDisallow: /x"))
+      .toDF("host", "txt")
+    val p = Robots.parseRobots(docs, Seq("host"), "txt")
+    // graftbot selects h.example's exact group (which has no delay), so
+    // the star group's Crawl-delay: 10 must NOT leak in; altbot ditto;
+    // a generic bot takes the star group's 10 s.
+    def delays(agent: String) =
+      Robots.crawlDelays(p, "host", agent)
+        .as[(String, Long)].collect().toMap
+    assert(delays("graftbot") == Map("s.example" -> 2000L))
+    assert(delays("nobot") ==
+      Map("h.example" -> 10000L, "s.example" -> 2000L))
+    // g.example's unparseable value nulls out (absent, never a throw)
+  }
+
+  test("scheduleFrontier: per-host slots, default delay, determinism") {
+    val delays = Seq(("a.example", 1500L)).toDF("host", "crawl_delay_ms")
+    val urls = Seq((3L, "a.example"), (1L, "a.example"), (2L, "a.example"),
+      (4L, "b.example")).toDF("uid", "host")
+    val got = Robots.scheduleFrontier(urls, "host", delays,
+        Seq(col("uid").asc), defaultDelayMs = 100L)
+      .select("uid", "crawl_delay_ms", "fetch_rank", "fetch_slot_ms")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1500L, 1, 0L), (2L, 1500L, 2, 1500L), (3L, 1500L, 3, 3000L),
+      (4L, 100L, 1, 0L)))
+  }
 }
