@@ -382,6 +382,12 @@ object SparkEntry {
       lit("\">Mirror &amp; more</a>"),
       lit("<a href=\"/local/"), (id % 5).cast("string"),
       lit("\">Local page</a>"),
+      // external hosts with no pages of their own — genuinely DANGLING
+      // nodes (dst-only), so the per-iteration dangling-mass
+      // redistribution carries real load in the PageRank hash (r13)
+      lit("<a href=\"https://ext"), (id % 3).cast("string"),
+      lit(".example.org/r/"), (id % 11).cast("string"),
+      lit("\">External ref</a>"),
       when(id % 4 === 0,
         lit("<a href=\"mailto:me@example.com\">mail us</a>"))
         .otherwise(lit("")),
@@ -412,6 +418,9 @@ object SparkEntry {
        |      '">Mirror &amp; more</a>' ||
        |    '<a href="/local/' || CAST(doc_id % 5 AS VARCHAR) ||
        |      '">Local page</a>' ||
+       |    '<a href="https://ext' || CAST(doc_id % 3 AS VARCHAR) ||
+       |      '.example.org/r/' || CAST(doc_id % 11 AS VARCHAR) ||
+       |      '">External ref</a>' ||
        |    CASE WHEN doc_id % 4 = 0
        |      THEN '<a href="mailto:me@example.com">mail us</a>'
        |      ELSE '' END ||
@@ -477,11 +486,24 @@ object SparkEntry {
     */
   private def pageRankCtes(iterations: Int): String = {
     val rounds = (0 until iterations).map { i =>
-      s"""pr${i + 1} AS (
+      // dm$i: the round's dangling share — ONE scalar row (rank mass on
+      // hosts with no outlinks, integer-divided by n), mirroring the
+      // per-iteration anti-join scalar both Spark paths compute (r13)
+      // MATERIALIZED: dm$i makes pr$i referenced TWICE per round, and
+      // DuckDB inlines plain CTEs — without materialization the replay
+      // re-evaluates the whole upstream chain per reference (2^rounds
+      // blowup; the compare run went from seconds to unbounded)
+      s"""dm$i AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(CASE WHEN o.src_host IS NULL
+         |    THEN r.rank END), 0) // min(p.n) AS BIGINT) AS dshare
+         |  FROM pr$i r
+         |  LEFT JOIN outw o ON o.src_host = r.host
+         |  CROSS JOIN params p),
+         |pr${i + 1} AS MATERIALIZED (
          |  SELECT n.host,
-         |    CAST((15 * p.base + 85 * coalesce(s.m, 0)) // 100 AS BIGINT)
-         |      AS rank
-         |  FROM nodes n CROSS JOIN params p LEFT JOIN (
+         |    CAST((15 * p.base + 85 * (coalesce(s.m, 0) + d.dshare)) // 100
+         |      AS BIGINT) AS rank
+         |  FROM nodes n CROSS JOIN params p CROSS JOIN dm$i d LEFT JOIN (
          |    SELECT e.dst_host AS host,
          |      CAST(sum((r.rank * e.weight) // o.ow) AS BIGINT) AS m
          |    FROM edges e
@@ -489,17 +511,18 @@ object SparkEntry {
          |    JOIN pr$i r ON r.host = e.src_host
          |    GROUP BY 1) s ON s.host = n.host)""".stripMargin
     }.mkString(",\n")
-    s"""outw AS (
+    s"""outw AS MATERIALIZED (
        |  SELECT src_host, CAST(sum(weight) AS BIGINT) AS ow
        |  FROM edges GROUP BY 1),
-       |nodes AS (
+       |nodes AS MATERIALIZED (
        |  SELECT DISTINCT host FROM (
        |    SELECT src_host AS host FROM edges
        |    UNION ALL SELECT dst_host FROM edges)),
-       |params AS (
-       |  SELECT CAST(${WebGraph.RankScale} // count(*) AS BIGINT) AS base
+       |params AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(${WebGraph.RankScale} // count(*) AS BIGINT) AS base
        |  FROM nodes),
-       |pr0 AS (
+       |pr0 AS MATERIALIZED (
        |  SELECT host, base AS rank FROM nodes CROSS JOIN params),
        |$rounds""".stripMargin
   }

@@ -129,15 +129,22 @@ object WebGraph {
   /** Weighted PageRank over `(src_host, dst_host, weight)` — exact
     * integer fixed-point at [[RankScale]]: every node starts at
     * `1e12 div n`, each iteration sends `rank · w div out_weight` along
-    * each edge and updates to `(15·base + 85·Σ inbound) div 100`.
-    * Dangling mass (hosts with no outlinks) is dropped rather than
-    * redistributed — the "weak PageRank" simplification, documented;
-    * ranks then sum to ≤ 1e12 and individual ranks stay ≤ 1e12, which
-    * bounds the per-edge product: `max(weight)` must stay ≤
-    * `Long.MaxValue / 1e12` ≈ 9.2e6 (checked loudly up front; pre-scale
-    * pathological edge weights down before calling — rank is invariant
-    * under uniform per-src weight scaling up to integer-division
-    * rounding).
+    * each edge and updates to `(15·base + 85·(Σ inbound + dangling
+    * share)) div 100`. DANGLING MASS (the rank sitting on hosts with no
+    * outlinks) redistributes uniformly each iteration (r13, VERDICT r12
+    * §next-4 — the standard fix for rank mass leaking out of the
+    * system, Page et al. 1999 §2.7): the dangling hosts' summed rank is
+    * ONE BIGINT scalar per round (an O(nodes) anti-join agg on the
+    * distributed path — cheap next to the per-iteration edge shuffle),
+    * and every node receives `dangling_mass div n` — integer division,
+    * so the sub-n remainder is dropped per round (bounded drift ≤ n
+    * units/round, documented; Σ ranks stays ≤ 1e12 and individual
+    * ranks stay ≤ 1e12). That keeps the arithmetic order-free and
+    * bit-identical cross-engine, and bounds the per-edge product:
+    * `max(weight)` must stay ≤ `Long.MaxValue / 1e12` ≈ 9.2e6 (checked
+    * loudly up front; pre-scale pathological edge weights down before
+    * calling — rank is invariant under uniform per-src weight scaling
+    * up to integer-division rounding).
     *
     * Size-gated like [[Dedup.duplicateGroups]]: at or below
     * `localEdgeLimit` edges the graph collects to the driver and
@@ -191,8 +198,11 @@ object WebGraph {
         rows.foreach { case (s, d, w) =>
           in(d) = in.getOrElse(d, 0L) + rank(s) * w / outW(s)
         }
+        val dShare = hosts.iterator.filterNot(outW.contains)
+          .map(rank).sum / hosts.length
         rank = hosts.map(h =>
-          h -> (15L * base + DampingNum * in.getOrElse(h, 0L)) / 100L).toMap
+          h -> (15L * base +
+            DampingNum * (in.getOrElse(h, 0L) + dShare)) / 100L).toMap
       }
       import spark.implicits._
       rank.toSeq.toDF("host", "rank_scaled")
@@ -204,16 +214,27 @@ object WebGraph {
       val nodes = e.select(col("src").as("host"))
         .union(e.select(col("dst").as("host"))).distinct()
         .persist()
-      val base = RankScale / nodes.count()
+      val nNodes = nodes.count()
+      val base = RankScale / nNodes
       var ranks = nodes.withColumn("rank", lit(base)).localCheckpoint()
       for (_ <- 1 to iterations) {
+        // one BIGINT scalar per round: the dangling hosts' summed rank
+        // (anti-join against the outlink side over the CHECKPOINTED
+        // ranks — O(nodes), no recompute) becomes a literal in the
+        // update expression, keeping the iteration itself one edge-keyed
+        // join + one dst-keyed agg
+        val dShare = ranks
+          .join(outW.select(col("src").as("host")), Seq("host"), "left_anti")
+          .agg(coalesce(sum("rank"), lit(0L))).collect()(0)
+          .getLong(0) / nNodes
         val contrib = e.join(outW, Seq("src"))
           .join(ranks.select(col("host").as("src"), col("rank")), Seq("src"))
           .select(col("dst").as("host"), expr("rank * w div ow").as("c"))
           .groupBy("host").agg(sum("c").as("in_mass"))
         ranks = nodes.join(contrib, Seq("host"), "left")
           .select(col("host"),
-            expr(s"(15 * ${base}L + $DampingNum * coalesce(in_mass, 0L)) div 100")
+            expr(s"(15 * ${base}L + $DampingNum * " +
+              s"(coalesce(in_mass, 0L) + ${dShare}L)) div 100")
               .as("rank"))
           .localCheckpoint()
       }

@@ -105,11 +105,39 @@ class WebGraphSpec extends SparkSpec {
     val base = 333333333333L // 1e12 div 3
     val got = WebGraph.pageRank(edges, iterations = 1)
       .orderBy("host").as[(String, Long)].collect().toSeq
-    // a receives b's full rank; b and c each receive half of a's
-    val ra = (15L * base + 85L * base) / 100L
-    val rb = (15L * base + 85L * (base / 2)) / 100L
+    // a receives b's full rank; b and c each receive half of a's; c is
+    // DANGLING (no outlinks), so its round-start rank redistributes as
+    // base div 3 to every node (r13)
+    val dShare = base / 3
+    val ra = (15L * base + 85L * (base + dShare)) / 100L
+    val rb = (15L * base + 85L * (base / 2 + dShare)) / 100L
     assert(got == Seq(("a", ra), ("b", rb), ("c", rb)), got)
-    assert(ra == 333333333333L && rb == 191666666666L) // the literal values
+    assert(ra == 427777777777L && rb == 286111111110L) // the literal values
+  }
+
+  test("pageRank: dangling redistribution conserves total mass") {
+    // a -> b only: b is dangling. Without redistribution b's mass leaked
+    // every round (Σ decayed by ~85% of b's rank per iteration); with it
+    // the only loss is integer-truncation drift, bounded by ~2n units
+    // per round (each node's //100 truncates < 1 unit; the dangling
+    // share's div n drops a sub-n remainder once per round).
+    val edges = Seq(("a", "b", 1L)).toDF("src_host", "dst_host", "weight")
+    for (iters <- Seq(1, 3, 7)) {
+      val drv = WebGraph.pageRank(edges, iterations = iters)
+        .orderBy("host").as[(String, Long)].collect().toSeq
+      val dist = WebGraph.pageRank(edges, iterations = iters,
+          localEdgeLimit = 0)
+        .orderBy("host").as[(String, Long)].collect().toSeq
+      assert(drv == dist, s"iters=$iters: driver $drv vs distributed $dist")
+      val sum = drv.map(_._2).sum
+      assert(sum <= WebGraph.RankScale, s"iters=$iters: mass grew: $drv")
+      assert(WebGraph.RankScale - sum <= 4L * iters,
+        s"iters=$iters: mass leaked past truncation drift: $drv (Σ=$sum)")
+    }
+    // exact at one iteration (every division lands on round numbers)
+    val one = WebGraph.pageRank(edges, iterations = 1)
+      .as[(String, Long)].collect().map(_._2).sum
+    assert(one == WebGraph.RankScale)
   }
 
   test("pageRank: driver and distributed paths agree; guards fail loud") {
