@@ -1673,6 +1673,10 @@ object SparkEntry {
       // ruling); the benched row is the loaded-vocab probe
       // q_text_bpe_bytes_scored.
       "q_text_bpe_bytes_gate",
+      // r13: the framing gate re-runs all four encoders + the pack replay
+      // (quality-gate ruling); the framed-ids row re-bills the benched
+      // encode plus map-side framing (superset ruling).
+      "q_text_specials_gate", "q_text_bpe_ids_framed",
       // r12: the fineweb audit's per-stage prefix recompute re-runs the
       // eager MinHash/components stages repeatedly (the tokenize_audit
       // ruling); the recipe row itself stays benched.
@@ -3409,6 +3413,120 @@ object SparkEntry {
           array_join(Bpe.byteBpeEncodeIds(col("text"), vocab)
             .cast("array<string>"), " ").as("ids"))
         .orderBy("doc_id")
+    }),
+    // Trainer-ready framed sequences (r13, VERDICT r12 §next-3): BOS/EOS
+    // from the reserved block above the vocab, truncation to a context
+    // bound — the form sequence packing and sharded token exports
+    // actually consume. Rows-only (ids are engine-side model artifacts);
+    // pinned by q_text_specials_gate. Verify-only: it re-runs the
+    // benched encode (q_text_bpe_ids_scored) plus map-side framing.
+    "q_text_bpe_ids_framed" -> ((s, d) => {
+      val (vp, mp) = bpeEnsureModel(s, d)
+      val vocab = Bpe.readVocab(s, vp, mp)
+      val sp = SpecialTokens.Ids(vocab.vocabSize)
+      t(s, d, "documents").select(col("doc_id"),
+          array_join(SpecialTokens.padTo(
+              SpecialTokens.addSpecials(
+                Bpe.bpeEncodeIds(col("text"), vocab), sp, 32), sp, 32)
+            .cast("array<string>"), " ").as("ids"))
+        .orderBy("doc_id")
+    }),
+    // Gate (verify-only): special-token framing + truncation invariants
+    // over ALL FOUR id encoders (BPE, byte-BPE, WordPiece, unigram), each
+    // under a loaded persisted vocab. Per doc and per encoder: framed
+    // length = raw + 2 (and = min(raw+2, maxLen) when truncating), BOS
+    // first / EOS last (EOS survives truncation), stripSpecials inverts
+    // the framing exactly, padding is pure tail fill to the fixed shape.
+    // Tied to the oracle through exact integers: n_special = 2·n_docs,
+    // and Σ base spans of the framed BPE sequence's CONTENT ids rebuilds
+    // the oracled initial-symbol total (framing adds ids, never disturbs
+    // content). The EOS-terminated form also drives packSequencesByCount:
+    // the distributed two-pass prefix sum must equal a single-partition
+    // window replay row-for-row, and the packed total must equal
+    // (oracled initial total − trainer applied merges + 2·n_docs).
+    "q_text_specials_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (bvp, bmp) = bpeEnsureModel(s, d)
+      val bpeV = Bpe.readVocab(s, bvp, bmp)
+      val (yvp, ymp) = byteBpeEnsureModel(s, d)
+      val byteV = Bpe.readVocab(s, yvp, ymp)
+      val uniV = Unigram.readVocab(s, ensureModel(s, d, "unigram")(
+        Unigram.vocabTable(s, Unigram.trainUnigramModel(
+          docs, "text", targetVocab = 300))))
+      val wpV = WordPiece.readVocab(s, ensureModel(s, d, "wordpiece")(
+        WordPiece.vocabTable(s, WordPiece.trainWordPiece(
+          docs, "text", numMerges = 20))))
+      val Big = 1 << 20
+      def frameOk(raw: Column, v: Int): Column = {
+        val sp = SpecialTokens.Ids(v)
+        val framed = SpecialTokens.addSpecials(raw, sp, Big)
+        val short = SpecialTokens.addSpecials(raw, sp, 16)
+        val padded = SpecialTokens.padTo(short, sp, 16)
+        size(framed) === size(raw) + 2 &&
+          element_at(framed, 1) === sp.bosId &&
+          element_at(framed, -1) === sp.eosId &&
+          SpecialTokens.stripSpecials(framed, sp) === raw &&
+          size(short) === least(size(raw) + 2, lit(16)) &&
+          element_at(short, 1) === sp.bosId &&
+          element_at(short, -1) === sp.eosId &&
+          size(padded) === 16 &&
+          SpecialTokens.stripSpecials(padded, sp) === slice(raw, 1, 14) &&
+          slice(padded, lit(1), size(short)) === short
+      }
+      val sp = SpecialTokens.Ids(bpeV.vocabSize)
+      val framedBpe = SpecialTokens.addSpecials(
+        Bpe.bpeEncodeIds(col("text"), bpeV), sp, Big)
+      val blLit = typedlit(bpeV.baseLengths.toSeq)
+      val perDoc = docs.select(col("doc_id"),
+        frameOk(Bpe.bpeEncodeIds(col("text"), bpeV), bpeV.vocabSize)
+          .as("__bok"),
+        frameOk(Bpe.byteBpeEncodeIds(col("text"), byteV), byteV.vocabSize)
+          .as("__yok"),
+        frameOk(WordPiece.wordPieceEncodeIds(col("text"), wpV),
+          wpV.vocabSize).as("__wok"),
+        frameOk(Unigram.unigramEncodeIds(col("text"), uniV),
+          uniV.vocabSize).as("__uok"),
+        framedBpe.as("__fb"),
+        Bpe.initialTokenCount(col("text")).as("__init"))
+      val packed = Curation.packSequencesByCount(docs, "doc_id",
+        size(framedBpe).cast("long"), budgetTokens = 2048)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val appliedSum = bpeV.merges.map(_.appliedCount).sum
+      packed
+        .join(perDoc.withColumn("__n", size(col("__fb")).cast("long"))
+          .withColumn("__cum", coalesce(sum(col("__n")).over(w), lit(0L))),
+          Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__init")).as("n_init_tokens"),
+          sum(when(col("__bok"), 0).otherwise(1)).as("__mb"),
+          sum(when(col("__yok"), 0).otherwise(1)).as("__my"),
+          sum(when(col("__wok"), 0).otherwise(1)).as("__mw"),
+          sum(when(col("__uok"), 0).otherwise(1)).as("__mu"),
+          sum(size(filter(col("__fb"), i => i >= lit(sp.vocabSize)))
+            .cast("long")).as("__nspec"),
+          sum(aggregate(transform(
+              filter(col("__fb"), i => i < lit(sp.vocabSize)),
+              i => element_at(blLit, i + 1)),
+            lit(0L), (a, v) => a + v)).as("__span"),
+          sum(when(col("pack_id") === expr("__cum div 2048L") &&
+              col("pack_offset") === col("__cum") % 2048L, 0)
+            .otherwise(1)).as("__mpack"),
+          sum(col("n_tok")).as("__ptotal"))
+        .select(col("n_docs"), col("n_init_tokens"),
+          (col("__mb") === 0).as("bpe_frame_ok"),
+          (col("__my") === 0).as("byte_frame_ok"),
+          (col("__mw") === 0).as("wp_frame_ok"),
+          (col("__mu") === 0).as("uni_frame_ok"),
+          (col("__nspec") === col("n_docs") * 2).as("n_special_ok"),
+          (col("__span") === col("n_init_tokens"))
+            .as("framed_conservation_ok"),
+          (col("__mpack") === 0).as("pack_replay_ok"),
+          (col("__ptotal") ===
+            col("n_init_tokens") - lit(appliedSum) + col("n_docs") * 2)
+            .as("pack_total_ok"))
     }),
     // Unigram-LM (SentencePiece) tokenizer (late r10): distributed seed +
     // driver EM/prune + codegen'd Viterbi encode. The ids are engine-side
@@ -6477,6 +6595,22 @@ object SparkEntry {
         |  FROM documents)
         |SELECT CAST(sum(len(w) + 1) AS BIGINT) AS n_init_tokens,
         |  true AS ids_len_ok, true AS conservation_ok, true AS ids_known_ok
+        |FROM tk""".stripMargin,
+    // Framing truth (r13): the initial-symbol total again (framing must
+    // not disturb content conservation), n_docs for the 2-specials-per-
+    // doc arithmetic; the per-encoder frame/strip/pad equalities and the
+    // pack replay are engine-side exact integers pinned true.
+    "q_text_specials_gate" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '')) AS w
+        |  FROM documents)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |  CAST(sum(len(w) + 1) AS BIGINT) AS n_init_tokens,
+        |  true AS bpe_frame_ok, true AS byte_frame_ok,
+        |  true AS wp_frame_ok, true AS uni_frame_ok,
+        |  true AS n_special_ok, true AS framed_conservation_ok,
+        |  true AS pack_replay_ok, true AS pack_total_ok
         |FROM tk""".stripMargin,
     // Initial-symbol truth again; the window-replay and applied-total
     // equalities are engine-side exact integers pinned true.

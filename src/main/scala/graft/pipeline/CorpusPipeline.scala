@@ -209,7 +209,8 @@ object CorpusPipeline {
     * materialization contract as the classifier's model training.
     */
   final case class TokenizeBpe(numMerges: Int, idsCol: String = "token_ids",
-                               nTokCol: String = "n_bpe_tokens") extends Step
+                               nTokCol: String = "n_bpe_tokens",
+                               maxLen: Option[Int] = None) extends Step
 
   /** Terminal unigram-LM tokenizer stage (late r10) — [[TokenizeBpe]]'s
     * twin over [[graft.operators.Unigram]]: train a unigram vocabulary of
@@ -431,7 +432,7 @@ object CorpusPipeline {
         case ClassifierKeep(labelCol, keepLabel, addK, minMargin) =>
           graft.operators.Classifier.filterByClassifier(d, idCol, labelCol,
             textCol, keepLabel, addK, minMargin)
-        case TokenizeBpe(numMerges, idsCol, nTokCol) =>
+        case TokenizeBpe(numMerges, idsCol, nTokCol, maxLen) =>
           // Pin the curated corpus before the multi-pass terminal stage:
           // the trainer executes its input twice (vocab-count guard +
           // word-table collect) and the encode scans it once more — three
@@ -445,8 +446,15 @@ object CorpusPipeline {
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val vocab =
             graft.operators.Bpe.trainBpeModel(pinned, textCol, numMerges)
-          pinned.withColumn(idsCol,
-              graft.operators.Bpe.bpeEncodeIds(col(textCol), vocab))
+          // maxLen set -> the trainer-ready framed form (r13): BOS/EOS
+          // from the reserved block above the vocab, truncation to the
+          // context bound, nTok counting the framed sequence
+          val raw = graft.operators.Bpe.bpeEncodeIds(col(textCol), vocab)
+          val ids = maxLen.fold(raw) { m =>
+            graft.operators.SpecialTokens.addSpecials(raw,
+              graft.operators.SpecialTokens.Ids(vocab.vocabSize), m)
+          }
+          pinned.withColumn(idsCol, ids)
             .withColumn(nTokCol, size(col(idsCol)).cast("long"))
         case TokenizeUnigram(targetVocab, idsCol, nTokCol) =>
           // same materialize-before-multi-pass-stage trade as TokenizeBpe

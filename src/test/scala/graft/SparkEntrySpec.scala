@@ -44,6 +44,9 @@ class SparkEntrySpec extends SparkSpec {
       "q_text_bpe_encode" -> Seq("q_text_bpe_gate"),
       "q_text_bpe_ids" -> Seq("q_text_bpe_ids_gate"),
       "q_text_bpe_ids_scored" -> Seq("q_text_bpe_ids_gate"),
+      // r13: the framed form is pinned by the specials gate (framing,
+      // truncation, strip-inverse, pad shape, conservation + n_special)
+      "q_text_bpe_ids_framed" -> Seq("q_text_specials_gate"),
       "q_text_bpe_bytes_scored" -> Seq("q_text_bpe_bytes_gate"),
       "q_cur_pack_bpe_scored" -> Seq("q_cur_pack_bpe_gate"),
       "q_text_unigram_ids" ->

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Bpe, SpecialTokens}
+import org.apache.spark.sql.functions._
+
+/** BOS/EOS framing, truncation, padding, and strip-inverse — the id
+  * arithmetic every trainer-input stage rides on.
+  */
+class SpecialTokensSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sp = SpecialTokens.Ids(100) // bos 100, eos 101, pad 102
+
+  private def run(ids: Seq[Int], f: org.apache.spark.sql.Column =>
+      org.apache.spark.sql.Column): Seq[Int] =
+    Seq(Tuple1(ids)).toDF("ids").select(f(col("ids")).as("r"))
+      .as[Seq[Int]].collect().head
+
+  test("id block sits above the vocab in fixed rank order") {
+    assert(sp.bosId == 100 && sp.eosId == 101 && sp.padId == 102)
+    assert(sp.extendedVocabSize == 103)
+    intercept[IllegalArgumentException](SpecialTokens.Ids(0))
+  }
+
+  test("addSpecials: frame, truncate-then-close, tiny maxLen, null") {
+    assert(run(Seq(5, 7, 9), SpecialTokens.addSpecials(_, sp, 10)) ==
+      Seq(100, 5, 7, 9, 101))
+    // truncation keeps the FIRST maxLen-2 ids and re-appends EOS
+    assert(run(Seq(1, 2, 3, 4, 5), SpecialTokens.addSpecials(_, sp, 4)) ==
+      Seq(100, 1, 2, 101))
+    // maxLen = 2: nothing but the frame survives
+    assert(run(Seq(1, 2, 3), SpecialTokens.addSpecials(_, sp, 2)) ==
+      Seq(100, 101))
+    assert(run(Seq.empty, SpecialTokens.addSpecials(_, sp, 8)) ==
+      Seq(100, 101))
+    intercept[IllegalArgumentException](
+      SpecialTokens.addSpecials(col("x"), sp, 1))
+    val n = Seq(Tuple1(null.asInstanceOf[Seq[Int]])).toDF("ids")
+      .select(SpecialTokens.addSpecials(col("ids"), sp, 8).isNull)
+      .as[Boolean].collect().head
+    assert(n, "NULL ids must stay NULL")
+  }
+
+  test("padTo: tail fill to fixed shape; over-long fails loudly") {
+    assert(run(Seq(100, 5, 101), SpecialTokens.padTo(_, sp, 6)) ==
+      Seq(100, 5, 101, 102, 102, 102))
+    assert(run(Seq(1, 2, 3), SpecialTokens.padTo(_, sp, 3)) == Seq(1, 2, 3))
+    val e = intercept[Exception] {
+      Seq(Tuple1(Seq(1, 2, 3, 4))).toDF("ids")
+        .select(SpecialTokens.padTo(col("ids"), sp, 3)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("stripSpecials inverts framing; decode roundtrip survives") {
+    assert(run(Seq(100, 5, 7, 101, 102, 102),
+      SpecialTokens.stripSpecials(_, sp)) == Seq(5, 7))
+    // end-to-end with a real vocab: decode(strip(pad(frame(encode)))) ==
+    // decode(encode) — the framed form never corrupts the content ids
+    val docs = Seq((1L, "low lower lowest low"), (2L, "the low bar"))
+      .toDF("doc_id", "text")
+    val vocab = Bpe.trainBpeModel(docs, "text", numMerges = 5,
+      minPairCount = 1)
+    val vsp = SpecialTokens.Ids(vocab.vocabSize)
+    val got = docs.select(
+        Bpe.bpeDecodeIds(SpecialTokens.stripSpecials(
+          SpecialTokens.padTo(SpecialTokens.addSpecials(
+            Bpe.bpeEncodeIds(col("text"), vocab), vsp, 64), vsp, 64),
+          vsp), vocab).as("a"),
+        Bpe.bpeDecodeIds(Bpe.bpeEncodeIds(col("text"), vocab), vocab)
+          .as("b"))
+      .as[(String, String)].collect()
+    got.foreach { case (a, b) => assert(a == b, s"$a != $b") }
+  }
+}
