@@ -1702,6 +1702,9 @@ object SparkEntry {
       // r12: same ruling, link-side — stateless streaming map work over
       // the already-benched extraction chain.
       "q_stream_web_links",
+      // r13: the stream-append gate is a write-then-read equality check
+      // re-running that same extraction twice (quality-gate ruling).
+      "q_stream_web_append_gate",
       // r12: the crawl-frontier showcase recomputes the benched robots
       // evaluation AND the benched PageRank chain — superset ruling.
       // r13: the delay-aware scheduler row recomputes the benched robots
@@ -3096,6 +3099,41 @@ object SparkEntry {
         q.awaitTermination()
       }
       s.table(sink).orderBy("doc_id", "link_idx")
+    }),
+    // The incremental crawl loop end-to-end (r13, VERDICT r12 §next-7):
+    // half the pages land as the index's batch base, the other half
+    // STREAM in — each micro-batch's host-pair counts appended as
+    // additive partials via foreachBatch — and the summed index must
+    // equal the batch-rebuilt graph over all pages, hash-exact against
+    // the DuckDB edges replay (integer partial counts commute; a lost,
+    // doubled, or mis-keyed batch breaks the weight sums). Verify-only:
+    // a write-then-read gate re-running the benched extraction
+    // (quality-gate ruling).
+    "q_stream_web_append_gate" -> ((s, d) => {
+      val idx = tempDirCleaned("graft-webappend") + "/idx"
+      def linksOf(df: DataFrame): DataFrame =
+        WebGraph.extractLinks(df, Seq("doc_id", "url"), "html")
+          .withColumn("resolved",
+            WebGraph.resolveUrl(col("url"), col("href")))
+      WebGraph.writeIndex(WebGraph.hostLinkGraph(
+        linksOf(linkPages(
+          t(s, d, "documents").filter(col("doc_id") % 2 === 0))),
+        "url", "resolved"), idx)
+      val src = webStreamEnsure(s, d)
+      val schema = s.read.parquet(src).schema
+      val stream = linksOf(s.readStream.schema(schema).parquet(src)
+        .filter(col("doc_id") % 2 =!= 0))
+      withStreamStatePartitions(s) {
+        val q = stream.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            WebGraph.appendIndex(
+              WebGraph.hostLinkGraph(b, "url", "resolved"), idx)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      WebGraph.readIndexEdges(s, idx).orderBy("src_host", "dst_host")
     }),
     // robots.txt (r12): crawl politeness — the stage BEFORE fetching.
     // Parse: line explode + two host-keyed window passes (grouping per
@@ -7871,6 +7909,12 @@ object SparkEntry {
           |FROM rl ORDER BY doc_id, link_idx""".stripMargin),
     "q_web_pagerank" -> pageRankOracleSql(10),
     "q_web_pagerank_indexed" -> pageRankOracleSql(10),
+    // Stream-appended index == batch-rebuilt graph: the summed partials
+    // must reproduce the all-at-once edge counts exactly (r13).
+    "q_stream_web_append_gate" ->
+      (s"WITH $linkChainCtes\n" +
+        """SELECT src_host, dst_host, weight
+          |FROM edges ORDER BY src_host, dst_host""".stripMargin),
     "q_stream_web_links" ->
       (s"WITH $linkChainCtes\n" +
         """SELECT doc_id, url, link_idx, href, anchor_text, resolved
