@@ -1669,6 +1669,9 @@ object SparkEntry {
       // already benched and cover the steady state. No benched row trains
       // a codebook; both stay hash-green (portable twins + recall gates).
       "q_sim_pq_topk", "q_sim_ivfpq_topk",
+      // r13: the OPQ rotation gate trains PCA + codebooks per run
+      // (quality-gate ruling).
+      "q_sim_opq_gate",
       // r12: the byte-BPE conservation gate trains per run (quality-gate
       // ruling); the benched row is the loaded-vocab probe
       // q_text_bpe_bytes_scored.
@@ -4214,6 +4217,41 @@ object SparkEntry {
         .select(col("n_vectors"), (col("__avg") >= 0.6).as("recon_ok"),
           (col("__hits") >= 9).as("recall_ok"),
           (col("__hits2") >= 9).as("ivfpq_recall_ok"))
+    }),
+    // OPQ-style rotation gate (r13, VERDICT r12 §next-8): full-rank PCA
+    // rotation before PQ (Ge et al. 2013's initialization). Measures (1)
+    // reconstruction: encode in the rotated space, decode, rotate BACK
+    // (exact full-rank inverse, pinned by q_emb_pca_gate) — avg cosine
+    // vs the original vectors must clear the SAME 0.6 floor the
+    // unrotated gate holds; (2) planted-cluster recall of the rotated
+    // ADC-shortlist + exact-re-rank path at the unrotated ≥9/10 floor.
+    // Train-per-run → verify-only (quality-gate ruling).
+    "q_sim_opq_gate" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = Pca.pcaTrain(emb, "vec_id", "embedding", dim = 64, k = 64)
+      val rot = emb.select(col("vec_id").as("id"),
+        Pca.projectCol(col("embedding"), model).as("rvec"))
+      val books = ProductQuantization.trainCodebooks(rot, "id", "rvec",
+        dim = 64, m = 8, k = 16)
+      val codes = ProductQuantization.encode(rot, "id", "rvec", books)
+      val recon = emb.select(col("vec_id").as("id"), col("embedding"))
+        .join(codes, "id")
+        .select(Similarity.cosine(col("embedding"),
+          Pca.reconstructCol(
+            ProductQuantization.decodeColumn(col("codes"), books), model))
+          .as("cos"))
+        .agg(count(lit(1)).as("n_vectors"), avg("cos").as("__avg"))
+      val fix = Similarity.clusteredEmbeddings(s, nClusters = 32,
+        perCluster = 32, dim = 64)
+      val exact = Similarity.bruteForceTopK(fix, "vec_id", "embedding",
+        queryId = 1, k = 10).select("vec_id")
+      val approx = ProductQuantization.pqTopKRotated(fix, "vec_id",
+          "embedding", dim = 64, queryId = 1, k = 10, m = 8, kCodewords = 16)
+        .select("vec_id")
+      val hits = exact.join(approx, "vec_id")
+      recon.crossJoin(hits.agg(count(lit(1)).as("__hits")))
+        .select(col("n_vectors"), (col("__avg") >= 0.6).as("recon_ok"),
+          (col("__hits") >= 9).as("recall_ok"))
     }),
     // Persisted-PQ probe: codes-only scan (8 ints/row vs 64 floats), ADC
     // scoring from the sidecar codebooks — the production "train once,
@@ -7381,6 +7419,12 @@ object SparkEntry {
     "q_sim_pq_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS recon_ok,
         |  true AS recall_ok, true AS ivfpq_recall_ok
+        |FROM embeddings WHERE len(embedding) = 64""".stripMargin,
+    // Rotated-PQ truth: same corpus count, booleans measured engine-side
+    // at the unrotated gate's own floors (r13).
+    "q_sim_opq_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors, true AS recon_ok,
+        |  true AS recall_ok
         |FROM embeddings WHERE len(embedding) = 64""".stripMargin,
     "q_cur_hash_split" ->
       """WITH b AS (

@@ -270,6 +270,45 @@ object ProductQuantization {
       .limit(k)
   }
 
+  /** OPQ-style rotated PQ (r13, VERDICT r12 §next-8; Ge et al. 2013
+    * "Optimized Product Quantization" §4 — the PCA-rotation
+    * initialization OPQ's alternating solver starts from): rotate every
+    * vector by a FULL-RANK PCA basis before PQ, so the m codebook
+    * subspaces cut along decorrelated principal axes instead of
+    * arbitrary coordinate blocks — the subspace-independence assumption
+    * PQ's per-subspace quantizers actually rely on. The rotation is
+    * orthonormal (geometry-preserving) plus a mean translation, applied
+    * as one codegen'd [[Pca.projectCol]] pass per row; codebooks train
+    * and the ADC shortlist scores ENTIRELY in the rotated space, and the
+    * exact re-rank tail scores the ORIGINAL vectors (the [[pqTopK]]
+    * contract) — rotation can only change recall through shortlist
+    * quality, which the gate measures against the unrotated floor.
+    */
+  def pqTopKRotated(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    queryId: Long, k: Int, m: Int = 8, kCodewords: Int = 16,
+                    maxIter: Int = 6, refine: Int = 4,
+                    trainFraction: Double = 0.25): DataFrame = {
+    val model = Pca.pcaTrain(emb, idCol, vecCol, dim, k = dim)
+    val rot = emb.select(col(idCol).as("id"),
+      Pca.projectCol(col(vecCol), model).as("rvec"))
+    val books = trainBooks(rot, "id", "rvec", dim, m, kCodewords, maxIter,
+      trainFraction)
+    val lut = adcLut(queryVector(rot, "id", "rvec", queryId), books)
+    val shortlist = encode(rot, "id", "rvec", books)
+      .filter(col("id") =!= queryId)
+      .select(col("id"), adcScore(col("codes"), lut).as("adc"))
+      .orderBy(col("adc").desc, col("id").asc)
+      .limit(k * refine)
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec")).limit(1)
+    shortlist.join(emb.select(col(idCol).as("id"), col(vecCol)), "id")
+      .crossJoin(broadcast(q))
+      .select(col("id").as("vec_id"),
+        Similarity.dotQuantized(col(vecCol), col("__qvec")).as("score"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** IVF-PQ top-k (the FAISS composition): coarse-quantize every vector to
     * its nearest of `nCentroids` cells, PQ-encode the RESIDUAL (v −
     * centroid), and at query time probe only the `nProbe` nearest cells.

@@ -62,6 +62,24 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(approx.count(_ < 20) >= 8, s"cluster hits ${approx.count(_ < 20)}")
   }
 
+  test("pqTopKRotated: OPQ-style rotation keeps recall at the PQ floor") {
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 20, dim = 32, noise = 0.05)
+    val exact = Similarity.bruteForceTopK(fix, "vec_id", "embedding",
+      queryId = 5, k = 10).select("vec_id").as[Long].collect().toSet
+    val approx = PQ.pqTopKRotated(fix, "vec_id", "embedding", dim = 32,
+      queryId = 5, k = 10, m = 4, kCodewords = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"rotated-PQ ADC+rerank recall@10 $recall")
+    assert(approx.count(_ < 20) >= 8, s"cluster hits ${approx.count(_ < 20)}")
+    // determinism: PCA sign normalization + deterministic book training
+    val again = PQ.pqTopKRotated(fix, "vec_id", "embedding", dim = 32,
+      queryId = 5, k = 10, m = 4, kCodewords = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == approx)
+  }
+
   test("ivfPqTopK prunes to probed cells and keeps cluster recall") {
     val fix = Similarity.clusteredEmbeddings(spark, nClusters = 8,
       perCluster = 20, dim = 32, noise = 0.05)
