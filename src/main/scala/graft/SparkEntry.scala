@@ -879,12 +879,34 @@ object SparkEntry {
         Seq("o_orderkey"), mergeNow))
 
   /** Cache key of an sf-dir for the process-lifetime index/model temp
-    * dirs: the FULL canonical path, sanitized — keying on the basename
-    * alone silently reused one dataset's index for another whose path
-    * shared a final component (code-review r12 / ADVICE r12).
+    * dirs: the FULL canonical path, sanitized, plus an md5 prefix of the
+    * unsanitized path — keying on the basename alone silently reused one
+    * dataset's index for another whose path shared a final component
+    * (ADVICE r12), and the sanitization alone is non-injective ('sf a'
+    * vs 'sf_a' collapse; second-pass review r13), so the hash makes the
+    * key collision-free while the readable prefix keeps dirs debuggable.
     */
-  private def sfKey(d: String): String =
-    new java.io.File(d).getCanonicalPath.replaceAll("[^A-Za-z0-9._-]", "_")
+  private def sfKey(d: String): String = {
+    val canon = new java.io.File(d).getCanonicalPath
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    canon.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + h
+  }
+
+  // One static shutdown hook draining a queue — per-invocation hooks
+  // accumulated live Threads over a long process (second-pass review r13).
+  private val cleanupDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      var p = cleanupDirs.poll()
+      while (p != null) { rm(p.toFile); p = cleanupDirs.poll() }
+    }))
 
   /** A per-invocation temp dir registered for recursive delete at JVM
     * exit — the append-gate queries build a fresh throwaway index per
@@ -892,14 +914,9 @@ object SparkEntry {
     * (ADVICE r12).
     */
   private def tempDirCleaned(prefix: String): String = {
+    cleanupHook
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(p.toFile)
-    }))
+    cleanupDirs.add(p)
     p.toString
   }
 
@@ -995,10 +1012,16 @@ object SparkEntry {
 
   private def warcGzEnsure(s: SparkSession, d: String): String = {
     val path = s"$warcGzTmpDir/${sfKey(d)}"
-    if (!new java.io.File(path).isDirectory) {
+    // gate on a marker written AFTER the archive write — a bare
+    // directory-existence gate let an interrupted write leave a dir that
+    // skipped regeneration forever and read a partial archive set
+    // (second-pass review r13; the Sinks _SUCCESS convention)
+    val marker = java.nio.file.Paths.get(path, "_graft_complete")
+    if (!java.nio.file.Files.exists(marker)) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
       Warc.writeWarcGzFiles(warcChunks(t(s, d, "documents")),
         "chunk_id", "warc", path)
+      java.nio.file.Files.createFile(marker)
     }
     path
   }

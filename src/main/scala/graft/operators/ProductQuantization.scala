@@ -255,14 +255,29 @@ object ProductQuantization {
     val books = trainBooks(emb, idCol, vecCol, dim, m, kCodewords, maxIter,
       trainFraction)
     val lut = adcLut(queryVector(emb, idCol, vecCol, queryId), books)
-    val shortlist = encode(emb, idCol, vecCol, books)
+    shortlistRerank(encode(emb, idCol, vecCol, books), lut,
+      emb, idCol, vecCol, queryId, k, refine)
+  }
+
+  /** The shared ADC-shortlist → exact-re-rank tail of [[pqTopK]] and
+    * [[pqTopKRotated]] (second-pass review r13 — one definition, so
+    * tie-breaking / refine sizing / the broadcast re-rank join cannot
+    * drift between the rotated and unrotated paths): shortlist
+    * `k·refine` ids by ADC score over `encoded` (id, codes), re-rank by
+    * the exact quantized dot against `rerankEmb`'s stored vectors.
+    */
+  private def shortlistRerank(encoded: DataFrame, lut: Array[Array[Double]],
+                              rerankEmb: DataFrame, idCol: String,
+                              vecCol: String, queryId: Long, k: Int,
+                              refine: Int): DataFrame = {
+    val shortlist = encoded
       .filter(col("id") =!= queryId)
       .select(col("id"), adcScore(col("codes"), lut).as("adc"))
       .orderBy(col("adc").desc, col("id").asc)
       .limit(k * refine)
-    val q = emb.filter(col(idCol) === queryId)
+    val q = rerankEmb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec")).limit(1)
-    shortlist.join(emb.select(col(idCol).as("id"), col(vecCol)), "id")
+    shortlist.join(rerankEmb.select(col(idCol).as("id"), col(vecCol)), "id")
       .crossJoin(broadcast(q))
       .select(col("id").as("vec_id"),
         Similarity.dotQuantized(col(vecCol), col("__qvec")).as("score"))
@@ -294,19 +309,10 @@ object ProductQuantization {
     val books = trainBooks(rot, "id", "rvec", dim, m, kCodewords, maxIter,
       trainFraction)
     val lut = adcLut(queryVector(rot, "id", "rvec", queryId), books)
-    val shortlist = encode(rot, "id", "rvec", books)
-      .filter(col("id") =!= queryId)
-      .select(col("id"), adcScore(col("codes"), lut).as("adc"))
-      .orderBy(col("adc").desc, col("id").asc)
-      .limit(k * refine)
-    val q = emb.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec")).limit(1)
-    shortlist.join(emb.select(col(idCol).as("id"), col(vecCol)), "id")
-      .crossJoin(broadcast(q))
-      .select(col("id").as("vec_id"),
-        Similarity.dotQuantized(col(vecCol), col("__qvec")).as("score"))
-      .orderBy(col("score").desc, col("vec_id").asc)
-      .limit(k)
+    // encode + shortlist in the ROTATED space, exact re-rank on the
+    // ORIGINAL vectors — the shared tail
+    shortlistRerank(encode(rot, "id", "rvec", books), lut,
+      emb, idCol, vecCol, queryId, k, refine)
   }
 
   /** IVF-PQ top-k (the FAISS composition): coarse-quantize every vector to

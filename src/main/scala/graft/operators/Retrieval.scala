@@ -215,10 +215,15 @@ object Retrieval {
     // collapse in the sims map while still appearing in rels (a
     // NoSuchElementException at selection time). One bounded agg over
     // the persisted candidates checks all three up front.
+    // coalesce: sum() over an EMPTY candidate frame is NULL, and a bare
+    // getLong would NPE — the exact opaque failure this check exists to
+    // replace (second-pass review r13); empty candidates are valid input
+    // (retrieval found nothing) and produce an empty rerank below.
     val bad = c.agg(
-      sum(when(col("v").isNull || size(col("v")) === 0, 1L).otherwise(0L))
-        .as("n_badvec"),
-      sum(when(col("rel").isNull, 1L).otherwise(0L)).as("n_nullrel"),
+      coalesce(sum(when(col("v").isNull || size(col("v")) === 0, 1L)
+        .otherwise(0L)), lit(0L)).as("n_badvec"),
+      coalesce(sum(when(col("rel").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_nullrel"),
       (count(lit(1)) - countDistinct(col("query_id"), col("id"))).as("n_dup"))
       .collect()(0)
     require(bad.getLong(0) == 0, s"mmrRerank: ${bad.getLong(0)} candidate " +

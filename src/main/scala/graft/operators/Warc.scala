@@ -199,8 +199,21 @@ object Warc {
                        dir: String): Unit = {
     val bytes = chunks.select(col(idCol).cast("string").as("__id"),
       warcGzBytes(col(warcCol)).as("__bytes"))
+    // the SESSION's Hadoop configuration, shipped as serializable
+    // entries and rebuilt per partition — a bare Configuration() on the
+    // executor has none of the spark.hadoop.* credentials/nameservice
+    // settings an s3a:// or HA hdfs:// dir needs (second-pass review
+    // r13; Spark's own SerializableConfiguration is private[spark])
+    val confEntries: Array[(String, String)] = {
+      val hc = chunks.sparkSession.sparkContext.hadoopConfiguration
+      val it = hc.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
     bytes.foreachPartition { it: Iterator[Row] =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
       it.foreach { row =>
         val p = new org.apache.hadoop.fs.Path(
           s"$dir/chunk-${row.getString(0)}.warc.gz")

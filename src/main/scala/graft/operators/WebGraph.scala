@@ -207,12 +207,19 @@ object WebGraph {
       import spark.implicits._
       rank.toSeq.toDF("host", "rank_scaled")
     } else {
-      val stats = e.agg(min(col("w")), max(col("w"))).collect().head
+      // persist the edge list and out-weights for the loop: e feeds every
+      // iteration's contrib join AND (since r13) the dangling anti-join,
+      // and without the pin each of those jobs re-executed e's full
+      // upstream lineage (extraction chains in the composed queries) from
+      // scratch — second-pass review r13. The stats guard runs over the
+      // pinned frame, warming the cache.
+      val eP = e.persist()
+      val stats = eP.agg(min(col("w")), max(col("w"))).collect().head
       require(stats.getLong(0) >= 1, "pageRank: weights must be >= 1")
       checkMaxW(stats.getLong(1))
-      val outW = e.groupBy("src").agg(sum("w").as("ow"))
-      val nodes = e.select(col("src").as("host"))
-        .union(e.select(col("dst").as("host"))).distinct()
+      val outW = eP.groupBy("src").agg(sum("w").as("ow")).persist()
+      val nodes = eP.select(col("src").as("host"))
+        .union(eP.select(col("dst").as("host"))).distinct()
         .persist()
       val nNodes = nodes.count()
       val base = RankScale / nNodes
@@ -227,7 +234,7 @@ object WebGraph {
           .join(outW.select(col("src").as("host")), Seq("host"), "left_anti")
           .agg(coalesce(sum("rank"), lit(0L))).collect()(0)
           .getLong(0) / nNodes
-        val contrib = e.join(outW, Seq("src"))
+        val contrib = eP.join(outW, Seq("src"))
           .join(ranks.select(col("host").as("src"), col("rank")), Seq("src"))
           .select(col("dst").as("host"), expr("rank * w div ow").as("c"))
           .groupBy("host").agg(sum("c").as("in_mass"))
@@ -239,6 +246,8 @@ object WebGraph {
           .localCheckpoint()
       }
       nodes.unpersist()
+      outW.unpersist()
+      eP.unpersist()
       ranks.select(col("host"), col("rank").as("rank_scaled"))
     }
   }
