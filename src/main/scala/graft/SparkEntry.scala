@@ -1735,7 +1735,8 @@ object SparkEntry {
       // evaluation AND the benched PageRank chain — superset ruling.
       // r13: the delay-aware scheduler row recomputes the benched robots
       // evaluation too (same ruling); its novelty is window arithmetic.
-      "q_web_frontier", "q_web_frontier_sched",
+      // The budget row recomputes the benched indexed PageRank.
+      "q_web_frontier", "q_web_frontier_sched", "q_web_crawl_budget",
       // r12: BM25 index-maintenance gate builds its index per run (the
       // q_sim_pq_append ruling); the benched retrieval rows are the
       // scratch search and the persisted-index probe.
@@ -3101,6 +3102,18 @@ object SparkEntry {
     // graph for the hash to match.
     "q_web_pagerank_indexed" -> ((s, d) =>
       WebGraph.pageRankIndexed(s, webIdxEnsure(s, d), iterations = 10)
+        .orderBy("host")),
+    // Crawl-budget apportionment (r13): split 1000 fetch slots across
+    // hosts ∝ their PageRank by the largest-remainder method — exact
+    // integers summing to the budget precisely, replayed quota-for-quota
+    // in DuckDB (floor quotas + remainder rank with host-asc ties), with
+    // the per-host cap branch in the hash. Runs over the PERSISTED graph
+    // (the amortized probe form); verify-only — it recomputes the
+    // benched indexed PageRank (superset ruling).
+    "q_web_crawl_budget" -> ((s, d) =>
+      WebGraph.apportionBudget(
+          WebGraph.pageRankIndexed(s, webIdxEnsure(s, d), iterations = 10),
+          "host", "rank_scaled", total = 1000L, maxPerHost = 400L)
         .orderBy("host")),
     // Streaming link extraction: the SAME extractLinks + resolveUrl
     // transform over a file-stream source drained AvailableNow into a
@@ -7982,6 +7995,29 @@ object SparkEntry {
       (s"WITH $linkChainCtes\n" +
         """SELECT src_host, dst_host, weight
           |FROM edges ORDER BY src_host, dst_host""".stripMargin),
+    // Hamilton apportionment over the PageRank weights, replayed
+    // quota-for-quota: floor quotas, remainder rank (host-asc ties),
+    // leftover distribution, per-host cap (r13).
+    "q_web_crawl_budget" ->
+      (s"WITH $linkChainCtes,\n${pageRankCtes(10)},\n" +
+        """qa AS MATERIALIZED (SELECT host, rank AS w FROM pr10),
+          |tot AS (SELECT CAST(sum(w) AS BIGINT) AS bw FROM qa),
+          |fl AS MATERIALIZED (
+          |  SELECT host, w, CAST((1000 * w) // bw AS BIGINT) AS fl,
+          |    CAST((1000 * w) % bw AS BIGINT) AS rem
+          |  FROM qa CROSS JOIN tot),
+          |lo AS (SELECT CAST(1000 - sum(fl) AS BIGINT) AS l FROM fl),
+          |rk AS (
+          |  SELECT host, w, fl, rem,
+          |    CAST(row_number() OVER (ORDER BY rem DESC, host ASC)
+          |      AS BIGINT) AS r
+          |  FROM fl)
+          |SELECT host, w AS rank_scaled,
+          |  CAST(fl + CASE WHEN r <= l THEN 1 ELSE 0 END AS BIGINT)
+          |    AS budget_raw,
+          |  least(CAST(fl + CASE WHEN r <= l THEN 1 ELSE 0 END AS BIGINT),
+          |    400) AS budget
+          |FROM rk CROSS JOIN lo ORDER BY host""".stripMargin),
     "q_stream_web_links" ->
       (s"WITH $linkChainCtes\n" +
         """SELECT doc_id, url, link_idx, href, anchor_text, resolved

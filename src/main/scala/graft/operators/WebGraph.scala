@@ -252,6 +252,66 @@ object WebGraph {
     }
   }
 
+  /** Proportional crawl-budget apportionment (r13): split a global
+    * fetch budget of `total` page-slots across hosts in proportion to a
+    * non-negative integer weight (PageRank fixed-point scores — the
+    * "crawl good hosts more" scheduler rule), using the largest-
+    * remainder (Hamilton) method so the allocation is EXACT integers
+    * that sum to `total` precisely: floor quotas `total·w div W` first,
+    * then the leftover units go to the largest remainders
+    * (`total·w mod W`, ties host-ascending — total order, so the
+    * allocation replays bit-for-bit in the oracle). `budget` caps the
+    * raw quota at `maxPerHost` (politeness/robustness: one mega-host
+    * must not absorb the crawl); capping may leave surplus, which is
+    * observable as `total − Σ budget` — redistribution policy is the
+    * caller's (documented, not hidden).
+    *
+    * Scale shape: operates on the HOST-level frame (metadata-scale by
+    * the link-graph contract — orders of magnitude below page count);
+    * the remainder rank is one global window over that frame, a sort of
+    * hosts, never of pages. Overflow guarded loudly: `total · max(w)`
+    * must fit in a Long (1e12-scaled ranks leave room for budgets to
+    * ~9e6 — pre-scale weights down for larger budgets).
+    *
+    * Returns `(keyCol, weightCol, budget_raw, budget)`.
+    */
+  def apportionBudget(weights: DataFrame, keyCol: String, weightCol: String,
+                      total: Long, maxPerHost: Long = Long.MaxValue)
+      : DataFrame = {
+    require(total >= 0, s"apportionBudget: total must be >= 0, got $total")
+    require(maxPerHost >= 0,
+      s"apportionBudget: maxPerHost must be >= 0, got $maxPerHost")
+    val w = weights.select(col(keyCol), col(weightCol).cast("long").as("__w"))
+    val stats = w.agg(coalesce(min("__w"), lit(0L)),
+      coalesce(max("__w"), lit(0L)), coalesce(sum("__w"), lit(0L)))
+      .collect().head
+    require(stats.getLong(0) >= 0,
+      s"apportionBudget: negative weight ${stats.getLong(0)}")
+    require(total == 0 || stats.getLong(1) <= Long.MaxValue / math.max(total, 1L),
+      s"apportionBudget: total=$total × max weight ${stats.getLong(1)} " +
+        "overflows Long — pre-scale weights down")
+    val bigW = stats.getLong(2)
+    require(bigW > 0 || total == 0,
+      "apportionBudget: all weights are zero with a nonzero budget")
+    if (total == 0 || bigW == 0)
+      return w.select(col(keyCol), col("__w").as(weightCol),
+        lit(0L).as("budget_raw"), lit(0L).as("budget"))
+    val fl = w.select(col(keyCol), col("__w"),
+      expr(s"${total}L * __w div ${bigW}L").as("__fl"),
+      expr(s"(${total}L * __w) % ${bigW}L").as("__rem"))
+    // leftover units = total − Σ floors (< #hosts by construction); one
+    // global remainder rank over the host-level frame assigns them
+    val leftover = total -
+      fl.agg(sum("__fl")).collect().head.getLong(0)
+    fl.withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__rem").desc, col(keyCol).asc)).cast("long"))
+      .select(col(keyCol), col("__w").as(weightCol),
+        (col("__fl") +
+          when(col("__rk") <= leftover, 1L).otherwise(0L)).as("budget_raw"))
+      .withColumn("budget", least(col("budget_raw"), lit(maxPerHost)))
+  }
+
   /** Persist a host link graph for "extract once, rank many" — the
     * bm25WriteIndex per-batch-partials story applied to the graph:
     * edge rows are ADDITIVE partial counts, so [[appendIndex]] is a

@@ -177,6 +177,38 @@ class WebGraphSpec extends SparkSpec {
     }
   }
 
+  test("apportionBudget: Hamilton quotas, exact sum, ties, cap, guards") {
+    val w = Seq(("a", 5L), ("b", 3L), ("c", 3L), ("d", 0L))
+      .toDF("host", "w")
+    val got = WebGraph.apportionBudget(w, "host", "w", total = 10L)
+      .orderBy("host").as[(String, Long, Long, Long)].collect().toSeq
+    // W=11: floors 4,2,2,0 (Σ=8), remainders 6,8,8,0 → 2 leftover units
+    // go to b and c (largest remainders, host-asc ties irrelevant here)
+    assert(got == Seq(("a", 5L, 4L, 4L), ("b", 3L, 3L, 3L),
+      ("c", 3L, 3L, 3L), ("d", 0L, 0L, 0L)), got)
+    assert(got.map(_._3).sum == 10L, "raw quotas must sum to the budget")
+    // remainder tie: equal weights, leftover 1 → host-ascending wins
+    val tie = WebGraph.apportionBudget(
+        Seq(("y", 1L), ("x", 1L), ("z", 1L)).toDF("host", "w"),
+        "host", "w", total = 4L)
+      .orderBy("host").as[(String, Long, Long, Long)].collect().toSeq
+    assert(tie.map(t => t._1 -> t._3) == Seq("x" -> 2L, "y" -> 1L, "z" -> 1L))
+    // cap branch observable; surplus = total − Σ budget
+    val cap = WebGraph.apportionBudget(w, "host", "w", total = 10L,
+        maxPerHost = 3L)
+      .orderBy("host").as[(String, Long, Long, Long)].collect().toSeq
+    assert(cap.map(_._4) == Seq(3L, 3L, 3L, 0L))
+    intercept[IllegalArgumentException] {
+      WebGraph.apportionBudget(Seq(("a", 0L)).toDF("host", "w"),
+        "host", "w", total = 5L)
+    }
+    intercept[IllegalArgumentException] {
+      WebGraph.apportionBudget(
+        Seq(("a", Long.MaxValue / 2)).toDF("host", "w"),
+        "host", "w", total = 1000L)
+    }
+  }
+
   test("index: write + additive append == the all-at-once graph") {
     val dir = java.nio.file.Files.createTempDirectory("webidx").toString
     val b1 = Seq(("a", "b", 2L), ("b", "c", 1L))
