@@ -1409,6 +1409,55 @@ object SparkEntry {
         .as("xml"))
   }
 
+  /** Sitemap construction + parse as composable oracle CTEs (r13 —
+    * extracted from the q_web_sitemap oracle verbatim), ending in `sm_p`
+    * (host, entry_idx, kind, loc, lastmod_raw, lastmod_date, changefreq,
+    * priority). Names prefixed `sm` so the body composes with the
+    * robots CTE families.
+    */
+  private lazy val sitemapParseCtes: String = {
+    val loc = "regexp_extract(e, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1)"
+    val lm = "regexp_extract(e, '(?is)<lastmod>\\s*(.*?)\\s*</lastmod>', 1)"
+    s"""sm0 AS (
+       |  SELECT doc_id,
+       |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+       |    '<url><loc>https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+       |    '.example.com/page/' || CAST(doc_id AS VARCHAR) ||
+       |    '?s=1&amp;v=' || CAST(doc_id % 4 AS VARCHAR) || '</loc>' ||
+       |    CASE WHEN doc_id % 3 = 0 THEN '<lastmod>2024-01-' ||
+       |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod>'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN '<priority>0.' ||
+       |      CAST(doc_id % 10 AS VARCHAR) || '</priority>' ELSE '' END ||
+       |    '</url>' AS entry
+       |  FROM documents),
+       |sm AS (
+       |  SELECT host,
+       |    '<urlset>' || string_agg(entry, '' ORDER BY doc_id) ||
+       |    '</urlset><sitemap><loc>https://' || host ||
+       |    '/more.xml</loc><lastmod>2024-01-15</lastmod></sitemap>' AS xml
+       |  FROM sm0 GROUP BY host),
+       |en AS (
+       |  SELECT host, u.i - 1 AS entry_idx, u.e AS e FROM (
+       |    SELECT host, unnest(list_transform(range(1, len(es) + 1),
+       |      i -> {'i': i, 'e': es[i]})) AS u
+       |    FROM (SELECT host, regexp_extract_all(xml,
+       |      '${Robots.SitemapEntryRe}') AS es FROM sm))),
+       |sm_p AS (
+       |  SELECT host, entry_idx,
+       |    CASE WHEN lower(e) LIKE '<url>%' THEN 'url' ELSE 'sitemap' END
+       |      AS kind,
+       |    ${sqlDecodeEntities(loc)} AS loc,
+       |    $lm AS lastmod_raw,
+       |    try_cast(substring($lm, 1, 10) AS DATE) AS lastmod_date,
+       |    regexp_extract(e,
+       |      '(?is)<changefreq>\\s*(.*?)\\s*</changefreq>', 1) AS changefreq,
+       |    try_cast(regexp_extract(e,
+       |      '(?is)<priority>\\s*(.*?)\\s*</priority>', 1) AS DOUBLE)
+       |      AS priority
+       |  FROM en)""".stripMargin
+  }
+
   /** Candidate/reference pairs for the generation metrics, constructed
     * from the documents fixture by token slicing: candidate = first 12
     * raw tokens (with ` extra` appended every 3rd doc — genuine
@@ -1735,8 +1784,11 @@ object SparkEntry {
       // evaluation AND the benched PageRank chain — superset ruling.
       // r13: the delay-aware scheduler row recomputes the benched robots
       // evaluation too (same ruling); its novelty is window arithmetic.
-      // The budget row recomputes the benched indexed PageRank.
+      // The budget row recomputes the benched indexed PageRank; the
+      // sitemap frontier recomputes the benched sitemap parse + robots
+      // evaluation.
       "q_web_frontier", "q_web_frontier_sched", "q_web_crawl_budget",
+      "q_web_frontier_sitemap",
       // r12: BM25 index-maintenance gate builds its index per run (the
       // q_sim_pq_append ruling); the benched retrieval rows are the
       // scratch search and the persisted-index probe.
@@ -3195,6 +3247,37 @@ object SparkEntry {
     "q_web_sitemap" -> ((s, d) =>
       Robots.parseSitemap(sitemapDocs(s, d), Seq("host"), "xml")
         .orderBy("host", "entry_idx")),
+    // Sitemap-DISCOVERED frontier (r13): the full discovery → politeness
+    // → schedule chain over URLs the sitemaps name (not a constructed
+    // frontier) — parse sitemaps, derive each loc's path+query, evaluate
+    // robots for the agent, space the allowed URLs into delay-aware
+    // fetch slots ordered by the sitemap's own priority hints (nulls
+    // last, entry order ties). Verify-only: recomputes the benched
+    // sitemap parse + robots evaluation (superset ruling); its novelty
+    // is the composition being hash-exact end-to-end.
+    "q_web_frontier_sitemap" -> ((s, d) => {
+      val parsed = Robots.parseRobots(robotsDocs(s, d), Seq("host"), "txt")
+      val urls = Robots.parseSitemap(sitemapDocs(s, d), Seq("host"), "xml")
+        .filter(col("kind") === "url")
+        .select(col("host"), col("entry_idx"), col("loc"), col("priority"),
+          concat(col("host"), lit("#"), col("entry_idx").cast("string"))
+            .as("uid"),
+          coalesce(nullif(regexp_replace(col("loc"),
+            "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""), lit("")), lit("/"))
+            .as("url_path"))
+      val allowed = Robots.evaluateRobots(parsed, "host",
+          urls.select("uid", "host", "url_path"), Seq("uid"), "graftbot")
+        .filter(col("allowed"))
+        .join(urls.select("uid", "entry_idx", "loc", "priority"), Seq("uid"))
+      Robots.scheduleFrontier(allowed, "host",
+          Robots.crawlDelays(parsed, "host", "graftbot"),
+          orderCols = Seq(col("priority").desc_nulls_last,
+            col("entry_idx").asc))
+        .select(col("host"), col("entry_idx"), col("loc"), col("url_path"),
+          col("priority"), col("crawl_delay_ms"), col("fetch_rank"),
+          col("fetch_slot_ms"))
+        .orderBy("host", "fetch_rank")
+    }),
     // The crawl-frontier showcase: politeness × quality in ONE plan —
     // robots-allowed frontier URLs ordered by their host's PageRank
     // (fetch the best-ranked permitted pages first, the crawl-scheduler
@@ -8028,47 +8111,47 @@ object SparkEntry {
           |  directive, value
           |FROM gr ORDER BY host, line_idx""".stripMargin),
     "q_web_robots_allowed" -> robotsAllowedOracleSql,
-    "q_web_sitemap" -> {
-      val loc = "regexp_extract(e, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1)"
-      val lm = "regexp_extract(e, '(?is)<lastmod>\\s*(.*?)\\s*</lastmod>', 1)"
-      s"""WITH sm0 AS (
-         |  SELECT doc_id,
-         |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
-         |    '<url><loc>https://site' || CAST(doc_id % 7 AS VARCHAR) ||
-         |    '.example.com/page/' || CAST(doc_id AS VARCHAR) ||
-         |    '?s=1&amp;v=' || CAST(doc_id % 4 AS VARCHAR) || '</loc>' ||
-         |    CASE WHEN doc_id % 3 = 0 THEN '<lastmod>2024-01-' ||
-         |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod>'
-         |      ELSE '' END ||
-         |    CASE WHEN doc_id % 5 = 0 THEN '<priority>0.' ||
-         |      CAST(doc_id % 10 AS VARCHAR) || '</priority>' ELSE '' END ||
-         |    '</url>' AS entry
-         |  FROM documents),
-         |sm AS (
-         |  SELECT host,
-         |    '<urlset>' || string_agg(entry, '' ORDER BY doc_id) ||
-         |    '</urlset><sitemap><loc>https://' || host ||
-         |    '/more.xml</loc><lastmod>2024-01-15</lastmod></sitemap>' AS xml
-         |  FROM sm0 GROUP BY host),
-         |en AS (
-         |  SELECT host, u.i - 1 AS entry_idx, u.e AS e FROM (
-         |    SELECT host, unnest(list_transform(range(1, len(es) + 1),
-         |      i -> {'i': i, 'e': es[i]})) AS u
-         |    FROM (SELECT host, regexp_extract_all(xml,
-         |      '${Robots.SitemapEntryRe}') AS es FROM sm)))
-         |SELECT host, CAST(entry_idx AS INT) AS entry_idx,
-         |  CASE WHEN lower(e) LIKE '<url>%' THEN 'url' ELSE 'sitemap' END
-         |    AS kind,
-         |  ${sqlDecodeEntities(loc)} AS loc,
-         |  $lm AS lastmod_raw,
-         |  try_cast(substring($lm, 1, 10) AS DATE) AS lastmod_date,
-         |  regexp_extract(e,
-         |    '(?is)<changefreq>\\s*(.*?)\\s*</changefreq>', 1) AS changefreq,
-         |  try_cast(regexp_extract(e,
-         |    '(?is)<priority>\\s*(.*?)\\s*</priority>', 1) AS DOUBLE)
-         |    AS priority
-         |FROM en ORDER BY host, entry_idx""".stripMargin
-    },
+    "q_web_sitemap" ->
+      (s"WITH $sitemapParseCtes\n" +
+        """SELECT host, CAST(entry_idx AS INT) AS entry_idx, kind, loc,
+          |  lastmod_raw, lastmod_date, changefreq, priority
+          |FROM sm_p ORDER BY host, entry_idx""".stripMargin),
+    // Sitemap-discovered frontier: sitemap parse + robots rule selection
+    // + longest-match eval + delay-aware scheduling, all four CTE
+    // families spliced into one replay (r13). uu/bm from the robots eval
+    // body go unused here (plain CTEs — never executed).
+    "q_web_frontier_sitemap" ->
+      (s"WITH $robotsParseCtes,\n$robotsEvalCtes,\n$sitemapParseCtes,\n" +
+        """su AS (
+          |  SELECT host, entry_idx, loc, priority,
+          |    coalesce(nullif(regexp_replace(loc,
+          |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), ''), '/')
+          |      AS url_path
+          |  FROM sm_p WHERE kind = 'url'),
+          |sbm AS (
+          |  SELECT host, entry_idx, rule_type FROM (
+          |    SELECT u.host, u.entry_idx, r.rule_type,
+          |      row_number() OVER (PARTITION BY u.host, u.entry_idx
+          |        ORDER BY r.rlen DESC, r.rule_type ASC, r.value ASC) AS rk
+          |    FROM su u JOIN rb_rl r ON r.host = u.host
+          |    WHERE regexp_matches(u.url_path, r.re)) WHERE rk = 1),
+          |sal AS (
+          |  SELECT u.host, u.entry_idx, u.loc, u.url_path, u.priority
+          |  FROM su u LEFT JOIN sbm b
+          |    ON b.host = u.host AND b.entry_idx = u.entry_idx
+          |  WHERE coalesce(b.rule_type = 'allow', TRUE)),
+          |ssch AS (
+          |  SELECT a.host, a.entry_idx, a.loc, a.url_path, a.priority,
+          |    coalesce(cd.crawl_delay_ms, 0) AS crawl_delay_ms,
+          |    CAST(row_number() OVER (PARTITION BY a.host
+          |      ORDER BY a.priority DESC NULLS LAST, a.entry_idx) AS INT)
+          |      AS fetch_rank
+          |  FROM sal a LEFT JOIN rb_cd cd ON cd.host = a.host)
+          |SELECT host, CAST(entry_idx AS INT) AS entry_idx, loc, url_path,
+          |  priority, crawl_delay_ms, fetch_rank,
+          |  CAST((fetch_rank - 1) * crawl_delay_ms AS BIGINT)
+          |    AS fetch_slot_ms
+          |FROM ssch ORDER BY host, fetch_rank""".stripMargin),
     // The composed frontier: robots parse+eval, link chain, PageRank
     // rounds — four CTE bodies spliced into ONE replay (hosts absent
     // from the graph — the isolated residue — rank 0).
