@@ -1394,6 +1394,11 @@ object SparkEntry {
       when(id % 3 === 0, concat(lit("<lastmod>2024-01-"),
         lpad((id % 28 + 1).cast("string"), 2, "0"),
         lit("</lastmod>"))).otherwise(lit("")),
+      // changefreq on every 4th-residue-1 entry, cycling all seven
+      // protocol values (r13 — the recrawl scheduler's input)
+      when(id % 4 === 1, concat(lit("<changefreq>"),
+        element_at(typedlit(Robots.ChangefreqValues), (id % 7 + 1).cast("int")),
+        lit("</changefreq>"))).otherwise(lit("")),
       when(id % 5 === 0, concat(lit("<priority>0."),
         (id % 10).cast("string"), lit("</priority>"))).otherwise(lit("")),
       lit("</url>"))
@@ -1426,6 +1431,10 @@ object SparkEntry {
        |    '?s=1&amp;v=' || CAST(doc_id % 4 AS VARCHAR) || '</loc>' ||
        |    CASE WHEN doc_id % 3 = 0 THEN '<lastmod>2024-01-' ||
        |      lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod>'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 4 = 1 THEN '<changefreq>' ||
+       |      (['${Robots.ChangefreqValues.mkString("', '")}'])[
+       |        CAST(doc_id % 7 + 1 AS INT)] || '</changefreq>'
        |      ELSE '' END ||
        |    CASE WHEN doc_id % 5 = 0 THEN '<priority>0.' ||
        |      CAST(doc_id % 10 AS VARCHAR) || '</priority>' ELSE '' END ||
@@ -1788,7 +1797,7 @@ object SparkEntry {
       // sitemap frontier recomputes the benched sitemap parse + robots
       // evaluation.
       "q_web_frontier", "q_web_frontier_sched", "q_web_crawl_budget",
-      "q_web_frontier_sitemap",
+      "q_web_frontier_sitemap", "q_web_recrawl",
       // r12: BM25 index-maintenance gate builds its index per run (the
       // q_sim_pq_append ruling); the benched retrieval rows are the
       // scratch search and the persisted-index probe.
@@ -3255,6 +3264,20 @@ object SparkEntry {
     // last, entry order ties). Verify-only: recomputes the benched
     // sitemap parse + robots evaluation (superset ruling); its novelty
     // is the composition being hash-exact end-to-end.
+    // Recrawl scheduling from sitemap freshness hints (r13): changefreq
+    // → integer recrawl interval (never → NULL, unknown → the default),
+    // due = stale by at least the interval since lastmod OR lastmod
+    // unknown — all exact date/integer arithmetic, the incremental
+    // crawl's "what to refetch this cycle" policy. Verify-only
+    // (recomputes the benched sitemap parse — superset ruling).
+    "q_web_recrawl" -> ((s, d) =>
+      Robots.recrawlSchedule(
+          Robots.parseSitemap(sitemapDocs(s, d), Seq("host"), "xml"),
+          asOfDate = "2024-02-15")
+        .select(col("host"), col("entry_idx"), col("loc"),
+          col("changefreq"), col("lastmod_date"), col("interval_hours"),
+          col("stale_hours"), col("due"))
+        .orderBy("host", "entry_idx")),
     "q_web_frontier_sitemap" -> ((s, d) => {
       val parsed = Robots.parseRobots(robotsDocs(s, d), Seq("host"), "txt")
       val urls = Robots.parseSitemap(sitemapDocs(s, d), Seq("host"), "xml")
@@ -8116,6 +8139,28 @@ object SparkEntry {
         """SELECT host, CAST(entry_idx AS INT) AS entry_idx, kind, loc,
           |  lastmod_raw, lastmod_date, changefreq, priority
           |FROM sm_p ORDER BY host, entry_idx""".stripMargin),
+    // Recrawl policy replayed: the changefreq→hours CASE generated from
+    // the SAME Scala mapping, datediff·24 staleness, the never/unknown/
+    // missing-lastmod branches all in the hash (r13).
+    "q_web_recrawl" -> {
+      val cases = Robots.ChangefreqHours.map { case (cf, h) =>
+        s"WHEN changefreq = '$cf' THEN CAST($h AS BIGINT)"
+      }.mkString(" ")
+      s"""WITH $sitemapParseCtes,
+         |rc AS (
+         |  SELECT host, entry_idx, loc, changefreq, lastmod_date,
+         |    CASE WHEN changefreq = 'never' THEN NULL
+         |      $cases
+         |      ELSE CAST(168 AS BIGINT) END AS interval_hours,
+         |    CAST(datediff('day', lastmod_date, DATE '2024-02-15') * 24
+         |      AS BIGINT) AS stale_hours
+         |  FROM sm_p WHERE kind = 'url')
+         |SELECT host, CAST(entry_idx AS INT) AS entry_idx, loc, changefreq,
+         |  lastmod_date, interval_hours, stale_hours,
+         |  (lastmod_date IS NULL OR (interval_hours IS NOT NULL
+         |    AND stale_hours >= interval_hours)) AS due
+         |FROM rc ORDER BY host, entry_idx""".stripMargin
+    },
     // Sitemap-discovered frontier: sitemap parse + robots rule selection
     // + longest-match eval + delay-aware scheduling, all four CTE
     // families spliced into one replay (r13). uu/bm from the robots eval

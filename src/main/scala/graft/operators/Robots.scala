@@ -116,6 +116,51 @@ object Robots {
           .try_cast("double").as("priority")): _*)
   }
 
+  /** The sitemaps.org changefreq vocabulary, in protocol order. */
+  val ChangefreqValues: Seq[String] =
+    Seq("always", "hourly", "daily", "weekly", "monthly", "yearly", "never")
+
+  /** changefreq → recrawl interval in integer HOURS (always → 0,
+    * hourly → 1, daily → 24, weekly → 168, monthly → 720 (30 d),
+    * yearly → 8760 (365 d), never → NULL — protocol hint values;
+    * month/year use the fixed civil approximations schedulers
+    * conventionally pin so the arithmetic stays exact integers).
+    */
+  val ChangefreqHours: Seq[(String, Long)] = Seq("always" -> 0L,
+    "hourly" -> 1L, "daily" -> 24L, "weekly" -> 168L, "monthly" -> 720L,
+    "yearly" -> 8760L)
+
+  /** Recrawl scheduling from sitemap freshness hints (r13): for each
+    * `<url>` entry of a parsed sitemap ([[parseSitemap]] output), derive
+    * the recrawl interval from `changefreq` (unknown/absent values take
+    * `defaultHours`; `never` maps to NULL — no recrawl) and decide
+    * whether the URL is DUE at `asOfDate`: stale by at least the
+    * interval since `lastmod`, or `lastmod` unknown (no freshness
+    * evidence → fetch). All integer date arithmetic
+    * (`datediff(asOf, lastmod) · 24 ≥ interval_hours`), so the whole
+    * policy replays exactly cross-engine; map-only over the entry rows.
+    * Adds `(interval_hours, stale_hours, due)` to the entry columns.
+    */
+  def recrawlSchedule(entries: DataFrame, asOfDate: String,
+                      defaultHours: Long = 168L): DataFrame = {
+    require(defaultHours >= 0,
+      s"recrawlSchedule: defaultHours must be >= 0, got $defaultHours")
+    val asOf = to_date(lit(asOfDate))
+    val interval = ChangefreqHours.foldLeft(
+        when(col("changefreq") === "never", lit(null).cast("long"))) {
+      case (acc, (cf, h)) => acc.when(col("changefreq") === cf, lit(h))
+    }.otherwise(lit(defaultHours))
+    entries
+      .filter(col("kind") === "url")
+      .withColumn("interval_hours", interval)
+      .withColumn("stale_hours",
+        (datediff(asOf, col("lastmod_date")) * 24L).cast("long"))
+      .withColumn("due",
+        col("lastmod_date").isNull ||
+          (col("interval_hours").isNotNull &&
+            col("stale_hours") >= col("interval_hours")))
+  }
+
   /** Escape-and-translate a robots path pattern to a regex: `*` → `.*`,
     * a TRAILING `$` anchors (elsewhere `$` is literal), every other
     * regex metacharacter escaped by a FIXED-ORDER literal replace chain

@@ -206,6 +206,35 @@ class RobotsSpec extends SparkSpec {
     // g.example's unparseable value nulls out (absent, never a throw)
   }
 
+  test("recrawlSchedule: interval map, never, unknown, missing lastmod") {
+    def dt(s: String) = java.sql.Date.valueOf(s)
+    val entries = Seq(
+      ("h", 0, "url", "u0", Option(dt("2024-01-01")), "daily"),
+      ("h", 1, "url", "u1", Option(dt("2024-01-14")), "never"),
+      ("h", 2, "url", "u2", Option.empty[java.sql.Date], "never"),
+      ("h", 3, "url", "u3", Option(dt("2024-01-10")), ""),
+      ("h", 4, "url", "u4", Option(dt("2024-01-01")), "exotic"),
+      ("h", 5, "url", "u5", Option(dt("2024-01-15")), "always"),
+      ("h", 6, "sitemap", "u6", Option.empty[java.sql.Date], ""))
+      .toDF("host", "entry_idx", "kind", "loc", "lastmod_date", "changefreq")
+    val got = Robots.recrawlSchedule(entries, "2024-01-15")
+      .select("entry_idx", "interval_hours", "stale_hours", "due")
+      .as[(Int, Option[Long], Option[Long], Boolean)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0, Some(24L), Some(336L), true),   // daily, 14 days stale
+      (1, None, Some(24L), false),        // never + known lastmod
+      (2, None, None, true),              // never fetched -> fetch once
+      (3, Some(168L), Some(120L), false), // default, not yet stale
+      (4, Some(168L), Some(336L), true),  // unknown freq -> default
+      (5, Some(0L), Some(0L), true)))     // always -> due immediately
+    // non-url entries drop; guard fires
+    assert(!got.exists(_._1 == 6))
+    intercept[IllegalArgumentException] {
+      Robots.recrawlSchedule(entries, "2024-01-15", defaultHours = -1)
+    }
+  }
+
   test("scheduleFrontier: per-host slots, default delay, determinism") {
     val delays = Seq(("a.example", 1500L)).toDF("host", "crawl_delay_ms")
     val urls = Seq((3L, "a.example"), (1L, "a.example"), (2L, "a.example"),
