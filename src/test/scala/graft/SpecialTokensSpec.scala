@@ -52,6 +52,34 @@ class SpecialTokensSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("property: framing size law and strip-inverse on random ids") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val gen = for {
+      v <- Gen.choose(1, 50)
+      ids <- Gen.listOf(Gen.choose(0, 49)).map(_.take(40))
+      maxLen <- Gen.choose(2, 20)
+    } yield (v, ids.map(math.min(_, v - 1)), maxLen)
+    val prop = Prop.forAll(gen) { case (v, ids, maxLen) =>
+      val vsp = SpecialTokens.Ids(v)
+      val out = run(ids, SpecialTokens.addSpecials(_, vsp, maxLen))
+      val padded = run(ids, c => SpecialTokens.padTo(
+        SpecialTokens.addSpecials(c, vsp, maxLen), vsp, maxLen))
+      val stripped = run(ids, c => SpecialTokens.stripSpecials(
+        SpecialTokens.addSpecials(c, vsp, maxLen), vsp))
+      // size law: min(|ids|, maxLen−2) + 2; frame markers; pad shape;
+      // strip returns exactly the kept prefix
+      (out.length == math.min(ids.length, maxLen - 2) + 2) :| s"len $out" &&
+        (out.head == vsp.bosId && out.last == vsp.eosId) :| s"frame $out" &&
+        (padded.length == maxLen &&
+          padded.drop(out.length).forall(_ == vsp.padId)) :| s"pad $padded" &&
+        (stripped == ids.take(maxLen - 2)) :| s"strip $stripped"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("stripSpecials inverts framing; decode roundtrip survives") {
     assert(run(Seq(100, 5, 7, 101, 102, 102),
       SpecialTokens.stripSpecials(_, sp)) == Seq(5, 7))

@@ -231,6 +231,30 @@ class WarcSpec extends SparkSpec {
     assert(viaDisk.toSeq == direct.toSeq)
   }
 
+  test("property: warcGzBytes gunzips back to any record-aligned chunk") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    // random multi-record chunks (headers with unicode-ish bodies):
+    // gunzip(warcGzBytes(chunk)) must be byte-exact, per-record members
+    val bodyGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(20)), Gen.const("émojî ✓ 漢字"),
+      Gen.const("line\r\nbreak"))).map(_.mkString(" ").take(200))
+    val gen = for {
+      n <- Gen.choose(1, 5)
+      bodies <- Gen.listOfN(n, bodyGen)
+    } yield bodies.map(b =>
+      respRec(s"http://r/${b.length}", "200 OK", "text/html", b)).mkString
+    val prop = Prop.forAll(gen) { chunk =>
+      val got = Seq(Tuple1(chunk)).toDF("warc")
+        .select(Warc.gunzipChunk(Warc.warcGzBytes(col("warc"))).as("t"))
+        .as[String].collect().head
+      (got == chunk) :| s"roundtrip drifted at len ${chunk.length}"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("a chunk not starting at a record boundary surfaces the preamble") {
     val rows = parse(4L -> ("garbage preamble\r\n" +
         respRec("http://p/", "200 OK", "text/html", "<p>t</p>")))

@@ -209,6 +209,44 @@ class WebGraphSpec extends SparkSpec {
     }
   }
 
+  test("apportionBudget property: exact sum and the quota condition") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    // Hamilton's defining properties on random weight tables: quotas sum
+    // to the budget EXACTLY, and every host's quota is within one unit
+    // of its exact proportional share (floor(q) <= alloc <= ceil(q) —
+    // the "quota condition" apportionment theory names; largest-
+    // remainder satisfies it by construction).
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(n, Gen.choose(0L, 1000L))
+      total <- Gen.choose(0L, 500L)
+    } yield (ws, total)
+    val prop = Prop.forAll(gen) { case (ws, total) =>
+      val bigW = ws.sum
+      (bigW > 0 || total == 0) ==> {
+        val df = ws.zipWithIndex.map { case (w, i) => (f"h$i%03d", w) }
+          .toDF("host", "w")
+        val got = WebGraph.apportionBudget(df, "host", "w", total)
+          .orderBy("host").as[(String, Long, Long, Long)].collect()
+        val sumOk = got.map(_._3).sum == total
+        val quotaOk = got.forall { case (_, w, alloc, _) =>
+          if (bigW == 0) alloc == 0
+          else {
+            val lo = total * w / bigW
+            val hi = lo + (if (total * w % bigW == 0) 0 else 1)
+            alloc >= lo && alloc <= hi
+          }
+        }
+        (sumOk :| s"sum ${got.map(_._3).sum} != $total") &&
+          (quotaOk :| s"quota violated: ${got.toSeq}")
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("index: write + additive append == the all-at-once graph") {
     val dir = java.nio.file.Files.createTempDirectory("webidx").toString
     val b1 = Seq(("a", "b", 2L), ("b", "c", 1L))
