@@ -125,6 +125,58 @@ object Demo {
     println(s"  gap-fill: ${daily.count()} observed days -> ${filled.count()} " +
       s"continuous days (${filled.filter(!col("is_observed")).count()} filled)")
 
+    // --- 7. crawl loop: .warc.gz archives -> pages -> ranked budget -------
+    println("== Crawl loop: archives -> ingest -> link graph -> budget ==")
+    val S = "\r\n\r\n"
+    val id = col("doc_id")
+    val pageUrl = concat(lit("https://site"), (id % 7).cast("string"),
+      lit(".example.com/page/"), id.cast("string"))
+    val pageHtml = concat(
+      lit("<html><body><p>"), substring(coalesce(col("text"), lit("")), 1, 80),
+      lit("</p><a href=\"https://site"), ((id * 3 + 1) % 7).cast("string"),
+      lit(".example.com/a/"), (id % 9).cast("string"),
+      lit("\">more</a><a href=\"https://ext0.example.org/r\">out</a>"),
+      lit("</body></html>"))
+    val httpBlock = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), pageHtml)
+    val warcRec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), pageUrl,
+      lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nWARC-Record-ID: <rec-"),
+      id.cast("string"),
+      lit(">\r\nContent-Type: application/http; msgtype=response" +
+        "\r\nContent-Length: "),
+      length(httpBlock).cast("string"), lit(S), httpBlock, lit(S))
+    val chunks = docs.filter(id < 50)
+      .select(expr("doc_id div 10").as("chunk_id"), id, warcRec.as("rec"))
+      .groupBy("chunk_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("rec")))),
+        s => s.getField("rec")), "").as("warc"))
+    val crawlDir = s"$outDir/warc"
+    graft.operators.Warc.writeWarcGzFiles(chunks, "chunk_id", "warc",
+      crawlDir)
+    val ingested = graft.operators.Warc.responseDocuments(
+      graft.operators.Warc.readWarcGzFiles(spark, s"$crawlDir/*.warc.gz")
+        .select(regexp_extract(col("path"), "chunk-([0-9]+)\\.warc\\.gz$", 1)
+          .cast("long").as("chunk_id"), col("warc")),
+      "chunk_id", "warc")
+    require(ingested.count() == 50, "every archived page must ingest back")
+    val links = graft.operators.WebGraph.extractLinks(
+        ingested.select(col("record_id"), col("url"), col("html")),
+        Seq("record_id", "url"), "html")
+      .withColumn("resolved",
+        graft.operators.WebGraph.resolveUrl(col("url"), col("href")))
+    val ranks = graft.operators.WebGraph.pageRank(
+      graft.operators.WebGraph.hostLinkGraph(links, "url", "resolved"),
+      iterations = 5)
+    val budget = graft.operators.WebGraph.apportionBudget(
+      ranks, "host", "rank_scaled", total = 100L)
+    val alloc = budget.select("host", "budget_raw")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    println(s"  50 pages from ${chunks.count()} .warc.gz archives -> " +
+      s"${alloc.size} ranked hosts; fetch budget: $alloc")
+    require(alloc.values.sum == 100L, "budget must apportion exactly")
+
     println("DEMO OK")
     spark.stop()
   }
