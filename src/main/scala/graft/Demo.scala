@@ -145,7 +145,9 @@ object Demo {
       id.cast("string"),
       lit(">\r\nContent-Type: application/http; msgtype=response" +
         "\r\nContent-Length: "),
-      length(httpBlock).cast("string"), lit(S), httpBlock, lit(S))
+      // WARC Content-Length is OCTETS — length() counts chars and
+      // undercounts non-ASCII payloads (second-pass review r13)
+      octet_length(httpBlock).cast("string"), lit(S), httpBlock, lit(S))
     val chunks = docs.filter(id < 50)
       .select(expr("doc_id div 10").as("chunk_id"), id, warcRec.as("rec"))
       .groupBy("chunk_id")

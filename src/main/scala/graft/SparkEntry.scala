@@ -235,10 +235,10 @@ object SparkEntry {
     val httpBlock = concat(lit(WarcHttpHead), col("html"))
     val rec = concat(
       lit(WarcReqH1), uri, lit(WarcH2Date), date, lit(WarcReqH3), idS,
-      lit(WarcReqH4), length(reqBlock).cast("string"), lit(Warc.Sep),
+      lit(WarcReqH4), octet_length(reqBlock).cast("string"), lit(Warc.Sep),
       reqBlock, lit(Warc.Sep),
       lit(WarcRespH1), uri, lit(WarcH2Date), date, lit(WarcRespH3), idS,
-      lit(WarcRespH4), length(httpBlock).cast("string"), lit(Warc.Sep),
+      lit(WarcRespH4), octet_length(httpBlock).cast("string"), lit(Warc.Sep),
       httpBlock, lit(Warc.Sep))
     val cIdS = col("chunk_id").cast("string")
     val infoBody = concat(lit(WarcInfoBody1), cIdS, lit("\r\n"))
@@ -250,7 +250,7 @@ object SparkEntry {
         s => s.getField("rec")), "").as("__recs"))
       .select(col("chunk_id"), concat(
         lit(WarcInfoH1), cIdS, lit(WarcInfoH2),
-        length(infoBody).cast("string"), lit(Warc.Sep), infoBody,
+        octet_length(infoBody).cast("string"), lit(Warc.Sep), infoBody,
         lit(Warc.Sep), col("__recs")).as("warc"))
   }
 
@@ -291,17 +291,17 @@ object SparkEntry {
        |  SELECT doc_id, chunk_id,
        |    ${wq(WarcReqH1)} || uri || ${wq(WarcH2Date)} || dt ||
        |    ${wq(WarcReqH3)} || CAST(doc_id AS VARCHAR) || ${wq(WarcReqH4)} ||
-       |    CAST(length(req_block) AS VARCHAR) || ${wq(Warc.Sep)} ||
+       |    CAST(octet_length(encode(req_block)) AS VARCHAR) || ${wq(Warc.Sep)} ||
        |    req_block || ${wq(Warc.Sep)} ||
        |    ${wq(WarcRespH1)} || uri || ${wq(WarcH2Date)} || dt ||
        |    ${wq(WarcRespH3)} || CAST(doc_id AS VARCHAR) || ${wq(WarcRespH4)} ||
-       |    CAST(length(http_block) AS VARCHAR) || ${wq(Warc.Sep)} ||
+       |    CAST(octet_length(encode(http_block)) AS VARCHAR) || ${wq(Warc.Sep)} ||
        |    http_block || ${wq(Warc.Sep)} AS rec
        |  FROM rb),
        |chunks AS (
        |  SELECT chunk_id,
        |    ${wq(WarcInfoH1)} || CAST(chunk_id AS VARCHAR) || ${wq(WarcInfoH2)} ||
-       |    CAST(length($infoSql) AS VARCHAR) || ${wq(Warc.Sep)} ||
+       |    CAST(octet_length(encode($infoSql)) AS VARCHAR) || ${wq(Warc.Sep)} ||
        |    $infoSql || ${wq(Warc.Sep)} ||
        |    string_agg(rec, '' ORDER BY doc_id) AS warc
        |  FROM recs GROUP BY chunk_id),
@@ -3285,8 +3285,10 @@ object SparkEntry {
         .select(col("host"), col("entry_idx"), col("loc"), col("priority"),
           concat(col("host"), lit("#"), col("entry_idx").cast("string"))
             .as("uid"),
+          // the SHARED origin pattern (WebGraph.UrlOriginRe) — inline
+          // copies drift (second-pass review r13)
           coalesce(nullif(regexp_replace(col("loc"),
-            "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""), lit("")), lit("/"))
+            WebGraph.UrlOriginRe, ""), lit("")), lit("/"))
             .as("url_path"))
       val allowed = Robots.evaluateRobots(parsed, "host",
           urls.select("uid", "host", "url_path"), Seq("uid"), "graftbot")
@@ -8144,14 +8146,15 @@ object SparkEntry {
     // missing-lastmod branches all in the hash (r13).
     "q_web_recrawl" -> {
       val cases = Robots.ChangefreqHours.map { case (cf, h) =>
-        s"WHEN changefreq = '$cf' THEN CAST($h AS BIGINT)"
+        s"WHEN lower(changefreq) = '$cf' THEN CAST($h AS BIGINT)"
       }.mkString(" ")
       s"""WITH $sitemapParseCtes,
          |rc AS (
          |  SELECT host, entry_idx, loc, changefreq, lastmod_date,
-         |    CASE WHEN changefreq = 'never' THEN NULL
+         |    CASE WHEN lower(changefreq) = 'never' THEN NULL
          |      $cases
-         |      ELSE CAST(168 AS BIGINT) END AS interval_hours,
+         |      ELSE CAST(${Robots.DefaultRecrawlHours} AS BIGINT)
+         |      END AS interval_hours,
          |    CAST(datediff('day', lastmod_date, DATE '2024-02-15') * 24
          |      AS BIGINT) AS stale_hours
          |  FROM sm_p WHERE kind = 'url')
@@ -8167,10 +8170,10 @@ object SparkEntry {
     // body go unused here (plain CTEs — never executed).
     "q_web_frontier_sitemap" ->
       (s"WITH $robotsParseCtes,\n$robotsEvalCtes,\n$sitemapParseCtes,\n" +
-        """su AS (
+        s"""su AS (
           |  SELECT host, entry_idx, loc, priority,
           |    coalesce(nullif(regexp_replace(loc,
-          |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), ''), '/')
+          |      '${WebGraph.UrlOriginRe}', ''), ''), '/')
           |      AS url_path
           |  FROM sm_p WHERE kind = 'url'),
           |sbm AS (

@@ -130,6 +130,11 @@ object Robots {
     "hourly" -> 1L, "daily" -> 24L, "weekly" -> 168L, "monthly" -> 720L,
     "yearly" -> 8760L)
 
+  /** Default recrawl interval for absent/unknown changefreq (one week) —
+    * shared with the oracle generator so the two engines cannot drift.
+    */
+  val DefaultRecrawlHours: Long = 168L
+
   /** Recrawl scheduling from sitemap freshness hints (r13): for each
     * `<url>` entry of a parsed sitemap ([[parseSitemap]] output), derive
     * the recrawl interval from `changefreq` (unknown/absent values take
@@ -142,13 +147,22 @@ object Robots {
     * Adds `(interval_hours, stale_hours, due)` to the entry columns.
     */
   def recrawlSchedule(entries: DataFrame, asOfDate: String,
-                      defaultHours: Long = 168L): DataFrame = {
+                      defaultHours: Long = DefaultRecrawlHours): DataFrame = {
     require(defaultHours >= 0,
       s"recrawlSchedule: defaultHours must be >= 0, got $defaultHours")
+    // fail loudly on an unparseable asOf — to_date would return NULL and
+    // leak three-valued logic into the documented boolean `due`
+    // (second-pass review r13)
+    require(scala.util.Try(java.time.LocalDate.parse(asOfDate)).isSuccess,
+      s"recrawlSchedule: asOfDate '$asOfDate' is not an ISO date")
     val asOf = to_date(lit(asOfDate))
+    // case-insensitive hint matching (sitemap consumers treat values
+    // case-insensitively in the wild — 'Never' must not silently take
+    // the default; second-pass review r13)
+    val cfLower = lower(col("changefreq"))
     val interval = ChangefreqHours.foldLeft(
-        when(col("changefreq") === "never", lit(null).cast("long"))) {
-      case (acc, (cf, h)) => acc.when(col("changefreq") === cf, lit(h))
+        when(cfLower === "never", lit(null).cast("long"))) {
+      case (acc, (cf, h)) => acc.when(cfLower === cf, lit(h))
     }.otherwise(lit(defaultHours))
     entries
       .filter(col("kind") === "url")

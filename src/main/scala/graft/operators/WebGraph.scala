@@ -281,10 +281,21 @@ object WebGraph {
     require(total >= 0, s"apportionBudget: total must be >= 0, got $total")
     require(maxPerHost >= 0,
       s"apportionBudget: maxPerHost must be >= 0, got $maxPerHost")
+    // scoped persist: the stats guard, the leftover collect, and the
+    // returned frame are three actions over the same (possibly
+    // expensive) weights lineage — the pageRank eP precedent. Leaked by
+    // design within a query, the operator-persist convention.
     val w = weights.select(col(keyCol), col(weightCol).cast("long").as("__w"))
+      .persist()
     val stats = w.agg(coalesce(min("__w"), lit(0L)),
-      coalesce(max("__w"), lit(0L)), coalesce(sum("__w"), lit(0L)))
+      coalesce(max("__w"), lit(0L)), coalesce(sum("__w"), lit(0L)),
+      sum(when(col("__w").isNull, 1L).otherwise(0L)))
       .collect().head
+    require(stats.isNullAt(3) || stats.getLong(3) == 0,
+      s"apportionBudget: ${if (stats.isNullAt(3)) 0 else stats.getLong(3)} " +
+        "NULL/non-numeric weights — every host needs an integer weight " +
+        "(second-pass review r13: NULLs slipped past the min/max guards " +
+        "and surfaced as NULL budgets downstream)")
     require(stats.getLong(0) >= 0,
       s"apportionBudget: negative weight ${stats.getLong(0)}")
     require(total == 0 || stats.getLong(1) <= Long.MaxValue / math.max(total, 1L),
