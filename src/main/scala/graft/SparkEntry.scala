@@ -943,6 +943,25 @@ object SparkEntry {
   private lazy val jsonlTmpDir =
     java.nio.file.Files.createTempDirectory("graft-jsonl").toString
 
+  // Embedded Derby database for the genuine-JDBC CDC cycle
+  // (q_pipeline_jdbc_roundtrip): in-memory, one database per
+  // (process, sf-dir), created on first connect. The query overwrites its
+  // tables on every run, so repeated bench runs are idempotent. Derby is
+  // the zero-infra stand-in for the reference's MySQL — same JDBC code
+  // path, dialect-mapped DDL.
+  private def derbyUrl(d: String): String =
+    s"jdbc:derby:memory:graft_${sfKey(d)};create=true"
+  private def derbyProps: java.util.Properties = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+  // The JDBC cycle's merge instant — strictly after the fixture's
+  // created_at (mergeNow), so the read-back audit columns distinguish
+  // kept (created@t0, updated@t0), updated (created@t0, updated@t1), and
+  // inserted (created@t1) rows.
+  private val jdbcNow = to_timestamp(lit("2026-02-01 00:00:00"))
+
   private lazy val compactTmpDir =
     java.nio.file.Files.createTempDirectory("graft-compact").toString
 
@@ -1012,16 +1031,16 @@ object SparkEntry {
 
   private def warcGzEnsure(s: SparkSession, d: String): String = {
     val path = s"$warcGzTmpDir/${sfKey(d)}"
-    // gate on a marker written AFTER the archive write — a bare
-    // directory-existence gate let an interrupted write leave a dir that
-    // skipped regeneration forever and read a partial archive set
-    // (second-pass review r13; the Sinks _SUCCESS convention)
-    val marker = java.nio.file.Paths.get(path, "_graft_complete")
+    // gate on the _SUCCESS marker writeWarcGzFiles itself writes after
+    // every partition's archives landed (ADVICE r13: the marker moved
+    // INTO the operator, so every caller gets the completion signal) —
+    // a bare directory-existence gate let an interrupted write leave a
+    // dir that skipped regeneration forever and read a partial set
+    val marker = java.nio.file.Paths.get(path, "_SUCCESS")
     if (!java.nio.file.Files.exists(marker)) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
       Warc.writeWarcGzFiles(warcChunks(t(s, d, "documents")),
         "chunk_id", "warc", path)
-      java.nio.file.Files.createFile(marker)
     }
     path
   }
@@ -2137,6 +2156,58 @@ object SparkEntry {
           sum(length(col("text")).cast("bigint")).as("sum_text_len"),
           max(col("__ingest_batch")).as("batch_tag"))
         .orderBy("lang")
+    }),
+    // Genuine JDBC round trip (r14, VERDICT r13 §next-1): the full CDC
+    // cycle against a REAL database — the reference's actual I/O surface
+    // (MySQL, sync_ALL.py:259-320 / sync_INCREMENTAL.py:226-268), stood
+    // in by embedded Derby. Bootstrap-load the synthetic target via
+    // jdbcWrite (truncate overwrite, batchsize 1000), merge orders into
+    // it reading the target state over JDBC, swap the result in with the
+    // staged RENAME protocol, then read it back over JDBC and aggregate:
+    // values must equal the parquet truth (the target converges to
+    // orders — its keys are a subset of the source's), the audit
+    // timestamps must classify kept/updated/inserted rows exactly, and a
+    // post-merge classify against jdbcTargetState (the pruned remote
+    // SELECT) must be all-skip (idempotence through the database).
+    "q_pipeline_jdbc_roundtrip" -> ((s, d) => {
+      val url = derbyUrl(d)
+      val props = derbyProps
+      // Inferred sink DDL (the reference's CREATE TABLE with typed
+      // columns, sync_ALL.py:99-126): VARCHAR, not Derby's CLOB default —
+      // CLOB halves insert throughput and loses comparability.
+      val ddl = "o_orderstatus VARCHAR(8), o_orderpriority VARCHAR(32), " +
+        "row_hash VARCHAR(64)"
+      Sinks.jdbcWrite(mergeTargetAudited(s, d), url,
+        "ORDERS_TGT", props, columnTypes = Some(ddl))
+      // Range-parallel remote reads (8 concurrent cursors on the dense id)
+      // — the cluster-side scan form; Merge.apply's plan reads the target
+      // three times (kept/updated join, insert anti-join, max-id scalar),
+      // so cursor parallelism is the knob that matters here. Loose upper
+      // bound is fine: stride partitioning sends out-of-range rows to the
+      // edge partitions.
+      def tgtScan = Sinks.jdbcScan(s, url, "ORDERS_TGT", props,
+        partitionColumn = Some("id"), lowerBound = 1L,
+        upperBound = 1000000L, numPartitions = 8)
+      val merged = Merge.apply(t(s, d, "orders"), tgtScan,
+        Seq("o_orderkey"), jdbcNow)
+      Sinks.overwriteJdbcViaStaging(merged, url, "ORDERS_TGT",
+        props, columnTypes = Some(ddl))
+      val back = tgtScan
+      val reclassified = Merge.classify(t(s, d, "orders"),
+        Sinks.jdbcTargetState(s, url, "ORDERS_TGT", Seq("o_orderkey"), props),
+        Seq("o_orderkey"))
+      back.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          max(col("id")).as("max_id"),
+          moneySum("o_totalprice"),
+          sum(when(col("updated_at") === jdbcNow && col("created_at") === mergeNow,
+            1L).otherwise(0L)).as("n_updated"),
+          sum(when(col("created_at") === jdbcNow, 1L).otherwise(0L))
+            .as("n_inserted"))
+        .crossJoin(broadcast(reclassified.agg(
+          sum(when(col(Merge.ActionCol) === Merge.Skip, 1L).otherwise(0L))
+            .as("n_skip_after"))))
     }),
     // The declarative curation pipeline itself under the gate: a 3-step
     // recipe (scrub -> intra-doc span dedup -> quality floor) whose
@@ -5335,6 +5406,23 @@ object SparkEntry {
         |  CAST(sum(len(text)) AS BIGINT) AS sum_text_len,
         |  CAST(-1 AS BIGINT) AS batch_tag
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The JDBC cycle's oracle is pure orders arithmetic: the merged
+    // target converges to orders (target keys ⊆ source keys, no-delete
+    // never fires), updates are the %5-drifted keys still present in the
+    // target (%7<>0), inserts are the %7 keys the fixture dropped, ids
+    // stay dense (fixture ids 1..n_tgt, inserts minted above), and the
+    // post-merge re-classify is all-skip.
+    "q_pipeline_jdbc_roundtrip" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(count(*) AS BIGINT) AS max_id,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_o_totalprice,
+        |  CAST(sum(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inserted,
+        |  CAST(count(*) AS BIGINT) AS n_skip_after
+        |FROM orders""".stripMargin,
     // Composes the redact chain, the spans-within dedup, and the token
     // floor in one SQL pipeline — same step order as the recipe.
     // Prefix counts of the audit recipe: redaction is a rewrite (count
@@ -8155,8 +8243,10 @@ object SparkEntry {
          |      $cases
          |      ELSE CAST(${Robots.DefaultRecrawlHours} AS BIGINT)
          |      END AS interval_hours,
-         |    CAST(datediff('day', lastmod_date, DATE '2024-02-15') * 24
-         |      AS BIGINT) AS stale_hours
+         |    CASE WHEN lastmod_date IS NULL THEN NULL
+         |      ELSE greatest(CAST(0 AS BIGINT),
+         |        CAST(datediff('day', lastmod_date, DATE '2024-02-15') * 24
+         |          AS BIGINT)) END AS stale_hours
          |  FROM sm_p WHERE kind = 'url')
          |SELECT host, CAST(entry_idx AS INT) AS entry_idx, loc, changefreq,
          |  lastmod_date, interval_hours, stale_hours,

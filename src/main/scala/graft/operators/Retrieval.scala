@@ -224,14 +224,23 @@ object Retrieval {
         .otherwise(0L)), lit(0L)).as("n_badvec"),
       coalesce(sum(when(col("rel").isNull, 1L).otherwise(0L)), lit(0L))
         .as("n_nullrel"),
-      (count(lit(1)) - countDistinct(col("query_id"), col("id"))).as("n_dup"))
+      // NULL keys counted separately (ADVICE r13): countDistinct skips
+      // rows where either key is NULL, so without this a NULL-keyed row
+      // was misreported as a duplicate; the dup count runs over the
+      // non-NULL-keyed rows only.
+      coalesce(sum(when(col("query_id").isNull || col("id").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("n_nullkey"),
+      (count(when(col("query_id").isNotNull && col("id").isNotNull, 1L)) -
+        countDistinct(col("query_id"), col("id"))).as("n_dup"))
       .collect()(0)
     require(bad.getLong(0) == 0, s"mmrRerank: ${bad.getLong(0)} candidate " +
       "rows have a NULL or empty vector — every candidate needs a vector " +
       "in the rel column's quantized units")
     require(bad.getLong(1) == 0, s"mmrRerank: ${bad.getLong(1)} candidate " +
       "rows have a NULL relevance score")
-    require(bad.getLong(2) == 0, s"mmrRerank: ${bad.getLong(2)} duplicate " +
+    require(bad.getLong(2) == 0, s"mmrRerank: ${bad.getLong(2)} candidate " +
+      "rows have a NULL query_id or id — every candidate needs both keys")
+    require(bad.getLong(3) == 0, s"mmrRerank: ${bad.getLong(3)} duplicate " +
       "(query_id, id) candidate rows — candidates must be unique per query")
     val rels = c.select("query_id", "id", "rel").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -145,6 +145,12 @@ object Robots {
     * (`datediff(asOf, lastmod) · 24 ≥ interval_hours`), so the whole
     * policy replays exactly cross-engine; map-only over the entry rows.
     * Adds `(interval_hours, stale_hours, due)` to the entry columns.
+    *
+    * Future-dated lastmod (ADVICE r13): `stale_hours` is clamped at 0 —
+    * a lastmod after `asOfDate` counts as fresh-NOW, never as negative
+    * staleness. Consequence: `changefreq='always'` (interval 0) is due
+    * whenever it is seen, future lastmod included; every positive
+    * interval treats a future lastmod as not-yet-due.
     */
   def recrawlSchedule(entries: DataFrame, asOfDate: String,
                       defaultHours: Long = DefaultRecrawlHours): DataFrame = {
@@ -168,7 +174,12 @@ object Robots {
       .filter(col("kind") === "url")
       .withColumn("interval_hours", interval)
       .withColumn("stale_hours",
-        (datediff(asOf, col("lastmod_date")) * 24L).cast("long"))
+        // clamped at 0, NULL preserved for unknown lastmod (Spark's
+        // greatest SKIPS nulls, so a bare greatest(0, NULL) would turn
+        // no-evidence into zero-staleness)
+        when(col("lastmod_date").isNull, lit(null).cast("long"))
+          .otherwise(greatest(lit(0L),
+            (datediff(asOf, col("lastmod_date")) * 24L).cast("long"))))
       .withColumn("due",
         col("lastmod_date").isNull ||
           (col("interval_hours").isNotNull &&

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Unigram-LM (SentencePiece) subword tokenizer — Kudo 2018, "Subword
@@ -53,10 +52,11 @@ object Unigram {
     * weighted by word frequency; rank by (cnt desc, piece asc); kept when
     * `rank <= seedSize` OR the piece is a single character (so every
     * training word stays segmentable). Fully oracle-replayable (exact
-    * integer counts, total rank order). The rank window is a single
-    * global sort over the candidate-substring table — VOCABULARY-scale
+    * integer counts, total rank order). The rank is a range-partitioned
+    * two-pass mint over the candidate-substring table — VOCABULARY-scale
     * (distinct substrings of distinct words), the same metadata bound as
-    * the BPE driver loop, not corpus-scale.
+    * the BPE driver loop, not corpus-scale — with no single-partition
+    * window stage.
     */
   def seedCandidates(docs: DataFrame, textCol: String, maxPieceLen: Int = 4,
                      seedSize: Int = 512): DataFrame = {
@@ -74,8 +74,12 @@ object Unigram {
     val subs = wc.select(col("__wcnt"),
         explode(concat(perLen: _*)).as("piece"))
       .groupBy("piece").agg(sum("__wcnt").as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("piece").asc)
-    subs.withColumn("rank", row_number().over(w))
+    // Two-pass partition-offset mint — bit-identical to row_number()
+    // over a global window but with no single-partition stage; the
+    // candidate-substring frame is vocabulary-scale, yet at web scale
+    // that can still be large enough to care (VERDICT r13 §next-4).
+    graft.functions.RowHash.orderedDenseId(subs,
+        Seq(col("cnt").desc, col("piece").asc), "rank")
       .filter(col("rank") <= seedSize || length(col("piece")) === 1)
       .select(col("piece"), col("cnt").cast("long").as("cnt"),
         col("rank").cast("int").as("rank"))

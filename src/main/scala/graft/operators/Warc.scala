@@ -194,6 +194,9 @@ object Warc {
     * HDFS, and object stores all work with the executors' own Hadoop
     * configuration). File count = chunk count by contract — callers
     * size chunks like CommonCrawl does (~1 GiB), not one per page.
+    * A `_SUCCESS` marker is written after ALL archives landed; readers
+    * that must not see a partially-written archive set gate on it
+    * (an interrupted job leaves no marker).
     */
   def writeWarcGzFiles(chunks: DataFrame, idCol: String, warcCol: String,
                        dir: String): Unit = {
@@ -221,6 +224,15 @@ object Warc {
         try out.write(row.getAs[Array[Byte]](1)) finally out.close()
       }
     }
+    // Completion marker, written only after every partition's archives
+    // landed (the file-commit _SUCCESS convention): an interrupted job
+    // must not leave a partial archive set that a later
+    // [[readWarcGzFiles]] glob picks up silently — callers gate on this
+    // file (ADVICE r13).
+    val success = new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")
+    val fs = success.getFileSystem(
+      chunks.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(success, true).close()
   }
 
   /** Read `.warc.gz` files from disk into `(path, file_length, warc)` —

@@ -268,8 +268,10 @@ object WebGraph {
     *
     * Scale shape: operates on the HOST-level frame (metadata-scale by
     * the link-graph contract — orders of magnitude below page count);
-    * the remainder rank is one global window over that frame, a sort of
-    * hosts, never of pages. Overflow guarded loudly: `total · max(w)`
+    * the remainder rank is a range-partitioned two-pass mint
+    * (orderedDenseId — no single-partition window stage, so even an
+    * O(1e8)-host frame ranks distributed). Overflow guarded loudly:
+    * `total · max(w)`
     * must fit in a Long (1e12-scaled ranks leave room for budgets to
     * ~9e6 — pre-scale weights down for larger budgets).
     *
@@ -310,13 +312,16 @@ object WebGraph {
     val fl = w.select(col(keyCol), col("__w"),
       expr(s"${total}L * __w div ${bigW}L").as("__fl"),
       expr(s"(${total}L * __w) % ${bigW}L").as("__rem"))
-    // leftover units = total − Σ floors (< #hosts by construction); one
-    // global remainder rank over the host-level frame assigns them
+    // leftover units = total − Σ floors (< #hosts by construction); the
+    // remainder rank assigns them. Minted via the two-pass
+    // partition-offset form (orderedDenseId) — bit-identical to
+    // row_number() over a global window, but with no single-partition
+    // stage: a 100 TB crawl has O(1e8) hosts, and the window form
+    // funneled them all through one task (VERDICT r13 §next-4).
     val leftover = total -
       fl.agg(sum("__fl")).collect().head.getLong(0)
-    fl.withColumn("__rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("__rem").desc, col(keyCol).asc)).cast("long"))
+    graft.functions.RowHash.orderedDenseId(fl,
+        Seq(col("__rem").desc, col(keyCol).asc), "__rk")
       .select(col(keyCol), col("__w").as(weightCol),
         (col("__fl") +
           when(col("__rk") <= leftover, 1L).otherwise(0L)).as("budget_raw"))

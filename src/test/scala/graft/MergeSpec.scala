@@ -127,6 +127,57 @@ class MergeSpec extends SparkSpec {
     assert(Merge.nullKeyAudit(df, Seq("k")).count() == 1)
   }
 
+  test("classify+apply against a real JDBC target (Derby), composite key + evolution") {
+    // The CDC cycle with the target LIVING in a database end-to-end
+    // (VERDICT r13 §next-1): bootstrap via Sinks.jdbcWrite (truncate
+    // overwrite), classify against Sinks.jdbcTargetState (the pruned
+    // remote SELECT), apply reading the full JDBC target, swap via the
+    // staged RENAME, then evolve the source schema and merge again.
+    val url = s"jdbc:derby:memory:graftmerge${System.nanoTime()};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val keys = Seq("k1", "k2")
+    val tgt0 = RowHash.withAuditColumns(
+      Seq((1, "a", "x"), (1, "b", "y"), (2, "a", "z")).toDF("k1", "k2", "v"),
+      keys, t0)
+    graft.pipeline.Sinks.jdbcWrite(tgt0, url, "TGT", props)
+    val src = Seq((1, "a", "x"), (1, "b", "Y"), (3, "c", "w")).toDF("k1", "k2", "v")
+    val cls = Merge.classify(src,
+        graft.pipeline.Sinks.jdbcTargetState(spark, url, "TGT", keys, props), keys)
+      .select(col("k1"), col("k2"), col(Merge.ActionCol))
+      .as[(Int, String, String)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(cls == Map((1, "a") -> "skip", (1, "b") -> "update", (3, "c") -> "insert"))
+    val merged = Merge.apply(src,
+      graft.pipeline.Sinks.jdbcScan(spark, url, "TGT", props), keys, t1)
+    graft.pipeline.Sinks.overwriteJdbcViaStaging(merged, url, "TGT", props)
+    val back = graft.pipeline.Sinks.jdbcScan(spark, url, "TGT", props)
+    assert(back.select("k1", "k2", "v").as[(Int, String, String)].collect().toSet ==
+      Set((1, "a", "x"), (1, "b", "Y"), (2, "a", "z"), (3, "c", "w")))
+    // no-delete: (2,"a") survived; update kept its id; insert minted above max
+    val ids = back.select("k1", "k2", "id").as[(Int, String, Long)]
+      .collect().map { case (a, b, i) => (a, b) -> i }.toMap
+    assert(ids((3, "c")) == 4L)
+    // schema evolution THROUGH the database: source grows a column, the
+    // JDBC target is aligned with a typed NULL, every matched row
+    // reclassifies as update (new hash basis) and backfills
+    val src2 = src.withColumn("extra", concat(col("v"), lit("!")))
+    val evolved = Merge.evolveTarget(src2,
+      graft.pipeline.Sinks.jdbcScan(spark, url, "TGT", props))
+    val merged2 = Merge.apply(src2, evolved, keys, t1)
+    graft.pipeline.Sinks.overwriteJdbcViaStaging(merged2, url, "TGT", props)
+    val back2 = graft.pipeline.Sinks.jdbcScan(spark, url, "TGT", props)
+    assert(back2.filter(col("k1") === 3).select("extra").as[String].head() == "w!")
+    // the no-delete row has no source match — its evolved column is NULL
+    assert(back2.filter(col("k1") === 2).select("extra").as[String]
+      .collect().toSeq == Seq(null))
+    // idempotence through JDBC after evolution: all-skip
+    val tally = Merge.outcomeTally(Merge.classify(src2,
+        graft.pipeline.Sinks.jdbcTargetState(spark, url, "TGT", keys, props), keys))
+      .as[(String, Long)].collect().toMap
+    assert(tally.keySet == Set(Merge.Skip), tally.toString)
+  }
+
   test("property: scd2Apply == in-memory version model on random states (ScalaCheck)") {
     val gen = for {
       nKeys <- Gen.choose(1, 10)

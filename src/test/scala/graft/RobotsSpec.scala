@@ -235,6 +235,29 @@ class RobotsSpec extends SparkSpec {
     }
   }
 
+  test("recrawlSchedule: future lastmod clamps to 0 — always due, rest fresh") {
+    // ADVICE r13: a future-dated lastmod used to yield negative
+    // stale_hours, which suppressed even changefreq='always' (interval
+    // 0). Clamped at 0: 'always' is due whenever seen; positive
+    // intervals treat the future date as fresh-now.
+    def dt(s: String) = java.sql.Date.valueOf(s)
+    val entries = Seq(
+      ("h", 0, "url", "u0", Option(dt("2024-06-01")), "always"),
+      ("h", 1, "url", "u1", Option(dt("2024-06-01")), "daily"),
+      ("h", 2, "url", "u2", Option(dt("2024-06-01")), "never"),
+      ("h", 3, "url", "u3", Option.empty[java.sql.Date], "always"))
+      .toDF("host", "entry_idx", "kind", "loc", "lastmod_date", "changefreq")
+    val got = Robots.recrawlSchedule(entries, "2024-01-15")
+      .select("entry_idx", "interval_hours", "stale_hours", "due")
+      .as[(Int, Option[Long], Option[Long], Boolean)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0, Some(0L), Some(0L), true),    // always: due despite future date
+      (1, Some(24L), Some(0L), false),  // daily: fresh-now, not negative
+      (2, None, Some(0L), false),       // never: still never
+      (3, Some(0L), None, true)))       // always + no lastmod: due
+  }
+
   test("scheduleFrontier: per-host slots, default delay, determinism") {
     val delays = Seq(("a.example", 1500L)).toDF("host", "crawl_delay_ms")
     val urls = Seq((3L, "a.example"), (1L, "a.example"), (2L, "a.example"),

@@ -20,6 +20,28 @@ class UnigramSpec extends SparkSpec {
     assert(got == Set(("b", 3L, 1), ("a", 2L, 2), ("ab", 2L, 3)), got.toString)
   }
 
+  test("seedCandidates: mint rank is bit-identical to the window form") {
+    // r14 (VERDICT r13 §next-4): the seed rank moved from a global
+    // row_number window to the two-pass partition-offset mint. Replay
+    // the window semantics driver-side ((cnt desc, piece asc) total
+    // order) on a corpus with many count ties and pin full equality.
+    val docs = corpus("aa ab ba bb ab aa", "ba bb aa ab", "ca cb cc ca")
+    val got = Unigram.seedCandidates(docs, "text", maxPieceLen = 2,
+        seedSize = 1000)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_._3).toSeq
+    val wc = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split("\\s+")).groupBy(identity)
+      .map { case (w, g) => w -> g.length.toLong }
+    val counts = wc.toSeq.flatMap { case (w, c) =>
+      (1 to 2).flatMap(len => w.sliding(len).filter(_.length == len)
+        .toSeq.map(_ -> c)) }
+      .groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+    val expect = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .zipWithIndex.map { case ((p, c), i) => (p, c, i + 1) }
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
+
   test("EM learns multi-char pieces; segmentation conserves characters") {
     val docs = corpus(Seq.fill(20)("abab").mkString(" "),
       Seq.fill(10)("abab abra").mkString(" "))

@@ -201,6 +201,34 @@ class WarcSpec extends SparkSpec {
     assert(rows.toSeq == Seq("response" -> "<p>Round trip.</p>"))
   }
 
+  /** Count gzip members by walking the member structure: verify the
+    * magic at each member START, inflate to find where the deflate data
+    * ends, skip the 8-byte trailer, repeat. Assumes the plain
+    * GZIPOutputStream header (10 bytes, FLG=0 — what warcGzBytes
+    * writes); fails loudly on anything else.
+    */
+  private def gzipMemberCount(bytes: Array[Byte]): Int = {
+    var off = 0
+    var n = 0
+    while (off < bytes.length) {
+      assert((bytes(off) & 0xFF) == 0x1f && (bytes(off + 1) & 0xFF) == 0x8b &&
+        bytes(off + 2) == 8 && bytes(off + 3) == 0,
+        s"offset $off is not a plain gzip member header")
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, off + 10, bytes.length - off - 10)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        assert(inf.inflate(buf) > 0 || !inf.needsInput(),
+          s"truncated gzip member at offset $off")
+      }
+      val compressed = inf.getBytesRead.toInt
+      inf.end()
+      off += 10 + compressed + 8 // header + deflate stream + CRC32/ISIZE
+      n += 1
+    }
+    n
+  }
+
   test(".warc.gz files on disk round-trip through the binaryFile source") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec-gz").toString
     val chunks = Seq(
@@ -209,11 +237,14 @@ class WarcSpec extends SparkSpec {
       14L -> respRec("http://b/y", "404 Not Found", "text/html", "<p>no</p>"))
     Warc.writeWarcGzFiles(chunks.toDF("cid", "warc"), "cid", "warc", dir)
     // real layout: one gzip member per record, so each file has as many
-    // members as its chunk has records (member count = gzip magic count)
+    // members as its chunk has records. Counted by WALKING the member
+    // structure (inflate each member to find its end, check the magic
+    // only at member boundaries) — scanning the whole file for the
+    // 1f 8b 08 triple false-positives when the sequence occurs inside
+    // compressed payload bytes (ADVICE r13).
     val f3 = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/chunk-3.warc.gz"))
-    val members = f3.sliding(3).count(w =>
-      (w(0) & 0xFF) == 0x1f && (w(1) & 0xFF) == 0x8b && w(2) == 8)
+    val members = gzipMemberCount(f3)
     assert(members == 3, s"expected 3 gzip members, saw $members")
     val back = Warc.readWarcGzFiles(spark, s"$dir/*.warc.gz")
       .select(regexp_extract(col("path"), "chunk-([0-9]+)\\.warc\\.gz$", 1)

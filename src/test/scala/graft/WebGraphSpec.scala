@@ -209,6 +209,30 @@ class WebGraphSpec extends SparkSpec {
     }
   }
 
+  test("apportionBudget: mint rank is bit-identical to the window form") {
+    // r14 (VERDICT r13 §next-4): the remainder rank moved from a global
+    // un-partitioned row_number window to the two-pass partition-offset
+    // mint. Pin the full output against a driver-side replay of the
+    // window form (floors + leftover units to the (rem desc, host asc)
+    // prefix) on a frame with heavy remainder ties — the only part of
+    // the output the rank can influence.
+    val hosts = (0 until 97).map(i => (f"h$i%03d", (i % 7).toLong + 1L))
+    val total = 103L
+    val got = WebGraph.apportionBudget(hosts.toDF("host", "w"),
+        "host", "w", total)
+      .orderBy("host").as[(String, Long, Long, Long)].collect().toSeq
+    val bigW = hosts.map(_._2).sum
+    val fl = hosts.map { case (h, w) =>
+      (h, w, total * w / bigW, total * w % bigW) }
+    val leftover = (total - fl.map(_._3).sum).toInt
+    val bump = fl.sortBy { case (h, _, _, rem) => (-rem, h) }
+      .take(leftover).map(_._1).toSet
+    val expect = fl.map { case (h, w, f, _) =>
+      (h, w, f + (if (bump(h)) 1L else 0L), f + (if (bump(h)) 1L else 0L)) }
+      .sortBy(_._1)
+    assert(got == expect)
+  }
+
   test("apportionBudget property: exact sum and the quota condition") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.Prop.propBoolean
