@@ -98,6 +98,44 @@ object SparkEntry {
         .otherwise(lit(HtmlPara3B)),
       lit(HtmlPageSuffix)).as("html"))
 
+  // ---- multilingual HTML fixture (r14, VERDICT r13 §next-2) ---------
+  // A Spanish page whose content paragraphs are function-word-dense
+  // UNDER THE SPANISH LIST but nearly stopword-free under the English
+  // one (the only collision is the shared word "a") — the page a
+  // monolingual extractor silently destroys. Nav/heading boilerplate
+  // still dies on link density / min chars under EVERY list. No single
+  // quotes in any constant (they interpolate into SQL literals).
+  private val HtmlLangHeadEs =
+    "<html><head><title>Pagina</title></head><body>" +
+      "<div class=\"nav\"><ul><li><a href=\"/inicio\">Inicio</a></li>" +
+      "<li><a href=\"/ayuda\">La ayuda del sitio</a></li></ul></div>" +
+      "<h1>Un titulo de la pagina</h1>"
+  private val HtmlParaEs1 =
+    "<p>El texto de la pagina era uno de los que la gente de la casa " +
+      "iba a leer en el dia, y era uno de los que todos los de la " +
+      "villa tenian en la mano para leer con el resto de las personas " +
+      "del lugar.</p>"
+  private val HtmlParaEs2 =
+    "<p>La segunda parte del texto era como la primera, con las " +
+      "palabras de todos los dias, y por eso las reglas del extractor " +
+      "la iban a tomar como el contenido de la pagina.</p>"
+
+  /** Static pages keyed by a language column: every odd non-%5 doc is
+    * the Spanish page; %5 docs carry lang='xx' (unknown → English
+    * fallback) over the English page; the rest are English pages. The
+    * en/xx page is the htmlPages skeleton with static paragraphs only
+    * (no doc-text splice — the SQL replay stays a pure literal CASE).
+    */
+  private def htmlPagesLang(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, lit("xx"))
+        .when(col("doc_id") % 2 === 1, lit("es"))
+        .otherwise(lit("en")).as("lang"),
+      when(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 1,
+          lit(HtmlLangHeadEs + HtmlParaEs1 + HtmlParaEs2 + HtmlPageSuffix))
+        .otherwise(lit(HtmlPagePrefix + HtmlPara1Pad + HtmlPara2 +
+          HtmlPageSuffix)).as("html"))
+
   // SQL generators for the html oracle (shared by both html queries so
   // the replayed chain cannot drift between them). Single quotes in
   // replacements are SQL-doubled.
@@ -134,8 +172,8 @@ object SparkEntry {
     * when instantiated at `("pages", "doc_id", "html")`) also runs over
     * WARC response payloads keyed by (chunk_id, record_idx).
     */
-  private def htmlKeptCtes(src: String, keys: String,
-                           htmlCol: String): String =
+  private def htmlSegCtes(src: String, keys: String,
+                          htmlCol: String): String =
     s"""seg AS (
        |  SELECT $keys, list_filter(
        |    string_split(regexp_replace(regexp_replace($htmlCol,
@@ -162,12 +200,19 @@ object SparkEntry {
        |  SELECT $keys, block_idx, txt, n_raw, link_chars,
        |    len(txt) AS n_chars,
        |    regexp_extract_all(lower(txt), '[a-z]+') AS aw
-       |  FROM ft),
+       |  FROM ft)""".stripMargin
+
+  private def sqlStopList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+
+  private def htmlKeptCtes(src: String, keys: String,
+                           htmlCol: String): String =
+    s"""${htmlSegCtes(src, keys, htmlCol)},
        |blk AS (
        |  SELECT $keys, block_idx, txt, n_raw, link_chars, n_chars,
        |    len(aw) AS n_words,
        |    len(list_filter(aw, w -> w IN (${
-            TextAnalysis.StopwordsWebEn.map(w => s"'$w'").mkString(", ")})))
+            sqlStopList(TextAnalysis.StopwordsWebEn)})))
        |      AS n_stop
        |  FROM fw),
        |kept AS (
@@ -178,6 +223,53 @@ object SparkEntry {
        |     AND n_words > 0
        |     AND CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2)
        |      AS keep
+       |  FROM blk)""".stripMargin
+
+  /** The language-keyed n_stop CASE, generated from the SAME
+    * [[TextAnalysis.StopwordsWeb]] map the Spark chain keys on (branch
+    * order = sorted language keys, English fallback — mirror of
+    * langStopCount).
+    */
+  private def sqlLangStopCase(awExpr: String, langExpr: String): String = {
+    val branches = TextAnalysis.StopwordsWeb.toSeq.sortBy(_._1)
+      .map { case (lg, ws) =>
+        s"WHEN lower($langExpr) = '$lg' THEN len(list_filter($awExpr, " +
+          s"w -> w IN (${sqlStopList(ws)})))"
+      }.mkString("\n      ")
+    s"""CASE $branches
+       |      ELSE len(list_filter($awExpr, w -> w IN (${
+            sqlStopList(TextAnalysis.StopwordsWebEn)}))) END""".stripMargin
+  }
+
+  /** [[htmlKeptCtes]] with the stopword list keyed by a `lang` column
+    * carried in `keys`, PLUS the English-list decision (`keep_en`)
+    * alongside — the multilingual query pins both "survives under the
+    * right list" and "dies under the English one" in one hash.
+    */
+  private def htmlKeptCtesLang(src: String, keys: String,
+                               htmlCol: String): String =
+    s"""${htmlSegCtes(src, keys, htmlCol)},
+       |blk AS (
+       |  SELECT $keys, block_idx, txt, n_raw, link_chars, n_chars,
+       |    len(aw) AS n_words,
+       |    ${sqlLangStopCase("aw", "lang")} AS n_stop,
+       |    len(list_filter(aw, w -> w IN (${
+            sqlStopList(TextAnalysis.StopwordsWebEn)})))
+       |      AS n_stop_en
+       |  FROM fw),
+       |kept AS (
+       |  SELECT $keys, block_idx, txt, n_raw, link_chars, n_chars,
+       |    n_words, n_stop, n_stop_en,
+       |    (n_chars >= 70
+       |     AND CAST(link_chars AS DOUBLE) / CAST(n_raw AS DOUBLE) <= 0.2
+       |     AND n_words > 0
+       |     AND CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2)
+       |      AS keep,
+       |    (n_chars >= 70
+       |     AND CAST(link_chars AS DOUBLE) / CAST(n_raw AS DOUBLE) <= 0.2
+       |     AND n_words > 0
+       |     AND CAST(n_stop_en AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2)
+       |      AS keep_en
        |  FROM blk)""".stripMargin
 
   private def htmlOracleCtes: String =
@@ -2941,6 +3033,28 @@ object SparkEntry {
           size(filter(feats, f => f.getField("keep"))).cast("long")
             .as("n_kept_blocks"),
           TextAnalysis.extractMainContent(col("html")).as("content"))
+        .withColumn("n_content_chars", length(col("content")).cast("long"))
+        .orderBy("doc_id")
+    }),
+    // Multilingual jusText (r14, VERDICT r13 §next-2): the SAME block
+    // chain with the stopword list keyed by a language column. The
+    // Spanish fixture page's content blocks SURVIVE under the Spanish
+    // list (n_kept_lang) and DIE under the English list (n_kept_en = 0
+    // for es pages) — both decisions plus the extracted content land in
+    // the hash; lang='xx' pages pin the unknown→English fallback.
+    "q_text_html_extract_lang" -> ((s, d) => {
+      val featsL = TextAnalysis.htmlBlockFeaturesByLang(col("html"),
+        col("lang"))
+      val featsEn = TextAnalysis.htmlBlockFeatures(col("html"))
+      htmlPagesLang(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"),
+          size(featsL).cast("long").as("n_blocks"),
+          size(filter(featsL, f => f.getField("keep"))).cast("long")
+            .as("n_kept_lang"),
+          size(filter(featsEn, f => f.getField("keep"))).cast("long")
+            .as("n_kept_en"),
+          TextAnalysis.extractMainContentByLang(col("html"), col("lang"))
+            .as("content"))
         .withColumn("n_content_chars", length(col("content")).cast("long"))
         .orderBy("doc_id")
     }),
@@ -6438,6 +6552,31 @@ object SparkEntry {
         |  CAST(coalesce(len(string_agg(txt, chr(10) ORDER BY block_idx)
         |    FILTER (WHERE keep)), 0) AS BIGINT) AS n_content_chars
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Multilingual extraction replayed: the static language-keyed page
+    // CASE, then the shared segmentation chain with BOTH the
+    // lang-selected and the English stop counts — keep and keep_en per
+    // block, aggregated per page with the lang-kept content.
+    "q_text_html_extract_lang" ->
+      s"""WITH lpages AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'xx'
+        |         WHEN doc_id % 2 = 1 THEN 'es' ELSE 'en' END AS lang,
+        |    CASE WHEN doc_id % 5 <> 0 AND doc_id % 2 = 1
+        |      THEN '$HtmlLangHeadEs' || '$HtmlParaEs1' || '$HtmlParaEs2'
+        |        || '$HtmlPageSuffix'
+        |      ELSE '$HtmlPagePrefix' || '$HtmlPara1Pad' || '$HtmlPara2'
+        |        || '$HtmlPageSuffix' END AS html
+        |  FROM documents),
+        |${htmlKeptCtesLang("lpages", "doc_id, lang", "html")}
+        |SELECT doc_id, lang,
+        |  CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept_lang,
+        |  CAST(count(*) FILTER (WHERE keep_en) AS BIGINT) AS n_kept_en,
+        |  coalesce(string_agg(txt, chr(10) ORDER BY block_idx)
+        |    FILTER (WHERE keep), '') AS content,
+        |  CAST(coalesce(len(string_agg(txt, chr(10) ORDER BY block_idx)
+        |    FILTER (WHERE keep)), 0) AS BIGINT) AS n_content_chars
+        |FROM kept GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
     // The WARC parse chain replayed record-for-record; the payload
     // strings themselves land in the hash (r12).
     "q_warc_records" ->

@@ -1229,6 +1229,21 @@ object HtmlOps {
     set
   }
 
+  /** Per-language stop sets, built from the SAME map the column form
+    * keys on ([[graft.operators.TextAnalysis.StopwordsWeb]]) so the two
+    * cannot drift; unknown/NULL language falls back to English exactly
+    * like the column CASE's otherwise branch.
+    */
+  private val StopsByLang: java.util.HashMap[String, java.util.HashSet[String]] = {
+    val m = new java.util.HashMap[String, java.util.HashSet[String]]()
+    graft.operators.TextAnalysis.StopwordsWeb.foreach { case (lg, words) =>
+      val set = new java.util.HashSet[String]()
+      words.foreach(set.add)
+      m.put(lg, set)
+    }
+    m
+  }
+
   private val Entities: Array[(String, String)] =
     graft.operators.TextAnalysis.HtmlEntities.toArray
 
@@ -1378,7 +1393,31 @@ object HtmlOps {
     */
   def extractMainContent(text: UTF8String, minChars: Int,
                          maxLinkDensity: Double,
-                         minStopDensity: Double): UTF8String = {
+                         minStopDensity: Double): UTF8String =
+    extractWith(text, Stops, minChars, maxLinkDensity, minStopDensity)
+
+  /** Language-keyed form (r14): stop set selected per row from
+    * [[StopsByLang]]; unknown language falls back to English. Callers
+    * coalesce a NULL lang to 'en' at the column layer (StaticInvoke's
+    * propagateNull would otherwise null the whole result where the
+    * column form's CASE falls through to English).
+    */
+  def extractMainContentLang(text: UTF8String, lang: UTF8String,
+                             minChars: Int, maxLinkDensity: Double,
+                             minStopDensity: Double): UTF8String = {
+    val set =
+      if (lang == null) Stops
+      else {
+        val s = StopsByLang.get(lang.toLowerCase.toString)
+        if (s == null) Stops else s
+      }
+    extractWith(text, set, minChars, maxLinkDensity, minStopDensity)
+  }
+
+  private def extractWith(text: UTF8String,
+                          stops: java.util.HashSet[String], minChars: Int,
+                          maxLinkDensity: Double,
+                          minStopDensity: Double): UTF8String = {
     val noInv = stripInvisible(text.toString)
     val out = new java.lang.StringBuilder
     val cur = new java.lang.StringBuilder
@@ -1405,7 +1444,7 @@ object HtmlOps {
               while (p < m && lowered.charAt(p) >= 'a' &&
                 lowered.charAt(p) <= 'z') p += 1
               nWords += 1
-              if (Stops.contains(lowered.substring(st, p))) nStop += 1
+              if (stops.contains(lowered.substring(st, p))) nStop += 1
             } else p += 1
           }
           val keep = nChars >= minChars &&
@@ -1602,6 +1641,29 @@ object TextHashExpressions {
       Seq(GraftBridge.expression(text), Literal(minChars),
         Literal(maxLinkDensity), Literal(minStopDensity)),
       inputTypes = Seq(StringType, IntegerType, DoubleType, DoubleType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Language-keyed one-pass extraction (see
+    * [[HtmlOps.extractMainContentLang]]). The lang child is coalesced
+    * to 'en' HERE: propagateNull covers every child, and a NULL
+    * language must select the English fallback (the column CASE's
+    * otherwise), not null out the page.
+    */
+  def htmlExtractNativeLang(text: Column, lang: Column, minChars: Int,
+                            maxLinkDensity: Double,
+                            minStopDensity: Double): Column =
+    GraftBridge.column(StaticInvoke(
+      HtmlOps.getClass,
+      StringType,
+      "extractMainContentLang",
+      Seq(GraftBridge.expression(text),
+        GraftBridge.expression(
+          org.apache.spark.sql.functions.coalesce(lang,
+            org.apache.spark.sql.functions.lit("en"))),
+        Literal(minChars), Literal(maxLinkDensity), Literal(minStopDensity)),
+      inputTypes = Seq(StringType, StringType, IntegerType, DoubleType,
+        DoubleType),
       propagateNull = true,
       returnNullable = true))
 

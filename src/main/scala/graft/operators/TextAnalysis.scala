@@ -1105,6 +1105,59 @@ object TextAnalysis {
     "not", "no", "have", "has", "had", "do", "does", "did", "will",
     "would", "there", "which", "what", "who", "all", "some")
 
+  /** Per-language web-extraction stopword lists (r14, VERDICT r13
+    * §next-2): jusText ships a stopword list PER LANGUAGE — on a real
+    * crawl most pages are non-English, and their blocks systematically
+    * fail the density rule under an English list. ~50 core function
+    * words per language (the StopwordsWebEn sizing; jusText ships ~600
+    * each — swap per deployment). ASCII-only BY CONSTRUCTION: the word
+    * tokenizer is `[a-z]+` over lowercased text, so an accented entry
+    * ("está", "não") could never match a token — accented function
+    * words are simply omitted rather than silently dead. Unknown or
+    * NULL language keys fall back to English.
+    */
+  private[graft] val StopwordsWeb: Map[String, Seq[String]] = Map(
+    "en" -> StopwordsWebEn,
+    "es" -> Seq(
+      "el", "la", "los", "las", "un", "una", "uno", "unos", "unas",
+      "de", "del", "y", "o", "pero", "que", "en", "a", "al", "por",
+      "para", "con", "sin", "sobre", "entre", "se", "su", "sus", "lo",
+      "le", "les", "es", "son", "era", "eran", "fue", "ser", "hay",
+      "como", "este", "esta", "estos", "estas", "ese", "esa", "eso",
+      "no", "ya", "cuando", "donde", "todo", "todos", "toda", "todas",
+      "nada", "muy", "mi", "tu"),
+    "fr" -> Seq(
+      "le", "la", "les", "un", "une", "des", "du", "de", "et", "ou",
+      "mais", "que", "qui", "dans", "en", "au", "aux", "par", "pour",
+      "avec", "sans", "sur", "sous", "entre", "se", "sa", "son", "ses",
+      "ce", "cette", "ces", "il", "elle", "ils", "elles", "nous",
+      "vous", "je", "tu", "ne", "pas", "est", "sont", "ont", "avait",
+      "comme", "plus", "tout", "tous", "toute", "toutes", "y", "on",
+      "lui", "leur"),
+    "de" -> Seq(
+      "der", "die", "das", "den", "dem", "des", "ein", "eine", "einen",
+      "einem", "eines", "und", "oder", "aber", "dass", "wenn", "weil",
+      "mit", "von", "zu", "zum", "zur", "bei", "nach", "aus", "auf",
+      "in", "im", "an", "am", "um", "so", "als", "auch", "nicht",
+      "kein", "keine", "ist", "sind", "war", "waren", "wird", "werden",
+      "hat", "haben", "hatte", "er", "sie", "es", "wir", "ihr", "ich",
+      "du", "man"),
+    "it" -> Seq(
+      "il", "lo", "la", "i", "gli", "le", "un", "uno", "una", "di",
+      "del", "della", "dei", "delle", "e", "o", "ma", "che", "chi",
+      "in", "nel", "nella", "a", "al", "alla", "da", "dal", "per",
+      "con", "su", "sul", "sulla", "tra", "fra", "si", "se", "suo",
+      "sua", "suoi", "sue", "questo", "questa", "questi", "queste",
+      "quello", "quella", "non", "come", "anche", "quando", "dove",
+      "tutto", "tutti", "tutta", "era", "sono"),
+    "pt" -> Seq(
+      "o", "a", "os", "as", "um", "uma", "uns", "umas", "de", "do",
+      "da", "dos", "das", "e", "ou", "mas", "que", "em", "no", "na",
+      "nos", "nas", "por", "para", "com", "sem", "sobre", "entre",
+      "se", "seu", "sua", "seus", "suas", "lhe", "lhes", "ele", "ela",
+      "eles", "elas", "eu", "tu", "ao", "aos", "pelo", "pela", "como",
+      "quando", "onde", "tudo", "todos", "toda", "era", "foi", "ser"))
+
   /** Per-block features + the context-free jusText keep decision, as
     * `array<struct>` aligned with [[htmlToBlocks]]:
     *
@@ -1125,7 +1178,45 @@ object TextAnalysis {
     */
   def htmlBlockFeatures(html: Column, minChars: Int = 70,
                         maxLinkDensity: Double = 0.2,
-                        minStopDensity: Double = 0.2): Column = {
+                        minStopDensity: Double = 0.2): Column =
+    htmlBlockFeaturesImpl(html,
+      aw => size(filter(aw, w => w.isInCollection(StopwordsWebEn))),
+      minChars, maxLinkDensity, minStopDensity)
+
+  /** [[htmlBlockFeatures]] with the stopword list keyed by a LANGUAGE
+    * column (r14, VERDICT r13 §next-2 — multilingual jusText): `lang`
+    * is a per-row language code (caller-supplied, or trained — the
+    * [[LangIdNgram]] output), matched case-insensitively against
+    * [[StopwordsWeb]]; unknown/NULL languages take the English list.
+    * The language CASE evaluates exactly one list's membership filter
+    * per row (CaseWhen branch laziness), so the cost matches the
+    * monolingual form.
+    */
+  def htmlBlockFeaturesByLang(html: Column, lang: Column, minChars: Int = 70,
+                              maxLinkDensity: Double = 0.2,
+                              minStopDensity: Double = 0.2): Column =
+    htmlBlockFeaturesImpl(html, aw => langStopCount(aw, lang),
+      minChars, maxLinkDensity, minStopDensity)
+
+  /** n_stop for one word array under the `lang`-selected list —
+    * deterministic branch order (sorted language keys), English
+    * fallback. Shared by the column chain and the oracle generator's
+    * contract (SparkEntry replays the same CASE).
+    */
+  private def langStopCount(aw: Column, lang: Column): Column = {
+    val branches = StopwordsWeb.toSeq.sortBy(_._1)
+    branches.foldLeft(Option.empty[Column]) { case (acc, (lg, words)) =>
+      val cnt = size(filter(aw, w => w.isInCollection(words)))
+      Some(acc.fold(when(lower(lang) === lg, cnt))(
+        _.when(lower(lang) === lg, cnt)))
+    }.get.otherwise(size(filter(aw, w => w.isInCollection(StopwordsWebEn))))
+  }
+
+  private def htmlBlockFeaturesImpl(html: Column,
+                                    stopCount: Column => Column,
+                                    minChars: Int,
+                                    maxLinkDensity: Double,
+                                    minStopDensity: Double): Column = {
     require(minChars >= 0, s"htmlBlockFeatures: minChars >= 0, got $minChars")
     require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
       s"htmlBlockFeatures: maxLinkDensity in [0,1], got $maxLinkDensity")
@@ -1162,8 +1253,7 @@ object TextAnalysis {
       struct(s.getField("txt").as("block_text"),
         length(s.getField("txt")).cast("long").as("n_chars"),
         size(s.getField("aw")).cast("long").as("n_words"),
-        size(filter(s.getField("aw"),
-          w => w.isInCollection(StopwordsWebEn))).cast("long").as("n_stop"),
+        stopCount(s.getField("aw")).cast("long").as("n_stop"),
         linkChars.cast("long").as("link_chars"),
         length(s.getField("raw")).cast("long").as("n_raw_chars"))
     })
@@ -1194,6 +1284,17 @@ object TextAnalysis {
         minStopDensity), f => f.getField("keep")),
       f => f.getField("block_text")), "\n")
 
+  /** [[extractMainContent]] with the stopword list keyed by a language
+    * column (see [[htmlBlockFeaturesByLang]]).
+    */
+  def extractMainContentByLang(html: Column, lang: Column, minChars: Int = 70,
+                               maxLinkDensity: Double = 0.2,
+                               minStopDensity: Double = 0.2): Column =
+    array_join(transform(
+      filter(htmlBlockFeaturesByLang(html, lang, minChars, maxLinkDensity,
+        minStopDensity), f => f.getField("keep")),
+      f => f.getField("block_text")), "\n")
+
   /** [[extractMainContent]] as the composable stage: `textCol` (raw
     * HTML in, extracted text out) is rewritten IN PLACE and pages with
     * no surviving block are DROPPED (nothing remained to curate — the
@@ -1210,5 +1311,20 @@ object TextAnalysis {
     df.withColumn(textCol,
         graft.expressions.TextHashExpressions.htmlExtractNative(
           col(textCol), minChars, maxLinkDensity, minStopDensity))
+      .filter(col(textCol) =!= "")
+
+  /** [[extractHtmlDf]] with the stopword list keyed by `langCol` (r14,
+    * multilingual jusText) — same one-pass native, stop set selected
+    * per row; unknown/NULL language takes the English list. `langCol`
+    * typically comes from a cheap pre-pass (an HTML `lang` attribute,
+    * or [[LangIdNgram]] over a first-cut extraction).
+    */
+  def extractHtmlDfByLang(df: DataFrame, textCol: String, langCol: String,
+                          minChars: Int = 70, maxLinkDensity: Double = 0.2,
+                          minStopDensity: Double = 0.2): DataFrame =
+    df.withColumn(textCol,
+        graft.expressions.TextHashExpressions.htmlExtractNativeLang(
+          col(textCol), col(langCol), minChars, maxLinkDensity,
+          minStopDensity))
       .filter(col(textCol) =!= "")
 }

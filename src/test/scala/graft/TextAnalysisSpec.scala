@@ -707,6 +707,71 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!salad._2, salad)
   }
 
+  test("multilingual jusText: right list keeps, English list kills, fallback") {
+    // r14 (VERDICT r13 §next-2): a Spanish content block is function-
+    // word-dense under the Spanish list but nearly stopword-free under
+    // the English one; unknown languages fall back to English.
+    val esPage = "<body><p>El texto de la pagina era uno de los que la " +
+      "gente de la casa iba a leer en el dia, con las palabras de " +
+      "todos los dias y por eso era el contenido de la pagina.</p></body>"
+    val enPage = "<body><p>It was a calm day and the people of the town " +
+      "were out in the streets, and all of them had something they " +
+      "would do before the evening came to the houses.</p></body>"
+    def kept(html: String, lang: String): Long =
+      Seq((html, lang)).toDF("h", "lang")
+        .select(size(filter(
+          TextAnalysis.htmlBlockFeaturesByLang(col("h"), col("lang")),
+          f => f.getField("keep"))).cast("long")).as[Long].head()
+    assert(kept(esPage, "es") == 1L, "es page must survive the es list")
+    assert(kept(esPage, "en") == 0L, "es page must die under the en list")
+    assert(kept(esPage, "ES") == 1L, "language match is case-insensitive")
+    assert(kept(enPage, "en") == 1L)
+    assert(kept(enPage, "xx") == 1L, "unknown lang falls back to English")
+    // NULL lang falls back to English too (CASE otherwise-branch)
+    val nullLang = Seq(Tuple1(enPage)).toDF("h")
+      .select(size(filter(TextAnalysis.htmlBlockFeaturesByLang(col("h"),
+        lit(null).cast("string")), f => f.getField("keep"))).cast("long"))
+      .as[Long].head()
+    assert(nullLang == 1L)
+  }
+
+  test("native lang extraction == column form across languages and soup") {
+    // the htmlExtractNative parity contract extended to the language-
+    // keyed pair: same pages, every language key (known, unknown-
+    // fallback, NULL), native == column form byte-for-byte
+    val esText = "El texto de la pagina era uno de los que la gente de " +
+      "la casa iba a leer en el dia con las palabras de todos los dias."
+    val pages = Seq(
+      "<body><p>" + esText + "</p><div class=\"nav\"><a href=\"/a\">" +
+        "Inicio</a></div></body>",
+      "<p>" + ("the usual words of the page " * 6) + "end.</p>",
+      "<div>" + esText + "</div><script>var x = 1;</script>",
+      "<p>short</p>")
+    val langs = Seq("es", "en", "de", "xx", null)
+    val docs = for {
+      (p, i) <- pages.zipWithIndex
+      (lg, j) <- langs.zipWithIndex
+    } yield ((i * 10 + j).toLong, p, lg)
+    val rows = docs.toDF("doc_id", "t", "lang")
+      .select(col("doc_id"),
+        graft.expressions.TextHashExpressions.htmlExtractNativeLang(
+          col("t"), col("lang"), 70, 0.2, 0.2).as("nat"),
+        TextAnalysis.extractMainContentByLang(col("t"), col("lang"))
+          .as("spec"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"lang-native parity broke on doc ${r.getLong(0)}:\n" +
+          s"nat=${r.getString(1)}\nspec=${r.getString(2)}")
+    }
+    // and the production entry point keeps the es page under es only
+    val byLang = TextAnalysis.extractHtmlDfByLang(
+        Seq((1L, pages.head, "es"), (2L, pages.head, "en"))
+          .toDF("doc_id", "text", "lang"), "text", "lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(byLang == Set(1L), byLang.toString)
+  }
+
   test("extractHtmlDf: rewrites to kept text, drops pages with no content") {
     val good = "<body><p>It was a calm day and the people of the town " +
       "were out in the streets, and all of them had something they " +
