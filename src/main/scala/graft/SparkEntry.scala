@@ -1872,6 +1872,10 @@ object SparkEntry {
       // (quality-gate ruling); the framed-ids row re-bills the benched
       // encode plus map-side framing (superset ruling).
       "q_text_specials_gate", "q_text_bpe_ids_framed",
+      // r14: the pack-spans gate re-encodes the corpus, re-materializes
+      // the packs, and re-derives every invariant (quality-gate ruling);
+      // the benched pack-materialization row is q_cur_pack_spans.
+      "q_cur_pack_spans_gate",
       // r12: the fineweb audit's per-stage prefix recompute re-runs the
       // eager MinHash/components stages repeatedly (the tokenize_audit
       // ruling); the recipe row itself stays benched.
@@ -4339,6 +4343,113 @@ object SparkEntry {
           (col("__total") ===
             col("n_init_tokens") - lit(merges.map(_.appliedCount).sum))
             .as("total_ok"))
+    }),
+    // Materialized trainer packs with doc-boundary spans (r14, VERDICT
+    // r13 §next-3): the pack ROWS a trainer loads — framed sequences
+    // laid end-to-end in doc order, cut at the 2048-token budget,
+    // padded to shape, each pack carrying its (doc_id, start, len)
+    // span table for cross-document attention masking. Rows-only (ids
+    // are model artifacts); pinned by q_cur_pack_spans_gate. BENCHED:
+    // the pack-materialization shuffle (explode → hash shuffle on
+    // pack_id → ordered concat) is a genuinely new engine shape — the
+    // arithmetic-only pack rows never build the tensors.
+    "q_cur_pack_spans" -> ((s, d) => {
+      val (vp, mp) = bpeEnsureModel(s, d)
+      val vocab = Bpe.readVocab(s, vp, mp)
+      val sp = SpecialTokens.Ids(vocab.vocabSize)
+      val fdocs = t(s, d, "documents").select(col("doc_id"),
+        SpecialTokens.addSpecials(
+          Bpe.bpeEncodeIds(col("text"), vocab), sp, 1 << 20).as("fids"))
+        .persist()
+      Curation.packSequencesWithSpans(fdocs, "doc_id", "fids", sp,
+          budgetTokens = 2048)
+        .select(col("pack_id"),
+          array_join(col("input_ids").cast("array<string>"), " ")
+            .as("ids"),
+          array_join(transform(col("doc_spans"), m => concat_ws(":",
+            m.getField("doc_id").cast("string"),
+            m.getField("start").cast("string"),
+            m.getField("len").cast("string"))), " ").as("spans"))
+        .orderBy("pack_id")
+    }),
+    // Gate (verify-only): the pack materialization's full contract.
+    // Per pack: spans tile [0, content) contiguously, input_ids is
+    // exactly budget-shaped, content carries no PAD and the tail is all
+    // PAD. Per doc: concatenating its pieces ACROSS packs (sliced out
+    // of the materialized input_ids, pack order) rebuilds its framed
+    // encode exactly. Totals: Σ span lengths == Σ framed lengths ==
+    // oracled initial-symbol total − applied merges + 2·n_docs, and
+    // pack count == ceil(total / budget) — so padding is accounted to
+    // the token (Σ lens + n_pad == n_packs · budget by construction).
+    "q_cur_pack_spans_gate" -> ((s, d) => {
+      val (vp, mp) = bpeEnsureModel(s, d)
+      val vocab = Bpe.readVocab(s, vp, mp)
+      val sp = SpecialTokens.Ids(vocab.vocabSize)
+      val docs = t(s, d, "documents")
+      val fdocs = docs.select(col("doc_id"),
+        SpecialTokens.addSpecials(
+          Bpe.bpeEncodeIds(col("text"), vocab), sp, 1 << 20).as("fids"))
+        .persist()
+      val packs = Curation.packSequencesWithSpans(fdocs, "doc_id", "fids",
+          sp, budgetTokens = 2048)
+        .persist()
+      val walked = packs.select(col("pack_id"),
+          size(col("input_ids")).as("n_ids"), col("input_ids"),
+          aggregate(col("doc_spans"),
+            struct(lit(true).as("ok"), lit(0).as("pos")),
+            (acc, m) => struct(
+              (acc.getField("ok") &&
+                m.getField("start") === acc.getField("pos")).as("ok"),
+              (acc.getField("pos") + m.getField("len")).as("pos")))
+            .as("walk"))
+        .select(col("pack_id"), col("n_ids"),
+          col("walk").getField("ok").as("contig_ok"),
+          col("walk").getField("pos").as("content_len"),
+          forall(slice(col("input_ids"),
+              col("walk").getField("pos") + 1,
+              lit(2048) - col("walk").getField("pos")),
+            i => i === sp.padId).as("tail_pad_ok"),
+          forall(slice(col("input_ids"), lit(1),
+              col("walk").getField("pos")),
+            i => i =!= sp.padId).as("content_nopad_ok"))
+      val packChecks = walked.agg(
+        count(lit(1)).as("n_packs"),
+        sum(when(col("contig_ok"), 0).otherwise(1)).as("__mc"),
+        sum(when(col("n_ids") === 2048, 0).otherwise(1)).as("__mshape"),
+        sum(when(col("tail_pad_ok") && col("content_nopad_ok"), 0)
+          .otherwise(1)).as("__mpad"),
+        sum(col("content_len").cast("long")).as("__content_total"))
+      val rebuilt = packs
+        .select(col("pack_id"), col("input_ids"),
+          explode(col("doc_spans")).as("u"))
+        .select(col("u").getField("doc_id").as("doc_id"),
+          struct(col("pack_id"),
+            slice(col("input_ids"), col("u").getField("start") + 1,
+              col("u").getField("len")).as("piece")).as("__p"))
+        .groupBy("doc_id")
+        .agg(flatten(transform(sort_array(collect_list(col("__p"))),
+          m => m.getField("piece"))).as("rb"))
+      val docChecks = rebuilt.join(fdocs, Seq("doc_id"), "full_outer")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rb").isNotNull && col("fids").isNotNull &&
+            col("rb") === col("fids"), 0).otherwise(1)).as("__mrec"),
+          sum(size(col("fids")).cast("long")).as("__ftotal"))
+      val init = docs.agg(
+        sum(Bpe.initialTokenCount(col("text"))).as("n_init_tokens"))
+      val appliedSum = vocab.merges.map(_.appliedCount).sum
+      packChecks.crossJoin(docChecks).crossJoin(init)
+        .select(col("n_docs"), col("n_init_tokens"),
+          (col("__mc") === 0).as("spans_contiguous_ok"),
+          (col("__mshape") === 0).as("pack_shape_ok"),
+          (col("__mpad") === 0).as("padding_ok"),
+          (col("__mrec") === 0).as("reconstruction_ok"),
+          (col("__content_total") === col("__ftotal"))
+            .as("content_total_ok"),
+          (col("__ftotal") ===
+            col("n_init_tokens") - lit(appliedSum) + col("n_docs") * 2)
+            .as("framed_total_ok"),
+          (col("n_packs") === expr("(__ftotal + 2047L) div 2048L"))
+            .as("pack_count_ok"))
     }),
     "q_cur_cap_per_group" -> ((s, d) =>
       Curation.capPerGroup(t(s, d, "documents"), "lang", "doc_id", cap = 80)
@@ -7058,6 +7169,20 @@ object SparkEntry {
         |  true AS wp_frame_ok, true AS uni_frame_ok,
         |  true AS n_special_ok, true AS framed_conservation_ok,
         |  true AS pack_replay_ok, true AS pack_total_ok
+        |FROM tk""".stripMargin,
+    // Initial-symbol truth again; every pack/span/padding/reconstruction
+    // invariant is an engine-side exact equality pinned true (r14).
+    "q_cur_pack_spans_gate" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> x <> '')) AS w
+        |  FROM documents)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |  CAST(sum(len(w) + 1) AS BIGINT) AS n_init_tokens,
+        |  true AS spans_contiguous_ok, true AS pack_shape_ok,
+        |  true AS padding_ok, true AS reconstruction_ok,
+        |  true AS content_total_ok, true AS framed_total_ok,
+        |  true AS pack_count_ok
         |FROM tk""".stripMargin,
     // Initial-symbol truth again; the window-replay and applied-total
     // equalities are engine-side exact integers pinned true.

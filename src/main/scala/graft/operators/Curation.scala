@@ -170,6 +170,77 @@ object Curation {
       .drop("__pid", "__cum0")
   }
 
+  /** Materialized trainer packs WITH document-boundary metadata (r14,
+    * VERDICT r13 §next-3): where [[packSequencesByCount]] returns the
+    * pack ARITHMETIC (pack_id, pack_offset per document), this returns
+    * the pack ROWS a trainer loads — `(pack_id, input_ids, doc_spans)`:
+    *
+    *   - the framed member sequences (`idsCol`, each already
+    *     [[SpecialTokens.addSpecials]]-framed) are laid end-to-end in
+    *     `idCol` order and CUT at `budgetTokens` boundaries — the
+    *     contiguous-stream form of the pack arithmetic, so a document
+    *     crossing a boundary contributes one piece to each pack it
+    *     overlaps and `doc_spans` concatenated across packs rebuilds
+    *     its framed sequence exactly (gate-pinned);
+    *   - `input_ids` is exactly `budgetTokens` long — every pack but
+    *     the last is full by construction, the last is
+    *     [[SpecialTokens.padTo]]-padded;
+    *   - `doc_spans` is `array<struct<idCol, start, len>>` in pack
+    *     order (`start` 0-based within the pack) — the per-slot
+    *     segment-id array a trainer needs to mask cross-document
+    *     attention inside a pack, in its compact run-length form.
+    *
+    * Scale shape: the [[packSequencesByCount]] two-pass prefix sum
+    * (distributed), one explode over the packs each document overlaps
+    * (≥ 99% of documents touch 1–2 packs), one hash shuffle on pack_id,
+    * and bounded per-group state (a pack is ≤ `budgetTokens` ids).
+    * NULL `idsCol` rows fail loudly — a missing sequence must not
+    * silently shift every later pack boundary.
+    */
+  def packSequencesWithSpans(df: DataFrame, idCol: String, idsCol: String,
+                             sp: graft.operators.SpecialTokens.Ids,
+                             budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0,
+      s"packSequencesWithSpans: budget must be > 0, got $budgetTokens")
+    val B = budgetTokens.toLong
+    val nNull = df.filter(col(idsCol).isNull).count()
+    require(nNull == 0,
+      s"packSequencesWithSpans: $nNull NULL $idsCol rows — a missing " +
+        "sequence would silently shift every later pack boundary; filter " +
+        "or fail them upstream")
+    val pos = packSequencesByCount(df, idCol, size(col(idsCol)).cast(LongType),
+        budgetTokens)
+      .select(col(idCol), col("n_tok"),
+        (col("pack_id") * B + col("pack_offset")).as("__g"))
+    val pieces = df.select(col(idCol), col(idsCol))
+      .join(pos, Seq(idCol))
+      .filter(col("n_tok") > 0)
+      .select(col(idCol), col(idsCol), col("__g"), col("n_tok"),
+        explode(sequence(expr(s"__g div ${B}L"),
+          expr(s"(__g + n_tok - 1) div ${B}L"))).as("pack_id"))
+      .withColumn("__ps", greatest(col("pack_id") * B, col("__g")))
+      .withColumn("__pe",
+        least((col("pack_id") + 1) * B, col("__g") + col("n_tok")))
+      .select(col("pack_id"),
+        struct(
+          (col("__ps") % B).cast("int").as("start"),
+          col(idCol),
+          (col("__pe") - col("__ps")).cast("int").as("len"),
+          slice(col(idsCol), (col("__ps") - col("__g")).cast("int") + 1,
+            (col("__pe") - col("__ps")).cast("int")).as("__piece"))
+          .as("__m"))
+    pieces.groupBy("pack_id")
+      .agg(sort_array(collect_list(col("__m"))).as("__ms"))
+      .select(col("pack_id"),
+        graft.operators.SpecialTokens.padTo(
+          flatten(transform(col("__ms"), m => m.getField("__piece"))),
+          sp, budgetTokens).as("input_ids"),
+        transform(col("__ms"), m => struct(
+          m.getField(idCol).as(idCol),
+          m.getField("start").as("start"),
+          m.getField("len").as("len"))).as("doc_spans"))
+  }
+
   /** Deterministic per-group cap — balanced downsampling ("at most `cap`
     * docs per language/source"), keeping each group's top-`cap` by the
     * portable md5 priority of [[hashSplit]] (uniform-random-like but

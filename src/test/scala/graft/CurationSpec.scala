@@ -103,6 +103,40 @@ class CurationSpec extends SparkSpec {
     assert(w.toSeq == Seq((1L, 0L, 0L), (2L, 2L, 0L), (3L, 0L, 2L)), w.mkString(", "))
   }
 
+  test("packSequencesWithSpans: budget cuts, boundary pieces, padding, NULL guard") {
+    import graft.operators.SpecialTokens
+    val sp = SpecialTokens.Ids(100) // PAD = 102
+    // docs of 4, 7, 3, 2 ids — budget 6 cuts the stream 4|7|3|2 = 16
+    // tokens into packs [0,6) [6,12) [12,16): doc 2 spans packs 0→1,
+    // doc 3 spans 1→2, the last pack pads 2 slots
+    val docs = Seq(
+      (1L, Seq(10, 11, 12, 13)),
+      (2L, Seq(20, 21, 22, 23, 24, 25, 26)),
+      (3L, Seq(30, 31, 32)),
+      (4L, Seq(40, 41))).toDF("id", "fids")
+    val got = Curation.packSequencesWithSpans(docs, "id", "fids", sp, 6)
+      .orderBy("pack_id")
+      .as[(Long, Seq[Int], Seq[(Long, Int, Int)])].collect().toSeq
+    assert(got == Seq(
+      (0L, Seq(10, 11, 12, 13, 20, 21), Seq((1L, 0, 4), (2L, 4, 2))),
+      (1L, Seq(22, 23, 24, 25, 26, 30), Seq((2L, 0, 5), (3L, 5, 1))),
+      (2L, Seq(31, 32, 40, 41, 102, 102), Seq((3L, 0, 2), (4L, 2, 2)))),
+      got.toString)
+    // reconstruction across packs: doc 2's pieces concat to its ids
+    val doc2 = got.flatMap { case (p, ids, spans) =>
+      spans.filter(_._1 == 2L).map { case (_, st, ln) =>
+        (p, ids.slice(st, st + ln)) }
+    }.sortBy(_._1).flatMap(_._2)
+    assert(doc2 == Seq(20, 21, 22, 23, 24, 25, 26))
+    // a NULL sequence fails loudly, not silently shifting boundaries
+    val ex = intercept[IllegalArgumentException] {
+      Curation.packSequencesWithSpans(
+        Seq((1L, Seq(1, 2)), (2L, null)).toDF("id", "fids"),
+        "id", "fids", sp, 6)
+    }
+    assert(ex.getMessage.contains("NULL"))
+  }
+
   test("capPerGroup matches the per-group window form exactly") {
     val df = (1L to 400L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "g")
     val capped = Curation.capPerGroup(df, "g", "id", cap = 50)

@@ -47,6 +47,10 @@ class SparkEntrySpec extends SparkSpec {
       // r13: the framed form is pinned by the specials gate (framing,
       // truncation, strip-inverse, pad shape, conservation + n_special)
       "q_text_bpe_ids_framed" -> Seq("q_text_specials_gate"),
+      // r14: the materialized pack rows are pinned by their own gate
+      // (span tiling, budget shape, tail padding, per-doc reconstruction,
+      // oracled token-total tie, pack count)
+      "q_cur_pack_spans" -> Seq("q_cur_pack_spans_gate"),
       "q_text_bpe_bytes_scored" -> Seq("q_text_bpe_bytes_gate"),
       "q_cur_pack_bpe_scored" -> Seq("q_cur_pack_bpe_gate"),
       "q_text_unigram_ids" ->
