@@ -1917,6 +1917,11 @@ object SparkEntry {
       // q_sim_pq_append ruling); the benched retrieval rows are the
       // scratch search and the persisted-index probe.
       "q_text_bm25_append_gate",
+      // r14: the three compaction gates build + append + compact their
+      // index per run (the append-gate ruling); compaction itself is
+      // pure maintenance layout work, probe-equal by construction.
+      "q_text_bm25_compact_gate", "q_web_pagerank_compacted",
+      "q_dedup_substring_compact_gate",
       // r12: full-rank PCA gate trains per run and re-derives exact
       // ground truth (quality-gate ruling); the benched PCA row is the
       // persisted-model probe q_emb_pca_scored. The planted-low-rank
@@ -2704,6 +2709,24 @@ object SparkEntry {
       Dedup.substringProbeIndex(s, subIdxEnsure(s, d),
           t(s, d, "documents").filter(col("doc_id") < 120), "doc_id", "text")
         .orderBy("doc_id")),
+    // Compaction gate, substring family (r14): the >=120 corpus half
+    // indexed as TWO batches (even/odd), fp partials folded to one row
+    // per fingerprint, then the same <120 probe — shares
+    // q_dedup_substring_probe's oracle outright.
+    "q_dedup_substring_compact_gate" -> ((s, d) => {
+      val path = tempDirCleaned("graft-subidx-compact")
+      val docs = t(s, d, "documents")
+      Dedup.substringWriteIndex(
+        docs.filter(col("doc_id") >= 120 && col("doc_id") % 2 === 0),
+        "doc_id", "text", minTokens = 4, path)
+      Dedup.substringAppendIndex(
+        docs.filter(col("doc_id") >= 120 && col("doc_id") % 2 =!= 0),
+        "doc_id", "text", path)
+      Dedup.substringCompactIndex(s, path)
+      Dedup.substringProbeIndex(s, path,
+          docs.filter(col("doc_id") < 120), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "q_dedup_spans_across" -> ((s, d) =>
       Dedup.dedupSpansAcross(t(s, d, "documents"), "doc_id", "text",
           spanTokens = 2, minDocs = 5)
@@ -3251,6 +3274,23 @@ object SparkEntry {
       TextAnalysis.bm25Probe(s, path, bm25Queries(s), "query_id", "qtext",
         k = 10).orderBy("query_id", "rank")
     }),
+    // Compaction gate (r14, VERDICT r13 §next-5): write half, append
+    // half, COMPACT the per-batch partials (terms → one row per
+    // (term,bucket), stats → one row, postings → bucket-preserving
+    // small-file rewrite, all atomically staged), then probe — shares
+    // the full-rebuild oracle outright: N appends + compact must equal
+    // the single rebuild for the hash to match.
+    "q_text_bm25_compact_gate" -> ((s, d) => {
+      val path = tempDirCleaned("graft-bm25-compact") + "/idx"
+      val docs = t(s, d, "documents")
+      TextAnalysis.bm25WriteIndex(docs.filter(col("doc_id") < 120),
+        "doc_id", "text", path, nBuckets = 16)
+      TextAnalysis.bm25AppendIndex(docs.filter(col("doc_id") >= 120),
+        "doc_id", "text", path)
+      TextAnalysis.bm25CompactIndex(s, path)
+      TextAnalysis.bm25Probe(s, path, bm25Queries(s), "query_id", "qtext",
+        k = 10).orderBy("query_id", "rank")
+    }),
     // Phrase search (r12): exact consecutive-token lookup — the
     // decontamination-investigation query ("where does this benchmark
     // sentence appear"). Scratch form posexplodes the corpus; the probe
@@ -3353,6 +3393,25 @@ object SparkEntry {
     "q_web_pagerank_indexed" -> ((s, d) =>
       WebGraph.pageRankIndexed(s, webIdxEnsure(s, d), iterations = 10)
         .orderBy("host")),
+    // Compaction gate, graph family (r14): per-batch edge partials
+    // folded to one row per host pair, then the SAME 10-iteration
+    // PageRank — shares the scratch oracle outright (append + compact
+    // == single rebuild, to the bit).
+    "q_web_pagerank_compacted" -> ((s, d) => {
+      val path = tempDirCleaned("graft-webidx-compact")
+      def edgesOf(cond: Column): DataFrame = {
+        val links = WebGraph.extractLinks(
+            linkPages(t(s, d, "documents").filter(cond)),
+            Seq("doc_id", "url"), "html")
+          .withColumn("resolved",
+            WebGraph.resolveUrl(col("url"), col("href")))
+        WebGraph.hostLinkGraph(links, "url", "resolved")
+      }
+      WebGraph.writeIndex(edgesOf(col("doc_id") % 2 === 0), path)
+      WebGraph.appendIndex(edgesOf(col("doc_id") % 2 =!= 0), path)
+      WebGraph.compactIndex(s, path)
+      WebGraph.pageRankIndexed(s, path, iterations = 10).orderBy("host")
+    }),
     // Crawl-budget apportionment (r13): split 1000 fetch slots across
     // hosts ∝ their PageRank by the largest-remainder method — exact
     // integers summing to the budget precisely, replayed quota-for-quota
@@ -6182,6 +6241,16 @@ object SparkEntry {
           |  SELECT doc_id, s FROM wins
           |  WHERE doc_id < 120 AND win IN (SELECT win FROM idx))""".stripMargin,
       docCond = "doc_id < 120"),
+    // r14 compaction gate: append + compact must equal the single
+    // rebuild — the probe oracle is shared verbatim.
+    "q_dedup_substring_compact_gate" -> substrRebuildSql(
+      substrWindowsCte +
+        """,
+          |idx AS (SELECT DISTINCT win FROM wins WHERE doc_id >= 120),
+          |ds AS (
+          |  SELECT doc_id, s FROM wins
+          |  WHERE doc_id < 120 AND win IN (SELECT win FROM idx))""".stripMargin,
+      docCond = "doc_id < 120"),
     // Replays dedupSubstringsAgainst: corpus windows probed against the
     // DISTINCT eval-slice window set, then the identical merge/rebuild.
     "q_dedup_substring_decontam" -> substrRebuildSql(
@@ -8317,6 +8386,8 @@ object SparkEntry {
     "q_text_bm25_search" -> bm25SearchOracleSql,
     "q_text_bm25_probe" -> bm25SearchOracleSql,
     "q_text_bm25_append_gate" -> bm25SearchOracleSql,
+    // r14: append + compact == single rebuild, same shared oracle
+    "q_text_bm25_compact_gate" -> bm25SearchOracleSql,
     // Hybrid RRF: the bm25SearchOracleSql chain (lexical arm) + the
     // q_sim_bruteforce_topk quantized-dot contract (dense arm, multi-
     // query) + the fixed-point fusion arithmetic, replayed end-to-end.
@@ -8449,6 +8520,8 @@ object SparkEntry {
           |FROM rl ORDER BY doc_id, link_idx""".stripMargin),
     "q_web_pagerank" -> pageRankOracleSql(10),
     "q_web_pagerank_indexed" -> pageRankOracleSql(10),
+    // r14: edge partials folded + same iteration count == scratch ranks
+    "q_web_pagerank_compacted" -> pageRankOracleSql(10),
     // Stream-appended index == batch-rebuilt graph: the summed partials
     // must reproduce the all-at-once edge counts exactly (r13).
     "q_stream_web_append_gate" ->

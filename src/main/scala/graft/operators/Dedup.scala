@@ -1025,6 +1025,20 @@ object Dedup {
       .parquet(s"$path/fps")
   }
 
+  /** Compact a persisted substring index's per-batch partial counts
+    * into one (fp, cnt) row per fingerprint (r14, VERDICT r13 §next-5)
+    * — the meta sidecar is untouched. Probe semantics need presence
+    * only and counts are additive, so probes are identical before and
+    * after (spec-pinned). Run at a batch boundary, never concurrently
+    * with [[substringAppendIndex]].
+    */
+  def substringCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Long = {
+    substringIndexMeta(spark, path, "substringCompactIndex")
+    graft.pipeline.Sinks.compactAdditive(spark, s"$path/fps",
+      Seq("fp"), Seq("cnt"))
+  }
+
   /** Excise from NEW documents every token run of >= the index's
     * `minTokens` tokens that appears anywhere in the INDEXED corpus —
     * [[dedupSubstringsAgainst]] with the eval side replaced by the

@@ -617,6 +617,26 @@ object TextAnalysis {
     } finally p.unpersist()
   }
 
+  /** Compact a persisted BM25 index's per-batch partials (r14, VERDICT
+    * r13 §next-5): terms fold to ONE row per (term, bucket), stats to
+    * one row, postings get a small-file rewrite that preserves the
+    * bucket partitioning (posting rows are per-(doc,term) facts, not
+    * partials — nothing to sum). Each table swaps in atomically
+    * (staged rename), and integer-sum commutativity makes every probe
+    * identical before and after — spec-pinned, and gate-pinned against
+    * the full-rebuild oracle. Run at a batch boundary, never
+    * concurrently with [[bm25AppendIndex]].
+    */
+  def bm25CompactIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, targetFileMB: Int = 128): Unit = {
+    graft.pipeline.Sinks.compactAdditive(spark, s"$path/terms",
+      Seq("term"), Seq("dfreq"), Seq("bucket"))
+    graft.pipeline.Sinks.compactAdditive(spark, s"$path/stats",
+      Seq("n_buckets"), Seq("n_docs", "total_dl"))
+    graft.pipeline.Sinks.compact(spark, s"$path/postings", targetFileMB,
+      collapse = Set.empty)
+  }
+
   /** Summed stats partials + the bucketing modulus in ONE bounded collect
     * (the stats table is one row per indexed batch). Every batch must
     * agree on `n_buckets` — a mixed-modulus index would silently split a

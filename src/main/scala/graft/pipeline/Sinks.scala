@@ -228,6 +228,32 @@ object Sinks {
     overwriteViaStaging(df, path, partCols)
   }
 
+  /** Additive-index compaction (r14, VERDICT r13 §next-5): the persisted
+    * BM25 / web-graph / substring indexes append per-batch PARTIAL rows
+    * by design (O(batch) maintenance, no read-modify-write) — after
+    * thousands of crawl batches the partials are a row-multiplication
+    * and small-file problem even though every probe sums them
+    * correctly. This folds the partials: group by `keyCols` (+
+    * `partitionCols`), SUM `sumCols`, and swap the result in atomically
+    * via [[overwriteViaStaging]] (the staged-rename protocol — a probe
+    * never sees a half-compacted index, and a failed swap keeps the old
+    * one). Integer sums commute, so probe-before == probe-after exactly
+    * (spec-pinned per family). NOT safe concurrently with an active
+    * append — run at a batch boundary (the [[compact]] contract).
+    * Returns the compacted row count.
+    */
+  def compactAdditive(spark: SparkSession, path: String, keyCols: Seq[String],
+                      sumCols: Seq[String],
+                      partitionCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val grouped = spark.read.parquet(path)
+      .groupBy((keyCols ++ partitionCols).map(col): _*)
+      .agg(sum(col(sumCols.head)).as(sumCols.head),
+        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+      .select((keyCols ++ sumCols ++ partitionCols).map(col): _*)
+    overwriteViaStaging(grouped, path, partitionCols)
+  }
+
   /** S9: drop table (clean_all_tables.py:43-48). */
   def drop(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)

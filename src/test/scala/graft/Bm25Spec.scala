@@ -76,6 +76,38 @@ class Bm25Spec extends SparkSpec {
     assert(inc == full && inc.nonEmpty)
   }
 
+  test("bm25CompactIndex: probe-before == probe-after, partials fold to one row") {
+    val path = java.nio.file.Files.createTempDirectory("graft-bm25-cmp")
+      .toString + "/idx"
+    TextAnalysis.bm25WriteIndex(docs.filter($"doc_id" <= 3), "doc_id",
+      "text", path, nBuckets = 4)
+    TextAnalysis.bm25AppendIndex(docs.filter($"doc_id" > 3), "doc_id",
+      "text", path)
+    val queries = q(1L -> "hash join", 2L -> "quick fox")
+    val before = rowsOf(TextAnalysis.bm25Probe(spark, path,
+      queries, "query_id", "qtext"))
+    val termsBefore = spark.read.parquet(s"$path/terms").count()
+    val statsBefore = spark.read.parquet(s"$path/stats").count()
+    TextAnalysis.bm25CompactIndex(spark, path)
+    // identical probe results (integer-sum commutativity, bit-for-bit)
+    val after = rowsOf(TextAnalysis.bm25Probe(spark, path,
+      queries, "query_id", "qtext"))
+    assert(after == before && after.nonEmpty)
+    // partials folded: one terms row per (term, bucket), one stats row
+    val terms = spark.read.parquet(s"$path/terms")
+    assert(terms.count() ==
+      terms.select("term", "bucket").distinct().count())
+    assert(terms.count() < termsBefore,
+      s"terms ${terms.count()} not below pre-compact $termsBefore")
+    assert(spark.read.parquet(s"$path/stats").count() == 1L &&
+      statsBefore == 2L)
+    // an append AFTER compaction still folds in (the marker protocol
+    // leaves a normal appendable index behind)
+    TextAnalysis.bm25AppendIndex(docs.limit(0), "doc_id", "text", path)
+    assert(rowsOf(TextAnalysis.bm25Probe(spark, path, queries,
+      "query_id", "qtext")) == before)
+  }
+
   test("bm25Probe: postings scan is partition-pruned to the query terms' buckets") {
     val path = java.nio.file.Files.createTempDirectory("graft-bm25-prune")
       .resolve("idx").toString

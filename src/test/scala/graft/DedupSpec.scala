@@ -663,6 +663,39 @@ class DedupSpec extends SparkSpec {
     assert(bad.getMessage.contains("substring index"), bad.getMessage)
   }
 
+  test("substringCompactIndex: probe-before == probe-after, one row per fp") {
+    val path = java.nio.file.Files.createTempDirectory("subidx-cmp")
+      .toString + "/idx"
+    val even = Seq(2L -> "alpha beta gamma delta epsilon words trail here")
+      .toDF("doc_id", "text")
+    // the same phrase appended again: its fp accrues a second partial row
+    val odd = Seq(3L -> "alpha beta gamma delta epsilon other close")
+      .toDF("doc_id", "text")
+    Dedup.substringWriteIndex(even, "doc_id", "text", minTokens = 4, path)
+    Dedup.substringAppendIndex(odd, "doc_id", "text", path)
+    val batch = Seq(10L -> "prefix alpha beta gamma delta epsilon suffix")
+      .toDF("doc_id", "text")
+    val before = Dedup.substringProbeIndex(spark, path, batch,
+      "doc_id", "text").orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val fpsBefore = spark.read.parquet(s"$path/fps").count()
+    val n = Dedup.substringCompactIndex(spark, path)
+    val fps = spark.read.parquet(s"$path/fps")
+    assert(n == fps.select("fp").distinct().count() && n < fpsBefore,
+      s"compacted $n of $fpsBefore")
+    val after = Dedup.substringProbeIndex(spark, path, batch,
+      "doc_id", "text").orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(after == before && before.head._4 == 5L)
+    // meta sidecar untouched: a fresh append still reads k from it
+    Dedup.substringAppendIndex(even, "doc_id", "text", path)
+    // a non-index path still fails loudly
+    intercept[IllegalArgumentException] {
+      Dedup.substringCompactIndex(spark,
+        java.nio.file.Files.createTempDirectory("subidx-bad").toString)
+    }
+  }
+
   test("dedupSubstrings: NULL text behaves as empty, never a negative removal") {
     val docs = Seq((1L, "alpha beta gamma delta alpha beta gamma delta x"),
         (2L, null.asInstanceOf[String]), (3L, ""))

@@ -297,6 +297,34 @@ class WebGraphSpec extends SparkSpec {
     }
   }
 
+  test("compactIndex: probe-before == probe-after, one row per host pair") {
+    val dir = java.nio.file.Files.createTempDirectory("webidx-cmp").toString
+    val b1 = Seq(("a", "b", 2L), ("b", "c", 1L))
+      .toDF("src_host", "dst_host", "weight")
+    val b2 = Seq(("a", "b", 3L), ("c", "a", 4L))
+      .toDF("src_host", "dst_host", "weight")
+    WebGraph.writeIndex(b1, dir)
+    WebGraph.appendIndex(b2, dir)
+    val before = WebGraph.pageRankIndexed(spark, dir, iterations = 4)
+      .orderBy("host").as[(String, Long)].collect().toSeq
+    assert(spark.read.parquet(s"$dir/edges").count() == 4L)
+    val n = WebGraph.compactIndex(spark, dir)
+    assert(n == 3L) // (a,b) partials folded
+    val edges = spark.read.parquet(s"$dir/edges")
+      .orderBy("src_host", "dst_host")
+      .as[(String, String, Long)].collect().toSeq
+    assert(edges == Seq(("a", "b", 5L), ("b", "c", 1L), ("c", "a", 4L)))
+    val after = WebGraph.pageRankIndexed(spark, dir, iterations = 4)
+      .orderBy("host").as[(String, Long)].collect().toSeq
+    assert(after == before, s"after $after vs before $before")
+    // appends keep working post-compaction
+    WebGraph.appendIndex(Seq(("a", "b", 1L))
+      .toDF("src_host", "dst_host", "weight"), dir)
+    assert(WebGraph.readIndexEdges(spark, dir)
+      .filter($"src_host" === "a" && $"dst_host" === "b")
+      .select("weight").as[Long].head() == 6L)
+  }
+
   test("anchorTextByHost: sorted join, self/empty excluded") {
     val links = Seq(
       ("https://a.example/1", "https://b.example/x", "zeta page"),
