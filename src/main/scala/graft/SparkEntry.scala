@@ -1032,6 +1032,21 @@ object SparkEntry {
     path
   }
 
+  // OPQ (rotated-PQ) index for the indexed-probe row (r14): rotation +
+  // books persisted once per process per sf-dir, the pqEnsureIndex
+  // convention; the append gate uses its OWN temp dir.
+  private lazy val opqTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-opq").toString
+
+  private def opqEnsureIndex(s: SparkSession, d: String): String = {
+    val path = s"$opqTmpDir/${sfKey(d)}"
+    if (!graft.pipeline.Sinks.exists(s, path))
+      graft.operators.ProductQuantization.opqWriteIndex(
+        t(s, d, "embeddings"), "vec_id", "embedding", dim = 64, path,
+        m = 8, kCodewords = 16)
+    path
+  }
+
   private lazy val jsonlTmpDir =
     java.nio.file.Files.createTempDirectory("graft-jsonl").toString
 
@@ -1864,6 +1879,10 @@ object SparkEntry {
       // r13: the OPQ rotation gate trains PCA + codebooks per run
       // (quality-gate ruling).
       "q_sim_opq_gate",
+      // r14: the OPQ append gate trains rotation + books per run (the
+      // q_sim_pq_append ruling); the benched OPQ row is the persisted
+      // probe q_sim_opq_indexed.
+      "q_sim_opq_append",
       // r12: the byte-BPE conservation gate trains per run (quality-gate
       // ruling); the benched row is the loaded-vocab probe
       // q_text_bpe_bytes_scored.
@@ -4770,6 +4789,42 @@ object SparkEntry {
     // vector appears exactly twice with IDENTICAL codes — the invariant
     // that proves the sidecar round-trips the books exactly (drifted
     // books would re-encode some vector differently somewhere).
+    // Persisted-OPQ probe (r14, VERDICT r13 §next-6): the rotated-PQ
+    // path's amortized form — rotation + codebooks loaded from the
+    // index's sidecars, the query rotated into the stored geometry,
+    // codes-only ADC scan. Rows-only (trained rotation + float books);
+    // pinned by the oracled q_sim_opq_gate (rotated recall >= the
+    // unrotated floor, reconstruction band).
+    "q_sim_opq_indexed" -> ((s, d) => {
+      val path = opqEnsureIndex(s, d)
+      val q = t(s, d, "embeddings").filter(col("vec_id") === 1)
+        .select(col("embedding").cast("array<double>")).limit(1)
+        .collect()(0).getSeq[Double](0).toArray
+      graft.operators.ProductQuantization.opqTopKIndexed(s, path, q, k = 20,
+        excludeId = 1)
+    }),
+    // OPQ sidecar round trip (r14, the q_sim_pq_append invariant):
+    // fresh index, append the same corpus under shifted ids via the
+    // SIDECAR rotation + books — every vector must appear exactly twice
+    // with IDENTICAL codes (a drifted rotation or book would re-encode
+    // some vector differently somewhere).
+    "q_sim_opq_append" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val path = tempDirCleaned("graft-opq-append") + "/idx"
+      graft.operators.ProductQuantization.opqWriteIndex(emb, "vec_id",
+        "embedding", dim = 64, path, m = 8, kCodewords = 16)
+      graft.operators.ProductQuantization.opqAppendIndex(
+        emb.withColumn("vec_id", col("vec_id") + 1000000L),
+        "vec_id", "embedding", path)
+      s.read.parquet(path)
+        .select(pmod(col("id"), lit(1000000L)).as("k"),
+          array_join(col("codes").cast("array<string>"), ",").as("cs"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("__n"), countDistinct(col("cs")).as("__nc"))
+        .agg(sum("__n").as("n_rows"),
+          (max(col("__nc")) === 1L && min(col("__n")) === 2L &&
+            max(col("__n")) === 2L).as("codes_consistent"))
+    }),
     "q_sim_pq_append" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val path = tempDirCleaned("graft-pq-append") + "/idx"
@@ -8129,6 +8184,13 @@ object SparkEntry {
     "q_sim_ivf_append" ->
       """SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
         |  TRUE AS cells_consistent FROM embeddings""".stripMargin,
+    // Truth side of the OPQ append gate (r14): same doubled-row-count
+    // oracle; identical codes through the rotation+books sidecars is
+    // the engine-side invariant.
+    "q_sim_opq_append" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+        |  TRUE AS codes_consistent
+        |FROM embeddings WHERE len(embedding) = 64""".stripMargin,
     // Truth side of the PQ append gate: the doubled row count is oracled;
     // the identical-codes boolean is the engine-side invariant.
     "q_sim_pq_append" ->

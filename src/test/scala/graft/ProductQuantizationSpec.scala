@@ -241,6 +241,55 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(byKey.forall { case (_, n, nc) => n == 2 && nc == 1 }, byKey.take(3).toSeq)
   }
 
+  test("opq index: rotation sidecar round-trips; append + probe consistent") {
+    // r14 (VERDICT r13 §next-6): the rotated-PQ path persisted. The
+    // rotation model stores as doubles (lossless), so an appended copy
+    // of the same vectors rotates and encodes to IDENTICAL codes; the
+    // probe rotates the query into the stored geometry and must equal
+    // the in-memory ADC ranking computed from the sidecars directly.
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 4,
+      perCluster = 10, dim = 16, noise = 0.05)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-opqidx").toString + "/idx"
+    PQ.opqWriteIndex(fix, "vec_id", "embedding", dim = 16, path,
+      m = 4, kCodewords = 4, maxIter = 3)
+    PQ.opqAppendIndex(
+      fix.withColumn("vec_id", col("vec_id") + 1000L),
+      "vec_id", "embedding", path)
+    val codesStr = array_join(col("codes").cast("array<string>"), ",")
+    val byKey = spark.read.parquet(path)
+      .select(pmod(col("id"), lit(1000L)).as("k"), codesStr.as("cs"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), countDistinct(col("cs")).as("nc"))
+      .as[(Long, Long, Long)].collect()
+    assert(byKey.length == 40)
+    assert(byKey.forall { case (_, n, nc) => n == 2 && nc == 1 },
+      byKey.take(3).toSeq)
+    // probe == sidecar-derived ADC ranking (rotated query, rotated books)
+    val q = fix.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    val got = PQ.opqTopKIndexed(spark, path, q, k = 5, excludeId = 7)
+      .as[(Long, Double)].collect().toSeq
+    val lut = PQ.adcLut(
+      PQ.rotateQuery(q, PQ.opqReadRotation(spark, path)),
+      PQ.pqReadBooks(spark, path))
+    val want = spark.read.parquet(path).filter(col("id") =!= 7)
+      .select(col("id").as("vec_id"), PQ.adcScore(col("codes"), lut).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id").asc).limit(5)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want && got.length == 5)
+    // a plain PQ index (no _rotation) fails the OPQ probe loudly
+    val plain = java.nio.file.Files
+      .createTempDirectory("graft-opqplain").toString + "/idx"
+    PQ.pqWriteIndex(fix, "vec_id", "embedding", dim = 16, plain,
+      m = 4, kCodewords = 4, maxIter = 3)
+    val e = intercept[IllegalStateException] {
+      PQ.opqTopKIndexed(spark, plain, q, k = 5)
+    }
+    assert(e.getMessage.contains("_rotation"), e.getMessage)
+  }
+
   test("pqTopKIndexed matches in-memory ADC ranking for the same query") {
     val fix = Similarity.clusteredEmbeddings(spark, nClusters = 4,
       perCluster = 10, dim = 16, noise = 0.05)

@@ -40,6 +40,10 @@ class SparkEntrySpec extends SparkSpec {
       "q_sim_ivf_topk" -> Seq("q_sim_recall_gate", "q_sim_ivf_portable"),
       "q_sim_ivfpq_topk" -> Seq("q_sim_pq_gate", "q_sim_ivfpq_portable"),
       "q_sim_pq_indexed" -> Seq("q_sim_pq_gate", "q_sim_pq_portable"),
+      // r14: the persisted-OPQ probe is pinned by the oracled rotation
+      // gate (recall >= unrotated floor, reconstruction band) plus the
+      // family's portable ADC twin.
+      "q_sim_opq_indexed" -> Seq("q_sim_opq_gate", "q_sim_pq_portable"),
       "q_sim_pq_topk" -> Seq("q_sim_pq_gate", "q_sim_pq_portable"),
       "q_text_bpe_encode" -> Seq("q_text_bpe_gate"),
       "q_text_bpe_ids" -> Seq("q_text_bpe_ids_gate"),
