@@ -1546,6 +1546,27 @@ object SparkEntry {
     * priority). Names prefixed `sm` so the body composes with the
     * robots CTE families.
     */
+  /** The recrawl-policy CTE (rc) over `sm_p`, generated from the SAME
+    * Scala changefreq mapping the operator uses — shared by
+    * q_web_recrawl and the q_web_crawl_plan splice (r14).
+    */
+  private def recrawlRcCte: String = {
+    val cases = Robots.ChangefreqHours.map { case (cf, h) =>
+      s"WHEN lower(changefreq) = '$cf' THEN CAST($h AS BIGINT)"
+    }.mkString(" ")
+    s"""rc AS (
+       |  SELECT host, entry_idx, loc, changefreq, lastmod_date, priority,
+       |    CASE WHEN lower(changefreq) = 'never' THEN NULL
+       |      $cases
+       |      ELSE CAST(${Robots.DefaultRecrawlHours} AS BIGINT)
+       |      END AS interval_hours,
+       |    CASE WHEN lastmod_date IS NULL THEN NULL
+       |      ELSE greatest(CAST(0 AS BIGINT),
+       |        CAST(datediff('day', lastmod_date, DATE '2024-02-15') * 24
+       |          AS BIGINT)) END AS stale_hours
+       |  FROM sm_p WHERE kind = 'url')""".stripMargin
+  }
+
   private lazy val sitemapParseCtes: String = {
     val loc = "regexp_extract(e, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1)"
     val lm = "regexp_extract(e, '(?is)<lastmod>\\s*(.*?)\\s*</lastmod>', 1)"
@@ -1932,6 +1953,10 @@ object SparkEntry {
       // evaluation.
       "q_web_frontier", "q_web_frontier_sched", "q_web_crawl_budget",
       "q_web_frontier_sitemap", "q_web_recrawl",
+      // r14: the unified crawl plan recomputes the benched indexed
+      // PageRank plus the sitemap/robots parses (same ruling); its
+      // novelty is the due→quota→slot composition.
+      "q_web_crawl_plan",
       // r12: BM25 index-maintenance gate builds its index per run (the
       // q_sim_pq_append ruling); the benched retrieval rows are the
       // scratch search and the persisted-index probe.
@@ -3545,6 +3570,38 @@ object SparkEntry {
           col("changefreq"), col("lastmod_date"), col("interval_hours"),
           col("stale_hours"), col("due"))
         .orderBy("host", "entry_idx")),
+    // Unified crawl plan (r14, VERDICT r13 §next-7): the r13 pieces
+    // composed end-to-end in ONE lazy plan — the recrawl DUE set
+    // (sitemap freshness policy) is the frontier source, per-host
+    // quotas come from the PageRank-proportional budget apportionment
+    // over the persisted graph (capped at 400), and each host's due
+    // URLs are ranked (priority desc nulls last, sitemap entry order)
+    // into delay-aware fetch slots with only the top-quota kept. Slot
+    // times are rank arithmetic, so the cap never perturbs surviving
+    // slots. Replayed due→quota→slot in DuckDB (the frontier-sitemap
+    // splice pattern). Verify-only: recomputes the benched indexed
+    // PageRank + sitemap parse + robots delays (superset ruling).
+    "q_web_crawl_plan" -> ((s, d) => {
+      val due = Robots.recrawlSchedule(
+          Robots.parseSitemap(sitemapDocs(s, d), Seq("host"), "xml"),
+          asOfDate = "2024-02-15")
+        .filter(col("due"))
+        .select(col("host"), col("entry_idx"), col("loc"), col("priority"))
+      val quota = WebGraph.apportionBudget(
+          WebGraph.pageRankIndexed(s, webIdxEnsure(s, d), iterations = 10),
+          "host", "rank_scaled", total = 1000L, maxPerHost = 400L)
+        .select(col("host"), col("budget"))
+      Robots.scheduleFrontier(due.join(quota, Seq("host")), "host",
+          Robots.crawlDelays(
+            Robots.parseRobots(robotsDocs(s, d), Seq("host"), "txt"),
+            "host", "graftbot"),
+          orderCols = Seq(col("priority").desc_nulls_last, col("entry_idx")))
+        .filter(col("fetch_rank") <= col("budget"))
+        .select(col("host"), col("entry_idx").cast("int").as("entry_idx"),
+          col("loc"), col("priority"), col("budget"),
+          col("crawl_delay_ms"), col("fetch_rank"), col("fetch_slot_ms"))
+        .orderBy("host", "fetch_rank")
+    }),
     "q_web_frontier_sitemap" -> ((s, d) => {
       val parsed = Robots.parseRobots(robotsDocs(s, d), Seq("host"), "txt")
       val urls = Robots.parseSitemap(sitemapDocs(s, d), Seq("host"), "xml")
@@ -8630,29 +8687,63 @@ object SparkEntry {
           |FROM sm_p ORDER BY host, entry_idx""".stripMargin),
     // Recrawl policy replayed: the changefreq→hours CASE generated from
     // the SAME Scala mapping, datediff·24 staleness, the never/unknown/
-    // missing-lastmod branches all in the hash (r13).
-    "q_web_recrawl" -> {
-      val cases = Robots.ChangefreqHours.map { case (cf, h) =>
-        s"WHEN lower(changefreq) = '$cf' THEN CAST($h AS BIGINT)"
-      }.mkString(" ")
+    // missing-lastmod branches all in the hash (r13; rc CTE shared with
+    // the r14 crawl-plan splice so the policy cannot drift between the
+    // two replays).
+    "q_web_recrawl" ->
       s"""WITH $sitemapParseCtes,
-         |rc AS (
-         |  SELECT host, entry_idx, loc, changefreq, lastmod_date,
-         |    CASE WHEN lower(changefreq) = 'never' THEN NULL
-         |      $cases
-         |      ELSE CAST(${Robots.DefaultRecrawlHours} AS BIGINT)
-         |      END AS interval_hours,
-         |    CASE WHEN lastmod_date IS NULL THEN NULL
-         |      ELSE greatest(CAST(0 AS BIGINT),
-         |        CAST(datediff('day', lastmod_date, DATE '2024-02-15') * 24
-         |          AS BIGINT)) END AS stale_hours
-         |  FROM sm_p WHERE kind = 'url')
+         |$recrawlRcCte
          |SELECT host, CAST(entry_idx AS INT) AS entry_idx, loc, changefreq,
          |  lastmod_date, interval_hours, stale_hours,
          |  (lastmod_date IS NULL OR (interval_hours IS NOT NULL
          |    AND stale_hours >= interval_hours)) AS due
-         |FROM rc ORDER BY host, entry_idx""".stripMargin
-    },
+         |FROM rc ORDER BY host, entry_idx""".stripMargin,
+    // The unified crawl plan replayed due→quota→slot (r14): the shared
+    // recrawl rc CTE picks the due set, the link-chain + PageRank +
+    // largest-remainder CTEs reproduce each host's quota, rb_cd the
+    // politeness delay, and the final window ranks each host's due URLs
+    // into slots with only the top-quota surviving. Every CTE family is
+    // the one its standalone query already replays — the splice pins
+    // the COMPOSITION.
+    "q_web_crawl_plan" ->
+      (s"WITH $linkChainCtes,\n${pageRankCtes(10)},\n" +
+        s"$robotsParseCtes,\n$robotsEvalCtes,\n$sitemapParseCtes,\n" +
+        s"$recrawlRcCte,\n" +
+        """rdue AS (
+          |  SELECT host, entry_idx, loc, priority FROM rc
+          |  WHERE lastmod_date IS NULL OR (interval_hours IS NOT NULL
+          |    AND stale_hours >= interval_hours)),
+          |qa AS MATERIALIZED (SELECT host, rank AS w FROM pr10),
+          |tot AS (SELECT CAST(sum(w) AS BIGINT) AS bw FROM qa),
+          |fl AS MATERIALIZED (
+          |  SELECT host, w, CAST((1000 * w) // bw AS BIGINT) AS fl,
+          |    CAST((1000 * w) % bw AS BIGINT) AS rem
+          |  FROM qa CROSS JOIN tot),
+          |lo AS (SELECT CAST(1000 - sum(fl) AS BIGINT) AS l FROM fl),
+          |rk AS (
+          |  SELECT host, fl, rem,
+          |    CAST(row_number() OVER (ORDER BY rem DESC, host ASC)
+          |      AS BIGINT) AS r
+          |  FROM fl),
+          |bud AS (
+          |  SELECT host,
+          |    least(CAST(fl + CASE WHEN r <= l THEN 1 ELSE 0 END AS BIGINT),
+          |      400) AS budget
+          |  FROM rk CROSS JOIN lo),
+          |pl AS (
+          |  SELECT d.host, d.entry_idx, d.loc, d.priority, b.budget,
+          |    coalesce(cd.crawl_delay_ms, 0) AS crawl_delay_ms,
+          |    CAST(row_number() OVER (PARTITION BY d.host
+          |      ORDER BY d.priority DESC NULLS LAST, d.entry_idx) AS INT)
+          |      AS fetch_rank
+          |  FROM rdue d JOIN bud b ON b.host = d.host
+          |  LEFT JOIN rb_cd cd ON cd.host = d.host)
+          |SELECT host, CAST(entry_idx AS INT) AS entry_idx, loc, priority,
+          |  budget, crawl_delay_ms, fetch_rank,
+          |  CAST((fetch_rank - 1) * crawl_delay_ms AS BIGINT)
+          |    AS fetch_slot_ms
+          |FROM pl WHERE fetch_rank <= budget
+          |ORDER BY host, fetch_rank""".stripMargin),
     // Sitemap-discovered frontier: sitemap parse + robots rule selection
     // + longest-match eval + delay-aware scheduling, all four CTE
     // families spliced into one replay (r13). uu/bm from the robots eval
