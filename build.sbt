@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Embedded Derby (the genuine-JDBC CDC cycle) writes its boot log to
+  // user.dir by default — keep it out of the repo.
+  "-Dderby.stream.error.file=/tmp/graft-derby.log",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
