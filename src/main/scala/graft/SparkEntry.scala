@@ -1025,7 +1025,9 @@ object SparkEntry {
 
   private def pqEnsureIndex(s: SparkSession, d: String): String = {
     val path = s"$pqTmpDir/${sfKey(d)}"
-    if (!graft.pipeline.Sinks.exists(s, path))
+    // gate on the last-written artifact (the _books sidecar), not the
+    // bare dir (same interrupted-write class as opqEnsureIndex)
+    if (!graft.pipeline.Sinks.exists(s, s"$path/_books"))
       graft.operators.ProductQuantization.pqWriteIndex(
         t(s, d, "embeddings"), "vec_id", "embedding", dim = 64, path,
         m = 8, kCodewords = 16)
@@ -1040,7 +1042,10 @@ object SparkEntry {
 
   private def opqEnsureIndex(s: SparkSession, d: String): String = {
     val path = s"$opqTmpDir/${sfKey(d)}"
-    if (!graft.pipeline.Sinks.exists(s, path))
+    // gate on the LAST-written artifact (_rotation), not the bare dir —
+    // an interrupted write must regenerate, not strand every later probe
+    // on a missing sidecar (the warcGzEnsure lesson; code-review r14)
+    if (!graft.pipeline.Sinks.exists(s, s"$path/_rotation"))
       graft.operators.ProductQuantization.opqWriteIndex(
         t(s, d, "embeddings"), "vec_id", "embedding", dim = 64, path,
         m = 8, kCodewords = 16)

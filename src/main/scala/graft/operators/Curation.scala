@@ -195,7 +195,12 @@ object Curation {
     * (≥ 99% of documents touch 1–2 packs), one hash shuffle on pack_id,
     * and bounded per-group state (a pack is ≤ `budgetTokens` ids).
     * NULL `idsCol` rows fail loudly — a missing sequence must not
-    * silently shift every later pack boundary.
+    * silently shift every later pack boundary. The (idCol, idsCol)
+    * projection is persisted INTERNALLY (the operator-persist
+    * convention, leaked by design within a query): the NULL guard, the
+    * prefix-sum pass, and the pieces join are three consumers, and an
+    * expensive upstream (a corpus-wide encode) must evaluate once, not
+    * three times (code-review r14).
     */
   def packSequencesWithSpans(df: DataFrame, idCol: String, idsCol: String,
                              sp: graft.operators.SpecialTokens.Ids,
@@ -203,16 +208,26 @@ object Curation {
     require(budgetTokens > 0,
       s"packSequencesWithSpans: budget must be > 0, got $budgetTokens")
     val B = budgetTokens.toLong
-    val nNull = df.filter(col(idsCol).isNull).count()
+    val in = df.select(col(idCol), col(idsCol))
+    // skip the internal persist when the CALLER already persisted df —
+    // the projection then scans the cache and a second pin would just
+    // double the memory
+    val input =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        val p = in.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      } else in
+    val nNull = input.filter(col(idsCol).isNull).count()
     require(nNull == 0,
       s"packSequencesWithSpans: $nNull NULL $idsCol rows — a missing " +
         "sequence would silently shift every later pack boundary; filter " +
         "or fail them upstream")
-    val pos = packSequencesByCount(df, idCol, size(col(idsCol)).cast(LongType),
-        budgetTokens)
+    val pos = packSequencesByCount(input, idCol,
+        size(col(idsCol)).cast(LongType), budgetTokens)
       .select(col(idCol), col("n_tok"),
         (col("pack_id") * B + col("pack_offset")).as("__g"))
-    val pieces = df.select(col(idCol), col(idsCol))
+    val pieces = input
       .join(pos, Seq(idCol))
       .filter(col("n_tok") > 0)
       .select(col(idCol), col(idsCol), col("__g"), col("n_tok"),

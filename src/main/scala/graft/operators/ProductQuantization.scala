@@ -476,10 +476,17 @@ object ProductQuantization {
                     path: String, m: Int = 8, kCodewords: Int = 16,
                     maxIter: Int = 6, trainFraction: Double = 0.25): Unit = {
     val model = graft.operators.Pca.pcaTrain(emb, idCol, vecCol, dim, k = dim)
-    val rot = emb.select(col(idCol).as("id"),
-      graft.operators.Pca.projectCol(col(vecCol), model).as("rvec"))
+    // wrong-length vectors drop BEFORE the projection — AffineMatVec
+    // throws on a dim mismatch, and the pqWriteIndex contract (malformed
+    // vectors skip, never abort) must survive the rotation (code-review
+    // r14); same guard in opqAppendIndex
+    val rot = emb.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"),
+        graft.operators.Pca.projectCol(col(vecCol), model).as("rvec"))
     pqWriteIndex(rot, "id", "rvec", dim, path, m, kCodewords, maxIter,
       trainFraction)
+    // the rotation sidecar lands LAST — its presence is the index's
+    // completion marker (opqEnsureIndex-style callers gate on it)
     graft.operators.Pca.writeModel(emb.sparkSession, model,
       s"$path/_rotation")
   }
@@ -490,9 +497,13 @@ object ProductQuantization {
     */
   def opqReadRotation(spark: org.apache.spark.sql.SparkSession,
                       path: String): graft.operators.Pca.PcaModel =
+    // only the genuinely-missing-sidecar case rebrands (the pqReadBooks
+    // convention) — a present-but-malformed model or a transient read
+    // error must surface with its real message, not a misleading
+    // "rewrite the index" (code-review r14)
     try graft.operators.Pca.readModel(spark, s"$path/_rotation")
     catch {
-      case e: Exception =>
+      case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalStateException(
           s"OPQ index at $path has no readable rotation sidecar " +
             "(_rotation); rewrite the index with opqWriteIndex", e)
@@ -506,8 +517,9 @@ object ProductQuantization {
   def opqAppendIndex(emb: DataFrame, idCol: String, vecCol: String,
                      path: String): Unit = {
     val model = opqReadRotation(emb.sparkSession, path)
-    pqAppendIndex(emb.select(col(idCol).as("id"),
-        graft.operators.Pca.projectCol(col(vecCol), model).as("rvec")),
+    pqAppendIndex(emb.filter(size(col(vecCol)) === model.dim)
+        .select(col(idCol).as("id"),
+          graft.operators.Pca.projectCol(col(vecCol), model).as("rvec")),
       "id", "rvec", path)
   }
 

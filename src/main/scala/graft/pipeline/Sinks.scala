@@ -246,7 +246,19 @@ object Sinks {
                       sumCols: Seq[String],
                       partitionCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, sum}
-    val grouped = spark.read.parquet(path)
+    val input = spark.read.parquet(path)
+    // Coverage must be TOTAL: any column not named here would be
+    // silently dropped by the group-and-swap, and the staged overwrite
+    // replaces the only copy — an index that grows a column must fail
+    // this maintenance loudly until the caller says what to do with it
+    // (code-review r14).
+    val named = (keyCols ++ sumCols ++ partitionCols).toSet
+    val extra = input.schema.fieldNames.filterNot(named)
+    require(extra.isEmpty,
+      s"compactAdditive: $path has columns ${extra.mkString(", ")} not " +
+        "covered by keyCols/sumCols/partitionCols — compacting would " +
+        "silently destroy them")
+    val grouped = input
       .groupBy((keyCols ++ partitionCols).map(col): _*)
       .agg(sum(col(sumCols.head)).as(sumCols.head),
         sumCols.tail.map(c => sum(col(c)).as(c)): _*)
