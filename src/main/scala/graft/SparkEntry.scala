@@ -625,6 +625,64 @@ object SparkEntry {
        |SELECT host, CAST(rank AS BIGINT) AS rank_scaled
        |FROM pr$iterations ORDER BY host""".stripMargin
 
+  /** HITS unrolled (r14): aa0/hh0 at base, per round an authority
+    * half-step off the PREVIOUS hubs then a hub half-step off the NEW
+    * authorities, each renormalized by the single integer division
+    * `x div greatest(1, Σx div RankScale)` — the exact WebGraph.hits
+    * arithmetic, truncation included. Every frame MATERIALIZED (the
+    * pageRankCtes inlining lesson: 2^rounds blowup otherwise).
+    */
+  private def hitsCtes(iterations: Int): String = {
+    val S = WebGraph.RankScale
+    val rounds = (0 until iterations).map { i =>
+      s"""har$i AS MATERIALIZED (
+         |  SELECT e.dst_host AS host,
+         |    CAST(sum(h.score * e.weight) AS BIGINT) AS raw
+         |  FROM edges e JOIN hh$i h ON h.host = e.src_host
+         |  GROUP BY 1),
+         |had$i AS MATERIALIZED (
+         |  SELECT greatest(CAST(1 AS BIGINT),
+         |    CAST(coalesce(sum(raw), 0) // $S AS BIGINT)) AS dv
+         |  FROM har$i),
+         |haa${i + 1} AS MATERIALIZED (
+         |  SELECT n.host,
+         |    CAST(coalesce(r.raw, 0) // d.dv AS BIGINT) AS score
+         |  FROM nodes n LEFT JOIN har$i r ON r.host = n.host
+         |  CROSS JOIN had$i d),
+         |hhr$i AS MATERIALIZED (
+         |  SELECT e.src_host AS host,
+         |    CAST(sum(a.score * e.weight) AS BIGINT) AS raw
+         |  FROM edges e JOIN haa${i + 1} a ON a.host = e.dst_host
+         |  GROUP BY 1),
+         |hhd$i AS MATERIALIZED (
+         |  SELECT greatest(CAST(1 AS BIGINT),
+         |    CAST(coalesce(sum(raw), 0) // $S AS BIGINT)) AS dv
+         |  FROM hhr$i),
+         |hh${i + 1} AS MATERIALIZED (
+         |  SELECT n.host,
+         |    CAST(coalesce(r.raw, 0) // d.dv AS BIGINT) AS score
+         |  FROM nodes n LEFT JOIN hhr$i r ON r.host = n.host
+         |  CROSS JOIN hhd$i d)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS MATERIALIZED (
+       |  SELECT DISTINCT host FROM (
+       |    SELECT src_host AS host FROM edges
+       |    UNION ALL SELECT dst_host FROM edges)),
+       |hparams AS MATERIALIZED (
+       |  SELECT CAST($S // count(*) AS BIGINT) AS base FROM nodes),
+       |hh0 AS MATERIALIZED (
+       |  SELECT host, base AS score FROM nodes CROSS JOIN hparams),
+       |$rounds""".stripMargin
+  }
+
+  private def hitsOracleSql(iterations: Int): String =
+    s"""WITH $linkChainCtes,
+       |${hitsCtes(iterations)}
+       |SELECT a.host, CAST(a.score AS BIGINT) AS auth_scaled,
+       |  CAST(h.score AS BIGINT) AS hub_scaled
+       |FROM haa$iterations a JOIN hh$iterations h ON h.host = a.host
+       |ORDER BY a.host""".stripMargin
+
   // ---- FineWeb recipe fixture pages (r12) ---------------------------
   // Multi-line crawl pages constructed from the documents fixture, with
   // a decorated URL per page and planted pathologies per doc_id residue
@@ -3461,6 +3519,17 @@ object SparkEntry {
       WebGraph.compactIndex(s, path)
       WebGraph.pageRankIndexed(s, path, iterations = 10).orderBy("host")
     }),
+    // HITS hubs & authorities (r14): the other link-quality signal
+    // beside PageRank, over the SAME persisted graph — 8 mutual-
+    // reinforcement rounds in integer fixed-point, each half-step
+    // renormalized by one integer division, replayed round-for-round
+    // in DuckDB (the pageRank unrolled-CTE convention). BENCHED: the
+    // double half-step iteration (2 joins + 2 aggs + 2 scalars per
+    // round) is its own engine shape, distinct from PageRank's single
+    // contrib join.
+    "q_web_hits" -> ((s, d) =>
+      WebGraph.hitsIndexed(s, webIdxEnsure(s, d), iterations = 8)
+        .orderBy("host")),
     // Crawl-budget apportionment (r13): split 1000 fetch slots across
     // hosts ∝ their PageRank by the largest-remainder method — exact
     // integers summing to the budget precisely, replayed quota-for-quota
@@ -4903,6 +4972,22 @@ object SparkEntry {
         .agg(sum("__n").as("n_rows"),
           (max(col("__nc")) === 1L && min(col("__n")) === 2L &&
             max(col("__n")) === 2L).as("codes_consistent"))
+    }),
+    // Margin-based neighbor mining (r14): the CCMatrix/bitext scorer —
+    // pair quality RELATIVE to each side's k-NN neighborhood mass
+    // (hubness-killed), over a two-sided split of the embeddings
+    // fixture (even ids = source side, odd = target side). Integer
+    // fixed-point ratio margin on quantized dots, replayed
+    // forward-pass/backward-pass/margin in DuckDB. BENCHED: the
+    // two-broadcast-scan + margin shape is its own engine form.
+    "q_ret_margin_mine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Retrieval.marginMine(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 =!= 0),
+          "vec_id", "embedding", queryIds = Seq(2L, 4L, 6L), k = 8,
+          topM = 5)
+        .orderBy("src_id", "rank")
     }),
     "q_sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
@@ -8227,6 +8312,59 @@ object SparkEntry {
         |SELECT s.vec_id, CAST(sum(s.x * qs.qx) AS BIGINT) AS score
         |FROM s JOIN qs USING (i) WHERE s.vec_id <> 1
         |GROUP BY s.vec_id ORDER BY score DESC, vec_id ASC LIMIT 20""".stripMargin,
+    // Margin mining replayed: quantized forward dots query-batch×odd
+    // side, top-k + mass per query, backward dots candidates×even side,
+    // top-k mass per candidate, then the integer ratio margin and the
+    // per-query top-m — tie-breaks total everywhere, all BIGINT.
+    "q_ret_margin_mine" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT vec_id AS id, vec_id % 2 = 0 AS is_src,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE len(embedding) > 0),
+        |qd AS MATERIALIZED (
+        |  SELECT q.id AS src_id, t.id AS tgt_id,
+        |    CAST(sum(t.x * q.x) AS BIGINT) AS s
+        |  FROM b t JOIN b q ON q.i = t.i
+        |  WHERE q.id IN (2, 4, 6) AND q.is_src AND NOT t.is_src
+        |  GROUP BY 1, 2),
+        |fk AS MATERIALIZED (
+        |  SELECT src_id, tgt_id, s FROM (
+        |    SELECT src_id, tgt_id, s,
+        |      row_number() OVER (PARTITION BY src_id
+        |        ORDER BY s DESC, tgt_id ASC) AS r
+        |    FROM qd) WHERE r <= 8),
+        |fm AS (SELECT src_id, CAST(sum(s) AS BIGINT) AS fwd_mass
+        |       FROM fk GROUP BY 1),
+        |bd AS MATERIALIZED (
+        |  SELECT c.id AS tgt_id, xx.id AS xs,
+        |    CAST(sum(xx.x * c.x) AS BIGINT) AS s
+        |  FROM b xx JOIN b c ON c.i = xx.i
+        |  WHERE xx.is_src AND NOT c.is_src
+        |    AND c.id IN (SELECT DISTINCT tgt_id FROM fk)
+        |  GROUP BY 1, 2),
+        |bm AS (
+        |  SELECT tgt_id, CAST(sum(s) AS BIGINT) AS bwd_mass FROM (
+        |    SELECT tgt_id, s,
+        |      row_number() OVER (PARTITION BY tgt_id
+        |        ORDER BY s DESC, xs ASC) AS r
+        |    FROM bd) WHERE r <= 8 GROUP BY 1),
+        |mg AS (
+        |  SELECT f.src_id, f.tgt_id, f.s,
+        |    CAST((16 * f.s * 1000) // (fm.fwd_mass + bm.bwd_mass)
+        |      AS BIGINT) AS margin_scaled
+        |  FROM fk f
+        |  JOIN fm ON fm.src_id = f.src_id
+        |  JOIN bm ON bm.tgt_id = f.tgt_id
+        |  WHERE f.s >= 0 AND fm.fwd_mass + bm.bwd_mass > 0)
+        |SELECT src_id, tgt_id, s AS score, margin_scaled,
+        |  CAST(rank AS INT) AS rank
+        |FROM (
+        |  SELECT src_id, tgt_id, s, margin_scaled,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY margin_scaled DESC, tgt_id ASC) AS rank
+        |  FROM mg)
+        |WHERE rank <= 5 ORDER BY src_id, rank""".stripMargin,
     "q_sim_cosine_pairs" ->
       """WITH b AS (
         |  SELECT vec_id AS id, CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
@@ -8646,6 +8784,8 @@ object SparkEntry {
     "q_web_pagerank_indexed" -> pageRankOracleSql(10),
     // r14: edge partials folded + same iteration count == scratch ranks
     "q_web_pagerank_compacted" -> pageRankOracleSql(10),
+    // r14: HITS replayed round-for-round over the same link chain
+    "q_web_hits" -> hitsOracleSql(8),
     // Stream-appended index == batch-rebuilt graph: the summed partials
     // must reproduce the all-at-once edge counts exactly (r13).
     "q_stream_web_append_gate" ->

@@ -308,6 +308,94 @@ object Retrieval {
     * only sees `(query_id, id, rank)` and does not care which tier
     * ranked it.
     */
+  /** Margin-based neighbor mining (Artetxe & Schwenk 2019, "Margin-based
+    * parallel corpus mining with multilingual sentence embeddings" — the
+    * CCMatrix/CCAligned scorer): a candidate pair (x, y) is scored by its
+    * similarity RELATIVE to each side's k-NN neighborhood mass, which
+    * kills hubness (a vector near everything stops winning every pair).
+    * This is how parallel corpora are mined for multilingual LLM
+    * training: x from one language's embeddings, y from another's, keep
+    * the top-margin pairs.
+    *
+    * Ratio margin in integer fixed point so both engines replay it
+    * bit-for-bit (the RRF convention):
+    *
+    *   margin_scaled(x,y) = (2k · s(x,y) · marginScale)
+    *                        div (Σ top-k s(x,·) + Σ top-k s(·,y))
+    *
+    * with `s` the quantized integer dot ([[Similarity.dotQuantized]]).
+    * Pairs with a non-positive forward score or neighborhood mass drop
+    * (the ratio is meaningless there, and truncation direction on
+    * negatives is engine-dependent) — deterministic, documented.
+    *
+    * Scale shape: the forward pass broadcasts the BOUNDED query batch
+    * against the target side (one corpus scan); the backward pass
+    * broadcasts the ≤ |queries|·k distinct candidates against the source
+    * side (one more corpus scan). Per-key windows partition on the
+    * bounded batch/candidate ids. At corpus×corpus scale the two scans
+    * swap for ANN index probes (ivfTopKIndexed / pqTopKIndexed) with the
+    * same downstream margin arithmetic. Overflow is guarded loudly from
+    * the observed max |s|.
+    *
+    * Returns (src_id, tgt_id, score, margin_scaled, rank) — the top
+    * `topM` margin pairs per source query.
+    */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, queryIds: Seq[Long], k: Int,
+                 topM: Int = 10, marginScale: Long = 1000L,
+                 maxQueryIds: Int = 1024): DataFrame = {
+    require(queryIds.nonEmpty, "marginMine: no query ids")
+    require(queryIds.size <= maxQueryIds,
+      s"marginMine: ${queryIds.size} query ids exceeds maxQueryIds=" +
+        s"$maxQueryIds — the batch broadcasts; mine in batches")
+    require(k >= 1, s"marginMine: k must be >= 1, got $k")
+    require(topM >= 1, s"marginMine: topM must be >= 1, got $topM")
+    require(marginScale >= 1, s"marginMine: marginScale must be >= 1")
+    val x = src.select(col(idCol).as("src_id"), col(vecCol).as("xv"))
+      .filter(size(col("xv")) > 0)
+    val y = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("yv"))
+      .filter(size(col("yv")) > 0)
+    val q = x.filter(col("src_id").isin(queryIds: _*))
+    // forward: query batch × target side, top-k per query — persisted,
+    // it feeds the mass agg, the candidate set, and the margin join
+    // (operator-persist convention)
+    val fwd = y.crossJoin(broadcast(q))
+      .select(col("src_id"), col("tgt_id"),
+        Similarity.dotQuantized(col("yv"), col("xv")).as("s"))
+      .withColumn("r", row_number().over(Window.partitionBy("src_id")
+        .orderBy(col("s").desc, col("tgt_id").asc)))
+      .filter(col("r") <= k)
+      .persist()
+    val maxAbs = fwd.agg(coalesce(max(abs(col("s"))), lit(0L)))
+      .collect()(0).getLong(0)
+    require(maxAbs <= Long.MaxValue / math.max(1L, 2L * k * marginScale),
+      s"marginMine: max |score| $maxAbs overflows the margin fixed point " +
+        s"at 2k·marginScale=${2L * k * marginScale} — lower marginScale " +
+        "or the quantization scale")
+    val fwdMass = fwd.groupBy("src_id").agg(sum("s").as("fwd_mass"))
+    // backward: the bounded candidate set × source side, top-k per
+    // candidate
+    val candVecs = y.join(fwd.select("tgt_id").distinct(), "tgt_id")
+    val bwdMass = x.crossJoin(broadcast(candVecs))
+      .select(col("tgt_id"), col("src_id").as("xs"),
+        Similarity.dotQuantized(col("xv"), col("yv")).as("s"))
+      .withColumn("r", row_number().over(Window.partitionBy("tgt_id")
+        .orderBy(col("s").desc, col("xs").asc)))
+      .filter(col("r") <= k)
+      .groupBy("tgt_id").agg(sum("s").as("bwd_mass"))
+    fwd.filter(col("s") >= 0)
+      .join(fwdMass, "src_id")
+      .join(bwdMass, "tgt_id")
+      .filter(col("fwd_mass") + col("bwd_mass") > 0)
+      .withColumn("margin_scaled",
+        expr(s"(${2L * k}L * s * ${marginScale}L) div (fwd_mass + bwd_mass)"))
+      .withColumn("rank", row_number().over(Window.partitionBy("src_id")
+        .orderBy(col("margin_scaled").desc, col("tgt_id").asc)).cast("int"))
+      .filter(col("rank") <= topM)
+      .select(col("src_id"), col("tgt_id"), col("s").as("score"),
+        col("margin_scaled"), col("rank"))
+  }
+
   def denseTopKQuantized(emb: DataFrame, idCol: String, vecCol: String,
                          queryIds: Seq[Long], k: Int): DataFrame = {
     require(queryIds.nonEmpty, "denseTopKQuantized: no query ids")

@@ -252,6 +252,122 @@ object WebGraph {
     }
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in
+    * a hyperlinked environment") over the weighted host link graph —
+    * the other classic link-quality signal beside [[pageRank]]: an
+    * authority is linked from good hubs, a hub links to good
+    * authorities. Crawl curation uses BOTH (an authority-heavy host is
+    * content, a hub-heavy one is a directory/link farm candidate).
+    *
+    * Integer fixed-point at [[RankScale]]: each half-step renormalizes
+    * with ONE integer division — `x div greatest(1, Σx div RankScale)`
+    * — which keeps magnitudes at ~RankScale without the overflow-prone
+    * `x · RankScale / Σx` cross multiply, so every score replays
+    * bit-for-bit in the DuckDB oracle (deterministic truncation is part
+    * of the pinned semantics, the pageRank convention). Authority
+    * updates read the PREVIOUS hub scores; hub updates read the NEW
+    * authorities (the classic ordering). Overflow is guarded loudly:
+    * Σ weights must stay ≤ Long.MaxValue / (4·RankScale) (scores are
+    * bounded by ~2·RankScale between renormalizations).
+    *
+    * Same size-gated shape as [[pageRank]]: a driver loop under
+    * `localEdgeLimit` edges, above it a distributed twin (per
+    * iteration: two edge-keyed joins + two host-keyed aggs + two
+    * scalar collects), spec-pinned bit-identical.
+    * Returns `(host, auth_scaled, hub_scaled)`.
+    */
+  def hits(edges: DataFrame, iterations: Int = 8,
+           localEdgeLimit: Long = 1L << 20): DataFrame = {
+    require(iterations >= 1, s"hits: iterations must be >= 1")
+    require(localEdgeLimit >= 0 && localEdgeLimit < Int.MaxValue,
+      s"hits: localEdgeLimit out of range: $localEdgeLimit")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src_host").cast("string").as("src"),
+      col("dst_host").cast("string").as("dst"),
+      col("weight").cast("long").as("w"))
+    def checkTotW(totW: Long): Unit =
+      require(totW <= Long.MaxValue / RankScale / 4,
+        s"hits: total edge weight $totW overflows the fixed-point bound " +
+          s"(${Long.MaxValue / RankScale / 4}); pre-scale weights down")
+    val gate = e.take(localEdgeLimit.toInt + 1)
+    require(gate.nonEmpty, "hits: empty edge list")
+
+    if (gate.length <= localEdgeLimit) {
+      val rows = gate.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(rows.iterator.map(_._3).min >= 1, "hits: weights must be >= 1")
+      checkTotW(rows.iterator.map(_._3).sum)
+      val hosts = (rows.map(_._1) ++ rows.map(_._2)).distinct
+      val base = RankScale / hosts.length
+      var auth = hosts.map(_ -> base).toMap
+      var hub = auth
+      for (_ <- 1 to iterations) {
+        val araw = scala.collection.mutable.HashMap.empty[String, Long]
+        rows.foreach { case (s, d, w) =>
+          araw(d) = araw.getOrElse(d, 0L) + hub(s) * w
+        }
+        val adv = math.max(1L, araw.valuesIterator.sum / RankScale)
+        auth = hosts.map(h => h -> araw.getOrElse(h, 0L) / adv).toMap
+        val hraw = scala.collection.mutable.HashMap.empty[String, Long]
+        rows.foreach { case (s, d, w) =>
+          hraw(s) = hraw.getOrElse(s, 0L) + auth(d) * w
+        }
+        val hdv = math.max(1L, hraw.valuesIterator.sum / RankScale)
+        hub = hosts.map(h => h -> hraw.getOrElse(h, 0L) / hdv).toMap
+      }
+      import spark.implicits._
+      hosts.map(h => (h, auth(h), hub(h)))
+        .toSeq.toDF("host", "auth_scaled", "hub_scaled")
+    } else {
+      val eP = e.persist()
+      val stats = eP.agg(min(col("w")), coalesce(sum(col("w")), lit(0L)))
+        .collect().head
+      require(stats.getLong(0) >= 1, "hits: weights must be >= 1")
+      checkTotW(stats.getLong(1))
+      val nodes = eP.select(col("src").as("host"))
+        .union(eP.select(col("dst").as("host"))).distinct()
+        .persist()
+      val base = RankScale / nodes.count()
+      var auth = nodes.withColumn("score", lit(base)).localCheckpoint()
+      var hub = auth
+      def halfStep(scores: DataFrame, inKey: String, outKey: String)
+          : DataFrame = {
+        // one edge-keyed join + one host agg; the checkpointed raw frame
+        // feeds both the scalar renormalizer and the update join
+        val raw = eP
+          .join(scores.select(col("host").as(inKey), col("score")),
+            Seq(inKey))
+          .select(col(outKey).as("host"), expr("score * w").as("c"))
+          .groupBy("host").agg(sum("c").as("raw"))
+          .localCheckpoint()
+        val total = raw.agg(coalesce(sum("raw"), lit(0L))).collect()(0)
+          .getLong(0)
+        val dv = math.max(1L, total / RankScale)
+        nodes.join(raw, Seq("host"), "left")
+          .select(col("host"),
+            expr(s"coalesce(raw, 0L) div ${dv}L").as("score"))
+          .localCheckpoint()
+      }
+      for (_ <- 1 to iterations) {
+        auth = halfStep(hub, "src", "dst")
+        hub = halfStep(auth, "dst", "src")
+      }
+      val out = auth.select(col("host"), col("score").as("auth_scaled"))
+        .join(hub.select(col("host"), col("score").as("hub_scaled")),
+          Seq("host"))
+      nodes.unpersist()
+      eP.unpersist()
+      out
+    }
+  }
+
+  /** HITS over the persisted graph — the amortized probe form (the
+    * [[pageRankIndexed]] convention).
+    */
+  def hitsIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  iterations: Int = 8,
+                  localEdgeLimit: Long = 1L << 20): DataFrame =
+    hits(readIndexEdges(spark, path), iterations, localEdgeLimit)
+
   /** Proportional crawl-budget apportionment (r13): split a global
     * fetch budget of `total` page-slots across hosts in proportion to a
     * non-negative integer weight (PageRank fixed-point scores — the

@@ -15,6 +15,43 @@ class RetrievalSpec extends SparkSpec {
   private def c(rank: Int, k: Int = 60): Long =
     math.round(1e12 / (k + rank))
 
+  test("marginMine: hub demotion, hand-computed margins, guards") {
+    // r14 (Artetxe & Schwenk 2019): the margin must demote a HUB — a
+    // target close to every source — below an exclusive partner, even
+    // when raw similarities are comparable. src x1=(1,0) has exclusive
+    // partner y1=(1,0); yh=(0.8,0.8) is near both sources.
+    val src = Seq((0L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((1L, Seq(1.0, 0.0)), (3L, Seq(0.8, 0.8)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Retrieval.marginMine(src, tgt, "vec_id",
+        "embedding", queryIds = Seq(0L), k = 2, topM = 2)
+      .orderBy("rank").as[(Long, Long, Long, Long, Int)].collect().toSeq
+    // quantized dots (scale 1000): s(x1,y1)=1e6, s(x1,yh)=8e5,
+    // s(x2,y1)=0, s(x2,yh)=8e5. fwd_mass(x1)=1.8e6;
+    // bwd_mass(y1)=1e6+0=1e6, bwd_mass(yh)=8e5+8e5=1.6e6.
+    // margin(y1) = 4e3·1e6 div 2.8e6 = 1428;
+    // margin(yh) = 4e3·8e5 div 3.4e6 = 941 — exclusive partner wins.
+    assert(got == Seq(
+      (0L, 1L, 1000000L, 1428L, 1),
+      (0L, 3L, 800000L, 941L, 2)), got.toString)
+    // guards: empty batch, over-wide batch, overflow
+    intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.marginMine(src, tgt, "vec_id", "embedding",
+        Seq.empty, k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.marginMine(src, tgt, "vec_id", "embedding",
+        Seq(0L), k = 2, maxQueryIds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Retrieval.marginMine(
+        Seq((0L, Seq(3.0e6, 0.0))).toDF("vec_id", "embedding"),
+        Seq((1L, Seq(3.0e6, 0.0))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", Seq(0L), k = 2)
+    }
+  }
+
   test("rrfFuse: hand-computed fixed-point scores and agreement counts") {
     // query 1: doc 10 is rank 1 lexically and rank 2 densely; doc 20
     // only lexical (rank 2); doc 30 only dense (rank 1)

@@ -177,6 +177,52 @@ class WebGraphSpec extends SparkSpec {
     }
   }
 
+  test("hits: mutual reinforcement, driver == distributed, guards") {
+    // star: hub 'd' links every content host; 'a' is the most-linked
+    // authority. Hand-checkable shape: d must lead hubs, a authorities.
+    val edges = Seq(("d", "a", 3L), ("d", "b", 1L), ("d", "c", 1L),
+      ("b", "a", 2L), ("c", "a", 1L))
+      .toDF("src_host", "dst_host", "weight")
+    val drv = WebGraph.hits(edges, iterations = 5)
+      .orderBy("host").as[(String, Long, Long)].collect().toSeq
+    val dist = WebGraph.hits(edges, iterations = 5, localEdgeLimit = 0)
+      .orderBy("host").as[(String, Long, Long)].collect().toSeq
+    assert(drv == dist, s"driver $drv vs distributed $dist")
+    val byHost = drv.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byHost("a")._1 == drv.map(_._2).max, s"a not top authority: $drv")
+    assert(byHost("d")._2 == drv.map(_._3).max, s"d not top hub: $drv")
+    assert(byHost("a")._2 == 0L, "a links nothing - zero hub score")
+    assert(byHost("d")._1 == 0L, "nothing links d - zero authority")
+    // renormalization keeps magnitudes at ~RankScale (within the
+    // documented 2x truncation band), never grows unbounded
+    assert(drv.map(_._2).sum <= 2L * WebGraph.RankScale)
+    assert(drv.map(_._3).sum <= 2L * WebGraph.RankScale)
+    intercept[IllegalArgumentException] { WebGraph.hits(edges.limit(0)) }
+    intercept[IllegalArgumentException] {
+      WebGraph.hits(Seq(("a", "b", Long.MaxValue / 1000L))
+        .toDF("src_host", "dst_host", "weight"))
+    }
+  }
+
+  test("hits: seeded-random graphs — driver == distributed") {
+    val rnd = new scala.util.Random(7177L)
+    for (g <- 1 to 3) {
+      val hosts = (0 until (3 + rnd.nextInt(5))).map(i => s"h$i")
+      val edges = (0 until (4 + rnd.nextInt(8))).map { _ =>
+        (hosts(rnd.nextInt(hosts.length)), hosts(rnd.nextInt(hosts.length)),
+          1L + rnd.nextInt(5))
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src_host", "dst_host", "weight")
+        val drv = WebGraph.hits(df, iterations = 3)
+          .orderBy("host").as[(String, Long, Long)].collect().toSeq
+        val dist = WebGraph.hits(df, iterations = 3, localEdgeLimit = 0)
+          .orderBy("host").as[(String, Long, Long)].collect().toSeq
+        assert(drv == dist, s"graph $g: $edges\ndrv  $drv\ndist $dist")
+      }
+    }
+  }
+
   test("apportionBudget: Hamilton quotas, exact sum, ties, cap, guards") {
     val w = Seq(("a", 5L), ("b", 3L), ("c", 3L), ("d", 0L))
       .toDF("host", "w")
