@@ -136,6 +136,27 @@ object SparkEntry {
         .otherwise(lit(HtmlPagePrefix + HtmlPara1Pad + HtmlPara2 +
           HtmlPageSuffix)).as("html"))
 
+  // ---- script-profile fixture (r14) ----------------------------------
+  // Mixed-script corpus constructed identically in both engines: a short
+  // Latin prefix from the document text plus a per-residue non-Latin
+  // sample long enough to DOMINATE it (the oracle interpolates the same
+  // literals — no single quotes in any sample). The ja sample is pure
+  // kana so kana (not han) dominates.
+  private val ScriptSampleRu =
+    " Привет мир как дела сегодня Привет мир совсем другое дело"
+  private val ScriptSampleZh = " 你好世界欢迎光临再见朋友们这是一个测试页面"
+  private val ScriptSampleAr = " مرحبا بالعالم هذه صفحة اختبار طويلة جدا هنا"
+  private val ScriptSampleJa = " こんにちはせかいハローこれはテストですよろしく"
+
+  private def scriptDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(substring(coalesce(col("text"), lit("")), 1, 20),
+        when(col("doc_id") % 5 === 1, lit(ScriptSampleRu))
+          .when(col("doc_id") % 5 === 2, lit(ScriptSampleZh))
+          .when(col("doc_id") % 5 === 3, lit(ScriptSampleAr))
+          .when(col("doc_id") % 5 === 4, lit(ScriptSampleJa))
+          .otherwise(lit(""))).as("text"))
+
   // SQL generators for the html oracle (shared by both html queries so
   // the replayed chain cannot drift between them). Single quotes in
   // replacements are SQL-doubled.
@@ -3170,6 +3191,21 @@ object SparkEntry {
         .withColumn("n_content_chars", length(col("content")).cast("long"))
         .orderBy("doc_id")
     }),
+    // Unicode script profiling (r14): which WRITING SYSTEM each doc is
+    // in — exact codepoint-class counts over shared BMP ranges plus the
+    // first-max-wins dominant script, over a constructed mixed-script
+    // corpus (Cyrillic/Han/Arabic/Kana samples dominating a short Latin
+    // prefix). Counts and the dominance CASE replay from the SAME
+    // codepoint ints (Java \\uXXXX vs RE2 \\x{XXXX} spellings both
+    // generated, so the ranges cannot drift).
+    "q_text_scripts" -> ((s, d) => {
+      val counts = TextAnalysis.scriptCounts(col("text"))
+      scriptDocs(t(s, d, "documents"))
+        .select(col("doc_id") +:
+          counts.map { case (n, c) => c.as(n) } :+
+          TextAnalysis.dominantScript(col("text")).as("dominant"): _*)
+        .orderBy("doc_id")
+    }),
     // Multilingual jusText (r14, VERDICT r13 §next-2): the SAME block
     // chain with the stopword list keyed by a language column. The
     // Spanish fixture page's content blocks SURVIVE under the Spanish
@@ -3518,6 +3554,24 @@ object SparkEntry {
       WebGraph.appendIndex(edgesOf(col("doc_id") % 2 =!= 0), path)
       WebGraph.compactIndex(s, path)
       WebGraph.pageRankIndexed(s, path, iterations = 10).orderBy("host")
+    }),
+    // Host-level mirror detection (r14): hosts sharing exact content
+    // fingerprints pair through an fp-keyed join (never host×host) —
+    // consecutive fixture hosts share every even/odd content pair, and
+    // the planted boilerplate page (every host, %13 docs) is EXCLUDED
+    // by the hot-fp guard (maxHostsPerFp=6 < the 7 fixture hosts), so
+    // the guard's effect lands in the hash. Exact fixed-point Jaccard
+    // over full per-host fp set sizes.
+    "q_web_mirrors" -> ((s, d) => {
+      val md = t(s, d, "documents").select(
+        concat(lit("site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com")).as("host"),
+        when(col("doc_id") % 13 === 0, lit("boilerplate footer page"))
+          .otherwise(concat(lit("content-"), expr("doc_id div 2")))
+          .as("text"))
+      WebGraph.mirrorCandidates(md, "host", "text", minShared = 2,
+          maxHostsPerFp = 6)
+        .orderBy("host_a", "host_b")
     }),
     // HITS hubs & authorities (r14): the other link-quality signal
     // beside PageRank, over the SAME persisted graph — 8 mutual-
@@ -6934,6 +6988,38 @@ object SparkEntry {
         |  CAST(coalesce(len(string_agg(txt, chr(10) ORDER BY block_idx)
         |    FILTER (WHERE keep)), 0) AS BIGINT) AS n_content_chars
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Script profile replayed: same fixture CASE, per-script counts via
+    // the replace-difference trick over RE2 classes generated from the
+    // SAME codepoint ints, dominant via greatest + the fixed-order CASE.
+    "q_text_scripts" -> {
+      val countCols = TextAnalysis.ScriptBlocks.map { case (n, blocks) =>
+        s"CAST(len(text) - len(regexp_replace(text, " +
+          s"'${TextAnalysis.scriptClassRe2(blocks)}', '', 'g')) AS BIGINT) " +
+          s"AS n_$n"
+      }
+      val names = TextAnalysis.ScriptBlocks.map(_._1)
+      val mx = s"greatest(${names.map("n_" + _).mkString(", ")})"
+      val domCases = names.map(n => s"WHEN n_$n = __mx THEN '$n'")
+        .mkString("\n      ")
+      s"""WITH sd AS (
+         |  SELECT doc_id,
+         |    substring(coalesce(text, ''), 1, 20) ||
+         |    CASE WHEN doc_id % 5 = 1 THEN '$ScriptSampleRu'
+         |         WHEN doc_id % 5 = 2 THEN '$ScriptSampleZh'
+         |         WHEN doc_id % 5 = 3 THEN '$ScriptSampleAr'
+         |         WHEN doc_id % 5 = 4 THEN '$ScriptSampleJa'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, ${countCols.mkString(",\n    ")}
+         |  FROM sd),
+         |sm AS (SELECT *, $mx AS __mx FROM sc)
+         |SELECT doc_id, ${names.map("n_" + _).mkString(", ")},
+         |  CASE WHEN __mx = 0 THEN 'none'
+         |      $domCases
+         |      ELSE 'none' END AS dominant
+         |FROM sm ORDER BY doc_id""".stripMargin
+    },
     // Multilingual extraction replayed: the static language-keyed page
     // CASE, then the shared segmentation chain with BOTH the
     // lang-selected and the English stop counts — keep and keep_en per
@@ -8786,6 +8872,35 @@ object SparkEntry {
     "q_web_pagerank_compacted" -> pageRankOracleSql(10),
     // r14: HITS replayed round-for-round over the same link chain
     "q_web_hits" -> hitsOracleSql(8),
+    // Mirror detection replayed: same fixture CASE, distinct (host, fp),
+    // hot-fp exclusion, fp-keyed pair counts, full-size Jaccard.
+    "q_web_mirrors" ->
+      """WITH md AS (
+        |  SELECT 'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+        |      AS host,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'boilerplate footer page'
+        |         ELSE 'content-' || CAST(doc_id // 2 AS VARCHAR) END AS text
+        |  FROM documents),
+        |fps AS MATERIALIZED (
+        |  SELECT DISTINCT host, md5(coalesce(text, '')) AS fp FROM md),
+        |sizes AS (SELECT host, CAST(count(*) AS BIGINT) AS n
+        |          FROM fps GROUP BY 1),
+        |hot AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1),
+        |el AS MATERIALIZED (
+        |  SELECT f.host, f.fp FROM fps f JOIN hot ON hot.fp = f.fp
+        |  WHERE hot.c BETWEEN 2 AND 6),
+        |pr AS (
+        |  SELECT a.host AS host_a, b.host AS host_b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM el a JOIN el b ON a.fp = b.fp AND a.host < b.host
+        |  GROUP BY 1, 2)
+        |SELECT host_a, host_b, shared, sa.n AS n_a, sb.n AS n_b,
+        |  CAST((1000000 * shared) // (sa.n + sb.n - shared) AS BIGINT)
+        |    AS jaccard_scaled
+        |FROM pr
+        |JOIN sizes sa ON sa.host = pr.host_a
+        |JOIN sizes sb ON sb.host = pr.host_b
+        |WHERE shared >= 2 ORDER BY host_a, host_b""".stripMargin,
     // Stream-appended index == batch-rebuilt graph: the summed partials
     // must reproduce the all-at-once edge counts exactly (r13).
     "q_stream_web_append_gate" ->

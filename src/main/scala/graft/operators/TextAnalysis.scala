@@ -229,6 +229,73 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     sha2(trim(lower(regexp_replace(text, "\\s+", " "))), 256)
 
+  // -------------------------------------------------------------------
+  // Unicode script profiling (r14) — the OSCAR/mC4 curation signal the
+  // stopword language ID can't give: WHICH WRITING SYSTEM a document is
+  // in (a Cyrillic page is never English however its stopwords vote;
+  // mixed-script spam shows as no dominant script). Counts are exact
+  // codepoint-class counts via the replace-difference trick
+  // (len(text) − len(text with the class removed)) over EXPLICIT BMP
+  // codepoint ranges — identical bytes in Java regex and DuckDB's RE2
+  // (script NAMES spell differently across engines: Java \p{IsLatin}
+  // vs RE2 \p{Latin} — ranges sidestep the dialect entirely).
+  // -------------------------------------------------------------------
+
+  /** (script name, BMP codepoint ranges) in the fixed priority order
+    * the dominant-script tie-break uses. BMP only (no surrogate pairs,
+    * so both engines count code units identically); `latin` includes
+    * the Latin-1/Extended letters, `han` the unified CJK block, `kana`
+    * hiragana+katakana. Stored as INTS because the two engines spell
+    * codepoint escapes differently (Java `\uXXXX`, RE2 `\x{XXXX}`) —
+    * both character classes generate from the same numbers, so the
+    * ranges cannot drift.
+    */
+  private[graft] val ScriptBlocks: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "latin" -> Seq(0x41 -> 0x5A, 0x61 -> 0x7A, 0xC0 -> 0x24F),
+    "cyrillic" -> Seq(0x400 -> 0x4FF),
+    "greek" -> Seq(0x370 -> 0x3FF),
+    "arabic" -> Seq(0x600 -> 0x6FF),
+    "hebrew" -> Seq(0x590 -> 0x5FF),
+    "devanagari" -> Seq(0x900 -> 0x97F),
+    "han" -> Seq(0x4E00 -> 0x9FFF),
+    "kana" -> Seq(0x3040 -> 0x30FF),
+    "hangul" -> Seq(0xAC00 -> 0xD7AF),
+    "thai" -> Seq(0xE00 -> 0xE7F))
+
+  private[graft] def scriptClassJava(blocks: Seq[(Int, Int)]): String =
+    "[" + blocks.map { case (a, b) => f"\\u$a%04X-\\u$b%04X" }.mkString + "]"
+
+  /** The RE2 spelling of the same class — for the DuckDB oracle. */
+  private[graft] def scriptClassRe2(blocks: Seq[(Int, Int)]): String =
+    "[" + blocks.map { case (a, b) =>
+      f"\\x{$a%04X}-\\x{$b%04X}" }.mkString + "]"
+
+  /** Exact per-script character counts, one `n_<script>` column each
+    * (NULL text counts as empty — the substrToks convention).
+    */
+  def scriptCounts(text: Column): Seq[(String, Column)] = {
+    val t = coalesce(text, lit(""))
+    ScriptBlocks.map { case (name, blocks) =>
+      s"n_$name" ->
+        (length(t) - length(regexp_replace(t, scriptClassJava(blocks), "")))
+          .cast("long")
+    }
+  }
+
+  /** The dominant script: the FIRST name in [[ScriptRanges]] order
+    * whose count equals the maximum (total order — ties break by the
+    * fixed priority), or 'none' when no script character occurs. The
+    * same CASE replays in the oracle from the same constants.
+    */
+  def dominantScript(text: Column): Column = {
+    val counts = scriptCounts(text)
+    val mx = greatest(counts.map(_._2): _*)
+    counts.foldLeft(when(mx === 0L, lit("none"))) {
+      case (acc, (name, cnt)) =>
+        acc.when(cnt === mx, lit(name.stripPrefix("n_")))
+    }.otherwise(lit("none"))
+  }
+
   /** Unicode normalization for dedup robustness — NFD decomposition +
     * combining-mark removal (accent strip) + ROOT-locale lowercase +
     * whitespace collapse, so "Café  ÜBER" and "cafe uber" dedup/

@@ -360,6 +360,59 @@ object WebGraph {
     }
   }
 
+  /** Host-level mirror detection (r14): hosts serving largely the SAME
+    * content — CDN mirrors, scraped re-hosts, www/no-www variants URL
+    * canonicalization missed — the crawl-curation step between URL
+    * dedup and host budgeting (fetch a mirror family once, budget it
+    * once). Pages collapse to exact content fingerprints (md5 —
+    * portable; feed [[TextAnalysis.fingerprint]]ed text in for
+    * formatting robustness), hosts pair through SHARED fingerprints (an
+    * fp-keyed self-join — never host×host), and a pair survives at
+    * `shared >= minShared` with its overlap as an exact fixed-point
+    * Jaccard over the hosts' FULL fingerprint sets.
+    *
+    * Skew guard: a fingerprint on more than `maxHostsPerFp` hosts is
+    * boilerplate, not mirroring (an fp on h hosts emits C(h,2) pairs —
+    * the quadratic the span-dedup minDocs cap guards), so those fps are
+    * excluded from PAIRING (documented undercount: `shared` is
+    * conservative; the Jaccard denominator still uses full set sizes).
+    *
+    * Returns (host_a, host_b, shared, n_a, n_b, jaccard_scaled) with
+    * host_a < host_b.
+    */
+  def mirrorCandidates(docs: DataFrame, hostCol: String, textCol: String,
+                       minShared: Long = 2L, maxHostsPerFp: Long = 64L,
+                       jaccardScale: Long = 1000000L): DataFrame = {
+    require(minShared >= 1, s"mirrorCandidates: minShared >= 1")
+    require(maxHostsPerFp >= 2,
+      s"mirrorCandidates: maxHostsPerFp must be >= 2, got $maxHostsPerFp")
+    // distinct (host, fp) — persisted: feeds sizes, the hot-fp histogram,
+    // and both sides of the pair join (operator-persist convention)
+    val fps = docs.select(col(hostCol).cast("string").as("host"),
+        md5(coalesce(col(textCol), lit(""))).as("fp"))
+      .distinct().persist()
+    val sizes = fps.groupBy("host").agg(count(lit(1)).as("n"))
+    val eligibleFps = fps.groupBy("fp").agg(count(lit(1)).as("__nh"))
+      .filter(col("__nh") >= 2 && col("__nh") <= maxHostsPerFp)
+      .select("fp")
+    val el = fps.join(eligibleFps, "fp")
+    val pairs = el.select(col("fp"), col("host").as("host_a"))
+      .join(el.select(col("fp"), col("host").as("host_b")), "fp")
+      .filter(col("host_a") < col("host_b"))
+      .groupBy("host_a", "host_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(sizes.select(col("host").as("host_a"), col("n").as("n_a")),
+        "host_a")
+      .join(sizes.select(col("host").as("host_b"), col("n").as("n_b")),
+        "host_b")
+      .select(col("host_a"), col("host_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        expr(s"($jaccardScale * shared) div (n_a + n_b - shared)")
+          .as("jaccard_scaled"))
+  }
+
   /** HITS over the persisted graph — the amortized probe form (the
     * [[pageRankIndexed]] convention).
     */

@@ -177,6 +177,32 @@ class WebGraphSpec extends SparkSpec {
     }
   }
 
+  test("mirrorCandidates: shared-fp pairs, hot-fp exclusion, exact Jaccard") {
+    // hosts a/b share 2 contents; c shares 1 with a (below minShared);
+    // 'boiler' sits on ALL hosts and must be excluded by the hot-fp
+    // guard (maxHostsPerFp = 2) — without it a,b,c would all pair
+    val docs = Seq(
+      ("a", "x1"), ("a", "x2"), ("a", "y"), ("a", "boiler"),
+      ("b", "x1"), ("b", "x2"), ("b", "boiler"),
+      ("c", "y"), ("c", "z"), ("c", "boiler"))
+      .toDF("host", "text")
+    val got = WebGraph.mirrorCandidates(docs, "host", "text",
+        minShared = 2, maxHostsPerFp = 2)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // a: 4 distinct fps, b: 3 — shared {x1, x2} = 2;
+    // jaccard = 1e6 * 2 div (4 + 3 - 2) = 400000
+    assert(got == Seq(("a", "b", 2L, 4L, 3L, 400000L)), got.toString)
+    // duplicate rows collapse to distinct (host, fp) before counting
+    val dup = WebGraph.mirrorCandidates(
+        docs.unionByName(docs), "host", "text",
+        minShared = 2, maxHostsPerFp = 2)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(dup == got)
+    intercept[IllegalArgumentException] {
+      WebGraph.mirrorCandidates(docs, "host", "text", maxHostsPerFp = 1)
+    }
+  }
+
   test("hits: mutual reinforcement, driver == distributed, guards") {
     // star: hub 'd' links every content host; 'a' is the most-linked
     // authority. Hand-checkable shape: d must lead hubs, a authorities.
