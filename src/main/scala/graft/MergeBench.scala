@@ -54,7 +54,71 @@ object MergeBench {
     mergeRun(0) // warm-up (session/codegen init not billed to a scenario)
     val scenarios = Seq(0L, 100L, 1000L, 10000L)
       .map(c => s"changed_$c" -> mergeRun(c))
-    val js = scenarios.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // The SAME cycle against a REAL database (r14): target lives in
+    // embedded Derby, the classify build side comes over JDBC, the
+    // result swaps in via the staged RENAME — the reference's actual
+    // deployment shape (MySQL), so these numbers are the like-for-like
+    // comparison against BASELINE.md's published merge walls (its ~8-45 s
+    // include exactly this database round trip).
+    val url = s"jdbc:derby:memory:mergebench${System.nanoTime()};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val ddl = "o_orderstatus VARCHAR(8), o_orderpriority VARCHAR(32), " +
+      "row_hash VARCHAR(64)"
+    graft.pipeline.Sinks.jdbcWrite(
+      RowHash.withAuditColumns(orders, Seq("o_orderkey")),
+      url, "ORDERS_TGT", props, columnTypes = Some(ddl))
+
+    def jdbcSrc(changed: Long): DataFrame = {
+      val keys = broadcast(orders.select("o_orderkey")
+        .orderBy("o_orderkey").limit(changed.toInt))
+      if (changed == 0) orders
+      else orders.join(keys.withColumnRenamed("o_orderkey", "__k"),
+          col("o_orderkey") === col("__k"), "left_outer")
+        .withColumn("o_totalprice",
+          when(col("__k").isNotNull, col("o_totalprice") + changed / 1e3)
+            .otherwise(col("o_totalprice")))
+        .drop("__k")
+    }
+
+    // The DAILY path: classify against the remote state, write ONLY the
+    // deltas (batched per-row UPDATE + batched INSERT) — the reference's
+    // exact write pattern, so these scale with `changed`, not the table.
+    def jdbcRun(changed: Long): Double = {
+      val t0 = System.nanoTime()
+      val (ni, nu) = graft.pipeline.Sinks.jdbcApplyIncremental(
+        jdbcSrc(changed), url, "ORDERS_TGT", Seq("o_orderkey"), props,
+        now = java.sql.Timestamp.valueOf("2026-03-01 00:00:00"))
+      val n = graft.pipeline.Sinks.jdbcScan(spark, url, "ORDERS_TGT", props)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(n == nRows, s"JDBC row count drifted: $n != $nRows")
+      require(ni == 0 && nu == changed,
+        s"unexpected delta: inserted=$ni updated=$nu expected 0/$changed")
+      sec
+    }
+
+    jdbcRun(0) // warm-up
+    val jdbcScenarios = Seq(0L, 100L, 1000L, 10000L)
+      .map(c => s"jdbc_changed_$c" -> jdbcRun(c))
+
+    // The REBUILD path for contrast: full merge + staged-overwrite
+    // rewrite of the whole table through JDBC (what a schema change or
+    // hash-basis change forces) — O(table) regardless of change count.
+    val rebuild = {
+      val t0 = System.nanoTime()
+      val tgt = graft.pipeline.Sinks.jdbcScan(spark, url, "ORDERS_TGT",
+        props, partitionColumn = Some("id"), lowerBound = 1L,
+        upperBound = math.max(2L, nRows), numPartitions = 8)
+      val merged = Merge.apply(jdbcSrc(100), tgt, Seq("o_orderkey"))
+      graft.pipeline.Sinks.overwriteJdbcViaStaging(merged, url,
+        "ORDERS_TGT", props, columnTypes = Some(ddl))
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val js = (scenarios ++ jdbcScenarios :+ ("jdbc_rebuild" -> rebuild))
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"merge","rows":$nRows,"scenarios":$js,"sf":"$sfDir"}""")
     spark.stop()

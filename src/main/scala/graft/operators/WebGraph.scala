@@ -360,6 +360,49 @@ object WebGraph {
     }
   }
 
+  /** The common MULTI-LABEL public suffixes for [[registeredDomain]] —
+    * a curated subset of the public-suffix list (publicsuffix.org, the
+    * Mozilla-maintained public dataset): the second-level country
+    * registries under which third-level names are the registrable unit.
+    * Swap in the full PSL as a table for production; this subset plus
+    * the one-label default covers the overwhelming majority of real
+    * hosts.
+    */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk", "net.uk", "sch.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in",
+    "co.za", "org.za",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk",
+    "co.kr", "or.kr", "com.tw")
+
+  /** Registered domain (eTLD+1) of a hostname — the grouping level
+    * crawl budgets, mirror policies, and per-registrant caps actually
+    * want (`site0.example.com` and `www.example.com` are ONE
+    * registrant; apportioning per subdomain lets a host farm multiply
+    * its quota). Heuristic by design, DOCUMENTED: one label above the
+    * suffix, where the suffix is a [[MultiLabelSuffixes]] entry (two
+    * labels) or else the last label; hosts with ≤ 2 labels (and
+    * single-label hosts like `localhost`) pass through unchanged; no
+    * IP-literal special-casing. Pure codegen'd string ops — map-only,
+    * and the same CASE replays in the oracle from the same list.
+    */
+  def registeredDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val last3 = concat_ws(".", element_at(parts, -3),
+      element_at(parts, -2), element_at(parts, -1))
+    when(host.isNull, lit(null).cast("string"))
+      .when(n <= 2, host)
+      .when(lower(last2).isInCollection(MultiLabelSuffixes), last3)
+      .otherwise(last2)
+  }
+
   /** Host-level mirror detection (r14): hosts serving largely the SAME
     * content — CDN mirrors, scraped re-hosts, www/no-www variants URL
     * canonicalization missed — the crawl-curation step between URL

@@ -474,6 +474,179 @@ object Sinks {
       .select((Seq("id") ++ keys ++ Seq("row_hash")).map(col): _*)
   }
 
+  /** S7 for REAL (r14): the reference's exact incremental write
+    * (sync_INCREMENTAL.py:437-502) against a live JDBC target — classify
+    * the source against the remote state, then write ONLY the deltas:
+    *
+    *   - inserts: batched INSERT of the new keys, ids minted above the
+    *     remote max (AUTO_INCREMENT semantics, key-ordered);
+    *   - updates: batched per-row `UPDATE ... SET data cols, row_hash,
+    *     updated_at WHERE keys` — source data, refreshed hash, bumped
+    *     updated_at; id and created_at untouched (the [[graft.operators.Merge.apply]]
+    *     audit contract);
+    *   - skips and target-only rows: never touched (no-delete).
+    *
+    * O(changes) database writes — where [[overwriteJdbcViaStaging]]
+    * rewrites the whole table (the rebuild path), this is the daily
+    * path: a no-change merge writes NOTHING. Each executor partition
+    * opens its own connection and executes `batchSize`-row statement
+    * batches (the reference's batch=1000); Spark task retries give
+    * at-least-once semantics: an UPDATE re-applies idempotently, while
+    * a replayed INSERT batch would duplicate a key — the task-retry
+    * window is the caller's at-least-once residue, same as every JDBC
+    * sink's. Returns (inserted, updated).
+    *
+    * `updateParallelism` controls the UPDATE leg's writer count —
+    * default 1 (the reference's single-connection executemany, and the
+    * only safe setting for stores that ESCALATE row locks to table
+    * locks under concurrent update batches, Derby included: parallel
+    * writers deadlock each other). Raise it for MVCC row-locking
+    * stores (MySQL/Postgres); the leg then range-partitions on the
+    * keys so writers touch disjoint key ranges in sorted order.
+    */
+  def jdbcApplyIncremental(src: DataFrame, url: String, table: String,
+                           keys: Seq[String],
+                           props: java.util.Properties,
+                           now: java.sql.Timestamp,
+                           batchSize: Int = 1000,
+                           updateParallelism: Int = 1): (Long, Long) = {
+    require(updateParallelism >= 1,
+      s"jdbcApplyIncremental: updateParallelism >= 1, got $updateParallelism")
+    import org.apache.spark.sql.functions.{broadcast, coalesce => fnCoalesce, col, lit, max}
+    val spark = src.sparkSession
+    val dataCols = src.columns
+      .filterNot(graft.operators.Merge.AuditCols.contains).toSeq
+    val state = jdbcTargetState(spark, url, table, keys, props)
+    val classified = graft.operators.Merge
+      .classify(src, state, keys)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val maxId = state.agg(fnCoalesce(max(col("id")), lit(0L)))
+        .collect()(0).getLong(0)
+      // inserts: key-ordered dense ids above the remote max, batched
+      // INSERT through the standard JDBC writer (append mode)
+      val ins = graft.functions.RowHash.orderedDenseId(
+          classified.filter(col(graft.operators.Merge.ActionCol) ===
+              graft.operators.Merge.Insert)
+            .select((dataCols.map(col) :+ col("src_hash")): _*),
+          keys.map(col), "__rn")
+        .select(dataCols.map(col) ++ Seq(
+          (col("__rn") + maxId).as("id"),
+          col("src_hash").as("row_hash"),
+          lit(now).as("created_at"),
+          lit(now).as("updated_at")): _*)
+      jdbcWrite(ins, url, table, props, overwrite = false, batchSize)
+      val nIns = ins.count()
+      // updates: per-row prepared-statement batches — the one write
+      // shape DataFrameWriter cannot express (UPDATE), executed exactly
+      // like the reference's executemany loop, partition-parallel
+      val updCols = dataCols ++ Seq("src_hash")
+      val upd = classified.filter(col(graft.operators.Merge.ActionCol) ===
+          graft.operators.Merge.Update)
+        .select((updCols ++ keys).map(col): _*)
+      // Column identifiers must be QUOTED with the store's own quote
+      // string: Spark's JDBC writer creates case-exact quoted columns,
+      // while an unquoted name in the UPDATE would case-fold (Derby/
+      // MySQL-default fold to upper) and miss them. While connected,
+      // ENSURE A KEY INDEX: Spark's JDBC writer creates plain tables,
+      // and every per-row `UPDATE ... WHERE key = ?` against an
+      // unindexed table is a full scan — O(changes · table), measured
+      // at ~17 updates/s on a 150k-row Derby table vs thousands/s
+      // indexed. The reference's MySQL target has its PRIMARY KEY; a
+      // real deployment always indexes the natural key.
+      val quote = {
+        val c = java.sql.DriverManager.getConnection(url, props)
+        try {
+          val meta = c.getMetaData
+          def normalize(t: String): String =
+            if (meta.storesUpperCaseIdentifiers) t.toUpperCase
+            else if (meta.storesLowerCaseIdentifiers) t.toLowerCase
+            else t
+          val idxName = normalize(table + "__KEYIDX")
+          val rs = meta.getIndexInfo(null, null, normalize(table),
+            false, false)
+          var found = false
+          try {
+            while (rs.next())
+              if (idxName.equalsIgnoreCase(rs.getString("INDEX_NAME")))
+                found = true
+          } finally rs.close()
+          val q = meta.getIdentifierQuoteString match {
+            case null => ""
+            case s0 => s0.trim
+          }
+          if (!found) {
+            val cols = keys
+              .map(k => if (q.isEmpty) k else q + k + q).mkString(", ")
+            val st = c.createStatement()
+            try st.executeUpdate(
+              s"CREATE INDEX $idxName ON $table ($cols)")
+            finally st.close()
+          }
+          q
+        } finally c.close()
+      }
+      def qid(n: String): String =
+        if (quote.isEmpty) n else quote + n + quote
+      val setList = (dataCols.map(c => s"${qid(c)} = ?") ++
+        Seq(s"${qid("row_hash")} = ?", s"${qid("updated_at")} = ?"))
+        .mkString(", ")
+      val whereList = keys.map(k => s"${qid(k)} = ?").mkString(" AND ")
+      val sql = s"UPDATE $table SET $setList WHERE $whereList"
+      val nUpd = upd.count()
+      val bs = math.max(1, batchSize)
+      val updOut =
+        if (updateParallelism == 1) upd.coalesce(1)
+        else upd.repartitionByRange(updateParallelism, keys.map(col): _*)
+          .sortWithinPartitions(keys.map(col): _*)
+      updOut.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        if (rows.hasNext) {
+          // Row values under the Java-8 datetime API arrive as
+          // java.time types, which JDBC setObject rejects on several
+          // stores (Derby included) — convert to the java.sql types
+          // every driver binds.
+          def bind(ps: java.sql.PreparedStatement, idx: Int,
+                   v: Any): Unit = v match {
+            case ldt: java.time.LocalDateTime =>
+              ps.setTimestamp(idx, java.sql.Timestamp.valueOf(ldt))
+            case ins: java.time.Instant =>
+              ps.setTimestamp(idx, java.sql.Timestamp.from(ins))
+            case ld: java.time.LocalDate =>
+              ps.setDate(idx, java.sql.Date.valueOf(ld))
+            case other => ps.setObject(idx, other)
+          }
+          val conn = java.sql.DriverManager.getConnection(url, props)
+          try {
+            conn.setAutoCommit(false)
+            val ps = conn.prepareStatement(sql)
+            try {
+              var inBatch = 0
+              rows.foreach { r =>
+                var p = 1
+                // SET: data cols, then row_hash (= src_hash), then now
+                (0 until dataCols.length).foreach { i =>
+                  bind(ps, p, r.get(i)); p += 1
+                }
+                bind(ps, p, r.get(dataCols.length)); p += 1
+                ps.setTimestamp(p, now); p += 1
+                // WHERE: key cols
+                keys.indices.foreach { i =>
+                  bind(ps, p, r.get(updCols.length + i)); p += 1
+                }
+                ps.addBatch()
+                inBatch += 1
+                if (inBatch >= bs) { ps.executeBatch(); inBatch = 0 }
+              }
+              if (inBatch > 0) ps.executeBatch()
+              conn.commit()
+            } finally ps.close()
+          } finally conn.close()
+        }
+      }
+      (nIns, nUpd)
+    } finally classified.unpersist(): Unit
+  }
+
   /** S4 over JDBC with the analytical shape ([[analyticalScan]]'s
     * contract on a real store): WHERE and SELECT list compile into the
     * remote query.

@@ -220,6 +220,55 @@ class SinksSpec extends SparkSpec {
       Set(3L -> "c", 4L -> "d"))
   }
 
+  test("jdbcApplyIncremental: delta-only writes, audit semantics, idempotent") {
+    // the reference's DAILY write shape (r14): per-row UPDATE + batched
+    // INSERT of the deltas only, skips and no-delete rows untouched
+    val url = s"jdbc:derby:memory:graftinc${System.nanoTime()};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+    val now1 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    val tgt0 = graft.functions.RowHash.withAuditColumns(
+      Seq((1L, "old"), (2L, "b"), (3L, "c")).toDF("k", "v"), Seq("k"), t0)
+    tgt0.write.mode("overwrite").jdbc(url, "TGT", props)
+    val src = Seq((1L, "new"), (2L, "b"), (4L, "d")).toDF("k", "v")
+    val (ni, nu) = Sinks.jdbcApplyIncremental(src, url, "TGT", Seq("k"),
+      props, now1)
+    assert((ni, nu) == ((1L, 1L)), s"inserted=$ni updated=$nu")
+    val back = spark.read.jdbc(url, "TGT", props)
+    val rows = back
+      .select(col("k"), col("v"), col("id"),
+        col("created_at").cast("string"), col("updated_at").cast("string"))
+      .as[(Long, String, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // update: source data, kept id/created_at, bumped updated_at
+    assert(rows(1L)._2 == "new" && rows(1L)._3 == tgt0
+      .filter(col("k") === 1).select("id").as[Long].head())
+    assert(rows(1L)._4.startsWith("2026-01-01") &&
+      rows(1L)._5.startsWith("2026-02-01"))
+    // skip + no-delete rows byte-identical (timestamps unchanged)
+    assert(rows(2L)._2 == "b" && rows(2L)._5.startsWith("2026-01-01"))
+    assert(rows(3L)._2 == "c" && rows(3L)._5.startsWith("2026-01-01"))
+    // insert: fresh id above the remote max, created = updated = now
+    assert(rows(4L)._2 == "d" && rows(4L)._3 == 4L &&
+      rows(4L)._4.startsWith("2026-02-01"))
+    // idempotence: re-applying the same source writes NOTHING
+    val (ni2, nu2) = Sinks.jdbcApplyIncremental(src, url, "TGT", Seq("k"),
+      props, java.sql.Timestamp.valueOf("2026-03-01 00:00:00"))
+    assert((ni2, nu2) == ((0L, 0L)), s"re-apply wrote: $ni2/$nu2")
+    assert(spark.read.jdbc(url, "TGT", props)
+      .filter(col("updated_at") >= lit("2026-03-01").cast("timestamp"))
+      .count() == 0L)
+    // the incremental result equals the full Merge.apply rebuild
+    val rebuilt = graft.operators.Merge.apply(src, tgt0, Seq("k"),
+      now = lit("2026-02-01 00:00:00").cast("timestamp"))
+    val a = back.select("k", "v", "id", "row_hash")
+      .as[(Long, String, Long, String)].collect().toSet
+    val b = rebuilt.select("k", "v", "id", "row_hash")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(a == b, s"incremental $a\nrebuild $b")
+  }
+
   test("Runner end-to-end: full refresh then incremental merge is idempotent") {
     // orders: unique natural key. (The synthetic lineitem has duplicate
     // (l_orderkey, l_linenumber) pairs — a full-refresh-only table, like the

@@ -177,6 +177,20 @@ class WebGraphSpec extends SparkSpec {
     }
   }
 
+  test("registeredDomain: suffix list, case folding, pass-throughs, NULL") {
+    val got = Seq(
+      "site0.example.com", "www.shop1.CO.UK", "a.b.news.com.au",
+      "example.org", "cdn.img.example.co.jp", "localhost",
+      "deep.a.b.c.example.com", "x.CoM.Au", null)
+      .toDF("host")
+      .select(WebGraph.registeredDomain($"host")).as[String]
+      .collect().toSeq
+    assert(got == Seq(
+      "example.com", "shop1.CO.UK", "news.com.au",
+      "example.org", "example.co.jp", "localhost",
+      "example.com", "x.CoM.Au", null), got.toString)
+  }
+
   test("mirrorCandidates: shared-fp pairs, hot-fp exclusion, exact Jaccard") {
     // hosts a/b share 2 contents; c shares 1 with a (below minShared);
     // 'boiler' sits on ALL hosts and must be excluded by the hot-fp
