@@ -179,6 +179,38 @@ object Demo {
       s"${alloc.size} ranked hosts; fetch budget: $alloc")
     require(alloc.values.sum == 100L, "budget must apportion exactly")
 
+    // --- 8. real database target: the reference's MySQL shape on Derby ----
+    // Bootstrap over JDBC (truncate-overwrite batched INSERT), then the
+    // DAILY write: classify against the remote state and ship only the
+    // deltas (per-row UPDATE + INSERT). Re-applying the same day writes
+    // nothing — the reference's idempotence invariant, through a real
+    // database (r14).
+    println("== JDBC target (embedded Derby): bootstrap + daily deltas ==")
+    val jdbcUrl = s"jdbc:derby:memory:demo${System.nanoTime()};create=true"
+    val jdbcProps = new java.util.Properties()
+    jdbcProps.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet")
+    Sinks.jdbcWrite(
+      graft.functions.RowHash.withAuditColumns(customers, Seq("c_custkey")),
+      jdbcUrl, "CUSTOMER", jdbcProps)
+    val drifted = customers.withColumn("c_acctbal",
+      when(col("c_custkey") % 100 === 0, col("c_acctbal") + 1.0)
+        .otherwise(col("c_acctbal")))
+    val (nIns, nUpd) = Sinks.jdbcApplyIncremental(drifted, jdbcUrl,
+      "CUSTOMER", Seq("c_custkey"), jdbcProps,
+      java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
+    println(s"  day-1 deltas over JDBC: inserted=$nIns updated=$nUpd")
+    require(nIns == 0 &&
+      nUpd == customers.filter(col("c_custkey") % 100 === 0).count(),
+      s"unexpected delta $nIns/$nUpd")
+    val (nIns2, nUpd2) = Sinks.jdbcApplyIncremental(drifted, jdbcUrl,
+      "CUSTOMER", Seq("c_custkey"), jdbcProps,
+      java.sql.Timestamp.valueOf("2026-03-01 00:00:00"))
+    require(nIns2 == 0 && nUpd2 == 0, "re-apply must write nothing")
+    val backJdbc = Sinks.jdbcScan(spark, jdbcUrl, "CUSTOMER", jdbcProps)
+    require(backJdbc.count() == customers.count(), "JDBC row count drifted")
+    println(s"  converged: ${backJdbc.count()} rows; re-apply wrote nothing")
+
     println("DEMO OK")
     spark.stop()
   }
