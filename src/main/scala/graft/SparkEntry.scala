@@ -1389,6 +1389,20 @@ object SparkEntry {
     path
   }
 
+  // Orders as a 4-file parquet copy so maxFilesPerTrigger=1 yields FOUR
+  // genuine micro-batches for the streaming-CDC gate (one file would
+  // collapse the stream into a single batch and prove nothing about
+  // cross-batch state evolution).
+  private lazy val ordersStreamTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-ordstream").toString
+
+  private def ordersStreamEnsure(s: SparkSession, d: String): String = {
+    val path = s"$ordersStreamTmpDir/${sfKey(d)}"
+    if (!graft.pipeline.Sinks.exists(s, path))
+      t(s, d, "orders").repartition(4).write.parquet(path)
+    path
+  }
+
   // Web link-graph index: built ONCE per process per sf-dir as TWO
   // batches (even doc_ids written, odd appended — the additive-partials
   // append is part of what the probe gate proves; batches partition the
@@ -2054,6 +2068,9 @@ object SparkEntry {
       // per run (append-gate ruling); the benched JDBC row is the
       // roundtrip cycle, the O(changes) scaling lives in MergeBench.
       "q_pipeline_jdbc_incremental",
+      // r14: the streaming-CDC gate re-bootstraps its Derby target and
+      // streams the whole source per run (same ruling).
+      "q_stream_jdbc_cdc_gate",
       // r12: full-rank PCA gate trains per run and re-derives exact
       // ground truth (quality-gate ruling); the benched PCA row is the
       // persisted-model probe q_emb_pca_scored. The planted-low-rank
@@ -3720,6 +3737,53 @@ object SparkEntry {
         q.awaitTermination()
       }
       WebGraph.readIndexEdges(s, idx).orderBy("src_host", "dst_host")
+    }),
+    // Streaming CDC into a DATABASE (r14): the orders source arrives as
+    // FOUR genuine micro-batches (maxFilesPerTrigger=1 over a 4-file
+    // copy), each shipping only its deltas over JDBC into the Derby
+    // target (classify against the evolving remote state → per-row
+    // UPDATE + INSERT). The final table must converge to the SAME
+    // orders truth as the one-shot batch apply — per-key convergence is
+    // batch-split-invariant because the batches partition the keys —
+    // and the post-stream reclassify must be all-skip. Verify-only
+    // (re-bootstraps its Derby target per run, the append-gate ruling).
+    "q_stream_jdbc_cdc_gate" -> ((s, d) => {
+      val url = derbyUrl(d)
+      val props = derbyProps
+      val ddl = "o_orderstatus VARCHAR(8), o_orderpriority VARCHAR(32), " +
+        "row_hash VARCHAR(64)"
+      Sinks.jdbcWrite(mergeTargetAudited(s, d), url, "ORDERS_STRM", props,
+        columnTypes = Some(ddl))
+      val src = ordersStreamEnsure(s, d)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      withStreamStatePartitions(s) {
+        val q = stream.writeStream
+          .foreachBatch(Streams.cdcToJdbcEachBatch(url, "ORDERS_STRM",
+            Seq("o_orderkey"), props,
+            java.sql.Timestamp.valueOf("2026-02-01 00:00:00")))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val back = Sinks.jdbcScan(s, url, "ORDERS_STRM", props)
+      val reclassified = Merge.classify(t(s, d, "orders"),
+        Sinks.jdbcTargetState(s, url, "ORDERS_STRM", Seq("o_orderkey"),
+          props),
+        Seq("o_orderkey"))
+      back.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          max(col("id")).as("max_id"),
+          moneySum("o_totalprice"),
+          sum(when(col("updated_at") === jdbcNow && col("created_at") === mergeNow,
+            1L).otherwise(0L)).as("n_updated"),
+          sum(when(col("created_at") === jdbcNow, 1L).otherwise(0L))
+            .as("n_inserted"))
+        .crossJoin(broadcast(reclassified.agg(
+          sum(when(col(Merge.ActionCol) === Merge.Skip, 1L).otherwise(0L))
+            .as("n_skip_after"))))
     }),
     // robots.txt (r12): crawl politeness — the stage BEFORE fetching.
     // Parse: line explode + two host-keyed window passes (grouping per
@@ -6012,6 +6076,20 @@ object SparkEntry {
         |  CAST(sum(len(text)) AS BIGINT) AS sum_text_len,
         |  CAST(-1 AS BIGINT) AS batch_tag
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Streamed CDC into the database converges to the same orders truth
+    // as the one-shot apply — identical oracle arithmetic (the batch
+    // split is invisible to the final state).
+    "q_stream_jdbc_cdc_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(count(*) AS BIGINT) AS max_id,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_o_totalprice,
+        |  CAST(sum(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inserted,
+        |  CAST(count(*) AS BIGINT) AS n_skip_after
+        |FROM orders""".stripMargin,
     // The incremental JDBC write converges to the same truth as the
     // rebuild — identical oracle arithmetic.
     "q_pipeline_jdbc_incremental" ->

@@ -184,6 +184,37 @@ object Streams {
     * preserving the batch pipeline's no-delete/idempotence invariants.
     * Returns a function suitable for `writeStream.foreachBatch`.
     */
+  /** Host the CDC merge inside a stream with the target living in a
+    * DATABASE (r14): every micro-batch ships only its deltas over JDBC
+    * — classify against the remote state, batched per-row UPDATE +
+    * batched INSERT ([[graft.pipeline.Sinks.jdbcApplyIncremental]]).
+    * The canonical "Structured Streaming into an upsert sink"
+    * composition; the caller bootstraps the target table once
+    * (`Sinks.jdbcWrite`) before starting the stream.
+    *
+    * Micro-batch keys are collapsed first (the [[mergeEachBatch]]
+    * contract — several versions of one key in a batch would fan out
+    * the classify join). Replay note: `foreachBatch` is AT-LEAST-ONCE;
+    * a replayed batch's UPDATE leg re-applies idempotently and its
+    * classify re-runs against the post-crash state (already-applied
+    * changes reclassify as skip), but an INSERT whose transaction
+    * committed before the crash would duplicate on replay only if the
+    * engine re-delivers a batch whose inserts already landed — the
+    * jdbcWrite at-least-once residue, documented there.
+    *
+    * Returns a function suitable for `writeStream.foreachBatch`.
+    */
+  def cdcToJdbcEachBatch(url: String, table: String, keys: Seq[String],
+                         props: java.util.Properties,
+                         now: java.sql.Timestamp,
+                         batchSize: Int = 1000,
+                         updateParallelism: Int = 1)
+      : (DataFrame, Long) => Unit = { (batch0, _) =>
+    val batch = batch0.dropDuplicates(keys)
+    graft.pipeline.Sinks.jdbcApplyIncremental(batch, url, table, keys,
+      props, now, batchSize, updateParallelism): Unit
+  }
+
   def mergeEachBatch(targetPath: String, keys: Seq[String])
       : (DataFrame, Long) => Unit = { (batch0, _) =>
     val spark = batch0.sparkSession
