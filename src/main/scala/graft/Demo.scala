@@ -198,14 +198,16 @@ object Demo {
         .otherwise(col("c_acctbal")))
     val (nIns, nUpd) = Sinks.jdbcApplyIncremental(drifted, jdbcUrl,
       "CUSTOMER", Seq("c_custkey"), jdbcProps,
-      java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
+      java.sql.Timestamp.from(
+        java.time.Instant.parse("2026-02-01T00:00:00Z")))
     println(s"  day-1 deltas over JDBC: inserted=$nIns updated=$nUpd")
     require(nIns == 0 &&
       nUpd == customers.filter(col("c_custkey") % 100 === 0).count(),
       s"unexpected delta $nIns/$nUpd")
     val (nIns2, nUpd2) = Sinks.jdbcApplyIncremental(drifted, jdbcUrl,
       "CUSTOMER", Seq("c_custkey"), jdbcProps,
-      java.sql.Timestamp.valueOf("2026-03-01 00:00:00"))
+      java.sql.Timestamp.from(
+        java.time.Instant.parse("2026-03-01T00:00:00Z")))
     require(nIns2 == 0 && nUpd2 == 0, "re-apply must write nothing")
     val backJdbc = Sinks.jdbcScan(spark, jdbcUrl, "CUSTOMER", jdbcProps)
     require(backJdbc.count() == customers.count(), "JDBC row count drifted")

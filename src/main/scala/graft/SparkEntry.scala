@@ -1152,6 +1152,57 @@ object SparkEntry {
   // kept (created@t0, updated@t0), updated (created@t0, updated@t1), and
   // inserted (created@t1) rows.
   private val jdbcNow = to_timestamp(lit("2026-02-01 00:00:00"))
+  // The SAME instant as a java.sql.Timestamp for the JDBC-side writers.
+  // Instant-parsed, NOT Timestamp.valueOf: valueOf interprets the wall
+  // time in the JVM DEFAULT timezone, while jdbcNow parses in the
+  // UTC-pinned session — on a non-UTC JVM the two would differ by the
+  // offset and the timestamp-equality audits would match zero rows
+  // (code-review r14).
+  private val jdbcNowTs =
+    java.sql.Timestamp.from(java.time.Instant.parse("2026-02-01T00:00:00Z"))
+  // Shared sink DDL for the Derby targets (the reference's inferred
+  // VARCHAR types) — one definition, three queries.
+  private val jdbcOrdersDdl =
+    "o_orderstatus VARCHAR(8), o_orderpriority VARCHAR(32), " +
+      "row_hash VARCHAR(64)"
+
+  /** The JDBC-convergence check shared by the roundtrip, incremental,
+    * and streaming-CDC gates: the final target's counts, money sum,
+    * audit-timestamp classification, dense-id max, and the all-skip
+    * reclassification — one definition so the three gates cannot drift.
+    */
+  private def jdbcConvergenceAgg(back: DataFrame,
+                                 reclassified: DataFrame): DataFrame =
+    back.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        max(col("id")).as("max_id"),
+        moneySum("o_totalprice"),
+        sum(when(col("updated_at") === jdbcNow && col("created_at") === mergeNow,
+          1L).otherwise(0L)).as("n_updated"),
+        sum(when(col("created_at") === jdbcNow, 1L).otherwise(0L))
+          .as("n_inserted"))
+      .crossJoin(broadcast(reclassified.agg(
+        sum(when(col(Merge.ActionCol) === Merge.Skip, 1L).otherwise(0L))
+          .as("n_skip_after"))))
+
+  /** The matching oracle: after any of the three JDBC write paths the
+    * target converges to orders exactly (target keys ⊆ source keys,
+    * no-delete never fires), updates are the %5-drifted keys still in
+    * the target, inserts the dropped %7 keys, ids dense, re-classify
+    * all-skip.
+    */
+  private val jdbcConvergenceOracleSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+      |  CAST(count(*) AS BIGINT) AS max_id,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_o_totalprice,
+      |  CAST(sum(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+      |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_inserted,
+      |  CAST(count(*) AS BIGINT) AS n_skip_after
+      |FROM orders""".stripMargin
 
   private lazy val compactTmpDir =
     java.nio.file.Files.createTempDirectory("graft-compact").toString
@@ -1398,8 +1449,11 @@ object SparkEntry {
 
   private def ordersStreamEnsure(s: SparkSession, d: String): String = {
     val path = s"$ordersStreamTmpDir/${sfKey(d)}"
-    if (!graft.pipeline.Sinks.exists(s, path))
-      t(s, d, "orders").repartition(4).write.parquet(path)
+    // gate on the _SUCCESS marker, not the bare dir (the opqEnsureIndex
+    // ruling — an interrupted write must regenerate)
+    if (!graft.pipeline.Sinks.exists(s, s"$path/_SUCCESS"))
+      t(s, d, "orders").repartition(4).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
     path
   }
 
@@ -2425,10 +2479,8 @@ object SparkEntry {
       // Inferred sink DDL (the reference's CREATE TABLE with typed
       // columns, sync_ALL.py:99-126): VARCHAR, not Derby's CLOB default —
       // CLOB halves insert throughput and loses comparability.
-      val ddl = "o_orderstatus VARCHAR(8), o_orderpriority VARCHAR(32), " +
-        "row_hash VARCHAR(64)"
       Sinks.jdbcWrite(mergeTargetAudited(s, d), url,
-        "ORDERS_TGT", props, columnTypes = Some(ddl))
+        "ORDERS_TGT", props, columnTypes = Some(jdbcOrdersDdl))
       // Range-parallel remote reads (8 concurrent cursors on the dense id)
       // — the cluster-side scan form; Merge.apply's plan reads the target
       // three times (kept/updated join, insert anti-join, max-id scalar),
@@ -2441,23 +2493,12 @@ object SparkEntry {
       val merged = Merge.apply(t(s, d, "orders"), tgtScan,
         Seq("o_orderkey"), jdbcNow)
       Sinks.overwriteJdbcViaStaging(merged, url, "ORDERS_TGT",
-        props, columnTypes = Some(ddl))
-      val back = tgtScan
-      val reclassified = Merge.classify(t(s, d, "orders"),
-        Sinks.jdbcTargetState(s, url, "ORDERS_TGT", Seq("o_orderkey"), props),
-        Seq("o_orderkey"))
-      back.agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct(col("o_orderkey")).as("n_keys"),
-          max(col("id")).as("max_id"),
-          moneySum("o_totalprice"),
-          sum(when(col("updated_at") === jdbcNow && col("created_at") === mergeNow,
-            1L).otherwise(0L)).as("n_updated"),
-          sum(when(col("created_at") === jdbcNow, 1L).otherwise(0L))
-            .as("n_inserted"))
-        .crossJoin(broadcast(reclassified.agg(
-          sum(when(col(Merge.ActionCol) === Merge.Skip, 1L).otherwise(0L))
-            .as("n_skip_after"))))
+        props, columnTypes = Some(jdbcOrdersDdl))
+      jdbcConvergenceAgg(tgtScan,
+        Merge.classify(t(s, d, "orders"),
+          Sinks.jdbcTargetState(s, url, "ORDERS_TGT", Seq("o_orderkey"),
+            props),
+          Seq("o_orderkey")))
     }),
     // The INCREMENTAL JDBC write path (r14): where the roundtrip row
     // rebuilds the whole table through the staged swap, this is the
@@ -2473,30 +2514,16 @@ object SparkEntry {
     "q_pipeline_jdbc_incremental" -> ((s, d) => {
       val url = derbyUrl(d)
       val props = derbyProps
-      val ddl = "o_orderstatus VARCHAR(8), o_orderpriority VARCHAR(32), " +
-        "row_hash VARCHAR(64)"
       Sinks.jdbcWrite(mergeTargetAudited(s, d), url, "ORDERS_INC", props,
-        columnTypes = Some(ddl))
+        columnTypes = Some(jdbcOrdersDdl))
       Sinks.jdbcApplyIncremental(t(s, d, "orders"), url, "ORDERS_INC",
-        Seq("o_orderkey"), props,
-        now = java.sql.Timestamp.valueOf("2026-02-01 00:00:00"))
-      val back = Sinks.jdbcScan(s, url, "ORDERS_INC", props)
-      val reclassified = Merge.classify(t(s, d, "orders"),
-        Sinks.jdbcTargetState(s, url, "ORDERS_INC", Seq("o_orderkey"),
-          props),
-        Seq("o_orderkey"))
-      back.agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct(col("o_orderkey")).as("n_keys"),
-          max(col("id")).as("max_id"),
-          moneySum("o_totalprice"),
-          sum(when(col("updated_at") === jdbcNow && col("created_at") === mergeNow,
-            1L).otherwise(0L)).as("n_updated"),
-          sum(when(col("created_at") === jdbcNow, 1L).otherwise(0L))
-            .as("n_inserted"))
-        .crossJoin(broadcast(reclassified.agg(
-          sum(when(col(Merge.ActionCol) === Merge.Skip, 1L).otherwise(0L))
-            .as("n_skip_after"))))
+        Seq("o_orderkey"), props, now = jdbcNowTs)
+      jdbcConvergenceAgg(
+        Sinks.jdbcScan(s, url, "ORDERS_INC", props),
+        Merge.classify(t(s, d, "orders"),
+          Sinks.jdbcTargetState(s, url, "ORDERS_INC", Seq("o_orderkey"),
+            props),
+          Seq("o_orderkey")))
     }),
     // The declarative curation pipeline itself under the gate: a 3-step
     // recipe (scrub -> intra-doc span dedup -> quality floor) whose
@@ -3750,10 +3777,8 @@ object SparkEntry {
     "q_stream_jdbc_cdc_gate" -> ((s, d) => {
       val url = derbyUrl(d)
       val props = derbyProps
-      val ddl = "o_orderstatus VARCHAR(8), o_orderpriority VARCHAR(32), " +
-        "row_hash VARCHAR(64)"
       Sinks.jdbcWrite(mergeTargetAudited(s, d), url, "ORDERS_STRM", props,
-        columnTypes = Some(ddl))
+        columnTypes = Some(jdbcOrdersDdl))
       val src = ordersStreamEnsure(s, d)
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
@@ -3761,29 +3786,17 @@ object SparkEntry {
       withStreamStatePartitions(s) {
         val q = stream.writeStream
           .foreachBatch(Streams.cdcToJdbcEachBatch(url, "ORDERS_STRM",
-            Seq("o_orderkey"), props,
-            java.sql.Timestamp.valueOf("2026-02-01 00:00:00")))
+            Seq("o_orderkey"), props, jdbcNowTs))
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
       }
-      val back = Sinks.jdbcScan(s, url, "ORDERS_STRM", props)
-      val reclassified = Merge.classify(t(s, d, "orders"),
-        Sinks.jdbcTargetState(s, url, "ORDERS_STRM", Seq("o_orderkey"),
-          props),
-        Seq("o_orderkey"))
-      back.agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct(col("o_orderkey")).as("n_keys"),
-          max(col("id")).as("max_id"),
-          moneySum("o_totalprice"),
-          sum(when(col("updated_at") === jdbcNow && col("created_at") === mergeNow,
-            1L).otherwise(0L)).as("n_updated"),
-          sum(when(col("created_at") === jdbcNow, 1L).otherwise(0L))
-            .as("n_inserted"))
-        .crossJoin(broadcast(reclassified.agg(
-          sum(when(col(Merge.ActionCol) === Merge.Skip, 1L).otherwise(0L))
-            .as("n_skip_after"))))
+      jdbcConvergenceAgg(
+        Sinks.jdbcScan(s, url, "ORDERS_STRM", props),
+        Merge.classify(t(s, d, "orders"),
+          Sinks.jdbcTargetState(s, url, "ORDERS_STRM", Seq("o_orderkey"),
+            props),
+          Seq("o_orderkey")))
     }),
     // robots.txt (r12): crawl politeness — the stage BEFORE fetching.
     // Parse: line explode + two host-keyed window passes (grouping per
@@ -6076,50 +6089,12 @@ object SparkEntry {
         |  CAST(sum(len(text)) AS BIGINT) AS sum_text_len,
         |  CAST(-1 AS BIGINT) AS batch_tag
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    // Streamed CDC into the database converges to the same orders truth
-    // as the one-shot apply — identical oracle arithmetic (the batch
-    // split is invisible to the final state).
-    "q_stream_jdbc_cdc_gate" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-        |  CAST(count(*) AS BIGINT) AS max_id,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_o_totalprice,
-        |  CAST(sum(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
-        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
-        |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_inserted,
-        |  CAST(count(*) AS BIGINT) AS n_skip_after
-        |FROM orders""".stripMargin,
-    // The incremental JDBC write converges to the same truth as the
-    // rebuild — identical oracle arithmetic.
-    "q_pipeline_jdbc_incremental" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-        |  CAST(count(*) AS BIGINT) AS max_id,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_o_totalprice,
-        |  CAST(sum(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
-        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
-        |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_inserted,
-        |  CAST(count(*) AS BIGINT) AS n_skip_after
-        |FROM orders""".stripMargin,
-    // The JDBC cycle's oracle is pure orders arithmetic: the merged
-    // target converges to orders (target keys ⊆ source keys, no-delete
-    // never fires), updates are the %5-drifted keys still present in the
-    // target (%7<>0), inserts are the %7 keys the fixture dropped, ids
-    // stay dense (fixture ids 1..n_tgt, inserts minted above), and the
-    // post-merge re-classify is all-skip.
-    "q_pipeline_jdbc_roundtrip" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-        |  CAST(count(*) AS BIGINT) AS max_id,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_o_totalprice,
-        |  CAST(sum(CASE WHEN o_orderkey % 7 <> 0 AND o_orderkey % 5 = 0
-        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
-        |  CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_inserted,
-        |  CAST(count(*) AS BIGINT) AS n_skip_after
-        |FROM orders""".stripMargin,
+    // All three JDBC write paths (rebuild, incremental, streamed CDC)
+    // converge to the same orders-arithmetic truth — ONE shared oracle
+    // (jdbcConvergenceOracleSql) so the gates cannot drift.
+    "q_stream_jdbc_cdc_gate" -> jdbcConvergenceOracleSql,
+    "q_pipeline_jdbc_incremental" -> jdbcConvergenceOracleSql,
+    "q_pipeline_jdbc_roundtrip" -> jdbcConvergenceOracleSql,
     // Composes the redact chain, the spans-within dedup, and the token
     // floor in one SQL pipeline — same step order as the recipe.
     // Prefix counts of the audit recipe: redaction is a rewrite (count
@@ -9050,10 +9025,12 @@ object SparkEntry {
          |         ELSE 'localhost' END AS host
          |  FROM documents),
          |hp AS (
-         |  SELECT doc_id, host, string_split(host, '.') AS parts
+         |  SELECT doc_id, host,
+         |    regexp_replace(host, '\\.$$', '') AS h,
+         |    string_split(regexp_replace(host, '\\.$$', ''), '.') AS parts
          |  FROM hd)
          |SELECT doc_id, host,
-         |  CASE WHEN len(parts) <= 2 THEN host
+         |  CASE WHEN len(parts) <= 2 THEN h
          |       WHEN lower(parts[-2] || '.' || parts[-1]) IN ($suffixes)
          |         THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
          |       ELSE parts[-2] || '.' || parts[-1] END AS reg_domain

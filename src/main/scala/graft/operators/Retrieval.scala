@@ -324,9 +324,10 @@ object Retrieval {
     *                        div (Σ top-k s(x,·) + Σ top-k s(·,y))
     *
     * with `s` the quantized integer dot ([[Similarity.dotQuantized]]).
-    * Pairs with a non-positive forward score or neighborhood mass drop
-    * (the ratio is meaningless there, and truncation direction on
-    * negatives is engine-dependent) — deterministic, documented.
+    * Pairs with a NEGATIVE forward score or a non-positive neighborhood
+    * mass drop (the ratio is meaningless there, and truncation
+    * direction on negatives is engine-dependent); a zero-score pair
+    * survives with margin 0 — deterministic, documented.
     *
     * Scale shape: the forward pass broadcasts the BOUNDED query batch
     * against the target side (one corpus scan); the backward pass

@@ -282,7 +282,7 @@ object TextAnalysis {
     }
   }
 
-  /** The dominant script: the FIRST name in [[ScriptRanges]] order
+  /** The dominant script: the FIRST name in [[ScriptBlocks]] order
     * whose count equals the maximum (total order — ties break by the
     * fixed priority), or 'none' when no script character occurs. The
     * same CASE replays in the oracle from the same constants.

@@ -392,13 +392,18 @@ object WebGraph {
     * and the same CASE replays in the oracle from the same list.
     */
   def registeredDomain(host: Column): Column = {
-    val parts = split(host, "\\.")
+    // one trailing dot strips first (an FQDN root label — legal in URLs;
+    // without the strip `example.com.` split to a trailing EMPTY label
+    // and returned the garbage registrant `com.`, collapsing every
+    // trailing-dot host into one group; code-review r14)
+    val h = regexp_replace(host, "\\.$", "")
+    val parts = split(h, "\\.")
     val n = size(parts)
     val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
     val last3 = concat_ws(".", element_at(parts, -3),
       element_at(parts, -2), element_at(parts, -1))
     when(host.isNull, lit(null).cast("string"))
-      .when(n <= 2, host)
+      .when(n <= 2, h)
       .when(lower(last2).isInCollection(MultiLabelSuffixes), last3)
       .otherwise(last2)
   }

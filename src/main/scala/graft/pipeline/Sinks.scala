@@ -517,9 +517,14 @@ object Sinks {
     val dataCols = src.columns
       .filterNot(graft.operators.Merge.AuditCols.contains).toSeq
     val state = jdbcTargetState(spark, url, table, keys, props)
+    // localCheckpoint (eager), NOT persist: a lost cache block would
+    // silently RECOMPUTE the classification against the target this very
+    // method is mutating (already-inserted keys reclassify as skip — the
+    // delta counts and the update leg would go wrong); a lost checkpoint
+    // block fails the job loudly instead (code-review r14).
     val classified = graft.operators.Merge
       .classify(src, state, keys)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     try {
       val maxId = state.agg(fnCoalesce(max(col("id")), lit(0L)))
         .collect()(0).getLong(0)
@@ -535,8 +540,11 @@ object Sinks {
           col("src_hash").as("row_hash"),
           lit(now).as("created_at"),
           lit(now).as("updated_at")): _*)
-      jdbcWrite(ins, url, table, props, overwrite = false, batchSize)
+      // count BEFORE the write: ins derives from the checkpointed
+      // classification, but ordering the action first removes any
+      // dependence on what the INSERT just changed remotely
       val nIns = ins.count()
+      jdbcWrite(ins, url, table, props, overwrite = false, batchSize)
       // updates: per-row prepared-statement batches — the one write
       // shape DataFrameWriter cannot express (UPDATE), executed exactly
       // like the reference's executemany loop, partition-parallel
@@ -644,7 +652,7 @@ object Sinks {
         }
       }
       (nIns, nUpd)
-    } finally classified.unpersist(): Unit
+    } finally classified.unpersist(): Unit // releases the checkpoint blocks
   }
 
   /** S4 over JDBC with the analytical shape ([[analyticalScan]]'s

@@ -179,11 +179,6 @@ object Streams {
       }
   }
 
-  /** Host the J2 hash-diff merge inside a stream: every micro-batch is
-    * merged into the parquet target at `targetPath` (create-on-first-batch),
-    * preserving the batch pipeline's no-delete/idempotence invariants.
-    * Returns a function suitable for `writeStream.foreachBatch`.
-    */
   /** Host the CDC merge inside a stream with the target living in a
     * DATABASE (r14): every micro-batch ships only its deltas over JDBC
     * — classify against the remote state, batched per-row UPDATE +
@@ -215,6 +210,11 @@ object Streams {
       props, now, batchSize, updateParallelism): Unit
   }
 
+  /** Host the J2 hash-diff merge inside a stream: every micro-batch is
+    * merged into the parquet target at `targetPath` (create-on-first-batch),
+    * preserving the batch pipeline's no-delete/idempotence invariants.
+    * Returns a function suitable for `writeStream.foreachBatch`.
+    */
   def mergeEachBatch(targetPath: String, keys: Seq[String])
       : (DataFrame, Long) => Unit = { (batch0, _) =>
     val spark = batch0.sparkSession

@@ -227,7 +227,10 @@ class SinksSpec extends SparkSpec {
     val props = new java.util.Properties()
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
-    val now1 = java.sql.Timestamp.valueOf("2026-02-01 00:00:00")
+    // Instant-parsed, not valueOf: valueOf reads the JVM default TZ
+    // while the session (and t0) is UTC-pinned (code-review r14)
+    val now1 = java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-02-01T00:00:00Z"))
     val tgt0 = graft.functions.RowHash.withAuditColumns(
       Seq((1L, "old"), (2L, "b"), (3L, "c")).toDF("k", "v"), Seq("k"), t0)
     tgt0.write.mode("overwrite").jdbc(url, "TGT", props)
@@ -254,7 +257,8 @@ class SinksSpec extends SparkSpec {
       rows(4L)._4.startsWith("2026-02-01"))
     // idempotence: re-applying the same source writes NOTHING
     val (ni2, nu2) = Sinks.jdbcApplyIncremental(src, url, "TGT", Seq("k"),
-      props, java.sql.Timestamp.valueOf("2026-03-01 00:00:00"))
+      props, java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-03-01T00:00:00Z")))
     assert((ni2, nu2) == ((0L, 0L)), s"re-apply wrote: $ni2/$nu2")
     assert(spark.read.jdbc(url, "TGT", props)
       .filter(col("updated_at") >= lit("2026-03-01").cast("timestamp"))

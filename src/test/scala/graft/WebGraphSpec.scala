@@ -181,14 +181,16 @@ class WebGraphSpec extends SparkSpec {
     val got = Seq(
       "site0.example.com", "www.shop1.CO.UK", "a.b.news.com.au",
       "example.org", "cdn.img.example.co.jp", "localhost",
-      "deep.a.b.c.example.com", "x.CoM.Au", null)
+      "deep.a.b.c.example.com", "x.CoM.Au", "www.example.com.",
+      "example.com.", null)
       .toDF("host")
       .select(WebGraph.registeredDomain($"host")).as[String]
       .collect().toSeq
     assert(got == Seq(
       "example.com", "shop1.CO.UK", "news.com.au",
       "example.org", "example.co.jp", "localhost",
-      "example.com", "x.CoM.Au", null), got.toString)
+      "example.com", "x.CoM.Au", "example.com",
+      "example.com", null), got.toString)
   }
 
   test("mirrorCandidates: shared-fp pairs, hot-fp exclusion, exact Jaccard") {
