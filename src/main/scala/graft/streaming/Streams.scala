@@ -187,27 +187,74 @@ object Streams {
     * composition; the caller bootstraps the target table once
     * (`Sinks.jdbcWrite`) before starting the stream.
     *
-    * Micro-batch keys are collapsed first (the [[mergeEachBatch]]
-    * contract — several versions of one key in a batch would fan out
-    * the classify join). Replay note: `foreachBatch` is AT-LEAST-ONCE;
-    * a replayed batch's UPDATE leg re-applies idempotently and its
-    * classify re-runs against the post-crash state (already-applied
-    * changes reclassify as skip), but an INSERT whose transaction
-    * committed before the crash would duplicate on replay only if the
-    * engine re-delivers a batch whose inserts already landed — the
-    * jdbcWrite at-least-once residue, documented there.
+    * Micro-batch keys are collapsed first with `dropDuplicates(keys)`
+    * (the [[mergeEachBatch]] contract — several versions of one key in
+    * a batch would fan out the classify join). dropDuplicates keeps an
+    * ARBITRARY version of a key; pre-dedup the stream (e.g.
+    * [[graft.operators.Dedup.latestPerKeyOrdered]] on a version
+    * column) when "latest wins" matters — the caveat restated here
+    * from [[mergeEachBatch]] (ADVICE r14).
+    *
+    * `nowFor` supplies the audit timestamp PER BATCH (batchId →
+    * Timestamp), so a long-lived stream's created_at/updated_at track
+    * batch time; the fixed-`now` overload below freezes one instant
+    * across the stream's whole lifetime (fixture/replay determinism —
+    * that frozen-instant semantics is intentional there and documented).
+    *
+    * Replay note: `foreachBatch` is AT-LEAST-ONCE; a replayed batch's
+    * UPDATE leg re-applies idempotently and its classify re-runs
+    * against the post-crash state (already-applied changes reclassify
+    * as skip), but a TASK RETRY mid-INSERT can duplicate keys — the
+    * jdbcWrite at-least-once residue, documented there. For
+    * exactly-once inserts use [[cdcToJdbcEachBatchExactlyOnce]].
     *
     * Returns a function suitable for `writeStream.foreachBatch`.
+    */
+  def cdcToJdbcEachBatch(url: String, table: String, keys: Seq[String],
+                         props: java.util.Properties,
+                         nowFor: Long => java.sql.Timestamp,
+                         batchSize: Int,
+                         updateParallelism: Int)
+      : (DataFrame, Long) => Unit = { (batch0, batchId) =>
+    val batch = batch0.dropDuplicates(keys)
+    graft.pipeline.Sinks.jdbcApplyIncremental(batch, url, table, keys,
+      props, nowFor(batchId), batchSize, updateParallelism): Unit
+  }
+
+  /** Fixed-instant form: every micro-batch stamps the SAME `now` —
+    * deterministic fixtures and replays. See the supplier overload's
+    * doc for the per-batch form and the latest-wins caveat.
     */
   def cdcToJdbcEachBatch(url: String, table: String, keys: Seq[String],
                          props: java.util.Properties,
                          now: java.sql.Timestamp,
                          batchSize: Int = 1000,
                          updateParallelism: Int = 1)
-      : (DataFrame, Long) => Unit = { (batch0, _) =>
+      : (DataFrame, Long) => Unit =
+    cdcToJdbcEachBatch(url, table, keys, props, (_: Long) => now,
+      batchSize, updateParallelism)
+
+  /** [[cdcToJdbcEachBatch]] with EXACTLY-ONCE batch semantics
+    * (VERDICT r14 §missing-4): each micro-batch routes through
+    * [[graft.pipeline.Sinks.jdbcApplyIncrementalExactlyOnce]] — the
+    * transactional batch ledger (`<table>__BATCHES`) makes a replayed
+    * batch id a no-op, and the conditional-INSERT leg makes a task
+    * retry mid-insert idempotent. The pre-dedup/latest-wins caveat
+    * from the at-least-once form applies unchanged. `dualTable` is the
+    * store's one-row dummy table (see the Sinks doc).
+    */
+  def cdcToJdbcEachBatchExactlyOnce(url: String, table: String,
+                                    keys: Seq[String],
+                                    props: java.util.Properties,
+                                    nowFor: Long => java.sql.Timestamp,
+                                    batchSize: Int = 1000,
+                                    updateParallelism: Int = 1,
+                                    dualTable: String = "SYSIBM.SYSDUMMY1")
+      : (DataFrame, Long) => Unit = { (batch0, batchId) =>
     val batch = batch0.dropDuplicates(keys)
-    graft.pipeline.Sinks.jdbcApplyIncremental(batch, url, table, keys,
-      props, now, batchSize, updateParallelism): Unit
+    graft.pipeline.Sinks.jdbcApplyIncrementalExactlyOnce(batch, url,
+      table, keys, props, nowFor(batchId), batchId, batchSize,
+      updateParallelism, dualTable = dualTable): Unit
   }
 
   /** Host the J2 hash-diff merge inside a stream: every micro-batch is

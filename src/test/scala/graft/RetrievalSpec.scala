@@ -52,6 +52,46 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("marginMineIndexed: equals brute marginMine at full probe recall; " +
+      "overflow guard fails loudly") {
+    // r15 (VERDICT r14 §next-3): the corpus×corpus composition — both
+    // neighborhood passes on persisted IVF indexes. With nProbe =
+    // nCentroids the probes have exact recall, so the result must be
+    // BIT-IDENTICAL to the brute form (shared marginTail arithmetic).
+    val fix = graft.operators.Similarity.clusteredEmbeddings(spark,
+      nClusters = 4, perCluster = 8, dim = 8)
+    val src = fix.filter(col("vec_id") % 2 === 0)
+    val tgt = fix.filter(col("vec_id") % 2 =!= 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-mmi").toString
+    graft.operators.Similarity.ivfWriteIndex(src, "vec_id", "embedding",
+      dim = 8, nCentroids = 4, path = s"$base/src")
+    graft.operators.Similarity.ivfWriteIndex(tgt, "vec_id", "embedding",
+      dim = 8, nCentroids = 4, path = s"$base/tgt")
+    val qids = Seq(0L, 2L, 4L)
+    val brute = Retrieval.marginMine(src, tgt, "vec_id", "embedding",
+        qids, k = 4, topM = 3)
+      .orderBy("src_id", "rank")
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq
+    val indexed = Retrieval.marginMineIndexed(spark, s"$base/src",
+        s"$base/tgt", qids, k = 4, topM = 3, nProbe = 4)
+      .orderBy("src_id", "rank")
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq
+    assert(brute.nonEmpty)
+    assert(indexed == brute, s"indexed $indexed\nbrute $brute")
+    // the reduced-probe path keeps the schema/tie contract (recall is
+    // the tradeoff, the shape is not)
+    val narrow = Retrieval.marginMineIndexed(spark, s"$base/src",
+      s"$base/tgt", qids, k = 4, topM = 3, nProbe = 1)
+    assert(narrow.columns.toSeq ==
+      Seq("src_id", "tgt_id", "score", "margin_scaled", "rank"))
+    // overflow guard (ADVICE r14): an extreme marginScale used to WRAP
+    // 2k·marginScale and silently vacate the guard — it must now throw
+    intercept[IllegalArgumentException] {
+      Retrieval.marginMine(src, tgt, "vec_id", "embedding", Seq(0L),
+        k = 4, marginScale = Long.MaxValue / 2)
+    }
+  }
+
   test("rrfFuse: hand-computed fixed-point scores and agreement counts") {
     // query 1: doc 10 is rank 1 lexically and rank 2 densely; doc 20
     // only lexical (rank 2); doc 30 only dense (rank 1)

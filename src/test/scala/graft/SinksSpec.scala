@@ -273,6 +273,88 @@ class SinksSpec extends SparkSpec {
     assert(a == b, s"incremental $a\nrebuild $b")
   }
 
+  test("jdbcApplyIncrementalExactlyOnce: ledger replay skip, crash " +
+      "convergence, PK coverage suppresses index DDL") {
+    val url = s"jdbc:derby:memory:graftxo${System.nanoTime()};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    // target created with a PRIMARY KEY on the merge key — the ADVICE r14
+    // case: the coverage scan must see the PK's backing index and NOT
+    // issue CREATE INDEX DDL on the production target
+    val c0 = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = c0.createStatement()
+      try st.executeUpdate(
+        """CREATE TABLE TGT ("k" BIGINT NOT NULL PRIMARY KEY,
+          | "v" VARCHAR(32), "id" BIGINT, "row_hash" VARCHAR(64),
+          | "created_at" TIMESTAMP, "updated_at" TIMESTAMP)"""
+          .stripMargin.replace("\n", " "))
+      finally st.close()
+    } finally c0.close()
+    val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+    val tgt0 = graft.functions.RowHash.withAuditColumns(
+      Seq((1L, "old"), (2L, "b")).toDF("k", "v"), Seq("k"), t0)
+    tgt0.select("k", "v", "id", "row_hash", "created_at", "updated_at")
+      .write.mode("append").jdbc(url, "TGT", props)
+    val now1 = java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-02-01T00:00:00Z"))
+    val src = Seq((1L, "new"), (2L, "b"), (4L, "d")).toDF("k", "v")
+    val (ni, nu) = Sinks.jdbcApplyIncrementalExactlyOnce(src, url, "TGT",
+      Seq("k"), props, now1, batchId = 0L)
+    assert((ni, nu) == ((1L, 1L)), s"inserted=$ni updated=$nu")
+    // the PK covered the key: no TGT__KEYIDX duplicate index appeared
+    val c1 = java.sql.DriverManager.getConnection(url, props)
+    val idxNames = try {
+      val rs = c1.getMetaData.getIndexInfo(null, null, "TGT", false, false)
+      val b = scala.collection.mutable.Set.empty[String]
+      try { while (rs.next()) Option(rs.getString("INDEX_NAME")).foreach(n => b += n) }
+      finally rs.close()
+      b.toSet
+    } finally c1.close()
+    assert(!idxNames.exists(_.equalsIgnoreCase("TGT__KEYIDX")),
+      s"coverage scan missed the PK; created a duplicate index: $idxNames")
+    def snapshot(): Set[String] =
+      spark.read.jdbc(url, "TGT", props)
+        .select(col("k"), col("v"), col("id"),
+          col("updated_at").cast("string"))
+        .as[(Long, String, Long, String)].collect().map(_.toString).toSet
+    val after0 = snapshot()
+    assert(after0.size == 3)
+    // replay of a COMMITTED batch id is a no-op — even with a source
+    // that WOULD write (the ledger gates before classify)
+    val (ri, ru) = Sinks.jdbcApplyIncrementalExactlyOnce(
+      Seq((1L, "evil"), (9L, "x")).toDF("k", "v"), url, "TGT", Seq("k"),
+      props, java.sql.Timestamp.from(
+        java.time.Instant.parse("2026-03-01T00:00:00Z")), batchId = 0L)
+    assert((ri, ru) == ((0L, 0L)), s"replayed batch wrote: $ri/$ru")
+    assert(snapshot() == after0, "replayed batch mutated the target")
+    // crash simulation: batch 1 inserts k=5 and k=6; the "crash" left
+    // k=5's insert committed (with the exact row the mint would
+    // produce: id above the remote max, created=updated=now) but the
+    // ledger row unwritten. The replay must converge — k=5 reclassifies
+    // as skip, k=6 inserts once, ledger commits.
+    val now2 = java.sql.Timestamp.from(
+      java.time.Instant.parse("2026-04-01T00:00:00Z"))
+    graft.functions.RowHash.withAuditColumns(
+        Seq((5L, "e")).toDF("k", "v"), Seq("k"),
+        lit("2026-04-01 00:00:00").cast("timestamp"))
+      .withColumn("id", col("id") + lit(3L)) // id 4, above the remote max 3
+      .select("k", "v", "id", "row_hash", "created_at", "updated_at")
+      .write.mode("append").jdbc(url, "TGT", props)
+    val src2 = Seq((1L, "new"), (5L, "e"), (6L, "f")).toDF("k", "v")
+    val (ci, cu) = Sinks.jdbcApplyIncrementalExactlyOnce(src2, url, "TGT",
+      Seq("k"), props, now2, batchId = 1L)
+    assert((ci, cu) == ((1L, 0L)), s"crash replay wrote: $ci/$cu")
+    val rows = spark.read.jdbc(url, "TGT", props)
+      .groupBy("k").count().as[(Long, Long)].collect().toMap
+    assert(rows.values.forall(_ == 1L), s"duplicate keys after replay: $rows")
+    assert(rows.keySet == Set(1L, 2L, 4L, 5L, 6L))
+    // and the ledger now remembers batch 1
+    val (xi, xu) = Sinks.jdbcApplyIncrementalExactlyOnce(src2, url, "TGT",
+      Seq("k"), props, now2, batchId = 1L)
+    assert((xi, xu) == ((0L, 0L)))
+  }
+
   test("Runner end-to-end: full refresh then incremental merge is idempotent") {
     // orders: unique natural key. (The synthetic lineitem has duplicate
     // (l_orderkey, l_linenumber) pairs — a full-refresh-only table, like the
