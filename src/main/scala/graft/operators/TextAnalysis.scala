@@ -296,6 +296,30 @@ object TextAnalysis {
     }.otherwise(lit("none"))
   }
 
+  /** Word-letter codepoint ranges for the jusText block tokenizer
+    * (r15, VERDICT r14 §next-1): ASCII letters plus the Latin-1
+    * Supplement and Latin Extended-A/B letters — × (0xD7) and ÷ (0xF7)
+    * excluded. The [[ScriptBlocks]] convention: stored as INTS, both
+    * engines' character classes generate from the same numbers (Java
+    * `\uXXXX` vs RE2 `\x{XXXX}` spellings), so the tokenizers cannot
+    * drift. Tokenization runs over LOWERCASED text; the uppercase
+    * ranges are inert there but included so the class is total on
+    * Latin letters. This replaces the r14 `[a-z]+` tokenizer, which by
+    * construction could never match an accented stopword ("está",
+    * "não") — the most frequent function words of es/fr/de/it/pt were
+    * silently dead weight in the density rule (VERDICT r14 §wrong-1).
+    */
+  private[graft] val WordLetterBlocks: Seq[(Int, Int)] = Seq(
+    0x41 -> 0x5A, 0x61 -> 0x7A, 0xC0 -> 0xD6, 0xD8 -> 0xF6, 0xF8 -> 0x24F)
+
+  /** The block tokenizer's Java character class (one-or-more suffix is
+    * the caller's).
+    */
+  private[graft] def wordClassJava: String = scriptClassJava(WordLetterBlocks)
+
+  /** The RE2/DuckDB spelling of the same class. */
+  private[graft] def wordClassRe2: String = scriptClassRe2(WordLetterBlocks)
+
   /** Unicode normalization for dedup robustness — NFD decomposition +
     * combining-mark removal (accent strip) + ROOT-locale lowercase +
     * whitespace collapse, so "Café  ÜBER" and "cafe uber" dedup/
@@ -1193,15 +1217,20 @@ object TextAnalysis {
     "would", "there", "which", "what", "who", "all", "some")
 
   /** Per-language web-extraction stopword lists (r14, VERDICT r13
-    * §next-2): jusText ships a stopword list PER LANGUAGE — on a real
-    * crawl most pages are non-English, and their blocks systematically
-    * fail the density rule under an English list. ~50 core function
-    * words per language (the StopwordsWebEn sizing; jusText ships ~600
-    * each — swap per deployment). ASCII-only BY CONSTRUCTION: the word
-    * tokenizer is `[a-z]+` over lowercased text, so an accented entry
-    * ("está", "não") could never match a token — accented function
-    * words are simply omitted rather than silently dead. Unknown or
-    * NULL language keys fall back to English.
+    * §next-2; accent-complete since r15, VERDICT r14 §next-1): jusText
+    * ships a stopword list PER LANGUAGE — on a real crawl most pages
+    * are non-English, and their blocks systematically fail the density
+    * rule under an English list. ~50-60 core function words per
+    * language (the StopwordsWebEn sizing; jusText ships ~600 each —
+    * swap per deployment). The r14 lists were ASCII-only because the
+    * `[a-z]+` tokenizer could never match an accented entry; the
+    * tokenizer now runs the shared [[WordLetterBlocks]] class, and
+    * each list carries the accented function words that were silently
+    * omitted (es "más/está", fr "à/être/où", de "für/über", it
+    * "è/più", pt "não/são/é") — the most frequent words of five of the
+    * six languages, without which accented pages under-scored against
+    * the keep threshold. Unknown or NULL language keys fall back to
+    * English.
     */
   private[graft] val StopwordsWeb: Map[String, Seq[String]] = Map(
     "en" -> StopwordsWebEn,
@@ -1212,7 +1241,9 @@ object TextAnalysis {
       "le", "les", "es", "son", "era", "eran", "fue", "ser", "hay",
       "como", "este", "esta", "estos", "estas", "ese", "esa", "eso",
       "no", "ya", "cuando", "donde", "todo", "todos", "toda", "todas",
-      "nada", "muy", "mi", "tu"),
+      "nada", "muy", "mi", "tu",
+      "más", "está", "están", "también", "sí", "qué", "él", "así",
+      "día", "después"),
     "fr" -> Seq(
       "le", "la", "les", "un", "une", "des", "du", "de", "et", "ou",
       "mais", "que", "qui", "dans", "en", "au", "aux", "par", "pour",
@@ -1220,7 +1251,9 @@ object TextAnalysis {
       "ce", "cette", "ces", "il", "elle", "ils", "elles", "nous",
       "vous", "je", "tu", "ne", "pas", "est", "sont", "ont", "avait",
       "comme", "plus", "tout", "tous", "toute", "toutes", "y", "on",
-      "lui", "leur"),
+      "lui", "leur",
+      "à", "été", "être", "où", "déjà", "très", "après", "même",
+      "français", "côté"),
     "de" -> Seq(
       "der", "die", "das", "den", "dem", "des", "ein", "eine", "einen",
       "einem", "eines", "und", "oder", "aber", "dass", "wenn", "weil",
@@ -1228,7 +1261,9 @@ object TextAnalysis {
       "in", "im", "an", "am", "um", "so", "als", "auch", "nicht",
       "kein", "keine", "ist", "sind", "war", "waren", "wird", "werden",
       "hat", "haben", "hatte", "er", "sie", "es", "wir", "ihr", "ich",
-      "du", "man"),
+      "du", "man",
+      "für", "über", "während", "können", "müssen", "wäre", "hätte",
+      "dafür", "größer", "schließlich"),
     "it" -> Seq(
       "il", "lo", "la", "i", "gli", "le", "un", "uno", "una", "di",
       "del", "della", "dei", "delle", "e", "o", "ma", "che", "chi",
@@ -1236,14 +1271,30 @@ object TextAnalysis {
       "con", "su", "sul", "sulla", "tra", "fra", "si", "se", "suo",
       "sua", "suoi", "sue", "questo", "questa", "questi", "queste",
       "quello", "quella", "non", "come", "anche", "quando", "dove",
-      "tutto", "tutti", "tutta", "era", "sono"),
+      "tutto", "tutti", "tutta", "era", "sono",
+      "è", "più", "già", "però", "perché", "così", "può", "città",
+      "né", "sarà"),
     "pt" -> Seq(
       "o", "a", "os", "as", "um", "uma", "uns", "umas", "de", "do",
       "da", "dos", "das", "e", "ou", "mas", "que", "em", "no", "na",
       "nos", "nas", "por", "para", "com", "sem", "sobre", "entre",
       "se", "seu", "sua", "seus", "suas", "lhe", "lhes", "ele", "ela",
       "eles", "elas", "eu", "tu", "ao", "aos", "pelo", "pela", "como",
-      "quando", "onde", "tudo", "todos", "toda", "era", "foi", "ser"))
+      "quando", "onde", "tudo", "todos", "toda", "era", "foi", "ser",
+      "não", "são", "é", "já", "também", "até", "às", "está", "há",
+      "só"))
+
+  /** The same lists restricted to their ASCII entries — the r14
+    * behavior as an explicit counterfactual: under the old `[a-z]+`
+    * tokenizer an accented entry could never match, so "the ASCII
+    * subset" IS what the density rule effectively used. Kept so the
+    * accent gate can pin, in one hash, that accented function words
+    * now DECIDE survival (a page that keeps under [[StopwordsWeb]] and
+    * dies under this subset is kept BY its accents).
+    */
+  private[graft] val StopwordsWebAscii: Map[String, Seq[String]] =
+    StopwordsWeb.map { case (lg, ws) =>
+      lg -> ws.filter(_.forall(_ < 0x80)) }
 
   /** Per-block features + the context-free jusText keep decision, as
     * `array<struct>` aligned with [[htmlToBlocks]]:
@@ -1282,21 +1333,34 @@ object TextAnalysis {
   def htmlBlockFeaturesByLang(html: Column, lang: Column, minChars: Int = 70,
                               maxLinkDensity: Double = 0.2,
                               minStopDensity: Double = 0.2): Column =
-    htmlBlockFeaturesImpl(html, aw => langStopCount(aw, lang),
+    htmlBlockFeaturesImpl(html, aw => langStopCount(aw, lang, StopwordsWeb),
       minChars, maxLinkDensity, minStopDensity)
 
-  /** n_stop for one word array under the `lang`-selected list —
-    * deterministic branch order (sorted language keys), English
-    * fallback. Shared by the column chain and the oracle generator's
-    * contract (SparkEntry replays the same CASE).
+  /** [[htmlBlockFeaturesByLang]] under the ASCII-subset lists
+    * ([[StopwordsWebAscii]]) — the r15 accent gate's counterfactual
+    * arm, not a production path: a page kept by the full lists and
+    * dropped here is kept BY its accented function words.
     */
-  private def langStopCount(aw: Column, lang: Column): Column = {
-    val branches = StopwordsWeb.toSeq.sortBy(_._1)
+  private[graft] def htmlBlockFeaturesByLangAscii(
+      html: Column, lang: Column, minChars: Int = 70,
+      maxLinkDensity: Double = 0.2, minStopDensity: Double = 0.2): Column =
+    htmlBlockFeaturesImpl(html,
+      aw => langStopCount(aw, lang, StopwordsWebAscii),
+      minChars, maxLinkDensity, minStopDensity)
+
+  /** n_stop for one word array under the `lang`-selected list from the
+    * given map — deterministic branch order (sorted language keys),
+    * English fallback. Shared by the column chain and the oracle
+    * generator's contract (SparkEntry replays the same CASE).
+    */
+  private def langStopCount(aw: Column, lang: Column,
+                            lists: Map[String, Seq[String]]): Column = {
+    val branches = lists.toSeq.sortBy(_._1)
     branches.foldLeft(Option.empty[Column]) { case (acc, (lg, words)) =>
       val cnt = size(filter(aw, w => w.isInCollection(words)))
       Some(acc.fold(when(lower(lang) === lg, cnt))(
         _.when(lower(lang) === lg, cnt)))
-    }.get.otherwise(size(filter(aw, w => w.isInCollection(StopwordsWebEn))))
+    }.get.otherwise(size(filter(aw, w => w.isInCollection(lists("en")))))
   }
 
   private def htmlBlockFeaturesImpl(html: Column,
@@ -1329,8 +1393,8 @@ object TextAnalysis {
     val withWords = transform(visible, s => struct(
       s.getField("b").as("b"), s.getField("raw").as("raw"),
       s.getField("txt").as("txt"),
-      regexp_extract_all(lower(s.getField("txt")), lit("[a-z]+"), lit(0))
-        .as("aw")))
+      regexp_extract_all(lower(s.getField("txt")), lit(wordClassJava + "+"),
+        lit(0)).as("aw")))
     val counted = transform(withWords, s => {
       val linkChars = aggregate(
         transform(regexp_extract_all(s.getField("b"), lit(HtmlAnchorRe),

@@ -772,6 +772,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byLang == Set(1L), byLang.toString)
   }
 
+  test("accent-aware stop density: accented function words DECIDE " +
+      "survival; native == column on accented pages") {
+    // r15 (VERDICT r14 §next-1): the r14 tokenizer was [a-z]+ so "não",
+    // "é", "está" could never match a stopword entry — the page below
+    // is engineered to cross the 0.2 density threshold ONLY via
+    // accented entries (full-pt density ≈ 0.34, ASCII-subset ≈ 0.09).
+    val ptText = "Aquele lugar não é grande, já foi capital antiga e " +
+      "até hoje guarda praças, torres, pontes, fontes, muros, jardins, " +
+      "mercados, ruelas, claustros, também chafarizes; tudo está ali " +
+      "há séculos, são marcas visíveis."
+    val page = "<body><p>" + ptText + "</p></body>"
+    val df = Seq((1L, page, "pt")).toDF("doc_id", "t", "lang")
+    val r = df.select(
+        TextAnalysis.extractMainContentByLang(col("t"), col("lang"))
+          .as("full"),
+        element_at(TextAnalysis.htmlBlockFeaturesByLangAscii(col("t"),
+          col("lang")), 1).getField("keep").as("keep_ascii"),
+        element_at(TextAnalysis.htmlBlockFeaturesByLang(col("t"),
+          col("lang")), 1).getField("n_stop").as("n_stop"),
+        element_at(TextAnalysis.htmlBlockFeaturesByLang(col("t"),
+          col("lang")), 1).getField("n_words").as("n_words"),
+        graft.expressions.TextHashExpressions.htmlExtractNativeLang(
+          col("t"), col("lang"), 70, 0.2, 0.2).as("nat"))
+      .collect()(0)
+    assert(r.getAs[String]("full") == ptText,
+      s"accented pt page must survive the full list: ${r}")
+    assert(!r.getAs[Boolean]("keep_ascii"),
+      "the ASCII-subset counterfactual must DROP the page — " +
+        "survival is decided by the accented entries")
+    // hand-verified counts: 32 words, 11 full-list stops (8 accented)
+    assert(r.getAs[Long]("n_words") == 32L, r.toString)
+    assert(r.getAs[Long]("n_stop") == 11L, r.toString)
+    // native one-pass tokenizer/stop-set == column form on accents
+    assert(r.getAs[String]("nat") == ptText,
+      s"native diverged on accented page:\nnat=${r.getAs[String]("nat")}")
+    // the word tokenizer itself: accented words are ONE token (não),
+    // never split at the accent (n + o under the r14 class)
+    val toks = Seq(Tuple1("não é más über così")).toDF("t")
+      .select(size(regexp_extract_all(lower(col("t")),
+        lit(TextAnalysis.wordClassJava + "+"), lit(0))).as("n"))
+      .as[Int].head()
+    assert(toks == 5, s"accented words split: got $toks tokens, want 5")
+  }
+
   test("extractHtmlDf: rewrites to kept text, drops pages with no content") {
     val good = "<body><p>It was a calm day and the people of the town " +
       "were out in the streets, and all of them had something they " +
