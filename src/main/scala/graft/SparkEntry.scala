@@ -3708,11 +3708,13 @@ object SparkEntry {
       WebGraph.compactIndex(s, path)
       WebGraph.pageRankIndexed(s, path, iterations = 10).orderBy("host")
     }),
-    // Registered-domain (eTLD+1) extraction (r14): the registrant-level
-    // key crawl budgets and mirror policies group on. Constructed hosts
-    // exercise every branch per row: plain 3-label (→ eTLD+1),
-    // multi-label public suffix at 3 and 5 labels (case-insensitive
-    // suffix match), 2-label pass-through, single-label pass-through.
+    // Registered-domain (eTLD+1) extraction (r14; LOWERCASED since r15
+    // per ADVICE r14 — case-variant hosts of one registrant are one
+    // group): the registrant-level key crawl budgets and mirror
+    // policies group on. Constructed hosts exercise every branch per
+    // row: plain 3-label (→ eTLD+1), multi-label public suffix at 3
+    // and 5 labels (case-insensitive suffix match AND case-folded
+    // output), 2-label pass-through, single-label pass-through.
     "q_web_registered_domain" -> ((s, d) => {
       val id = col("doc_id")
       val host = when(id % 6 === 0,
@@ -3729,6 +3731,49 @@ object SparkEntry {
       t(s, d, "documents")
         .select(id, host.as("host"))
         .withColumn("reg_domain", WebGraph.registeredDomain(col("host")))
+        .orderBy("doc_id")
+    }),
+    // FULL public-suffix-list evaluation (r15, VERDICT r14 §next-2):
+    // the publicsuffix.org algorithm — longest-suffix match, wildcard
+    // (*.ck, *.kawasaki.jp), exception (!www.ck, !city.kawasaki.jp),
+    // private suffixes (github.io), implicit-* default, trailing-dot
+    // strip, case folding — over a rules TABLE parsed from verbatim
+    // PSL-format lines. Every rule class exercised per row (doc_id %
+    // 12 branches); the oracle replays candidate generation → rule
+    // join → exception-first/longest-wins resolution from the SAME
+    // parsed rules as VALUES.
+    "q_web_psl_domain" -> ((s, d) => {
+      val id = col("doc_id")
+      val host = when(id % 12 === 0,
+          concat(lit("www.site"), (id % 7).cast("string"),
+            lit(".example.com")))
+        .when(id % 12 === 1,
+          concat(lit("shop"), (id % 5).cast("string"),
+            lit(".example.CO.UK")))
+        .when(id % 12 === 2,
+          concat(lit("user"), (id % 9).cast("string"), lit(".github.io")))
+        .when(id % 12 === 3,
+          concat(lit("a.user"), (id % 9).cast("string"), lit(".github.io")))
+        .when(id % 12 === 4, lit("www.ck"))
+        .when(id % 12 === 5,
+          concat(lit("shop"), (id % 3).cast("string"), lit(".www.ck")))
+        .when(id % 12 === 6,
+          concat(lit("a"), (id % 4).cast("string"), lit(".b.ck")))
+        .when(id % 12 === 7,
+          concat(lit("b"), (id % 4).cast("string"), lit(".ck")))
+        .when(id % 12 === 8, lit("city.kawasaki.jp"))
+        .when(id % 12 === 9,
+          concat(lit("x"), (id % 6).cast("string"),
+            lit(".town.kawasaki.jp")))
+        .when(id % 12 === 10,
+          concat(lit("sub.example"), (id % 5).cast("string"),
+            lit(".unlisted")))
+        .otherwise(concat(lit("www.example"), (id % 5).cast("string"),
+          lit(".com.")))
+      WebGraph.registeredDomainPsl(
+          t(s, d, "documents").select(id, host.as("host")),
+          "host", WebGraph.pslRulesDf(s))
+        .select(col("doc_id"), col("host"), col("reg_domain"))
         .orderBy("doc_id")
     }),
     // Host-level mirror detection (r14): hosts sharing exact content
@@ -9102,15 +9147,88 @@ object SparkEntry {
          |  FROM documents),
          |hp AS (
          |  SELECT doc_id, host,
-         |    regexp_replace(host, '\\.$$', '') AS h,
-         |    string_split(regexp_replace(host, '\\.$$', ''), '.') AS parts
+         |    lower(regexp_replace(host, '\\.$$', '')) AS h,
+         |    string_split(lower(regexp_replace(host, '\\.$$', '')), '.')
+         |      AS parts
          |  FROM hd)
          |SELECT doc_id, host,
          |  CASE WHEN len(parts) <= 2 THEN h
-         |       WHEN lower(parts[-2] || '.' || parts[-1]) IN ($suffixes)
+         |       WHEN parts[-2] || '.' || parts[-1] IN ($suffixes)
          |         THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
          |       ELSE parts[-2] || '.' || parts[-1] END AS reg_domain
          |FROM hp ORDER BY doc_id""".stripMargin
+    },
+    // The full-PSL evaluation replayed: the SAME parsed rules as a
+    // VALUES table, the same candidate forms (literal last-d suffix +
+    // leftmost-label-wildcarded), the same exception-first /
+    // longest-wins resolution, the same registrable slice.
+    "q_web_psl_domain" -> {
+      val ruleValues = WebGraph.parsePsl(WebGraph.PslFixtureLines)
+        .map(r => s"('${r.rule}', '${r.kind}', '${r.section}')")
+        .mkString(",\n        ")
+      s"""WITH hd AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 12 = 0
+         |           THEN 'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+         |         WHEN doc_id % 12 = 1
+         |           THEN 'shop' || CAST(doc_id % 5 AS VARCHAR) || '.example.CO.UK'
+         |         WHEN doc_id % 12 = 2
+         |           THEN 'user' || CAST(doc_id % 9 AS VARCHAR) || '.github.io'
+         |         WHEN doc_id % 12 = 3
+         |           THEN 'a.user' || CAST(doc_id % 9 AS VARCHAR) || '.github.io'
+         |         WHEN doc_id % 12 = 4 THEN 'www.ck'
+         |         WHEN doc_id % 12 = 5
+         |           THEN 'shop' || CAST(doc_id % 3 AS VARCHAR) || '.www.ck'
+         |         WHEN doc_id % 12 = 6
+         |           THEN 'a' || CAST(doc_id % 4 AS VARCHAR) || '.b.ck'
+         |         WHEN doc_id % 12 = 7
+         |           THEN 'b' || CAST(doc_id % 4 AS VARCHAR) || '.ck'
+         |         WHEN doc_id % 12 = 8 THEN 'city.kawasaki.jp'
+         |         WHEN doc_id % 12 = 9
+         |           THEN 'x' || CAST(doc_id % 6 AS VARCHAR) || '.town.kawasaki.jp'
+         |         WHEN doc_id % 12 = 10
+         |           THEN 'sub.example' || CAST(doc_id % 5 AS VARCHAR) || '.unlisted'
+         |         ELSE 'www.example' || CAST(doc_id % 5 AS VARCHAR) || '.com.'
+         |    END AS host
+         |  FROM documents),
+         |psl_rules(rule, kind, section) AS (VALUES
+         |        $ruleValues),
+         |psl_pp AS (
+         |  SELECT doc_id, host,
+         |    lower(regexp_replace(host, '\\.$$', '')) AS h,
+         |    string_split(lower(regexp_replace(host, '\\.$$', '')), '.')
+         |      AS parts,
+         |    len(string_split(lower(regexp_replace(host, '\\.$$', '')),
+         |      '.')) AS n
+         |  FROM hd),
+         |psl_cand AS (
+         |  SELECT doc_id, parts, n, unnest(generate_series(1, n)) AS d
+         |  FROM psl_pp),
+         |psl_forms AS (
+         |  SELECT doc_id, d,
+         |    array_to_string(parts[n - d + 1:n], '.') AS lit_form,
+         |    CASE WHEN d >= 2
+         |      THEN '*.' || array_to_string(parts[n - d + 2:n], '.')
+         |    END AS wc_form
+         |  FROM psl_cand),
+         |psl_m AS (
+         |  SELECT f.doc_id, r.kind = 'exception' AS exc,
+         |    CASE WHEN r.kind = 'exception' THEN f.d - 1 ELSE f.d END AS eff
+         |  FROM psl_forms f JOIN psl_rules r ON
+         |    (r.kind = 'wildcard' AND f.wc_form = r.rule) OR
+         |    (r.kind <> 'wildcard' AND f.lit_form = r.rule)),
+         |psl_win AS (
+         |  SELECT doc_id,
+         |    CASE WHEN bool_or(exc) THEN max(eff) FILTER (WHERE exc)
+         |         ELSE max(eff) END AS suffix_len
+         |  FROM psl_m GROUP BY doc_id)
+         |SELECT p.doc_id, p.host,
+         |  CASE WHEN p.n > coalesce(w.suffix_len, 1)
+         |    THEN array_to_string(
+         |      p.parts[p.n - coalesce(w.suffix_len, 1):p.n], '.')
+         |    ELSE p.h END AS reg_domain
+         |FROM psl_pp p LEFT JOIN psl_win w USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin
     },
     // Mirror detection replayed: same fixture CASE, distinct (host, fp),
     // hot-fp exclusion, fp-keyed pair counts, full-size Jaccard.

@@ -186,11 +186,72 @@ class WebGraphSpec extends SparkSpec {
       .toDF("host")
       .select(WebGraph.registeredDomain($"host")).as[String]
       .collect().toSeq
+    // results LOWERCASED (ADVICE r14): shop1.CO.UK and shop1.co.uk are
+    // one registrant — case variants must land in one group
     assert(got == Seq(
-      "example.com", "shop1.CO.UK", "news.com.au",
+      "example.com", "shop1.co.uk", "news.com.au",
       "example.org", "example.co.jp", "localhost",
-      "example.com", "x.CoM.Au", "example.com",
+      "example.com", "x.com.au", "example.com",
       "example.com", null), got.toString)
+  }
+
+  test("registeredDomainPsl: longest match, wildcard, exception, " +
+      "private section, defaults — the publicsuffix.org algorithm") {
+    // r15 (VERDICT r14 §next-2): every rule class of the real PSL
+    // format, evaluated per the published algorithm.
+    val rules = WebGraph.pslRulesDf(spark)
+    val hosts = Seq(
+      "www.example.com",          // plain TLD -> example.com
+      "shop.example.CO.UK",       // multi-label registry, case-folded
+      "user.github.io",           // private suffix -> user.github.io
+      "a.user.github.io",         // one above the private suffix
+      "www.ck",                   // exception !www.ck -> www.ck
+      "shop.www.ck",              // exception suffix ck -> www.ck
+      "a.b.ck",                   // wildcard *.ck -> a.b.ck (3 labels)
+      "b.ck",                     // IS a public suffix -> itself
+      "city.kawasaki.jp",         // exception -> city.kawasaki.jp
+      "x.town.kawasaki.jp",       // wildcard *.kawasaki.jp
+      "kawasaki.jp",              // no wildcard match at 2 labels -> jp rule
+      "sub.example.unlisted",     // unlisted TLD: implicit * rule
+      "example.com.",             // trailing dot strips
+      "localhost")                // single label groups as itself
+    val got = WebGraph.registeredDomainPsl(
+        hosts.toDF("host"), "host", rules)
+      .select("host", "reg_domain").as[(String, String)]
+      .collect().toMap
+    val want = Map(
+      "www.example.com" -> "example.com",
+      "shop.example.CO.UK" -> "example.co.uk",
+      "user.github.io" -> "user.github.io",
+      "a.user.github.io" -> "user.github.io",
+      "www.ck" -> "www.ck",
+      "shop.www.ck" -> "www.ck",
+      "a.b.ck" -> "a.b.ck",
+      "b.ck" -> "b.ck",
+      "city.kawasaki.jp" -> "city.kawasaki.jp",
+      "x.town.kawasaki.jp" -> "x.town.kawasaki.jp",
+      "kawasaki.jp" -> "kawasaki.jp",
+      "sub.example.unlisted" -> "example.unlisted",
+      "example.com." -> "example.com",
+      "localhost" -> "localhost")
+    hosts.foreach(h => assert(got(h) == want(h),
+      s"$h: got ${got(h)}, want ${want(h)}"))
+    // ICANN-only evaluation: github.io stops being a suffix, so every
+    // *.github.io user collapses into ONE registrant — the exact
+    // quota-multiplication policy switch, now explicit
+    val icann = WebGraph.registeredDomainPsl(
+        Seq("user.github.io", "other.github.io").toDF("host"), "host",
+        rules, includePrivate = false)
+      .select("reg_domain").as[String].collect().toSet
+    assert(icann == Set("github.io"), icann.toString)
+    // parser: sections, comments, exception/wildcard kinds
+    val parsed = WebGraph.parsePsl(WebGraph.PslFixtureLines)
+    assert(parsed.exists(r => r.rule == "www.ck" && r.kind == "exception"))
+    assert(parsed.exists(r => r.rule == "*.ck" && r.kind == "wildcard"))
+    assert(parsed.exists(r =>
+      r.rule == "github.io" && r.section == "private"))
+    assert(parsed.forall(r => !r.rule.startsWith("!")))
+    assert(!parsed.exists(_.rule.startsWith("//")))
   }
 
   test("mirrorCandidates: shared-fp pairs, hot-fp exclusion, exact Jaccard") {
