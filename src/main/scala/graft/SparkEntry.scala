@@ -1275,6 +1275,26 @@ object SparkEntry {
     path
   }
 
+  // Two-sided IVF indexes for the indexed margin-mining row (r15):
+  // even vec_ids = source corpus, odd = target (the q_ret_margin_mine
+  // split), persisted once per process per sf-dir — the amortized
+  // bitext-mining steady state.
+  private lazy val marginIdxTmpDir =
+    java.nio.file.Files.createTempDirectory("graft-mmidx").toString
+
+  private def marginIdxEnsure(s: SparkSession, d: String): (String, String) = {
+    val base = s"$marginIdxTmpDir/${sfKey(d)}"
+    val (srcP, tgtP) = (s"$base/src", s"$base/tgt")
+    if (!graft.pipeline.Sinks.exists(s, srcP)) {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dim = 64, nCentroids = 16, path = srcP)
+      Similarity.ivfWriteIndex(emb.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", dim = 64, nCentroids = 16, path = tgtP)
+    }
+    (srcP, tgtP)
+  }
+
   // MinHash dedup index for the incremental-probe gate: corpus half
   // (doc_id >= 120) indexed once per process per sf-dir.
   private lazy val mhIdxTmpDir =
@@ -5302,6 +5322,23 @@ object SparkEntry {
           topM = 5)
         .orderBy("src_id", "rank")
     }),
+    // Indexed margin mining (r15, VERDICT r14 §next-3): the
+    // corpus×corpus composition the brute form's scaladoc promised —
+    // both neighborhood passes ride the persisted two-sided IVF
+    // indexes (forward probe on the target index, backward probe on
+    // the source index, cell IN (...) partition pruning). Probes run
+    // at nProbe = nCentroids here, so recall is exact and the row
+    // SHARES the brute q_ret_margin_mine oracle outright (the
+    // q_warc_file_ingest shared-oracle gate pattern): the index round
+    // trip must reproduce every margin pair hash-exactly. BENCHED as
+    // the amortized row — index writes paid once per process, the
+    // probe chain is the per-batch steady-state cost.
+    "q_ret_margin_mine_indexed" -> ((s, d) => {
+      val (srcP, tgtP) = marginIdxEnsure(s, d)
+      Retrieval.marginMineIndexed(s, srcP, tgtP,
+          queryIds = Seq(2L, 4L, 6L), k = 8, topM = 5, nProbe = 16)
+        .orderBy("src_id", "rank")
+    }),
     "q_sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         queryId = 1, k = 20, nCentroids = 16, nProbe = 4)),
@@ -8655,6 +8692,58 @@ object SparkEntry {
     // side, top-k + mass per query, backward dots candidates×even side,
     // top-k mass per candidate, then the integer ratio margin and the
     // per-query top-m — tie-breaks total everywhere, all BIGINT.
+    // The INDEXED row shares this oracle outright (full-probe recall is
+    // exact, so the persisted-index round trip must reproduce every
+    // margin pair hash-exactly — the q_warc_file_ingest gate pattern).
+    "q_ret_margin_mine_indexed" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT vec_id AS id, vec_id % 2 = 0 AS is_src,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings WHERE len(embedding) > 0),
+        |qd AS MATERIALIZED (
+        |  SELECT q.id AS src_id, t.id AS tgt_id,
+        |    CAST(sum(t.x * q.x) AS BIGINT) AS s
+        |  FROM b t JOIN b q ON q.i = t.i
+        |  WHERE q.id IN (2, 4, 6) AND q.is_src AND NOT t.is_src
+        |  GROUP BY 1, 2),
+        |fk AS MATERIALIZED (
+        |  SELECT src_id, tgt_id, s FROM (
+        |    SELECT src_id, tgt_id, s,
+        |      row_number() OVER (PARTITION BY src_id
+        |        ORDER BY s DESC, tgt_id ASC) AS r
+        |    FROM qd) WHERE r <= 8),
+        |fm AS (SELECT src_id, CAST(sum(s) AS BIGINT) AS fwd_mass
+        |       FROM fk GROUP BY 1),
+        |bd AS MATERIALIZED (
+        |  SELECT c.id AS tgt_id, xx.id AS xs,
+        |    CAST(sum(xx.x * c.x) AS BIGINT) AS s
+        |  FROM b xx JOIN b c ON c.i = xx.i
+        |  WHERE xx.is_src AND NOT c.is_src
+        |    AND c.id IN (SELECT DISTINCT tgt_id FROM fk)
+        |  GROUP BY 1, 2),
+        |bm AS (
+        |  SELECT tgt_id, CAST(sum(s) AS BIGINT) AS bwd_mass FROM (
+        |    SELECT tgt_id, s,
+        |      row_number() OVER (PARTITION BY tgt_id
+        |        ORDER BY s DESC, xs ASC) AS r
+        |    FROM bd) WHERE r <= 8 GROUP BY 1),
+        |mg AS (
+        |  SELECT f.src_id, f.tgt_id, f.s,
+        |    CAST((16 * f.s * 1000) // (fm.fwd_mass + bm.bwd_mass)
+        |      AS BIGINT) AS margin_scaled
+        |  FROM fk f
+        |  JOIN fm ON fm.src_id = f.src_id
+        |  JOIN bm ON bm.tgt_id = f.tgt_id
+        |  WHERE f.s >= 0 AND fm.fwd_mass + bm.bwd_mass > 0)
+        |SELECT src_id, tgt_id, s AS score, margin_scaled,
+        |  CAST(rank AS INT) AS rank
+        |FROM (
+        |  SELECT src_id, tgt_id, s, margin_scaled,
+        |    row_number() OVER (PARTITION BY src_id
+        |      ORDER BY margin_scaled DESC, tgt_id ASC) AS rank
+        |  FROM mg)
+        |WHERE rank <= 5 ORDER BY src_id, rank""".stripMargin,
     "q_ret_margin_mine" ->
       """WITH b AS MATERIALIZED (
         |  SELECT vec_id AS id, vec_id % 2 = 0 AS is_src,
