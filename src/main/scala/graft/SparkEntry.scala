@@ -5585,6 +5585,38 @@ object SparkEntry {
           element_at(col("features"), 3).as("mean_r"),
           element_at(col("features"), 4).as("mean_g"))
         .orderBy("doc_id")),
+    // REAL codec path, JPEG (r15, VERDICT r14 §next-5): the most common
+    // web image format finally exercised end-to-end — the two-tone
+    // fixture encoded LOSSY through the JDK JPEG writer, decoded by
+    // javax.imageio, perceptually hashed. Assertions are decoded-pixel
+    // INVARIANTS robust to lossy encoding (never byte equality):
+    // exact dimensions, aHash within 4 bits of the image's own class
+    // representative (docs 0-4), and more than 8 bits from every OTHER
+    // class's representative — class recovery through the lossy round
+    // trip, pinned per row in the hash.
+    "q_mm_jpeg_decode" -> ((s, d) => {
+      val jp = Multimodal.synthJpeg2ToneFromId(
+        t(s, d, "documents").select("doc_id"), "doc_id", classes = 5)
+      val hashed = Multimodal.withImageAHash(jp, "jpg", "phash")
+      val feats = Multimodal.decodeBatched(hashed, "jpg", dim = 5,
+        decodeBatch = Multimodal.decodeImageBatch)
+      val reps = hashed.filter(col("doc_id") < 5)
+        .select((col("doc_id") % 5).as("rep_cls"),
+          col("phash").as("rep_hash"))
+      feats.select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("width"),
+          element_at(col("features"), 2).cast("long").as("height"),
+          col("phash"), (col("doc_id") % 5).as("cls"))
+        .crossJoin(broadcast(reps))
+        .withColumn("ham", expr("bit_count(phash ^ rep_hash)"))
+        .groupBy("doc_id", "width", "height")
+        .agg(
+          (max(when(col("rep_cls") === col("cls"), col("ham"))) <= 4)
+            .as("near_class_rep"),
+          (min(when(col("rep_cls") =!= col("cls"), col("ham"))) > 8)
+            .as("class_separated"))
+        .orderBy("doc_id")
+    }),
     // Perceptual-hash image near-dup dedup (late r10): two-tone patterned
     // PNGs (pattern class = doc_id % 5, odd ids carry one bit of noise)
     // run the FULL encode -> imageio decode -> 8x8 aHash -> banded
@@ -8857,6 +8889,16 @@ object SparkEntry {
       """SELECT doc_id, 1 + doc_id % 16 AS width, 1 + doc_id % 8 AS height,
         |  CAST(doc_id % 256 AS DOUBLE) AS mean_r,
         |  CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // JPEG decode (r15): constructive-truth oracle — dimensions are
+    // exact through the lossy codec, and the per-row class-recovery
+    // booleans (near own class rep, far from every other) must be
+    // TRUE for every document; the engine earns them through the real
+    // encode → decode → aHash → hamming chain.
+    "q_mm_jpeg_decode" ->
+      """SELECT doc_id, CAST(16 AS BIGINT) AS width,
+        |  CAST(8 AS BIGINT) AS height,
+        |  true AS near_class_rep, true AS class_separated
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_phash_groups" ->
       """SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS group_id

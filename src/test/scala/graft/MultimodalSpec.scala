@@ -91,6 +91,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG codec path: lossy round trip preserves dimensions and " +
+      "aHash class structure (r15)") {
+    // r15 (VERDICT r14 §next-5): the first fixture to exercise the
+    // javax.imageio JPEG reader. JPEG is LOSSY — assertions target
+    // decoded-pixel invariants (dims, perceptual-hash class recovery),
+    // never byte equality. 20 ids cover all 5 pattern classes with
+    // clean and noisy (odd-id) members.
+    val ids = (0L until 20L).toDF("doc_id")
+    val jp = Multimodal.synthJpeg2ToneFromId(ids, "doc_id", classes = 5)
+    // it really is JPEG on the wire (SOI marker), not PNG
+    val magic = jp.select("jpg").as[Array[Byte]].head()
+    assert((magic(0) & 0xff) == 0xd8 || (magic(1) & 0xff) == 0xd8,
+      s"not a JPEG: ${magic.take(4).map(b => f"${b & 0xff}%02x").mkString}")
+    val feats = Multimodal.decodeBatched(jp, "jpg", dim = 5,
+        decodeBatch = Multimodal.decodeImageBatch)
+      .select("doc_id", "features").as[(Long, Seq[Double])]
+      .collect().toMap
+    ids.as[Long].collect().foreach { id =>
+      assert(feats(id)(0) == 16.0 && feats(id)(1) == 8.0,
+        s"dims for $id: ${feats(id)}")
+    }
+    val hashes = Multimodal.withImageAHash(jp, "jpg", "phash")
+      .select("doc_id", "phash").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // within-class distances small, cross-class LARGE — the class
+    // structure survives the lossy encode with a wide margin
+    val within = for {
+      a <- 0L until 20L; b <- 0L until 20L
+      if a < b && a % 5 == b % 5
+    } yield ham(hashes(a), hashes(b))
+    val cross = for {
+      a <- 0L until 20L; b <- 0L until 20L
+      if a < b && a % 5 != b % 5
+    } yield ham(hashes(a), hashes(b))
+    assert(within.max <= 4,
+      s"within-class aHash drifted past 4 bits under JPEG: ${within.max}")
+    assert(cross.min > 8,
+      s"cross-class aHash collapsed under JPEG: ${cross.min}")
+  }
+
   test("resizeImageBatched: real 2x replication — dims double, means exact, junk null") {
     val ids = Seq(0L, 7L, 300L).toDF("doc_id")
     val out = Multimodal.decodeBatched(
