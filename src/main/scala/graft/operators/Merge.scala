@@ -86,14 +86,28 @@ object Merge {
     * even for insert-heavy backfills.
     */
   def apply(src: DataFrame, tgt: DataFrame, keys: Seq[String],
-            now: Column = current_timestamp()): DataFrame = {
+            now: Column = current_timestamp()): DataFrame =
+    applyAbove(src, tgt, keys,
+      tgt.agg(coalesce(max(col("id")), lit(0L)).as("__max_id")), now)
+
+  /** As [[apply]] but minting insert ids above an EXPLICIT id
+    * watermark (a one-row frame with column `__max_id`) instead of
+    * `max(tgt.id)` — for callers merging into a SLICE of a larger
+    * target (the bucketed incremental sink,
+    * [[graft.streaming.Streams.mergeEachBatchBucketed]]), where the
+    * slice's max id is NOT the table's and slice-local minting would
+    * collide with ids in untouched buckets.
+    */
+  def applyAbove(src: DataFrame, tgt: DataFrame, keys: Seq[String],
+                 maxIdDf: DataFrame,
+                 now: Column = current_timestamp()): DataFrame = {
     val dataCols = src.columns.filterNot(AuditCols.contains).toSeq
     val outCols = dataCols ++ AuditCols
     // keys are unique on the source (classify precondition), so they are a
     // total order for the rank — no extra tiebreak needed.
     val inserted = RowHash.orderedDenseId(
         insertRows(src, tgt, keys, dataCols, now), keys.map(col), "__rn")
-      .crossJoin(broadcast(tgt.agg(coalesce(max(col("id")), lit(0L)).as("__max_id"))))
+      .crossJoin(broadcast(maxIdDf))
       .withColumn("id", col("__max_id") + col("__rn"))
       .select(outCols.map(col): _*)
     keptOrUpdated(src, tgt, keys, dataCols, now)

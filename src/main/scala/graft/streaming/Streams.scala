@@ -260,7 +260,11 @@ object Streams {
   /** Host the J2 hash-diff merge inside a stream: every micro-batch is
     * merged into the parquet target at `targetPath` (create-on-first-batch),
     * preserving the batch pipeline's no-delete/idempotence invariants.
-    * Returns a function suitable for `writeStream.foreachBatch`.
+    * O(target) PER BATCH: the whole target rewrites twice through a
+    * staging dir every micro-batch — correct, and fine for small
+    * targets, but use [[mergeEachBatchBucketed]] when the target
+    * outgrows its change rate (the JDBC path's O(changes) treatment on
+    * parquet). Returns a function suitable for `writeStream.foreachBatch`.
     */
   def mergeEachBatch(targetPath: String, keys: Seq[String])
       : (DataFrame, Long) => Unit = { (batch0, _) =>
@@ -281,6 +285,65 @@ object Streams {
     merged.write.mode("overwrite").parquet(tmpPath)
     spark.read.parquet(tmpPath).write.mode("overwrite").parquet(targetPath)
     graft.pipeline.Sinks.drop(spark, tmpPath)
+  }
+
+  /** [[mergeEachBatch]] with an O(changes) target (r15, VERDICT r14
+    * §next-6 — the JDBC sink's incremental treatment applied to the
+    * parquet target): the target lives PARTITIONED by a stable key
+    * bucket (`__kb = pmod(xxhash64(keys…), nBuckets)` directory
+    * column), and each micro-batch overwrites ONLY the buckets
+    * containing its changed keys (dynamic partition overwrite) instead
+    * of rewriting the whole target twice through a staging dir.
+    *
+    * Per-batch work: one partition-PRUNED scan of the changed buckets
+    * (the classify/merge build side), one column-pruned global
+    * `max(id)` scan for insert minting ([[Merge.applyAbove]] — the
+    * slice's max id is not the table's), and a rewrite of the changed
+    * buckets only. Key→bucket is deterministic, so a key never moves
+    * buckets; a no-change batch rewrites nothing but its keys'
+    * buckets. The merged slice is MATERIALIZED (eager localCheckpoint)
+    * before the overwrite — the plan reads the very partitions it
+    * replaces, the mergeEachBatch staging problem solved without the
+    * second full copy (a lost checkpoint block fails loudly, the
+    * jdbcApplyIncremental ruling).
+    *
+    * Readers see one extra `__kb` partition column via partition
+    * discovery; consumers select columns by name (the __ingest_batch
+    * convention). Size `nBuckets` so a bucket ≈ a comfortable rewrite
+    * unit (target_size / nBuckets); at 100 TB with nBuckets = 4096 a
+    * single-key batch rewrites 1/4096 of the table instead of 2×.
+    * The pre-dedup/latest-wins caveat is [[mergeEachBatch]]'s.
+    */
+  def mergeEachBatchBucketed(targetPath: String, keys: Seq[String],
+                             nBuckets: Int = 64)
+      : (DataFrame, Long) => Unit = { (batch0, _) =>
+    require(nBuckets >= 1, s"mergeEachBatchBucketed: nBuckets >= 1")
+    val spark = batch0.sparkSession
+    val batch = batch0.dropDuplicates(keys)
+    def kbOf(c: Seq[org.apache.spark.sql.Column]) =
+      pmod(xxhash64(c: _*), lit(nBuckets.toLong)).cast("int")
+    if (!graft.pipeline.Sinks.exists(spark, targetPath)) {
+      graft.functions.RowHash.withAuditColumns(batch, keys)
+        .withColumn("__kb", kbOf(keys.map(col)))
+        .write.mode("overwrite").partitionBy("__kb").parquet(targetPath)
+    } else {
+      val changed = batch.select(kbOf(keys.map(col)).as("__kb"))
+        .distinct().collect().map(_.getInt(0)).toSeq // bounded by nBuckets
+      if (changed.nonEmpty) {
+        val target = spark.read.parquet(targetPath)
+        val slice = target.filter(col("__kb").isin(changed: _*))
+          .drop("__kb")
+        val maxIdDf = target.agg(
+          org.apache.spark.sql.functions.coalesce(
+            max(col("id")), lit(0L)).as("__max_id"))
+        val merged = Merge.applyAbove(batch, slice, keys, maxIdDf)
+          .withColumn("__kb", kbOf(keys.map(col)))
+          .localCheckpoint(true)
+        try graft.pipeline.Sinks.overwritePartitions(merged, targetPath,
+          Seq("__kb"))
+        finally merged.unpersist(): Unit
+      }
+    }
   }
 
   /** Dedup-on-ingest: every micro-batch is probed against the PERSISTED

@@ -132,6 +132,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mergeEachBatchBucketed: equals the full-rewrite merge, touches " +
+      "only changed buckets, ids never collide across buckets") {
+    // r15 (VERDICT r14 §next-6): the O(changes) parquet target. Drive
+    // both sinks with the SAME batch sequence and pin result equality
+    // on (k, v, id, row_hash); then pin that an untouched bucket's
+    // files are bit-identical after a batch that doesn't hit it.
+    val dir = Files.createTempDirectory("graft-bkt-merge").toString
+    val (full, bkt) = (s"$dir/full", s"$dir/bkt")
+    val doFull = Streams.mergeEachBatch(full, Seq("k"))
+    val doBkt = Streams.mergeEachBatchBucketed(bkt, Seq("k"), nBuckets = 8)
+    val b1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "j"), (11L, "k"))
+      .toDF("k", "v")
+    doFull(b1, 0L); doBkt(b1, 0L)
+    // snapshot every bucket dir's file list + sizes before batch 2
+    def bucketFiles(): Map[String, Seq[(String, Long)]] = {
+      val base = new java.io.File(bkt)
+      base.listFiles().filter(_.getName.startsWith("__kb=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toSeq.sortBy(_._1)
+      }.toMap
+    }
+    val before = bucketFiles()
+    // batch 2: update k=1, insert k=4 — buckets of other keys untouched
+    val b2 = Seq((1L, "A2"), (4L, "d")).toDF("k", "v")
+    Thread.sleep(20) // mtime resolution guard
+    doFull(b2, 1L); doBkt(b2, 1L)
+    val after = bucketFiles()
+    def kb(k: Long): Int = {
+      import org.apache.spark.sql.functions.{pmod, xxhash64, lit => l}
+      Seq(Tuple1(k)).toDF("k")
+        .select(pmod(xxhash64(col("k")), l(8L)).cast("int")).as[Int].head()
+    }
+    val touched = Set(kb(1L), kb(4L)).map(c => s"__kb=$c")
+    before.keys.filterNot(touched).foreach { d =>
+      assert(after(d) == before(d),
+        s"untouched bucket $d was rewritten: ${before(d)} -> ${after(d)}")
+    }
+    touched.foreach { d =>
+      assert(after.contains(d), s"changed bucket $d missing after merge")
+    }
+    // result equality with the full-rewrite sink (timestamps excluded:
+    // the two sinks stamp at their own instants)
+    val a = spark.read.parquet(full).select("k", "v", "id", "row_hash")
+      .as[(Long, String, Long, String)].collect().toSet
+    val b = spark.read.parquet(bkt).select("k", "v", "id", "row_hash")
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(a == b, s"full $a\nbucketed $b")
+    // global id minting: k=4's id is above EVERY bucket's max, not the
+    // slice's (6 distinct ids for 6 keys)
+    assert(spark.read.parquet(bkt).select("id").as[Long].collect().toSet
+      .size == 6)
+  }
+
   test("cdcToJdbcEachBatchExactlyOnce: replayed batch ids are no-ops, " +
       "per-batch timestamps, converged target") {
     // r15 (VERDICT r14 §next-4): the exactly-once JDBC CDC sink — drive
