@@ -3709,6 +3709,18 @@ object SparkEntry {
     "q_web_pagerank_indexed" -> ((s, d) =>
       WebGraph.pageRankIndexed(s, webIdxEnsure(s, d), iterations = 10)
         .orderBy("host")),
+    // The DISTRIBUTED PageRank twin, benched (r15, VERDICT r14
+    // §next-7): same persisted graph and iterations with
+    // localEdgeLimit = 0 forcing the per-iteration edge-join + dst-agg
+    // loop — the 100 TB path finally lands in a bench artifact (it was
+    // previously only spec-pinned bit-identical to the driver loop).
+    // Shares the scratch oracle outright: bit-identical by the
+    // fixed-point construction, so the hash IS the twin-equality gate
+    // re-proven per round.
+    "q_web_pagerank_dist" -> ((s, d) =>
+      WebGraph.pageRankIndexed(s, webIdxEnsure(s, d), iterations = 10,
+          localEdgeLimit = 0L)
+        .orderBy("host")),
     // Compaction gate, graph family (r14): per-batch edge partials
     // folded to one row per host pair, then the SAME 10-iteration
     // PageRank — shares the scratch oracle outright (append + compact
@@ -9252,6 +9264,9 @@ object SparkEntry {
           |FROM rl ORDER BY doc_id, link_idx""".stripMargin),
     "q_web_pagerank" -> pageRankOracleSql(10),
     "q_web_pagerank_indexed" -> pageRankOracleSql(10),
+    // the distributed twin shares the scratch oracle — bit-identical
+    // fixed-point by construction (r15)
+    "q_web_pagerank_dist" -> pageRankOracleSql(10),
     // r14: edge partials folded + same iteration count == scratch ranks
     "q_web_pagerank_compacted" -> pageRankOracleSql(10),
     // r14: HITS replayed round-for-round over the same link chain
