@@ -689,6 +689,63 @@ object SparkEntry {
        |SELECT host, CAST(rank AS BIGINT) AS rank_scaled
        |FROM pr$iterations ORDER BY host""".stripMargin
 
+  /** The full-PSL resolution CTE chain over ANY source of hosts (r15):
+    * rules as VALUES generated from the SAME parsed fixture lines the
+    * Spark operator broadcasts, candidate label-suffixes (literal +
+    * leftmost-label-wildcarded), exception-first/longest-wins
+    * resolution, registrable slice — ending in
+    * `psl_reg(<keys>, reg_domain)`. Parameterized so compositions
+    * (the registrant budget) splice the identical chain; all CTE
+    * names psl_-prefixed (the shared-namespace rule).
+    */
+  private def pslCtes(src: String, keys: Seq[String],
+                      hostCol: String): String = {
+    val ruleValues = WebGraph.parsePsl(WebGraph.PslFixtureLines)
+      .map(r => s"('${r.rule}', '${r.kind}', '${r.section}')")
+      .mkString(",\n        ")
+    val ks = keys.mkString(", ")
+    val fks = keys.map("f." + _).mkString(", ")
+    s"""psl_rules(rule, kind, section) AS (VALUES
+       |        $ruleValues),
+       |psl_pp AS MATERIALIZED (
+       |  SELECT $ks,
+       |    lower(regexp_replace($hostCol, '\\.$$', '')) AS __h,
+       |    string_split(lower(regexp_replace($hostCol, '\\.$$', '')), '.')
+       |      AS __parts,
+       |    len(string_split(lower(regexp_replace($hostCol, '\\.$$', '')),
+       |      '.')) AS __n
+       |  FROM $src),
+       |psl_cand AS (
+       |  SELECT $ks, __parts, __n, unnest(generate_series(1, __n)) AS __d
+       |  FROM psl_pp),
+       |psl_forms AS (
+       |  SELECT $ks, __d,
+       |    array_to_string(__parts[__n - __d + 1:__n], '.') AS __lit,
+       |    CASE WHEN __d >= 2
+       |      THEN '*.' || array_to_string(__parts[__n - __d + 2:__n], '.')
+       |    END AS __wc
+       |  FROM psl_cand),
+       |psl_m AS (
+       |  SELECT $fks, r.kind = 'exception' AS __exc,
+       |    CASE WHEN r.kind = 'exception' THEN f.__d - 1 ELSE f.__d END
+       |      AS __eff
+       |  FROM psl_forms f JOIN psl_rules r ON
+       |    (r.kind = 'wildcard' AND f.__wc = r.rule) OR
+       |    (r.kind <> 'wildcard' AND f.__lit = r.rule)),
+       |psl_win AS (
+       |  SELECT $ks,
+       |    CASE WHEN bool_or(__exc) THEN max(__eff) FILTER (WHERE __exc)
+       |         ELSE max(__eff) END AS __sl
+       |  FROM psl_m GROUP BY $ks),
+       |psl_reg AS (
+       |  SELECT ${keys.map("p." + _).mkString(", ")},
+       |    CASE WHEN p.__n > coalesce(w.__sl, 1)
+       |      THEN array_to_string(
+       |        p.__parts[p.__n - coalesce(w.__sl, 1):p.__n], '.')
+       |      ELSE p.__h END AS reg_domain
+       |  FROM psl_pp p LEFT JOIN psl_win w USING ($ks))""".stripMargin
+  }
+
   /** HITS unrolled (r14): aa0/hh0 at base, per round an authority
     * half-step off the PREVIOUS hubs then a hub half-step off the NEW
     * authorities, each renormalized by the single integer division
@@ -2182,6 +2239,10 @@ object SparkEntry {
       // evaluation.
       "q_web_frontier", "q_web_frontier_sched", "q_web_crawl_budget",
       "q_web_frontier_sitemap", "q_web_recrawl",
+      // r15: the registrant-budget composition recomputes the benched
+      // indexed PageRank (same ruling); its novelty is the PSL-group →
+      // apportion splice, pinned in the hash.
+      "q_web_budget_registrant",
       // r14: the unified crawl plan recomputes the benched indexed
       // PageRank plus the sitemap/robots parses (same ruling); its
       // novelty is the due→quota→slot composition.
@@ -3849,6 +3910,26 @@ object SparkEntry {
           WebGraph.pageRankIndexed(s, webIdxEnsure(s, d), iterations = 10),
           "host", "rank_scaled", total = 1000L, maxPerHost = 400L)
         .orderBy("host")),
+    // Crawl budget at the REGISTRANT level (r15): the
+    // quota-multiplication fix composed end-to-end — per-host PageRank
+    // mass groups by the full-PSL registrable domain (the seven
+    // site*.example.com subdomains collapse into example.com, the
+    // dangling ext*.example.org targets into example.org), then the
+    // SAME largest-remainder apportionment splits the global budget
+    // per REGISTRANT, so a host farm cannot multiply its quota by
+    // minting subdomains. Oracle splices the PageRank CTEs, the shared
+    // PSL chain, and the Hamilton replay. Verify-only (recomputes the
+    // benched indexed PageRank — the q_web_crawl_budget ruling).
+    "q_web_budget_registrant" -> ((s, d) => {
+      val ranks = WebGraph.pageRankIndexed(s, webIdxEnsure(s, d),
+        iterations = 10)
+      val byReg = WebGraph.registeredDomainPsl(ranks, "host",
+          WebGraph.pslRulesDf(s))
+        .groupBy("reg_domain").agg(sum("rank_scaled").as("rank_scaled"))
+      WebGraph.apportionBudget(byReg, "reg_domain", "rank_scaled",
+          total = 1000L, maxPerHost = 400L)
+        .orderBy("reg_domain")
+    }),
     // Streaming link extraction: the SAME extractLinks + resolveUrl
     // transform over a file-stream source drained AvailableNow into a
     // memory sink — a genuine streaming execution oracled against the
@@ -9307,11 +9388,10 @@ object SparkEntry {
     // The full-PSL evaluation replayed: the SAME parsed rules as a
     // VALUES table, the same candidate forms (literal last-d suffix +
     // leftmost-label-wildcarded), the same exception-first /
-    // longest-wins resolution, the same registrable slice.
-    "q_web_psl_domain" -> {
-      val ruleValues = WebGraph.parsePsl(WebGraph.PslFixtureLines)
-        .map(r => s"('${r.rule}', '${r.kind}', '${r.section}')")
-        .mkString(",\n        ")
+    // longest-wins resolution, the same registrable slice (shared
+    // pslCtes generator — the registrant-budget composition splices
+    // the identical chain).
+    "q_web_psl_domain" ->
       s"""WITH hd AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 12 = 0
@@ -9337,45 +9417,9 @@ object SparkEntry {
          |         ELSE 'www.example' || CAST(doc_id % 5 AS VARCHAR) || '.com.'
          |    END AS host
          |  FROM documents),
-         |psl_rules(rule, kind, section) AS (VALUES
-         |        $ruleValues),
-         |psl_pp AS (
-         |  SELECT doc_id, host,
-         |    lower(regexp_replace(host, '\\.$$', '')) AS h,
-         |    string_split(lower(regexp_replace(host, '\\.$$', '')), '.')
-         |      AS parts,
-         |    len(string_split(lower(regexp_replace(host, '\\.$$', '')),
-         |      '.')) AS n
-         |  FROM hd),
-         |psl_cand AS (
-         |  SELECT doc_id, parts, n, unnest(generate_series(1, n)) AS d
-         |  FROM psl_pp),
-         |psl_forms AS (
-         |  SELECT doc_id, d,
-         |    array_to_string(parts[n - d + 1:n], '.') AS lit_form,
-         |    CASE WHEN d >= 2
-         |      THEN '*.' || array_to_string(parts[n - d + 2:n], '.')
-         |    END AS wc_form
-         |  FROM psl_cand),
-         |psl_m AS (
-         |  SELECT f.doc_id, r.kind = 'exception' AS exc,
-         |    CASE WHEN r.kind = 'exception' THEN f.d - 1 ELSE f.d END AS eff
-         |  FROM psl_forms f JOIN psl_rules r ON
-         |    (r.kind = 'wildcard' AND f.wc_form = r.rule) OR
-         |    (r.kind <> 'wildcard' AND f.lit_form = r.rule)),
-         |psl_win AS (
-         |  SELECT doc_id,
-         |    CASE WHEN bool_or(exc) THEN max(eff) FILTER (WHERE exc)
-         |         ELSE max(eff) END AS suffix_len
-         |  FROM psl_m GROUP BY doc_id)
-         |SELECT p.doc_id, p.host,
-         |  CASE WHEN p.n > coalesce(w.suffix_len, 1)
-         |    THEN array_to_string(
-         |      p.parts[p.n - coalesce(w.suffix_len, 1):p.n], '.')
-         |    ELSE p.h END AS reg_domain
-         |FROM psl_pp p LEFT JOIN psl_win w USING (doc_id)
-         |ORDER BY p.doc_id""".stripMargin
-    },
+         |${pslCtes("hd", Seq("doc_id", "host"), "host")}
+         |SELECT doc_id, host, reg_domain
+         |FROM psl_reg ORDER BY doc_id""".stripMargin,
     // Mirror detection replayed: same fixture CASE, distinct (host, fp),
     // hot-fp exclusion, fp-keyed pair counts, full-size Jaccard.
     "q_web_mirrors" ->
@@ -9434,6 +9478,34 @@ object SparkEntry {
           |  least(CAST(fl + CASE WHEN r <= l THEN 1 ELSE 0 END AS BIGINT),
           |    400) AS budget
           |FROM rk CROSS JOIN lo ORDER BY host""".stripMargin),
+    // Registrant-level budget replayed (r15): PageRank CTEs → the
+    // shared PSL chain over pr10's hosts → group-by-registrant sum →
+    // the SAME Hamilton apportionment keyed by reg_domain (ties
+    // reg_domain-ascending, mirroring apportionBudget's key order).
+    "q_web_budget_registrant" ->
+      (s"WITH $linkChainCtes,\n${pageRankCtes(10)},\n" +
+        s"""bqa AS MATERIALIZED (SELECT host, rank FROM pr10),
+          |${pslCtes("bqa", Seq("host", "rank"), "host")},
+          |bgr AS (
+          |  SELECT reg_domain, CAST(sum(rank) AS BIGINT) AS w
+          |  FROM psl_reg GROUP BY 1),
+          |btot AS (SELECT CAST(sum(w) AS BIGINT) AS bw FROM bgr),
+          |bfl AS MATERIALIZED (
+          |  SELECT reg_domain, w, CAST((1000 * w) // bw AS BIGINT) AS fl,
+          |    CAST((1000 * w) % bw AS BIGINT) AS rem
+          |  FROM bgr CROSS JOIN btot),
+          |blo AS (SELECT CAST(1000 - sum(fl) AS BIGINT) AS l FROM bfl),
+          |brk AS (
+          |  SELECT reg_domain, w, fl, rem,
+          |    CAST(row_number() OVER (ORDER BY rem DESC, reg_domain ASC)
+          |      AS BIGINT) AS r
+          |  FROM bfl)
+          |SELECT reg_domain, w AS rank_scaled,
+          |  CAST(fl + CASE WHEN r <= l THEN 1 ELSE 0 END AS BIGINT)
+          |    AS budget_raw,
+          |  least(CAST(fl + CASE WHEN r <= l THEN 1 ELSE 0 END AS BIGINT),
+          |    400) AS budget
+          |FROM brk CROSS JOIN blo ORDER BY reg_domain""".stripMargin),
     "q_stream_web_links" ->
       (s"WITH $linkChainCtes\n" +
         """SELECT doc_id, url, link_idx, href, anchor_text, resolved
