@@ -109,26 +109,33 @@ object MergeBench {
       .map(c => s"jdbc_changed_$c" -> jdbcRun(c))
 
     // The parquet O(changes) path (r15, VERDICT r14 §next-6): the
-    // bucketed incremental target — each run rewrites only the buckets
-    // containing changed keys (dynamic partition overwrite), where the
-    // `changed_*` series above rewrites the WHOLE table per run. Flat
-    // wall vs change count is the claim (measured 4.0→4.2 s across
-    // 0→10k changes at sf0.1). Honest scale note: at 150k fixture rows
-    // the mechanism's FIXED costs (max-id scan, checkpoint
-    // materialization, per-partition commit) exceed the trivial full
-    // rewrite — the win is proportionality, visible when
-    // target_size/nBuckets ≫ batch reach: uniformly-hashed keys touch
-    // min(changed, nBuckets) buckets, so a 10k-change batch against a
-    // 64-bucket 100 TB table rewrites ≤ 100 TB·(64/64) only in the
-    // adversarial all-buckets case but a locality-preserving key space
-    // (or more buckets) caps the rewrite at touched/nBuckets of the
-    // table; StreamingSpec pins untouched buckets byte-stable.
+    // bucketed incremental target — each run ships ONLY its delta rows
+    // (the CDC micro-batch shape; feeding the whole perturbed table
+    // here made every run derive all 64 buckets as changed and
+    // measured O(table) vacuously — code-review r15) and rewrites only
+    // the buckets those keys hash into. changed=1 touches ONE bucket
+    // (1/64 of the table); uniformly-hashed key sets touch
+    // min(changed, 64) buckets, so the series climbs toward the
+    // all-buckets ceiling as change count grows — the proportionality
+    // the sink exists for. A changed=0 batch is a no-op by
+    // construction. Fixture-scale honesty: fixed costs (max-id scan,
+    // checkpoint, per-partition commit) dominate at 150k rows; the
+    // mechanism pays when target_size/nBuckets ≫ batch reach.
+    // StreamingSpec pins untouched buckets byte-stable.
     val bktPath = s"$out/orders_bkt"
     val doBkt = graft.streaming.Streams.mergeEachBatchBucketed(
       bktPath, Seq("o_orderkey"), nBuckets = 64)
     doBkt(orders, 0L) // bootstrap (creates the partitioned target)
+    def bktSrc(changed: Long): DataFrame = {
+      val keys = broadcast(orders.select("o_orderkey")
+        .orderBy("o_orderkey").limit(changed.toInt))
+      orders.join(keys.withColumnRenamed("o_orderkey", "__k"),
+          col("o_orderkey") === col("__k")) // inner: deltas ONLY
+        .withColumn("o_totalprice", col("o_totalprice") + changed / 1e3)
+        .drop("__k")
+    }
     def bktRun(changed: Long): Double = {
-      val src = jdbcSrc(changed)
+      val src = if (changed == 0) orders.limit(0) else bktSrc(changed)
       val t0 = System.nanoTime()
       doBkt(src, changed)
       val sec = (System.nanoTime() - t0) / 1e9
@@ -136,8 +143,8 @@ object MergeBench {
       require(n == nRows, s"bucketed row count drifted: $n != $nRows")
       sec
     }
-    bktRun(0) // warm-up
-    val bktScenarios = Seq(0L, 100L, 1000L, 10000L)
+    bktRun(1) // warm-up (the no-op 0-run would warm nothing)
+    val bktScenarios = Seq(0L, 1L, 100L, 1000L, 10000L)
       .map(c => s"parquet_bucketed_changed_$c" -> bktRun(c))
 
     // The REBUILD path for contrast: full merge + staged-overwrite

@@ -466,8 +466,14 @@ object Retrieval {
     require(topM >= 1, s"marginMineIndexed: topM must be >= 1, got $topM")
     require(marginScale >= 1, "marginMineIndexed: marginScale must be >= 1")
     require(nProbe >= 1, s"marginMineIndexed: nProbe must be >= 1, got $nProbe")
+    // empty vectors drop on BOTH sides — the brute form's filter, kept
+    // here so the bit-equality contract holds even when an index
+    // carries empty-embedding rows (an empty vector would score s=0
+    // and could enter a sparse query's top-k; code-review r15)
     val srcIdx = spark.read.parquet(srcIndexPath)
+      .filter(size(col("v")) > 0)
     val tgtIdx = spark.read.parquet(tgtIndexPath)
+      .filter(size(col("v")) > 0)
     val srcCents = Similarity.ivfReadCentroids(spark, srcIndexPath)
     val tgtCents = Similarity.ivfReadCentroids(spark, tgtIndexPath)
     // per-vector probe cells against one centroid set — top nProbe by

@@ -435,8 +435,15 @@ object WebGraph {
     lines.foreach { raw =>
       val line = raw.trim
       if (line.startsWith("//")) {
+        // section tracking is symmetric: a vendored/concatenated file
+        // with ICANN rules AFTER the private block must not tag them
+        // private (code-review r15) — END markers and the ICANN BEGIN
+        // all reset to icann
         if (line.contains("===BEGIN PRIVATE DOMAINS==="))
           section = "private"
+        else if (line.contains("===END PRIVATE DOMAINS===") ||
+          line.contains("===BEGIN ICANN DOMAINS==="))
+          section = "icann"
       } else if (line.nonEmpty) {
         // the spec reads a rule up to the first whitespace
         val token = line.split("\\s+")(0).toLowerCase(java.util.Locale.ROOT)

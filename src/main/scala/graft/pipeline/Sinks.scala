@@ -500,8 +500,9 @@ object Sinks {
     * ONLY when no existing index or primary key already covers the
     * merge keys (leading-column check over getIndexInfo +
     * getPrimaryKeys — a pre-indexed production target is never touched
-    * by DDL); pass false to forbid DDL entirely on stores where even
-    * the probe is unwelcome.
+    * by DDL); pass false to forbid the DDL AND skip those index/PK
+    * metadata scans entirely (stores where even the probe is
+    * unwelcome — only the identifier quote string is read).
     *
     * `updateParallelism` controls the UPDATE leg's writer count —
     * default 1 (the reference's single-connection executemany, and the
@@ -596,6 +597,16 @@ object Sinks {
     * doesn't. `ensureKeyIndex = false` forbids the CREATE INDEX
     * entirely (the metadata probe is read-only).
     */
+  /** The store's identifier-case normalization — one definition shared
+    * by the key-access and ledger probes so the two cannot diverge on
+    * the same store (code-review r15).
+    */
+  private def jdbcNormalizeIdent(meta: java.sql.DatabaseMetaData,
+                                 t: String): String =
+    if (meta.storesUpperCaseIdentifiers) t.toUpperCase
+    else if (meta.storesLowerCaseIdentifiers) t.toLowerCase
+    else t
+
   private def jdbcEnsureKeyAccess(url: String, table: String,
                                   keys: Seq[String],
                                   props: java.util.Properties,
@@ -603,52 +614,55 @@ object Sinks {
     val c = java.sql.DriverManager.getConnection(url, props)
     try {
       val meta = c.getMetaData
-      def normalize(t: String): String =
-        if (meta.storesUpperCaseIdentifiers) t.toUpperCase
-        else if (meta.storesLowerCaseIdentifiers) t.toLowerCase
-        else t
-      val keySet = keys.map(_.toLowerCase).toSet
-      var covered = false
-      val byIndex = scala.collection.mutable.Map
-        .empty[String, scala.collection.mutable.ArrayBuffer[(Short, String)]]
-      val rs = meta.getIndexInfo(null, null, normalize(table),
-        false, false)
-      try {
-        while (rs.next()) {
-          val name = rs.getString("INDEX_NAME")
-          val cn = rs.getString("COLUMN_NAME")
-          if (name != null && cn != null)
-            byIndex.getOrElseUpdate(name,
-              scala.collection.mutable.ArrayBuffer.empty) +=
-              (rs.getShort("ORDINAL_POSITION") -> cn)
-        }
-      } finally rs.close()
-      covered = byIndex.values.exists { cols =>
-        cols.sortBy(_._1).take(keySet.size)
-          .map(_._2.toLowerCase).toSet == keySet
-      }
-      if (!covered) {
-        val pk = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
-        val prs = meta.getPrimaryKeys(null, null, normalize(table))
-        try {
-          while (prs.next())
-            pk += (prs.getShort("KEY_SEQ") -> prs.getString("COLUMN_NAME"))
-        } finally prs.close()
-        covered = pk.nonEmpty && pk.sortBy(_._1).take(keySet.size)
-          .map(_._2.toLowerCase).toSet == keySet
-      }
       val q = meta.getIdentifierQuoteString match {
         case null => ""
         case s0 => s0.trim
       }
-      if (!covered && ensureKeyIndex) {
-        val idxName = normalize(table + "__KEYIDX")
-        val cols = keys
-          .map(k => if (q.isEmpty) k else q + k + q).mkString(", ")
-        val st = c.createStatement()
-        try st.executeUpdate(
-          s"CREATE INDEX $idxName ON $table ($cols)")
-        finally st.close()
+      // ensureKeyIndex=false forbids DDL AND skips the index/PK
+      // metadata scans entirely (some stores take metadata locks or
+      // demand privileges the sink user lacks — the very case the flag
+      // serves; code-review r15): only the quote string is read.
+      if (ensureKeyIndex) {
+        val keySet = keys.map(_.toLowerCase).toSet
+        var covered = false
+        val byIndex = scala.collection.mutable.Map
+          .empty[String, scala.collection.mutable.ArrayBuffer[(Short, String)]]
+        val rs = meta.getIndexInfo(null, null,
+          jdbcNormalizeIdent(meta, table), false, false)
+        try {
+          while (rs.next()) {
+            val name = rs.getString("INDEX_NAME")
+            val cn = rs.getString("COLUMN_NAME")
+            if (name != null && cn != null)
+              byIndex.getOrElseUpdate(name,
+                scala.collection.mutable.ArrayBuffer.empty) +=
+                (rs.getShort("ORDINAL_POSITION") -> cn)
+          }
+        } finally rs.close()
+        covered = byIndex.values.exists { cols =>
+          cols.sortBy(_._1).take(keySet.size)
+            .map(_._2.toLowerCase).toSet == keySet
+        }
+        if (!covered) {
+          val pk = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+          val prs = meta.getPrimaryKeys(null, null,
+            jdbcNormalizeIdent(meta, table))
+          try {
+            while (prs.next())
+              pk += (prs.getShort("KEY_SEQ") -> prs.getString("COLUMN_NAME"))
+          } finally prs.close()
+          covered = pk.nonEmpty && pk.sortBy(_._1).take(keySet.size)
+            .map(_._2.toLowerCase).toSet == keySet
+        }
+        if (!covered) {
+          val idxName = jdbcNormalizeIdent(meta, table + "__KEYIDX")
+          val cols = keys
+            .map(k => if (q.isEmpty) k else q + k + q).mkString(", ")
+          val st = c.createStatement()
+          try st.executeUpdate(
+            s"CREATE INDEX $idxName ON $table ($cols)")
+          finally st.close()
+        }
       }
       q
     } finally c.close()
@@ -740,11 +754,8 @@ object Sinks {
     val c = java.sql.DriverManager.getConnection(url, props)
     try {
       val meta = c.getMetaData
-      def normalize(t: String): String =
-        if (meta.storesUpperCaseIdentifiers) t.toUpperCase
-        else if (meta.storesLowerCaseIdentifiers) t.toLowerCase
-        else t
-      val rs = meta.getTables(null, null, normalize(ledger), null)
+      val rs = meta.getTables(null, null,
+        jdbcNormalizeIdent(meta, ledger), null)
       val exists = try rs.next() finally rs.close()
       if (!exists) {
         val st = c.createStatement()
@@ -794,8 +805,9 @@ object Sinks {
     * `dualTable` is the store's one-row dummy table for the
     * table-less SELECT (`SYSIBM.SYSDUMMY1` on Derby/DB2; use `DUAL`
     * on MySQL/Oracle; on Postgres pass an empty string for a bare
-    * SELECT). Returns (inserted, updated) — (0, 0) for a skipped
-    * replay.
+    * SELECT). Returns (inserted, updated) — `inserted` counts rows the
+    * conditional INSERT actually LANDED (NOT-EXISTS-suppressed rows
+    * excluded), (0, 0) for a skipped replay.
     */
   def jdbcApplyIncrementalExactlyOnce(src: DataFrame, url: String,
                                       table: String, keys: Seq[String],
@@ -833,7 +845,6 @@ object Sinks {
           col("src_hash").as("row_hash"),
           lit(now).as("created_at"),
           lit(now).as("updated_at")): _*)
-      val nIns = ins.count()
       val quote = jdbcEnsureKeyAccess(url, table, keys, props, ensureKeyIndex)
       // updates first (idempotent re-application), inserts second —
       // a crash between them replays into "updates landed, inserts
@@ -855,6 +866,15 @@ object Sinks {
         s"jdbcApplyIncrementalExactlyOnce: keys $keys must be data columns")
       val nInsCols = insCols.length
       val bs = math.max(1, batchSize)
+      // The TRUE landed-insert count: the conditional INSERT's
+      // executeBatch results (1 landed / 0 suppressed by NOT EXISTS),
+      // not the candidate count — a suppressed row (zombie-retry race,
+      // concurrent writer, partially-committed prior attempt) must not
+      // be reported as inserted (code-review r15). Accumulator updates
+      // inside a foreachPartition ACTION apply once per successful
+      // task.
+      val landed = spark.sparkContext.longAccumulator(
+        s"jdbcXO_inserts_$table")
       ins.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         if (rows.hasNext) {
           val conn = java.sql.DriverManager.getConnection(url, props)
@@ -863,6 +883,19 @@ object Sinks {
             val ps = conn.prepareStatement(sql)
             try {
               var inBatch = 0
+              def flush(): Unit = {
+                var part = 0L
+                // SUCCESS_NO_INFO drivers can't distinguish landed from
+                // suppressed — count the row as landed (candidate
+                // semantics, the pre-r15 behavior) rather than silently
+                // reporting 0 inserts on such stores
+                ps.executeBatch().foreach { n =>
+                  if (n == java.sql.Statement.SUCCESS_NO_INFO) part += 1
+                  else if (n > 0) part += n
+                }
+                landed.add(part)
+                inBatch = 0
+              }
               rows.foreach { r =>
                 var p = 1
                 (0 until nInsCols).foreach { i =>
@@ -873,9 +906,9 @@ object Sinks {
                 }
                 ps.addBatch()
                 inBatch += 1
-                if (inBatch >= bs) { ps.executeBatch(); inBatch = 0 }
+                if (inBatch >= bs) flush()
               }
-              if (inBatch > 0) ps.executeBatch()
+              if (inBatch > 0) flush()
               conn.commit()
             } finally ps.close()
           } finally conn.close()
@@ -890,7 +923,7 @@ object Sinks {
         try { ps.setLong(1, batchId); ps.executeUpdate(): Unit }
         finally ps.close()
       } finally c.close()
-      (nIns, nUpd)
+      (landed.value.longValue, nUpd)
     } finally classified.unpersist(): Unit
   }
 

@@ -322,7 +322,15 @@ object Streams {
     val batch = batch0.dropDuplicates(keys)
     def kbOf(c: Seq[org.apache.spark.sql.Column]) =
       pmod(xxhash64(c: _*), lit(nBuckets.toLong)).cast("int")
-    if (!graft.pipeline.Sinks.exists(spark, targetPath)) {
+    // An EMPTY first micro-batch must be a no-op: a partitionBy write
+    // of zero rows creates a directory with no schema-bearing data
+    // file, and every later batch would then die on read ("unable to
+    // infer schema") — the no-data batch 0 every stream can hand a
+    // sink (code-review r15). The non-partitioned mergeEachBatch never
+    // had this edge (an empty plain write leaves a schema-bearing
+    // file).
+    if (batch.isEmpty) ()
+    else if (!graft.pipeline.Sinks.exists(spark, targetPath)) {
       graft.functions.RowHash.withAuditColumns(batch, keys)
         .withColumn("__kb", kbOf(keys.map(col)))
         .write.mode("overwrite").partitionBy("__kb").parquet(targetPath)
