@@ -3898,6 +3898,15 @@ object SparkEntry {
     "q_web_hits" -> ((s, d) =>
       WebGraph.hitsIndexed(s, webIdxEnsure(s, d), iterations = 8)
         .orderBy("host")),
+    // The DISTRIBUTED HITS twin, benched (r15 — the q_web_pagerank_dist
+    // symmetry): localEdgeLimit = 0 forces the per-iteration
+    // two-join + two-agg + two-scalar loop; shares the scratch oracle
+    // (bit-identical integer fixed point), so the hash re-proves the
+    // twin equality per round.
+    "q_web_hits_dist" -> ((s, d) =>
+      WebGraph.hitsIndexed(s, webIdxEnsure(s, d), iterations = 8,
+          localEdgeLimit = 0L)
+        .orderBy("host")),
     // Crawl-budget apportionment (r13): split 1000 fetch slots across
     // hosts ∝ their PageRank by the largest-remainder method — exact
     // integers summing to the budget precisely, replayed quota-for-quota
@@ -9352,6 +9361,8 @@ object SparkEntry {
     "q_web_pagerank_compacted" -> pageRankOracleSql(10),
     // r14: HITS replayed round-for-round over the same link chain
     "q_web_hits" -> hitsOracleSql(8),
+    // the distributed twin shares the scratch oracle (r15)
+    "q_web_hits_dist" -> hitsOracleSql(8),
     // Registered-domain replayed: the same host CASE, label split with
     // negative list indexing, the multi-label-suffix IN list generated
     // from the same Scala constant, lowercased suffix match.
