@@ -564,8 +564,12 @@ class TextAnalysisSpec extends SparkSpec {
     // random fragments: text runs (with stopwords + entities), open and
     // close tags (block, inline, anchor, invisible), comments, strays —
     // concatenated into pages the two implementations must agree on
+    // accented STOPWORDS included (r15): keep decisions that hinge on
+    // accented function words must agree between the three tokenizers
+    // (Java class / native lookup / — for the oracled queries — RE2)
     val word = Gen.oneOf("the", "of", "and", "words", "page", "café",
-      "x1", "B", "&amp;", "&lt;", "&nbsp;")
+      "não", "é", "más", "está", "über", "für", "où", "già", "словo",
+      "x1", "B", "&amp;", "&lt;", "&nbsp;", "3×4", "a÷b")
     val textRun = Gen.choose(1, 12).flatMap(k =>
       Gen.listOfN(k, word).map(_.mkString(" ") + " "))
     val frag = Gen.frequency(
@@ -580,19 +584,28 @@ class TextAnalysisSpec extends SparkSpec {
       1 -> Gen.oneOf("<", ">", "\n", "\t", "  ", "< ", "<1>"))
     val page = Gen.choose(1, 40).flatMap(k =>
       Gen.listOfN(k, frag).map(_.mkString))
+    val langs = Seq("en", "es", "pt", "de", "fr", "it", "xx")
     val prop = Prop.forAll(Gen.listOfN(12, page)) { pages =>
-      val docs = pages.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-        .toDF("doc_id", "t")
+      val docs = pages.zipWithIndex.map { case (t, i) =>
+          (i.toLong, t, langs(i % langs.length)) }
+        .toDF("doc_id", "t", "lang")
       val rows = docs.select(col("doc_id"),
           graft.expressions.TextHashExpressions.htmlExtractNative(
             col("t"), 30, 0.3, 0.1).as("nat"),
           TextAnalysis.extractMainContent(col("t"), 30, 0.3, 0.1)
-            .as("spec"))
+            .as("spec"),
+          graft.expressions.TextHashExpressions.htmlExtractNativeLang(
+            col("t"), col("lang"), 30, 0.3, 0.1).as("nat_lang"),
+          TextAnalysis.extractMainContentByLang(col("t"), col("lang"),
+            30, 0.3, 0.1).as("spec_lang"))
         .collect()
-      val bad = rows.find(r => r.getString(1) != r.getString(2))
+      val bad = rows.find(r => r.getString(1) != r.getString(2) ||
+        r.getString(3) != r.getString(4))
       bad.isEmpty :| bad.map(r =>
         s"doc=${r.getLong(0)} page=${pages(r.getLong(0).toInt)}\n" +
-          s"nat=${r.getString(1)}\nspec=${r.getString(2)}").getOrElse("")
+          s"nat=${r.getString(1)}\nspec=${r.getString(2)}\n" +
+          s"nat_lang=${r.getString(3)}\nspec_lang=${r.getString(4)}")
+        .getOrElse("")
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(25), prop)

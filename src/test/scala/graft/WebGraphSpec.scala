@@ -254,6 +254,62 @@ class WebGraphSpec extends SparkSpec {
     assert(!parsed.exists(_.rule.startsWith("//")))
   }
 
+  test("property: registeredDomainPsl == label-wise reference algorithm " +
+      "on random hosts (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    // Independent reference: the publicsuffix.org algorithm stated
+    // label-wise (rules compared right-to-left, '*' matches any ONE
+    // label; exception prevails with rule-minus-leftmost; longest
+    // otherwise; implicit '*' default) — a structurally different
+    // implementation from the candidate-explode/join the operator
+    // runs, so agreement is evidence, not tautology.
+    val rules = graft.operators.WebGraph.parsePsl(
+      graft.operators.WebGraph.PslFixtureLines)
+    def refReg(host: String): String = {
+      val h = host.stripSuffix(".").toLowerCase(java.util.Locale.ROOT)
+      val labels = h.split('.')
+      def matches(rule: String): Boolean = {
+        val rl = rule.split('.')
+        rl.length <= labels.length &&
+          rl.reverse.zip(labels.reverse).forall {
+            case (r, l) => r == "*" || r == l }
+      }
+      val ms = rules.filter(r => matches(r.rule))
+      val exc = ms.filter(_.kind == "exception")
+      val sl =
+        if (exc.nonEmpty) exc.map(_.rule.split('.').length - 1).max
+        else if (ms.nonEmpty) ms.map(_.rule.split('.').length).max
+        else 1
+      if (labels.length > sl) labels.takeRight(sl + 1).mkString(".")
+      else h
+    }
+    val label = Gen.oneOf("www", "a", "b", "shop", "example", "github",
+      "io", "com", "co", "uk", "org", "ck", "kawasaki", "jp", "city",
+      "town", "blogspot", "unlisted", "edu", "au", "net", "x9")
+    val cased = label.flatMap(l => Gen.oneOf(l, l.toUpperCase,
+      l.capitalize))
+    val host = for {
+      n <- Gen.choose(1, 6)
+      ls <- Gen.listOfN(n, cased)
+      dot <- Gen.oneOf("", ".")
+    } yield ls.mkString(".") + dot
+    val prop = Prop.forAll(Gen.listOfN(24, host)) { hosts =>
+      val got = graft.operators.WebGraph.registeredDomainPsl(
+          hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+            .toDF("id", "host"),
+          "host", graft.operators.WebGraph.pslRulesDf(spark))
+        .select("id", "host", "reg_domain")
+        .as[(Long, String, String)].collect()
+      val bad = got.find { case (_, h, r) => r != refReg(h) }
+      bad.isEmpty :| bad.map { case (_, h, r) =>
+        s"host=$h got=$r want=${refReg(h)}" }.getOrElse("")
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("mirrorCandidates: shared-fp pairs, hot-fp exclusion, exact Jaccard") {
     // hosts a/b share 2 contents; c shares 1 with a (below minShared);
     // 'boiler' sits on ALL hosts and must be excluded by the hot-fp
