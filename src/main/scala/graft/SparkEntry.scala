@@ -5762,6 +5762,26 @@ object SparkEntry {
           element_at(col("features"), 4).as("duration_sec"),
           element_at(col("features"), 5).as("rms"))
         .orderBy("doc_id")),
+    // REAL audio downsample path (r15 — the resize_real contract,
+    // audio side): decode → integral frame decimation → JDK WAV
+    // re-encode → decode again. Constant-amplitude fixtures preserve
+    // RMS bit-exactly through decimation and map frame counts to
+    // ceil(n/2), so the oracle value-checks the full
+    // decode→transform→re-encode→decode round trip from id arithmetic.
+    "q_mm_wav_downsample" -> ((s, d) =>
+      Multimodal.decodeBatched(
+          Multimodal.downsampleWavBatched(
+            Multimodal.synthWavFromId(
+              t(s, d, "documents").select("doc_id"), "doc_id"),
+            "wav", factor = 2),
+          "down", dim = 5, decodeBatch = Multimodal.decodeAudioBatch)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("sample_rate"),
+          element_at(col("features"), 2).cast("long").as("n_channels"),
+          element_at(col("features"), 3).cast("long").as("n_frames"),
+          element_at(col("features"), 4).as("duration_sec"),
+          element_at(col("features"), 5).as("rms"))
+        .orderBy("doc_id")),
     // REAL codec path #3: synthesized animated GIFs (frame count, size and
     // per-frame solid colors derived from doc_id) decoded frame-by-frame by
     // javax.imageio's GIF reader — the all-frame channel means are short
@@ -9029,6 +9049,17 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_channels,
         |  8 + doc_id % 64 AS n_frames,
         |  CAST(8 + doc_id % 64 AS DOUBLE) / 8000.0 AS duration_sec,
+        |  CAST(abs((doc_id * 37) % 20000 - 10000) AS DOUBLE) / 32768.0 AS rms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Downsample round trip replayed: rate halves, frames become
+    // ceil(n/2), duration follows the new rate, constant-signal RMS is
+    // decimation-invariant.
+    "q_mm_wav_downsample" ->
+      """SELECT doc_id, CAST(4000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  (8 + doc_id % 64 + 1) // 2 AS n_frames,
+        |  CAST((8 + doc_id % 64 + 1) // 2 AS DOUBLE) / 4000.0
+        |    AS duration_sec,
         |  CAST(abs((doc_id * 37) % 20000 - 10000) AS DOUBLE) / 32768.0 AS rms
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_resize" ->

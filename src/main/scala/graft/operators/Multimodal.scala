@@ -523,6 +523,75 @@ object Multimodal {
     }
   }
 
+  /** REAL audio downsample (pure JDK, r15): decode PCM16 WAV via
+    * `javax.sound.sampled`, DECIMATE by an integral factor (keep every
+    * `factor`-th frame — the naive-but-exact resampler; proper
+    * anti-alias filtering is a DSP-library concern, this is the Spark
+    * plumbing with a deterministic kernel), and re-encode through the
+    * JDK's own WAV writer at `rate/factor`. Integral decimation of a
+    * CONSTANT-amplitude fixture preserves RMS bit-exactly and maps
+    * frame counts to `ceil(n/factor)` — the properties that let the
+    * DuckDB oracle value-check a genuine decode→transform→re-encode→
+    * decode round trip (the [[resizeImageBatched]] contract, audio
+    * side). Null/non-PCM16/undecodable payloads stay null (C7/C8);
+    * a sample rate not divisible by `factor` nulls too (the lenient
+    * rule — a fractional output rate would lie about duration).
+    * Same mapPartitions batch shape as [[decodeBatched]].
+    */
+  def downsampleWavBatched(df: DataFrame, contentCol: String, factor: Int,
+                           outCol: String = "down"): DataFrame = {
+    require(factor >= 1, s"downsampleWavBatched: factor >= 1, got $factor")
+    val idx = df.schema.fieldIndex(contentCol)
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = true)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val out: Array[Byte] =
+          if (bytes == null) null
+          else {
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val fmt = in.getFormat
+                val rate = math.round(fmt.getSampleRate)
+                if (fmt.getSampleSizeInBits != 16 ||
+                    fmt.getEncoding !=
+                      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                    rate % factor != 0) null
+                else {
+                  val block = fmt.getFrameSize // channels × 2 bytes
+                  val data = in.readAllBytes()
+                  val nFrames = data.length / block
+                  val kept = (nFrames + factor - 1) / factor
+                  val outData = new Array[Byte](kept * block)
+                  var f = 0
+                  while (f < kept) {
+                    System.arraycopy(data, f * factor * block,
+                      outData, f * block, block)
+                    f += 1
+                  }
+                  val outFmt = new javax.sound.sampled.AudioFormat(
+                    fmt.getEncoding, rate.toFloat / factor, 16,
+                    fmt.getChannels, block, rate.toFloat / factor,
+                    fmt.isBigEndian)
+                  val ais = new javax.sound.sampled.AudioInputStream(
+                    new java.io.ByteArrayInputStream(outData), outFmt,
+                    kept.toLong)
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.sound.sampled.AudioSystem.write(ais,
+                    javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+                  bos.toByteArray
+                }
+              } finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => null }
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** Fixture generator: a deterministic mono PCM16 WAV per row — sample
     * rate 8000 Hz, `8 + id % 64` frames, every sample the constant
     * `(id * 37) % 20000 - 10000` — so an oracle can predict the decoded

@@ -131,6 +131,38 @@ class MultimodalSpec extends SparkSpec {
       s"cross-class aHash collapsed under JPEG: ${cross.min}")
   }
 
+  test("downsampleWavBatched: real decimation round trip — rate halves, " +
+      "frames ceil(n/2), RMS preserved, junk/indivisible null (r15)") {
+    val ids = Seq(0L, 7L, 63L, 300L).toDF("doc_id")
+    val down = Multimodal.downsampleWavBatched(
+      Multimodal.synthWavFromId(ids, "doc_id"), "wav", factor = 2)
+    val out = Multimodal.decodeBatched(down, "down", dim = 5,
+        decodeBatch = Multimodal.decodeAudioBatch)
+      .select("doc_id", "features").as[(Long, Seq[Double])]
+      .collect().toMap
+    for (id <- Seq(0L, 7L, 63L, 300L)) {
+      val f = out(id)
+      val n0 = 8 + id % 64
+      assert(f(0) == 4000.0, s"rate for $id: ${f(0)}")
+      assert(f(2) == ((n0 + 1) / 2).toDouble, s"frames for $id: ${f(2)}")
+      assert(f(4) == math.abs((id * 37) % 20000 - 10000) / 32768.0,
+        s"rms for $id: ${f(4)}")
+    }
+    // a factor that does not divide the rate nulls (8000 % 3 != 0),
+    // as do null and undecodable payloads — the C7/C8 lenient rule
+    val bad = Multimodal.downsampleWavBatched(
+        Multimodal.synthWavFromId(Seq(1L).toDF("doc_id"), "doc_id"),
+        "wav", factor = 3)
+      .select("down").collect()(0)
+    assert(bad.isNullAt(0), "indivisible rate must null, not lie")
+    val junk = Multimodal.downsampleWavBatched(
+        Seq((1L, Array[Byte](1, 2, 3)),
+          (2L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "wav"),
+        "wav", factor = 2)
+      .select("down").collect()
+    assert(junk.forall(_.isNullAt(0)))
+  }
+
   test("resizeImageBatched: real 2x replication — dims double, means exact, junk null") {
     val ids = Seq(0L, 7L, 300L).toDF("doc_id")
     val out = Multimodal.decodeBatched(
