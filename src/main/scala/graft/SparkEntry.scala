@@ -1421,6 +1421,27 @@ object SparkEntry {
     path
   }
 
+  // HLL sketch-index fixtures (r15): base corpus = documents' sketchable
+  // columns; the synthetic ingest batch re-keys every 5th doc (new ids,
+  // new sources, langs unchanged) so the append moves every column's
+  // distinct count differently. Both gates rebuild a throwaway index per
+  // run (append mutates — the tempDirCleaned convention).
+  private def hllProfileBase(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select("doc_id", "lang", "source")
+
+  private def hllProfileBatch(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+        concat(col("source"), lit("_x")).as("source"))
+
+  private def hllIndexEstimate(s: SparkSession, d: String): DataFrame = {
+    val dir = tempDirCleaned("graft-hllidx")
+    graft.operators.Profile.hllWriteIndex(
+      hllProfileBase(s, d), Seq("doc_id", "lang", "source"), dir)
+    graft.operators.Profile.hllAppendIndex(hllProfileBatch(s, d), dir)
+    graft.operators.Profile.hllEstimateIndex(s, dir)
+  }
+
   // Substring-fingerprint index for the incremental ExactSubstr probe:
   // corpus half (doc_id >= 120) indexed once per process per sf-dir (the
   // mhIdxEnsure convention).
@@ -2267,7 +2288,12 @@ object SparkEntry {
       // ground truth (quality-gate ruling); the benched PCA row is the
       // persisted-model probe q_emb_pca_scored. The planted-low-rank
       // ANN recall gate is the same ruling (bounded cartesian truth).
-      "q_emb_pca_gate", "q_emb_pca_ann_gate")
+      "q_emb_pca_gate", "q_emb_pca_ann_gate",
+      // r15: the sketch-index gate re-runs the benched q_prof_hll_indexed
+      // chain and adds the exact-distinct truth pass (superset ruling —
+      // the benched row is the estimate-only path, the index's reason to
+      // exist).
+      "q_prof_hll_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -2406,6 +2432,47 @@ object SparkEntry {
         .select("col_name", "n_rows", "n_nulls", "n_distinct", "min_value",
           "max_value")
         .orderBy("col_name")),
+    // Persisted mergeable-sketch distinct-count index (r15): the
+    // INCREMENTAL form of the profile above — per-batch DataSketches HLL
+    // rows, estimates from the stored sketches alone (zero corpus
+    // rescans; the 100 TB "how many distinct URLs ever" path). Rows-only:
+    // the estimate is engine-private sketch arithmetic; pinned by
+    // q_prof_hll_gate, which oracles the exact counts and bounds the
+    // estimates.
+    "q_prof_hll_indexed" -> ((s, d) =>
+      hllIndexEstimate(s, d).orderBy("col_name")),
+    // Gate (verify-only): truth side = exact per-column non-NULL counts
+    // and distincts of the SAME base+batch union, replayed in DuckDB;
+    // engine side = the index's n_values tally (must land exactly) and
+    // the bounded-error estimate booleans (equality in the low-
+    // cardinality coupon-exact regime — lang/source — and <=1% for
+    // doc_id, whose ~6k distincts sit past the exact regime's edge).
+    "q_prof_hll_gate" -> ((s, d) => {
+      val est = hllIndexEstimate(s, d)
+      val u = hllProfileBase(s, d).unionByName(hllProfileBatch(s, d))
+      val exact = u.agg(
+          count(col("doc_id")).as("__n_doc_id"),
+          countDistinct(col("doc_id")).as("__d_doc_id"),
+          count(col("lang")).as("__n_lang"),
+          countDistinct(col("lang")).as("__d_lang"),
+          count(col("source")).as("__n_source"),
+          countDistinct(col("source")).as("__d_source"))
+        .select(explode(array(Seq("doc_id", "lang", "source").map(c => struct(
+          lit(c).as("col_name"),
+          col(s"__n_$c").as("n_values_exact"),
+          col(s"__d_$c").as("n_distinct_exact"))): _*)).as("__p"))
+        .select(col("__p.*"))
+      est.join(exact, "col_name")
+        .select(col("col_name"),
+          col("n_values").cast("long").as("n_values"),
+          col("n_distinct_exact"),
+          when(col("col_name") === "doc_id",
+              abs(col("n_distinct_est") - col("n_distinct_exact")) * 100
+                <= col("n_distinct_exact"))
+            .otherwise(col("n_distinct_est") === col("n_distinct_exact"))
+            .as("est_ok"))
+        .orderBy("col_name")
+    }),
     "q_a4_global_sums" -> ((s, d) =>
       Aggregates.globalSums(t(s, d, "lineitem"), "l_extendedprice", "l_tax")
         .select(col("total_charged").cast("double").as("total_charged"),
@@ -6110,6 +6177,29 @@ object SparkEntry {
         |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(n_nulls AS BIGINT) AS n_nulls,
         |  CAST(n_distinct AS BIGINT) AS n_distinct, min_value, max_value
+        |FROM p ORDER BY col_name""".stripMargin,
+    // Truth side of the sketch-index gate: the identical base+batch union
+    // rebuilt relationally, exact non-NULL counts and distincts per
+    // column; the estimate booleans are the engine-measured signal
+    // (DataSketches arithmetic is engine-private — the compress-gate
+    // convention).
+    "q_prof_hll_gate" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 10000000 AS doc_id, lang, source || '_x' AS source
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |u AS (
+        |  SELECT doc_id, lang, source FROM documents
+        |  UNION ALL SELECT doc_id, lang, source FROM batch),
+        |p AS (
+        |  SELECT 'doc_id' AS col_name, count(doc_id) AS n_values,
+        |    count(DISTINCT doc_id) AS n_distinct_exact FROM u
+        |  UNION ALL
+        |  SELECT 'lang', count(lang), count(DISTINCT lang) FROM u
+        |  UNION ALL
+        |  SELECT 'source', count(source), count(DISTINCT source) FROM u)
+        |SELECT col_name, CAST(n_values AS BIGINT) AS n_values,
+        |  CAST(n_distinct_exact AS BIGINT) AS n_distinct_exact,
+        |  TRUE AS est_ok
         |FROM p ORDER BY col_name""".stripMargin,
     // The plain join — hotColdJoin's result must be indistinguishable.
     "q_skew_hotcold_join" ->

@@ -54,4 +54,133 @@ object Profile {
         col(s"__mx_$c").as("max_value"))): _*)).as("__p"))
       .select(col("__p.*"))
   }
+
+  // ---------------------------------------------------------------------
+  // Persisted mergeable-sketch distinct-count index
+  // ---------------------------------------------------------------------
+  //
+  // The INCREMENTAL form of the distinct-count probe above: corpus-wide
+  // "how many distinct URLs / hosts / ids have we ever ingested?" is a
+  // question every crawl/ingest pipeline answers continuously, and at
+  // 100 TB `COUNT(DISTINCT)` answers it by re-shuffling every historical
+  // batch on every ask. Mergeable sketches (Apache DataSketches HLL, the
+  // library Spark 4 ships natively as `hll_sketch_agg`/`hll_union_agg`)
+  // make the upkeep O(batch) and the ask O(#batches × #columns):
+  // each ingest batch persists ONE sketch row per profiled column, and an
+  // estimate is a metadata-scale union over the stored sketch rows — the
+  // corpus text is never revisited. This is the minHashWriteIndex /
+  // substringWriteIndex convention applied to profiling.
+  //
+  // Accuracy regime, stated precisely (measured on this Spark build):
+  // a DataSketches HLL sketch stores raw coupons (exact hashes) at low
+  // cardinality, so estimates — including the union of per-batch
+  // sketches — are EXACT while distincts stay small (measured exact
+  // through 5k at lgK=16; the collision-corrected coupon estimator
+  // starts drifting by ~0.25% around 8k: 8000 -> 8020). Beyond that the
+  // estimate carries the published ~1.04/sqrt(2^lgK) relative standard
+  // error (~0.4% at lgK=16) — the trade the operator exists to make at
+  // 100 TB. The q_prof_hll_gate row therefore oracles the EXACT counts
+  // and pins the estimates as measured bounded-error booleans (equality
+  // for low-cardinality columns, <=1% for high), the compress-gate
+  // convention for engine-side-only values.
+
+  /** Columns the Spark-native HLL aggregate accepts: the sketch hashes
+    * raw bytes, so only types with a canonical byte form are allowed
+    * (notably NOT float/double — their NaN/-0.0 forms would make
+    * "distinct" ill-defined across engines).
+    */
+  private def requireSketchable(df: DataFrame, c: String, what: String): Unit = {
+    require(df.columns.contains(c),
+      s"$what: no such column '$c' (have ${df.columns.mkString(", ")})")
+    val dt = df.schema(c).dataType.typeName
+    require(Set("integer", "long", "string", "binary").contains(dt),
+      s"$what: column '$c' is $dt — hll_sketch_agg accepts int/long/string/binary")
+  }
+
+  /** One sketch row per profiled column over one batch:
+    * (col_name, n_values non-NULL count, sk HLL binary — NULL iff the
+    * batch had no non-NULL values). Single aggregate pass: all columns'
+    * sketches ride one scan, then the one-row result unpivots to a row
+    * per column (the [[profileTable]] shape).
+    */
+  private def sketchRows(df: DataFrame, keyCols: Seq[String], lgK: Int): DataFrame = {
+    val aggs = keyCols.flatMap(c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      hll_sketch_agg(col(c), lit(lgK)).as(s"__sk_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(keyCols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"__n_$c").as("n_values"),
+        col(s"__sk_$c").as("sk"))): _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
+  /** Create the sketch index at `path` from a first batch: per-column HLL
+    * sketch rows under `path/sketches`, plus a meta sidecar pinning
+    * (lg_k, key_cols) so a later append can neither change the precision
+    * nor silently drop a profiled column (the substringIndexMeta
+    * convention — a mismatched append is structurally impossible, not
+    * quietly wrong).
+    */
+  def hllWriteIndex(df: DataFrame, keyCols: Seq[String], path: String,
+                    lgK: Int = 16): Unit = {
+    require(keyCols.nonEmpty, "hllWriteIndex: keyCols must be non-empty")
+    require(lgK >= 4 && lgK <= 21,
+      s"hllWriteIndex: lgK must be in [4, 21] (DataSketches bounds), got $lgK")
+    keyCols.foreach(c => requireSketchable(df, c, "hllWriteIndex"))
+    val spark = df.sparkSession
+    sketchRows(df, keyCols, lgK)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sketches")
+    import spark.implicits._
+    Seq((lgK, keyCols.mkString(","))).toDF("lg_k", "key_cols")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/meta")
+  }
+
+  private def hllIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                           path: String, what: String): (Int, Seq[String]) = {
+    val meta =
+      try spark.read.parquet(s"$path/meta").head()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$what: $path is not a sketch index (missing meta sidecar): " +
+            e.getMessage)
+      }
+    (meta.getInt(0), meta.getString(1).split(",").toSeq)
+  }
+
+  /** Append one ingest batch in O(batch): new additive sketch rows, no
+    * read-modify-write of existing sketches (union resolves at estimate
+    * time — the substringAppendIndex convention). lgK and the profiled
+    * column set come from the meta sidecar; a batch missing one of the
+    * indexed columns fails loudly.
+    */
+  def hllAppendIndex(df: DataFrame, path: String): Unit = {
+    val (lgK, keyCols) = hllIndexMeta(df.sparkSession, path, "hllAppendIndex")
+    keyCols.foreach(c => requireSketchable(df, c, "hllAppendIndex"))
+    sketchRows(df, keyCols, lgK)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/sketches")
+  }
+
+  /** Estimate distinct counts from the stored sketches alone — one
+    * metadata-scale scan of O(#batches × #columns) sketch rows, zero
+    * corpus reads. Returns (col_name, n_values total non-NULL count,
+    * n_distinct_est BIGINT). `allowDifferentLgConfigK = false`: the meta
+    * sidecar guarantees a uniform lgK, so a drifted sketch is a loud
+    * error, never a silent precision downgrade. A column whose every
+    * batch was all-NULL estimates 0.
+    */
+  def hllEstimateIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    hllIndexMeta(spark, path, "hllEstimateIndex")
+    spark.read.parquet(s"$path/sketches")
+      .groupBy(col("col_name"))
+      .agg(
+        sum(col("n_values")).as("n_values"),
+        coalesce(
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))),
+          lit(0L)).as("n_distinct_est"))
+  }
 }

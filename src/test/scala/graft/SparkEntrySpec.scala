@@ -79,7 +79,11 @@ class SparkEntrySpec extends SparkSpec {
       // r12: the PCA probe's model (eigenvectors) is not SQL-derivable;
       // the full-rank gate pins orthonormality, the distributed-variance
       // cross-check, and exact reconstruction through the same natives.
-      "q_emb_pca_scored" -> Seq("q_emb_pca_gate"))
+      "q_emb_pca_scored" -> Seq("q_emb_pca_gate"),
+      // r15: the sketch estimate is engine-private DataSketches
+      // arithmetic; the gate oracles the exact counts of the same
+      // base+batch union and pins the bounded-error estimate booleans.
+      "q_prof_hll_indexed" -> Seq("q_prof_hll_gate"))
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val unpinned = rowsOnly.filter(q => pins.getOrElse(q, Nil).isEmpty)
     assert(unpinned.isEmpty, s"rows-only queries without a declared pin: $unpinned")
