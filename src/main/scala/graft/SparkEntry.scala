@@ -4891,6 +4891,51 @@ object SparkEntry {
             concat(lit("Ítem-"), col("doc_id"), lit(" crème brûlée"))))
             .as("norm"))
         .orderBy("doc_id")),
+    // Unicode NFC hygiene (r15): the canonical-composition pass run
+    // before any text hashing. Corpus rows plus injected denormalized
+    // fixtures (combining accents, Hangul jamo, the U+212B singleton —
+    // both engines construct them via explicit codepoints); the oracle
+    // replays DuckDB's utf8proc nfc_normalize against our
+    // java.text.Normalizer native, hash-checking the two Unicode
+    // implementations against each other end-to-end.
+    "q_text_nfc" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select("doc_id", "text")
+        .unionByName(Seq(
+          (9100001L, "café du parc"),
+          (9100002L, "Ångström"),
+          (9100003L, "각 ok"),
+          (9100004L, "Å angstrom sign"),
+          (9100005L, "plain ascii stays")).toDF("doc_id", "text"))
+      docs.select(col("doc_id"),
+          TextAnalysis.nfcNormalize(col("text")).as("text_nfc"),
+          (TextAnalysis.nfcNormalize(col("text")) =!= col("text"))
+            .as("changed"))
+        .orderBy("doc_id")
+    }),
+    // Mojibake repair (r15): UTF-8-read-as-legacy-charset damage undone
+    // by sloppy-cp1252 re-encode + strict UTF-8 re-decode (accepted only
+    // when valid and strictly shorter — legitimate accents pass through
+    // byte-identical). The charset tables are JDK-side, but the fixture
+    // repairs are KNOWN literals, so the row is fully oracled: DuckDB
+    // emits the expected outputs (built from explicit codepoints) and
+    // the ASCII corpus must pass through untouched — identity on ASCII
+    // is structural (no high bytes, nothing to re-decode).
+    "q_text_mojibake" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select("doc_id", "text")
+        .unionByName(Seq(
+          (9200001L, "cafÃ© dÃ©jÃ  vu"),
+          (9200002L, "dash â€” here"),
+          (9200003L, "ÃƒÂ© twice"),
+          (9200004L, "naïve café"),
+          (9200005L, "plain ascii")).toDF("doc_id", "text"))
+      docs.select(col("doc_id"),
+          TextAnalysis.fixMojibake(col("text")).as("text_fixed"),
+          (TextAnalysis.fixMojibake(col("text")) =!= col("text"))
+            .as("changed"))
+        .orderBy("doc_id")
+    }),
     // URL canonicalization over messy URLs constructed from doc_id (mixed-
     // case scheme/host, default and non-default ports, trailing slash,
     // utm tracking params, fragment — each regime hit by a doc_id
@@ -8286,6 +8331,48 @@ object SparkEntry {
         |      'Ítem-' || doc_id || ' crème brûlée'))))),
         |    '\s+', ' ', 'g') AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB's utf8proc NFC replayed against the Java Normalizer native —
+    // fixture inputs built from explicit codepoints (chr) so the SQL text
+    // carries no raw combining marks: U+0301 combining acute, U+030A ring,
+    // U+0308 diaeresis, Hangul jamo U+1100/1161/11A8, U+212B ANGSTROM SIGN.
+    "q_text_nfc" ->
+      """WITH fx AS (SELECT * FROM (VALUES
+        |    (9100001, 'cafe' || chr(769) || ' du parc'),
+        |    (9100002, 'A' || chr(778) || 'ngstro' || chr(776) || 'm'),
+        |    (9100003, chr(4352) || chr(4449) || chr(4520) || ' ok'),
+        |    (9100004, chr(8491) || ' angstrom sign'),
+        |    (9100005, 'plain ascii stays')) AS f(doc_id, text)),
+        |u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM fx)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  nfc_normalize(text) AS text_nfc,
+        |  text <> nfc_normalize(text) AS changed
+        |FROM u ORDER BY doc_id""".stripMargin,
+    // Mojibake truth side: the fixture REPAIRS are known literals (built
+    // from explicit codepoints — chr(195)=Ã etc. for the damaged inputs,
+    // chr(233)=é etc. for the expected outputs); the ASCII corpus passes
+    // through unchanged structurally (no high bytes, nothing to
+    // re-decode), so `text` IS its expected repair.
+    "q_text_mojibake" ->
+      """WITH fx AS (SELECT * FROM (VALUES
+        |    (9200001, 'caf' || chr(195) || chr(169) || ' d' || chr(195) ||
+        |       chr(169) || 'j' || chr(195) || chr(160) || ' vu',
+        |     'caf' || chr(233) || ' d' || chr(233) || 'j' || chr(224) || ' vu'),
+        |    (9200002, 'dash ' || chr(226) || chr(8364) || chr(8221) || ' here',
+        |     'dash ' || chr(8212) || ' here'),
+        |    (9200003, chr(195) || chr(402) || chr(194) || chr(169) || ' twice',
+        |     chr(233) || ' twice'),
+        |    (9200004, 'na' || chr(239) || 've caf' || chr(233),
+        |     'na' || chr(239) || 've caf' || chr(233)),
+        |    (9200005, 'plain ascii', 'plain ascii'))
+        |    AS f(doc_id, text, fixed)),
+        |u AS (
+        |  SELECT doc_id, text, text AS fixed FROM documents
+        |  UNION ALL SELECT doc_id, text, fixed FROM fx)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, fixed AS text_fixed,
+        |  text <> fixed AS changed
+        |FROM u ORDER BY doc_id""".stripMargin,
     // Same input construction and the same rule chain (fragment, lower
     // authority, default ports, tracking params, separator repair,
     // trailing slash) in RE2 with global flags; \1\2 is RE2's spelling

@@ -1118,6 +1118,58 @@ object TextAnalysis {
   }
 
   // -------------------------------------------------------------------
+  // Unicode hygiene (r15) — normalize BEFORE hashing/tokenizing, because
+  // every downstream equality (exact dedup, shingles, BPE merges,
+  // stopword hits) fragments when the same text arrives in different
+  // byte forms. Natives in [[graft.expressions.UnicodeOps]].
+  // -------------------------------------------------------------------
+
+  /** Unicode NFC (canonical composition) — one codegen'd static call per
+    * row, no-op-allocation fast path for already-normal (all-ASCII)
+    * text. Cross-engine replayable: DuckDB `nfc_normalize` (q_text_nfc
+    * hash-checks the two implementations against each other end-to-end).
+    */
+  def nfcNormalize(text: Column): Column =
+    graft.expressions.UnicodeExpressions.nfcNormalize(text)
+
+  /** Unicode NFKC (adds compatibility folds: ﬁ→fi, fullwidth→ASCII) —
+    * the aggressive pre-tokenizer form; engine-private (DuckDB has no
+    * NFKC), spec-pinned.
+    */
+  def nfkcNormalize(text: Column): Column =
+    graft.expressions.UnicodeExpressions.nfkcNormalize(text)
+
+  /** Repair single-byte mojibake ("Ã©tÃ©" → "été"): sloppy-cp1252
+    * re-encode + strict UTF-8 re-decode, accepted only when valid and
+    * strictly shorter, iterated to a bounded fixpoint for double-encoded
+    * text. ASCII and legitimately accented text pass through
+    * byte-identical (their re-encoding is not valid UTF-8).
+    */
+  def fixMojibake(text: Column): Column =
+    graft.expressions.UnicodeExpressions.fixMojibake(text)
+
+  /** True iff [[fixMojibake]] would change the text — one repair pass
+    * per row, directly filterable (the compressionInBand lesson).
+    */
+  def isMojibake(text: Column): Column =
+    graft.expressions.UnicodeExpressions.isMojibake(text)
+
+  /** The composed hygiene pass a corpus runs once on ingest: mojibake
+    * repair, then NFC, plus the audit flags QA wants (which rows were
+    * broken, which merely denormalized). Column-pruned, shuffle-free,
+    * one scan.
+    */
+  def cleanUnicode(df: DataFrame, textCol: String): DataFrame = {
+    val fixed = fixMojibake(col(textCol))
+    df.withColumn("__fixed", fixed)
+      .withColumn("was_mojibake", col("__fixed") =!= col(textCol))
+      .withColumn("was_denormal",
+        nfcNormalize(col("__fixed")) =!= col("__fixed"))
+      .withColumn(textCol, nfcNormalize(col("__fixed")))
+      .drop("__fixed")
+  }
+
+  // -------------------------------------------------------------------
   // HTML main-content extraction (r12) — the stage every raw-web corpus
   // runs FIRST: markup → text. Tag-aware block segmentation plus the
   // jusText-shaped context-free block classification (Pomikálek 2011,

@@ -854,4 +854,70 @@ class TextAnalysisSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(blocks.exists(_.contains("var leaked")), blocks.mkString("|"))
   }
+
+  // ----- Unicode hygiene (r15) -----
+
+  private def nfc1(s: String): String =
+    Seq(Tuple1(s)).toDF("t").select(TextAnalysis.nfcNormalize(col("t")))
+      .as[String].head()
+
+  private def moji1(s: String): String =
+    Seq(Tuple1(s)).toDF("t").select(TextAnalysis.fixMojibake(col("t")))
+      .as[String].head()
+
+  test("nfc composes decomposed accents, Hangul jamo, singleton Angstrom; ascii identity") {
+    assert(nfc1("café du parc") == "café du parc")
+    assert(nfc1("Ångström") == "Ångström")
+    assert(nfc1("각") == "각") // 각
+    assert(nfc1("Å sign") == "Å sign")   // ANGSTROM SIGN -> Å
+    assert(nfc1("plain ascii") == "plain ascii")
+    // NFC does NOT fold compatibility forms — that's NFKC's job
+    assert(nfc1("ﬁn") == "ﬁn")
+  }
+
+  test("nfkc adds compatibility folds on top of nfc") {
+    val out = Seq(Tuple1("ﬁn Å Ａ"))
+      .toDF("t").select(TextAnalysis.nfkcNormalize(col("t"))).as[String].head()
+    assert(out == "fin Å A", out) // ligature, composition, fullwidth
+  }
+
+  test("fixMojibake repairs latin-1, cp1252, and double-encoded forms") {
+    // UTF-8 bytes of "café déjà" read back as latin-1
+    assert(moji1("cafÃ© dÃ©jÃ  vu")
+      == "café déjà vu")
+    // em dash E2 80 94 read as cp1252 (0x80 -> €, 0x94 -> ")
+    assert(moji1("dash â€” here") == "dash — here")
+    // double-encoded é: two repair rounds to the fixpoint
+    assert(moji1("ÃƒÂ© twice") == "é twice")
+  }
+
+  test("fixMojibake leaves legitimate accents and ascii byte-identical") {
+    assert(moji1("naïve café") == "naïve café")
+    assert(moji1("plain ascii") == "plain ascii")
+    assert(moji1("") == "")
+    // repaired output is a fixpoint (idempotence)
+    val once = moji1("cafÃ©")
+    assert(moji1(once) == once)
+  }
+
+  test("isMojibake agrees with fixMojibake; cleanUnicode flags and composes") {
+    val rows = Seq(
+      (1L, "cafÃ©"),          // mojibake
+      (2L, "café"),               // denormalized only
+      (3L, "plain"),                    // clean
+      (4L, "naïve")                // legit accent
+    ).toDF("doc_id", "text")
+    val flagged = rows.select(col("doc_id"),
+        TextAnalysis.isMojibake(col("text")).as("m"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(flagged == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    val out = TextAnalysis.cleanUnicode(rows, "text")
+      .select("doc_id", "text", "was_mojibake", "was_denormal")
+      .as[(Long, String, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("café", true, false)))
+    assert(out(2L) == (("café", false, true)))
+    assert(out(3L) == (("plain", false, false)))
+    assert(out(4L) == (("naïve", false, false)))
+  }
 }
