@@ -2179,6 +2179,11 @@ object SparkEntry {
       // q_dedup_simhash_neardup, the codecs via the other q_mm rows;
       // both stay hash-green here.
       "q_mm_phash_groups", "q_mm_audiohash_groups",
+      // r15: the dHash / DCT-hash group rows share the identical fixture
+      // pair-blowup shape (every image in a class hashes identically, so
+      // banded candidates are ~(class size)^2) — same ruling; the benched
+      // image rows stay the codec decodes.
+      "q_mm_dhash_groups", "q_mm_dcthash_groups",
       // r11 (VERDICT r10 §next-2): every text-model family now benches its
       // amortized `*_scored` probe row — load the persisted model table,
       // score/encode — which is the production steady state; the
@@ -5846,6 +5851,33 @@ object SparkEntry {
           "doc_id", "phash", maxHamming = 2)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Gradient twin (r15): the same two-tone classes recovered through
+    // the 9×8 difference hash — gradients survive the global-luma shifts
+    // that move aHash's mean, so near-dup stacks carry both. Same
+    // planted-class oracle, same pair-blowup ruling (verify-only).
+    "q_mm_dhash_groups" -> ((s, d) =>
+      Multimodal.imageNearDupGroups(
+          Multimodal.withImageDHash(
+            Multimodal.synthPng2ToneFromId(
+              t(s, d, "documents").select("doc_id"), "doc_id", classes = 5),
+            "png", "dhash"),
+          "doc_id", "dhash", maxHamming = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // Frequency twin (r15): classic DCT pHash over the dense-spectrum
+    // fixture (images built IN the DCT basis, so the hash bits ARE the
+    // planted class signs and the odd-id impulse pixel moves nothing —
+    // the robustness the frequency domain buys). Classes land identical,
+    // cross-class >= 24 bits apart (measured); planted-class oracle.
+    "q_mm_dcthash_groups" -> ((s, d) =>
+      Multimodal.imageNearDupGroups(
+          Multimodal.withImagePHashDct(
+            Multimodal.synthPngSpectrumFromId(
+              t(s, d, "documents").select("doc_id"), "doc_id", classes = 5),
+            "png", "dct_hash"),
+          "doc_id", "dct_hash", maxHamming = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // Audio twin of the perceptual-hash pipeline (late r10): two-tone
     // WAVs (loud/quiet window pattern = doc_id % 4, odd ids one window
     // of noise) through decode -> 64-window energy hash -> banded
@@ -9200,6 +9232,12 @@ object SparkEntry {
         |  true AS near_class_rep, true AS class_separated
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_phash_groups" ->
+      """SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS group_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_dhash_groups" ->
+      """SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS group_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_dcthash_groups" ->
       """SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS group_id
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_mm_audiohash_groups" ->

@@ -225,17 +225,164 @@ object Multimodal {
     * never shuffle, only the 8-byte hash does.
     */
   def withImageAHash(df: DataFrame, contentCol: String,
-                     outCol: String = "phash", batchSize: Int = 64): DataFrame = {
+                     outCol: String = "phash", batchSize: Int = 64): DataFrame =
+    withImageHash(df, contentCol, outCol, batchSize, imageAHashBatch)
+
+  private def withImageHash(df: DataFrame, contentCol: String, outCol: String,
+                            batchSize: Int,
+                            hasher: Seq[Array[Byte]] => Seq[java.lang.Long])
+      : DataFrame = {
     val idx = df.schema.fieldIndex(contentCol)
     val outSchema = df.schema.add(outCol, LongType, nullable = true)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     df.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val hashes = imageAHashBatch(batch.map(_.getAs[Array[Byte]](idx)))
+        val hashes = hasher(batch.map(_.getAs[Array[Byte]](idx)))
         batch.lazyZip(hashes).map((r, v) => Row.fromSeq(r.toSeq :+ v))
       }
     }(enc)
   }
+
+  private def decodeOrNull(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Integer luma of the nearest-neighbor sample at grid cell (gx, gy)
+    * of a gw×gh grid — the [[imageAHashBatch]] sampling arithmetic
+    * shared by all three perceptual hashes so their grids align.
+    */
+  private def lumaAt(img: java.awt.image.BufferedImage,
+                     gx: Int, gy: Int, gw: Int, gh: Int): Int = {
+    val p = img.getRGB(gx * img.getWidth / gw, gy * img.getHeight / gh)
+    (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+  }
+
+  /** Perceptual DIFFERENCE-HASH (dHash) of one decoded image: sample a
+    * 9×8 luma grid, bit `8y+x` set iff cell (x+1, y) is brighter than
+    * cell (x, y) — the horizontal-gradient fingerprint (Krawetz's
+    * dHash). Gradients survive global brightness/contrast shifts that
+    * move [[imageAHashBatch]]'s mean, so the two hashes fail
+    * differently — the reason near-dup stacks carry both. All-integer,
+    * deterministic across JVMs; null for null/undecodable payloads.
+    */
+  val imageDHashBatch: Seq[Array[Byte]] => Seq[java.lang.Long] = _.map { bytes =>
+    val img = decodeOrNull(bytes)
+    if (img == null) null
+    else {
+      var hash = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        var prev = lumaAt(img, 0, y, 9, 8)
+        while (x < 8) {
+          val next = lumaAt(img, x + 1, y, 9, 8)
+          if (next > prev) hash |= (1L << (8 * y + x))
+          prev = next
+          x += 1
+        }
+        y += 1
+      }
+      java.lang.Long.valueOf(hash)
+    }
+  }
+
+  // DCT-II basis for the 32-point transform, built once per JVM:
+  // cos((2n+1)·k·π/64). Doubles, but the same literal table and the same
+  // summation order on every executor — the hash is bit-deterministic
+  // across JVMs (IEEE semantics), just not SQL-replayable.
+  private lazy val dct32: Array[Array[Double]] = {
+    val t = Array.ofDim[Double](32, 32)
+    var k = 0
+    while (k < 32) {
+      var n = 0
+      while (n < 32) {
+        t(k)(n) = math.cos((2 * n + 1) * k * math.Pi / 64)
+        n += 1
+      }
+      k += 1
+    }
+    t
+  }
+
+  /** Perceptual DCT-HASH (classic pHash): 32×32 luma grid, 2D DCT-II,
+    * keep the 8×8 lowest-frequency block minus the DC term, bit `8y+x`
+    * set iff that coefficient exceeds the MEDIAN of the 63 — the
+    * frequency-domain fingerprint, robust to the blur/re-encode noise
+    * that flips [[imageAHashBatch]]/[[imageDHashBatch]] spatial bits
+    * (the DCT concentrates the pattern's energy in the low block; pixel
+    * noise lands in high frequencies the hash never reads). Row/column
+    * separable transform (32·32·64 mults per image), fixed summation
+    * order, so the hash is deterministic across JVMs. Null for
+    * null/undecodable payloads.
+    */
+  val imagePHashDctBatch: Seq[Array[Byte]] => Seq[java.lang.Long] = _.map { bytes =>
+    val img = decodeOrNull(bytes)
+    if (img == null) null
+    else {
+      val g = Array.ofDim[Double](32, 32)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) {
+          g(y)(x) = lumaAt(img, x, y, 32, 32).toDouble
+          x += 1
+        }
+        y += 1
+      }
+      // rows then columns; only the first 8 output frequencies matter
+      val rows = Array.ofDim[Double](32, 8)
+      y = 0
+      while (y < 32) {
+        var k = 0
+        while (k < 8) {
+          var s = 0.0
+          var n = 0
+          while (n < 32) { s += g(y)(n) * dct32(k)(n); n += 1 }
+          rows(y)(k) = s
+          k += 1
+        }
+        y += 1
+      }
+      val coeff = new Array[Double](64)
+      var ky = 0
+      while (ky < 8) {
+        var kx = 0
+        while (kx < 8) {
+          var s = 0.0
+          var n = 0
+          while (n < 32) { s += rows(n)(kx) * dct32(ky)(n); n += 1 }
+          coeff(8 * ky + kx) = s
+          kx += 1
+        }
+        ky += 1
+      }
+      // median of the 63 AC coefficients (DC excluded — it is only the
+      // global brightness)
+      val ac = java.util.Arrays.copyOfRange(coeff, 1, 64)
+      java.util.Arrays.sort(ac)
+      val median = (ac(30) + ac(31)) / 2
+      var hash = 0L
+      var i = 1
+      while (i < 64) {
+        if (coeff(i) > median) hash |= (1L << i)
+        i += 1
+      }
+      java.lang.Long.valueOf(hash)
+    }
+  }
+
+  /** Append the dHash column — [[withImageAHash]]'s gradient twin. */
+  def withImageDHash(df: DataFrame, contentCol: String,
+                     outCol: String = "dhash", batchSize: Int = 64): DataFrame =
+    withImageHash(df, contentCol, outCol, batchSize, imageDHashBatch)
+
+  /** Append the DCT pHash column — [[withImageAHash]]'s frequency twin. */
+  def withImagePHashDct(df: DataFrame, contentCol: String,
+                        outCol: String = "dct_hash",
+                        batchSize: Int = 64): DataFrame =
+    withImageHash(df, contentCol, outCol, batchSize, imagePHashDctBatch)
 
   /** Image near-duplicate groups over a perceptual-hash column: banded
     * Hamming candidate pairs ([[Dedup.hammingNearDupPairs]] — the SimHash
@@ -410,6 +557,75 @@ object Multimodal {
                            outCol: String = "jpg",
                            classes: Int = 5): DataFrame =
     synthImage2ToneFromId(df, idCol, outCol, classes, "jpg")
+
+  /** Per-class ±1 sign for low-frequency slot (u, v) — an LCG-mixed bit,
+    * shared between the spectrum fixture below and its spec so the
+    * planted pattern is checkable bit-for-bit.
+    */
+  def spectrumSign(cls: Int, u: Int, v: Int): Int =
+    if (((1103515245L * (cls * 64 + u * 8 + v) + 12345L) >>> 16 & 1L) == 0L) 1
+    else -1
+
+  /** Fixture generator for the FREQUENCY-domain hash: a 32×32 image
+    * built directly IN the DCT basis —
+    * luma = 128 + Σ over the 63 low-frequency slots of
+    * sign(cls,u,v) · 4 · cos((2x+1)uπ/64) · cos((2y+1)vπ/64) —
+    * so by orthogonality each low-block AC coefficient is ±4·256 with
+    * the PLANTED class-keyed sign, far from the ~0 median, and the hash
+    * bit pattern IS the sign pattern. (The two-tone cell fixture is
+    * WRONG for [[imagePHashDctBatch]]: its classes are phase shifts of
+    * one period — same DCT magnitudes — and its sparse spectrum leaves
+    * most coefficients at zero, where median signs are noise. A
+    * frequency hash needs a dense-spectrum fixture.) Odd ids get one
+    * +15 impulse pixel — energy spread thinly across all 1024
+    * frequencies (≤ 15 per coefficient vs the planted ±1024), the
+    * within-class robustness the DCT hash exists for.
+    */
+  def synthPngSpectrumFromId(df: DataFrame, idCol: String,
+                             outCol: String = "png",
+                             classes: Int = 5): DataFrame = {
+    require(classes >= 1 && classes <= 8,
+      s"synthPngSpectrumFromId: classes must be in [1,8], got $classes")
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = false)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      val base = Array.tabulate(8, 32)((k, n) =>
+        math.cos((2 * n + 1) * k * math.Pi / 64))
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val cls = (id % classes).toInt
+        val img = new java.awt.image.BufferedImage(
+          32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 32) {
+            var s = 0.0
+            var u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                if (u != 0 || v != 0)
+                  s += spectrumSign(cls, u, v) * 4.0 * base(u)(x) * base(v)(y)
+                v += 1
+              }
+              u += 1
+            }
+            val g0 = math.max(0, math.min(255, 128 + s.round.toInt))
+            val g = if (id % 2 == 1 && x == 0 && y == 0)
+              math.min(255, g0 + 15) else g0
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        Row.fromSeq(r.toSeq :+ baos.toByteArray)
+      }
+    }(enc)
+  }
 
   private def synthImage2ToneFromId(df: DataFrame, idCol: String,
                                     outCol: String, classes: Int,

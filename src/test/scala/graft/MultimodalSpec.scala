@@ -267,6 +267,62 @@ class MultimodalSpec extends SparkSpec {
     assert(nulls == Map(1L -> true, 2L -> true))
   }
 
+  test("imageDHash: gradient bits from the sampled pattern, noise bound, classes, nulls") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val hashed = Multimodal.withImageDHash(
+        Multimodal.synthPng2ToneFromId(ids, "doc_id", classes = 5),
+        "png", "dhash")
+      .select("doc_id", "dhash").as[(Long, Long)].collect().toMap
+    // hand-derived dHash of class 0, even id: the 9-point row sample of
+    // the 16-wide image hits cells (x*16/9)/2 = 0,0,1,2,3,4,5,6,7; cell c
+    // is bright iff c % 8 < 3, so the luma run is
+    // 200,200,200,200,20,... — strictly-greater transitions only where a
+    // dark->bright step occurs, which class 0 never has: hash 0
+    assert(hashed(0L) == 0L, hashed(0L).toBinaryString)
+    // class separation and within-class noise bound over all 40
+    val within = for (a <- 0L until 40L; b <- 0L until a if a % 5 == b % 5)
+      yield java.lang.Long.bitCount(hashed(a) ^ hashed(b))
+    val cross = for (a <- 0L until 40L; b <- 0L until a if a % 5 != b % 5)
+      yield java.lang.Long.bitCount(hashed(a) ^ hashed(b))
+    assert(within.max <= 2, s"within-class dHash drift ${within.max}")
+    assert(cross.min >= 4, s"cross-class dHash collapse ${cross.min}")
+    val junk = Seq((1L, Array[Byte](9, 9)), (2L, null)).toDF("id", "payload")
+    val nulls = Multimodal.withImageDHash(junk, "payload")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(nulls == Map(1L -> true, 2L -> true))
+  }
+
+  test("imagePHashDct: planted spectrum signs recovered, impulse-noise immune, classes") {
+    val ids = (0L until 40L).toDF("doc_id")
+    val hashed = Multimodal.withImagePHashDct(
+        Multimodal.synthPngSpectrumFromId(ids, "doc_id", classes = 5),
+        "png", "dct_hash")
+      .select("doc_id", "dct_hash").as[(Long, Long)].collect().toMap
+    // the fixture is built IN the DCT basis: bit (8v+u) must equal the
+    // planted sign for all 63 AC slots, up to the median boundary (an
+    // exactly-median coefficient fails the strict >; <=2 such slots)
+    var mismatches = 0
+    for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) {
+      val bit = (hashed(0L) >> (8 * v + u)) & 1L
+      val want = if (Multimodal.spectrumSign(0, u, v) > 0) 1L else 0L
+      if (bit != want) mismatches += 1
+    }
+    assert(mismatches <= 2, s"planted-sign mismatches $mismatches")
+    // the +15 impulse pixel on odd ids spreads <=15 per coefficient vs
+    // the planted +-1024: hashes within a class are IDENTICAL (measured
+    // 0; allow 2), classes far apart
+    val within = for (a <- 0L until 40L; b <- 0L until a if a % 5 == b % 5)
+      yield java.lang.Long.bitCount(hashed(a) ^ hashed(b))
+    val cross = for (a <- 0L until 40L; b <- 0L until a if a % 5 != b % 5)
+      yield java.lang.Long.bitCount(hashed(a) ^ hashed(b))
+    assert(within.max <= 2, s"within-class dct drift ${within.max}")
+    assert(cross.min >= 16, s"cross-class dct collapse ${cross.min}")
+    val junk = Seq((1L, Array[Byte](0)), (2L, null)).toDF("id", "payload")
+    val nulls = Multimodal.withImagePHashDct(junk, "payload")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(nulls == Map(1L -> true, 2L -> true))
+  }
+
   test("imageNearDupGroups recovers the planted pattern classes") {
     val ids = (0L until 40L).toDF("doc_id")
     val groups = Multimodal.imageNearDupGroups(
