@@ -2031,7 +2031,7 @@ object OverlapOps {
     else {
       val sb = new java.lang.StringBuilder(t(i))
       var j = 1
-      while (j < n) { sb.append(' ').append(t(i + j)); j += 1 }
+      while (j < n) { sb.append('\u0000').append(t(i + j)); j += 1 }
       sb.toString
     }
   }

@@ -443,7 +443,7 @@ object Streams {
     def batchSig(): String = {
       // decimal sum: full-range xxhash64 longs overflow a long sum under ANSI
       val r = batch0.agg(
-        sum(xxhash64(concat_ws(" ", col(idCol).cast("string"),
+        sum(xxhash64(concat_ws("\u0000", col(idCol).cast("string"),
             col(textCol))).cast("decimal(38,0)")).as("s"),
         count(lit(1)).as("n")).head()
       s"${if (r.isNullAt(0)) "0" else r.getDecimal(0).toBigInteger.toString}_${r.getLong(1)}"
