@@ -2424,6 +2424,20 @@ object SparkEntry {
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_lines"), moneySum("l_quantity"))
         .orderBy("s_nationkey")),
+    // Count-Min hot-key probe (r15): the skew diagnostic WITHOUT the
+    // per-key shuffle — one CMS pass over the fact table (map-side
+    // partial merges of fixed-size tables), then the dimension keys
+    // probed against the sketch driver-side. CMS never undercounts and
+    // at these candidate cardinalities the fixed-seed estimates land
+    // EXACT (collision across every depth row is the only error source)
+    // — the oracle replays the true left-join group counts, so estimate
+    // == exact is the hash match itself.
+    "q_skew_cms_hot" -> ((s, d) =>
+      graft.operators.Skew.hotKeyEstimates(
+          t(s, d, "lineitem"), "l_suppkey",
+          t(s, d, "supplier"), "s_suppkey")
+        .orderBy(col("est_count").desc, col("key").asc)
+        .limit(20)),
     "q_a3_value_counts" -> ((s, d) =>
       Aggregates.valueCounts(t(s, d, "events"), col("event_type")).orderBy("value")),
     // One-pass table profile (the count-verify QA step generalized to
@@ -6284,6 +6298,15 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Truth side of the CMS probe: the exact per-supplier line counts —
+    // the sketch estimates must LAND on these (fixed seed, bounded
+    // candidates: any depth-wide collision would hash-fail the row).
+    "q_skew_cms_hot" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS key,
+        |  CAST(count(l_suppkey) AS BIGINT) AS est_count
+        |FROM supplier LEFT JOIN lineitem ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey
+        |ORDER BY est_count DESC, key ASC LIMIT 20""".stripMargin,
     "q_a2_rollup" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag AS state,
         |  count(*) AS n,

@@ -112,4 +112,51 @@ object Skew {
       .orderBy(col("n").desc +: keys.map(col(_).asc): _*)
       .limit(k)
   }
+
+  /** [[skewProfile]] WITHOUT the per-key shuffle (r15): estimate the fact
+    * table's per-key frequencies for a bounded candidate set through one
+    * Count-Min sketch pass. `skewProfile`'s groupBy shuffles the fact
+    * table on the very key being diagnosed as hot — at 100 TB the
+    * diagnostic hits the disease; the CMS aggregate is map-side partial
+    * merges of fixed-size tables (width ⌈2/eps⌉ × depth
+    * ⌈ln(1/(1−confidence))/ln 2⌉, Spark's native `count_min_sketch`),
+    * one sketch to the driver, zero data shuffles. Candidates come from
+    * the DIMENSION side (probe the supplier keys against the lineitem
+    * sketch) — metadata scale, require-guarded at 4096 (the capPerGroup
+    * cap). Returns (key, est_count) for every candidate.
+    *
+    * CMS never undercounts; with the defaults (eps 1e-4 → width 20001)
+    * and bounded candidate cardinality, hash collisions across ALL depth
+    * rows are vanishingly rare and the fixed seed makes the estimate
+    * DETERMINISTIC — the q_skew_cms_hot row pins est == exact groupBy
+    * counts end-to-end at both test scales. At real scale the guarantee
+    * degrades gracefully to est ≤ exact + eps·N with prob ≥ confidence.
+    * Integral key columns only (the sketch hashes the JVM value; a
+    * float key would make "same key" ill-defined).
+    */
+  def hotKeyEstimates(fact: DataFrame, keyCol: String,
+                      candidates: DataFrame, candKeyCol: String,
+                      eps: Double = 1e-4, confidence: Double = 0.999,
+                      seed: Int = 42): DataFrame = {
+    require(eps > 0 && eps < 1, s"hotKeyEstimates: eps in (0,1), got $eps")
+    require(confidence > 0 && confidence < 1,
+      s"hotKeyEstimates: confidence in (0,1), got $confidence")
+    val dt = fact.schema(keyCol).dataType.typeName
+    require(Set("integer", "long", "short", "byte").contains(dt),
+      s"hotKeyEstimates: key column '$keyCol' is $dt — integral keys only")
+    val spark = fact.sparkSession
+    val skBytes = fact.agg(
+        count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed)))
+      .head().getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val cands = candidates.select(col(candKeyCol).cast("long"))
+      .distinct().limit(4097).collect().map(_.getLong(0))
+    require(cands.length <= 4096,
+      "hotKeyEstimates: more than 4096 candidate keys — the driver-side " +
+        "probe is bounded (capPerGroup's cap); pre-filter the candidates")
+    import spark.implicits._
+    cands.toSeq.map(k => (k, sketch.estimateCount(k)))
+      .toDF("key", "est_count")
+  }
 }

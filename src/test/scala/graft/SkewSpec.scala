@@ -74,4 +74,39 @@ class SkewSpec extends SparkSpec {
     val buckets = salted.filter(col("k") === 1).select("__salt").distinct().count()
     assert(buckets >= 6, s"expected hot key spread over most of 8 buckets, got $buckets")
   }
+
+  test("hotKeyEstimates matches exact counts, zero for absent keys, deterministic") {
+    // 1 hot key (500 rows), a spread of cold keys, one candidate absent
+    val fact = ((1 to 500).map(_ => 7L) ++ (1L to 50L).flatMap(k => Seq.fill(3)(k)))
+      .toDF("k")
+    val cands = (1L to 50L).toDF("c").unionByName(Seq(7L, 999L).toDF("c"))
+    val est = Skew.hotKeyEstimates(fact, "k", cands, "c")
+      .as[(Long, Long)].collect().toMap
+    assert(est(7L) == 503L, s"hot key: ${est(7L)}") // 500 + 3 from the spread
+    (1L to 50L).filter(_ != 7L).foreach(k =>
+      assert(est(k) == 3L, s"cold key $k: ${est(k)}"))
+    assert(est(999L) == 0L, "absent candidate must estimate 0")
+    val again = Skew.hotKeyEstimates(fact, "k", cands, "c")
+      .as[(Long, Long)].collect().toMap
+    assert(again == est, "fixed seed must make the estimate deterministic")
+  }
+
+  test("hotKeyEstimates guards: non-integral key, bad eps, candidate cap") {
+    val fact = Seq(1.5, 2.5).toDF("k")
+    val cands = Seq(1L).toDF("c")
+    val e1 = intercept[IllegalArgumentException] {
+      Skew.hotKeyEstimates(fact, "k", cands, "c")
+    }
+    assert(e1.getMessage.contains("integral keys only"), e1.getMessage)
+    val factI = Seq(1L, 2L).toDF("k")
+    val e2 = intercept[IllegalArgumentException] {
+      Skew.hotKeyEstimates(factI, "k", cands, "c", eps = 0.0)
+    }
+    assert(e2.getMessage.contains("eps"), e2.getMessage)
+    val bigCands = (1L to 4097L).toDF("c")
+    val e3 = intercept[IllegalArgumentException] {
+      Skew.hotKeyEstimates(factI, "k", bigCands, "c")
+    }
+    assert(e3.getMessage.contains("4096"), e3.getMessage)
+  }
 }
