@@ -46,6 +46,15 @@ object CorpusPipeline {
     */
   case object NormalizeText extends Step
 
+  /** Mojibake repair + Unicode NFC with audit flags
+    * ([[graft.operators.TextAnalysis.cleanUnicode]]) — the CONSERVATIVE
+    * hygiene pass (r15): byte-form canonicalization only, no accent
+    * stripping or casefolding, so it belongs FIRST on raw web text
+    * (before [[RedactPii]]: a mojibake'd email must be repaired before
+    * the redaction regex can see it).
+    */
+  case object CleanUnicode extends Step
+
   /** Drop rows whose `urlCol` domain (or any parent domain) is on the
     * blocklist ([[graft.operators.TextAnalysis.filterByBlockedDomains]]).
     */
@@ -363,6 +372,8 @@ object CorpusPipeline {
         case NormalizeText =>
           d.withColumn(textCol,
             graft.operators.TextAnalysis.normalizeText(col(textCol)))
+        case CleanUnicode =>
+          graft.operators.TextAnalysis.cleanUnicode(d, textCol)
         case DropBlockedDomains(urlCol, blocklist) =>
           graft.operators.TextAnalysis
             .filterByBlockedDomains(d, idCol, urlCol, blocklist)

@@ -37,6 +37,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(byId(4L)._3 == "https://fine.org/4" && byId(4L)._4 == "src1")
   }
 
+  test("CleanUnicode step repairs mojibake before RedactPii sees the text") {
+    val corpus = Seq(
+      (1L, "write to bob@x.example today please friends"),  // clean email
+      (2L, "write to ana@y.example today please friends"),  // mojibake'd é-free email line stays ascii
+      (3L, "rendezvous café crowd bob@x.example meet here now")
+    ).toDF("doc_id", "text")
+      // damage row 2's text the way a bad charset hop would: encode the
+      // NFC text's UTF-8 bytes as latin-1 chars
+      .withColumn("text",
+        when(col("doc_id") === 2L,
+          lit("write to ana@y.example cafÃ© please friends"))
+          .otherwise(col("text")))
+    val out = CorpusPipeline.run(corpus, "doc_id", "text",
+        Seq(CleanUnicode, RedactPii, QualityFloor(minTokens = 5)))
+      .select("doc_id", "text", "was_mojibake", "was_denormal")
+      .as[(Long, String, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == (("write to <EMAIL> today please friends", false, false)))
+    // mojibake repaired to é, THEN the email redacted
+    assert(out(2L) == (("write to <EMAIL> café please friends", true, false)))
+    // decomposed é composed by NFC; flags audit the denormal row
+    assert(out(3L) == (("rendezvous café crowd <EMAIL> meet here now",
+      false, true)))
+  }
+
   test("C4Clean step drops failing pages and rewrites surviving text") {
     val goodLines = Seq(
       "this first line carries five words.",
