@@ -164,6 +164,28 @@ object Profile {
       .parquet(s"$path/sketches")
   }
 
+  /** Compact the additive sketch rows to ONE row per column — a
+    * maintenance rewrite for the small-file accumulation a long append
+    * history leaves behind (the substringCompactIndex convention, via
+    * the same atomic staged swap: readers either see the old rows or
+    * the compacted ones, never a half state). Sketch union is the
+    * compaction operator itself (`hll_union_agg` returns a mergeable
+    * sketch), so estimate-before == estimate-after by mergeability —
+    * pinned in ProfileSpec and by q_prof_hll_gate staying green. The
+    * meta sidecar is untouched. Returns the compacted row count.
+    */
+  def hllCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Long = {
+    hllIndexMeta(spark, path, "hllCompactIndex")
+    val grouped = spark.read.parquet(s"$path/sketches")
+      .groupBy(col("col_name"))
+      .agg(
+        sum(col("n_values")).as("n_values"),
+        hll_union_agg(col("sk"), lit(false)).as("sk"))
+      .select("col_name", "n_values", "sk")
+    graft.pipeline.Sinks.overwriteViaStaging(grouped, s"$path/sketches")
+  }
+
   /** Estimate distinct counts from the stored sketches alone — one
     * metadata-scale scan of O(#batches × #columns) sketch rows, zero
     * corpus reads. Returns (col_name, n_values total non-NULL count,

@@ -145,18 +145,21 @@ object Skew {
     require(Set("integer", "long", "short", "byte").contains(dt),
       s"hotKeyEstimates: key column '$keyCol' is $dt — integral keys only")
     val spark = fact.sparkSession
-    val skBytes = fact.agg(
+    val skRow = fact.agg(
         count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed)))
-      .head().getAs[Array[Byte]](0)
-    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(skBytes))
+      .head()
+    val sketch =
+      if (skRow.isNullAt(0)) null // empty/all-NULL fact: every key counts 0
+      else org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
     val cands = candidates.select(col(candKeyCol).cast("long"))
       .distinct().limit(4097).collect().map(_.getLong(0))
     require(cands.length <= 4096,
       "hotKeyEstimates: more than 4096 candidate keys — the driver-side " +
         "probe is bounded (capPerGroup's cap); pre-filter the candidates")
     import spark.implicits._
-    cands.toSeq.map(k => (k, sketch.estimateCount(k)))
+    cands.toSeq
+      .map(k => (k, if (sketch == null) 0L else sketch.estimateCount(k)))
       .toDF("key", "est_count")
   }
 }

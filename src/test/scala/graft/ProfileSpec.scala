@@ -88,6 +88,30 @@ class ProfileSpec extends SparkSpec {
     assert(est._2 == n.toLong) // the non-NULL total stays exact always
   }
 
+  test("hll index: compaction collapses to one row per column, estimates unchanged") {
+    val dir = tmp("hllcompact")
+    val d = (1 to 300).map(i => (i.toLong, s"h${i % 11}")).toDF("id", "host")
+    Profile.hllWriteIndex(d, Seq("id", "host"), dir)
+    for (b <- 1 to 5)
+      Profile.hllAppendIndex(
+        d.filter(col("id") % 5 === b % 5)
+          .select((col("id") + b * 1000L).as("id"), col("host")), dir)
+    val before = Profile.hllEstimateIndex(spark, dir)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val nRows = Profile.hllCompactIndex(spark, dir)
+    assert(nRows == 2L, s"expected one compacted row per column, got $nRows")
+    assert(spark.read.parquet(s"$dir/sketches").count() == 2L)
+    val after = Profile.hllEstimateIndex(spark, dir)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(after == before, s"compaction changed estimates: $before -> $after")
+    // the index stays appendable after compaction
+    Profile.hllAppendIndex(
+      Seq((99999L, "brand-new-host")).toDF("id", "host"), dir)
+    val est = Profile.hllEstimateIndex(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(est("host") == before.find(_._1 == "host").get._3 + 1)
+  }
+
   test("hll index: all-NULL column estimates 0; nulls excluded from n_values") {
     val dir = tmp("hllnull")
     val d = Seq((1L, Option.empty[String]), (2L, None), (3L, Some("a")))

@@ -108,5 +108,10 @@ class SkewSpec extends SparkSpec {
       Skew.hotKeyEstimates(factI, "k", bigCands, "c")
     }
     assert(e3.getMessage.contains("4096"), e3.getMessage)
+    // empty fact: every candidate estimates 0 instead of failing
+    val empty = Skew.hotKeyEstimates(factI.filter(col("k") < 0), "k",
+        Seq(1L, 2L).toDF("c"), "c")
+      .as[(Long, Long)].collect().toMap
+    assert(empty == Map(1L -> 0L, 2L -> 0L))
   }
 }
