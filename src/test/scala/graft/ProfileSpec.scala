@@ -124,6 +124,29 @@ class ProfileSpec extends SparkSpec {
     assert(est("id") == (("id", 5L, 3L)))
   }
 
+  test("property: randomized batches estimate exactly at bounded cardinality") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val batchGen = Gen.listOfN(3,
+      Gen.listOfN(200, Gen.chooseNum(1, 900).map(i => s"key$i")))
+    val prop = Prop.forAll(batchGen) { batches =>
+      val dir = tmp("hllprop")
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val df = b.map(Tuple1(_)).toDF("k")
+        if (i == 0) Profile.hllWriteIndex(df, Seq("k"), dir)
+        else Profile.hllAppendIndex(df, dir)
+      }
+      val est = Profile.hllEstimateIndex(spark, dir)
+        .as[(String, Long, Long)].head()
+      val exact = batches.flatten.distinct.size.toLong
+      val total = batches.map(_.size).sum.toLong
+      ((est._3 == exact) :| s"estimate ${est._3} != exact $exact") &&
+        ((est._2 == total) :| s"n_values ${est._2} != $total")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("hll index: float column, bad lgK, missing column, missing sidecar all fail loudly") {
     val dir = tmp("hllguard")
     val d = Seq((1L, 1.5)).toDF("id", "x")

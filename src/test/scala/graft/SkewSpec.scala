@@ -114,4 +114,23 @@ class SkewSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(empty == Map(1L -> 0L, 2L -> 0L))
   }
+
+  test("property: CMS never undercounts; exact at bounded cardinality") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    val multisetGen = Gen.listOfN(400, Gen.chooseNum(1L, 60L))
+    val prop = Prop.forAll(multisetGen) { keys =>
+      val fact = keys.toDF("k")
+      val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cands = (1L to 60L).toDF("c")
+      val est = Skew.hotKeyEstimates(fact, "k", cands, "c")
+        .as[(Long, Long)].collect().toMap
+      val under = est.filter { case (k, e) => e < exact.getOrElse(k, 0L) }
+      val off = est.filter { case (k, e) => e != exact.getOrElse(k, 0L) }
+      (under.isEmpty :| s"CMS undercounted: ${under.take(3)}") &&
+        (off.isEmpty :| s"collision at 60 keys (should be ~impossible): ${off.take(3)}")
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -900,6 +900,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(moji1(once) == once)
   }
 
+  test("property: fixMojibake inverts planted latin-1 damage; nfc idempotent") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.scalacheck.Prop.propBoolean
+    // pool: ASCII + Latin accents whose sloppy re-encode can never form a
+    // valid UTF-8 sequence (no continuation-range chars), so the CLEAN
+    // string is provably unrepairable and repair(damage(s)) == s exactly
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf(
+      ('a' to 'z') ++ Seq('é', 'à', 'ü', 'ñ', 'ç', 'ö', 'É', 'ß'))).map(_.mkString)
+    val strGen = Gen.listOfN(5, wordGen).map(_.mkString(" "))
+    val prop = Prop.forAll(Gen.listOfN(40, strGen)) { strs =>
+      val rows = strs.zipWithIndex.map { case (s, i) =>
+        val damaged = new String(
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        (i.toLong, s, damaged)
+      }
+      val out = rows.toDF("id", "clean", "damaged")
+        .select(col("id"),
+          TextAnalysis.fixMojibake(col("damaged")).as("repaired"),
+          TextAnalysis.fixMojibake(col("clean")).as("cleanKept"),
+          TextAnalysis.nfcNormalize(
+            TextAnalysis.nfcNormalize(col("clean"))).as("nfc2"),
+          TextAnalysis.nfcNormalize(col("clean")).as("nfc1"))
+        .as[(Long, String, String, String, String)].collect()
+      val byId = rows.map(r => r._1 -> r._2).toMap
+      val bad = out.filterNot { case (i, rep, kept, n2, n1) =>
+        rep == byId(i) && kept == byId(i) && n2 == n1
+      }
+      bad.isEmpty :| s"violations: ${bad.take(3).mkString("; ")}"
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("isMojibake agrees with fixMojibake; cleanUnicode flags and composes") {
     val rows = Seq(
       (1L, "cafÃ©"),          // mojibake
