@@ -4932,6 +4932,27 @@ object SparkEntry {
             .as("changed"))
         .orderBy("doc_id")
     }),
+    // NFKC compatibility folding (r15): DuckDB has no NFKC function, but
+    // the fixture folds are KNOWN literals (ligature fi->fi, fullwidth
+    // ->ASCII, superscript->digit, U+2460 circled one->1, NFC composition
+    // riding along), so the row is fully oracled the q_text_mojibake way:
+    // expected outputs as explicit-codepoint literals, ASCII corpus
+    // passthrough structural (NFKC is identity on ASCII).
+    "q_text_nfkc" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select("doc_id", "text")
+        .unionByName(Seq(
+          (9300001L, "ﬁnancial ﬂow"),
+          (9300002L, "ｆｕｌｌｗｉｄｔｈ ｏｋ"),
+          (9300003L, "x² plus ① item"),
+          (9300004L, "café mix"),
+          (9300005L, "plain ascii stays")).toDF("doc_id", "text"))
+      docs.select(col("doc_id"),
+          TextAnalysis.nfkcNormalize(col("text")).as("text_nfkc"),
+          (TextAnalysis.nfkcNormalize(col("text")) =!= col("text"))
+            .as("changed"))
+        .orderBy("doc_id")
+    }),
     // Mojibake repair (r15): UTF-8-read-as-legacy-charset damage undone
     // by sloppy-cp1252 re-encode + strict UTF-8 re-decode (accepted only
     // when valid and strictly shorter — legitimate accents pass through
@@ -8403,6 +8424,30 @@ object SparkEntry {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  nfc_normalize(text) AS text_nfc,
         |  text <> nfc_normalize(text) AS changed
+        |FROM u ORDER BY doc_id""".stripMargin,
+    // NFKC truth side: the compatibility folds are known literals (the
+    // mojibake convention — DuckDB has no NFKC, but ligatures, fullwidth
+    // forms, superscripts and circled digits fold to fixed outputs, and
+    // NFKC is structurally the identity on the ASCII corpus).
+    "q_text_nfkc" ->
+      """WITH fx AS (SELECT * FROM (VALUES
+        |    (9300001, chr(64257) || 'nancial ' || chr(64258) || 'ow',
+        |     'financial flow'),
+        |    (9300002, chr(65350) || chr(65365) || chr(65356) || chr(65356) ||
+        |       chr(65367) || chr(65353) || chr(65348) || chr(65364) ||
+        |       chr(65352) || ' ' || chr(65359) || chr(65355),
+        |     'fullwidth ok'),
+        |    (9300003, 'x' || chr(178) || ' plus ' || chr(9312) || ' item',
+        |     'x2 plus 1 item'),
+        |    (9300004, 'cafe' || chr(769) || ' mix',
+        |     'caf' || chr(233) || ' mix'),
+        |    (9300005, 'plain ascii stays', 'plain ascii stays'))
+        |    AS f(doc_id, text, folded)),
+        |u AS (
+        |  SELECT doc_id, text, text AS folded FROM documents
+        |  UNION ALL SELECT doc_id, text, folded FROM fx)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, folded AS text_nfkc,
+        |  text <> folded AS changed
         |FROM u ORDER BY doc_id""".stripMargin,
     // Mojibake truth side: the fixture REPAIRS are known literals (built
     // from explicit codepoints — chr(195)=Ã etc. for the damaged inputs,
