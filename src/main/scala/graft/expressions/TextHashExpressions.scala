@@ -2023,15 +2023,17 @@ object OverlapOps {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
-  /** N tokens from `i`, space-joined (tokens are whitespace-split so
-    * they cannot contain the separator — no collision possible).
+  /** N tokens from `i`, space-joined — the separator the `\s+` split
+    * guarantees no token can contain (a NUL separator, by contrast,
+    * WOULD collide: `\s+` does not strip embedded U+0000), and the one
+    * the DuckDB oracle's `array_to_string(..., ' ')` replays exactly.
     */
   private def gram(t: Array[String], i: Int, n: Int): String = {
     if (n == 1) t(i)
     else {
       val sb = new java.lang.StringBuilder(t(i))
       var j = 1
-      while (j < n) { sb.append('\u0000').append(t(i + j)); j += 1 }
+      while (j < n) { sb.append(' ').append(t(i + j)); j += 1 }
       sb.toString
     }
   }

@@ -359,10 +359,12 @@ object Multimodal {
         ky += 1
       }
       // median of the 63 AC coefficients (DC excluded — it is only the
-      // global brightness)
+      // global brightness); 63 is odd, so the median is the 32nd order
+      // statistic exactly — no even-count averaging, which would bias
+      // the threshold below the true median whenever ac(30) < ac(31)
       val ac = java.util.Arrays.copyOfRange(coeff, 1, 64)
       java.util.Arrays.sort(ac)
-      val median = (ac(30) + ac(31)) / 2
+      val median = ac(31)
       var hash = 0L
       var i = 1
       while (i < 64) {

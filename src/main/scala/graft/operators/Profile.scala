@@ -117,10 +117,13 @@ object Profile {
 
   /** Create the sketch index at `path` from a first batch: per-column HLL
     * sketch rows under `path/sketches`, plus a meta sidecar pinning
-    * (lg_k, key_cols) so a later append can neither change the precision
-    * nor silently drop a profiled column (the substringIndexMeta
-    * convention — a mismatched append is structurally impossible, not
-    * quietly wrong).
+    * (lg_k, col_name, col_type) — ONE ROW PER COLUMN, so a later append
+    * can neither change the precision, silently drop a profiled column,
+    * nor drift a column's TYPE (hll_sketch_agg hashes a string "42" and
+    * a long 42 to different entries — a type-drifted append would
+    * silently inflate every later estimate; names with commas also
+    * survive, unlike a joined-string encoding). A mismatched append is
+    * structurally impossible, not quietly wrong.
     */
   def hllWriteIndex(df: DataFrame, keyCols: Seq[String], path: String,
                     lgK: Int = 16): Unit = {
@@ -133,33 +136,45 @@ object Profile {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/sketches")
     import spark.implicits._
-    Seq((lgK, keyCols.mkString(","))).toDF("lg_k", "key_cols")
+    keyCols.map(c => (lgK, c, df.schema(c).dataType.typeName))
+      .toDF("lg_k", "col_name", "col_type")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/meta")
   }
 
   private def hllIndexMeta(spark: org.apache.spark.sql.SparkSession,
-                           path: String, what: String): (Int, Seq[String]) = {
-    val meta =
-      try spark.read.parquet(s"$path/meta").head()
+                           path: String, what: String)
+      : (Int, Seq[(String, String)]) = {
+    val rows =
+      try spark.read.parquet(s"$path/meta")
+        .select("lg_k", "col_name", "col_type").collect()
       catch { case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(
           s"$what: $path is not a sketch index (missing meta sidecar): " +
             e.getMessage)
       }
-    (meta.getInt(0), meta.getString(1).split(",").toSeq)
+    require(rows.nonEmpty, s"$what: $path has an empty meta sidecar")
+    (rows.head.getInt(0),
+      rows.map(r => (r.getString(1), r.getString(2))).toSeq.sortBy(_._1))
   }
 
   /** Append one ingest batch in O(batch): new additive sketch rows, no
     * read-modify-write of existing sketches (union resolves at estimate
     * time — the substringAppendIndex convention). lgK and the profiled
-    * column set come from the meta sidecar; a batch missing one of the
-    * indexed columns fails loudly.
+    * (column, type) set come from the meta sidecar; a batch missing one
+    * of the indexed columns — or carrying it at a DIFFERENT type — fails
+    * loudly instead of silently fragmenting the distinct space.
     */
   def hllAppendIndex(df: DataFrame, path: String): Unit = {
-    val (lgK, keyCols) = hllIndexMeta(df.sparkSession, path, "hllAppendIndex")
-    keyCols.foreach(c => requireSketchable(df, c, "hllAppendIndex"))
-    sketchRows(df, keyCols, lgK)
+    val (lgK, cols) = hllIndexMeta(df.sparkSession, path, "hllAppendIndex")
+    cols.foreach { case (c, t) =>
+      requireSketchable(df, c, "hllAppendIndex")
+      val actual = df.schema(c).dataType.typeName
+      require(actual == t,
+        s"hllAppendIndex: column '$c' is $actual but the index profiled it " +
+          s"as $t — a type-drifted append would silently inflate estimates")
+    }
+    sketchRows(df, cols.map(_._1), lgK)
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$path/sketches")
   }
@@ -173,6 +188,12 @@ object Profile {
     * sketch), so estimate-before == estimate-after by mergeability —
     * pinned in ProfileSpec and by q_prof_hll_gate staying green. The
     * meta sidecar is untouched. Returns the compacted row count.
+    *
+    * SINGLE-WRITER maintenance, like every staged-swap compaction in
+    * this repo: an append that lands between the read and the swap is
+    * replaced by the compacted rows and lost. Run compaction from the
+    * same maintenance loop that owns appends, never concurrently with
+    * one.
     */
   def hllCompactIndex(spark: org.apache.spark.sql.SparkSession,
                       path: String): Long = {

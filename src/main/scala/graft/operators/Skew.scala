@@ -152,7 +152,12 @@ object Skew {
       if (skRow.isNullAt(0)) null // empty/all-NULL fact: every key counts 0
       else org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]](0)))
+    // NULL candidates (nullable dimension keys, or non-numeric strings
+    // nulled by the cast) are not probeable — the fact-side aggregate
+    // ignored NULL keys too, so dropping them here keeps the two sides'
+    // key space identical instead of NPE-ing on Row.getLong.
     val cands = candidates.select(col(candKeyCol).cast("long"))
+      .filter(col(candKeyCol).isNotNull)
       .distinct().limit(4097).collect().map(_.getLong(0))
     require(cands.length <= 4096,
       "hotKeyEstimates: more than 4096 candidate keys — the driver-side " +

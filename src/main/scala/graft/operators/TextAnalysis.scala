@@ -1161,10 +1161,14 @@ object TextAnalysis {
     */
   def cleanUnicode(df: DataFrame, textCol: String): DataFrame = {
     val fixed = fixMojibake(col(textCol))
+    // coalesce: =!= is null-propagating, and a NULL-text row must audit
+    // as (false, false) — not as NULL flags that break typed reads and
+    // fall out of BOTH sides of a boolean filter
     df.withColumn("__fixed", fixed)
-      .withColumn("was_mojibake", col("__fixed") =!= col(textCol))
+      .withColumn("was_mojibake",
+        coalesce(col("__fixed") =!= col(textCol), lit(false)))
       .withColumn("was_denormal",
-        nfcNormalize(col("__fixed")) =!= col("__fixed"))
+        coalesce(nfcNormalize(col("__fixed")) =!= col("__fixed"), lit(false)))
       .withColumn(textCol, nfcNormalize(col("__fixed")))
       .drop("__fixed")
   }

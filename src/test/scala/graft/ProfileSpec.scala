@@ -163,6 +163,13 @@ class ProfileSpec extends SparkSpec {
       Profile.hllAppendIndex(Seq(Tuple1("z")).toDF("other"), dir)
     }
     assert(e3.getMessage.contains("no such column"), e3.getMessage)
+    // type drift: same column name at a different type must fail loudly —
+    // a string "42" and a long 42 hash to different sketch entries, so a
+    // silent append would inflate every later estimate
+    val e5 = intercept[IllegalArgumentException] {
+      Profile.hllAppendIndex(Seq(Tuple1("42")).toDF("id"), dir)
+    }
+    assert(e5.getMessage.contains("type-drifted"), e5.getMessage)
     val e4 = intercept[IllegalArgumentException] {
       Profile.hllEstimateIndex(spark, tmp("hllempty"))
     }

@@ -113,6 +113,11 @@ class SkewSpec extends SparkSpec {
         Seq(1L, 2L).toDF("c"), "c")
       .as[(Long, Long)].collect().toMap
     assert(empty == Map(1L -> 0L, 2L -> 0L))
+    // NULL candidates (nullable dimension keys) drop instead of NPE-ing
+    val withNull = Skew.hotKeyEstimates(factI, "k",
+        Seq(Some(1L), None, Some(2L)).toDF("c"), "c")
+      .as[(Long, Long)].collect().toMap
+    assert(withNull.keySet == Set(1L, 2L), withNull.toString)
   }
 
   test("property: CMS never undercounts; exact at bounded cardinality") {

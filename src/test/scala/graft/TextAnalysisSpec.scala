@@ -953,5 +953,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == (("café", false, true)))
     assert(out(3L) == (("plain", false, false)))
     assert(out(4L) == (("naïve", false, false)))
+    // NULL text audits as (false, false), never as null-propagated flags
+    // that break typed reads and fall out of both filter branches
+    val n = TextAnalysis.cleanUnicode(
+        Seq((9L, Option.empty[String])).toDF("doc_id", "text"), "text")
+      .select(col("text").isNull, col("was_mojibake"), col("was_denormal"))
+      .as[(Boolean, Boolean, Boolean)].head()
+    assert(n == ((true, false, false)))
   }
 }
