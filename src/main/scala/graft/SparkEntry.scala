@@ -2460,6 +2460,20 @@ object SparkEntry {
     // estimates.
     "q_prof_hll_indexed" -> ((s, d) =>
       hllIndexEstimate(s, d).orderBy("col_name")),
+    // Theta-sketch overlap report (r15): the distinct-set question HLL
+    // cannot answer — |A∩B| / |A\B| across two crawl snapshots — via the
+    // custom ThetaSketchAgg (one sketch pass per side, no data-row
+    // shuffle). Fully ORACLED: below 2^lgK the theta sketch holds raw
+    // hashes, so every estimate is exact and DuckDB's true set algebra
+    // IS the expected output.
+    "q_prof_theta_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.select(col("doc_id"))
+      val b = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id")))
+      graft.operators.Profile.distinctOverlap(a, "doc_id", b, "doc_id")
+    }),
     // Gate (verify-only): truth side = exact per-column non-NULL counts
     // and distincts of the SAME base+batch union, replayed in DuckDB;
     // engine side = the index's n_values tally (must land exactly) and
@@ -6290,6 +6304,28 @@ object SparkEntry {
         |  CAST(n_nulls AS BIGINT) AS n_nulls,
         |  CAST(n_distinct AS BIGINT) AS n_distinct, min_value, max_value
         |FROM p ORDER BY col_name""".stripMargin,
+    // Theta overlap truth side: the exact distinct-set algebra — the
+    // raw-hash regime (distincts < 2^14 at both scales) makes the sketch
+    // estimates LAND on these, so the set identities are hash-checked,
+    // not approximated.
+    "q_prof_theta_overlap" ->
+      """WITH a AS (SELECT doc_id FROM documents),
+        |b AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+        |      UNION ALL
+        |      SELECT doc_id + 10000000 FROM documents WHERE doc_id % 7 = 0)
+        |SELECT
+        |  CAST((SELECT count(DISTINCT doc_id) FROM a) AS BIGINT) AS n_a,
+        |  CAST((SELECT count(DISTINCT doc_id) FROM b) AS BIGINT) AS n_b,
+        |  CAST((SELECT count(DISTINCT doc_id) FROM
+        |    (SELECT doc_id FROM a UNION ALL SELECT doc_id FROM b))
+        |    AS BIGINT) AS n_union,
+        |  CAST((SELECT count(DISTINCT a.doc_id) FROM a
+        |    JOIN b ON a.doc_id = b.doc_id) AS BIGINT) AS n_intersect,
+        |  CAST((SELECT count(DISTINCT doc_id) FROM a
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM b)) AS BIGINT) AS n_a_only,
+        |  CAST((SELECT count(DISTINCT doc_id) FROM b
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM a)) AS BIGINT)
+        |    AS n_b_only""".stripMargin,
     // Truth side of the sketch-index gate: the identical base+batch union
     // rebuilt relationally, exact non-NULL counts and distincts per
     // column; the estimate booleans are the engine-measured signal

@@ -207,6 +207,40 @@ object Profile {
     graft.pipeline.Sinks.overwriteViaStaging(grouped, s"$path/sketches")
   }
 
+  /** Distinct-set OVERLAP report between two key columns — the question
+    * HLL cannot answer ("how many distinct URLs appear in BOTH crawl
+    * snapshots / how many are new") via theta sketches
+    * ([[graft.expressions.ThetaSketchAgg]]): one sketch pass per side
+    * (map-side combine, no data-row shuffle), then set algebra on the
+    * two k-bounded sketches in a single projected row. Returns
+    * (n_a, n_b, n_union, n_intersect, n_a_only, n_b_only) — all exact
+    * while both distinct counts stay below 2^lgK (theta's raw-hash
+    * regime; the q_prof_theta_overlap oracle pins it), ~1/sqrt(2^lgK)
+    * relative error past it. The exact-join alternative shuffles both
+    * corpora on the key; this never shuffles either.
+    */
+  def distinctOverlap(a: DataFrame, keyA: String,
+                      b: DataFrame, keyB: String,
+                      lgK: Int = 14): DataFrame = {
+    requireSketchable(a, keyA, "distinctOverlap")
+    requireSketchable(b, keyB, "distinctOverlap")
+    require(a.schema(keyA).dataType == b.schema(keyB).dataType,
+      s"distinctOverlap: key types differ (${a.schema(keyA).dataType.typeName}" +
+        s" vs ${b.schema(keyB).dataType.typeName}) — theta hashes a string" +
+        " \"42\" and a long 42 differently, so mixed types silently" +
+        " zero the intersection")
+    import graft.expressions.ThetaExpressions._
+    val sa = a.agg(thetaSketchAgg(col(keyA), lgK).as("sk_a"))
+    val sb = b.agg(thetaSketchAgg(col(keyB), lgK).as("sk_b"))
+    sa.crossJoin(sb).select(
+      thetaEstimate(col("sk_a")).as("n_a"),
+      thetaEstimate(col("sk_b")).as("n_b"),
+      thetaUnionEstimate(col("sk_a"), col("sk_b")).as("n_union"),
+      thetaIntersectEstimate(col("sk_a"), col("sk_b")).as("n_intersect"),
+      thetaANotBEstimate(col("sk_a"), col("sk_b")).as("n_a_only"),
+      thetaANotBEstimate(col("sk_b"), col("sk_a")).as("n_b_only"))
+  }
+
   /** Estimate distinct counts from the stored sketches alone — one
     * metadata-scale scan of O(#batches × #columns) sketch rows, zero
     * corpus reads. Returns (col_name, n_values total non-NULL count,

@@ -124,6 +124,45 @@ class ProfileSpec extends SparkSpec {
     assert(est("id") == (("id", 5L, 3L)))
   }
 
+  test("theta overlap: exact set algebra below k, across partitions") {
+    // A = 1..3000, B = 2001..5500  ->  |A|=3000 |B|=3500 |A∩B|=1000
+    val a = (1 to 3000).map(i => s"url$i").toDF("u").repartition(8)
+    val b = (2001 to 5500).map(i => s"url$i").toDF("u").repartition(8)
+    val r = Profile.distinctOverlap(a, "u", b, "u")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((3000L, 3500L, 5500L, 1000L, 2000L, 2500L)), r.toString)
+    // set identities hold exactly in the raw-hash regime
+    assert(r._3 == r._1 + r._2 - r._4)       // |A∪B| = |A|+|B|-|A∩B|
+    assert(r._5 == r._1 - r._4)              // |A\B| = |A|-|A∩B|
+  }
+
+  test("theta overlap: disjoint, identical, empty sides; long keys") {
+    val a = (1L to 50L).toDF("k")
+    val empty = a.filter(col("k") < 0)
+    val dis = Profile.distinctOverlap(a, "k", (51L to 80L).toDF("k"), "k")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(dis == ((50L, 30L, 80L, 0L, 50L, 30L)), dis.toString)
+    val same = Profile.distinctOverlap(a, "k", a, "k")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(same == ((50L, 50L, 50L, 50L, 0L, 0L)), same.toString)
+    val emp = Profile.distinctOverlap(a, "k", empty, "k")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(emp == ((50L, 0L, 50L, 0L, 50L, 0L)), emp.toString)
+  }
+
+  test("theta overlap guards: mixed key types and unsketchable types fail loudly") {
+    val longs = Seq(1L).toDF("k")
+    val strs = Seq("1").toDF("k")
+    val e1 = intercept[IllegalArgumentException] {
+      Profile.distinctOverlap(longs, "k", strs, "k")
+    }
+    assert(e1.getMessage.contains("key types differ"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.distinctOverlap(Seq(1.5).toDF("k"), "k", Seq(2.5).toDF("k"), "k")
+    }
+    assert(e2.getMessage.contains("hll_sketch_agg accepts"), e2.getMessage)
+  }
+
   test("property: randomized batches estimate exactly at bounded cardinality") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import org.scalacheck.Prop.propBoolean
