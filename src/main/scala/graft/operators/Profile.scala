@@ -241,6 +241,62 @@ object Profile {
       thetaANotBEstimate(col("sk_b"), col("sk_a")).as("n_b_only"))
   }
 
+  /** Persist one tagged theta snapshot sketch — the time-series form of
+    * [[distinctOverlap]]: sketch each crawl/ingest snapshot ONCE as it
+    * lands (one pass, no shuffle), and any later cross-snapshot overlap
+    * question ("how many of January's URLs were still present in June")
+    * is sketch algebra over two stored rows, zero corpus reads. Additive
+    * append, one row per tag; re-using a tag fails loudly (a snapshot is
+    * immutable history, not a slot).
+    */
+  def thetaWriteSnapshot(df: DataFrame, keyCol: String, path: String,
+                         tag: String, lgK: Int = 14): Unit = {
+    requireSketchable(df, keyCol, "thetaWriteSnapshot")
+    require(tag.nonEmpty, "thetaWriteSnapshot: tag must be non-empty")
+    val spark = df.sparkSession
+    val exists = graft.pipeline.Sinks.exists(spark, s"$path/snapshots") &&
+      spark.read.parquet(s"$path/snapshots")
+        .filter(col("tag") === tag).limit(1).count() > 0
+    require(!exists,
+      s"thetaWriteSnapshot: tag '$tag' already exists at $path — snapshots " +
+        "are immutable history; pick a new tag")
+    import graft.expressions.ThetaExpressions._
+    df.agg(thetaSketchAgg(col(keyCol), lgK).as("sk"))
+      .select(lit(tag).as("tag"),
+        lit(df.schema(keyCol).dataType.typeName).as("col_type"), col("sk"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/snapshots")
+  }
+
+  /** The [[distinctOverlap]] report between two STORED snapshots — reads
+    * two sketch rows, touches no corpus data. Fails loudly on a missing
+    * tag or on snapshots whose key types differ (the mixed-type
+    * silent-zero-intersection trap, pinned at write time).
+    */
+  def thetaSnapshotOverlap(spark: org.apache.spark.sql.SparkSession,
+                           path: String, tagA: String, tagB: String): DataFrame = {
+    val snaps = spark.read.parquet(s"$path/snapshots")
+      .filter(col("tag").isin(tagA, tagB))
+      .select("tag", "col_type", "sk").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getAs[Array[Byte]](2))))
+      .toMap
+    Seq(tagA, tagB).foreach(t => require(snaps.contains(t),
+      s"thetaSnapshotOverlap: no snapshot tagged '$t' at $path"))
+    require(snaps(tagA)._1 == snaps(tagB)._1,
+      s"thetaSnapshotOverlap: key types differ (${snaps(tagA)._1} vs " +
+        s"${snaps(tagB)._1}) — overlap would silently be zero")
+    import graft.expressions.ThetaExpressions._
+    import spark.implicits._
+    Seq((snaps(tagA)._2, snaps(tagB)._2)).toDF("sk_a", "sk_b")
+      .select(
+        thetaEstimate(col("sk_a")).as("n_a"),
+        thetaEstimate(col("sk_b")).as("n_b"),
+        thetaUnionEstimate(col("sk_a"), col("sk_b")).as("n_union"),
+        thetaIntersectEstimate(col("sk_a"), col("sk_b")).as("n_intersect"),
+        thetaANotBEstimate(col("sk_a"), col("sk_b")).as("n_a_only"),
+        thetaANotBEstimate(col("sk_b"), col("sk_a")).as("n_b_only"))
+  }
+
   /** Estimate distinct counts from the stored sketches alone — one
     * metadata-scale scan of O(#batches × #columns) sketch rows, zero
     * corpus reads. Returns (col_name, n_values total non-NULL count,

@@ -150,6 +150,34 @@ class ProfileSpec extends SparkSpec {
     assert(emp == ((50L, 0L, 50L, 0L, 50L, 0L)), emp.toString)
   }
 
+  test("theta snapshots: persisted overlap equals the direct report; guards") {
+    val dir = tmp("thetasnap")
+    val jan = (1 to 800).map(i => s"u$i").toDF("url")
+    val jun = (501 to 1200).map(i => s"u$i").toDF("url")
+    Profile.thetaWriteSnapshot(jan, "url", dir, "jan")
+    Profile.thetaWriteSnapshot(jun, "url", dir, "jun")
+    val stored = Profile.thetaSnapshotOverlap(spark, dir, "jan", "jun")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    val direct = Profile.distinctOverlap(jan, "url", jun, "url")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(stored == direct, s"$stored vs $direct")
+    assert(stored == ((800L, 700L, 1200L, 300L, 500L, 400L)), stored.toString)
+    // immutable-tag, missing-tag, and mixed-type guards
+    val e1 = intercept[IllegalArgumentException] {
+      Profile.thetaWriteSnapshot(jan, "url", dir, "jan")
+    }
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.thetaSnapshotOverlap(spark, dir, "jan", "nope")
+    }
+    assert(e2.getMessage.contains("no snapshot tagged"), e2.getMessage)
+    Profile.thetaWriteSnapshot((1L to 10L).toDF("k"), "k", dir, "longs")
+    val e3 = intercept[IllegalArgumentException] {
+      Profile.thetaSnapshotOverlap(spark, dir, "jan", "longs")
+    }
+    assert(e3.getMessage.contains("key types differ"), e3.getMessage)
+  }
+
   test("theta overlap guards: mixed key types and unsketchable types fail loudly") {
     val longs = Seq(1L).toDF("k")
     val strs = Seq("1").toDF("k")
