@@ -2460,6 +2460,17 @@ object SparkEntry {
     // estimates.
     "q_prof_hll_indexed" -> ((s, d) =>
       hllIndexEstimate(s, d).orderBy("col_name")),
+    // KLL quantile profile (r15): corpus length distribution through the
+    // mergeable quantile sketch — one sketch pass, no sort, every rank
+    // read from the same k-bounded value. Fully ORACLED: below k the
+    // sketch retains every item, so INCLUSIVE getQuantile(q) is the true
+    // order statistic at position ceil(q·n), which DuckDB replays with
+    // row_number.
+    "q_prof_kll_quantiles" -> ((s, d) =>
+      graft.operators.Profile.quantileProfile(
+          t(s, d, "documents"), "n_chars",
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("q")),
     // Theta-sketch overlap report (r15): the distinct-set question HLL
     // cannot answer — |A∩B| / |A\B| across two crawl snapshots — via the
     // custom ThetaSketchAgg (one sketch pass per side, no data-row
@@ -6304,6 +6315,19 @@ object SparkEntry {
         |  CAST(n_nulls AS BIGINT) AS n_nulls,
         |  CAST(n_distinct AS BIGINT) AS n_distinct, min_value, max_value
         |FROM p ORDER BY col_name""".stripMargin,
+    // KLL truth side: the true order statistics — INCLUSIVE quantile at
+    // q is the value at sorted position ceil(q·n) (ties collapse to the
+    // same value regardless of row_number's arbitrary tie order).
+    "q_prof_kll_quantiles" ->
+      """WITH s AS (SELECT n_chars AS v FROM documents),
+        |n AS (SELECT count(*) AS cnt FROM s),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s)
+        |SELECT CAST(q AS DOUBLE) AS q,
+        |  (SELECT v FROM r, n WHERE rn = CAST(ceil(q * cnt) AS BIGINT))
+        |    AS value,
+        |  (SELECT cnt FROM n) AS n
+        |FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) AS qv(q)
+        |ORDER BY q""".stripMargin,
     // Theta overlap truth side: the exact distinct-set algebra — the
     // raw-hash regime (distincts < 2^14 at both scales) makes the sketch
     // estimates LAND on these, so the set identities are hash-checked,

@@ -297,6 +297,33 @@ object Profile {
         thetaANotBEstimate(col("sk_b"), col("sk_a")).as("n_b_only"))
   }
 
+  /** Quantile profile of one integral column via a KLL sketch
+    * ([[graft.expressions.KllLongsSketchAgg]]): one sketch pass
+    * (map-side combine, only k-bounded bytes shuffle — no sort, no
+    * per-value shuffle), then every requested rank reads the SAME
+    * sketch in one projected pass. Returns one row per requested q:
+    * (q, value, n). Exact order statistics while n ≤ k (the
+    * q_prof_kll_quantiles oracle replays `ORDER BY + OFFSET
+    * ceil(q*n)-1`, the INCLUSIVE rule), ~1.65/k^0.86 rank error past
+    * it. Unlike approx_percentile, the sketch is a mergeable VALUE —
+    * see [[graft.expressions.KllOps]] for the persist-per-shard story.
+    */
+  def quantileProfile(df: DataFrame, valueCol: String, qs: Seq[Double],
+                      k: Int = 8192): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantileProfile: ranks must be in [0,1], got $qs")
+    val dt = df.schema(valueCol).dataType.typeName
+    require(Set("integer", "long", "short", "byte").contains(dt),
+      s"quantileProfile: column '$valueCol' is $dt — integral columns only")
+    import graft.expressions.KllExpressions._
+    df.agg(kllSketchAgg(col(valueCol), k).as("__sk"))
+      .select(explode(array(qs.map(q => struct(
+        lit(q).as("q"),
+        kllQuantile(col("__sk"), lit(q)).as("value"),
+        kllN(col("__sk")).as("n"))): _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
   /** Estimate distinct counts from the stored sketches alone — one
     * metadata-scale scan of O(#batches × #columns) sketch rows, zero
     * corpus reads. Returns (col_name, n_values total non-NULL count,

@@ -178,6 +178,40 @@ class ProfileSpec extends SparkSpec {
     assert(e3.getMessage.contains("key types differ"), e3.getMessage)
   }
 
+  test("kll quantiles: exact order statistics below k, across partitions") {
+    // 1..1000 shuffled across 8 partitions; INCLUSIVE quantile at q is
+    // the smallest v with ceil(q*n) items <= v, i.e. value ceil(q*1000)
+    val vals = scala.util.Random.shuffle((1 to 1000).toList)
+    val df = vals.map(_.toLong).toDF("v").repartition(8)
+    val out = Profile.quantileProfile(df, "v", Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0))
+      .as[(Double, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0.5) == ((0.5, 500L, 1000L)), out(0.5).toString)
+    assert(out(0.25)._2 == 250L && out(0.9)._2 == 900L && out(0.99)._2 == 990L)
+    assert(out(0.0)._2 == 1L && out(1.0)._2 == 1000L) // min and max
+    // rank is the quantile's inverse in the exact regime
+    val sk = df.agg(graft.expressions.KllExpressions
+        .kllSketchAgg(col("v")).as("sk"))
+      .select(graft.expressions.KllExpressions
+        .kllRank(col("sk"), lit(500L)).as("r"))
+      .as[Double].head()
+    assert(sk == 0.5, sk.toString)
+  }
+
+  test("kll quantiles: empty input yields null values; guards fail loudly") {
+    val empty = (1L to 10L).toDF("v").filter(col("v") < 0)
+    val out = Profile.quantileProfile(empty, "v", Seq(0.5))
+      .select(col("value").isNull, col("n")).as[(Boolean, Long)].head()
+    assert(out == ((true, 0L)), out.toString)
+    val e1 = intercept[IllegalArgumentException] {
+      Profile.quantileProfile(Seq(1.5).toDF("v"), "v", Seq(0.5))
+    }
+    assert(e1.getMessage.contains("integral columns only"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.quantileProfile((1L to 5L).toDF("v"), "v", Seq(1.5))
+    }
+    assert(e2.getMessage.contains("[0,1]"), e2.getMessage)
+  }
+
   test("theta overlap guards: mixed key types and unsketchable types fail loudly") {
     val longs = Seq(1L).toDF("k")
     val strs = Seq("1").toDF("k")
