@@ -61,6 +61,26 @@ object KllOps {
 
   /** Items absorbed by the sketch. */
   def n(b: Array[Byte]): Long = heapify(b).getN
+
+  /** Merge an array of serialized sketches into one (KLL mergeability —
+    * the read side of the persisted shard index). An empty or all-NULL
+    * array yields an empty sketch (whose quantiles are null).
+    */
+  def mergeAll(arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    var merged: KllLongsSketch = null
+    var i = 0
+    while (i < arr.numElements()) {
+      val b = arr.getBinary(i)
+      if (b != null) {
+        val sk = heapify(b)
+        if (merged == null) merged = KllLongsSketch.newHeapInstance(sk.getK)
+        merged.merge(sk)
+      }
+      i += 1
+    }
+    if (merged == null) KllLongsSketch.newHeapInstance().toByteArray
+    else merged.toByteArray
+  }
 }
 
 /** Distributed KLL build over one integral column: per-partition
@@ -164,6 +184,17 @@ object KllExpressions {
       "n",
       Seq(GraftBridge.expression(sk)),
       inputTypes = Seq(BinaryType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Merge an array column of serialized sketches into one sketch. */
+  def kllMergeAll(sks: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      KllOps.getClass,
+      BinaryType,
+      "mergeAll",
+      Seq(GraftBridge.expression(sks)),
+      inputTypes = Seq(ArrayType(BinaryType)),
       propagateNull = true,
       returnNullable = true))
 }

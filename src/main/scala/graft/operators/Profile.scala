@@ -324,6 +324,110 @@ object Profile {
       .select(col("__p.*"))
   }
 
+  /** Persisted KLL shard index — [[quantileProfile]]'s incremental form,
+    * the hllWriteIndex convention for distributions: each ingest batch
+    * appends ONE serialized KLL row per profiled column in O(batch), and
+    * any later quantile question merges the stored sketches (KLL is
+    * mergeable by construction) without revisiting corpus data. Meta
+    * sidecar pins (k, col_name, col_type) one row per column — same
+    * type-drift and comma-name protections as the HLL index.
+    */
+  def kllWriteIndex(df: DataFrame, keyCols: Seq[String], path: String,
+                    k: Int = 8192): Unit = {
+    require(keyCols.nonEmpty, "kllWriteIndex: keyCols must be non-empty")
+    require(k >= 8 && k <= 65535,
+      s"kllWriteIndex: k must be in [8, 65535], got $k")
+    keyCols.foreach(c => requireIntegral(df, c, "kllWriteIndex"))
+    val spark = df.sparkSession
+    kllSketchRows(df, keyCols, k)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sketches")
+    import spark.implicits._
+    keyCols.map(c => (k, c, df.schema(c).dataType.typeName))
+      .toDF("k", "col_name", "col_type")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/meta")
+  }
+
+  private def requireIntegral(df: DataFrame, c: String, what: String): Unit = {
+    require(df.columns.contains(c),
+      s"$what: no such column '$c' (have ${df.columns.mkString(", ")})")
+    val dt = df.schema(c).dataType.typeName
+    require(Set("integer", "long", "short", "byte").contains(dt),
+      s"$what: column '$c' is $dt — integral columns only")
+  }
+
+  private def kllSketchRows(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    import graft.expressions.KllExpressions._
+    val aggs = keyCols.map(c => kllSketchAgg(col(c), k).as(s"__sk_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(keyCols.map(c => struct(
+        lit(c).as("col_name"),
+        col(s"__sk_$c").as("sk"))): _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
+  private def kllIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                           path: String, what: String)
+      : (Int, Seq[(String, String)]) = {
+    val rows =
+      try spark.read.parquet(s"$path/meta")
+        .select("k", "col_name", "col_type").collect()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$what: $path is not a KLL index (missing meta sidecar): " +
+            e.getMessage)
+      }
+    require(rows.nonEmpty, s"$what: $path has an empty meta sidecar")
+    (rows.head.getInt(0),
+      rows.map(r => (r.getString(1), r.getString(2))).toSeq.sortBy(_._1))
+  }
+
+  /** Append one batch's sketch rows in O(batch) — additive, no
+    * read-modify-write; type drift fails loudly (the hllAppendIndex
+    * contract).
+    */
+  def kllAppendIndex(df: DataFrame, path: String): Unit = {
+    val (k, cols) = kllIndexMeta(df.sparkSession, path, "kllAppendIndex")
+    cols.foreach { case (c, t) =>
+      requireIntegral(df, c, "kllAppendIndex")
+      val actual = df.schema(c).dataType.typeName
+      require(actual == t,
+        s"kllAppendIndex: column '$c' is $actual but the index profiled it " +
+          s"as $t — a type-drifted append would corrupt the distribution")
+    }
+    kllSketchRows(df, cols.map(_._1), k)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/sketches")
+  }
+
+  /** Quantiles from the stored sketches alone: merge each column's shard
+    * sketches driver-side (O(#batches × #columns) k-bounded rows — the
+    * hllEstimateIndex scale argument), then read every requested rank.
+    * Returns (col_name, q, value, n) ordered; an all-empty column yields
+    * NULL values with n = 0.
+    */
+  def kllQuantilesIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"kllQuantilesIndex: ranks must be in [0,1], got $qs")
+    kllIndexMeta(spark, path, "kllQuantilesIndex")
+    import graft.expressions.KllExpressions._
+    val merged = spark.read.parquet(s"$path/sketches")
+      .groupBy(col("col_name"))
+      .agg(collect_list(col("sk")).as("__sks"))
+    // merge the shard sketches with one static call per column row
+    val mergedSk = merged.select(col("col_name"),
+      graft.expressions.KllExpressions.kllMergeAll(col("__sks")).as("__sk"))
+    mergedSk.select(col("col_name"),
+        explode(array(qs.map(q => struct(
+          lit(q).as("q"),
+          kllQuantile(col("__sk"), lit(q)).as("value"),
+          kllN(col("__sk")).as("n"))): _*)).as("__p"))
+      .select(col("col_name"), col("__p.*"))
+      .orderBy("col_name", "q")
+  }
+
   /** Estimate distinct counts from the stored sketches alone — one
     * metadata-scale scan of O(#batches × #columns) sketch rows, zero
     * corpus reads. Returns (col_name, n_values total non-NULL count,

@@ -197,6 +197,27 @@ class ProfileSpec extends SparkSpec {
     assert(sk == 0.5, sk.toString)
   }
 
+  test("kll shard index: write + append quantiles equal the one-shot profile") {
+    val dir = tmp("kllidx")
+    val all = scala.util.Random.shuffle((1 to 2000).toList).map(_.toLong)
+    val (b1, rest) = all.splitAt(700)
+    val (b2, b3) = rest.splitAt(600)
+    Profile.kllWriteIndex(b1.toDF("len"), Seq("len"), dir)
+    Profile.kllAppendIndex(b2.toDF("len"), dir)
+    Profile.kllAppendIndex(b3.toDF("len"), dir)
+    val fromIndex = Profile.kllQuantilesIndex(spark, dir, Seq(0.25, 0.5, 0.9))
+      .select("q", "value", "n").as[(Double, Long, Long)].collect().sortBy(_._1)
+    val direct = Profile.quantileProfile(all.toDF("len"), "len", Seq(0.25, 0.5, 0.9))
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    assert(fromIndex.toSeq == direct.toSeq, s"$fromIndex vs $direct")
+    assert(direct.map(_._2).toSeq == Seq(500L, 1000L, 1800L))
+    // type drift fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Profile.kllAppendIndex(Seq(1).toDF("len"), dir) // int vs long
+    }
+    assert(e.getMessage.contains("type-drifted"), e.getMessage)
+  }
+
   test("kll quantiles: empty input yields null values; guards fail loudly") {
     val empty = (1L to 10L).toDF("v").filter(col("v") < 0)
     val out = Profile.quantileProfile(empty, "v", Seq(0.5))
