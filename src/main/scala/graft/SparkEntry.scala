@@ -2466,24 +2466,54 @@ object SparkEntry {
     // sketch retains every item, so INCLUSIVE getQuantile(q) is the true
     // order statistic at position ceil(q·n), which DuckDB replays with
     // row_number.
-    "q_prof_kll_quantiles" -> ((s, d) =>
+    // Exact-regime contract (ADVICE r15): the oracle replays TRUE order
+    // statistics, which holds only while n <= k — so k is DERIVED from
+    // the corpus (exact through KLL's 65535 ceiling, i.e. to ~sf1) and a
+    // scale bump past the ceiling fails with this message instead of an
+    // opaque hash mismatch. The count is one column-pruned agg over a
+    // 5k-row table — noise next to the sketch pass it guards.
+    "q_prof_kll_quantiles" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      require(n <= 65535,
+        s"q_prof_kll_quantiles: corpus n=$n exceeds KLL's max k=65535 — " +
+          "the sketch would leave its exact regime and the DuckDB " +
+          "order-statistic oracle would hash-mismatch. Re-scope the row " +
+          "(profile a bounded slice, or demote to a bounded-error gate) " +
+          "before raising the scale factor")
       graft.operators.Profile.quantileProfile(
-          t(s, d, "documents"), "n_chars",
-          Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
-        .orderBy("q")),
+          docs, "n_chars",
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+          k = math.max(8L, n).toInt)
+        .orderBy("q")
+    }),
     // Theta-sketch overlap report (r15): the distinct-set question HLL
     // cannot answer — |A∩B| / |A\B| across two crawl snapshots — via the
     // custom ThetaSketchAgg (one sketch pass per side, no data-row
     // shuffle). Fully ORACLED: below 2^lgK the theta sketch holds raw
     // hashes, so every estimate is exact and DuckDB's true set algebra
     // IS the expected output.
+    // Exact-regime contract (ADVICE r15): exact set algebra holds only
+    // while each sketch's distincts stay under 2^lgK, so lgK is DERIVED
+    // from the row-count bound on distincts (exact through theta's
+    // lgK=21 ceiling ≈ 2M, i.e. well past sf1) and a bump beyond that
+    // fails with this message instead of an opaque hash mismatch.
     "q_prof_theta_overlap" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val a = docs.select(col("doc_id"))
       val b = docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"))
         .unionByName(docs.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 10000000L).as("doc_id")))
-      graft.operators.Profile.distinctOverlap(a, "doc_id", b, "doc_id")
+      // |a|+|b| bounds every sketch in the algebra, UNION included
+      val bound = a.count() + b.count()
+      val lgK = math.max(14,
+        64 - java.lang.Long.numberOfLeadingZeros(bound) + 1)
+      require(lgK <= 21,
+        s"q_prof_theta_overlap: distinct bound $bound needs lgK=$lgK > " +
+          "theta's 21 ceiling — the sketches would leave their raw-hash " +
+          "exact regime and the DuckDB set-algebra oracle would " +
+          "hash-mismatch. Re-scope the row before raising the scale factor")
+      graft.operators.Profile.distinctOverlap(a, "doc_id", b, "doc_id", lgK)
     }),
     // Gate (verify-only): truth side = exact per-column non-NULL counts
     // and distincts of the SAME base+batch union, replayed in DuckDB;

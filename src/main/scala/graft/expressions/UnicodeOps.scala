@@ -106,21 +106,20 @@ object UnicodeOps {
     } catch { case _: java.nio.charset.CharacterCodingException => null }
   }
 
-  /** Repair single-byte mojibake to a bounded fixpoint (3 rounds covers
-    * the double-encoding seen in practice; each accepted round strictly
-    * shrinks the string, so termination is structural). Returns the
-    * input unchanged when no round applies — ASCII and legitimately
-    * accented text pass through byte-identical.
+  /** Repair single-byte mojibake to the TRUE fixpoint: iterate until
+    * [[repairOnce]] no longer applies (ADVICE r15 — a fixed 3-round cap
+    * left quadruple-encoded text isMojibake-positive, breaking the
+    * idempotence property `isMojibake(fixMojibake(x)) == false` the
+    * specs pin). Termination is structural, not a cap: each accepted
+    * round strictly shrinks the string. Returns the input unchanged
+    * when no round applies — ASCII and legitimately accented text pass
+    * through byte-identical.
     */
   def fixMojibake(s: UTF8String): UTF8String = {
     var cur = s.toString
     var changed = false
-    var round = 0
-    while (round < 3) {
-      val next = repairOnce(cur)
-      if (next == null) round = 3
-      else { cur = next; changed = true; round += 1 }
-    }
+    var next = repairOnce(cur)
+    while (next != null) { cur = next; changed = true; next = repairOnce(cur) }
     if (changed) UTF8String.fromString(cur) else s
   }
 

@@ -120,15 +120,31 @@ object Merge {
     * when deterministic key-ordered ids matter (oracle comparisons).
     */
   def applyBulk(src: DataFrame, tgt: DataFrame, keys: Seq[String],
-                now: Column = current_timestamp()): DataFrame = {
+                now: Column = current_timestamp()): DataFrame =
+    // one driver-side scalar (max id) — the only action. A parquet-backed
+    // caller should skip this column scan entirely: read the watermark
+    // from footer statistics (Sinks.parquetMaxLong — metadata-only) or a
+    // persisted sidecar (the mergeEachBatchBucketed convention) and call
+    // applyBulkAbove; this default stays for in-memory/arbitrary targets.
+    applyBulkAbove(src, tgt, keys,
+      tgt.agg(coalesce(max(col("id")), lit(0L)).as("m")).head().getLong(0),
+      now)
+
+  /** As [[applyBulk]] but minting above an EXPLICIT id watermark — the
+    * [[applyAbove]] treatment for the bulk form, so a caller with a
+    * metadata-cheap watermark (footer stats, a sidecar) never pays the
+    * `max(id)` column scan of the whole target (O(target) per batch at
+    * the 100 TB shape — VERDICT r15). `maxId` must be ≥ every id in
+    * `tgt`; a low watermark silently mints colliding ids.
+    */
+  def applyBulkAbove(src: DataFrame, tgt: DataFrame, keys: Seq[String],
+                     maxId: Long,
+                     now: Column = current_timestamp()): DataFrame = {
     val dataCols = src.columns.filterNot(AuditCols.contains).toSeq
     val outCols = dataCols ++ AuditCols
-    // one driver-side scalar (max id) — the only action; then distributed
-    // zipWithIndex minting with no global sort
-    val maxIdVal = tgt.agg(coalesce(max(col("id")), lit(0L)).as("m"))
-      .head().getLong(0)
+    // distributed zipWithIndex minting with no global sort
     val inserted = graft.pipeline.Sinks.withDenseId(
-        insertRows(src, tgt, keys, dataCols, now), offset = maxIdVal)
+        insertRows(src, tgt, keys, dataCols, now), offset = maxId)
       .select(outCols.map(col): _*)
     keptOrUpdated(src, tgt, keys, dataCols, now)
       .select(outCols.map(col): _*).unionByName(inserted)

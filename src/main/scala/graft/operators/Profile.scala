@@ -126,12 +126,22 @@ object Profile {
     * structurally impossible, not quietly wrong.
     */
   def hllWriteIndex(df: DataFrame, keyCols: Seq[String], path: String,
-                    lgK: Int = 16): Unit = {
+                    lgK: Int = 16, overwrite: Boolean = false): Unit = {
     require(keyCols.nonEmpty, "hllWriteIndex: keyCols must be non-empty")
     require(lgK >= 4 && lgK <= 21,
       s"hllWriteIndex: lgK must be in [4, 21] (DataSketches bounds), got $lgK")
     keyCols.foreach(c => requireSketchable(df, c, "hllWriteIndex"))
     val spark = df.sparkSession
+    // ADVICE r15: create-over-existing silently destroyed the accumulated
+    // append history — inconsistent with the "mismatched append is
+    // structurally impossible" stance everywhere else in this file. An
+    // existing index (meta sidecar present) now fails loudly unless the
+    // caller opts into replacement.
+    require(overwrite || !graft.pipeline.Sinks.exists(spark, s"$path/meta"),
+      s"hllWriteIndex: an index already exists at $path — re-running the " +
+        "create step would destroy its accumulated append history. Use " +
+        "hllAppendIndex for new batches, or pass overwrite = true to " +
+        "rebuild deliberately")
     sketchRows(df, keyCols, lgK)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/sketches")
@@ -248,6 +258,14 @@ object Profile {
     * is sketch algebra over two stored rows, zero corpus reads. Additive
     * append, one row per tag; re-using a tag fails loudly (a snapshot is
     * immutable history, not a slot).
+    *
+    * SINGLE-WRITER, like every append/maintenance path in this file: the
+    * tag-uniqueness guard is a check-then-append, so two CONCURRENT
+    * writers racing the same tag can both pass it and append duplicate
+    * rows. The store stays safe even then — [[thetaSnapshotOverlap]]
+    * detects duplicated tags at read time and throws instead of silently
+    * picking one (ADVICE r15) — but run snapshot writes from one
+    * maintenance loop.
     */
   def thetaWriteSnapshot(df: DataFrame, keyCol: String, path: String,
                          tag: String, lgK: Int = 14): Unit = {
@@ -270,16 +288,25 @@ object Profile {
 
   /** The [[distinctOverlap]] report between two STORED snapshots — reads
     * two sketch rows, touches no corpus data. Fails loudly on a missing
-    * tag or on snapshots whose key types differ (the mixed-type
-    * silent-zero-intersection trap, pinned at write time).
+    * tag, a DUPLICATED tag (the racing-writers state the write-time
+    * guard cannot exclude — ADVICE r15: picking one arbitrarily would
+    * silently report a random writer's snapshot), or on snapshots whose
+    * key types differ (the mixed-type silent-zero-intersection trap,
+    * pinned at write time).
     */
   def thetaSnapshotOverlap(spark: org.apache.spark.sql.SparkSession,
                            path: String, tagA: String, tagB: String): DataFrame = {
-    val snaps = spark.read.parquet(s"$path/snapshots")
+    val rows = spark.read.parquet(s"$path/snapshots")
       .filter(col("tag").isin(tagA, tagB))
       .select("tag", "col_type", "sk").collect()
-      .map(r => r.getString(0) -> ((r.getString(1), r.getAs[Array[Byte]](2))))
-      .toMap
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Array[Byte]](2)))
+    val dup = rows.groupBy(_._1).collect { case (t, rs) if rs.length > 1 => t }
+    require(dup.isEmpty,
+      s"thetaSnapshotOverlap: tag(s) ${dup.mkString("'", "', '", "'")} appear " +
+        s"more than once at $path — concurrent writers raced the " +
+        "tag-uniqueness guard; snapshots are ambiguous. Repair the store " +
+        "(delete the losing rows) before asking for overlaps")
+    val snaps = rows.map(r => r._1 -> ((r._2, r._3))).toMap
     Seq(tagA, tagB).foreach(t => require(snaps.contains(t),
       s"thetaSnapshotOverlap: no snapshot tagged '$t' at $path"))
     require(snaps(tagA)._1 == snaps(tagB)._1,
@@ -333,12 +360,19 @@ object Profile {
     * type-drift and comma-name protections as the HLL index.
     */
   def kllWriteIndex(df: DataFrame, keyCols: Seq[String], path: String,
-                    k: Int = 8192): Unit = {
+                    k: Int = 8192, overwrite: Boolean = false): Unit = {
     require(keyCols.nonEmpty, "kllWriteIndex: keyCols must be non-empty")
     require(k >= 8 && k <= 65535,
       s"kllWriteIndex: k must be in [8, 65535], got $k")
     keyCols.foreach(c => requireIntegral(df, c, "kllWriteIndex"))
     val spark = df.sparkSession
+    // the hllWriteIndex guard (ADVICE r15): creating over an existing
+    // index destroys its append history — fail loudly unless opted in
+    require(overwrite || !graft.pipeline.Sinks.exists(spark, s"$path/meta"),
+      s"kllWriteIndex: an index already exists at $path — re-running the " +
+        "create step would destroy its accumulated append history. Use " +
+        "kllAppendIndex for new batches, or pass overwrite = true to " +
+        "rebuild deliberately")
     kllSketchRows(df, keyCols, k)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/sketches")

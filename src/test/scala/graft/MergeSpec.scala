@@ -98,6 +98,14 @@ class MergeSpec extends SparkSpec {
     val ids = viaBulk.select("id").as[Long].collect().sorted.toSeq
     assert(ids == (1L to 5L)) // dense: 2 target ids + 3 minted above max
     assert(!viaBulk.queryExecution.executedPlan.toString.contains("Window"))
+    // r16: the explicit-watermark form (footer-stats/sidecar callers) is
+    // the same merge — and mints above the GIVEN watermark, not the scan
+    val viaAbove = Merge.applyBulkAbove(src, tgt, Seq("k"), maxId = 2L, t1)
+    assert(rows(viaAbove) == rows(viaBulk))
+    assert(viaAbove.select("id").as[Long].collect().sorted.toSeq == (1L to 5L))
+    val gapped = Merge.applyBulkAbove(src, tgt, Seq("k"), maxId = 100L, t1)
+    assert(gapped.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 101L, 102L, 103L)) // reserved-range gap, never a collision
   }
 
   test("evolveTarget: added source column backfills via one update pass, then fixpoint") {

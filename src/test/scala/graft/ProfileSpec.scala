@@ -176,6 +176,44 @@ class ProfileSpec extends SparkSpec {
       Profile.thetaSnapshotOverlap(spark, dir, "jan", "longs")
     }
     assert(e3.getMessage.contains("key types differ"), e3.getMessage)
+    // duplicated tag (racing writers passed the check-then-append guard):
+    // the read side throws instead of silently picking one (ADVICE r15)
+    import graft.expressions.ThetaExpressions._
+    jan.agg(thetaSketchAgg(col("url"), 14).as("sk"))
+      .select(lit("jan").as("tag"), lit("string").as("col_type"), col("sk"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$dir/snapshots")
+    val e4 = intercept[IllegalArgumentException] {
+      Profile.thetaSnapshotOverlap(spark, dir, "jan", "jun")
+    }
+    assert(e4.getMessage.contains("more than once"), e4.getMessage)
+  }
+
+  test("hll/kll index: create over an existing index fails loudly; " +
+      "overwrite=true rebuilds deliberately (ADVICE r15)") {
+    val dir = tmp("hllrecreate")
+    val d = Seq(1L, 2L, 3L).toDF("id")
+    Profile.hllWriteIndex(d, Seq("id"), dir)
+    Profile.hllAppendIndex(Seq(4L, 5L).toDF("id"), dir)
+    val e = intercept[IllegalArgumentException] {
+      Profile.hllWriteIndex(d, Seq("id"), dir) // would erase the append
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // history intact after the refused create
+    assert(Profile.hllEstimateIndex(spark, dir)
+      .as[(String, Long, Long)].head()._3 == 5L)
+    Profile.hllWriteIndex(d, Seq("id"), dir, overwrite = true)
+    assert(Profile.hllEstimateIndex(spark, dir)
+      .as[(String, Long, Long)].head()._3 == 3L) // deliberate rebuild
+    val kdir = tmp("kllrecreate")
+    Profile.kllWriteIndex(d, Seq("id"), kdir)
+    val ek = intercept[IllegalArgumentException] {
+      Profile.kllWriteIndex(d, Seq("id"), kdir)
+    }
+    assert(ek.getMessage.contains("already exists"), ek.getMessage)
+    Profile.kllWriteIndex(Seq(7L).toDF("id"), Seq("id"), kdir, overwrite = true)
+    assert(Profile.kllQuantilesIndex(spark, kdir, Seq(1.0))
+      .select("value").as[Long].head() == 7L)
   }
 
   test("kll quantiles: exact order statistics below k, across partitions") {

@@ -185,6 +185,111 @@ class StreamingSpec extends SparkSpec {
       .size == 6)
   }
 
+  test("mergeEachBatchBucketed: id watermark sidecar == full-scan max " +
+      "after every batch; migration from a sidecar-less target repairs " +
+      "from footer stats") {
+    // r16 (VERDICT r15 §next-2): minting is metadata-cheap — the sidecar
+    // IS the watermark, pinned equal to the O(target) scan it replaces.
+    val dir = Files.createTempDirectory("graft-bkt-sidecar").toString
+    val tgt = s"$dir/t"
+    val fn = Streams.mergeEachBatchBucketed(tgt, Seq("k"), nBuckets = 8)
+    def scanMax() = spark.read.parquet(tgt).agg(max("id")).head().getLong(0)
+    def sidecar() = Streams.readMaxIdSidecar(spark, tgt)
+    fn(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), 0L)
+    assert(sidecar().contains(scanMax()), s"${sidecar()} vs ${scanMax()}")
+    fn(Seq((2L, "B"), (4L, "d"), (5L, "e")).toDF("k", "v"), 1L) // upd + 2 ins
+    assert(sidecar().contains(scanMax()), s"${sidecar()} vs ${scanMax()}")
+    assert(sidecar().contains(5L))
+    // migration: an r15-era target has no sidecar — delete it; the next
+    // batch must repair the watermark from parquet footer statistics
+    // (Sinks.parquetMaxLong), not mint colliding ids
+    assert(new java.io.File(tgt, "_graft_max_id").delete())
+    assert(graft.pipeline.Sinks.parquetMaxLong(spark, tgt, "id")
+      .contains(5L)) // footers alone recover the true max
+    fn(Seq((6L, "f")).toDF("k", "v"), 2L)
+    assert(sidecar().contains(6L) && scanMax() == 6L)
+    val ids = spark.read.parquet(tgt).select("id").as[Long].collect()
+    assert(ids.length == 6 && ids.toSet.size == 6, ids.toSeq)
+  }
+
+  test("mergeEachBatchBucketed: foreachBatch replay converges to the " +
+      "full-rewrite truth from every crash point, ids never collide") {
+    // r16 (VERDICT r15 §next-5): the q_stream_jdbc_cdc_gate treatment for
+    // the parquet sink — simulate the crash states our commit protocol
+    // can leave (sidecar reserved but nothing committed; PARTIAL dynamic-
+    // partition commit with only one changed bucket swapped), then let
+    // the foreachBatch replay run and pin convergence.
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // plant a sidecar value out-of-band (the crash simulator's hand):
+    // drop Hadoop's local-FS .crc twin too, or the next read trips a
+    // ChecksumException instead of reading the planted value
+    def plantSidecar(target: String, v: Long): Unit = {
+      new java.io.File(target, "._graft_max_id.crc").delete()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(target, "_graft_max_id"),
+        v.toString.getBytes)
+    }
+    val dir = Files.createTempDirectory("graft-bkt-crash").toString
+    val b1 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "j")).toDF("k", "v")
+    val b2 = Seq((1L, "A2"), (4L, "d"), (5L, "e")).toDF("k", "v")
+    // truth: the same batches through the sink with no crash
+    val truthT = s"$dir/truth"
+    val truthFn = Streams.mergeEachBatchBucketed(truthT, Seq("k"), 8)
+    truthFn(b1, 0L); truthFn(b2, 1L)
+    def state(p: String) = spark.read.parquet(p)
+      .select("k", "v", "row_hash").as[(Long, String, String)].collect().toSet
+    val truth = state(truthT)
+    def assertConverged(p: String): Unit = {
+      assert(state(p) == truth, s"diverged: ${state(p)}\nvs $truth")
+      val ids = spark.read.parquet(p).select("id").as[Long].collect()
+      assert(ids.toSet.size == ids.length, s"id collision: ${ids.toSeq}")
+      assert(Streams.readMaxIdSidecar(spark, p).exists(_ >= ids.max))
+    }
+    // crash point A: sidecar bumped (range reserved), commit never ran.
+    // Replay sees the old data + an inflated watermark -> id gap, no dupes.
+    val tA = s"$dir/crashA"
+    val fnA = Streams.mergeEachBatchBucketed(tA, Seq("k"), 8)
+    fnA(b1, 0L)
+    plantSidecar(tA, 7L) // 4 rows committed, batch 2's 3-id range reserved
+    fnA(b2, 1L) // the replay
+    assertConverged(tA)
+    // crash point B: partial dynamic-partition commit — build the state
+    // "sidecar bumped + exactly ONE changed bucket swapped in" by copying
+    // that bucket dir from a completed run over a pre-batch-2 copy.
+    val (tDone, tB) = (s"$dir/done", s"$dir/crashB")
+    val doneFn = Streams.mergeEachBatchBucketed(tDone, Seq("k"), 8)
+    doneFn(b1, 0L)
+    copyTree(new java.io.File(tDone), new java.io.File(tB)) // pre-batch-2
+    doneFn(b2, 1L) // complete the real run
+    val changedBuckets = new java.io.File(tDone).listFiles()
+      .filter(_.getName.startsWith("__kb=")).map(_.getName).filter { n =>
+        val pre = new java.io.File(tB, n)
+        !pre.exists() ||
+          pre.listFiles().map(_.getName).toSet !=
+            new java.io.File(tDone, n).listFiles().map(_.getName).toSet
+      }
+    assert(changedBuckets.length >= 2, // need a genuinely partial state
+      s"fixture too small: ${changedBuckets.toSeq}")
+    val committed = changedBuckets.head
+    val pre = new java.io.File(tB, committed)
+    if (pre.exists()) pre.listFiles().foreach(_.delete())
+    copyTree(new java.io.File(tDone, committed), pre)
+    plantSidecar(tB, // the bumped (reserved) watermark of the real run
+      Streams.readMaxIdSidecar(spark, tDone).get)
+    val fnB = Streams.mergeEachBatchBucketed(tB, Seq("k"), 8)
+    fnB(b2, 1L) // the replay over the half-committed state
+    assertConverged(tB)
+    // sanity: a plain replay of a fully committed batch is also stable
+    fnB(b2, 1L)
+    assertConverged(tB)
+  }
+
   test("cdcToJdbcEachBatchExactlyOnce: replayed batch ids are no-ops, " +
       "per-batch timestamps, converged target") {
     // r15 (VERDICT r14 §next-4): the exactly-once JDBC CDC sink — drive
@@ -314,7 +419,8 @@ class StreamingSpec extends SparkSpec {
     val bdir = new java.io.File(s"$acc/__ingest_batch=0")
     def names() = bdir.listFiles().map(_.getName).toSet
     // commit protocol invariant: a committed dir carries BOTH markers
-    assert(names().exists(_.startsWith("_manifest-")), names().mkString(", "))
+    // (v2 format since r16 — ADVICE r15 manifest versioning)
+    assert(names().exists(_.startsWith("_manifest2-")), names().mkString(", "))
     assert(names().contains("_SUCCESS"))
     // simulate a crash just before the _SUCCESS touch: data + manifest
     // written, marker missing, index partition never written
@@ -322,7 +428,7 @@ class StreamingSpec extends SparkSpec {
     graft.pipeline.Sinks.drop(spark, s"$idx/__ingest_batch=0")
     ingest(b0, 0L) // replay treats the dir as uncommitted and overwrites it
     assert(names().contains("_SUCCESS"))
-    assert(names().exists(_.startsWith("_manifest-")))
+    assert(names().exists(_.startsWith("_manifest2-")))
     assert(spark.read.parquet(acc).select("doc_id").as[Long].collect().toList == List(1L))
     assert(spark.read.parquet(idx).select("id").as[Long].collect().toList == List(1L))
   }
@@ -339,13 +445,52 @@ class StreamingSpec extends SparkSpec {
       .toDF("doc_id", "text")
     ingest(b0, 0L)
     val bdir = new java.io.File(s"$acc/__ingest_batch=0")
-    bdir.listFiles().filter(_.getName.startsWith("_manifest-")).foreach(f => assert(f.delete()))
+    bdir.listFiles().filter(_.getName.startsWith("_manifest")).foreach(f => assert(f.delete()))
     val ex = intercept[IllegalStateException] { ingest(b0, 0L) }
     assert(ex.getMessage.contains("no _manifest"), ex.getMessage)
     // operator-blessed migration marker waives the content check instead
     new java.io.File(bdir, "_manifest-migrated").createNewFile()
     ingest(b0, 0L) // replay-skip, no exception
     assert(spark.read.parquet(acc).select("doc_id").as[Long].collect().toList == List(1L))
+  }
+
+  test("dedupAgainstIndexEachBatch: a legacy v1 manifest (pre-upgrade " +
+      "space-separator formula) is accepted on replay and upgraded to v2") {
+    // ADVICE r15 (medium): changing the signature separator invalidated
+    // every pre-upgrade marker — a legitimate replay of an already-
+    // committed batch then halted with the lineage error. The format is
+    // now versioned: a v1 marker matching EITHER historical formula is
+    // accepted and the dir upgraded in place.
+    val dir = Files.createTempDirectory("stream-dedup-v1manifest").toString
+    val (idx, acc) = (s"$dir/idx", s"$dir/accepted")
+    val ingest = Streams.dedupAgainstIndexEachBatch(idx, acc, "doc_id", "text")
+    val b0 = Seq(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "completely different text about spark engines").toDF("doc_id", "text")
+    ingest(b0, 0L)
+    val bdir = new java.io.File(s"$acc/__ingest_batch=0")
+    // rewrite the committed dir as a pre-upgrade build would have left it:
+    // v1 marker name, space-separated signature formula
+    val legacySig = {
+      val r = b0.agg(
+        sum(xxhash64(concat_ws(" ", col("doc_id").cast("string"), col("text")))
+          .cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")).head()
+      s"${r.getDecimal(0).toBigInteger.toString}_${r.getLong(1)}"
+    }
+    bdir.listFiles().filter(_.getName.startsWith("_manifest"))
+      .foreach(f => assert(f.delete()))
+    assert(new java.io.File(bdir, s"_manifest-$legacySig").createNewFile())
+    ingest(b0, 0L) // the first replay after the upgrade: must NOT halt
+    val names = bdir.listFiles().map(_.getName).toSet
+    assert(names.exists(_.startsWith("_manifest2-")), names.mkString(", "))
+    assert(spark.read.parquet(acc).select("doc_id").as[Long].collect().sorted
+      .toList == List(1L, 2L))
+    // but a v1 marker matching NEITHER formula is still a foreign lineage
+    bdir.listFiles().filter(_.getName.startsWith("_manifest"))
+      .foreach(f => assert(f.delete()))
+    assert(new java.io.File(bdir, "_manifest-12345_2").createNewFile())
+    val ex = intercept[IllegalStateException] { ingest(b0, 0L) }
+    assert(ex.getMessage.contains("neither signature formula"), ex.getMessage)
   }
 
   test("dedupAgainstIndexEachBatch: legacy flat sink layout fails with a migration message") {

@@ -889,6 +889,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(moji1("dash â€” here") == "dash — here")
     // double-encoded é: two repair rounds to the fixpoint
     assert(moji1("ÃƒÂ© twice") == "é twice")
+    // quadruple-encoded (ADVICE r15): repair now runs to the TRUE
+    // fixpoint, past the old 3-round cap — and the output is provably
+    // not-mojibake (isMojibake(fixMojibake(x)) == false, the idempotence
+    // property the cap used to break)
+    def dmg(x: String) = new String(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val quad = dmg(dmg(dmg(dmg("café du parc"))))
+    assert(moji1(quad) == "café du parc")
+    val stillBad = Seq(Tuple1(quad)).toDF("t")
+      .select(TextAnalysis.isMojibake(TextAnalysis.fixMojibake(col("t"))))
+      .as[Boolean].head()
+    assert(!stillBad)
   }
 
   test("fixMojibake leaves legitimate accents and ascii byte-identical") {
