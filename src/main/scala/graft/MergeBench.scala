@@ -161,7 +161,47 @@ object MergeBench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val js = (scenarios ++ jdbcScenarios ++ bktScenarios :+
+    // Warm-start rank maintenance (r16, VERDICT r15 §next-4): the
+    // persisted-graph append is O(batch); these rows measure whether the
+    // RANK upkeep is too. Build the residue graph from half the docs,
+    // converge cold and snapshot, append the other half (additive weight
+    // partials on the same pairs — the steady-state crawl shape), then
+    // reconverge warm from the stored vector vs cold from the uniform
+    // base. The win is ITERATIONS (each iteration is a fixed amount of
+    // work at any scale), reported alongside wall seconds.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def graphEdges(cond: org.apache.spark.sql.Column): DataFrame = docs
+      .filter(cond)
+      .select(
+        concat(lit("s"), (col("doc_id") % 7).cast("string")).as("src_host"),
+        concat(lit("t"), ((col("doc_id") * col("doc_id") + 3) % 11)
+          .cast("string")).as("dst_host"))
+      .groupBy("src_host", "dst_host").agg(count(lit(1)).as("weight"))
+    val grPath = s"$out/graph_idx"
+    val wg = graft.operators.WebGraph
+    wg.writeIndex(graphEdges(col("doc_id") % 2 === 0), grPath)
+    val t0w = System.nanoTime()
+    val (_, itCold0) = wg.pageRankIndexedWarm(spark, grPath) // cold + snapshot
+    val coldSec = (System.nanoTime() - t0w) / 1e9
+    wg.appendIndex(graphEdges(col("doc_id") % 2 =!= 0), grPath)
+    val t1w = System.nanoTime()
+    val (_, itWarm) = wg.pageRankIndexedWarm(spark, grPath) // warm reconverge
+    val warmSec = (System.nanoTime() - t1w) / 1e9
+    val t2w = System.nanoTime()
+    val (_, itCold) = wg.pageRankFrom(wg.readIndexEdges(spark, grPath),
+      maxIterations = 400) // cold baseline on the appended graph
+    val coldFullSec = (System.nanoTime() - t2w) / 1e9
+    require(itWarm < itCold,
+      s"warm reconvergence lost: warm=$itWarm cold=$itCold")
+    val prScenarios = Seq(
+      "pagerank_cold_bootstrap_iters" -> itCold0.toDouble,
+      "pagerank_cold_bootstrap_sec" -> coldSec,
+      "pagerank_warm_reconverge_iters" -> itWarm.toDouble,
+      "pagerank_warm_reconverge_sec" -> warmSec,
+      "pagerank_cold_reconverge_iters" -> itCold.toDouble,
+      "pagerank_cold_reconverge_sec" -> coldFullSec)
+
+    val js = (scenarios ++ jdbcScenarios ++ bktScenarios ++ prScenarios :+
         ("jdbc_rebuild" -> rebuild))
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -2298,7 +2298,11 @@ object SparkEntry {
       // chain and adds the exact-distinct truth pass (superset ruling —
       // the benched row is the estimate-only path, the index's reason to
       // exist).
-      "q_prof_hll_gate")
+      "q_prof_hll_gate",
+      // r16: the warm-start maintenance gate converges the same graph
+      // three times per run (maintenance-gate ruling); the benched
+      // reconvergence measurement lives in MergeBench.
+      "q_web_pagerank_warm_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -3941,6 +3945,45 @@ object SparkEntry {
       WebGraph.appendIndex(edgesOf(col("doc_id") % 2 =!= 0), path)
       WebGraph.compactIndex(s, path)
       WebGraph.pageRankIndexed(s, path, iterations = 10).orderBy("host")
+    }),
+    // Warm-start rank maintenance gate (r16, VERDICT r15 §next-4):
+    // build the persisted graph from the even half of a synthetic
+    // residue edge set (src = doc_id%7 host, dst = (doc_id²+3)%11 host
+    // — non-regular in-degrees, every dst dangling, so the fixpoint is
+    // non-uniform and the dangling leg is exercised), converge + store
+    // the rank snapshot, append the odd half (additive weight partials
+    // on the SAME pairs — the steady-state crawl shape), then
+    // warm-converge from the stored vector. Hash pins: the fixed-budget
+    // 200-iteration cold vector bit-equals the unrolled oracle, the
+    // warm fixpoint sits within the tolerance-stop band of it, and the
+    // warm probe stopped early. Verify-only: converges the same graph
+    // three times per run (maintenance-gate ruling); the benched
+    // reconvergence measurement is MergeBench's pagerank_warm_* rows.
+    "q_web_pagerank_warm_gate" -> ((s, d) => {
+      val path = tempDirCleaned("graft-warmgate")
+      val docs = t(s, d, "documents")
+      def eOf(cond: Column): DataFrame = docs.filter(cond)
+        .select(
+          concat(lit("s"), (col("doc_id") % 7).cast("string"))
+            .as("src_host"),
+          concat(lit("t"), ((col("doc_id") * col("doc_id") + 3) % 11)
+            .cast("string")).as("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).as("weight"))
+      WebGraph.writeIndex(eOf(col("doc_id") % 2 === 0), path)
+      WebGraph.pageRankIndexedWarm(s, path) // cold converge + snapshot
+      WebGraph.appendIndex(eOf(col("doc_id") % 2 =!= 0), path)
+      val (warm, itW) = WebGraph.pageRankIndexedWarm(s, path)
+      val cold200 = WebGraph.pageRank(
+        WebGraph.readIndexEdges(s, path), iterations = 200)
+      cold200
+        .join(warm.select(col("host"), col("rank_scaled").as("__warm")),
+          Seq("host"))
+        .select(col("host"), col("rank_scaled"),
+          (abs(col("__warm") - col("rank_scaled")) <= 1024L)
+            .as("warm_in_band"),
+          lit(itW < 200).as("warm_converged_early"))
+        .orderBy("host")
     }),
     // Registered-domain (eTLD+1) extraction (r14; LOWERCASED since r15
     // per ADVICE r14 — case-variant hosts of one registrant are one
@@ -9763,6 +9806,27 @@ object SparkEntry {
     "q_web_pagerank_dist" -> pageRankOracleSql(10),
     // r14: edge partials folded + same iteration count == scratch ranks
     "q_web_pagerank_compacted" -> pageRankOracleSql(10),
+    // r16 (VERDICT r15 §next-4): the warm-start maintenance gate. Truth
+    // side = the synthetic residue graph's weights (count per host pair
+    // over ALL documents — the engine's even-write + odd-append partials
+    // sum to exactly this) and 200 unrolled PageRank rounds, far past
+    // the measured ~104–170-iteration convergence horizon, so pr200 IS
+    // the fixpoint. Engine side hashes its fixed-budget 200-iteration
+    // cold vector (bit-equal by the fixed-point construction) plus two
+    // measured booleans pinned as literals: the warm-started converged
+    // vector lands within 1024 fixed-point units (1e-9 of RankScale —
+    // the tolerance-stop tail bound, measured single digits) and the
+    // warm probe stopped before the fixed budget.
+    "q_web_pagerank_warm_gate" -> (
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT 's' || CAST(doc_id % 7 AS VARCHAR) AS src_host,
+         |    't' || CAST((doc_id * doc_id + 3) % 11 AS VARCHAR) AS dst_host,
+         |    CAST(count(*) AS BIGINT) AS weight
+         |  FROM documents GROUP BY 1, 2),
+         |${pageRankCtes(200)}
+         |SELECT host, CAST(rank AS BIGINT) AS rank_scaled,
+         |  TRUE AS warm_in_band, TRUE AS warm_converged_early
+         |FROM pr200 ORDER BY host""".stripMargin),
     // r14: HITS replayed round-for-round over the same link chain
     "q_web_hits" -> hitsOracleSql(8),
     // the distributed twin shares the scratch oracle (r15)

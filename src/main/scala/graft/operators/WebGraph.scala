@@ -159,7 +159,49 @@ object WebGraph {
     * Returns `(host, rank_scaled)`.
     */
   def pageRank(edges: DataFrame, iterations: Int = 10,
-               localEdgeLimit: Long = 1L << 20): DataFrame = {
+               localEdgeLimit: Long = 1L << 20): DataFrame =
+    pageRankFrom(edges, iterations, localEdgeLimit, seed = None,
+      stopTol = None)._1
+
+  /** [[pageRank]] generalized with a WARM-START seed and an early
+    * fixpoint stop (r16, VERDICT r15 §next-4: the persisted graph index
+    * appends in O(batch), but every probe re-ran the full iteration
+    * budget from the uniform base — at 100 TB the O(batch) append is
+    * pointless if each batch triggers a full cold recompute).
+    *
+    *   - `seed`: optional `(host, rank_scaled)` frame — typically the
+    *     PREVIOUS converged rank vector ([[pageRankWriteSnapshot]]).
+    *     Hosts missing from the seed (new since the snapshot) start at
+    *     the uniform base; seed hosts no longer in the graph drop out.
+    *     PageRank's damped update is a contraction, so the fixpoint is
+    *     seed-independent — the seed buys ITERATIONS, not a different
+    *     answer (the q_web_pagerank_warm_gate pins warm == cold
+    *     end-state against the unrolled DuckDB oracle).
+    *   - `stopTol`: stop once an update moves NO host by more than this
+    *     many fixed-point units (None = run the full budget, the
+    *     oracled fixed-iteration semantics). MEASURED basis for the
+    *     default 64: the truncated-integer map does not always have an
+    *     exact fixed point — one spec graph goes exactly stationary at
+    *     iteration ~104, while the same graph plus two edges
+    *     limit-cycles ±1 unit forever — but in every observed case the
+    *     residual motion collapses to single units, so any tolerance
+    *     comfortably above the cycle amplitude and comfortably below
+    *     meaningful rank differences (64 units = 6.4e-11 of RankScale)
+    *     fires reliably. An appended batch that perturbs few hosts
+    *     reconverges in a fraction of the cold budget (the MergeBench
+    *     `pagerank_warm_*` rows measure it).
+    *
+    * Returns (ranks, iterationsRun). `pageRank` is this with no seed
+    * and no early stop — bit-identical to its pre-r16 form.
+    */
+  val RankStopTol: Long = 64L
+
+  def pageRankFrom(edges: DataFrame, maxIterations: Int = 10,
+                   localEdgeLimit: Long = 1L << 20,
+                   seed: Option[DataFrame] = None,
+                   stopTol: Option[Long] = Some(RankStopTol))
+      : (DataFrame, Int) = {
+    val iterations = maxIterations
     require(iterations >= 1, s"pageRank: iterations must be >= 1")
     require(localEdgeLimit >= 0 && localEdgeLimit < Int.MaxValue,
       s"pageRank: localEdgeLimit out of range: $localEdgeLimit")
@@ -192,20 +234,33 @@ object WebGraph {
       rows.foreach { case (s, _, w) => outW(s) = outW.getOrElse(s, 0L) + w }
       val hosts = (rows.map(_._1) ++ rows.map(_._2)).distinct
       val base = RankScale / hosts.length
-      var rank = hosts.map(_ -> base).toMap
-      for (_ <- 1 to iterations) {
+      // warm seed: the graph fit the driver gate, so its host-level seed
+      // does too (hosts ≤ 2·edges)
+      val seedLocal: Map[String, Long] = seed.map(_
+        .select(col("host").cast("string"), col("rank_scaled").cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+        .getOrElse(Map.empty)
+      var rank = hosts.map(h => h -> seedLocal.getOrElse(h, base)).toMap
+      var itersRun = 0
+      var stationary = false
+      while (itersRun < iterations && !stationary) {
         val in = scala.collection.mutable.HashMap.empty[String, Long]
         rows.foreach { case (s, d, w) =>
           in(d) = in.getOrElse(d, 0L) + rank(s) * w / outW(s)
         }
         val dShare = hosts.iterator.filterNot(outW.contains)
           .map(rank).sum / hosts.length
-        rank = hosts.map(h =>
+        val next = hosts.map(h =>
           h -> (15L * base +
             DampingNum * (in.getOrElse(h, 0L) + dShare)) / 100L).toMap
+        itersRun += 1
+        if (stopTol.exists(t =>
+            hosts.iterator.map(h => math.abs(next(h) - rank(h))).max <= t))
+          stationary = true
+        rank = next
       }
       import spark.implicits._
-      rank.toSeq.toDF("host", "rank_scaled")
+      (rank.toSeq.toDF("host", "rank_scaled"), itersRun)
     } else {
       // persist the edge list and out-weights for the loop: e feeds every
       // iteration's contrib join AND (since r13) the dangling anti-join,
@@ -223,8 +278,16 @@ object WebGraph {
         .persist()
       val nNodes = nodes.count()
       val base = RankScale / nNodes
-      var ranks = nodes.withColumn("rank", lit(base)).localCheckpoint()
-      for (_ <- 1 to iterations) {
+      var ranks = (seed match {
+        case None => nodes.withColumn("rank", lit(base))
+        case Some(sd) => nodes
+          .join(sd.select(col("host").cast("string").as("host"),
+            col("rank_scaled").cast("long").as("__seed")), Seq("host"), "left")
+          .select(col("host"), coalesce(col("__seed"), lit(base)).as("rank"))
+      }).localCheckpoint()
+      var itersRun = 0
+      var stationary = false
+      while (itersRun < iterations && !stationary) {
         // one BIGINT scalar per round: the dangling hosts' summed rank
         // (anti-join against the outlink side over the CHECKPOINTED
         // ranks — O(nodes), no recompute) becomes a literal in the
@@ -238,17 +301,27 @@ object WebGraph {
           .join(ranks.select(col("host").as("src"), col("rank")), Seq("src"))
           .select(col("dst").as("host"), expr("rank * w div ow").as("c"))
           .groupBy("host").agg(sum("c").as("in_mass"))
+        val prev = ranks
         ranks = nodes.join(contrib, Seq("host"), "left")
           .select(col("host"),
             expr(s"(15 * ${base}L + $DampingNum * " +
               s"(coalesce(in_mass, 0L) + ${dShare}L)) div 100")
               .as("rank"))
           .localCheckpoint()
+        itersRun += 1
+        // residual motion over two CHECKPOINTED vectors — one O(nodes)
+        // join per round, no lineage recompute
+        if (stopTol.exists(t => ranks
+            .join(prev.select(col("host"), col("rank").as("__prev")),
+              Seq("host"))
+            .agg(coalesce(max(abs(col("rank") - col("__prev"))), lit(0L)))
+            .head().getLong(0) <= t))
+          stationary = true
       }
       nodes.unpersist()
       outW.unpersist()
       eP.unpersist()
-      ranks.select(col("host"), col("rank").as("rank_scaled"))
+      (ranks.select(col("host"), col("rank").as("rank_scaled")), itersRun)
     }
   }
 
@@ -277,7 +350,29 @@ object WebGraph {
     * Returns `(host, auth_scaled, hub_scaled)`.
     */
   def hits(edges: DataFrame, iterations: Int = 8,
-           localEdgeLimit: Long = 1L << 20): DataFrame = {
+           localEdgeLimit: Long = 1L << 20): DataFrame =
+    hitsFrom(edges, iterations, localEdgeLimit, seed = None,
+      stopTol = None)._1
+
+  /** [[hits]] with a warm-start seed `(host, auth_scaled, hub_scaled)`
+    * and a residual-motion stop — the [[pageRankFrom]] treatment for
+    * the other rank family (VERDICT r15 §next-4), with one MEASURED
+    * caveat: HITS' pinned renormalization divisor
+    * `max(1, Σx div RankScale)` is a step function, so when the true
+    * total sits between multiples of RankScale the integer MAGNITUDES
+    * oscillate forever (maxdiff ~1e11 held steady through 500
+    * iterations on both the spec graphs and the fixture link graph —
+    * the direction converges, the scaling never does). A tolerance
+    * below that amplitude therefore never fires: HITS probes stay
+    * fixed-budget ([[hitsIndexed]]), the seed is for callers warming a
+    * fixed-budget run, and there is deliberately no hitsIndexedWarm.
+    * Returns (scores, iterationsRun).
+    */
+  def hitsFrom(edges: DataFrame, maxIterations: Int = 8,
+               localEdgeLimit: Long = 1L << 20,
+               seed: Option[DataFrame] = None,
+               stopTol: Option[Long] = None): (DataFrame, Int) = {
+    val iterations = maxIterations
     require(iterations >= 1, s"hits: iterations must be >= 1")
     require(localEdgeLimit >= 0 && localEdgeLimit < Int.MaxValue,
       s"hits: localEdgeLimit out of range: $localEdgeLimit")
@@ -298,25 +393,40 @@ object WebGraph {
       checkTotW(rows.iterator.map(_._3).sum)
       val hosts = (rows.map(_._1) ++ rows.map(_._2)).distinct
       val base = RankScale / hosts.length
-      var auth = hosts.map(_ -> base).toMap
-      var hub = auth
-      for (_ <- 1 to iterations) {
+      val seedLocal: Map[String, (Long, Long)] = seed.map(_
+        .select(col("host").cast("string"), col("auth_scaled").cast("long"),
+          col("hub_scaled").cast("long"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap).getOrElse(Map.empty)
+      var auth = hosts.map(h =>
+        h -> seedLocal.get(h).map(_._1).getOrElse(base)).toMap
+      var hub = hosts.map(h =>
+        h -> seedLocal.get(h).map(_._2).getOrElse(base)).toMap
+      var itersRun = 0
+      var stationary = false
+      while (itersRun < iterations && !stationary) {
         val araw = scala.collection.mutable.HashMap.empty[String, Long]
         rows.foreach { case (s, d, w) =>
           araw(d) = araw.getOrElse(d, 0L) + hub(s) * w
         }
         val adv = math.max(1L, araw.valuesIterator.sum / RankScale)
-        auth = hosts.map(h => h -> araw.getOrElse(h, 0L) / adv).toMap
+        val nextAuth = hosts.map(h => h -> araw.getOrElse(h, 0L) / adv).toMap
         val hraw = scala.collection.mutable.HashMap.empty[String, Long]
         rows.foreach { case (s, d, w) =>
-          hraw(s) = hraw.getOrElse(s, 0L) + auth(d) * w
+          hraw(s) = hraw.getOrElse(s, 0L) + nextAuth(d) * w
         }
         val hdv = math.max(1L, hraw.valuesIterator.sum / RankScale)
-        hub = hosts.map(h => h -> hraw.getOrElse(h, 0L) / hdv).toMap
+        val nextHub = hosts.map(h => h -> hraw.getOrElse(h, 0L) / hdv).toMap
+        itersRun += 1
+        if (stopTol.exists(t => hosts.iterator.map(h =>
+            math.abs(nextAuth(h) - auth(h)) max
+              math.abs(nextHub(h) - hub(h))).max <= t))
+          stationary = true
+        auth = nextAuth; hub = nextHub
       }
       import spark.implicits._
-      hosts.map(h => (h, auth(h), hub(h)))
-        .toSeq.toDF("host", "auth_scaled", "hub_scaled")
+      (hosts.map(h => (h, auth(h), hub(h)))
+        .toSeq.toDF("host", "auth_scaled", "hub_scaled"), itersRun)
     } else {
       val eP = e.persist()
       val stats = eP.agg(min(col("w")), coalesce(sum(col("w")), lit(0L)))
@@ -327,8 +437,15 @@ object WebGraph {
         .union(eP.select(col("dst").as("host"))).distinct()
         .persist()
       val base = RankScale / nodes.count()
-      var auth = nodes.withColumn("score", lit(base)).localCheckpoint()
-      var hub = auth
+      def seeded(c: String): DataFrame = (seed match {
+        case None => nodes.withColumn("score", lit(base))
+        case Some(sd) => nodes
+          .join(sd.select(col("host").cast("string").as("host"),
+            col(c).cast("long").as("__seed")), Seq("host"), "left")
+          .select(col("host"), coalesce(col("__seed"), lit(base)).as("score"))
+      }).localCheckpoint()
+      var auth = seeded("auth_scaled")
+      var hub = if (seed.isEmpty) auth else seeded("hub_scaled")
       def halfStep(scores: DataFrame, inKey: String, outKey: String)
           : DataFrame = {
         // one edge-keyed join + one host agg; the checkpointed raw frame
@@ -347,16 +464,27 @@ object WebGraph {
             expr(s"coalesce(raw, 0L) div ${dv}L").as("score"))
           .localCheckpoint()
       }
-      for (_ <- 1 to iterations) {
+      def residual(a: DataFrame, b: DataFrame): Long = a
+        .join(b.select(col("host"), col("score").as("__prev")), Seq("host"))
+        .agg(coalesce(max(abs(col("score") - col("__prev"))), lit(0L)))
+        .head().getLong(0)
+      var itersRun = 0
+      var stationary = false
+      while (itersRun < iterations && !stationary) {
+        val (prevAuth, prevHub) = (auth, hub)
         auth = halfStep(hub, "src", "dst")
         hub = halfStep(auth, "dst", "src")
+        itersRun += 1
+        if (stopTol.exists(t =>
+            (residual(auth, prevAuth) max residual(hub, prevHub)) <= t))
+          stationary = true
       }
       val out = auth.select(col("host"), col("score").as("auth_scaled"))
         .join(hub.select(col("host"), col("score").as("hub_scaled")),
           Seq("host"))
       nodes.unpersist()
       eP.unpersist()
-      out
+      (out, itersRun)
     }
   }
 
@@ -777,6 +905,72 @@ object WebGraph {
                       path: String, iterations: Int = 10,
                       localEdgeLimit: Long = 1L << 20): DataFrame =
     pageRank(readIndexEdges(spark, path), iterations, localEdgeLimit)
+
+  // ---------------------------------------------------------------------
+  // Warm-started rank maintenance over the persisted graph (r16,
+  // VERDICT r15 §next-4): appendIndex is O(batch), and now the RANK
+  // upkeep is too — each probe seeds from the previously converged
+  // vector (one slot under the index, atomically swapped) and iterates
+  // only until the integer vector stops moving. A small append perturbs
+  // few hosts, so reconvergence takes a few iterations, not the full
+  // cold budget; the fixpoint itself is seed-independent (damping makes
+  // the update a contraction), pinned by q_web_pagerank_warm_gate
+  // against the cold-start unrolled oracle. SINGLE-WRITER like every
+  // index-maintenance path here: run warm probes from the loop that
+  // owns appends.
+  // ---------------------------------------------------------------------
+
+  /** Persist the converged rank vector as the index's warm-start seed
+    * (one slot at `<path>/pr_ranks`, staged atomic swap).
+    */
+  def pageRankWriteSnapshot(ranks: DataFrame, path: String): Unit = {
+    graft.pipeline.Sinks.overwriteViaStaging(
+      ranks.select(col("host"), col("rank_scaled")), s"$path/pr_ranks")
+    ()
+  }
+
+  /** Warm-started PageRank probe: seed from the stored vector when one
+    * exists (cold start otherwise), run to the fixpoint tolerance (capped
+    * at `maxIterations`), refresh the stored vector with the result.
+    * Returns (ranks, iterationsRun) — the count is what MergeBench's
+    * reconvergence rows measure.
+    *
+    * Budget note: EXACT integer convergence from a cold start needs
+    * ~log(RankScale·Δ₀)/log(1/0.85) iterations — measured ~104 on the
+    * spec graph, up to ~170 worst-case at RankScale = 1e12 — hence the
+    * 400 default cap. That is the cost warm-starting EXISTS to avoid:
+    * after an O(batch) append the seed's residual Δ₀ is small, so the
+    * warm probe stops after the few iterations the perturbation
+    * actually needs.
+    */
+  def pageRankIndexedWarm(spark: org.apache.spark.sql.SparkSession,
+                          path: String, maxIterations: Int = 400,
+                          localEdgeLimit: Long = 1L << 20)
+      : (DataFrame, Int) = {
+    val seed =
+      if (graft.pipeline.Sinks.exists(spark, s"$path/pr_ranks"))
+        Some(spark.read.parquet(s"$path/pr_ranks"))
+      else None
+    val (ranks, iters) = pageRankFrom(readIndexEdges(spark, path),
+      maxIterations, localEdgeLimit, seed, stopTol = Some(RankStopTol))
+    // pin before the snapshot swap: the write must not observe a plan
+    // that reads the slot it replaces on a seeded re-probe
+    val pinned = ranks.localCheckpoint(true)
+    pageRankWriteSnapshot(pinned, path)
+    (pinned, iters)
+  }
+
+  // There is deliberately NO hitsIndexedWarm: HITS' pinned integer
+  // semantics renormalize each half-step by `x div max(1, Σx div
+  // RankScale)` — a STEP-FUNCTION divisor, so when the true total sits
+  // between multiples of RankScale the magnitudes oscillate forever
+  // (measured: maxdiff ~1e11 holding steady through 500 iterations on
+  // both the spec graphs and the fixture link graph; the direction
+  // converges, the scaling never does). Any meaningful residual
+  // tolerance therefore never fires for HITS, and shipping a "warm"
+  // probe that always runs to its cap would be a trap. HITS probes stay
+  // fixed-budget ([[hitsIndexed]]); [[hitsFrom]] still accepts a seed
+  // for callers that want a warmed fixed-budget run.
 
   /** Anchor-text aggregation per destination host — "what the web calls
     * this site": the top-`maxAnchors` DISTINCT inbound anchor texts by
