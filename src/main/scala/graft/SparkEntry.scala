@@ -6045,6 +6045,31 @@ object SparkEntry {
     // RMS bit-exactly through decimation and map frame counts to
     // ceil(n/2), so the oracle value-checks the full
     // decode→transform→re-encode→decode round trip from id arithmetic.
+    // COMPRESSED audio chain (r16, VERDICT r15 §next-6 — the JPEG
+    // treatment for audio): PCM16 → G.711 µ-law (8-bit companded, half
+    // the bytes, genuinely lossy) → decode back → analyze. Unlike JPEG,
+    // µ-law's loss is SPEC-DEFINED integer arithmetic, so the oracle
+    // replays the exact quantization (segment exponent + 4-bit
+    // mantissa) and the RMS hash-checks the decoded SAMPLE VALUES, not
+    // just class invariants. MultimodalSpec pins the codec against the
+    // JDK's independent ULAW converter sample-for-sample inside G.711's
+    // linear domain.
+    "q_mm_mulaw_roundtrip" -> ((s, d) =>
+      Multimodal.decodeBatched(
+          Multimodal.decodeMulawWavBatched(
+            Multimodal.transcodeWavMulawBatched(
+              Multimodal.synthWavFromId(
+                t(s, d, "documents").select("doc_id"), "doc_id"),
+              "wav"),
+            "mulaw"),
+          "pcm", dim = 5, decodeBatch = Multimodal.decodeAudioBatch)
+        .select(col("doc_id"),
+          element_at(col("features"), 1).cast("long").as("sample_rate"),
+          element_at(col("features"), 2).cast("long").as("n_channels"),
+          element_at(col("features"), 3).cast("long").as("n_frames"),
+          element_at(col("features"), 4).as("duration_sec"),
+          element_at(col("features"), 5).as("rms"))
+        .orderBy("doc_id")),
     "q_mm_wav_downsample" -> ((s, d) =>
       Multimodal.decodeBatched(
           Multimodal.downsampleWavBatched(
@@ -9467,6 +9492,36 @@ object SparkEntry {
         |  CAST(8 + doc_id % 64 AS DOUBLE) / 8000.0 AS duration_sec,
         |  CAST(abs((doc_id * 37) % 20000 - 10000) AS DOUBLE) / 32768.0 AS rms
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // µ-law round trip replayed: the container survives (rate, frames,
+    // duration unchanged) and the RMS is the G.711-QUANTIZED amplitude —
+    // clip to 32635, add the 132 bias, take the segment exponent
+    // (floor(log2) via threshold CASE), truncate to the 4-bit mantissa,
+    // reconstruct ((mant·8 + 132)·2^exp − 132) — integer-exact on both
+    // engines, then the constant-signal RMS is |amp_q|/32768 in IEEE
+    // doubles (perfect-square mean, exact).
+    "q_mm_mulaw_roundtrip" ->
+      """WITH mu_m AS (
+        |  SELECT doc_id, 8 + doc_id % 64 AS nf,
+        |    least(abs((doc_id * 37) % 20000 - 10000), 32635) + 132 AS m
+        |  FROM documents),
+        |mu_e AS (
+        |  SELECT doc_id, nf, m,
+        |    CASE WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6
+        |         WHEN m >= 4096 THEN 5 WHEN m >= 2048 THEN 4
+        |         WHEN m >= 1024 THEN 3 WHEN m >= 512 THEN 2
+        |         WHEN m >= 256 THEN 1 ELSE 0 END AS seg
+        |  FROM mu_m),
+        |mu_q AS (
+        |  SELECT doc_id, nf,
+        |    (((m // (1 << (seg + 3))) % 16) * 8 + 132) * (1 << seg) - 132
+        |      AS mag
+        |  FROM mu_e)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS n_channels,
+        |  nf AS n_frames,
+        |  CAST(nf AS DOUBLE) / 8000.0 AS duration_sec,
+        |  CAST(mag AS DOUBLE) / 32768.0 AS rms
+        |FROM mu_q ORDER BY doc_id""".stripMargin,
     // Downsample round trip replayed: rate halves, frames become
     // ceil(n/2), duration follows the new rate, constant-signal RMS is
     // decimation-invariant.

@@ -810,6 +810,165 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------------------------------------------------------------------
+  // G.711 µ-law — the COMPRESSED (companded, lossy) audio chain (r16,
+  // VERDICT r15 §next-6): the JPEG treatment for audio. µ-law is the
+  // ITU-T G.711 standard's 8-bit logarithmic companding of 16-bit PCM
+  // (classic telephony; arithmetic follows the public-domain Sun
+  // g711.c reference): segment exponent + 4-bit mantissa, so
+  // decode(encode(x)) quantizes x deterministically — integer-exact and
+  // replayable in oracle SQL, unlike JPEG whose loss is
+  // implementation-defined. The chain halves the byte size (16→8 bits
+  // per sample) and loses precision, exactly the lossy-codec shape the
+  // pipeline must survive.
+  // ---------------------------------------------------------------------
+
+  private val MuClip = 32635
+  private val MuBias = 0x84 // 132
+
+  /** Linear PCM16 → µ-law byte (0..255), G.711 / g711.c arithmetic. */
+  def mulawEncode(pcm: Int): Int = {
+    val sign = if (pcm < 0) 0x80 else 0x00
+    var m = if (pcm < 0) -pcm else pcm // Int math: -(-32768) is safe
+    if (m > MuClip) m = MuClip
+    m += MuBias
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (m & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (m >> (exp + 3)) & 0x0F
+    ~(sign | (exp << 4) | mant) & 0xFF
+  }
+
+  /** µ-law byte → linear PCM16, the exact inverse table. */
+  def mulawDecode(ulaw: Int): Int = {
+    val u = ~ulaw & 0xFF
+    val exp = (u >> 4) & 0x07
+    val mant = u & 0x0F
+    val mag = (((mant << 3) + MuBias) << exp) - MuBias
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Transcode a PCM16 WAV into a µ-law WAV (RIFF format tag 7, 8-bit
+    * samples, `fact` chunk per the non-PCM RIFF rule). Each 16-bit
+    * sample companded through [[mulawEncode]] — the body is HALF the
+    * PCM byte size, the loss is G.711's quantization. Null for null /
+    * non-PCM16 / undecodable payloads (the lenient-ingest C7/C8 rule);
+    * same mapPartitions batch shape as [[decodeBatched]].
+    */
+  def transcodeWavMulawBatched(df: DataFrame, contentCol: String,
+                               outCol: String = "mulaw"): DataFrame = {
+    val idx = df.schema.fieldIndex(contentCol)
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = true)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val out: Array[Byte] =
+          if (bytes == null) null
+          else {
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val fmt = in.getFormat
+                if (fmt.getSampleSizeInBits != 16 ||
+                    fmt.getEncoding !=
+                      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
+                else {
+                  val data = in.readAllBytes()
+                  val n = data.length / 2
+                  val body = new Array[Byte](n)
+                  var i = 0
+                  while (i < n) {
+                    val s =
+                      if (fmt.isBigEndian)
+                        (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
+                      else
+                        (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+                    body(i) = mulawEncode(s).toByte
+                    i += 1
+                  }
+                  val rate = math.round(fmt.getSampleRate)
+                  val ch = fmt.getChannels
+                  val buf = java.nio.ByteBuffer.allocate(58 + n)
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                  buf.put("RIFF".getBytes("US-ASCII")).putInt(50 + n)
+                    .put("WAVE".getBytes("US-ASCII"))
+                    .put("fmt ".getBytes("US-ASCII")).putInt(18)
+                    .putShort(7)                    // WAVE_FORMAT_MULAW
+                    .putShort(ch.toShort)
+                    .putInt(rate).putInt(rate * ch) // byte rate: 1 B/sample
+                    .putShort(ch.toShort).putShort(8)
+                    .putShort(0)                    // cbSize
+                    .put("fact".getBytes("US-ASCII")).putInt(4)
+                    .putInt(n / ch)                 // frame count
+                    .put("data".getBytes("US-ASCII")).putInt(n)
+                    .put(body)
+                  buf.array()
+                }
+              } finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => null }
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Decode a µ-law WAV back to a canonical PCM16 WAV (the 44-byte
+    * header of [[synthWavFromId]], rate/channels preserved) — container
+    * parsing via `javax.sound.sampled` (it reads format-7 RIFF as
+    * `Encoding.ULAW`), sample expansion via [[mulawDecode]]. Null for
+    * null / non-µ-law / undecodable payloads. The output feeds the
+    * standard [[decodeAudioBatch]] analysis unchanged.
+    */
+  def decodeMulawWavBatched(df: DataFrame, contentCol: String,
+                            outCol: String = "pcm"): DataFrame = {
+    val idx = df.schema.fieldIndex(contentCol)
+    val outSchema = df.schema.add(outCol, BinaryType, nullable = true)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val out: Array[Byte] =
+          if (bytes == null) null
+          else {
+            try {
+              val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try {
+                val fmt = in.getFormat
+                if (fmt.getSampleSizeInBits != 8 ||
+                    fmt.getEncoding !=
+                      javax.sound.sampled.AudioFormat.Encoding.ULAW) null
+                else {
+                  val body = in.readAllBytes()
+                  val n = body.length
+                  val rate = math.round(fmt.getSampleRate)
+                  val ch = fmt.getChannels
+                  val buf = java.nio.ByteBuffer.allocate(44 + 2 * n)
+                    .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                  buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+                    .put("WAVE".getBytes("US-ASCII"))
+                    .put("fmt ".getBytes("US-ASCII")).putInt(16)
+                    .putShort(1).putShort(ch.toShort)
+                    .putInt(rate).putInt(rate * ch * 2)
+                    .putShort((ch * 2).toShort).putShort(16)
+                    .put("data".getBytes("US-ASCII")).putInt(2 * n)
+                  var i = 0
+                  while (i < n) {
+                    buf.putShort(mulawDecode(body(i) & 0xFF).toShort)
+                    i += 1
+                  }
+                  buf.array()
+                }
+              } finally in.close()
+            } catch { case scala.util.control.NonFatal(_) => null }
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** Fixture generator: a deterministic mono PCM16 WAV per row — sample
     * rate 8000 Hz, `8 + id % 64` frames, every sample the constant
     * `(id * 37) % 20000 - 10000` — so an oracle can predict the decoded

@@ -387,4 +387,117 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
     assert(out == Map(1L -> true, 2L -> true))
   }
+  test("mulaw codec: exhaustive idempotence, sign, quantization bound, " +
+      "and agreement with the JDK ULAW converter") {
+    // G.711 properties over EVERY 16-bit sample: re-encoding the decoded
+    // value is the identity on codes (the codec is a projection), the
+    // sign survives, and the quantization error stays within the
+    // segment's step (8<<exp <= (|x|+132)/16).
+    var x = -32768
+    while (x <= 32767) {
+      val u = Multimodal.mulawEncode(x)
+      val d = Multimodal.mulawDecode(u)
+      // projection modulo G.711's two zero codes: 0x7F is "-0", which
+      // decodes to linear 0 and re-encodes as "+0" (0xFF)
+      val u2 = Multimodal.mulawEncode(d)
+      assert(u2 == u || (u == 0x7F && u2 == 0xFF), s"not a projection at $x")
+      assert(x == 0 || (x < 0) == (d < 0) || d == 0, s"sign flip at $x -> $d")
+      val clipped = math.max(-32635, math.min(32635, x))
+      assert(math.abs(d - clipped) <= (math.abs(clipped) + 132) / 16 + 1,
+        s"quantization error too large at $x: decoded $d")
+      x += 1
+    }
+    // all 256 codes decode-encode back to themselves (modulo the two
+    // zero codes 0xFF/0x7F mapping +0/-0 to the same linear 0)
+    var u = 0
+    while (u < 256) {
+      val d = Multimodal.mulawDecode(u)
+      assert(Multimodal.mulawDecode(Multimodal.mulawEncode(d)) == d)
+      u += 1
+    }
+    // independent implementation check: the JDK's own ULAW converter
+    // (javax.sound.sampled) companding must agree byte-for-byte
+    val n = 4096
+    val pcm = new Array[Byte](2 * n)
+    val bb = java.nio.ByteBuffer.wrap(pcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val samples = (0 until n).map(i => ((i * 16381) % 65536 - 32768).toShort)
+    samples.foreach(bb.putShort)
+    val srcFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val ulawFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(ulawFmt,
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), srcFmt, n.toLong))
+    val jdk = conv.readAllBytes()
+    assert(jdk.length == n)
+    samples.zipWithIndex.foreach { case (s0, i) =>
+      // compare only inside G.711's linear domain (|x| <= 32635, the
+      // clip threshold): in the clip zone the JDK's short-domain
+      // arithmetic overflows (bias addition past 32767, negation of
+      // -32768) and emits QUIET codes for the loudest samples — our
+      // Int-domain clip follows the g711.c reference instead
+      if (math.abs(s0.toInt) <= 32635)
+        assert((jdk(i) & 0xFF) == Multimodal.mulawEncode(s0.toInt),
+          s"JDK disagrees at sample $i value $s0: " +
+            s"jdk=${jdk(i) & 0xFF} ours=${Multimodal.mulawEncode(s0.toInt)}")
+    }
+    // clip zone: loudest codes, the G.711 answer (0x80 = loudest
+    // positive, 0x00 = loudest negative)
+    assert(Multimodal.mulawEncode(32767) == 0x80)
+    assert(Multimodal.mulawEncode(32756) == 0x80)
+    assert(Multimodal.mulawEncode(-32768) == 0x00)
+    assert(Multimodal.mulawEncode(-32700) == 0x00)
+  }
+
+  test("mulaw WAV chain: transcode halves the body, round trip restores " +
+      "the quantized signal, lenient nulls") {
+    val base = Multimodal.synthWavFromId(
+      (1L to 40L).toDF("doc_id"), "doc_id")
+    val mu = Multimodal.transcodeWavMulawBatched(base, "wav")
+    val back = Multimodal.decodeMulawWavBatched(mu, "mulaw")
+    val feats = Multimodal.decodeBatched(back, "pcm", dim = 5,
+      decodeBatch = Multimodal.decodeAudioBatch)
+      .select(col("doc_id"), col("features"))
+      .as[(Long, Seq[Double])].collect().toMap
+    var quantized = 0
+    (1L to 40L).foreach { id =>
+      val f = feats(id)
+      val nFrames = 8 + id % 64
+      val amp = ((id * 37) % 20000 - 10000).toInt
+      val ampQ = Multimodal.mulawDecode(Multimodal.mulawEncode(amp))
+      assert(f(0) == 8000.0 && f(1) == 1.0 && f(2) == nFrames.toDouble, f)
+      assert(f(4) == math.abs(ampQ) / 32768.0,
+        s"id=$id amp=$amp ampQ=$ampQ rms=${f(4)}")
+      if (ampQ != amp) quantized += 1
+    }
+    // the chain IS lossy: most amplitudes move (a few land exactly on a
+    // segment level — e.g. 9852 = (3·8+132)·64 − 132 — and survive)
+    assert(quantized > 30, s"only $quantized/40 amplitudes quantized")
+    // the compressed body is half the PCM body (8 vs 16 bits/sample)
+    val sizes = mu.select(col("doc_id"), octet_length(col("wav")),
+        octet_length(col("mulaw"))).as[(Long, Int, Int)].collect()
+    sizes.foreach { case (id, pcmLen, muLen) =>
+      val n = (8 + id % 64).toInt
+      assert(pcmLen == 44 + 2 * n && muLen == 58 + n, s"$id: $pcmLen $muLen")
+    }
+    // lenient ingest: garbage and null payloads flow through as null
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, null))
+      .toDF("id", "b")
+    assert(Multimodal.transcodeWavMulawBatched(junk, "b")
+      .filter(col("mulaw").isNotNull).count() == 0)
+    assert(Multimodal.decodeMulawWavBatched(junk, "b")
+      .filter(col("pcm").isNotNull).count() == 0)
+    // a PCM16 wav is NOT a mulaw wav: the decoder refuses it, the
+    // transcoder refuses its own output
+    assert(Multimodal.decodeMulawWavBatched(base, "wav")
+      .filter(col("pcm").isNotNull).count() == 0)
+    assert(Multimodal.transcodeWavMulawBatched(
+        mu.select(col("doc_id"), col("mulaw")), "mulaw", outCol = "mu2")
+      .filter(col("mu2").isNotNull).count() == 0)
+  }
 }
+
