@@ -145,6 +145,78 @@ object SparkEntry {
       "licores raros, queijos curados, frutas maduras, também mel, " +
       "azeite, vinho; assim está até hoje, são hábitos.</p>"
 
+  // ---- script-routed fixture (r16, VERDICT r15 §next-3) --------------
+  // Non-Latin-script pages the r15 extractor silently destroyed: a
+  // RUSSIAN page whose survival is DECIDED by Cyrillic stopwords (kept
+  // under the ru list, dead under the English list because no Cyrillic
+  // token is an English stopword — and dead outright under the r15
+  // Latin-only tokenizer, which found zero words), a GREEK page
+  // likewise, and a CJK page that cannot take the density rule at all
+  // (no whitespace segmentation) and survives via the link-density-only
+  // fallback. All body text LOWERCASE (the Σ→ς/σ cross-engine
+  // lowercasing note on WordLetterBlocks); no single quotes (the SQL
+  // interpolation rule). Nav/heading boilerplate still dies on link
+  // density / min chars in every arm.
+  private val HtmlScriptHeadRu =
+    "<html><head><title>Reka</title></head><body>" +
+      "<div class=\"nav\"><ul><li><a href=\"/main\">главная</a></li>" +
+      "<li><a href=\"/help\">помощь по сайту</a></li></ul></div>" +
+      "<h1>старый дом у реки</h1>"
+  private val HtmlParaRu1 =
+    "<p>в доме было тихо и тепло когда мы пришли с реки и все сидели " +
+      "у окна а потом пили чай с медом и хлебом и говорили о том как " +
+      "было летом в деревне у бабушки за лесом.</p>"
+  private val HtmlParaRu2 =
+    "<p>он был там еще до нас и ждал у ворот а мы шли по тропе от " +
+      "реки и несли все грибы из леса и никто не знал где будет " +
+      "ночлег и кто нас там ждет после дороги.</p>"
+  private val HtmlScriptHeadEl =
+    "<html><head><title>Nisi</title></head><body>" +
+      "<div class=\"nav\"><ul><li><a href=\"/main\">αρχική</a></li>" +
+      "<li><a href=\"/help\">βοήθεια για τον τόπο</a></li></ul></div>" +
+      "<h1>το παλιό σπίτι</h1>"
+  private val HtmlParaEl1 =
+    "<p>το σπίτι ήταν παλιό και η αυλή με τα δέντρα ήταν πολύ μεγάλη " +
+      "και όλοι οι γείτονες έρχονταν εδώ το βράδυ για να δουν τη " +
+      "θάλασσα από την πέτρα στην άκρη του δρόμου.</p>"
+  private val HtmlParaEl2 =
+    "<p>μετά το φαγητό όλα τα παιδιά πήγαν κάτω στην παραλία και " +
+      "έπαιζαν εκεί ως το βράδυ και εμείς μέναμε πάνω με τους φίλους " +
+      "μας που είχαν έρθει από την πόλη για λίγο.</p>"
+  private val HtmlScriptHeadZh =
+    "<html><head><title>Chengshi</title></head><body>" +
+      "<div class=\"nav\"><ul><li><a href=\"/main\">Home 首页</a></li>" +
+      "<li><a href=\"/help\">Help 帮助中心页面</a></li></ul></div>" +
+      "<h1>老城的记忆</h1>"
+  private val HtmlParaZh1 =
+    "<p>这个地方的历史可以追溯到很多年以前那时候这里还是一个小村庄" +
+      "人们在田里种地在河边打鱼生活虽然简单但是大家都很满足后来城市" +
+      "慢慢发展起来道路变宽了房子变高了但是老人们还记得从前的样子。</p>"
+  private val HtmlParaZh2 =
+    "<p>每天早上市场里都很热闹卖菜的人很早就来了新鲜的蔬菜和水果摆" +
+      "满了摊位人们一边挑选一边聊天孩子们在旁边跑来跑去老街的味道就" +
+      "在这些平常的日子里慢慢流传下来成为这座城市最温暖的记忆。</p>"
+
+  /** Static pages keyed by language for the SCRIPT-ROUTED extraction
+    * gate: %4==1 → the Russian page, %4==2 → the Greek page, %4==3 →
+    * the CJK page, %4==0 → the English control. Static literals only
+    * (the htmlPagesLang convention).
+    */
+  private def htmlPagesScript(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 4 === 1, lit("ru"))
+        .when(col("doc_id") % 4 === 2, lit("el"))
+        .when(col("doc_id") % 4 === 3, lit("zh"))
+        .otherwise(lit("en")).as("lang"),
+      when(col("doc_id") % 4 === 1,
+          lit(HtmlScriptHeadRu + HtmlParaRu1 + HtmlParaRu2 + HtmlPageSuffix))
+        .when(col("doc_id") % 4 === 2,
+          lit(HtmlScriptHeadEl + HtmlParaEl1 + HtmlParaEl2 + HtmlPageSuffix))
+        .when(col("doc_id") % 4 === 3,
+          lit(HtmlScriptHeadZh + HtmlParaZh1 + HtmlParaZh2 + HtmlPageSuffix))
+        .otherwise(lit(HtmlPagePrefix + HtmlPara1Pad + HtmlPara2 +
+          HtmlPageSuffix)).as("html"))
+
   /** Static pages keyed by a language column: %5==0 docs carry
     * lang='xx' (unknown → English fallback) over the English page;
     * %5==2 docs are the ACCENT-DECIDED Portuguese page (r15); other
@@ -329,6 +401,48 @@ object SparkEntry {
        |     AND n_words > 0
        |     AND CAST(n_stop_ascii AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2)
        |      AS keep_ascii,
+       |    (n_chars >= 70
+       |     AND CAST(link_chars AS DOUBLE) / CAST(n_raw AS DOUBLE) <= 0.2
+       |     AND n_words > 0
+       |     AND CAST(n_stop_en AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2)
+       |      AS keep_en
+       |  FROM blk)""".stripMargin
+
+  /** [[htmlKeptCtesLang]] for the SCRIPT-ROUTED rule (r16): per block,
+    * the CJK vs word-letter character counts (both classes generated
+    * from the same shared ints as the Spark side), the routed keep
+    * (CJK-dominant blocks waive the density clause), the plain
+    * lang-keyed keep, and the English-list keep.
+    */
+  private def htmlKeptCtesRouted(src: String, keys: String,
+                                 htmlCol: String): String =
+    s"""${htmlSegCtes(src, keys, htmlCol)},
+       |blk AS (
+       |  SELECT $keys, block_idx, txt, n_raw, link_chars, n_chars,
+       |    len(aw) AS n_words,
+       |    ${sqlLangStopCase("aw", "lang", TextAnalysis.StopwordsWeb)}
+       |      AS n_stop,
+       |    len(list_filter(aw, w -> w IN (${
+            sqlStopList(TextAnalysis.StopwordsWebEn)})))
+       |      AS n_stop_en,
+       |    len(txt) - len(regexp_replace(txt,
+       |      '${TextAnalysis.cjkClassRe2}', '', 'g')) AS n_cjk,
+       |    len(txt) - len(regexp_replace(txt,
+       |      '${TextAnalysis.wordClassRe2}', '', 'g')) AS n_wl
+       |  FROM fw),
+       |kept AS (
+       |  SELECT $keys, block_idx, txt, n_raw, link_chars, n_chars,
+       |    n_words, n_stop, n_stop_en, n_cjk, n_wl,
+       |    (n_chars >= 70
+       |     AND CAST(link_chars AS DOUBLE) / CAST(n_raw AS DOUBLE) <= 0.2
+       |     AND (n_cjk > n_wl OR (n_words > 0
+       |       AND CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2)))
+       |      AS keep,
+       |    (n_chars >= 70
+       |     AND CAST(link_chars AS DOUBLE) / CAST(n_raw AS DOUBLE) <= 0.2
+       |     AND n_words > 0
+       |     AND CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2)
+       |      AS keep_plain,
        |    (n_chars >= 70
        |     AND CAST(link_chars AS DOUBLE) / CAST(n_raw AS DOUBLE) <= 0.2
        |     AND n_words > 0
@@ -2302,7 +2416,14 @@ object SparkEntry {
       // r16: the warm-start maintenance gate converges the same graph
       // three times per run (maintenance-gate ruling); the benched
       // reconvergence measurement lives in MergeBench.
-      "q_web_pagerank_warm_gate")
+      "q_web_pagerank_warm_gate",
+      // r16 (the bench-budget policy's first application, BENCH_NOTES):
+      // both multilingual-extraction gates run THREE counterfactual
+      // extraction arms per page (lang/ascii/en, routed/plain/en) —
+      // gate construction, not an engine shape; the benched extraction
+      // rows remain q_text_html_blocks / q_text_html_extract, whose
+      // chain is the production cost.
+      "q_text_html_extract_lang", "q_text_html_extract_script")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -3603,6 +3724,34 @@ object SparkEntry {
           size(filter(featsEn, f => f.getField("keep"))).cast("long")
             .as("n_kept_en"),
           TextAnalysis.extractMainContentByLang(col("html"), col("lang"))
+            .as("content"))
+        .withColumn("n_content_chars", length(col("content")).cast("long"))
+        .orderBy("doc_id")
+    }),
+    // Script-routed jusText (r16, VERDICT r15 §next-3): the Cyrillic
+    // and Greek pages' survival is DECIDED by non-Latin stopwords
+    // (n_kept_routed = n_kept_plain = 2 under the ru/el lists, 0 under
+    // the English list — and under the r15 Latin-only tokenizer they
+    // had zero words at all); the CJK page cannot take the density rule
+    // (no segmentation → n_words = 0) and survives ONLY via the routed
+    // link-density fallback (n_kept_routed = 2, n_kept_plain = 0). The
+    // extracted Cyrillic/Greek/Han content itself lands in the hash.
+    "q_text_html_extract_script" -> ((s, d) => {
+      val featsR = TextAnalysis.htmlBlockFeaturesRouted(col("html"),
+        col("lang"))
+      val featsP = TextAnalysis.htmlBlockFeaturesByLang(col("html"),
+        col("lang"))
+      val featsEn = TextAnalysis.htmlBlockFeatures(col("html"))
+      htmlPagesScript(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"),
+          size(featsR).cast("long").as("n_blocks"),
+          size(filter(featsR, f => f.getField("keep"))).cast("long")
+            .as("n_kept_routed"),
+          size(filter(featsP, f => f.getField("keep"))).cast("long")
+            .as("n_kept_plain"),
+          size(filter(featsEn, f => f.getField("keep"))).cast("long")
+            .as("n_kept_en"),
+          TextAnalysis.extractMainContentRouted(col("html"), col("lang"))
             .as("content"))
         .withColumn("n_content_chars", length(col("content")).cast("long"))
         .orderBy("doc_id")
@@ -7852,6 +8001,39 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_blocks,
         |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept_lang,
         |  CAST(count(*) FILTER (WHERE keep_ascii) AS BIGINT) AS n_kept_ascii,
+        |  CAST(count(*) FILTER (WHERE keep_en) AS BIGINT) AS n_kept_en,
+        |  coalesce(string_agg(txt, chr(10) ORDER BY block_idx)
+        |    FILTER (WHERE keep), '') AS content,
+        |  CAST(coalesce(len(string_agg(txt, chr(10) ORDER BY block_idx)
+        |    FILTER (WHERE keep)), 0) AS BIGINT) AS n_content_chars
+        |FROM kept GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    // Script-routed extraction replayed: the same literal page CASE,
+    // the routed/plain/English keeps from the shared stop lists and the
+    // shared CJK/word-letter codepoint ints, extracted content in the
+    // hash (r16).
+    "q_text_html_extract_script" ->
+      s"""WITH spages AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 1 THEN 'ru'
+        |         WHEN doc_id % 4 = 2 THEN 'el'
+        |         WHEN doc_id % 4 = 3 THEN 'zh' ELSE 'en' END AS lang,
+        |    CASE WHEN doc_id % 4 = 1
+        |      THEN '$HtmlScriptHeadRu' || '$HtmlParaRu1' || '$HtmlParaRu2'
+        |        || '$HtmlPageSuffix'
+        |      WHEN doc_id % 4 = 2
+        |      THEN '$HtmlScriptHeadEl' || '$HtmlParaEl1' || '$HtmlParaEl2'
+        |        || '$HtmlPageSuffix'
+        |      WHEN doc_id % 4 = 3
+        |      THEN '$HtmlScriptHeadZh' || '$HtmlParaZh1' || '$HtmlParaZh2'
+        |        || '$HtmlPageSuffix'
+        |      ELSE '$HtmlPagePrefix' || '$HtmlPara1Pad' || '$HtmlPara2'
+        |        || '$HtmlPageSuffix' END AS html
+        |  FROM documents),
+        |${htmlKeptCtesRouted("spages", "doc_id, lang", "html")}
+        |SELECT doc_id, lang,
+        |  CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept_routed,
+        |  CAST(count(*) FILTER (WHERE keep_plain) AS BIGINT) AS n_kept_plain,
         |  CAST(count(*) FILTER (WHERE keep_en) AS BIGINT) AS n_kept_en,
         |  coalesce(string_agg(txt, chr(10) ORDER BY block_idx)
         |    FILTER (WHERE keep), '') AS content,

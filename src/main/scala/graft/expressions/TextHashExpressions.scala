@@ -1266,6 +1266,22 @@ object HtmlOps {
   @inline private def isWordLetter(c: Char): Boolean =
     c < WordLetter.length && WordLetter(c)
 
+  /** CJK membership from the same shared ints
+    * ([[graft.operators.TextAnalysis.CjkBlocks]]) — the routed keep
+    * rule's script test (r16).
+    */
+  private val CjkLetter: Array[Boolean] = {
+    val max = graft.operators.TextAnalysis.CjkBlocks.map(_._2).max + 1
+    val a = new Array[Boolean](max)
+    graft.operators.TextAnalysis.CjkBlocks.foreach {
+      case (lo, hi) => (lo to hi).foreach(i => a(i) = true)
+    }
+    a
+  }
+
+  @inline private def isCjk(c: Char): Boolean =
+    c < CjkLetter.length && CjkLetter(c)
+
   private def indexOfIgnoreCase(s: String, target: String,
                                 from: Int): Int = {
     val n = target.length
@@ -1433,10 +1449,30 @@ object HtmlOps {
     extractWith(text, set, minChars, maxLinkDensity, minStopDensity)
   }
 
+  /** Script-routed form (r16, VERDICT r15 §next-3): CJK-dominant blocks
+    * take the link-density-only fallback (see the column form
+    * [[graft.operators.TextAnalysis.htmlBlockFeaturesRouted]], pinned
+    * equal in the parity spec); others take the lang-keyed density
+    * rule.
+    */
+  def extractMainContentRouted(text: UTF8String, lang: UTF8String,
+                               minChars: Int, maxLinkDensity: Double,
+                               minStopDensity: Double): UTF8String = {
+    val set =
+      if (lang == null) Stops
+      else {
+        val s = StopsByLang.get(lang.toLowerCase.toString)
+        if (s == null) Stops else s
+      }
+    extractWith(text, set, minChars, maxLinkDensity, minStopDensity,
+      cjkRoute = true)
+  }
+
   private def extractWith(text: UTF8String,
                           stops: java.util.HashSet[String], minChars: Int,
                           maxLinkDensity: Double,
-                          minStopDensity: Double): UTF8String = {
+                          minStopDensity: Double,
+                          cjkRoute: Boolean = false): UTF8String = {
     val noInv = stripInvisible(text.toString)
     val out = new java.lang.StringBuilder
     val cur = new java.lang.StringBuilder
@@ -1465,10 +1501,25 @@ object HtmlOps {
               if (stops.contains(lowered.substring(st, p))) nStop += 1
             } else p += 1
           }
-          val keep = nChars >= minChars &&
-            link.toDouble / nRaw.toDouble <= maxLinkDensity &&
-            nWords > 0L &&
+          val baseKeep = nChars >= minChars &&
+            link.toDouble / nRaw.toDouble <= maxLinkDensity
+          val densityOk = nWords > 0L &&
             nStop.toDouble / nWords.toDouble >= minStopDensity
+          val keep =
+            if (!cjkRoute) baseKeep && densityOk
+            else {
+              // route on the COLLAPSED text like the column form: CJK
+              // chars vs word-letter chars, both tables from shared ints
+              var nCjk = 0L; var nWl = 0L; var q = 0
+              val tl = txt.length
+              while (q < tl) {
+                val ch = txt.charAt(q)
+                if (isCjk(ch)) nCjk += 1
+                else if (isWordLetter(ch)) nWl += 1
+                q += 1
+              }
+              baseKeep && (nCjk > nWl || densityOk)
+            }
           if (keep) {
             if (kept > 0) out.append('\n')
             out.append(txt)
@@ -1675,6 +1726,27 @@ object TextHashExpressions {
       HtmlOps.getClass,
       StringType,
       "extractMainContentLang",
+      Seq(GraftBridge.expression(text),
+        GraftBridge.expression(
+          org.apache.spark.sql.functions.coalesce(lang,
+            org.apache.spark.sql.functions.lit("en"))),
+        Literal(minChars), Literal(maxLinkDensity), Literal(minStopDensity)),
+      inputTypes = Seq(StringType, StringType, IntegerType, DoubleType,
+        DoubleType),
+      propagateNull = true,
+      returnNullable = true))
+
+  /** Script-routed one-pass extraction (see
+    * [[HtmlOps.extractMainContentRouted]]); the lang child coalesces to
+    * 'en' like [[htmlExtractNativeLang]].
+    */
+  def htmlExtractNativeRouted(text: Column, lang: Column, minChars: Int,
+                              maxLinkDensity: Double,
+                              minStopDensity: Double): Column =
+    GraftBridge.column(StaticInvoke(
+      HtmlOps.getClass,
+      StringType,
+      "extractMainContentRouted",
       Seq(GraftBridge.expression(text),
         GraftBridge.expression(
           org.apache.spark.sql.functions.coalesce(lang,

@@ -316,8 +316,34 @@ object TextAnalysis {
   // multi-range class is inherently ~3× the old [a-z]; the production
   // extraction path is the native table-lookup tokenizer, which is
   // order-free and pays nothing).
+  // r16 (VERDICT r15 §next-3): + Greek and Cyrillic LETTER ranges, so
+  // alphabetic non-Latin pages tokenize to words at all (under the
+  // Latin-only class a Russian page tokenized to ZERO words → stopword
+  // density 0 → every block died). Greek keeps only letters — the
+  // block's punctuation (0x374-5, 0x37E, 0x384-5, 0x387) would glue
+  // into tokens and break stopword membership; Cyrillic 0x400-0x4FF is
+  // all letters. Case note: fixture/oracle text stays lowercase-Greek
+  // because Java lowercases final-position Σ to ς contextually while
+  // RE2/DuckDB lower() maps it unconditionally to σ — the one
+  // cross-engine lowercasing divergence in these ranges.
   private[graft] val WordLetterBlocks: Seq[(Int, Int)] = Seq(
-    0x61 -> 0x7A, 0x41 -> 0x5A, 0xC0 -> 0xD6, 0xD8 -> 0xF6, 0xF8 -> 0x24F)
+    0x61 -> 0x7A, 0x41 -> 0x5A, 0xC0 -> 0xD6, 0xD8 -> 0xF6, 0xF8 -> 0x24F,
+    0x386 -> 0x386, 0x388 -> 0x38A, 0x38C -> 0x38C, 0x38E -> 0x3A1,
+    0x3A3 -> 0x3CE, 0x400 -> 0x4FF)
+
+  /** Scripts WITHOUT cheap word segmentation (han + kana + hangul — the
+    * [[ScriptBlocks]] ranges): a block these characters dominate cannot
+    * take the stopword-density rule (there are no whitespace-delimited
+    * function words to count), so the routed keep rule
+    * ([[htmlBlockFeaturesRouted]]) gives it the link-density-only
+    * fallback instead of silently discarding it (VERDICT r15 §next-3 —
+    * "a large fraction of real crawl pages silently discarded").
+    */
+  private[graft] val CjkBlocks: Seq[(Int, Int)] =
+    Seq(0x4E00 -> 0x9FFF, 0x3040 -> 0x30FF, 0xAC00 -> 0xD7AF)
+
+  private[graft] def cjkClassJava: String = scriptClassJava(CjkBlocks)
+  private[graft] def cjkClassRe2: String = scriptClassRe2(CjkBlocks)
 
   /** The block tokenizer's Java character class (one-or-more suffix is
     * the caller's).
@@ -1345,7 +1371,29 @@ object TextAnalysis {
       "eles", "elas", "eu", "tu", "ao", "aos", "pelo", "pela", "como",
       "quando", "onde", "tudo", "todos", "toda", "era", "foi", "ser",
       "não", "são", "é", "já", "também", "até", "às", "está", "há",
-      "só"))
+      "só"),
+    // r16 (VERDICT r15 §next-3): the first non-Latin-script lists —
+    // usable at all only now that WordLetterBlocks tokenizes Cyrillic
+    // and Greek letters. Lowercase entries (tokenization lowercases);
+    // the Greek list carries the final-sigma forms as written.
+    "ru" -> Seq(
+      "и", "в", "во", "не", "на", "я", "с", "со", "как", "а", "то",
+      "все", "она", "так", "его", "но", "да", "ты", "к", "у", "же",
+      "вы", "за", "бы", "по", "только", "ее", "мне", "было", "вот",
+      "от", "меня", "еще", "нет", "о", "из", "ему", "когда", "даже",
+      "ну", "ли", "если", "уже", "или", "ни", "быть", "был", "была",
+      "до", "вас", "вам", "ведь", "там", "потом", "себя", "может",
+      "они", "тут", "где", "есть", "надо", "для", "мы", "тебя", "их",
+      "чем", "без", "будет", "тогда", "кто", "этот", "того", "этого"),
+    "el" -> Seq(
+      "ο", "η", "το", "οι", "τα", "του", "της", "των", "τον", "την",
+      "και", "να", "δεν", "μη", "μην", "ένα", "μια", "σε", "στο",
+      "στη", "στην", "στον", "στα", "στις", "στους", "με", "μου",
+      "σου", "από", "για", "προς", "που", "πως", "ότι", "ως", "αλλά",
+      "αν", "θα", "τι", "αυτό", "αυτά", "αυτός", "αυτή", "εγώ",
+      "εμείς", "μας", "σας", "τους", "τις", "πολύ", "όλα", "όλοι",
+      "κάθε", "εδώ", "εκεί", "τότε", "όταν", "γιατί", "μετά", "πριν",
+      "πάνω", "κάτω", "μέσα", "έξω", "είναι", "ήταν", "έχει", "είχε"))
 
   /** The same lists restricted to their ASCII entries — the r14
     * behavior as an explicit counterfactual: under the old `[a-z]+`
@@ -1358,6 +1406,11 @@ object TextAnalysis {
   private[graft] val StopwordsWebAscii: Map[String, Seq[String]] =
     StopwordsWeb.map { case (lg, ws) =>
       lg -> ws.filter(_.forall(_ < 0x80)) }
+      // ru/el are fully non-ASCII — an empty branch would be `IN ()`
+      // (invalid SQL) / isInCollection(Nil); dropping the key routes
+      // them to the English fallback, which IS the r14 behavior the
+      // counterfactual replays
+      .filter(_._2.nonEmpty)
 
   /** Per-block features + the context-free jusText keep decision, as
     * `array<struct>` aligned with [[htmlToBlocks]]:
@@ -1426,11 +1479,43 @@ object TextAnalysis {
     }.get.otherwise(size(filter(aw, w => w.isInCollection(lists("en")))))
   }
 
+  /** [[htmlBlockFeaturesByLang]] with the SCRIPT-ROUTED keep rule (r16,
+    * VERDICT r15 §next-3): a block whose CJK character count (han +
+    * kana + hangul, [[CjkBlocks]]) exceeds its word-letter count has no
+    * whitespace-delimited function words to measure, so it takes a
+    * link-density-only rule (`n_chars >= minChars` and the link-density
+    * cap — the boilerplate killers that need no segmentation) instead
+    * of being unconditionally destroyed by a stop density of zero.
+    * Alphabetic blocks (Latin, Cyrillic, Greek, …) take the standard
+    * density rule under the `lang`-keyed list, unchanged. Routing is
+    * PER BLOCK, so a CJK page's English nav strip is still judged by
+    * the density rule and a quoted CJK passage inside a Latin page
+    * still survives. Same output struct as [[htmlBlockFeatures]].
+    */
+  def htmlBlockFeaturesRouted(html: Column, lang: Column, minChars: Int = 70,
+                              maxLinkDensity: Double = 0.2,
+                              minStopDensity: Double = 0.2): Column =
+    htmlBlockFeaturesImpl(html, aw => langStopCount(aw, lang, StopwordsWeb),
+      minChars, maxLinkDensity, minStopDensity, routed = true)
+
+  /** The routed page rewrite: kept blocks joined with `\n` (the
+    * [[extractMainContentByLang]] shape under the routed rule).
+    */
+  def extractMainContentRouted(html: Column, lang: Column,
+                               minChars: Int = 70,
+                               maxLinkDensity: Double = 0.2,
+                               minStopDensity: Double = 0.2): Column =
+    array_join(transform(
+      filter(htmlBlockFeaturesRouted(html, lang, minChars, maxLinkDensity,
+        minStopDensity), f => f.getField("keep")),
+      f => f.getField("block_text")), "\n")
+
   private def htmlBlockFeaturesImpl(html: Column,
                                     stopCount: Column => Column,
                                     minChars: Int,
                                     maxLinkDensity: Double,
-                                    minStopDensity: Double): Column = {
+                                    minStopDensity: Double,
+                                    routed: Boolean = false): Column = {
     require(minChars >= 0, s"htmlBlockFeatures: minChars >= 0, got $minChars")
     require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
       s"htmlBlockFeatures: maxLinkDensity in [0,1], got $maxLinkDensity")
@@ -1472,12 +1557,25 @@ object TextAnalysis {
         length(s.getField("raw")).cast("long").as("n_raw_chars"))
     })
     transform(counted, s => {
-      val keep = s.getField("n_chars") >= minChars &&
+      val baseKeep = s.getField("n_chars") >= minChars &&
         s.getField("link_chars").cast("double") /
-          s.getField("n_raw_chars").cast("double") <= maxLinkDensity &&
-        s.getField("n_words") > 0L &&
+          s.getField("n_raw_chars").cast("double") <= maxLinkDensity
+      val densityOk = s.getField("n_words") > 0L &&
         s.getField("n_stop").cast("double") /
           s.getField("n_words").cast("double") >= minStopDensity
+      val keep =
+        if (!routed) baseKeep && densityOk
+        else {
+          // CJK-dominant block: no cheap segmentation → density rule is
+          // waived; counted over the collapsed text, both classes from
+          // the shared codepoint ints so the route replays cross-engine
+          val txt = s.getField("block_text")
+          val nCjk = length(txt) -
+            length(regexp_replace(txt, cjkClassJava, ""))
+          val nWl = length(txt) -
+            length(regexp_replace(txt, wordClassJava, ""))
+          baseKeep && (nCjk > nWl || densityOk)
+        }
       struct(s.getField("block_text").as("block_text"),
         s.getField("n_chars").as("n_chars"),
         s.getField("n_words").as("n_words"),
@@ -1538,6 +1636,21 @@ object TextAnalysis {
                           minStopDensity: Double = 0.2): DataFrame =
     df.withColumn(textCol,
         graft.expressions.TextHashExpressions.htmlExtractNativeLang(
+          col(textCol), col(langCol), minChars, maxLinkDensity,
+          minStopDensity))
+      .filter(col(textCol) =!= "")
+
+  /** [[extractHtmlDfByLang]] under the SCRIPT-ROUTED keep rule (r16) —
+    * the recipe stage for a mixed-script crawl: alphabetic blocks take
+    * the lang-keyed density rule, CJK-dominant blocks the link-density
+    * fallback. Same one-pass native, spec-pinned equal to the column
+    * form.
+    */
+  def extractHtmlDfRouted(df: DataFrame, textCol: String, langCol: String,
+                          minChars: Int = 70, maxLinkDensity: Double = 0.2,
+                          minStopDensity: Double = 0.2): DataFrame =
+    df.withColumn(textCol,
+        graft.expressions.TextHashExpressions.htmlExtractNativeRouted(
           col(textCol), col(langCol), minChars, maxLinkDensity,
           minStopDensity))
       .filter(col(textCol) =!= "")

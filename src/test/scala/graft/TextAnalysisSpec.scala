@@ -785,6 +785,92 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byLang == Set(1L), byLang.toString)
   }
 
+  test("script-routed extraction: Cyrillic/Greek stopwords decide " +
+      "survival, CJK blocks take the link-density fallback, " +
+      "native == column across scripts and soup") {
+    // r16 (VERDICT r15 §next-3): under the r15 Latin-only tokenizer a
+    // Russian paragraph had ZERO words (density 0 → dead); now Cyrillic
+    // and Greek tokenize and their lists decide. CJK has no cheap
+    // segmentation — the ROUTED rule waives the density clause for
+    // CJK-dominant blocks.
+    val ruText = "в доме было тихо и тепло когда мы пришли с реки и " +
+      "все сидели у окна а потом пили чай с медом и хлебом и говорили " +
+      "о том как было летом в деревне у бабушки за лесом."
+    val elText = "το σπίτι ήταν παλιό και η αυλή με τα δέντρα ήταν " +
+      "πολύ μεγάλη και όλοι οι γείτονες έρχονταν εδώ το βράδυ για να " +
+      "δουν τη θάλασσα από την πέτρα στην άκρη του δρόμου."
+    val zhText = "这个地方的历史可以追溯到很多年以前那时候这里还是一个" +
+      "小村庄人们在田里种地在河边打鱼生活虽然简单但是大家都很满足后来" +
+      "城市慢慢发展起来道路变宽了房子变高了但是老人们还记得从前的样子。"
+    def page(t: String) = "<body><p>" + t + "</p><div class=\"nav\">" +
+      "<a href=\"/a\">More links here</a></div></body>"
+    def keptRouted(p: String, lg: String): Long =
+      Seq(Tuple1(p)).toDF("h")
+        .select(size(filter(TextAnalysis.htmlBlockFeaturesRouted(col("h"),
+          lit(lg)), f => f.getField("keep"))).cast("long")).as[Long].head()
+    def keptPlain(p: String, lg: String): Long =
+      Seq(Tuple1(p)).toDF("h")
+        .select(size(filter(TextAnalysis.htmlBlockFeaturesByLang(col("h"),
+          lit(lg)), f => f.getField("keep"))).cast("long")).as[Long].head()
+    // Cyrillic: the ru list decides; English list kills; routing is a
+    // no-op for alphabetic scripts (routed == plain)
+    assert(keptRouted(page(ruText), "ru") == 1L)
+    assert(keptPlain(page(ruText), "ru") == 1L)
+    assert(keptPlain(page(ruText), "en") == 0L,
+      "a Cyrillic page must DIE under the English list — survival is " +
+        "decided by the Cyrillic stopwords")
+    // Greek likewise
+    assert(keptRouted(page(elText), "el") == 1L)
+    assert(keptPlain(page(elText), "el") == 1L)
+    assert(keptPlain(page(elText), "en") == 0L)
+    // CJK: zero tokenizable words -> the plain rule is structurally
+    // unable to keep it; the routed fallback keeps it on length + link
+    // density alone
+    assert(keptPlain(page(zhText), "zh") == 0L,
+      "CJK under the density rule must die (no segmentation)")
+    assert(keptRouted(page(zhText), "zh") == 1L,
+      "CJK must survive via the link-density-only fallback")
+    // ...and the fallback still kills link-dense CJK boilerplate
+    val zhNav = "<div><a href=\"/a\">" + zhText.take(40) + "</a>" +
+      zhText.take(30) + "</div>"
+    assert(keptRouted(zhNav, "zh") == 0L,
+      "link-dense CJK boilerplate must still die under the fallback")
+    // routing is PER BLOCK: a page mixing a Latin paragraph (judged by
+    // density) and a CJK paragraph (fallback) keeps both
+    val mixed = "<body><p>" +
+      ("the usual words of the page " * 6) + "end.</p><p>" + zhText +
+      "</p></body>"
+    assert(keptRouted(mixed, "en") == 2L, "mixed-script page: both blocks")
+    // native one-pass == column form across scripts, languages, soup
+    val pages = Seq(page(ruText), page(elText), page(zhText), mixed,
+      "<div>" + ruText + "</div><script>var x = 1;</script>",
+      "<p>short</p>", "<p>" + zhText.take(20) + "</p>")
+    val langs = Seq("ru", "el", "zh", "en", "xx", null)
+    val docs = for {
+      (p, i) <- pages.zipWithIndex
+      (lg, j) <- langs.zipWithIndex
+    } yield ((i * 10 + j).toLong, p, lg)
+    val rows = docs.toDF("doc_id", "t", "lang")
+      .select(col("doc_id"),
+        graft.expressions.TextHashExpressions.htmlExtractNativeRouted(
+          col("t"), col("lang"), 70, 0.2, 0.2).as("nat"),
+        TextAnalysis.extractMainContentRouted(col("t"), col("lang"))
+          .as("spec"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"routed-native parity broke on doc ${r.getLong(0)}:\n" +
+          s"nat=${r.getString(1)}\nspec=${r.getString(2)}")
+    }
+    // the recipe stage keeps the right rows
+    val routed = TextAnalysis.extractHtmlDfRouted(
+        Seq((1L, page(ruText), "ru"), (2L, page(ruText), "en"),
+          (3L, page(zhText), "zh")).toDF("doc_id", "text", "lang"),
+        "text", "lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(routed == Set(1L, 3L), routed.toString)
+  }
+
   test("accent-aware stop density: accented function words DECIDE " +
       "survival; native == column on accented pages") {
     // r15 (VERDICT r14 §next-1): the r14 tokenizer was [a-z]+ so "não",
