@@ -2423,7 +2423,17 @@ object SparkEntry {
       // gate construction, not an engine shape; the benched extraction
       // rows remain q_text_html_blocks / q_text_html_extract, whose
       // chain is the production cost.
-      "q_text_html_extract_lang", "q_text_html_extract_script")
+      "q_text_html_extract_lang", "q_text_html_extract_script",
+      // r16 policy application, amortized-probe ruling (the r11/r12
+      // precedent applied to the last three scratch forms still
+      // benched): each re-derives per run what its benched steady-state
+      // twin loads — the brute margin miner (indexed twin
+      // q_ret_margin_mine_indexed, spec-pinned bit-identical at full
+      // probe recall), the scratch BM25 search (persisted-index twin
+      // q_text_bm25_probe), and the scratch PageRank whose extraction
+      // chain is benched via q_web_links and whose iteration cost via
+      // q_web_pagerank_indexed/_dist. All three stay hash-green here.
+      "q_ret_margin_mine", "q_text_bm25_search", "q_web_pagerank")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -4072,8 +4082,16 @@ object SparkEntry {
     // Shares the scratch oracle outright: bit-identical by the
     // fixed-point construction, so the hash IS the twin-equality gate
     // re-proven per round.
+    // r16 (VERDICT r15 §next-1b): benched at 3 iterations, not 10 — at
+    // fixture scale the twin's cost is ~30 scheduler jobs of FIXED
+    // overhead on a tens-of-hosts graph (~11 s of the r15 record's
+    // discretionary spend), and 3 iterations exercise the identical
+    // per-iteration plan. Twin equality at FULL depth stays proven: the
+    // WebGraphSpec driver==distributed pins run unchanged, and the
+    // 10-iteration driver-loop rows stay oracled. The oracle here
+    // unrolls the same 3 rounds — still a bit-exact hash gate.
     "q_web_pagerank_dist" -> ((s, d) =>
-      WebGraph.pageRankIndexed(s, webIdxEnsure(s, d), iterations = 10,
+      WebGraph.pageRankIndexed(s, webIdxEnsure(s, d), iterations = 3,
           localEdgeLimit = 0L)
         .orderBy("host")),
     // Compaction gate, graph family (r14): per-batch edge partials
@@ -4236,8 +4254,12 @@ object SparkEntry {
     // two-join + two-agg + two-scalar loop; shares the scratch oracle
     // (bit-identical integer fixed point), so the hash re-proves the
     // twin equality per round.
+    // r16: 3 iterations for the same fixed-overhead reason as
+    // q_web_pagerank_dist (the per-iteration plan is what the bench
+    // must price; depth multiplies only scheduler overhead at fixture
+    // scale); the oracle unrolls the same 3 rounds.
     "q_web_hits_dist" -> ((s, d) =>
-      WebGraph.hitsIndexed(s, webIdxEnsure(s, d), iterations = 8,
+      WebGraph.hitsIndexed(s, webIdxEnsure(s, d), iterations = 3,
           localEdgeLimit = 0L)
         .orderBy("host")),
     // Crawl-budget apportionment (r13): split 1000 fetch slots across
@@ -10038,9 +10060,10 @@ object SparkEntry {
           |FROM rl ORDER BY doc_id, link_idx""".stripMargin),
     "q_web_pagerank" -> pageRankOracleSql(10),
     "q_web_pagerank_indexed" -> pageRankOracleSql(10),
-    // the distributed twin shares the scratch oracle — bit-identical
-    // fixed-point by construction (r15)
-    "q_web_pagerank_dist" -> pageRankOracleSql(10),
+    // the distributed twin shares the scratch oracle's CHAIN at its own
+    // depth — bit-identical fixed-point by construction (r15; 3
+    // iterations since r16, the fixture-scale fixed-overhead cut)
+    "q_web_pagerank_dist" -> pageRankOracleSql(3),
     // r14: edge partials folded + same iteration count == scratch ranks
     "q_web_pagerank_compacted" -> pageRankOracleSql(10),
     // r16 (VERDICT r15 §next-4): the warm-start maintenance gate. Truth
@@ -10066,8 +10089,8 @@ object SparkEntry {
          |FROM pr200 ORDER BY host""".stripMargin),
     // r14: HITS replayed round-for-round over the same link chain
     "q_web_hits" -> hitsOracleSql(8),
-    // the distributed twin shares the scratch oracle (r15)
-    "q_web_hits_dist" -> hitsOracleSql(8),
+    // the distributed twin at its own depth (3 since r16)
+    "q_web_hits_dist" -> hitsOracleSql(3),
     // Registered-domain replayed: the same host CASE, label split with
     // negative list indexing, the multi-label-suffix IN list generated
     // from the same Scala constant, lowercased suffix match.
