@@ -197,23 +197,78 @@ object SparkEntry {
       "满了摊位人们一边挑选一边聊天孩子们在旁边跑来跑去老街的味道就" +
       "在这些平常的日子里慢慢流传下来成为这座城市最温暖的记忆。</p>"
 
+  // Late-r16 pages: ARABIC and HEBREW (space-delimited RTL scripts —
+  // the tokenizer covers their letters now and the density rule
+  // applies; survival DECIDED by the ar/he lists, dead under English),
+  // and THAI (written WITHOUT inter-word spaces — the SegFree fallback
+  // route, the zh treatment). Unvocalized MSA / plain Hebrew (no
+  // harakat/niqqud — web text norm); no single quotes.
+  private val HtmlScriptHeadAr =
+    "<html><head><title>Bayt</title></head><body>" +
+      "<div class=\"nav\"><ul><li><a href=\"/main\">الرئيسية</a></li>" +
+      "<li><a href=\"/help\">مساعدة حول الموقع</a></li></ul></div>" +
+      "<h1>البيت القديم</h1>"
+  private val HtmlParaAr1 =
+    "<p>كان البيت قديما في وسط المدينة وكان كل من في الحي يعرف هذا " +
+      "المكان لأن الناس كانوا يأتون إليه من كل جهة في الصباح وفي " +
+      "المساء مع الأولاد بعد يوم طويل.</p>"
+  private val HtmlParaAr2 =
+    "<p>هذا المكان لم يكن مثل غيره فقد كان فيه ماء وظل وكان كل ضيف " +
+      "يجد فيه ما يريد من راحة بعد تعب وكان هناك من يروي عن تلك " +
+      "الأيام أخبارا لا تنتهي حتى الليل.</p>"
+  private val HtmlScriptHeadHe =
+    "<html><head><title>Bait</title></head><body>" +
+      "<div class=\"nav\"><ul><li><a href=\"/main\">ראשי</a></li>" +
+      "<li><a href=\"/help\">עזרה על האתר</a></li></ul></div>" +
+      "<h1>הבית הישן</h1>"
+  private val HtmlParaHe1 =
+    "<p>הבית היה ישן מאוד אבל כל מי שגר שם אהב את המקום כי היה בו " +
+      "אור רב וגם גינה קטנה עם עצים ורק מעט רעש מן הרחוב של העיר " +
+      "הגדולה שמעבר לחומה.</p>"
+  private val HtmlParaHe2 =
+    "<p>אחרי שנים רבות עוד היו באים אל הבית מי שגרו בו פעם והיו " +
+      "יושבים שם עם חברים עד הערב כי לא היה להם מקום אחר כמו זה " +
+      "ולא היה עוד בית כזה בכל העיר.</p>"
+  private val HtmlScriptHeadTh =
+    "<html><head><title>Baan</title></head><body>" +
+      "<div class=\"nav\"><ul><li><a href=\"/main\">หน้าแรก</a></li>" +
+      "<li><a href=\"/help\">ความช่วยเหลือของเว็บไซต์</a></li></ul></div>" +
+      "<h1>บ้านริมแม่น้ำ</h1>"
+  private val HtmlParaTh1 =
+    "<p>บ้านหลังนี้อยู่ริมแม่น้ำมานานหลายปีผู้คนในหมู่บ้านมักมาพบกันที่นี่ใน" +
+      "ตอนเย็นเพื่อพูดคุยและพักผ่อนหลังจากทำงานมาทั้งวันเด็กๆวิ่งเล่นอยู่ริมน้ำ" +
+      "จนพระอาทิตย์ตกดิน.</p>"
+  private val HtmlParaTh2 =
+    "<p>ตลาดเช้าของหมู่บ้านมีของกินมากมายทั้งผักผลไม้และขนมพื้นบ้านชาวบ้าน" +
+      "ต่างทักทายกันอย่างเป็นกันเองกลิ่นอาหารลอยมาตามลมทำให้ทุกคนรู้สึก" +
+      "อบอุ่นเหมือนครอบครัวเดียวกัน.</p>"
+
   /** Static pages keyed by language for the SCRIPT-ROUTED extraction
-    * gate: %4==1 → the Russian page, %4==2 → the Greek page, %4==3 →
-    * the CJK page, %4==0 → the English control. Static literals only
-    * (the htmlPagesLang convention).
+    * gate, seven scripts: %7==1 → Russian, %7==2 → Greek, %7==3 → CJK,
+    * %7==4 → Arabic, %7==5 → Hebrew, %7==6 → Thai, %7==0 → the English
+    * control. Static literals only (the htmlPagesLang convention).
     */
   private def htmlPagesScript(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      when(col("doc_id") % 4 === 1, lit("ru"))
-        .when(col("doc_id") % 4 === 2, lit("el"))
-        .when(col("doc_id") % 4 === 3, lit("zh"))
+      when(col("doc_id") % 7 === 1, lit("ru"))
+        .when(col("doc_id") % 7 === 2, lit("el"))
+        .when(col("doc_id") % 7 === 3, lit("zh"))
+        .when(col("doc_id") % 7 === 4, lit("ar"))
+        .when(col("doc_id") % 7 === 5, lit("he"))
+        .when(col("doc_id") % 7 === 6, lit("th"))
         .otherwise(lit("en")).as("lang"),
-      when(col("doc_id") % 4 === 1,
+      when(col("doc_id") % 7 === 1,
           lit(HtmlScriptHeadRu + HtmlParaRu1 + HtmlParaRu2 + HtmlPageSuffix))
-        .when(col("doc_id") % 4 === 2,
+        .when(col("doc_id") % 7 === 2,
           lit(HtmlScriptHeadEl + HtmlParaEl1 + HtmlParaEl2 + HtmlPageSuffix))
-        .when(col("doc_id") % 4 === 3,
+        .when(col("doc_id") % 7 === 3,
           lit(HtmlScriptHeadZh + HtmlParaZh1 + HtmlParaZh2 + HtmlPageSuffix))
+        .when(col("doc_id") % 7 === 4,
+          lit(HtmlScriptHeadAr + HtmlParaAr1 + HtmlParaAr2 + HtmlPageSuffix))
+        .when(col("doc_id") % 7 === 5,
+          lit(HtmlScriptHeadHe + HtmlParaHe1 + HtmlParaHe2 + HtmlPageSuffix))
+        .when(col("doc_id") % 7 === 6,
+          lit(HtmlScriptHeadTh + HtmlParaTh1 + HtmlParaTh2 + HtmlPageSuffix))
         .otherwise(lit(HtmlPagePrefix + HtmlPara1Pad + HtmlPara2 +
           HtmlPageSuffix)).as("html"))
 
@@ -426,7 +481,7 @@ object SparkEntry {
             sqlStopList(TextAnalysis.StopwordsWebEn)})))
        |      AS n_stop_en,
        |    len(txt) - len(regexp_replace(txt,
-       |      '${TextAnalysis.cjkClassRe2}', '', 'g')) AS n_cjk,
+       |      '${TextAnalysis.segFreeClassRe2}', '', 'g')) AS n_cjk,
        |    len(txt) - len(regexp_replace(txt,
        |      '${TextAnalysis.wordClassRe2}', '', 'g')) AS n_wl
        |  FROM fw),
@@ -8036,17 +8091,29 @@ object SparkEntry {
     "q_text_html_extract_script" ->
       s"""WITH spages AS (
         |  SELECT doc_id,
-        |    CASE WHEN doc_id % 4 = 1 THEN 'ru'
-        |         WHEN doc_id % 4 = 2 THEN 'el'
-        |         WHEN doc_id % 4 = 3 THEN 'zh' ELSE 'en' END AS lang,
-        |    CASE WHEN doc_id % 4 = 1
+        |    CASE WHEN doc_id % 7 = 1 THEN 'ru'
+        |         WHEN doc_id % 7 = 2 THEN 'el'
+        |         WHEN doc_id % 7 = 3 THEN 'zh'
+        |         WHEN doc_id % 7 = 4 THEN 'ar'
+        |         WHEN doc_id % 7 = 5 THEN 'he'
+        |         WHEN doc_id % 7 = 6 THEN 'th' ELSE 'en' END AS lang,
+        |    CASE WHEN doc_id % 7 = 1
         |      THEN '$HtmlScriptHeadRu' || '$HtmlParaRu1' || '$HtmlParaRu2'
         |        || '$HtmlPageSuffix'
-        |      WHEN doc_id % 4 = 2
+        |      WHEN doc_id % 7 = 2
         |      THEN '$HtmlScriptHeadEl' || '$HtmlParaEl1' || '$HtmlParaEl2'
         |        || '$HtmlPageSuffix'
-        |      WHEN doc_id % 4 = 3
+        |      WHEN doc_id % 7 = 3
         |      THEN '$HtmlScriptHeadZh' || '$HtmlParaZh1' || '$HtmlParaZh2'
+        |        || '$HtmlPageSuffix'
+        |      WHEN doc_id % 7 = 4
+        |      THEN '$HtmlScriptHeadAr' || '$HtmlParaAr1' || '$HtmlParaAr2'
+        |        || '$HtmlPageSuffix'
+        |      WHEN doc_id % 7 = 5
+        |      THEN '$HtmlScriptHeadHe' || '$HtmlParaHe1' || '$HtmlParaHe2'
+        |        || '$HtmlPageSuffix'
+        |      WHEN doc_id % 7 = 6
+        |      THEN '$HtmlScriptHeadTh' || '$HtmlParaTh1' || '$HtmlParaTh2'
         |        || '$HtmlPageSuffix'
         |      ELSE '$HtmlPagePrefix' || '$HtmlPara1Pad' || '$HtmlPara2'
         |        || '$HtmlPageSuffix' END AS html

@@ -1266,21 +1266,22 @@ object HtmlOps {
   @inline private def isWordLetter(c: Char): Boolean =
     c < WordLetter.length && WordLetter(c)
 
-  /** CJK membership from the same shared ints
-    * ([[graft.operators.TextAnalysis.CjkBlocks]]) — the routed keep
-    * rule's script test (r16).
+  /** Segmentation-free-script membership from the same shared ints
+    * ([[graft.operators.TextAnalysis.SegFreeBlocks]] — CJK plus the
+    * space-free Southeast-Asian scripts) — the routed keep rule's
+    * script test (r16).
     */
-  private val CjkLetter: Array[Boolean] = {
-    val max = graft.operators.TextAnalysis.CjkBlocks.map(_._2).max + 1
+  private val SegFreeLetter: Array[Boolean] = {
+    val max = graft.operators.TextAnalysis.SegFreeBlocks.map(_._2).max + 1
     val a = new Array[Boolean](max)
-    graft.operators.TextAnalysis.CjkBlocks.foreach {
+    graft.operators.TextAnalysis.SegFreeBlocks.foreach {
       case (lo, hi) => (lo to hi).foreach(i => a(i) = true)
     }
     a
   }
 
-  @inline private def isCjk(c: Char): Boolean =
-    c < CjkLetter.length && CjkLetter(c)
+  @inline private def isSegFree(c: Char): Boolean =
+    c < SegFreeLetter.length && SegFreeLetter(c)
 
   private def indexOfIgnoreCase(s: String, target: String,
                                 from: Int): Int = {
@@ -1514,7 +1515,7 @@ object HtmlOps {
               val tl = txt.length
               while (q < tl) {
                 val ch = txt.charAt(q)
-                if (isCjk(ch)) nCjk += 1
+                if (isSegFree(ch)) nCjk += 1
                 else if (isWordLetter(ch)) nWl += 1
                 q += 1
               }

@@ -329,21 +329,34 @@ object TextAnalysis {
   private[graft] val WordLetterBlocks: Seq[(Int, Int)] = Seq(
     0x61 -> 0x7A, 0x41 -> 0x5A, 0xC0 -> 0xD6, 0xD8 -> 0xF6, 0xF8 -> 0x24F,
     0x386 -> 0x386, 0x388 -> 0x38A, 0x38C -> 0x38C, 0x38E -> 0x3A1,
-    0x3A3 -> 0x3CE, 0x400 -> 0x4FF)
+    0x3A3 -> 0x3CE, 0x400 -> 0x4FF,
+    // late r16: Arabic (hamza/letter core + the Persian/Urdu extension
+    // letters; digits 0x660-0x669 and harakat excluded) and Hebrew
+    // (the 22-letter block + final forms) — both space-delimited
+    // scripts, so the density rule applies once they tokenize. No case
+    // in either script, so lowercasing is the identity cross-engine.
+    0x620 -> 0x64A, 0x671 -> 0x6D3, 0x5D0 -> 0x5EA)
 
-  /** Scripts WITHOUT cheap word segmentation (han + kana + hangul — the
-    * [[ScriptBlocks]] ranges): a block these characters dominate cannot
-    * take the stopword-density rule (there are no whitespace-delimited
-    * function words to count), so the routed keep rule
+  /** Scripts WITHOUT cheap word segmentation: han + kana + hangul (the
+    * [[ScriptBlocks]] ranges) plus the Southeast-Asian scripts written
+    * without inter-word spaces — Thai, Lao, Khmer, Myanmar (letter
+    * cores; digits excluded so a digit-heavy Latin block cannot
+    * misroute). A block these characters dominate cannot take the
+    * stopword-density rule (there are no whitespace-delimited function
+    * words to count), so the routed keep rule
     * ([[htmlBlockFeaturesRouted]]) gives it the link-density-only
     * fallback instead of silently discarding it (VERDICT r15 §next-3 —
     * "a large fraction of real crawl pages silently discarded").
     */
-  private[graft] val CjkBlocks: Seq[(Int, Int)] =
-    Seq(0x4E00 -> 0x9FFF, 0x3040 -> 0x30FF, 0xAC00 -> 0xD7AF)
+  private[graft] val SegFreeBlocks: Seq[(Int, Int)] = Seq(
+    0x4E00 -> 0x9FFF, 0x3040 -> 0x30FF, 0xAC00 -> 0xD7AF,
+    0xE01 -> 0xE3A, 0xE40 -> 0xE4E,     // thai
+    0xE81 -> 0xEB9, 0xEBB -> 0xECD,     // lao
+    0x1780 -> 0x17B3, 0x17B6 -> 0x17D3, // khmer
+    0x1000 -> 0x103E)                   // myanmar
 
-  private[graft] def cjkClassJava: String = scriptClassJava(CjkBlocks)
-  private[graft] def cjkClassRe2: String = scriptClassRe2(CjkBlocks)
+  private[graft] def segFreeClassJava: String = scriptClassJava(SegFreeBlocks)
+  private[graft] def segFreeClassRe2: String = scriptClassRe2(SegFreeBlocks)
 
   /** The block tokenizer's Java character class (one-or-more suffix is
     * the caller's).
@@ -1393,7 +1406,31 @@ object TextAnalysis {
       "αν", "θα", "τι", "αυτό", "αυτά", "αυτός", "αυτή", "εγώ",
       "εμείς", "μας", "σας", "τους", "τις", "πολύ", "όλα", "όλοι",
       "κάθε", "εδώ", "εκεί", "τότε", "όταν", "γιατί", "μετά", "πριν",
-      "πάνω", "κάτω", "μέσα", "έξω", "είναι", "ήταν", "έχει", "είχε"))
+      "πάνω", "κάτω", "μέσα", "έξω", "είναι", "ήταν", "έχει", "είχε"),
+    // late r16: Arabic and Hebrew — space-delimited scripts whose
+    // letters the tokenizer now covers. Standalone function words only
+    // (both languages attach the most frequent particles as prefixes —
+    // Arabic و/ال, Hebrew ה/ב/ל/ו — which never tokenize separately, so
+    // the lists carry the free-standing prepositions/pronouns/deictics
+    // that actually surface as tokens). No case in either script.
+    "ar" -> Seq(
+      "في", "من", "على", "إلى", "عن", "أن", "إن", "كان", "كانت",
+      "كانوا", "هذا", "هذه", "ذلك", "تلك", "التي", "الذي", "الذين",
+      "ما", "لا", "لم", "لن", "قد", "كل", "بعد", "قبل", "عند",
+      "عندما", "حتى", "هو", "هي", "هم", "نحن", "أنا", "أنت", "أو",
+      "ثم", "بين", "غير", "كما", "إذا", "أي", "له", "لها", "لهم",
+      "به", "بها", "فيه", "فيها", "منه", "منها", "إليه", "إليها",
+      "معه", "مع", "بعض", "أكثر", "أيضا", "هناك", "هنا", "ليس",
+      "كيف", "لماذا", "لأن"),
+    "he" -> Seq(
+      "של", "את", "על", "עם", "הוא", "היא", "הם", "הן", "אני",
+      "אתה", "אנחנו", "זה", "זאת", "אלה", "יש", "אין", "לא", "כל",
+      "גם", "רק", "או", "אם", "כי", "מה", "מי", "איך", "מתי",
+      "כאשר", "אבל", "אחרי", "לפני", "בין", "עוד", "כבר", "שם",
+      "פה", "כאן", "היה", "הייתה", "היו", "להיות", "יותר", "מאוד",
+      "בו", "בה", "בהם", "לו", "לה", "להם", "ממנו", "ממנה", "מן",
+      "אל", "עד", "בלי", "כמו", "אז", "שלו", "שלה", "שלהם", "אותו",
+      "אותה", "אותם"))
 
   /** The same lists restricted to their ASCII entries — the r14
     * behavior as an explicit counterfactual: under the old `[a-z]+`
@@ -1481,7 +1518,8 @@ object TextAnalysis {
 
   /** [[htmlBlockFeaturesByLang]] with the SCRIPT-ROUTED keep rule (r16,
     * VERDICT r15 §next-3): a block whose CJK character count (han +
-    * kana + hangul, [[CjkBlocks]]) exceeds its word-letter count has no
+    * kana + hangul + the space-free SE-Asian scripts,
+    * [[SegFreeBlocks]]) exceeds its word-letter count has no
     * whitespace-delimited function words to measure, so it takes a
     * link-density-only rule (`n_chars >= minChars` and the link-density
     * cap — the boilerplate killers that need no segmentation) instead
@@ -1571,7 +1609,7 @@ object TextAnalysis {
           // the shared codepoint ints so the route replays cross-engine
           val txt = s.getField("block_text")
           val nCjk = length(txt) -
-            length(regexp_replace(txt, cjkClassJava, ""))
+            length(regexp_replace(txt, segFreeClassJava, ""))
           val nWl = length(txt) -
             length(regexp_replace(txt, wordClassJava, ""))
           baseKeep && (nCjk > nWl || densityOk)

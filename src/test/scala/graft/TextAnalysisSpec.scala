@@ -869,6 +869,43 @@ class TextAnalysisSpec extends SparkSpec {
         "text", "lang")
       .select("doc_id").as[Long].collect().toSet
     assert(routed == Set(1L, 3L), routed.toString)
+    // late r16: Arabic and Hebrew (space-delimited RTL — density rule
+    // under their lists, the tokenizer covers their letters now), Thai
+    // (space-free — the fallback route like CJK)
+    val arText = "كان البيت قديما في وسط المدينة وكان كل من في الحي " +
+      "يعرف هذا المكان لأن الناس كانوا يأتون إليه من كل جهة في الصباح " +
+      "وفي المساء مع الأولاد بعد يوم طويل."
+    val heText = "הבית היה ישן מאוד אבל כל מי שגר שם אהב את המקום כי " +
+      "היה בו אור רב וגם גינה קטנה עם עצים ורק מעט רעש מן הרחוב של " +
+      "העיר הגדולה שמעבר לחומה."
+    val thText = "บ้านหลังนี้อยู่ริมแม่น้ำมานานหลายปีผู้คนในหมู่บ้านมักมาพบกัน" +
+      "ที่นี่ในตอนเย็นเพื่อพูดคุยและพักผ่อนหลังจากทำงานมาทั้งวันเด็กๆวิ่งเล่น" +
+      "อยู่ริมน้ำจนพระอาทิตย์ตกดิน."
+    assert(keptRouted(page(arText), "ar") == 1L)
+    assert(keptPlain(page(arText), "ar") == 1L)
+    assert(keptPlain(page(arText), "en") == 0L,
+      "an Arabic page must DIE under the English list")
+    assert(keptRouted(page(heText), "he") == 1L)
+    assert(keptPlain(page(heText), "he") == 1L)
+    assert(keptPlain(page(heText), "en") == 0L)
+    assert(keptPlain(page(thText), "th") == 0L,
+      "Thai under the density rule must die (no inter-word spaces)")
+    assert(keptRouted(page(thText), "th") == 1L,
+      "Thai must survive via the segmentation-free fallback")
+    // native parity across the new scripts too
+    val rows2 = Seq((100L, page(arText), "ar"), (101L, page(heText), "he"),
+        (102L, page(thText), "th"), (103L, page(arText), "en"))
+      .toDF("doc_id", "t", "lang")
+      .select(col("doc_id"),
+        graft.expressions.TextHashExpressions.htmlExtractNativeRouted(
+          col("t"), col("lang"), 70, 0.2, 0.2).as("nat"),
+        TextAnalysis.extractMainContentRouted(col("t"), col("lang"))
+          .as("spec"))
+      .collect()
+    rows2.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"routed-native parity broke on doc ${r.getLong(0)}")
+    }
   }
 
   test("accent-aware stop density: accented function words DECIDE " +
