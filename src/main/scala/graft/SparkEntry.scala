@@ -2488,7 +2488,10 @@ object SparkEntry {
       // q_text_bm25_probe), and the scratch PageRank whose extraction
       // chain is benched via q_web_links and whose iteration cost via
       // q_web_pagerank_indexed/_dist. All three stay hash-green here.
-      "q_ret_margin_mine", "q_text_bm25_search", "q_web_pagerank")
+      "q_ret_margin_mine", "q_text_bm25_search", "q_web_pagerank",
+      // late r16: builds + appends + compacts its CMS index per run
+      // (the append-gate ruling); the benched CMS row is q_skew_cms_hot.
+      "q_skew_cms_indexed")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -2628,6 +2631,28 @@ object SparkEntry {
           t(s, d, "supplier"), "s_suppkey")
         .orderBy(col("est_count").desc, col("key").asc)
         .limit(20)),
+    // Persisted CMS frequency index (late r16): the incremental form of
+    // the probe above — per-batch sketch rows (even/odd orderkey split),
+    // estimates from the stored sketches alone. CMS is LINEAR, so the
+    // merged batches ARE the one-shot sketch, and at these candidate
+    // cardinalities the fixed-seed estimates land EXACT — the oracle
+    // replays the true per-supplier counts over the FULL fact table.
+    // Verify-only (builds its index per run — the append-gate ruling);
+    // the benched CMS row stays q_skew_cms_hot.
+    "q_skew_cms_indexed" -> ((s, d) => {
+      val path = tempDirCleaned("graft-cmsidx")
+      val li = t(s, d, "lineitem")
+      graft.operators.Skew.cmsWriteIndex(
+        li.filter(col("l_orderkey") % 2 === 0), "l_suppkey", path)
+      graft.operators.Skew.cmsAppendIndex(
+        li.filter(col("l_orderkey") % 2 =!= 0)
+          .select(col("l_suppkey")), path)
+      graft.operators.Skew.cmsCompactIndex(s, path)
+      graft.operators.Skew.cmsEstimateIndex(s, path,
+          t(s, d, "supplier"), "s_suppkey")
+        .orderBy(col("est_count").desc, col("key").asc)
+        .limit(20)
+    }),
     "q_a3_value_counts" -> ((s, d) =>
       Aggregates.valueCounts(t(s, d, "events"), col("event_type")).orderBy("value")),
     // One-pass table profile (the count-verify QA step generalized to
@@ -6707,6 +6732,16 @@ object SparkEntry {
     // the sketch estimates must LAND on these (fixed seed, bounded
     // candidates: any depth-wide collision would hash-fail the row).
     "q_skew_cms_hot" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS key,
+        |  CAST(count(l_suppkey) AS BIGINT) AS est_count
+        |FROM supplier LEFT JOIN lineitem ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey
+        |ORDER BY est_count DESC, key ASC LIMIT 20""".stripMargin,
+    // The indexed form shares the exact-counts truth outright: merged
+    // per-batch sketches == the one-shot sketch (CMS linearity), and
+    // the fixed-seed estimates land on the true counts — so the hash IS
+    // the write+append+compact==rebuild gate (late r16).
+    "q_skew_cms_indexed" ->
       """SELECT CAST(s_suppkey AS BIGINT) AS key,
         |  CAST(count(l_suppkey) AS BIGINT) AS est_count
         |FROM supplier LEFT JOIN lineitem ON l_suppkey = s_suppkey

@@ -167,4 +167,154 @@ object Skew {
       .map(k => (k, if (sketch == null) 0L else sketch.estimateCount(k)))
       .toDF("key", "est_count")
   }
+
+  // ---------------------------------------------------------------------
+  // Persisted CMS frequency index (late r16) — the fourth member of the
+  // mergeable-sketch suite (HLL = distincts, theta = set algebra, KLL =
+  // quantiles, CMS = FREQUENCIES): "how often has this key appeared
+  // across every batch we ever ingested" answered from O(#batches)
+  // fixed-size sketch rows, zero corpus rescans. CMS is LINEAR
+  // (cell-wise addition merges exactly), so per-batch appends are
+  // additive rows and compaction is the merge itself — the
+  // hllWriteIndex conventions apply verbatim, including the meta
+  // sidecar (eps/confidence/seed/column/type pinned one row, so a
+  // mismatched append is structurally impossible: sketches with
+  // different geometry or seed cannot be merged, and a type-drifted
+  // key would hash differently) and the r16 create-over-existing guard.
+  // ---------------------------------------------------------------------
+
+  private def requireIntegralKey(df: DataFrame, c: String, what: String): Unit = {
+    require(df.columns.contains(c),
+      s"$what: no such column '$c' (have ${df.columns.mkString(", ")})")
+    val dt = df.schema(c).dataType.typeName
+    require(Set("integer", "long", "short", "byte").contains(dt),
+      s"$what: key column '$c' is $dt — integral keys only")
+  }
+
+  private def cmsSketchRow(df: DataFrame, keyCol: String, eps: Double,
+                           confidence: Double, seed: Int): DataFrame =
+    df.agg(
+      count(col(keyCol)).as("n_values"),
+      count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed))
+        .as("sk"))
+
+  /** Create the CMS index at `path` from a first batch: one sketch row
+    * under `path/sketches`, parameters pinned in `path/meta`.
+    */
+  def cmsWriteIndex(df: DataFrame, keyCol: String, path: String,
+                    eps: Double = 1e-4, confidence: Double = 0.999,
+                    seed: Int = 42, overwrite: Boolean = false): Unit = {
+    require(eps > 0 && eps < 1, s"cmsWriteIndex: eps in (0,1), got $eps")
+    require(confidence > 0 && confidence < 1,
+      s"cmsWriteIndex: confidence in (0,1), got $confidence")
+    requireIntegralKey(df, keyCol, "cmsWriteIndex")
+    val spark = df.sparkSession
+    require(overwrite || !graft.pipeline.Sinks.exists(spark, s"$path/meta"),
+      s"cmsWriteIndex: an index already exists at $path — re-running the " +
+        "create step would destroy its accumulated append history. Use " +
+        "cmsAppendIndex for new batches, or pass overwrite = true to " +
+        "rebuild deliberately")
+    cmsSketchRow(df, keyCol, eps, confidence, seed)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/sketches")
+    import spark.implicits._
+    Seq((eps, confidence, seed, keyCol, df.schema(keyCol).dataType.typeName))
+      .toDF("eps", "confidence", "seed", "col_name", "col_type")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/meta")
+  }
+
+  private def cmsIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                           path: String, what: String)
+      : (Double, Double, Int, String, String) = {
+    val rows =
+      try spark.read.parquet(s"$path/meta")
+        .select("eps", "confidence", "seed", "col_name", "col_type").collect()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$what: $path is not a CMS index (missing meta sidecar): " +
+            e.getMessage)
+      }
+    require(rows.length == 1, s"$what: $path has a malformed meta sidecar")
+    val r = rows.head
+    (r.getDouble(0), r.getDouble(1), r.getInt(2), r.getString(3),
+      r.getString(4))
+  }
+
+  /** Append one batch's sketch row in O(batch) — additive, no
+    * read-modify-write; parameters come from the meta sidecar, and a
+    * type-drifted key column fails loudly (a long 42 and an int 42 hash
+    * to different CMS cells via the JVM value).
+    */
+  def cmsAppendIndex(df: DataFrame, path: String): Unit = {
+    val (eps, conf, seed, keyCol, tpe) =
+      cmsIndexMeta(df.sparkSession, path, "cmsAppendIndex")
+    requireIntegralKey(df, keyCol, "cmsAppendIndex")
+    val actual = df.schema(keyCol).dataType.typeName
+    require(actual == tpe,
+      s"cmsAppendIndex: column '$keyCol' is $actual but the index counts " +
+        s"it as $tpe — a type-drifted append would fragment the key space")
+    cmsSketchRow(df, keyCol, eps, conf, seed)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/sketches")
+  }
+
+  /** Frequency estimates for bounded `candidates` from the stored
+    * sketches alone: merge the O(#batches) fixed-size rows driver-side
+    * (CMS is linear — `mergeInPlace` is exact addition; identical
+    * geometry/seed is guaranteed by the meta sidecar), then probe each
+    * candidate key. Returns (key, est_count); an empty index estimates
+    * 0 everywhere. Candidate bound and NULL handling follow
+    * [[hotKeyEstimates]].
+    */
+  def cmsEstimateIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, candidates: DataFrame,
+                       candKeyCol: String): DataFrame = {
+    cmsIndexMeta(spark, path, "cmsEstimateIndex")
+    val rows = spark.read.parquet(s"$path/sketches")
+      .select("sk").collect()
+      .flatMap(r => Option(r.getAs[Array[Byte]](0)))
+      .map(b => org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+    val merged = rows.reduceOption { (a, b) => a.mergeInPlace(b); a }
+    val cands = candidates.select(col(candKeyCol).cast("long"))
+      .filter(col(candKeyCol).isNotNull)
+      .distinct().limit(4097).collect().map(_.getLong(0))
+    require(cands.length <= 4096,
+      "cmsEstimateIndex: more than 4096 candidate keys — the driver-side " +
+        "probe is bounded (the hotKeyEstimates cap); pre-filter the " +
+        "candidates")
+    import spark.implicits._
+    cands.toSeq
+      .map(k => (k, merged.map(_.estimateCount(k)).getOrElse(0L)))
+      .toDF("key", "est_count")
+  }
+
+  /** Compact the additive sketch rows to ONE row — pure maintenance
+    * (CMS merge is exact addition, so estimates before == after; the
+    * hllCompactIndex staged-swap + single-writer contract). Returns the
+    * compacted row count (1; empty batches contribute an EMPTY sketch —
+    * Spark's count_min_sketch aggregate returns one, not NULL — which
+    * merges as a no-op and estimates 0).
+    */
+  def cmsCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Long = {
+    cmsIndexMeta(spark, path, "cmsCompactIndex")
+    val src = spark.read.parquet(s"$path/sketches")
+    val rows = src.select("n_values", "sk").collect()
+    val merged = rows.flatMap(r => Option(r.getAs[Array[Byte]](1)))
+      .map(b => org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+      .reduceOption { (a, b) => a.mergeInPlace(b); a }
+    val n = rows.map(_.getLong(0)).sum
+    import spark.implicits._
+    val out = merged match {
+      case None => Seq.empty[(Long, Array[Byte])].toDF("n_values", "sk")
+      case Some(sk) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        sk.writeTo(bos)
+        Seq((n, bos.toByteArray)).toDF("n_values", "sk")
+    }
+    graft.pipeline.Sinks.overwriteViaStaging(out, s"$path/sketches")
+  }
 }

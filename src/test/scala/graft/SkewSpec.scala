@@ -138,4 +138,60 @@ class SkewSpec extends SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
     assert(res.passed, res.status.toString)
   }
+  test("cms index: write + append estimates == one-shot exact counts; " +
+      "compact preserves; guards fail loudly") {
+    // late r16: the persisted frequency index — CMS is linear, so
+    // merged per-batch sketches ARE the one-shot sketch; at fixture
+    // cardinality the fixed-seed estimate equals the exact count.
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft-cmsidx").toString
+    val dir = tmp()
+    val b1 = Seq.fill(5)(7L) ++ Seq.fill(3)(9L) ++ Seq(11L)
+    val b2 = Seq.fill(4)(7L) ++ Seq.fill(2)(13L)
+    Skew.cmsWriteIndex(b1.toDF("k"), "k", dir)
+    Skew.cmsAppendIndex(b2.toDF("k"), dir)
+    val cands = Seq(7L, 9L, 11L, 13L, 99L).toDF("key")
+    def est() = Skew.cmsEstimateIndex(spark, dir, cands, "key")
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(7L -> 9L, 9L -> 3L, 11L -> 1L, 13L -> 2L, 99L -> 0L)
+    assert(est() == expected, est().toString)
+    // compaction is the merge itself: one row, same answers
+    assert(Skew.cmsCompactIndex(spark, dir) == 1L)
+    assert(spark.read.parquet(s"$dir/sketches").count() == 1L)
+    assert(est() == expected, s"post-compact: ${est()}")
+    // appends continue after compaction
+    Skew.cmsAppendIndex(Seq(99L, 99L).toDF("k"), dir)
+    assert(est()(99L) == 2L)
+    // guards: create-over-existing, type drift, missing sidecar,
+    // non-integral key
+    val e1 = intercept[IllegalArgumentException] {
+      Skew.cmsWriteIndex(b1.toDF("k"), "k", dir)
+    }
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Skew.cmsAppendIndex(Seq(1).toDF("k"), dir) // int vs long
+    }
+    assert(e2.getMessage.contains("type-drifted"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Skew.cmsEstimateIndex(spark, tmp(), cands, "key")
+    }
+    assert(e3.getMessage.contains("not a CMS index"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Skew.cmsWriteIndex(Seq(1.5).toDF("k"), "k", tmp())
+    }
+    assert(e4.getMessage.contains("integral keys only"), e4.getMessage)
+    // deliberate rebuild drops the history
+    Skew.cmsWriteIndex(Seq(7L).toDF("k"), "k", dir, overwrite = true)
+    assert(est() == Map(7L -> 1L, 9L -> 0L, 11L -> 0L, 13L -> 0L, 99L -> 0L))
+    // an index of EMPTY batches estimates 0 everywhere (the aggregate
+    // returns an EMPTY sketch for empty input, which merges as a no-op)
+    val dir2 = tmp()
+    Skew.cmsWriteIndex(b1.toDF("k").limit(0), "k", dir2)
+    assert(Skew.cmsEstimateIndex(spark, dir2, cands, "key")
+      .as[(Long, Long)].collect().forall(_._2 == 0L))
+    assert(Skew.cmsCompactIndex(spark, dir2) == 1L)
+    assert(Skew.cmsEstimateIndex(spark, dir2, cands, "key")
+      .as[(Long, Long)].collect().forall(_._2 == 0L))
+  }
 }
+
