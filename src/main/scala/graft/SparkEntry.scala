@@ -243,6 +243,52 @@ object SparkEntry {
       "ต่างทักทายกันอย่างเป็นกันเองกลิ่นอาหารลอยมาตามลมทำให้ทุกคนรู้สึก" +
       "อบอุ่นเหมือนครอบครัวเดียวกัน.</p>"
 
+  // ---- two-phase jusText fixture (late r16) ---------------------------
+  // An engineered block sequence where the context-sensitive revision
+  // CHANGES outcomes in both directions: a short caption between good
+  // paragraphs joins the content, a near-good next to a good anchor
+  // joins, the same classes inside a dead zone die. No single quotes.
+  private val HtmlJxNav =
+    "<div class=\"nav\"><ul><li><a href=\"/a\">Home page link</a></li>" +
+      "<li><a href=\"/b\">Another link here</a></li></ul></div>"
+  private val HtmlJxH1 = "<h1>a short headline</h1>"
+  private val HtmlJxGoodA =
+    "<p>it was the house that all of them had known from the days " +
+      "when they were young and it was there that we would go in the " +
+      "evening to talk of all that had been and of all that would be " +
+      "in the years that were still to come to us all.</p>"
+  private val HtmlJxCaption = "<p>a stone bridge at dawn</p>"
+  private val HtmlJxGoodB =
+    "<p>and it was in that house that the best of those days would " +
+      "come back to them all as if they had never gone away at all " +
+      "and there was not one of them who did not know that this was " +
+      "the reason they would all return every year.</p>"
+  private val HtmlJxNear =
+    "<p>and it was there that they would sit with all of them in the " +
+      "evening light.</p>"
+  private val HtmlJxBad =
+    "<p>granite towers marble fountains copper roofs cobbled lanes " +
+      "ancient bridges walled gardens stone cloisters painted chapels " +
+      "quiet courtyards narrow stairways weathered statues</p>"
+  private val HtmlJxNear2 =
+    "<p>but it was not the same for any of them after all of that " +
+      "had gone away from here.</p>"
+  private val HtmlJxTail = "<p>the end of the story</p>"
+
+  /** Two page variants so the window replay sees different sequences:
+    * odd docs the full engineered page, even docs a dead-zone-only page
+    * (nav + noun pile + trailing short — nothing survives).
+    */
+  private def htmlPagesJustext(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lit("en").as("lang"),
+      when(col("doc_id") % 2 === 1,
+          lit("<html><body>" + HtmlJxNav + HtmlJxH1 + HtmlJxGoodA +
+            HtmlJxCaption + HtmlJxGoodB + HtmlJxNear + HtmlJxBad +
+            HtmlJxNear2 + HtmlJxTail + "</body></html>"))
+        .otherwise(
+          lit("<html><body>" + HtmlJxNav + HtmlJxBad + HtmlJxTail +
+            "</body></html>")).as("html"))
+
   /** Static pages keyed by language for the SCRIPT-ROUTED extraction
     * gate, seven scripts: %7==1 → Russian, %7==2 → Greek, %7==3 → CJK,
     * %7==4 → Arabic, %7==5 → Hebrew, %7==6 → Thai, %7==0 → the English
@@ -2491,7 +2537,10 @@ object SparkEntry {
       "q_ret_margin_mine", "q_text_bm25_search", "q_web_pagerank",
       // late r16: builds + appends + compacts its CMS index per run
       // (the append-gate ruling); the benched CMS row is q_skew_cms_hot.
-      "q_skew_cms_indexed")
+      "q_skew_cms_indexed",
+      // late r16: re-runs the benched q_text_html_blocks chain plus
+      // metadata-scale windows (superset ruling).
+      "q_text_justext_smooth")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -3818,6 +3867,22 @@ object SparkEntry {
         .withColumn("n_content_chars", length(col("content")).cast("long"))
         .orderBy("doc_id")
     }),
+    // Two-phase jusText (late r16, Pomikálek 2011): the context-free
+    // four-way classification (two stopword thresholds, two length
+    // thresholds) plus the CONTEXT-SENSITIVE neighbor revision —
+    // short/near-good blocks reclassified by the nearest decided
+    // neighbors (simultaneous reading, window-expressible). The fixture
+    // page's revision changes outcomes in BOTH directions and every
+    // per-block feature, both classes, and the block text land in the
+    // hash. Verify-only: re-runs the benched q_text_html_blocks chain
+    // plus metadata-scale windows (superset ruling).
+    "q_text_justext_smooth" -> ((s, d) =>
+      TextAnalysis.justextBlocks(
+          htmlPagesJustext(t(s, d, "documents")),
+          Seq("doc_id"), "html", "lang")
+        .select("doc_id", "block_idx", "block_text", "n_chars", "n_words",
+          "n_stop", "link_chars", "n_raw_chars", "cf_class", "cs_class")
+        .orderBy("doc_id", "block_idx")),
     // Script-routed jusText (r16, VERDICT r15 §next-3): the Cyrillic
     // and Greek pages' survival is DECIDED by non-Latin stopwords
     // (n_kept_routed = n_kept_plain = 2 under the ru/el lists, 0 under
@@ -8119,6 +8184,88 @@ object SparkEntry {
         |  CAST(coalesce(len(string_agg(txt, chr(10) ORDER BY block_idx)
         |    FILTER (WHERE keep)), 0) AS BIGINT) AS n_content_chars
         |FROM kept GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+    // Two-phase jusText replayed: same page CASE, the four-way
+    // classification from the same thresholds/lists/codepoint ints, and
+    // the neighbor revision as IGNORE-NULLS window fills (late r16).
+    "q_text_justext_smooth" ->
+      s"""WITH jxpages AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 1
+        |      THEN '<html><body>' || '$HtmlJxNav' || '$HtmlJxH1'
+        |        || '$HtmlJxGoodA' || '$HtmlJxCaption' || '$HtmlJxGoodB'
+        |        || '$HtmlJxNear' || '$HtmlJxBad' || '$HtmlJxNear2'
+        |        || '$HtmlJxTail' || '</body></html>'
+        |      ELSE '<html><body>' || '$HtmlJxNav' || '$HtmlJxBad'
+        |        || '$HtmlJxTail' || '</body></html>' END AS html
+        |  FROM documents),
+        |${htmlSegCtes("jxpages", "doc_id", "html")},
+        |jx_blk AS (
+        |  SELECT doc_id, block_idx, txt, n_raw, link_chars, n_chars,
+        |    len(aw) AS n_words,
+        |    len(list_filter(aw, w -> w IN (${
+            sqlStopList(TextAnalysis.StopwordsWebEn)}))) AS n_stop,
+        |    len(txt) - len(regexp_replace(txt,
+        |      '${TextAnalysis.segFreeClassRe2}', '', 'g')) AS n_cjk,
+        |    len(txt) - len(regexp_replace(txt,
+        |      '${TextAnalysis.wordClassRe2}', '', 'g')) AS n_wl
+        |  FROM fw),
+        |jx_cf AS (
+        |  SELECT *, CASE
+        |    WHEN CAST(link_chars AS DOUBLE) / CAST(n_raw AS DOUBLE) > 0.2
+        |      THEN 'bad'
+        |    WHEN n_cjk > n_wl THEN (CASE WHEN n_chars >= 70 THEN 'good'
+        |      WHEN link_chars = 0 THEN 'short' ELSE 'bad' END)
+        |    WHEN n_chars < 70 THEN (CASE WHEN link_chars = 0 THEN 'short'
+        |      ELSE 'bad' END)
+        |    WHEN (CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) /
+        |        CAST(n_words AS DOUBLE) ELSE 0.0 END) >= 0.32
+        |      THEN (CASE WHEN n_chars > 200 THEN 'good' ELSE 'neargood' END)
+        |    WHEN (CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) /
+        |        CAST(n_words AS DOUBLE) ELSE 0.0 END) >= 0.30
+        |      THEN 'neargood'
+        |    ELSE 'bad' END AS cf_class
+        |  FROM jx_blk),
+        |jx_w AS (
+        |  SELECT *,
+        |    coalesce(last_value(CASE WHEN cf_class IN ('good', 'bad')
+        |        THEN cf_class END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY block_idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad')
+        |      AS prev_a,
+        |    coalesce(first_value(CASE WHEN cf_class IN ('good', 'bad')
+        |        THEN cf_class END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY block_idx
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad')
+        |      AS next_a,
+        |    coalesce(last_value(CASE WHEN cf_class <> 'short'
+        |        THEN cf_class END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY block_idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 'bad')
+        |      AS prev_n,
+        |    coalesce(first_value(CASE WHEN cf_class <> 'short'
+        |        THEN cf_class END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY block_idx
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 'bad')
+        |      AS next_n
+        |  FROM jx_cf)
+        |SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx,
+        |  txt AS block_text,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_stop AS BIGINT) AS n_stop,
+        |  CAST(link_chars AS BIGINT) AS link_chars,
+        |  CAST(n_raw AS BIGINT) AS n_raw_chars,
+        |  cf_class,
+        |  CASE WHEN cf_class = 'good' THEN 'good'
+        |       WHEN cf_class = 'bad' THEN 'bad'
+        |       WHEN cf_class = 'neargood' THEN
+        |         (CASE WHEN prev_a = 'good' OR next_a = 'good'
+        |            THEN 'good' ELSE 'bad' END)
+        |       WHEN prev_a = 'good' AND next_a = 'good' THEN 'good'
+        |       WHEN prev_a = 'bad' AND next_a = 'bad' THEN 'bad'
+        |       WHEN prev_n = 'neargood' OR next_n = 'neargood' THEN 'good'
+        |       ELSE 'bad' END AS cs_class
+        |FROM jx_w ORDER BY doc_id, block_idx""".stripMargin,
     // Script-routed extraction replayed: the same literal page CASE,
     // the routed/plain/English keeps from the shared stop lists and the
     // shared CJK/word-letter codepoint ints, extracted content in the

@@ -1692,4 +1692,145 @@ object TextAnalysis {
           col(textCol), col(langCol), minChars, maxLinkDensity,
           minStopDensity))
       .filter(col(textCol) =!= "")
+
+  // ---------------------------------------------------------------------
+  // Two-phase jusText (late r16): the published algorithm's second,
+  // CONTEXT-SENSITIVE phase (Pomikálek 2011, "Removing boilerplate and
+  // duplicate content from web corpora" — the jusText thesis). Phase 1
+  // classifies each block context-free into good / near-good / short /
+  // bad on the thesis' four-way rules (two stopword thresholds and two
+  // length thresholds, not the single keep cutoff of the r14 rule);
+  // phase 2 revises the undecidable classes by their NEIGHBORS — a
+  // short block between good paragraphs is a headline/caption and
+  // belongs to the content, the same block between boilerplate is
+  // boilerplate. Revision here is the SIMULTANEOUS reading: every
+  // neighbor lookup sees phase-1 classes (the reference implementation
+  // revises in document order, so backward lookups see revised classes
+  // — an inherently sequential rule; the simultaneous form is
+  // order-free, deterministic, and replays identically in window SQL,
+  // which is what makes it hash-oracle-able AND shuffle-parallel).
+  //
+  // Scale shape: one posexplode + windows PARTITIONED BY PAGE — a
+  // single shuffle keyed by the page id, no skew risk (blocks per page
+  // are bounded by page size), then an ordered group-back for the
+  // extracted text. The SegFree routing applies in phase 1 (a
+  // segmentation-free block of content length classifies good — no
+  // density signal exists for it).
+  // ---------------------------------------------------------------------
+
+  /** Per-block two-phase classification: explodes `htmlCol` into one
+    * row per visible block with the feature columns, the context-free
+    * `cf_class` ∈ good|neargood|short|bad, and the context-sensitive
+    * `cs_class` ∈ good|bad. Keys must identify a page; `langCol` keys
+    * the stopword list ([[StopwordsWeb]], English fallback).
+    *
+    * Phase-1 rules (thesis defaults: lengthLow 70, lengthHigh 200,
+    * stopwords low 0.30 / high 0.32, maxLinkDensity 0.2):
+    *   - link density > max → bad
+    *   - segmentation-free-dominant block → good at content length,
+    *     else the short/bad split below (the routed-rule treatment)
+    *   - length < lengthLow → short when the block has no link chars,
+    *     bad otherwise
+    *   - density ≥ high → good past lengthHigh, near-good under it
+    *   - density ≥ low → near-good;  else → bad
+    *
+    * Phase-2 (simultaneous): with anchors = nearest good/bad neighbor
+    * on each side (page edges count as bad) and near-neighbors =
+    * nearest good/bad/near-good neighbor on each side,
+    *   - near-good → good iff either anchor is good
+    *   - short → good when both anchors are good, bad when both are
+    *     bad, and on a mixed boundary it joins the content iff a
+    *     near-neighbor on either side is near-good (the thesis' mixed
+    *     rule: a near-good zone extends over the short block)
+    */
+  def justextBlocks(df: DataFrame, keys: Seq[String], htmlCol: String,
+                    langCol: String,
+                    lengthLow: Int = 70, lengthHigh: Int = 200,
+                    stopLow: Double = 0.30, stopHigh: Double = 0.32,
+                    maxLinkDensity: Double = 0.2): DataFrame = {
+    require(lengthLow >= 0 && lengthHigh >= lengthLow,
+      s"justextBlocks: need 0 <= lengthLow <= lengthHigh, got " +
+        s"$lengthLow/$lengthHigh")
+    require(stopLow >= 0 && stopHigh >= stopLow && stopHigh <= 1,
+      s"justextBlocks: need 0 <= stopLow <= stopHigh <= 1, got " +
+        s"$stopLow/$stopHigh")
+    val feats = htmlBlockFeaturesByLang(col(htmlCol), col(langCol),
+      minChars = lengthLow, maxLinkDensity = maxLinkDensity,
+      minStopDensity = stopLow) // the struct's own keep is unused here
+    val exploded = df
+      .select((keys.map(col) :+ col(langCol).as("__lang")) :+
+        posexplode(feats).as(Seq("block_idx", "__f")): _*)
+      .select(keys.map(col) :+ col("__lang") :+
+        col("block_idx").cast("long").as("block_idx") :+
+        col("__f.*"): _*)
+    val ld = col("link_chars").cast("double") /
+      col("n_raw_chars").cast("double")
+    val density = when(col("n_words") > 0L,
+      col("n_stop").cast("double") / col("n_words").cast("double"))
+      .otherwise(lit(0.0))
+    val nCjk = length(col("block_text")) -
+      length(regexp_replace(col("block_text"), segFreeClassJava, ""))
+    val nWl = length(col("block_text")) -
+      length(regexp_replace(col("block_text"), wordClassJava, ""))
+    val shortOrBad =
+      when(col("link_chars") === 0L, lit("short")).otherwise(lit("bad"))
+    val cf =
+      when(ld > maxLinkDensity, lit("bad"))
+        .when(nCjk > nWl,
+          when(col("n_chars") >= lengthLow, lit("good"))
+            .otherwise(shortOrBad))
+        .when(col("n_chars") < lengthLow, shortOrBad)
+        .when(density >= stopHigh,
+          when(col("n_chars") > lengthHigh, lit("good"))
+            .otherwise(lit("neargood")))
+        .when(density >= stopLow, lit("neargood"))
+        .otherwise(lit("bad"))
+    val classified = exploded.withColumn("cf_class", cf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("block_idx"))
+    val anchor = when(col("cf_class").isin("good", "bad"), col("cf_class"))
+    val near = when(col("cf_class") =!= "short", col("cf_class"))
+    val prevA = coalesce(last(anchor, ignoreNulls = true)
+      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit("bad"))
+    val nextA = coalesce(first(anchor, ignoreNulls = true)
+      .over(w.rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)), lit("bad"))
+    val prevN = coalesce(last(near, ignoreNulls = true)
+      .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit("bad"))
+    val nextN = coalesce(first(near, ignoreNulls = true)
+      .over(w.rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)), lit("bad"))
+    val cs =
+      when(col("cf_class") === "good", lit("good"))
+        .when(col("cf_class") === "bad", lit("bad"))
+        .when(col("cf_class") === "neargood",
+          when(prevA === "good" || nextA === "good", lit("good"))
+            .otherwise(lit("bad")))
+        .otherwise( // short
+          when(prevA === "good" && nextA === "good", lit("good"))
+            .when(prevA === "bad" && nextA === "bad", lit("bad"))
+            .when(prevN === "neargood" || nextN === "neargood", lit("good"))
+            .otherwise(lit("bad")))
+    classified.withColumn("cs_class", cs).drop("__lang")
+  }
+
+  /** The smoothed page rewrite: `textCol` becomes the `\n`-joined
+    * cs-good blocks; pages with nothing kept are dropped (the
+    * extractHtmlDf convention). One shuffle (the per-page window) plus
+    * the ordered group-back.
+    */
+  def extractHtmlDfSmoothed(df: DataFrame, keys: Seq[String],
+                            textCol: String, langCol: String,
+                            lengthLow: Int = 70, lengthHigh: Int = 200,
+                            stopLow: Double = 0.30, stopHigh: Double = 0.32,
+                            maxLinkDensity: Double = 0.2): DataFrame = {
+    val blocks = justextBlocks(df, keys, textCol, langCol, lengthLow,
+      lengthHigh, stopLow, stopHigh, maxLinkDensity)
+    val kept = blocks.filter(col("cs_class") === "good")
+      .groupBy(keys.map(col): _*)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("block_idx"), col("block_text")))),
+        s => s.getField("block_text")), "\n").as("__content"))
+    df.drop(textCol)
+      .join(kept, keys)
+      .withColumnRenamed("__content", textCol)
+  }
 }

@@ -908,6 +908,76 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("two-phase jusText: context-free four-way classes, then " +
+      "neighbor revision — shorts join good zones, neargood needs a " +
+      "good anchor, boilerplate zones stay dead") {
+    // late r16 (Pomikálek 2011, the thesis' two thresholds + revision):
+    // an engineered page where phase 2 CHANGES outcomes in both
+    // directions.
+    val nav = "<div class=\"nav\"><ul><li><a href=\"/a\">Home page link" +
+      "</a></li><li><a href=\"/b\">Another link here</a></li></ul></div>"
+    val h1 = "<h1>a short headline</h1>"                  // short, mixed edge -> bad
+    val goodA = "<p>it was the house that all of them had known from " +
+      "the days when they were young and it was there that we would go " +
+      "in the evening to talk of all that had been and of all that " +
+      "would be in the years that were still to come to us all.</p>"
+    val caption = "<p>a stone bridge at dawn</p>"         // short, good/good -> good
+    val goodB = "<p>and it was in that house that the best of those " +
+      "days would come back to them all as if they had never gone " +
+      "away at all and there was not one of them who did not know " +
+      "that this was the reason they would all return every year.</p>"
+    val nearGood = "<p>and it was there that they would sit with all " +
+      "of them in the evening light.</p>"                 // neargood, prev good -> good
+    val badP = "<p>granite towers marble fountains copper roofs " +
+      "cobbled lanes ancient bridges walled gardens stone cloisters " +
+      "painted chapels quiet courtyards narrow stairways weathered " +
+      "statues</p>"                                       // long, 0 stops -> bad
+    val nearGood2 = "<p>but it was not the same for any of them after " +
+      "all of that had gone away from here.</p>"          // neargood, bad/edge -> bad
+    val tail0 = "<p>the end of the story</p>"             // short, bad/edge -> bad
+    val page = "<html><body>" + nav + h1 + goodA + caption + goodB +
+      nearGood + badP + nearGood2 + tail0 + "</body></html>"
+    val blocks = TextAnalysis.justextBlocks(
+        Seq((1L, page, "en")).toDF("doc_id", "html", "lang"),
+        Seq("doc_id"), "html", "lang")
+      .orderBy("block_idx")
+      .select("block_idx", "cf_class", "cs_class")
+      .as[(Long, String, String)].collect().toSeq
+    val expected = Seq(
+      (0L, "bad", "bad"),          // nav link 1 (the li boundaries split it)
+      (1L, "bad", "bad"),          // nav link 2: link density
+      (2L, "short", "bad"),        // h1: mixed anchors, no neargood near
+      (3L, "good", "good"),        // goodA
+      (4L, "short", "good"),       // caption BETWEEN good zones
+      (5L, "good", "good"),        // goodB
+      (6L, "neargood", "good"),    // neargood with a good anchor
+      (7L, "bad", "bad"),          // noun pile
+      (8L, "neargood", "bad"),     // neargood between bad and the edge
+      (9L, "short", "bad"))        // trailing short in a dead zone
+    assert(blocks == expected, s"got:\n${blocks.mkString("\n")}")
+    // the smoothed rewrite keeps exactly the cs-good blocks in order
+    val out = TextAnalysis.extractHtmlDfSmoothed(
+        Seq((1L, page, "en")).toDF("doc_id", "html", "lang"),
+        Seq("doc_id"), "html", "lang")
+      .select("html").as[String].head()
+    assert(out.split("\n").length == 4, out)
+    assert(out.contains("a stone bridge at dawn") &&
+      out.contains("evening light") && !out.contains("granite towers") &&
+      !out.contains("end of the story"), out)
+    // a page with no short/neargood blocks: phase 2 is the identity
+    val plain = "<html><body>" + nav + goodA + badP + "</body></html>"
+    val same = TextAnalysis.justextBlocks(
+        Seq((1L, plain, "en")).toDF("doc_id", "html", "lang"),
+        Seq("doc_id"), "html", "lang")
+      .select("cf_class", "cs_class").as[(String, String)].collect()
+    assert(same.forall { case (a, b) => a == b }, same.toSeq.toString)
+    // pages drop entirely when nothing survives (the extractHtmlDf rule)
+    val dead = TextAnalysis.extractHtmlDfSmoothed(
+        Seq((9L, "<p>short</p>", "en")).toDF("doc_id", "html", "lang"),
+        Seq("doc_id"), "html", "lang")
+    assert(dead.count() == 0)
+  }
+
   test("accent-aware stop density: accented function words DECIDE " +
       "survival; native == column on accented pages") {
     // r15 (VERDICT r14 §next-1): the r14 tokenizer was [a-z]+ so "não",
