@@ -149,6 +149,32 @@ object CorpusPipeline {
                                maxLinkDensity: Double = 0.2,
                                minStopDensity: Double = 0.2) extends Step
 
+  /** [[ExtractHtml]] under the SCRIPT-ROUTED keep rule (r16,
+    * [[graft.operators.TextAnalysis.extractHtmlDfRouted]]): the
+    * stopword list keyed by `langCol`, segmentation-free-dominant
+    * blocks (CJK/Thai/Lao/Khmer/Myanmar) on the link-density fallback.
+    * The mixed-script crawl's front door.
+    */
+  final case class ExtractHtmlRouted(langCol: String,
+                                     minChars: Int = 70,
+                                     maxLinkDensity: Double = 0.2,
+                                     minStopDensity: Double = 0.2)
+    extends Step
+
+  /** Two-phase jusText extraction (late r16,
+    * [[graft.operators.TextAnalysis.extractHtmlDfSmoothed]]): four-way
+    * context-free classes + the context-sensitive neighbor revision, so
+    * headlines/captions inside good zones survive. One page-keyed
+    * shuffle (the window), unlike the map-only steps above.
+    */
+  final case class ExtractHtmlSmoothed(langCol: String,
+                                       lengthLow: Int = 70,
+                                       lengthHigh: Int = 200,
+                                       stopLow: Double = 0.30,
+                                       stopHigh: Double = 0.32,
+                                       maxLinkDensity: Double = 0.2)
+    extends Step
+
   /** C4 line-level cleaning (late r10,
     * [[graft.operators.TextAnalysis.filterByC4]]): drops pages failing
     * the page rules and REWRITES `textCol` to the line-cleaned text —
@@ -413,6 +439,13 @@ object CorpusPipeline {
         case ExtractHtml(minChars, maxLink, minStop) =>
           graft.operators.TextAnalysis.extractHtmlDf(d, textCol, minChars,
             maxLink, minStop)
+        case ExtractHtmlRouted(langCol, minChars, maxLink, minStop) =>
+          graft.operators.TextAnalysis.extractHtmlDfRouted(d, textCol,
+            langCol, minChars, maxLink, minStop)
+        case ExtractHtmlSmoothed(langCol, lenLo, lenHi, stopLo, stopHi,
+            maxLink) =>
+          graft.operators.TextAnalysis.extractHtmlDfSmoothed(d, Seq(idCol),
+            textCol, langCol, lenLo, lenHi, stopLo, stopHi, maxLink)
         case C4Clean =>
           graft.operators.TextAnalysis.filterByC4(d, textCol)
         case DropBlockedTerms(terms) =>

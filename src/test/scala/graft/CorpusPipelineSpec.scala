@@ -104,6 +104,44 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.head._3 == "w") // schema preserved through the rewrite
   }
 
+  test("ExtractHtmlRouted and ExtractHtmlSmoothed recipe steps compose " +
+      "like ExtractHtml, keeping schema and downstream stages") {
+    // routed: a Russian page (Cyrillic list decides) and a CJK page
+    // (fallback) both survive the recipe front door; smoothed: the
+    // caption between good paragraphs survives phase 2
+    val ru = "<body><p>в доме было тихо и тепло когда мы пришли с реки " +
+      "и все сидели у окна а потом пили чай с медом и хлебом и говорили " +
+      "о том как было летом в деревне у бабушки за лесом.</p>" +
+      "<div><a href=\"/a\">More links here</a></div></body>"
+    val zh = "<body><p>这个地方的历史可以追溯到很多年以前那时候这里还是" +
+      "一个小村庄人们在田里种地在河边打鱼生活虽然简单但是大家都很满足" +
+      "后来城市慢慢发展起来道路变宽了房子变高了但是老人们还记得从前的" +
+      "样子。</p></body>"
+    val routed = CorpusPipeline.run(
+        Seq((1L, ru, "ru", "w"), (2L, zh, "zh", "w"),
+          (3L, ru, "en", "w")) // en list kills the Cyrillic page
+          .toDF("doc_id", "text", "lang", "source"),
+        "doc_id", "text",
+        Seq(CorpusPipeline.ExtractHtmlRouted("lang")))
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    assert(routed.keySet == Set(1L, 2L), routed.toString)
+    assert(routed(1L) == "w") // schema preserved
+    val good = "<p>it was the house that all of them had known from " +
+      "the days when they were young and it was there that we would " +
+      "go in the evening to talk of all that had been and of all that " +
+      "would be in the years that were still to come to us all.</p>"
+    val page = "<body>" + good + "<p>a stone bridge at dawn</p>" + good +
+      "</body>"
+    val smoothed = CorpusPipeline.run(
+        Seq((1L, page, "en", "w")).toDF("doc_id", "text", "lang", "source"),
+        "doc_id", "text",
+        Seq(CorpusPipeline.ExtractHtmlSmoothed("lang")))
+      .select("text").as[String].head()
+    assert(smoothed.contains("a stone bridge at dawn"),
+      s"phase 2 must keep the caption between good zones: $smoothed")
+    assert(smoothed.split("\n").length == 3)
+  }
+
   test("fineWebRecipe: url dup, language, near-copy and echoed spans all handled") {
     def salad(doc: Int, a: Int, b: Int) =
       (a to b).map(i => s"w${doc}x$i").mkString(" ")
