@@ -898,6 +898,38 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
+  /** The exact duplicate-group closure (ngram-Jaccard pairs → recursive
+    * reachability → min label) — shared verbatim by the scratch
+    * components query and (late r16) the incremental index gate.
+    */
+  private def dedupGroupsOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS id,
+      |    unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> x <> ''))) AS w
+      |  FROM documents WHERE doc_id < 120),
+      |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
+      |inter AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      |  FROM toks a JOIN toks b ON a.w = b.w AND a.id < b.id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM (
+      |    SELECT id_a, id_b,
+      |      CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
+      |    FROM inter JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id)
+      |  WHERE jaccard >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  WITH RECURSIVE r(id, label) AS (
+      |    SELECT DISTINCT src, src FROM edges
+      |    UNION
+      |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
+      |  SELECT * FROM r)
+      |SELECT id, min(label) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   private def pageRankOracleSql(iterations: Int): String =
     s"""WITH $linkChainCtes,
        |${pageRankCtes(iterations)}
@@ -2540,7 +2572,10 @@ object SparkEntry {
       "q_skew_cms_indexed",
       // late r16: re-runs the benched q_text_html_blocks chain plus
       // metadata-scale windows (superset ruling).
-      "q_text_justext_smooth")
+      "q_text_justext_smooth",
+      // late r16: bounded-cartesian truth generator + index-per-run
+      // (the q_dedup_groups ruling applied to the incremental twin).
+      "q_dedup_groups_indexed")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -3246,6 +3281,23 @@ object SparkEntry {
       Dedup.duplicateGroups(
         Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
           maxId = 120, minJaccard = 0.5)).orderBy("id")),
+    // Incremental component maintenance (late r16): the SAME pair set
+    // split into two arbitrary batches through the full index lifecycle
+    // — build, O(batch) contracted append (old components merge via
+    // relabel rows, never a corpus-scale recompute), compact, resolve.
+    // Shares q_dedup_groups' recursive-closure oracle outright, so the
+    // hash IS the increment == rebuild gate. Verify-only (the bounded
+    // cartesian truth generator + index-per-run, the q_dedup_groups
+    // ruling).
+    "q_dedup_groups_indexed" -> ((s, d) => {
+      val path = tempDirCleaned("graft-ccidx")
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id",
+        "text", maxId = 120, minJaccard = 0.5)
+      Dedup.componentsWriteIndex(pairs.filter(col("id_a") % 2 === 0), path)
+      Dedup.componentsAppendIndex(pairs.filter(col("id_a") % 2 =!= 0), path)
+      Dedup.componentsCompactIndex(s, path)
+      Dedup.componentsIndexedGroups(s, path).orderBy("id")
+    }),
     "q_dedup_minhash_candidates" -> ((s, d) =>
       Dedup.minHashCandidates(t(s, d, "documents"), "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.3)
@@ -7392,33 +7444,10 @@ object SparkEntry {
         |    CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
         |  FROM inter JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id)
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
-    "q_dedup_groups" ->
-      """WITH toks AS (
-        |  SELECT doc_id AS id,
-        |    unnest(list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
-        |      x -> x <> ''))) AS w
-        |  FROM documents WHERE doc_id < 120),
-        |sizes AS (SELECT id, count(*) AS n FROM toks GROUP BY id),
-        |inter AS (
-        |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
-        |  FROM toks a JOIN toks b ON a.w = b.w AND a.id < b.id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT id_a, id_b,
-        |      CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE) AS jaccard
-        |    FROM inter JOIN sizes na ON id_a = na.id JOIN sizes nb ON id_b = nb.id)
-        |  WHERE jaccard >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  WITH RECURSIVE r(id, label) AS (
-        |    SELECT DISTINCT src, src FROM edges
-        |    UNION
-        |    SELECT e.dst, r.label FROM r JOIN edges e ON e.src = r.id)
-        |  SELECT * FROM r)
-        |SELECT id, min(label) AS group_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // the incremental index shares the scratch closure outright: any
+    // batch split must resolve to the identical min-label groups
+    "q_dedup_groups_indexed" -> dedupGroupsOracleSql,
+    "q_dedup_groups" -> dedupGroupsOracleSql,
     // Exact counts + the two pinned booleans (the bloom-gate convention:
     // the oracle asserts the invariants as constants; a Spark-side false
     // hash-mismatches the row).

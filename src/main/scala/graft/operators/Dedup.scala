@@ -640,6 +640,185 @@ object Dedup {
     (labels, iter)
   }
 
+  // ---------------------------------------------------------------------
+  // Incremental component maintenance (late r16) — the warm-start story
+  // for the DEDUP-GROUP family: at 100 TB every ingest batch appends
+  // docs and candidate pairs, and recomputing connected components from
+  // scratch per batch is O(corpus). The increment is EXACT and
+  // O(batch) by contraction: the stored labels are a converged CC, so
+  // each component is one supernode (its min-id root); mapping a new
+  // batch's pair endpoints through the stored labels yields a TINY
+  // contracted edge list (old roots + new ids), whose CC — solved by
+  // the ordinary [[duplicateGroups]] machinery — tells exactly which
+  // old components merge and where new ids land. Min labels compose:
+  // old roots are their components' minima, so the contracted minimum
+  // IS the merged component's global minimum. Unlike PageRank's
+  // tolerance stop, there is no approximation anywhere.
+  //
+  // Storage follows the additive-index conventions: `path/labels`
+  // appends one row per NEW id (never rewritten), `path/relabels`
+  // appends one (old_root, new_root) row per MERGE EVENT (bounded by
+  // the number of components ever merged, not by corpus size), and a
+  // meta sidecar pins the id type. Lookup composes base labels with the
+  // driver-resolved relabel chains (a broadcast join — the relabel
+  // table is merge-event-scale); [[componentsCompactIndex]] folds the
+  // chains back into `labels` with the staged swap. Single-writer, like
+  // every index-maintenance path here.
+  // ---------------------------------------------------------------------
+
+  /** Build the component index at `path` from an initial pair set. */
+  def componentsWriteIndex(pairs: DataFrame, path: String,
+                           maxIter: Int = 20,
+                           localEdgeLimit: Long = 1L << 20,
+                           overwrite: Boolean = false): Unit = {
+    val spark = pairs.sparkSession
+    require(overwrite || !graft.pipeline.Sinks.exists(spark, s"$path/meta"),
+      s"componentsWriteIndex: an index already exists at $path — use " +
+        "componentsAppendIndex for new batches, or pass overwrite = true")
+    val labels = duplicateGroups(pairs, maxIter, localEdgeLimit)
+    labels.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/labels")
+    import spark.implicits._
+    Seq(Tuple1(labels.schema("id").dataType.typeName)).toDF("id_type")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/meta")
+  }
+
+  private def componentsMeta(spark: org.apache.spark.sql.SparkSession,
+                             path: String, what: String): String = {
+    val rows =
+      try spark.read.parquet(s"$path/meta").select("id_type").collect()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"$what: $path is not a component index (missing meta sidecar): " +
+            e.getMessage)
+      }
+    require(rows.length == 1, s"$what: $path has a malformed meta sidecar")
+    rows.head.getString(0)
+  }
+
+  /** The driver-resolved relabel map: merge-event rows with their chains
+    * followed to the final root (labels only ever decrease, so chains
+    * are acyclic and resolution terminates). Bounded by merge events —
+    * require-guarded, with compaction as the documented relief valve.
+    */
+  private def resolvedRelabels(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Map[Any, Any] = {
+    if (!graft.pipeline.Sinks.exists(spark, s"$path/relabels"))
+      return Map.empty
+    val rows = spark.read.parquet(s"$path/relabels")
+      .select("old_root", "new_root").limit((1 << 22) + 1).collect()
+    require(rows.length <= (1 << 22),
+      "component index: more than 4M relabel rows — run " +
+        "componentsCompactIndex before further appends")
+    val m = scala.collection.mutable.HashMap.empty[Any, Any]
+    rows.foreach(r => m(r.get(0)) = r.get(1))
+    def resolve(x: Any): Any = {
+      var r = x
+      while (m.contains(r)) r = m(r)
+      r
+    }
+    m.keys.toSeq.map(k => k -> resolve(k)).toMap
+  }
+
+  private def relabelDf(spark: org.apache.spark.sql.SparkSession,
+                        resolved: Map[Any, Any], idType: String): DataFrame = {
+    import spark.implicits._
+    if (idType == "string")
+      resolved.toSeq.map { case (a, b) =>
+        (a.asInstanceOf[String], b.asInstanceOf[String]) }
+        .toDF("__from", "__to")
+    else
+      resolved.toSeq.map { case (a, b) =>
+        (a.asInstanceOf[Long], b.asInstanceOf[Long]) }
+        .toDF("__from", "__to")
+  }
+
+  /** Fold one batch of new candidate pairs into the index — O(batch):
+    * contract the pair endpoints through the current labels, solve the
+    * contracted CC, append labels for NEW ids and relabel rows for
+    * merged old roots. Returns (newIds, mergeEvents).
+    */
+  def componentsAppendIndex(newPairs: DataFrame, path: String,
+                            maxIter: Int = 20,
+                            localEdgeLimit: Long = 1L << 20): (Long, Long) = {
+    val spark = newPairs.sparkSession
+    val idType = componentsMeta(spark, path, "componentsAppendIndex")
+    val base = spark.read.parquet(s"$path/labels")
+    val rl = relabelDf(spark, resolvedRelabels(spark, path), idType)
+    def effective(side: String): DataFrame = newPairs.select(col(side).as("id"))
+      .distinct()
+      .join(base, Seq("id"), "left")
+      .select(col("id"), coalesce(col("group_id"), col("id")).as("__g0"))
+      .join(broadcast(rl), col("__g0") === col("__from"), "left")
+      .select(col("id").as(side),
+        coalesce(col("__to"), col("__g0")).as(s"__eff_$side"))
+    val contracted = newPairs
+      .join(effective("id_a"), Seq("id_a"))
+      .join(effective("id_b"), Seq("id_b"))
+      .select(col("__eff_id_a").as("id_a"), col("__eff_id_b").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val cc =
+      if (contracted.isEmpty) base.limit(0)
+      else duplicateGroups(contracted, maxIter, localEdgeLimit)
+        .localCheckpoint(true)
+    // new ids: pair endpoints absent from the base labels — their final
+    // label is the contracted CC's answer (or their own effective label
+    // when the batch connected them only to themselves)
+    val ends = newPairs.select(col("id_a").as("id"))
+      .unionByName(newPairs.select(col("id_b").as("id"))).distinct()
+    val newIds = ends.join(base.select("id"), Seq("id"), "left_anti")
+      .join(cc.select(col("id"), col("group_id").as("__cc")), Seq("id"),
+        "left")
+      .select(col("id"),
+        coalesce(col("__cc"), col("id")).as("group_id"))
+      .localCheckpoint(true)
+    // merge events: contracted OLD roots whose CC label moved
+    val oldRoots = base.select(col("group_id").as("id")).distinct()
+      .join(broadcast(rl), col("id") === col("__from"), "left")
+      .select(coalesce(col("__to"), col("id")).as("id")).distinct()
+    val merges = cc.join(oldRoots, Seq("id"), "left_semi")
+      .filter(col("id") =!= col("group_id"))
+      .select(col("id").as("old_root"), col("group_id").as("new_root"))
+      .localCheckpoint(true)
+    val nNew = newIds.count()
+    val nMerge = merges.count()
+    if (nNew > 0)
+      newIds.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$path/labels")
+    if (nMerge > 0)
+      merges.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$path/relabels")
+    (nNew, nMerge)
+  }
+
+  /** The fully-resolved (id, group_id) view: base labels composed with
+    * the resolved relabel chains — one broadcast join, no iteration.
+    */
+  def componentsIndexedGroups(spark: org.apache.spark.sql.SparkSession,
+                              path: String): DataFrame = {
+    val idType = componentsMeta(spark, path, "componentsIndexedGroups")
+    val base = spark.read.parquet(s"$path/labels")
+    val rl = relabelDf(spark, resolvedRelabels(spark, path), idType)
+    base.join(broadcast(rl), col("group_id") === col("__from"), "left")
+      .select(col("id"), coalesce(col("__to"), col("group_id"))
+        .as("group_id"))
+  }
+
+  /** Fold the relabel chains into the base labels (staged swap; the
+    * standing single-writer compaction contract). Resolved groups are
+    * unchanged by construction. Returns the label row count.
+    */
+  def componentsCompactIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Long = {
+    componentsMeta(spark, path, "componentsCompactIndex")
+    val resolved = componentsIndexedGroups(spark, path)
+    val n = graft.pipeline.Sinks.overwriteViaStaging(resolved,
+      s"$path/labels")
+    graft.pipeline.Sinks.drop(spark, s"$path/relabels")
+    n
+  }
+
   /** End-to-end near-duplicate removal — the operation a training-data
     * pipeline actually runs: MinHash+LSH candidates → exact-Jaccard
     * verification → connected components → keep the min-id survivor per

@@ -720,4 +720,69 @@ class DedupSpec extends SparkSpec {
       Dedup.dedupSubstrings(docs, "doc_id", "text", minTokens = 1)
     }
   }
+  test("component index: append == rebuild on every batch split; merges " +
+      "relabel old roots; compaction folds; property over random graphs") {
+    import graft.operators.Dedup
+    def tmp() = java.nio.file.Files
+      .createTempDirectory("graft-ccidx").toString
+    def pairsDf(ps: Seq[(Long, Long)]) = ps.toDF("id_a", "id_b")
+    def groupsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    // hand case: batch 1 builds {1,2,3} and {10,11}; batch 2 adds a NEW
+    // chain {20,21} and MERGES the two old components through 3-10
+    val dir = tmp()
+    Dedup.componentsWriteIndex(
+      pairsDf(Seq((1L, 2L), (2L, 3L), (10L, 11L))), dir)
+    assert(groupsOf(Dedup.componentsIndexedGroups(spark, dir)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val (n1, m1) = Dedup.componentsAppendIndex(
+      pairsDf(Seq((20L, 21L), (3L, 10L))), dir)
+    assert(n1 == 2 && m1 == 1, s"($n1, $m1)") // 2 new ids, 1 root merge
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L)
+    assert(groupsOf(Dedup.componentsIndexedGroups(spark, dir)) == expected)
+    // a second merge CHAINS the relabels: {20,21} joins via 21-11
+    val (n2, m2) = Dedup.componentsAppendIndex(pairsDf(Seq((21L, 11L))), dir)
+    assert(n2 == 0 && m2 == 1, s"($n2, $m2)")
+    val allOne = (Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L)).map(_ -> 1L).toMap
+    assert(groupsOf(Dedup.componentsIndexedGroups(spark, dir)) == allOne)
+    // compaction folds the chains and clears relabels; groups unchanged
+    assert(Dedup.componentsCompactIndex(spark, dir) == 7L)
+    assert(!graft.pipeline.Sinks.exists(spark, s"$dir/relabels"))
+    assert(groupsOf(Dedup.componentsIndexedGroups(spark, dir)) == allOne)
+    // appends continue after compaction
+    Dedup.componentsAppendIndex(pairsDf(Seq((30L, 31L))), dir)
+    assert(groupsOf(Dedup.componentsIndexedGroups(spark, dir))(30L) == 30L)
+    // guards
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.componentsWriteIndex(pairsDf(Seq((1L, 2L))), dir)
+    }
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.componentsIndexedGroups(spark, tmp())
+    }
+    assert(e2.getMessage.contains("not a component index"), e2.getMessage)
+    // property: on random graphs, ANY batch split of the edges resolves
+    // to EXACTLY the scratch duplicateGroups labels
+    val rnd = new scala.util.Random(1613L)
+    for (trial <- 1 to 4) {
+      val nNodes = 12 + rnd.nextInt(20)
+      val edges = (0 until (8 + rnd.nextInt(20))).map { _ =>
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val cut = 1 + rnd.nextInt(edges.length)
+        val (b1, b2) = edges.splitAt(cut)
+        val d2 = tmp()
+        Dedup.componentsWriteIndex(pairsDf(b1), d2)
+        if (b2.nonEmpty) Dedup.componentsAppendIndex(pairsDf(b2), d2)
+        if (rnd.nextBoolean()) Dedup.componentsCompactIndex(spark, d2)
+        val inc = groupsOf(Dedup.componentsIndexedGroups(spark, d2))
+        val scratch = groupsOf(Dedup.duplicateGroups(pairsDf(edges)))
+        assert(inc == scratch,
+          s"trial $trial split $cut: inc $inc vs $scratch edges $edges")
+      }
+    }
+  }
 }
+
