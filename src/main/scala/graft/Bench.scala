@@ -51,14 +51,16 @@ object Bench {
     once(); Seq(once(), once(), once()).min
   }
 
-  /** Disk-write probe: MB/s for one 64 MiB fdatasync'd write to the
-    * tmp dir Spark spills/shuffles into. The other dimension sandbox
-    * eras degrade on (the IO-heavy rows — JDBC bootstrap, shard
-    * export, warc.gz — inflate 2-3× while CPU rows hold); recorded in
-    * the artifact, and the guard can wait on it like the CPU probe.
+  /** Disk-write probe: MB/s for one `mib`-MiB fdatasync'd write to the
+    * tmp dir Spark spills/shuffles into. The dimension the sandbox eras
+    * degrade on (the IO-heavy rows — JDBC bootstrap, shard export,
+    * warc.gz — inflate 2-3× while CPU rows hold); recorded in the
+    * artifact, gating the launch window AND re-checked between rows
+    * (r17 — the r16 official sweep started at 456 MB/s and ENDED at
+    * 14.8, a mid-sweep collapse the launch-only guard cannot see).
     * -1 when the write fails.
     */
-  private def diskProbeMBps(): Double = {
+  private def diskProbeMBps(mib: Int = 64): Double = {
     val p = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-bench-diskprobe-${java.util.UUID.randomUUID()}")
@@ -70,14 +72,21 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         var i = 0
-        while (i < 64) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+        while (i < mib) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
         ch.force(false)
       } finally ch.close()
-      64.0 / ((System.nanoTime() - t0) / 1e9)
+      mib.toDouble / ((System.nanoTime() - t0) / 1e9)
     } catch { case scala.util.control.NonFatal(_) => -1.0 }
     finally { try java.nio.file.Files.deleteIfExists(p) catch {
       case scala.util.control.NonFatal(_) => () } }
   }
+
+  /** One query's measurement: the untimed warm-up wall, every run's wall
+    * time (NaN = threw), the planned run count, and the last failure
+    * message. One shape for the main sweep and the healing re-runs.
+    */
+  private final case class Measured(warm: Double, times: Seq[Double],
+                                    planned: Int, lastError: Option[String])
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,6 +106,21 @@ object Bench {
     // the shuffle/checkpoint/JDBC rows inflated 2-3×)
     val diskMinMBps =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DISK_MIN_MBPS", "200").toDouble
+    // Self-healing sweep (r17, VERDICT r16 §next-1): the launch guard
+    // diagnoses but cannot defend against a MID-SWEEP collapse (two
+    // consecutive official records were disk-contaminated). So: re-probe
+    // the disk every `probeEvery` rows; rows timed inside a probe
+    // interval whose EITHER bound read under diskMinMBps are DIRTY; when
+    // a mid-sweep probe reads dirty, pause (bounded) for recovery before
+    // contaminating further rows; after the sweep, re-measure the dirty
+    // rows in a recovered window (bounded attempts) and pool their runs
+    // through the robust estimator. Both measurements land in
+    // bench_detail.json; the JSON line carries dirty/healed counts.
+    val probeEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROBE_EVERY", "4").toInt
+    val midWaitCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_MID_WAIT", "240").toInt
+    val healWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAL_WAIT", "300").toInt
+    val healAttempts =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAL_ATTEMPTS", "2").toInt
     val loadAtLaunch = loadAvg()
     val probeAtLaunch = cpuProbeMs()
     val diskAtLaunch = diskProbeMBps()
@@ -141,15 +165,21 @@ object Bench {
     val benched = (SparkEntry.queries -- SparkEntry.verifyOnlyQueries)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .toSeq.sortBy(_._1)
-    // Median of N runs per query: run-to-run noise on this box is ±15%,
-    // which used to swamp per-query regressions; the median also absorbs
-    // one-time costs a query's first run pays (index build, cache fill).
-    // A run that THROWS records NaN, not its (fast) failure wall time —
-    // the old form timed the exception path as if it were a result, so a
-    // broken query published a bogus low median. NaN sorts last, so the
-    // median is over successful runs; a majority-failing query reports -1
-    // and lands in `failed`.
-    val results = benched.map { case (name, fn) =>
+
+    /** Median of N runs per query: run-to-run noise on this box is ±15%,
+      * which used to swamp per-query regressions; the median also absorbs
+      * one-time costs a query's first run pays (index build, cache fill).
+      * A run that THROWS records NaN, not its (fast) failure wall time —
+      * the old form timed the exception path as if it were a result, so a
+      * broken query published a bogus low median. NaN sorts last, so the
+      * median is over successful runs; a majority-failing query reports -1
+      * and lands in `failed`. One shape for the sweep and the healing
+      * re-runs (r17) so a healed row is measured exactly like a first-pass
+      * one: cache clear, untimed warm-up, spread-triggered extra runs.
+      */
+    def measure(name: String,
+                fn: (org.apache.spark.sql.SparkSession, String) =>
+                  org.apache.spark.sql.DataFrame): Measured = {
       // Cache hygiene between queries: operator-internal persists (LSH
       // signatures, candidate pairs, union-find edges) are leaked by design
       // within a query but must not ACCUMULATE across 80+ queries — by r6
@@ -158,20 +188,6 @@ object Bench {
       // merge fixtures; their accessor re-persists on next touch and the
       // median absorbs that first-run rebuild.
       spark.catalog.clearCache()
-      // One UNTIMED warm-up execution after the cache clear (r7 verdict
-      // §next-1): clearCache() evicts operator persists AND drops the page
-      // cache's leverage over the fixture scan, so run 1 of the timed set
-      // used to pay a cold parquet read — on a loaded driver sandbox that
-      // inflated 16 scan-bound queries 4–8× (BENCH_r07 66.67 s vs 37.5 s
-      // local, same code) and the median couldn't absorb it at runs=3. The
-      // warm-up pays the cold read + operator-persist rebuild off the
-      // clock; the timed runs then measure the engine, not the disk. Its
-      // wall time is still recorded in bench_detail.json (`warm` field) so
-      // the cold-read share per query stays diagnosable.
-      // Last failure message per query, persisted into bench_detail.json
-      // (VERDICT r8 §missing-1: null runs with the message only on a
-      // vanished stderr made the streaming break undiagnosable from the
-      // committed record).
       var lastError: Option[String] = None
       def recordError(e: Throwable): Unit = lastError = Some(
         s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}")
@@ -180,23 +196,25 @@ object Bench {
       // growing monotonically mid-query on a loaded sandbox, flat locally;
       // VERDICT r8 §next-6). A median of 5 keeps one contended stretch
       // from owning the reported value; the CPU-bound codecs and the
-      // index-building ANN probes are the rows that showed it. r9 showed
-      // the same signature on ^q_dedup (q_dedup_groups 3.60→5.27→5.11 s
-      // driver, flat 0.86 s locally; VERDICT r9 §next-2), so that family
-      // joins the list — AND the trigger is now also data-driven: any
-      // query whose base runs spread by more than 2× (max/min over
-      // successful runs) earns the 2 extra runs, so a family that first
-      // shows contention in round N+1 doesn't need a round-N+2 regex edit.
-      // r13 additions (VERDICT r12 §next-5): the LSH-banded split row and
-      // the two composed recipe rows are the heaviest plans in the suite
-      // and showed the same contention signature on the driver sandbox
-      // (q_cur_split_noleak_prod 3.40–11.85 s driver vs flat 2.6–2.9 s
-      // local) — median-of-5 keeps one contended stretch from owning the
-      // headline's top row.
+      // index-building ANN probes are the rows that showed it, r9 added
+      // ^q_dedup, r13 the LSH-banded split row and the two composed recipe
+      // rows — AND the trigger is also data-driven: any query whose base
+      // runs spread by more than 2× (max/min over successful runs) earns
+      // the 2 extra runs, so a family that first shows contention in round
+      // N+1 doesn't need a round-N+2 regex edit.
       val familyRuns =
         if ("^q_(mm_|sim_iv|dedup|cur_split_noleak|pipeline_(fineweb|crawl)_recipe)"
           .r.findFirstIn(name).isDefined) runs + 2
         else runs
+      // One UNTIMED warm-up execution after the cache clear (r7 verdict
+      // §next-1): clearCache() evicts operator persists AND drops the page
+      // cache's leverage over the fixture scan, so run 1 of the timed set
+      // used to pay a cold parquet read — on a loaded driver sandbox that
+      // inflated 16 scan-bound queries 4–8× (BENCH_r07 66.67 s vs 37.5 s
+      // local, same code) and the median couldn't absorb it at runs=3. The
+      // warm-up pays the cold read + operator-persist rebuild off the
+      // clock; its wall time is still recorded in bench_detail.json
+      // (`warm` field) so the cold-read share per query stays diagnosable.
       val warmT0 = System.nanoTime()
       val warm =
         try { fn(spark, sfDir).count(); (System.nanoTime() - warmT0) / 1e9 }
@@ -223,20 +241,114 @@ object Bench {
         okBase.max / okBase.min > 2.0
       val nRuns =
         if (spreadContended && familyRuns == runs) runs + 2 else familyRuns
-      val times = baseTimes ++
-        ((familyRuns + 1) to nRuns).map(timedRun)
-      // Contention-robust estimator (see robustMedian): the r10 spread
-      // rule DETECTED contention, then medianed over the contaminated
-      // series anyway. The reported value is the median of the
-      // engine-time runs (within 2× of this query's fastest success);
-      // the raw all-runs median still lands in bench_detail.json
-      // (`median_all`) so the contention volume itself stays observable.
-      // Median-over-successes only: a query reports -1 when half or more
-      // of the planned runs failed (NaN sorts last, IEEE total order).
-      val (median, rawMedian) = robustMedian(times, nRuns)
-      (name, median, rawMedian, warm, times, lastError)
+      val times = baseTimes ++ ((familyRuns + 1) to nRuns).map(timedRun)
+      Measured(warm, times, nRuns, lastError)
     }
-    val failed = results.collect { case (k, v, _, _, _, _) if v < 0 => "\"" + k + "\"" }
+
+    // ---- main sweep, with inter-row disk probes -------------------------
+    // Segment s spans the rows between probe s and probe s+1; a segment is
+    // DIRTY when either bounding probe read under diskMinMBps (a probe of
+    // -1 = unreadable is treated as clean: it carries no signal). When a
+    // mid-sweep probe reads dirty, wait (bounded, pooled cap) for recovery
+    // so the NEXT segment isn't contaminated too.
+    def dirtyProbe(p: Double): Boolean = p >= 0 && p < diskMinMBps
+    val segStartP = scala.collection.mutable.Map(0 -> diskAtStart)
+    val segEndP = scala.collection.mutable.Map.empty[Int, Double]
+    var midWaited = 0
+    var seg = 0
+    val sweep = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Measured, Int)]
+    benched.zipWithIndex.foreach { case ((name, fn), i) =>
+      sweep += ((name, measure(name, fn), seg))
+      if ((i + 1) % probeEvery == 0 || i == benched.length - 1) {
+        var p = diskProbeMBps()
+        segEndP(seg) = p
+        while (dirtyProbe(p) && midWaited < midWaitCap) {
+          System.err.println(f"[bench] mid-sweep disk probe $p%.0f MB/s " +
+            f"(min $diskMinMBps%.0f) after row ${i + 1}/${benched.length} — " +
+            s"pausing ($midWaited/${midWaitCap}s)")
+          Thread.sleep(15000)
+          midWaited += 15
+          p = diskProbeMBps()
+        }
+        seg += 1
+        segStartP(seg) = p
+      }
+    }
+    def segDirty(s: Int): Boolean =
+      dirtyProbe(segStartP.getOrElse(s, -1.0)) ||
+        dirtyProbe(segEndP.getOrElse(s, -1.0))
+
+    // ---- healing pass: re-measure dirty rows in a recovered window ------
+    // A healed row's runs POOL with the first pass through robustMedian:
+    // the estimator already prefers the engine-time (fastest-cluster) runs,
+    // so a clean re-measurement dominates an inflated first pass, while a
+    // first pass that was actually fine keeps its fast runs in the pool.
+    val fnByName = benched.toMap
+    val healRuns = scala.collection.mutable.Map.empty[String, Measured]
+    val healBracket =
+      scala.collection.mutable.Map.empty[String, (Double, Double)]
+    def waitForDisk(maxSec: Int): Double = {
+      var p = diskProbeMBps()
+      var w = 0
+      while (dirtyProbe(p) && w < maxSec) {
+        System.err.println(f"[bench] heal: disk $p%.0f MB/s " +
+          f"(min $diskMinMBps%.0f) — waiting ($w/${maxSec}s)")
+        Thread.sleep(15000)
+        w += 15
+        p = diskProbeMBps()
+      }
+      p
+    }
+    var dirtyNames = sweep.collect { case (n, _, s) if segDirty(s) => n }.toSeq
+    val nDirtyFirst = dirtyNames.length
+    var attemptsUsed = 0
+    while (dirtyNames.nonEmpty && attemptsUsed < healAttempts) {
+      attemptsUsed += 1
+      var p = waitForDisk(healWaitSec)
+      if (dirtyProbe(p)) {
+        System.err.println(s"[bench] heal attempt $attemptsUsed: window " +
+          "never recovered — leaving rows dirty")
+        attemptsUsed = healAttempts
+      } else {
+        System.err.println(s"[bench] heal attempt $attemptsUsed: re-running " +
+          s"${dirtyNames.length} dirty rows: ${dirtyNames.mkString(", ")}")
+        val still = scala.collection.mutable.Buffer.empty[String]
+        dirtyNames.foreach { name =>
+          if (dirtyProbe(p)) p = waitForDisk(healWaitSec)
+          val before = p
+          val m = measure(name, fnByName(name))
+          p = diskProbeMBps()
+          healBracket(name) = (before, p)
+          if (dirtyProbe(before) || dirtyProbe(p)) still += name
+          else healRuns(name) = healRuns.get(name) match {
+            case Some(prev) => Measured(m.warm,
+              prev.times ++ m.times, prev.planned + m.planned,
+              m.lastError.orElse(prev.lastError))
+            case None => m
+          }
+        }
+        dirtyNames = still.toSeq
+      }
+    }
+
+    // ---- per-query reported values --------------------------------------
+    // (name, reported, rawMedian, warm, allRuns, err, seg, dirtyFirst,
+    //  healed, medianFirst)
+    val results = sweep.toSeq.map { case (name, m, s) =>
+      val (firstMedian, _) = robustMedian(m.times, m.planned)
+      val heal = healRuns.get(name)
+      val pooledTimes = m.times ++ heal.map(_.times).getOrElse(Nil)
+      val pooledPlanned = m.planned + heal.map(_.planned).getOrElse(0)
+      val (median, rawMedian) = robustMedian(pooledTimes, pooledPlanned)
+      val err = heal.flatMap(_.lastError).orElse(m.lastError)
+      (name, median, rawMedian, m.warm, pooledTimes, err, s,
+        segDirty(s), heal.isDefined, firstMedian)
+    }
+    val failed = results.collect {
+      case r if r._2 < 0 => "\"" + r._1 + "\"" }
+    val nHealed = results.count(_._9)
+    val nDirtyFinal = dirtyNames.length
     // The driver captures only the LAST ~2000 chars of output and parses the
     // JSON line out of that tail; sbt's trailing "[success] Total time" line
     // eats ~80 of those. Full-precision doubles put the line far past the
@@ -253,22 +365,24 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = results.map(_._2).filter(_ >= 0).sum
     val budget = 1850
-    val bySlow = results.map { case (k, v, _, _, _, _) => (k, v) }.sortBy(-_._2)
+    val bySlow = results.map(r => (r._1, r._2)).sortBy(-_._2)
     def render(qs: Seq[(String, Double)], dropped: Int) = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$m,"dropped":$dropped,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$m,"dropped":$dropped,"failed":${failed.mkString("[", ",", "]")},"dirty":$nDirtyFinal,"healed":$nHealed,"sf":"$sfDir"}"""
     }
     val keep = (bySlow.length to 0 by -1)
       .find(n => render(bySlow.take(n), bySlow.length - n).length <= budget)
       .getOrElse(0)
     // The detail file is the full record the 1850-char JSON line can't
-    // carry: per-query median PLUS the untimed warm-up wall and every
-    // individual run (r8) — the per-run spread is what separates "cold
-    // I/O on run 1" from "the plan regressed" (r7's 16 inflated rows were
-    // indistinguishable without it). Written to a deterministic in-repo
-    // path (overridable via SPARK_GRAFT_BENCH_DETAIL) so the DRIVER's run
-    // lands in git at round end instead of vanishing with its sandbox CWD.
+    // carry: per-query median PLUS the untimed warm-up wall, every
+    // individual run (r8; healing runs pooled in), the dirty/healed
+    // annotations with the disk brackets (r17) — the per-run spread is
+    // what separates "cold I/O on run 1" from "the plan regressed", and
+    // the annotations prove which rows were measured on functioning
+    // hardware. Written to a deterministic in-repo path (overridable via
+    // SPARK_GRAFT_BENCH_DETAIL) so the DRIVER's run lands in git at round
+    // end instead of vanishing with its sandbox CWD.
     def num(v: Double) = if (v.isNaN) "null" else v.toString
     // JSON string escape for error messages (same contract as Verify.q):
     // exception text routinely carries quotes, newlines, and tabs.
@@ -281,10 +395,19 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val full = results.map { case (k, v, rawV, w, ts, err) =>
+    val full = results.map { case (k, v, rawV, w, ts, err, s, dirtyFirst,
+        healed, firstMedian) =>
       "\"" + k + "\":{\"median\":" + num(v) + ",\"median_all\":" + num(rawV) +
         ",\"warm\":" + num(w) +
         ",\"runs\":" + ts.map(num).mkString("[", ",", "]") +
+        (if (dirtyFirst)
+          ",\"dirty_window\":true,\"healed\":" + healed +
+            ",\"median_first\":" + num(firstMedian) +
+            ",\"seg_disk\":[" + num(segStartP.getOrElse(s, -1.0)) + "," +
+            num(segEndP.getOrElse(s, -1.0)) + "]" +
+            healBracket.get(k).map { case (b, a) =>
+              ",\"heal_disk\":[" + num(b) + "," + num(a) + "]" }.getOrElse("")
+        else "") +
         err.map(m => ",\"error\":" + jstr(m)).getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
@@ -298,7 +421,12 @@ object Bench {
         s""","cpu_probe_ms_at_end":${cpuProbeMs()}""" +
         s""","disk_probe_mbps_at_launch":$diskAtLaunch""" +
         s""","disk_probe_mbps_at_start":$diskAtStart""" +
-        s""","disk_probe_mbps_at_end":${diskProbeMBps()}}""")
+        s""","disk_probe_mbps_at_end":${diskProbeMBps()}""" +
+        s""","disk_probe_min_mbps":$diskMinMBps,"probe_every":$probeEvery""" +
+        s""","mid_sweep_wait_sec":$midWaited""" +
+        s""","heal_attempts_used":$attemptsUsed""" +
+        s""","n_dirty_first":$nDirtyFirst,"n_dirty_final":$nDirtyFinal""" +
+        s""","n_healed":$nHealed}""")
     println(render(bySlow.take(keep), bySlow.length - keep))
     spark.stop()
   }

@@ -403,9 +403,18 @@ object Streams {
     else {
       val in = fs.open(p)
       try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+        // Loop to EOF: a single in.read() may legally return a partial
+        // buffer (ADVICE r16), and parsing a truncated prefix would yield a
+        // LOWER watermark — colliding ids, the exact failure this sidecar
+        // exists to prevent. The file is ≤20 bytes; cap defensively anyway.
+        val buf = new java.io.ByteArrayOutputStream(64)
+        val chunk = new Array[Byte](64)
+        var n = in.read(chunk)
+        while (n > 0 && buf.size <= 4096) {
+          buf.write(chunk, 0, n)
+          n = in.read(chunk)
+        }
+        Some(new String(buf.toByteArray, "UTF-8").trim.toLong)
       } finally in.close()
     }
   }
