@@ -660,10 +660,12 @@ object Dedup {
   // appends one (old_root, new_root) row per MERGE EVENT (bounded by
   // the number of components ever merged, not by corpus size), and a
   // meta sidecar pins the id type. Lookup composes base labels with the
-  // driver-resolved relabel chains (a broadcast join — the relabel
-  // table is merge-event-scale); [[componentsCompactIndex]] folds the
-  // chains back into `labels` with the staged swap. Single-writer, like
-  // every index-maintenance path here.
+  // relabel chains resolved DISTRIBUTED by pointer doubling (r17 — no
+  // driver map, no size cap; the relabel table is merge-event-scale, so
+  // Catalyst broadcasts the composition join while it is small);
+  // [[componentsCompactIndex]] folds the chains back into `labels` with
+  // the staged swap. Single-writer, like every index-maintenance path
+  // here; `batchTag` appends are exactly-once under foreachBatch replay.
   // ---------------------------------------------------------------------
 
   /** Build the component index at `path` from an initial pair set. */
@@ -697,110 +699,183 @@ object Dedup {
     rows.head.getString(0)
   }
 
-  /** The driver-resolved relabel map: merge-event rows with their chains
-    * followed to the final root (labels only ever decrease, so chains
-    * are acyclic and resolution terminates). Bounded by merge events —
-    * require-guarded, with compaction as the documented relief valve.
+  /** The resolved relabel map as a DataFrame (__from, __to): merge-event
+    * rows with their chains followed to the final root, DISTRIBUTED (r17,
+    * VERDICT r16 §next-4 — replaces the 4M-capped driver map). Resolution
+    * is pointer doubling: each round substitutes f ← f∘f by one
+    * merge-event-scale self-join, so hop distance doubles and the loop
+    * converges in ⌈log₂(longest chain)⌉ rounds. Termination is exact, not
+    * heuristic: labels strictly DECREASE along a chain (every merge maps
+    * an old root to a smaller new root), so the pointer graph is acyclic;
+    * and each old_root appears in at most one merge event (events are
+    * only ever recorded for currently-resolved roots), so the map is
+    * functional and the fixpoint unique. No driver state at any size —
+    * the id type also flows straight from the stored parquet, so integer-
+    * keyed indexes resolve as naturally as string/long ones (ADVICE r16).
+    * `emptyLike` supplies the (id-typed) schema when no relabels exist.
     */
   private def resolvedRelabels(spark: org.apache.spark.sql.SparkSession,
-                               path: String): Map[Any, Any] = {
-    if (!graft.pipeline.Sinks.exists(spark, s"$path/relabels"))
-      return Map.empty
-    val rows = spark.read.parquet(s"$path/relabels")
-      .select("old_root", "new_root").limit((1 << 22) + 1).collect()
-    require(rows.length <= (1 << 22),
-      "component index: more than 4M relabel rows — run " +
-        "componentsCompactIndex before further appends")
-    val m = scala.collection.mutable.HashMap.empty[Any, Any]
-    rows.foreach(r => m(r.get(0)) = r.get(1))
-    def resolve(x: Any): Any = {
-      var r = x
-      while (m.contains(r)) r = m(r)
-      r
+                               path: String,
+                               emptyLike: DataFrame): DataFrame = {
+    // "has relabels" = the dir holds at least one DATA file — a replayed
+    // crash cleanup (BatchAppend.clearBatchFiles) can leave the dir
+    // existing but empty, which a bare parquet read refuses to schema
+    val rp = new org.apache.hadoop.fs.Path(s"$path/relabels")
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(rp) && fs.listStatus(rp).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
-    m.keys.toSeq.map(k => k -> resolve(k)).toMap
-  }
-
-  private def relabelDf(spark: org.apache.spark.sql.SparkSession,
-                        resolved: Map[Any, Any], idType: String): DataFrame = {
-    import spark.implicits._
-    if (idType == "string")
-      resolved.toSeq.map { case (a, b) =>
-        (a.asInstanceOf[String], b.asInstanceOf[String]) }
-        .toDF("__from", "__to")
-    else
-      resolved.toSeq.map { case (a, b) =>
-        (a.asInstanceOf[Long], b.asInstanceOf[Long]) }
-        .toDF("__from", "__to")
+    if (!hasData)
+      return emptyLike.select(col("group_id").as("__from"),
+        col("group_id").as("__to")).limit(0)
+    var rl = spark.read.parquet(s"$path/relabels")
+      .select(col("old_root").as("__from"), col("new_root").as("__to"))
+      .localCheckpoint(true)
+    var moved = 1L
+    while (moved > 0) {
+      val step = rl.as("l")
+        .join(rl.as("r"), col("l.__to") === col("r.__from"), "left")
+        .select(col("l.__from").as("__from"),
+          coalesce(col("r.__to"), col("l.__to")).as("__to"),
+          col("r.__from").isNotNull.as("__moved"))
+        .localCheckpoint(true)
+      moved = step.filter(col("__moved")).count()
+      rl = step.drop("__moved")
+    }
+    rl
   }
 
   /** Fold one batch of new candidate pairs into the index — O(batch):
     * contract the pair endpoints through the current labels, solve the
     * contracted CC, append labels for NEW ids and relabel rows for
     * merged old roots. Returns (newIds, mergeEvents).
+    *
+    * `batchTag` makes the append EXACTLY-ONCE (r17, VERDICT r16 §next-3):
+    * label/relabel rows are additive, so a foreachBatch crash-replay
+    * would duplicate label rows and double-record merges. Pass the
+    * stream's batch id; a committed (tag, content) replays as a no-op
+    * returning (0, 0), a colliding tag with different content fails
+    * loudly, and a crash between the labels and relabels writes replays
+    * to exactly one committed copy of both — the replay FIRST removes
+    * the crashed attempt's partial files, so its recomputation reads the
+    * same pre-batch state the crashed attempt saw
+    * ([[graft.pipeline.BatchAppend]]).
     */
-  def componentsAppendIndex(newPairs: DataFrame, path: String,
+  def componentsAppendIndex(newPairs0: DataFrame, path: String,
                             maxIter: Int = 20,
-                            localEdgeLimit: Long = 1L << 20): (Long, Long) = {
-    val spark = newPairs.sparkSession
+                            localEdgeLimit: Long = 1L << 20,
+                            batchTag: Option[String] = None): (Long, Long) = {
+    val spark = newPairs0.sparkSession
     val idType = componentsMeta(spark, path, "componentsAppendIndex")
-    val base = spark.read.parquet(s"$path/labels")
-    val rl = relabelDf(spark, resolvedRelabels(spark, path), idType)
-    def effective(side: String): DataFrame = newPairs.select(col(side).as("id"))
-      .distinct()
-      .join(base, Seq("id"), "left")
-      .select(col("id"), coalesce(col("group_id"), col("id")).as("__g0"))
-      .join(broadcast(rl), col("__g0") === col("__from"), "left")
-      .select(col("id").as(side),
-        coalesce(col("__to"), col("__g0")).as(s"__eff_$side"))
-    val contracted = newPairs
-      .join(effective("id_a"), Seq("id_a"))
-      .join(effective("id_b"), Seq("id_b"))
-      .select(col("__eff_id_a").as("id_a"), col("__eff_id_b").as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
-    val cc =
-      if (contracted.isEmpty) base.limit(0)
-      else duplicateGroups(contracted, maxIter, localEdgeLimit)
+    // Match the stored key type up front (ADVICE r16): integral indexes
+    // store LONG labels (duplicateGroups' normalization), so integral
+    // batch ids WIDEN to long here — appending them raw would write
+    // mixed-schema parquet into `labels`. A string/integral mismatch
+    // fails loudly instead of as an ANSI cast error mid-plan.
+    val newPairs = {
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, StringType}
+      val dts = Seq("id_a", "id_b").map(c => newPairs0.schema(c).dataType)
+      if (idType == "string") {
+        require(dts.forall(_ == StringType),
+          s"componentsAppendIndex: the index at $path keys STRING ids; " +
+            s"batch pairs are ${dts.map(_.typeName).mkString("/")}")
+        newPairs0
+      } else {
+        require(dts.forall(d =>
+            Seq[org.apache.spark.sql.types.DataType](ByteType, ShortType,
+              IntegerType, LongType).contains(d)),
+          s"componentsAppendIndex: the index at $path keys $idType ids; " +
+            s"batch pairs are ${dts.map(_.typeName).mkString("/")}")
+        newPairs0.select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"))
+      }
+    }
+    // (newIds, merges), both eagerly materialized; reads the CURRENT
+    // stored state, so it must run after any crashed-attempt cleanup
+    def compute(): (DataFrame, DataFrame) = {
+      val base = spark.read.parquet(s"$path/labels")
+      val rl = resolvedRelabels(spark, path, base)
+      def effective(side: String): DataFrame = newPairs.select(col(side).as("id"))
+        .distinct()
+        .join(base, Seq("id"), "left")
+        .select(col("id"), coalesce(col("group_id"), col("id")).as("__g0"))
+        .join(rl, col("__g0") === col("__from"), "left")
+        .select(col("id").as(side),
+          coalesce(col("__to"), col("__g0")).as(s"__eff_$side"))
+      val contracted = newPairs
+        .join(effective("id_a"), Seq("id_a"))
+        .join(effective("id_b"), Seq("id_b"))
+        .select(col("__eff_id_a").as("id_a"), col("__eff_id_b").as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      val cc =
+        if (contracted.isEmpty) base.limit(0)
+        else duplicateGroups(contracted, maxIter, localEdgeLimit)
+          .localCheckpoint(true)
+      // new ids: pair endpoints absent from the base labels — their final
+      // label is the contracted CC's answer (or their own effective label
+      // when the batch connected them only to themselves)
+      val ends = newPairs.select(col("id_a").as("id"))
+        .unionByName(newPairs.select(col("id_b").as("id"))).distinct()
+      val newIds = ends.join(base.select("id"), Seq("id"), "left_anti")
+        .join(cc.select(col("id"), col("group_id").as("__cc")), Seq("id"),
+          "left")
+        .select(col("id"),
+          coalesce(col("__cc"), col("id")).as("group_id"))
         .localCheckpoint(true)
-    // new ids: pair endpoints absent from the base labels — their final
-    // label is the contracted CC's answer (or their own effective label
-    // when the batch connected them only to themselves)
-    val ends = newPairs.select(col("id_a").as("id"))
-      .unionByName(newPairs.select(col("id_b").as("id"))).distinct()
-    val newIds = ends.join(base.select("id"), Seq("id"), "left_anti")
-      .join(cc.select(col("id"), col("group_id").as("__cc")), Seq("id"),
-        "left")
-      .select(col("id"),
-        coalesce(col("__cc"), col("id")).as("group_id"))
-      .localCheckpoint(true)
-    // merge events: contracted OLD roots whose CC label moved
-    val oldRoots = base.select(col("group_id").as("id")).distinct()
-      .join(broadcast(rl), col("id") === col("__from"), "left")
-      .select(coalesce(col("__to"), col("id")).as("id")).distinct()
-    val merges = cc.join(oldRoots, Seq("id"), "left_semi")
-      .filter(col("id") =!= col("group_id"))
-      .select(col("id").as("old_root"), col("group_id").as("new_root"))
-      .localCheckpoint(true)
-    val nNew = newIds.count()
-    val nMerge = merges.count()
-    if (nNew > 0)
-      newIds.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(s"$path/labels")
-    if (nMerge > 0)
-      merges.write.mode(org.apache.spark.sql.SaveMode.Append)
-        .parquet(s"$path/relabels")
-    (nNew, nMerge)
+      // merge events: contracted OLD roots whose CC label moved
+      val oldRoots = base.select(col("group_id").as("id")).distinct()
+        .join(rl, col("id") === col("__from"), "left")
+        .select(coalesce(col("__to"), col("id")).as("id")).distinct()
+      val merges = cc.join(oldRoots, Seq("id"), "left_semi")
+        .filter(col("id") =!= col("group_id"))
+        .select(col("id").as("old_root"), col("group_id").as("new_root"))
+        .localCheckpoint(true)
+      (newIds, merges)
+    }
+    batchTag match {
+      case None =>
+        val (newIds, merges) = compute()
+        val nNew = newIds.count()
+        val nMerge = merges.count()
+        if (nNew > 0)
+          newIds.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$path/labels")
+        if (nMerge > 0)
+          merges.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$path/relabels")
+        (nNew, nMerge)
+      case Some(tag) =>
+        val sig = graft.pipeline.BatchAppend.contentSig(newPairs,
+          Seq("id_a", "id_b"))
+        var out = (0L, 0L) // a replayed committed batch appends nothing new
+        graft.pipeline.BatchAppend.exactlyOnce(spark, path, tag, sig,
+          Seq(s"$path/labels", s"$path/relabels")) {
+          val (newIds, merges) = compute()
+          val nNew = newIds.count()
+          val nMerge = merges.count()
+          if (nNew > 0)
+            graft.pipeline.BatchAppend.appendBatchFiles(newIds,
+              s"$path/labels", tag)
+          if (nMerge > 0)
+            graft.pipeline.BatchAppend.appendBatchFiles(merges,
+              s"$path/relabels", tag)
+          out = (nNew, nMerge)
+        }
+        out
+    }
   }
 
   /** The fully-resolved (id, group_id) view: base labels composed with
-    * the resolved relabel chains — one broadcast join, no iteration.
+    * the resolved relabel chains — one merge-event-scale join (Catalyst
+    * broadcasts it while it is small), no iteration.
     */
   def componentsIndexedGroups(spark: org.apache.spark.sql.SparkSession,
                               path: String): DataFrame = {
-    val idType = componentsMeta(spark, path, "componentsIndexedGroups")
+    componentsMeta(spark, path, "componentsIndexedGroups")
     val base = spark.read.parquet(s"$path/labels")
-    val rl = relabelDf(spark, resolvedRelabels(spark, path), idType)
-    base.join(broadcast(rl), col("group_id") === col("__from"), "left")
+    val rl = resolvedRelabels(spark, path, base)
+    base.join(rl, col("group_id") === col("__from"), "left")
       .select(col("id"), coalesce(col("__to"), col("group_id"))
         .as("group_id"))
   }

@@ -420,8 +420,18 @@ object Profile {
   /** Append one batch's sketch rows in O(batch) — additive, no
     * read-modify-write; type drift fails loudly (the hllAppendIndex
     * contract).
+    *
+    * `batchTag` makes the append EXACTLY-ONCE (r17, VERDICT r16 §next-3):
+    * KLL is additive (every retained item weighs), so a foreachBatch
+    * crash-replay would double-weight the batch and skew every later
+    * quantile. Pass the stream's batch id; a committed (tag, content)
+    * replays as a no-op, a colliding tag with different content fails
+    * loudly ([[graft.pipeline.BatchAppend]]). The HLL index needs no such
+    * guard — sketch union is idempotent (max of registers), so a replayed
+    * HLL row changes no estimate.
     */
-  def kllAppendIndex(df: DataFrame, path: String): Unit = {
+  def kllAppendIndex(df: DataFrame, path: String,
+                     batchTag: Option[String] = None): Unit = {
     val (k, cols) = kllIndexMeta(df.sparkSession, path, "kllAppendIndex")
     cols.foreach { case (c, t) =>
       requireIntegral(df, c, "kllAppendIndex")
@@ -430,9 +440,19 @@ object Profile {
         s"kllAppendIndex: column '$c' is $actual but the index profiled it " +
           s"as $t — a type-drifted append would corrupt the distribution")
     }
-    kllSketchRows(df, cols.map(_._1), k)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$path/sketches")
+    batchTag match {
+      case None =>
+        kllSketchRows(df, cols.map(_._1), k)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$path/sketches")
+      case Some(tag) =>
+        val sig = graft.pipeline.BatchAppend.contentSig(df, cols.map(_._1))
+        graft.pipeline.BatchAppend.exactlyOnce(df.sparkSession, path, tag,
+          sig, Seq(s"$path/sketches")) {
+          graft.pipeline.BatchAppend.appendBatchFiles(
+            kllSketchRows(df, cols.map(_._1), k), s"$path/sketches", tag)
+        }: Unit
+    }
   }
 
   /** Quantiles from the stored sketches alone: merge each column's shard

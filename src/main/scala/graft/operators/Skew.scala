@@ -245,8 +245,17 @@ object Skew {
     * read-modify-write; parameters come from the meta sidecar, and a
     * type-drifted key column fails loudly (a long 42 and an int 42 hash
     * to different CMS cells via the JVM value).
+    *
+    * `batchTag` makes the append EXACTLY-ONCE (r17, VERDICT r16 §next-3):
+    * CMS is additive, so a foreachBatch crash-replay would double-append
+    * and silently inflate every later estimate. Pass the stream's batch
+    * id; a committed (tag, content) replays as a no-op, a colliding tag
+    * with different content fails loudly, and every crash point converges
+    * to one committed copy ([[graft.pipeline.BatchAppend]]). Untagged
+    * appends keep the plain additive semantics for single-shot callers.
     */
-  def cmsAppendIndex(df: DataFrame, path: String): Unit = {
+  def cmsAppendIndex(df: DataFrame, path: String,
+                     batchTag: Option[String] = None): Unit = {
     val (eps, conf, seed, keyCol, tpe) =
       cmsIndexMeta(df.sparkSession, path, "cmsAppendIndex")
     requireIntegralKey(df, keyCol, "cmsAppendIndex")
@@ -254,9 +263,19 @@ object Skew {
     require(actual == tpe,
       s"cmsAppendIndex: column '$keyCol' is $actual but the index counts " +
         s"it as $tpe — a type-drifted append would fragment the key space")
-    cmsSketchRow(df, keyCol, eps, conf, seed)
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$path/sketches")
+    batchTag match {
+      case None =>
+        cmsSketchRow(df, keyCol, eps, conf, seed)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$path/sketches")
+      case Some(tag) =>
+        val sig = graft.pipeline.BatchAppend.contentSig(df, Seq(keyCol))
+        graft.pipeline.BatchAppend.exactlyOnce(df.sparkSession, path, tag,
+          sig, Seq(s"$path/sketches")) {
+          graft.pipeline.BatchAppend.appendBatchFiles(
+            cmsSketchRow(df, keyCol, eps, conf, seed), s"$path/sketches", tag)
+        }: Unit
+    }
   }
 
   /** Frequency estimates for bounded `candidates` from the stored

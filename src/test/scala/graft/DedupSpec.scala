@@ -784,5 +784,76 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("component index: integer-typed ids append and resolve (ADVICE r16)") {
+    // the r16 driver-map resolution cast relabel values to String-or-Long
+    // and died with a ClassCastException on the first int-keyed append;
+    // integral ids now WIDEN to the stored long labels (duplicateGroups'
+    // own normalization) instead, and a string-vs-integral mismatch
+    // fails loudly up front
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ccidx-int").toString
+    def intPairs(ps: Seq[(Int, Int)]) = ps.toDF("id_a", "id_b")
+    graft.operators.Dedup.componentsWriteIndex(
+      intPairs(Seq((1, 2), (10, 11))), dir)
+    graft.operators.Dedup.componentsAppendIndex(
+      intPairs(Seq((2, 10), (20, 21))), dir) // merges the two old roots
+    val got = graft.operators.Dedup.componentsIndexedGroups(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L), got.toString)
+    graft.operators.Dedup.componentsCompactIndex(spark, dir)
+    assert(graft.operators.Dedup.componentsIndexedGroups(spark, dir)
+      .as[(Long, Long)].collect().toMap == got)
+    // string pairs against the long-keyed index: loud, not a cast error
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.componentsAppendIndex(
+        Seq(("a", "b")).toDF("id_a", "id_b"), dir)
+    }
+    assert(e.getMessage.contains("keys long ids"), e.getMessage)
+  }
+
+  test("component index: >4M relabel rows resolve DISTRIBUTED — the r16 " +
+      "driver cap is gone (VERDICT r16 §next-4)") {
+    // 67,000 chains of length 63 = 4,221,000 relabel rows — past the old
+    // 1<<22 = 4,194,304 require. Chain c's merge events are
+    // v(c,p) -> v(c,p-1) for p = 63..1 with v(c,p) = c*1000 + p (labels
+    // strictly decrease, each old_root appears once — the componentsAppend
+    // invariants), so every chain resolves to v(c,0) = c*1000. Pointer
+    // doubling needs ceil(log2(63)) = 6 self-join rounds over the 4.2M
+    // rows; nothing ever collects to the driver.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ccidx-4m").toString
+    val nChains = 67000L
+    val relabels = spark.range(nChains * 63)
+      .select((col("id") / 63).cast("long").as("__c"),
+        (col("id") % 63 + 1).cast("long").as("__p"))
+      .select((col("__c") * 1000 + col("__p")).as("old_root"),
+        (col("__c") * 1000 + col("__p") - 1).as("new_root"))
+    relabels.write.parquet(s"$dir/relabels")
+    // one stored label row per chain, pointing at the chain HEAD v(c,63)
+    spark.range(nChains)
+      .select((col("id") + 900000000L).as("id"),
+        (col("id") * 1000 + 63).as("group_id"))
+      .write.parquet(s"$dir/labels")
+    Seq(Tuple1("long")).toDF("id_type").write.parquet(s"$dir/meta")
+    val resolved = graft.operators.Dedup.componentsIndexedGroups(spark, dir)
+    // aggregate pin: every chain resolved to its minimum, none stopped
+    // partway (sum over c of c*1000, and max residue 0)
+    val r = resolved.agg(
+      count(lit(1)).as("n"),
+      sum(col("group_id")).as("s"),
+      max(pmod(col("group_id"), lit(1000L))).as("maxres")).head()
+    assert(r.getLong(0) == nChains)
+    assert(r.getLong(2) == 0L, s"unresolved chain tail: residue ${r.get(2)}")
+    assert(BigInt(r.getLong(1)) ==
+      BigInt(1000) * (BigInt(nChains) * (nChains - 1) / 2), r.getLong(1))
+    // compaction folds the 4.2M chains without a driver map either
+    graft.operators.Dedup.componentsCompactIndex(spark, dir)
+    assert(!graft.pipeline.Sinks.exists(spark, s"$dir/relabels"))
+    val r2 = graft.operators.Dedup.componentsIndexedGroups(spark, dir)
+      .agg(count(lit(1)), sum(col("group_id"))).head()
+    assert(r2.getLong(0) == nChains && r2.getLong(1) == r.getLong(1))
+  }
 }
 

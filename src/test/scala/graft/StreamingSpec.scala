@@ -632,4 +632,112 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  // ---- exactly-once appends for the ADDITIVE sketch indexes (r17,
+  // VERDICT r16 §next-3): a foreachBatch crash hands the replay the same
+  // batch id — for each family, drive the double delivery AND the
+  // crash-between-data-and-marker state through the tagged append, and
+  // pin estimate-before == estimate-after. The marker deletion below IS
+  // the crash simulator's hand: data files committed, marker never
+  // written (the widest double-append window the protocol closes).
+
+  /** Delete the `_committed` marker(s) for `tag` — the crash state. */
+  private def dropMarker(dir: String, tag: String): Unit = {
+    val d = new java.io.File(dir, "_committed")
+    d.listFiles().filter(_.getName.startsWith(s"$tag-")).foreach { f =>
+      assert(f.delete(), f.toString)
+    }
+  }
+
+  test("cmsAppendIndex batchTag: replay no-ops, crash state converges, " +
+      "marker survives compaction, lineage mismatch is loud") {
+    import graft.operators.Skew
+    val dir = Files.createTempDirectory("graft-cms-replay").toString
+    Skew.cmsWriteIndex(Seq(1L, 1L, 2L).toDF("k"), "k", dir)
+    val b1 = Seq(1L, 3L, 3L).toDF("k")
+    def est() = Skew.cmsEstimateIndex(spark, dir,
+        Seq(1L, 2L, 3L).toDF("k"), "k")
+      .as[(Long, Long)].collect().toMap
+    Skew.cmsAppendIndex(b1, dir, Some("0"))
+    val truth = est()
+    assert(truth == Map(1L -> 3L, 2L -> 1L, 3L -> 2L), truth)
+    // double delivery of a committed batch: no-op
+    Skew.cmsAppendIndex(b1, dir, Some("0"))
+    assert(est() == truth)
+    // crash point: batch data committed, marker never written — the
+    // replay must first clear the partial commit, then land exactly once
+    dropMarker(dir, "0")
+    Skew.cmsAppendIndex(b1, dir, Some("0"))
+    assert(est() == truth)
+    // compaction folds the batch files; the marker SURVIVES in
+    // _committed, so a post-compaction replay is still a no-op (without
+    // this, a crash in the same foreachBatch that ran the compaction
+    // would re-append rows the compacted sketch already contains)
+    Skew.cmsCompactIndex(spark, dir)
+    Skew.cmsAppendIndex(b1, dir, Some("0"))
+    assert(est() == truth)
+    // reset-lineage guard: same tag, different content fails loudly
+    val e = intercept[IllegalStateException] {
+      Skew.cmsAppendIndex(Seq(9L).toDF("k"), dir, Some("0"))
+    }
+    assert(e.getMessage.contains("DIFFERENT content"), e.getMessage)
+    // an untagged append still works alongside (single-writer semantics)
+    Skew.cmsAppendIndex(Seq(2L).toDF("k"), dir)
+    assert(est() == Map(1L -> 3L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kllAppendIndex batchTag: replayed batch does not double-weight " +
+      "the distribution") {
+    import graft.operators.Profile
+    val dir = Files.createTempDirectory("graft-kll-replay").toString
+    Profile.kllWriteIndex(Seq(1L, 2L, 3L).toDF("v"), Seq("v"), dir)
+    val b1 = Seq(10L, 11L).toDF("v")
+    def q() = Profile.kllQuantilesIndex(spark, dir, Seq(0.5, 1.0))
+      .select("q", "value", "n").as[(Double, Long, Long)].collect().toSeq
+    Profile.kllAppendIndex(b1, dir, Some("7"))
+    val truth = q()
+    assert(truth.forall(_._3 == 5L), truth) // 3 base + 2 appended, once
+    Profile.kllAppendIndex(b1, dir, Some("7")) // replay: no-op
+    assert(q() == truth)
+    dropMarker(dir, "7") // crash state: data landed, marker lost
+    Profile.kllAppendIndex(b1, dir, Some("7"))
+    assert(q() == truth)
+    val e = intercept[IllegalStateException] {
+      Profile.kllAppendIndex(Seq(99L).toDF("v"), dir, Some("7"))
+    }
+    assert(e.getMessage.contains("DIFFERENT content"), e.getMessage)
+  }
+
+  test("componentsAppendIndex batchTag: replay no-ops over both dirs, " +
+      "crash state converges, no duplicate label rows") {
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft-cc-replay").toString
+    Dedup.componentsWriteIndex(
+      Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b"), dir)
+    val b1 = Seq((20L, 21L), (2L, 10L)).toDF("id_a", "id_b")
+    def groups() = Dedup.componentsIndexedGroups(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    def labelRows() = spark.read.parquet(s"$dir/labels").count()
+    val (n1, m1) = Dedup.componentsAppendIndex(b1, dir, batchTag = Some("0"))
+    assert((n1, m1) == ((2L, 1L)), s"($n1, $m1)")
+    val truth = groups()
+    assert(truth == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L), truth)
+    val nLabels = labelRows()
+    // double delivery: (0, 0), nothing duplicated
+    assert(Dedup.componentsAppendIndex(b1, dir, batchTag = Some("0")) ==
+      ((0L, 0L)))
+    assert(groups() == truth && labelRows() == nLabels)
+    // crash state: labels + relabels committed, marker lost — the replay
+    // clears the partial files FIRST (so its recomputation reads the
+    // pre-batch state) and lands exactly one copy of both
+    dropMarker(dir, "0")
+    Dedup.componentsAppendIndex(b1, dir, batchTag = Some("0"))
+    assert(groups() == truth && labelRows() == nLabels)
+    val e = intercept[IllegalStateException] {
+      Dedup.componentsAppendIndex(Seq((5L, 6L)).toDF("id_a", "id_b"), dir,
+        batchTag = Some("0"))
+    }
+    assert(e.getMessage.contains("DIFFERENT content"), e.getMessage)
+  }
 }
