@@ -708,6 +708,90 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-query top-k probe against a PERSISTED IVF index — the
+    * [[ivfTopKMulti]] shape over stored cells: per-query probe cells from
+    * the sidecar centroids, one broadcast join on cell, per-query ranking
+    * by window. The corpus-side scan touches only probed cells' rows.
+    */
+  def ivfTopKMultiIndexed(spark: org.apache.spark.sql.SparkSession,
+                          path: String, queryIds: Seq[Long], k: Int,
+                          nProbe: Int = 4): DataFrame = {
+    val cents = ivfReadCentroids(spark, path)
+    val idx = spark.read.parquet(path).select(col("id"), col("v"), col("cell"))
+    val q = idx.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val probe = q.select(col("query_id"),
+        posexplode(array(centroidScores(col("qv"), cents): _*)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("col").desc, col("pos").asc)))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("pos").cast("int").as("cell"))
+    idx.join(broadcast(probe), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("id"), cosine(col("v"), col("qv")).as("cos"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("id").asc)))
+      .filter(col("__rn") <= k)
+      .select("query_id", "id", "cos")
+  }
+
+  /** Recall-drift gate over a PERSISTED IVF index (r17, VERDICT r16
+    * §next-2): [[ivfAppendIndex]] assigns new vectors to the FROZEN
+    * trained centroids, so a long append history on drifting data bloats
+    * cells unevenly and probe recall decays with NO signal. This is the
+    * q_sim_recall_gate machinery pointed at the index as stored — exact
+    * brute-force top-k over the indexed rows vs the nProbe-cell indexed
+    * probe, per query — so the maintenance loop can CHECK for drift after
+    * appends and trigger [[ivfRetrainCompact]] when the gate trips.
+    * Returns one row (n_queries, mean_recall, min_recall, pass). The
+    * truth side is a bounded |queryIds|-row broadcast against one corpus
+    * scan (the [[bruteForceTopKMulti]] scale shape) — run it over a
+    * bounded query sample, not the corpus.
+    */
+  def ivfRecallGate(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queryIds: Seq[Long], k: Int = 10, nProbe: Int = 4,
+                    minRecall: Double = 0.9): DataFrame = {
+    require(queryIds.nonEmpty, "ivfRecallGate: queryIds must be non-empty")
+    val idx = spark.read.parquet(path)
+    val truth = bruteForceTopKMulti(idx, "id", "v", queryIds, k)
+    val approx = ivfTopKMultiIndexed(spark, path, queryIds, k, nProbe)
+    recallAtK(truth, approx)
+      .agg(count(lit(1)).as("n_queries"),
+        avg("recall").as("mean_recall"),
+        min("recall").as("min_recall"))
+      .select(col("n_queries"), col("mean_recall"), col("min_recall"),
+        (col("min_recall") >= minRecall).as("pass"))
+  }
+
+  /** Retrain-recluster compaction of a persisted IVF index (r17, VERDICT
+    * r16 §next-2) — the append family's third verb (write → append →
+    * retrain-compact), restoring recall after drift: retrain centroids on
+    * the STORED corpus (the deterministic [[kMeansCentroidsSampled]]
+    * trainer — same sampling, same init, same update rule as a fresh
+    * build, so retrain-after-appends and rebuild-from-the-union train
+    * IDENTICAL centroids on identical rows), reassign every row, and swap
+    * the rebuilt cells + centroid sidecar in as ONE staged unit (readers
+    * see the old index or the new, never a half state — the
+    * overwriteViaStaging contract). `nCentroids = 0` keeps the stored
+    * cell count. SINGLE-WRITER maintenance, like every staged-swap
+    * compaction: run it from the loop that owns appends.
+    */
+  def ivfRetrainCompact(spark: org.apache.spark.sql.SparkSession,
+                        path: String, dim: Int, nCentroids: Int = 0,
+                        sampleFraction: Double = 1.0,
+                        maxSampleRows: Int = 2000000): Unit = {
+    val stored = ivfReadCentroids(spark, path) // also validates the index
+    val k = if (nCentroids > 0) nCentroids else stored.length
+    val rows = spark.read.parquet(path).select(col("id"), col("v"))
+    val cents = kMeansCentroidsSampled(rows, "id", "v", dim, k,
+      sampleFraction, maxSampleRows = maxSampleRows)
+    val reassigned = rows.select(col("id"), col("v"),
+      ivfAssignTo(col("v"), cents).as("cell"))
+    graft.pipeline.Sinks.overwriteViaStagingWith(reassigned, path,
+      Seq("cell")) { staged => writeCentroidSidecar(spark, cents, staged) }
+  }
+
   /** Exact cosine top-k for a SET of query ids in one distributed pass:
     * the query rows are a broadcast dimension (|queryIds| rows), the corpus
     * scans once, and per-query ranking is a window keyed by query_id — no

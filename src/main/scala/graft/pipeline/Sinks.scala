@@ -84,13 +84,25 @@ object Sinks {
     * O(1) metadata ops regardless of data size.
     */
   def overwriteViaStaging(df: DataFrame, path: String,
-                          partitionBy: Seq[String] = Nil): Long = {
+                          partitionBy: Seq[String] = Nil): Long =
+    overwriteViaStagingWith(df, path, partitionBy)(_ => ())
+
+  /** [[overwriteViaStaging]] with a hook that adds sidecar files into the
+    * staged directory BEFORE the swap — for indexes whose data and
+    * `_`-prefixed sidecars (e.g. the IVF `_centroids`) must replace as
+    * one unit (r17: ivfRetrainCompact). The hook receives the staging
+    * path; anything it writes there swaps in atomically with the data.
+    */
+  def overwriteViaStagingWith(df: DataFrame, path: String,
+                              partitionBy: Seq[String] = Nil)
+                             (sidecars: String => Unit): Long = {
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(path + "__staging"), true)
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path + "__staging")
+    sidecars(path + "__staging")
     commitStaged(spark, path)
   }
 

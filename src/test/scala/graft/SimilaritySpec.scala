@@ -275,4 +275,46 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((2L, 127L * 127), (3L, 0L), (4L, 0L)), got)
   }
+
+  test("ivfRecallGate detects recall decay on a drifted append; " +
+      "ivfRetrainCompact restores it (VERDICT r16 §next-2)") {
+    def pt(id: Long, a: Double, b: Double, c: Double): (Long, Array[Float]) =
+      (id, Array(a.toFloat, b.toFloat, c.toFloat, 0.0f))
+    // base corpus: two clean clusters on the trained axes, index built
+    // with EXPLICIT centroids so the drift geometry is fully pinned
+    val base = ((0 until 10).map(i => pt(i, 1.0, 0.001 * i, 0.0)) ++
+      (0 until 10).map(i => pt(100 + i, 0.001 * i, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-drift").toString + "/idx"
+    Similarity.ivfWriteIndex(base, "vec_id", "embedding", dim = 4,
+      nCentroids = 2, dir,
+      centroids = Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0)))
+    // drifted batch: one NEW cluster sitting exactly on the Voronoi
+    // boundary of the two frozen centroids — the alternating ±tilt
+    // assigns its members 10/10 across BOTH cells, so each member's true
+    // neighbors (its own cluster, by far the highest cosines) are half
+    // invisible to a 1-probe query. This is the decay mode appends can
+    // never signal: every vector lands in a valid cell, recall just rots.
+    val drift = (0 until 20).map { i =>
+      val d = 0.01 * (1 + i / 2) * (if (i % 2 == 0) 1 else -1)
+      pt(200L + i, 0.7071 + d, 0.7071 - d, 0.02 * i)
+    }.toDF("vec_id", "embedding")
+    Similarity.ivfAppendIndex(drift, "vec_id", "embedding", dir)
+    val qids = Seq(200L, 201L, 210L, 211L)
+    def gate() = Similarity.ivfRecallGate(spark, dir, qids, k = 10,
+        nProbe = 1, minRecall = 0.9)
+      .select("min_recall", "pass").as[(Double, Boolean)].head()
+    val before = gate()
+    assert(!before._2 && before._1 <= 0.8,
+      s"drift not detected: $before") // measured ~0.5: half the cluster
+    // retrain with a cell budget covering the new cluster: recall back
+    Similarity.ivfRetrainCompact(spark, dir, dim = 4, nCentroids = 3)
+    val after = gate()
+    assert(after._2 && after._1 >= 0.9, s"retrain did not restore: $after")
+    // the swapped index stays a fully working IVF index
+    val top = Similarity.ivfTopKIndexed(spark, dir, dim = 4, queryId = 200L,
+      k = 5).as[(Long, Long)].collect()
+    assert(top.length == 5)
+  }
 }
