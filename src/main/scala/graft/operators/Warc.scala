@@ -255,6 +255,30 @@ object Warc {
       .select(col("path"), col("length").as("file_length"),
         gunzipChunk(col("content")).as("warc"))
 
+  /** Charset-sniffed decode of raw payload BYTES (r17, VERDICT r16
+    * §next-5) — the stage between "fetched bytes" and every text
+    * operator: BOM → declared HTML meta / XML encoding → strict-UTF-8
+    * validation → windows-1252 fallback, deterministic and map-only
+    * ([[graft.expressions.CharsetOps]]). Decoding a legacy-charset page
+    * as UTF-8 mojibakes it BEFORE `fixMojibake` can help (that operator
+    * repairs mis-roundtripped UTF-8 text, not a wrong decode), so a
+    * real-crawl ingest runs this first: bytes → [[decodePayload]] →
+    * extraction. The q_warc_charset gate pins every detector stage
+    * against literal round trips in both engines.
+    */
+  def decodePayload(bytes: Column): Column =
+    graft.expressions.CharsetExpressions.decodeSniffed(bytes)
+
+  /** The detected canonical charset of a raw payload (diagnostics /
+    * corpus profiling side of [[decodePayload]]).
+    */
+  def payloadCharset(bytes: Column): Column =
+    graft.expressions.CharsetExpressions.sniffCharset(bytes)
+
+  /** Which detector stage fired: bom | meta | xml | utf8 | fallback. */
+  def payloadCharsetMethod(bytes: Column): Column =
+    graft.expressions.CharsetExpressions.sniffMethod(bytes)
+
   /** The crawl front door: successful (200) HTML response records as
     * `(idCol, record_idx, record_id, url, fetched_at, html)` — the
     * exact input shape of [[TextAnalysis.extractHtmlDf]] and the

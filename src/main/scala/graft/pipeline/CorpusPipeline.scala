@@ -149,6 +149,17 @@ object CorpusPipeline {
                                maxLinkDensity: Double = 0.2,
                                minStopDensity: Double = 0.2) extends Step
 
+  /** Charset-sniffed decode of raw payload BYTES (r17,
+    * [[graft.operators.Warc.decodePayload]]): REWRITES `textCol` from
+    * the binary `bytesCol` via BOM → declared meta/XML charset →
+    * strict-UTF-8 validation → windows-1252 fallback. The stage BEFORE
+    * [[ExtractHtml]] on a real crawl: a legacy-charset page decoded as
+    * UTF-8 mojibakes before any later step (including mojibake repair,
+    * which fixes mis-roundtripped UTF-8, not a wrong decode) can see
+    * it. Map-only, shuffle-free.
+    */
+  final case class DecodeCharset(bytesCol: String) extends Step
+
   /** [[ExtractHtml]] under the SCRIPT-ROUTED keep rule (r16,
     * [[graft.operators.TextAnalysis.extractHtmlDfRouted]]): the
     * stopword list keyed by `langCol`, segmentation-free-dominant
@@ -436,6 +447,9 @@ object CorpusPipeline {
         case KeepCompressionBand(minRatio, maxRatio) =>
           graft.operators.TextAnalysis.filterByCompressionRatio(d, textCol,
             minRatio, maxRatio)
+        case DecodeCharset(bytesCol) =>
+          d.withColumn(textCol,
+            graft.operators.Warc.decodePayload(col(bytesCol)))
         case ExtractHtml(minChars, maxLink, minStop) =>
           graft.operators.TextAnalysis.extractHtmlDf(d, textCol, minChars,
             maxLink, minStop)

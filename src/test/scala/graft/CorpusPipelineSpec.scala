@@ -37,6 +37,29 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(byId(4L)._3 == "https://fine.org/4" && byId(4L)._4 == "src1")
   }
 
+  test("DecodeCharset step decodes legacy-charset payload bytes before " +
+      "extraction sees them (r17)") {
+    // a windows-1252 page with a lying-by-omission charset (no meta, not
+    // valid UTF-8) and a Shift_JIS page with a meta — raw UTF-8 decoding
+    // would mojibake both beyond repair
+    val corpus = Seq(
+      (1L, "<html><head></head><body>café münchen résumé content here</body></html>",
+        "windows-1252"),
+      (2L, "<html><head><meta charset=\"shift_jis\"></head><body>こんにちは世界 content here</body></html>",
+        "Shift_JIS"))
+      .toDF("doc_id", "truth", "cs")
+      .select(col("doc_id"), col("truth"),
+        graft.expressions.CharsetExpressions
+          .encodeCharset(col("truth"), col("cs")).as("payload"))
+      .withColumn("text", lit("")) // the step rewrites this from bytes
+    val out = CorpusPipeline.run(corpus, "doc_id", "text",
+        Seq(DecodeCharset("payload"), ExtractHtml(minChars = 10,
+          maxLinkDensity = 1.0, minStopDensity = 0.0)))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out(1L).contains("café münchen résumé"), out(1L))
+    assert(out(2L).contains("こんにちは世界"), out(2L))
+  }
+
   test("CleanUnicode step repairs mojibake before RedactPii sees the text") {
     val corpus = Seq(
       (1L, "write to bob@x.example today please friends"),  // clean email
