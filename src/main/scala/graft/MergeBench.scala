@@ -193,13 +193,24 @@ object MergeBench {
     val coldFullSec = (System.nanoTime() - t2w) / 1e9
     require(itWarm < itCold,
       s"warm reconvergence lost: warm=$itWarm cold=$itCold")
+    // Full-depth DISTRIBUTED rank cost (ADVICE r16): the official bench
+    // rows run the distributed iteration at depth 3 (correctness stays
+    // full-depth spec-pinned), so per-iteration depth regressions —
+    // lineage/checkpoint growth with iteration count — are priced HERE
+    // at depth 10 on the forced-distributed path instead of silently
+    // dropping out of the record.
+    val t3w = System.nanoTime()
+    wg.pageRankFrom(wg.readIndexEdges(spark, grPath), maxIterations = 10,
+      localEdgeLimit = 0L, stopTol = None)
+    val distDepthSec = (System.nanoTime() - t3w) / 1e9
     val prScenarios = Seq(
       "pagerank_cold_bootstrap_iters" -> itCold0.toDouble,
       "pagerank_cold_bootstrap_sec" -> coldSec,
       "pagerank_warm_reconverge_iters" -> itWarm.toDouble,
       "pagerank_warm_reconverge_sec" -> warmSec,
       "pagerank_cold_reconverge_iters" -> itCold.toDouble,
-      "pagerank_cold_reconverge_sec" -> coldFullSec)
+      "pagerank_cold_reconverge_sec" -> coldFullSec,
+      "pagerank_dist_depth10_sec" -> distDepthSec)
 
     val js = (scenarios ++ jdbcScenarios ++ bktScenarios ++ prScenarios :+
         ("jdbc_rebuild" -> rebuild))

@@ -347,6 +347,13 @@ object TextAnalysis {
     * ([[htmlBlockFeaturesRouted]]) gives it the link-density-only
     * fallback instead of silently discarding it (VERDICT r15 §next-3 —
     * "a large fraction of real crawl pages silently discarded").
+    *
+    * Hangul is a DELIBERATE lenient exception (ADVICE r16): Korean IS
+    * space-delimited, but this engine ships no Korean stopword list, so
+    * routing Hangul through the density rule would count zero stopwords
+    * and discard every Korean block. Keeping it on the link-density-only
+    * path admits some boilerplate a ko list could filter — move the
+    * 0xAC00-0xD7AF range to the density path when one lands.
     */
   private[graft] val SegFreeBlocks: Seq[(Int, Int)] = Seq(
     0x4E00 -> 0x9FFF, 0x3040 -> 0x30FF, 0xAC00 -> 0xD7AF,

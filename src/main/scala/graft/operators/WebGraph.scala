@@ -234,12 +234,18 @@ object WebGraph {
       rows.foreach { case (s, _, w) => outW(s) = outW.getOrElse(s, 0L) + w }
       val hosts = (rows.map(_._1) ++ rows.map(_._2)).distinct
       val base = RankScale / hosts.length
-      // warm seed: the graph fit the driver gate, so its host-level seed
-      // does too (hosts ≤ 2·edges)
-      val seedLocal: Map[String, Long] = seed.map(_
-        .select(col("host").cast("string"), col("rank_scaled").cast("long"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
-        .getOrElse(Map.empty)
+      // warm seed: semi-join to THIS graph's hosts before collecting
+      // (ADVICE r16) — the graph fit the driver gate so the RELEVANT
+      // seed rows do too (≤ 2·edges), but an arbitrary caller may pass
+      // a seed frame far larger than the edge gate, and collecting it
+      // whole would OOM the driver for rows the loop ignores anyway
+      val seedLocal: Map[String, Long] = seed.map { sd =>
+        import spark.implicits._
+        sd.select(col("host").cast("string").as("host"),
+            col("rank_scaled").cast("long").as("rank_scaled"))
+          .join(hosts.toSeq.toDF("host"), Seq("host"), "left_semi")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }.getOrElse(Map.empty)
       var rank = hosts.map(h => h -> seedLocal.getOrElse(h, base)).toMap
       var itersRun = 0
       var stationary = false
