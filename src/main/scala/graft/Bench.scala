@@ -201,9 +201,13 @@ object Bench {
       // rows — AND the trigger is also data-driven: any query whose base
       // runs spread by more than 2× (max/min over successful runs) earns
       // the 2 extra runs, so a family that first shows contention in round
-      // N+1 doesn't need a round-N+2 regex edit.
+      // N+1 doesn't need a round-N+2 regex edit. r17 adds the JDBC
+      // roundtrip row: mid-sweep it pays a monotone cold-Derby decline
+      // ([23.9, 18.4, 12.0] vs 7-8 s isolated — spread 1.99, just under
+      // the data-driven 2× trigger), and median-of-5 reaches the steady
+      // state the isolated row measures.
       val familyRuns =
-        if ("^q_(mm_|sim_iv|dedup|cur_split_noleak|pipeline_(fineweb|crawl)_recipe)"
+        if ("^q_(mm_|sim_iv|dedup|cur_split_noleak|pipeline_(fineweb|crawl)_recipe|pipeline_jdbc)"
           .r.findFirstIn(name).isDefined) runs + 2
         else runs
       // One UNTIMED warm-up execution after the cache clear (r7 verdict

@@ -2600,9 +2600,9 @@ object SparkEntry {
       // and builds its index per run (append-gate ruling); the benched
       // CMS row stays q_skew_cms_hot.
       "q_stream_cms_replay_gate",
-      // r17: the retrain gate trains three times per run (quality-gate
-      // ruling); the benched IVF rows are the index write and probe.
-      "q_sim_ivf_retrain_gate",
+      // r17: the retrain gates train repeatedly per run (quality-gate
+      // ruling); the benched rows are the index writes and probes.
+      "q_sim_ivf_retrain_gate", "q_sim_pq_retrain_gate",
       // r17: fixture constructor + map-only charset natives (quality-
       // gate ruling); the decode rides every real ingest recipe.
       "q_warc_charset")
@@ -4121,19 +4121,21 @@ object SparkEntry {
         .select(col("n_chunks"), (col("__m") === 0L).as("roundtrip_exact"),
           col("n_records"))
     }),
-    // Charset-sniffing ingest stage (r17, VERDICT r16 §next-5): six
+    // Charset-sniffing ingest stage (r17, VERDICT r16 §next-5): seven
     // deterministic payload variants per doc — UTF-8 with BOM, UTF-8
     // with an HTML meta, windows-1252 declared as iso-8859-1 (the WHATWG
-    // label mapping), Shift_JIS with a meta, undeclared valid UTF-8, and
-    // undeclared windows-1252 (invalid as UTF-8 → fallback) — ENCODED to
-    // real bytes engine-side and decoded back through the sniffing chain
-    // (BOM → meta → XML decl → UTF-8 validation → cp1252). The decoded
-    // text must round-trip to the constructed truth EXACTLY; DuckDB
-    // replays truth/charset/method per case, so every detector stage and
-    // both legacy decodes land in the hash. Verify-only (fixture
-    // constructor + map-only natives — the quality-gate ruling).
+    // label mapping), Shift_JIS with a meta, undeclared valid UTF-8,
+    // undeclared windows-1252 (invalid as UTF-8 → fallback), and GBK
+    // with a meta — the three legacy charsets real CommonCrawl slices
+    // actually carry — ENCODED to real bytes engine-side and decoded
+    // back through the sniffing chain (BOM → meta → XML decl → UTF-8
+    // validation → cp1252). The decoded text must round-trip to the
+    // constructed truth EXACTLY; DuckDB replays truth/charset/method per
+    // case, so every detector stage and all three legacy decodes land in
+    // the hash. Verify-only (fixture constructor + map-only natives —
+    // the quality-gate ruling).
     "q_warc_charset" -> ((s, d) => {
-      val k = pmod(col("doc_id"), lit(6)).cast("int")
+      val k = pmod(col("doc_id"), lit(7)).cast("int")
       val idStr = col("doc_id").cast("string")
       def page(meta: String, body: Column): Column =
         concat(lit("<html><head>" + meta + "</head><body>"), body,
@@ -4141,16 +4143,19 @@ object SparkEntry {
       val bodyUtf8 = concat(lit("café Grün 東京 #"), idStr)
       val bodyCp = concat(lit("café Grün £ © #"), idStr)
       val bodySjis = concat(lit("こんにちは世界 SJIS #"), idStr)
+      val bodyGbk = concat(lit("中文网页内容 GBK #"), idStr)
       val truth =
         when(k === 1, page("<meta charset=\"utf-8\">", bodyUtf8))
           .when(k === 2, page("<meta http-equiv=\"Content-Type\" " +
             "content=\"text/html; charset=iso-8859-1\">", bodyCp))
           .when(k === 3, page("<meta charset=\"shift_jis\">", bodySjis))
           .when(k === 5, page("", bodyCp))
+          .when(k === 6, page("<meta charset=\"gbk\">", bodyGbk))
           .otherwise(page("", bodyUtf8)) // cases 0 (BOM) and 4 (bare UTF-8)
       val enc =
         when(k === 2 || k === 5, lit("windows-1252"))
           .when(k === 3, lit("Shift_JIS"))
+          .when(k === 6, lit("GBK"))
           .otherwise(lit("UTF-8"))
       val enc0 = graft.expressions.CharsetExpressions.encodeCharset(truth, enc)
       val bytes =
@@ -6184,6 +6189,44 @@ object SparkEntry {
           queryIds = Seq(2L, 4L, 6L), k = 8, topM = 5, nProbe = 16)
         .orderBy("src_id", "rank")
     }),
+    // PQ/OPQ retrain compaction gate (r17 — the q_sim_ivf_retrain_gate
+    // verb for the codes-only families): codebooks (and the OPQ
+    // rotation) frozen at write time drift as appends shift the corpus;
+    // retrain re-trains from the source-of-truth table and swaps
+    // codes + sidecars as one staged unit. Both trainers are
+    // deterministic (driver-side md5 samples sorted by id), so
+    // build-half → append-half → retrain must equal a fresh build over
+    // the union CODE-FOR-CODE — pinned for PQ and OPQ in one row.
+    // Verify-only (trains repeatedly per run — the append-gate ruling).
+    "q_sim_pq_retrain_gate" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").filter(size(col("embedding")) === 64)
+      val dir = tempDirCleaned("graft-pqretrain")
+      val half = emb.filter(col("vec_id") % 2 === 0)
+      val other = emb.filter(col("vec_id") % 2 =!= 0)
+      val pq = graft.operators.ProductQuantization
+      def codesOf(p: String) = s.read.parquet(p)
+        .select(col("id"),
+          array_join(col("codes").cast("array<string>"), ",").as("cs"))
+      def equalCodes(a: String, b: String): Boolean =
+        codesOf(a).exceptAll(codesOf(b)).isEmpty &&
+          codesOf(b).exceptAll(codesOf(a)).isEmpty
+      val (pA, pB) = (s"$dir/pq_incr", s"$dir/pq_rebuild")
+      pq.pqWriteIndex(half, "vec_id", "embedding", dim = 64, pA)
+      pq.pqAppendIndex(other, "vec_id", "embedding", pA)
+      pq.pqRetrainCompact(emb, "vec_id", "embedding", dim = 64, pA)
+      pq.pqWriteIndex(emb, "vec_id", "embedding", dim = 64, pB)
+      val pqEq = equalCodes(pA, pB)
+      val (oA, oB) = (s"$dir/opq_incr", s"$dir/opq_rebuild")
+      pq.opqWriteIndex(half, "vec_id", "embedding", dim = 64, oA)
+      pq.opqAppendIndex(other, "vec_id", "embedding", oA)
+      pq.opqRetrainCompact(emb, "vec_id", "embedding", dim = 64, oA)
+      pq.opqWriteIndex(emb, "vec_id", "embedding", dim = 64, oB)
+      val opqEq = equalCodes(oA, oB)
+      emb.agg(count(lit(1)).as("n_vectors"))
+        .select(col("n_vectors"),
+          lit(pqEq).as("pq_retrain_equals_rebuild"),
+          lit(opqEq).as("opq_retrain_equals_rebuild"))
+    }),
     "q_sim_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding", dim = 64,
         queryId = 1, k = 20, nCentroids = 16, nProbe = 4)),
@@ -7047,13 +7090,14 @@ object SparkEntry {
     // and the detector stage per case; the Spark side must decode its
     // REAL encoded bytes back to exactly this.
     "q_warc_charset" ->
-      """WITH c AS (SELECT doc_id, CAST(doc_id % 6 AS INT) AS k FROM documents)
+      """WITH c AS (SELECT doc_id, CAST(doc_id % 7 AS INT) AS k FROM documents)
         |SELECT doc_id,
         |  CASE WHEN k IN (0, 1, 4) THEN 'UTF-8'
         |       WHEN k = 3 THEN 'Shift_JIS'
+        |       WHEN k = 6 THEN 'GBK'
         |       ELSE 'windows-1252' END AS charset,
         |  CASE k WHEN 0 THEN 'bom' WHEN 1 THEN 'meta' WHEN 2 THEN 'meta'
-        |         WHEN 3 THEN 'meta' WHEN 4 THEN 'utf8'
+        |         WHEN 3 THEN 'meta' WHEN 4 THEN 'utf8' WHEN 6 THEN 'meta'
         |         ELSE 'fallback' END AS method,
         |  CASE
         |    WHEN k = 0 OR k = 4 THEN concat('<html><head></head><body>café Grün 東京 #',
@@ -7063,6 +7107,8 @@ object SparkEntry {
         |    WHEN k = 2 THEN concat('<html><head><meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1"></head><body>café Grün £ © #',
         |      CAST(doc_id AS VARCHAR), '</body></html>')
         |    WHEN k = 3 THEN concat('<html><head><meta charset="shift_jis"></head><body>こんにちは世界 SJIS #',
+        |      CAST(doc_id AS VARCHAR), '</body></html>')
+        |    WHEN k = 6 THEN concat('<html><head><meta charset="gbk"></head><body>中文网页内容 GBK #',
         |      CAST(doc_id AS VARCHAR), '</body></html>')
         |    ELSE concat('<html><head></head><body>café Grün £ © #',
         |      CAST(doc_id AS VARCHAR), '</body></html>')
@@ -7074,6 +7120,13 @@ object SparkEntry {
     "q_sim_ivf_retrain_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
         |  true AS retrain_equals_rebuild, true AS recall_exact_ok
+        |FROM embeddings WHERE len(embedding) = 64""".stripMargin,
+    // Same convention for the codes-only families: count oracled, the
+    // code-for-code retrain==rebuild booleans engine-side.
+    "q_sim_pq_retrain_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+        |  true AS pq_retrain_equals_rebuild,
+        |  true AS opq_retrain_equals_rebuild
         |FROM embeddings WHERE len(embedding) = 64""".stripMargin,
     "q_a2_rollup" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month, l_returnflag AS state,

@@ -398,7 +398,15 @@ object ProductQuantization {
       trainFraction)
     encode(emb, idCol, vecCol, books)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-    val spark = emb.sparkSession
+    writeBooksSidecar(emb.sparkSession, books, path)
+  }
+
+  /** The `_books` sidecar write — the single home of its format
+    * ([[pqReadBooks]]' counterpart), shared by [[pqWriteIndex]] and
+    * [[pqRetrainCompact]].
+    */
+  private def writeBooksSidecar(spark: org.apache.spark.sql.SparkSession,
+                                books: Codebooks, path: String): Unit = {
     import spark.implicits._
     books.toIndexedSeq.zipWithIndex.flatMap { case (cws, s) =>
       cws.toIndexedSeq.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
@@ -406,6 +414,31 @@ object ProductQuantization {
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/_books")
+  }
+
+  /** Retrain-recluster compaction of a persisted PQ index (r17 — the
+    * [[Similarity.ivfRetrainCompact]] verb for the codes-only family):
+    * codebooks frozen at write time drift as appends shift the corpus,
+    * and the codes store no vectors, so retraining takes the
+    * source-of-truth table `emb` — the same table the exact re-rank
+    * stage reads on every probe. Retrains with the deterministic sampled
+    * trainer, re-encodes everything, and swaps (codes + `_books`) in as
+    * ONE staged unit: code-identical to a fresh [[pqWriteIndex]] over
+    * `emb` (trainer determinism — the q_sim_pq_retrain_gate pin), but
+    * readers see the old index or the new, never the delete-then-write
+    * gap of a plain overwrite. SINGLE-WRITER maintenance.
+    */
+  def pqRetrainCompact(emb: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, path: String, m: Int = 8,
+                       kCodewords: Int = 16, maxIter: Int = 6,
+                       trainFraction: Double = 0.25): Unit = {
+    pqReadBooks(emb.sparkSession, path) // validates an index exists
+    val books = trainBooks(emb, idCol, vecCol, dim, m, kCodewords, maxIter,
+      trainFraction)
+    graft.pipeline.Sinks.overwriteViaStagingWith(
+      encode(emb, idCol, vecCol, books), path) { staged =>
+      writeBooksSidecar(emb.sparkSession, books, staged)
+    }: Unit
   }
 
   /** Load the codebook sidecar written by [[pqWriteIndex]]. Selected by
@@ -521,6 +554,33 @@ object ProductQuantization {
         .select(col(idCol).as("id"),
           graft.operators.Pca.projectCol(col(vecCol), model).as("rvec")),
       "id", "rvec", path)
+  }
+
+  /** [[pqRetrainCompact]] for the rotated family: retrain BOTH sidecars
+    * — the full-rank PCA rotation and the codebooks trained in the new
+    * rotated space — re-encode everything from the source-of-truth
+    * `emb`, and swap (codes + `_books` + `_rotation`) as ONE staged
+    * unit. Both trainers are deterministic (driver-side sorted samples),
+    * so retrain-after-appends equals a fresh [[opqWriteIndex]] over the
+    * union code-for-code (gate-pinned). SINGLE-WRITER maintenance.
+    */
+  def opqRetrainCompact(emb: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, path: String, m: Int = 8,
+                        kCodewords: Int = 16, maxIter: Int = 6,
+                        trainFraction: Double = 0.25): Unit = {
+    opqReadRotation(emb.sparkSession, path) // validates an OPQ index
+    val model = graft.operators.Pca.pcaTrain(emb, idCol, vecCol, dim, k = dim)
+    val rot = emb.filter(size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"),
+        graft.operators.Pca.projectCol(col(vecCol), model).as("rvec"))
+    val books = trainBooks(rot, "id", "rvec", dim, m, kCodewords, maxIter,
+      trainFraction)
+    graft.pipeline.Sinks.overwriteViaStagingWith(
+      encode(rot, "id", "rvec", books), path) { staged =>
+      writeBooksSidecar(emb.sparkSession, books, staged)
+      graft.operators.Pca.writeModel(emb.sparkSession, model,
+        s"$staged/_rotation")
+    }: Unit
   }
 
   /** Rotate one query vector driver-side: `C·(q − mean)` — the probe's

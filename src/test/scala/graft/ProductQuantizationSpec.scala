@@ -323,4 +323,49 @@ class ProductQuantizationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("_books"), e.getMessage)
   }
+
+  test("pq/opqRetrainCompact: build-half + append + retrain equals a " +
+      "fresh build over the union, code-for-code (r17)") {
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 8,
+      perCluster = 16, dim = 16, noise = 0.05)
+    val half = fix.filter(col("vec_id") % 2 === 0)
+    val other = fix.filter(col("vec_id") % 2 =!= 0)
+    def codes(p: String) = spark.read.parquet(p)
+      .select(col("id"), col("codes").cast("array<int>"))
+      .as[(Long, Seq[Int])].collect().toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pqretr").toString
+    PQ.pqWriteIndex(half, "vec_id", "embedding", dim = 16, s"$dir/a",
+      m = 4, kCodewords = 8)
+    PQ.pqAppendIndex(other, "vec_id", "embedding", s"$dir/a")
+    PQ.pqRetrainCompact(fix, "vec_id", "embedding", dim = 16, s"$dir/a",
+      m = 4, kCodewords = 8)
+    PQ.pqWriteIndex(fix, "vec_id", "embedding", dim = 16, s"$dir/b",
+      m = 4, kCodewords = 8)
+    assert(codes(s"$dir/a") == codes(s"$dir/b"))
+    // the swapped index stays probeable, every id exactly once
+    assert(codes(s"$dir/a").size == fix.count())
+    val q = fix.filter(col("vec_id") === 1)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    assert(PQ.pqTopKIndexed(spark, s"$dir/a", q, k = 5, excludeId = 1)
+      .count() == 5)
+    // rotated family: both sidecars retrain and swap with the codes
+    PQ.opqWriteIndex(half, "vec_id", "embedding", dim = 16, s"$dir/oa",
+      m = 4, kCodewords = 8)
+    PQ.opqAppendIndex(other, "vec_id", "embedding", s"$dir/oa")
+    PQ.opqRetrainCompact(fix, "vec_id", "embedding", dim = 16, s"$dir/oa",
+      m = 4, kCodewords = 8)
+    PQ.opqWriteIndex(fix, "vec_id", "embedding", dim = 16, s"$dir/ob",
+      m = 4, kCodewords = 8)
+    assert(codes(s"$dir/oa") == codes(s"$dir/ob"))
+    assert(PQ.opqTopKIndexed(spark, s"$dir/oa", q, k = 5, excludeId = 1)
+      .count() == 5)
+    // retrain on a non-index path fails loudly, not a silent create
+    val e = intercept[IllegalStateException] {
+      PQ.pqRetrainCompact(fix, "vec_id", "embedding", dim = 16,
+        s"$dir/missing")
+    }
+    assert(e.getMessage.contains("_books"), e.getMessage)
+  }
 }
