@@ -3573,10 +3573,14 @@ object SparkEntry {
       Dedup.substringWriteIndex(
         docs.filter(col("doc_id") >= 120 && col("doc_id") % 2 === 0),
         "doc_id", "text", minTokens = 4, path)
-      Dedup.substringAppendIndex(
-        docs.filter(col("doc_id") >= 120 && col("doc_id") % 2 =!= 0),
-        "doc_id", "text", path)
+      // r17: tagged + re-delivered around the compaction — fp counts are
+      // additive partials, a double append would double-count windows
+      val batch2 =
+        docs.filter(col("doc_id") >= 120 && col("doc_id") % 2 =!= 0)
+      Dedup.substringAppendIndex(batch2, "doc_id", "text", path, Some("1"))
+      Dedup.substringAppendIndex(batch2, "doc_id", "text", path, Some("1"))
       Dedup.substringCompactIndex(s, path)
+      Dedup.substringAppendIndex(batch2, "doc_id", "text", path, Some("1"))
       Dedup.substringProbeIndex(s, path,
           docs.filter(col("doc_id") < 120), "doc_id", "text")
         .orderBy("doc_id")
@@ -4236,8 +4240,14 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       TextAnalysis.bm25WriteIndex(docs.filter(col("doc_id") < 120),
         "doc_id", "text", path, nBuckets = 16)
-      TextAnalysis.bm25AppendIndex(docs.filter(col("doc_id") >= 120),
-        "doc_id", "text", path)
+      // r17: the append runs TAGGED and is re-delivered — the BM25
+      // postings/dfreq/stats rows are all additive, so a double append
+      // would shift every probe score and break the shared oracle
+      val batch2 = docs.filter(col("doc_id") >= 120)
+      TextAnalysis.bm25AppendIndex(batch2, "doc_id", "text", path,
+        Some("1"))
+      TextAnalysis.bm25AppendIndex(batch2, "doc_id", "text", path,
+        Some("1")) // replay
       TextAnalysis.bm25Probe(s, path, bm25Queries(s), "query_id", "qtext",
         k = 10).orderBy("query_id", "rank")
     }),
@@ -4246,15 +4256,20 @@ object SparkEntry {
     // (term,bucket), stats → one row, postings → bucket-preserving
     // small-file rewrite, all atomically staged), then probe — shares
     // the full-rebuild oracle outright: N appends + compact must equal
-    // the single rebuild for the hash to match.
+    // the single rebuild for the hash to match. r17: the append is
+    // tagged and re-delivered AFTER the compaction too (the marker
+    // survives the staged swap).
     "q_text_bm25_compact_gate" -> ((s, d) => {
       val path = tempDirCleaned("graft-bm25-compact") + "/idx"
       val docs = t(s, d, "documents")
       TextAnalysis.bm25WriteIndex(docs.filter(col("doc_id") < 120),
         "doc_id", "text", path, nBuckets = 16)
-      TextAnalysis.bm25AppendIndex(docs.filter(col("doc_id") >= 120),
-        "doc_id", "text", path)
+      val batch2 = docs.filter(col("doc_id") >= 120)
+      TextAnalysis.bm25AppendIndex(batch2, "doc_id", "text", path,
+        Some("1"))
       TextAnalysis.bm25CompactIndex(s, path)
+      TextAnalysis.bm25AppendIndex(batch2, "doc_id", "text", path,
+        Some("1")) // post-compact replay: still a no-op
       TextAnalysis.bm25Probe(s, path, bm25Queries(s), "query_id", "qtext",
         k = 10).orderBy("query_id", "rank")
     }),
@@ -4629,9 +4644,13 @@ object SparkEntry {
         .filter(col("doc_id") % 2 =!= 0))
       withStreamStatePartitions(s) {
         val q = stream.writeStream
-          .foreachBatch { (b: DataFrame, _: Long) =>
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            // r17: tagged — edge weights are additive partials, so the
+            // exactly-once marker protocol guards the genuine
+            // foreachBatch path inside this oracled hash
             WebGraph.appendIndex(
-              WebGraph.hostLinkGraph(b, "url", "resolved"), idx)
+              WebGraph.hostLinkGraph(b, "url", "resolved"), idx,
+              batchTag = Some(id.toString))
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()

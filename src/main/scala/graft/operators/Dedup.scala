@@ -1269,14 +1269,29 @@ object Dedup {
     * training parameter.
     */
   def substringAppendIndex(newDocs: DataFrame, idCol: String,
-                           textCol: String, path: String): Unit = {
+                           textCol: String, path: String,
+                           batchTag: Option[String] = None): Unit = {
     val k = substringIndexMeta(newDocs.sparkSession, path,
       "substringAppendIndex")
-    substrWindows(substrToks(newDocs, idCol, textCol), idCol, k)
+    val rows = substrWindows(substrToks(newDocs, idCol, textCol), idCol, k)
       .groupBy("__fp").agg(count(lit(1)).as("cnt"))
       .select(col("__fp").as("fp"), col("cnt"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$path/fps")
+    batchTag match {
+      case None =>
+        rows.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(s"$path/fps")
+      case Some(tag) =>
+        // additive partial counts: a foreachBatch crash-replay would
+        // double-count every window the batch contributed (r17 —
+        // the cmsAppendIndex treatment)
+        val sig = graft.pipeline.BatchAppend.contentSig(newDocs,
+          Seq(idCol, textCol))
+        graft.pipeline.BatchAppend.exactlyOnce(newDocs.sparkSession, path,
+          tag, sig, Seq(s"$path/fps")) {
+          graft.pipeline.BatchAppend.appendBatchFiles(rows, s"$path/fps",
+            tag)
+        }: Unit
+    }
   }
 
   /** Compact a persisted substring index's per-batch partial counts

@@ -729,35 +729,61 @@ object TextAnalysis {
     * Caller contract (shared with every dedup/ANN index here): batch doc
     * ids must not collide with ids already indexed.
     */
+  /** `batchTag` makes the append EXACTLY-ONCE (r17): postings, dfreq
+    * partials, and the stats row are all additive, so a foreachBatch
+    * crash-replay would double-count the batch into every later score.
+    * Committed (tag, content) replays as a no-op across ALL THREE dirs; a
+    * crash between them replays to exactly one committed copy of each
+    * ([[graft.pipeline.BatchAppend]] — the partitioned form for the
+    * bucketed postings/terms).
+    */
   def bm25AppendIndex(docs: DataFrame, idCol: String, textCol: String,
-                      path: String): Unit = {
+                      path: String, batchTag: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     val nBuckets = bm25ReadNBuckets(spark, path)
-    bm25IndexBatch(docs, idCol, textCol, path, nBuckets,
-      org.apache.spark.sql.SaveMode.Append)
+    batchTag match {
+      case None => bm25IndexBatch(docs, idCol, textCol, path, nBuckets,
+        org.apache.spark.sql.SaveMode.Append)
+      case Some(tag) =>
+        val sig = graft.pipeline.BatchAppend.contentSig(docs,
+          Seq(idCol, textCol))
+        graft.pipeline.BatchAppend.exactlyOnce(spark, path, tag, sig,
+          Seq(s"$path/postings", s"$path/terms", s"$path/stats")) {
+          bm25IndexBatch(docs, idCol, textCol, path, nBuckets,
+            org.apache.spark.sql.SaveMode.Append, batchTag = Some(tag))
+        }: Unit
+    }
   }
 
   private def bm25IndexBatch(docs: DataFrame, idCol: String, textCol: String,
                              path: String, nBuckets: Int,
-                             mode: org.apache.spark.sql.SaveMode): Unit = {
+                             mode: org.apache.spark.sql.SaveMode,
+                             batchTag: Option[String] = None): Unit = {
     val spark = docs.sparkSession
     val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
+    def write(df: DataFrame, sub: String, parts: Seq[String]): Unit =
+      batchTag match {
+        case Some(tag) =>
+          graft.pipeline.BatchAppend.appendBatchFiles(df, s"$path/$sub",
+            tag, parts)
+        case None =>
+          val w = df.write.mode(mode)
+          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+            .parquet(s"$path/$sub")
+      }
     val p = bm25PostingRows(docs, idCol, textCol, withPositions = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      p.withColumn("bucket", bucket)
-        .write.mode(mode).partitionBy("bucket").parquet(s"$path/postings")
-      p.groupBy("term").agg(count(lit(1)).as("dfreq"))
-        .withColumn("bucket", bucket)
-        .write.mode(mode).partitionBy("bucket").parquet(s"$path/terms")
+      write(p.withColumn("bucket", bucket), "postings", Seq("bucket"))
+      write(p.groupBy("term").agg(count(lit(1)).as("dfreq"))
+        .withColumn("bucket", bucket), "terms", Seq("bucket"))
       // coalesce: a batch whose docs all tokenize to nothing has zero
       // posting rows, and a bare sum would write total_dl = NULL into the
       // stats partials (ADVICE r12)
-      p.agg(countDistinct(col("id")).as("n_docs"),
+      write(p.agg(countDistinct(col("id")).as("n_docs"),
           coalesce(sum("tf"), lit(0L)).as("total_dl"))
         .withColumn("n_buckets", lit(nBuckets))
-        .coalesce(1)
-        .write.mode(mode).parquet(s"$path/stats")
+        .coalesce(1), "stats", Nil)
     } finally p.unpersist()
   }
 

@@ -879,10 +879,28 @@ object WebGraph {
       .write.mode("overwrite").parquet(s"$path/edges")
 
   /** Append a batch's host-pair counts as additive partial rows. */
-  def appendIndex(edges: DataFrame, path: String): Unit =
-    edges.select(col("src_host"), col("dst_host"),
-        col("weight").cast("long").as("weight"))
-      .write.mode("append").parquet(s"$path/edges")
+  /** `batchTag` makes the append EXACTLY-ONCE (r17): edge weights are
+    * additive partials, so a foreachBatch crash-replay would double a
+    * batch's weights into every later rank. Committed (tag, content)
+    * replays as a no-op; a colliding tag with different content fails
+    * loudly ([[graft.pipeline.BatchAppend]]).
+    */
+  def appendIndex(edges: DataFrame, path: String,
+                  batchTag: Option[String] = None): Unit = {
+    val rows = edges.select(col("src_host"), col("dst_host"),
+      col("weight").cast("long").as("weight"))
+    batchTag match {
+      case None => rows.write.mode("append").parquet(s"$path/edges")
+      case Some(tag) =>
+        val sig = graft.pipeline.BatchAppend.contentSig(rows,
+          Seq("src_host", "dst_host", "weight"))
+        graft.pipeline.BatchAppend.exactlyOnce(edges.sparkSession, path,
+          tag, sig, Seq(s"$path/edges")) {
+          graft.pipeline.BatchAppend.appendBatchFiles(rows,
+            s"$path/edges", tag)
+        }: Unit
+    }
+  }
 
   /** Compact the persisted graph's per-batch edge partials into one row
     * per (src_host, dst_host) — [[readIndexEdges]]' sum, materialized

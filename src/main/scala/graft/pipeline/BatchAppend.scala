@@ -80,41 +80,64 @@ object BatchAppend {
     fsOf(spark, p).create(p, true).close()
   }
 
-  /** Delete every `batch-<tag>-*` data file under `dir` (plus local-FS
-    * `.crc` twins) — a crashed attempt's partial commit. No-op when the
-    * directory doesn't exist.
+  /** Delete every `batch-<tag>-*` data file under `dir` — recursing one
+    * partition level (`key=value` subdirs, for bucketed indexes like the
+    * BM25 postings) — plus local-FS `.crc` twins and any stale staging
+    * dir: a crashed attempt's partial commit. No-op when the directory
+    * doesn't exist.
     */
   private def clearBatchFiles(spark: SparkSession, dir: String,
                               tag: String): Unit = {
-    val p = new Path(dir)
-    val fs = fsOf(spark, p)
-    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isFile &&
-          (n.startsWith(s"batch-$tag-") || n.startsWith(s".batch-$tag-")))
-        fs.delete(st.getPath, false)
-    }
+    val root = new Path(dir)
+    val fs = fsOf(spark, root)
+    def clear(p: Path): Unit =
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile &&
+            (n.startsWith(s"batch-$tag-") || n.startsWith(s".batch-$tag-")))
+          fs.delete(st.getPath, false): Unit
+        else if (st.isDirectory && n == s".batch-$tag-staging")
+          fs.delete(st.getPath, true): Unit
+        else if (st.isDirectory && n.contains("="))
+          clear(st.getPath)
+      }
+    clear(root)
   }
 
   /** Append `rows` to `dir` as data files named `batch-<tag>-<k>`: write
     * to a dot-prefixed staging dir (readers skip it), then rename each
     * part file (and its local-FS checksum twin) to its deterministic
-    * committed name. Rename is the commit for each file; the caller's
-    * marker is the commit for the batch.
+    * committed name — for partitioned appends (`partitionBy` non-empty),
+    * each `key=value` subdir's files land in the matching subdir of
+    * `dir`. Rename is the commit for each file; the caller's marker is
+    * the commit for the batch.
     */
-  def appendBatchFiles(rows: DataFrame, dir: String, tag: String): Unit = {
+  def appendBatchFiles(rows: DataFrame, dir: String, tag: String,
+                       partitionBy: Seq[String] = Nil): Unit = {
     val spark = rows.sparkSession
     val staging = s"$dir/.batch-$tag-staging"
     val stagingP = new Path(staging)
     val fs = fsOf(spark, stagingP)
     fs.delete(stagingP, true)
-    rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging)
-    val parts = fs.listStatus(stagingP)
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath).sortBy(_.getName)
-    parts.zipWithIndex.foreach { case (src, k) =>
+    val w = rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(staging)
+    // (src part file, relative partition subpath) pairs, sorted for
+    // deterministic committed names
+    def walk(p: Path, rel: String): Seq[(Path, String)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.startsWith("part-")) Seq(st.getPath -> rel)
+        else if (st.isDirectory && n.contains("="))
+          walk(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+        else Nil
+      }
+    val parts = walk(stagingP, "").sortBy(_._1.toString)
+    parts.zipWithIndex.foreach { case ((src, rel), k) =>
       val ext = src.getName.dropWhile(_ != '.') // ".snappy.parquet"
-      val dst = new Path(dir, s"batch-$tag-$k$ext")
+      val dstDir = if (rel.isEmpty) new Path(dir) else new Path(dir, rel)
+      fs.mkdirs(dstDir)
+      val dst = new Path(dstDir, s"batch-$tag-$k$ext")
       fs.delete(dst, false)
       // local-FS checksum twin must travel with the file or the next
       // read trips ChecksumException (the plantSidecar lesson)

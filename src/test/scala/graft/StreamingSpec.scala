@@ -708,6 +708,89 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("DIFFERENT content"), e.getMessage)
   }
 
+  test("webGraph appendIndex batchTag: replayed edge partials do not " +
+      "double weights; crash state converges") {
+    import graft.operators.WebGraph
+    val dir = Files.createTempDirectory("graft-web-replay").toString
+    WebGraph.writeIndex(
+      Seq(("a", "b", 2L)).toDF("src_host", "dst_host", "weight"), dir)
+    val b1 = Seq(("a", "b", 3L), ("b", "c", 1L))
+      .toDF("src_host", "dst_host", "weight")
+    def edges() = WebGraph.readIndexEdges(spark, dir)
+      .as[(String, String, Long)].collect().toSet
+    WebGraph.appendIndex(b1, dir, batchTag = Some("0"))
+    val truth = Set(("a", "b", 5L), ("b", "c", 1L))
+    assert(edges() == truth)
+    WebGraph.appendIndex(b1, dir, batchTag = Some("0")) // replay: no-op
+    assert(edges() == truth)
+    dropMarker(dir, "0") // crash: data committed, marker lost
+    WebGraph.appendIndex(b1, dir, batchTag = Some("0"))
+    assert(edges() == truth)
+    WebGraph.compactIndex(spark, dir)
+    WebGraph.appendIndex(b1, dir, batchTag = Some("0")) // post-compact
+    assert(edges() == truth)
+    val e = intercept[IllegalStateException] {
+      WebGraph.appendIndex(Seq(("x", "y", 9L))
+        .toDF("src_host", "dst_host", "weight"), dir, batchTag = Some("0"))
+    }
+    assert(e.getMessage.contains("DIFFERENT content"), e.getMessage)
+  }
+
+  test("bm25AppendIndex batchTag: replay no-ops across all THREE dirs " +
+      "(bucketed postings/terms + stats); crash state converges") {
+    import graft.operators.TextAnalysis
+    val dir = Files.createTempDirectory("graft-bm25-replay").toString + "/idx"
+    TextAnalysis.bm25WriteIndex(
+      Seq((1L, "alpha beta gamma"), (2L, "beta delta"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, nBuckets = 4)
+    val b1 = Seq((3L, "alpha alpha epsilon")).toDF("doc_id", "text")
+    def state() = (
+      spark.read.parquet(s"$dir/postings").count(),
+      spark.read.parquet(s"$dir/terms")
+        .groupBy("term").agg(sum("dfreq").as("df"))
+        .as[(String, Long)].collect().toMap,
+      spark.read.parquet(s"$dir/stats")
+        .agg(sum("n_docs"), sum("total_dl")).as[(Long, Long)].head())
+    TextAnalysis.bm25AppendIndex(b1, "doc_id", "text", dir, Some("5"))
+    val truth = state()
+    assert(truth._3 == ((3L, 8L)), truth._3) // 3 docs, 8 tokens total
+    assert(truth._2("alpha") == 2L, truth._2)
+    TextAnalysis.bm25AppendIndex(b1, "doc_id", "text", dir, Some("5"))
+    assert(state() == truth) // replay: no-op in every dir
+    dropMarker(dir, "5") // crash after data, before marker
+    TextAnalysis.bm25AppendIndex(b1, "doc_id", "text", dir, Some("5"))
+    assert(state() == truth)
+    val e = intercept[IllegalStateException] {
+      TextAnalysis.bm25AppendIndex(Seq((9L, "zeta")).toDF("doc_id", "text"),
+        "doc_id", "text", dir, Some("5"))
+    }
+    assert(e.getMessage.contains("DIFFERENT content"), e.getMessage)
+  }
+
+  test("substringAppendIndex batchTag: replayed fp partials do not " +
+      "double window counts") {
+    import graft.operators.Dedup
+    val dir = Files.createTempDirectory("graft-sub-replay").toString
+    Dedup.substringWriteIndex(
+      Seq((1L, "one two three four five")).toDF("doc_id", "text"),
+      "doc_id", "text", minTokens = 4, dir)
+    val b1 = Seq((2L, "six seven eight nine ten")).toDF("doc_id", "text")
+    def cnt() = spark.read.parquet(s"$dir/fps")
+      .agg(sum("cnt")).as[Long].head()
+    Dedup.substringAppendIndex(b1, "doc_id", "text", dir, Some("0"))
+    val truth = cnt()
+    Dedup.substringAppendIndex(b1, "doc_id", "text", dir, Some("0"))
+    assert(cnt() == truth) // replay: no-op
+    dropMarker(dir, "0")
+    Dedup.substringAppendIndex(b1, "doc_id", "text", dir, Some("0"))
+    assert(cnt() == truth)
+    val e = intercept[IllegalStateException] {
+      Dedup.substringAppendIndex(Seq((3L, "a b c d e"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, Some("0"))
+    }
+    assert(e.getMessage.contains("DIFFERENT content"), e.getMessage)
+  }
+
   test("componentsAppendIndex batchTag: replay no-ops over both dirs, " +
       "crash state converges, no duplicate label rows") {
     import graft.operators.Dedup
