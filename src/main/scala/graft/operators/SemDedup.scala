@@ -216,6 +216,37 @@ object SemDedup {
       .partitionBy("cell").parquet(path)
   }
 
+  /** Retrain-recluster compaction (r17 — the
+    * [[Similarity.ivfRetrainCompact]] verb for this family): appends
+    * assign under the FROZEN sidecar centroids, and for SemDeDup the
+    * drift decay is worse than recall loss — a semantic duplicate PAIR
+    * that straddles two cells is never compared at all, so duplicates
+    * SURVIVE silently (spec-pinned with a planted boundary-pair
+    * fixture). Retrains on the stored quantized vectors with the
+    * deterministic sampled trainer, reassigns every row, and swaps the
+    * cells + `_centroids` sidecar as ONE staged unit. `nCentroids = 0`
+    * keeps the stored cell count. SINGLE-WRITER maintenance, like every
+    * staged-swap compaction.
+    */
+  def semDedupRetrainCompact(spark: org.apache.spark.sql.SparkSession,
+                             path: String, nCentroids: Int = 0,
+                             maxIter: Int = 8,
+                             sampleFraction: Double = 1.0,
+                             maxSampleRows: Int = 2000000): Unit = {
+    val stored = readIndexCentroids(spark, path)
+    val k = if (nCentroids > 0) nCentroids else stored.length
+    val dim = stored.head.length
+    val rows = spark.read.parquet(path).select(col("id"), col("qvec"))
+    val cents = Similarity.kMeansCentroidsSampled(rows, "id", "qvec", dim,
+      k, sampleFraction, maxIter, maxSampleRows = maxSampleRows)
+    val reassigned = rows.select(col("id"), col("qvec"),
+      Similarity.ivfAssignTo(col("qvec"), cents).as("cell"))
+    graft.pipeline.Sinks.overwriteViaStagingWith(reassigned, path,
+      Seq("cell")) { staged =>
+      Similarity.writeCentroidSidecar(spark, cents, staged)
+    }: Unit
+  }
+
   /** Load the centroid sidecar of a SemDeDup index — the shared
     * sidecar-format contract of [[Similarity.ivfReadCentroids]], with
     * this family's own fail-loud hint (code-review r12: the format must

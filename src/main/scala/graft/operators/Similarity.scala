@@ -764,6 +764,28 @@ object Similarity {
         (col("min_recall") >= minRecall).as("pass"))
   }
 
+  /** Cell-occupancy statistics of a persisted IVF/SemDeDup-shaped index
+    * (r17): the CHEAP continuous drift signal next to [[ivfRecallGate]]'s
+    * expensive definitive one — appends assign to frozen centroids, so a
+    * drifting corpus bloats cells unevenly long before recall visibly
+    * decays, and a bloated cell also costs every probe that touches it.
+    * One column-pruned scan of the partition column. Returns one row:
+    * (n_rows, n_cells, max_cell, mean_cell, imbalance = max/mean) —
+    * trigger [[ivfRetrainCompact]] when imbalance drifts past the
+    * index's write-time value.
+    */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(path).groupBy("cell")
+      .agg(count(lit(1)).as("__n"))
+      .agg(sum("__n").as("n_rows"),
+        count(lit(1)).as("n_cells"),
+        max("__n").as("max_cell"),
+        avg("__n").as("mean_cell"))
+      .select(col("n_rows"), col("n_cells"), col("max_cell"),
+        col("mean_cell"),
+        (col("max_cell") / col("mean_cell")).as("imbalance"))
+
   /** Retrain-recluster compaction of a persisted IVF index (r17, VERDICT
     * r16 §next-2) — the append family's third verb (write → append →
     * retrain-compact), restoring recall after drift: retrain centroids on
@@ -780,12 +802,22 @@ object Similarity {
   def ivfRetrainCompact(spark: org.apache.spark.sql.SparkSession,
                         path: String, dim: Int, nCentroids: Int = 0,
                         sampleFraction: Double = 1.0,
-                        maxSampleRows: Int = 2000000): Unit = {
+                        maxSampleRows: Int = 2000000,
+                        centroids: Array[Array[Double]] = null): Unit = {
     val stored = ivfReadCentroids(spark, path) // also validates the index
     val k = if (nCentroids > 0) nCentroids else stored.length
     val rows = spark.read.parquet(path).select(col("id"), col("v"))
-    val cents = kMeansCentroidsSampled(rows, "id", "v", dim, k,
-      sampleFraction, maxSampleRows = maxSampleRows)
+    // explicit centroids mirror ivfWriteIndex's override: spherical
+    // k-means from the pseudo init can collapse small-k geometries to
+    // one dominant cell (correct answers, brute-force probes) — a
+    // caller that knows the target geometry may pin it
+    val cents =
+      if (centroids != null) {
+        require(centroids.length == k,
+          s"ivfRetrainCompact: got ${centroids.length} centroids, expected $k")
+        centroids
+      } else kMeansCentroidsSampled(rows, "id", "v", dim, k,
+        sampleFraction, maxSampleRows = maxSampleRows)
     val reassigned = rows.select(col("id"), col("v"),
       ivfAssignTo(col("v"), cents).as("cell"))
     graft.pipeline.Sinks.overwriteViaStagingWith(reassigned, path,

@@ -240,4 +240,48 @@ class SemDedupSpec extends SparkSpec {
     assert((1L to 8L).toSet.subsetOf(kept) ||
       kept.size >= 5, kept.toString) // distinct docs mostly survive
   }
+
+  test("semDedupRetrainCompact: duplicate pairs split across frozen " +
+      "cells survive silently until retrain collapses them (r17)") {
+    def pt(id: Long, a: Double, b: Double, c: Double): (Long, Array[Float]) =
+      (id, Array(a.toFloat, b.toFloat, c.toFloat, 0.0f))
+    // two clean axis clusters, plus ONE semantic cluster of ten mutually
+    // near-identical vectors (pairwise cosine >= 0.98, far above the 9/10
+    // bar) on the Voronoi boundary of the frozen centroids with
+    // alternating ±tilt — the frozen assignment splits it 5/5 across the
+    // two cells
+    val base = (0 until 10).map(i => pt(i, 1.0, 0.001 * i, 0.0)) ++
+      (0 until 10).map(i => pt(100 + i, 0.001 * i, 1.0, 0.0))
+    val drift = (0 until 5).flatMap { j =>
+      val d = 0.02
+      Seq(pt(200L + 2 * j, 0.7071 + d, 0.7071 - d, 0.05 * j),
+        pt(201L + 2 * j, 0.7071 - d, 0.7071 + d, 0.05 * j))
+    }
+    val all = (base ++ drift).toDF("vec_id", "embedding")
+    // construct the drifted index state EXPLICITLY (appends froze these
+    // centroids; hand-planting them pins the geometry instead of hoping
+    // a k=2 training run lands on the axes)
+    val planted = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-semretr").toString + "/idx"
+    Similarity.quantizeEmbeddings(all, "vec_id", "embedding")
+      .select(col("id"), col("qvec"),
+        Similarity.ivfAssignTo(col("qvec"), planted).as("cell"))
+      .write.partitionBy("cell").parquet(path)
+    Similarity.writeCentroidSidecar(spark, planted, path)
+    def driftSurvivors() = SemDedup.dedupSemanticIndexed(spark, path)
+      .select("id").as[Long].collect().filter(_ >= 200L).toSet
+    // the silent-decay state: ONE semantic cluster keeps TWO survivors —
+    // each cell's five members collapse among themselves, but the
+    // cross-cell half of the cluster is never compared
+    assert(driftSurvivors() == Set(200L, 201L), driftSurvivors().toString)
+    // retrain with a cell budget covering the new cluster: the whole
+    // cluster is co-located again and collapses to its true min id
+    SemDedup.semDedupRetrainCompact(spark, path, nCentroids = 3)
+    assert(driftSurvivors() == Set(200L), driftSurvivors().toString)
+    // the base clusters still dedup to their own min-id survivors
+    val kept = SemDedup.dedupSemanticIndexed(spark, path)
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(0L) && kept.contains(100L), kept.toString)
+  }
 }

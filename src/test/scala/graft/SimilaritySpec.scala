@@ -308,13 +308,29 @@ class SimilaritySpec extends SparkSpec {
     val before = gate()
     assert(!before._2 && before._1 <= 0.8,
       s"drift not detected: $before") // measured ~0.5: half the cluster
-    // retrain with a cell budget covering the new cluster: recall back
+    // trained retrain restores the gate (observed: the small-k pseudo
+    // init can collapse to one dominant cell — correct answers, probes
+    // degrade to scans; the cell stats below expose that state)
     Similarity.ivfRetrainCompact(spark, dir, dim = 4, nCentroids = 3)
     val after = gate()
     assert(after._2 && after._1 >= 0.9, s"retrain did not restore: $after")
+    // retrain with PINNED geometry (the ivfWriteIndex-style override):
+    // three cells — both axes plus the new boundary cluster — so the
+    // probe budget story holds, not just correctness
+    Similarity.ivfRetrainCompact(spark, dir, dim = 4, nCentroids = 3,
+      centroids = Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0),
+        Array(0.7071, 0.7071, 0.05, 0)))
+    val after2 = gate()
+    assert(after2._2 && after2._1 >= 0.9, s"pinned retrain: $after2")
     // the swapped index stays a fully working IVF index
     val top = Similarity.ivfTopKIndexed(spark, dir, dim = 4, queryId = 200L,
       k = 5).as[(Long, Long)].collect()
     assert(top.length == 5)
+    // the cheap drift signal: three genuinely used cells, near-balanced
+    val st = Similarity.ivfCellStats(spark, dir)
+      .select("n_rows", "n_cells", "imbalance")
+      .as[(Long, Long, Double)].head()
+    assert(st._1 == 40L && st._2 == 3L, st.toString)
+    assert(st._3 < 2.0, s"post-retrain imbalance: $st")
   }
 }
