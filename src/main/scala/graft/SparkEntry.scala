@@ -4139,7 +4139,7 @@ object SparkEntry {
     // the hash. Verify-only (fixture constructor + map-only natives —
     // the quality-gate ruling).
     "q_warc_charset" -> ((s, d) => {
-      val k = pmod(col("doc_id"), lit(7)).cast("int")
+      val k = pmod(col("doc_id"), lit(8)).cast("int")
       val idStr = col("doc_id").cast("string")
       def page(meta: String, body: Column): Column =
         concat(lit("<html><head>" + meta + "</head><body>"), body,
@@ -4153,21 +4153,26 @@ object SparkEntry {
           .when(k === 2, page("<meta http-equiv=\"Content-Type\" " +
             "content=\"text/html; charset=iso-8859-1\">", bodyCp))
           .when(k === 3, page("<meta charset=\"shift_jis\">", bodySjis))
-          .when(k === 5, page("", bodyCp))
+          .when(k === 5 || k === 7, page("", bodyCp))
           .when(k === 6, page("<meta charset=\"gbk\">", bodyGbk))
           .otherwise(page("", bodyUtf8)) // cases 0 (BOM) and 4 (bare UTF-8)
       val enc =
-        when(k === 2 || k === 5, lit("windows-1252"))
+        when(k === 2 || k === 5 || k === 7, lit("windows-1252"))
           .when(k === 3, lit("Shift_JIS"))
           .when(k === 6, lit("GBK"))
           .otherwise(lit("UTF-8"))
       val enc0 = graft.expressions.CharsetExpressions.encodeCharset(truth, enc)
       val bytes =
         when(k === 0, concat(unhex(lit("EFBBBF")), enc0)).otherwise(enc0)
+      // case 7 carries the charset in the HTTP Content-Type header only
+      // (no BOM, no meta — the transport-layer declaration the WARC
+      // chain's http_content_type field exists for)
+      val hint = when(k === 7, lit("text/html; charset=iso-8859-1"))
+        .otherwise(lit(""))
       t(s, d, "documents").select(col("doc_id"),
-          Warc.payloadCharset(bytes).as("charset"),
-          Warc.payloadCharsetMethod(bytes).as("method"),
-          Warc.decodePayload(bytes).as("text"))
+          Warc.payloadCharsetWithHint(bytes, hint).as("charset"),
+          Warc.payloadCharsetMethodWithHint(bytes, hint).as("method"),
+          Warc.decodePayloadWithHint(bytes, hint).as("text"))
         .orderBy("doc_id")
     }),
     // Trained Cavnar–Trenkle rank-profile language ID (late r10): profiles
@@ -7109,7 +7114,7 @@ object SparkEntry {
     // and the detector stage per case; the Spark side must decode its
     // REAL encoded bytes back to exactly this.
     "q_warc_charset" ->
-      """WITH c AS (SELECT doc_id, CAST(doc_id % 7 AS INT) AS k FROM documents)
+      """WITH c AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS k FROM documents)
         |SELECT doc_id,
         |  CASE WHEN k IN (0, 1, 4) THEN 'UTF-8'
         |       WHEN k = 3 THEN 'Shift_JIS'
@@ -7117,6 +7122,7 @@ object SparkEntry {
         |       ELSE 'windows-1252' END AS charset,
         |  CASE k WHEN 0 THEN 'bom' WHEN 1 THEN 'meta' WHEN 2 THEN 'meta'
         |         WHEN 3 THEN 'meta' WHEN 4 THEN 'utf8' WHEN 6 THEN 'meta'
+        |         WHEN 7 THEN 'header'
         |         ELSE 'fallback' END AS method,
         |  CASE
         |    WHEN k = 0 OR k = 4 THEN concat('<html><head></head><body>café Grün 東京 #',

@@ -101,6 +101,23 @@ object CharsetOps {
          (b(0) == 0xFF.toByte && b(1) == 0xFE.toByte))) 2
     else 0
 
+  private val HeaderCharsetRe =
+    "(?i)charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9._:-]+)".r
+
+  /** [[detect]] with an HTTP Content-Type header hint — the transport
+    * layer outranks in-document declarations in the HTML5 precedence
+    * (BOM → HTTP charset → meta), and the WARC chain carries the header
+    * (`http_content_type`) for exactly this. An empty or parameterless
+    * hint falls through to the unhinted chain.
+    */
+  private def detectWithHint(b: Array[Byte], hint: String): (String, String) = {
+    if (b.length >= 2 && bomLen(b) > 0) detect(b) // BOM still wins
+    else HeaderCharsetRe.findFirstMatchIn(hint) match {
+      case Some(m) => (canonical(m.group(1)), "header")
+      case None => detect(b)
+    }
+  }
+
   /** The detected canonical charset name of a payload. */
   def sniffCharset(b: Array[Byte]): UTF8String =
     UTF8String.fromString(detect(b)._1)
@@ -108,6 +125,22 @@ object CharsetOps {
   /** Which detector stage fired: bom | meta | xml | utf8 | fallback. */
   def sniffMethod(b: Array[Byte]): UTF8String =
     UTF8String.fromString(detect(b)._2)
+
+  /** [[sniffCharset]] under an HTTP Content-Type hint ('' = no hint). */
+  def sniffCharsetHint(b: Array[Byte], hint: UTF8String): UTF8String =
+    UTF8String.fromString(detectWithHint(b, hint.toString)._1)
+
+  /** [[sniffMethod]] under a hint; adds the "header" stage. */
+  def sniffMethodHint(b: Array[Byte], hint: UTF8String): UTF8String =
+    UTF8String.fromString(detectWithHint(b, hint.toString)._2)
+
+  /** [[decodeSniffed]] under an HTTP Content-Type hint ('' = no hint). */
+  def decodeSniffedHint(b: Array[Byte], hint: UTF8String): UTF8String = {
+    val (name, method) = detectWithHint(b, hint.toString)
+    val off = if (method == "bom") bomLen(b) else 0
+    UTF8String.fromString(new String(b, off, b.length - off,
+      Charset.forName(name)))
+  }
 
   /** Decode a payload under its detected charset (BOM stripped, REPLACE
     * semantics for bytes the declared charset cannot decode). Detection
@@ -172,6 +205,36 @@ object CharsetExpressions {
       "encodeCharset",
       Seq(GraftBridge.expression(text), GraftBridge.expression(charset)),
       inputTypes = Seq(StringType, StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  def sniffCharsetHint(bytes: Column, hint: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      CharsetOps.getClass,
+      StringType,
+      "sniffCharsetHint",
+      Seq(GraftBridge.expression(bytes), GraftBridge.expression(hint)),
+      inputTypes = Seq(BinaryType, StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  def sniffMethodHint(bytes: Column, hint: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      CharsetOps.getClass,
+      StringType,
+      "sniffMethodHint",
+      Seq(GraftBridge.expression(bytes), GraftBridge.expression(hint)),
+      inputTypes = Seq(BinaryType, StringType),
+      propagateNull = true,
+      returnNullable = true))
+
+  def decodeSniffedHint(bytes: Column, hint: Column): Column =
+    GraftBridge.column(StaticInvoke(
+      CharsetOps.getClass,
+      StringType,
+      "decodeSniffedHint",
+      Seq(GraftBridge.expression(bytes), GraftBridge.expression(hint)),
+      inputTypes = Seq(BinaryType, StringType),
       propagateNull = true,
       returnNullable = true))
 }

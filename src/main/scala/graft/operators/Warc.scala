@@ -279,6 +279,31 @@ object Warc {
   def payloadCharsetMethod(bytes: Column): Column =
     graft.expressions.CharsetExpressions.sniffMethod(bytes)
 
+  /** [[decodePayload]] with the HTTP Content-Type header as a hint —
+    * the transport layer outranks in-document declarations in the HTML5
+    * precedence (BOM → HTTP charset param → meta → XML decl →
+    * validation), and [[parseRecords]] carries the header
+    * (`http_content_type`) for exactly this. An empty or
+    * charset-parameter-less hint falls through to [[decodePayload]]'s
+    * chain; the "header" method surfaces in
+    * [[payloadCharsetMethodWithHint]].
+    */
+  def decodePayloadWithHint(bytes: Column, contentType: Column): Column =
+    graft.expressions.CharsetExpressions.decodeSniffedHint(bytes,
+      contentType)
+
+  /** The detected charset under a Content-Type hint. */
+  def payloadCharsetWithHint(bytes: Column, contentType: Column): Column =
+    graft.expressions.CharsetExpressions.sniffCharsetHint(bytes,
+      contentType)
+
+  /** Detector stage under a hint: bom | header | meta | xml | utf8 |
+    * fallback.
+    */
+  def payloadCharsetMethodWithHint(bytes: Column,
+                                   contentType: Column): Column =
+    graft.expressions.CharsetExpressions.sniffMethodHint(bytes, contentType)
+
   /** The crawl front door: successful (200) HTML response records as
     * `(idCol, record_idx, record_id, url, fetched_at, html)` — the
     * exact input shape of [[TextAnalysis.extractHtmlDf]] and the

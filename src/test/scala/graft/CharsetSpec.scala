@@ -56,6 +56,33 @@ class CharsetSpec extends SparkSpec {
       (("UTF-8", "utf8", "plain ascii")))
   }
 
+  test("Content-Type hint: header outranks meta, BOM outranks header, " +
+      "parameterless hints fall through") {
+    // header says cp1252, meta LIES utf-8 — the transport layer wins
+    // (HTML5 precedence) and the cp1252 bytes decode correctly
+    val lying = "<html><head><meta charset=\"utf-8\"></head><body>café</body></html>"
+      .getBytes("windows-1252")
+    def hinted(b: Array[Byte], h: String): (String, String, String) = {
+      val r = Seq(Tuple1(b)).toDF("b")
+        .select(sniffCharsetHint(col("b"), lit(h)),
+          sniffMethodHint(col("b"), lit(h)),
+          decodeSniffedHint(col("b"), lit(h)))
+        .head()
+      (r.getString(0), r.getString(1), r.getString(2))
+    }
+    val (cs, m, txt) = hinted(lying, "text/html; charset=iso-8859-1")
+    assert(cs == "windows-1252" && m == "header", (cs, m))
+    assert(txt.contains("café"), txt)
+    // a BOM beats the header hint
+    val bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "hé".getBytes("UTF-8")
+    assert(hinted(bom, "text/html; charset=iso-8859-1") ==
+      (("UTF-8", "bom", "hé")))
+    // a hint with no charset parameter falls through to the plain chain
+    assert(hinted("plain".getBytes("US-ASCII"), "text/html") ==
+      (("UTF-8", "utf8", "plain")))
+  }
+
   test("encodeCharset round-trips through every detector stage it feeds") {
     // Shift_JIS with meta: encode -> sniff -> decode is the identity
     val page = "<html><head><meta charset=\"shift_jis\"></head>" +
