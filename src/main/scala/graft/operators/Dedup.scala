@@ -894,6 +894,34 @@ object Dedup {
     n
   }
 
+  /** Maintenance POLICY verb (late r17) — the componentsCompactIndex
+    * trigger the r16 relabel-growth discussion wanted: fold the relabel
+    * chains only when their accumulated row count crosses
+    * `maxRelabels`. Resolution itself is fully distributed (pointer
+    * doubling, no driver state), so correctness never needs this — what
+    * grows with relabel history is the per-read resolution WORK
+    * (⌈log₂ chain⌉ self-join rounds over the relabel set on every
+    * [[componentsIndexedGroups]] call), and this bounds it. The check is
+    * one count over the relabels table; run it after every append batch.
+    * Returns whether a compaction ran. SINGLE-WRITER, like the verbs it
+    * composes.
+    */
+  def componentsMaybeCompact(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             maxRelabels: Long = 1000000L): Boolean = {
+    require(maxRelabels >= 0,
+      s"componentsMaybeCompact: maxRelabels >= 0, got $maxRelabels")
+    componentsMeta(spark, path, "componentsMaybeCompact")
+    val rl = s"$path/relabels"
+    val n =
+      if (graft.pipeline.Sinks.exists(spark, rl))
+        spark.read.parquet(rl).count()
+      else 0L
+    val trigger = n > maxRelabels
+    if (trigger) componentsCompactIndex(spark, path): Unit
+    trigger
+  }
+
   /** End-to-end near-duplicate removal — the operation a training-data
     * pipeline actually runs: MinHash+LSH candidates → exact-Jaccard
     * verification → connected components → keep the min-id survivor per

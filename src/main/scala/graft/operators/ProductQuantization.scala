@@ -438,6 +438,9 @@ object ProductQuantization {
     graft.pipeline.Sinks.overwriteViaStagingWith(
       encode(emb, idCol, vecCol, books), path) { staged =>
       writeBooksSidecar(emb.sparkSession, books, staged)
+      // exactly-once markers ride the swap (the ivfRetrainCompact note)
+      graft.pipeline.BatchAppend.preserveMarkers(emb.sparkSession, path,
+        staged)
     }: Unit
   }
 
@@ -467,12 +470,28 @@ object ProductQuantization {
     * (re-training on the batch would silently shift every code's meaning)
     * — and append. O(batch) work per batch, no O(corpus) rebuild; the
     * daily-ingest story, same as [[Similarity.ivfAppendIndex]].
+    *
+    * `batchTag` makes the append EXACTLY-ONCE (late r17 — the
+    * [[Similarity.ivfAppendIndex]] treatment): a crash-replayed batch
+    * would append the same codes twice, and a duplicated id fills two
+    * ADC top-k slots, silently displacing a true neighbor. Committed
+    * (tag, content) replays no-op; markers survive [[pqRetrainCompact]]'s
+    * staged swap ([[graft.pipeline.BatchAppend]]).
     */
   def pqAppendIndex(emb: DataFrame, idCol: String, vecCol: String,
-                    path: String): Unit = {
+                    path: String, batchTag: Option[String] = None): Unit = {
     val books = pqReadBooks(emb.sparkSession, path)
-    encode(emb, idCol, vecCol, books)
-      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+    val codes = encode(emb, idCol, vecCol, books)
+    batchTag match {
+      case None =>
+        codes.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+      case Some(tag) =>
+        val sig = graft.pipeline.BatchAppend.contentSig(emb, Seq(idCol, vecCol))
+        graft.pipeline.BatchAppend.exactlyOnce(emb.sparkSession, path, tag,
+          sig, Seq(path)) {
+          graft.pipeline.BatchAppend.appendBatchFiles(codes, path, tag)
+        }: Unit
+    }
   }
 
   /** ADC top-k against a persisted PQ index: the scan reads codes only
@@ -545,15 +564,31 @@ object ProductQuantization {
   /** Incremental OPQ maintenance: rotate the batch with the SIDECAR
     * model and encode with the SIDECAR books — the only pair consistent
     * with the codes on disk — then append. O(batch), the
-    * [[pqAppendIndex]] contract.
+    * [[pqAppendIndex]] contract, including its exactly-once `batchTag`.
+    * The content signature runs over the RAW (id, vector) batch, NOT
+    * the rotated frame: a retrain compaction replaces the rotation
+    * model, so the same replayed bytes would rotate to different
+    * doubles and a genuine post-retrain replay would misread as a
+    * lineage mismatch instead of a no-op (caught by the spec's
+    * replay-after-retrain leg).
     */
   def opqAppendIndex(emb: DataFrame, idCol: String, vecCol: String,
-                     path: String): Unit = {
+                     path: String, batchTag: Option[String] = None): Unit = {
     val model = opqReadRotation(emb.sparkSession, path)
-    pqAppendIndex(emb.filter(size(col(vecCol)) === model.dim)
-        .select(col(idCol).as("id"),
-          graft.operators.Pca.projectCol(col(vecCol), model).as("rvec")),
-      "id", "rvec", path)
+    def rot = emb.filter(size(col(vecCol)) === model.dim)
+      .select(col(idCol).as("id"),
+        graft.operators.Pca.projectCol(col(vecCol), model).as("rvec"))
+    batchTag match {
+      case None => pqAppendIndex(rot, "id", "rvec", path)
+      case Some(tag) =>
+        val sig = graft.pipeline.BatchAppend.contentSig(emb, Seq(idCol, vecCol))
+        graft.pipeline.BatchAppend.exactlyOnce(emb.sparkSession, path, tag,
+          sig, Seq(path)) {
+          val books = pqReadBooks(emb.sparkSession, path)
+          graft.pipeline.BatchAppend.appendBatchFiles(
+            encode(rot, "id", "rvec", books), path, tag)
+        }: Unit
+    }
   }
 
   /** [[pqRetrainCompact]] for the rotated family: retrain BOTH sidecars
@@ -580,6 +615,9 @@ object ProductQuantization {
       writeBooksSidecar(emb.sparkSession, books, staged)
       graft.operators.Pca.writeModel(emb.sparkSession, model,
         s"$staged/_rotation")
+      // exactly-once markers ride the swap (the ivfRetrainCompact note)
+      graft.pipeline.BatchAppend.preserveMarkers(emb.sparkSession, path,
+        staged)
     }: Unit
   }
 

@@ -203,17 +203,36 @@ object SemDedup {
     * directories (the [[Similarity.ivfAppendIndex]] shape). The next
     * [[dedupSemanticIndexed]] pass sees old+new rows under one partition
     * layout; no retrain, no rewrite, no re-vectorizing the corpus.
+    *
+    * `batchTag` makes the append EXACTLY-ONCE (late r17 — the
+    * [[Similarity.ivfAppendIndex]] treatment): a crash-replayed batch
+    * duplicates vectors, and for SemDeDup a duplicated row is its own
+    * nearest within-cell neighbor at cosine 1.0 — it marks ITSELF a
+    * duplicate, silently deleting a unique document from the kept set.
+    * Committed (tag, content) replays no-op; markers survive
+    * [[semDedupRetrainCompact]]'s staged swap.
     */
   def semDedupAppendIndex(emb: DataFrame, idCol: String, vecCol: String,
-                          path: String): Unit = {
+                          path: String,
+                          batchTag: Option[String] = None): Unit = {
     val cents = readIndexCentroids(emb.sparkSession, path)
     val dim = cents.head.length
-    Similarity.quantizeEmbeddings(
+    val rows = Similarity.quantizeEmbeddings(
         emb.filter(size(col(vecCol)) === dim), idCol, vecCol)
       .select(col("id"), col("qvec"),
         Similarity.ivfAssignTo(col("qvec"), cents).as("cell"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("cell").parquet(path)
+    batchTag match {
+      case None =>
+        rows.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("cell").parquet(path)
+      case Some(tag) =>
+        val sig = graft.pipeline.BatchAppend.contentSig(emb, Seq(idCol, vecCol))
+        graft.pipeline.BatchAppend.exactlyOnce(emb.sparkSession, path, tag,
+          sig, Seq(path)) {
+          graft.pipeline.BatchAppend.appendBatchFiles(rows, path, tag,
+            partitionBy = Seq("cell"))
+        }: Unit
+    }
   }
 
   /** Retrain-recluster compaction (r17 — the
@@ -244,6 +263,8 @@ object SemDedup {
     graft.pipeline.Sinks.overwriteViaStagingWith(reassigned, path,
       Seq("cell")) { staged =>
       Similarity.writeCentroidSidecar(spark, cents, staged)
+      // exactly-once markers ride the swap (the ivfRetrainCompact note)
+      graft.pipeline.BatchAppend.preserveMarkers(spark, path, staged)
     }: Unit
   }
 

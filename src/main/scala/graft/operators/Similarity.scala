@@ -617,14 +617,37 @@ object Similarity {
     * the same partition pruning. This is the index-maintenance story a
     * daily-ingest corpus needs: O(batch) work per batch, no O(corpus)
     * rebuild.
+    *
+    * `batchTag` makes the append EXACTLY-ONCE (late r17 — the
+    * [[graft.operators.Skew.cmsAppendIndex]] treatment for the ROW-append
+    * families): hosted in `foreachBatch`, a crash-replayed batch would
+    * append the same vectors twice, and duplicate corpus rows silently
+    * corrupt every later probe — the same id occupies two of the top-k
+    * slots, displacing a true neighbor, with no error anywhere. Pass the
+    * stream's batch id; a committed (tag, content) replays as a no-op, a
+    * colliding tag with different content fails loudly
+    * ([[graft.pipeline.BatchAppend]]). Markers survive
+    * [[ivfRetrainCompact]]'s staged swap, so a replay arriving after a
+    * retrain still no-ops instead of re-appending rows the retrain
+    * already folded in.
     */
   def ivfAppendIndex(emb: DataFrame, idCol: String, vecCol: String,
-                     path: String): Unit = {
+                     path: String, batchTag: Option[String] = None): Unit = {
     val cents = ivfReadCentroids(emb.sparkSession, path)
-    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-        ivfAssignTo(col(vecCol), cents).as("cell"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .partitionBy("cell").parquet(path)
+    val rows = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      ivfAssignTo(col(vecCol), cents).as("cell"))
+    batchTag match {
+      case None =>
+        rows.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("cell").parquet(path)
+      case Some(tag) =>
+        val sig = graft.pipeline.BatchAppend.contentSig(emb, Seq(idCol, vecCol))
+        graft.pipeline.BatchAppend.exactlyOnce(emb.sparkSession, path, tag,
+          sig, Seq(path)) {
+          graft.pipeline.BatchAppend.appendBatchFiles(rows, path, tag,
+            partitionBy = Seq("cell"))
+        }: Unit
+    }
   }
 
   /** Load the centroid sidecar written by [[ivfWriteIndex]]. Columns are
@@ -821,7 +844,44 @@ object Similarity {
     val reassigned = rows.select(col("id"), col("v"),
       ivfAssignTo(col("v"), cents).as("cell"))
     graft.pipeline.Sinks.overwriteViaStagingWith(reassigned, path,
-      Seq("cell")) { staged => writeCentroidSidecar(spark, cents, staged) }
+      Seq("cell")) { staged =>
+      writeCentroidSidecar(spark, cents, staged)
+      // exactly-once markers ride the swap: a batch the retrain folded in
+      // must still read as committed afterwards, or its replay re-appends
+      graft.pipeline.BatchAppend.preserveMarkers(spark, path, staged)
+    }
+  }
+
+  /** Drift POLICY verb (late r17) — closes the maintenance loop the
+    * signal/gate/retrain trio leaves to the caller: consult the CHEAP
+    * occupancy signal ([[ivfCellStats]], one partition-column scan) and
+    * run [[ivfRetrainCompact]] only when it crosses the caller's bounds.
+    * Triggers when max/mean cell occupancy exceeds `maxImbalance`
+    * (appends bloating hot cells — every probe touching one pays for
+    * it), or when fewer than `minCells` cells hold rows at all (cell
+    * collapse: a drifted append stream deserting most of the trained
+    * geometry). Returns whether a retrain ran, so the append loop can
+    * log it and re-run the definitive [[ivfRecallGate]] on true. The
+    * check costs one metadata-cheap scan per call — cheap enough to run
+    * after EVERY append batch, which is the intended cadence.
+    * SINGLE-WRITER, like the verbs it composes.
+    */
+  def ivfMaybeRetrain(spark: org.apache.spark.sql.SparkSession,
+                      path: String, dim: Int,
+                      maxImbalance: Double = 4.0, minCells: Int = 0,
+                      nCentroids: Int = 0, sampleFraction: Double = 1.0,
+                      maxSampleRows: Int = 2000000,
+                      centroids: Array[Array[Double]] = null): Boolean = {
+    require(maxImbalance > 1.0,
+      s"ivfMaybeRetrain: maxImbalance must exceed 1 (a perfectly " +
+        s"balanced index reads exactly 1), got $maxImbalance")
+    val st = ivfCellStats(spark, path).head()
+    val trigger = st.getAs[Double]("imbalance") > maxImbalance ||
+      (minCells > 0 && st.getAs[Long]("n_cells") < minCells)
+    if (trigger)
+      ivfRetrainCompact(spark, path, dim, nCentroids, sampleFraction,
+        maxSampleRows, centroids)
+    trigger
   }
 
   /** Exact cosine top-k for a SET of query ids in one distributed pass:

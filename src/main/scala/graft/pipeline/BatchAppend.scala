@@ -152,6 +152,31 @@ object BatchAppend {
     fs.delete(stagingP, true)
   }
 
+  /** Recreate `fromRoot`'s `_committed` markers under `stagedRoot` — for
+    * RETRAIN compactions that rebuild the whole index root via the staged
+    * swap ([[graft.pipeline.Sinks.overwriteViaStagingWith]]). The additive
+    * families keep data in a subdirectory (`sketches/`, `edges/`) so their
+    * compaction never touches the root's `_committed`; the vector-index
+    * families (IVF / PQ / OPQ / SemDeDup) keep data AT the root, and a
+    * retrain that dropped the markers would let a crash-replayed batch
+    * re-append rows the retrain already folded in — duplicate topk
+    * candidates, the exact failure the markers exist to prevent. Markers
+    * are empty files, identified by name alone, so "copy" is create-by-name.
+    */
+  def preserveMarkers(spark: SparkSession, fromRoot: String,
+                      stagedRoot: String): Unit = {
+    val src = markerDir(fromRoot)
+    val fs = fsOf(spark, src)
+    if (fs.exists(src)) {
+      val dst = markerDir(stagedRoot)
+      fs.mkdirs(dst)
+      fs.listStatus(src).foreach { st =>
+        if (st.isFile)
+          fs.create(new Path(dst, st.getPath.getName), true).close()
+      }
+    }
+  }
+
   /** Run `write` exactly once for (`tag`, `sig`): no-op on a committed
     * replay, loud error on a lineage mismatch, otherwise clear the
     * attempt's partials from `dataDirs`, run `write` (which must append

@@ -753,6 +753,22 @@ class DedupSpec extends SparkSpec {
     // appends continue after compaction
     Dedup.componentsAppendIndex(pairsDf(Seq((30L, 31L))), dir)
     assert(groupsOf(Dedup.componentsIndexedGroups(spark, dir))(30L) == 30L)
+    // the compaction POLICY verb (late r17): below the threshold it
+    // declines and leaves the relabels in place; at threshold 0 any
+    // pending relabel fires it, folding and clearing exactly like the
+    // direct call — groups unchanged either way
+    Dedup.componentsAppendIndex(pairsDf(Seq((31L, 1L))), dir) // a relabel
+    assert(graft.pipeline.Sinks.exists(spark, s"$dir/relabels"))
+    val beforePolicy = groupsOf(Dedup.componentsIndexedGroups(spark, dir))
+    assert(!Dedup.componentsMaybeCompact(spark, dir, maxRelabels = 1000L))
+    assert(graft.pipeline.Sinks.exists(spark, s"$dir/relabels"),
+      "a declined policy check must not fold")
+    assert(Dedup.componentsMaybeCompact(spark, dir, maxRelabels = 0L))
+    assert(!graft.pipeline.Sinks.exists(spark, s"$dir/relabels"))
+    assert(groupsOf(Dedup.componentsIndexedGroups(spark, dir)) ==
+      beforePolicy)
+    // with nothing pending, even threshold 0 declines
+    assert(!Dedup.componentsMaybeCompact(spark, dir, maxRelabels = 0L))
     // guards
     val e1 = intercept[IllegalArgumentException] {
       Dedup.componentsWriteIndex(pairsDf(Seq((1L, 2L))), dir)

@@ -333,4 +333,47 @@ class SimilaritySpec extends SparkSpec {
     assert(st._1 == 40L && st._2 == 3L, st.toString)
     assert(st._3 < 2.0, s"post-retrain imbalance: $st")
   }
+
+  test("ivfMaybeRetrain: no-op on a balanced index, fires on occupancy " +
+      "imbalance, fires on cell collapse (late r17)") {
+    def pt(id: Long, a: Double, b: Double): (Long, Array[Float]) =
+      (id, Array(a.toFloat, b.toFloat, 0.0f, 0.0f))
+    val base = ((0 until 10).map(i => pt(i, 1.0, 0.001 * i)) ++
+      (0 until 10).map(i => pt(100 + i, 0.001 * i, 1.0)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-policy").toString + "/idx"
+    Similarity.ivfWriteIndex(base, "vec_id", "embedding", dim = 4,
+      nCentroids = 2, dir,
+      centroids = Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0)))
+    def cells() = spark.read.parquet(dir)
+      .select("id", "cell").as[(Long, Long)].collect().toMap
+    val balanced = cells()
+    // balanced 10/10: imbalance 1.0 — the policy must NOT retrain
+    assert(!Similarity.ivfMaybeRetrain(spark, dir, dim = 4,
+      maxImbalance = 2.0))
+    assert(cells() == balanced, "a declined policy check must not touch " +
+      "the index")
+    // a hot-cell append: 40 more rows all on the first axis -> 50/10,
+    // imbalance 50/30 ≈ 1.67 under threshold 1.5 -> fires, and the
+    // retrain (explicit centroids pin the geometry) rebalances
+    val hot = (0 until 40).map(i => pt(300L + i, 1.0, 0.002 * i))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfAppendIndex(hot, "vec_id", "embedding", dir)
+    assert(Similarity.ivfMaybeRetrain(spark, dir, dim = 4,
+      maxImbalance = 1.5, nCentroids = 2,
+      centroids = Array(Array(1.0, 0.02, 0, 0), Array(0, 1.0, 0, 0))))
+    val st = Similarity.ivfCellStats(spark, dir)
+      .select("n_rows", "n_cells").as[(Long, Long)].head()
+    assert(st == ((60L, 2L)), st.toString)
+    // cell-collapse trigger: an index where only 2 of the expected 4
+    // cells hold rows fires via minCells even when balanced
+    assert(Similarity.ivfMaybeRetrain(spark, dir, dim = 4,
+      maxImbalance = 100.0, minCells = 4, nCentroids = 2,
+      centroids = Array(Array(1.0, 0.02, 0, 0), Array(0, 1.0, 0, 0))))
+    // bounds guard
+    intercept[IllegalArgumentException] {
+      Similarity.ivfMaybeRetrain(spark, dir, dim = 4, maxImbalance = 1.0)
+    }: Unit
+  }
 }

@@ -823,4 +823,124 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("DIFFERENT content"), e.getMessage)
   }
+
+  // ---- exactly-once for the ROW-append vector-index families (late r17):
+  // IVF vectors, PQ/OPQ codes, SemDeDup assignments. Unlike the additive
+  // sketches, a double-appended batch here duplicates whole rows — the
+  // same id fills two top-k slots (displacing a true neighbor), and a
+  // SemDeDup duplicate is its own nearest neighbor at cosine 1.0, so it
+  // deletes a unique document from the kept set. The marker contract adds
+  // one family-specific leg: these indexes keep data AT the root, so the
+  // RETRAIN compaction's staged swap must carry `_committed` forward
+  // (preserveMarkers) or a post-retrain replay re-appends rows the
+  // retrain already folded in.
+
+  test("ivfAppendIndex batchTag: replayed vector batch does not duplicate " +
+      "rows; markers survive ivfRetrainCompact's staged swap") {
+    import graft.operators.Similarity
+    val dir = Files.createTempDirectory("graft-ivf-replay").toString + "/idx"
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 4,
+      perCluster = 8, dim = 8)
+    Similarity.ivfWriteIndex(fix.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", dim = 8, nCentroids = 4, dir)
+    val b1 = fix.filter($"vec_id" % 2 =!= 0)
+    def rowCounts() = spark.read.parquet(dir).groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    Similarity.ivfAppendIndex(b1, "vec_id", "embedding", dir, Some("0"))
+    val truth = rowCounts()
+    assert(truth.size == 32 && truth.values.forall(_ == 1L), truth)
+    Similarity.ivfAppendIndex(b1, "vec_id", "embedding", dir, Some("0"))
+    assert(rowCounts() == truth) // replay: no-op
+    dropMarker(dir, "0") // crash: cell files committed, marker lost
+    Similarity.ivfAppendIndex(b1, "vec_id", "embedding", dir, Some("0"))
+    assert(rowCounts() == truth)
+    // retrain reassigns every row and swaps the root; the marker must
+    // ride the swap so the replay below still no-ops
+    Similarity.ivfRetrainCompact(spark, dir, dim = 8)
+    Similarity.ivfAppendIndex(b1, "vec_id", "embedding", dir, Some("0"))
+    assert(rowCounts().values.toSeq.sorted ==
+      truth.values.toSeq.sorted && rowCounts().size == 32)
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfAppendIndex(b1.limit(3), "vec_id", "embedding", dir,
+        Some("0"))
+    }
+    assert(e.getMessage.contains("DIFFERENT content"), e.getMessage)
+  }
+
+  test("pq/opqAppendIndex batchTag: replayed code batch does not " +
+      "duplicate ADC candidates; markers survive retrain compaction") {
+    import graft.operators.{ProductQuantization => PQ, Similarity}
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 4,
+      perCluster = 8, dim = 8)
+    val base = fix.filter($"vec_id" % 2 === 0)
+    val b1 = fix.filter($"vec_id" % 2 =!= 0)
+    for (rotated <- Seq(false, true)) {
+      val dir = Files.createTempDirectory(
+        s"graft-pq-replay-$rotated").toString + "/idx"
+      def append(tag: Option[String]) =
+        if (rotated) PQ.opqAppendIndex(b1, "vec_id", "embedding", dir, tag)
+        else PQ.pqAppendIndex(b1, "vec_id", "embedding", dir, tag)
+      if (rotated)
+        PQ.opqWriteIndex(base, "vec_id", "embedding", dim = 8, dir,
+          m = 4, kCodewords = 8)
+      else
+        PQ.pqWriteIndex(base, "vec_id", "embedding", dim = 8, dir,
+          m = 4, kCodewords = 8)
+      def rowCounts() = spark.read.parquet(dir).groupBy("id").count()
+        .as[(Long, Long)].collect().toMap
+      append(Some("3"))
+      val truth = rowCounts()
+      assert(truth.size == 32 && truth.values.forall(_ == 1L), truth)
+      append(Some("3")) // replay: no-op
+      assert(rowCounts() == truth)
+      dropMarker(dir, "3") // crash: codes committed, marker lost
+      append(Some("3"))
+      assert(rowCounts() == truth)
+      // retrain re-encodes everything and swaps the root; markers ride
+      if (rotated)
+        PQ.opqRetrainCompact(fix, "vec_id", "embedding", dim = 8, dir,
+          m = 4, kCodewords = 8)
+      else
+        PQ.pqRetrainCompact(fix, "vec_id", "embedding", dim = 8, dir,
+          m = 4, kCodewords = 8)
+      append(Some("3"))
+      assert(rowCounts().size == 32 && // retrain encoded the full union
+        rowCounts().values.forall(_ == 1L))
+      val e = intercept[IllegalStateException] {
+        if (rotated)
+          PQ.opqAppendIndex(b1.limit(3), "vec_id", "embedding", dir, Some("3"))
+        else PQ.pqAppendIndex(b1.limit(3), "vec_id", "embedding", dir, Some("3"))
+      }
+      assert(e.getMessage.contains("DIFFERENT content"), e.getMessage)
+    }
+  }
+
+  test("semDedupAppendIndex batchTag: a replayed batch must not make a " +
+      "document its own duplicate; markers survive retrain compaction") {
+    import graft.operators.{SemDedup, Similarity}
+    val dir = Files.createTempDirectory("graft-sem-replay").toString + "/idx"
+    val fix = Similarity.clusteredEmbeddings(spark, nClusters = 4,
+      perCluster = 8, dim = 8)
+    SemDedup.semDedupWriteIndex(fix.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", dim = 8, nCentroids = 4, dir)
+    val b1 = fix.filter($"vec_id" % 2 =!= 0)
+    def rowCounts() = spark.read.parquet(dir).groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    SemDedup.semDedupAppendIndex(b1, "vec_id", "embedding", dir, Some("0"))
+    val truth = rowCounts()
+    assert(truth.size == 32 && truth.values.forall(_ == 1L), truth)
+    SemDedup.semDedupAppendIndex(b1, "vec_id", "embedding", dir, Some("0"))
+    assert(rowCounts() == truth) // replay: no-op — no self-duplicates
+    dropMarker(dir, "0")
+    SemDedup.semDedupAppendIndex(b1, "vec_id", "embedding", dir, Some("0"))
+    assert(rowCounts() == truth)
+    SemDedup.semDedupRetrainCompact(spark, dir)
+    SemDedup.semDedupAppendIndex(b1, "vec_id", "embedding", dir, Some("0"))
+    assert(rowCounts().size == 32 && rowCounts().values.forall(_ == 1L))
+    val e = intercept[IllegalStateException] {
+      SemDedup.semDedupAppendIndex(b1.limit(3), "vec_id", "embedding", dir,
+        Some("0"))
+    }
+    assert(e.getMessage.contains("DIFFERENT content"), e.getMessage)
+  }
 }
