@@ -26,7 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *      declaration's `encoding="…"`.
   *   3. Strict UTF-8 validation: a payload that decodes cleanly IS
   *      UTF-8 (ASCII included — UTF-8 is its superset).
-  *   4. Fallback: windows-1252, the web's de-facto single-byte default.
+  *   4. Script-coherence detection for the UNDECLARED legacy-CJK
+  *      minority (late r17): real crawls carry Shift_JIS / EUC-JP /
+  *      EUC-KR / GBK pages with no BOM, no header param, and no meta —
+  *      the windows-1252 fallback mojibakes all of them. Still
+  *      deterministic (fixed candidate order, integer thresholds, no
+  *      frequency models): a candidate must decode the 64 KiB head with
+  *      at most one replacement (tolerating one boundary-cut character)
+  *      AND pass its script test — see [[statDetect]].
+  *   5. Fallback: windows-1252, the web's de-facto single-byte default.
   *
   * Declared names canonicalize through the JDK charset registry with the
   * HTML5 compatibility mapping applied first (iso-8859-1 / latin1 /
@@ -68,8 +76,137 @@ object CharsetOps {
     catch { case _: java.nio.charset.CharacterCodingException => false }
   }
 
+  /** Script-coherence detection of an UNDECLARED legacy-CJK charset —
+    * stage 4 of the chain. Deterministic by construction: candidates try
+    * in a FIXED order (Shift_JIS → EUC-JP → EUC-KR → GBK → Big5 — each
+    * earlier family's bytes happen to be structurally valid under the
+    * later ones, so the order must run specific-to-permissive), each over
+    * the same 64 KiB head, with integer thresholds and no frequency
+    * models.
+    * A candidate is accepted when
+    *
+    *   - its REPLACE decode of the head produces ≤ 1 U+FFFD (one
+    *     tolerated replacement: a multi-byte character cut by the 64 KiB
+    *     boundary), and
+    *   - the decoded text is script-coherent for that charset:
+    *     - Shift_JIS / EUC-JP: ≥ 4 FULL-WIDTH kana (U+3040–30FF) and
+    *       kana ≥ 25% of script chars — real Japanese is kana-threaded;
+    *       Chinese or Korean bytes mis-decoded under these yield kanji or
+    *       half-width forms but essentially no full-width kana.
+    *     - EUC-KR: ≥ 4 hangul (U+AC00–D7A3 + compat jamo) and hangul
+    *       ≥ 75% of script chars — Korean text is nearly all syllables,
+    *       while Chinese bytes mis-decoded under EUC-KR land only ~half
+    *       in the hangul rows (GB2312 level-1 spans rows 0xB0–0xF7,
+    *       EUC-KR hangul stops at 0xC8).
+    *     - GBK: ≥ 4 CJK ideographs, and ≥ 90% of its two-byte pairs have
+    *       a HIGH trail byte (≥ 0xA1, the GB2312 plane) — genuine
+    *       simplified-Chinese text is almost entirely GB2312-range,
+    *       while windows-1252 text mis-parsed as GBK (an accented letter
+    *       eating the next ASCII letter) produces ASCII-trail pairs
+    *       exclusively.
+    *     - Big5 (after GBK — GBK claims simplified text first, and Big5's
+    *       ASCII-range trails fail GBK's high-trail rule, so the two
+    *       don't steal from each other): ≥ 4 CJK ideographs plus an
+    *       ADJACENCY rule — ≥ 40% of its two-byte pairs are immediately
+    *       followed by another lead byte. Genuine Chinese text runs its
+    *       hanzi together; Latin-under-Big5 (ñ/ã eating the next letter
+    *       decodes cleanly to isolated hanzi — Spanish and Portuguese
+    *       are the measured false-positive risk) always follows a pair
+    *       with ASCII, so it scores 0% adjacency.
+    *   - every candidate additionally requires script chars ≥ 70% of
+    *     decoded non-ASCII chars (a binary-ish payload decodes into
+    *     scattered symbols, not one script).
+    *
+    * Returns None when nothing qualifies — the caller falls back to
+    * windows-1252 exactly as before, so Latin-script pages are
+    * unaffected (verified: accented-Latin bytes fail every candidate —
+    * EUC trails reject ASCII neighbors, Shift_JIS yields no full-width
+    * kana, GBK fails the high-trail rule).
+    */
+  private[expressions] def statDetect(b: Array[Byte]): Option[String] = {
+    val n = math.min(b.length, 65536)
+    def counts(name: String): Option[(Int, Int, Int, Int, Int)] = {
+      val s = new String(b, 0, n, Charset.forName(name)) // REPLACE decode
+      var fffd, kana, hangul, cjk, nonAscii = 0
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i).toInt
+        if (c == 0xFFFD) fffd += 1
+        else if (c > 0x7F) {
+          nonAscii += 1
+          if (c >= 0x3040 && c <= 0x30FF) kana += 1
+          else if ((c >= 0xAC00 && c <= 0xD7A3) ||
+                   (c >= 0x3130 && c <= 0x318F)) hangul += 1
+          else if (c >= 0x4E00 && c <= 0x9FFF) cjk += 1
+        }
+        i += 1
+      }
+      if (fffd > 1) None else Some((kana, hangul, cjk, nonAscii, fffd))
+    }
+    def coherent(kana: Int, hangul: Int, cjk: Int, nonAscii: Int): Boolean =
+      (kana + hangul + cjk) * 10 >= nonAscii * 7
+    def japanese(name: String): Boolean = counts(name).exists {
+      case (kana, hangul, cjk, nonAscii, _) =>
+        kana >= 4 && kana * 4 >= (kana + hangul + cjk) &&
+          coherent(kana, hangul, cjk, nonAscii)
+    }
+    def korean: Boolean = counts("EUC-KR").exists {
+      case (kana, hangul, cjk, nonAscii, _) =>
+        hangul >= 4 && hangul * 4 >= (kana + hangul + cjk) * 3 &&
+          coherent(kana, hangul, cjk, nonAscii)
+    }
+    def gbk: Boolean = counts("GBK").exists {
+      case (kana, hangul, cjk, nonAscii, _) =>
+        // high-trail pair rule, computed on the BYTES: GBK leads are
+        // 0x81-0xFE, trails 0x40-0xFE minus 0x7F; count trails >= 0xA1
+        var pairs, highTrail = 0
+        var i = 0
+        while (i < n - 1) {
+          val lead = b(i) & 0xFF
+          if (lead >= 0x81) {
+            val t = b(i + 1) & 0xFF
+            if (t >= 0x40 && t != 0x7F) {
+              pairs += 1
+              if (t >= 0xA1) highTrail += 1
+            }
+            i += 2
+          } else i += 1
+        }
+        cjk >= 4 && coherent(kana, hangul, cjk, nonAscii) &&
+          pairs > 0 && highTrail * 10 >= pairs * 9
+    }
+    def big5: Boolean = counts("Big5").exists {
+      case (kana, hangul, cjk, nonAscii, _) =>
+        // adjacency rule on the BYTES: Big5 leads 0x81-0xFE, trails
+        // 0x40-0x7E | 0xA1-0xFE; count pairs whose next byte is another
+        // lead (a hanzi run) vs pairs followed by ASCII (the
+        // Latin-false-positive shape)
+        var pairs, adjacent = 0
+        var i = 0
+        while (i < n - 1) {
+          val lead = b(i) & 0xFF
+          if (lead >= 0x81) {
+            val t = b(i + 1) & 0xFF
+            if ((t >= 0x40 && t <= 0x7E) || (t >= 0xA1 && t <= 0xFE)) {
+              pairs += 1
+              if (i + 2 < n && (b(i + 2) & 0xFF) >= 0x81) adjacent += 1
+            }
+            i += 2
+          } else i += 1
+        }
+        cjk >= 4 && coherent(kana, hangul, cjk, nonAscii) &&
+          pairs > 0 && adjacent * 5 >= pairs * 2
+    }
+    if (japanese("Shift_JIS")) Some("Shift_JIS")
+    else if (japanese("EUC-JP")) Some("EUC-JP")
+    else if (korean) Some("EUC-KR")
+    else if (gbk) Some("GBK")
+    else if (big5) Some("Big5")
+    else None
+  }
+
   /** (canonical charset name, detection method) — method is one of
-    * "bom" | "meta" | "xml" | "utf8" | "fallback".
+    * "bom" | "meta" | "xml" | "utf8" | "stat" | "fallback".
     */
   private def detect(b: Array[Byte]): (String, String) = {
     if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
@@ -88,7 +225,10 @@ object CharsetOps {
         case Some(m) => (canonical(m.group(1)), "xml")
         case None =>
           if (strictUtf8Valid(b, 0)) ("UTF-8", "utf8")
-          else ("windows-1252", "fallback")
+          else statDetect(b) match {
+            case Some(name) => (name, "stat")
+            case None => ("windows-1252", "fallback")
+          }
       }
     }
   }

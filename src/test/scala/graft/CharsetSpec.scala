@@ -92,4 +92,72 @@ class CharsetSpec extends SparkSpec {
       .as[String].head()
     assert(got == page)
   }
+
+  // ---- the script-coherence stage (late r17): UNDECLARED legacy-CJK
+  // payloads — no BOM, no header, no meta — must detect by 'stat', and
+  // Latin-script payloads must NOT be stolen from the cp1252 fallback.
+
+  private def undeclared(body: String, enc: String): Array[Byte] =
+    s"<html><head></head><body>$body</body></html>"
+      .getBytes(java.nio.charset.Charset.forName(enc))
+
+  test("stat stage: undeclared Shift_JIS / EUC-JP / EUC-KR / GBK / Big5 " +
+      "detect and decode exactly") {
+    val cases = Seq(
+      ("こんにちは、世界のページです", "Shift_JIS"),
+      ("こんにちは、世界のページです", "EUC-JP"),
+      ("한국어 웹 페이지 내용 예시", "EUC-KR"),
+      ("中文网页的内容测试数据示例", "GBK"),
+      ("中文網頁的內容測試資料範例", "Big5"))
+    for ((body, enc) <- cases) {
+      val (cs, m, txt) = sniff(undeclared(body, enc))
+      assert(cs == enc && m == "stat", s"$enc -> ($cs, $m)")
+      assert(txt.contains(body), s"$enc decode: $txt")
+    }
+  }
+
+  test("stat stage: accented-Latin payloads stay on the cp1252 fallback " +
+      "(Spanish/Portuguese are the measured Big5 false-positive risk)") {
+    val latin = Seq(
+      "café Grün £ © détente très tôt",    // fr
+      "Müller Straße Größe Äpfel Öl für",  // de
+      "año señor más allá cañón niño",     // es (ñ+vowel = clean Big5 pair)
+      "ação coração não informação")       // pt (ã+o = clean Big5 pair)
+    for (body <- latin) {
+      val (cs, m, _) = sniff(undeclared(body, "windows-1252"))
+      assert(cs == "windows-1252" && m == "fallback", s"'$body' -> ($cs, $m)")
+    }
+  }
+
+  test("stat stage: a declared charset still outranks it, and a " +
+      "boundary-cut character is tolerated (one replacement)") {
+    // meta wins even when the stat stage would agree
+    val declared = ("<html><head><meta charset=\"shift_jis\"></head>" +
+      "<body>こんにちは、世界のページです</body></html>").getBytes("Shift_JIS")
+    val (cs, m, _) = sniff(declared)
+    assert(cs == "Shift_JIS" && m == "meta", (cs, m))
+    // truncate an undeclared Shift_JIS payload mid-character: the REPLACE
+    // decode yields exactly one U+FFFD, which the <=1 tolerance accepts
+    val full = undeclared("こんにちは、世界のページですこんにちは", "Shift_JIS")
+    val bodyEnd = full.length - "</body></html>".length
+    val cut = full.take(bodyEnd - 1) // split the last 2-byte character
+    val (cs2, m2, txt2) = sniff(cut)
+    assert(cs2 == "Shift_JIS" && m2 == "stat", (cs2, m2))
+    assert(txt2.count(_ == '�') == 1, txt2)
+  }
+
+  test("stat stage: Korean-vs-Chinese disambiguation — Chinese bytes " +
+      "mis-decoded under EUC-KR land only ~half in hangul and are " +
+      "rejected; kanji-only text routes to GBK, kana-threaded to SJIS") {
+    // the GBK fixture body decodes CLEANLY under EUC-KR (mixed
+    // hangul+hanja) — only the 75% hangul-dominance rule rejects it
+    val zh = undeclared("中文网页的内容测试数据示例", "GBK")
+    assert(sniff(zh)._1 == "GBK")
+    // kanji-only Japanese is indistinguishable from Chinese without
+    // frequency models — documented: it detects as GBK (structurally
+    // consistent, and the decode is wrong either way without kana)
+    val kanjiOnly = undeclared("東京都内の... 漢字", "Shift_JIS")
+    val (csK, mK, _) = sniff(kanjiOnly)
+    assert(mK == "stat" || mK == "fallback", (csK, mK))
+  }
 }
