@@ -1244,6 +1244,11 @@ object HtmlOps {
     m
   }
 
+  /** The Korean set, resolved once — the routed rule's script-decided
+    * branch consults it per hangul-majority block (late r17).
+    */
+  private val KoStops: java.util.HashSet[String] = StopsByLang.get("ko")
+
   private val Entities: Array[(String, String)] =
     graft.operators.TextAnalysis.HtmlEntities.toArray
 
@@ -1282,6 +1287,22 @@ object HtmlOps {
 
   @inline private def isSegFree(c: Char): Boolean =
     c < SegFreeLetter.length && SegFreeLetter(c)
+
+  /** Hangul membership from the same shared ints
+    * ([[graft.operators.TextAnalysis.HangulBlocks]]) — the routed keep
+    * rule's script-decided Korean test (late r17). One contiguous range,
+    * so a direct bounds check beats a table.
+    */
+  @inline private def isHangul(c: Char): Boolean = {
+    val (lo, hi) = HangulRange
+    c >= lo && c <= hi
+  }
+
+  private val HangulRange: (Char, Char) = {
+    val blocks = graft.operators.TextAnalysis.HangulBlocks
+    require(blocks.length == 1, "HangulBlocks is one contiguous range")
+    (blocks.head._1.toChar, blocks.head._2.toChar)
+  }
 
   private def indexOfIgnoreCase(s: String, target: String,
                                 from: Int): Int = {
@@ -1490,18 +1511,22 @@ object HtmlOps {
           val nRaw = raw.codePointCount(0, raw.length).toLong
           val link = linkChars(b)
           val lowered = UTF8String.fromString(txt).toLowerCase.toString
-          var nWords = 0L
-          var nStop = 0L
-          var p = 0
-          val m = lowered.length
-          while (p < m) {
-            if (isWordLetter(lowered.charAt(p))) {
-              val st = p
-              while (p < m && isWordLetter(lowered.charAt(p))) p += 1
-              nWords += 1
-              if (stops.contains(lowered.substring(st, p))) nStop += 1
-            } else p += 1
+          def countStops(set: java.util.HashSet[String]): (Long, Long) = {
+            var nW = 0L
+            var nS = 0L
+            var p = 0
+            val m = lowered.length
+            while (p < m) {
+              if (isWordLetter(lowered.charAt(p))) {
+                val st = p
+                while (p < m && isWordLetter(lowered.charAt(p))) p += 1
+                nW += 1
+                if (set.contains(lowered.substring(st, p))) nS += 1
+              } else p += 1
+            }
+            (nW, nS)
           }
+          val (nWords, nStop) = countStops(stops)
           val baseKeep = nChars >= minChars &&
             link.toDouble / nRaw.toDouble <= maxLinkDensity
           val densityOk = nWords > 0L &&
@@ -1511,15 +1536,25 @@ object HtmlOps {
             else {
               // route on the COLLAPSED text like the column form: CJK
               // chars vs word-letter chars, both tables from shared ints
-              var nCjk = 0L; var nWl = 0L; var q = 0
+              var nCjk = 0L; var nWl = 0L; var nHang = 0L; var q = 0
               val tl = txt.length
               while (q < tl) {
                 val ch = txt.charAt(q)
                 if (isSegFree(ch)) nCjk += 1
-                else if (isWordLetter(ch)) nWl += 1
+                else if (isWordLetter(ch)) {
+                  nWl += 1
+                  if (isHangul(ch)) nHang += 1
+                }
                 q += 1
               }
-              baseKeep && (nCjk > nWl || densityOk)
+              // script-decided Korean (late r17): a hangul-majority
+              // block scores against the ko list whatever `lang` says
+              val density2 =
+                if (nHang * 2 > nWl) {
+                  val (nW2, nS2) = countStops(KoStops)
+                  nW2 > 0L && nS2.toDouble / nW2.toDouble >= minStopDensity
+                } else densityOk
+              baseKeep && (nCjk > nWl || density2)
             }
           if (keep) {
             if (kept > 0) out.append('\n')

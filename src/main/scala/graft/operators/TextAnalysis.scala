@@ -335,9 +335,27 @@ object TextAnalysis {
     // (the 22-letter block + final forms) — both space-delimited
     // scripts, so the density rule applies once they tokenize. No case
     // in either script, so lowercasing is the identity cross-engine.
-    0x620 -> 0x64A, 0x671 -> 0x6D3, 0x5D0 -> 0x5EA)
+    0x620 -> 0x64A, 0x671 -> 0x6D3, 0x5D0 -> 0x5EA,
+    // late r17 (ADVICE r16): Hangul syllables — Korean IS
+    // space-delimited, so eojeol tokenize like words and the density
+    // rule applies under the ko stop list ([[HangulBlocks]] notes the
+    // routing). No case in hangul, lowercasing is the identity.
+    0xAC00 -> 0xD7A3)
 
-  /** Scripts WITHOUT cheap word segmentation: han + kana + hangul (the
+  /** Hangul syllables alone — the script-decided routing test's class
+    * (late r17): a block whose word-letter chars are hangul-majority is
+    * KOREAN by construction (no other language writes hangul), so the
+    * routed keep rule scores its density against the ko stop list even
+    * when the page's `lang` column is wrong or missing — unlike every
+    * alphabetic script, where the letters alone cannot pick the
+    * language, hangul is its own language evidence.
+    */
+  private[graft] val HangulBlocks: Seq[(Int, Int)] = Seq(0xAC00 -> 0xD7A3)
+
+  private[graft] def hangulClassJava: String = scriptClassJava(HangulBlocks)
+  private[graft] def hangulClassRe2: String = scriptClassRe2(HangulBlocks)
+
+  /** Scripts WITHOUT cheap word segmentation: han + kana (the
     * [[ScriptBlocks]] ranges) plus the Southeast-Asian scripts written
     * without inter-word spaces — Thai, Lao, Khmer, Myanmar (letter
     * cores; digits excluded so a digit-heavy Latin block cannot
@@ -348,15 +366,17 @@ object TextAnalysis {
     * fallback instead of silently discarding it (VERDICT r15 §next-3 —
     * "a large fraction of real crawl pages silently discarded").
     *
-    * Hangul is a DELIBERATE lenient exception (ADVICE r16): Korean IS
-    * space-delimited, but this engine ships no Korean stopword list, so
-    * routing Hangul through the density rule would count zero stopwords
-    * and discard every Korean block. Keeping it on the link-density-only
-    * path admits some boilerplate a ko list could filter — move the
-    * 0xAC00-0xD7AF range to the density path when one lands.
+    * Hangul LEFT this list late r17 (it was the r16 "deliberate lenient
+    * exception", ADVICE r16): Korean is space-delimited, a ko stop list
+    * now ships in [[StopwordsWeb]], and hangul-majority blocks take the
+    * density rule against it — picked BY SCRIPT in the routed rule
+    * ([[HangulBlocks]]), so a Korean page survives on its function-word
+    * density even when its `lang` column is wrong, and Korean
+    * boilerplate (link lists, noun-pile nav) now actually dies instead
+    * of riding the link-density-only waiver.
     */
   private[graft] val SegFreeBlocks: Seq[(Int, Int)] = Seq(
-    0x4E00 -> 0x9FFF, 0x3040 -> 0x30FF, 0xAC00 -> 0xD7AF,
+    0x4E00 -> 0x9FFF, 0x3040 -> 0x30FF,
     0xE01 -> 0xE3A, 0xE40 -> 0xE4E,     // thai
     0xE81 -> 0xEB9, 0xEBB -> 0xECD,     // lao
     0x1780 -> 0x17B3, 0x17B6 -> 0x17D3, // khmer
@@ -1463,7 +1483,24 @@ object TextAnalysis {
       "פה", "כאן", "היה", "הייתה", "היו", "להיות", "יותר", "מאוד",
       "בו", "בה", "בהם", "לו", "לה", "להם", "ממנו", "ממנה", "מן",
       "אל", "עד", "בלי", "כמו", "אז", "שלו", "שלה", "שלהם", "אותו",
-      "אותה", "אותם"))
+      "אותה", "אותם"),
+    // late r17 (ADVICE r16): Korean. Agglutination caveat — the most
+    // frequent particles (은/는/이/가/을/를/의/에) attach to the noun and
+    // never surface as standalone tokens, so the list carries the
+    // free-standing function words plus the highest-frequency INFLECTED
+    // forms that do tokenize as whole eojeol (있다/있었다/하는/것을 …) —
+    // the Arabic/Hebrew prefix-particle reasoning one step further. A
+    // production deployment swaps in a fuller eojeol list, same as the
+    // ~50-word English sizing note.
+    "ko" -> Seq(
+      "그리고", "그러나", "하지만", "또한", "또는", "및", "등", "수",
+      "것", "것이", "것을", "것은", "때", "때문에", "더", "못", "안",
+      "잘", "매우", "가장", "모든", "많은", "많이", "다른", "어떤",
+      "이런", "그런", "우리", "있다", "있는", "있었다", "있습니다",
+      "없다", "없는", "했다", "하는", "한다", "합니다", "하고", "할",
+      "한", "된다", "되는", "된", "될", "대한", "대해", "위한", "위해",
+      "통해", "따라", "경우", "같은", "같이", "함께", "이번", "지난",
+      "현재", "오늘", "가운데", "서로"))
 
   /** The same lists restricted to their ASCII entries — the r14
     * behavior as an explicit counterfactual: under the old `[a-z]+`
@@ -1504,7 +1541,7 @@ object TextAnalysis {
                         maxLinkDensity: Double = 0.2,
                         minStopDensity: Double = 0.2): Column =
     htmlBlockFeaturesImpl(html,
-      aw => size(filter(aw, w => w.isInCollection(StopwordsWebEn))),
+      (aw, _) => size(filter(aw, w => w.isInCollection(StopwordsWebEn))),
       minChars, maxLinkDensity, minStopDensity)
 
   /** [[htmlBlockFeatures]] with the stopword list keyed by a LANGUAGE
@@ -1519,7 +1556,8 @@ object TextAnalysis {
   def htmlBlockFeaturesByLang(html: Column, lang: Column, minChars: Int = 70,
                               maxLinkDensity: Double = 0.2,
                               minStopDensity: Double = 0.2): Column =
-    htmlBlockFeaturesImpl(html, aw => langStopCount(aw, lang, StopwordsWeb),
+    htmlBlockFeaturesImpl(html,
+      (aw, _) => langStopCount(aw, lang, StopwordsWeb),
       minChars, maxLinkDensity, minStopDensity)
 
   /** [[htmlBlockFeaturesByLang]] under the ASCII-subset lists
@@ -1531,7 +1569,7 @@ object TextAnalysis {
       html: Column, lang: Column, minChars: Int = 70,
       maxLinkDensity: Double = 0.2, minStopDensity: Double = 0.2): Column =
     htmlBlockFeaturesImpl(html,
-      aw => langStopCount(aw, lang, StopwordsWebAscii),
+      (aw, _) => langStopCount(aw, lang, StopwordsWebAscii),
       minChars, maxLinkDensity, minStopDensity)
 
   /** n_stop for one word array under the `lang`-selected list from the
@@ -1566,7 +1604,19 @@ object TextAnalysis {
   def htmlBlockFeaturesRouted(html: Column, lang: Column, minChars: Int = 70,
                               maxLinkDensity: Double = 0.2,
                               minStopDensity: Double = 0.2): Column =
-    htmlBlockFeaturesImpl(html, aw => langStopCount(aw, lang, StopwordsWeb),
+    htmlBlockFeaturesImpl(html,
+      // script-decided Korean (late r17): a hangul-majority block is
+      // Korean whatever the page's lang column says — score it against
+      // the ko list; everything else keeps the lang-keyed list
+      (aw, txt) => {
+        val nHang = length(txt) -
+          length(regexp_replace(txt, hangulClassJava, ""))
+        val nWl = length(txt) -
+          length(regexp_replace(txt, wordClassJava, ""))
+        when(nHang * 2 > nWl,
+          size(filter(aw, w => w.isInCollection(StopwordsWeb("ko")))))
+          .otherwise(langStopCount(aw, lang, StopwordsWeb))
+      },
       minChars, maxLinkDensity, minStopDensity, routed = true)
 
   /** The routed page rewrite: kept blocks joined with `\n` (the
@@ -1582,7 +1632,7 @@ object TextAnalysis {
       f => f.getField("block_text")), "\n")
 
   private def htmlBlockFeaturesImpl(html: Column,
-                                    stopCount: Column => Column,
+                                    stopCount: (Column, Column) => Column,
                                     minChars: Int,
                                     maxLinkDensity: Double,
                                     minStopDensity: Double,
@@ -1623,7 +1673,8 @@ object TextAnalysis {
       struct(s.getField("txt").as("block_text"),
         length(s.getField("txt")).cast("long").as("n_chars"),
         size(s.getField("aw")).cast("long").as("n_words"),
-        stopCount(s.getField("aw")).cast("long").as("n_stop"),
+        stopCount(s.getField("aw"), s.getField("txt")).cast("long")
+          .as("n_stop"),
         linkChars.cast("long").as("link_chars"),
         length(s.getField("raw")).cast("long").as("n_raw_chars"))
     })

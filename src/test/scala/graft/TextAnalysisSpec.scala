@@ -906,6 +906,42 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getString(1) == r.getString(2),
         s"routed-native parity broke on doc ${r.getLong(0)}")
     }
+    // late r17 (ADVICE r16): Korean takes the DENSITY path now — hangul
+    // eojeol tokenize as words and hangul-majority blocks score against
+    // the ko list BY SCRIPT, whatever the lang column says
+    val koText = "이 집은 강가에 오래 서 있었다 그리고 마을 사람들은 " +
+      "저녁 때 이곳에 모여 함께 이야기를 나누는 것을 좋아했다 아이들은 " +
+      "해가 질 때 까지 강가에서 뛰어 놀았다 모든 날들이 같은 모습으로 " +
+      "흘러 갔다"
+    assert(keptRouted(page(koText), "xx") == 1L,
+      "a Korean page must survive on ko-list density even with an " +
+        "unknown lang column — hangul IS the language evidence")
+    assert(keptRouted(page(koText), "ko") == 1L)
+    assert(keptPlain(page(koText), "xx") == 0L,
+      "the lang-keyed plain rule (English fallback) cannot keep it")
+    // Korean boilerplate now actually DIES: a hangul noun pile with no
+    // function words fails the density rule instead of riding the old
+    // segmentation-free waiver
+    val koNouns = "<p>" + ("강가 마을 시장 과일 채소 저녁 아침 하루 " +
+      "아이 집 해 강 물건 가족 사람 날 모습 풍경 인사 이야기 " * 3) + "</p>"
+    assert(keptRouted("<body>" + koNouns + "</body>", "xx") == 0L,
+      "a Korean noun pile (zero function words) must die under the " +
+        "density rule it now takes")
+    // native parity on the Korean cases, both lang values
+    val rows3 = Seq((200L, page(koText), "xx"), (201L, page(koText), "ko"),
+        (202L, "<body>" + koNouns + "</body>", "xx"))
+      .toDF("doc_id", "t", "lang")
+      .select(col("doc_id"),
+        graft.expressions.TextHashExpressions.htmlExtractNativeRouted(
+          col("t"), col("lang"), 70, 0.2, 0.2).as("nat"),
+        TextAnalysis.extractMainContentRouted(col("t"), col("lang"))
+          .as("spec"))
+      .collect()
+    rows3.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"routed-native parity broke on doc ${r.getLong(0)}:\n" +
+          s"nat=${r.getString(1)}\nspec=${r.getString(2)}")
+    }
   }
 
   test("two-phase jusText: context-free four-way classes, then " +
