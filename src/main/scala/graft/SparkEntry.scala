@@ -242,6 +242,24 @@ object SparkEntry {
     "<p>ตลาดเช้าของหมู่บ้านมีของกินมากมายทั้งผักผลไม้และขนมพื้นบ้านชาวบ้าน" +
       "ต่างทักทายกันอย่างเป็นกันเองกลิ่นอาหารลอยมาตามลมทำให้ทุกคนรู้สึก" +
       "อบอุ่นเหมือนครอบครัวเดียวกัน.</p>"
+  // Korean (late r17, ADVICE r16): the page ships with lang='xx' —
+  // UNKNOWN — so its survival is decided by the SCRIPT-routed ko list
+  // (hangul-majority blocks), not the lang column; the nav dies by link
+  // density, proving Korean boilerplate now actually dies too.
+  private val HtmlScriptHeadKo =
+    "<html><head><title>Gang</title></head><body>" +
+      "<div class=\"nav\"><ul><li><a href=\"/main\">첫 화면으로 가기</a></li>" +
+      "<li><a href=\"/help\">사이트 도움말 안내</a></li></ul></div>" +
+      "<h1>강가의 집</h1>"
+  private val HtmlParaKo1 =
+    "<p>이 집은 강가에 오래 서 있었다 그리고 마을 사람들은 저녁 때 " +
+      "이곳에 모여 함께 이야기를 나누는 것을 좋아했다 아이들은 해가 질 " +
+      "때 까지 강가에서 뛰어 놀았다 모든 날들이 같은 모습으로 흘러 갔다</p>"
+  private val HtmlParaKo2 =
+    "<p>아침 시장에는 먹을 것이 많이 있었다 과일 과 채소 등 여러 가지 " +
+      "물건을 파는 사람들이 있었다 그리고 서로 반갑게 인사를 나누며 " +
+      "하루 를 여는 모습은 언제나 같은 풍경이었다 모두가 한 가족 같이 " +
+      "지냈다</p>"
 
   // ---- two-phase jusText fixture (late r16) ---------------------------
   // An engineered block sequence where the context-sensitive revision
@@ -290,31 +308,36 @@ object SparkEntry {
             "</body></html>")).as("html"))
 
   /** Static pages keyed by language for the SCRIPT-ROUTED extraction
-    * gate, seven scripts: %7==1 → Russian, %7==2 → Greek, %7==3 → CJK,
-    * %7==4 → Arabic, %7==5 → Hebrew, %7==6 → Thai, %7==0 → the English
-    * control. Static literals only (the htmlPagesLang convention).
+    * gate, eight scripts: %8==1 → Russian, %8==2 → Greek, %8==3 → CJK,
+    * %8==4 → Arabic, %8==5 → Hebrew, %8==6 → Thai, %8==7 → Korean
+    * (late r17 — deliberately lang='xx', the script-DECIDED case),
+    * %8==0 → the English control. Static literals only (the
+    * htmlPagesLang convention).
     */
   private def htmlPagesScript(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      when(col("doc_id") % 7 === 1, lit("ru"))
-        .when(col("doc_id") % 7 === 2, lit("el"))
-        .when(col("doc_id") % 7 === 3, lit("zh"))
-        .when(col("doc_id") % 7 === 4, lit("ar"))
-        .when(col("doc_id") % 7 === 5, lit("he"))
-        .when(col("doc_id") % 7 === 6, lit("th"))
+      when(col("doc_id") % 8 === 1, lit("ru"))
+        .when(col("doc_id") % 8 === 2, lit("el"))
+        .when(col("doc_id") % 8 === 3, lit("zh"))
+        .when(col("doc_id") % 8 === 4, lit("ar"))
+        .when(col("doc_id") % 8 === 5, lit("he"))
+        .when(col("doc_id") % 8 === 6, lit("th"))
+        .when(col("doc_id") % 8 === 7, lit("xx"))
         .otherwise(lit("en")).as("lang"),
-      when(col("doc_id") % 7 === 1,
+      when(col("doc_id") % 8 === 1,
           lit(HtmlScriptHeadRu + HtmlParaRu1 + HtmlParaRu2 + HtmlPageSuffix))
-        .when(col("doc_id") % 7 === 2,
+        .when(col("doc_id") % 8 === 2,
           lit(HtmlScriptHeadEl + HtmlParaEl1 + HtmlParaEl2 + HtmlPageSuffix))
-        .when(col("doc_id") % 7 === 3,
+        .when(col("doc_id") % 8 === 3,
           lit(HtmlScriptHeadZh + HtmlParaZh1 + HtmlParaZh2 + HtmlPageSuffix))
-        .when(col("doc_id") % 7 === 4,
+        .when(col("doc_id") % 8 === 4,
           lit(HtmlScriptHeadAr + HtmlParaAr1 + HtmlParaAr2 + HtmlPageSuffix))
-        .when(col("doc_id") % 7 === 5,
+        .when(col("doc_id") % 8 === 5,
           lit(HtmlScriptHeadHe + HtmlParaHe1 + HtmlParaHe2 + HtmlPageSuffix))
-        .when(col("doc_id") % 7 === 6,
+        .when(col("doc_id") % 8 === 6,
           lit(HtmlScriptHeadTh + HtmlParaTh1 + HtmlParaTh2 + HtmlPageSuffix))
+        .when(col("doc_id") % 8 === 7,
+          lit(HtmlScriptHeadKo + HtmlParaKo1 + HtmlParaKo2 + HtmlPageSuffix))
         .otherwise(lit(HtmlPagePrefix + HtmlPara1Pad + HtmlPara2 +
           HtmlPageSuffix)).as("html"))
 
@@ -524,20 +547,30 @@ object SparkEntry {
        |    ${sqlLangStopCase("aw", "lang", TextAnalysis.StopwordsWeb)}
        |      AS n_stop,
        |    len(list_filter(aw, w -> w IN (${
+            sqlStopList(TextAnalysis.StopwordsWeb("ko"))})))
+       |      AS n_stop_ko,
+       |    len(list_filter(aw, w -> w IN (${
             sqlStopList(TextAnalysis.StopwordsWebEn)})))
        |      AS n_stop_en,
        |    len(txt) - len(regexp_replace(txt,
        |      '${TextAnalysis.segFreeClassRe2}', '', 'g')) AS n_cjk,
        |    len(txt) - len(regexp_replace(txt,
-       |      '${TextAnalysis.wordClassRe2}', '', 'g')) AS n_wl
+       |      '${TextAnalysis.wordClassRe2}', '', 'g')) AS n_wl,
+       |    len(txt) - len(regexp_replace(txt,
+       |      '${TextAnalysis.hangulClassRe2}', '', 'g')) AS n_hang
        |  FROM fw),
+       |blk2 AS (
+       |  SELECT *,
+       |    CASE WHEN n_hang * 2 > n_wl THEN n_stop_ko ELSE n_stop END
+       |      AS n_stop_sa
+       |  FROM blk),
        |kept AS (
        |  SELECT $keys, block_idx, txt, n_raw, link_chars, n_chars,
        |    n_words, n_stop, n_stop_en, n_cjk, n_wl,
        |    (n_chars >= 70
        |     AND CAST(link_chars AS DOUBLE) / CAST(n_raw AS DOUBLE) <= 0.2
        |     AND (n_cjk > n_wl OR (n_words > 0
-       |       AND CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2)))
+       |       AND CAST(n_stop_sa AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2)))
        |      AS keep,
        |    (n_chars >= 70
        |     AND CAST(link_chars AS DOUBLE) / CAST(n_raw AS DOUBLE) <= 0.2
@@ -549,7 +582,7 @@ object SparkEntry {
        |     AND n_words > 0
        |     AND CAST(n_stop_en AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.2)
        |      AS keep_en
-       |  FROM blk)""".stripMargin
+       |  FROM blk2)""".stripMargin
 
   private def htmlOracleCtes: String =
     s"""WITH $htmlPagesCte,
@@ -3990,7 +4023,12 @@ object SparkEntry {
     // had zero words at all); the CJK page cannot take the density rule
     // (no segmentation → n_words = 0) and survives ONLY via the routed
     // link-density fallback (n_kept_routed = 2, n_kept_plain = 0). The
-    // extracted Cyrillic/Greek/Han content itself lands in the hash.
+    // Korean page (late r17) ships lang='xx' on purpose: hangul-majority
+    // blocks are scored against the ko list BY SCRIPT, so
+    // n_kept_routed = 2 while the lang-keyed plain rule (English
+    // fallback) keeps 0 — and its nav dies by link density, pinning
+    // that Korean boilerplate no longer rides the segmentation-free
+    // waiver. The extracted content itself lands in the hash.
     "q_text_html_extract_script" -> ((s, d) => {
       val featsR = TextAnalysis.htmlBlockFeaturesRouted(col("html"),
         col("lang"))
@@ -4125,21 +4163,24 @@ object SparkEntry {
         .select(col("n_chunks"), (col("__m") === 0L).as("roundtrip_exact"),
           col("n_records"))
     }),
-    // Charset-sniffing ingest stage (r17, VERDICT r16 §next-5): seven
+    // Charset-sniffing ingest stage (r17, VERDICT r16 §next-5): twelve
     // deterministic payload variants per doc — UTF-8 with BOM, UTF-8
     // with an HTML meta, windows-1252 declared as iso-8859-1 (the WHATWG
     // label mapping), Shift_JIS with a meta, undeclared valid UTF-8,
-    // undeclared windows-1252 (invalid as UTF-8 → fallback), and GBK
-    // with a meta — the three legacy charsets real CommonCrawl slices
-    // actually carry — ENCODED to real bytes engine-side and decoded
-    // back through the sniffing chain (BOM → meta → XML decl → UTF-8
-    // validation → cp1252). The decoded text must round-trip to the
-    // constructed truth EXACTLY; DuckDB replays truth/charset/method per
-    // case, so every detector stage and all three legacy decodes land in
-    // the hash. Verify-only (fixture constructor + map-only natives —
-    // the quality-gate ruling).
+    // undeclared windows-1252 (invalid as UTF-8 → fallback), GBK with a
+    // meta, an HTTP-header-only declaration, and (late r17) the four
+    // UNDECLARED legacy-CJK cases — Shift_JIS, GBK, EUC-KR, Big5 with
+    // no BOM, no header, no meta, detected by the deterministic
+    // script-coherence stage ('stat') — ENCODED to real bytes
+    // engine-side and decoded back through the sniffing chain (BOM →
+    // header → meta → XML decl → UTF-8 validation → script coherence →
+    // cp1252). The decoded text must round-trip to the constructed
+    // truth EXACTLY; DuckDB replays truth/charset/method per case, so
+    // every detector stage and all five legacy decodes land in the
+    // hash. Verify-only (fixture constructor + map-only natives — the
+    // quality-gate ruling).
     "q_warc_charset" -> ((s, d) => {
-      val k = pmod(col("doc_id"), lit(8)).cast("int")
+      val k = pmod(col("doc_id"), lit(12)).cast("int")
       val idStr = col("doc_id").cast("string")
       def page(meta: String, body: Column): Column =
         concat(lit("<html><head>" + meta + "</head><body>"), body,
@@ -4148,6 +4189,13 @@ object SparkEntry {
       val bodyCp = concat(lit("café Grün £ © #"), idStr)
       val bodySjis = concat(lit("こんにちは世界 SJIS #"), idStr)
       val bodyGbk = concat(lit("中文网页内容 GBK #"), idStr)
+      // the UNDECLARED legacy-CJK cases (late r17): no BOM, no header, no
+      // meta — only the script-coherence stage ('stat') can save these
+      // from the cp1252-fallback mojibake
+      val bodyStatJa = concat(lit("こんにちは、世界のページです #"), idStr)
+      val bodyStatZh = concat(lit("中文网页的内容测试数据示例 #"), idStr)
+      val bodyStatKo = concat(lit("한국어 웹 페이지 내용 예시 #"), idStr)
+      val bodyStatB5 = concat(lit("中文網頁的內容測試資料範例 #"), idStr)
       val truth =
         when(k === 1, page("<meta charset=\"utf-8\">", bodyUtf8))
           .when(k === 2, page("<meta http-equiv=\"Content-Type\" " +
@@ -4155,11 +4203,17 @@ object SparkEntry {
           .when(k === 3, page("<meta charset=\"shift_jis\">", bodySjis))
           .when(k === 5 || k === 7, page("", bodyCp))
           .when(k === 6, page("<meta charset=\"gbk\">", bodyGbk))
+          .when(k === 8, page("", bodyStatJa))
+          .when(k === 9, page("", bodyStatZh))
+          .when(k === 10, page("", bodyStatKo))
+          .when(k === 11, page("", bodyStatB5))
           .otherwise(page("", bodyUtf8)) // cases 0 (BOM) and 4 (bare UTF-8)
       val enc =
         when(k === 2 || k === 5 || k === 7, lit("windows-1252"))
-          .when(k === 3, lit("Shift_JIS"))
-          .when(k === 6, lit("GBK"))
+          .when(k === 3 || k === 8, lit("Shift_JIS"))
+          .when(k === 6 || k === 9, lit("GBK"))
+          .when(k === 10, lit("EUC-KR"))
+          .when(k === 11, lit("Big5"))
           .otherwise(lit("UTF-8"))
       val enc0 = graft.expressions.CharsetExpressions.encodeCharset(truth, enc)
       val bytes =
@@ -6151,9 +6205,12 @@ object SparkEntry {
       val path = tempDirCleaned("graft-opq-append") + "/idx"
       graft.operators.ProductQuantization.opqWriteIndex(emb, "vec_id",
         "embedding", dim = 64, path, m = 8, kCodewords = 16)
+      // tagged + re-delivered (the q_sim_ivf_append note)
+      val batch = emb.withColumn("vec_id", col("vec_id") + 1000000L)
       graft.operators.ProductQuantization.opqAppendIndex(
-        emb.withColumn("vec_id", col("vec_id") + 1000000L),
-        "vec_id", "embedding", path)
+        batch, "vec_id", "embedding", path, Some("1"))
+      graft.operators.ProductQuantization.opqAppendIndex(
+        batch, "vec_id", "embedding", path, Some("1")) // replay
       s.read.parquet(path)
         .select(pmod(col("id"), lit(1000000L)).as("k"),
           array_join(col("codes").cast("array<string>"), ",").as("cs"))
@@ -6168,9 +6225,12 @@ object SparkEntry {
       val path = tempDirCleaned("graft-pq-append") + "/idx"
       graft.operators.ProductQuantization.pqWriteIndex(emb, "vec_id",
         "embedding", dim = 64, path, m = 8, kCodewords = 16)
+      // tagged + re-delivered (the q_sim_ivf_append note)
+      val batch = emb.withColumn("vec_id", col("vec_id") + 1000000L)
       graft.operators.ProductQuantization.pqAppendIndex(
-        emb.withColumn("vec_id", col("vec_id") + 1000000L),
-        "vec_id", "embedding", path)
+        batch, "vec_id", "embedding", path, Some("1"))
+      graft.operators.ProductQuantization.pqAppendIndex(
+        batch, "vec_id", "embedding", path, Some("1")) // replay
       s.read.parquet(path)
         .select(pmod(col("id"), lit(1000000L)).as("k"),
           array_join(col("codes").cast("array<string>"), ",").as("cs"))
@@ -6442,9 +6502,12 @@ object SparkEntry {
       val path = tempDirCleaned("graft-ivf-append") + "/idx"
       Similarity.ivfWriteIndex(emb, "vec_id", "embedding",
         dim = 64, nCentroids = 16, path = path)
-      Similarity.ivfAppendIndex(
-        emb.withColumn("vec_id", col("vec_id") + 1000000L),
-        "vec_id", "embedding", path)
+      // late r17: the append runs TAGGED and is re-delivered — a
+      // double-append would duplicate every batch row (min __n becomes 3)
+      // and break this exact-count hash
+      val batch = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+      Similarity.ivfAppendIndex(batch, "vec_id", "embedding", path, Some("1"))
+      Similarity.ivfAppendIndex(batch, "vec_id", "embedding", path, Some("1")) // replay
       s.read.parquet(path)
         .select(pmod(col("id"), lit(1000000L)).as("k"), col("cell"))
         .groupBy("k")
@@ -7114,15 +7177,19 @@ object SparkEntry {
     // and the detector stage per case; the Spark side must decode its
     // REAL encoded bytes back to exactly this.
     "q_warc_charset" ->
-      """WITH c AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS k FROM documents)
+      """WITH c AS (SELECT doc_id, CAST(doc_id % 12 AS INT) AS k FROM documents)
         |SELECT doc_id,
         |  CASE WHEN k IN (0, 1, 4) THEN 'UTF-8'
-        |       WHEN k = 3 THEN 'Shift_JIS'
-        |       WHEN k = 6 THEN 'GBK'
+        |       WHEN k IN (3, 8) THEN 'Shift_JIS'
+        |       WHEN k IN (6, 9) THEN 'GBK'
+        |       WHEN k = 10 THEN 'EUC-KR'
+        |       WHEN k = 11 THEN 'Big5'
         |       ELSE 'windows-1252' END AS charset,
         |  CASE k WHEN 0 THEN 'bom' WHEN 1 THEN 'meta' WHEN 2 THEN 'meta'
         |         WHEN 3 THEN 'meta' WHEN 4 THEN 'utf8' WHEN 6 THEN 'meta'
         |         WHEN 7 THEN 'header'
+        |         WHEN 8 THEN 'stat' WHEN 9 THEN 'stat' WHEN 10 THEN 'stat'
+        |         WHEN 11 THEN 'stat'
         |         ELSE 'fallback' END AS method,
         |  CASE
         |    WHEN k = 0 OR k = 4 THEN concat('<html><head></head><body>café Grün 東京 #',
@@ -7134,6 +7201,14 @@ object SparkEntry {
         |    WHEN k = 3 THEN concat('<html><head><meta charset="shift_jis"></head><body>こんにちは世界 SJIS #',
         |      CAST(doc_id AS VARCHAR), '</body></html>')
         |    WHEN k = 6 THEN concat('<html><head><meta charset="gbk"></head><body>中文网页内容 GBK #',
+        |      CAST(doc_id AS VARCHAR), '</body></html>')
+        |    WHEN k = 8 THEN concat('<html><head></head><body>こんにちは、世界のページです #',
+        |      CAST(doc_id AS VARCHAR), '</body></html>')
+        |    WHEN k = 9 THEN concat('<html><head></head><body>中文网页的内容测试数据示例 #',
+        |      CAST(doc_id AS VARCHAR), '</body></html>')
+        |    WHEN k = 10 THEN concat('<html><head></head><body>한국어 웹 페이지 내용 예시 #',
+        |      CAST(doc_id AS VARCHAR), '</body></html>')
+        |    WHEN k = 11 THEN concat('<html><head></head><body>中文網頁的內容測試資料範例 #',
         |      CAST(doc_id AS VARCHAR), '</body></html>')
         |    ELSE concat('<html><head></head><body>café Grün £ © #',
         |      CAST(doc_id AS VARCHAR), '</body></html>')
@@ -8591,29 +8666,33 @@ object SparkEntry {
     "q_text_html_extract_script" ->
       s"""WITH spages AS (
         |  SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 1 THEN 'ru'
-        |         WHEN doc_id % 7 = 2 THEN 'el'
-        |         WHEN doc_id % 7 = 3 THEN 'zh'
-        |         WHEN doc_id % 7 = 4 THEN 'ar'
-        |         WHEN doc_id % 7 = 5 THEN 'he'
-        |         WHEN doc_id % 7 = 6 THEN 'th' ELSE 'en' END AS lang,
-        |    CASE WHEN doc_id % 7 = 1
+        |    CASE WHEN doc_id % 8 = 1 THEN 'ru'
+        |         WHEN doc_id % 8 = 2 THEN 'el'
+        |         WHEN doc_id % 8 = 3 THEN 'zh'
+        |         WHEN doc_id % 8 = 4 THEN 'ar'
+        |         WHEN doc_id % 8 = 5 THEN 'he'
+        |         WHEN doc_id % 8 = 6 THEN 'th'
+        |         WHEN doc_id % 8 = 7 THEN 'xx' ELSE 'en' END AS lang,
+        |    CASE WHEN doc_id % 8 = 1
         |      THEN '$HtmlScriptHeadRu' || '$HtmlParaRu1' || '$HtmlParaRu2'
         |        || '$HtmlPageSuffix'
-        |      WHEN doc_id % 7 = 2
+        |      WHEN doc_id % 8 = 2
         |      THEN '$HtmlScriptHeadEl' || '$HtmlParaEl1' || '$HtmlParaEl2'
         |        || '$HtmlPageSuffix'
-        |      WHEN doc_id % 7 = 3
+        |      WHEN doc_id % 8 = 3
         |      THEN '$HtmlScriptHeadZh' || '$HtmlParaZh1' || '$HtmlParaZh2'
         |        || '$HtmlPageSuffix'
-        |      WHEN doc_id % 7 = 4
+        |      WHEN doc_id % 8 = 4
         |      THEN '$HtmlScriptHeadAr' || '$HtmlParaAr1' || '$HtmlParaAr2'
         |        || '$HtmlPageSuffix'
-        |      WHEN doc_id % 7 = 5
+        |      WHEN doc_id % 8 = 5
         |      THEN '$HtmlScriptHeadHe' || '$HtmlParaHe1' || '$HtmlParaHe2'
         |        || '$HtmlPageSuffix'
-        |      WHEN doc_id % 7 = 6
+        |      WHEN doc_id % 8 = 6
         |      THEN '$HtmlScriptHeadTh' || '$HtmlParaTh1' || '$HtmlParaTh2'
+        |        || '$HtmlPageSuffix'
+        |      WHEN doc_id % 8 = 7
+        |      THEN '$HtmlScriptHeadKo' || '$HtmlParaKo1' || '$HtmlParaKo2'
         |        || '$HtmlPageSuffix'
         |      ELSE '$HtmlPagePrefix' || '$HtmlPara1Pad' || '$HtmlPara2'
         |        || '$HtmlPageSuffix' END AS html
