@@ -2638,7 +2638,10 @@ object SparkEntry {
       "q_sim_ivf_retrain_gate", "q_sim_pq_retrain_gate",
       // r17: fixture constructor + map-only charset natives (quality-
       // gate ruling); the decode rides every real ingest recipe.
-      "q_warc_charset")
+      "q_warc_charset",
+      // late r17: index-per-run maintenance gate (append-gate ruling);
+      // the benched minhash rows stay the candidates/probe pair.
+      "q_dedup_minhash_append_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -3505,6 +3508,48 @@ object SparkEntry {
         .select(col("n_cross_exact_pairs"),
           (col("__n_hit") === col("n_cross_exact_pairs")).as("probe_exact_recall_ok"),
           coalesce(col("__min_est") === 1.0, lit(true)).as("probe_est_exact_ok"))
+    }),
+    // MinHash index MAINTENANCE gate (late r17): build the index on half
+    // the corpus slice, append the other half TAGGED and re-delivered
+    // (exactly-once — a double-append doubles n_corpus_sigs, which the
+    // oracle pins to the exact signature-eligible doc count), then probe —
+    // the probe booleans must match the fresh-built-index behavior
+    // exactly. Verify-only (index-per-run, the append-gate ruling).
+    "q_dedup_minhash_append_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val path = tempDirCleaned("graft-mh-append") + "/idx"
+      Dedup.minHashWriteIndex(
+        docs.filter(col("doc_id") >= 120 && col("doc_id") < 180),
+        "doc_id", "text", path)
+      val batch = docs.filter(col("doc_id") >= 180 && col("doc_id") < 240)
+      Dedup.minHashAppendIndex(batch, "doc_id", "text", path, Some("1"))
+      Dedup.minHashAppendIndex(batch, "doc_id", "text", path, Some("1")) // replay
+      val probe = Dedup.minHashProbeIndex(s, path,
+        docs.filter(col("doc_id") < 120), "doc_id", "text",
+        minEstJaccard = 0.0)
+      val tk = docs.filter(col("doc_id") < 240)
+        .select(col("doc_id").as("id"),
+          filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("tk"))
+        .filter(size(col("tk")) >= 3)
+      val truth = tk.filter(col("id") < 120)
+          .select(col("id").as("new_id"), col("tk").as("tka"))
+        .join(tk.filter(col("id") >= 120)
+          .select(col("id").as("corpus_id"), col("tk").as("tkb")),
+          col("tka") === col("tkb"))
+        .select("new_id", "corpus_id")
+      val hits = truth.join(probe, Seq("new_id", "corpus_id"), "left_semi")
+      val ests = truth.join(probe, Seq("new_id", "corpus_id"))
+      truth.agg(count(lit(1)).as("n_cross_exact_pairs"))
+        .crossJoin(hits.agg(count(lit(1)).as("__n_hit")))
+        .crossJoin(ests.agg(min(col("jaccard_est")).as("__min_est")))
+        .crossJoin(s.read.parquet(path)
+          .agg(count(lit(1)).as("n_corpus_sigs")))
+        .select(col("n_cross_exact_pairs"),
+          (col("__n_hit") === col("n_cross_exact_pairs"))
+            .as("probe_exact_recall_ok"),
+          coalesce(col("__min_est") === 1.0, lit(true))
+            .as("probe_est_exact_ok"),
+          col("n_corpus_sigs"))
     }),
     // MinHash quality gate: measured exact-recall (identical token
     // sequences MUST share every band bucket — a theorem when the banded
@@ -8213,6 +8258,25 @@ object SparkEntry {
         |  true AS probe_exact_recall_ok, true AS probe_est_exact_ok
         |FROM ne a JOIN ne b
         |ON a.id < 120 AND b.id >= 120 AND a.tk = b.tk""".stripMargin,
+    // The maintenance gate shares the probe gate's truth, restricted to
+    // the [120,240) corpus the write+append pair covers, and adds the
+    // exact signature-eligible count — the column a replayed
+    // double-append would double.
+    "q_dedup_minhash_append_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 240),
+        |ne AS (SELECT * FROM t WHERE len(tk) >= 3)
+        |SELECT
+        |  CAST((SELECT count(*) FROM ne a JOIN ne b
+        |    ON a.id < 120 AND b.id >= 120 AND a.tk = b.tk) AS BIGINT)
+        |    AS n_cross_exact_pairs,
+        |  true AS probe_exact_recall_ok,
+        |  true AS probe_est_exact_ok,
+        |  CAST((SELECT count(*) FROM ne WHERE id >= 120) AS BIGINT)
+        |    AS n_corpus_sigs""".stripMargin,
     // Exact doc count + the two pinned booleans + the oracled
     // zero-token count (the quality-gate convention).
     "q_text_hashvec_gate" ->

@@ -1738,12 +1738,79 @@ object Dedup {
     */
   def minHashWriteIndex(df: DataFrame, idCol: String, textCol: String,
                         path: String, shingleN: Int = 3, bands: Int = 8,
-                        rowsPerBand: Int = 4): Unit =
+                        rowsPerBand: Int = 4): Unit = {
     df.select(col(idCol).as("id"),
         graft.expressions.TextHashExpressions
           .minHashSignature(col(textCol), shingleN, bands * rowsPerBand).as("sig"))
       .filter(col("sig").isNotNull)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    // parameters sidecar (late r17): appends MUST hash new batches with
+    // the exact write-time (shingleN, k) or their signatures silently
+    // stop being comparable with the stored ones — the index's structure
+    // travels with the index, the _centroids/_books convention. `_`
+    // prefix hides it from the signature scan.
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((shingleN, bands, rowsPerBand))
+      .toDF("shingle_n", "bands", "rows_per_band")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_meta")
+  }
+
+  private def minHashIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                               path: String, what: String)
+      : (Int, Int, Int) = {
+    val rows =
+      try spark.read.parquet(s"$path/_meta")
+        .select("shingle_n", "bands", "rows_per_band").collect()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"$what: $path has no readable parameters sidecar (_meta); " +
+              "rewrite the index with minHashWriteIndex", e)
+      }
+    require(rows.length == 1, s"$what: $path has a malformed _meta sidecar")
+    (rows.head.getInt(0), rows.head.getInt(1), rows.head.getInt(2))
+  }
+
+  /** O(batch) MinHash index maintenance (late r17 — the verb the
+    * write/probe pair was missing): hash a new batch with the SIDECAR
+    * parameters — the only (shingleN, k) comparable with the signatures
+    * on disk — and append its signature rows. This is the accept loop of
+    * incremental crawl dedup: probe the batch ([[minHashProbeIndex]]),
+    * drop the near-duplicates, append the survivors — corpus text is
+    * never re-read, the 100 TB operating mode.
+    *
+    * `batchTag` makes the append EXACTLY-ONCE (the
+    * [[graft.operators.Similarity.ivfAppendIndex]] treatment): a
+    * crash-replayed batch would append duplicate signature rows —
+    * probes stay correct (the candidate pair set is distinct-ed) but
+    * every later probe pays the duplicated join rows and the index
+    * doubles silently. Committed (tag, content) replays no-op
+    * ([[graft.pipeline.BatchAppend]]).
+    */
+  def minHashAppendIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                         path: String,
+                         batchTag: Option[String] = None): Unit = {
+    val spark = newDocs.sparkSession
+    val (sn, bands, rpb) = minHashIndexMeta(spark, path, "minHashAppendIndex")
+    val rows = newDocs.select(col(idCol).as("id"),
+        graft.expressions.TextHashExpressions
+          .minHashSignature(col(textCol), sn, bands * rpb).as("sig"))
+      .filter(col("sig").isNotNull)
+    batchTag match {
+      case None =>
+        rows.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+      case Some(tag) =>
+        val sig = graft.pipeline.BatchAppend.contentSig(newDocs,
+          Seq(idCol, textCol))
+        graft.pipeline.BatchAppend.exactlyOnce(spark, path, tag, sig,
+          Seq(path)) {
+          graft.pipeline.BatchAppend.appendBatchFiles(rows, path, tag)
+        }: Unit
+    }
+  }
 
   /** Probe NEW documents against a persisted MinHash index: new-side
     * signatures come from text, corpus-side banding is re-derived from the
@@ -1772,6 +1839,19 @@ object Dedup {
     val idx = spark.read.parquet(path)
     require(Seq("id", "sig").forall(idx.columns.contains),
       s"minHashProbeIndex: $path is not a MinHash index (want columns id, sig)")
+    // drift guard (late r17): when the parameters sidecar is present,
+    // the probe's banding must match the write-time banding — probing
+    // k=32 signatures as 4×4 silently halves every bucket's evidence.
+    // Indexes written before the sidecar existed skip the check (the
+    // sig-length arithmetic below still catches a k mismatch).
+    if (graft.pipeline.Sinks.exists(spark, s"$path/_meta")) {
+      val (sn, b, rpb) = minHashIndexMeta(spark, path, "minHashProbeIndex")
+      require(sn == shingleN && b == bands && rpb == rowsPerBand,
+        s"minHashProbeIndex: probe parameters (shingleN=$shingleN, " +
+          s"bands=$bands, rowsPerBand=$rowsPerBand) differ from the " +
+          s"index's write-time ($sn, $b, $rpb) — signatures would not " +
+          "be comparable")
+    }
     val newSigs = newDocs.select(col(idCol).as("id"),
         graft.expressions.TextHashExpressions
           .minHashSignature(col(textCol), shingleN, k).as("sig"))

@@ -512,6 +512,57 @@ class DedupSpec extends SparkSpec {
     assert(bad.getMessage.contains("MinHash index"), bad.getMessage)
   }
 
+  test("minHash index append: sidecar-parameter hashing, exactly-once " +
+      "batchTag, probe equals the fresh-built index (late r17)") {
+    def tmp(p: String) = java.nio.file.Files
+      .createTempDirectory(p).toString + "/idx"
+    val corpus = docs.filter($"doc_id" >= 2)
+    val dir = tmp("mh-append")
+    Dedup.minHashWriteIndex(docs.filter($"doc_id" === 2 || $"doc_id" === 3),
+      "doc_id", "text", dir)
+    val b1 = docs.filter($"doc_id" >= 4)
+    def nSigs() = spark.read.parquet(dir).count()
+    Dedup.minHashAppendIndex(b1, "doc_id", "text", dir, Some("0"))
+    val full = tmp("mh-full")
+    Dedup.minHashWriteIndex(corpus, "doc_id", "text", full)
+    assert(nSigs() == spark.read.parquet(full).count())
+    val batch = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog").toDF("doc_id", "text")
+    def probeSet(p: String) = Dedup.minHashProbeIndex(spark, p, batch,
+        "doc_id", "text", minEstJaccard = 0.0)
+      .select("new_id", "corpus_id", "jaccard_est")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probeSet(dir) == probeSet(full),
+      "write-half + append-half must probe exactly like the fresh build")
+    // exactly-once: replay no-ops, the marker-lost crash state converges
+    val truth = nSigs()
+    Dedup.minHashAppendIndex(b1, "doc_id", "text", dir, Some("0"))
+    assert(nSigs() == truth)
+    new java.io.File(dir, "_committed").listFiles()
+      .filter(_.getName.startsWith("0-")).foreach(f => assert(f.delete()))
+    Dedup.minHashAppendIndex(b1, "doc_id", "text", dir, Some("0"))
+    assert(nSigs() == truth && probeSet(dir) == probeSet(full))
+    val e = intercept[IllegalStateException] {
+      Dedup.minHashAppendIndex(docs.filter($"doc_id" === 1), "doc_id",
+        "text", dir, Some("0"))
+    }
+    assert(e.getMessage.contains("DIFFERENT content"), e.getMessage)
+    // drift guards: a probe with different banding fails loudly; an
+    // append to an index without the parameters sidecar fails loudly
+    val drift = intercept[IllegalArgumentException] {
+      Dedup.minHashProbeIndex(spark, dir, batch, "doc_id", "text",
+        bands = 4, rowsPerBand = 8)
+    }
+    assert(drift.getMessage.contains("write-time"), drift.getMessage)
+    val bare = java.nio.file.Files
+      .createTempDirectory("mh-bare").toString + "/idx"
+    spark.read.parquet(dir).write.parquet(bare) // signatures, no _meta
+    val noMeta = intercept[IllegalStateException] {
+      Dedup.minHashAppendIndex(b1, "doc_id", "text", bare)
+    }
+    assert(noMeta.getMessage.contains("_meta"), noMeta.getMessage)
+  }
+
   test("dedupSubstrings removes >=k-token duplicates at arbitrary alignment") {
     // "quick brown fox jumps over" (5 tokens) is shared between docs 1 and
     // 2 at DIFFERENT offsets (1 vs 2) — invisible to fixed-window span
