@@ -2639,9 +2639,9 @@ object SparkEntry {
       // r17: fixture constructor + map-only charset natives (quality-
       // gate ruling); the decode rides every real ingest recipe.
       "q_warc_charset",
-      // late r17: index-per-run maintenance gate (append-gate ruling);
-      // the benched minhash rows stay the candidates/probe pair.
-      "q_dedup_minhash_append_gate")
+      // late r17: index-per-run maintenance gates (append-gate ruling);
+      // the benched near-dup rows stay the candidates/probe pairs.
+      "q_dedup_minhash_append_gate", "q_dedup_simhash_append_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -3549,6 +3549,47 @@ object SparkEntry {
             .as("probe_exact_recall_ok"),
           coalesce(col("__min_est") === 1.0, lit(true))
             .as("probe_est_exact_ok"),
+          col("n_corpus_sigs"))
+    }),
+    // SimHash index MAINTENANCE gate (late r17 — the minhash append
+    // gate's Hamming-family twin): write half the corpus slice, append
+    // the other half TAGGED and re-delivered, probe at radius 0 —
+    // identical token multisets MUST surface at hamming 0 (equal bags →
+    // equal bit votes → equal signatures), and the oracle pins the
+    // signature-eligible row count a double-append would double.
+    // Verify-only (index-per-run, the append-gate ruling).
+    "q_dedup_simhash_append_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val path = tempDirCleaned("graft-sh-append") + "/idx"
+      Dedup.simHashWriteIndex(
+        docs.filter(col("doc_id") >= 120 && col("doc_id") < 180),
+        "doc_id", "text", path)
+      val batch = docs.filter(col("doc_id") >= 180 && col("doc_id") < 240)
+      Dedup.simHashAppendIndex(batch, "doc_id", "text", path, Some("1"))
+      Dedup.simHashAppendIndex(batch, "doc_id", "text", path, Some("1")) // replay
+      val probe = Dedup.simHashProbeIndex(s, path,
+        docs.filter(col("doc_id") < 120), "doc_id", "text", maxHamming = 0)
+      val tk = docs.filter(col("doc_id") < 240)
+        .select(col("doc_id").as("id"),
+          filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("tk"))
+        .filter(size(col("tk")) >= 1)
+      val truth = tk.filter(col("id") < 120)
+          .select(col("id").as("new_id"), col("tk").as("tka"))
+        .join(tk.filter(col("id") >= 120)
+          .select(col("id").as("corpus_id"), col("tk").as("tkb")),
+          col("tka") === col("tkb"))
+        .select("new_id", "corpus_id")
+      val hits = truth.join(probe, Seq("new_id", "corpus_id"), "left_semi")
+      val hams = truth.join(probe, Seq("new_id", "corpus_id"))
+      truth.agg(count(lit(1)).as("n_cross_exact_pairs"))
+        .crossJoin(hits.agg(count(lit(1)).as("__n_hit")))
+        .crossJoin(hams.agg(max(col("hamming")).as("__max_ham")))
+        .crossJoin(s.read.parquet(path)
+          .agg(count(lit(1)).as("n_corpus_sigs")))
+        .select(col("n_cross_exact_pairs"),
+          (col("__n_hit") === col("n_cross_exact_pairs"))
+            .as("probe_exact_recall_ok"),
+          coalesce(col("__max_ham") === 0, lit(true)).as("probe_ham0_ok"),
           col("n_corpus_sigs"))
     }),
     // MinHash quality gate: measured exact-recall (identical token
@@ -8258,6 +8299,25 @@ object SparkEntry {
         |  true AS probe_exact_recall_ok, true AS probe_est_exact_ok
         |FROM ne a JOIN ne b
         |ON a.id < 120 AND b.id >= 120 AND a.tk = b.tk""".stripMargin,
+    // The Hamming-family maintenance gate: same truth shape at the ≥1
+    // token eligibility (any tokenized doc has a SimHash signature;
+    // MinHash needs a full shingle), the radius-0 max-hamming pin, and
+    // the double-append-detecting exact count.
+    "q_dedup_simhash_append_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 240),
+        |ne AS (SELECT * FROM t WHERE len(tk) >= 1)
+        |SELECT
+        |  CAST((SELECT count(*) FROM ne a JOIN ne b
+        |    ON a.id < 120 AND b.id >= 120 AND a.tk = b.tk) AS BIGINT)
+        |    AS n_cross_exact_pairs,
+        |  true AS probe_exact_recall_ok,
+        |  true AS probe_ham0_ok,
+        |  CAST((SELECT count(*) FROM ne WHERE id >= 120) AS BIGINT)
+        |    AS n_corpus_sigs""".stripMargin,
     // The maintenance gate shares the probe gate's truth, restricted to
     // the [120,240) corpus the write+append pair covers, and adds the
     // exact signature-eligible count — the column a replayed

@@ -384,6 +384,96 @@ object Dedup {
       s"simHashNearDupPairs(maxHamming=$maxHamming)", maxBucketRows)
   }
 
+  /** Persist a SimHash dedup INDEX: one `(id, sig)` row per doc with at
+    * least one token — 16 B/doc, constant in text size (the
+    * [[minHashWriteIndex]] role for the Hamming family). The signature
+    * is PARAMETER-FREE (fixed whitespace tokenizer + per-token xxhash64
+    * bit votes), so unlike MinHash no parameters sidecar is needed:
+    * banding is probe-TIME arithmetic, and any radius probes the same
+    * stored signatures.
+    */
+  def simHashWriteIndex(df: DataFrame, idCol: String, textCol: String,
+                        path: String): Unit =
+    simHashSignatures(df, idCol, textCol)
+      .withColumnRenamed("simhash", "sig")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** O(batch) SimHash index maintenance — the [[minHashAppendIndex]]
+    * contract: signature the new batch (map-side native, no shuffle) and
+    * append its rows; corpus text is never re-read. `batchTag` makes the
+    * append EXACTLY-ONCE ([[graft.pipeline.BatchAppend]]): replayed
+    * duplicate signature rows keep probes correct (pairs distinct) but
+    * silently double the index and every probe join.
+    */
+  def simHashAppendIndex(newDocs: DataFrame, idCol: String, textCol: String,
+                         path: String,
+                         batchTag: Option[String] = None): Unit = {
+    val spark = newDocs.sparkSession
+    val rows = simHashSignatures(newDocs, idCol, textCol)
+      .withColumnRenamed("simhash", "sig")
+    batchTag match {
+      case None =>
+        rows.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+      case Some(tag) =>
+        val sig = graft.pipeline.BatchAppend.contentSig(newDocs,
+          Seq(idCol, textCol))
+        graft.pipeline.BatchAppend.exactlyOnce(spark, path, tag, sig,
+          Seq(path)) {
+          graft.pipeline.BatchAppend.appendBatchFiles(rows, path, tag)
+        }: Unit
+    }
+  }
+
+  /** Probe NEW documents against a persisted SimHash index within a
+    * Hamming radius: both sides band by pigeonhole (maxHamming+1
+    * disjoint bands — a pair within the radius agrees on at least one),
+    * candidates come from the two-sided (band, bits) join — never
+    * all-pairs — and exact `bit_count(a XOR b)` filters. Returns
+    * `(new_id, corpus_id, hamming)`. Identical token MULTISETS yield
+    * identical signatures (SimHash is a bag-of-tokens vote), so exact
+    * text duplicates always surface at hamming 0 — the gate's pin.
+    * Corpus text is never touched; the shuffle carries ids and longs
+    * only.
+    */
+  def simHashProbeIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, newDocs: DataFrame,
+                        idCol: String, textCol: String, maxHamming: Int = 3,
+                        maxBucketRows: Long = Guardrails.DefaultMaxBucketRows)
+      : DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"simHashProbeIndex: maxHamming must be in [0,31], got $maxHamming")
+    val idx = spark.read.parquet(path)
+    require(Seq("id", "sig").forall(idx.columns.contains),
+      s"simHashProbeIndex: $path is not a SimHash index (want columns id, sig)")
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val bandMask = if (bandBits >= 64) -1L else (1L << bandBits) - 1 // the shift-mod-64 guard
+    def banded(sigs: DataFrame, side: String) = sigs
+      .select(col("id").as(side), col("sig").as(s"sig_$side"),
+        posexplode(array((0 until nBands).map(b =>
+          shiftrightunsigned(col("sig"), b * bandBits)
+            .bitwiseAND(lit(bandMask))): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bits"))
+    val newSigs = simHashSignatures(newDocs, idCol, textCol)
+      .withColumnRenamed("simhash", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBanded = banded(idx, "corpus_id")
+    Guardrails.requireBoundedBuckets(corpusBanded, Seq("band", "bits"),
+      maxBucketRows, s"simHashProbeIndex(maxHamming=$maxHamming)",
+      "lower maxHamming (band width = 64/(maxHamming+1) bits) or " +
+        "exact-dedup identical items before indexing")
+    val res = banded(newSigs, "new_id")
+      .join(corpusBanded, Seq("band", "bits"))
+      .select(col("new_id"), col("corpus_id"),
+        bit_count(col("sig_new_id").bitwiseXOR(col("sig_corpus_id")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(true)
+    newSigs.unpersist()
+    res
+  }
+
   /** Banded Hamming near-dup pairs over ANY 64-bit signature frame
     * `(id, sig)` — the [[simHashNearDupPairs]] core, shared with the
     * perceptual image-hash dedup ([[Multimodal.imageNearDupGroups]]):

@@ -563,6 +563,63 @@ class DedupSpec extends SparkSpec {
     assert(noMeta.getMessage.contains("_meta"), noMeta.getMessage)
   }
 
+  test("simHash index: write/append/probe, radius-0 exact dups, wider " +
+      "radius finds the near-dup, exactly-once batchTag (late r17)") {
+    def tmp(p: String) = java.nio.file.Files
+      .createTempDirectory(p).toString + "/idx"
+    val dir = tmp("sh-append")
+    Dedup.simHashWriteIndex(docs.filter($"doc_id" <= 2), "doc_id", "text", dir)
+    val b1 = docs.filter($"doc_id" >= 3)
+    Dedup.simHashAppendIndex(b1, "doc_id", "text", dir, Some("0"))
+    def nSigs() = spark.read.parquet(dir).count()
+    assert(nSigs() == 4)
+    val batch = Seq(
+      10L -> "the quick brown fox jumps over the lazy dog", // = corpus 1, 4
+      11L -> "unrelated words about database partitioning strategies"
+    ).toDF("doc_id", "text")
+    def probe(h: Int) = Dedup.simHashProbeIndex(spark, dir, batch,
+        "doc_id", "text", maxHamming = h)
+      .select("new_id", "corpus_id", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    // radius 0: exactly the identical-text corpus rows, hamming 0
+    assert(probe(0) == Set((10L, 1L, 0L), (10L, 4L, 0L)), probe(0))
+    // a wider radius also surfaces the one-token near-dup (doc 2),
+    // strictly positive hamming; the unrelated doc stays out
+    val wide = probe(12)
+    assert(wide.contains((10L, 1L, 0L)) && wide.contains((10L, 4L, 0L)))
+    assert(wide.exists(p => p._1 == 10L && p._2 == 2L && p._3 > 0L), wide)
+    assert(!wide.exists(_._1 == 11L), wide)
+    // probe equals the fresh-built index
+    val full = tmp("sh-full")
+    Dedup.simHashWriteIndex(docs, "doc_id", "text", full)
+    val fresh = Dedup.simHashProbeIndex(spark, full, batch, "doc_id",
+        "text", maxHamming = 12)
+      .select("new_id", "corpus_id", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(wide == fresh)
+    // exactly-once: replay no-ops, marker-lost crash state converges,
+    // lineage mismatch is loud
+    Dedup.simHashAppendIndex(b1, "doc_id", "text", dir, Some("0"))
+    assert(nSigs() == 4)
+    new java.io.File(dir, "_committed").listFiles()
+      .filter(_.getName.startsWith("0-")).foreach(f => assert(f.delete()))
+    Dedup.simHashAppendIndex(b1, "doc_id", "text", dir, Some("0"))
+    assert(nSigs() == 4 && probe(0).size == 2)
+    val e = intercept[IllegalStateException] {
+      Dedup.simHashAppendIndex(docs.filter($"doc_id" === 1), "doc_id",
+        "text", dir, Some("0"))
+    }
+    assert(e.getMessage.contains("DIFFERENT content"), e.getMessage)
+    // shape guard
+    val notIdx = java.nio.file.Files
+      .createTempDirectory("sh-bad").toString + "/x"
+    docs.write.parquet(notIdx)
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.simHashProbeIndex(spark, notIdx, batch, "doc_id", "text")
+    }
+    assert(bad.getMessage.contains("SimHash index"), bad.getMessage)
+  }
+
   test("dedupSubstrings removes >=k-token duplicates at arbitrary alignment") {
     // "quick brown fox jumps over" (5 tokens) is shared between docs 1 and
     // 2 at DIFFERENT offsets (1 vs 2) — invisible to fixed-window span
