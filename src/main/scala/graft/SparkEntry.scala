@@ -2641,7 +2641,10 @@ object SparkEntry {
       "q_warc_charset",
       // late r17: index-per-run maintenance gates (append-gate ruling);
       // the benched near-dup rows stay the candidates/probe pairs.
-      "q_dedup_minhash_append_gate", "q_dedup_simhash_append_gate")
+      "q_dedup_minhash_append_gate", "q_dedup_simhash_append_gate",
+      // late r17: delete-lifecycle gates (index-per-run; the takedown
+      // verbs ride the probes the benched rows already price).
+      "q_dedup_minhash_delete_gate", "q_text_bm25_delete_gate")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- filters / predicates -------------------------------------------
@@ -3592,6 +3595,60 @@ object SparkEntry {
           coalesce(col("__max_ham") === 0, lit(true)).as("probe_ham0_ok"),
           col("n_corpus_sigs"))
     }),
+    // Near-dup index DELETE gate (late r17 — the takedown lifecycle):
+    // build the MinHash index on the full [120,240) corpus slice, delete
+    // [180,200) TAGGED and re-delivered, probe (tombstone exclusion),
+    // purge (physical removal), probe again — both probes must match the
+    // truth computed WITHOUT the deleted docs, and the oracle pins the
+    // removed-row and live-row counts exactly. Verify-only
+    // (index-per-run, the append-gate ruling).
+    "q_dedup_minhash_delete_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val path = tempDirCleaned("graft-mh-delete") + "/idx"
+      Dedup.minHashWriteIndex(
+        docs.filter(col("doc_id") >= 120 && col("doc_id") < 240),
+        "doc_id", "text", path)
+      val doomed = docs.filter(col("doc_id") >= 180 && col("doc_id") < 200)
+        .select("doc_id")
+      graft.pipeline.Tombstones.delete(doomed, "doc_id", path, Some("1"))
+      graft.pipeline.Tombstones.delete(doomed, "doc_id", path, Some("1")) // replay
+      // minHashProbeIndex is EAGER (localCheckpoint), so probeDel is the
+      // pre-purge answer even though the purge rewrites the index after
+      def probe() = Dedup.minHashProbeIndex(s, path,
+        docs.filter(col("doc_id") < 120), "doc_id", "text",
+        minEstJaccard = 0.0).select("new_id", "corpus_id")
+      val probeDel = probe()
+      val nRemoved = graft.pipeline.Tombstones.purge(s, path)
+      val probePurged = probe()
+      val purgeSame =
+        probeDel.exceptAll(probePurged)
+          .unionAll(probePurged.exceptAll(probeDel)).isEmpty
+      val tk = docs.filter(col("doc_id") < 240)
+        .select(col("doc_id").as("id"),
+          filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("tk"))
+        .filter(size(col("tk")) >= 3)
+      val truth = tk.filter(col("id") < 120)
+          .select(col("id").as("new_id"), col("tk").as("tka"))
+        .join(tk.filter(col("id") >= 120 &&
+            !(col("id") >= 180 && col("id") < 200))
+          .select(col("id").as("corpus_id"), col("tk").as("tkb")),
+          col("tka") === col("tkb"))
+        .select("new_id", "corpus_id")
+      val hits = truth.join(probeDel, Seq("new_id", "corpus_id"), "left_semi")
+      val noDeleted = probeDel
+        .filter(col("corpus_id") >= 180 && col("corpus_id") < 200).isEmpty
+      truth.agg(count(lit(1)).as("n_cross_exact_pairs"))
+        .crossJoin(hits.agg(count(lit(1)).as("__n_hit")))
+        .crossJoin(s.read.parquet(path)
+          .agg(count(lit(1)).as("n_live_sigs")))
+        .select(col("n_cross_exact_pairs"),
+          (col("__n_hit") === col("n_cross_exact_pairs"))
+            .as("probe_delete_recall_ok"),
+          lit(noDeleted).as("no_deleted_candidates"),
+          lit(purgeSame).as("purge_probe_unchanged"),
+          col("n_live_sigs"),
+          lit(nRemoved).as("n_removed"))
+    }),
     // MinHash quality gate: measured exact-recall (identical token
     // sequences MUST share every band bucket — a theorem when the banded
     // signature join is correct) and high-Jaccard recall vs the banding's
@@ -4375,6 +4432,25 @@ object SparkEntry {
       TextAnalysis.bm25Probe(s, bm25EnsureIndex(s, d),
         bm25Queries(s), "query_id", "qtext", k = 10)
         .orderBy("query_id", "rank")),
+    // BM25 DELETE gate (late r17 — the takedown verb, oracled to full
+    // score precision): index the whole corpus, delete [50,80) TAGGED
+    // and re-delivered, probe — the scores must equal the SAME score
+    // replay run over documents MINUS the deleted range, so the
+    // tombstone anti-join and the id-deduped df/N/avgdl corrections all
+    // land in the hash at full value. Verify-only (index-per-run).
+    "q_text_bm25_delete_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val path = tempDirCleaned("graft-bm25-delete") + "/idx"
+      TextAnalysis.bm25WriteIndex(docs, "doc_id", "text", path,
+        nBuckets = 16)
+      val doomed = docs.filter(col("doc_id") >= 50 && col("doc_id") < 80)
+        .select("doc_id")
+      TextAnalysis.bm25DeleteIndex(doomed, "doc_id", path, Some("1"))
+      TextAnalysis.bm25DeleteIndex(doomed, "doc_id", path, Some("1")) // replay
+      TextAnalysis.bm25Probe(s, path, bm25Queries(s), "query_id", "qtext",
+          k = 10)
+        .orderBy("query_id", "rank")
+    }),
     // Index-maintenance gate: index the first corpus half, APPEND the
     // second, probe — the result must equal full-corpus search exactly
     // (stale df/avgdl partials or bucket drift would surface here). Same
@@ -8299,6 +8375,28 @@ object SparkEntry {
         |  true AS probe_exact_recall_ok, true AS probe_est_exact_ok
         |FROM ne a JOIN ne b
         |ON a.id < 120 AND b.id >= 120 AND a.tk = b.tk""".stripMargin,
+    // The delete-lifecycle gate: truth re-computed WITHOUT the deleted
+    // range, both count columns exact (live signatures after the purge,
+    // rows the purge physically removed), booleans engine-side.
+    "q_dedup_minhash_delete_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id < 240),
+        |ne AS (SELECT * FROM t WHERE len(tk) >= 3)
+        |SELECT
+        |  CAST((SELECT count(*) FROM ne a JOIN ne b
+        |    ON a.id < 120 AND b.id >= 120
+        |    AND NOT (b.id >= 180 AND b.id < 200)
+        |    AND a.tk = b.tk) AS BIGINT) AS n_cross_exact_pairs,
+        |  true AS probe_delete_recall_ok,
+        |  true AS no_deleted_candidates,
+        |  true AS purge_probe_unchanged,
+        |  CAST((SELECT count(*) FROM ne WHERE id >= 120
+        |    AND NOT (id >= 180 AND id < 200)) AS BIGINT) AS n_live_sigs,
+        |  CAST((SELECT count(*) FROM ne WHERE id >= 180 AND id < 200)
+        |    AS BIGINT) AS n_removed""".stripMargin,
     // The Hamming-family maintenance gate: same truth shape at the ≥1
     // token eligibility (any tokenized doc has a SimHash signature;
     // MinHash needs a full shingle), the radius-0 max-hamming pin, and
@@ -10608,11 +10706,15 @@ object SparkEntry {
     * sum runs in DECIMAL(38,18) (the perplexity precedent), so addition
     * order cannot drift the hash.
     */
-  private val bm25SearchOracleSql: String =
-    """WITH toks AS (
+  /** The BM25 score replay, parameterized by an extra corpus predicate —
+    * '' for the full corpus; the delete gate replays the SAME math over
+    * `documents` minus the deleted range (late r17).
+    */
+  private def bm25OracleSqlOver(docPredicate: String): String =
+    s"""WITH toks AS (
       |  SELECT doc_id AS id, t.term
-      |  FROM documents, unnest(regexp_split_to_array(lower(text), '\s+')) AS t(term)
-      |  WHERE t.term <> ''
+      |  FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(term)
+      |  WHERE t.term <> ''$docPredicate
       |), tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
       |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
       |dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
@@ -10624,7 +10726,7 @@ object SparkEntry {
       |  (CAST(3 AS BIGINT), 'zebra quantum')),
       |qterms AS (
       |  SELECT DISTINCT query_id, t.term
-      |  FROM queries, unnest(regexp_split_to_array(lower(qtext), '\s+')) AS t(term)
+      |  FROM queries, unnest(regexp_split_to_array(lower(qtext), '\\s+')) AS t(term)
       |  WHERE t.term <> ''),
       |scored AS (
       |  SELECT q.query_id, tf.id,
@@ -10645,6 +10747,8 @@ object SparkEntry {
       |    score
       |  FROM agg)
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  private val bm25SearchOracleSql: String = bm25OracleSqlOver("")
 
   /** One oracle for the phrase family: scratch search and index probe are
     * contracted equal (the bm25 pair's ruling); every value is an exact
@@ -10698,6 +10802,10 @@ object SparkEntry {
     "q_text_bm25_append_gate" -> bm25SearchOracleSql,
     // r14: append + compact == single rebuild, same shared oracle
     "q_text_bm25_compact_gate" -> bm25SearchOracleSql,
+    // late r17: the SAME score replay over the corpus minus the deleted
+    // range — full-precision truth for the delete corrections
+    "q_text_bm25_delete_gate" ->
+      bm25OracleSqlOver(" AND NOT (doc_id >= 50 AND doc_id < 80)"),
     // Hybrid RRF: the bm25SearchOracleSql chain (lexical arm) + the
     // q_sim_bruteforce_topk quantized-dot contract (dense arm, multi-
     // query) + the fixed-point fusion arithmetic, replayed end-to-end.

@@ -442,7 +442,8 @@ object Dedup {
       : DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"simHashProbeIndex: maxHamming must be in [0,31], got $maxHamming")
-    val idx = spark.read.parquet(path)
+    val idx = graft.pipeline.Tombstones.exclude(
+      spark.read.parquet(path), path) // deleted docs never pair
     require(Seq("id", "sig").forall(idx.columns.contains),
       s"simHashProbeIndex: $path is not a SimHash index (want columns id, sig)")
     val nBands = maxHamming + 1
@@ -1926,7 +1927,10 @@ object Dedup {
         hash((b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => element_at(col("sig"), i + 1)): _*)): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket", "id" -> side))
-    val idx = spark.read.parquet(path)
+    // tombstone exclusion (late r17): deleted docs never surface as
+    // corpus-side candidates, before or after a physical purge
+    val idx = graft.pipeline.Tombstones.exclude(
+      spark.read.parquet(path), path)
     require(Seq("id", "sig").forall(idx.columns.contains),
       s"minHashProbeIndex: $path is not a MinHash index (want columns id, sig)")
     // drift guard (late r17): when the parameters sidecar is present,

@@ -428,11 +428,15 @@ object ProductQuantization {
     * readers see the old index or the new, never the delete-then-write
     * gap of a plain overwrite. SINGLE-WRITER maintenance.
     */
-  def pqRetrainCompact(emb: DataFrame, idCol: String, vecCol: String,
+  def pqRetrainCompact(emb0: DataFrame, idCol: String, vecCol: String,
                        dim: Int, path: String, m: Int = 8,
                        kCodewords: Int = 16, maxIter: Int = 6,
                        trainFraction: Double = 0.25): Unit = {
-    pqReadBooks(emb.sparkSession, path) // validates an index exists
+    pqReadBooks(emb0.sparkSession, path) // validates an index exists
+    // a retrain consumes the index's tombstones: deleted ids drop from
+    // the training set and the re-encoded codes, and the swap clears
+    // the tombstone table (late r17)
+    val emb = graft.pipeline.Tombstones.exclude(emb0, path, idCol)
     val books = trainBooks(emb, idCol, vecCol, dim, m, kCodewords, maxIter,
       trainFraction)
     graft.pipeline.Sinks.overwriteViaStagingWith(
@@ -506,7 +510,7 @@ object ProductQuantization {
                     excludeId: Long = -1L): DataFrame = {
     val books = pqReadBooks(spark, path)
     val lut = adcLut(query, books)
-    spark.read.parquet(path)
+    graft.pipeline.Tombstones.exclude(spark.read.parquet(path), path)
       .filter(col("id") =!= excludeId)
       .select(col("id").as("vec_id"), adcScore(col("codes"), lut).as("adc"))
       .orderBy(col("adc").desc, col("vec_id").asc)
@@ -599,11 +603,12 @@ object ProductQuantization {
     * so retrain-after-appends equals a fresh [[opqWriteIndex]] over the
     * union code-for-code (gate-pinned). SINGLE-WRITER maintenance.
     */
-  def opqRetrainCompact(emb: DataFrame, idCol: String, vecCol: String,
+  def opqRetrainCompact(emb0: DataFrame, idCol: String, vecCol: String,
                         dim: Int, path: String, m: Int = 8,
                         kCodewords: Int = 16, maxIter: Int = 6,
                         trainFraction: Double = 0.25): Unit = {
-    opqReadRotation(emb.sparkSession, path) // validates an OPQ index
+    opqReadRotation(emb0.sparkSession, path) // validates an OPQ index
+    val emb = graft.pipeline.Tombstones.exclude(emb0, path, idCol) // late r17
     val model = graft.operators.Pca.pcaTrain(emb, idCol, vecCol, dim, k = dim)
     val rot = emb.filter(size(col(vecCol)) === dim)
       .select(col(idCol).as("id"),

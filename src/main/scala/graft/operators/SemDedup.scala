@@ -255,7 +255,9 @@ object SemDedup {
     val stored = readIndexCentroids(spark, path)
     val k = if (nCentroids > 0) nCentroids else stored.length
     val dim = stored.head.length
-    val rows = spark.read.parquet(path).select(col("id"), col("qvec"))
+    // a retrain consumes the index's tombstones (late r17)
+    val rows = graft.pipeline.Tombstones.exclude(
+      spark.read.parquet(path), path).select(col("id"), col("qvec"))
     val cents = Similarity.kMeansCentroidsSampled(rows, "id", "qvec", dim,
       k, sampleFraction, maxIter, maxSampleRows = maxSampleRows)
     val reassigned = rows.select(col("id"), col("qvec"),
@@ -294,7 +296,10 @@ object SemDedup {
                            maxCellRows: Long = Guardrails.DefaultMaxBucketRows): DataFrame = {
     val cents = readIndexCentroids(spark, path)
     val dim = cents.head.length
-    val assigned = spark.read.parquet(path).select("id", "qvec", "cell")
+    // tombstone exclusion (late r17): a deleted doc neither survives
+    // nor counts as anyone's duplicate
+    val assigned = graft.pipeline.Tombstones.exclude(
+      spark.read.parquet(path), path).select("id", "qvec", "cell")
     val pairs = pairsWithinCells(assigned, dim, minCosNum, minCosDen,
       maxCellRows, s"SemDedup.dedupSemanticIndexed($path)")
     val losers = Dedup.duplicateGroups(pairs.select("id_a", "id_b"))

@@ -713,7 +713,10 @@ object Similarity {
         s"ivfTopKIndexed: got ${centroids.length} centroids, expected $nCentroids")
       centroids
     } else ivfReadCentroids(spark, path)
-    val idx = spark.read.parquet(path)
+    // tombstone exclusion (late r17): deleted vectors never fill a
+    // top-k slot, before or after a physical purge
+    val idx = graft.pipeline.Tombstones.exclude(
+      spark.read.parquet(path), path)
     // ONE column-pruned lookup of the query row (its cell is unknown before
     // reading it, so this scan can't partition-prune — everything after
     // it does); the vector then rides along as a literal.
@@ -740,7 +743,9 @@ object Similarity {
                           path: String, queryIds: Seq[Long], k: Int,
                           nProbe: Int = 4): DataFrame = {
     val cents = ivfReadCentroids(spark, path)
-    val idx = spark.read.parquet(path).select(col("id"), col("v"), col("cell"))
+    val idx = graft.pipeline.Tombstones.exclude(
+        spark.read.parquet(path), path)
+      .select(col("id"), col("v"), col("cell"))
     val q = idx.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("query_id"), col("v").as("qv"))
     val probe = q.select(col("query_id"),
@@ -776,7 +781,8 @@ object Similarity {
                     queryIds: Seq[Long], k: Int = 10, nProbe: Int = 4,
                     minRecall: Double = 0.9): DataFrame = {
     require(queryIds.nonEmpty, "ivfRecallGate: queryIds must be non-empty")
-    val idx = spark.read.parquet(path)
+    val idx = graft.pipeline.Tombstones.exclude(
+      spark.read.parquet(path), path) // truth and probe see the live set
     val truth = bruteForceTopKMulti(idx, "id", "v", queryIds, k)
     val approx = ivfTopKMultiIndexed(spark, path, queryIds, k, nProbe)
     recallAtK(truth, approx)
@@ -799,7 +805,8 @@ object Similarity {
     */
   def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
                    path: String): DataFrame =
-    spark.read.parquet(path).groupBy("cell")
+    graft.pipeline.Tombstones.exclude(spark.read.parquet(path), path)
+      .groupBy("cell")
       .agg(count(lit(1)).as("__n"))
       .agg(sum("__n").as("n_rows"),
         count(lit(1)).as("n_cells"),
@@ -829,7 +836,11 @@ object Similarity {
                         centroids: Array[Array[Double]] = null): Unit = {
     val stored = ivfReadCentroids(spark, path) // also validates the index
     val k = if (nCentroids > 0) nCentroids else stored.length
-    val rows = spark.read.parquet(path).select(col("id"), col("v"))
+    // a retrain consumes tombstones: deleted rows are dropped from the
+    // training set AND the rebuilt cells, and the swap clears the
+    // tombstone table (late r17)
+    val rows = graft.pipeline.Tombstones.exclude(
+      spark.read.parquet(path), path).select(col("id"), col("v"))
     // explicit centroids mirror ivfWriteIndex's override: spherical
     // k-means from the pseudo init can collapse small-k geometries to
     // one dominant cell (correct answers, brute-force probes) — a

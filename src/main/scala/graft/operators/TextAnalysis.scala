@@ -807,6 +807,74 @@ object TextAnalysis {
     } finally p.unpersist()
   }
 
+  /** DELETE documents from a persisted BM25 index (late r17 — the
+    * takedown verb): O(one postings pass per delete batch) at delete
+    * time, query-proportional work per probe. Three coordinated
+    * tables, all under one exactly-once marker when `batchTag` is set:
+    *
+    *   - `_tombstones/` (id): probes anti-join postings against them
+    *     (bucket-pruned — the join cost follows the query);
+    *   - `_deleted_terms/` (id, term, bucket): the dead docs'
+    *     term memberships — probes subtract `count(DISTINCT (id,term))`
+    *     per query term from the stored dfreq sums;
+    *   - `_deleted_stats/` (id, dl): the dead docs' lengths — probes
+    *     subtract the id-deduped count/sum from N and total_dl.
+    *
+    * Every correction row derives from the doomed ids' RAW postings —
+    * deliberately NOT the tombstone-excluded view — so a batch's
+    * content is a pure function of (postings, its own id list):
+    * re-delivering any committed batch in ANY order rewrites identical
+    * rows, and overlapping deletes (two batches dooming the same id)
+    * produce duplicate rows that the probe-side DISTINCT collapses —
+    * idempotence is enforced at READ time, which is what makes the
+    * crash-replay of batch A converge even after a LATER batch B
+    * committed (the failure mode that killed the negative-partials
+    * design: B's state changed what A's replay could see). An id never
+    * indexed contributes no rows — deleting it is a no-op.
+    * Probe-after-delete equals a fresh index built without the deleted
+    * docs bit-for-bit (spec- and gate-pinned). Re-appending a deleted
+    * id requires a compaction first (the tombstone would swallow the
+    * new rows). SINGLE-WRITER, like every maintenance verb.
+    */
+  def bm25DeleteIndex(ids: DataFrame, idCol: String, path: String,
+                      batchTag: Option[String] = None): Unit = {
+    val spark = ids.sparkSession
+    val nBuckets = bm25ReadNBuckets(spark, path)
+    val bucket = pmod(xxhash64(col("term")), lit(nBuckets.toLong)).cast("int")
+    val doomed = ids.select(col(idCol).as("id"))
+      .filter(col("id").isNotNull).distinct()
+    def dead = spark.read.parquet(s"$path/postings")
+      .join(doomed.withColumnRenamed("id", "__doomed"),
+        col("id") === col("__doomed"), "left_semi")
+    def deadTerms = dead.select(col("id"), col("term"))
+      .withColumn("bucket", bucket)
+    def deadStats = dead.groupBy("id")
+      .agg(sum("tf").as("dl"))
+    val termsDir = s"$path/_deleted_terms"
+    val statsDir = s"$path/_deleted_stats"
+    batchTag match {
+      case None =>
+        deadTerms.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .partitionBy("bucket").parquet(termsDir)
+        deadStats.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(statsDir)
+        graft.pipeline.Tombstones.delete(doomed, "id", path)
+      case Some(tag0) =>
+        val tag = s"del-$tag0"
+        val sig = graft.pipeline.BatchAppend.contentSig(ids, Seq(idCol))
+        graft.pipeline.BatchAppend.exactlyOnce(spark, path, tag, sig,
+          Seq(graft.pipeline.Tombstones.tombstonePath(path),
+            termsDir, statsDir)) {
+          graft.pipeline.BatchAppend.appendBatchFiles(deadTerms, termsDir,
+            tag, Seq("bucket"))
+          graft.pipeline.BatchAppend.appendBatchFiles(deadStats, statsDir,
+            tag)
+          graft.pipeline.BatchAppend.appendBatchFiles(doomed,
+            graft.pipeline.Tombstones.tombstonePath(path), tag)
+        }: Unit
+    }
+  }
+
   /** Compact a persisted BM25 index's per-batch partials (r14, VERDICT
     * r13 §next-5): terms fold to ONE row per (term, bucket), stats to
     * one row, postings get a small-file rewrite that preserves the
@@ -816,16 +884,46 @@ object TextAnalysis {
     * identical before and after — spec-pinned, and gate-pinned against
     * the full-rebuild oracle. Run at a batch boundary, never
     * concurrently with [[bm25AppendIndex]].
+    *
+    * Late r17: when tombstones are pending ([[bm25DeleteIndex]]), the
+    * compaction instead rebuilds ALL THREE tables from the LIVE
+    * postings and swaps the whole index root as ONE atomic rename —
+    * dead postings physically gone, dfreq/stats recomputed (the same
+    * definitions the write path uses), the tombstone and correction
+    * tables vanishing with the old root. The single swap is what makes
+    * a crash CONVERGE: any multi-table sequence leaves a window where a
+    * re-run would double-apply corrections, but here a crash before the
+    * rename changes nothing and a re-run recomputes from the intact old
+    * root. Exactly-once markers ride the swap, so a replayed delete (or
+    * append) arriving after the compaction still no-ops.
     */
   def bm25CompactIndex(spark: org.apache.spark.sql.SparkSession,
-                       path: String, targetFileMB: Int = 128): Unit = {
-    graft.pipeline.Sinks.compactAdditive(spark, s"$path/terms",
-      Seq("term"), Seq("dfreq"), Seq("bucket"))
-    graft.pipeline.Sinks.compactAdditive(spark, s"$path/stats",
-      Seq("n_buckets"), Seq("n_docs", "total_dl"))
-    graft.pipeline.Sinks.compact(spark, s"$path/postings", targetFileMB,
-      collapse = Set.empty)
-  }
+                       path: String, targetFileMB: Int = 128): Unit =
+    graft.pipeline.Tombstones.tombstones(spark, path) match {
+      case None =>
+        graft.pipeline.Sinks.compactAdditive(spark, s"$path/terms",
+          Seq("term"), Seq("dfreq"), Seq("bucket"))
+        graft.pipeline.Sinks.compactAdditive(spark, s"$path/stats",
+          Seq("n_buckets"), Seq("n_docs", "total_dl"))
+        graft.pipeline.Sinks.compact(spark, s"$path/postings", targetFileMB,
+          collapse = Set.empty)
+      case Some(_) =>
+        val nBuckets = bm25ReadNBuckets(spark, path)
+        val live = graft.pipeline.Tombstones.exclude(
+          spark.read.parquet(s"$path/postings"), path)
+        graft.pipeline.Sinks.swapStagedRoot(spark, path) { staged =>
+          live.write.partitionBy("bucket").parquet(s"$staged/postings")
+          val lp = spark.read.parquet(s"$staged/postings")
+          lp.groupBy("term", "bucket").agg(count(lit(1)).as("dfreq"))
+            .select("term", "dfreq", "bucket")
+            .write.partitionBy("bucket").parquet(s"$staged/terms")
+          lp.agg(countDistinct(col("id")).as("n_docs"),
+              coalesce(sum("tf"), lit(0L)).as("total_dl"))
+            .withColumn("n_buckets", lit(nBuckets))
+            .coalesce(1).write.parquet(s"$staged/stats")
+          graft.pipeline.BatchAppend.preserveMarkers(spark, path, staged)
+        }
+    }
 
   /** Summed stats partials + the bucketing modulus in ONE bounded collect
     * (the stats table is one row per indexed batch). Every batch must
@@ -887,14 +985,44 @@ object TextAnalysis {
       .map(r => (r.getLong(0), r.getString(1))).toDF("query_id", "term")
     val buckets = qt.map(_.getInt(2)).distinct.toIndexedSeq.map(lit(_))
     if (buckets.isEmpty) return bm25EmptyResult(spark)
-    val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(buckets: _*))
+    // deleted docs (late r17): postings drop by tombstone anti-join,
+    // dfreq subtracts the id-deduped dead term memberships, and N /
+    // total_dl subtract the id-deduped dead doc lengths — every leg
+    // bucket-pruned or id-keyed over the (small) deleted set, never a
+    // corpus scan; see bm25DeleteIndex for why dedup happens HERE
+    val postings = graft.pipeline.Tombstones.exclude(
+        spark.read.parquet(s"$path/postings")
+          .filter(col("bucket").isin(buckets: _*)), path)
       .select("id", "term", "tf", "dl")
-    val dfreq = spark.read.parquet(s"$path/terms")
+    val dfreqStored = spark.read.parquet(s"$path/terms")
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(qlocal.select("term").distinct()), "term")
       .groupBy("term").agg(sum("dfreq").as("dfreq"))
-    val stats = Seq((nDocs, totalDl)).toDF("n_docs", "total_dl")
+    val delTermsDir = s"$path/_deleted_terms"
+    val dfreq =
+      if (!graft.pipeline.Sinks.exists(spark, delTermsDir)) dfreqStored
+      else {
+        val deadCounts = spark.read.parquet(delTermsDir)
+          .filter(col("bucket").isin(buckets: _*))
+          .join(broadcast(qlocal.select("term").distinct()), "term")
+          .select("id", "term").distinct()
+          .groupBy("term").agg(count(lit(1)).as("__dead"))
+        dfreqStored.join(deadCounts, Seq("term"), "left")
+          .select(col("term"),
+            (col("dfreq") - coalesce(col("__dead"), lit(0L))).as("dfreq"))
+      }
+    val delStatsDir = s"$path/_deleted_stats"
+    val (nDead, dlDead) =
+      if (!graft.pipeline.Sinks.exists(spark, delStatsDir)) (0L, 0L)
+      else {
+        val r = spark.read.parquet(delStatsDir)
+          .groupBy("id").agg(max("dl").as("dl")) // dedup overlapping batches
+          .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("dl"))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val stats = Seq((nDocs - nDead, totalDl - dlDead))
+      .toDF("n_docs", "total_dl")
     bm25TopKFrom(postings, dfreq, stats, qlocal, k, k1, b)
   }
 
@@ -985,8 +1113,9 @@ object TextAnalysis {
       return Seq.empty[(Long, Long, Long)]
         .toDF("query_id", "doc_id", "n_matches")
     }
-    val toks = spark.read.parquet(s"$path/postings")
-      .filter(col("bucket").isin(buckets: _*))
+    val toks = graft.pipeline.Tombstones.exclude(
+        spark.read.parquet(s"$path/postings")
+          .filter(col("bucket").isin(buckets: _*)), path) // deleted docs out
       .select(col("id"), col("term"), explode(col("positions")).as("pos"))
     phraseMatchFrom(toks, qlocal)
   }

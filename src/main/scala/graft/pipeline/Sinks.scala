@@ -107,6 +107,36 @@ object Sinks {
   }
 
 
+  /** Staged swap of a MULTI-TABLE index root (late r17): `build`
+    * populates the staging directory with whatever subdirectories and
+    * sidecars the index needs, then the root swaps in atomically — the
+    * [[overwriteViaStagingWith]] protocol without a primary DataFrame
+    * (and without the single-table count-verify, which cannot read a
+    * root of subdirectories). A crash before the swap leaves the old
+    * root untouched; a crash between build and cleanup leaves a stale
+    * `__staging`/`__old` the next run deletes.
+    */
+  def swapStagedRoot(spark: SparkSession, path: String)
+                    (build: String => Unit): Unit = {
+    val staging = s"${path}__staging"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(staging), true)
+    fs.mkdirs(new Path(staging))
+    build(staging)
+    val target = new Path(path)
+    val old = new Path(s"${path}__old")
+    fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(
+        s"swapStagedRoot: could not move current root $target aside")
+    if (!fs.rename(new Path(staging), target)) {
+      if (fs.exists(old)) fs.rename(old, target): Unit
+      throw new java.io.IOException(
+        s"swapStagedRoot: could not move staged root into place at $target")
+    }
+    fs.delete(old, true): Unit
+  }
+
   /** Swap `path + "__staging"` into `path`. HDFS rename returns false
     * instead of throwing (e.g. destination recreated concurrently) — check
     * every step and keep the previous table at `__old` until the swap is
