@@ -28,6 +28,23 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     TableSpec.read(spark, dir, name)
 
+  /** Spread a small fixture frame across the cluster before heavy per-row
+    * work (JDK codec encode/decode, multi-tokenizer round trips): the
+    * fixture parquet is a single file with one row group, so a map-only
+    * chain on top of its scan runs in ONE task while every other core
+    * idles (optimization guide §2.5 input skew / §2.6 idle capacity — the
+    * r17 plan audits show both MapPartitions nodes sitting directly on the
+    * single-split scan). The exchange moves only the narrow PRE-synthesis
+    * columns (ids, text) — never the synthesized payload bytes (guide §8:
+    * decide/shuffle on light rows, build heavy bytes after) — and the
+    * partition count derives from the session's defaultParallelism, not a
+    * local constant, so the driver's lower-core sweeps keep their shape
+    * and at production scale (inputs already split) the same rebalance
+    * stays a cheap round-robin of id-width rows.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Test/diagnostic hook: the constructed FineWeb crawl-page fixture
     * over the documents table (see [[fineWebPages]]).
     */
@@ -6732,7 +6749,8 @@ object SparkEntry {
     "q_mm_resize_real" -> ((s, d) =>
       Multimodal.decodeBatched(
           Multimodal.resizeImageBatched(
-            Multimodal.synthPngFromId(t(s, d, "documents").select("doc_id"), "doc_id"),
+            Multimodal.synthPngFromId(
+              spread(t(s, d, "documents").select("doc_id")), "doc_id"),
             "png", scale = 2),
           "resized", dim = 5, decodeBatch = Multimodal.decodeImageBatch)
         .select(col("doc_id"),
@@ -6758,7 +6776,8 @@ object SparkEntry {
     // oracle-predictable in plain SQL.
     "q_mm_png_decode" -> ((s, d) =>
       Multimodal.decodeBatched(
-          Multimodal.synthPngFromId(t(s, d, "documents").select("doc_id"), "doc_id"),
+          Multimodal.synthPngFromId(
+            spread(t(s, d, "documents").select("doc_id")), "doc_id"),
           "png", dim = 5, decodeBatch = Multimodal.decodeImageBatch)
         .select(col("doc_id"),
           element_at(col("features"), 1).cast("long").as("width"),
@@ -6777,11 +6796,20 @@ object SparkEntry {
     // trip, pinned per row in the hash.
     "q_mm_jpeg_decode" -> ((s, d) => {
       val jp = Multimodal.synthJpeg2ToneFromId(
-        t(s, d, "documents").select("doc_id"), "doc_id", classes = 5)
+        spread(t(s, d, "documents").select("doc_id")), "doc_id", classes = 5)
       val hashed = Multimodal.withImageAHash(jp, "jpg", "phash")
       val feats = Multimodal.decodeBatched(hashed, "jpg", dim = 5,
         decodeBatch = Multimodal.decodeImageBatch)
-      val reps = hashed.filter(col("doc_id") < 5)
+      // reps from a 5-row subtree: the filter can't push through the
+      // opaque MapPartitions hash/synth nodes, so filtering `hashed`
+      // re-encoded and re-hashed ALL rows a second time just to keep 5
+      // (r17 plan audit); synth is per-row deterministic, so building the
+      // representatives from the pre-filtered ids is value-identical.
+      val reps = Multimodal.withImageAHash(
+          Multimodal.synthJpeg2ToneFromId(
+            t(s, d, "documents").select("doc_id").filter(col("doc_id") < 5),
+            "doc_id", classes = 5),
+          "jpg", "phash")
         .select((col("doc_id") % 5).as("rep_cls"),
           col("phash").as("rep_hash"))
       feats.select(col("doc_id"),
@@ -6857,6 +6885,11 @@ object SparkEntry {
     // amplitude derived from doc_id) decoded by javax.sound.sampled —
     // sample rate/frames/duration/RMS are oracle-predictable in plain SQL
     // (constant-amplitude RMS and /32768 are IEEE-exact on both engines).
+    // deliberately NOT spread: javax.sound's AudioSystem serializes its
+    // SPI provider lookup on a global monitor, so 32-way parallel decode
+    // measured SLOWER than the single-task scan (0.37→0.63 s; same for
+    // the downsample/µ-law rows) — the audio rows keep the natural scan
+    // partitioning. See OPTIMIZATION_r17.md (multimodal).
     "q_mm_wav_decode" -> ((s, d) =>
       Multimodal.decodeBatched(
           Multimodal.synthWavFromId(t(s, d, "documents").select("doc_id"), "doc_id"),
@@ -6919,7 +6952,8 @@ object SparkEntry {
     // modular sums both engines round identically in IEEE doubles.
     "q_mm_gif_decode" -> ((s, d) =>
       Multimodal.decodeBatched(
-          Multimodal.synthGifFromId(t(s, d, "documents").select("doc_id"), "doc_id"),
+          Multimodal.synthGifFromId(
+            spread(t(s, d, "documents").select("doc_id")), "doc_id"),
           "gif", dim = 5, decodeBatch = Multimodal.decodeVideoBatch)
         .select(col("doc_id"),
           element_at(col("features"), 1).cast("long").as("n_frames"),

@@ -26,6 +26,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to useCache=true: every ImageIO.read/write spools
+  // through a TEMP FILE on disk, so per-image codec work silently pays two
+  // file creations + disk writes per row — measured r17 as these rows
+  // inflating 2-3x whenever the host disk degraded, and as 32-way parallel
+  // decode thrashing where it should scale. All payloads here are
+  // in-memory byte arrays; cache off makes the streams heap-backed. Runs
+  // in the object initializer so every JVM that touches a codec helper
+  // (driver or executor — the mapPartitions lambdas dereference this
+  // object) flips it before first use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Asset struct from a binary payload + mime. */
   def asset(content: Column, mime: Column): Column =
     struct(content.as("content"), mime.as("mime"))
