@@ -392,13 +392,19 @@ object Bpe {
       .toDF("rank", "left", "right", "applied_count")
   }
 
-  /** Load a merge table written by [[mergesTable]]`.write.parquet`. */
+  /** Load a merge table written by [[mergesTable]]`.write.parquet`.
+    * Sorted DRIVER-side: a cluster `orderBy` before a tiny collect pays a
+    * range-partitioning sample pass plus a shuffle for a table of a few
+    * hundred rows — per-run load overhead on every amortized `*_scored`
+    * probe (optimization guide §5: the driver should do almost no data
+    * work, but sorting a KB-sized model array is not data work).
+    */
   def readMerges(spark: org.apache.spark.sql.SparkSession,
                  path: String): Seq[Merge] =
     spark.read.parquet(path).select("rank", "left", "right", "applied_count")
-      .orderBy("rank").collect()
+      .collect()
       .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-      .toSeq
+      .sortBy(_.rank).toSeq
 
   /** Per-document BPE token count under a trained merge list: words split
     * map-side, each word encoded by the codegen'd native expression
@@ -451,10 +457,13 @@ object Bpe {
   def readVocab(spark: org.apache.spark.sql.SparkSession,
                 vocabPath: String, mergesPath: String): BpeVocab = {
     val merges = readMerges(spark, mergesPath)
-    val nBase = spark.read.parquet(vocabPath).count() - merges.length
-    val base = spark.read.parquet(vocabPath)
-      .filter(col("id") < nBase).orderBy("id")
-      .select("symbol").collect().map(_.getString(0)).toVector
+    // One scan instead of three (count + filtered sort + collect): the
+    // vocab is a few hundred rows, so the base-count arithmetic and the
+    // id sort run driver-side on the collected array (readMerges note).
+    val rows = spark.read.parquet(vocabPath).select("id", "symbol").collect()
+    val nBase = rows.length - merges.length
+    val base = rows.filter(_.getInt(0) < nBase).sortBy(_.getInt(0))
+      .map(_.getString(1)).toVector
     BpeVocab(base, merges)
   }
 

@@ -463,9 +463,13 @@ object ProductQuantization {
             s"PQ index at $path has no readable codebook sidecar (_books); " +
               "rewrite the index with pqWriteIndex", e)
       }
-    side.orderBy("s", "c").collect()
+    // driver-side (s, c) sort: a cluster orderBy before an m×k-row collect
+    // pays a range-partitioning sample pass + shuffle per index load
+    // (Bpe.readMerges note); m×k is the codebook size, always tiny.
+    side.collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map { case (_, rows) => rows.map(_.getSeq[Double](2).toArray) }
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray) }
       .toArray
   }
 

@@ -673,7 +673,10 @@ object Similarity {
               s"(_centroids); rewrite the index with $writer or pass " +
               "centroids explicitly", e)
       }
-    side.orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+    // driver-side cell sort: a cluster orderBy before a k-row collect pays
+    // a range-partitioning sample pass + shuffle per index load
+    // (Bpe.readMerges note); k is the centroid count, always tiny.
+    side.collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
   }
 
   /** The centroid sidecar write — the single home of the `_centroids`

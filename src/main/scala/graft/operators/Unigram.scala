@@ -227,8 +227,10 @@ object Unigram {
   /** Load a vocab written by [[vocabTable]]`.write.parquet`. */
   def readVocab(spark: org.apache.spark.sql.SparkSession,
                 path: String): UnigramVocab =
+    // driver-side id sort: a cluster orderBy before a tiny collect pays a
+    // range-partitioning sample pass + shuffle per model load (Bpe.readMerges)
     UnigramVocab(spark.read.parquet(path)
-      .select("id", "piece", "cnt", "log_prob").orderBy("id").collect()
+      .select("id", "piece", "cnt", "log_prob").collect()
       .map(r => Piece(r.getInt(0), r.getString(1), r.getLong(2),
-        r.getDouble(3))).toVector)
+        r.getDouble(3))).sortBy(_.id).toVector)
 }

@@ -250,10 +250,23 @@ object Warc {
     * possible (cut at any member boundary), which is the custom-
     * FileFormat upgrade path if archives ever arrive unsharded.
     */
-  def readWarcGzFiles(spark: SparkSession, glob: String): DataFrame =
-    spark.read.format("binaryFile").load(glob)
-      .select(col("path"), col("length").as("file_length"),
-        gunzipChunk(col("content")).as("warc"))
+  def readWarcGzFiles(spark: SparkSession, glob: String): DataFrame = {
+    // A glob that expands to thousands of archive paths makes the file
+    // index fire a parallel-discovery JOB with one task per matched path
+    // (r17 opt: ~1000 tasks of pure listing per run on the fixture set;
+    // at crawl scale, per-file tasks on the driver's listing pool). When
+    // the glob is the common `<dir>/*.<ext>` shape, load the DIRECTORY and
+    // push the pattern down as pathGlobFilter — one directory listing,
+    // same file set.
+    val m = "^(.*)/(\\*[^/]*)$".r
+    val reader = spark.read.format("binaryFile")
+    val df = glob match {
+      case m(dir, pat) => reader.option("pathGlobFilter", pat).load(dir)
+      case _ => reader.load(glob)
+    }
+    df.select(col("path"), col("length").as("file_length"),
+      gunzipChunk(col("content")).as("warc"))
+  }
 
   /** Charset-sniffed decode of raw payload BYTES (r17, VERDICT r16
     * §next-5) — the stage between "fetched bytes" and every text

@@ -195,8 +195,10 @@ object WordPiece {
   /** Load a vocab written by [[vocabTable]]`.write.parquet`. */
   def readVocab(spark: org.apache.spark.sql.SparkSession,
                 path: String): WpVocab =
+    // driver-side id sort: a cluster orderBy before a tiny collect pays a
+    // range-partitioning sample pass + shuffle per model load (Bpe.readMerges)
     WpVocab(spark.read.parquet(path)
-      .select("id", "piece", "is_cont").orderBy("id").collect()
+      .select("id", "piece", "is_cont").collect()
       .map(r => WpPiece(r.getInt(0), r.getString(1), r.getBoolean(2)))
-      .toVector)
+      .sortBy(_.id).toVector)
 }

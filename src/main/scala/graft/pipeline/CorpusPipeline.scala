@@ -361,6 +361,13 @@ object CorpusPipeline {
     RedactPii,
     QualityFloor(minTokens))
 
+  /** Disk-backed pin of a step input consumed by several subtrees (the
+    * TokenizeBpe materialize-before-multi-pass trade; see the
+    * DedupSpansWithin note in [[run]]).
+    */
+  private def pin(d: DataFrame): DataFrame =
+    d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Rewrite `textCol` with `f(id, text)`'s `text_clean` output while
     * preserving every other column (inner join back on id — both span
     * dedups emit one row per input doc, so no rows are lost).
@@ -415,13 +422,25 @@ object CorpusPipeline {
           graft.operators.TextAnalysis
             .filterByBlockedDomains(d, idCol, urlCol, blocklist)
         case DedupSpansWithin(n) =>
-          rewriteText(d, idCol, textCol)(
-            graft.operators.Dedup.dedupSpansWithinDoc(d, idCol, textCol, n))
+          // Pin before the multi-consumer dedup stages (r17 opt, the
+          // TokenizeBpe materialize-before-multi-pass trade): the span/near
+          // dedups read their input from SEVERAL subtrees (signature pass,
+          // verify semi-join, rewrite re-join, anti-join back), so mid-recipe
+          // — where `d` is the whole curated prefix — every reference
+          // re-executed the upstream chain (measured 4-8 full re-runs of the
+          // fineweb prefix). Disk-backed persist of the already-shrunk
+          // corpus; LRU release, the filterByClassifier accepted residue.
+          val pinned = pin(d)
+          rewriteText(pinned, idCol, textCol)(
+            graft.operators.Dedup.dedupSpansWithinDoc(pinned, idCol, textCol,
+              n))
         case DedupSpansAcross(n, minDocs) =>
-          rewriteText(d, idCol, textCol)(
-            graft.operators.Dedup.dedupSpansAcross(d, idCol, textCol, n, minDocs))
+          val pinned = pin(d) // the DedupSpansWithin note
+          rewriteText(pinned, idCol, textCol)(
+            graft.operators.Dedup.dedupSpansAcross(pinned, idCol, textCol, n,
+              minDocs))
         case DedupNear =>
-          graft.operators.Dedup.dedupCorpus(d, idCol, textCol)
+          graft.operators.Dedup.dedupCorpus(pin(d), idCol, textCol)
         case DedupByUrl(urlCol) =>
           graft.operators.Dedup.dedupByUrl(d, urlCol,
             prefer = Seq(col(idCol).asc), canonCol = "__url_canon")
@@ -430,11 +449,12 @@ object CorpusPipeline {
           d.filter(graft.operators.TextAnalysis.langId(col(textCol))
             .isInCollection(keepLangs))
         case DedupNearPortable(shingleN, bands, rowsPerBand) =>
-          graft.operators.Dedup.dedupCorpusPortable(d, idCol, textCol,
-            shingleN, bands, rowsPerBand)
+          graft.operators.Dedup.dedupCorpusPortable(pin(d), idCol, textCol,
+            shingleN, bands, rowsPerBand) // the DedupSpansWithin note
         case DedupSubstringsStep(minTokens) =>
-          rewriteText(d, idCol, textCol)(
-            graft.operators.Dedup.dedupSubstrings(d, idCol, textCol,
+          val pinned = pin(d) // the DedupSpansWithin note
+          rewriteText(pinned, idCol, textCol)(
+            graft.operators.Dedup.dedupSubstrings(pinned, idCol, textCol,
               minTokens))
         case Decontaminate(evalDocs, evalTextCol, n, minHits) =>
           graft.operators.Dedup.decontaminate(d, evalDocs, idCol, textCol,
