@@ -38,12 +38,32 @@ object SparkEntry {
     * columns (ids, text) — never the synthesized payload bytes (guide §8:
     * decide/shuffle on light rows, build heavy bytes after) — and the
     * partition count derives from the session's defaultParallelism, not a
-    * local constant, so the driver's lower-core sweeps keep their shape
-    * and at production scale (inputs already split) the same rebalance
-    * stays a cheap round-robin of id-width rows.
+    * local constant, so the driver's lower-core sweeps keep their shape.
+    *
+    * GATED on the input's actual split count (r18, VERDICT r17 §wrong-1):
+    * `repartition(n)` always executes a full exchange, and on the text
+    * rows the exchanged columns include the corpus text — at production
+    * scale, where inputs arrive already split into >= parallelism file
+    * splits, that is a gratuitous full-corpus shuffle prepended to the
+    * pipeline. The gate reads the LEAF SCANS' split count from the
+    * physical plan — driver-side file-split metadata, no job, no
+    * execution of any upstream exchange (the crawl-recipe site spreads an
+    * aggregate's output, whose runtime partitioning is unknowable without
+    * running it; its leaf split count is the right proxy — a pre-split
+    * source parallelizes the whole DAG at its shuffles already). Unknown
+    * leaf types conservatively count as already-split (skip the exchange:
+    * cached/in-memory frames are not the single-split parquet fixture
+    * this helper exists for).
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val leafSplits = df.queryExecution.sparkPlan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDD.getNumPartitions.toLong
+      case _ => Long.MaxValue / 4096 // unknown: assume already split
+    }.sum
+    if (leafSplits < par) df.repartition(par) else df
+  }
 
   /** Test/diagnostic hook: the constructed FineWeb crawl-page fixture
     * over the documents table (see [[fineWebPages]]).
@@ -2402,7 +2422,18 @@ object SparkEntry {
   private def withStreamStatePartitions[T](s: SparkSession, n: Int = 8)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach(p =>
+      s.conf.set(provKey, p))
+    try f finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      if (sys.env.contains("SPARK_GRAFT_STATE_PROVIDER"))
+        prevProv match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
+    }
   }
 
   /** Quality-gate queries: full members of the correctness contract (Verify
@@ -3160,10 +3191,28 @@ object SparkEntry {
       def tgtScan = Sinks.jdbcScan(s, url, "ORDERS_TGT", props,
         partitionColumn = Some("id"), lowerBound = 1L,
         upperBound = 1000000L, numPartitions = 8)
-      val merged = Merge.apply(t(s, d, "orders"), tgtScan,
+      // Delta-ship the staged rebuild (r18, VERDICT r17 §next-1): the
+      // merge's kept rows are byte-identical target rows, so only the
+      // updated+inserted slice crosses JDBC; the staging table is
+      // completed store-side (INSERT..SELECT with a NOT EXISTS key probe)
+      // and swapped in by the same RENAME protocol. Final table contents
+      // are exactly Merge.apply's (spec-pinned in SinksSpec; the
+      // convergence agg + oracle hash below prove it end-to-end).
+      // ONE pre-swap remote read (guide §5 reused subtree): applyChanged's
+      // plan reads the target three times (update join, insert anti-join,
+      // max-id scalar), and each partitioned JDBC read is 8 remote range
+      // queries — persist the key+audit projection (all applyChanged
+      // needs; the kept rows' data columns never leave the store) so the
+      // remote fetch happens once. Post-swap reads (convergence agg +
+      // idempotence classify) stay fresh reads of the swapped table.
+      val tgtSnap = tgtScan
+        .select((Seq("o_orderkey") ++ Merge.AuditCols).map(col): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = Merge.applyChanged(t(s, d, "orders"), tgtSnap,
         Seq("o_orderkey"), jdbcNow)
-      Sinks.overwriteJdbcViaStaging(merged, url, "ORDERS_TGT",
-        props, columnTypes = Some(jdbcOrdersDdl))
+      Sinks.overwriteJdbcViaStagingDelta(changed, url, "ORDERS_TGT",
+        Seq("o_orderkey"), props, columnTypes = Some(jdbcOrdersDdl))
+      tgtSnap.unpersist()
       jdbcConvergenceAgg(tgtScan,
         Merge.classify(t(s, d, "orders"),
           Sinks.jdbcTargetState(s, url, "ORDERS_TGT", Seq("o_orderkey"),
@@ -5692,8 +5741,14 @@ object SparkEntry {
     // train-per-run form above moves to verify-only (both stay hash-green
     // against the same oracle; the model round-trips parquet bit-exactly).
     "q_text_nb_margin_scored" -> ((s, d) => {
+      // persist the loaded model (r18): scoreFrame reads it from five
+      // subtrees (label totals, vocab, prior rows ×2, the evidence join) —
+      // unpinned, each subtree re-scanned the model parquet per run. Same
+      // trade the train-per-run form above already makes; vocabulary-scale
+      // frame, the filterByClassifier accepted residue.
       val model = s.read.parquet(ensureModel(s, d, "nb")(
         Classifier.trainNaiveBayes(t(s, d, "documents"), "lang", "text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // spread(): the scoring tokenize+explode is map-side on the
       // single-split fixture scan (r17 opt); training input is untouched
       Classifier.classifyNaiveBayesWithMargin(

@@ -654,24 +654,39 @@ object Dedup {
         "(both integral or both string) — they label one id space")
     val integral = ia
     def norm(c: Column) = if (integral) c.cast("long") else c
-    val edges = pairs.select(norm(col("id_a")).as("src"), norm(col("id_b")).as("dst"))
-      .union(pairs.select(norm(col("id_b")).as("src"), norm(col("id_a")).as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDirected = edges.count()
-    if (nDirected <= localEdgeLimit) {
+    // Driver-fallback probe in ONE job (r18, guide §1.2 fewest passes):
+    // the old form materialized a persisted directed-edge frame, counted
+    // it, then collected it — three actions per call, paid by every
+    // dedup family every run. `limit(n+1).collect()` bounds driver
+    // memory exactly like the old count-gate (at most localEdgeLimit/2+1
+    // undirected pairs ≈ the same ≲16 MB) and answers "small enough?"
+    // and "give me the edges" in one pass; both directions are minted
+    // driver-side. The distributed loop below stays the path the moment
+    // the bound is exceeded.
+    val pairLimit = (localEdgeLimit / 2).toInt
+    val probe =
+      if (localEdgeLimit > 0)
+        pairs.select(norm(col("id_a")).as("src"), norm(col("id_b")).as("dst"))
+          .limit(pairLimit + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (localEdgeLimit > 0 && probe.length <= pairLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val out =
         if (integral) {
-          val arr = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+          val arr = probe.flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+            (r.getLong(1), r.getLong(0))))
           localComponents(arr).toDF("id", "group_id")
         } else {
-          val arr = edges.collect().map(r => (r.getString(0), r.getString(1)))
+          val arr = probe.flatMap(r => Seq((r.getString(0), r.getString(1)),
+            (r.getString(1), r.getString(0))))
           localComponents(arr)(utf8BinaryOrdering).toDF("id", "group_id")
         }
-      edges.unpersist()
       return (out, 0)
     }
+    val edges = pairs.select(norm(col("id_a")).as("src"), norm(col("id_b")).as("dst"))
+      .union(pairs.select(norm(col("id_b")).as("src"), norm(col("id_a")).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Initialize at min(self, direct neighbors) — the first hop folded into
     // the init aggregate. One groupBy replaces a whole loop round (its
     // propagate join, two checkpoints, and sum action); star-shaped dup

@@ -150,6 +150,59 @@ object Merge {
       .select(outCols.map(col): _*).unionByName(inserted)
   }
 
+  /** The CHANGED slice of [[apply]]'s output — updated + inserted rows
+    * ONLY, computed exactly as [[apply]] computes them (same source data,
+    * same target `id`/`created_at` carried into updates, same key-ordered
+    * insert ids above `max(tgt.id)`, same hash/audit stamps), so
+    *
+    *   apply(src, tgt, keys, now)
+    *     == applyChanged(src, tgt, keys, now)
+    *        ∪ { target rows whose key is NOT an applyChanged key }
+    *
+    * (kept rows are byte-identical target rows; an inserted key never
+    * exists in the target, so "key not in changed keys" selects exactly
+    * the skip + target-only rows). A sink that can copy kept rows
+    * STORE-SIDE — the staged JDBC rebuild,
+    * [[graft.pipeline.Sinks.overwriteJdbcViaStagingDelta]] — ships only
+    * this frame over the wire: O(changes) rows instead of O(target), the
+    * guide §2.3 "move the heavy bytes once" rule applied to a database
+    * sink. Equality with [[apply]] is spec-pinned (MergeSpec r18).
+    */
+  def applyChanged(src: DataFrame, tgt: DataFrame, keys: Seq[String],
+                   now: Column = current_timestamp()): DataFrame = {
+    val dataCols = src.columns.filterNot(AuditCols.contains).toSeq
+    val outCols = dataCols ++ AuditCols
+    val inserted = RowHash.orderedDenseId(
+        insertRows(src, tgt, keys, dataCols, now), keys.map(col), "__rn")
+      .crossJoin(broadcast(
+        tgt.agg(coalesce(max(col("id")), lit(0L)).as("__max_id"))))
+      .withColumn("id", col("__max_id") + col("__rn"))
+      .select(outCols.map(col): _*)
+    updatedOnly(src, tgt, keys, dataCols, now)
+      .select(outCols.map(col): _*).unionByName(inserted)
+  }
+
+  /** The update branch of [[keptOrUpdated]] alone — an INNER join (only
+    * matched keys can update) plus the hash-differs filter; the target
+    * side prunes to keys + audit columns (data comes from the source), so
+    * a remote target scan fetches far narrower rows than the kept+updated
+    * form needs.
+    */
+  private def updatedOnly(src: DataFrame, tgt: DataFrame, keys: Seq[String],
+                          dataCols: Seq[String], now: Column): DataFrame = {
+    val hashed = src.select(dataCols.map(col): _*)
+      .withColumn("__s_hash", RowHash.rowHash(dataCols))
+      .select(dataCols.map(c => col(c).as(s"__s_$c")) :+ col("__s_hash"): _*)
+    val t = tgt.select((keys ++ AuditCols).map(col): _*)
+    t.join(hashed, keys.map(k => t(k) === hashed(s"__s_$k")).reduce(_ && _))
+      .filter(col("row_hash") =!= col("__s_hash"))
+      .select(dataCols.map(c => col(s"__s_$c").as(c)) ++ Seq(
+        col("id"),
+        col("__s_hash").as("row_hash"),
+        col("created_at"),
+        now.as("updated_at")): _*)
+  }
+
   /** Kept + updated rows in ONE left-outer pass over the target:
     *   tgt-only row        -> kept byte-identical (no-delete)
     *   match, hash equal   -> kept byte-identical (skip)

@@ -294,24 +294,26 @@ object WebGraph {
       var itersRun = 0
       var stationary = false
       while (itersRun < iterations && !stationary) {
-        // one BIGINT scalar per round: the dangling hosts' summed rank
-        // (anti-join against the outlink side over the CHECKPOINTED
-        // ranks — O(nodes), no recompute) becomes a literal in the
-        // update expression, keeping the iteration itself one edge-keyed
-        // join + one dst-keyed agg
-        val dShare = ranks
+        // the dangling hosts' summed rank (anti-join against the outlink
+        // side over the CHECKPOINTED ranks — O(nodes)) used to be a
+        // driver collect per round; it folds into the update expression
+        // as a broadcast one-row aggregate instead (r18, guide §1.2 —
+        // one fewer action per round, bit-identical integer math: the
+        // driver's `sum / nNodes` long division becomes `__dsum div
+        // nNodes` on the same BIGINT sum)
+        val dsum = ranks
           .join(outW.select(col("src").as("host")), Seq("host"), "left_anti")
-          .agg(coalesce(sum("rank"), lit(0L))).collect()(0)
-          .getLong(0) / nNodes
+          .agg(coalesce(sum("rank"), lit(0L)).as("__dsum"))
         val contrib = eP.join(outW, Seq("src"))
           .join(ranks.select(col("host").as("src"), col("rank")), Seq("src"))
           .select(col("dst").as("host"), expr("rank * w div ow").as("c"))
           .groupBy("host").agg(sum("c").as("in_mass"))
         val prev = ranks
         ranks = nodes.join(contrib, Seq("host"), "left")
+          .crossJoin(broadcast(dsum))
           .select(col("host"),
             expr(s"(15 * ${base}L + $DampingNum * " +
-              s"(coalesce(in_mass, 0L) + ${dShare}L)) div 100")
+              s"(coalesce(in_mass, 0L) + (__dsum div ${nNodes}L))) div 100")
               .as("rank"))
           .localCheckpoint()
         itersRun += 1
@@ -454,20 +456,27 @@ object WebGraph {
       var hub = if (seed.isEmpty) auth else seeded("hub_scaled")
       def halfStep(scores: DataFrame, inKey: String, outKey: String)
           : DataFrame = {
-        // one edge-keyed join + one host agg; the checkpointed raw frame
-        // feeds both the scalar renormalizer and the update join
+        // TWO actions per half-step instead of three (r18, guide §1.2):
+        // the renormalizing divisor used to be its own collect job — it
+        // folds into the score checkpoint as a broadcast one-row
+        // aggregate over the CHECKPOINTED raw (bit-identical integer
+        // math: Σ, div, max→greatest). The raw checkpoint stays (it is
+        // read by both the divisor agg and the update join); the score
+        // checkpoint stays (every later half-step/residual/output
+        // reference must not re-run the node join).
         val raw = eP
           .join(scores.select(col("host").as(inKey), col("score")),
             Seq(inKey))
           .select(col(outKey).as("host"), expr("score * w").as("c"))
           .groupBy("host").agg(sum("c").as("raw"))
           .localCheckpoint()
-        val total = raw.agg(coalesce(sum("raw"), lit(0L))).collect()(0)
-          .getLong(0)
-        val dv = math.max(1L, total / RankScale)
+        val dv = raw.agg(coalesce(sum("raw"), lit(0L)).as("__tot"))
+          .select(greatest(lit(1L), expr(s"__tot div ${RankScale}L"))
+            .as("__dv"))
         nodes.join(raw, Seq("host"), "left")
+          .crossJoin(broadcast(dv))
           .select(col("host"),
-            expr(s"coalesce(raw, 0L) div ${dv}L").as("score"))
+            expr("coalesce(raw, 0L) div __dv").as("score"))
           .localCheckpoint()
       }
       def residual(a: DataFrame, b: DataFrame): Long = a

@@ -181,42 +181,138 @@ object Sinks {
                               batchSize: Int = 1000,
                               columnTypes: Option[String] = None): Unit = {
     val staging = table + "__STAGING"
-    val old = table + "__OLD"
     val w = df.write.mode(SaveMode.Overwrite)
       .option("batchsize", batchSize.toString)
     columnTypes.foreach(t => w.option("createTableColumnTypes", t))
     w.jdbc(url, staging, props)
     val conn = java.sql.DriverManager.getConnection(url, props)
+    try jdbcSwapStaged(conn, table, staging)
+    finally conn.close()
+  }
+
+  /** The staged-rebuild sink with the kept rows copied STORE-SIDE
+    * (r18, VERDICT r17 §next-1): [[overwriteJdbcViaStaging]] ships the
+    * WHOLE merged table — O(target) rows re-serialized through JDBC
+    * batches every rebuild, even though the vast majority of a typical
+    * merge's output is byte-identical target rows. This variant takes
+    * only the CHANGED slice ([[graft.operators.Merge.applyChanged]]:
+    * updates + inserts), writes it to the staging table over JDBC, then
+    * completes the staging table with ONE store-side statement
+    *
+    *   INSERT INTO staging SELECT cols FROM target t
+    *    WHERE NOT EXISTS (SELECT 1 FROM staging s WHERE s.key = t.key)
+    *
+    * — the staging table itself carries the changed keys, so no separate
+    * key table ships, and the kept rows never cross the wire at all (the
+    * guide §2.3 "shuffle keys, not payloads" rule pointed at a database:
+    * the reference's rebuild, sync_ALL.py:229-320, re-ships every row).
+    * The NOT EXISTS probe is backed by a temporary index on the staging
+    * key columns (created before, dropped after — the swapped-in table's
+    * DDL stays identical to the [[overwriteJdbcViaStaging]] result, so
+    * the next bootstrap's TRUNCATE+INSERT pays no surprise index
+    * maintenance). Same RENAME swap, same crash guarantees.
+    *
+    * Correctness contract (spec-pinned in SinksSpec against Derby):
+    * final table == [[overwriteJdbcViaStaging]] of the full
+    * [[graft.operators.Merge.apply]] frame, provided `changed` has
+    * unique keys (the classify precondition) and every `changed` key
+    * that exists in the target replaces that target row. `table` must
+    * exist (the merge read it).
+    */
+  def overwriteJdbcViaStagingDelta(changed: DataFrame, url: String,
+                                   table: String, keys: Seq[String],
+                                   props: java.util.Properties,
+                                   batchSize: Int = 1000,
+                                   columnTypes: Option[String] = None): Unit = {
+    val staging = table + "__STAGING"
+    val delta = table + "__DELTA"
+    // Ship ONLY the changed rows, into a separate probe-side table. The
+    // two-table shape is deliberate (measured, r18): probing and inserting
+    // the SAME table forces every copied kept row to maintain the probe
+    // index — 2.0-2.8 s for the fixture's 103k kept rows vs 1.0-1.2 s
+    // into an index-free staging with the index on the (smaller) delta.
+    val w = changed.write.mode(SaveMode.Overwrite)
+      .option("batchsize", batchSize.toString)
+    columnTypes.foreach(t => w.option("createTableColumnTypes", t))
+    w.jdbc(url, delta, props)
+    val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val meta = conn.getMetaData
-      // Unquoted identifiers are case-normalized by the store (Derby/MySQL
-      // upper-case by default, others lower) — probe with the store's own
-      // normalization so `exists` agrees with what the RENAMEs will see.
-      def normalize(t: String): String =
-        if (meta.storesUpperCaseIdentifiers) t.toUpperCase
-        else if (meta.storesLowerCaseIdentifiers) t.toLowerCase
-        else t
+      val q = meta.getIdentifierQuoteString match {
+        case null => ""
+        case s0 => s0.trim
+      }
+      def qid(n: String): String = if (q.isEmpty) n else q + n + q
       def exists(t: String): Boolean = {
-        val rs = meta.getTables(null, null, normalize(t), null)
+        val rs = meta.getTables(null, null, jdbcNormalizeIdent(meta, t), null)
         try rs.next() finally rs.close()
       }
+      // Spark's JDBC writer creates case-exact QUOTED columns — reference
+      // them quoted, like the incremental update leg does.
+      val colList = changed.columns.map(qid).mkString(", ")
+      val whereList = keys.map(k => s"s.${qid(k)} = t.${qid(k)}")
+        .mkString(" AND ")
+      val idx = jdbcNormalizeIdent(meta, delta + "__KEYIDX")
+      val idxCols = keys.map(qid).mkString(", ")
       val st = conn.createStatement()
       try {
-        if (exists(old)) st.executeUpdate(s"DROP TABLE $old")
-        val hadTarget = exists(table)
-        if (hadTarget) st.executeUpdate(s"RENAME TABLE $table TO $old")
-        try st.executeUpdate(s"RENAME TABLE $staging TO $table")
-        catch {
-          case scala.util.control.NonFatal(e) =>
-            // restore the previous table so a failed swap never destroys
-            // the only copy (parity with commitStaged's parquet recovery)
-            if (hadTarget && !exists(table))
-              st.executeUpdate(s"RENAME TABLE $old TO $table")
-            throw e
-        }
-        if (exists(old)) st.executeUpdate(s"DROP TABLE $old")
+        // Index the delta's keys so the per-target-row NOT EXISTS probe
+        // is an index lookup, not a delta scan per row (O(target·delta) —
+        // measured: Derby does NOT hash-flatten this NOT EXISTS, an
+        // unindexed probe goes quadratic).
+        st.executeUpdate(s"CREATE INDEX $idx ON $delta ($idxCols)")
+        // Fresh staging with the TARGET's DDL (Derby/Postgres spelling;
+        // MySQL: CREATE TABLE .. LIKE). A stale staging from a crashed
+        // prior run is dropped first.
+        if (exists(staging)) st.executeUpdate(s"DROP TABLE $staging")
+        st.executeUpdate(
+          s"CREATE TABLE $staging AS SELECT * FROM $table WITH NO DATA")
+        // kept rows: store-side copy, never crossing the wire
+        st.executeUpdate(
+          s"INSERT INTO $staging ($colList) " +
+            s"SELECT $colList FROM $table t " +
+            s"WHERE NOT EXISTS (SELECT 1 FROM $delta s WHERE $whereList)")
+        // changed rows: store-side move from the probe table
+        st.executeUpdate(
+          s"INSERT INTO $staging ($colList) SELECT $colList FROM $delta")
+        st.executeUpdate(s"DROP TABLE $delta")
       } finally st.close()
+      jdbcSwapStaged(conn, table, staging)
     } finally conn.close()
+  }
+
+  /** Swap `staging` into `table` with RENAME statements, keeping the
+    * previous table at `<table>__OLD` until the swap lands — shared by
+    * [[overwriteJdbcViaStaging]] and [[overwriteJdbcViaStagingDelta]] so
+    * the two protocols cannot diverge on the crash-recovery dance.
+    */
+  private def jdbcSwapStaged(conn: java.sql.Connection, table: String,
+                             staging: String): Unit = {
+    val old = table + "__OLD"
+    val meta = conn.getMetaData
+    // Unquoted identifiers are case-normalized by the store (Derby/MySQL
+    // upper-case by default, others lower) — probe with the store's own
+    // normalization so `exists` agrees with what the RENAMEs will see.
+    def exists(t: String): Boolean = {
+      val rs = meta.getTables(null, null, jdbcNormalizeIdent(meta, t), null)
+      try rs.next() finally rs.close()
+    }
+    val st = conn.createStatement()
+    try {
+      if (exists(old)) st.executeUpdate(s"DROP TABLE $old")
+      val hadTarget = exists(table)
+      if (hadTarget) st.executeUpdate(s"RENAME TABLE $table TO $old")
+      try st.executeUpdate(s"RENAME TABLE $staging TO $table")
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          // restore the previous table so a failed swap never destroys
+          // the only copy (parity with commitStaged's parquet recovery)
+          if (hadTarget && !exists(table))
+            st.executeUpdate(s"RENAME TABLE $old TO $table")
+          throw e
+      }
+      if (exists(old)) st.executeUpdate(s"DROP TABLE $old")
+    } finally st.close()
   }
 
   /** Small-files compaction: rewrite a parquet directory into

@@ -83,6 +83,32 @@ class MergeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("applyChanged ∪ kept-from-target == apply exactly (delta-ship contract)") {
+    // mix of skip (1), update (2), target-only kept (3,4), inserts (5,6) —
+    // plus a larger modular case below, so the decomposition
+    //   apply == applyChanged ∪ { tgt rows with key ∉ applyChanged keys }
+    // is checked on every classification branch, byte-for-byte.
+    val tgt = asTarget(Seq(1 -> "a", 2 -> "b", 3 -> "c", 4 -> "d"))
+    val src = Seq(1 -> "a", 2 -> "B2", 5 -> "e", 6 -> "f").toDF("k", "v")
+    val full = Merge.apply(src, tgt, Seq("k"), t1)
+    val changed = Merge.applyChanged(src, tgt, Seq("k"), t1)
+    val kept = tgt.join(changed.select("k"), Seq("k"), "left_anti")
+      .select(full.columns.map(col).toSeq: _*)
+    assert(snapshot(changed.unionByName(kept)) == snapshot(full))
+    assert(changed.select("k").as[Int].collect().toSet == Set(2, 5, 6))
+
+    // the jdbc fixture's exact shape: every 7th key absent from target
+    // (insert), every 5th surviving key's value bumped (update)
+    val srcBig = (1 to 200).map(k => k -> s"v$k").toDF("k", "v")
+    val tgtBig = asTarget((1 to 200).filter(_ % 7 != 0)
+      .map(k => k -> (if (k % 5 == 0) s"v$k!" else s"v$k")))
+    val fullBig = Merge.apply(srcBig, tgtBig, Seq("k"), t1)
+    val changedBig = Merge.applyChanged(srcBig, tgtBig, Seq("k"), t1)
+    val keptBig = tgtBig.join(changedBig.select("k"), Seq("k"), "left_anti")
+      .select(fullBig.columns.map(col).toSeq: _*)
+    assert(snapshot(changedBig.unionByName(keptBig)) == snapshot(fullBig))
+  }
+
   test("applyBulk: same row set as apply, dense ids above target max, no window") {
     // parquet roundtrip cuts the fixture's own window lineage out of the plan
     val p = java.nio.file.Files.createTempDirectory("merge-bulk").resolve("t").toString

@@ -220,6 +220,51 @@ class SinksSpec extends SparkSpec {
       Set(3L -> "c", 4L -> "d"))
   }
 
+  test("overwriteJdbcViaStagingDelta == overwriteJdbcViaStaging (store-side " +
+      "kept-row copy, r18)") {
+    // two identical Derby targets, one rebuilt by each protocol from the
+    // same merge — final contents must match byte-for-byte, including the
+    // audit columns, and the delta table's DDL must survive the store-side
+    // INSERT..SELECT (the swapped-in table is readable and index-free)
+    val url = s"jdbc:derby:memory:graftdelta${System.nanoTime()};create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val t0 = lit("2026-01-01 00:00:00").cast("timestamp")
+    val t1 = lit("2026-02-01 00:00:00").cast("timestamp")
+    // skips, updates, target-only kept rows, inserts — every branch present
+    val tgt0 = graft.functions.RowHash.withAuditColumns(
+      (1 to 60).filter(_ % 7 != 0)
+        .map(k => k.toLong -> (if (k % 5 == 0) s"v$k!" else s"v$k"))
+        .toDF("k", "v"), Seq("k"), t0)
+    tgt0.write.mode("overwrite").jdbc(url, "TGT_FULL", props)
+    tgt0.write.mode("overwrite").jdbc(url, "TGT_DELTA", props)
+    val src = (1 to 60).map(k => k.toLong -> s"v$k").toDF("k", "v")
+    Sinks.overwriteJdbcViaStaging(
+      graft.operators.Merge.apply(
+        src, spark.read.jdbc(url, "TGT_FULL", props), Seq("k"), now = t1),
+      url, "TGT_FULL", props)
+    Sinks.overwriteJdbcViaStagingDelta(
+      graft.operators.Merge.applyChanged(
+        src, spark.read.jdbc(url, "TGT_DELTA", props), Seq("k"), now = t1),
+      url, "TGT_DELTA", Seq("k"), props)
+    def snap(t: String) = spark.read.jdbc(url, t, props)
+      .select(col("id"), col("k"), col("v"), col("row_hash"),
+        col("created_at").cast("string"), col("updated_at").cast("string"))
+      .as[(Long, Long, String, String, String, String)].collect().toSet
+    assert(snap("TGT_DELTA") == snap("TGT_FULL"))
+    // the probe index must not survive onto the swapped-in table
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getIndexInfo(null, null, "TGT_DELTA",
+        false, false)
+      val idxNames = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getString("INDEX_NAME")).toList
+      rs.close()
+      assert(!idxNames.exists(n => n != null && n.contains("KEYIDX")),
+        s"probe index leaked onto the swapped-in table: $idxNames")
+    } finally conn.close()
+  }
+
   test("jdbcApplyIncremental: delta-only writes, audit semantics, idempotent") {
     // the reference's DAILY write shape (r14): per-row UPDATE + batched
     // INSERT of the deltas only, skips and no-delete rows untouched

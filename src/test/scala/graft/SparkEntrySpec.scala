@@ -122,6 +122,33 @@ class SparkEntrySpec extends SparkSpec {
       "q_dedup_substring_fast oracle drifted from q_dedup_substring")
   }
 
+  test("spread(): single-split input keeps the exchange; a pre-split input " +
+      "produces NO exchange (r18 gate, VERDICT r17 §wrong-1)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-spread").toString
+    val par = spark.sparkContext.defaultParallelism
+    // single file, one row group — the bench fixture's shape
+    spark.range(1000).toDF("doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/one")
+    // many files: a production input that arrives already split
+    spark.range(1000).toDF("doc_id").repartition(par + 4)
+      .write.mode("overwrite").parquet(s"$dir/many")
+    def hasRoundRobin(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("roundrobin") ||
+        df.queryExecution.executedPlan.toString.contains("RoundRobin")
+    val one = SparkEntry.spread(
+      spark.read.parquet(s"$dir/one").select(col("doc_id")))
+    assert(hasRoundRobin(one),
+      "single-split input must keep the spreading exchange")
+    assert(one.rdd.getNumPartitions == par)
+    val many = SparkEntry.spread(
+      spark.read.parquet(s"$dir/many").select(col("doc_id")))
+    assert(!hasRoundRobin(many),
+      "a pre-split input must NOT pay a repartition exchange")
+    // value identity either way
+    assert(one.count() == 1000 && many.count() == 1000)
+  }
+
   test("every registered query executes and yields a non-empty schema at sf0.001") {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
