@@ -416,7 +416,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "/root/repo/bench_detail.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+    val detailJson =
       s"""{"total":$total,"queries":$full,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"""" +
         s""","load_at_launch":${loadAtLaunch},"load_at_start":${loadAtStart}""" +
         s""","load_at_end":${loadAvg()},"load_wait_sec":$waited""" +
@@ -430,7 +430,18 @@ object Bench {
         s""","mid_sweep_wait_sec":$midWaited""" +
         s""","heal_attempts_used":$attemptsUsed""" +
         s""","n_dirty_first":$nDirtyFirst,"n_dirty_final":$nDirtyFinal""" +
-        s""","n_healed":$nHealed}""")
+        s""","n_healed":$nHealed}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath), detailJson)
+    // ALSO keep a per-core-count copy (r18, VERDICT r17 §wrong-3): the
+    // driver benches at two core counts with the same default detail
+    // path, so the low-core run used to OVERWRITE the official 32-core
+    // record — each run now additionally lands at a _c<cpus> path and
+    // survives the other.
+    val cpusTag = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        detailPath.stripSuffix(".json") + s"_c$cpusTag.json"), detailJson)
     println(render(bySlow.take(keep), bySlow.length - keep))
     spark.stop()
   }

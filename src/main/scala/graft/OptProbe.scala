@@ -75,10 +75,15 @@ object OptProbe {
       spark.stop()
       sys.exit(0)
     }
+    // SPARK_GRAFT_PROBE_KEEPCACHE=1 clears the cache only before rep 0 —
+    // the BENCH steady state (operator persists warm across the timed
+    // runs of one query), where the default per-rep clear measures the
+    // cold construct instead (r18).
+    val keepCache = sys.env.contains("SPARK_GRAFT_PROBE_KEEPCACHE")
     qs.foreach { case (name, fn) =>
       println(s"== $name ==")
       (0 until reps).foreach { r =>
-        spark.catalog.clearCache()
+        if (!keepCache || r == 0) spark.catalog.clearCache()
         jobLines.clear(); stageTasks.set(0)
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)

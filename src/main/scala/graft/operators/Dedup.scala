@@ -172,22 +172,37 @@ object Dedup {
         hash((b * rowsPerBand until (b + 1) * rowsPerBand)
           .map(i => element_at(col("sig"), i + 1)): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    Guardrails.requireBoundedBuckets(banded, Seq("band", "bucket"), maxBucketRows,
-      s"minHashCandidates(bands=$bands, rowsPerBand=$rowsPerBand)",
-      "raise rowsPerBand (band-collision probability = jaccard^rowsPerBand) " +
-        "or exact-dedup identical texts first")
+    // Pair generation as ONE bucket-keyed aggregate + a streamed explode
+    // (r18, guide §1.2/§2.4): the former (band,bucket) SELF-JOIN shuffled
+    // banded twice and needed a separate guardrail aggregate job before
+    // it; grouping each bucket's ids instead yields the same a<b pair set
+    // from a single exchange, with the degenerate-bucket guard fused into
+    // the very pass that would otherwise go quadratic (boundedIds raises
+    // before an oversized bucket emits one pair; rethrowBucketGuard keeps
+    // the eager IllegalArgumentException contract). The per-position
+    // slice+explode streams pairs — no bucket ever materializes its full
+    // pair array in memory.
     // pairs is referenced three times below (two re-attach joins + candIds);
     // persisting it (id pairs only — tiny even at 100 TB) stops Spark from
     // re-running the signature aggregation once per reference. The cache
     // entry lives until LRU eviction or session end — long-lived sessions
     // calling this repeatedly should spark.catalog.clearCache() between runs.
-    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("__ids"))
+    val guarded = Guardrails.boundedIds(col("__ids"), maxBucketRows,
+      s"minHashCandidates(bands=$bands, rowsPerBand=$rowsPerBand)",
+      "raise rowsPerBand (band-collision probability = jaccard^rowsPerBand) " +
+        "or exact-dedup identical texts first")
+    val pairs = buckets
+      .select(col("__ids"), posexplode(guarded))
+      .select(col("col").as("id_a"),
+        explode(slice(col("__ids"), col("pos") + lit(2),
+          greatest(size(col("__ids")) - col("pos") - lit(1), lit(0))))
+          .as("id_b"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairs.count() // materialize now: pins the pair set, releases the signatures
+    // materialize now: pins the pair set, releases the signatures
+    Guardrails.rethrowBucketGuard(pairs.count())
     sigs.unpersist()
     // Verify stage: semi-join the corpus down to candidate ids BEFORE
     // computing shingle sets — the expensive map runs over the (tiny)
@@ -272,23 +287,29 @@ object Dedup {
             .map(r => col(s"h${b * rowsPerBand + r}").cast("string")): _*).as("sig"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.sig").as("sig"))
-    // same degenerate-corpus guard as every sibling LSH self-join: a bucket
-    // of b ids fans out b² rows — fail loudly, never hang quadratically
-    Guardrails.requireBoundedBuckets(banded, Seq("band", "sig"), maxBucketRows,
+    // Pair generation as one bucket-keyed aggregate + streamed explode,
+    // guard fused into the pass — the minHashCandidates r18 shape (see
+    // there for the reasoning); same a<b pair set, one shuffle, no
+    // separate guardrail job.
+    val buckets = banded.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("id"))).as("__ids"))
+    val guarded = Guardrails.boundedIds(col("__ids"), maxBucketRows,
       s"minHashCandidatesPortable(bands=$bands, rowsPerBand=$rowsPerBand)",
       "raise rowsPerBand or exact-dedup identical texts first")
-    val pairs = banded.select(col("band"), col("sig"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("sig"), col("id").as("id_b")),
-        Seq("band", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val pairs = buckets
+      .select(col("__ids"), posexplode(guarded))
+      .select(col("col").as("id_a"),
+        explode(slice(col("__ids"), col("pos") + lit(2),
+          greatest(size(col("__ids")) - col("pos") - lit(1), lit(0))))
+          .as("id_b"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The minHashCandidates pin swap (code-review r12 — the portable twin
     // was missing it, so the sigs entry outlived every call): materialize
     // the tiny pair set, release the signature cache, return the pinned
     // pairs for the CALLER to unpersist once consumed (the dedupCorpus
     // convention).
-    pairs.count()
+    Guardrails.rethrowBucketGuard(pairs.count())
     sigs.unpersist()
     pairs
   }
@@ -664,11 +685,16 @@ object Dedup {
     // driver-side. The distributed loop below stays the path the moment
     // the bound is exceeded.
     val pairLimit = (localEdgeLimit / 2).toInt
-    val probe =
+    // rethrowBucketGuard: duplicateGroups is where lazily-guarded pair
+    // frames (the r18 fused LSH bucket guards) usually materialize first
+    // — convert a guard trip into the guard's classic
+    // IllegalArgumentException for every dedup caller.
+    val probe = Guardrails.rethrowBucketGuard {
       if (localEdgeLimit > 0)
         pairs.select(norm(col("id_a")).as("src"), norm(col("id_b")).as("dst"))
           .limit(pairLimit + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
+    }
     if (localEdgeLimit > 0 && probe.length <= pairLimit) {
       val spark = pairs.sparkSession
       import spark.implicits._
@@ -693,10 +719,11 @@ object Dedup {
     // groups then converge in a single detection round. Every node appears
     // as `src` (edges carry both directions), so coverage is identical to
     // the plain distinct-src init.
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("__mn"))
-      .select(col("id"), least(col("id"), col("__mn")).as("group_id"))
-      .localCheckpoint(true)
+    var labels = Guardrails.rethrowBucketGuard(
+      edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("__mn"))
+        .select(col("id"), least(col("id"), col("__mn")).as("group_id"))
+        .localCheckpoint(true))
     // Convergence detector, integral ids: per-id labels only ever decrease
     // and the id set is fixed, so an unchanged SUM of labels ⟺ no label
     // changed — a scalar aggregate per round instead of a join-and-compare

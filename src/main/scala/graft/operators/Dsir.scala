@@ -79,8 +79,16 @@ object Dsir {
     */
   def featureModel(docs: DataFrame, idCol: String, textCol: String,
                    buckets: Int): DataFrame =
-    hashedNgramFeatures(docs, idCol, textCol, buckets)
-      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+    featureModelFromFeatures(hashedNgramFeatures(docs, idCol, textCol, buckets))
+
+  /** [[featureModel]] over a PRECOMPUTED per-doc feature frame — for
+    * callers that also score the same corpus and can share ONE
+    * [[hashedNgramFeatures]] pass between model training and
+    * [[importanceWeightsFromFeatures]] (r18: the DsirSelect recipe step
+    * hashed-featured its pinned corpus twice, once per consumer).
+    */
+  def featureModelFromFeatures(feats: DataFrame): DataFrame =
+    feats.groupBy("bucket").agg(sum("cnt").as("cnt"))
 
   /** O(batch) model maintenance: fold a new batch's features into an
     * existing bag model — counts are additive, so
@@ -111,14 +119,28 @@ object Dsir {
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         targetModel: DataFrame, rawModel: DataFrame,
-                        buckets: Int, addK: Double = 0.5): DataFrame = {
+                        buckets: Int, addK: Double = 0.5): DataFrame =
+    importanceWeightsFromFeatures(docs, idCol,
+      hashedNgramFeatures(docs, idCol, textCol, buckets),
+      targetModel, rawModel, buckets, addK)
+
+  /** [[importanceWeights]] over a PRECOMPUTED per-doc feature frame (see
+    * [[featureModelFromFeatures]] — one shared feature pass when the raw
+    * model trains on the same corpus being scored). `feats` must be
+    * exactly `hashedNgramFeatures(docs, idCol, textCol, buckets)`.
+    */
+  def importanceWeightsFromFeatures(docs: DataFrame, idCol: String,
+                                    feats: DataFrame,
+                                    targetModel: DataFrame,
+                                    rawModel: DataFrame,
+                                    buckets: Int,
+                                    addK: Double = 0.5): DataFrame = {
     checkBuckets(buckets)
     require(addK > 0, s"Dsir: addK must be > 0, got $addK")
     val k = lit(addK)
     val kB = lit(addK * buckets)
     val tTot = targetModel.agg(sum(col("cnt")).cast(LongType).as("__t_tot"))
     val rTot = rawModel.agg(sum(col("cnt")).cast(LongType).as("__r_tot"))
-    val feats = hashedNgramFeatures(docs, idCol, textCol, buckets)
     val scored = feats
       .join(broadcast(targetModel.select(col("bucket"),
         col("cnt").as("__t_cnt"))), Seq("bucket"), "left")

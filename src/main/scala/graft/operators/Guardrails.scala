@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scale guardrails for the LSH-family candidate generators.
@@ -46,4 +46,49 @@ object Guardrails {
         s"~${maxBucket}^2 pairs from that bucket alone; $fix, " +
         s"or pass maxBucketRows = 0 to override")
   }
+
+  // ---- fused (in-pass) form of the bucket guard (r18, guide §1.2) ------
+  // requireBoundedBuckets is an EXTRA aggregate job per LSH call. When
+  // pair generation runs as groupBy(bucket)+explode (one shuffle, the
+  // bucket's id list in hand), the guard folds into the SAME pass: an
+  // assert_true over the list size raises inside the job that would
+  // otherwise go quadratic — still strictly BEFORE that bucket emits a
+  // single pair — and the caller's rethrow wrapper surfaces the exact
+  // IllegalArgumentException contract the eager check had.
+
+  private[graft] val GuardMarker = "bucket-guard: "
+
+  /** `ids` unchanged when the bucket is within bounds; raises (inside the
+    * evaluating task) with a marker-prefixed message when oversized.
+    * `maxBucketRows <= 0` disables, like [[requireBoundedBuckets]].
+    */
+  def boundedIds(ids: Column, maxBucketRows: Long, what: String,
+                 fix: String): Column =
+    if (maxBucketRows <= 0) ids
+    else when(assert_true(size(ids) <= lit(maxBucketRows.toInt),
+        concat(lit(s"$GuardMarker$what: largest candidate bucket holds "),
+          size(ids).cast("string"),
+          lit(s" rows (> $maxBucketRows) — the banded pair explode " +
+            s"would emit that bucket's rows squared; $fix, " +
+            "or pass maxBucketRows = 0 to override"))).isNull, ids)
+
+  /** Run `f` (the action materializing the guarded pass) and convert a
+    * [[boundedIds]] trip anywhere in the failure's cause chain into the
+    * `IllegalArgumentException` [[requireBoundedBuckets]] throws — the
+    * guard's external contract is unchanged, it just no longer costs its
+    * own job.
+    */
+  def rethrowBucketGuard[T](f: => T): T =
+    try f catch {
+      case e: Throwable =>
+        var c: Throwable = e
+        while (c != null) {
+          val m = c.getMessage
+          if (m != null && m.contains(GuardMarker))
+            throw new IllegalArgumentException(
+              m.substring(m.indexOf(GuardMarker) + GuardMarker.length))
+          c = c.getCause
+        }
+        throw e
+    }
 }

@@ -51,29 +51,45 @@ object SemDedup {
       s"$what: dim=$dim with denominator $minCosDen overflows the exact " +
         "long cosine filter ((127^2*dim)^2*den^2 > Long.MaxValue) — reduce " +
         "the threshold denominator or project to a smaller dim first")
-    Guardrails.requireBoundedBuckets(assigned, Seq("cell"), maxCellRows, what,
-      "raise nCentroids (cells shrink as k grows) or exact-dedup identical " +
-        "vectors first")
     // Bounds: |dot| ≤ 127²·dim, dot²·den² and na·nb·num² ≤ ~1e14 at
     // dim=64, den ≤ 10 — exact in long with headroom (enforced above).
-    // Norms are computed ONCE per vector and carried through the join
+    // Norms are computed ONCE per vector and carried through the pairing
     // (per-pair recomputation tripled the pair stage), and every dot is
     // the codegen'd quantized_dot at scale=1 — exact on integral inputs
     // (q(x) = x for integers), one tight generated loop per pair instead
     // of an interpreted HOF.
+    //
+    // Pairing as one cell-keyed aggregate + streamed explode (r18): the
+    // former cell SELF-JOIN shuffled the quantized payloads twice and
+    // needed a separate guardrail aggregate job before it; grouping each
+    // cell's rows instead yields the same id_a<id_b pair multiset from a
+    // single exchange, with the degenerate-cell guard fused into the very
+    // pass that would otherwise go quadratic (boundedIds raises before an
+    // oversized cell emits one pair; rethrowBucketGuard at the
+    // materializing caller keeps the IllegalArgumentException contract).
     val num2 = minCosNum.toLong * minCosNum
     val den2 = minCosDen.toLong * minCosDen
     val withN = assigned.withColumn("__nn",
       Similarity.dotQuantized(col("qvec"), col("qvec"), scale = 1))
-    val a = withN.select(col("cell"), col("id").as("id_a"),
-      col("qvec").as("__qa"), col("__nn").as("__na"))
-    val b = withN.select(col("cell"), col("id").as("id_b"),
-      col("qvec").as("__qb"), col("__nn").as("__nb"))
-    a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("cell"),
-        Similarity.dotQuantized(col("__qa"), col("__qb"), scale = 1).as("__dot"),
-        col("__na"), col("__nb"))
+    val cells = withN.groupBy(col("cell"))
+      .agg(sort_array(collect_list(
+        struct(col("id"), col("qvec"), col("__nn")))).as("__rows"))
+    val guarded = Guardrails.boundedIds(col("__rows"), maxCellRows, what,
+      "raise nCentroids (cells shrink as k grows) or exact-dedup identical " +
+        "vectors first")
+    cells
+      .select(col("cell"), col("__rows"), posexplode(guarded))
+      .select(col("cell"),
+        col("col.id").as("id_a"), col("col.qvec").as("__qa"),
+        col("col.__nn").as("__na"),
+        explode(slice(col("__rows"), col("pos") + lit(2),
+          greatest(size(col("__rows")) - col("pos") - lit(1), lit(0))))
+          .as("__b"))
+      .filter(col("id_a") < col("__b.id")) // drop duplicate-id self-pairs
+      .select(col("id_a"), col("__b.id").as("id_b"), col("cell"),
+        Similarity.dotQuantized(col("__qa"), col("__b.qvec"), scale = 1)
+          .as("__dot"),
+        col("__na"), col("__b.__nn").as("__nb"))
       .filter(col("__na") > 0 && col("__nb") > 0 && col("__dot") > 0 &&
         col("__dot") * col("__dot") * den2 >= col("__na") * col("__nb") * num2)
       .select("id_a", "id_b", "cell")

@@ -559,14 +559,26 @@ object CorpusPipeline {
           // materialize-before-multi-pass-stage trade).
           val pinned = d.persist(
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // tm is read by two consumers (its total aggregate + the
+          // broadcast model join) — ≤ buckets rows, pin it so the target
+          // slice tokenizes once per run, not twice (r18)
           val tm = graft.operators.Dsir.featureModel(
-            target.select(col(tId).as("doc_id"), col(tText).as("__t")),
-            "doc_id", "__t", buckets)
-          val rm = graft.operators.Dsir.featureModel(pinned, idCol, textCol,
-            buckets)
+              target.select(col(tId).as("doc_id"), col(tText).as("__t")),
+              "doc_id", "__t", buckets)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          // ONE hashed-feature pass shared by the raw model and the
+          // weight scoring (r18, guide §1.2): the step used to tokenize,
+          // explode and bucket the pinned corpus twice. Counts are exact
+          // longs and the weight sum is exact DECIMAL, so sharing the
+          // frame is bit-identical. Bucket-cardinality persist, released
+          // with the pipeline's other pins by the bench's cache clear.
+          val feats = graft.operators.Dsir.hashedNgramFeatures(
+              pinned, idCol, textCol, buckets)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val rm = graft.operators.Dsir.featureModelFromFeatures(feats)
           val picked = graft.operators.Dsir.resampleTopK(
-            graft.operators.Dsir.importanceWeights(pinned, idCol, textCol,
-              tm, rm, buckets, addK),
+            graft.operators.Dsir.importanceWeightsFromFeatures(pinned,
+              idCol, feats, tm, rm, buckets, addK),
             "doc_id", "log_weight", k, seed)
           // importanceWeights keys its output "doc_id" regardless of
           // idCol — map back before the id-only semi join (the

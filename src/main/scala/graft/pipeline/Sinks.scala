@@ -58,8 +58,17 @@ object Sinks {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("shuffle_pos"))
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
-    df.sparkSession.read.parquet(path)
-      .select("shard").distinct().count()
+    // Shard count from the partition DIRECTORIES (r18): the former
+    // read-back `select(shard).distinct().count()` re-scanned the whole
+    // export just to count its partitions — a `shard=<k>` directory
+    // exists exactly iff that shard received rows, so the listing is the
+    // identical number at metadata cost (spec-pinned in SinksSpec).
+    val root = new Path(path)
+    val fs = root.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(root)
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .toLong
   }
 
   /** S6: append sink — the reference's batched `executemany` INSERT

@@ -145,9 +145,14 @@ class SemDedupSpec extends SparkSpec {
     // identical vectors all land in one cell; maxCellRows=3 must trip
     val flat = Seq.tabulate(8)(i => (i.toLong, Seq.fill(16)(1.0f)))
       .toDF("vec_id", "embedding")
+    // r18: the guard is FUSED into the pair pass (no separate measuring
+    // job), so it trips at first materialization; rethrowBucketGuard
+    // restores the classic IllegalArgumentException (dedupSemantic and
+    // every duplicateGroups consumer get this wrapping for free).
     val e = intercept[IllegalArgumentException] {
-      SemDedup.candidatesPortable(flat, "vec_id", "embedding", dim = 16,
-        nCentroids = 4, maxCellRows = 3)
+      graft.operators.Guardrails.rethrowBucketGuard(
+        SemDedup.candidatesPortable(flat, "vec_id", "embedding", dim = 16,
+          nCentroids = 4, maxCellRows = 3).count())
     }
     assert(e.getMessage.contains("nCentroids"), e.getMessage)
   }
